@@ -1,0 +1,63 @@
+"""Table catalog over the harness testdata.
+
+The reference registers each GCS file as an external table named
+after the file basename (reference: src/db/db.go:22-30); here the
+equivalent is loading ``{sf_dir}/{name}.parquet`` and registering a
+temp view under the bare table name.
+
+At 100 TB these would be partitioned/bucketed catalog tables — the
+loader is the single seam where that swap happens (read path only;
+every operator downstream sees a DataFrame either way).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (columnar parquet scan).
+
+    events.ts is written as parquet TIMESTAMP(NANOS), which Spark has no
+    native type for (timestamps are µs): with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.py /
+    tune_for_session) it reads as long nanoseconds, converted here to a
+    µs timestamp (floor — matches DuckDB's CAST(ts_ns AS TIMESTAMP)).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer division: epoch-nanos exceed double's 2^53 exact range
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register temp views for the SQL API."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

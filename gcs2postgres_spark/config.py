@@ -1,0 +1,114 @@
+"""Config loading + secret resolution (parity layer, OP-11/OP-12).
+
+Same YAML shape as the reference's config.yaml (reference
+src/utils/utils.go:18-39: postgres{host,port,user,database,
+secret_name}, gcs{bucket_name,concurrent_jobs,dataset,files[]},
+bq{dataset,tables[]}) so an existing config ports unchanged. The
+reference's duplicate dead loader (src/config/config.go:42-53) is
+intentionally not reproduced.
+
+Secret resolution (reference src/utils/utils.go:70-87 fetches the
+Postgres password from Google Secret Manager) is pluggable: an env
+var ``SECRET_<name>`` or a file under ``secrets_dir`` — network secret
+managers slot in behind the same one-function seam.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+try:
+    import yaml
+except ImportError:  # pragma: no cover - pyyaml is in the base image
+    yaml = None
+
+
+@dataclass
+class PostgresConfig:
+    host: str = "localhost"
+    port: int = 5432
+    user: str = "postgres"
+    database: str = "postgres"
+    secret_name: str = ""
+
+    def jdbc_url(self) -> str:
+        return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
+
+
+@dataclass
+class FileSpec:
+    name: str  # file path (reference: gcs.files[].name)
+    table: str  # target table (reference: gcs.files[].table)
+
+
+@dataclass
+class TableSpec:
+    name: str  # source table name (reference: bq.tables[].name)
+    table: str  # target table
+
+
+@dataclass
+class GCSConfig:
+    bucket_name: str = ""
+    concurrent_jobs: int = 1
+    dataset: str = ""
+    files: list[FileSpec] = field(default_factory=list)
+
+
+@dataclass
+class BQConfig:
+    dataset: str = ""
+    tables: list[TableSpec] = field(default_factory=list)
+
+
+@dataclass
+class Config:
+    postgres: PostgresConfig = field(default_factory=PostgresConfig)
+    gcs: GCSConfig = field(default_factory=GCSConfig)
+    bq: BQConfig = field(default_factory=BQConfig)
+
+
+def load_config(path: str) -> Config:
+    """YAML → Config (reference LoadConfig, src/utils/utils.go:52-67)."""
+    if yaml is None:
+        raise RuntimeError("pyyaml not available")
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    pg = raw.get("postgres", {}) or {}
+    gcs = raw.get("gcs", {}) or {}
+    bq = raw.get("bq", {}) or {}
+    return Config(
+        postgres=PostgresConfig(
+            host=pg.get("host", "localhost"),
+            port=int(pg.get("port", 5432)),
+            user=pg.get("user", "postgres"),
+            database=pg.get("database", "postgres"),
+            secret_name=pg.get("secret_name", ""),
+        ),
+        gcs=GCSConfig(
+            bucket_name=gcs.get("bucket_name", ""),
+            concurrent_jobs=int(gcs.get("concurrent_jobs", 1)),
+            dataset=gcs.get("dataset", ""),
+            files=[FileSpec(f["name"], f["table"]) for f in gcs.get("files", []) or []],
+        ),
+        bq=BQConfig(
+            dataset=bq.get("dataset", ""),
+            tables=[TableSpec(t["name"], t["table"]) for t in bq.get("tables", []) or []],
+        ),
+    )
+
+
+def fetch_secret(secret_name: str, secrets_dir: str | None = None) -> str:
+    """Pluggable secret fetch (reference FetchSecret,
+    src/utils/utils.go:70-87). Resolution order: env var
+    ``SECRET_<NAME>`` → file ``{secrets_dir}/{name}`` → error."""
+    env_key = "SECRET_" + secret_name.replace("-", "_").replace("/", "_").upper()
+    if env_key in os.environ:
+        return os.environ[env_key]
+    if secrets_dir:
+        p = os.path.join(secrets_dir, secret_name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return f.read().strip()
+    raise KeyError(f"secret {secret_name!r} not found (env {env_key} or file)")

@@ -1,0 +1,195 @@
+"""Deduplication operators (SURVEY.md §2.8): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+All pure-DataFrame plans — shingling, hashing, banding, and candidate
+joins are Catalyst expressions (xxhash64, higher-order array funcs),
+no Python UDFs. That keeps the whole pipeline JVM-side and
+shuffle-bounded: the only wide ops are the groupBy per doc and the
+band-bucket self-join, both of which scale with partitions. At 100 TB
+the band join is the dominant shuffle; band tables are pre-bucketed by
+(band_id, band_hash) so LSH bucket joins co-locate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup keeping the minimum id per key group — a deterministic
+    dropDuplicates (hash-groupBy with map-side partial min)."""
+    others = [c for c in df.columns if c not in key_cols and c != id_col]
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), *[F.first(c).alias(c) for c in others]
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column, as array<string>.
+    Uses a sequence + transform (higher-order functions, JVM-side)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(toks)
+    # positions 1..k-n+1; slice(toks, i, n) is the i-th shingle
+    return F.array_distinct(
+        F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(1), k - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: min over shingles of xxhash64(seed,
+    shingle) for each of num_perm seeds — one explode + one groupBy with
+    num_perm partial-min aggregates (single shuffle on doc id)."""
+    shingled = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
+        for seed in range(num_perm)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of
+    num_perm/bands rows, hash each band, and self-join on (band_id,
+    band_hash) to produce candidate pairs (a < b). Docs agreeing on any
+    band collide — standard MinHash-LSH banding."""
+    rows = num_perm // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                F.array(*[F.col(f"band_{b}") for b in range(bands)]),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for doc pairs: explode shingles, equi-join
+    on shingle (restricted to candidate pairs when given — the LSH verify
+    step), count intersection, |A∪B| = |A|+|B|−|A∩B|. Pure set algebra as
+    joins+aggs; no pairwise UDF."""
+    shingled = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle")
+    ).distinct()
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: per token, xxhash64 gives `bits` pseudo-random
+    bits; each bit contributes +1/−1 to its lane; the sign of each lane sum
+    is the fingerprint bit. Expressed as one explode + one groupBy with
+    `bits` conditional-sum aggregates, then bit reassembly — all Catalyst
+    expressions, map-side combinable."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    lane_aggs = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"lane_{i}")
+        for i in range(bits)
+    ]
+    lanes = toks.groupBy(id_col).agg(*lane_aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"lane_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return lanes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4×16-bit
+    keys (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), join per
+    band, verify with bit_count(xor) ≤ max_hamming."""
+    banded = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

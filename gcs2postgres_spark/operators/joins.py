@@ -1,0 +1,102 @@
+"""Join operators beyond Spark's built-ins: as-of join, range join,
+per-group top-k (SURVEY.md §2.6 "Joins" row).
+
+The reference has no joins at all (its single query is ``SELECT *`` —
+reference src/db/db.go:59); these are engine-layer capabilities
+delegated to BigQuery there and rebuilt natively here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the payload of the latest right
+    row with ``right_time <= left_time`` (backward; inclusive) for the same
+    key. Left rows with no match keep NULL payload (left-outer semantics).
+
+    Scale design: the naive plan (equi-join on key + time filter + window)
+    explodes to |left_key| × |right_key| rows per key before filtering. This
+    implementation instead UNIONs both sides, tagged, into one relation and
+    runs a single window ``last(payload, ignorenulls)`` ordered by
+    (time, side) per key — one shuffle + sort, zero row explosion,
+    O(|left| + |right|) state. This is the standard distributed as-of
+    pattern (same shape as sort-merge as-of in kdb/pandas merge_asof, but
+    expressed as a Catalyst window so it scales with partitions).
+
+    Build rows sort before probe rows at equal timestamps (side 0 < 1), so
+    an exactly-equal timestamp matches (inclusive bound).
+    """
+    if direction != "backward":
+        raise NotImplementedError("forward as-of: flip sort order; not needed yet")
+
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in right_payload],
+    )
+    r_tagged = right.select(
+        F.col(right_on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__p_{c}") for c in right_payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col("__side"),
+        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value: str | Column,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Band/range join: match each fact row to band rows with
+    ``lo <= value < hi``. The band table is broadcast (it is small by
+    construction), so this is a broadcast-nested-loop with a range
+    predicate — no shuffle of the fact side, which is what survives at
+    100 TB. For large-large range joins, bucketize the range key first
+    and equi-join on the bucket."""
+    v = F.col(value) if isinstance(value, str) else value
+    return fact.join(F.broadcast(bands), (v >= F.col(lo)) & (v < F.col(hi)), how)
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group via row_number over a window — partial top-k is
+    pushed map-side by Spark's WindowGroupLimit optimization (rank-limit
+    pushdown), so each partition prunes to k before the shuffle."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing (SURVEY.md §2.8): image/audio/video as
+opaque binary columns with typed metadata, decode / feature-extract /
+resize / frame-sample as Arrow-batched mapInPandas operators.
+
+The container has no image/audio libs, so the *codec* step is a
+deterministic fake (or NotImplementedError for real formats) — but the
+Spark-side plumbing is real and tested: binary column + metadata
+struct schema, mapInPandas batch iteration, Arrow transfer, output
+schema, partition preservation. Swapping the fake for PIL/ffmpeg is a
+one-function change inside the UDF.
+
+Scale notes: mapInPandas streams Arrow batches — memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
+partition size, which is what makes 100 TB of media columns feasible.
+Binary payloads stay columnar end-to-end; never collect them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# typed metadata carried beside every media payload
+MEDIA_META_SCHEMA = (
+    "media_type string, width int, height int, n_frames int, sample_rate int"
+)
+
+DECODE_OUTPUT_SCHEMA = (
+    "doc_id bigint, media_type string, payload_bytes bigint, width int, height int, "
+    "checksum bigint, feature array<double>"
+)
+
+
+def attach_fake_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Model documents as multimodal records: payload = utf-8 bytes of the
+    text (a deterministic stand-in for real image bytes), metadata derived
+    deterministically. Real pipelines read payloads from object storage —
+    the downstream plumbing is identical."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            (F.pmod(F.xxhash64("doc_id"), F.lit(512)) + 32).cast("int").alias("width"),
+            (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(512)) + 32).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_payload(payload: bytes, media_type: str) -> dict:
+    """The codec seam. Real decoders (PIL, soundfile, pyav) slot in here;
+    without them, "decode" is a deterministic byte-level feature extract
+    for supported fake types and NotImplementedError otherwise."""
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    checksum = 0
+    for b in payload:
+        checksum = (checksum * 131 + b) % (1 << 61)
+    n = max(len(payload), 1)
+    feature = [
+        len(payload) / 1024.0,
+        payload[0] / 255.0 if payload else 0.0,
+        payload[-1] / 255.0 if payload else 0.0,
+        (checksum % 1000) / 1000.0,
+    ]
+    return {"payload_bytes": len(payload), "checksum": checksum, "feature": feature}
+
+
+def decode_media(records: DataFrame) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (payload, media_meta) rows,
+    emitting per-record features. Batch-shape contract: each pandas
+    DataFrame chunk holds payload as bytes objects and media_meta as dicts
+    (Arrow struct → dict)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                "payload_bytes": [],
+                "width": [m["width"] for m in pdf["media_meta"]],
+                "height": [m["height"] for m in pdf["media_meta"]],
+                "checksum": [],
+                "feature": [],
+            }
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                d = _decode_payload(bytes(payload), meta["media_type"])
+                out["payload_bytes"].append(d["payload_bytes"])
+                out["checksum"].append(d["checksum"])
+                out["feature"].append(d["feature"])
+            yield pd.DataFrame(out)
+
+    return records.mapInPandas(decode_batches, schema=DECODE_OUTPUT_SCHEMA)
+
+
+def resize_metadata(records: DataFrame, max_side: int = 256) -> DataFrame:
+    """"Resize" planning pass: pure-Catalyst computation of target dims
+    (aspect-preserving clamp to max_side) — the shuffle-free metadata step
+    that precedes an actual pixel resize."""
+    w = F.col("media_meta.width")
+    h = F.col("media_meta.height")
+    scale = F.least(F.lit(1.0), F.lit(max_side) / F.greatest(w, h))
+    return records.withColumn(
+        "resized",
+        F.struct(
+            F.round(w * scale).cast("int").alias("width"),
+            F.round(h * scale).cast("int").alias("height"),
+        ),
+    )
+
+
+def sample_frames(records: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sample planning: explode frame indices 0..n_frames-1 step
+    every_n (video → frame rows) without touching payloads."""
+    return records.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(every_n))),
+    )

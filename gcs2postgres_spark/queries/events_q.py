@@ -1,0 +1,176 @@
+"""Event-table queries: JSON extraction and the batch equivalents of the
+streaming windows (SURVEY.md §2.7). Each windowed aggregation here has
+a true Structured Streaming twin in gcs2postgres_spark/streaming/ —
+batch-first so the DuckDB oracle can verify values, per SURVEY §2.7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("json_extract_agg", oracle=JSON_EXTRACT_ORACLE)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column access (events.props = '{"k": <int>}'). Uses
+    get_json_object; from_json with an explicit schema is the typed variant
+    (exercised in tests) — at scale prefer from_json once + struct access,
+    which parses each row a single time."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*)    AS n_events,
+       sum(value)  AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("events_tumbling_window", oracle=TUMBLING_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window (batch form). The streaming twin uses
+    F.window(ts, '1 hour') + watermark; date_trunc('hour') is the identical
+    grouping expressed oracle-checkably."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_ORACLE = """
+-- sliding window (2h size, 1h slide) == each event contributes to 2 hourly-anchored windows
+WITH contrib AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, value FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP) AS window_start, value FROM events
+)
+SELECT window_start, count(*) AS n_events, sum(value) AS total_value
+FROM contrib
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register("events_sliding_window", oracle=SLIDING_ORACLE)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window, 2h size / 1h slide, via F.window — Spark expands each
+    row into size/slide window copies before the aggregation (same expansion
+    the oracle's UNION ALL spells out)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+SESSION_ORACLE = """
+-- sessionize: new session when gap to previous event (per user) > 30 min
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_sessionize", oracle=SESSION_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session id — the
+    classic two-window plan (single shuffle on user_id; both windows share
+    the same partitioning so Catalyst reuses the sort). Streaming twin uses
+    F.session_window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT user_id, event_type,
+       CAST(min(event_id) AS BIGINT) AS first_event_id,
+       CAST(min(ts) AS TIMESTAMP)    AS first_ts
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@register("events_dedup_first", oracle=STREAM_DEDUP_ORACLE)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the first occurrence — deterministic form of
+    dropDuplicates(['user_id','event_type']) (which keeps an arbitrary row).
+    Streaming twin: dropDuplicates within watermark."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"), F.min("ts").alias("first_ts"))
+        .orderBy("user_id", "event_type")
+    )

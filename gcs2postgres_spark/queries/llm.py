@@ -1,0 +1,369 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.8): dedup (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine), similarity search, text
+analysis, multimodal columns.
+
+Oracle policy: everything set-algebra or arithmetic (exact dedup,
+jaccard, cosine, text stats, fingerprints) is DuckDB-checked;
+hash-sketch ops (MinHash, SimHash) depend on engine hash functions and
+get rows-only checks, with their *verify* step (exact jaccard on
+candidates) oracle-checked separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id_heuristic,
+    quality_score_cols,
+    token_count,
+)
+from gcs2postgres_spark.functions.vectors import cosine_similarity, l2_norm
+from gcs2postgres_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+)
+from gcs2postgres_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    cosine_near_dup_pairs,
+    srp_lsh_cosine_topk,
+)
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = """
+SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+HAVING count(*) >= 1
+ORDER BY doc_id
+"""
+
+
+@register("dedup_exact", oracle=DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: keep min doc_id per distinct text + copy count
+    (hash-groupBy; deterministic vs dropDuplicates' arbitrary pick)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_ORACLE = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY first_doc
+"""
+
+
+@register("doc_fingerprint", oracle=FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing md5 fingerprint (document fingerprinting / exact-dup
+    detection robust to case+whitespace)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("first_doc")
+    )
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH uniq AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents WHERE doc_id < 100
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM uniq GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM uniq a JOIN uniq b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) > 0.5
+ORDER BY id_a, id_b
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (> 0.5) on a bounded id range —
+    the exact form of what MinHash-LSH approximates; also the verify step
+    of the LSH pipeline."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        jaccard_pairs(d, "doc_id", "text", shingle_n=1)
+        .filter(F.col("jaccard") > 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None)  # hash-sketch: engine-specific → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs, verified
+    with exact shingle Jaccard ≥ 0.4. Output: id_a, id_b, jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text", num_perm=32, shingle_n=3)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
+    verified = jaccard_pairs(d, "doc_id", "text", shingle_n=3, candidates=cands)
+    return verified.filter(F.col("jaccard") >= 0.4).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash", oracle=None)  # hash-sketch: engine-specific → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs with hamming ≤ 10 via 4×16-bit band
+    join. Output: id_a, id_b, hamming."""
+    d = _t(spark, sf_dir, "documents")
+    fps = simhash(d, "doc_id", "text")
+    return simhash_near_pairs(fps, "doc_id", max_hamming=10).orderBy("id_a", "id_b")
+
+
+COSINE_NEAR_DUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.9
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_cosine_embeddings", oracle=COSINE_NEAR_DUP_ORACLE)
+def dedup_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos > 0.9) on a bounded id range —
+    exact all-pairs; scale path is SRP-LSH bucketing (srp_lsh query below)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.9, max_id=200).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+COSINE_TOPK_ORACLE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
+@register("similarity_cosine_topk", oracle=COSINE_TOPK_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors vec_id<10 against
+    the full corpus — broadcast queries, corpus streams partition-parallel."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return brute_force_cosine_topk(q, e, k=5).orderBy(
+        "query_id", F.col("cos_sim").desc(), "neighbor_id"
+    )
+
+
+@register("similarity_srp_lsh_topk", oracle=None)  # approximate → rows-only
+def similarity_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-5 (2^6 buckets, single probe) — the ANN
+    scale path; recall vs the exact query is measured in tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return srp_lsh_cosine_topk(q, e, k=5).orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
+
+
+EMBED_NORM_ORACLE = """
+SELECT label,
+       count(*) AS n,
+       avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))) AS avg_norm,
+       CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+       CAST(max(len(embedding)) AS BIGINT) AS dim_max
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_norm_stats", oracle=EMBED_NORM_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column math battery: per-label L2-norm stats via higher-order
+    functions (aggregate/transform) — the JVM-side vector-math pattern."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(l2_norm(vec)).alias("avg_norm"),
+            F.min(F.size("embedding")).cast("bigint").alias("dim_min"),
+            F.max(F.size("embedding")).cast("bigint").alias("dim_max"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+TEXT_STATS_ORACLE = """
+SELECT lang,
+       count(*)                                              AS n_docs,
+       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+       avg(CAST(n_chars AS DOUBLE))                          AS avg_chars,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+                                                             AS total_bpe_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_token_stats", oracle=TEXT_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex lexer tokens,
+    aggregated per language."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+            F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+            F.sum(bpe_ish_token_count(F.col("text"))).cast("bigint").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEXT_QUALITY_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)                          AS n_chars,
+       CAST(len(string_split(trim(text), ' ')) AS BIGINT)    AS n_tokens,
+       CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+         / len(string_split(trim(text), ' '))                AS type_token_ratio,
+       CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+         / length(text)                                      AS non_alpha_ratio
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_score", oracle=TEXT_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, lexical diversity, non-alpha
+    ratio) — the filter basis of a training-data quality gate."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cols = quality_score_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["type_token_ratio"].alias("type_token_ratio"),
+        cols["non_alpha_ratio"].alias("non_alpha_ratio"),
+    ).orderBy("doc_id")
+
+
+LANG_DIST_ORACLE = """
+SELECT lang, count(*) AS n_docs, avg(CAST(n_chars AS DOUBLE)) AS avg_len
+FROM documents
+GROUP BY lang
+ORDER BY n_docs DESC, lang
+"""
+
+
+@register("text_lang_distribution", oracle=LANG_DIST_ORACLE)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("n_chars").cast("double")).alias("avg_len"))
+        .orderBy(F.col("n_docs").desc(), "lang")
+    )
+
+
+@register("text_lang_id", oracle=None)  # heuristic classifier → rows-only
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled lang column —
+    outputs the confusion pairs (predicted, actual, n). Accuracy asserted
+    in tests; heuristic logic is engine-internal so no SQL oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id_heuristic(F.col("text")).alias("predicted"), F.col("lang").alias("actual"))
+        .groupBy("predicted", "actual")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("predicted", "actual")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_ORACLE = """
+SELECT d.doc_id,
+       CAST(d.n_chars AS BIGINT)        AS n_chars,
+       e.label,
+       CAST(len(e.embedding) AS BIGINT) AS dim,
+       CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS payload_bytes
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE d.doc_id < 300
+ORDER BY d.doc_id
+"""
+
+
+@register("multimodal_join", oracle=MULTIMODAL_ORACLE)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: join text + embedding modalities into one
+    row (binary payload modeled as encoded text bytes — see
+    operators/multimodal.py for the decode plumbing). Output flattened for
+    oracle comparability; in-engine the same join carries
+    struct(text, embedding, payload)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "label",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("payload_bytes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,75 @@
+"""Multi-format source readers (parity layer, OP-1/OP-2/OP-3).
+
+The reference registers a GCS object as a BigQuery external table with
+the format derived from the upper-cased file extension (reference
+src/db/db.go:22-43, format-from-extension at :27) and lets BigQuery
+infer the schema (src/db/db.go:45-56). Here each format maps to the
+native Spark reader; schema comes free for self-describing formats and
+via inference (or an explicit StructType) for CSV/JSON.
+
+Iceberg/Avro need runtime jars (spark-avro, iceberg-runtime) that may
+not be on the classpath — they are attempted and raise a clear error
+if the jar is missing (README.md:11 lists CSV/JSON/Parquet/Avro/
+Iceberg as the reference's formats).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro", "iceberg"}
+
+
+def format_from_extension(path: str) -> str:
+    """Reference behavior: format = file extension (src/db/db.go:27)."""
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    if ext == "jsonl":
+        ext = "json"
+    if ext not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported source format {ext!r} for {path!r}")
+    return ext
+
+
+def table_id_from_path(path: str) -> str:
+    """Reference behavior: table id = basename minus extension
+    (src/db/db.go:23)."""
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: StructType | str | None = None,
+    register_view: bool = False,
+    **options,
+) -> DataFrame:
+    """Read a file/directory as a DataFrame; optionally register a temp view
+    named after the file (idempotent, like the reference's reuse-if-exists
+    registration at src/db/db.go:35-43).
+
+    CSV defaults to header=True + schema inference when no schema is given
+    (BigQuery autodetect equivalent); pass an explicit schema in production
+    — inference scans the data twice.
+    """
+    fmt = fmt or format_from_extension(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", True)
+        if schema is None:
+            options.setdefault("inferSchema", True)
+    if fmt == "avro":
+        reader = reader.format("avro")
+        df = reader.options(**options).load(path)
+    elif fmt == "iceberg":
+        df = reader.format("iceberg").options(**options).load(path)
+    else:
+        df = getattr(reader.options(**options), fmt)(path)
+    if register_view:
+        df.createOrReplaceTempView(table_id_from_path(path))
+    return df

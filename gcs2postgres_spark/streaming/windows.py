@@ -1,0 +1,124 @@
+"""Structured Streaming twins of the batch event queries (SURVEY.md §2.7).
+
+The reference has no streaming — its "stream" is an in-process Go
+channel (reference src/db/db.go:193). These operators are the
+engine-layer streaming surface: tumbling/sliding windows, session
+windows, watermark + late-data drop, stateful dedup, stream-static
+join. Each mirrors a batch query in queries/events_q.py so the DuckDB
+oracle validates the semantics; tests run these to completion on the
+same parquet via processAllAvailable and check stream==batch.
+
+Scale notes: watermarks bound state; state lives in the state store
+partitioned by grouping key, so these scale exactly like the
+equivalent batch shuffles. Output mode "append" emits a window only
+once its watermark passes — the production-safe default.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# schema of events.parquet with ts as long nanos (see catalog.load_table)
+EVENTS_NS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch here; in production this is Kafka/files-on-arrival).
+
+    Spark's FileStreamSource requires a *directory* (it watches for new
+    files and pins basePath to the path given), so the single testdata
+    file is staged into a temp directory via symlink — the same shape a
+    production landing zone has.
+    """
+    import tempfile
+
+    stage = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    link = stage / "events.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_NS_SCHEMA).parquet(str(stage))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of events_tumbling_window: 1h tumbling window with
+    watermark-bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of events_sliding_window (2h window, 1h slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a 30-minute gap (streaming twin of
+    events_sessionize's lag-gap logic)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup within the watermark (streaming twin of
+    events_dedup_first; state evicts once the watermark passes)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_type"])
+
+
+def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the static
+    dimension (broadcast — no stream-side state)."""
+    return events.join(
+        F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+        "inner",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a streaming DataFrame to completion synchronously into an
+    in-memory table (test harness; production uses real sinks +
+    checkpoints). Uses complete/append depending on aggregation state."""
+    q = df.writeStream.outputMode("complete" if df.isStreaming else "append").format(
+        "memory"
+    ).queryName(name).start()
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,90 @@
+"""Structured Streaming twins == their batch equivalents (SURVEY §2.7).
+
+Each stream runs to completion over the same parquet (file source,
+processAllAvailable) and must produce the batch query's rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.queries import REGISTRY
+from gcs2postgres_spark.streaming.windows import (
+    dedup_stream,
+    read_events_stream,
+    session_counts,
+    sliding_counts,
+    stream_static_join,
+    tumbling_counts,
+)
+
+
+def _run_complete(df, name):
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def _run_append(df, name):
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def _rows(spark, name, cols):
+    return sorted(tuple(r[c] for c in cols) for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    _run_complete(stream, "tumbling_out")
+    got = _rows(spark, "tumbling_out", ["window_start", "event_type", "n_events", "total_value"])
+
+    batch = REGISTRY["events_tumbling_window"].fn(spark, sf_dir)
+    want = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"]) for r in batch.collect()
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    _run_complete(stream, "sliding_out")
+    got = _rows(spark, "sliding_out", ["window_start", "n_events", "total_value"])
+    batch = REGISTRY["events_sliding_window"].fn(spark, sf_dir)
+    want = sorted((r["window_start"], r["n_events"], r["total_value"]) for r in batch.collect())
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+
+
+def test_session_stream_total_sessions_matches_batch(spark, sf_dir):
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    _run_complete(stream, "session_out")
+    per_user = {}
+    for r in spark.sql("SELECT user_id, count(*) AS n FROM session_out GROUP BY user_id").collect():
+        per_user[r["user_id"]] = r["n"]
+
+    batch = REGISTRY["events_sessionize"].fn(spark, sf_dir)
+    want = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert per_user == want
+
+
+def test_dedup_stream_count_matches_batch(spark, sf_dir):
+    stream = dedup_stream(read_events_stream(spark, sf_dir))
+    _run_append(stream, "dedup_out")
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    want = REGISTRY["events_dedup_first"].fn(spark, sf_dir).count()
+    assert got == want
+
+
+def test_stream_static_join(spark, sf_dir):
+    customers = load_table(spark, sf_dir, "customer")
+    stream = stream_static_join(read_events_stream(spark, sf_dir), customers)
+    _run_append(stream, "ssj_out")
+    n_events = load_table(spark, sf_dir, "events").count()
+    joined = spark.sql("SELECT count(*) AS n, count(DISTINCT c_mktsegment) AS segs FROM ssj_out").collect()[0]
+    # every user_id 0..149 exists in customer → inner join keeps all events
+    assert joined["n"] == n_events
+    assert joined["segs"] >= 1
