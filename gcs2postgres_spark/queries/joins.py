@@ -338,9 +338,12 @@ ORDER BY band
 @register("range_join_bands", oracle=RANGE_JOIN_ORACLE)
 def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
-        [("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("big", 150000.0, 1e12)],
-        "band string, lo double, hi double",
+    # SQL VALUES → JVM LocalTableScan: createDataFrame would route the
+    # build side through a Python RDD (slow worker spin-up per task)
+    bands = spark.sql(
+        "SELECT band, CAST(lo AS DOUBLE) lo, CAST(hi AS DOUBLE) hi FROM VALUES "
+        "('small', 0.0, 50000.0), ('mid', 50000.0, 150000.0), "
+        "('big', 150000.0, 1e12) AS bands(band, lo, hi)"
     )
     return (
         range_join(o, bands, "o_totalprice")

@@ -29,6 +29,7 @@ from gcs2postgres_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingle_docs,
     simhash,
     simhash_near_pairs,
 )
@@ -131,11 +132,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh", oracle=None)  # hash-sketch: engine-specific → rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs, verified
-    with exact shingle Jaccard ≥ 0.4. Output: id_a, id_b, jaccard."""
+    with exact shingle Jaccard ≥ 0.4. Output: id_a, id_b, jaccard.
+
+    The (doc, shingle) relation is computed once and persisted — the DAG
+    reads it three times (signatures, intersection join, set sizes); without
+    the persist each branch re-runs the explode+distinct shuffle."""
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text", num_perm=32, shingle_n=3)
+    shingled = shingle_docs(d, "doc_id", "text", shingle_n=3).persist()
+    sigs = minhash_signatures(d, "doc_id", "text", num_perm=32, shingle_n=3, shingled=shingled)
     cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
-    verified = jaccard_pairs(d, "doc_id", "text", shingle_n=3, candidates=cands)
+    verified = jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, candidates=cands, shingled=shingled
+    )
     return verified.filter(F.col("jaccard") >= 0.4).orderBy("id_a", "id_b")
 
 
