@@ -23,6 +23,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue_forecast",
+    "q12_priority_caseagg",
+    "q18_large_orders",
     "agg_rollup",
     "window_running",
     "topk_per_group",

@@ -7,6 +7,7 @@ Import side effects populate REGISTRY.
 from gcs2postgres_spark.queries.registry import REGISTRY, QuerySpec, register  # noqa: F401
 
 # Populate the registry (order matters only for readability of listings).
+from gcs2postgres_spark.queries import advanced  # noqa: E402,F401
 from gcs2postgres_spark.queries import relational  # noqa: E402,F401
 from gcs2postgres_spark.queries import joins  # noqa: E402,F401
 from gcs2postgres_spark.queries import windows  # noqa: E402,F401

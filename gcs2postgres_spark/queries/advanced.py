@@ -1,0 +1,444 @@
+"""Advanced relational coverage: grouping sets, pivot, EXISTS /
+scalar subqueries, correlation aggregates, deterministic sampling,
+map/array column ops, TPC-H-style multi-join aggregations (Q4/Q12/
+Q14/Q18 adapted to the testdata schema).
+
+These extend queries/relational.py (SURVEY.md §2.6 rows: Aggregations
+— grouping sets; Subqueries; Array/map/JSON; Scalar functions). The
+reference delegates every one of these to BigQuery (its only query is
+``SELECT *`` — reference src/db/db.go:59); each is rebuilt here as a
+native Catalyst plan with a DuckDB oracle.
+
+Scale notes: every query below is a scan → (broadcast-)join →
+partial+final agg shape; no driver-side loops, no Python in the row
+path. Pivot uses an explicit value list (no extra pass to discover
+values, and a stable output schema for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, MapType, StringType
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], query: str) -> DataFrame:
+    tune_for_session(spark)
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(query)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: GROUPING SETS
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       sum(l_quantity)          AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register("agg_grouping_sets", oracle=GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube) — one
+    shuffle; Spark expands the sets with a single Expand operator, so the
+    scan is read once regardless of how many sets are listed."""
+    return _sql(spark, sf_dir, ["lineitem"], GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (explicit value list → stable schema, no discovery pass)
+# ---------------------------------------------------------------------------
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIV_ALIAS = {p: "n_" + p.split("-", 1)[1].lower().replace(" ", "_") for p in PRIORITIES}
+
+PIVOT_ORACLE = f"""
+SELECT o_orderstatus,
+       {", ".join(f"CAST(count(*) FILTER (WHERE o_orderpriority = '{p}') AS BIGINT) AS {a}"
+                  for p, a in _PIV_ALIAS.items())}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("pivot_order_priority", oracle=PIVOT_ORACLE)
+def pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list: one shuffle on the groupBy key;
+    passing the values avoids Spark's extra distinct-discovery job AND
+    pins the output schema (a discovery pass at 100 TB is a full extra
+    scan)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(a) for p, a in _PIV_ALIAS.items()],
+    )
+    return renamed.orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Subqueries: EXISTS / NOT EXISTS / scalar
+# ---------------------------------------------------------------------------
+
+Q4_STYLE_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("subquery_exists_q4", oracle=Q4_STYLE_SQL)
+def subquery_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (correlated EXISTS): Catalyst rewrites the EXISTS
+    into a left-semi join on l_orderkey — shuffle on the join key, then a
+    small agg. No per-row subquery execution."""
+    return _sql(spark, sf_dir, ["orders", "lineitem"], Q4_STYLE_SQL)
+
+
+NOT_EXISTS_SQL = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers_no_big_orders
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("subquery_not_exists", oracle=NOT_EXISTS_SQL)
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → left-anti join (null-safe, unlike NOT IN).
+    The price predicate keeps the result non-trivial at test scale."""
+    return _sql(spark, sf_dir, ["customer", "orders"], NOT_EXISTS_SQL)
+
+
+SCALAR_SUBQ_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_above_avg,
+       sum(o_totalprice)        AS sum_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("subquery_scalar_avg", oracle=SCALAR_SUBQ_SQL)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Spark runs it once as a separate tiny
+    job and broadcasts the scalar into the filter — the scan happens twice
+    but the second is filtered at the source."""
+    return _sql(spark, sf_dir, ["orders"], SCALAR_SUBQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style multi-join aggregations adapted to the testdata schema
+# ---------------------------------------------------------------------------
+
+Q12_STYLE_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q12_priority_caseagg", oracle=Q12_STYLE_SQL)
+def q12_priority_caseagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted: join + conditional-sum (CASE inside agg). The
+    CASE folds into the partial aggregate, so the shuffle carries two
+    longs per group, not rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q14_STYLE_SQL = """
+SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+@register("q14_promo_revenue", oracle=Q14_STYLE_SQL)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted: part is the small side → broadcast hash join, no
+    shuffle of lineitem; the global agg is a two-stage partial/final."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q18_STYLE_SQL = """
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, qty_sum
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS qty_sum
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY qty_sum DESC, o_orderkey
+"""
+
+
+@register("q18_large_orders", oracle=Q18_STYLE_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 adapted: HAVING on a grouped sum, then join back to the
+    order/customer dims. The agg shrinks lineitem to one row per orderkey
+    BEFORE the joins — the order matters at scale (agg-then-join, never
+    join-then-agg when the agg is on the fact side alone)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 150)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "qty_sum",
+        )
+        .orderBy(F.col("qty_sum").desc(), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+CORR_ORACLE = """
+SELECT l_returnflag,
+       corr(l_quantity, l_extendedprice)       AS qty_price_corr,
+       covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+       stddev_samp(l_extendedprice)            AS price_stddev,
+       var_samp(l_extendedprice)               AS price_var
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_corr_covar", oracle=CORR_ORACLE)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/covariance/variance — single-pass partial-aggregatable
+    moments (Spark and DuckDB both use streaming co-moment updates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+            F.stddev_samp("l_extendedprice").alias("price_stddev"),
+            F.var_samp("l_extendedprice").alias("price_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (hash/mod — reproducible across engines & runs)
+# ---------------------------------------------------------------------------
+
+SAMPLE_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       sum(o_totalprice)        AS sampled_value
+FROM orders
+WHERE o_orderkey % 20 = 0
+"""
+
+
+@register("sample_deterministic_mod", oracle=SAMPLE_ORACLE)
+def sample_deterministic_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% sample by key mod — the reproducible alternative
+    to df.sample() for pipeline debugging (same rows every run, every
+    engine; at 100 TB the predicate pushes to the scan)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 20 == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("o_totalprice").alias("sampled_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map / array column operations (events.props JSON → typed map)
+# ---------------------------------------------------------------------------
+
+MAP_OPS_ORACLE = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+"""
+
+
+@register("map_props_ops", oracle=MAP_OPS_ORACLE)
+def map_props_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column → typed MapType via from_json, then map access
+    (element_at) and aggregation. The parse happens once in the projection
+    (codegen'd Jackson parse), not per map access."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), MapType(StringType(), IntegerType()))
+    k = F.element_at(m, "k")
+    return (
+        e.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).cast("int").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+ARRAY_OPS_ORACLE = """
+SELECT label,
+       CAST(count(*) AS BIGINT)                    AS n_vecs,
+       CAST(max(len(embedding)) AS INTEGER)        AS dim,
+       avg(CAST(embedding[1] AS DOUBLE))           AS avg_first,
+       avg(CAST(embedding[64] AS DOUBLE))          AS avg_last,
+       avg(CAST(list_max(embedding) AS DOUBLE))    AS avg_max_elem
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("array_ops_battery", oracle=ARRAY_OPS_ORACLE)
+def array_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column op battery: element_at (1-based, both engines), size,
+    array_max — all Catalyst expressions over the packed array, no
+    explode (exploding 100 TB of embeddings to average one element would
+    be a 64× row blowup)."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.max(F.size(emb)).cast("int").alias("dim"),
+            F.avg(F.element_at(emb, 1).cast("double")).alias("avg_first"),
+            F.avg(F.element_at(emb, 64).cast("double")).alias("avg_last"),
+            F.avg(F.array_max(emb).cast("double")).alias("avg_max_elem"),
+        )
+        .orderBy("label")
+    )
+
+
+EXPLODE_ORACLE = """
+SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents WHERE doc_id < 500
+)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@register("explode_token_counts", oracle=EXPLODE_ORACLE)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest parity: split → explode → count — the classic
+    word-count shape (explode is generate-side, the agg is partial+final
+    so the shuffle carries (token, count) pairs, not raw tokens)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (cleaning pass of a training-data pipeline)
+# ---------------------------------------------------------------------------
+
+NORMALIZE_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+         AS n_distinct_normalized
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_normalize_distinct", oracle=NORMALIZE_ORACLE)
+def text_normalize_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + dedup-by-fingerprint per language: lowercase, trim,
+    collapse whitespace runs, md5 — the canonicalization step before exact
+    dedup in a training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(norm).cast("bigint").alias("n_distinct_normalized"),
+        )
+        .orderBy("lang")
+    )
