@@ -28,4 +28,18 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of whole-stage-codegen subtrees (the "codegen" explain mode
+    reports them; the formatted tree does not annotate codegen)."""
+    out = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", out)
+    return int(m.group(1)) if m else 0
+
+
+def node_id(df_plan: str, node: str) -> int | None:
+    """Operator id of the first `(N) <node>` detail section in a formatted
+    plan — ids are assigned leaf-first, so a smaller id = earlier in the
+    dataflow."""
+    m = re.search(rf"\((\d+)\) {node}", df_plan)
+    return int(m.group(1)) if m else None

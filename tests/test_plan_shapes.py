@@ -1,0 +1,136 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness tests prove the small-SF answer; these prove the *plan*
+is the one that survives a 1000-executor cluster: filters reach the
+parquet scan, column pruning reaches the reader, small dims broadcast
+instead of shuffling the fact side, per-group top-k prunes map-side
+(WindowGroupLimit), and hot paths stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    wholestage_codegen_spans,
+)
+from gcs2postgres_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name):
+    return formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the shipdate predicate must reach the parquet reader
+    assert any("l_shipdate" in f for f in pushed_filters(df)), plan
+    # column pruning: ReadSchema carries only the 7 referenced columns,
+    # not the full 11-column lineitem schema
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(read_cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, read_cols
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    # partial (map-side) + final HashAggregate: the shuffle carries one
+    # row per (returnflag, linestatus) per partition, not raw lineitem
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    # the big fact (lineitem) side must NOT be broadcast
+    assert not re.search(r"BroadcastExchange[\s\S]{0,400}lineitem", plan), plan
+
+
+def test_q5_all_dim_joins_broadcast(spark, sf_dir):
+    # region/nation/supplier/customer are dims; only order×lineitem may
+    # shuffle — count shuffle-side joins
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q14_broadcasts_part(spark, sf_dir):
+    df = REGISTRY["q14_promo_revenue"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_topk_per_group_window_limit_pushdown(spark, sf_dir):
+    # WindowGroupLimit prunes each partition to k rows BEFORE the
+    # shuffle — without it, per-group top-k ships every row
+    plan = _plan(spark, sf_dir, "topk_per_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_topk_global_takeordered(spark, sf_dir):
+    # global ORDER BY + LIMIT k must compile to TakeOrderedAndProject
+    # (per-partition heap of k), never a full global sort
+    plan = _plan(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_asof_join_single_shuffle_no_explosion(spark, sf_dir):
+    # union+window as-of: no join node at all — one Exchange for the
+    # window partitionBy, zero row explosion
+    plan = _plan(spark, sf_dir, "asof_join_events_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan or "Window" in plan
+
+
+def test_filter_queries_stay_in_codegen(spark, sf_dir):
+    # scan→filter→project→agg pipelines must fuse into codegen stages
+    # (AQE reports codegen subtrees only once stages are materialized, so
+    # execute first)
+    for name in ["filter_in_like", "q6_revenue_forecast", "agg_stats_basic"]:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        assert wholestage_codegen_spans(df) >= 1, name
+
+
+def test_reconcile_prunes_at_scan(spark, sf_dir):
+    # target-driven projection: unreferenced source columns must not be
+    # read (Catalyst pushes the select into ReadSchema)
+    from gcs2postgres_spark.reconcile import reconcile_to_target
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = reconcile_to_target(li, [("l_orderkey", "int8"), ("l_quantity", "float8")])
+    plan = formatted_plan(out)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity",
+    }, plan
+
+
+def test_deterministic_sample_pushes_predicate(spark, sf_dir):
+    # o_orderkey % 20 = 0 can't be a parquet PushedFilter, but the filter
+    # must run before any shuffle (smaller operator id = earlier in the
+    # dataflow; ids are assigned leaf-first)
+    from gcs2postgres_spark.plans.inspect import node_id
+
+    plan = _plan(spark, sf_dir, "sample_deterministic_mod")
+    f_id, ex_id = node_id(plan, "Filter"), node_id(plan, "Exchange")
+    assert f_id is not None, plan
+    assert ex_id is None or f_id < ex_id, plan
+
+
+def test_srp_lsh_no_cartesian(spark, sf_dir):
+    # the LSH bucket join must be an equi-join (hash/broadcast), never a
+    # cross product of query × corpus
+    plan = _plan(spark, sf_dir, "similarity_srp_lsh_topk")
+    assert "CartesianProduct" not in plan, plan
