@@ -211,6 +211,121 @@ def srp_lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    partitions the corpus into n_centroids cells; each query scores only
+    the n_probe cells whose centroids are nearest to it.
+
+    Scale shape: the quantizer trains driver-side on a bounded hash-
+    deterministic sample (k-means over ≤sample_size vectors — the
+    standard IVF recipe; centroids are tiny). Cell assignment streams the
+    corpus through one Arrow matmul pass (read once, no shuffle) and at
+    production scale would be written back as a partitioned column so
+    probes prune at the parquet scan. The probe step is a broadcast
+    semi-filter (cell ∈ query's probe list) followed by the same batched
+    matmul scoring as brute force — corpus work drops to
+    ~n_probe/n_centroids of brute force. Recall/cost dial: n_probe.
+
+    Deterministic: sample = lowest ids by xxhash64(id, seed); numpy
+    k-means with fixed seed; ties in scoring broken by neighbor id."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+
+    # --- train coarse quantizer on a bounded deterministic sample -------
+    base = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    sample_rows = (
+        base.withColumn("__h", F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy("__h")
+        .limit(sample_size)
+        .select("vec")
+        .collect()
+    )
+    X = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ cent.T, axis=1)  # cosine on unit sphere
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    # --- assign corpus vectors to cells (one Arrow pass, no shuffle) ----
+    def assign_batches(batches):
+        C = bc_cent.value
+        for pdf in batches:
+            mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            cell = np.argmax(mat @ C.T, axis=1)
+            yield pd.DataFrame({"cid": pdf["cid"], "vec": pdf["vec"], "cell": cell})
+
+    assigned = base.mapInPandas(
+        assign_batches, schema=f"cid long, vec array<double>, cell int"
+    )
+
+    # --- probe: each query searches its n_probe nearest cells -----------
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("vec")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cos_sim double")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (nq × n_probe)
+    bc_q = spark.sparkContext.broadcast((q_ids, q_mat, probes))
+
+    def score_batches(batches):
+        ids, mat, prb = bc_q.value
+        probe_sets = [set(p.tolist()) for p in prb]
+        for pdf in batches:
+            c_ids = pdf["cid"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            c_mat = np.array(list(pdf["vec"]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ mat.T
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(ids)):
+                mask = np.array([c in probe_sets[j] for c in cells]) & (c_ids != ids[j])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                kk = min(k, len(cand))
+                col = sims[:, j]
+                part = cand[np.argpartition(-col[cand], kk - 1)[:kk]]
+                order = np.lexsort((c_ids[part], -col[part]))
+                sel = part[order]
+                out_q.extend([ids[j]] * len(sel))
+                out_n.extend(c_ids[sel])
+                out_s.extend(col[sel])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
+
+    scored = assigned.mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    return topk_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

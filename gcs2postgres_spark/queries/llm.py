@@ -36,6 +36,7 @@ from gcs2postgres_spark.operators.dedup import (
 from gcs2postgres_spark.operators.similarity import (
     brute_force_cosine_topk,
     cosine_near_dup_pairs,
+    ivf_cosine_topk,
     srp_lsh_cosine_topk,
 )
 from gcs2postgres_spark.queries.registry import register
@@ -207,11 +208,21 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("similarity_srp_lsh_topk", oracle=None)  # approximate → rows-only
 def similarity_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-5 (2^6 buckets, single probe) — the ANN
-    scale path; recall vs the exact query is measured in tests."""
+    """SRP-LSH approximate top-5 (8 tables × 4 bits, OR-amplified) — the
+    hash-bucket ANN scale path; recall vs exact is measured in tests."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return srp_lsh_cosine_topk(q, e, k=5).orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
+
+
+@register("similarity_ivf_topk", oracle=None)  # approximate → rows-only
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (16-cell coarse k-means quantizer, 4-cell
+    probe) — the partition-pruning ANN scale path; recall measured in
+    tests."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(q, e, k=5).orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
 
 
 EMBED_NORM_ORACLE = """
@@ -374,4 +385,26 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("payload_bytes"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register("multimodal_decode_features", oracle=None)  # mapInPandas decode → rows-only
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal plumbing end-to-end: attach binary payload + typed
+    metadata, Arrow-batched mapInPandas decode (deterministic fake codec —
+    the PIL/ffmpeg seam, operators/multimodal.py), then aggregate decoded
+    features per media dimension bucket. Deterministic output → stable
+    rows-only check."""
+    from gcs2postgres_spark.operators.multimodal import attach_fake_media, decode_media
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    decoded = decode_media(attach_fake_media(d))
+    return (
+        decoded.groupBy((F.col("width") % 4).alias("w_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_media"),
+            F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+            F.avg(F.element_at("feature", 1)).alias("avg_kb_feature"),
+        )
+        .orderBy("w_bucket")
     )
