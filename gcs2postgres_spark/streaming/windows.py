@@ -113,6 +113,76 @@ def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
 
 
+def read_events_stream_batched(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Multi-micro-batch variant: splits the events table into n_files
+    parquet files in a temp landing dir and streams with
+    maxFilesPerTrigger=1, so watermark advancement / state eviction /
+    late-data handling run across several real micro-batches instead of
+    one. Files are split by event_id range (stable), NOT time-ordered —
+    so batches genuinely interleave event times, exercising out-of-order
+    arrival."""
+    import tempfile
+
+    stage = Path(tempfile.mkdtemp(prefix="events_stream_batched_"))
+    raw = spark.read.schema(EVENTS_NS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    # round-robin split → exactly n_files files (hash-partitioning n keys
+    # into n partitions collides and leaves some files empty)
+    raw.repartition(n_files).write.mode("overwrite").parquet(str(stage))
+    stream = (
+        spark.readStream.schema(EVENTS_NS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+USER_STATS_STATE_SCHEMA = "n_events long, total_value double, max_ts timestamp"
+USER_STATS_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, max_ts timestamp"
+)
+
+
+def user_running_stats_stateful(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum(value), max(ts)) maintained in the state store
+    across micro-batches, emitting the updated row for every user seen in
+    a batch.
+
+    This is the escape hatch for aggregations Spark's built-in windowed
+    aggs can't express (per-key custom state machines); state is
+    partitioned by the grouping key so it scales exactly like a shuffle,
+    and the GroupStateTimeout ties state lifetime to the watermark."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, max_ts = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+        state.update((n, total, max_ts))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_ts": [max_ts]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATS_OUTPUT_SCHEMA,
+            stateStructType=USER_STATS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion synchronously into an
     in-memory table (test harness; production uses real sinks +

@@ -79,6 +79,56 @@ def test_dedup_stream_count_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stateful_user_stats_matches_batch(spark, sf_dir):
+    """applyInPandasWithState across multiple real micro-batches: the
+    final per-user state must equal the batch groupBy aggregate."""
+    from gcs2postgres_spark.streaming.windows import (
+        read_events_stream_batched,
+        user_running_stats_stateful,
+    )
+    from pyspark.sql import functions as F
+
+    stream = user_running_stats_stateful(read_events_stream_batched(spark, sf_dir, n_files=4))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode emits one row per user per batch: keep the final emit
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM stateful_out) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_batched_stream_runs_multiple_microbatches(spark, sf_dir):
+    from gcs2postgres_spark.streaming.windows import read_events_stream_batched, tumbling_counts
+
+    stream = tumbling_counts(read_events_stream_batched(spark, sf_dir, n_files=4))
+    q = stream.writeStream.outputMode("complete").format("memory").queryName("mb_out").start()
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    batch = REGISTRY["events_tumbling_window"].fn(spark, sf_dir)
+    assert spark.sql("SELECT count(*) n FROM mb_out").collect()[0]["n"] == batch.count()
+
+
 def test_stream_static_join(spark, sf_dir):
     customers = load_table(spark, sf_dir, "customer")
     stream = stream_static_join(read_events_stream(spark, sf_dir), customers)
