@@ -259,6 +259,71 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q2_STYLE_SQL = """
+WITH min_price AS (
+  SELECT p_type, min(p_retailprice) AS min_rp FROM part GROUP BY p_type
+)
+SELECT p.p_type, CAST(count(*) AS BIGINT) AS n_cheapest, min(p.p_partkey) AS sample_partkey
+FROM part p JOIN min_price m ON p.p_type = m.p_type AND p.p_retailprice = m.min_rp
+GROUP BY p.p_type
+ORDER BY p.p_type
+"""
+
+
+@register("q2_min_per_group_joinback", oracle=Q2_STYLE_SQL)
+def q2_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's core shape: rows matching their group's minimum —
+    aggregate-then-join-back. The per-group min relation is tiny →
+    broadcast, so the fact side never shuffles."""
+    p = _t(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("mt")).agg(F.min("p_retailprice").alias("min_rp"))
+    return (
+        p.join(
+            F.broadcast(mins),
+            (F.col("p_type") == F.col("mt")) & (F.col("p_retailprice") == F.col("min_rp")),
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cheapest"),
+            F.min("p_partkey").alias("sample_partkey"),
+        )
+        .orderBy("p_type")
+    )
+
+
+Q10_STYLE_SQL = """
+SELECT c_custkey, c_mktsegment,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue_lost
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_mktsegment
+ORDER BY revenue_lost DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=Q10_STYLE_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted: revenue lost to returns per customer — filter
+    pushes to the lineitem scan, customer dim broadcasts, global top-20
+    compiles to TakeOrderedAndProject (per-partition heap, no full
+    sort)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(rev).alias("revenue_lost"))
+        .orderBy(F.col("revenue_lost").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates
 # ---------------------------------------------------------------------------

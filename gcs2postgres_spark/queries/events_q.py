@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.operators.skew import salted_two_phase_agg
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
 
@@ -161,6 +162,28 @@ FROM events
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """
+
+
+SALTED_AGG_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT)                    AS n_rows,
+       CAST(count(DISTINCT event_type) AS BIGINT)  AS n_distinct_types,
+       sum(value)                                  AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("agg_salted_skew", oracle=SALTED_AGG_ORACLE)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (operators/skew.py): the
+    events table is maximally skewed (15 hot user_ids own every row), so
+    a plain groupBy lands each key on one reducer; salting spreads each
+    key over 8, then merges. Exact same result as the plain GROUP BY —
+    which is precisely what the oracle checks."""
+    e = _t(spark, sf_dir, "events")
+    return salted_two_phase_agg(e, ["user_id"], salt_buckets=8).orderBy("user_id")
 
 
 @register("events_dedup_first", oracle=STREAM_DEDUP_ORACLE)

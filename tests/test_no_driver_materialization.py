@@ -1,0 +1,45 @@
+"""100 TB guard (SURVEY.md §7 M5): no operator may materialize data on
+the driver. Greps package source for collect()/toPandas()/toLocalIterator
+and asserts every occurrence is one of the documented bounded-small-side
+exceptions.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "gcs2postgres_spark"
+
+# file → substrings of lines where a driver-side materialization is
+# deliberate AND bounded (small-by-contract side, documented in the
+# function's docstring)
+ALLOWED = {
+    "operators/similarity.py": [
+        "queries.select",   # ANN query set: small by contract, broadcast
+        "sample_rows",      # IVF quantizer sample: bounded by sample_size
+        ".limit(sample_size)",
+        "q_rows = queries",
+    ],
+    "reconcile.py": [
+        "information_schema",  # target schema: one row per column
+        "spark.read.jdbc",
+    ],
+}
+
+
+def test_no_unbounded_driver_collect():
+    pattern = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.toLocalIterator\(\)")
+    offenders: list[str] = []
+    for py in PKG.rglob("*.py"):
+        rel = str(py.relative_to(PKG))
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
+            if pattern.search(line) and not line.strip().startswith("#"):
+                # a collect chained over a multi-line statement: the
+                # documented bounded-source token may sit a few lines up
+                ctx = "\n".join(lines[max(0, i - 7) : i])
+                allowed = any(tok in ctx for tok in ALLOWED.get(rel, []))
+                if not allowed:
+                    offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, "unbounded driver materialization:\n" + "\n".join(offenders)
