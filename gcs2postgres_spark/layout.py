@@ -1,0 +1,60 @@
+"""Physical data layout for scale: bucketing (co-located joins) and
+partitioned writes (partition-pruned scans).
+
+At 100 TB the cheapest shuffle is the one you never run:
+
+- **Bucketing**: write both join sides bucketed by the join key into
+  the warehouse; an equi-join on the bucket key then requires NO
+  Exchange on either side (each bucket pair joins locally). This is
+  the Spark equivalent of co-located / co-partitioned tables in MPP
+  warehouses. Worth it for fact-fact joins repeated across many
+  queries; pointless for one-shot joins (you pay the shuffle once
+  either way).
+- **Partitioned writes**: directory-partition by a low-cardinality,
+  frequently-filtered column (event date, language, source); filters
+  on it prune whole directories at planning time (PartitionFilters in
+  the scan, zero I/O for pruned partitions).
+
+Both are write-path decisions — the read-path operators in this repo
+work unchanged on top of either layout (catalog.load_table is the
+seam).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sort-within-bucket) table.
+    Sorting within buckets additionally removes the Sort from sort-merge
+    joins — scan → join directly."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_equijoin(
+    spark: SparkSession, left_table: str, right_table: str, on: str
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key. With matching
+    bucket counts Spark plans a SortMergeJoin with NO Exchange on either
+    side — verified by tests/test_layout.py."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Directory-partitioned parquet write. Filters on partition_cols
+    become PartitionFilters (planning-time pruning, no file I/O for
+    pruned values)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
