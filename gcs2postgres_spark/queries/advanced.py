@@ -357,6 +357,121 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINBY_ORACLE = """
+SELECT l_returnflag,
+       min_by(l_orderkey, l_extendedprice) AS cheapest_orderkey,
+       max_by(l_orderkey, l_extendedprice) AS priciest_orderkey,
+       mode(l_linestatus)                  AS modal_status
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_minby_maxby_mode", oracle=MINBY_ORACLE)
+def agg_minby_maxby_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax/mode aggregates — single-pass, partial-aggregatable
+    (each carries one candidate row of state per group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_orderkey"),
+            F.max_by("l_orderkey", "l_extendedprice").alias("priciest_orderkey"),
+            F.mode("l_linestatus").alias("modal_status"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q7_STYLE_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       sum(l_extendedprice * (1 - l_discount)) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name
+ORDER BY volume DESC, supp_nation, cust_nation
+LIMIT 10
+"""
+
+
+@register("q7_nation_volume", oracle=Q7_STYLE_SQL)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 adapted: cross-nation shipping volume — a 6-table join
+    where every dimension broadcasts (nation twice, under two aliases);
+    only lineitem↔orders shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).alias("volume"))
+        .orderBy(F.col("volume").desc(), "supp_nation", "cust_nation")
+        .limit(10)
+    )
+
+
+Q19_STYLE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type = 'PROMO' AND l_discount > 0.05)
+"""
+
+
+@register("q19_disjunctive_pred", oracle=Q19_STYLE_SQL)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's shape: OR-of-ANDs mixing both join sides. The mixed
+    disjuncts can only be evaluated post-join, but Catalyst derives the
+    common implied predicates where possible and the part side still
+    broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_type")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") > 0.05))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum(rev).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (hash/mod — reproducible across engines & runs)
 # ---------------------------------------------------------------------------
