@@ -54,23 +54,36 @@ def attach_fake_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes, media_type: str) -> dict:
-    """The codec seam. Real decoders (PIL, soundfile, pyav) slot in here;
-    without them, "decode" is a deterministic byte-level feature extract
-    for supported fake types and NotImplementedError otherwise."""
-    if media_type not in ("image", "audio", "video"):
-        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
-    checksum = 0
-    for b in payload:
-        checksum = (checksum * 131 + b) % (1 << 61)
-    n = max(len(payload), 1)
-    feature = [
-        len(payload) / 1024.0,
-        payload[0] / 255.0 if payload else 0.0,
-        payload[-1] / 255.0 if payload else 0.0,
-        (checksum % 1000) / 1000.0,
-    ]
-    return {"payload_bytes": len(payload), "checksum": checksum, "feature": feature}
+def _make_decoder():
+    """Factory for the codec function. The nested definition is
+    deliberate: its qualname (`_make_decoder.<locals>…`) is not
+    importable, so cloudpickle serializes it BY VALUE into executor-side
+    closures — workers need no access to this package on their
+    sys.path (the driver harness may run from any cwd). A module-level
+    function here would pickle by reference and raise
+    ModuleNotFoundError on the Python workers."""
+
+    def decode_payload(payload: bytes, media_type: str) -> dict:
+        """The codec seam. Real decoders (PIL, soundfile, pyav) slot in
+        here; without them, "decode" is a deterministic byte-level feature
+        extract for supported fake types, NotImplementedError otherwise."""
+        if media_type not in ("image", "audio", "video"):
+            raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+        checksum = 0
+        for b in payload:
+            checksum = (checksum * 131 + b) % (1 << 61)
+        feature = [
+            len(payload) / 1024.0,
+            payload[0] / 255.0 if payload else 0.0,
+            payload[-1] / 255.0 if payload else 0.0,
+            (checksum % 1000) / 1000.0,
+        ]
+        return {"payload_bytes": len(payload), "checksum": checksum, "feature": feature}
+
+    return decode_payload
+
+
+_decode_payload = _make_decoder()
 
 
 def decode_media(records: DataFrame) -> DataFrame:
@@ -79,19 +92,29 @@ def decode_media(records: DataFrame) -> DataFrame:
     DataFrame chunk holds payload as bytes objects and media_meta as dicts
     (Arrow struct → dict)."""
 
+    decode_payload = _decode_payload  # by-value picklable (see _make_decoder)
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # plain lists only — never mix an index-carrying Series with
+            # lists in the output frame (a batch with a non-default index
+            # would silently misalign rows)
+            metas = list(pdf["media_meta"])
+
+            def mget(m, k):  # Arrow struct arrives as dict (or Row-like)
+                return m[k] if isinstance(m, dict) else getattr(m, k)
+
             out = {
-                "doc_id": pdf["doc_id"],
-                "media_type": [m["media_type"] for m in pdf["media_meta"]],
+                "doc_id": pdf["doc_id"].tolist(),
+                "media_type": [mget(m, "media_type") for m in metas],
                 "payload_bytes": [],
-                "width": [m["width"] for m in pdf["media_meta"]],
-                "height": [m["height"] for m in pdf["media_meta"]],
+                "width": [mget(m, "width") for m in metas],
+                "height": [mget(m, "height") for m in metas],
                 "checksum": [],
                 "feature": [],
             }
-            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
-                d = _decode_payload(bytes(payload), meta["media_type"])
+            for payload, meta in zip(pdf["payload"], metas):
+                d = decode_payload(bytes(payload), mget(meta, "media_type"))
                 out["payload_bytes"].append(d["payload_bytes"])
                 out["checksum"].append(d["checksum"])
                 out["feature"].append(d["feature"])
