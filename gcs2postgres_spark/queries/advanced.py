@@ -17,6 +17,8 @@ values, and a stable output schema for the oracle).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, MapType, StringType
@@ -589,6 +591,85 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface: grouped-map (applyInPandas) + grouped-agg pandas UDF
+# ---------------------------------------------------------------------------
+
+REGR_ORACLE = """
+SELECT l_returnflag,
+       regr_slope(l_extendedprice, l_quantity)     AS price_per_qty,
+       regr_intercept(l_extendedprice, l_quantity) AS intercept,
+       CAST(count(*) AS BIGINT)                    AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("grouped_map_ols", oracle=REGR_ORACLE)
+def grouped_map_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (applyInPandas): per-group OLS fit in
+    numpy, checked against DuckDB's regr_slope/regr_intercept. The group
+    is the parallelism unit — each Arrow batch holds one whole group, so
+    this is the pattern for per-key model fits / custom group algorithms
+    that SQL can't express. Closure is self-contained (pickles by value;
+    executors don't import this package)."""
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["l_quantity"].to_numpy(dtype=float)
+        y = pdf["l_extendedprice"].to_numpy(dtype=float)
+        xm, ym = x.mean(), y.mean()
+        slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "price_per_qty": [slope],
+                "intercept": [ym - slope * xm],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(
+            ols, schema="l_returnflag string, price_per_qty double, intercept double, n bigint"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WMEAN_ORACLE = """
+SELECT l_linestatus,
+       sum(l_extendedprice * l_quantity) / sum(l_quantity) AS qty_weighted_price
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("grouped_agg_weighted_mean", oracle=WMEAN_ORACLE)
+def grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF surface: a custom aggregate written in
+    numpy over Arrow series. (This particular aggregate IS expressible as
+    built-ins — which is exactly what makes it oracle-checkable; the
+    surface being exercised is the UDAF plumbing.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(wmean("l_extendedprice", "l_quantity").alias("qty_weighted_price"))
+        .orderBy("l_linestatus")
     )
 
 
