@@ -134,3 +134,19 @@ def test_srp_lsh_no_cartesian(spark, sf_dir):
     # cross product of query × corpus
     plan = _plan(spark, sf_dir, "similarity_srp_lsh_topk")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_band_join_no_cartesian(spark, sf_dir):
+    # banding exists precisely to avoid all-pairs: the candidate join must
+    # be an equi-join on (band_id, band_hash)
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q8_single_fact_shuffle(spark, sf_dir):
+    # 7-table join: every dim side broadcasts; only lineitem↔orders may
+    # sort-merge. Count the join strategies.
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan, plan
