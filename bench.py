@@ -41,6 +41,12 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # size the shuffle to the data, not the core count: at sf0.1 the
+    # working set is ~100 MB, where 32 reducers are pure task-dispatch
+    # overhead (measured 22s suite at 32 vs 11.6s at 8; 4 loses
+    # parallelism again at 13.2s). A cluster run sizes this to 2-3x
+    # total cores and lets AQE coalesce.
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     from gcs2postgres_spark.queries import REGISTRY
     from gcs2postgres_spark.session import get_spark
 
