@@ -648,6 +648,68 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q22_STYLE_SQL = """
+WITH rich AS (
+  SELECT * FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       sum(c_acctbal)           AS total_bal
+FROM rich
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q22_global_sales_opportunity", oracle=Q22_STYLE_SQL)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape: scalar-subquery threshold + anti join (rich
+    customers with no large order). The scalar runs as its own tiny job;
+    the NOT EXISTS becomes a left-anti join. The price predicate keeps
+    the result non-trivial at test scale."""
+    return _sql(spark, sf_dir, ["customer", "orders"], Q22_STYLE_SQL)
+
+
+UNPIVOT_ORACLE = """
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum(l_quantity) AS value
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum(l_extendedprice) FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum(l_discount) FROM lineitem GROUP BY l_returnflag
+)
+ORDER BY l_returnflag, metric
+"""
+
+
+@register("unpivot_metrics", oracle=UNPIVOT_ORACLE)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-group aggregates → long (metric, value)
+    rows via DataFrame.unpivot — one aggregation pass then a
+    generate-side expand (the oracle's UNION ALL form would scan three
+    times; unpivot reads the aggregate once)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.sum("l_discount").alias("sum_disc"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "sum_disc"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF surface: grouped-map (applyInPandas) + grouped-agg pandas UDF
 # ---------------------------------------------------------------------------
