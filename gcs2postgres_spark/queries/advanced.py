@@ -528,6 +528,33 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLECT_ORACLE = """
+SELECT l_returnflag,
+       list_sort(list_distinct(list(l_linestatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses_csv
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_collect_set_listagg", oracle=COLLECT_ORACLE)
+def agg_collect_set_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregates: collect_set → sorted array (made
+    deterministic with array_sort — raw collect order is partition-
+    dependent) and its string_agg/listagg form via concat_ws."""
+    li = _t(spark, sf_dir, "lineitem")
+    statuses = F.array_sort(F.collect_set("l_linestatus"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            statuses.alias("statuses"),
+            F.array_join(statuses, ",").alias("statuses_csv"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (hash/mod — reproducible across engines & runs)
 # ---------------------------------------------------------------------------
