@@ -1,0 +1,439 @@
+"""Remaining TPC-H query shapes (Q9, Q11, Q13, Q15, Q16, Q17, Q20, Q21)
+adapted to the testdata schema (which has no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate`` columns — each adaptation keeps the
+query's characteristic PLAN SHAPE, which is what the reference delegates
+wholesale to BigQuery via ``SELECT *``, reference src/db/db.go:59).
+
+Shapes covered here and nowhere else in the registry:
+
+- Q13: outer join with an ON-clause predicate on the inner side, then a
+  second aggregation over the first (count-of-counts distribution).
+- Q15: aggregate reused twice — once as the join input, once reduced to
+  a global scalar (max) that filters it.
+- Q17: correlated scalar subquery per group (avg per part), decorrelated
+  to aggregate-then-join.
+- Q9:  5-table star join with an expression measure, grouped by
+  dim attribute × year.
+- Q21: double-correlated EXISTS / NOT EXISTS self-join, decorrelated to
+  a single per-order aggregate (distinct vs distinct-late suppliers).
+- Q11: HAVING against a scalar fraction of the aggregate's own total.
+- Q20: IN-subquery nested inside an IN-subquery with HAVING.
+- Q16: NOT IN (anti-join) feeding a count-distinct aggregate.
+
+Scale notes: every decorrelation below turns a per-row subquery into
+one extra aggregate + join — at 100 TB the aggregate output is orders
+of magnitude smaller than the fact table, and small sides (per-type
+values, per-part averages at ≤ |part| rows, the one-row global scalar)
+broadcast, so the fact table is shuffled at most once per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left join + double aggregation)
+# ---------------------------------------------------------------------------
+
+Q13_STYLE_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_count_dist", oracle=Q13_STYLE_SQL)
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: LEFT JOIN whose filter lives in the ON clause (a WHERE
+    would turn it into an inner join and drop zero-order customers), then
+    a second aggregation over the first. count("o_orderkey") counts only
+    matched rows — NULLs from the outer join are excluded, so customers
+    with no qualifying orders land in the c_count=0 bucket."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier by windowed revenue (agg reused as input AND as scalar)
+# ---------------------------------------------------------------------------
+
+Q15_STYLE_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=Q15_STYLE_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the revenue aggregate is consumed twice — as the join
+    input and reduced to its own max. Caching the small aggregate (one
+    row per supplier) avoids scanning lineitem twice; the one-row max
+    cross-joins (broadcast) as the filter scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity revenue (correlated scalar subquery → agg + join)
+# ---------------------------------------------------------------------------
+
+Q17_STYLE_SQL = """
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+@register("q17_small_qty_revenue", oracle=Q17_STYLE_SQL)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: the correlated per-part avg subquery decorrelates to a
+    groupBy(l_partkey).avg() joined back to lineitem. The per-part avg
+    relation is at most |part| rows → broadcast; lineitem itself never
+    shuffles (one scan feeds both the avg and the probe via Spark's
+    ReusedExchange when sizes allow)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(per_part_avg),
+            F.col("l_partkey") == F.col("avg_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year (5-table star, expr measure)
+# ---------------------------------------------------------------------------
+
+Q9_STYLE_SQL = """
+SELECT nation, o_year, sum(amount) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", oracle=Q9_STYLE_SQL)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp → ps_supplycost stands in as 10% of
+    p_retailprice): 5-table star join with an arithmetic profit measure,
+    grouped by nation × order-year. part/supplier/nation broadcast; the
+    orders join is the only fact-fact shuffle. The LIKE filter on part
+    prunes before the join, shrinking the broadcast side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self-join)
+# ---------------------------------------------------------------------------
+
+Q21_STYLE_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21_waiting_supplier", oracle=Q21_STYLE_SQL)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (late = shipped >60 days after the order date,
+    standing in for receipt>commit): the double-correlated EXISTS / NOT
+    EXISTS self-join decorrelates to ONE per-order aggregate — distinct
+    suppliers vs distinct LATE suppliers. A line is a "waiting" line iff
+    it is late, the order has ≥2 distinct suppliers (EXISTS other), and
+    exactly 1 distinct late supplier (NOT EXISTS other-late; the 1 is
+    necessarily this line's). One lineitem scan + one shuffle replaces
+    two correlated subquery scans — at 100 TB that is the difference
+    between 1 pass and 3."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("is_late"))
+        .join(per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
+              F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important value concentration (HAVING vs fraction of own total)
+# ---------------------------------------------------------------------------
+
+Q11_STYLE_SQL = """
+WITH value_by_type AS (
+  SELECT p_type, sum(l_extendedprice * (1 - l_discount)) AS type_value
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY p_type
+)
+SELECT p_type, type_value
+FROM value_by_type
+WHERE type_value > (SELECT sum(type_value) * 0.1 FROM value_by_type)
+ORDER BY type_value DESC, p_type
+"""
+
+
+@register("q11_value_concentration", oracle=Q11_STYLE_SQL)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp → revenue by part TYPE for one
+    nation's suppliers): groups whose value exceeds a fraction of the
+    aggregate's own grand total. The grouped aggregate is computed once,
+    cached, reduced to a one-row scalar, and broadcast back as the
+    HAVING filter — the fact table is scanned exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    by_type = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "type_value"
+            )
+        )
+        .cache()
+    )
+    threshold = by_type.agg((F.sum("type_value") * 0.1).alias("threshold"))
+    return (
+        by_type.join(
+            F.broadcast(threshold), F.col("type_value") > F.col("threshold")
+        )
+        .select("p_type", "type_value")
+        .orderBy(F.col("type_value").desc(), "p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — nested IN subqueries with HAVING (semi-join chain)
+# ---------------------------------------------------------------------------
+
+Q20_STYLE_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 100
+)
+ORDER BY s_name
+"""
+
+
+@register("q20_promotion_suppliers", oracle=Q20_STYLE_SQL)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp → threshold on shipped quantity):
+    an IN-subquery nested inside an IN-subquery with HAVING, expressed
+    as a semi-join chain. Inner IN → broadcast semi-join of lineitem
+    against filtered part keys; outer IN → semi-join of supplier against
+    the HAVING-filtered aggregate. Semi-joins stop at first match and
+    never duplicate rows — the correct (and cheapest) IN translation."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
+    qualifying = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return (
+        s.join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count per part attribute (NOT IN + count distinct)
+# ---------------------------------------------------------------------------
+
+Q16_STYLE_SQL = """
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_cnt_by_part", oracle=Q16_STYLE_SQL)
+def q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (lineitem is the part↔supplier bridge; excluded
+    suppliers = negative balance instead of complaint comments): NOT IN
+    → broadcast anti-join, then count(DISTINCT) per part attribute
+    triple. The anti-join's excluded-keys side is tiny and broadcast;
+    distinct-aggregation is Spark's two-phase partial_count(distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    excluded = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excluded.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
