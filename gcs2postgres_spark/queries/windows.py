@@ -189,3 +189,47 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         3,
     ).orderBy("c_mktsegment", F.col("o_totalprice").desc(), "o_orderkey")
+
+
+WINDOW_DIST_ORACLE = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       round(percent_rank() OVER w, 6)              AS pct_rank,
+       round(cume_dist()    OVER w, 6)              AS cum_dist,
+       first_value(s_suppkey) OVER w                AS poorest,
+       last_value(s_suppkey)
+         OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest,
+       nth_value(s_suppkey, 2)
+         OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_poorest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+ORDER BY s_nationkey, s_acctbal, s_suppkey
+"""
+
+
+@register("window_dist_funcs", oracle=WINDOW_DIST_ORACLE)
+def window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist) plus
+    first/last/nth_value. last_value and nth_value use an explicit
+    UNBOUNDED..UNBOUNDED frame — the default frame stops at CURRENT ROW,
+    which silently turns last_value into "current value" (a classic
+    SQL-window footgun; identical semantics in Spark and DuckDB, so the
+    oracle locks the correct frame in). Rounded to 6 dp so the oracle
+    compare is float-order safe."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            F.first("s_suppkey").over(w_full).alias("poorest"),
+            F.last("s_suppkey").over(w_full).alias("richest"),
+            F.nth_value("s_suppkey", 2).over(w_full).alias("second_poorest"),
+        )
+        .orderBy("s_nationkey", "s_acctbal", "s_suppkey")
+    )
