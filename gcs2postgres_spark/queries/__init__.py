@@ -11,6 +11,7 @@ from gcs2postgres_spark.queries import advanced  # noqa: E402,F401
 from gcs2postgres_spark.queries import relational  # noqa: E402,F401
 from gcs2postgres_spark.queries import joins  # noqa: E402,F401
 from gcs2postgres_spark.queries import tpch_rest  # noqa: E402,F401
+from gcs2postgres_spark.queries import misc_sql  # noqa: E402,F401
 from gcs2postgres_spark.queries import windows  # noqa: E402,F401
 from gcs2postgres_spark.queries import events_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import llm  # noqa: E402,F401

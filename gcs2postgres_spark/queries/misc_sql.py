@@ -1,0 +1,197 @@
+"""SQL-surface corners not covered elsewhere in the registry:
+multiplicity-preserving set ops (INTERSECT ALL / EXCEPT ALL), ordinal
+and outer explode, LATERAL correlated subqueries, and null-safe
+equality joins.
+
+The reference delegates its entire query surface to BigQuery
+(``SELECT *`` — reference src/db/db.go:59, :113); BigQuery supports all
+of these forms, so engine-layer parity requires them natively
+(SURVEY.md §2.6 rows: Set ops; Array/map/JSON — explode; Subqueries).
+
+Scale notes: intersectAll/exceptAll hash-partition on the full row —
+same single-shuffle cost as a groupBy. LATERAL top-k compiles to the
+same WindowGroupLimit-prunable shape as a window row_number filter.
+Null-safe joins (`<=>`) hash NULL as a regular key value — beware at
+scale: a heavy-NULL column becomes one hot partition (the skew docs in
+operators/skew.py apply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT ALL / EXCEPT ALL — multiplicity-preserving set ops
+# ---------------------------------------------------------------------------
+
+INTERSECT_ALL_ORACLE = """
+SELECT suppkey, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+  INTERSECT ALL
+  SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linestatus = 'F'
+) GROUP BY suppkey ORDER BY suppkey
+"""
+
+
+@register("set_intersect_all", oracle=INTERSECT_ALL_ORACLE)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: each row survives min(multiplicity-left,
+    multiplicity-right) times — distinct from ``intersect`` (set
+    semantics, covered by set_intersect). Aggregated to per-key counts
+    so the oracle compare is order-free but still multiplicity-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("suppkey"))
+    return (
+        a.intersectAll(b)
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("suppkey")
+    )
+
+
+EXCEPT_ALL_ORACLE = """
+SELECT suppkey, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linestatus = 'F'
+) GROUP BY suppkey ORDER BY suppkey
+"""
+
+
+@register("set_except_all", oracle=EXCEPT_ALL_ORACLE)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: multiplicity subtraction, max(l-r, 0) per row —
+    distinct from ``subtract`` (EXCEPT DISTINCT, covered by
+    set_except)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("suppkey"))
+    return (
+        a.exceptAll(b)
+        .groupBy("suppkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# posexplode — explode with ordinal position
+# ---------------------------------------------------------------------------
+
+POSEXPLODE_ORACLE = """
+SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE doc_id < 20) t
+ORDER BY doc_id, pos
+"""
+
+
+@register("explode_pos_tokens", oracle=POSEXPLODE_ORACLE)
+def explode_pos_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token stream with 0-based ordinal positions —
+    the position column is what sequence-aware consumers (n-gram
+    windows, BPE merges) key on. One narrow generate per row; no
+    shuffle at all until the final presentation sort."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+EXPLODE_OUTER_ORACLE = """
+SELECT t.doc_id, u.token
+FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) >= 8) AS arr
+      FROM documents WHERE doc_id < 50) t
+LEFT JOIN LATERAL (SELECT unnest(t.arr) AS token) u ON TRUE
+ORDER BY t.doc_id, u.token
+"""
+
+
+@register("explode_outer_rare_tokens", oracle=EXPLODE_OUTER_ORACLE)
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose array is empty survive with a NULL
+    element (plain explode silently drops them — a lossy default that
+    breaks per-document accounting in dedup/quality pipelines). The
+    length-8 token filter leaves ~20% of documents with an empty
+    array, so the outer semantics are actually exercised."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    arr = F.filter(F.split("text", " "), lambda x: F.length(x) >= 8)
+    return (
+        d.select("doc_id", F.explode_outer(arr).alias("token"))
+        .orderBy("doc_id", "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (per-row dependent subquery in FROM)
+# ---------------------------------------------------------------------------
+
+LATERAL_ORACLE = """
+SELECT n.n_name, t.s_suppkey, t.s_acctbal
+FROM nation n,
+     LATERAL (SELECT s_suppkey, s_acctbal FROM supplier
+              WHERE s_nationkey = n.n_nationkey
+              ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+ORDER BY n.n_name, t.s_acctbal DESC, t.s_suppkey
+"""
+
+
+@register("lateral_topk_suppliers", oracle=LATERAL_ORACLE)
+def lateral_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL subquery: for each nation, its top-2 suppliers by
+    balance — the FROM-clause correlated form of per-group top-k.
+    Spark decorrelates the LATERAL LIMIT into a partitioned window
+    (same physical shape as topk_per_group), so the inner relation is
+    NOT re-executed per outer row — the property that matters when the
+    outer side has 10^9 rows."""
+    tune_for_session(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(LATERAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+NULL_SAFE_JOIN_ORACLE = """
+WITH dim(allowed_priority) AS (VALUES ('2-HIGH'), (NULL)),
+     o AS (SELECT nullif(o_orderpriority, '1-URGENT') AS p FROM orders)
+SELECT allowed_priority, CAST(count(*) AS BIGINT) AS n
+FROM o JOIN dim ON p IS NOT DISTINCT FROM allowed_priority
+GROUP BY allowed_priority
+ORDER BY allowed_priority NULLS FIRST
+"""
+
+
+@register("join_null_safe", oracle=NULL_SAFE_JOIN_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join: `<=>` treats NULL as a joinable key value
+    (NULL <=> NULL is true), where plain `=` drops every NULL row.
+    NULLs are manufactured with nullif so both branches match rows.
+    Broadcast dim → the NULL bucket never concentrates a shuffle
+    partition (see module docstring for the at-scale caveat)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("p")
+    )
+    dim = _t(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [("2-HIGH",), (None,)], "allowed_priority: string"
+    )
+    return (
+        o.join(F.broadcast(dim), F.col("p").eqNullSafe(F.col("allowed_priority")))
+        .groupBy("allowed_priority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("allowed_priority").asc_nulls_first())
+    )

@@ -150,3 +150,51 @@ def test_q8_single_fact_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q8_market_share")
     assert plan.count("BroadcastHashJoin") >= 5, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q9_dims_broadcast_fact_not(spark, sf_dir):
+    # part/supplier/nation broadcast; the only permissible shuffle join
+    # is lineitem×orders (fact-fact)
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the streamed (leftmost, never-exchanged) leaf of the join chain is
+    # the lineitem fact: node (1) in formatted output is the first scan
+    m = re.search(r"\(1\) Scan parquet[\s\S]{0,600}?Location:[^\n]*", plan)
+    assert m and "lineitem" in m.group(0), plan
+
+
+def test_q17_decorrelated_avg_broadcasts(spark, sf_dir):
+    # the per-part avg relation (≤|part| rows) must broadcast back onto
+    # lineitem — if it shuffle-joins, the decorrelation bought nothing
+    plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q21_single_lineitem_agg_shuffle(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS decorrelation must NOT re-scan lineitem per
+    # subquery: exactly one per-order aggregate over the joined fact,
+    # supplier broadcast, no cartesian anywhere
+    plan = _plan(spark, sf_dir, "q21_waiting_supplier")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q20_semi_joins_not_inner(spark, sf_dir):
+    # IN-subqueries must compile to semi joins (stop at first match, no
+    # row duplication), with the filtered part keys broadcast
+    plan = _plan(spark, sf_dir, "q20_promotion_suppliers")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_cnt_by_part")
+    assert "LeftAnti" in plan, plan
+
+
+def test_lateral_decorrelates_to_window_limit(spark, sf_dir):
+    # LATERAL (... ORDER BY ... LIMIT k) must NOT re-execute per outer
+    # row: Spark rewrites it to a partitioned window with map-side
+    # WindowGroupLimit pruning + one join
+    plan = _plan(spark, sf_dir, "lateral_topk_suppliers")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan

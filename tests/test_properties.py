@@ -42,7 +42,9 @@ def test_union_minus_intersect_is_symmetric_difference(spark, a, b):
     sb = {tuple(r) for r in b}
     union = {tuple(r) for r in da.union(db).distinct().collect()}
     inter = {tuple(r) for r in da.intersect(db).collect()}
-    exc = {tuple(r) for r in da.exceptAll(db.distinct()).distinct().collect()}
+    # subtract = EXCEPT DISTINCT (set semantics). exceptAll would keep
+    # multiplicity (a=[x,x], b=[x] leaves one x) and is NOT set difference.
+    exc = {tuple(r) for r in da.subtract(db).collect()}
     assert union == sa | sb
     assert inter == sa & sb
     assert exc == sa - sb
