@@ -197,3 +197,53 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("event_id").alias("first_event_id"), F.min("ts").alias("first_ts"))
         .orderBy("user_id", "event_type")
     )
+
+
+CLICK_PURCHASE_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY click_id, purchase_id
+"""
+
+
+@register("events_click_purchase_attr", oracle=CLICK_PURCHASE_ORACLE)
+def events_click_purchase_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join: purchases within 30 minutes after a click by
+    the same user — the batch twin of the stream-stream interval join
+    in streaming/windows.py (watermarked on both sides there). The
+    equi-key (user_id) carries the join; the time interval is a
+    residual predicate evaluated inside the hash join, so this is NOT
+    a cartesian — same property the streaming version's state store
+    relies on to bound state per user."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select(
+            "click_id", "purchase_id", "user_id",
+            "click_ts", "purchase_ts", "purchase_value",
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -183,12 +183,55 @@ def user_running_stats_stateful(events: DataFrame, watermark: str = "2 hours") -
     )
 
 
-def run_to_memory(df: DataFrame, name: str) -> None:
+def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drive a streaming DataFrame to completion synchronously into an
     in-memory table (test harness; production uses real sinks +
-    checkpoints). Uses complete/append depending on aggregation state."""
-    q = df.writeStream.outputMode("complete" if df.isStreaming else "append").format(
+    checkpoints). mode="complete" for aggregations; joins and other
+    non-aggregating streams require "append"."""
+    q = df.writeStream.outputMode(mode).format(
         "memory"
     ).queryName(name).start()
     q.processAllAvailable()
     q.stop()
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition — the
+    streaming twin of queries/events_q.py::events_click_purchase_attr.
+
+    Both sides are watermarked: the interval condition plus watermarks
+    lets Spark bound the state store (a click older than
+    watermark+horizon can never match a future purchase, so its state
+    is evicted). Without the interval bound the state would grow
+    forever — the thing that actually kills long-running stream-stream
+    joins in production."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        "click_ts", "purchase_ts", "purchase_value",
+    )

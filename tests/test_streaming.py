@@ -138,3 +138,26 @@ def test_stream_static_join(spark, sf_dir):
     # every user_id 0..149 exists in customer → inner join keeps all events
     assert joined["n"] == n_events
     assert joined["segs"] >= 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from gcs2postgres_spark.queries import REGISTRY
+    from gcs2postgres_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    joined = stream_stream_interval_join(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    run_to_memory(joined, "ss_join_out", mode="append")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("ss_join_out").collect()
+    }
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in REGISTRY["events_click_purchase_attr"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
