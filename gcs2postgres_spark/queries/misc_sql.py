@@ -195,3 +195,35 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("allowed_priority").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (Apache DataSketches, built into Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register("agg_hll_sketch_merge", oracle=None)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned HLL sketch build + merge: per-segment customer
+    sketches, then a re-aggregable union to the global estimate — the
+    pattern that makes distinct-count dashboards cheap at 100 TB (store
+    tiny sketches per partition/day, merge on read; never recount).
+    Rows-only check (estimates carry ~1-2% HLL error, outside the
+    oracle's 1e-5 tolerance); tests/test_operators.py asserts the
+    estimates land within 2% of exact."""
+    c = _t(spark, sf_dir, "customer")
+    per_seg = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey", 14).alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
+    )
+    seg_rows = per_seg.select(
+        "c_mktsegment",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct",
+    )
+    total = per_seg.agg(
+        F.lit("__ALL__").alias("c_mktsegment"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+        F.sum("exact_distinct").alias("exact_distinct"),
+    )
+    return seg_rows.unionByName(total).orderBy("c_mktsegment")

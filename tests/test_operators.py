@@ -205,3 +205,14 @@ def test_lang_id_on_marker_sentences(spark):
     )
     got = [r[0] for r in df.select(lang_id_heuristic(F.col("text"))).collect()]
     assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_hll_sketch_estimates_within_2pct(spark, sf_dir):
+    from gcs2postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()
+    assert any(r.c_mktsegment == "__ALL__" for r in rows)
+    for r in rows:
+        assert abs(r.est_distinct - r.exact_distinct) <= max(
+            0.02 * r.exact_distinct, 2
+        ), (r.c_mktsegment, r.est_distinct, r.exact_distinct)
