@@ -252,3 +252,117 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str, max_hamming: int = 
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _kgram_hashes(text: Column, k: int) -> Column:
+    """xxhash64 of every character k-gram of the normalized text."""
+    s = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n = F.length(s)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(s.substr(i, F.lit(k))),
+    )
+
+
+def _window_minima(grams: Column, w: int) -> Column:
+    """Distinct minima of every sliding window of w consecutive hashes.
+
+    Computed as w-1 pairwise `zip_with(..., least)` folds over shifted
+    copies of the array, NOT as `transform(seq, j -> array_min(slice(
+    grams, j, w)))`. The transform form references `grams` inside the
+    lambda, and when the optimizer inlines the gram computation into
+    that lambda (CollapseProject / generator pushdown both do), the
+    whole k-gram hash array is recomputed for EVERY window position —
+    O(n²) hashes per row (measured: 0.8 s per 550-char doc). The
+    zip_with form references `grams` exactly w times however the plan
+    is rewritten — worst case O(w·n), and zip_with itself is a single
+    linear pass."""
+    m = grams
+    for off in range(1, w):
+        shifted = F.slice(grams, F.lit(off + 1), F.size(grams))
+        # zip_with pads the shorter side with NULL; least() ignores
+        # NULLs, so trailing partial windows resolve to the suffix min
+        # and are cut by the final slice
+        m = F.zip_with(m, shifted, lambda a, b: F.least(a, b))
+    return F.array_distinct(
+        F.slice(m, F.lit(1), F.greatest(F.size(grams) - (w - 1), F.lit(1)))
+    )
+
+
+def winnow_docs(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram, then
+    keep the minimum hash of each sliding window of w consecutive
+    k-gram hashes, as ``(id_col, fps array<bigint>)``. Guarantees: any
+    shared substring of length >= k+w-1 contributes at least one shared
+    fingerprint, while only ~2/(w+1) of hashes are kept.
+
+    The classical presentation uses a Rabin-Karp *rolling* hash so a
+    scalar loop costs O(1) per position; columnar engines don't need
+    that trick — substring+xxhash64 over a position sequence is one
+    vectorized JVM expression per row (no Python, no shuffle), and the
+    window-min is a slice/array_min over the hash array.
+
+    MUST be two separate projections: if the k-gram array is inlined
+    into the window lambda as one expression, Catalyst substitutes the
+    whole gram computation into every window element — O(n²) hashes per
+    row (measured: 0.8 s/doc on 550-char texts vs ~ms this way).
+    CollapseProject keeps the split because the alias is non-cheap and
+    multiply-referenced."""
+    grams = docs.select(
+        F.col(id_col), _kgram_hashes(F.col(text_col), k).alias("_grams")
+    )
+    return grams.select(
+        F.col(id_col), _window_minima(F.col("_grams"), w).alias("fps")
+    )
+
+
+def winnow_shared_pairs(
+    docs: DataFrame, id_col: str, text_col: str,
+    k: int = 8, w: int = 4, min_shared: int = 3, max_df: int = 20,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    explode fingerprints → self-join on the fingerprint value →
+    count per pair. Same sparse-inverted-index shape as the LSH band
+    join: the only shuffles are the explode-side groupBys and the
+    equi-join on fingerprint — never an all-pairs comparison.
+
+    max_df drops fingerprints present in more than that many documents
+    before the join. This is not an optional tweak: a boilerplate
+    k-gram shared by d documents contributes d²/2 join rows (measured
+    here: the 500-doc shared-vocabulary corpus never finishes without
+    it), and such fingerprints carry no near-dup signal anyway — the
+    same stop-key reasoning as dropping hot shingles in MinHashLSH."""
+    # cache the exploded posting list: (a) it's consumed three times
+    # (document-frequency counts + both sides of the pair join), and
+    # (b) the InMemoryRelation is an optimizer barrier that stops
+    # generator/projection collapsing from re-inlining the k-gram
+    # expression into every downstream lambda (the O(n²) trap the
+    # winnow_docs docstring describes)
+    fp = (
+        winnow_docs(docs, id_col, text_col, k, w)
+        .select(F.col(id_col), F.explode("fps").alias("fp"))
+        .cache()
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    # no broadcast hint: at real scale MOST fingerprints are rare, so
+    # this side is large — let AQE pick the strategy per actual size
+    fp = fp.join(rare, "fp", "semi")
+    # hard-rename one side: a same-lineage self-join condition can
+    # resolve both `fp` references to the one attribute (trivially true
+    # → cross product)
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

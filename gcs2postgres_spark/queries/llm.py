@@ -408,3 +408,20 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_bucket")
     )
+
+
+@register("doc_winnow_fingerprints", oracle=None)  # engine-specific hash → rows-only
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-window fingerprint near-dup candidates:
+    xxhash64 k-gram hashes → sliding-window minima (zip_with fold) →
+    stop-fingerprint pruning (document frequency cap) → inverted-index
+    pair join. Pure JVM expressions end-to-end — no Python in the row
+    path. Rows-only: fingerprint values are hash-function-specific, so
+    no cross-engine SQL oracle exists; determinism + dup/near-dup
+    properties are pinned in tests/test_operators.py."""
+    from gcs2postgres_spark.operators.dedup import winnow_shared_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_shared_pairs(d, "doc_id", "text", min_shared=5).orderBy(
+        F.col("n_shared").desc(), "id_a", "id_b"
+    )

@@ -216,3 +216,37 @@ def test_hll_sketch_estimates_within_2pct(spark, sf_dir):
         assert abs(r.est_distinct - r.exact_distinct) <= max(
             0.02 * r.exact_distinct, 2
         ), (r.c_mktsegment, r.est_distinct, r.exact_distinct)
+
+
+def test_winnow_fingerprint_properties(spark):
+    from gcs2postgres_spark.operators.dedup import winnow_docs, winnow_shared_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different content with no overlap at all zzz"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "THE  quick   Brown fox jumps over the lazy DOG"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: set(r.fps) for r in winnow_docs(df, "doc_id", "text").collect()}
+    # exact duplicate → identical fingerprint set
+    assert fps[0] == fps[3]
+    # case/whitespace normalization folds into the same fingerprints
+    assert fps[0] == fps[4]
+    # near-duplicate (one word changed) shares most fingerprints
+    assert len(fps[0] & fps[1]) >= 3
+    # unrelated doc shares essentially none
+    assert len(fps[0] & fps[2]) <= 1
+    # determinism across evaluations
+    again = {r.doc_id: set(r.fps) for r in winnow_docs(df, "doc_id", "text").collect()}
+    assert fps == again
+    # pair join surfaces exactly the dup/near-dup pairs among 0/1/3/4
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_shared_pairs(df, "doc_id", "text", min_shared=3).collect()
+    }
+    assert (0, 3) in pairs and (0, 1) in pairs and (0, 4) in pairs
+    assert all(2 not in p for p in pairs)
