@@ -227,3 +227,75 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_distinct").alias("exact_distinct"),
     )
     return seg_rows.unionByName(total).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — date spine + gap-filled rollup
+# ---------------------------------------------------------------------------
+
+RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1995-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1995-12-01'
+)
+SELECT months.m AS month_start,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_orders,
+       coalesce(agg.total, 0.0) AS total_price
+FROM months
+LEFT JOIN (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+         count(*) AS n, sum(o_totalprice) AS total
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+  GROUP BY 1
+) agg ON agg.mo = months.m
+ORDER BY month_start
+"""
+
+
+@register("recursive_cte_spine", oracle=RECURSIVE_SPINE_SQL)
+def recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate a month spine,
+    then gap-fill monthly order totals against it — the canonical
+    "report every month even if empty" shape. The recursion is
+    driver-side tiny (12 iterations × 1 row); the fact aggregation is
+    the usual partial+final groupBy. Identical SQL runs on both engines
+    (ANSI recursive CTE)."""
+    tune_for_session(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(RECURSIVE_SPINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type) over the events.props JSON column
+# ---------------------------------------------------------------------------
+
+VARIANT_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("variant_props_agg", oracle=VARIANT_PROPS_ORACLE)
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into a binary variant, then typed variant_get
+    extraction. Versus get_json_object (string re-parse per access,
+    exercised in json_extract_agg), VARIANT parses each row once and
+    every subsequent field access is a binary probe — the right shape
+    when a props blob is accessed by many expressions at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        e.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
