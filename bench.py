@@ -23,8 +23,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue_forecast",
+    "q9_product_profit",
     "q12_priority_caseagg",
     "q18_large_orders",
+    "q21_waiting_supplier",
     "agg_rollup",
     "window_running",
     "topk_per_group",
