@@ -299,3 +299,53 @@ def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions battery (transform/filter/aggregate/exists/forall)
+# ---------------------------------------------------------------------------
+
+HOF_ARRAY_ORACLE = """
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0), 'sum')), 5) AS avg_sum2x,
+       CAST(sum(len(list_filter(embedding, x -> x > 0.2))) AS BIGINT) AS n_big_elems,
+       CAST(sum(CASE WHEN len(list_filter(embedding, x -> x > 0.4)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_with_extreme,
+       CAST(sum(CASE WHEN len(list_filter(embedding, x -> abs(x) <= 1.0)) = len(embedding) THEN 1 ELSE 0 END) AS BIGINT) AS n_all_bounded
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("hof_array_battery", oracle=HOF_ARRAY_ORACLE)
+def hof_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class operators: transform
+    (scale), aggregate (fold-sum), filter (count matching), exists
+    (any-extreme), forall (all-bounded) — each a single codegen'd pass
+    over the packed array, no explode. Exploding would turn a 100 TB
+    embedding table into 12.8 PT of rows to re-aggregate; HOFs keep the
+    array dimension inside the row. avg is rounded to 5 dp: the fold is
+    sequential per row, but averaging across rows is order-sensitive in
+    the last bits."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sum2x = F.aggregate(
+        F.transform(emb, lambda x: x.cast("double") * 2.0),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_big = F.size(F.filter(emb, lambda x: x > 0.2))
+    has_extreme = F.exists(emb, lambda x: x > 0.4)
+    all_bounded = F.forall(emb, lambda x: F.abs(x) <= 1.0)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(sum2x), 5).alias("avg_sum2x"),
+            F.sum(n_big).alias("n_big_elems"),
+            F.sum(has_extreme.cast("bigint")).alias("n_vecs_with_extreme"),
+            F.sum(all_bounded.cast("bigint")).alias("n_all_bounded"),
+        )
+        .orderBy("label")
+    )
