@@ -37,37 +37,51 @@ def asof_join(
 
     Build rows sort before probe rows at equal timestamps (side 0 < 1), so
     an exactly-equal timestamp matches (inclusive bound).
-    """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip sort order; not needed yet")
 
+    ``direction="forward"`` attaches the EARLIEST right row with
+    ``right_time >= left_time`` instead — same single-shuffle union
+    plan, with the window frame flipped to currentRow..unboundedFollowing
+    and ``first(ignorenulls)`` (probe rows sort before build rows at
+    equal timestamps so the inclusive bound still matches).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    # backward: left probes sort AFTER right builds at equal t (side 1 > 0),
+    # lookback frame + last().  forward: left probes sort BEFORE right
+    # builds at equal t, lookahead frame + first().
+    probe_side = 1 if direction == "backward" else 0
     lcols = [c for c in left.columns]
     l_tagged = left.select(
         F.col(left_on).alias("__key"),
         F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(probe_side).alias("__side"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in right_payload],
     )
     r_tagged = right.select(
         F.col(right_on).alias("__key"),
         F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(1 - probe_side).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__p_{c}") for c in right_payload],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy("__key").orderBy(
+        F.col("__t").asc(), F.col("__side").asc()
     )
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = lambda c: F.last(f"__p_{c}", ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = lambda c: F.first(f"__p_{c}", ignorenulls=True).over(w)  # noqa: E731
     filled = unioned.select(
         *lcols,
         F.col("__side"),
-        *[F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c) for c in right_payload],
+        *[fill(c).alias(c) for c in right_payload],
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == probe_side).drop("__side")
 
 
 def range_join(

@@ -247,3 +247,44 @@ def events_click_purchase_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+TIME_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       CAST(count(*) AS BIGINT)  AS n_events,
+       sum(value)                AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY ROLLUP (1, 2)
+ORDER BY day NULLS FIRST, hour NULLS FIRST
+"""
+
+
+@register("events_time_rollup", oracle=TIME_ROLLUP_ORACLE)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: one pass over the
+    events stream produces hour-level, day-level, and grand-total
+    aggregates (GROUP BY ROLLUP over truncated timestamps) — the batch
+    form of a continuous aggregate. Spark expands the rollup with one
+    Expand operator before the partial agg, so it is still a single
+    shuffle; at 100 TB the day/total levels ride along with the hourly
+    aggregation for free instead of re-scanning."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+            "user_id",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(
+            F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first()
+        )
+    )

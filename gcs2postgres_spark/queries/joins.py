@@ -396,3 +396,57 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_orderkey",
         F.col("o_orderdate").cast("date").alias("asof_order_date"),
     ).orderBy("event_id")
+
+
+ASOF_FWD_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purch AS (  -- dedupe to one purchase per (user, ts): deterministic match
+  SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS next_purchase_id,
+         max(value) AS next_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       p.next_purchase_id,
+       p.p_ts AS next_purchase_ts
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.p_user AND c.ts <= p.p_ts
+ORDER BY c.event_id
+"""
+
+
+@register("asof_join_forward_next_purchase", oracle=ASOF_FWD_ORACLE)
+def asof_join_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click attaches the EARLIEST subsequent
+    purchase by the same user (unbounded lookahead — the funnel metric
+    "time to next conversion"). Same union+window single-shuffle plan as
+    the backward as-of, with the frame flipped to
+    currentRow..unboundedFollowing + first(ignorenulls)
+    (operators/joins.py::asof_join direction='forward'). Oracle is
+    DuckDB's native ASOF with the inequality reversed."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("next_purchase_id"))
+    )
+    joined = asof_join(
+        clicks,
+        purch,
+        left_on="user_id",
+        right_on="p_user",
+        left_time="ts",
+        right_time="p_ts",
+        right_payload=["next_purchase_id", "p_ts"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "next_purchase_id",
+        F.col("p_ts").alias("next_purchase_ts"),
+    ).orderBy("event_id")
