@@ -47,6 +47,7 @@ LIMIT 10
 
 @register("q3_shipping_priority", oracle=Q3_ORACLE)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-table join, dims broadcast, revenue agg + top-10 by (revenue, date)."""
     c = _t(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -133,6 +134,7 @@ ORDER BY n_name
 
 @register("join_inner", oracle=JOIN_INNER_ORACLE)
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join customer x orders on the natural key."""
     o = _t(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -158,6 +160,7 @@ ORDER BY n_name
 
 @register("join_left", oracle=JOIN_LEFT_ORACLE)
 def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with no orders (null-padded right side)."""
     n = _t(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
     return (
@@ -183,6 +186,7 @@ ORDER BY n_name
 
 @register("join_right", oracle=JOIN_RIGHT_ORACLE)
 def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — mirror of join_left with sides swapped."""
     n = _t(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
     return (
@@ -211,6 +215,7 @@ ORDER BY nationkey
 
 @register("join_full", oracle=JOIN_FULL_ORACLE)
 def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join preserving unmatched rows from both sides (null-padded)."""
     c = (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -243,6 +248,7 @@ ORDER BY c_custkey
 
 @register("join_semi", oracle=JOIN_SEMI_ORACLE)
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS form): filters the left side, emits no right columns."""
     c = _t(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
     return (
@@ -262,6 +268,7 @@ ORDER BY c_custkey
 
 @register("join_anti", oracle=JOIN_ANTI_ORACLE)
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT IN / NOT EXISTS form) — stops at first match, no duplication."""
     c = _t(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -282,6 +289,7 @@ ORDER BY r_name, p_type
 
 @register("join_cross", oracle=JOIN_CROSS_ORACLE)
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims with an explicit crossJoin (the only legal cross)."""
     r = _t(spark, sf_dir, "region")
     p = load_table(spark, sf_dir, "part").select("p_type").distinct()
     return (
@@ -337,6 +345,7 @@ ORDER BY band
 
 @register("range_join_bands", oracle=RANGE_JOIN_ORACLE)
 def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join: each fact row matched to its [lo,hi) band; band table broadcast."""
     o = _t(spark, sf_dir, "orders")
     # SQL VALUES → JVM LocalTableScan: createDataFrame would route the
     # build side through a Python RDD (slow worker spin-up per task)

@@ -328,6 +328,7 @@ ORDER BY n_docs DESC, lang
 
 @register("text_lang_distribution", oracle=LANG_DIST_ORACLE)
 def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language distribution: n-gram-heuristic language ID aggregated per language bucket."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.groupBy("lang")

@@ -52,6 +52,7 @@ ORDER BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", oracle=Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan -> shipdate filter -> groupBy(flag,status) -> 8 aggregates -> sort (the flagship)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -88,6 +89,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 @register("q6_revenue_forecast", oracle=Q6_ORACLE)
 def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate on range predicates; zero joins, one partial+final agg."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -119,6 +121,7 @@ ORDER BY o_orderkey
 
 @register("filter_in_like", oracle=FILTER_IN_LIKE_ORACLE)
 def filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + LIKE + range predicates combined; all pushed to the parquet scan."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.filter(
@@ -173,6 +176,7 @@ ORDER BY o_orderkey
 
 @register("project_case_when", oracle=PROJECT_CASE_ORACLE)
 def project_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN expression ladder + computed projections, all codegen'd."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.select(
@@ -210,6 +214,7 @@ ORDER BY l_returnflag
 
 @register("agg_stats_basic", oracle=AGG_STATS_ORACLE)
 def agg_stats_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/min/max/count/stddev in one pass — all partial-aggregatable, one shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -237,6 +242,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 
 @register("agg_rollup", oracle=AGG_ROLLUP_ORACLE)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (flag -> flag,status -> grand total) in one Expand + single shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -257,6 +263,7 @@ ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
 
 @register("agg_cube", oracle=AGG_CUBE_ORACLE)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in one Expand + single shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -279,6 +286,7 @@ ORDER BY o_orderpriority
 
 @register("agg_filtered", oracle=AGG_FILTERED_ORACLE)
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (sum/count over CASE WHEN) — predicates fold into the map-side partials."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -359,6 +367,7 @@ ORDER BY c_custkey
 
 @register("scalar_string_funcs", oracle=SCALAR_STRING_ORACLE)
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar battery: concat, substr, upper/lower, trim, lpad, regexp_replace."""
     c = _t(spark, sf_dir, "customer")
     return (
         c.filter(F.col("c_custkey") < 500)
@@ -394,6 +403,7 @@ ORDER BY o_orderkey
 
 @register("scalar_date_funcs", oracle=SCALAR_DATE_ORACLE)
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar battery: date_trunc, datediff, extract, add_months et al."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_orderkey") < 500)
@@ -431,6 +441,7 @@ ORDER BY p_partkey
 
 @register("scalar_math_funcs", oracle=SCALAR_MATH_ORACLE)
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar battery: round, abs, log, sqrt, power, sign, mod."""
     p = _t(spark, sf_dir, "part")
     return (
         p.filter(F.col("p_partkey") < 1000)
@@ -489,6 +500,7 @@ SELECT nationkey FROM (
 
 @register("set_union", oracle=SET_UNION_ORACLE)
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT: union followed by dedup — one hash shuffle on the full row."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct().orderBy("nationkey")
@@ -504,6 +516,7 @@ ORDER BY nationkey
 
 @register("set_intersect", oracle=SET_INTERSECT_ORACLE)
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT: set intersection with dedup semantics."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s).orderBy("nationkey")
@@ -519,6 +532,7 @@ ORDER BY nationkey
 
 @register("set_except", oracle=SET_EXCEPT_ORACLE)
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT (subtract): set difference of nation keys across two tables."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep
@@ -537,6 +551,7 @@ SELECT kind, count(*) AS n FROM (
 
 @register("set_union_all", oracle=UNION_ALL_ORACLE)
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL: bag union, no dedup shuffle, then aggregated per source tag."""
     c = _t(spark, sf_dir, "customer").select(
         F.lit("cust").alias("kind"), F.col("c_nationkey").alias("nationkey")
     )
@@ -560,6 +575,7 @@ ORDER BY l_returnflag, l_linestatus, l_shipdate
 
 @register("distinct_subset", oracle=DISTINCT_ORACLE)
 def distinct_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a key subset — hash-shuffle on the subset, first row per key."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") < F.to_timestamp(F.lit("1995-03-01 00:00:00")))

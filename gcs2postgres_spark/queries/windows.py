@@ -39,6 +39,7 @@ ORDER BY o_custkey, o_orderkey
 
 @register("window_rank", oracle=WINDOW_RANK_ORACLE)
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number over per-group orderings, ties included."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -67,6 +68,7 @@ ORDER BY o_custkey, o_orderkey
 
 @register("window_lag_lead", oracle=WINDOW_LAG_LEAD_ORACLE)
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets within per-customer order history (1-row frames)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_totalprice").over(w)
@@ -97,6 +99,7 @@ ORDER BY l_suppkey, l_orderkey, l_linenumber
 
 @register("window_running", oracle=WINDOW_RUNNING_ORACLE)
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum/avg over an ordered unbounded-preceding frame per key."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20)
     base = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
     return (
@@ -122,6 +125,7 @@ ORDER BY o_orderkey
 
 @register("window_ntile", oracle=WINDOW_NTILE_ORACLE)
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment per mktsegment partition."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
@@ -178,6 +182,7 @@ ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
 
 @register("topk_per_group", oracle=TOPK_PER_GROUP_ORACLE)
 def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window row_number <= k; WindowGroupLimit prunes map-side."""
     o = _t(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     joined = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
