@@ -91,3 +91,69 @@ def test_filter_complement_partitions_rows(spark, a):
     n_pos = da.filter(pred).count()
     n_neg = da.filter(~pred | F.col("k").isNull()).count()
     assert n_pos + n_neg == len(a)
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=20),  # time
+    ),
+    min_size=1,
+    max_size=10,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=-100, max_value=100),  # payload
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT, direction=st.sampled_from(["backward", "forward"]))
+@SLOW
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    import pandas as pd
+
+    from gcs2postgres_spark.operators.joins import asof_join
+
+    # dedupe right per (key, t): with duplicate timestamps the matched
+    # payload is implementation-defined in both engines (same contract as
+    # the registered asof queries, which pre-aggregate one row per (key, t))
+    rdd = {}
+    for k, t, p in right:
+        rdd[(k, t)] = max(p, rdd.get((k, t), -(10**9)))
+    right_u = [(k, t, p) for (k, t), p in sorted(rdd.items())]
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, t int"
+    )
+    rdf = spark.createDataFrame(right_u, "rk int, rt int, payload int") if right_u else (
+        spark.createDataFrame([], "rk int, rt int, payload int")
+    )
+    got = {
+        r.lid: r.payload
+        for r in asof_join(
+            ldf, rdf,
+            left_on="k", right_on="rk", left_time="t", right_time="rt",
+            right_payload=["payload"], direction=direction,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], columns=["lid", "k", "t"]
+    ).sort_values("t", kind="stable")
+    rp = (
+        pd.DataFrame(right_u, columns=["k", "t", "payload"], dtype="int64")
+        .sort_values("t", kind="stable")
+    )
+    want_df = pd.merge_asof(
+        lp, rp, on="t", by="k", direction=direction, allow_exact_matches=True
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+        for r in want_df.itertuples()
+    }
+    assert got == want
