@@ -386,10 +386,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORR_ORACLE = """
 SELECT l_returnflag,
-       corr(l_quantity, l_extendedprice)       AS qty_price_corr,
-       covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
-       stddev_samp(l_extendedprice)            AS price_stddev,
-       var_samp(l_extendedprice)               AS price_var
+       round(corr(l_quantity, l_extendedprice), 5)       AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 4)            AS price_stddev,
+       round(var_samp(l_extendedprice), 1)               AS price_var
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -399,15 +399,20 @@ ORDER BY l_returnflag
 @register("agg_corr_covar", oracle=CORR_ORACLE)
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation/covariance/variance — single-pass partial-aggregatable
-    moments (Spark and DuckDB both use streaming co-moment updates)."""
+    moments (Spark and DuckDB both use streaming co-moment updates).
+
+    Outputs are quantized (round) identically on both sides: the two
+    engines accumulate co-moments in different orders, so the raw
+    doubles differ in the last ulp and an exact value-hash would flap.
+    """
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-            F.stddev_samp("l_extendedprice").alias("price_stddev"),
-            F.var_samp("l_extendedprice").alias("price_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_extendedprice"), 1).alias("price_var"),
         )
         .orderBy("l_returnflag")
     )
@@ -530,8 +535,8 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COLLECT_ORACLE = """
 SELECT l_returnflag,
-       list_sort(list_distinct(list(l_linestatus))) AS statuses,
-       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses_csv
+       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses_csv,
+       CAST(len(list_distinct(list(l_linestatus))) AS BIGINT)             AS n_statuses
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -542,14 +547,17 @@ ORDER BY l_returnflag
 def agg_collect_set_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-building aggregates: collect_set → sorted array (made
     deterministic with array_sort — raw collect order is partition-
-    dependent) and its string_agg/listagg form via concat_ws."""
+    dependent) exposed via its string_agg/listagg form (concat_ws) plus
+    cardinality. Output cells stay scalar: the verification harness
+    canonicalizes row values by hashing, and raw array cells are
+    unhashable there."""
     li = _t(spark, sf_dir, "lineitem")
     statuses = F.array_sort(F.collect_set("l_linestatus"))
     return (
         li.groupBy("l_returnflag")
         .agg(
-            statuses.alias("statuses"),
             F.array_join(statuses, ",").alias("statuses_csv"),
+            F.size(statuses).cast("long").alias("n_statuses"),
         )
         .orderBy("l_returnflag")
     )
