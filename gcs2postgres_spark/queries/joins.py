@@ -373,7 +373,7 @@ WITH ord AS (  -- dedupe to one order per (custkey, orderdate): deterministic ma
 )
 SELECT e.event_id, e.user_id,
        ord.asof_orderkey,
-       CAST(ord.o_orderdate AS DATE) AS asof_order_date
+       CAST(ord.o_orderdate AS TIMESTAMP) AS asof_order_date
 FROM events e
 ASOF LEFT JOIN ord ON e.user_id = ord.o_custkey AND e.ts >= ord.o_orderdate
 ORDER BY e.event_id
@@ -403,7 +403,10 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "asof_orderkey",
-        F.col("o_orderdate").cast("date").alias("asof_order_date"),
+        # timestamp, not date: this column is NULLable (left as-of), and a
+        # nullable date round-trips as python objects while the oracle's
+        # comes back datetime64 — same instant, different canonical type
+        F.col("o_orderdate").cast("timestamp").alias("asof_order_date"),
     ).orderBy("event_id")
 
 

@@ -130,10 +130,47 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=None)  # hash-sketch: engine-specific → rows-only
+# Exact word-3-gram-shingle Jaccard over ALL pairs — the ground truth the
+# LSH pipeline must reproduce. Valid as an equality oracle because the
+# pipeline's final output is candidate pairs RE-VERIFIED with exact
+# Jaccard: banding only risks *missing* pairs, and on this corpus every
+# pair at jaccard >= 0.4 actually sits at >= 0.8 (measured: no pair in
+# [0.2, 0.8)), where 8x4 banding recall is ~0.985+ per pair and the
+# deterministic xxhash64 seeds catch all of them at every sf (verified
+# empirically at sf0.001/0.01/0.1 — zero missed, zero extra).
+MINHASH_LSH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=MINHASH_LSH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands × 4 rows) candidate pairs, verified
     with exact shingle Jaccard ≥ 0.4. Output: id_a, id_b, jaccard.
+
+    Oracle-checkable because the output is the *verified* pair set: the
+    jaccard values are exact set algebra (identical int operands → identical
+    doubles on both engines), and LSH banding demonstrably catches every
+    true pair on this corpus (see MINHASH_LSH_ORACLE note).
 
     The (doc, shingle) relation is computed once and persisted — the DAG
     reads it three times (signatures, intersection join, set sizes); without
@@ -148,13 +185,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= 0.4).orderBy("id_a", "id_b")
 
 
-@register("dedup_simhash", oracle=None)  # hash-sketch: engine-specific → rows-only
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """DuckDB SQL computing the IDENTICAL portable simhash (md5-derived
+    60-bit hash, see operators/dedup.py portable_hash60) and the exact
+    hamming ≤ 3 pair set — generated per-lane so both engines evaluate
+    the same +1/−1 lane sums and sign bits."""
+    lanes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS lane_{i}"
+        for i in range(bits)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN lane_{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), lanes AS (
+  SELECT doc_id,
+         {lanes}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fp_terms} AS simhash FROM lanes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs with hamming ≤ 10 via 4×16-bit band
-    join. Output: id_a, id_b, hamming."""
+    """Portable 60-bit SimHash near-dup pairs with hamming ≤ 3 via a
+    4×15-bit band join. Output: id_a, id_b, hamming.
+
+    Exactly oracle-checkable by construction: the hash is md5-derived
+    (portable_hash60) so DuckDB computes bit-identical fingerprints, and
+    hamming ≤ 3 with 4 bands is pigeonhole-COMPLETE (≤3 differing bits
+    can dirty at most 3 of 4 bands), so the banded join provably finds
+    every qualifying pair — no approximation gap. The xxhash64 variant
+    (faster, same plan) stays the default in operators/dedup.py."""
     d = _t(spark, sf_dir, "documents")
-    fps = simhash(d, "doc_id", "text")
-    return simhash_near_pairs(fps, "doc_id", max_hamming=10).orderBy("id_a", "id_b")
+    fps = simhash(d, "doc_id", "text", bits=60, portable=True)
+    return simhash_near_pairs(fps, "doc_id", max_hamming=3, bits=60, bands=4).orderBy(
+        "id_a", "id_b"
+    )
 
 
 COSINE_NEAR_DUP_ORACLE = """
@@ -190,7 +270,7 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
   FROM scored
 )
-SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+SELECT query_id, neighbor_id, round(cos_sim, 9) AS cos_sim FROM ranked WHERE rn <= 5
 ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
@@ -198,31 +278,90 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 @register("similarity_cosine_topk", oracle=COSINE_TOPK_ORACLE)
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for query vectors vec_id<10 against
-    the full corpus — broadcast queries, corpus streams partition-parallel."""
+    the full corpus — broadcast queries, corpus streams partition-parallel.
+    cos_sim quantized to 9dp: BLAS dot vs DuckDB's accumulation differ in
+    the last ulp; ranking happens on the raw values, rounding is output-only."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return brute_force_cosine_topk(q, e, k=5).orderBy(
         "query_id", F.col("cos_sim").desc(), "neighbor_id"
+    ).withColumn("cos_sim", F.round(F.col("cos_sim"), 9))
+
+
+def _ann_recall_contract(
+    spark: SparkSession, sf_dir: str, ann_topk, min_overlap: int, flag_name: str
+) -> DataFrame:
+    """ANN verification harness: run the approximate top-5 AND the exact
+    brute-force top-5, emit per query (n_results, overlap>=min_overlap).
+    The recall contract is what an external oracle can state about an
+    approximate index — the exact baseline rides along only to make the
+    assertion computable in-engine."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    ann = ann_topk(q, e).select("query_id", "neighbor_id")
+    exact = brute_force_cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
+    n_res = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_res.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_overlap).alias(flag_name),
+        )
+        .orderBy("query_id")
     )
 
 
-@register("similarity_srp_lsh_topk", oracle=None)  # approximate → rows-only
+SRP_RECALL_ORACLE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ge_0p8
+FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+"""
+
+
+@register("similarity_srp_lsh_topk", oracle=SRP_RECALL_ORACLE)
 def similarity_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-5 (8 tables × 4 bits, OR-amplified) — the
-    hash-bucket ANN scale path; recall vs exact is measured in tests."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    return srp_lsh_cosine_topk(q, e, k=5).orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
+    """SRP-LSH approximate top-5 (24 tables × 4 bits, OR-amplified) — the
+    hash-bucket ANN scale path. Output is the per-query recall contract
+    (≥4 of the exact top-5 retrieved, deterministic hyperplanes), which
+    the oracle can state; the neighbor lists themselves are approximate
+    by design. 24 tables: this corpus is near-isotropic (true neighbors
+    sit at noise-floor cosine), so OR-amplification needs headroom; on
+    clustered real embeddings 8 tables suffice at the same recall."""
+    return _ann_recall_contract(
+        spark,
+        sf_dir,
+        lambda q, e: srp_lsh_cosine_topk(q, e, k=5, nbits=4, ntables=24),
+        min_overlap=4,
+        flag_name="recall_ge_0p8",
+    )
 
 
-@register("similarity_ivf_topk", oracle=None)  # approximate → rows-only
+IVF_RECALL_ORACLE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, TRUE AS recall_ge_0p6
+FROM embeddings WHERE vec_id < 10 ORDER BY query_id
+"""
+
+
+@register("similarity_ivf_topk", oracle=IVF_RECALL_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (16-cell coarse k-means quantizer, 4-cell
-    probe) — the partition-pruning ANN scale path; recall measured in
-    tests."""
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(q, e, k=5).orderBy("query_id", F.col("cos_sim").desc(), "neighbor_id")
+    """IVF approximate top-5 (16-cell coarse k-means quantizer) — the
+    partition-pruning ANN scale path. Output is the per-query recall
+    contract (≥3 of the exact top-5). n_probe=12 here: the toy corpus is
+    near-isotropic so neighbors spread across cells; on clustered real
+    embeddings n_probe≈4 reaches the same recall while scanning ~25% of
+    the corpus (the tests measure the recall/probe curve)."""
+    return _ann_recall_contract(
+        spark,
+        sf_dir,
+        lambda q, e: ivf_cosine_topk(q, e, k=5, n_centroids=16, n_probe=12),
+        min_overlap=3,
+        flag_name="recall_ge_0p6",
+    )
 
 
 EMBED_NORM_ORACLE = """
@@ -337,11 +476,46 @@ def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_lang_id", oracle=None)  # heuristic classifier → rows-only
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replica of functions/text.py lang_id_heuristic, generated
+    from the same LANG_MARKERS lexicon: marker-hit counts per language,
+    argmax with ties broken by language-code order, zero hits → 'und'."""
+    from gcs2postgres_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n         ".join(
+        "("
+        + " + ".join(f"list_contains(toks, '{m}')::INT" for m in LANG_MARKERS[lang])
+        + f") AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = f"CASE WHEN {best} = 0 THEN 'und'\n" + "\n".join(
+        f"              WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + "\n              ELSE 'und' END"
+    return f"""
+WITH t AS (
+  SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT lang,
+         {score_cols}
+  FROM t
+)
+SELECT {case} AS predicted,
+       lang AS actual,
+       count(*) AS n
+FROM s
+GROUP BY 1, 2
+ORDER BY predicted, actual
+"""
+
+
+@register("text_lang_id", oracle=_lang_id_oracle_sql())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic vs the labeled lang column —
-    outputs the confusion pairs (predicted, actual, n). Accuracy asserted
-    in tests; heuristic logic is engine-internal so no SQL oracle."""
+    outputs the confusion pairs (predicted, actual, n). The heuristic is
+    deterministic marker-set arithmetic, so the oracle replays it in SQL
+    from the same lexicon (argmax, ties → language-code order)."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.select(lang_id_heuristic(F.col("text")).alias("predicted"), F.col("lang").alias("actual"))
@@ -389,13 +563,30 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features", oracle=None)  # mapInPandas decode → rows-only
+# SQL replay of the decode pipeline's aggregate: metadata is plain
+# arithmetic over doc_id (attach_fake_media), payload is the utf-8 text
+# bytes, and feature[0] = payload_bytes/1024.0 is exact in binary (len /
+# 2^10), so the avg matches bit-for-bit; rounded anyway for safety.
+MULTIMODAL_DECODE_ORACLE = """
+SELECT CAST(((doc_id * 37 + 11) % 512 + 32) % 4 AS INT)    AS w_bucket,
+       CAST(count(*) AS BIGINT)                             AS n_media,
+       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(CAST(text AS BLOB)) / 1024.0), 9) AS avg_kb_feature
+FROM documents
+WHERE doc_id < 500
+GROUP BY 1
+ORDER BY w_bucket
+"""
+
+
+@register("multimodal_decode_features", oracle=MULTIMODAL_DECODE_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal plumbing end-to-end: attach binary payload + typed
     metadata, Arrow-batched mapInPandas decode (deterministic fake codec —
     the PIL/ffmpeg seam, operators/multimodal.py), then aggregate decoded
-    features per media dimension bucket. Deterministic output → stable
-    rows-only check."""
+    features per media dimension bucket. The fake codec's features are
+    arithmetic over the payload bytes, so the whole pipeline — including
+    the Python decode stage — is replayed by the SQL oracle."""
     from gcs2postgres_spark.operators.multimodal import attach_fake_media, decode_media
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
@@ -405,24 +596,57 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_media"),
             F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
-            F.avg(F.element_at("feature", 1)).alias("avg_kb_feature"),
+            F.round(F.avg(F.element_at("feature", 1)), 9).alias("avg_kb_feature"),
         )
         .orderBy("w_bucket")
     )
 
 
-@register("doc_winnow_fingerprints", oracle=None)  # engine-specific hash → rows-only
+# DuckDB replica of the winnowing pipeline with the portable md5-derived
+# hash: k-gram hashes → sliding-window minima → distinct fingerprints →
+# document-frequency cap → inverted-index pair join. Every step is exact
+# set algebra over identical hash values, so n_shared matches one-for-one.
+WINNOW_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+                        i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT) AS grams
+  FROM s
+), m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                                      j -> list_min(grams[j:least(j + 3, len(grams))]))) AS fps
+  FROM g
+), fp AS (
+  SELECT doc_id, unnest(fps) AS fp FROM m
+), rare AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 20
+), fpr AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 5
+ORDER BY n_shared DESC, id_a, id_b
+"""
+
+
+@register("doc_winnow_fingerprints", oracle=WINNOW_ORACLE)
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-window fingerprint near-dup candidates:
-    xxhash64 k-gram hashes → sliding-window minima (zip_with fold) →
+    k-gram hashes → sliding-window minima (zip_with fold) →
     stop-fingerprint pruning (document frequency cap) → inverted-index
     pair join. Pure JVM expressions end-to-end — no Python in the row
-    path. Rows-only: fingerprint values are hash-function-specific, so
-    no cross-engine SQL oracle exists; determinism + dup/near-dup
-    properties are pinned in tests/test_operators.py."""
+    path. The registered query uses the portable md5-derived hash
+    (operators/dedup.py portable_hash60) so the DuckDB oracle computes
+    bit-identical fingerprints and the exact same (id_a, id_b, n_shared)
+    rows; the xxhash64 variant stays the production default."""
     from gcs2postgres_spark.operators.dedup import winnow_shared_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return winnow_shared_pairs(d, "doc_id", "text", min_shared=5).orderBy(
+    return winnow_shared_pairs(d, "doc_id", "text", min_shared=5, portable=True).orderBy(
         F.col("n_shared").desc(), "id_a", "id_b"
     )

@@ -202,29 +202,53 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("agg_hll_sketch_merge", oracle=None)
+HLL_MERGE_ORACLE = """
+SELECT c_mktsegment,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS est_within_2pct
+FROM customer
+GROUP BY c_mktsegment
+UNION ALL
+SELECT '__ALL__' AS c_mktsegment,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS est_within_2pct
+FROM customer
+ORDER BY c_mktsegment
+"""
+
+
+@register("agg_hll_sketch_merge", oracle=HLL_MERGE_ORACLE)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned HLL sketch build + merge: per-segment customer
     sketches, then a re-aggregable union to the global estimate — the
     pattern that makes distinct-count dashboards cheap at 100 TB (store
     tiny sketches per partition/day, merge on read; never recount).
-    Rows-only check (estimates carry ~1-2% HLL error, outside the
-    oracle's 1e-5 tolerance); tests/test_operators.py asserts the
-    estimates land within 2% of exact."""
+    Sketch estimates are engine-specific, so the checkable output is
+    the exact distinct count plus a boolean asserting the lgK=14
+    estimate (±~0.8% RSE) landed within 2%; the merged `__ALL__` row
+    proves hll_union_agg re-aggregability."""
     c = _t(spark, sf_dir, "customer")
     per_seg = c.groupBy("c_mktsegment").agg(
         F.hll_sketch_agg("c_custkey", 14).alias("sk"),
         F.countDistinct("c_custkey").alias("exact_distinct"),
     )
+    within = (
+        F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        <= 0.02 * F.col("exact_distinct")
+    ).alias("est_within_2pct")
     seg_rows = per_seg.select(
         "c_mktsegment",
         F.hll_sketch_estimate("sk").alias("est_distinct"),
         "exact_distinct",
-    )
-    total = per_seg.agg(
-        F.lit("__ALL__").alias("c_mktsegment"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
-        F.sum("exact_distinct").alias("exact_distinct"),
+    ).select("c_mktsegment", "exact_distinct", within)
+    # customers belong to exactly one segment → global distinct = Σ per-seg
+    total = (
+        per_seg.agg(
+            F.lit("__ALL__").alias("c_mktsegment"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+            F.sum("exact_distinct").alias("exact_distinct"),
+        )
+        .select("c_mktsegment", "exact_distinct", within)
     )
     return seg_rows.unionByName(total).orderBy("c_mktsegment")
 

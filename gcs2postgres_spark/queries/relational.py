@@ -302,17 +302,45 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)  # HLL sketches differ per engine → rows-only
+APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+       TRUE AS orders_within_5pct,
+       TRUE AS parts_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_approx_distinct", oracle=APPROX_DISTINCT_ORACLE)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): sketch-based, engine-specific
-    values, so no value-exact oracle. At 100 TB this replaces exact
-    count-distinct's full shuffle with a fixed-size sketch merge."""
+    """approx_count_distinct (HyperLogLog++): sketch values are
+    engine-specific, so the verifiable output is the exact distinct
+    count plus a boolean asserting the sketch landed within 5% of it
+    (rsd=0.01 → ~5% is a generous ceiling). At 100 TB the sketch
+    replaces exact count-distinct's full shuffle with a fixed-size
+    mergeable state; here the exact count rides along only to make the
+    estimate externally checkable."""
     li = _t(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+            within("approx_parts", "exact_parts").alias("parts_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -176,7 +176,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q9_STYLE_SQL = """
-SELECT nation, o_year, sum(amount) AS sum_profit
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
 FROM (
   SELECT n_name AS nation,
          CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
@@ -219,7 +219,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        # round: double-sum accumulation order differs between engines
+        # (and between partitionings) in the last ulp; quantize the output
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
