@@ -20,11 +20,20 @@ from pyspark.sql.functions import pandas_udf
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Exact dedup keeping the minimum id per key group — a deterministic
-    dropDuplicates (hash-groupBy with map-side partial min)."""
+    """Exact dedup keeping the WHOLE row with the minimum id per key group
+    — a deterministic dropDuplicates (hash-groupBy with map-side partial
+    min). min over struct(id, other…) compares lexicographically, so id
+    (unique) decides and every non-key column comes from that same winning
+    row — never a chimera mixing columns of different duplicates (which is
+    what ``F.first`` per column would produce: first() has no ordering
+    guarantee under parallel aggregation)."""
     others = [c for c in df.columns if c not in key_cols and c != id_col]
-    return df.groupBy(*key_cols).agg(
-        F.min(id_col).alias(id_col), *[F.first(c).alias(c) for c in others]
+    winner = F.min(F.struct(F.col(id_col), *[F.col(c) for c in others])).alias("_w")
+    out = df.groupBy(*key_cols).agg(winner)
+    return out.select(
+        *key_cols,
+        F.col(f"_w.{id_col}").alias(id_col),
+        *[F.col(f"_w.{c}").alias(c) for c in others],
     )
 
 

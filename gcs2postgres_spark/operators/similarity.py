@@ -326,6 +326,56 @@ def ivf_cosine_topk(
     )
 
 
+def srp_cosine_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    nbits: int = 3,
+    ntables: int = 24,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos > threshold) via
+    SRP-LSH bucketing — the scale path that replaces the quadratic
+    all-pairs crossJoin (cosine_near_dup_pairs below, kept as the
+    verify-stage / bounded-range utility).
+
+    Plan shape: each vector computes its ``ntables`` bucket keys scan-side
+    and explodes; candidates come from a bucket-key EQUI-join (a < b), are
+    deduped, and only then are the embeddings joined back for the exact
+    cosine verify — so vectors are never replicated through the candidate
+    shuffle and no cartesian/BNLJ appears anywhere. Work scales with
+    bucket occupancy, not corpus².
+
+    Recall: a pair at cos c collides in one table with prob p^nbits,
+    p = 1 - acos(c)/π; missing all tables ≈ (1-p^nbits)^ntables — at the
+    defaults ~5e-4 for c=0.45, and the fixed seed makes the outcome
+    deterministic (verified exhaustively against all-pairs in tests)."""
+    tables = [_srp_hyperplanes(dim, nbits, seed + 7919 * t) for t in range(ntables)]
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    keyed = v.select("id", F.explode(_srp_table_keys(F.col("vec"), tables)).alias("bucket"))
+    a = keyed.select(F.col("id").alias("id_a"), "bucket")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("bucket").alias("bucket_b"))
+    cands = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") > threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

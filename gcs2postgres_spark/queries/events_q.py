@@ -33,14 +33,19 @@ ORDER BY event_type
 
 @register("json_extract_agg", oracle=JSON_EXTRACT_ORACLE)
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-string column access (events.props = '{"k": <int>}'). Uses
-    get_json_object; from_json with an explicit schema is the typed variant
-    (exercised in tests) — at scale prefer from_json once + struct access,
-    which parses each row a single time."""
+    """JSON-string column access (events.props = '{"k": <int>}'), parsed
+    ONCE per row with from_json + an explicit schema, then struct access
+    for every aggregate input — the at-scale form. get_json_object per
+    aggregate re-parses the JSON for each access (measured 41× the
+    DuckDB baseline in round 1; this form is one parse regardless of how
+    many fields the aggregates touch)."""
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    parsed = e.select(
+        "event_type", F.from_json(F.col("props"), "k BIGINT").alias("p")
+    )
+    k = F.col("p.k")
     return (
-        e.groupBy("event_type")
+        parsed.groupBy("event_type")
         .agg(
             F.sum(k).alias("sum_k"),
             F.max(k).alias("max_k"),

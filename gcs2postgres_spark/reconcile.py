@@ -24,6 +24,7 @@ Reference semantics being reproduced (and unit-tested):
 from __future__ import annotations
 
 import logging
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,14 +77,30 @@ def reconcile_to_target(df: DataFrame, target_schema: list[tuple[str, str]]) -> 
     return df.select(*out)
 
 
+_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def fetch_target_schema_jdbc(
-    spark, jdbc_url: str, table: str, properties: dict[str, str]
+    spark,
+    jdbc_url: str,
+    table: str,
+    properties: dict[str, str],
+    table_schema: str = "public",
 ) -> list[tuple[str, str]]:
     """Target-schema fetch from information_schema.columns (reference
-    FetchColumns, src/utils/utils.go:96-123) via a JDBC pushdown query."""
+    FetchColumns, src/utils/utils.go:96-123) via a JDBC pushdown query.
+
+    Table/schema names are config-controlled strings interpolated into
+    SQL, so they are validated as plain identifiers first (injection /
+    broken-quote guard), and the lookup is pinned to one table_schema so
+    a same-named table in another schema can't shadow the target."""
+    for ident in (table, table_schema):
+        if not _IDENTIFIER_RE.match(ident):
+            raise ValueError(f"invalid SQL identifier: {ident!r}")
     q = (
         "(SELECT column_name, data_type, ordinal_position "
-        f"FROM information_schema.columns WHERE table_name = '{table}') AS cols"
+        f"FROM information_schema.columns WHERE table_name = '{table}' "
+        f"AND table_schema = '{table_schema}') AS cols"
     )
     rows = (
         spark.read.jdbc(jdbc_url, q, properties=properties)

@@ -142,6 +142,49 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall}"
 
 
+def test_exact_dedup_keeps_whole_min_id_row(spark):
+    """exact_dedup must return the min-id row's columns TOGETHER — no
+    chimera rows mixing non-key values from different duplicates (the
+    F.first() failure mode under parallel aggregation)."""
+    from gcs2postgres_spark.operators.dedup import exact_dedup
+
+    rows = [
+        # (id, key, payload) — payloads deliberately disagree per key
+        (5, "a", "late"),
+        (1, "a", "first"),
+        (3, "a", "mid"),
+        (9, "b", "solo"),
+        (2, "c", "keep"),
+        (8, "c", "drop"),
+    ]
+    df = spark.createDataFrame(rows, "id long, key string, payload string").repartition(7)
+    got = {(r["key"], r["id"], r["payload"]) for r in exact_dedup(df, ["key"], "id").collect()}
+    assert got == {("a", 1, "first"), ("b", 9, "solo"), ("c", 2, "keep")}
+
+
+def test_srp_near_dup_pairs_equal_all_pairs(spark, sf_dir):
+    """The SRP-bucketed near-dup pipeline must reproduce the exact
+    all-pairs result on the test corpus — the property its registered
+    oracle (exact all-pairs SQL) relies on."""
+    from gcs2postgres_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        srp_cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in srp_cosine_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert bucketed == exact, (
+        f"missed={sorted(exact - bucketed)[:5]} extra={sorted(bucketed - exact)[:5]}"
+    )
+
+
 def test_ivf_deterministic(spark, sf_dir):
     from gcs2postgres_spark.operators.similarity import ivf_cosine_topk
 

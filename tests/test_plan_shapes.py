@@ -136,6 +136,15 @@ def test_srp_lsh_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_cosine_dedup_no_cartesian(spark, sf_dir):
+    # round-1 verdict: the registered embedding near-dup must be the
+    # SRP-bucketed pipeline, not the capped all-pairs crossJoin — no
+    # cartesian anywhere in its plan
+    plan = _plan(spark, sf_dir, "dedup_cosine_embeddings")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_minhash_band_join_no_cartesian(spark, sf_dir):
     # banding exists precisely to avoid all-pairs: the candidate join must
     # be an equi-join on (band_id, band_hash)

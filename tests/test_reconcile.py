@@ -89,3 +89,17 @@ def test_unknown_type_stringifies(spark, src):
 def test_target_order_is_output_order(spark, src):
     out = reconcile_to_target(src, [("ratio", "float8"), ("id", "int8"), ("name", "text")])
     assert out.columns == ["ratio", "id", "name"]
+
+
+def test_schema_fetch_rejects_malformed_identifiers(spark):
+    # config-controlled names are interpolated into the pushdown SQL —
+    # anything that isn't a plain identifier must be refused up front
+    import pytest
+
+    from gcs2postgres_spark.reconcile import fetch_target_schema_jdbc
+
+    for bad in ["orders'; DROP TABLE x; --", 'a"b', "has space", "", "1starts_with_digit"]:
+        with pytest.raises(ValueError, match="invalid SQL identifier"):
+            fetch_target_schema_jdbc(spark, "jdbc:postgresql://x/y", bad, {})
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        fetch_target_schema_jdbc(spark, "jdbc:postgresql://x/y", "orders", {}, table_schema="pub'lic")
