@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _orderable(dtype) -> bool:
+    """True when a Spark type participates in ordering expressions.
+    MapType is the unorderable case (anywhere in the nesting)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup keeping the WHOLE row with the minimum id per key group
     — a deterministic dropDuplicates (hash-groupBy with map-side partial
@@ -26,14 +40,29 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     (unique) decides and every non-key column comes from that same winning
     row — never a chimera mixing columns of different duplicates (which is
     what ``F.first`` per column would produce: first() has no ordering
-    guarantee under parallel aggregation)."""
+    guarantee under parallel aggregation).
+
+    Requires id_col unique within each key group (it is the tiebreak).
+    Non-key columns must be orderable for the single-shuffle struct-min
+    path; when any is not (map-typed anywhere in its nesting, which Spark
+    rejects in ordering expressions), the winner id is computed with a
+    plain ``min(id)`` and the full row recovered by an equi-join back on
+    the unique id — one extra join, same result."""
     others = [c for c in df.columns if c not in key_cols and c != id_col]
-    winner = F.min(F.struct(F.col(id_col), *[F.col(c) for c in others])).alias("_w")
-    out = df.groupBy(*key_cols).agg(winner)
-    return out.select(
-        *key_cols,
-        F.col(f"_w.{id_col}").alias(id_col),
-        *[F.col(f"_w.{c}").alias(c) for c in others],
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if all(_orderable(schema[c]) for c in others):
+        winner = F.min(F.struct(F.col(id_col), *[F.col(c) for c in others])).alias("_w")
+        out = df.groupBy(*key_cols).agg(winner)
+        return out.select(
+            *key_cols,
+            F.col(f"_w.{id_col}").alias(id_col),
+            *[F.col(f"_w.{c}").alias(c) for c in others],
+        )
+    # unorderable column present: min(id) alone decides (id is unique),
+    # then join back for the winning row's other columns
+    winners = df.groupBy(*key_cols).agg(F.min(F.col(id_col)).alias(id_col))
+    return winners.join(df.select(id_col, *others), id_col, "inner").select(
+        *key_cols, id_col, *others
     )
 
 
@@ -249,7 +278,18 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: band the `bits`-bit fingerprint into
     `bands` equal keys (pigeonhole: hamming < bands ⇒ at least one band
     identical — the candidate set is COMPLETE for max_hamming ≤ bands-1),
-    join per band, verify with bit_count(xor) ≤ max_hamming."""
+    join per band, verify with bit_count(xor) ≤ max_hamming.
+
+    Requires ``bits % bands == 0``: with a remainder, the top
+    ``bits % bands`` fingerprint bits would belong to no band key, so a
+    pair differing only in those bits would be silently missed — breaking
+    the completeness guarantee above."""
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by bands ({bands}); a remainder "
+            "would leave the top bits un-banded and break the pigeonhole "
+            "completeness guarantee"
+        )
     width = bits // bands
     mask = (1 << width) - 1
     banded = fingerprints.select(

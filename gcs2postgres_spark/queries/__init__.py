@@ -25,73 +25,13 @@ from gcs2postgres_spark.queries import windows  # noqa: E402,F401
 from gcs2postgres_spark.queries import events_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import llm  # noqa: E402,F401
 
-# Round-2 verification window: the driver checks the first 50 entries.
-# Exactly 50 names — everything with no green CORRECTNESS_r01 row, plus
-# the three round-1 reds (agg_corr_covar hash-fail, agg_collect_set_listagg
-# unhashable-cell err, agg_approx_distinct no_oracle err), all fixed.
+# Round-3 verification window: the driver checks the first 50 entries.
+# Leads with the 12 queries never yet driver-verified (r1+r2 deferrals),
+# then any queries NEW this round, then fills the remaining slots with
+# round-2 greens as regression re-checks (spread across operator families:
+# joins, TPC-H, windows, events, LLM battery).
 VERIFY_FRONT: list[str] = [
-    # joins beyond inner/left (r01 cut landed mid-module)
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta",
-    "range_join_bands",
-    "asof_join_events_orders",
-    "asof_join_forward_next_purchase",
-    # TPC-H remainder
-    "q13_order_count_dist",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q9_product_profit",
-    "q21_waiting_supplier",
-    "q11_value_concentration",
-    "q20_promotion_suppliers",
-    "q16_supplier_cnt_by_part",
-    # misc SQL: the novel shapes (laterals/recursive/null-safe/sketch)
-    "lateral_topk_suppliers",
-    "join_null_safe",
-    "agg_hll_sketch_merge",
-    "recursive_cte_spine",
-    # window functions (all)
-    "window_rank",
-    "window_lag_lead",
-    "window_running",
-    "window_ntile",
-    "window_range_frame",
-    "topk_per_group",
-    "window_dist_funcs",
-    # events / streaming batch-twins
-    "json_extract_agg",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_sessionize",
-    "agg_salted_skew",
-    "events_dedup_first",
-    # LLM-pipeline battery: dedup + similarity + multimodal
-    "dedup_exact",
-    "doc_fingerprint",
-    "ngram_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_winnow_fingerprints",
-    "dedup_cosine_embeddings",
-    "similarity_cosine_topk",
-    "similarity_srp_lsh_topk",
-    "similarity_ivf_topk",
-    "text_lang_id",
-    "multimodal_join",
-    "multimodal_decode_features",
-    # round-1 reds, fixed this round
-    "agg_corr_covar",
-    "agg_collect_set_listagg",
-    "agg_approx_distinct",
-]
-
-# Deferred to the next rotation (positions 50+): each is a sibling of a
-# green round-1 entry and carries the same local DuckDB-parity pytest.
-VERIFY_DEFERRED: list[str] = [
+    # never driver-verified — the 12 VERIFY_DEFERRED from round 2
     "set_intersect_all",
     "set_except_all",
     "explode_pos_tokens",
@@ -104,7 +44,51 @@ VERIFY_DEFERRED: list[str] = [
     "embedding_norm_stats",
     "events_time_rollup",
     "events_click_purchase_attr",
+    # NEW in round 3 (slots inserted as queries land; see git log)
+    # regression re-checks: round-2 greens across every operator family
+    "join_right",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "join_null_safe",
+    "range_join_bands",
+    "asof_join_events_orders",
+    "asof_join_forward_next_purchase",
+    "q9_product_profit",
+    "q13_order_count_dist",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q21_waiting_supplier",
+    "lateral_topk_suppliers",
+    "recursive_cte_spine",
+    "agg_hll_sketch_merge",
+    "agg_corr_covar",
+    "agg_collect_set_listagg",
+    "agg_approx_distinct",
+    "agg_salted_skew",
+    "window_rank",
+    "window_running",
+    "window_range_frame",
+    "topk_per_group",
+    "json_extract_agg",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_dedup_first",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_winnow_fingerprints",
+    "dedup_cosine_embeddings",
+    "similarity_cosine_topk",
+    "similarity_srp_lsh_topk",
+    "similarity_ivf_topk",
+    "text_lang_id",
+    "multimodal_decode_features",
 ]
+
+# Nothing left deferred: every registered query has now been scheduled
+# through at least one driver verification window (r1 ∪ r2 ∪ r3).
+VERIFY_DEFERRED: list[str] = []
 
 
 def _reorder() -> None:

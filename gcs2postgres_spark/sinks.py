@@ -18,7 +18,23 @@ executors; nothing transits the driver.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Same plain-identifier guard as reconcile.fetch_target_schema_jdbc: table
+# and column names are config-controlled strings interpolated into SQL, and
+# the write path is the dangerous side — validate before building COPY SQL.
+_PLAIN_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_TABLE_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _check_copy_identifiers(table: str, columns: list[str]) -> None:
+    if not _TABLE_IDENTIFIER_RE.match(table):
+        raise ValueError(f"unsafe table identifier for COPY: {table!r}")
+    for c in columns:
+        if not _PLAIN_IDENTIFIER_RE.match(c):
+            raise ValueError(f"unsafe column identifier for COPY: {c!r}")
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None) -> None:
@@ -58,6 +74,7 @@ def make_copy_partition(dsn: str, table: str, columns: list[str], connect_factor
     protocol, which is what lets the reference's flagship sink path
     (pgx.CopyFrom, reference src/db/db.go:175-180) have executable
     evidence without a live Postgres."""
+    _check_copy_identifiers(table, columns)
     col_list = ", ".join(columns)
 
     def copy_partition(rows) -> None:

@@ -43,12 +43,6 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _values_equal(a, b) -> bool:
-    if pd.isna(a) if not isinstance(a, (list, tuple)) else False:
-        return (pd.isna(b) if not isinstance(b, (list, tuple)) else False) is True
-    return False
-
-
 def compare_exact(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> dict:
     out = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
     s = _canon(spark_df)

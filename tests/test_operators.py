@@ -162,6 +162,50 @@ def test_exact_dedup_keeps_whole_min_id_row(spark):
     assert got == {("a", 1, "first"), ("b", 9, "solo"), ("c", 2, "keep")}
 
 
+def test_exact_dedup_map_typed_column_via_join_back(spark):
+    """Map-typed columns can't sit inside the struct-min ordering; the
+    fallback path (min(id) + join-back on the unique id) must return the
+    same winning rows with the map intact."""
+    from gcs2postgres_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (5, "a", {"k": "late"}),
+        (1, "a", {"k": "first"}),
+        (9, "b", {"k": "solo"}),
+    ]
+    df = spark.createDataFrame(rows, "id long, key string, m map<string,string>").repartition(3)
+    got = {(r["key"], r["id"], r["m"]["k"]) for r in exact_dedup(df, ["key"], "id").collect()}
+    assert got == {("a", 1, "first"), ("b", 9, "solo")}
+
+
+def test_simhash_near_pairs_rejects_indivisible_bands(spark):
+    """bits % bands != 0 would leave the top bits un-banded and silently
+    break pigeonhole completeness — must raise, not miscompute."""
+    import pytest
+
+    from gcs2postgres_spark.operators.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_pairs(df, "doc_id", bits=64, bands=3)
+
+
+def test_copy_sink_rejects_unsafe_identifiers(spark):
+    """COPY SQL interpolates config-controlled table/column names; the
+    write path gets the same plain-identifier guard as reconcile's
+    target-schema fetch."""
+    import pytest
+
+    from gcs2postgres_spark.sinks import make_copy_partition
+
+    with pytest.raises(ValueError, match="unsafe table"):
+        make_copy_partition("dsn", "t; DROP TABLE x", ["a"])
+    with pytest.raises(ValueError, match="unsafe column"):
+        make_copy_partition("dsn", "public.t", ["a", 'b"'])
+    # legitimate schema-qualified table + plain columns pass
+    make_copy_partition("dsn", "public.t", ["a", "b_2"])
+
+
 def test_srp_near_dup_pairs_equal_all_pairs(spark, sf_dir):
     """The SRP-bucketed near-dup pipeline must reproduce the exact
     all-pairs result on the test corpus — the property its registered
