@@ -24,6 +24,7 @@ from gcs2postgres_spark.queries import misc_sql  # noqa: E402,F401
 from gcs2postgres_spark.queries import windows  # noqa: E402,F401
 from gcs2postgres_spark.queries import events_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import llm  # noqa: E402,F401
+from gcs2postgres_spark.queries import sources_q  # noqa: E402,F401
 
 # Round-3 verification window: the driver checks the first 50 entries.
 # Leads with the 12 queries never yet driver-verified (r1+r2 deferrals),
@@ -44,9 +45,9 @@ VERIFY_FRONT: list[str] = [
     "embedding_norm_stats",
     "events_time_rollup",
     "events_click_purchase_attr",
-    # NEW in round 3 (slots inserted as queries land; see git log)
+    # NEW in round 3
+    "avro_source_roundtrip",
     # regression re-checks: round-2 greens across every operator family
-    "join_right",
     "join_semi",
     "join_anti",
     "join_theta",

@@ -1,0 +1,67 @@
+"""Source-format queries: driver-verifiable evidence for the Avro path.
+
+The reference's own sample config loads ``supplier.avro`` (reference
+config.yaml:15-17; format list README.md:11). This registry entry runs
+that exact shape end-to-end INSIDE the correctness gate: supplier →
+partition-wise avro write (pure-Python container codec, deflate) →
+distributed jar-less avro read → aggregate; the DuckDB oracle computes
+the same aggregate straight from the parquet view, so any decode drift
+(values, nulls, types) breaks the hash match.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+AVRO_ROUNDTRIP_ORACLE = """
+SELECT s_nationkey,
+       count(*)                        AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+       min(s_name)                     AS first_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("avro_source_roundtrip", oracle=AVRO_ROUNDTRIP_ORACLE)
+def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → write_avro_distributed → read_source(avro) → aggregate.
+
+    The write is partition-wise from executors and the read is the
+    binaryFile+mapInPandas decoder — nothing but the final aggregate
+    rows transits the driver. The temp directory is materialized eagerly
+    (foreachPartition is an action) and read back immediately; the
+    aggregate result is small, so the returned plan re-reads only the
+    avro files if re-executed."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.avro_py import write_avro_distributed
+    from gcs2postgres_spark.sources.readers import read_source
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="avro_roundtrip_")
+    try:
+        write_avro_distributed(supplier.repartition(4), tmp)
+        df = read_source(spark, tmp, fmt="avro")
+        return (
+            df.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                # decimal accumulation: float sums are partition-order
+                # dependent; DECIMAL(18,2) is exact so both engines agree
+                F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+                F.min("s_name").alias("first_name"),
+            )
+            .orderBy("s_nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

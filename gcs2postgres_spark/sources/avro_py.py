@@ -1,0 +1,465 @@
+"""Pure-Python Avro object-container codec + distributed Spark reader.
+
+The reference lists Avro among its source formats and its own sample
+config loads ``supplier.avro`` (reference README.md:11, config.yaml:15-17,
+format-from-extension src/db/db.go:27). PySpark's native path needs the
+external spark-avro module, which is not on this classpath and cannot be
+fetched offline — so this module implements the Avro 1.x object container
+file format (public spec: https://avro.apache.org/docs/current/spec.html)
+directly:
+
+- ``read_avro_distributed``: Spark-first reader. File bodies move as
+  ``binaryFile`` rows (never through the driver beyond the one header
+  read for schema inference); each executor decodes its files with the
+  pure-Python decoder inside ``mapInPandas`` (Arrow-batched output).
+  Parallelism is per-file — the standard many-part-file Avro layout
+  parallelizes naturally; a sync-marker block splitter is the documented
+  extension for giant single files.
+- ``write_avro_file`` / ``read_avro_file``: single-file codec used for
+  fixtures and by the distributed reader per file.
+
+Spec conformance is not self-certified: tests round-trip files through
+the *Java* Avro reference implementation bundled with Spark
+(org.apache.avro DataFileReader/Writer via the py4j gateway) in both
+directions (tests/test_sources_formats.py).
+
+Supported: null/boolean/int/long/float/double/bytes/string, record,
+array, map, union, enum, fixed; codecs null + deflate (raw zlib).
+Logical types decode as their base type (documented narrowing).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------- primitives
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    """Zigzag varint (spec: 'binary encoding > primitive types')."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            break
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+def _write_bytes(buf: io.BytesIO, data: bytes) -> None:
+    _write_long(buf, len(data))
+    buf.write(data)
+
+
+# ------------------------------------------------------------ schema-driven
+
+
+def _decode(schema, buf: io.BytesIO):
+    """Decode one value of `schema` (parsed JSON form) from buf."""
+    if isinstance(schema, list):  # union: long index then value
+        return _decode(schema[_read_long(buf)], buf)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {f["name"]: _decode(f["type"], buf) for f in schema["fields"]}
+        if t == "array":
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    _read_long(buf)  # block byte size, unused when parsing all
+                    n = -n
+                for _ in range(n):
+                    out.append(_decode(schema["items"], buf))
+        if t == "map":
+            out = {}
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    _read_long(buf)
+                    n = -n
+                for _ in range(n):
+                    k = _read_bytes(buf).decode("utf-8")
+                    out[k] = _decode(schema["values"], buf)
+        if t == "enum":
+            return schema["symbols"][_read_long(buf)]
+        if t == "fixed":
+            return buf.read(schema["size"])
+        return _decode(t, buf)  # {"type": "long", "logicalType": ...} etc.
+    # plain string type name
+    if schema == "null":
+        return None
+    if schema == "boolean":
+        return buf.read(1) == b"\x01"
+    if schema in ("int", "long"):
+        return _read_long(buf)
+    if schema == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if schema == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if schema == "bytes":
+        return _read_bytes(buf)
+    if schema == "string":
+        return _read_bytes(buf).decode("utf-8")
+    raise ValueError(f"unsupported avro type {schema!r}")
+
+
+def _encode(schema, value, buf: io.BytesIO) -> None:
+    if isinstance(schema, list):  # union: pick first matching branch
+        for i, branch in enumerate(schema):
+            if _matches(branch, value):
+                _write_long(buf, i)
+                _encode(branch, value, buf)
+                return
+        raise ValueError(f"value {value!r} matches no union branch {schema!r}")
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(f["type"], value[f["name"]], buf)
+            return
+        if t == "array":
+            if value:
+                _write_long(buf, len(value))
+                for v in value:
+                    _encode(schema["items"], v, buf)
+            _write_long(buf, 0)
+            return
+        if t == "map":
+            if value:
+                _write_long(buf, len(value))
+                for k, v in value.items():
+                    _write_bytes(buf, k.encode("utf-8"))
+                    _encode(schema["values"], v, buf)
+            _write_long(buf, 0)
+            return
+        if t == "enum":
+            _write_long(buf, schema["symbols"].index(value))
+            return
+        if t == "fixed":
+            buf.write(value)
+            return
+        _encode(t, value, buf)
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+    elif schema in ("int", "long"):
+        _write_long(buf, int(value))
+    elif schema == "float":
+        buf.write(struct.pack("<f", value))
+    elif schema == "double":
+        buf.write(struct.pack("<d", value))
+    elif schema == "bytes":
+        _write_bytes(buf, bytes(value))
+    elif schema == "string":
+        _write_bytes(buf, value.encode("utf-8"))
+    else:
+        raise ValueError(f"unsupported avro type {schema!r}")
+
+
+def _matches(schema, value) -> bool:
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return value is None
+    if value is None:
+        return False
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        return isinstance(value, float)
+    if t == "string":
+        return isinstance(value, str)
+    if t in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    return True  # record/array/map/enum: containers pre-validated by caller
+
+
+# ------------------------------------------------------------ container file
+
+
+def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
+    """Parse container header → (writer schema JSON, codec, sync marker)."""
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = _read_bytes(buf).decode("utf-8")
+            meta[k] = _read_bytes(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r} (null/deflate only)")
+    sync = buf.read(16)
+    return schema, codec, sync
+
+
+def read_avro_bytes(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode a whole container file body → (writer schema, records)."""
+    buf = io.BytesIO(data)
+    schema, codec, sync = _read_header(buf)
+    records: list[dict] = []
+    while buf.tell() < len(data):
+        n_records = _read_long(buf)
+        block = _read_bytes(buf)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)  # raw deflate per spec
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        bbuf = io.BytesIO(block)
+        for _ in range(n_records):
+            records.append(_decode(schema, bbuf))
+    return schema, records
+
+
+def read_avro_file(path: str) -> tuple[dict, list[dict]]:
+    with open(path, "rb") as f:
+        return read_avro_bytes(f.read())
+
+
+def write_avro_file(
+    path: str, schema: dict, records: list[dict], codec: str = "deflate",
+    sync: bytes = b"\x00" * 16, block_records: int = 1000,
+) -> None:
+    """Write an object container file (fixture/writer side of the codec).
+    Deterministic by construction (fixed sync marker) so fixtures are
+    byte-stable across runs."""
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode())
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.write(sync)
+    for i in range(0, len(records), block_records):
+        chunk = records[i : i + block_records]
+        bbuf = io.BytesIO()
+        for r in chunk:
+            _encode(schema, r, bbuf)
+        body = bbuf.getvalue()
+        if codec == "deflate":
+            c = zlib.compressobj(wbits=-15)
+            body = c.compress(body) + c.flush()
+        _write_long(out, len(chunk))
+        _write_bytes(out, body)
+        out.write(sync)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+# ------------------------------------------------------- schema translation
+
+
+def avro_to_spark_type(schema) -> T.DataType:
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"only unions of null + one type supported: {schema!r}")
+        return avro_to_spark_type(non_null[0])
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"], avro_to_spark_type(f["type"]), _nullable(f["type"])
+                    )
+                    for f in schema["fields"]
+                ]
+            )
+        if t == "array":
+            return T.ArrayType(avro_to_spark_type(schema["items"]), _nullable(schema["items"]))
+        if t == "map":
+            return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]), _nullable(schema["values"]))
+        if t == "enum":
+            return T.StringType()
+        if t == "fixed":
+            return T.BinaryType()
+        return avro_to_spark_type(t)
+    return {
+        "null": T.NullType(),
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+        "string": T.StringType(),
+    }[schema]
+
+
+def _nullable(schema) -> bool:
+    return isinstance(schema, list) and "null" in schema
+
+
+def spark_to_avro_schema(st: T.StructType, name: str = "row") -> dict:
+    """Spark struct → avro record schema (fixture writer side)."""
+    mapping = {
+        T.BooleanType: "boolean", T.IntegerType: "int", T.LongType: "long",
+        T.FloatType: "float", T.DoubleType: "double", T.BinaryType: "bytes",
+        T.StringType: "string", T.ShortType: "int", T.ByteType: "int",
+    }
+
+    def conv(dt: T.DataType):
+        for k, v in mapping.items():
+            if isinstance(dt, k):
+                return v
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": conv(dt.elementType)}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "values": conv(dt.valueType)}
+        if isinstance(dt, T.StructType):
+            return spark_to_avro_schema(dt, name + "_n")
+        raise ValueError(f"no avro mapping for {dt}")
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": ["null", conv(f.dataType)] if f.nullable else conv(f.dataType)}
+            for f in st.fields
+        ],
+    }
+
+
+# ----------------------------------------------------- distributed writer
+
+
+def write_avro_distributed(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """Partition-wise Avro sink: each executor partition writes its own
+    ``part-{pid}.avro`` container file — nothing transits the driver (the
+    same executor-writes shape as sinks.write_jdbc). Pairs with
+    ``read_avro_distributed`` for a jar-less avro round trip."""
+    import os
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+    os.makedirs(path, exist_ok=True)
+    schema = spark_to_avro_schema(df.schema, "row")
+    names = df.columns
+    write_fn = write_avro_file
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        records = [dict(zip(names, r)) for r in rows]
+        if not records:
+            return
+        pid = TaskContext.get().partitionId()
+        write_fn(os.path.join(path, f"part-{pid:05d}.avro"), schema, records, codec=codec)
+
+    df.foreachPartition(write_partition)
+
+
+# ----------------------------------------------------------- spark reader
+
+
+def read_avro_distributed(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Avro read without the spark-avro jar.
+
+    One driver-side header read infers the schema (metadata block only —
+    no data rows transit the driver); then ``binaryFile`` ships each
+    file's bytes to an executor and ``mapInPandas`` decodes them with the
+    pure-Python codec. The decoder closure is built inside this function
+    so cloudpickle serializes it BY VALUE — executor workers don't have
+    this package on sys.path (same reasoning as multimodal._make_decoder).
+
+    Scale shape: per-file parallelism (the standard many-part-file Avro
+    layout); a giant single file would need a sync-marker splitter, which
+    is the documented extension point. Python-side decode is the price of
+    the missing jar — in a deployment with spark-avro available,
+    read_source uses the native JVM reader and never reaches this path.
+    """
+    import glob as _glob
+    import os
+
+    first = sorted(_glob.glob(os.path.join(path, "*.avro"))) if os.path.isdir(path) else [path]
+    if not first:
+        raise ValueError(f"no .avro files under {path!r}")
+    with open(first[0], "rb") as f:
+        # headers are small; 64 KiB covers schema JSON + metadata comfortably
+        avro_schema, _, _ = _read_header(io.BytesIO(f.read(65536)))
+    spark_schema = avro_to_spark_type(avro_schema)
+    if not isinstance(spark_schema, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    field_names = [f.name for f in spark_schema.fields]
+
+    # executor Python workers don't have this package on sys.path: register
+    # the module for BY-VALUE cloudpickle so the whole decode call graph
+    # (read_avro_bytes → _decode → _read_long …) ships inside the closure
+    # instead of as an import reference
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    read_bytes_fn = read_avro_bytes
+
+    def decode_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                _, records = read_bytes_fn(bytes(blob))
+                if records:
+                    yield pd.DataFrame.from_records(records, columns=field_names)
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path if os.path.isdir(path) else os.path.dirname(path) or ".")
+        .select("content")
+    )
+    return binary.mapInPandas(decode_files, schema=spark_schema)

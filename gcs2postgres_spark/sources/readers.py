@@ -7,10 +7,13 @@ infer the schema (src/db/db.go:45-56). Here each format maps to the
 native Spark reader; schema comes free for self-describing formats and
 via inference (or an explicit StructType) for CSV/JSON.
 
-Iceberg/Avro need runtime jars (spark-avro, iceberg-runtime) that may
-not be on the classpath — they are attempted and raise a clear error
-if the jar is missing (README.md:11 lists CSV/JSON/Parquet/Avro/
-Iceberg as the reference's formats).
+Avro: the native spark-avro reader is tried first; when that module is
+not on the classpath the reader falls back to the pure-Python
+distributed container codec (sources/avro_py.py — spec-conformance
+cross-checked against the bundled Java Avro implementation). Iceberg
+needs iceberg-spark-runtime and raises a clear error naming the jar
+when absent (README.md:11 lists CSV/JSON/Parquet/Avro/Iceberg as the
+reference's formats).
 """
 
 from __future__ import annotations
@@ -64,10 +67,29 @@ def read_source(
         if schema is None:
             options.setdefault("inferSchema", True)
     if fmt == "avro":
-        reader = reader.format("avro")
-        df = reader.options(**options).load(path)
+        try:
+            df = reader.format("avro").options(**options).load(path)
+        except Exception as e:
+            if "avro" not in str(e).lower():
+                raise
+            # spark-avro module absent: fall back to the pure-Python
+            # distributed container reader (sources/avro_py.py) — same
+            # rows, per-file parallelism, no driver materialization
+            from gcs2postgres_spark.sources.avro_py import read_avro_distributed
+
+            df = read_avro_distributed(spark, path)
     elif fmt == "iceberg":
-        df = reader.format("iceberg").options(**options).load(path)
+        try:
+            df = reader.format("iceberg").options(**options).load(path)
+        except Exception as e:
+            if "iceberg" in str(e).lower() or "DATA_SOURCE_NOT_FOUND" in str(e):
+                raise RuntimeError(
+                    "iceberg source needs the iceberg-spark-runtime jar on the "
+                    "classpath (spark.jars.packages="
+                    "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13); "
+                    "not bundled in this environment"
+                ) from e
+            raise
     else:
         df = getattr(reader.options(**options), fmt)(path)
     if register_view:
