@@ -26,7 +26,9 @@ HEADLINE = [
     "q9_product_profit",
     "q12_priority_caseagg",
     "q18_large_orders",
+    "q18_large_orders_bucketed",
     "q21_waiting_supplier",
+    "q21_waiting_supplier_bucketed",
     "agg_rollup",
     "window_running",
     "topk_per_group",

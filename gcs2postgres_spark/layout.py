@@ -32,13 +32,27 @@ def write_bucketed(
     n_buckets: int = 8,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sort-within-bucket) table.
     Sorting within buckets additionally removes the Sort from sort-merge
-    joins — scan → join directly."""
-    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    joins — scan → join directly.
+
+    The pre-write ``repartition(n_buckets, bucket_col)`` makes each task
+    hold exactly one bucket, so every bucket is ONE file: without it each
+    upstream task writes a file per bucket (tasks×buckets small files),
+    and a multi-file bucket forces the read side to re-Sort before a
+    sort-merge join even when sort_col is set — one sorted file per
+    bucket is what lets the SMJ consume the scan directly. Bucket count
+    also caps scan parallelism (one task per bucket), so size it to the
+    cluster: ~total-cores × small-multiple, with 128-512 MB per bucket."""
+    w = df.repartition(n_buckets, bucket_col).write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path is not None:
+        # external table: pins storage to an explicit location instead of
+        # cwd/spark-warehouse (the caller's cwd may not be writable)
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

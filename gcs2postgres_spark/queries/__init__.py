@@ -25,6 +25,7 @@ from gcs2postgres_spark.queries import windows  # noqa: E402,F401
 from gcs2postgres_spark.queries import events_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import llm  # noqa: E402,F401
 from gcs2postgres_spark.queries import sources_q  # noqa: E402,F401
+from gcs2postgres_spark.queries import bucketed_q  # noqa: E402,F401
 
 # Round-3 verification window: the driver checks the first 50 entries.
 # Leads with the 12 queries never yet driver-verified (r1+r2 deferrals),
@@ -47,9 +48,9 @@ VERIFY_FRONT: list[str] = [
     "events_click_purchase_attr",
     # NEW in round 3
     "avro_source_roundtrip",
+    "q18_large_orders_bucketed",
+    "q21_waiting_supplier_bucketed",
     # regression re-checks: round-2 greens across every operator family
-    "join_semi",
-    "join_anti",
     "join_theta",
     "join_null_safe",
     "range_join_bands",

@@ -1,0 +1,131 @@
+"""Bucketed-warehouse variants of the fact-fact TPC-H shapes.
+
+The six perf-weak queries in the round-2 audit (q3/q5/q9/q12/q18/q21)
+all pay one shape: the lineitem×orders shuffle. Bucketing both facts by
+orderkey at WRITE time removes that Exchange from every one of them —
+this module registers bucketed variants of the two heaviest (q18, q21)
+reading a lazily-materialized bucketed warehouse, with the SAME oracle
+SQL as the unbucketed originals (layout is physical, semantics are
+identical — any divergence is a bug the driver's hash compare catches).
+
+Why this is the 100 TB lever: q21 touches lineitem three times on
+orderkey (scan, per-order agg, join-back) plus the orders join; with
+orderkey bucketing ALL of those reuse the bucket partitioning — zero
+hash exchanges of the fact table per query, amortized across every
+orderkey query that reads the warehouse. The bucketed write itself is
+one shuffle, paid once at ingest (the reference pays a full rewrite
+into BigQuery-managed storage at the same point in its pipeline —
+reference src/db/db.go:149-180).
+
+Plan shape is pinned by tests/test_layout.py::test_q18_q21_bucketed_*:
+no ``Exchange hashpartitioning`` at or below the fact join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.layout import write_bucketed
+from gcs2postgres_spark.queries.advanced import Q18_STYLE_SQL
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.queries.tpch_rest import Q21_STYLE_SQL
+from gcs2postgres_spark.session import tune_for_session
+
+
+def _n_buckets() -> int:
+    """Bucket count: at 100 TB size this to ~128-512 MB of lineitem per
+    bucket (thousands); the env knob keeps local tests small."""
+    return int(os.environ.get("SPARK_GRAFT_BUCKETS", "8"))
+
+
+def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotently materialize lineitem+orders bucketed by orderkey for
+    this sf_dir and return the table names. Names encode (sf_dir, bucket
+    count) so different scales/sessions never collide; an existing table
+    is reused — the write is the once-per-warehouse ingest cost."""
+    import tempfile
+
+    tune_for_session(spark)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    n = _n_buckets()
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n}".encode()).hexdigest()[:10]
+    li_t, o_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_warehouse")
+    if not spark.catalog.tableExists(li_t):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), li_t, "l_orderkey", n,
+            sort_col="l_orderkey", path=os.path.join(base, li_t),
+        )
+    if not spark.catalog.tableExists(o_t):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), o_t, "o_orderkey", n,
+            sort_col="o_orderkey", path=os.path.join(base, o_t),
+        )
+    return li_t, o_t
+
+
+@register("q18_large_orders_bucketed", oracle=Q18_STYLE_SQL)
+def q18_large_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 over the bucketed warehouse: the per-orderkey aggregate AND the
+    big⋈orders join both reuse the bucket partitioning — the only
+    exchanges left are the (tiny) filtered-result joins and the final
+    sort. Semantics identical to q18_large_orders (same oracle)."""
+    li_t, o_t = bucketed_fact_tables(spark, sf_dir)
+    li, o = spark.table(li_t), spark.table(o_t)
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_sum"))
+        .filter(F.col("qty_sum") > 150)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "qty_sum",
+        )
+        .orderBy(F.col("qty_sum").desc(), "o_orderkey")
+    )
+
+
+@register("q21_waiting_supplier_bucketed", oracle=Q21_STYLE_SQL)
+def q21_waiting_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 over the bucketed warehouse — the biggest beneficiary: the
+    lineitem⋈orders join, the per-order distinct aggregate, and the
+    late-lines⋈per-order join-back ALL inherit hashpartitioning(orderkey)
+    from the buckets, so the fact table is never hash-exchanged.
+    Decorrelation logic identical to q21_waiting_supplier (same oracle)."""
+    li_t, o_t = bucketed_fact_tables(spark, sf_dir)
+    li = spark.table(li_t)
+    o = spark.table(o_t).filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.filter(F.col("is_late"))
+        .join(
+            per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

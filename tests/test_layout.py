@@ -57,6 +57,39 @@ def test_unbucketed_join_does_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_q18_q21_bucketed_match_unbucketed_and_skip_fact_shuffle(spark, sf_dir):
+    """The registered bucketed variants must (a) return exactly the
+    unbucketed results and (b) plan the per-orderkey aggregate + fact
+    join WITHOUT hash-exchanging lineitem/orders (the bucket scan
+    satisfies the distribution)."""
+    from gcs2postgres_spark.queries.advanced import q18_large_orders
+    from gcs2postgres_spark.queries.bucketed_q import (
+        q18_large_orders_bucketed,
+        q21_waiting_supplier_bucketed,
+    )
+    from gcs2postgres_spark.queries.tpch_rest import q21_waiting_supplier
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for plain_fn, bkt_fn in [
+            (q18_large_orders, q18_large_orders_bucketed),
+            (q21_waiting_supplier, q21_waiting_supplier_bucketed),
+        ]:
+            bkt = bkt_fn(spark, sf_dir)
+            plan = formatted_plan(bkt)
+            # the fact-side scans must be bucketed scans...
+            assert "SelectedBucketsCount" in plan, plan
+            # ...and no hash exchange may touch a fact-table column
+            for frag in plan.split("Exchange hashpartitioning")[1:]:
+                keys = frag[:120]
+                assert "l_orderkey" not in keys and "o_orderkey" not in keys, plan
+            assert sorted(map(tuple, bkt.collect())) == sorted(
+                map(tuple, plain_fn(spark, sf_dir).collect())
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
 def test_partitioned_write_prunes(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with tempfile.TemporaryDirectory(prefix="part_docs_") as d:
