@@ -88,13 +88,20 @@ def _make_decoder():
 _decode_payload = _make_decoder()
 
 
-def decode_media(records: DataFrame) -> DataFrame:
+def decode_media(records: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (payload, media_meta) rows,
     emitting per-record features. Batch-shape contract: each pandas
     DataFrame chunk holds payload as bytes objects and media_meta as dicts
-    (Arrow struct → dict)."""
+    (Arrow struct → dict).
 
-    decode_payload = _decode_payload  # by-value picklable (see _make_decoder)
+    ``decoder`` is the codec seam: any callable with the
+    ``decode_payload(payload, media_type) → dict`` contract. Defaults to
+    the deterministic fake; functions/media_codecs.make_real_decoder()
+    supplies REAL stdlib-only PNG/WAV codecs (tested against JVM ImageIO
+    output); PIL/ffmpeg-backed decoders slot in the same way. Must be
+    by-value picklable (nested/factory-made, not module-level)."""
+
+    decode_payload = decoder if decoder is not None else _decode_payload
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
