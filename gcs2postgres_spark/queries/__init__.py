@@ -26,6 +26,7 @@ from gcs2postgres_spark.queries import events_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import llm  # noqa: E402,F401
 from gcs2postgres_spark.queries import sources_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import bucketed_q  # noqa: E402,F401
+from gcs2postgres_spark.queries import training_q  # noqa: E402,F401
 
 # Round-3 verification window: the driver checks the first 50 entries.
 # Leads with the 12 queries never yet driver-verified (r1+r2 deferrals),
@@ -50,6 +51,9 @@ VERIFY_FRONT: list[str] = [
     "avro_source_roundtrip",
     "q18_large_orders_bucketed",
     "q21_waiting_supplier_bucketed",
+    "dataset_split_assign",
+    "text_repetition_filter",
+    "sequence_pack_greedy",
     # regression re-checks: round-2 greens across every operator family
     "join_theta",
     "join_null_safe",
@@ -57,7 +61,6 @@ VERIFY_FRONT: list[str] = [
     "asof_join_events_orders",
     "asof_join_forward_next_purchase",
     "q9_product_profit",
-    "q13_order_count_dist",
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q21_waiting_supplier",
@@ -68,12 +71,10 @@ VERIFY_FRONT: list[str] = [
     "agg_collect_set_listagg",
     "agg_approx_distinct",
     "agg_salted_skew",
-    "window_rank",
     "window_running",
     "window_range_frame",
     "topk_per_group",
     "json_extract_agg",
-    "events_tumbling_window",
     "events_sessionize",
     "events_dedup_first",
     "dedup_exact",

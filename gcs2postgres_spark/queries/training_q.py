@@ -1,0 +1,142 @@
+"""Training-data pipeline queries: deterministic splits, repetition
+quality gate, sequence packing (operators/training.py) — each with an
+exact DuckDB oracle (all three ops are deterministic functions of the
+data, so the oracle replays them value-for-value: the md5 bucket for
+splits, the same HOF arithmetic for repetition, a per-shard recursive
+CTE for the greedy pack)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.operators.training import (
+    hash_split_column,
+    hash_split_oracle_bucket_sql,
+    pack_sequences,
+    repetition_stats,
+)
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+_SPLIT_SEED = "split-v1"
+_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+DATASET_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN {hash_split_oracle_bucket_sql("doc_id", _SPLIT_SEED)} < 9000 THEN 'train'
+              WHEN {hash_split_oracle_bucket_sql("doc_id", _SPLIT_SEED)} < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT)  AS first_doc
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+@register("dataset_split_assign", oracle=DATASET_SPLIT_ORACLE)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split via the portable md5
+    bucket (operators/training.py) — zero shuffles to assign, one to
+    aggregate the per-split profile. The oracle recomputes the identical
+    bucket in DuckDB, so a single relocated document fails the hash."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        hash_split_column(F.col("doc_id"), _WEIGHTS, _SPLIT_SEED).alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+TEXT_REPETITION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words,
+         round(1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 5) AS repetition_ratio
+  FROM toks
+)
+SELECT doc_id, n_words, n_distinct_words, repetition_ratio,
+       repetition_ratio > 0.5 AS is_repetitive
+FROM stats
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition_filter", oracle=TEXT_REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality gate: word-level distinct ratio per
+    document as pure Catalyst HOFs (no shuffle, no UDF). The >0.5 flag is
+    the cheap pre-filter run before any near-dup pass at scale.
+    repetition_ratio rounded to 5dp on both sides (identical quantization
+    policy as agg_corr_covar)."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    s = repetition_stats(F.col("text"))
+    ratio = F.round(s["repetition_ratio"], 5)
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["n_distinct_words"].alias("n_distinct_words"),
+        ratio.alias("repetition_ratio"),
+        (ratio > 0.5).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+_PACK_BUDGET = 128
+_PACK_SHARDS = 8
+
+SEQUENCE_PACK_ORACLE = f"""
+WITH RECURSIVE ordered AS (
+  SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT shard, rn, doc_id, n_tokens, n_tokens AS acc, CAST(0 AS BIGINT) AS seq_local
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.acc + o.n_tokens > {_PACK_BUDGET} THEN o.n_tokens
+              ELSE p.acc + o.n_tokens END,
+         CASE WHEN p.acc + o.n_tokens > {_PACK_BUDGET} THEN p.seq_local + 1
+              ELSE p.seq_local END
+  FROM ordered o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(shard * 1000000 + seq_local AS BIGINT) AS seq_id,
+       n_tokens, seq_local
+FROM pack ORDER BY doc_id
+"""
+
+
+@register("sequence_pack_greedy", oracle=SEQUENCE_PACK_ORACLE)
+def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (pretraining batch prep): greedy
+    per-shard pack at budget=128 whitespace tokens, shard = doc_id % 8.
+    One shuffle + linear Arrow-batched greedy; the oracle replays the
+    exact recurrence as a per-shard recursive CTE, so a single
+    off-by-one in the boundary condition fails the hash."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).orderBy("doc_id")

@@ -206,6 +206,50 @@ def test_copy_sink_rejects_unsafe_identifiers(spark):
     make_copy_partition("dsn", "public.t", ["a", "b_2"])
 
 
+def test_pack_sequences_respects_budget_and_is_deterministic(spark, sf_dir):
+    """No packed sequence may exceed the token budget unless it is a
+    single oversized document; two runs must agree exactly (the property
+    the recursive-CTE oracle also checks, pinned here independently)."""
+    from gcs2postgres_spark.operators.training import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=64, n_shards=4)
+    per_seq = (
+        packed.groupBy("seq_id")
+        .agg(F.sum("n_tokens").alias("seq_tokens"), F.count("*").alias("n_docs"))
+        .collect()
+    )
+    assert per_seq, "no sequences produced"
+    for r in per_seq:
+        assert r["seq_tokens"] <= 64 or r["n_docs"] == 1, dict(r.asDict())
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, pack_sequences(docs, budget=64, n_shards=4).collect()))
+    assert a == b
+
+
+def test_hash_split_proportions_and_stability(spark, sf_dir):
+    """The md5 split must land near the requested 90/5/5 weights and be
+    a pure function of (seed, id): same seed → identical assignment,
+    different seed → a different one."""
+    from gcs2postgres_spark.operators.training import hash_split_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    s1 = docs.select(
+        "doc_id", hash_split_column(F.col("doc_id"), w, "seed-a").alias("split")
+    )
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts.get("train", 0) / total > 0.8
+    assert 0 < counts.get("val", 0) / total < 0.15
+    assert s1.collect() == s1.collect()
+    s2 = docs.select(
+        "doc_id", hash_split_column(F.col("doc_id"), w, "seed-b").alias("split")
+    )
+    diff = s1.withColumnRenamed("split", "a").join(s2.withColumnRenamed("split", "b"), "doc_id")
+    assert diff.filter(F.col("a") != F.col("b")).count() > 0
+
+
 def _imageio_png(spark, w, h, pixel_fn) -> bytes:
     """Encode a PNG with the JVM's ImageIO (adaptive row filters — the
     decoder's Sub/Up/Average/Paeth paths get real exercise), pixels from
