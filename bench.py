@@ -21,10 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q3_shipping_priority_bucketed",
     "q5_local_supplier",
     "q6_revenue_forecast",
     "q9_product_profit",
     "q12_priority_caseagg",
+    "q12_priority_caseagg_bucketed",
     "q18_large_orders",
     "q18_large_orders_bucketed",
     "q21_waiting_supplier",

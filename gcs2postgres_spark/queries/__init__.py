@@ -51,6 +51,8 @@ VERIFY_FRONT: list[str] = [
     "avro_source_roundtrip",
     "q18_large_orders_bucketed",
     "q21_waiting_supplier_bucketed",
+    "q3_shipping_priority_bucketed",
+    "q12_priority_caseagg_bucketed",
     "dataset_split_assign",
     "text_repetition_filter",
     "sequence_pack_greedy",
@@ -61,8 +63,6 @@ VERIFY_FRONT: list[str] = [
     "asof_join_events_orders",
     "asof_join_forward_next_purchase",
     "q9_product_profit",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
     "q21_waiting_supplier",
     "lateral_topk_suppliers",
     "recursive_cte_spine",

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.layout import write_bucketed
-from gcs2postgres_spark.queries.advanced import Q18_STYLE_SQL
+from gcs2postgres_spark.queries.advanced import Q12_STYLE_SQL, Q18_STYLE_SQL
+from gcs2postgres_spark.queries.joins import Q3_ORACLE
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.queries.tpch_rest import Q21_STYLE_SQL
 from gcs2postgres_spark.session import tune_for_session
@@ -93,6 +94,55 @@ def q18_large_orders_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_sum",
         )
         .orderBy(F.col("qty_sum").desc(), "o_orderkey")
+    )
+
+
+@register("q3_shipping_priority_bucketed", oracle=Q3_ORACLE)
+def q3_shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 over the bucketed warehouse, join order re-arranged to protect
+    the bucket partitioning: (lineitem ⋈ orders) FIRST — shuffle-free on
+    the buckets — then the segment-filtered customer side joins the much
+    smaller result (broadcast at test scale, AQE decides at 100 TB). The
+    groupBy keys include l_orderkey, so the aggregate also rides the
+    bucket partitioning. Same oracle as q3_shipping_priority."""
+    li_t, o_t = bucketed_fact_tables(spark, sf_dir)
+    cutoff = F.to_timestamp(F.lit("1998-03-15 00:00:00"))
+    li = spark.table(li_t).filter(F.col("l_shipdate") > cutoff)
+    o = spark.table(o_t).filter(F.col("o_orderdate") < cutoff)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register("q12_priority_caseagg_bucketed", oracle=Q12_STYLE_SQL)
+def q12_priority_caseagg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 over the bucketed warehouse: the orders⋈lineitem join is
+    shuffle-free on the buckets; the only remaining exchange carries two
+    longs per l_returnflag group (the CASE folds into the partials).
+    Same oracle as q12_priority_caseagg."""
+    li_t, o_t = bucketed_fact_tables(spark, sf_dir)
+    o, li = spark.table(o_t), spark.table(li_t)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

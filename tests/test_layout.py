@@ -62,11 +62,14 @@ def test_q18_q21_bucketed_match_unbucketed_and_skip_fact_shuffle(spark, sf_dir):
     unbucketed results and (b) plan the per-orderkey aggregate + fact
     join WITHOUT hash-exchanging lineitem/orders (the bucket scan
     satisfies the distribution)."""
-    from gcs2postgres_spark.queries.advanced import q18_large_orders
+    from gcs2postgres_spark.queries.advanced import q12_priority_caseagg, q18_large_orders
     from gcs2postgres_spark.queries.bucketed_q import (
+        q12_priority_caseagg_bucketed,
         q18_large_orders_bucketed,
         q21_waiting_supplier_bucketed,
+        q3_shipping_priority_bucketed,
     )
+    from gcs2postgres_spark.queries.joins import q3_shipping_priority
     from gcs2postgres_spark.queries.tpch_rest import q21_waiting_supplier
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -74,6 +77,8 @@ def test_q18_q21_bucketed_match_unbucketed_and_skip_fact_shuffle(spark, sf_dir):
         for plain_fn, bkt_fn in [
             (q18_large_orders, q18_large_orders_bucketed),
             (q21_waiting_supplier, q21_waiting_supplier_bucketed),
+            (q3_shipping_priority, q3_shipping_priority_bucketed),
+            (q12_priority_caseagg, q12_priority_caseagg_bucketed),
         ]:
             bkt = bkt_fn(spark, sf_dir)
             plan = formatted_plan(bkt)
