@@ -27,6 +27,7 @@ from gcs2postgres_spark.queries import llm  # noqa: E402,F401
 from gcs2postgres_spark.queries import sources_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import bucketed_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import training_q  # noqa: E402,F401
+from gcs2postgres_spark.queries import pipeline_q  # noqa: E402,F401
 
 # Round-3 verification window: the driver checks the first 50 entries.
 # Leads with the 12 queries never yet driver-verified (r1+r2 deferrals),
@@ -56,8 +57,10 @@ VERIFY_FRONT: list[str] = [
     "dataset_split_assign",
     "text_repetition_filter",
     "sequence_pack_greedy",
+    "merge_upsert_latest",
+    "embedding_quantize_int8",
+    "pii_redact_scrub",
     # regression re-checks: round-2 greens across every operator family
-    "join_theta",
     "join_null_safe",
     "range_join_bands",
     "asof_join_events_orders",
@@ -72,11 +75,9 @@ VERIFY_FRONT: list[str] = [
     "agg_approx_distinct",
     "agg_salted_skew",
     "window_running",
-    "window_range_frame",
     "topk_per_group",
     "json_extract_agg",
     "events_sessionize",
-    "events_dedup_first",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

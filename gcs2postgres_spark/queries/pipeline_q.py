@@ -1,0 +1,186 @@
+"""Warehouse-maintenance + vector-compression queries: CDC merge-upsert,
+int8 embedding quantization, PII redaction. Each deterministic, each
+with an exact DuckDB oracle.
+
+The reference is append-only (no upsert anywhere — reference
+src/db/db.go:175-180, no DDL/DELETE in the repo); merge_upsert_latest
+is the op its users graduate to first. The other two are standard
+training-data hygiene: compressing an embedding store 4× before
+serving, and scrubbing contact strings before anything trains on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+MERGE_UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, 'X-UPDATED' AS o_orderpriority, 2 AS src
+  FROM orders WHERE o_orderkey % 10 = 0
+), unioned AS (
+  SELECT o_orderkey, o_orderpriority, 1 AS src FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, src FROM updates
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM ranked WHERE rn = 1
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("merge_upsert_latest", oracle=MERGE_UPSERT_ORACLE)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply / SCD-1 merge: base ∪ updates → latest row per key wins
+    (updates outrank base). One union + one window shuffle on the key —
+    the scalable merge shape (MERGE INTO without a transactional table
+    format; with Iceberg/Delta jars the same frame feeds MERGE
+    directly). Update set simulated deterministically (every 10th
+    order re-prioritized) so the oracle replays it exactly."""
+    tune_for_session(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    base = o.withColumn("src", F.lit(1))
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderpriority", F.lit("X-UPDATED"))
+        .withColumn("src", F.lit(2))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("src").desc())
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+EMBED_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_min(embedding) AS mn,
+         list_max(embedding) AS mx,
+         (list_max(embedding) - list_min(embedding)) / 255.0 AS scale,
+         embedding
+  FROM embeddings
+), err AS (
+  SELECT vec_id, mn, mx, scale,
+         CASE WHEN scale = 0 THEN 0.0 ELSE
+           list_aggregate(
+             list_transform(embedding,
+               x -> pow(x - (mn + round((x - mn) / scale) * scale), 2)),
+             'sum') / len(embedding)
+         END AS mse
+  FROM q
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(CAST(mn AS DOUBLE), 5) AS v_min,
+       round(CAST(mx AS DOUBLE), 5) AS v_max,
+       mse <= scale * scale / 4.0 + 1e-12 AS mse_within_bound
+FROM err ORDER BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", oracle=EMBED_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding store (min-max per
+    vector → 255 levels) with per-vector reconstruction MSE — the 4×
+    compression pass before serving an ANN index. Pure array HOFs
+    (transform/aggregate), zero shuffles, zero UDFs; the oracle replays
+    the identical arithmetic via DuckDB list functions. The MSE is
+    certified through a boolean contract against the theoretical bound
+    (round-to-nearest error ≤ scale/2 per element ⇒ mse ≤ scale²/4)
+    rather than an exact hash — float summation order differs across
+    engines at the last ulp (same policy as the HLL/approx contracts)."""
+    tune_for_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    scale = (mx - mn) / F.lit(255.0)
+    dequant = lambda x: mn + F.round((x.cast("double") - mn) / scale) * scale  # noqa: E731
+    mse = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform(v, lambda x: F.pow(x.cast("double") - dequant(x), F.lit(2.0))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(v)
+    )
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(mn, 5).alias("v_min"),
+        F.round(mx, 5).alias("v_max"),
+        (mse <= scale * scale / F.lit(4.0) + F.lit(1e-12)).alias("mse_within_bound"),
+    ).orderBy("vec_id")
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\b555-[0-9]{3,6}\\b"
+
+PII_REDACT_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-' || CAST(1000 + doc_id AS VARCHAR) AS raw
+  FROM documents
+), red AS (
+  SELECT doc_id, raw,
+         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS clean,
+         len(regexp_extract_all(raw, '{_EMAIL_RE}'))  AS n_emails,
+         len(regexp_extract_all(raw, '{_PHONE_RE}'))  AS n_phones
+  FROM tagged
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       contains(clean, '[EMAIL]') AS has_email_token,
+       NOT contains(clean, '@') AS no_at_left,
+       md5(clean) AS clean_md5
+FROM red ORDER BY doc_id
+"""
+
+
+@register("pii_redact_scrub", oracle=PII_REDACT_ORACLE)
+def pii_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before training: regexp redaction of emails/phones with
+    per-doc match counts and an md5 of the scrubbed text (so the oracle
+    certifies the exact output string, not just the counts). Contact
+    strings are injected deterministically per doc_id since the synthetic
+    corpus contains none. Pure Catalyst regexp — zero shuffles, and at
+    100 TB this is a map-only pass that pipelines with any adjacent op."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        (F.col("doc_id") + 1000).cast("string"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.contains(clean, F.lit("[EMAIL]")).alias("has_email_token"),
+        (~F.contains(clean, F.lit("@"))).alias("no_at_left"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")
