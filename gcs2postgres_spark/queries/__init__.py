@@ -60,11 +60,12 @@ VERIFY_FRONT: list[str] = [
     "merge_upsert_latest",
     "embedding_quantize_int8",
     "pii_redact_scrub",
+    "domain_mix_sample",
+    "decontaminate_against_eval",
     # regression re-checks: round-2 greens across every operator family
     "join_null_safe",
     "range_join_bands",
     "asof_join_events_orders",
-    "asof_join_forward_next_purchase",
     "q9_product_profit",
     "q21_waiting_supplier",
     "lateral_topk_suppliers",
@@ -76,7 +77,6 @@ VERIFY_FRONT: list[str] = [
     "agg_salted_skew",
     "window_running",
     "topk_per_group",
-    "json_extract_agg",
     "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",

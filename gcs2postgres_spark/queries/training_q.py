@@ -101,6 +101,131 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_MIX_WEIGHTS = {"web": 0.5, "books": 0.9, "code": 1.0, "wiki": 1.0, "news": 0.25}
+
+_MIX_CASES_SQL = " ".join(
+    f"WHEN source = '{s}' THEN {int(round(w * 10000))}" for s, w in _MIX_WEIGHTS.items()
+)
+
+DOMAIN_MIX_ORACLE = f"""
+WITH keep AS (
+  SELECT doc_id, source, n_chars,
+         {hash_split_oracle_bucket_sql("doc_id", "mix-v1")} AS bucket,
+         CASE {_MIX_CASES_SQL} ELSE 10000 END AS keep_below
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN bucket < keep_below THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(min(CASE WHEN bucket < keep_below THEN doc_id END) AS BIGINT) AS first_kept
+FROM keep GROUP BY source ORDER BY source
+"""
+
+
+@register("domain_mix_sample", oracle=DOMAIN_MIX_ORACLE)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling (pretraining data
+    recipe: per-source keep rates, e.g. downweight web/news, keep all
+    code/wiki): keep iff the portable md5 bucket of the doc id falls
+    under the source's rate. Zero shuffles to decide membership — the
+    sample is a pure projection, reproducible by any engine from the id
+    alone, and re-running with a tweaked recipe reuses nothing but the
+    hash. Output profiles kept/total per source."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        portable_hash60(F.concat(F.lit("mix-v1|"), F.col("doc_id").cast("string"))),
+        F.lit(10000),
+    )
+    keep_below = None
+    for s, w in _MIX_WEIGHTS.items():
+        thr = int(round(w * 10000))
+        keep_below = (
+            F.when(F.col("source") == s, thr)
+            if keep_below is None
+            else keep_below.when(F.col("source") == s, thr)
+        )
+    keep_below = keep_below.otherwise(10000)
+    kept = bucket < keep_below
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("first_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_DECON_NGRAM = 5
+_DECON_MIN_SHARED = 2
+
+DECONTAMINATE_ORACLE = f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+), train_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+), eval_grams AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - {_DECON_NGRAM - 2}, 2)),
+           i -> array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                           i, i + {_DECON_NGRAM - 1}), ' ')
+         )) AS gram
+  FROM eval_docs
+), train_grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - {_DECON_NGRAM - 2}, 2)),
+           i -> array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                           i, i + {_DECON_NGRAM - 1}), ' ')
+         ))) AS gram
+  FROM train_docs
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM train_grams t JOIN eval_grams e ON t.gram = e.gram
+GROUP BY t.doc_id
+HAVING count(*) >= {_DECON_MIN_SHARED}
+ORDER BY doc_id
+"""
+
+
+@register("decontaminate_against_eval", oracle=DECONTAMINATE_ORACLE)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥2
+    distinct word 5-grams with any eval-set document (eval simulated as
+    every 50th doc). The scale shape is the sparse inverted-index
+    semi-join — shingle both sides (same shingler as MinHash,
+    operators/dedup.py), distinct per doc, equi-join on the gram, count
+    per train doc. Never all-pairs: work is bounded by gram collisions,
+    and the eval side (small by construction) broadcasts at any corpus
+    size. At 100 TB this is THE pass that keeps test benchmarks out of
+    the training set."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.operators.dedup import shingle_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_grams = (
+        shingle_docs(eval_docs, "doc_id", "text", _DECON_NGRAM)
+        .select(F.col("shingle").alias("gram"))
+        .distinct()
+    )
+    train_grams = shingle_docs(train_docs, "doc_id", "text", _DECON_NGRAM).select(
+        "doc_id", F.col("shingle").alias("gram")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= _DECON_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
 _PACK_BUDGET = 128
 _PACK_SHARDS = 8
 
