@@ -47,7 +47,11 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     path; when any is not (map-typed anywhere in its nesting, which Spark
     rejects in ordering expressions), the winner id is computed with a
     plain ``min(id)`` and the full row recovered by an equi-join back on
-    the unique id — one extra join, same result."""
+    (*key_cols, id_col) — one extra join, same result. Joining on the
+    keys TOO (not id alone) is what keeps the within-group uniqueness
+    contract sufficient: an id reused across different key groups cannot
+    drag rows of other groups into the output. (Key columns are always
+    join-safe here: Spark already rejects map types as groupBy keys.)"""
     others = [c for c in df.columns if c not in key_cols and c != id_col]
     schema = {f.name: f.dataType for f in df.schema.fields}
     if all(_orderable(schema[c]) for c in others):
@@ -58,12 +62,13 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
             F.col(f"_w.{id_col}").alias(id_col),
             *[F.col(f"_w.{c}").alias(c) for c in others],
         )
-    # unorderable column present: min(id) alone decides (id is unique),
-    # then join back for the winning row's other columns
+    # unorderable column present: min(id) decides within the group (id is
+    # unique per group), then join back on (keys, id) for the winning
+    # row's other columns
     winners = df.groupBy(*key_cols).agg(F.min(F.col(id_col)).alias(id_col))
-    return winners.join(df.select(id_col, *others), id_col, "inner").select(
-        *key_cols, id_col, *others
-    )
+    return winners.join(
+        df.select(*key_cols, id_col, *others), [*key_cols, id_col], "inner"
+    ).select(*key_cols, id_col, *others)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

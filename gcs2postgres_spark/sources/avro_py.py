@@ -456,10 +456,15 @@ def read_avro_distributed(spark: SparkSession, path: str) -> DataFrame:
                 if records:
                     yield pd.DataFrame.from_records(records, columns=field_names)
 
-    binary = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
-        .load(path if os.path.isdir(path) else os.path.dirname(path) or ".")
-        .select("content")
-    )
-    return binary.mapInPandas(decode_files, schema=spark_schema)
+    if os.path.isdir(path):
+        # directory: every *.avro part-file, one task per file
+        binary = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.avro")
+            .load(path)
+        )
+    else:
+        # single file: load EXACTLY this path — a dirname+glob load would
+        # silently union sibling .avro files into the result
+        binary = spark.read.format("binaryFile").load(path)
+    return binary.select("content").mapInPandas(decode_files, schema=spark_schema)

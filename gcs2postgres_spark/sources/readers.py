@@ -70,7 +70,11 @@ def read_source(
         try:
             df = reader.format("avro").options(**options).load(path)
         except Exception as e:
-            if "avro" not in str(e).lower():
+            # Fall back ONLY on the module-absent condition; a genuine
+            # native-reader failure (corrupt file, bad option) must
+            # surface, not be silently retried with the Python codec.
+            msg = str(e)
+            if not ("DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg):
                 raise
             # spark-avro module absent: fall back to the pure-Python
             # distributed container reader (sources/avro_py.py) — same
