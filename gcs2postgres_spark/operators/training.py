@@ -10,10 +10,11 @@ Scale shapes:
 - hash split: pure Catalyst expression, zero shuffles — the split
   column costs the same as any projection.
 - repetition stats: higher-order array functions, JVM-side, no shuffle.
-- sequence packing: ONE shuffle (repartition by shard), then a linear
-  per-shard greedy inside applyInPandas. Shard count bounds both task
-  parallelism and pack quality loss (packing is per-shard, so ~one
-  partially-filled tail sequence per shard).
+- sequence packing: ONE shuffle (repartition by shard + in-partition
+  sort), then a linear greedy over streamed Arrow batches inside
+  mapInPandas — memory-bounded by one batch, not one shard. Shard count
+  bounds both task parallelism and pack quality loss (packing is
+  per-shard, so ~one partially-filled tail sequence per shard).
 """
 
 from __future__ import annotations
@@ -66,22 +67,38 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    # most-frequent-word count via aggregate over the distinct words:
-    # max over d of count(t == d). O(n·distinct) worst case but pure
-    # JVM; real boilerplate has few distinct words, which is exactly
-    # when it matters.
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda t: t == d)),
-        )
+    # most-frequent-word count = max run length over the SORTED token
+    # array, one linear F.aggregate pass carrying (prev, run, best). The
+    # lambda touches only its own arguments, so nothing outer is inlined
+    # per element — the nested transform×filter alternative re-evaluates
+    # the split() per distinct word (quadratic on long documents).
+    run_of = lambda acc, x: (  # noqa: E731 — shared by the run and best fields
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc["best"], run_of(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return {
         "n_words": n.cast("long"),
         "n_distinct_words": n_distinct.cast("long"),
         "repetition_ratio": (1.0 - n_distinct.cast("double") / n).alias("repetition_ratio"),
+        "top_word_count": top_cnt,
         "top_word_ratio": (top_cnt.cast("double") / n).alias("top_word_ratio"),
     }
+
+
+SEQ_SHARD_SHIFT = 40  # seq_id = (shard << 40) + seq_local
 
 
 def pack_sequences(
@@ -90,48 +107,83 @@ def pack_sequences(
     text_col: str = "text",
     budget: int = 128,
     n_shards: int = 8,
+    shard_cols: list[str] | None = None,
 ) -> DataFrame:
     """Greedy token-budget sequence packing (the LLM-pretraining batching
-    op): shard documents by hash of id, order each shard by id, and run
-    the classic greedy pack — a sequence closes when the next document
-    would exceed ``budget`` whitespace tokens; an oversized document gets
-    a sequence of its own.
+    op): shard documents, order each shard by id, and run the classic
+    greedy pack — a sequence closes when the next document would exceed
+    ``budget`` whitespace tokens; an oversized document gets a sequence
+    of its own.
 
-    Returns one row per document: (id, shard, seq_id globally unique,
-    n_tokens, seq_local). Deterministic: shard assignment and in-shard
-    order are pure functions of the id, so the packing is reproducible
-    run-to-run and engine-to-engine (oracle: per-shard recursive CTE
-    replaying the same greedy recurrence).
+    Sharding: by default ``pmod(id, n_shards)``; pass ``shard_cols``
+    (e.g. ``["source"]``) to shard by the portable hash of those columns
+    instead, so packing locality follows data locality at scale.
 
-    Scale: one shuffle (groupBy shard), then linear work per shard in
-    Arrow batches. n_shards trades parallelism against tail waste (one
-    underfilled final sequence per shard). At 100 TB, shard by
-    (source, hash) so packing locality follows data locality."""
-    import pandas as pd
+    Returns one row per document: (id, shard, seq_id, n_tokens,
+    seq_local). ``seq_id = (shard << 40) + seq_local`` — globally unique
+    while seq_local < 2^40 and shard < 2^23, both asserted per row (the
+    old ``shard*1e6`` form silently collided past 1M sequences/shard).
+    Deterministic: shard assignment and in-shard order are pure functions
+    of the row, so the packing is reproducible run-to-run and
+    engine-to-engine (oracle: per-shard recursive CTE replaying the same
+    greedy recurrence).
 
+    Scale/memory: ONE shuffle (repartition by shard + in-partition sort),
+    then ``mapInPandas`` streams Arrow batches in (shard, id) order with
+    the greedy accumulator carried across batches in a per-shard dict.
+    Peak per-task memory is one Arrow batch
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k rows)
+    — NOT one whole shard, so a shard larger than executor memory still
+    packs. n_shards bounds task parallelism and tail waste (one
+    underfilled final sequence per shard)."""
+    if shard_cols:
+        from gcs2postgres_spark.operators.dedup import portable_hash60
+
+        shard_expr = F.pmod(
+            portable_hash60(F.concat_ws("|", *[F.col(c).cast("string") for c in shard_cols])),
+            F.lit(n_shards),
+        )
+    else:
+        shard_expr = F.pmod(F.col(id_col), F.lit(n_shards))
     with_meta = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        shard_expr.cast("long").alias("shard"),
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long").alias("n_tokens"),
     )
 
     out_schema = "doc_id long, shard long, seq_id long, n_tokens long, seq_local long"
+    # capture as a local so the worker-side closure has no reference to
+    # this module (executors don't have the repo on sys.path)
+    shift = SEQ_SHARD_SHIFT
 
-    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq = 0
-        acc = 0
-        seqs = []
-        for tok in pdf["n_tokens"]:
-            tok = int(tok)
-            if acc > 0 and acc + tok > budget:
-                seq += 1
-                acc = tok
-            else:
-                acc += tok
-            seqs.append(seq)
-        pdf["seq_local"] = seqs
-        pdf["seq_id"] = pdf["shard"] * 1_000_000 + pdf["seq_local"]
-        return pdf[["doc_id", "shard", "seq_id", "n_tokens", "seq_local"]]
+    def pack_stream(batches):
+        # All rows of a shard hash to one partition and arrive sorted by
+        # (shard, doc_id); the dict carries (acc_tokens, seq_local)
+        # across Arrow batches so no batch boundary resets a sequence.
+        state: dict[int, tuple[int, int]] = {}
+        for pdf in batches:
+            seq_locals = []
+            seq_ids = []
+            for shard, tok in zip(pdf["shard"], pdf["n_tokens"]):
+                shard, tok = int(shard), int(tok)
+                acc, seq = state.get(shard, (0, 0))
+                if acc > 0 and acc + tok > budget:
+                    seq += 1
+                    acc = tok
+                else:
+                    acc += tok
+                state[shard] = (acc, seq)
+                if seq >= (1 << shift) or not 0 <= shard < (1 << (63 - shift)):
+                    raise ValueError(f"seq_id fields overflow: shard={shard} seq_local={seq}")
+                seq_locals.append(seq)
+                seq_ids.append((shard << shift) + seq)
+            out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+            out["seq_id"] = seq_ids
+            out["seq_local"] = seq_locals
+            yield out[["doc_id", "shard", "seq_id", "n_tokens", "seq_local"]]
 
-    return with_meta.groupBy("shard").applyInPandas(pack_shard, schema=out_schema)
+    return (
+        with_meta.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .mapInPandas(pack_stream, schema=out_schema)
+    )

@@ -229,28 +229,81 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 128
 _PACK_SHARDS = 8
 
-SEQUENCE_PACK_ORACLE = f"""
+
+def sequence_pack_oracle_sql(budget: int, n_shards: int, shard_sql: str | None = None) -> str:
+    """Recursive-CTE replay of pack_sequences' greedy recurrence,
+    parametrized so the property test can run it at several shard counts
+    and shard expressions (tests/test_operators.py) with the registered
+    query using one instance. ``shard_sql`` defaults to the pmod-of-id
+    sharding; pass the md5-bucket expression to mirror ``shard_cols``.
+    seq_id uses the same (shard << 40) + seq_local composition as
+    operators/training.py (2^40 = 1099511627776)."""
+    shard_sql = shard_sql or f"doc_id % {n_shards}"
+    return f"""
 WITH RECURSIVE ordered AS (
-  SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+  SELECT {shard_sql} AS shard, doc_id,
          CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
-         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id) AS rn
+         row_number() OVER (PARTITION BY {shard_sql} ORDER BY doc_id) AS rn
   FROM documents
 ), pack AS (
   SELECT shard, rn, doc_id, n_tokens, n_tokens AS acc, CAST(0 AS BIGINT) AS seq_local
   FROM ordered WHERE rn = 1
   UNION ALL
   SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
-         CASE WHEN p.acc + o.n_tokens > {_PACK_BUDGET} THEN o.n_tokens
+         CASE WHEN p.acc + o.n_tokens > {budget} THEN o.n_tokens
               ELSE p.acc + o.n_tokens END,
-         CASE WHEN p.acc + o.n_tokens > {_PACK_BUDGET} THEN p.seq_local + 1
+         CASE WHEN p.acc + o.n_tokens > {budget} THEN p.seq_local + 1
               ELSE p.seq_local END
   FROM ordered o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS BIGINT) AS shard,
-       CAST(shard * 1000000 + seq_local AS BIGINT) AS seq_id,
+       CAST(shard * 1099511627776 + seq_local AS BIGINT) AS seq_id,
        n_tokens, seq_local
 FROM pack ORDER BY doc_id
 """
+
+
+SEQUENCE_PACK_ORACLE = sequence_pack_oracle_sql(_PACK_BUDGET, _PACK_SHARDS)
+
+
+TOP_WORD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(max(c) AS BIGINT) AS top_word_count
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_words, top_word_count,
+       round(CAST(top_word_count AS DOUBLE) / n_words, 5) AS top_word_ratio
+FROM agg ORDER BY doc_id
+"""
+
+
+@register("text_top_word_ratio", oracle=TOP_WORD_ORACLE)
+def text_top_word_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-word frequency per document — the boilerplate
+    signal (pages that repeat one token). Computed as the max run length
+    over the sorted token array in ONE linear F.aggregate pass
+    (operators/training.py repetition_stats), replacing the quadratic
+    transform×filter shape; the oracle recounts word frequencies the
+    straightforward unnest/groupBy way, so the run-length arithmetic is
+    certified value-for-value."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    s = repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["top_word_count"].alias("top_word_count"),
+        F.round(s["top_word_ratio"], 5).alias("top_word_ratio"),
+    ).orderBy("doc_id")
 
 
 @register("sequence_pack_greedy", oracle=SEQUENCE_PACK_ORACLE)

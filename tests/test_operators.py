@@ -227,6 +227,41 @@ def test_pack_sequences_respects_budget_and_is_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_pack_sequences_oracle_parity_across_shard_counts(spark, sf_dir):
+    """The streamed greedy (mapInPandas with carried accumulator) must
+    replay the recursive-CTE oracle exactly at n_shards ∈ {1, 8, 64} —
+    the packing is a pure function of the data, never of shard/batch
+    geometry (round-4 scale hardening)."""
+    from gcs2postgres_spark.operators.training import pack_sequences
+    from gcs2postgres_spark.queries.training_q import sequence_pack_oracle_sql
+    from tests.oracle_utils import duckdb_connection
+
+    docs = load_table(spark, sf_dir, "documents")
+    con = duckdb_connection(sf_dir)
+    for n_shards in (1, 8, 64):
+        got = sorted(map(tuple, pack_sequences(docs, budget=96, n_shards=n_shards).collect()))
+        want = sorted(map(tuple, con.sql(sequence_pack_oracle_sql(96, n_shards)).fetchall()))
+        assert got == want, f"n_shards={n_shards}: {len(got)} vs {len(want)} rows"
+
+
+def test_pack_sequences_shard_cols_portable(spark, sf_dir):
+    """shard_cols sharding (portable md5 bucket of the column value) is
+    engine-reproducible: DuckDB re-derives the identical shards, order,
+    and packing."""
+    from gcs2postgres_spark.operators.training import pack_sequences
+    from gcs2postgres_spark.queries.training_q import sequence_pack_oracle_sql
+    from tests.oracle_utils import duckdb_connection
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard_sql = "(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))::BIGINT % 4)"
+    got = sorted(
+        map(tuple, pack_sequences(docs, budget=96, n_shards=4, shard_cols=["source"]).collect())
+    )
+    con = duckdb_connection(sf_dir)
+    want = sorted(map(tuple, con.sql(sequence_pack_oracle_sql(96, 4, shard_sql)).fetchall()))
+    assert got == want
+
+
 def test_hash_split_proportions_and_stability(spark, sf_dir):
     """The md5 split must land near the requested 90/5/5 weights and be
     a pure function of (seed, id): same seed → identical assignment,
