@@ -45,8 +45,28 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def parse_sf_dir(argv: list[str]) -> str:
+    """--sf DIR beats $SPARK_GRAFT_SF_DIR beats the sf0.1 default;
+    unknown args are a hard error (symmetric with scripts/bench_duckdb.py
+    so the documented reproduce commands can't silently bench the wrong
+    scale)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = list(argv[1:])
+    while args:
+        a = args.pop(0)
+        if a == "--sf":
+            if not args:
+                sys.exit("--sf requires a directory argument")
+            sf_dir = args.pop(0)
+        else:
+            sys.exit(f"unknown argument {a!r}; usage: bench.py [--sf DIR]")
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"scale-factor directory not found: {sf_dir!r}")
+    return sf_dir
+
+
+def main() -> None:
+    sf_dir = parse_sf_dir(sys.argv)
     # size the shuffle to the data, not the core count: at sf0.1 the
     # working set is ~100 MB, where 32 reducers are pure task-dispatch
     # overhead (measured 22s suite at 32 vs 11.6s at 8; 4 loses

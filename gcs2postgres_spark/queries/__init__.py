@@ -29,70 +29,77 @@ from gcs2postgres_spark.queries import bucketed_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import training_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import pipeline_q  # noqa: E402,F401
 
-# Round-3 verification window: the driver checks the first 50 entries.
-# Leads with the 12 queries never yet driver-verified (r1+r2 deferrals),
-# then any queries NEW this round, then fills the remaining slots with
-# round-2 greens as regression re-checks (spread across operator families:
-# joins, TPC-H, windows, events, LLM battery).
+# Round-4 verification window: the driver checks the first 50 entries.
+# Every registered query has been green in some round (r1 ∪ r2 ∪ r3 =
+# 122/122); this round leads with the 2 queries NEW this round, then the
+# 4 whose implementation or oracle CHANGED this round (pack seq_id
+# widened to shard<<40; repetition stats' linear run-length rewrite;
+# avro single-file read path; dedup fallback join keys), then spends the
+# remaining 44 slots refreshing the oldest evidence — queries last
+# driver-verified in round 1.
 VERIFY_FRONT: list[str] = [
-    # never driver-verified — the 12 VERIFY_DEFERRED from round 2
-    "set_intersect_all",
-    "set_except_all",
-    "explode_pos_tokens",
-    "explode_outer_rare_tokens",
-    "variant_props_agg",
-    "hof_array_battery",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_distribution",
-    "embedding_norm_stats",
-    "events_time_rollup",
-    "events_click_purchase_attr",
-    # NEW in round 3
-    "avro_source_roundtrip",
-    "q18_large_orders_bucketed",
-    "q21_waiting_supplier_bucketed",
-    "q3_shipping_priority_bucketed",
-    "q12_priority_caseagg_bucketed",
-    "dataset_split_assign",
-    "text_repetition_filter",
+    # NEW in round 4
+    "iceberg_source_roundtrip",
+    "text_top_word_ratio",
+    # changed this round
     "sequence_pack_greedy",
-    "merge_upsert_latest",
-    "embedding_quantize_int8",
-    "pii_redact_scrub",
-    "domain_mix_sample",
-    "decontaminate_against_eval",
-    # regression re-checks: round-2 greens across every operator family
-    "join_null_safe",
-    "range_join_bands",
-    "asof_join_events_orders",
-    "q9_product_profit",
-    "q21_waiting_supplier",
-    "lateral_topk_suppliers",
-    "recursive_cte_spine",
-    "agg_hll_sketch_merge",
-    "agg_corr_covar",
-    "agg_collect_set_listagg",
-    "agg_approx_distinct",
-    "agg_salted_skew",
-    "window_running",
-    "topk_per_group",
-    "events_sessionize",
+    "text_repetition_filter",
+    "avro_source_roundtrip",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_winnow_fingerprints",
-    "dedup_cosine_embeddings",
-    "similarity_cosine_topk",
-    "similarity_srp_lsh_topk",
-    "similarity_ivf_topk",
-    "text_lang_id",
-    "multimodal_decode_features",
+    # round-1-only greens, oldest evidence first refresh (44 of 47)
+    "q1_pricing_summary",
+    "q2_min_per_group_joinback",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_caseagg",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_global_sales_opportunity",
+    "subquery_exists_q4",
+    "subquery_not_exists",
+    "subquery_scalar_avg",
+    "subquery_cte",
+    "join_inner",
+    "join_left",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_filtered",
+    "agg_percentile",
+    "agg_stats_basic",
+    "agg_minby_maxby_mode",
+    "pivot_order_priority",
+    "unpivot_metrics",
+    "grouped_map_ols",
+    "grouped_agg_weighted_mean",
+    "sample_deterministic_mod",
+    "map_props_ops",
+    "array_ops_battery",
+    "explode_token_counts",
+    "text_normalize_distinct",
+    "filter_in_like",
+    "project_case_when",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "topk_global",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "distinct_subset",
 ]
 
-# Nothing left deferred: every registered query has now been scheduled
-# through at least one driver verification window (r1 ∪ r2 ∪ r3).
-VERIFY_DEFERRED: list[str] = []
+# Still green from round 1 but not refreshed this window (trivial
+# siblings of in-window queries); refresh in round 5.
+VERIFY_DEFERRED: list[str] = [
+    "set_union_all",
+    "filter_null_bool",
+    "scalar_math_funcs",
+]
 
 
 def _reorder() -> None:

@@ -2,11 +2,11 @@
 SimHash, n-gram Jaccard, embedding-cosine), similarity search, text
 analysis, multimodal columns.
 
-Oracle policy: everything set-algebra or arithmetic (exact dedup,
-jaccard, cosine, text stats, fingerprints) is DuckDB-checked;
-hash-sketch ops (MinHash, SimHash) depend on engine hash functions and
-get rows-only checks, with their *verify* step (exact jaccard on
-candidates) oracle-checked separately.
+Oracle policy: EVERY query here has an exact DuckDB oracle — including
+the hash-sketch ops: MinHash-LSH's registered query certifies its
+candidate set against the exact all-pairs Jaccard SQL, and SimHash uses
+the portable md5-derived hash (portable_hash60) that DuckDB recomputes
+bit-identically (both since commit 3dfaa04; see QUERIES.md).
 """
 
 from __future__ import annotations

@@ -21,6 +21,53 @@ from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
 
+ICEBERG_ROUNDTRIP_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("iceberg_source_roundtrip", oracle=ICEBERG_ROUNDTRIP_ORACLE)
+def iceberg_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → write_iceberg_fixture → read_source(iceberg) → aggregate.
+
+    The fixture is a spec-shaped v1 Iceberg table (metadata JSON with
+    field ids, Avro manifest list + manifest via the pure-Python codec,
+    executor-written parquet data files); the read is the jar-less
+    metadata-chain walk in sources/iceberg_py.py dispatched through
+    read_source's iceberg branch — the last reference-listed format
+    (reference README.md:11) now has a driver-verified read path. The
+    DuckDB oracle aggregates the same table straight from parquet, so
+    any drift in the manifest walk (lost file, double-counted file,
+    misapplied schema) breaks the row/hash match."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import write_iceberg_fixture
+    from gcs2postgres_spark.sources.readers import read_source
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg_roundtrip_")
+    try:
+        write_iceberg_fixture(nation.repartition(3), tmp)
+        df = read_source(spark, tmp, fmt="iceberg")
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 AVRO_ROUNDTRIP_ORACLE = """
 SELECT s_nationkey,
        count(*)                        AS n_suppliers,

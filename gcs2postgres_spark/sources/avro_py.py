@@ -428,8 +428,19 @@ def read_avro_distributed(spark: SparkSession, path: str) -> DataFrame:
     if not first:
         raise ValueError(f"no .avro files under {path!r}")
     with open(first[0], "rb") as f:
-        # headers are small; 64 KiB covers schema JSON + metadata comfortably
-        avro_schema, _, _ = _read_header(io.BytesIO(f.read(65536)))
+        # headers are small; start at 64 KiB and double on truncation so
+        # an outsized schema JSON still parses instead of EOFError-ing
+        size = 65536
+        while True:
+            f.seek(0)
+            data = f.read(size)
+            try:
+                avro_schema, _, _ = _read_header(io.BytesIO(data))
+                break
+            except EOFError:
+                if len(data) < size:  # whole file read and still truncated
+                    raise
+                size *= 2
     spark_schema = avro_to_spark_type(avro_schema)
     if not isinstance(spark_schema, T.StructType):
         raise ValueError("top-level avro schema must be a record")

@@ -11,9 +11,11 @@ Avro: the native spark-avro reader is tried first; when that module is
 not on the classpath the reader falls back to the pure-Python
 distributed container codec (sources/avro_py.py — spec-conformance
 cross-checked against the bundled Java Avro implementation). Iceberg
-needs iceberg-spark-runtime and raises a clear error naming the jar
-when absent (README.md:11 lists CSV/JSON/Parquet/Avro/Iceberg as the
-reference's formats).
+likewise prefers the native reader and falls back to the jar-less
+metadata-chain walker (sources/iceberg_py.py) when iceberg-spark-runtime
+is absent; unsupported table features (v2 delete files) raise a clear
+error naming the jar (README.md:11 lists CSV/JSON/Parquet/Avro/Iceberg
+as the reference's formats).
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro", "iceberg"}
+SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro", "iceberg", "bigquery"}
 
 
 def format_from_extension(path: str) -> str:
@@ -86,12 +88,32 @@ def read_source(
         try:
             df = reader.format("iceberg").options(**options).load(path)
         except Exception as e:
-            if "iceberg" in str(e).lower() or "DATA_SOURCE_NOT_FOUND" in str(e):
+            msg = str(e)
+            if not ("DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg):
+                raise
+            # iceberg-spark-runtime absent: walk the table's metadata
+            # chain in pure Python (metadata JSON → Avro manifests →
+            # parquet file list) and scan with the native parquet
+            # reader — full executor parallelism, no jar
+            # (sources/iceberg_py.py; v2 delete files raise clearly)
+            from gcs2postgres_spark.sources.iceberg_py import read_iceberg_py
+
+            df = read_iceberg_py(spark, path)
+    elif fmt == "bigquery":
+        # reference OP-2 native BigQuery scan (src/db/db.go:95-147) —
+        # needs the spark-bigquery-connector; in-harness, native tables
+        # map to spark.table/catalog parquet (SURVEY §2.1 OP-2)
+        try:
+            df = reader.format("bigquery").options(**options).load(path)
+        except Exception as e:
+            msg = str(e)
+            if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg:
                 raise RuntimeError(
-                    "iceberg source needs the iceberg-spark-runtime jar on the "
-                    "classpath (spark.jars.packages="
-                    "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13); "
-                    "not bundled in this environment"
+                    "bigquery source needs the spark-bigquery-connector jar "
+                    "(spark.jars.packages=com.google.cloud.spark:"
+                    "spark-bigquery-with-dependencies_2.13); not bundled in "
+                    "this environment — use spark.table()/parquet for native "
+                    "tables in-harness"
                 ) from e
             raise
     else:

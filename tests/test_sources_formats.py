@@ -132,12 +132,154 @@ def test_avro_our_reader_reads_java_files(spark, avro_fixture, tmp_path):
     ]
 
 
-def test_iceberg_missing_jar_clear_error(spark, tmp_path):
-    """The reference lists iceberg (README.md:11); without the runtime jar
-    the reader must fail with an actionable message naming the package,
-    not a raw ClassNotFoundException."""
-    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+def test_bigquery_missing_connector_clear_error(spark):
+    """The reference's native-BQ scan (src/db/db.go:95-147) maps to the
+    spark-bigquery-connector; without the jar the error must name the
+    package and the in-harness alternative."""
+    with pytest.raises(RuntimeError, match="spark-bigquery-with-dependencies"):
+        read_source(spark, "dataset.table", fmt="bigquery")
+
+
+def test_iceberg_not_a_table_clear_error(spark, tmp_path):
+    """A path with no metadata/*.metadata.json must fail with a message
+    saying it is not an Iceberg table, not a raw stack trace."""
+    with pytest.raises(FileNotFoundError, match="not an Iceberg table"):
         read_source(spark, str(tmp_path / "t"), fmt="iceberg")
+
+
+def test_iceberg_roundtrip_jarless(spark, sf_dir, tmp_path):
+    """write_iceberg_fixture → read_source(iceberg): the jar-less
+    metadata-chain walk (metadata JSON → Avro manifest list → Avro
+    manifest → parquet) must reproduce the table exactly, through the
+    same read_source entry point the reference's format dispatch maps
+    to (README.md:11)."""
+    from gcs2postgres_spark.sources.iceberg_py import write_iceberg_fixture
+
+    nation = read_source(spark, f"{sf_dir}/nation.parquet")
+    table = str(tmp_path / "nation_iceberg")
+    write_iceberg_fixture(nation.repartition(3), table)
+    got = read_source(spark, table, fmt="iceberg")
+    assert [f.name for f in got.schema.fields] == [f.name for f in nation.schema.fields]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_iceberg_deleted_entries_and_snapshot_selection(spark, tmp_path):
+    """Manifest entries with status=DELETED are excluded, and only the
+    CURRENT snapshot's manifest list is read (older snapshots may
+    reference files that no longer count)."""
+    import os
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        data_file_entry,
+        write_manifest,
+        write_manifest_list,
+        write_snapshot_metadata,
+    )
+
+    table = str(tmp_path / "t")
+    data = os.path.join(table, "data")
+    df = spark.range(10).withColumnRenamed("id", "v")
+    df.filter("v < 5").coalesce(1).write.parquet(os.path.join(data, "f1"))
+    df.filter("v >= 5").coalesce(1).write.parquet(os.path.join(data, "f2"))
+    import glob as g
+
+    f1 = g.glob(os.path.join(data, "f1", "part-*.parquet"))[0]
+    f2 = g.glob(os.path.join(data, "f2", "part-*.parquet"))[0]
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    # snapshot 1: both files live; snapshot 2 (current): f1 DELETED
+    m1 = os.path.join(mdir, "m1.avro")
+    write_manifest(m1, [data_file_entry(f1, 1, 1), data_file_entry(f2, 1, 1)])
+    l1 = os.path.join(mdir, "s1.avro")
+    write_manifest_list(l1, [m1], 1)
+    m2 = os.path.join(mdir, "m2.avro")
+    write_manifest(m2, [data_file_entry(f1, 2, 2), data_file_entry(f2, 0, 1)])
+    l2 = os.path.join(mdir, "s2.avro")
+    write_manifest_list(l2, [m2], 2)
+    write_snapshot_metadata(
+        table,
+        df.schema,
+        [{"snapshot-id": 1, "manifest-list": l1}, {"snapshot-id": 2, "manifest-list": l2}],
+        current_snapshot_id=2,
+        version=2,
+    )
+    got = sorted(r["v"] for r in read_source(spark, table, fmt="iceberg").collect())
+    assert got == [5, 6, 7, 8, 9]
+
+
+def test_iceberg_v2_delete_files_clear_error(spark, tmp_path):
+    """A v2 table carrying delete files must raise an actionable error
+    naming the runtime jar — never silently return undeleted rows."""
+    import os
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        data_file_entry,
+        write_manifest,
+        write_manifest_list,
+        write_snapshot_metadata,
+    )
+
+    table = str(tmp_path / "t2")
+    data = os.path.join(table, "data")
+    df = spark.range(4).withColumnRenamed("id", "v")
+    df.coalesce(1).write.parquet(os.path.join(data, "f1"))
+    import glob as g
+
+    f1 = g.glob(os.path.join(data, "f1", "part-*.parquet"))[0]
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    entry = data_file_entry(f1, 1, 1)
+    entry["data_file"]["content"] = 1  # position deletes
+    # content is an extra key the manifest schema must carry for v2
+    schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": "long"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    from gcs2postgres_spark.sources.avro_py import write_avro_file
+
+    m1 = os.path.join(mdir, "m1.avro")
+    write_avro_file(m1, schema, [entry], codec="null")
+    l1 = os.path.join(mdir, "s1.avro")
+    write_manifest_list(l1, [m1], 1)
+    write_snapshot_metadata(
+        table, df.schema, [{"snapshot-id": 1, "manifest-list": l1}], 1, version=1
+    )
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        read_source(spark, table, fmt="iceberg")
+
+
+def test_iceberg_empty_table_gives_schema(spark, tmp_path):
+    """A table with no current snapshot reads as an empty DataFrame with
+    the metadata-declared schema."""
+    from gcs2postgres_spark.sources.iceberg_py import write_snapshot_metadata
+
+    table = str(tmp_path / "t3")
+    schema = "a long, b string"
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    write_snapshot_metadata(table, st, [], current_snapshot_id=-1, version=1)
+    got = read_source(spark, table, fmt="iceberg")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["a", "b"]
 
 
 def test_register_view(spark, sf_dir):
