@@ -40,6 +40,7 @@ from gcs2postgres_spark.queries import pipeline_q  # noqa: E402,F401
 VERIFY_FRONT: list[str] = [
     # NEW in round 4
     "iceberg_source_roundtrip",
+    "iceberg_v2_deletes_roundtrip",
     "text_top_word_ratio",
     # changed this round
     "sequence_pack_greedy",

@@ -68,6 +68,63 @@ def iceberg_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+ICEBERG_V2_DELETES_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM nation
+WHERE n_nationkey NOT IN (0, 7, 14)
+  AND n_regionkey <> 2
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("iceberg_v2_deletes_roundtrip", oracle=ICEBERG_V2_DELETES_ORACLE)
+def iceberg_v2_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 Iceberg table with row-level deletes, read jar-lessly.
+
+    The fixture writes nation as a 2-file v2 table (data seq 1), a
+    position-delete file (seq 2) removing n_nationkey ∈ {0,7,14} by
+    (file, pos), an equality delete n_regionkey=2 at seq 2 (strictly
+    later → MUST apply), and an equality delete n_regionkey=0 at seq 1
+    (NOT strictly later → must NOT apply; tests sequence gating). The
+    read path applies position deletes as an anti-join on
+    _metadata.file_path/row_index and equality deletes as a null-safe
+    anti-join — all executor-side (iceberg_py._apply_v2_deletes). The
+    oracle replays the surviving-row set declaratively, so a delete
+    that leaks, over-applies, or ignores its sequence number breaks
+    the hash match."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import write_iceberg_v2_fixture
+    from gcs2postgres_spark.sources.readers import read_source
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg_v2_roundtrip_")
+    try:
+        write_iceberg_v2_fixture(
+            nation.repartition(2),
+            tmp,
+            sort_col="n_nationkey",
+            position_delete_keys=[0, 7, 14],
+            equality_deletes=[({"n_regionkey": 2}, 2), ({"n_regionkey": 0}, 1)],
+        )
+        df = read_source(spark, tmp, fmt="iceberg")
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 AVRO_ROUNDTRIP_ORACLE = """
 SELECT s_nationkey,
        count(*)                        AS n_suppliers,

@@ -214,14 +214,50 @@ def _resolve(uri: str, table_path: str, location: str | None) -> str:
     raise FileNotFoundError(f"iceberg metadata references missing file {uri!r}")
 
 
-def read_iceberg_py(spark: SparkSession, table_path: str) -> DataFrame:
-    """Read an Iceberg table's current snapshot without the runtime jar.
+def _norm_path(p: str) -> str:
+    """Normalize a file URI for equality comparison between metadata-
+    recorded paths and Spark's ``_metadata.file_path`` (which renders as
+    ``file:/abs/path``)."""
+    return re.sub(r"^file:(//)?", "", p)
+
+
+def read_iceberg_py(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Read an Iceberg table without the runtime jar (v1 and v2).
 
     Driver work is metadata-only: metadata JSON → manifest list (Avro) →
     manifests (Avro) → live parquet file list; data is scanned by
     ``spark.read.parquet`` on executors. Output columns follow the table
     schema (name-resolved, missing → NULL, cast to the declared type —
-    the reconcile OP-5/OP-6 contract)."""
+    the reconcile OP-5/OP-6 contract).
+
+    v2 row-level deletes are applied Spark-side, never on the driver:
+
+    - position deletes (spec: files with ``file_path``/``pos`` columns)
+      become a LEFT ANTI join against ``_metadata.file_path`` +
+      ``_metadata.row_index`` of the data scan — applied only where the
+      delete's data sequence number >= the data file's (same-or-earlier
+      commit rule);
+    - equality deletes become a null-safe LEFT ANTI join on the columns
+      named by ``equality_ids``, applied only where the delete's
+      sequence number is STRICTLY greater than the data file's (the
+      spec's strict-past rule — an equality delete never hides rows of
+      its own commit).
+
+    Sequence numbers come from the manifest entry when written, else are
+    inherited from the manifest-list entry (spec inheritance), else 0
+    (v1). Delete-file paths are compared scheme-normalized; a table
+    whose data files were MOVED after delete files were written is not
+    re-based for delete matching (clear limitation of the jar-less
+    fallback; the native reader handles it).
+
+    Time travel: pass ``snapshot_id`` to pin a snapshot, or ``as_of_ms``
+    to pick the latest snapshot with ``timestamp-ms <= as_of_ms``.
+    """
     meta_path = latest_metadata_file(table_path)
     with open(meta_path) as f:
         meta = json.load(f)
@@ -234,32 +270,79 @@ def read_iceberg_py(spark: SparkSession, table_path: str) -> DataFrame:
     else:
         schema_json = meta["schema"]
     spark_schema = iceberg_to_spark_type(schema_json)
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
 
-    snap_id = meta.get("current-snapshot-id")
-    if snap_id is None or snap_id == -1 or not meta.get("snapshots"):
-        return spark.createDataFrame([], spark_schema)
-    snapshot = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
+    snapshots = meta.get("snapshots") or []
+    if snapshot_id is not None and as_of_ms is not None:
+        raise ValueError("pass at most one of snapshot_id / as_of_ms")
+    if snapshot_id is not None:
+        matches = [s for s in snapshots if s["snapshot-id"] == snapshot_id]
+        if not matches:
+            raise ValueError(
+                f"snapshot {snapshot_id} not found in {meta_path!r} "
+                f"(have {[s['snapshot-id'] for s in snapshots]})"
+            )
+        snapshot = matches[0]
+    elif as_of_ms is not None:
+        past = [s for s in snapshots if s.get("timestamp-ms", 0) <= as_of_ms]
+        if not past:
+            return spark.createDataFrame([], spark_schema)
+        snapshot = max(past, key=lambda s: s.get("timestamp-ms", 0))
+    else:
+        snap_id = meta.get("current-snapshot-id")
+        if snap_id is None or snap_id == -1 or not snapshots:
+            return spark.createDataFrame([], spark_schema)
+        snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
 
-    data_files: list[str] = []
+    data_files: list[tuple[str, int]] = []  # (path, data sequence number)
+    pos_deletes: list[tuple[str, int]] = []  # (path, seq)
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []  # (path, seq, ids)
     _, manifests = read_avro_file(_resolve(snapshot["manifest-list"], table_path, location))
     for m in manifests:
-        if m.get("content", 0) == 1:
-            raise NotImplementedError(f"iceberg v2 delete manifests: table {_JAR_HINT}")
+        manifest_seq = m.get("sequence_number") or 0
         _, entries = read_avro_file(_resolve(m["manifest_path"], table_path, location))
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             dfile = e["data_file"]
-            if dfile.get("content", 0) != 0:
-                raise NotImplementedError(f"iceberg v2 delete files: table {_JAR_HINT}")
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = manifest_seq  # spec: inherit from the manifest entry
+            content = dfile.get("content", 0)
             fmt = dfile["file_format"].lower()
             if fmt != "parquet":
                 raise NotImplementedError(f"iceberg {fmt} data files: table {_JAR_HINT}")
-            data_files.append(_resolve(dfile["file_path"], table_path, location))
+            path = _resolve(dfile["file_path"], table_path, location)
+            if content == 0:
+                data_files.append((path, seq))
+            elif content == 1:
+                pos_deletes.append((path, seq))
+            elif content == 2:
+                ids = tuple(sorted(dfile.get("equality_ids") or ()))
+                if not ids:
+                    raise NotImplementedError(
+                        f"iceberg equality delete without equality_ids: table {_JAR_HINT}"
+                    )
+                unknown = [i for i in ids if i not in field_names]
+                if unknown:
+                    raise NotImplementedError(
+                        f"iceberg equality delete on non-top-level field ids {unknown}: "
+                        f"table {_JAR_HINT}"
+                    )
+                eq_deletes.append((path, seq, ids))
+            else:
+                raise NotImplementedError(
+                    f"iceberg data_file content={content}: table {_JAR_HINT}"
+                )
 
     if not data_files:
         return spark.createDataFrame([], spark_schema)
-    df = spark.read.parquet(*sorted(set(data_files)))
+    paths = sorted({p for p, _ in data_files})
+    df = spark.read.parquet(*paths)
+
+    if pos_deletes or eq_deletes:
+        df = _apply_v2_deletes(spark, df, data_files, pos_deletes, eq_deletes, field_names)
+
     cols = []
     lower = {c.lower(): c for c in df.columns}
     for field in spark_schema.fields:
@@ -269,6 +352,72 @@ def read_iceberg_py(spark: SparkSession, table_path: str) -> DataFrame:
         else:
             cols.append(F.col(src).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def _apply_v2_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    data_files: list[tuple[str, int]],
+    pos_deletes: list[tuple[str, int]],
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+    field_names: dict[int, str],
+) -> DataFrame:
+    """Apply v2 delete files to a data scan as anti-joins.
+
+    The scan is tagged with ``_metadata.file_path`` / ``row_index`` plus
+    its file's data sequence number (broadcast map join — the file list
+    is metadata-sized, O(#files), never row data). Delete files are
+    grouped by sequence number (and by equality-id set) so each group is
+    ONE distributed parquet read, and each group contributes one
+    anti-join; Catalyst/AQE picks broadcast vs shuffle per delete-side
+    size. No row data ever transits the driver."""
+    data_cols = df.columns
+    df = df.select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias("__ice_fp"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    )
+    seq_df = spark.createDataFrame(
+        [(_norm_path(p), s) for p, s in data_files], "__ice_seq_fp string, __ice_seq long"
+    )
+    df = df.join(
+        F.broadcast(seq_df), df["__ice_fp"] == seq_df["__ice_seq_fp"], "left"
+    ).drop("__ice_seq_fp")
+
+    # position deletes, grouped by delete sequence number
+    by_seq: dict[int, list[str]] = {}
+    for p, s in pos_deletes:
+        by_seq.setdefault(s, []).append(p)
+    for del_seq, paths in sorted(by_seq.items()):
+        dels = (
+            spark.read.parquet(*sorted(paths))
+            .select(
+                F.regexp_replace(F.col("file_path"), r"^file:(//)?", "").alias("__del_fp"),
+                F.col("pos").cast("long").alias("__del_pos"),
+            )
+        )
+        cond = (
+            (df["__ice_fp"] == dels["__del_fp"])
+            & (df["__ice_pos"] == dels["__del_pos"])
+            & (F.lit(del_seq) >= df["__ice_seq"])
+        )
+        df = df.join(dels, cond, "left_anti")
+
+    # equality deletes, grouped by (equality-id set, sequence number)
+    by_key: dict[tuple[tuple[int, ...], int], list[str]] = {}
+    for p, s, ids in eq_deletes:
+        by_key.setdefault((ids, s), []).append(p)
+    for (ids, del_seq), paths in sorted(by_key.items()):
+        names = [field_names[i] for i in ids]
+        dels = spark.read.parquet(*sorted(paths)).select(
+            *[F.col(n).alias(f"__del_{n}") for n in names]
+        )
+        cond = F.lit(del_seq) > df["__ice_seq"]
+        for n in names:
+            cond = cond & df[n].eqNullSafe(dels[f"__del_{n}"])
+        df = df.join(dels, cond, "left_anti")
+
+    return df.select(*data_cols)
 
 
 # ------------------------------------------------------------ fixture writer
@@ -317,6 +466,59 @@ MANIFEST_LIST_SCHEMA = {
 }
 
 
+# v2 additions: entry-level sequence numbers, data_file.content
+# (0 data / 1 position deletes / 2 equality deletes), equality_ids.
+MANIFEST_ENTRY_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "field-id": 135,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
+    ],
+}
+
+
 def data_file_entry(path: str, status: int = 1, snapshot_id: int = 1) -> dict:
     """Manifest entry for one parquet file; record_count comes from the
     parquet FOOTER (metadata read, no data rows on the driver)."""
@@ -344,7 +546,8 @@ def write_snapshot_metadata(
     version: int = 1,
 ) -> str:
     """v1 metadata JSON + version-hint.text for a hand-rolled table.
-    ``snapshots``: [{"snapshot-id": n, "manifest-list": path}]."""
+    ``snapshots``: [{"snapshot-id": n, "manifest-list": path,
+    "timestamp-ms": optional}]."""
     mdir = os.path.join(table_path, "metadata")
     os.makedirs(mdir, exist_ok=True)
     meta = {
@@ -362,7 +565,7 @@ def write_snapshot_metadata(
         "snapshots": [
             {
                 "snapshot-id": s["snapshot-id"],
-                "timestamp-ms": 0,
+                "timestamp-ms": s.get("timestamp-ms", 0),
                 "summary": {"operation": "append"},
                 "manifest-list": os.path.abspath(s["manifest-list"]),
             }
@@ -396,6 +599,164 @@ def write_manifest_list(path: str, manifest_paths: list[str], snapshot_id: int) 
         ],
         codec="null",
     )
+
+
+def _v2_entry(path: str, content: int, seq: int, equality_ids: list[int] | None = None) -> dict:
+    import pyarrow.parquet as pq
+
+    return {
+        "status": 1,
+        "snapshot_id": 1,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": content,
+            "file_path": os.path.abspath(path),
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": pq.ParquetFile(path).metadata.num_rows,
+            "file_size_in_bytes": os.path.getsize(path),
+            "equality_ids": list(equality_ids) if equality_ids else None,
+        },
+    }
+
+
+def write_iceberg_v2_fixture(
+    df: DataFrame,
+    table_path: str,
+    sort_col: str,
+    position_delete_keys: list | None = None,
+    equality_deletes: list[tuple[dict, int]] | None = None,
+) -> None:
+    """Materialize ``df`` as a spec-shaped v2 Iceberg table with
+    row-level delete files, for testing the jar-less v2 read path.
+
+    Data files (sequence number 1) are written BY SPARK executors,
+    sorted within partitions by ``sort_col`` so row positions are
+    deterministic. ``position_delete_keys`` are VALUES of ``sort_col``;
+    the fixture maps each to its (file, pos) by scanning ONLY that
+    column of each part file with pyarrow — fixture-only convenience on
+    toy tables, not a production path (the reader never does this).
+    Position deletes get sequence number 2 (>= data seq 1 → apply).
+    ``equality_deletes`` is a list of ({col: value}, seq) — each becomes
+    one single-row equality delete parquet whose columns' types are
+    taken from the data schema; entries with seq <= 1 must NOT apply
+    (strict-inequality rule), which tests sequence gating end to end."""
+    data_dir = os.path.join(table_path, "data")
+    df.sortWithinPartitions(sort_col).write.mode("overwrite").parquet(data_dir)
+    files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet part files produced under {data_dir!r}")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(table_path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+
+    data_manifest = os.path.join(mdir, "manifest-data-1.avro")
+    write_avro_file(
+        data_manifest,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        [_v2_entry(p, content=0, seq=1) for p in files],
+        codec="null",
+    )
+    manifest_rows = [
+        {
+            "manifest_path": os.path.abspath(data_manifest),
+            "manifest_length": os.path.getsize(data_manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 1,
+        }
+    ]
+
+    delete_entries: list[dict] = []
+    if position_delete_keys:
+        wanted = set(position_delete_keys)
+        fps, poss = [], []
+        for p in files:
+            col = pq.read_table(p, columns=[sort_col])[sort_col].to_pylist()
+            for i, v in enumerate(col):
+                if v in wanted:
+                    fps.append(os.path.abspath(p))
+                    poss.append(i)
+        if len(fps) != len(wanted):
+            raise ValueError(f"position_delete_keys: found {len(fps)} of {len(wanted)} keys")
+        pd_path = os.path.join(data_dir, "delete-pos-1.parquet")
+        pq.write_table(
+            pa.table({"file_path": pa.array(fps, pa.string()), "pos": pa.array(poss, pa.int64())}),
+            pd_path,
+        )
+        delete_entries.append(_v2_entry(pd_path, content=1, seq=2))
+
+    if equality_deletes:
+        schema_by_name = {f["name"]: f for f in spark_to_iceberg_schema(df.schema)["fields"]}
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(df.schema)  # exact arrow types, no pandas inference
+        for i, (values, seq) in enumerate(equality_deletes):
+            ed_path = os.path.join(data_dir, f"delete-eq-{i}.parquet")
+            cols = {
+                n: pa.array([v], arrow_schema.field(n).type) for n, v in values.items()
+            }
+            pq.write_table(pa.table(cols), ed_path)
+            ids = [schema_by_name[n]["id"] for n in values]
+            delete_entries.append(_v2_entry(ed_path, content=2, seq=seq, equality_ids=ids))
+
+    if delete_entries:
+        del_manifest = os.path.join(mdir, "manifest-deletes-1.avro")
+        write_avro_file(del_manifest, MANIFEST_ENTRY_SCHEMA_V2, delete_entries, codec="null")
+        seqs = [e["sequence_number"] for e in delete_entries]
+        manifest_rows.append(
+            {
+                "manifest_path": os.path.abspath(del_manifest),
+                "manifest_length": os.path.getsize(del_manifest),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": max(seqs),
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": 1,
+            }
+        )
+
+    mlist = os.path.join(mdir, "snap-1.avro")
+    write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, manifest_rows, codec="null")
+
+    schema_json = spark_to_iceberg_schema(df.schema)
+    schema_json["schema-id"] = 0
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000002",
+        "location": os.path.abspath(table_path),
+        "last-sequence-number": 2,
+        "last-updated-ms": 0,
+        "last-column-id": len(df.schema.fields),
+        "schemas": [schema_json],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 2,
+                "timestamp-ms": 0,
+                "summary": {"operation": "append"},
+                "manifest-list": os.path.abspath(mlist),
+            }
+        ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write("1")
 
 
 def write_iceberg_fixture(df: DataFrame, table_path: str) -> None:

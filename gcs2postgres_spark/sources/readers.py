@@ -94,11 +94,20 @@ def read_source(
             # iceberg-spark-runtime absent: walk the table's metadata
             # chain in pure Python (metadata JSON → Avro manifests →
             # parquet file list) and scan with the native parquet
-            # reader — full executor parallelism, no jar
-            # (sources/iceberg_py.py; v2 delete files raise clearly)
+            # reader — full executor parallelism, no jar. v2 position/
+            # equality deletes are applied as anti-joins; time travel
+            # via the same option names the native reader uses
+            # (sources/iceberg_py.py)
             from gcs2postgres_spark.sources.iceberg_py import read_iceberg_py
 
-            df = read_iceberg_py(spark, path)
+            snap = options.get("snapshot-id")
+            as_of = options.get("as-of-timestamp")
+            df = read_iceberg_py(
+                spark,
+                path,
+                snapshot_id=int(snap) if snap is not None else None,
+                as_of_ms=int(as_of) if as_of is not None else None,
+            )
     elif fmt == "bigquery":
         # reference OP-2 native BigQuery scan (src/db/db.go:95-147) —
         # needs the spark-bigquery-connector; in-harness, native tables

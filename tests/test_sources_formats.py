@@ -207,9 +207,56 @@ def test_iceberg_deleted_entries_and_snapshot_selection(spark, tmp_path):
     assert got == [5, 6, 7, 8, 9]
 
 
-def test_iceberg_v2_delete_files_clear_error(spark, tmp_path):
-    """A v2 table carrying delete files must raise an actionable error
-    naming the runtime jar — never silently return undeleted rows."""
+def test_iceberg_v2_position_and_equality_deletes(spark, tmp_path):
+    """v2 row-level deletes applied jar-lessly: position deletes remove
+    exactly the (file, pos) rows; an equality delete with sequence
+    number STRICTLY greater than the data files' applies; one with an
+    equal sequence number must NOT (spec's strict-past rule)."""
+    from gcs2postgres_spark.sources.iceberg_py import write_iceberg_v2_fixture
+
+    df = spark.range(20).selectExpr("id AS v", "CAST(id % 4 AS INT) AS grp")
+    table = str(tmp_path / "v2tab")
+    write_iceberg_v2_fixture(
+        df.repartition(2),
+        table,
+        sort_col="v",
+        position_delete_keys=[3, 11],
+        equality_deletes=[({"grp": 2}, 2), ({"grp": 1}, 1)],
+    )
+    got = sorted(r["v"] for r in read_source(spark, table, fmt="iceberg").collect())
+    expect = [v for v in range(20) if v not in (3, 11) and v % 4 != 2]
+    assert got == expect
+
+
+def test_iceberg_v2_equality_delete_without_ids_clear_error(spark, tmp_path):
+    """An equality delete entry missing equality_ids cannot be applied
+    correctly — must raise an actionable error naming the runtime jar,
+    never silently return undeleted rows."""
+    import os
+
+    from gcs2postgres_spark.sources.iceberg_py import write_iceberg_v2_fixture
+
+    df = spark.range(4).withColumnRenamed("id", "v")
+    table = str(tmp_path / "t2")
+    write_iceberg_v2_fixture(
+        df.coalesce(1), table, sort_col="v", equality_deletes=[({"v": 1}, 2)]
+    )
+    # corrupt the delete manifest: rewrite with equality_ids = null
+    from gcs2postgres_spark.sources.avro_py import read_avro_file, write_avro_file
+    from gcs2postgres_spark.sources.iceberg_py import MANIFEST_ENTRY_SCHEMA_V2
+
+    mpath = os.path.join(table, "metadata", "manifest-deletes-1.avro")
+    _, entries = read_avro_file(mpath)
+    for e in entries:
+        e["data_file"]["equality_ids"] = None
+    write_avro_file(mpath, MANIFEST_ENTRY_SCHEMA_V2, entries, codec="null")
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        read_source(spark, table, fmt="iceberg")
+
+
+def test_iceberg_time_travel(spark, tmp_path):
+    """snapshot-id / as-of-timestamp options pin an older snapshot."""
+    import glob as g
     import os
 
     from gcs2postgres_spark.sources.iceberg_py import (
@@ -219,51 +266,41 @@ def test_iceberg_v2_delete_files_clear_error(spark, tmp_path):
         write_snapshot_metadata,
     )
 
-    table = str(tmp_path / "t2")
+    table = str(tmp_path / "tt")
     data = os.path.join(table, "data")
-    df = spark.range(4).withColumnRenamed("id", "v")
-    df.coalesce(1).write.parquet(os.path.join(data, "f1"))
-    import glob as g
-
+    df = spark.range(10).withColumnRenamed("id", "v")
+    df.filter("v < 5").coalesce(1).write.parquet(os.path.join(data, "f1"))
+    df.filter("v >= 5").coalesce(1).write.parquet(os.path.join(data, "f2"))
     f1 = g.glob(os.path.join(data, "f1", "part-*.parquet"))[0]
+    f2 = g.glob(os.path.join(data, "f2", "part-*.parquet"))[0]
     mdir = os.path.join(table, "metadata")
     os.makedirs(mdir)
-    entry = data_file_entry(f1, 1, 1)
-    entry["data_file"]["content"] = 1  # position deletes
-    # content is an extra key the manifest schema must carry for v2
-    schema = {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": "long"},
-            {
-                "name": "data_file",
-                "type": {
-                    "type": "record",
-                    "name": "r2",
-                    "fields": [
-                        {"name": "content", "type": "int"},
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {"name": "record_count", "type": "long"},
-                        {"name": "file_size_in_bytes", "type": "long"},
-                    ],
-                },
-            },
-        ],
-    }
-    from gcs2postgres_spark.sources.avro_py import write_avro_file
-
     m1 = os.path.join(mdir, "m1.avro")
-    write_avro_file(m1, schema, [entry], codec="null")
+    write_manifest(m1, [data_file_entry(f1, 1, 1)])
     l1 = os.path.join(mdir, "s1.avro")
     write_manifest_list(l1, [m1], 1)
+    m2 = os.path.join(mdir, "m2.avro")
+    write_manifest(m2, [data_file_entry(f1, 0, 1), data_file_entry(f2, 1, 2)])
+    l2 = os.path.join(mdir, "s2.avro")
+    write_manifest_list(l2, [m2], 2)
     write_snapshot_metadata(
-        table, df.schema, [{"snapshot-id": 1, "manifest-list": l1}], 1, version=1
+        table,
+        df.schema,
+        [
+            {"snapshot-id": 1, "manifest-list": l1, "timestamp-ms": 1000},
+            {"snapshot-id": 2, "manifest-list": l2, "timestamp-ms": 2000},
+        ],
+        current_snapshot_id=2,
+        version=1,
     )
-    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
-        read_source(spark, table, fmt="iceberg")
+    cur = sorted(r["v"] for r in read_source(spark, table, fmt="iceberg").collect())
+    assert cur == list(range(10))
+    old = read_source(spark, table, fmt="iceberg", **{"snapshot-id": 1})
+    assert sorted(r["v"] for r in old.collect()) == [0, 1, 2, 3, 4]
+    asof = read_source(spark, table, fmt="iceberg", **{"as-of-timestamp": 1500})
+    assert sorted(r["v"] for r in asof.collect()) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError, match="snapshot 99 not found"):
+        read_source(spark, table, fmt="iceberg", **{"snapshot-id": 99}).collect()
 
 
 def test_iceberg_empty_table_gives_schema(spark, tmp_path):
