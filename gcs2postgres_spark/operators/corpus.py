@@ -1,0 +1,225 @@
+"""Corpus-statistics operators for LLM training-data prep: TF-IDF
+term ranking, fixed-window document chunking, bigram language-model
+counts, and BPE first-merge pair candidates.
+
+These are the corpus-level passes a pretraining pipeline runs between
+cleaning/dedup and tokenization — salient-term extraction for mixing
+decisions, chunking long documents to the model's context window,
+n-gram statistics for quality/perplexity heuristics, and the pair
+frequencies a BPE tokenizer trainer starts from. (The reference
+delegates any such analytics to BigQuery SQL — src/db/db.go:59 — so
+this tier is the engine-layer capability SURVEY §2.8 requires, not a
+port.)
+
+Determinism: every op is a pure function of the data — no RNG, no
+engine-specific hashing — so each has an exact DuckDB oracle in
+queries/corpus_q.py. Floating outputs are rounded (6 dp) and every
+top-k is ranked with a total order (value desc, then lexicographic) so
+cross-engine ULP noise cannot reorder the cut.
+
+Scale shapes (the 100 TB question for each):
+- tfidf_top_terms: two aggregations (term-per-doc, doc-freq) + one
+  window top-k per doc — three shuffles, all on high-cardinality keys
+  (doc_id, term), map-side partials on; the corpus size N comes from a
+  1-row broadcast cross join, never a global window.
+- chunk_windows: pure map-side explode (split → sequence → slice) —
+  zero shuffles; output rows ≈ tokens/stride per doc.
+- bigram_counts: map-side zip_with over shifted token arrays (the
+  linear pattern — nothing recomputes the split per element), explode,
+  one partial-agg shuffle on the bigram key.
+- bpe_pair_counts: word-frequency agg first (classic BPE trainer
+  shape: pairs are counted over the DISTINCT-word table weighted by
+  frequency, so per-pair work is O(vocab), not O(corpus)), then a
+  char-pair explode and one more agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _toks(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tf = cnt/doc_len, idf = ln(N/df) (df = docs containing the term),
+    score rounded to 6 dp BEFORE ranking so the rank order
+    (score desc, term asc) is a total order immune to cross-engine ULP
+    differences. Returns (doc_id, rank, term, tfidf).
+
+    Scale: groupBy (doc_id, term) and groupBy term both partial-agg;
+    N is a broadcast 1-row cross join (a global window would serialize
+    on one partition). The final per-doc top-k is a window over doc_id
+    — high cardinality, no skew concern."""
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_toks(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.withColumn("doc_len", F.sum("cnt").over(w_doc))
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt") / F.col("doc_len"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("long").alias("rank"), "term", "tfidf")
+    )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Fixed-size token windows with overlap (context-window chunking).
+
+    A document with n tokens yields ceil((n-size)/stride)+1 chunks
+    (minimum 1); chunk i covers tokens [i*stride, i*stride+size). The
+    final chunk may be short — it is emitted, not padded. Returns
+    (doc_id, chunk_idx, start_tok, n_chunk_toks, chunk_hash) where
+    chunk_hash = md5 of the space-joined chunk tokens, the portable
+    content id downstream packing/dedup joins on.
+
+    Scale: zero shuffles — split, sequence-explode, and slice are all
+    map-side; slice references the PRE-COMPUTED token array column
+    (no per-chunk re-split; see the HOF-inlining hazard note in
+    operators/training.py)."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    with_toks = docs.select(
+        F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    n_chunks = F.when(F.col("n") <= size, F.lit(1).cast("long")).otherwise(
+        F.ceil((F.col("n") - size) / F.lit(float(stride))).cast("long") + 1
+    )
+    chunks = with_toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn("start_tok", F.col("chunk_idx") * stride)
+    chunk_toks = F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(size))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size(chunk_toks).cast("long").alias("n_chunk_toks"),
+        F.md5(F.array_join(chunk_toks, " ")).alias("chunk_hash"),
+    )
+
+
+def bigram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Corpus bigram counts with conditional probability — the n-gram
+    LM statistic used for perplexity-ish quality heuristics and
+    contamination fingerprints. Returns the top_n bigrams as
+    (w1, w2, cnt, cond_p) where cond_p = P(w2|w1) = cnt / count(w1 as
+    first word), ranked (cnt desc, w1, w2) — a total order, so the
+    top-n cut is deterministic.
+
+    Scale: bigrams come from zip_with over the token array and its
+    shift — linear, the array is materialized once per row — then one
+    partial-agg shuffle on (w1, w2); the w1 marginal is a window over
+    w1 (skew bounded by the stopword-iest token; acceptable because the
+    bigram table is already aggregated, rows = distinct bigrams not
+    corpus tokens)."""
+    toks = F.col("toks")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bigrams = (
+        docs.select(_toks(text_col).alias("toks"))
+        .filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w1_total = Window.partitionBy("w1")
+    return (
+        bigrams.withColumn("cond_p", F.round(F.col("cnt") / F.sum("cnt").over(w1_total), 6))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """BPE first-merge candidates: adjacent character-pair frequencies
+    over the corpus, weighted by word frequency — exactly the statistic
+    a BPE tokenizer trainer computes for its first merge (counting over
+    the distinct-word table times frequency, the standard trainer
+    optimization). Returns top_n rows (pair, n_occurrences, n_words)
+    ranked (n_occurrences desc, pair asc).
+
+    Scale: the word-frequency agg collapses the corpus to its
+    vocabulary FIRST (one shuffle on word, partial-agg), so the
+    char-pair explode is O(vocab × word_len), not O(corpus); the final
+    agg shuffles the pair table only."""
+    wf = (
+        docs.select(F.explode(_toks(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        "word",
+        "wcnt",
+        # word is a plain attribute, so inlining it into the lambda is
+        # free — the quadratic HOF hazard is re-evaluating an EXPENSIVE
+        # outer expression per element, not referencing a column
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wcnt").cast("long").alias("n_occurrences"),
+            F.count_distinct(F.col("word")).cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_n)
+    )

@@ -28,6 +28,7 @@ from gcs2postgres_spark.queries import sources_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import bucketed_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import training_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import pipeline_q  # noqa: E402,F401
+from gcs2postgres_spark.queries import corpus_q  # noqa: E402,F401
 
 # Round-4 verification window: the driver checks the first 50 entries.
 # Every registered query has been green in some round (r1 ∪ r2 ∪ r3 =
@@ -41,6 +42,10 @@ VERIFY_FRONT: list[str] = [
     # NEW in round 4
     "iceberg_source_roundtrip",
     "iceberg_v2_deletes_roundtrip",
+    "corpus_tfidf_top_terms",
+    "corpus_chunk_windows",
+    "corpus_bigram_lm_counts",
+    "corpus_bpe_merge_candidates",
     "text_top_word_ratio",
     # changed this round
     "sequence_pack_greedy",

@@ -1,0 +1,145 @@
+"""Corpus-statistics queries (operators/corpus.py): TF-IDF top terms,
+context-window chunking, bigram LM counts, BPE merge candidates — each
+with an exact DuckDB oracle (every op is a deterministic function of
+the data; floats are rounded to 6 dp BEFORE ranking so a ULP of
+cross-engine noise cannot flip a top-k cut)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.operators.corpus import (
+    bigram_counts,
+    bpe_pair_counts,
+    chunk_windows,
+    tfidf_top_terms,
+)
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+TFIDF_ORACLE = rf"""
+WITH tf AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), cnts AS (
+  SELECT doc_id, term, count(*) AS cnt FROM tf GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM cnts GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT c.doc_id, c.term,
+         round((c.cnt::DOUBLE / sum(c.cnt) OVER (PARTITION BY c.doc_id))
+               * ln(n.n_docs::DOUBLE / d.df), 6) AS tfidf
+  FROM cnts c JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+@register("corpus_tfidf_top_terms", oracle=TFIDF_ORACLE)
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (salient-term extraction for
+    domain mixing / topic routing). Two partial-agg shuffles plus a
+    per-doc window top-k; corpus size joins in as a broadcast 1-row
+    frame, never a global window. Scores are rounded before ranking in
+    BOTH engines, making the (score desc, term asc) order total."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+CHUNK_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c
+)
+SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+       CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT)
+         AS n_chunk_toks,
+       md5(array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+         AS chunk_hash
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("corpus_chunk_windows", oracle=CHUNK_ORACLE)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token windows, stride 24 (8-token
+    overlap), final short chunk emitted unpadded. Zero shuffles — the
+    token array is materialized once and sliced per chunk. chunk_hash
+    is the portable md5 content id downstream dedup/packing joins on;
+    the oracle recomputes every hash, so one shifted window breaks it."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_windows(docs, size=32, stride=24).orderBy("doc_id", "chunk_idx")
+
+
+BIGRAM_ORACLE = rf"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents
+), b AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), g AS (
+  SELECT w1, w2, count(*) AS cnt FROM b GROUP BY w1, w2
+)
+SELECT w1, w2, cnt,
+       round(cnt::DOUBLE / sum(cnt) OVER (PARTITION BY w1), 6) AS cond_p
+FROM g ORDER BY cnt DESC, w1, w2 LIMIT 20
+"""
+
+
+@register("corpus_bigram_lm_counts", oracle=BIGRAM_ORACLE)
+def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams with conditional probability P(w2|w1) —
+    the n-gram LM table behind perplexity-ish quality gates. Bigrams
+    come from zip_with over the token array and its shift (linear, no
+    per-element re-split), then one partial-agg shuffle; the (cnt desc,
+    w1, w2) rank is a total order so the cut is deterministic."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_counts(docs, top_n=20)
+
+
+BPE_ORACLE = rf"""
+WITH words AS (
+  SELECT unnest({_TOKS}) AS word FROM documents
+), wf AS (
+  SELECT word, count(*) AS wcnt FROM words GROUP BY word HAVING length(word) >= 2
+), pairs AS (
+  SELECT word, wcnt, substr(word, i, 2) AS pair
+  FROM wf, unnest(generate_series(1, length(word) - 1)) AS u(i)
+)
+SELECT pair,
+       CAST(sum(wcnt) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM pairs GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20
+"""
+
+
+@register("corpus_bpe_merge_candidates", oracle=BPE_ORACLE)
+def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character-pair frequencies weighted by word
+    frequency — the statistic a BPE tokenizer trainer computes for its
+    first merge. The corpus collapses to its vocabulary FIRST (classic
+    trainer optimization: pair counting is O(vocab × word_len), not
+    O(corpus)); overlapping occurrences within a word each count, as in
+    the textbook algorithm."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_n=20)
