@@ -179,6 +179,59 @@ def bigram_counts(
     )
 
 
+def bigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy / perplexity under the corpus's own
+    bigram LM — the n-gram quality gate a pretraining pipeline uses to
+    flag documents whose word transitions look nothing like the corpus
+    (boilerplate, OCR noise, wrong-language residue score high).
+
+    The LM is the maximum-likelihood bigram model of the SAME corpus
+    (P(w2|w1) = cnt(w1,w2)/cnt(w1,·)), so every document bigram has
+    nonzero probability and no smoothing is needed — the statistic is an
+    exact deterministic function of the data. Returns
+    (doc_id, n_bigrams, cross_entropy, perplexity) with
+    cross_entropy = avg(-ln P(w2|w1)) rounded 6 dp and
+    perplexity = exp(cross_entropy) rounded 6 dp.
+
+    Scale: doc-bigrams are a map-side zip_with+explode; the LM is two
+    partial-agg shuffles over (w1,w2)/(w1) — vocabulary-sized, far
+    smaller than the corpus; the join back is (w1,w2)-keyed with exactly
+    one LM row per key, so AQE's skew split handles stopword-pair heat;
+    the final per-doc agg partial-aggregates. No window over the raw
+    token stream anywhere."""
+    toks = F.col("toks")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_bigrams = (
+        docs.select(F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks"))
+        .filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    lm = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    w1_tot = lm.groupBy("w1").agg(F.sum("cnt").alias("w1_cnt"))
+    lm_p = lm.join(w1_tot, "w1").select(
+        "w1", "w2", (F.col("cnt") / F.col("w1_cnt")).alias("cond_p")
+    )
+    return (
+        doc_bigrams.join(lm_p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("cond_p"))), 6).alias("cross_entropy"),
+            F.round(F.exp(F.avg(-F.log(F.col("cond_p")))), 6).alias("perplexity"),
+        )
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     text_col: str = "text",

@@ -98,6 +98,41 @@ def repetition_stats(text: Column) -> dict[str, Column]:
     }
 
 
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the 'shuffle the
+    corpus before training' op, done as a pure function of (seed, id) so
+    the epoch order is reproducible on any engine with md5 (no stored
+    permutation table, no RNG state). A new epoch is a new seed.
+
+    Each row gets sort_key = portable_hash60(seed|id) — effectively a
+    uniform draw — then shard = sort_key mod n_shards and
+    pos = rank of sort_key within the shard. (shard, pos) is the exact
+    byte order a sequential trainer reading shard files would see.
+
+    Returns (id, shard, pos, sort_key).
+
+    Scale: ONE shuffle (the per-shard window). Each shard sorts in one
+    task, so choose n_shards ≈ a few × cluster cores at 100 TB (tens of
+    thousands) — shards stay ~GB-sized and the sorts are parallel and
+    spillable. The hash is uniform, so shard skew is binomial-bounded;
+    no hot keys by construction."""
+    from pyspark.sql import Window
+
+    key = portable_hash60(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("sort_key"))
+        .withColumn("shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos", "sort_key")
+    )
+
+
 SEQ_SHARD_SHIFT = 40  # seq_id = (shard << 40) + seq_local
 
 

@@ -46,6 +46,8 @@ VERIFY_FRONT: list[str] = [
     "corpus_chunk_windows",
     "corpus_bigram_lm_counts",
     "corpus_bpe_merge_candidates",
+    "corpus_bigram_perplexity",
+    "dataset_shuffle_shard",
     "text_top_word_ratio",
     # changed this round
     "sequence_pack_greedy",
@@ -90,13 +92,6 @@ VERIFY_FRONT: list[str] = [
     "text_normalize_distinct",
     "filter_in_like",
     "project_case_when",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "topk_global",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "distinct_subset",
 ]
 
 # Still green from round 1 but not refreshed this window (trivial
@@ -105,6 +100,13 @@ VERIFY_DEFERRED: list[str] = [
     "set_union_all",
     "filter_null_bool",
     "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "topk_global",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "distinct_subset",
 ]
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.operators.corpus import (
     bigram_counts,
+    bigram_perplexity,
     bpe_pair_counts,
     chunk_windows,
     tfidf_top_terms,
@@ -114,6 +115,41 @@ def corpus_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bigram_counts(docs, top_n=20)
+
+
+PERPLEXITY_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), lm AS (
+  SELECT w1, w2, count(*) AS cnt FROM b GROUP BY w1, w2
+), w1t AS (
+  SELECT w1, sum(cnt) AS w1_cnt FROM lm GROUP BY w1
+), p AS (
+  SELECT w1, w2, cnt::DOUBLE / w1_cnt AS cond_p FROM lm JOIN w1t USING (w1)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(cond_p)), 6) AS cross_entropy,
+       round(exp(avg(-ln(cond_p))), 6) AS perplexity
+FROM b JOIN p USING (w1, w2)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("corpus_bigram_perplexity", oracle=PERPLEXITY_ORACLE)
+def corpus_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy/perplexity under the corpus's own
+    maximum-likelihood bigram LM — the n-gram quality gate that flags
+    documents whose word transitions look nothing like the corpus. The
+    LM is trained on the same data, so every probability is nonzero and
+    the whole statistic is exactly SQL-replayable — the oracle rebuilds
+    the LM and replays every per-document average."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_perplexity(docs).orderBy("doc_id")
 
 
 BPE_ORACLE = rf"""

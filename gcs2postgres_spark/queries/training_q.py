@@ -16,6 +16,7 @@ from gcs2postgres_spark.operators.training import (
     hash_split_oracle_bucket_sql,
     pack_sequences,
     repetition_stats,
+    shuffle_shard,
 )
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
@@ -318,3 +319,34 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     ).orderBy("doc_id")
+
+
+_SHUF_SEED = "epoch0"
+_SHUF_SHARDS = 16
+
+SHUFFLE_SHARD_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{_SHUF_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS sort_key
+  FROM documents
+)
+SELECT doc_id, sort_key % {_SHUF_SHARDS} AS shard,
+       CAST(row_number() OVER (PARTITION BY sort_key % {_SHUF_SHARDS}
+                               ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
+       sort_key
+FROM h ORDER BY shard, pos
+"""
+
+
+@register("dataset_shuffle_shard", oracle=SHUFFLE_SHARD_ORACLE)
+def dataset_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard for epoch ordering: sort_key
+    is the portable md5 hash of (seed, doc_id), shard = key mod 16, pos =
+    rank within shard — the exact byte order a sequential trainer reads.
+    Reproducible on any engine with md5 (the oracle re-derives every
+    (shard, pos) pair); a new epoch is a new seed, no stored permutation.
+    One shuffle (the per-shard window), uniform by construction."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shard(docs, n_shards=_SHUF_SHARDS, seed=_SHUF_SEED).orderBy("shard", "pos")
