@@ -179,6 +179,90 @@ def bigram_counts(
     )
 
 
+SYM_L = "\x01"  # sentinel wrapping each BPE symbol: \x01<sym>\x02
+SYM_R = "\x02"
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Iterative BPE merge training: run ``n_merges`` rounds of the
+    classic algorithm — count adjacent symbol pairs over the
+    frequency-weighted vocabulary, pick the most frequent pair (ties
+    broken lexicographically), merge it greedily left-to-right in every
+    word, repeat. Returns the learned merge table
+    (step, lhs, rhs, merged, pair_count) — the artifact a tokenizer
+    trainer persists.
+
+    Representation: each word's segmentation is a string of
+    sentinel-wrapped symbols (``\\x01sym\\x02…``), so a merge is ONE
+    non-regex ``replace`` of ``\\x01a\\x02\\x01b\\x02`` with
+    ``\\x01ab\\x02`` — and because string replace scans left-to-right
+    without rescanning its own output, it implements exactly the
+    greedy non-overlapping merge semantics of a BPE trainer ("aaa" +
+    merge(a,a) → ("aa","a")). The same replace exists in every SQL
+    engine, which is what makes the whole recurrence replayable by a
+    static DuckDB oracle (queries/corpus_q.py unrolls the rounds as
+    CTEs with scalar subqueries picking each round's best pair).
+    Requires tokens free of the \\x01/\\x02 sentinels (true of any
+    whitespace-tokenized text).
+
+    Scale: the corpus collapses to its frequency-weighted vocabulary
+    FIRST (one shuffle), and every round is vocab-sized work: a
+    map-side pair explode, one partial-agg shuffle, and a 1-row
+    ``collect`` of the argmax (the unavoidable sequential dependency of
+    BPE — each merge depends on the last; trainers at any scale run
+    this loop on aggregated pair counts, never the corpus). The vocab
+    frame is cached across rounds."""
+    wf = (
+        docs.select(F.explode(_toks(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .filter(F.length("word") >= 2)
+    )
+    cur = wf.select(
+        "wcnt",
+        F.regexp_replace(F.col("word"), "(.)", f"{SYM_L}$1{SYM_R}").alias("seg"),
+    ).cache()
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr(f"substring(seg, 2, length(seg) - 2)"), F.lit(SYM_R + SYM_L)
+        )
+        n = F.size(syms)
+        pairs = F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        best = (
+            cur.select("wcnt", F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("wcnt").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((step, best["a"], best["b"], best["a"] + best["b"], best["cnt"]))
+        nxt = cur.select(
+            "wcnt",
+            F.replace(
+                F.col("seg"),
+                F.lit(f"{SYM_L}{best['a']}{SYM_R}{SYM_L}{best['b']}{SYM_R}"),
+                F.lit(f"{SYM_L}{best['a']}{best['b']}{SYM_R}"),
+            ).alias("seg"),
+        ).cache()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step long, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
 def bigram_perplexity(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -47,6 +47,7 @@ VERIFY_FRONT: list[str] = [
     "corpus_bigram_lm_counts",
     "corpus_bpe_merge_candidates",
     "corpus_bigram_perplexity",
+    "corpus_bpe_train_merges",
     "dataset_shuffle_shard",
     "text_top_word_ratio",
     # changed this round
@@ -90,7 +91,6 @@ VERIFY_FRONT: list[str] = [
     "array_ops_battery",
     "explode_token_counts",
     "text_normalize_distinct",
-    "filter_in_like",
     "project_case_when",
 ]
 
@@ -103,6 +103,7 @@ VERIFY_DEFERRED: list[str] = [
     "scalar_string_funcs",
     "scalar_date_funcs",
     "topk_global",
+    "filter_in_like",
     "set_union",
     "set_intersect",
     "set_except",

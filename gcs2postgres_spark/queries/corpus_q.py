@@ -13,6 +13,7 @@ from gcs2postgres_spark.operators.corpus import (
     bigram_counts,
     bigram_perplexity,
     bpe_pair_counts,
+    bpe_train_merges,
     chunk_windows,
     tfidf_top_terms,
 )
@@ -179,3 +180,62 @@ def corpus_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bpe_pair_counts(docs, top_n=20)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled static SQL replaying the BPE trainer recurrence: round k
+    counts pairs over s{k-1}, picks the best via scalar subqueries, and
+    produces s{k} with the same sentinel-string replace the Spark op
+    uses — so every learned merge AND its count must match exactly."""
+    L, R = "chr(1)", "chr(2)"
+    sql = [
+        rf"""WITH wf AS (
+  SELECT word, count(*) AS wcnt
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word HAVING length(word) >= 2
+), s0 AS (
+  SELECT wcnt, regexp_replace(word, '(.)', {L} || '\1' || {R}, 'g') AS seg FROM wf
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        sql.append(
+            f""", y{k} AS (
+  SELECT wcnt, string_split(substr(seg, 2, length(seg) - 2), {R} || {L}) AS syms
+  FROM s{k - 1}
+), p{k} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(wcnt) AS cnt
+  FROM y{k}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY a, b
+), b{k} AS (
+  SELECT {k} AS step, a, b, a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+  FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+), s{k} AS (
+  SELECT wcnt, replace(seg,
+    (SELECT {L} || a || {R} || {L} || b || {R} FROM b{k}),
+    (SELECT {L} || a || b || {R} FROM b{k})) AS seg
+  FROM s{k - 1}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(step AS BIGINT) AS step, a AS lhs, b AS rhs, merged, pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(sql) + "\n" + union + "\nORDER BY step"
+
+
+BPE_TRAIN_ORACLE = _bpe_train_oracle(3)
+
+
+@register("corpus_bpe_train_merges", oracle=BPE_TRAIN_ORACLE)
+def corpus_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of actual BPE merge training (not just the first-
+    merge candidates): each round counts adjacent symbol pairs over the
+    frequency-weighted vocabulary, merges the winner greedily
+    left-to-right, and feeds the next round. Every round is vocab-sized
+    distributed work with a 1-row argmax collect — the inherent
+    sequential step of BPE. The oracle unrolls the identical recurrence
+    as static CTEs, so a wrong tie-break, overlap handling, or count in
+    ANY round fails the compare."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=3)
