@@ -42,6 +42,8 @@ VERIFY_FRONT: list[str] = [
     # NEW in round 4
     "iceberg_source_roundtrip",
     "iceberg_v2_deletes_roundtrip",
+    "delta_source_roundtrip",
+    "delta_time_travel",
     "corpus_tfidf_top_terms",
     "corpus_chunk_windows",
     "corpus_bigram_lm_counts",
@@ -90,8 +92,6 @@ VERIFY_FRONT: list[str] = [
     "map_props_ops",
     "array_ops_battery",
     "explode_token_counts",
-    "text_normalize_distinct",
-    "project_case_when",
 ]
 
 # Still green from round 1 but not refreshed this window (trivial
@@ -104,6 +104,8 @@ VERIFY_DEFERRED: list[str] = [
     "scalar_date_funcs",
     "topk_global",
     "filter_in_like",
+    "text_normalize_distinct",
+    "project_case_when",
     "set_union",
     "set_intersect",
     "set_except",

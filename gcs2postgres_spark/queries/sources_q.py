@@ -169,3 +169,85 @@ def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+DELTA_ROUNDTRIP_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM nation
+WHERE n_regionkey <> 3
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_source_roundtrip", oracle=DELTA_ROUNDTRIP_ORACLE)
+def delta_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → two-commit partitioned Delta fixture → jar-less log
+    replay → aggregate.
+
+    The fixture partitions by n_regionkey (data files genuinely lack
+    the column, per the protocol) and commit 1 removes partition 3, so
+    the read must honor BOTH remove actions and typed partition-value
+    injection — a dropped remove, a leaked tombstone, or a null/mistyped
+    partition column each break the hash vs the declarative oracle."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import write_delta_fixture
+    from gcs2postgres_spark.sources.readers import read_source
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta_roundtrip_")
+    try:
+        write_delta_fixture(
+            nation.repartition(2), tmp, partition_col="n_regionkey", remove_partition_value="3"
+        )
+        df = read_source(spark, tmp, fmt="delta")
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+DELTA_TIME_TRAVEL_ORACLE = """
+SELECT count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       count(DISTINCT n_regionkey)      AS n_regions
+FROM nation
+"""
+
+
+@register("delta_time_travel", oracle=DELTA_TIME_TRAVEL_ORACLE)
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """versionAsOf=0 on the same two-commit Delta fixture: the log
+    replay must stop BEFORE commit 1's removes, resurrecting partition
+    3 — the oracle aggregates the full table, so travel that lands on
+    HEAD (or replays removes early) under-counts and fails."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import write_delta_fixture
+    from gcs2postgres_spark.sources.readers import read_source
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta_tt_")
+    try:
+        write_delta_fixture(
+            nation.repartition(2), tmp, partition_col="n_regionkey", remove_partition_value="3"
+        )
+        df = read_source(spark, tmp, fmt="delta", versionAsOf=0)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+            F.count_distinct(F.col("n_regionkey")).alias("n_regions"),
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

@@ -13,9 +13,11 @@ distributed container codec (sources/avro_py.py — spec-conformance
 cross-checked against the bundled Java Avro implementation). Iceberg
 likewise prefers the native reader and falls back to the jar-less
 metadata-chain walker (sources/iceberg_py.py) when iceberg-spark-runtime
-is absent; unsupported table features (v2 delete files) raise a clear
-error naming the jar (README.md:11 lists CSV/JSON/Parquet/Avro/Iceberg
-as the reference's formats).
+is absent, and Delta falls back to the jar-less _delta_log replay
+(sources/delta_py.py) when delta-spark is absent; unsupported table
+features raise a clear error naming the package (README.md:11 lists
+CSV/JSON/Parquet/Avro/Iceberg as the reference's formats; delta extends
+the list the same way).
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro", "iceberg", "bigquery"}
+SUPPORTED_FORMATS = {"parquet", "csv", "json", "orc", "avro", "iceberg", "delta", "bigquery"}
 
 
 def format_from_extension(path: str) -> str:
@@ -107,6 +109,29 @@ def read_source(
                 path,
                 snapshot_id=int(snap) if snap is not None else None,
                 as_of_ms=int(as_of) if as_of is not None else None,
+            )
+    elif fmt == "delta":
+        try:
+            df = reader.format("delta").options(**options).load(path)
+        except Exception as e:
+            msg = str(e)
+            if not ("DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg):
+                raise
+            # delta-spark absent: replay the public _delta_log protocol
+            # in pure Python (JSON commits + optional parquet checkpoint)
+            # and scan the live files with the native parquet reader —
+            # full executor parallelism, partition columns injected as
+            # plan-time literals (sources/delta_py.py). Time travel via
+            # the same option names the native reader uses.
+            from gcs2postgres_spark.sources.delta_py import read_delta_py
+
+            ver = options.get("versionAsOf")
+            ts = options.get("timestampAsOf")
+            df = read_delta_py(
+                spark,
+                path,
+                version_as_of=int(ver) if ver is not None else None,
+                timestamp_as_of_ms=int(ts) if ts is not None else None,
             )
     elif fmt == "bigquery":
         # reference OP-2 native BigQuery scan (src/db/db.go:95-147) —

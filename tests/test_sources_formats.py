@@ -322,3 +322,86 @@ def test_iceberg_empty_table_gives_schema(spark, tmp_path):
 def test_register_view(spark, sf_dir):
     read_source(spark, f"{sf_dir}/region.parquet", register_view=True)
     assert spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] == 5
+
+
+def test_delta_roundtrip_jarless(spark, sf_dir, tmp_path):
+    """write_delta_fixture → read_source(delta): jar-less _delta_log
+    replay with partition-column injection and remove actions."""
+    from gcs2postgres_spark.catalog import load_table
+    from gcs2postgres_spark.sources.delta_py import write_delta_fixture
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = str(tmp_path / "delta_nation")
+    write_delta_fixture(
+        nation.repartition(2), table, partition_col="n_regionkey", remove_partition_value="3"
+    )
+    got = read_source(spark, table, fmt="delta")
+    expect = nation.filter("n_regionkey <> 3")
+    assert got.count() == expect.count()
+    assert set(got.columns) == set(nation.columns)
+    assert [r["n_regionkey"] for r in got.select("n_regionkey").distinct().collect()] != []
+    # version 0 resurrects the removed partition
+    v0 = read_source(spark, table, fmt="delta", versionAsOf=0)
+    assert v0.count() == nation.count()
+
+
+def test_delta_checkpoint_branch(spark, sf_dir, tmp_path):
+    """_last_checkpoint + checkpoint.parquet replaces the JSON prefix;
+    state after compaction equals state from full JSON replay."""
+    from gcs2postgres_spark.catalog import load_table
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        write_checkpoint,
+        write_delta_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = str(tmp_path / "delta_cp")
+    write_delta_fixture(
+        nation.repartition(2), table, partition_col="n_regionkey", remove_partition_value="1"
+    )
+    before = sorted(r["n_nationkey"] for r in read_delta_py(spark, table).collect())
+    write_checkpoint(spark, table, 1)
+    after = sorted(r["n_nationkey"] for r in read_delta_py(spark, table).collect())
+    assert before == after
+
+
+def test_delta_unsupported_features_clear_error(spark, tmp_path):
+    """Deletion vectors and column mapping must raise actionable errors
+    naming the delta-spark package, never return wrong rows."""
+    import json
+    import os
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py
+
+    table = str(tmp_path / "delta_dv")
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    schema = '{"type":"struct","fields":[{"name":"a","type":"integer","nullable":true,"metadata":{}}]}'
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                         "readerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet"},
+                                         "schemaString": schema, "partitionColumns": [],
+                                         "configuration": {}}}) + "\n")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        read_delta_py(spark, table)
+
+    table2 = str(tmp_path / "delta_cm")
+    log2 = os.path.join(table2, "_delta_log")
+    os.makedirs(log2)
+    with open(os.path.join(log2, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet"},
+                                         "schemaString": schema, "partitionColumns": [],
+                                         "configuration": {"delta.columnMapping.mode": "name"}}})
+                + "\n")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        read_delta_py(spark, table2)
+
+
+def test_delta_not_a_table_clear_error(spark, tmp_path):
+    from gcs2postgres_spark.sources.delta_py import read_delta_py
+
+    with pytest.raises(FileNotFoundError, match="_delta_log"):
+        read_delta_py(spark, str(tmp_path / "nope"))
