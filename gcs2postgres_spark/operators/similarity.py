@@ -19,6 +19,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from gcs2postgres_spark.functions.vectors import cosine_similarity, dot
 from gcs2postgres_spark.operators.joins import topk_per_group
@@ -396,4 +397,94 @@ def cosine_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cos_sim"))
         .filter(F.col("cos_sim") > threshold)
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    corpus-clustering op behind domain discovery, stratified sampling,
+    and IVF index training. Initial centroids are the vectors with the
+    ``k`` smallest ids (a fixed, engine-independent choice — k-means++
+    would need an RNG the oracle could not replay); each iteration
+    assigns every vector to its nearest centroid (squared L2, ties →
+    lowest cluster id) and recomputes centroids as element-wise means.
+
+    Returns one row per cluster: (cluster, n_vecs, sum_vec_id,
+    centroid_l2) after ``n_iters`` full Lloyd rounds, with centroid_l2
+    rounded so cross-engine float-sum ordering cannot flip the compare.
+
+    Scale: the centroid table is k rows — always broadcast; assignment
+    is a map-side broadcast cross join + per-vector argmin (window over
+    id, high cardinality, no skew); the recompute is a posexplode +
+    (cluster, dim) partial agg — dims × k cells. The WHOLE loop is one
+    declarative plan (no driver collect between iterations); n_iters is
+    a literal unroll, exactly how the oracle replays it. An empty
+    cluster simply drops out of the recompute on both engines."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("cluster"),
+            F.col("vec").alias("centroid"),
+        )
+    )
+    for _ in range(n_iters):
+        dist = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_min = W.partitionBy("vec_id").orderBy("dist", "cluster")
+        assigned = (
+            emb.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w_min))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "vec", "cluster")
+        )
+        centroids = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+        centroids = F.broadcast(centroids)
+        last_assigned = assigned
+    with_l2 = centroids.select(
+        "cluster",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("centroid"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            5,
+        ).alias("centroid_l2"),
+    )
+    return (
+        last_assigned.join(F.broadcast(with_l2), "cluster")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+            F.first("centroid_l2").alias("centroid_l2"),
+        )
+        .orderBy("cluster")
     )

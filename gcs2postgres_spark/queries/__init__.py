@@ -51,6 +51,7 @@ VERIFY_FRONT: list[str] = [
     "corpus_bigram_perplexity",
     "corpus_bpe_train_merges",
     "dataset_shuffle_shard",
+    "embedding_kmeans_cluster",
     "text_top_word_ratio",
     # changed this round
     "sequence_pack_greedy",
@@ -88,7 +89,6 @@ VERIFY_FRONT: list[str] = [
     "unpivot_metrics",
     "grouped_map_ols",
     "grouped_agg_weighted_mean",
-    "sample_deterministic_mod",
     "map_props_ops",
     "array_ops_battery",
     "explode_token_counts",
@@ -110,6 +110,7 @@ VERIFY_DEFERRED: list[str] = [
     "set_intersect",
     "set_except",
     "distinct_subset",
+    "sample_deterministic_mod",
 ]
 
 

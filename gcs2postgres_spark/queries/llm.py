@@ -659,3 +659,70 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_shared_pairs(d, "doc_id", "text", min_shared=5, portable=True).orderBy(
         F.col("n_shared").desc(), "id_a", "id_b"
     )
+
+
+def _kmeans_oracle(k: int, n_iters: int) -> str:
+    """Unrolled Lloyd recurrence in DuckDB list SQL: c0 = the k
+    smallest-id vectors; iteration i assigns by squared-L2 argmin (ties
+    → lowest cluster) and recomputes element-wise-mean centroids. Same
+    fixed unroll the Spark plan uses — integer cluster counts/id sums
+    compare exactly, centroid_l2 is rounded on both sides."""
+    sql = [
+        f"""WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings
+), c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster, vec AS centroid
+  FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, n_iters + 1):
+        sql.append(
+            f""", a{it} AS (
+  SELECT vec_id, vec, cluster FROM (
+    SELECT e.vec_id, e.vec, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(e.vec)),
+                                     i -> (e.vec[i] - c.centroid[i]) ^ 2)),
+             c.cluster) AS rn
+    FROM emb e CROSS JOIN c{it - 1} c
+  ) WHERE rn = 1
+), c{it} AS (
+  SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+    SELECT cluster, i AS pos, avg(vec[i]) AS m
+    FROM a{it}, unnest(generate_series(1, len(vec))) AS u(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+)"""
+        )
+    sql.append(
+        f""", l2 AS (
+  SELECT cluster, round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 5)
+           AS centroid_l2
+  FROM c{n_iters}
+)
+SELECT cluster, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+       min(centroid_l2) AS centroid_l2
+FROM a{n_iters} JOIN l2 USING (cluster)
+GROUP BY cluster ORDER BY cluster"""
+    )
+    return "".join(sql)
+
+
+KMEANS_ORACLE = _kmeans_oracle(4, 2)
+
+
+@register("embedding_kmeans_cluster", oracle=KMEANS_ORACLE)
+def embedding_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations of k-means (k=4) over the embeddings
+    table — corpus clustering for domain discovery / IVF training —
+    as ONE declarative plan: broadcast k-row centroid table, map-side
+    assignment argmin, (cluster, dim)-cell partial-agg recompute, no
+    driver collect between iterations. Deterministic smallest-id init
+    (no RNG), so the oracle replays the identical unrolled recurrence;
+    integer cluster populations compare exactly — one flipped
+    assignment fails the row hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=4, n_iters=2)
