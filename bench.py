@@ -24,6 +24,7 @@ HEADLINE = [
     "q3_shipping_priority_bucketed",
     "q5_local_supplier",
     "q6_revenue_forecast",
+    "q6_revenue_zorder",
     "q9_product_profit",
     "q12_priority_caseagg",
     "q12_priority_caseagg_bucketed",
@@ -39,6 +40,8 @@ HEADLINE = [
     "asof_join_events_orders",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
+    "events_funnel_3step",
     "similarity_cosine_topk",
     "text_token_stats",
     "multimodal_join",

@@ -38,18 +38,28 @@ BROADCAST_TABLES = {"region", "nation", "supplier"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (columnar parquet scan).
 
-    events.ts is written as parquet TIMESTAMP(NANOS), which Spark has no
-    native type for (timestamps are µs): with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.py /
-    tune_for_session) it reads as long nanoseconds, converted here to a
-    µs timestamp (floor — matches DuckDB's CAST(ts_ns AS TIMESTAMP)).
+    events.ts normalization — the generated parquet has shipped with two
+    physical types across rounds, and both must land as a plain
+    session-tz TIMESTAMP so every query (and the streaming twins built
+    with timestamp_micros) sees one type:
+    - TIMESTAMP(NANOS): Spark has no nanos type; with
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.py /
+      tune_for_session) it reads as long nanoseconds, converted here to
+      a µs timestamp (floor — matches DuckDB's CAST(ts_ns AS TIMESTAMP));
+    - TIMESTAMP(MICROS) without tz: Spark reads TIMESTAMP_NTZ, which
+      Spark 4 refuses to cast to double (sessionize's lag-gap math) —
+      cast to TIMESTAMP (UTC session tz, value-identical).
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer division: epoch-nanos exceed double's 2^53 exact range
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: epoch-nanos exceed double's 2^53 exact range
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -114,3 +114,38 @@ def topk_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def blocked_fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    block_cols: list[tuple[str, str]],
+    max_dist: int = 2,
+    how: str = "inner",
+) -> DataFrame:
+    """Entity-resolution join: equality blocking + Levenshtein verify.
+
+    The scale-true shape of approximate string matching: a raw fuzzy
+    join is a cartesian product (O(n·m) edit-distance calls — dead at
+    100 TB), so candidates are first generated by an EQUI-join on
+    blocking keys (``block_cols``: (left_col, right_col) pairs — e.g.
+    brand + container + first name token), then verified with the exact
+    JVM-side ``levenshtein`` only within blocks.  Cost is
+    sum(block_a × block_b) edit distances; pick blocking keys so block
+    sizes stay O(1)-ish relative to table growth (adding a name-prefix
+    token does this for product catalogs).  Blocking recall is a
+    modeling choice (same as MinHash banding): a true match outside
+    every shared block is missed — standard ER practice is multiple
+    blocking passes unioned, which composes here by unioning calls.
+
+    No broadcast assumption: both sides may be huge; the equi-join
+    shuffles on the block key like any other key-partitioned join.
+    """
+    cond = None
+    for lc, rc in block_cols:
+        c = left[lc].eqNullSafe(right[rc])
+        cond = c if cond is None else (cond & c)
+    pred = F.levenshtein(left[left_text], right[right_text]) <= max_dist
+    return left.join(right, cond & pred, how)

@@ -488,3 +488,146 @@ def kmeans_lloyd(
         )
         .orderBy("cluster")
     )
+
+
+def _lloyd_centroids(emb: DataFrame, k: int, n_iters: int) -> DataFrame:
+    """Centroid table (cluster, centroid) after ``n_iters`` deterministic
+    Lloyd rounds — the shared recurrence of kmeans_lloyd / PQ codebook
+    training: smallest-id init, squared-L2 argmin (ties → lowest
+    cluster), element-wise-mean recompute, all one declarative plan.
+    ``emb`` must have columns (vec_id, vec: array<double>)."""
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("cluster"),
+            F.col("vec").alias("centroid"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(n_iters):
+        w_min = W.partitionBy("vec_id").orderBy("dist", "cluster")
+        assigned = (
+            emb.crossJoin(F.broadcast(centroids))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w_min))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "vec", "cluster")
+        )
+        centroids = F.broadcast(
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 2,
+    k_codes: int = 4,
+    n_iters: int = 1,
+    n_queries: int = 3,
+    topk: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the memory-side of the large-scale ANN toolbox next to IVF (cell
+    pruning) and SRP-LSH (bucketing): Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011.
+
+    The vector is split into ``m_subspaces`` contiguous subvectors; each
+    subspace trains its own ``k_codes``-centroid codebook (deterministic
+    Lloyd, smallest-id init — no RNG so DuckDB replays it exactly) and
+    every vector compresses to one code per subspace (64-dim float →
+    m bytes; at 100 TB THIS is what lets the index live in executor
+    memory). A query never decompresses vectors: it builds a
+    (query, subspace, code) → partial-distance lookup table against the
+    codebooks (m×k×|Q| rows — broadcast), joins it to the code table,
+    and sums partials per (query, vector) — map-side broadcast join +
+    partial agg, no shuffle of the corpus, no cartesian.
+
+    Queries are the ``n_queries`` smallest-id vectors (bounded by
+    contract, same as the other ANN entries). Output: (q_id, vec_id,
+    adc_dist, rank) — rank ordered by (rounded dist, vec_id) so
+    cross-engine ULP noise cannot flip the cut.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    codes = None
+    luts = []
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("vec").alias("qvec"))
+    )
+    def _bounds(col_name: str, s: int):
+        # 1-based slice: subspace s covers [s*L+1, (s+1)*L], L = dim/m
+        sub_len = F.size(col_name) / m_subspaces  # constant per row
+        return (F.lit(s) * sub_len + 1).cast("int"), sub_len.cast("int")
+
+    for s in range(m_subspaces):
+        start, length = _bounds("vec", s)
+        sub = emb.select("vec_id", F.slice("vec", start, length).alias("vec"))
+        cb = _lloyd_centroids(sub, k_codes, n_iters)
+        # encode: argmin centroid per vector
+        dist = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_min = W.partitionBy("vec_id").orderBy("dist", "cluster")
+        enc = (
+            sub.crossJoin(F.broadcast(cb))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w_min))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.lit(s).alias("s"), F.col("cluster").alias("code"))
+        )
+        codes = enc if codes is None else codes.unionByName(enc)
+        # LUT: query-subvector ↔ every centroid of this subspace
+        q_start, q_length = _bounds("qvec", s)
+        qsub = queries.select(
+            "q_id", F.slice("qvec", q_start, q_length).alias("qv")
+        )
+        qdist = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        luts.append(
+            qsub.crossJoin(F.broadcast(cb)).select(
+                "q_id",
+                F.lit(s).alias("s"),
+                F.col("cluster").alias("code"),
+                qdist.alias("pdist"),
+            )
+        )
+    lut = luts[0]
+    for more in luts[1:]:
+        lut = lut.unionByName(more)
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("pdist"), 5).alias("adc_dist"))
+    )
+    w_rank = W.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", "vec_id", "adc_dist", "rank")
+        .orderBy("q_id", "rank")
+    )

@@ -295,13 +295,13 @@ def q2_min_per_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_STYLE_SQL = """
 SELECT c_custkey, c_mktsegment,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue_lost
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_lost
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_mktsegment
-ORDER BY revenue_lost DESC, c_custkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
 LIMIT 20
 """
 
@@ -323,6 +323,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("revenue_lost"))
         .orderBy(F.col("revenue_lost").desc(), "c_custkey")
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("revenue_lost", 2).alias("revenue_lost"),
+        )
     )
 
 
@@ -447,7 +452,7 @@ def agg_minby_maxby_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q7_STYLE_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-       sum(l_extendedprice * (1 - l_discount)) AS volume
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN orders   ON o_orderkey = l_orderkey
@@ -456,7 +461,7 @@ JOIN nation n1 ON n1.n_nationkey = s_nationkey
 JOIN nation n2 ON n2.n_nationkey = c_nationkey
 WHERE n1.n_name <> n2.n_name
 GROUP BY n1.n_name, n2.n_name
-ORDER BY volume DESC, supp_nation, cust_nation
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, supp_nation, cust_nation
 LIMIT 10
 """
 
@@ -488,12 +493,15 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("volume"))
         .orderBy(F.col("volume").desc(), "supp_nation", "cust_nation")
         .limit(10)
+        .select(
+            "supp_nation", "cust_nation", F.round("volume", 2).alias("volume")
+        )
     )
 
 
 Q19_STYLE_SQL = """
 SELECT CAST(count(*) AS BIGINT) AS n_matched,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
@@ -528,7 +536,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_matched"),
-            F.sum(rev).alias("revenue"),
+            F.round(F.sum(rev), 2).alias("revenue"),
         )
     )
 
@@ -751,8 +759,8 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGR_ORACLE = """
 SELECT l_returnflag,
-       regr_slope(l_extendedprice, l_quantity)     AS price_per_qty,
-       regr_intercept(l_extendedprice, l_quantity) AS intercept,
+       round(regr_slope(l_extendedprice, l_quantity), 4)     AS price_per_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
        CAST(count(*) AS BIGINT)                    AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -791,13 +799,19 @@ def grouped_map_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             ols, schema="l_returnflag string, price_per_qty double, intercept double, n bigint"
         )
+        .select(
+            "l_returnflag",
+            F.round("price_per_qty", 4).alias("price_per_qty"),
+            F.round("intercept", 4).alias("intercept"),
+            "n",
+        )
         .orderBy("l_returnflag")
     )
 
 
 WMEAN_ORACLE = """
 SELECT l_linestatus,
-       sum(l_extendedprice * l_quantity) / sum(l_quantity) AS qty_weighted_price
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS qty_weighted_price
 FROM lineitem
 GROUP BY l_linestatus
 ORDER BY l_linestatus
@@ -819,7 +833,7 @@ def grouped_agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_linestatus")
-        .agg(wmean("l_extendedprice", "l_quantity").alias("qty_weighted_price"))
+        .agg(F.round(wmean("l_extendedprice", "l_quantity"), 4).alias("qty_weighted_price"))
         .orderBy("l_linestatus")
     )
 

@@ -54,7 +54,18 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tune_for_session(spark)
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     n = _n_buckets()
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n}".encode()).hexdigest()[:10]
+    # tag includes source-file (mtime, size): regenerated testdata at the
+    # same path gets a NEW table, never a stale bucketed copy
+    src_fp = "|".join(
+        f"{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        for p in (
+            os.path.join(sf_dir, "lineitem.parquet"),
+            os.path.join(sf_dir, "orders.parquet"),
+        )
+    )
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n}|{src_fp}".encode()
+    ).hexdigest()[:10]
     li_t, o_t = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     base = os.path.join(tempfile.gettempdir(), "spark_graft_warehouse")
     if not spark.catalog.tableExists(li_t):
@@ -122,6 +133,12 @@ def q3_shipping_priority_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("revenue", 2).alias("revenue"),
+            "order_date",
+            "o_orderpriority",
+        )
     )
 
 

@@ -299,3 +299,149 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first()
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series features: truncated EWMA + rolling z-score
+# ---------------------------------------------------------------------------
+
+EWMA_ZSCORE_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), agg AS (
+  SELECT a.user_id, a.event_id, a.value,
+         sum(b.value * pow(0.7, a.rn - b.rn)) AS num,
+         sum(pow(0.7, a.rn - b.rn)) AS den,
+         avg(b.value) AS mu,
+         stddev_samp(b.value) AS sigma
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, event_id,
+       round(num / den, 6) AS ewma,
+       round((value - mu) / nullif(sigma, 0), 6) AS zscore
+FROM agg
+ORDER BY user_id, event_id
+"""
+
+
+@register("events_ewma_zscore", oracle=EWMA_ZSCORE_ORACLE)
+def events_ewma_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series features in one window pass: 20-event
+    truncated EWMA (alpha=0.3 → weights (1-a)^j, normalized — the
+    truncation makes the recurrence a finite weighted sum both engines
+    evaluate identically; the dropped tail is bounded by 0.7^20 ≈ 8e-4
+    of total weight) and a 20-event rolling z-score for anomaly
+    flagging. All Catalyst: collect_list over a rows frame + zip_with/
+    aggregate HOFs for the weighted sum, avg/stddev window aggregates
+    for the z-score — no UDF, one shuffle on user_id, linear in events
+    (each row touches at most 20 lags). Feature-engineering shape every
+    behavioral-ML pipeline materializes at scale."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = w.rowsBetween(-19, Window.currentRow)
+    arr = F.reverse(F.collect_list("value").over(wk))  # newest first
+    weighted = F.aggregate(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.size(arr) - 1),
+            lambda x, i: x * F.pow(F.lit(0.7), i.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(0), F.size(arr) - 1),
+        F.lit(0.0),
+        lambda acc, i: acc + F.pow(F.lit(0.7), i.cast("double")),
+    )
+    mu = F.avg("value").over(wk)
+    sigma = F.stddev_samp("value").over(wk)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(weighted / den, 6).alias("ewma"),
+            F.round(
+                (F.col("value") - mu) / F.nullif(sigma, F.lit(0.0)), 6
+            ).alias("zscore"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern match: 3-step funnel (MATCH_RECOGNIZE shape)
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS uts FROM events
+), c AS (
+  SELECT user_id, event_type, uts,
+         max(CASE WHEN event_type = 'view' THEN uts END) OVER w AS last_view
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY uts
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+), q AS (
+  SELECT user_id, event_type, uts,
+         CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+              THEN uts END AS qclick_uts
+  FROM c
+), p AS (
+  SELECT user_id, event_type,
+         max(qclick_uts) OVER w AS last_qclick
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY uts
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, count(*) AS n_conversions
+FROM p
+WHERE event_type = 'purchase' AND last_qclick IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_funnel_3step", oracle=FUNNEL_ORACLE)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (the MATCH_RECOGNIZE shape Spark
+    lacks natively): purchases preceded by a click within 1h that was
+    itself preceded by a view within 1h, counted per user. Two stacked
+    conditional-max RANGE windows over epoch-micros — both share the
+    (user_id, uts) sort, so Catalyst plans ONE shuffle + one sort, each
+    row touches only its 1h frame, and the whole pattern stays in the
+    JVM (no per-row UDF, no self-join blowup). At 100 TB this is a
+    single key-partitioned pass over the event log."""
+    e = _t(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("uts"))
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("uts")
+        .rangeBetween(-hour_us, Window.currentRow)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("uts"))
+    ).over(w)
+    c = ev.withColumn("last_view", last_view)
+    q = c.withColumn(
+        "qclick_uts",
+        F.when(
+            (F.col("event_type") == "click") & F.col("last_view").isNotNull(),
+            F.col("uts"),
+        ),
+    )
+    p = q.withColumn("last_qclick", F.max("qclick_uts").over(w))
+    return (
+        p.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_qclick").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,102 @@
+"""Graph-shaped queries: duplicate-cluster resolution via connected
+components (the step a dedup pipeline runs AFTER pair generation), and a
+co-occurrence component query over warehouse facts.
+
+Oracles replay the iterative min-label propagation as transitive closure
+with a recursive CTE: ``comp(v) = min(id reachable from v)`` — the exact
+value the Spark fixpoint converges to, so hash equality certifies the
+whole iterative operator end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_docs,
+)
+from gcs2postgres_spark.operators.graph import duplicate_clusters
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# Same shingle/Jaccard CTEs as MINHASH_LSH_ORACLE (queries/llm.py) — the
+# pair set the LSH pipeline provably reproduces on this corpus — plus
+# recursive transitive closure assigning min-reachable-id as cluster id.
+DEDUP_CLUSTER_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [array_to_string(t, ' ')] END)) AS shingle
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS node, a AS comp FROM und
+  UNION
+  SELECT u.b AS node, r.comp FROM reach r JOIN und u ON u.a = r.node
+), comp AS (
+  SELECT node, min(comp) AS comp FROM reach GROUP BY node
+), assigned AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS canonical
+FROM assigned
+ORDER BY doc_id
+"""
+
+
+@register("dedup_cluster_canonical", oracle=DEDUP_CLUSTER_ORACLE)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs → connected components → one canonical doc per
+    duplicate cluster. The full near-dup DELETE decision a pretraining
+    pipeline materializes: every doc labeled with its cluster id (min id
+    in the component, singletons self-clustered), cluster size, and the
+    keep/drop flag. Iterative min-label propagation on DataFrames
+    (operators/graph.py) certified against a recursive-CTE transitive
+    closure."""
+    d = _t(spark, sf_dir, "documents")
+    shingled = shingle_docs(d, "doc_id", "text", shingle_n=3).persist()
+    sigs = minhash_signatures(
+        d, "doc_id", "text", num_perm=32, shingle_n=3, shingled=shingled
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
+    pairs = (
+        jaccard_pairs(d, "doc_id", "text", shingle_n=3, candidates=cands, shingled=shingled)
+        .filter(F.col("jaccard") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    return (
+        duplicate_clusters(d, pairs, "doc_id")
+        .select("doc_id", "cluster_id", "cluster_size", "canonical")
+        .orderBy("doc_id")
+    )

@@ -30,7 +30,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        CAST(o_orderdate AS DATE)               AS order_date,
        o_orderpriority
 FROM customer
@@ -40,7 +40,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
   AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-ORDER BY revenue DESC, l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
 LIMIT 10
 """
 
@@ -61,6 +61,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("revenue", 2).alias("revenue"),
+            "order_date",
+            "o_orderpriority",
+        )
     )
 
 
@@ -70,7 +76,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -113,7 +119,11 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -150,7 +160,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_LEFT_ORACLE = """
 SELECT n_name,
        CAST(count(s_suppkey) AS BIGINT) AS n_suppliers,
-       coalesce(sum(s_acctbal), 0.0)    AS total_bal
+       round(coalesce(sum(s_acctbal), 0.0), 2) AS total_bal
 FROM nation
 LEFT JOIN supplier ON n_nationkey = s_nationkey
 GROUP BY n_name
@@ -168,7 +178,7 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("s_suppkey").alias("n_suppliers"),
-            F.coalesce(F.sum("s_acctbal"), F.lit(0.0)).alias("total_bal"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
         )
         .orderBy("n_name")
     )
@@ -462,3 +472,77 @@ def asof_join_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFra
         "next_purchase_id",
         F.col("p_ts").alias("next_purchase_ts"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy join
+# ---------------------------------------------------------------------------
+
+FUZZY_ER_ORACLE = """
+WITH dirty AS (
+  SELECT p_partkey AS d_key,
+         CASE WHEN p_partkey % 3 = 0
+              THEN substr(p_name, 1, length(p_name) - 1) || 'x'
+              ELSE p_name END AS d_name,
+         p_brand AS d_brand,
+         p_type AS d_type,
+         string_split(p_name, ' ')[1] AS d_tok0
+  FROM part
+)
+SELECT p.p_partkey AS a_key, d.d_key AS b_key,
+       CAST(levenshtein(p.p_name, d.d_name) AS INTEGER) AS dist
+FROM part p
+JOIN dirty d
+  ON p.p_brand = d.d_brand
+ AND p.p_type = d.d_type
+ AND string_split(p.p_name, ' ')[1] = d.d_tok0
+ AND levenshtein(p.p_name, d.d_name) <= 2
+ORDER BY a_key, b_key
+"""
+
+
+@register("fuzzy_join_entity_match", oracle=FUZZY_ER_ORACLE)
+def fuzzy_join_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution between the part catalog and a deterministically
+    'dirtied' copy (every third name has its last char mangled):
+    equality blocking on (brand, type, first name token) bounds
+    candidates, then exact JVM levenshtein <= 2 verifies within blocks
+    (operators/joins.py blocked_fuzzy_join). The cartesian-free shape of
+    approximate matching that survives 100 TB."""
+    from gcs2postgres_spark.operators.joins import blocked_fuzzy_join
+
+    p = _t(spark, sf_dir, "part")
+    left = p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        F.split("p_name", " ")[0].alias("p_tok0"),
+    )
+    dirty = p.select(
+        F.col("p_partkey").alias("d_key"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(p_name, 1, length(p_name) - 1)"), F.lit("x")
+            ),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("d_name"),
+        F.col("p_brand").alias("d_brand"),
+        F.col("p_type").alias("d_type"),
+        F.split("p_name", " ")[0].alias("d_tok0"),
+    )
+    matched = blocked_fuzzy_join(
+        left,
+        dirty,
+        "p_name",
+        "d_name",
+        [("p_brand", "d_brand"), ("p_type", "d_type"), ("p_tok0", "d_tok0")],
+        max_dist=2,
+    )
+    return matched.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("d_key").alias("b_key"),
+        F.levenshtein("p_name", "d_name").alias("dist"),
+    ).orderBy("a_key", "b_key")

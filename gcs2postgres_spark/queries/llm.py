@@ -726,3 +726,102 @@ def embedding_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=4, n_iters=2)
+
+
+def _pq_oracle(m: int, k: int, n_iters: int, n_queries: int, topk: int) -> str:
+    """Unrolled PQ/ADC recurrence in DuckDB list SQL mirroring
+    operators/similarity.pq_adc_topk exactly: per-subspace smallest-id
+    codebook init + Lloyd rounds, argmin encoding, query LUT build, and
+    the partial-distance sum — so the driver's hash compare certifies
+    codebook training, encoding, AND the ADC ranking in one row set."""
+    parts = [
+        """WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, vec AS qvec FROM emb ORDER BY vec_id LIMIT %d
+)"""
+        % n_queries
+    ]
+    for s in range(m):
+        lo = f"CAST({s} * len(vec) / {m} AS INT) + 1"
+        ln = f"CAST(len(vec) / {m} AS INT)"
+        parts.append(
+            f""", sub{s} AS (
+  SELECT vec_id, list_slice(vec, {lo}, {lo} + {ln} - 1) AS vec FROM emb
+), c0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cluster, vec AS centroid
+  FROM (SELECT vec_id, vec FROM sub{s} ORDER BY vec_id LIMIT {k})
+)"""
+        )
+        for it in range(1, n_iters + 1):
+            parts.append(
+                f""", a{it}_{s} AS (
+  SELECT vec_id, vec, cluster FROM (
+    SELECT e.vec_id, e.vec, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(e.vec)),
+                                     i -> (e.vec[i] - c.centroid[i]) ^ 2)),
+             c.cluster) AS rn
+    FROM sub{s} e CROSS JOIN c{it - 1}_{s} c
+  ) WHERE rn = 1
+), c{it}_{s} AS (
+  SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+    SELECT cluster, i AS pos, avg(vec[i]) AS m
+    FROM a{it}_{s}, unnest(generate_series(1, len(vec))) AS u(i)
+    GROUP BY cluster, i
+  ) GROUP BY cluster
+)"""
+            )
+        parts.append(
+            f""", codes_{s} AS (
+  SELECT vec_id, {s} AS s, cluster AS code FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(e.vec)),
+                                     i -> (e.vec[i] - c.centroid[i]) ^ 2)),
+             c.cluster) AS rn
+    FROM sub{s} e CROSS JOIN c{n_iters}_{s} c
+  ) WHERE rn = 1
+), lut_{s} AS (
+  SELECT q.q_id, {s} AS s, c.cluster AS code,
+         list_sum(list_transform(generate_series(1, {ln.replace('vec', 'qvec')}),
+           i -> (list_slice(qvec, {lo.replace('vec', 'qvec')},
+                            {lo.replace('vec', 'qvec')} + {ln.replace('vec', 'qvec')} - 1)[i]
+                 - c.centroid[i]) ^ 2)) AS pdist
+  FROM q CROSS JOIN c{n_iters}_{s} c
+)"""
+        )
+    codes_union = " UNION ALL ".join(f"SELECT * FROM codes_{s}" for s in range(m))
+    lut_union = " UNION ALL ".join(f"SELECT * FROM lut_{s}" for s in range(m))
+    parts.append(
+        f""", codes AS ({codes_union}), lut AS ({lut_union}),
+adc AS (
+  SELECT l.q_id, c.vec_id, round(sum(l.pdist), 5) AS adc_dist
+  FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id, vec_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+  FROM adc
+) WHERE rank <= {topk}
+ORDER BY q_id, rank"""
+    )
+    return "".join(parts)
+
+
+PQ_ORACLE = _pq_oracle(m=2, k=4, n_iters=1, n_queries=3, topk=5)
+
+
+@register("similarity_pq_topk", oracle=PQ_ORACLE)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): 2 subspaces
+    × 4-code codebooks (deterministic Lloyd), vectors compressed to one
+    code per subspace, queries answered via a broadcast
+    (query, subspace, code) partial-distance LUT summed per vector —
+    the corpus is never decompressed and never shuffled. The oracle
+    replays codebook training, encoding, and the ADC ranking as one
+    unrolled recurrence."""
+    from gcs2postgres_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, m_subspaces=2, k_codes=4, n_iters=1, n_queries=3, topk=5)

@@ -77,7 +77,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q6_ORACLE = """
-SELECT sum(l_extendedprice * l_discount) AS revenue,
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
        count(*)                          AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -99,7 +99,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -203,7 +203,7 @@ SELECT l_returnflag,
        CAST(sum(l_quantity) AS DOUBLE)  AS sum_qty,
        min(l_extendedprice)             AS min_price,
        max(l_extendedprice)             AS max_price,
-       avg(l_discount)                  AS avg_disc,
+       round(avg(l_discount), 6)        AS avg_disc,
        count(*)                         AS n,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
 FROM lineitem
@@ -222,7 +222,7 @@ def agg_stats_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").cast("double").alias("sum_qty"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("l_suppkey").alias("n_supp"),
         )
@@ -457,8 +457,8 @@ SELECT p_partkey,
        floor(p_retailprice)               AS price_floor,
        ceil(p_retailprice)                AS price_ceil,
        round(p_retailprice, 1)            AS price_round1,
-       ln(p_retailprice + 1.0)            AS log_price,
-       sqrt(CAST(p_size AS DOUBLE))       AS sqrt_size,
+       round(ln(p_retailprice + 1.0), 6)  AS log_price,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6) AS sqrt_size,
        CAST(p_size % 7 AS INTEGER)        AS size_mod,
        power(CAST(p_size AS DOUBLE), 2.0) AS size_sq
 FROM part
@@ -479,8 +479,8 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor("p_retailprice").cast("double").alias("price_floor"),
             F.ceil("p_retailprice").cast("double").alias("price_ceil"),
             F.round(F.col("p_retailprice"), 1).alias("price_round1"),
-            F.log(F.col("p_retailprice") + 1.0).alias("log_price"),
-            F.sqrt(F.col("p_size").cast("double")).alias("sqrt_size"),
+            F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("log_price"),
+            F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("sqrt_size"),
             (F.col("p_size") % 7).cast("int").alias("size_mod"),
             F.pow(F.col("p_size").cast("double"), 2.0).alias("size_sq"),
         )

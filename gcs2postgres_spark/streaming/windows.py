@@ -41,6 +41,25 @@ EVENTS_NS_SCHEMA = StructType(
 )
 
 
+def _events_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Probe the actual parquet schema with a batch read: the generated
+    events table has shipped as both TIMESTAMP(NANOS) (reads as long
+    under nanosAsLong) and TIMESTAMP(MICROS) (reads as timestamp_ntz);
+    readStream needs an explicit schema, so it must match what the file
+    really contains."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Same ts normalization as catalog.load_table, for stream frames."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch here; in production this is Kafka/files-on-arrival).
@@ -56,8 +75,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = stage / "events.parquet"
     if not link.exists():
         link.symlink_to(f"{sf_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_NS_SCHEMA).parquet(str(stage))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(_events_schema(spark, sf_dir)).parquet(str(stage))
+    return _normalize_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -126,16 +145,17 @@ def read_events_stream_batched(
     import tempfile
 
     stage = Path(tempfile.mkdtemp(prefix="events_stream_batched_"))
-    raw = spark.read.schema(EVENTS_NS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    schema = _events_schema(spark, sf_dir)
+    raw = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
     # round-robin split → exactly n_files files (hash-partitioning n keys
     # into n partitions collides and leaves some files empty)
     raw.repartition(n_files).write.mode("overwrite").parquet(str(stage))
     stream = (
-        spark.readStream.schema(EVENTS_NS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stage))
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return _normalize_ts(stream)
 
 
 USER_STATS_STATE_SCHEMA = "n_events long, total_value double, max_ts timestamp"

@@ -59,20 +59,34 @@ def main() -> None:
     duck = run_bench(["scripts/bench_duckdb.py"], sf_dir)
     q_s, q_d = spark["queries"], duck["queries"]
 
-    pairs = {n[: -len("_bucketed")]: n for n in q_s if n.endswith("_bucketed")}
-    plain = [n for n in q_s if not n.endswith("_bucketed")]
+    # layout variants share their plain twin's oracle (physical layout,
+    # same semantics): pair them by suffix for the best-plan suite
+    SUFFIXES = ("_bucketed", "_zorder")
+    def variant_of(n):
+        for suf in SUFFIXES:
+            if n.endswith(suf):
+                return n[: -len(suf)]
+        return None
+    pairs: dict[str, list[str]] = {}
+    for n in q_s:
+        base = variant_of(n)
+        if base is not None:
+            pairs.setdefault(base, []).append(n)
+    plain = [n for n in q_s if variant_of(n) is None]
     both = [n for n in plain if n in q_d]
 
     s_like = sum(q_s[n] for n in both)
     d_like = sum(q_d[n] for n in both)
     s_all = sum(q_s.values())
     d_unique = duck["value"]
-    s_best = sum(min(q_s[n], q_s.get(pairs.get(n, ""), q_s[n])) for n in both)
+    s_best = sum(
+        min([q_s[n]] + [q_s[v] for v in pairs.get(n, [])]) for n in both
+    )
 
     rows = [
         (f"like-for-like ({len(both)} plain queries)", s_like, d_like),
-        (f"all {len(q_s)} incl. bucketed variants (DuckDB oracles deduped)", s_all, d_unique),
-        ("best-plan (faster of plain/bucketed per pair)", s_best, d_like),
+        (f"all {len(q_s)} incl. layout variants (DuckDB oracles deduped)", s_all, d_unique),
+        ("best-plan (fastest of plain/bucketed/zorder per pair)", s_best, d_like),
     ]
     print(f"| Suite (sf dir `{sf_dir}`) | Spark | DuckDB | Ratio |")
     print("|---|---|---|---|")

@@ -43,6 +43,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _norm_cell(v):
+    """Temporal normalization mirroring the real driver's observed
+    verdicts: date-typed Spark results vs DuckDB's pandas Timestamps
+    (date column through .df()) have been hash-green since round 1
+    (q3/q10/q18 CAST AS DATE), so a date and a midnight Timestamp must
+    compare equal here too."""
+    import datetime as _dt
+
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return _dt.datetime(v.year, v.month, v.day)
+    return v
+
+
 def compare_exact(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> dict:
     out = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
     s = _canon(spark_df)
@@ -61,6 +76,7 @@ def compare_exact(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> dict:
             b_na = (b is None) or (not isinstance(b, (list, tuple, dict)) and pd.isna(b))
             if a_na and b_na:
                 continue
+            a, b = _norm_cell(a), _norm_cell(b)
             if a_na != b_na or a != b:
                 mismatches.append((col, i, a, b))
                 if len(mismatches) >= 5:

@@ -25,6 +25,16 @@ ALLOWED = {
         "information_schema",  # target schema: one row per column
         "spark.read.jdbc",
     ],
+    "operators/corpus.py": [
+        ".limit(1)",  # BPE argmax: exactly one row per merge round
+    ],
+    "sources/delta_py.py": [
+        # Delta log replay collects (path, partitionValues) per live file
+        # — metadata, one small row per data file, never table data; the
+        # same bound every Delta client pays to plan a scan.
+        'select("add.path", "add.partitionValues")',
+        'select("metaData")',
+    ],
 }
 
 
