@@ -360,3 +360,82 @@ def bpe_pair_counts(
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over a document table — the lexical
+    half of every retrieval pipeline (RAG, eval-set decontamination,
+    corpus search; Robertson & Zaragoza, "The Probabilistic Relevance
+    Framework: BM25 and Beyond", 2009).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N−df+0.5)/(df+0.5) + 1)   (the +1 'plus' variant —
+    never negative for common terms).
+
+    Plan shape: one tokenize pass feeds doc lengths, per-(doc, term)
+    tf for the query terms, and per-term df — the query-term filter
+    prunes the tf branch BEFORE its aggregation, so the heavy groupBy
+    only sees |Q| terms' postings. N/avgdl (one row) and the df table
+    (|Q| rows) broadcast-join back; no driver collect, no UDF. At
+    100 TB this is exactly an inverted-index probe: shuffle volume is
+    the postings of the queried terms, not the corpus.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("tok").isin(q))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    # global top-k FIRST (TakeOrderedAndProject: per-partition heaps, no
+    # single-partition sort of the full score table), THEN rank the tiny
+    # k-row result — a bare row_number over all scores would funnel the
+    # corpus through one partition
+    cut = scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(topk)
+    w = Window.orderBy(F.desc("bm25"), F.col(id_col))
+    return (
+        cut.withColumn("rank", F.row_number().over(w))
+        .select(id_col, "bm25", "rank")
+        .orderBy("rank")
+    )

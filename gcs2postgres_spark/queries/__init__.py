@@ -63,6 +63,10 @@ VERIFY_FRONT: list[str] = [
     "events_funnel_3step",
     "q6_revenue_zorder",
     "similarity_pq_topk",
+    "corpus_bm25_search",
+    "events_resample_ffill",
+    "snapshot_diff_cdc",
+    "events_cohort_retention",
     # changed this round (incl. float-output quantization after the
     # micros-testdata regeneration surfaced cross-engine ULP diffs)
     "sequence_pack_greedy",
@@ -91,17 +95,17 @@ VERIFY_FRONT: list[str] = [
     "agg_filtered",
     "agg_percentile",
     "agg_stats_basic",
-    "pivot_order_priority",
-    "unpivot_metrics",
     "grouped_map_ols",
     "grouped_agg_weighted_mean",
-    "map_props_ops",
-    "array_ops_battery",
-]
+    ]
 
 # Still green from round 1 but not refreshed this window (trivial
 # siblings of in-window queries); refresh in round 5.
 VERIFY_DEFERRED: list[str] = [
+    "pivot_order_priority",
+    "unpivot_metrics",
+    "map_props_ops",
+    "array_ops_battery",
     "agg_minby_maxby_mode",
     "q2_min_per_group_joinback",
     "q8_market_share",

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.operators.corpus import (
+    bm25_search,
     bigram_counts,
     bigram_perplexity,
     bpe_pair_counts,
@@ -239,3 +240,51 @@ def corpus_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, n_merges=3)
+
+
+BM25_TERMS = ["join", "shuffle", "broadcast"]
+
+BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('join', 'shuffle', 'broadcast')
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM tf
+  JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, bm25, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM scored
+) WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+@register("corpus_bm25_search", oracle=BM25_ORACLE)
+def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-10 for a 3-term keyword query —
+    lexical retrieval over the corpus, planned as an inverted-index
+    probe: the query-term filter prunes postings before any shuffle,
+    df/corpus stats broadcast back, global top-k via per-partition
+    heaps. Scores rounded 6dp on both engines; ties → doc_id."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, BM25_TERMS)

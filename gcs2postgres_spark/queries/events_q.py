@@ -385,7 +385,7 @@ WITH ev AS (
          max(CASE WHEN event_type = 'view' THEN uts END) OVER w AS last_view
   FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY uts
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 ), q AS (
   SELECT user_id, event_type, uts,
          CASE WHEN event_type = 'click' AND last_view IS NOT NULL
@@ -396,7 +396,7 @@ WITH ev AS (
          max(qclick_uts) OVER w AS last_qclick
   FROM q
   WINDOW w AS (PARTITION BY user_id ORDER BY uts
-               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, count(*) AS n_conversions
 FROM p
@@ -409,20 +409,20 @@ ORDER BY user_id
 @register("events_funnel_3step", oracle=FUNNEL_ORACLE)
 def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential pattern detection (the MATCH_RECOGNIZE shape Spark
-    lacks natively): purchases preceded by a click within 1h that was
-    itself preceded by a view within 1h, counted per user. Two stacked
+    lacks natively): purchases preceded by a click within 24h that was
+    itself preceded by a view within 24h, counted per user. Two stacked
     conditional-max RANGE windows over epoch-micros — both share the
     (user_id, uts) sort, so Catalyst plans ONE shuffle + one sort, each
-    row touches only its 1h frame, and the whole pattern stays in the
+    row touches only its 24h frame, and the whole pattern stays in the
     JVM (no per-row UDF, no self-join blowup). At 100 TB this is a
     single key-partitioned pass over the event log."""
     e = _t(spark, sf_dir, "events")
     ev = e.select("user_id", "event_type", F.unix_micros(F.col("ts")).alias("uts"))
-    hour_us = 3_600_000_000
+    day_us = 86_400_000_000
     w = (
         Window.partitionBy("user_id")
         .orderBy("uts")
-        .rangeBetween(-hour_us, Window.currentRow)
+        .rangeBetween(-day_us, Window.currentRow)
     )
     last_view = F.max(
         F.when(F.col("event_type") == "view", F.col("uts"))
@@ -444,4 +444,122 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_conversions"))
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample to a regular grid + forward fill (gap fill)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_FFILL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, max_by(value, event_id) AS value
+  FROM events WHERE user_id < 40
+  GROUP BY user_id, ts
+), bounds AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS t0, max(ts) AS t1
+  FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id, g.grid_ts, round(e.value, 6) AS value
+FROM grid g
+ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+ORDER BY 1, 2
+"""
+
+
+@register("events_resample_ffill", oracle=RESAMPLE_FFILL_ORACLE)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: resample each user's event stream onto
+    a regular 6-hour grid (per-user bounds, day-aligned start) and
+    forward-fill the latest observation at or before each grid point.
+    Grid generation is F.sequence per user (no driver loop); the fill
+    reuses the union+window as-of operator — one shuffle on user_id,
+    O(|grid|+|events|) state, no per-key explosion. Events at identical
+    (user, ts) are pre-collapsed with max_by(event_id) so the as-of
+    match is unambiguous on both engines. DuckDB replays it with native
+    ASOF JOIN — two independent implementations of the same semantics.
+    The user_id < 40 cap bounds only the oracle's runtime, not the
+    operator (sf0.1 soak runs the same capped set)."""
+    from gcs2postgres_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    ev = e.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(t0, t1, interval 6 hours)")
+            ).alias("grid_ts"),
+        )
+    )
+    filled = asof_join(
+        grid,
+        ev.select(F.col("user_id").alias("e_user"), F.col("ts"), "value"),
+        left_on="user_id",
+        right_on="e_user",
+        left_time="grid_ts",
+        right_time="ts",
+        right_payload=["value"],
+    )
+    return filled.select(
+        "user_id", "grid_ts", F.round("value", 6).alias("value")
+    ).orderBy("user_id", "grid_ts")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+
+COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INT) AS week_n,
+       count(*) AS n_users
+FROM firsts f JOIN activity a USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_cohort_retention", oracle=COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted in every subsequent week they return — the
+    (cohort, weeks-since) matrix behind every retention dashboard. Two
+    aggregations sharing the user_id partitioning (first-touch, distinct
+    activity) and one equi-join; weeks are date_trunc-aligned so the
+    week delta is an exact integer on both engines."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_n"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_n")
     )

@@ -184,3 +184,67 @@ def pii_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.contains(clean, F.lit("@"))).alias("no_at_left"),
         F.md5(clean).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC table comparison)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH snap_a AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0
+), snap_b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+), diff AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderstatus = b.o_orderstatus
+               AND a.o_totalprice = b.o_totalprice THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+)
+SELECT status, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM diff GROUP BY status ORDER BY status
+"""
+
+
+@register("snapshot_diff_cdc", oracle=SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two deterministic snapshots of orders
+    (keys %11 dropped from A, %13 dropped from B, %5 repriced in B):
+    added/removed/changed/unchanged per key via ONE full-outer null-safe
+    join (operators/diff.py), summarized as (status, n, key_sum) so the
+    hash certifies the complete classification. The incremental-load
+    validation every warehouse runs."""
+    tune_for_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    from gcs2postgres_spark.operators.diff import snapshot_diff
+
+    d = snapshot_diff(
+        snap_a, snap_b, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("status")
+    )
