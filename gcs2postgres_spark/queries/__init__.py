@@ -67,6 +67,9 @@ VERIFY_FRONT: list[str] = [
     "events_resample_ffill",
     "snapshot_diff_cdc",
     "events_cohort_retention",
+    "bloom_semi_prune",
+    "corpus_cms_heavy_hitters",
+    "events_peak_concurrency",
     # changed this round (incl. float-output quantization after the
     # micros-testdata regeneration surfaced cross-engine ULP diffs)
     "sequence_pack_greedy",
@@ -89,10 +92,7 @@ VERIFY_FRONT: list[str] = [
     "subquery_not_exists",
     "subquery_scalar_avg",
     "join_left",
-    "agg_grouping_sets",
     "agg_rollup",
-    "agg_cube",
-    "agg_filtered",
     "agg_percentile",
     "agg_stats_basic",
     "grouped_map_ols",
@@ -102,6 +102,9 @@ VERIFY_FRONT: list[str] = [
 # Still green from round 1 but not refreshed this window (trivial
 # siblings of in-window queries); refresh in round 5.
 VERIFY_DEFERRED: list[str] = [
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_filtered",
     "pivot_order_priority",
     "unpivot_metrics",
     "map_props_ops",

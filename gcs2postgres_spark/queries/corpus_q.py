@@ -7,6 +7,7 @@ cross-engine noise cannot flip a top-k cut)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.operators.corpus import (
@@ -288,3 +289,84 @@ def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bm25_search(docs, BM25_TERMS)
+
+
+CMS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents
+), exact AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+), top10 AS (
+  SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10
+), cells AS (
+  SELECT t.j,
+         ('0x' || substr(md5(tok || '#' || CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % 256 AS b,
+         count(*) AS c
+  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+  GROUP BY 1, 2
+), est AS (
+  SELECT top10.tok, top10.exact_cnt, min(cells.c) AS cms_est
+  FROM top10
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+  JOIN cells ON cells.j = t.j
+   AND cells.b = ('0x' || substr(md5(top10.tok || '#' || CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % 256
+  GROUP BY 1, 2
+)
+SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt, CAST(cms_est AS BIGINT) AS cms_est
+FROM est ORDER BY exact_cnt DESC, tok
+"""
+
+
+@register("corpus_cms_heavy_hitters", oracle=CMS_ORACLE)
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 3 × width 256, md5-portable hashes) built
+    over the token stream, read back for the true top-10 tokens next to
+    their exact counts — certifying the sketch's one-sided error
+    (est ≥ exact always; the driver hash pins the exact estimates, not
+    just the bound). The fixed 768-cell counter table is the
+    heavy-hitter / frequency-cap primitive that replaces a full groupBy
+    at 100 TB: cells aggregate with map-side partials and broadcast."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top10 = exact.orderBy(F.desc("exact_cnt"), "tok").limit(10)
+    js = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j")
+    cells = (
+        toks.select("tok", js)
+        .select(
+            "j",
+            (
+                portable_hash60(
+                    F.concat(F.col("tok"), F.lit("#"), F.col("j").cast("string"))
+                )
+                % 256
+            ).alias("b"),
+        )
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probed = (
+        top10.select("tok", "exact_cnt", js)
+        .select(
+            "tok",
+            "exact_cnt",
+            "j",
+            (
+                portable_hash60(
+                    F.concat(F.col("tok"), F.lit("#"), F.col("j").cast("string"))
+                )
+                % 256
+            ).alias("b"),
+        )
+        .join(F.broadcast(cells), ["j", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return probed.select("tok", "exact_cnt", "cms_est").orderBy(
+        F.desc("exact_cnt"), "tok"
+    )

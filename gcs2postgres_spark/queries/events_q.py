@@ -563,3 +563,60 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line: peak concurrent activity windows
+# ---------------------------------------------------------------------------
+
+PEAK_CONCURRENCY_ORACLE = """
+WITH pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+), run AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM pts
+)
+SELECT event_type,
+       CAST(max(c) AS BIGINT) AS peak_concurrency,
+       count(*) // 2 AS n_intervals
+FROM run GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_peak_concurrency", oracle=PEAK_CONCURRENCY_ORACLE)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap maximum via the sweep line: each event opens a
+    30-minute activity window; +1/-1 boundary points, one running sum
+    per event_type, max = peak concurrency. Ends sort before starts at
+    equal timestamps (delta asc) = half-open intervals, and the peak is
+    invariant to ordering within remaining ties, so the result is
+    deterministic on both engines. The shape behind concurrent-session
+    and resource-overlap metrics; partitioned by the grouping key, the
+    cumsum is the standard per-key sequential pass (same scale contract
+    as sessionization)."""
+    e = _t(spark, sf_dir, "events")
+    starts = e.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("c", F.sum("delta").over(w))
+    return (
+        run.groupBy("event_type")
+        .agg(
+            F.max("c").cast("long").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )

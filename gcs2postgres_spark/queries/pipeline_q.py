@@ -248,3 +248,78 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom-filter semi-join prune
+# ---------------------------------------------------------------------------
+
+BLOOM_PRUNE_ORACLE = """
+WITH keys AS (
+  SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS k
+  FROM supplier WHERE s_acctbal > 9000
+), hashes AS (
+  SELECT ('0x' || substr(md5(k || '#' || CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % 1024 AS h
+  FROM keys CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
+), words AS (
+  SELECT CAST(h // 64 AS INT) AS w,
+         bit_or(1::BIGINT << CAST(h % 64 AS INT)) AS m
+  FROM hashes GROUP BY 1
+), p AS (
+  SELECT l_suppkey,
+    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#0'), 1, 15))::BIGINT % 1024 AS h0,
+    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#1'), 1, 15))::BIGINT % 1024 AS h1,
+    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#2'), 1, 15))::BIGINT % 1024 AS h2
+  FROM lineitem
+), hit AS (
+  SELECT p.l_suppkey,
+         coalesce((w0.m >> CAST(h0 % 64 AS INT)) & 1 = 1, FALSE)
+     AND coalesce((w1.m >> CAST(h1 % 64 AS INT)) & 1 = 1, FALSE)
+     AND coalesce((w2.m >> CAST(h2 % 64 AS INT)) & 1 = 1, FALSE) AS pass
+  FROM p
+  LEFT JOIN words w0 ON CAST(h0 // 64 AS INT) = w0.w
+  LEFT JOIN words w1 ON CAST(h1 // 64 AS INT) = w1.w
+  LEFT JOIN words w2 ON CAST(h2 // 64 AS INT) = w2.w
+), truth AS (
+  SELECT DISTINCT s_suppkey FROM supplier WHERE s_acctbal > 9000
+)
+SELECT (SELECT count(*) FROM lineitem) AS n_scanned,
+       (SELECT count(*) FROM hit WHERE pass) AS n_pass_bloom,
+       (SELECT count(*) FROM lineitem JOIN truth ON l_suppkey = s_suppkey) AS n_true_semi,
+       (SELECT count(*) FROM hit LEFT JOIN truth t ON hit.l_suppkey = t.s_suppkey
+        WHERE pass AND t.s_suppkey IS NULL) AS n_false_pos
+"""
+
+
+@register("bloom_semi_prune", oracle=BLOOM_PRUNE_ORACLE)
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime-filter: a 1024-bit / 3-hash Bloom bitmap built
+    from the filtered supplier side (md5-portable hashes), broadcast as
+    one map row, and probed in the lineitem scan with pure bit
+    arithmetic — the fact table is pruned without joining it. The
+    output certifies the bitmap bit-for-bit: scanned / bloom-passed /
+    exact-semi-join / false-positive counts must all match an
+    independent SQL reconstruction of the same filter."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.operators.bloom import bloom_build, bloom_prune
+
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    li = load_table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(sup, "s_suppkey")
+    probed = bloom_prune(li, bloom, "l_suppkey", flag_col="pass")
+    truth = sup.select("s_suppkey").distinct()
+    n_scanned = li.agg(F.count(F.lit(1)).alias("n_scanned"))
+    n_pass = probed.agg(
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long").alias("n_pass_bloom")
+    )
+    n_true = li.join(
+        F.broadcast(truth), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_true_semi"))
+    n_fp = (
+        probed.filter(F.col("pass"))
+        .join(
+            F.broadcast(truth), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n_false_pos"))
+    )
+    return n_scanned.crossJoin(n_pass).crossJoin(n_true).crossJoin(n_fp)
