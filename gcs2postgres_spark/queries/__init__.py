@@ -70,6 +70,8 @@ VERIFY_FRONT: list[str] = [
     "bloom_semi_prune",
     "corpus_cms_heavy_hitters",
     "events_peak_concurrency",
+    "delta_write_roundtrip",
+    "iceberg_write_roundtrip",
     # changed this round (incl. float-output quantization after the
     # micros-testdata regeneration surfaced cross-engine ULP diffs)
     "sequence_pack_greedy",
@@ -92,8 +94,6 @@ VERIFY_FRONT: list[str] = [
     "subquery_not_exists",
     "subquery_scalar_avg",
     "join_left",
-    "agg_rollup",
-    "agg_percentile",
     "agg_stats_basic",
     "grouped_map_ols",
     "grouped_agg_weighted_mean",
@@ -102,6 +102,8 @@ VERIFY_FRONT: list[str] = [
 # Still green from round 1 but not refreshed this window (trivial
 # siblings of in-window queries); refresh in round 5.
 VERIFY_DEFERRED: list[str] = [
+    "agg_rollup",
+    "agg_percentile",
     "agg_grouping_sets",
     "agg_cube",
     "agg_filtered",

@@ -251,3 +251,109 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+DELTA_WRITE_ORACLE = """
+SELECT 'head' AS snapshot, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT 'v1', count(*), CAST(sum(o_orderkey) AS BIGINT)
+FROM orders WHERE o_orderkey % 10 IN (1, 2)
+ORDER BY snapshot
+"""
+
+
+@register("delta_write_roundtrip", oracle=DELTA_WRITE_ORACLE)
+def delta_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jar-less Delta WRITE path, end-to-end: three commits
+    (overwrite → append → overwrite) through sources/delta_py.write_delta,
+    read back through the jar-less log replay at versionAsOf=1 (the
+    append state) AND at HEAD (post-overwrite). The second overwrite
+    must tombstone every live file of v0+v1 — a missed remove, a wrong
+    version number, or a file-name collision across commits each breaks
+    one of the two snapshots vs the declarative oracle."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="delta_write_rt_")
+    base = 1_700_000_000_000
+    write_delta(
+        o.filter(F.col("o_orderkey") % 10 == 1), path, "overwrite", timestamp_ms=base
+    )
+    write_delta(
+        o.filter(F.col("o_orderkey") % 10 == 2), path, "append", timestamp_ms=base + 1000
+    )
+    write_delta(
+        o.filter(F.col("o_orderkey") % 10 == 3),
+        path,
+        "overwrite",
+        timestamp_ms=base + 2000,
+    )
+    v1 = read_delta_py(spark, path, version_as_of=1)
+    head = read_delta_py(spark, path)
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(label).alias("snapshot"), "n", "key_sum")
+
+    return summarize(head, "head").unionByName(summarize(v1, "v1")).orderBy("snapshot")
+
+
+ICEBERG_WRITE_ORACLE = """
+SELECT 'head' AS snapshot, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders WHERE o_orderkey % 10 = 6
+UNION ALL
+SELECT 'snap2', count(*), CAST(sum(o_orderkey) AS BIGINT)
+FROM orders WHERE o_orderkey % 10 IN (4, 5)
+ORDER BY snapshot
+"""
+
+
+@register("iceberg_write_roundtrip", oracle=ICEBERG_WRITE_ORACLE)
+def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jar-less Iceberg v1 WRITE path: three snapshots
+    (overwrite → append → overwrite) through sources/iceberg_py
+    .write_iceberg — the append's manifest list must carry the prior
+    snapshot's manifests forward, and the final overwrite must NOT —
+    then read back via the jar-less metadata-chain walk pinned to the
+    append snapshot AND at HEAD. Wrong manifest accumulation, a stale
+    version-hint, or snapshot-id collisions each break a row vs the
+    declarative oracle."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import read_iceberg_py, write_iceberg
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="iceberg_write_rt_")
+    base = 1_700_000_000_000
+    write_iceberg(
+        o.filter(F.col("o_orderkey") % 10 == 4), path, "overwrite", snapshot_ts_ms=base
+    )
+    s2 = write_iceberg(
+        o.filter(F.col("o_orderkey") % 10 == 5),
+        path,
+        "append",
+        snapshot_ts_ms=base + 1000,
+    )
+    write_iceberg(
+        o.filter(F.col("o_orderkey") % 10 == 6),
+        path,
+        "overwrite",
+        snapshot_ts_ms=base + 2000,
+    )
+    snap2 = read_iceberg_py(spark, path, snapshot_id=s2)
+    head = read_iceberg_py(spark, path)
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(label).alias("snapshot"), "n", "key_sum")
+
+    return summarize(head, "head").unionByName(summarize(snap2, "snap2")).orderBy("snapshot")

@@ -382,3 +382,118 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
     shutil.rmtree(tmp, ignore_errors=True)
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
+
+
+def _stage_data_files(
+    df: DataFrame, table_path: str, part_cols: list[str], now_ms: int
+) -> list[dict]:
+    """Write df's parquet files into the table directory (executor-side,
+    partitionBy-aware) and return the protocol ``add`` actions. Files
+    land under uuid-suffixed Spark part names, so successive commits
+    never collide."""
+    import shutil
+    import uuid
+
+    staging = os.path.join(table_path, f"_staging_{uuid.uuid4().hex[:8]}")
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            pv = {}
+            rel_dir_parts = []
+            rel = os.path.relpath(src, staging)
+            for seg in rel.split(os.sep)[:-1]:
+                k, _, val = seg.partition("=")
+                pv[k] = unquote(val)
+                rel_dir_parts.append(seg)
+            dest_dir = os.path.join(table_path, *rel_dir_parts)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, name)
+            os.replace(src, dest)
+            rel_path = "/".join([*rel_dir_parts, name])
+            adds.append(
+                {
+                    "add": {
+                        "path": quote(rel_path, safe="/="),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dest),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def write_delta(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Jar-less Delta WRITE (protocol v1 reader / v2 writer): commit
+    ``df`` to ``table_path`` and return the new version.
+
+    - fresh table: version 0 = protocol + metaData + adds;
+    - ``append``: version N+1 = adds only;
+    - ``overwrite``: version N+1 = remove of every live file + adds
+      (logical delete — old files stay for time travel, exactly the
+      protocol's semantics; VACUUM is a separate physical op).
+
+    Data files are written by the executors (partition-wise when
+    ``partition_by`` is set); only the log commit is driver-side — one
+    small JSON per version, the same O(files) planning cost every Delta
+    writer pays. Any engine with a Delta connector (or read_delta_py)
+    can read the result; tests cross-check both the HEAD and the
+    time-traveled states."""
+    import time as _time
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    part_cols = list(partition_by or [])
+    now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
+    log_dir = _log_dir(table_path)
+    existing = _list_commits(log_dir) if os.path.isdir(log_dir) else {}
+    fresh = not existing
+
+    actions: list[dict] = []
+    if fresh:
+        version = 0
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(_meta_action(df.schema, part_cols))
+    else:
+        version = max(existing) + 1
+        if mode == "overwrite":
+            spark = df.sparkSession
+            cp_version, cp_adds, _meta = _checkpoint_base(spark, log_dir)
+            live: dict[str, dict] = {a["path"]: a for a in cp_adds}
+            for v in sorted(v for v in existing if v > cp_version):
+                with open(existing[v]) as f:
+                    for line in f:
+                        a = json.loads(line)
+                        if "add" in a:
+                            live[a["add"]["path"]] = a["add"]
+                        elif "remove" in a:
+                            live.pop(a["remove"]["path"], None)
+            actions.extend(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+                for p in sorted(live)
+            )
+    actions.extend(_stage_data_files(df, table_path, part_cols, now))
+    _write_commit(log_dir, version, actions, now)
+    return version

@@ -782,3 +782,89 @@ def write_iceberg_fixture(df: DataFrame, table_path: str) -> None:
         current_snapshot_id=1,
         version=1,
     )
+
+
+def write_iceberg(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    snapshot_ts_ms: int | None = None,
+) -> int:
+    """Jar-less Iceberg v1 WRITE: commit ``df`` as a new snapshot and
+    return its snapshot id.
+
+    - fresh table / ``overwrite``: the new snapshot's manifest list
+      holds only the new manifest (prior snapshots keep their own
+      manifest lists — time travel by ``snapshot_id``/``as_of_ms``
+      still sees them);
+    - ``append``: the new manifest list holds every manifest of the
+      current snapshot plus the new one — exactly how the v1 spec
+      accumulates appends without rewriting old manifests.
+
+    Executors write the data files (one uuid-named commit directory per
+    snapshot, so commits never collide); the driver writes only Avro
+    manifests + metadata JSON from parquet-footer stats. Readable by
+    read_iceberg_py and by any engine's Iceberg runtime (unpartitioned
+    v1 spec: schema, manifests, snapshot log)."""
+    import time as _time
+    import uuid
+
+    from gcs2postgres_spark.sources.avro_py import read_avro_file
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
+
+    snapshots: list[dict] = []
+    prev_manifests: list[str] = []
+    version = 0
+    try:
+        meta_file = latest_metadata_file(table_path)
+    except FileNotFoundError:
+        meta_file = None
+    if meta_file is not None:
+        with open(meta_file) as f:
+            meta = json.load(f)
+        version = int(os.path.basename(meta_file).split(".")[0].lstrip("v"))
+        snapshots = [
+            {
+                "snapshot-id": s["snapshot-id"],
+                "manifest-list": s["manifest-list"],
+                "timestamp-ms": s.get("timestamp-ms", 0),
+            }
+            for s in meta.get("snapshots", [])
+        ]
+        cur = meta.get("current-snapshot-id")
+        if mode == "append" and cur and cur != -1:
+            cur_list = next(
+                s["manifest-list"] for s in snapshots if s["snapshot-id"] == cur
+            )
+            _schema, rows = read_avro_file(cur_list)
+            prev_manifests = [r["manifest_path"] for r in rows]
+
+    sid = max((s["snapshot-id"] for s in snapshots), default=0) + 1
+    commit_dir = os.path.join(table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(commit_dir)
+    files = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet part files produced under {commit_dir!r}")
+
+    mdir = os.path.join(table_path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    manifest = os.path.join(mdir, f"manifest-{sid}.avro")
+    write_manifest(
+        manifest, [data_file_entry(p, status=1, snapshot_id=sid) for p in files]
+    )
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_manifest_list(mlist, [*prev_manifests, manifest], snapshot_id=sid)
+    snapshots.append(
+        {"snapshot-id": sid, "manifest-list": mlist, "timestamp-ms": now}
+    )
+    write_snapshot_metadata(
+        table_path,
+        df.schema,
+        snapshots,
+        current_snapshot_id=sid,
+        version=version + 1,
+    )
+    return sid

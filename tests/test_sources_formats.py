@@ -405,3 +405,49 @@ def test_delta_not_a_table_clear_error(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="_delta_log"):
         read_delta_py(spark, str(tmp_path / "nope"))
+
+
+def test_delta_write_append_overwrite_semantics(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    path = str(tmp_path / "t")
+    df = spark.range(10).withColumn("part", (F.col("id") % 2).cast("string"))
+    v0 = write_delta(df, path, "overwrite", partition_by=["part"], timestamp_ms=1)
+    v1 = write_delta(
+        spark.range(10, 15).withColumn("part", F.lit("0")),
+        path,
+        "append",
+        partition_by=["part"],
+        timestamp_ms=2,
+    )
+    v2 = write_delta(
+        spark.range(100, 103).withColumn("part", F.lit("1")),
+        path,
+        "overwrite",
+        partition_by=["part"],
+        timestamp_ms=3,
+    )
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert read_delta_py(spark, path).count() == 3  # overwrite replaced all
+    assert read_delta_py(spark, path, version_as_of=1).count() == 15
+    assert read_delta_py(spark, path, version_as_of=0).count() == 10
+    # partition column injected, typed, and filterable
+    got = read_delta_py(spark, path, version_as_of=1).filter("part = '0'").count()
+    assert got == 10
+
+
+def test_iceberg_write_snapshot_semantics(spark, tmp_path):
+    from gcs2postgres_spark.sources.iceberg_py import read_iceberg_py, write_iceberg
+
+    path = str(tmp_path / "ice")
+    s1 = write_iceberg(spark.range(5), path, "overwrite", snapshot_ts_ms=100)
+    s2 = write_iceberg(spark.range(5, 8), path, "append", snapshot_ts_ms=200)
+    s3 = write_iceberg(spark.range(100, 101), path, "overwrite", snapshot_ts_ms=300)
+    assert (s1, s2, s3) == (1, 2, 3)
+    assert read_iceberg_py(spark, path).count() == 1
+    assert read_iceberg_py(spark, path, snapshot_id=s2).count() == 8
+    assert read_iceberg_py(spark, path, snapshot_id=s1).count() == 5
+    # as_of_ms time travel picks the latest snapshot at or before ts
+    assert read_iceberg_py(spark, path, as_of_ms=250).count() == 8
