@@ -497,3 +497,37 @@ def write_delta(
     actions.extend(_stage_data_files(df, table_path, part_cols, now))
     _write_commit(log_dir, version, actions, now)
     return version
+
+
+def vacuum_delta(table_path: str) -> int:
+    """Physical cleanup: delete data files no longer referenced by the
+    HEAD version (i.e. tombstoned by overwrites) and return how many
+    were removed. Same trade as Delta's VACUUM RETAIN 0 HOURS: reclaims
+    storage, destroys time travel to the vacuumed versions — readers of
+    HEAD are unaffected because a version's file set is immutable once
+    its commit lands. Driver work is O(files) metadata; deletion is
+    local/posix here (object-store delete batches in production)."""
+    log_dir = _log_dir(table_path)
+    commits = _list_commits(log_dir)
+    if not commits and not os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    live: set[str] = set()
+    seen: set[str] = set()
+    # replay ALL commits to learn every path ever added vs live at HEAD
+    for v in sorted(commits):
+        with open(commits[v]) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    p = unquote(a["add"]["path"])
+                    live.add(p)
+                    seen.add(p)
+                elif "remove" in a:
+                    live.discard(unquote(a["remove"]["path"]))
+    removed = 0
+    for rel in sorted(seen - live):
+        full = os.path.join(table_path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            removed += 1
+    return removed

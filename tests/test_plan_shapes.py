@@ -207,3 +207,60 @@ def test_lateral_decorrelates_to_window_limit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lateral_topk_suppliers")
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_prune_never_shuffles_fact(spark, sf_dir):
+    # the bloom probe must ride the scan stage: no Exchange between the
+    # lineitem scan and the bit-test filter, and no join of the fact side
+    from gcs2postgres_spark.operators.bloom import bloom_build, bloom_prune
+
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = bloom_prune(li, bloom_build(sup, "s_suppkey"), "l_suppkey")
+    plan = formatted_plan(pruned)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    # broadcast of the 1-row bitmap is the ONLY join allowed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    # both range windows share (user_id, uts) partitioning+sort: one
+    # exchange total for the whole pattern match
+    plan = _plan(spark, sf_dir, "events_funnel_3step")
+    pre_agg = plan.split("HashAggregate")[0] if "HashAggregate" in plan else plan
+    assert pre_agg.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_pq_adc_no_corpus_shuffle_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "similarity_pq_topk")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cc_round_is_one_key_join(spark):
+    # one propagation round = edges⋈labels on the node key + a partial
+    # (map-side) min — build the round's plan exactly as the operator
+    # does and pin: no CartesianProduct, partial aggregation present
+    edges = spark.range(200).selectExpr("id as a", "(id + 1) % 200 as b")
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    nbr_min = (
+        edges.join(
+            labels.select(F.col("node").alias("b"), F.col("comp").alias("nbr_comp")),
+            "b",
+        )
+        .groupBy("a")
+        .agg(F.min("nbr_comp").alias("nbr_comp"))
+    )
+    plan = formatted_plan(nbr_min)
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_bm25_prunes_postings_before_shuffle(spark, sf_dir):
+    # the IN-filter on query terms must sit below the (doc, term)
+    # aggregation, so only matching postings are shuffled
+    plan = _plan(spark, sf_dir, "corpus_bm25_search")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"tok#\d+ IN \(", plan) or "tok IN" in plan.replace("'", ""), plan

@@ -451,3 +451,23 @@ def test_iceberg_write_snapshot_semantics(spark, tmp_path):
     assert read_iceberg_py(spark, path, snapshot_id=s1).count() == 5
     # as_of_ms time travel picks the latest snapshot at or before ts
     assert read_iceberg_py(spark, path, as_of_ms=250).count() == 8
+
+
+def test_delta_vacuum_removes_tombstoned_files(spark, tmp_path):
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        vacuum_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "t")
+    write_delta(spark.range(10), path, "overwrite", timestamp_ms=1)
+    write_delta(spark.range(20, 25), path, "overwrite", timestamp_ms=2)
+    before = len(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+    removed = vacuum_delta(path)
+    after = len(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+    assert removed > 0 and after == before - removed
+    # HEAD unaffected; vacuumed version unreadable (as with real VACUUM)
+    assert read_delta_py(spark, path).count() == 5

