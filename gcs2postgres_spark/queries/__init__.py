@@ -72,6 +72,9 @@ VERIFY_FRONT: list[str] = [
     "events_peak_concurrency",
     "delta_write_roundtrip",
     "iceberg_write_roundtrip",
+    "events_mad_outliers",
+    "sample_stratified_exact",
+    "profile_table_quality",
     # changed this round (incl. float-output quantization after the
     # micros-testdata regeneration surfaced cross-engine ULP diffs)
     "sequence_pack_greedy",
@@ -90,9 +93,6 @@ VERIFY_FRONT: list[str] = [
     "q12_priority_caseagg",
     "q18_large_orders",
     "q19_disjunctive_pred",
-    "subquery_exists_q4",
-    "subquery_not_exists",
-    "subquery_scalar_avg",
     "join_left",
     "agg_stats_basic",
     "grouped_map_ols",
@@ -102,6 +102,9 @@ VERIFY_FRONT: list[str] = [
 # Still green from round 1 but not refreshed this window (trivial
 # siblings of in-window queries); refresh in round 5.
 VERIFY_DEFERRED: list[str] = [
+    "subquery_exists_q4",
+    "subquery_not_exists",
+    "subquery_scalar_avg",
     "agg_rollup",
     "agg_percentile",
     "agg_grouping_sets",

@@ -620,3 +620,70 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median/MAD per group
+# ---------------------------------------------------------------------------
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, med, median(abs(e.value - med)) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med
+)
+SELECT e.event_type,
+       count(*) FILTER (WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad) AS n_outliers,
+       count(*) AS n,
+       round(m.med, 6) AS med,
+       round(m.mad, 6) AS mad
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type, m.med, m.mad
+ORDER BY e.event_type
+"""
+
+
+@register("events_mad_outliers", oracle=MAD_ORACLE)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly gate: median/MAD per event_type (exact
+    percentile — both engines interpolate the same), flagging values
+    beyond 3 robust sigmas (1.4826·MAD). Two grouped exact-percentile
+    passes + one broadcast join back; unlike mean/stddev this survives
+    the exact skewed tails it is meant to catch. Exact medians shuffle
+    per-group values once each pass; at 100 TB swap in
+    approx_percentile with documented error — same plan shape."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = e.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type", "med").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    out = e.join(F.broadcast(mad), "event_type")
+    return (
+        out.groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "n_outliers",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )

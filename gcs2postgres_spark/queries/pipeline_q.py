@@ -323,3 +323,81 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_false_pos"))
     )
     return n_scanned.crossJoin(n_pass).crossJoin(n_true).crossJoin(n_fp)
+
+
+# ---------------------------------------------------------------------------
+# Table profiler (data-quality pass)
+# ---------------------------------------------------------------------------
+
+PROFILE_ORACLE = """
+SELECT col, n_nulls, n_distinct FROM (
+  SELECT 'o_orderkey' AS col,
+         count(*) FILTER (WHERE o_orderkey IS NULL) AS n_nulls,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*) FILTER (WHERE o_custkey IS NULL),
+         count(DISTINCT o_custkey) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*) FILTER (WHERE o_orderstatus IS NULL),
+         count(DISTINCT o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*) FILTER (WHERE o_totalprice IS NULL),
+         count(DISTINCT o_totalprice) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', count(*) FILTER (WHERE o_orderdate IS NULL),
+         count(DISTINCT o_orderdate) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*) FILTER (WHERE o_orderpriority IS NULL),
+         count(DISTINCT o_orderpriority) FROM orders
+) ORDER BY col
+"""
+
+
+@register("profile_table_quality", oracle=PROFILE_ORACLE)
+def profile_table_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile pass (null counts + exact distinct per column) —
+    the data-quality preamble of every ingest pipeline. All six columns
+    profile in ONE scan: null counts are plain conditional sums and the
+    distincts compile to Spark's expand+two-phase distinct aggregate
+    (one shuffle carrying (col-id, value) partials, not one job per
+    column — the profiling shape that stays affordable at 100 TB; at
+    extreme widths swap exact distinct for approx_count_distinct, same
+    plan). Output unpivoted to (col, n_nulls, n_distinct)."""
+    tune_for_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__distinct"))
+    wide = o.agg(*aggs)
+    pairs = []
+    for c in cols:
+        pairs.extend(
+            [
+                F.lit(c),
+                F.struct(
+                    F.col(f"{c}__nulls").alias("n_nulls"),
+                    F.col(f"{c}__distinct").alias("n_distinct"),
+                ),
+            ]
+        )
+    long = wide.select(
+        F.explode(F.create_map(*pairs)).alias("col", "stats")
+    )
+    return long.select(
+        "col",
+        F.col("stats.n_nulls").alias("n_nulls"),
+        F.col("stats.n_distinct").alias("n_distinct"),
+    ).orderBy("col")

@@ -7,7 +7,7 @@ CTE for the greedy pack)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
@@ -350,3 +350,46 @@ def dataset_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return shuffle_shard(docs, n_shards=_SHUF_SHARDS, seed=_SHUF_SEED).orderBy("shard", "pos")
+
+
+STRAT_SAMPLE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#strat'), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rn <= 20
+GROUP BY source ORDER BY source
+"""
+
+
+@register("sample_stratified_exact", oracle=STRAT_SAMPLE_ORACLE)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampler with EXACT per-stratum counts: rank each
+    stratum by a portable hash of the id (md5 — any engine re-derives
+    the identical sample) and keep the first k. Unlike sampleBy's
+    Bernoulli draw this hits the quota exactly and reproducibly — the
+    property a train/eval split pipeline needs for auditability. One
+    window per stratum over the hash order (WindowGroupLimit prunes to
+    k per partition map-side); summarized as per-source (n, id_sum) so
+    the driver certifies the exact membership."""
+    tune_for_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#strat"))),
+        F.col("doc_id"),
+    )
+    picked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
