@@ -75,6 +75,8 @@ VERIFY_FRONT: list[str] = [
     "events_mad_outliers",
     "sample_stratified_exact",
     "profile_table_quality",
+    "incremental_rollup_update",
+    "events_value_histogram",
     # changed this round (incl. float-output quantization after the
     # micros-testdata regeneration surfaced cross-engine ULP diffs)
     "sequence_pack_greedy",
@@ -90,8 +92,6 @@ VERIFY_FRONT: list[str] = [
     "q6_revenue_forecast",
     "q7_nation_volume",
     "q10_returned_items",
-    "q12_priority_caseagg",
-    "q18_large_orders",
     "q19_disjunctive_pred",
     "join_left",
     "agg_stats_basic",
@@ -102,6 +102,8 @@ VERIFY_FRONT: list[str] = [
 # Still green from round 1 but not refreshed this window (trivial
 # siblings of in-window queries); refresh in round 5.
 VERIFY_DEFERRED: list[str] = [
+    "q12_priority_caseagg",
+    "q18_large_orders",
     "subquery_exists_q4",
     "subquery_not_exists",
     "subquery_scalar_avg",

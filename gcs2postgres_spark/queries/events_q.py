@@ -687,3 +687,49 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+HISTOGRAM_ORACLE = """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS INT) AS bin,
+       count(*) AS n,
+       round(min(value), 6) AS bin_min,
+       round(max(value), 6) AS bin_max
+FROM events CROSS JOIN b
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_value_histogram", oracle=HISTOGRAM_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of the value column: global bounds in
+    one tiny broadcast row, binning as pure arithmetic in the scan
+    stage, one partial+final count per bin — the distribution-profiling
+    pass that sizes skew mitigations. Identical float arithmetic on
+    both engines (same divide/floor/clamp), so bins match exactly."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = e.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20)
+            ),
+            F.lit(19),
+        )
+        .cast("int")
+        .alias("bin"),
+        "value",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("bin_min"),
+            F.round(F.max("value"), 6).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
