@@ -439,3 +439,56 @@ def bm25_search(
         .select(id_col, "bm25", "rank")
         .orderBy("rank")
     )
+
+
+def bigram_pmi(docs: DataFrame, text_col: str = "text", min_count: int = 5, top_n: int = 20) -> DataFrame:
+    """Pointwise mutual information over corpus bigrams:
+    PMI(w1,w2) = ln(cnt·N / (c1·c2)) with N = total bigrams, c1/c2 the
+    first-/second-position marginals — the collocation detector behind
+    phrase mining and tokenizer-merge heuristics. ``min_count`` floors
+    the count so rare-pair noise (PMI's known failure mode) can't win.
+
+    Scale: one bigram partial-agg shuffle; marginals are two windowed
+    sums over the ALREADY-aggregated bigram table (rows = distinct
+    bigrams); N is a broadcast scalar. Rank (pmi desc, w1, w2) is a
+    total order on rounded values."""
+    toks = F.col("toks")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bigrams = (
+        docs.select(_toks(text_col).alias("toks"))
+        .filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    c1 = F.sum("cnt").over(Window.partitionBy("w1"))
+    c2 = F.sum("cnt").over(Window.partitionBy("w2"))
+    total = bigrams.agg(F.sum("cnt").alias("n_total"))
+    scored = (
+        bigrams.withColumn("c1", c1)
+        .withColumn("c2", c2)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(
+                F.log(
+                    F.col("cnt")
+                    * F.col("n_total")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)

@@ -99,9 +99,14 @@ VERIFY_FRONT: list[str] = [
     "grouped_agg_weighted_mean",
     ]
 
-# Still green from round 1 but not refreshed this window (trivial
-# siblings of in-window queries); refresh in round 5.
+# First entries: NEW late in round 4 — the 50-slot window was already
+# full of never-verified round-4 queries and quantization-changed
+# entries; these are driver-sim-verified (scripts/driver_sim.py green)
+# and lead the round-5 window. Rest: green from round 1 but not
+# refreshed this window (trivial siblings of in-window queries).
 VERIFY_DEFERRED: list[str] = [
+    "events_rolling_7d_distinct",
+    "corpus_bigram_pmi",
     "q12_priority_caseagg",
     "q18_large_orders",
     "subquery_exists_q4",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.operators.corpus import (
+    bigram_pmi,
     bm25_search,
     bigram_counts,
     bigram_perplexity,
@@ -370,3 +371,36 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.select("tok", "exact_cnt", "cms_est").orderBy(
         F.desc("exact_cnt"), "tok"
     )
+
+
+PMI_ORACLE = rf"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents
+), b AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), g AS (
+  SELECT w1, w2, count(*) AS cnt FROM b GROUP BY w1, w2
+), m AS (
+  SELECT w1, w2, cnt,
+         sum(cnt) OVER (PARTITION BY w1) AS c1,
+         sum(cnt) OVER (PARTITION BY w2) AS c2,
+         sum(cnt) OVER () AS n_total
+  FROM g
+)
+SELECT w1, w2, cnt,
+       round(ln(cnt * n_total / (c1 * c2)), 6) AS pmi
+FROM m WHERE cnt >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+@register("corpus_bigram_pmi", oracle=PMI_ORACLE)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (count floor 5) — phrase
+    mining / tokenizer-merge heuristic over the corpus; marginals as
+    windowed sums over the aggregated bigram table, N broadcast."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_pmi(docs)

@@ -733,3 +733,49 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (sliding distinct via day-range join)
+# ---------------------------------------------------------------------------
+
+ROLLING_DISTINCT_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+)
+SELECT d.day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
+@register("events_rolling_7d_distinct", oracle=ROLLING_DISTINCT_ORACLE)
+def events_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day. COUNT(DISTINCT)
+    over a sliding window is not window-function-expressible, so the
+    scalable shape is: dedupe to (day, user) once — the big shuffle,
+    |events| → |active pairs| — then a day×7 range join (broadcast of
+    the tiny day list) and a distinct count per day. Cost is
+    7·|pairs|, independent of raw event volume; the HLL-merge variant
+    (agg_hll_sketch_merge) replaces the exact distinct when ±2% is
+    acceptable at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") >= F.date_sub(F.col("d"), 6)) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .select(F.col("d").alias("day"), "users_7d")
+        .orderBy("day")
+    )
