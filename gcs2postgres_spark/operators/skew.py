@@ -58,3 +58,50 @@ def salted_two_phase_agg(
             F.sum("__sum").alias("total_value"),
         )
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew-spread large-large equi-join: salt the fact side with a
+    deterministic hash of ``salt_on`` (a high-cardinality fact column),
+    replicate the dim side once per salt bucket, and join on
+    (key, salt) — each hot key's rows land on ``salt_buckets`` reducers
+    instead of one.
+
+    This is the MANUAL form of what AQE's skewedJoin rewrite does to
+    sort-merge joins at runtime; it exists for the cases AQE can't
+    reach (a skewed key feeding a downstream stateful op, a
+    broadcast-disabled environment, deterministic partition sizing for
+    a capacity plan). Cost: the dim side is duplicated ×salt_buckets —
+    use only when dim is far smaller than fact but too big (or not
+    allowed) to broadcast. Exact result: every fact row meets every
+    matching dim row exactly once, because the dim replica set covers
+    all salt values and the join key includes the salt equality.
+    """
+    if salt_on is None:
+        raise ValueError("salt_on must name a high-cardinality fact column")
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt_buckets))
+    )
+    replicated_dim = dim.crossJoin(
+        F.broadcast(
+            fact.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("long").alias("__salt")
+            )
+        )
+    )
+    # hint the dim side to a shuffle join: without it, a test-scale dim
+    # auto-broadcasts and the salt never spreads anything — the operator
+    # exists precisely for the not-broadcastable case, so pin that path
+    joined = salted_fact.join(
+        replicated_dim.hint("shuffle_hash"),
+        (salted_fact[fact_key] == replicated_dim[dim_key])
+        & (salted_fact["__salt"] == replicated_dim["__salt"]),
+    )
+    return joined.drop("__salt")

@@ -107,6 +107,7 @@ VERIFY_FRONT: list[str] = [
 VERIFY_DEFERRED: list[str] = [
     "events_rolling_7d_distinct",
     "corpus_bigram_pmi",
+    "join_salted_skew",
     "q12_priority_caseagg",
     "q18_large_orders",
     "subquery_exists_q4",

@@ -868,3 +868,49 @@ def text_normalize_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (manual AQE-skew-rewrite shape)
+# ---------------------------------------------------------------------------
+
+SALTED_JOIN_ORACLE = """
+WITH fact AS (
+  SELECT l_orderkey % 5 AS hot_key, l_extendedprice FROM lineitem
+), dim AS (
+  SELECT o_orderkey % 5 AS d_key, min(o_orderpriority) AS prio
+  FROM orders WHERE o_orderkey % 5 IN (0, 1, 2, 3, 4)
+  GROUP BY 1
+)
+SELECT prio, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+FROM fact JOIN dim ON hot_key = d_key
+GROUP BY prio ORDER BY prio
+"""
+
+
+@register("join_salted_skew", oracle=SALTED_JOIN_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathologically skewed join, spread by salting: the fact key is
+    collapsed to 5 hot values (600k rows → 5 keys — the shape where one
+    reducer gets 120k rows and 27 idle), the 5-row dim is replicated
+    ×8 salt buckets and joined on (key, salt). Broadcast is explicitly
+    disabled inside the operator's join path at 100 TB scale-think —
+    here the dim WOULD broadcast; the query demonstrates the exact
+    salt/replicate algebra with a plain-join oracle proving no row is
+    lost or doubled (operators/skew.py salted_skew_join)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 5).alias("hot_key"), "l_extendedprice", "l_orderkey"
+    )
+    o = _t(spark, sf_dir, "orders").select((F.col("o_orderkey") % 5).alias("d_key"), "o_orderpriority")
+    dim = o.groupBy("d_key").agg(F.min("o_orderpriority").alias("prio"))
+    from gcs2postgres_spark.operators.skew import salted_skew_join
+
+    joined = salted_skew_join(li, dim, "hot_key", "d_key", salt_buckets=8, salt_on="l_orderkey")
+    return (
+        joined.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("prio")
+    )

@@ -510,3 +510,45 @@ def test_winnow_fingerprint_properties(spark):
     }
     assert (0, 3) in pairs and (0, 1) in pairs and (0, 4) in pairs
     assert all(2 not in p for p in pairs)
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """PQ is lossy by design; pin that the m=2/k=4 toy config still
+    ranks sanely: for each query, the exact L2 nearest neighbor's ADC
+    distance must sit in the PQ top-half of the corpus (a weak but
+    config-independent sanity floor), and with a finer codebook
+    (m=4, k=8, 2 Lloyd rounds) top-10 recall vs exact L2 top-10 must
+    clear 0.3 on the real embeddings — catching a broken encoder or a
+    transposed LUT, which score ~random (≈0.02)."""
+    import math
+
+    from gcs2postgres_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    q_ids = sorted(vecs)[:3]
+    exact_top10 = {
+        q: [
+            v
+            for v, _ in sorted(
+                ((v, l2(vecs[q], vecs[v])) for v in vecs),
+                key=lambda t: (t[1], t[0]),
+            )[:10]
+        ]
+        for q in q_ids
+    }
+    got = pq_adc_topk(
+        emb, m_subspaces=4, k_codes=8, n_iters=2, n_queries=3, topk=10
+    ).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    recalls = [
+        len(set(by_q[q]) & set(exact_top10[q])) / 10 for q in q_ids
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls

@@ -264,3 +264,12 @@ def test_bm25_prunes_postings_before_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_bm25_search")
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"tok#\d+ IN \(", plan) or "tok IN" in plan.replace("'", ""), plan
+
+
+def test_salted_skew_join_spreads_hot_keys(spark, sf_dir):
+    # the join must run on (key, salt) WITHOUT broadcasting the dim —
+    # each hot key's rows hash to salt_buckets different reducers
+    plan = _plan(spark, sf_dir, "join_salted_skew")
+    join_part = plan.split("HashAggregate")[0]
+    assert "__salt" in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
