@@ -108,6 +108,7 @@ VERIFY_DEFERRED: list[str] = [
     "events_rolling_7d_distinct",
     "corpus_bigram_pmi",
     "join_salted_skew",
+    "events_debounce",
     "q12_priority_caseagg",
     "q18_large_orders",
     "subquery_exists_q4",

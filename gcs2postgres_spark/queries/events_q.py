@@ -779,3 +779,47 @@ def events_rolling_7d_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").alias("day"), "users_7d")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Debounce: drop rapid repeats per (user, type)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_ORACLE = """
+WITH lagged AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(*) FILTER (WHERE gap_us IS NULL OR gap_us > 300000000) AS n_kept,
+       count(*) FILTER (WHERE gap_us IS NOT NULL AND gap_us <= 300000000) AS n_dropped
+FROM lagged
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_debounce", oracle=DEBOUNCE_ORACLE)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce pass: an event survives only if the previous event of
+    the same (user, type) is more than 5 minutes older — the
+    double-click / retry-storm cleaner every event pipeline runs before
+    counting anything. One lag window per (user, type) partition
+    (single shuffle); the streaming twin is the stateful
+    events_dedup_first with a per-key timestamp state. Counts per type
+    certify every keep/drop decision."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    lagged = e.select("event_type", gap.alias("gap_us"))
+    keep = F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000)
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
