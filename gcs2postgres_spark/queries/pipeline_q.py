@@ -262,8 +262,13 @@ WITH keys AS (
   SELECT ('0x' || substr(md5(k || '#' || CAST(t.j AS VARCHAR)), 1, 15))::BIGINT % 1024 AS h
   FROM keys CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t
 ), words AS (
+  -- bit 63: DuckDB raises on 1::BIGINT << 63 (signed overflow) while
+  -- Spark's shiftleft wraps Java-style to the sign bit; write the
+  -- wrapped value explicitly so both engines build the same word
   SELECT CAST(h // 64 AS INT) AS w,
-         bit_or(1::BIGINT << CAST(h % 64 AS INT)) AS m
+         bit_or(CASE WHEN CAST(h % 64 AS INT) = 63
+                     THEN (-9223372036854775807 - 1)
+                     ELSE 1::BIGINT << CAST(h % 64 AS INT) END) AS m
   FROM hashes GROUP BY 1
 ), p AS (
   SELECT l_suppkey,
