@@ -109,6 +109,7 @@ VERIFY_DEFERRED: list[str] = [
     "corpus_bigram_pmi",
     "join_salted_skew",
     "events_debounce",
+    "part_pareto_abc",
     "q12_priority_caseagg",
     "q18_large_orders",
     "subquery_exists_q4",

@@ -914,3 +914,86 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification (cumulative contribution analysis)
+# ---------------------------------------------------------------------------
+
+ABC_ORACLE = """
+WITH cents AS (
+  -- exact integer arithmetic per ROW: price has 2 decimals, discount 2
+  -- decimals, so price_cents * (100 - discount_pct_cents) is an exact
+  -- int64 in units of 1/10000 currency; every downstream sum is then
+  -- bit-identical on any engine (float sums drift at class scale)
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, rev_c,
+         round(CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / sum(rev_c) OVER (), 9) AS cum_share
+  FROM cents
+)
+SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev_c) AS DOUBLE) / 10000 AS class_revenue
+FROM ranked
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("part_pareto_abc", oracle=ABC_ORACLE)
+def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue contribution
+    (A = first 80% of cumulative revenue, B = next 15%, C = tail).
+    Determinism across engines is engineered by leaving floating point
+    entirely: per-row revenue is exact int64 (price-cents ×
+    (100−discount-points) — both columns carry 2 decimals), so per-part
+    sums, the cumsum order (rev_c desc, partkey), every cumulative
+    share, and the class totals are bit-identical on any engine. (The
+    float path FAILED the exact driver compare twice: first on class
+    re-sums drifting in the 2nd decimal, then on per-part sums sitting
+    on round-half knife-edges — the repo's record of why money maths
+    wants integers.) The global cumsum is one ordered window — the
+    inherently sequential tail; its input is |parts|, not |lineitem|."""
+    li = _t(spark, sf_dir, "lineitem")
+    # exact integer arithmetic per ROW (price cents × discount points):
+    # every sum afterwards is int64, bit-identical on any engine — a
+    # float path drifts at class scale and flips rounding knife-edges
+    row_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    cents = li.groupBy("l_partkey").agg(F.sum(row_c).cast("long").alias("rev_c"))
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = cents.withColumn(
+        "cum_share",
+        F.round(
+            F.sum("rev_c").over(w_cum).cast("double") / F.sum("rev_c").over(w_all),
+            9,
+        ),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "rev_c")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("rev_c").cast("double") / 10000).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
