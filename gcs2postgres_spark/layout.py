@@ -117,3 +117,64 @@ def write_zordered(df, path: str, zcol, n_files: int = 8, mode: str = "overwrite
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark, src_path: str, dest_path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files and return the new file
+    count. The classic warehouse maintenance pass — thousands of
+    micro-batch/streaming output files per partition destroy scan
+    throughput (a footer read per file, no intra-file parallelism left)
+    and inflate driver listing cost; compacting to 128-512 MB restores both.
+    Sizing reads the FILE METADATA (os.path.getsize over the listing),
+    never the data; the rewrite itself is one narrow repartition job."""
+    import glob as _glob
+    import math
+    import os as _os
+
+    files = _glob.glob(_os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_path!r}")
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_path).repartition(n_out).write.mode("overwrite").parquet(
+        dest_path
+    )
+    return len(_glob.glob(_os.path.join(dest_path, "*.parquet")))
+
+
+def compact_delta(spark, table_path: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Compaction for the jar-less Delta table: read HEAD, rewrite as
+    one overwrite commit with right-sized files, then vacuum the
+    tombstoned originals. Readers see an atomic switch (the new version
+    appears only when its commit lands); time travel to pre-compaction
+    versions is traded away by the vacuum, exactly like OPTIMIZE +
+    VACUUM. Returns the number of data files after compaction."""
+    import glob as _glob
+    import math
+    import os as _os
+
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        vacuum_delta,
+        write_delta,
+    )
+
+    df = read_delta_py(spark, table_path)
+    files = [
+        f
+        for f in _glob.glob(_os.path.join(table_path, "**", "*.parquet"), recursive=True)
+        if "_delta_log" not in f
+    ]
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    write_delta(df.repartition(n_out), table_path, "overwrite")
+    vacuum_delta(table_path)
+    live = [
+        f
+        for f in _glob.glob(_os.path.join(table_path, "**", "*.parquet"), recursive=True)
+        if "_delta_log" not in f
+    ]
+    return len(live)

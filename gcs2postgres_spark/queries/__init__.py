@@ -110,6 +110,7 @@ VERIFY_DEFERRED: list[str] = [
     "join_salted_skew",
     "events_debounce",
     "part_pareto_abc",
+    "events_user_lifecycle",
     "q12_priority_caseagg",
     "q18_large_orders",
     "subquery_exists_q4",

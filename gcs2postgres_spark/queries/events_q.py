@@ -823,3 +823,54 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected per week
+# ---------------------------------------------------------------------------
+
+LIFECYCLE_ORACLE = """
+WITH wu AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id FROM events
+), lagged AS (
+  SELECT week, user_id,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+  FROM wu
+)
+SELECT week,
+       count(*) FILTER (WHERE prev_week IS NULL) AS n_new,
+       count(*) FILTER (WHERE prev_week = week - 7) AS n_retained,
+       count(*) FILTER (WHERE prev_week IS NOT NULL AND prev_week < week - 7)
+         AS n_resurrected
+FROM lagged
+GROUP BY week ORDER BY week
+"""
+
+
+@register("events_user_lifecycle", oracle=LIFECYCLE_ORACLE)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each week's active users classified as new
+    (first-ever week), retained (active the immediately previous week),
+    or resurrected (returning after a gap) — the decomposition every
+    growth dashboard is built on. Dedupe to (week, user) once, one lag
+    window per user, one aggregate; all key-partitioned, week alignment
+    via date_trunc so the 7-day delta is exact on both engines."""
+    e = _t(spark, sf_dir, "events")
+    wu = e.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = wu.withColumn("prev_week", F.lag("week").over(w))
+    is_new = F.col("prev_week").isNull()
+    is_ret = F.col("prev_week") == F.date_sub(F.col("week"), 7)
+    return (
+        lagged.groupBy("week")
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+            F.sum(F.when(is_ret, 1).otherwise(0)).cast("long").alias("n_retained"),
+            F.sum(F.when(~is_new & ~is_ret, 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+        .orderBy("week")
+    )

@@ -104,3 +104,37 @@ def test_partitioned_write_prunes(spark, sf_dir):
         assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200], plan
         n_en = docs.filter(F.col("lang") == "en").count()
         assert rd.count() == n_en
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from gcs2postgres_spark.layout import compact_parquet
+
+    src = str(tmp_path / "many")
+    spark.range(100000).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    n = compact_parquet(spark, src, str(tmp_path / "few"), target_bytes=10**9)
+    assert n == 1
+    got = spark.read.parquet(str(tmp_path / "few")).count()
+    assert got == 100000
+
+
+def test_compact_delta_atomic_and_lossless(spark, tmp_path):
+    import glob
+
+    from gcs2postgres_spark.layout import compact_delta
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(spark.range(5000).repartition(20), path, "overwrite", timestamp_ms=1)
+    write_delta(spark.range(5000, 6000).repartition(10), path, "append", timestamp_ms=2)
+    before = len(
+        [f for f in glob.glob(f"{path}/**/*.parquet", recursive=True) if "_delta_log" not in f]
+    )
+    assert before == 30
+    n = compact_delta(spark, path, target_bytes=10**9)
+    assert n < before
+    df = read_delta_py(spark, path)
+    assert df.count() == 6000
+    assert df.agg({"id": "sum"}).first()[0] == sum(range(6000))
