@@ -111,6 +111,9 @@ VERIFY_DEFERRED: list[str] = [
     "events_debounce",
     "part_pareto_abc",
     "events_user_lifecycle",
+    "graph_pagerank_purchases",
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
     "q12_priority_caseagg",
     "q18_large_orders",
     "subquery_exists_q4",

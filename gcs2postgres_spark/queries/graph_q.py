@@ -100,3 +100,73 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "cluster_size", "canonical")
         .orderBy("doc_id")
     )
+
+
+def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85, topk: int = 20) -> str:
+    """Unrolled power-iteration recurrence in SQL, mirroring
+    operators/pagerank.pagerank_fixed on the customer→supplier purchase
+    graph (node ids prefixed 'c'/'s' — the key domains overlap)."""
+    parts = [
+        """WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (SELECT count(*) AS n_nodes FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (
+  SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN nn
+)"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f""", m{i} AS (
+  SELECT e.dst AS node, sum(r.rank / d.deg) AS in_mass
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node,
+         (1 - {damping}) / nn.n_nodes
+           + {damping} * coalesce(m.in_mass, 0.0) AS rank
+  FROM nodes n LEFT JOIN m{i} m ON n.node = m.node CROSS JOIN nn
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, round(rank, 9) AS rank FROM r{n_iters}
+ORDER BY round(rank, 9) DESC, node LIMIT {topk}"""
+    )
+    return "".join(parts)
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
+@register("graph_pagerank_purchases", oracle=PAGERANK_ORACLE)
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power iterations of PageRank (d=0.85) over the directed
+    customer→supplier purchase graph — 'which suppliers sit at the
+    center of the order flow'. One declarative plan, iteration count a
+    literal unroll the oracle replays; per-round cost is one
+    key-partitioned join + partial-sum aggregate. Top-20 by rounded
+    rank with node tie-break (total order)."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.operators.pagerank import pagerank_fixed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixed(edges, n_iters=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc(F.round(F.col("rank"), 9)), "node")
+        .limit(20)
+    )

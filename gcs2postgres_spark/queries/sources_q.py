@@ -357,3 +357,75 @@ def iceberg_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("snapshot"), "n", "key_sum")
 
     return summarize(head, "head").unionByName(summarize(snap2, "snap2")).orderBy("snapshot")
+
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@register("csv_source_roundtrip", oracle=CSV_ROUNDTRIP_ORACLE)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders → CSV (header, quoted strings) → read_source with
+    format-from-extension + explicit schema (the production path: no
+    double-scan inference) → aggregate. Exercises the reference's
+    CSV external-table lane (format from file extension,
+    src/db/db.go:27) end-to-end with values certified against the
+    original parquet."""
+    tune_for_session(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_") + "/orders.csv"
+    o.write.mode("overwrite").option("header", True).csv(path)
+    from gcs2postgres_spark.sources.readers import read_source
+
+    back = read_source(
+        spark, path, schema="o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min("o_orderkey").alias("first_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+JSON_ROUNDTRIP_ORACLE = """
+SELECT lang, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register("json_source_roundtrip", oracle=JSON_ROUNDTRIP_ORACLE)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → JSON lines → read_source (format from extension,
+    explicit schema) → aggregate; the reference's JSON lane certified
+    value-for-value, including strings with whitespace/quotes surviving
+    the JSON encoding."""
+    tune_for_session(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = tempfile.mkdtemp(prefix="json_rt_") + "/documents.json"
+    d.write.mode("overwrite").json(path)
+    from gcs2postgres_spark.sources.readers import read_source
+
+    back = read_source(spark, path, schema="doc_id bigint, lang string, n_chars bigint")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
