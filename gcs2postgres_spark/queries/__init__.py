@@ -114,6 +114,7 @@ VERIFY_DEFERRED: list[str] = [
     "graph_pagerank_purchases",
     "csv_source_roundtrip",
     "json_source_roundtrip",
+    "orc_source_roundtrip",
     "q12_priority_caseagg",
     "q18_large_orders",
     "subquery_exists_q4",

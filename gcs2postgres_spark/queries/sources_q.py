@@ -429,3 +429,35 @@ def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register("orc_source_roundtrip", oracle=ORC_ROUNDTRIP_ORACLE)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem → ORC → read_source (format from extension) →
+    aggregate: the columnar-format lane beyond parquet, certified
+    value-for-value against the original."""
+    tune_for_session(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/lineitem.orc"
+    li.write.mode("overwrite").orc(path)
+    from gcs2postgres_spark.sources.readers import read_source
+
+    back = read_source(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
