@@ -273,3 +273,17 @@ def test_salted_skew_join_spreads_hot_keys(spark, sf_dir):
     join_part = plan.split("HashAggregate")[0]
     assert "__salt" in plan, plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_pagerank_round_no_cartesian_partial_sums(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_pagerank_purchases")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_lifecycle_single_user_shuffle(spark, sf_dir):
+    # dedupe + lag window + aggregate: the user_id partitioning is set
+    # once and reused; no cartesian, partial aggregation present
+    plan = _plan(spark, sf_dir, "events_user_lifecycle")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_" in plan, plan
