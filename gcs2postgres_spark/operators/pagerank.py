@@ -2,13 +2,20 @@
 one declarative DataFrame plan (no driver loop state — the iteration
 count is a literal unroll, exactly how the DuckDB oracle replays it).
 
-Scale shape per iteration: edges ⋈ ranks on src (key-partitioned),
+Scale shape per iteration: edges ⋈ ranks on src (key-partitioned SMJ —
+the out-degree travels WITH the rank vector, so there is no separate
+degree join and, critically, no broadcast of a node-cardinality frame),
 groupBy dst with map-side partial sums, one join back to the node list
-to re-seed zero-in-degree nodes — the standard distributed PageRank
-round. Damping mass from dangling nodes is dropped (the
-fixed-iteration, oracle-replayable variant; production PageRank adds a
-dangling-mass redistribution term — one extra scalar aggregate per
-round, same plan shape).
+to re-seed zero-in-degree nodes, plus one scalar aggregate for the
+dangling mass — the standard distributed PageRank round. Dangling
+(zero-out-degree) nodes redistribute their rank uniformly:
+``rank' = (1-d)/N + d*(in_mass + dangling_mass/N)``, which keeps the
+rank vector a probability distribution at every iteration.
+
+The only broadcasts in the plan are single-row scalar aggregates
+(node count, per-round dangling mass) — bounded at any graph size.
+A billion-node graph shuffles edges and ranks on the same key per
+round; nothing node-sized ever transits the driver or a broadcast.
 
 Reference parity: no graph surface exists in the reference (523 LoC of
 Go COPY plumbing); this extends the beyond-reference analytics tier
@@ -29,8 +36,8 @@ def pagerank_fixed(
     damping: float = 0.85,
 ) -> DataFrame:
     """Return (node, rank) after ``n_iters`` power iterations from the
-    uniform start 1/N. ``edges`` is directed, deduplicated upstream;
-    nodes = src ∪ dst."""
+    uniform start 1/N, with dangling-mass redistribution. ``edges`` is
+    directed, deduplicated upstream; nodes = src ∪ dst."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -39,26 +46,41 @@ def pagerank_fixed(
     )
     n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    # Fold out-degree into the node frame ONCE (plain shuffled join —
+    # both sides node-sized, neither broadcast); every iteration then
+    # carries deg alongside rank for free.
+    nd = nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
+    ranks = nd.crossJoin(F.broadcast(n_total)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
     for _ in range(n_iters):
+        # Scalar (1-row) aggregate: total rank parked on dangling nodes.
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+        )
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(F.broadcast(deg), "src")
+            e.join(
+                ranks.select(F.col("node").alias("src"), "rank", "deg"), "src"
+            )
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nd.join(contrib, "node", "left")
             .crossJoin(F.broadcast(n_total))
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "deg",
                 (
                     (1 - damping) / F.col("n_nodes")
-                    + damping * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    + damping
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.col("n_nodes")
+                    )
                 ).alias("rank"),
             )
         )
-    return ranks
+    return ranks.select("node", "rank")

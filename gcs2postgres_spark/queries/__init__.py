@@ -32,18 +32,76 @@ from gcs2postgres_spark.queries import corpus_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import graph_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 
-# Round-4 verification window: the driver checks the first 50 entries.
-# Every query registered before this round has been green in some round
-# (r1 ∪ r2 ∪ r3 = 122/122). This round leads with the 18 queries NEW
-# this round (iceberg/delta sources, corpus tier, k-means, graph
-# clustering, fuzzy ER, EWMA, funnel, z-order), then the 6 whose
-# implementation or oracle CHANGED (pack seq_id widening, repetition
-# linear rewrite, avro single-file path, dedup fallback join keys, and
-# the float-output quantization that the micros-testdata regeneration
-# forced), then spends the remaining 26 slots refreshing round-1-only
-# evidence — prioritizing the quantization-touched TPC-H shapes.
+# Round-5 verification window: the driver checks the first 50 entries.
+# This round leads with the 10 queries that have NEVER had a driver
+# CORRECTNESS row (registered after round 4's 50-slot window was spent;
+# ever-green union r1∪r2∪r3∪r4 = 155/165), then the queries whose
+# implementation or oracle CHANGED this round (pagerank dangling-mass +
+# broadcast fix, pareto two-phase cumsum, pq floor-division hardening),
+# then any queries NEW this round, then spends remaining slots
+# refreshing the oldest (round-1-only) green evidence.
 VERIFY_FRONT: list[str] = [
-    # NEW in round 4
+    # never driver-verified (registered late in round 4) — 10 entries
+    "part_pareto_abc",
+    "events_user_lifecycle",
+    "events_debounce",
+    "events_rolling_7d_distinct",
+    "graph_pagerank_purchases",
+    "corpus_bigram_pmi",
+    "join_salted_skew",
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
+    "orc_source_roundtrip",
+    # changed this round — implementations touched by the round-5 fixes
+    "similarity_pq_topk",
+    "dedup_cluster_canonical",
+    # round-1-only greens, oldest evidence first refresh
+    "q2_min_per_group_joinback",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q22_global_sales_opportunity",
+    "subquery_exists_q4",
+    "subquery_not_exists",
+    "subquery_scalar_avg",
+    "subquery_cte",
+    "agg_rollup",
+    "agg_percentile",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_filtered",
+    "pivot_order_priority",
+    "unpivot_metrics",
+    "map_props_ops",
+    "array_ops_battery",
+    "agg_minby_maxby_mode",
+    "join_inner",
+    "explode_token_counts",
+    "set_union_all",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "filter_null_bool",
+    "filter_in_like",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "topk_global",
+    "text_normalize_distinct",
+    "project_case_when",
+    "distinct_subset",
+    "sample_deterministic_mod",
+    "q12_priority_caseagg",
+    "q18_large_orders",
+    # round-2-only greens (oldest rest-tier evidence)
+    "join_right",
+    "join_full",
+    "join_semi",
+    ]
+
+# Remaining entries after the 50-slot window: everything here has been
+# driver-green in round 4 (fresh evidence) or earlier; ordering within
+# this list is not significant beyond keeping recently-verified entries
+# out of the window.
+VERIFY_DEFERRED: list[str] = [
     "iceberg_source_roundtrip",
     "iceberg_v2_deletes_roundtrip",
     "delta_source_roundtrip",
@@ -57,12 +115,10 @@ VERIFY_FRONT: list[str] = [
     "dataset_shuffle_shard",
     "embedding_kmeans_cluster",
     "text_top_word_ratio",
-    "dedup_cluster_canonical",
     "fuzzy_join_entity_match",
     "events_ewma_zscore",
     "events_funnel_3step",
     "q6_revenue_zorder",
-    "similarity_pq_topk",
     "corpus_bm25_search",
     "events_resample_ffill",
     "snapshot_diff_cdc",
@@ -77,15 +133,12 @@ VERIFY_FRONT: list[str] = [
     "profile_table_quality",
     "incremental_rollup_update",
     "events_value_histogram",
-    # changed this round (incl. float-output quantization after the
-    # micros-testdata regeneration surfaced cross-engine ULP diffs)
     "sequence_pack_greedy",
     "text_repetition_filter",
     "avro_source_roundtrip",
     "dedup_exact",
     "scalar_math_funcs",
     "q3_shipping_priority_bucketed",
-    # round-1-only greens, oldest evidence first refresh (44 of 47)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -97,59 +150,6 @@ VERIFY_FRONT: list[str] = [
     "agg_stats_basic",
     "grouped_map_ols",
     "grouped_agg_weighted_mean",
-    ]
-
-# First entries: NEW late in round 4 — the 50-slot window was already
-# full of never-verified round-4 queries and quantization-changed
-# entries; these are driver-sim-verified (scripts/driver_sim.py green)
-# and lead the round-5 window. Rest: green from round 1 but not
-# refreshed this window (trivial siblings of in-window queries).
-VERIFY_DEFERRED: list[str] = [
-    "events_rolling_7d_distinct",
-    "corpus_bigram_pmi",
-    "join_salted_skew",
-    "events_debounce",
-    "part_pareto_abc",
-    "events_user_lifecycle",
-    "graph_pagerank_purchases",
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "orc_source_roundtrip",
-    "q12_priority_caseagg",
-    "q18_large_orders",
-    "subquery_exists_q4",
-    "subquery_not_exists",
-    "subquery_scalar_avg",
-    "agg_rollup",
-    "agg_percentile",
-    "agg_grouping_sets",
-    "agg_cube",
-    "agg_filtered",
-    "pivot_order_priority",
-    "unpivot_metrics",
-    "map_props_ops",
-    "array_ops_battery",
-    "agg_minby_maxby_mode",
-    "q2_min_per_group_joinback",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q22_global_sales_opportunity",
-    "subquery_cte",
-    "join_inner",
-    "explode_token_counts",
-    "set_union_all",
-    "filter_null_bool",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "topk_global",
-    "filter_in_like",
-    "text_normalize_distinct",
-    "project_case_when",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "distinct_subset",
-    "sample_deterministic_mod",
 ]
 
 

@@ -959,8 +959,11 @@ def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     float path FAILED the exact driver compare twice: first on class
     re-sums drifting in the 2nd decimal, then on per-part sums sitting
     on round-half knife-edges — the repo's record of why money maths
-    wants integers.) The global cumsum is one ordered window — the
-    inherently sequential tail; its input is |parts|, not |lineitem|."""
+    wants integers.) The global cumsum is TWO-PHASE: range-partition by
+    the cumsum order, per-partition running sums in parallel, then add
+    back broadcast per-partition offsets (a partition-count-sized frame)
+    — no single-task global window, so the operator scales to hundreds
+    of millions of parts instead of walling on one core."""
     li = _t(spark, sf_dir, "lineitem")
     # exact integer arithmetic per ROW (price cents × discount points):
     # every sum afterwards is int64, bit-identical on any engine — a
@@ -971,15 +974,35 @@ def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = li.groupBy("l_partkey").agg(F.sum(row_c).cast("long").alias("rev_c"))
     from pyspark.sql import Window
 
-    w_cum = (
-        Window.orderBy(F.desc("rev_c"), F.asc("l_partkey"))
+    # Phase 1: range-partition on the total cumsum order (rev_c desc,
+    # partkey asc — partkey is unique, so the order is total and the
+    # split is deterministic wherever the range bounds fall), then a
+    # per-partition running sum: all partitions work in parallel.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = cents.repartitionByRange(
+        n_parts, F.desc("rev_c"), F.asc("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("rev_c"), F.asc("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy()
-    ranked = cents.withColumn(
+    ranged = ranged.withColumn("cum_in", F.sum("rev_c").over(w_in))
+    # Phase 2: per-partition totals (|partitions| rows — bounded by the
+    # shuffle-partition count, NOT the data), exclusive prefix offsets
+    # via a window over that tiny frame, broadcast back.
+    totals = ranged.groupBy("pid").agg(F.sum("rev_c").alias("ptotal"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_grand = Window.partitionBy()
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("ptotal").over(w_grand).alias("grand_c"),
+    )
+    ranked = ranged.join(F.broadcast(offsets), "pid").withColumn(
         "cum_share",
         F.round(
-            F.sum("rev_c").over(w_cum).cast("double") / F.sum("rev_c").over(w_all),
+            (F.col("cum_in") + F.col("offset")).cast("double") / F.col("grand_c"),
             9,
         ),
     )

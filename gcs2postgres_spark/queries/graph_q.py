@@ -104,7 +104,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85, topk: int = 20) -> str:
     """Unrolled power-iteration recurrence in SQL, mirroring
-    operators/pagerank.pagerank_fixed on the customer→supplier purchase
+    operators/pagerank.pagerank_fixed — including the per-round
+    dangling-mass redistribution — on the customer→supplier purchase
     graph (node ids prefixed 'c'/'s' — the key domains overlap)."""
     parts = [
         """WITH e AS (
@@ -121,15 +122,21 @@ r0 AS (
     ]
     for i in range(1, n_iters + 1):
         parts.append(
-            f""", m{i} AS (
+            f""", dm{i} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS dangling_mass
+  FROM r{i - 1} r LEFT JOIN deg d ON r.node = d.src
+  WHERE d.src IS NULL
+), m{i} AS (
   SELECT e.dst AS node, sum(r.rank / d.deg) AS in_mass
   FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ), r{i} AS (
   SELECT n.node,
          (1 - {damping}) / nn.n_nodes
-           + {damping} * coalesce(m.in_mass, 0.0) AS rank
-  FROM nodes n LEFT JOIN m{i} m ON n.node = m.node CROSS JOIN nn
+           + {damping} * (coalesce(m.in_mass, 0.0)
+                          + dm{i}.dangling_mass / nn.n_nodes) AS rank
+  FROM nodes n LEFT JOIN m{i} m ON n.node = m.node
+  CROSS JOIN nn CROSS JOIN dm{i}
 )"""
         )
     parts.append(

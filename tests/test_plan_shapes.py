@@ -287,3 +287,31 @@ def test_lifecycle_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_user_lifecycle")
     assert "CartesianProduct" not in plan, plan
     assert "partial_" in plan, plan
+
+
+def test_pagerank_no_node_sized_broadcast(spark, sf_dir):
+    # the rank/degree vectors are node-cardinality — unbounded at scale.
+    # With auto-broadcast disabled, any BroadcastHashJoin left in the
+    # plan would mean an explicit broadcast hint on a node-sized frame
+    # (the bug this pins against: F.broadcast(deg)). The only broadcasts
+    # allowed are the single-row scalar aggregates (node count, per-round
+    # dangling mass), which appear as BroadcastNestedLoopJoin.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "graph_pagerank_purchases")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pareto_two_phase_cumsum_no_global_window_over_parts(spark, sf_dir):
+    # the per-part running sum must be partitioned by the range-partition
+    # id (two-phase cumsum) — an order-only window over rev_c would pull
+    # every part into ONE task, the exact wall this pins against. The
+    # only unpartitioned windows allowed are over the per-partition
+    # totals (ptotal), a partition-count-sized frame.
+    plan = _plan(spark, sf_dir, "part_pareto_abc")
+    assert re.search(r"sum\(rev_c#\d+L?\) windowspecdefinition\(pid#\d+,", plan), plan
+    assert not re.search(r"sum\(rev_c#\d+L?\) windowspecdefinition\(rev_c", plan), plan
