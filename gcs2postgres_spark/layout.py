@@ -119,6 +119,33 @@ def write_zordered(df, path: str, zcol, n_files: int = 8, mode: str = "overwrite
     )
 
 
+def list_data_files(spark, path: str, suffix: str = ".parquet") -> list[tuple[str, int]]:
+    """Recursive ``(path, size)`` listing through the Hadoop FileSystem
+    API — ONE ``listFiles(recursive=true)`` call, the same metadata
+    round-trip every Spark scan planner makes. Works on any scheme the
+    Hadoop conf knows (``file://``, ``gs://``, ``s3a://``, ``hdfs://``);
+    on object stores this is a bulk LIST, not a per-file stat crawl —
+    the difference between O(1) requests and 10⁵ sequential GETs on a
+    large table. Hidden dirs (``_delta_log``, ``_staging*``, dotfiles)
+    are skipped."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        rel = p.split("/")
+        if any(seg.startswith(("_", ".")) for seg in rel[:-1]):
+            continue
+        if p.endswith(suffix):
+            out.append((p, int(st.getLen())))
+    return out
+
+
 def compact_parquet(
     spark, src_path: str, dest_path: str, target_bytes: int = 128 * 1024 * 1024
 ) -> int:
@@ -128,21 +155,20 @@ def compact_parquet(
     micro-batch/streaming output files per partition destroy scan
     throughput (a footer read per file, no intra-file parallelism left)
     and inflate driver listing cost; compacting to 128-512 MB restores both.
-    Sizing reads the FILE METADATA (os.path.getsize over the listing),
-    never the data; the rewrite itself is one narrow repartition job."""
-    import glob as _glob
+    Sizing reads FILE METADATA via one Hadoop FileSystem listFiles call
+    (object-store safe), never the data; the rewrite itself is one
+    narrow repartition job."""
     import math
-    import os as _os
 
-    files = _glob.glob(_os.path.join(src_path, "**", "*.parquet"), recursive=True)
+    files = list_data_files(spark, src_path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {src_path!r}")
-    total = sum(_os.path.getsize(f) for f in files)
+    total = sum(size for _p, size in files)
     n_out = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src_path).repartition(n_out).write.mode("overwrite").parquet(
         dest_path
     )
-    return len(_glob.glob(_os.path.join(dest_path, "*.parquet")))
+    return len(list_data_files(spark, dest_path))
 
 
 def compact_delta(spark, table_path: str, target_bytes: int = 128 * 1024 * 1024) -> int:
@@ -151,30 +177,37 @@ def compact_delta(spark, table_path: str, target_bytes: int = 128 * 1024 * 1024)
     tombstoned originals. Readers see an atomic switch (the new version
     appears only when its commit lands); time travel to pre-compaction
     versions is traded away by the vacuum, exactly like OPTIMIZE +
-    VACUUM. Returns the number of data files after compaction."""
-    import glob as _glob
+    VACUUM. Returns the number of live data files after compaction.
+
+    Sizing comes from the HEAD version's live ``add.size`` log metadata
+    — no filesystem crawl at all, and tombstoned pre-overwrite files
+    can't inflate the estimate. Partitioned tables stay partitioned:
+    ``write_delta`` inherits the table's partitionColumns, and the
+    pre-write repartition hashes on them so each task owns whole
+    partition values (one compacted file per value per task)."""
     import math
     import os as _os
+    from urllib.parse import unquote as _unquote
 
     from gcs2postgres_spark.sources.delta_py import (
         read_delta_py,
+        replay_head_state,
         vacuum_delta,
         write_delta,
     )
 
     df = read_delta_py(spark, table_path)
-    files = [
-        f
-        for f in _glob.glob(_os.path.join(table_path, "**", "*.parquet"), recursive=True)
-        if "_delta_log" not in f
-    ]
-    total = sum(_os.path.getsize(f) for f in files)
+    live, meta = replay_head_state(spark, table_path)
+    part_cols = list((meta or {}).get("partitionColumns") or [])
+    total = 0
+    for add in live.values():
+        size = add.get("size")
+        if size is None:  # pre-size-field log (checkpoint-only tables)
+            size = _os.path.getsize(_os.path.join(table_path, _unquote(add["path"])))
+        total += int(size)
     n_out = max(1, math.ceil(total / target_bytes))
-    write_delta(df.repartition(n_out), table_path, "overwrite")
+    compacted = df.repartition(n_out, *part_cols) if part_cols else df.repartition(n_out)
+    write_delta(compacted, table_path, "overwrite")
     vacuum_delta(table_path)
-    live = [
-        f
-        for f in _glob.glob(_os.path.join(table_path, "**", "*.parquet"), recursive=True)
-        if "_delta_log" not in f
-    ]
-    return len(live)
+    live_after, _meta = replay_head_state(spark, table_path)
+    return len(live_after)

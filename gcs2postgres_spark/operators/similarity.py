@@ -575,9 +575,12 @@ def pq_adc_topk(
         .select(F.col("vec_id").alias("q_id"), F.col("vec").alias("qvec"))
     )
     def _bounds(col_name: str, s: int):
-        # 1-based slice: subspace s covers [s*L+1, (s+1)*L], L = dim/m
-        sub_len = F.size(col_name) / m_subspaces  # constant per row
-        return (F.lit(s) * sub_len + 1).cast("int"), sub_len.cast("int")
+        # 1-based slice: subspace s covers [s*L+1, (s+1)*L], L =
+        # floor(dim/m) — explicit floor on BOTH engines (the oracle uses
+        # the same formula), so boundaries agree even when dim % m != 0;
+        # the <L-element tail beyond m*L is dropped, standard PQ
+        sub_len = F.floor(F.size(col_name) / m_subspaces).cast("int")
+        return (F.lit(s) * sub_len + 1).cast("int"), sub_len
 
     for s in range(m_subspaces):
         start, length = _bounds("vec", s)

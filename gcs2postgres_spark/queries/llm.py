@@ -743,8 +743,12 @@ def _pq_oracle(m: int, k: int, n_iters: int, n_queries: int, topk: int) -> str:
         % n_queries
     ]
     for s in range(m):
-        lo = f"CAST({s} * len(vec) / {m} AS INT) + 1"
-        ln = f"CAST(len(vec) / {m} AS INT)"
+        # explicit floor, matching operators/similarity._bounds: L =
+        # floor(dim/m), subspace s = [s*L+1, (s+1)*L] (plain integer
+        # CAST would round-to-nearest in DuckDB and diverge when
+        # dim % m != 0)
+        ln = f"CAST(floor(len(vec) * 1.0 / {m}) AS INT)"
+        lo = f"({s} * {ln} + 1)"
         parts.append(
             f""", sub{s} AS (
   SELECT vec_id, list_slice(vec, {lo}, {lo} + {ln} - 1) AS vec FROM emb

@@ -433,6 +433,34 @@ def _stage_data_files(
     return adds
 
 
+def replay_head_state(
+    spark: SparkSession, table_path: str
+) -> tuple[dict[str, dict], dict | None]:
+    """Replay checkpoint + commits to HEAD and return
+    ``(live add actions by path, latest metaData or None)``. The live
+    ``add`` dicts keep every field the log recorded (``size``,
+    ``partitionValues``, ...), so maintenance ops can size a table from
+    log metadata instead of stat-ing files — O(log) driver work, no
+    object-store crawl."""
+    log_dir = _log_dir(table_path)
+    cp_version, cp_adds, meta = _checkpoint_base(spark, log_dir)
+    live: dict[str, dict] = {a["path"]: a for a in cp_adds}
+    commits = _list_commits(log_dir) if os.path.isdir(log_dir) else {}
+    for v in sorted(v for v in commits if v > cp_version):
+        with open(commits[v]) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    meta = a["metaData"]
+    return live, meta
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -454,36 +482,50 @@ def write_delta(
     small JSON per version, the same O(files) planning cost every Delta
     writer pays. Any engine with a Delta connector (or read_delta_py)
     can read the result; tests cross-check both the HEAD and the
-    time-traveled states."""
+    time-traveled states.
+
+    On an EXISTING table the commit must stay consistent with the
+    table's metaData: ``partition_by=None`` inherits the table's
+    partitionColumns (so overwriting/compacting a partitioned table
+    keeps writing partition-wise — a mismatch would make the reader
+    inject NULL partition values, silent corruption); an explicit
+    ``partition_by`` that differs raises; an overwrite whose schema
+    differs re-emits metaData (same table id) so readers see the new
+    schema."""
     import time as _time
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    part_cols = list(partition_by or [])
     now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
     log_dir = _log_dir(table_path)
     existing = _list_commits(log_dir) if os.path.isdir(log_dir) else {}
-    fresh = not existing
+    fresh = not existing and not os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
 
     actions: list[dict] = []
     if fresh:
         version = 0
+        part_cols = list(partition_by or [])
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
         actions.append(_meta_action(df.schema, part_cols))
     else:
-        version = max(existing) + 1
+        if existing:
+            version = max(existing) + 1
+        else:  # checkpoint-only table (log cleaned up past the checkpoint)
+            with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+                version = int(json.load(f)["version"]) + 1
+        live, meta = replay_head_state(df.sparkSession, table_path)
+        table_parts = list((meta or {}).get("partitionColumns") or [])
+        if partition_by is None:
+            part_cols = table_parts
+        else:
+            part_cols = list(partition_by)
+            if part_cols != table_parts:
+                raise ValueError(
+                    f"partition_by={part_cols} differs from the table's "
+                    f"partitionColumns={table_parts}; repartitioning an "
+                    "existing Delta table requires a new table path"
+                )
         if mode == "overwrite":
-            spark = df.sparkSession
-            cp_version, cp_adds, _meta = _checkpoint_base(spark, log_dir)
-            live: dict[str, dict] = {a["path"]: a for a in cp_adds}
-            for v in sorted(v for v in existing if v > cp_version):
-                with open(existing[v]) as f:
-                    for line in f:
-                        a = json.loads(line)
-                        if "add" in a:
-                            live[a["add"]["path"]] = a["add"]
-                        elif "remove" in a:
-                            live.pop(a["remove"]["path"], None)
             actions.extend(
                 {
                     "remove": {
@@ -494,6 +536,10 @@ def write_delta(
                 }
                 for p in sorted(live)
             )
+            if meta is not None and _schema_string(df.schema) != meta.get("schemaString"):
+                new_meta = _meta_action(df.schema, part_cols)
+                new_meta["metaData"]["id"] = meta.get("id", new_meta["metaData"]["id"])
+                actions.append(new_meta)
     actions.extend(_stage_data_files(df, table_path, part_cols, now))
     _write_commit(log_dir, version, actions, now)
     return version

@@ -138,3 +138,71 @@ def test_compact_delta_atomic_and_lossless(spark, tmp_path):
     df = read_delta_py(spark, path)
     assert df.count() == 6000
     assert df.agg({"id": "sum"}).first()[0] == sum(range(6000))
+
+
+def test_compact_delta_partitioned_keeps_partition_values(spark, tmp_path):
+    # the ADVICE-flagged corruption: compacting a partitioned table used
+    # to rewrite files without partitionBy while metaData kept the
+    # partition column, so the reader injected NULL for it on every row
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.layout import compact_delta
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    path = str(tmp_path / "pt")
+    df = spark.range(2000).select(
+        "id", (F.col("id") % 3).cast("string").alias("grp")
+    )
+    write_delta(df.repartition(12), path, "overwrite", partition_by=["grp"], timestamp_ms=1)
+    n = compact_delta(spark, path, target_bytes=10**9)
+    assert n <= 3  # one file per partition value
+    rd = read_delta_py(spark, path)
+    assert rd.filter(F.col("grp").isNull()).count() == 0
+    got = {r["grp"]: r["n"] for r in rd.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert got == {"0": 667, "1": 667, "2": 666}
+    assert rd.agg(F.sum("id")).first()[0] == sum(range(2000))
+
+
+def test_write_delta_partition_mismatch_raises(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.sources.delta_py import write_delta
+
+    path = str(tmp_path / "pm")
+    df = spark.range(100).select("id", (F.col("id") % 2).cast("string").alias("grp"))
+    write_delta(df, path, "overwrite", partition_by=["grp"], timestamp_ms=1)
+    with _pytest.raises(ValueError, match="partitionColumns"):
+        write_delta(df, path, "append", partition_by=[], timestamp_ms=2)
+    # partition_by=None inherits the table layout instead of breaking it
+    write_delta(df, path, "append", timestamp_ms=3)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py
+
+    assert read_delta_py(spark, path).filter(F.col("grp").isNull()).count() == 0
+    assert read_delta_py(spark, path).count() == 200
+
+
+def test_write_delta_overwrite_schema_change_reemits_metadata(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    path = str(tmp_path / "sc")
+    write_delta(spark.range(10), path, "overwrite", timestamp_ms=1)
+    wider = spark.range(5).select("id", F.lit("x").alias("tag"))
+    write_delta(wider, path, "overwrite", timestamp_ms=2)
+    rd = read_delta_py(spark, path)
+    assert set(rd.columns) == {"id", "tag"}
+    assert rd.count() == 5
+
+
+def test_list_data_files_hadoop_fs(spark, tmp_path):
+    from gcs2postgres_spark.layout import list_data_files
+
+    src = str(tmp_path / "lf")
+    spark.range(1000).repartition(4).write.parquet(src)
+    files = list_data_files(spark, src)
+    assert len(files) == 4
+    assert all(size > 0 for _p, size in files)
+    assert all(p.endswith(".parquet") for p, _s in files)
+    assert list_data_files(spark, str(tmp_path / "missing")) == []

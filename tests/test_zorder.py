@@ -10,8 +10,7 @@ import pyarrow.parquet as pq
 
 from gcs2postgres_spark.layout import zorder_key
 from gcs2postgres_spark.queries.zorder_q import zordered_lineitem_path
-
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_ORACLE as SF
 
 
 def test_zorder_key_interleaves(spark):
