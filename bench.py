@@ -68,6 +68,17 @@ def parse_sf_dir(argv: list[str]) -> str:
     return sf_dir
 
 
+def _loadavg() -> list[float] | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return None
+
+
+LOADAVG_START = _loadavg()
+
+
 def main() -> None:
     sf_dir = parse_sf_dir(sys.argv)
     # size the shuffle to the data, not the core count: at sf0.1 the
@@ -101,6 +112,26 @@ def main() -> None:
         timings[name] = round(best, 3)
         spark.catalog.clearCache()  # per-query persists don't leak across
 
+    # Environment normalization fields: co-tenant load on this box has
+    # produced uniform 1.2-1.7× cross-round drifts (and 40× single-query
+    # outliers), so every bench records (a) /proc/loadavg at start+end
+    # and (b) a fixed calibration query — count+sum over a 10^7-row
+    # in-memory range, no I/O, best-of-3 — whose time moves with machine
+    # contention, not with any repo change. Cross-round deltas divide
+    # out the calibration ratio before being read as regressions.
+    calib_best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr(
+            "count(id) as n", "sum(id % 97) as s"
+        ).write.format("noop").mode("overwrite").save()
+        calib_best = (
+            time.perf_counter() - t0
+            if calib_best is None
+            else min(calib_best, time.perf_counter() - t0)
+        )
+    loadavg_end = _loadavg()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -110,6 +141,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_start": LOADAVG_START,
+                "loadavg_end": loadavg_end,
+                "calibration_count_sum_1e7_sec": round(calib_best, 3),
             }
         )
     )
