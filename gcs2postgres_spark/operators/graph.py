@@ -15,12 +15,14 @@ component label among itself and its neighbors:
 
 which converges in O(graph diameter) rounds.  Duplicate-cluster graphs
 are near-cliques (every member pairs with most others), so diameter is
-tiny — 2-3 rounds in practice.  For adversarially long path graphs the
+tiny — 2-3 rounds in practice, and the simple recurrence is replayable
+as a recursive-CTE oracle.  For adversarially long path graphs the
 large-star/small-star algorithm (Kiveris et al., "Connected Components
 in MapReduce and Beyond", SoCC'14) converges in O(log n) rounds with
-the same per-round join shape; min-label propagation is chosen here
-because the dedup workload never produces deep paths and the simpler
-recurrence is replayable as a recursive-CTE oracle.
+the same per-round join shape — implemented in ``_star_contract`` and
+engaged automatically (``algorithm="auto"``) when min-label fails to
+converge within ``max_iter``; both produce the identical min-id
+labeling (property-tested against each other on random graphs).
 
 Scale notes (100 TB):
 - per round: ONE shuffle join (edges ⋈ labels on dst) + one partial
@@ -45,11 +47,85 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_contract(und: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): O(log n) rounds on
+    ANY graph, including adversarial-diameter paths where min-label
+    propagation needs O(diameter) rounds.
+
+    ``und`` is the symmetrized, self-loop-free, distinct edge list.
+    Per round the edge set contracts toward a star forest (every
+    component one star centered at its minimum node):
+
+    - **large-star** (per node u over its full neighborhood Γ(u)):
+      connect every strictly LARGER neighbor to m = min(Γ(u) ∪ {u});
+    - **small-star** (per node u over its smaller neighbors):
+      connect u and every smaller neighbor to that minimum.
+
+    Both are ONE groupBy(min) + ONE key join per round — the identical
+    shuffle shape as min-label propagation, just with an edge set that
+    halves component depth each alternation. Convergence = the oriented
+    edge set's (count, hash-sum) checksum is unchanged (exact at
+    fixpoint: a star forest maps to itself under both operations).
+    Returns ``(node, comp)`` labels with comp = component minimum."""
+    # canonical orientation (big, small); large-star output keeps it
+    E = (
+        und.filter(F.col("a") > F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        # large-star over full neighborhoods
+        sym = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", "a").alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the (big, small)-oriented result
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        E = small
+        chk = E.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.xxhash64("a", "b")).alias("h")
+        ).first()
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            # star forest: a = leaf, b = center (= component min)
+            return (
+                E.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+                .union(E.select(F.col("b").alias("node"), F.col("b").alias("comp")))
+                .distinct()
+            )
+        prev = cur
+    raise RuntimeError(
+        f"large-star/small-star did not converge in {max_iter} rounds "
+        "(needs O(log n)) — pathological input"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Return ``(node, comp)`` where ``comp`` is the minimum node id in
     the node's connected component (deterministic canonical label).
@@ -58,10 +134,21 @@ def connected_components(
     ``edges``) are simply absent from the output — callers keep them by
     left-joining and coalescing to the node's own id.
 
-    Raises ``RuntimeError`` if not converged within ``max_iter`` rounds
-    (min-label propagation needs ≤ diameter rounds; 25 covers any
-    real dedup graph — a non-converged graph means pathological input).
+    ``algorithm``:
+    - ``"min-label"`` — O(diameter) min-label propagation only; raises
+      ``RuntimeError`` past ``max_iter`` rounds (replayable as the
+      recursive-CTE oracle; the right pick for near-clique dedup graphs
+      whose diameter is 2-3);
+    - ``"star"`` — large-star/small-star (O(log n) rounds on any
+      graph shape, see ``_star_contract``);
+    - ``"auto"`` (default) — min-label first; if the diameter exceeds
+      ``max_iter`` (adversarial path-shaped graphs), falls back to
+      large-star/small-star instead of failing. Both produce the
+      identical min-id labeling, so the fallback is invisible to
+      callers.
     """
+    if algorithm not in ("auto", "min-label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -69,47 +156,51 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
-    )
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
-    if prev_sum is None:  # empty edge list
-        und.unpersist()
-        return labels
-
-    for _ in range(max_iter):
-        nbr_min = (
-            und.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
-                ),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("nbr_comp").alias("nbr_comp"))
+    try:
+        if algorithm == "star":
+            return _star_contract(und)
+        labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+            "comp", F.col("node")
         )
-        labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        new_sum = labels.agg(F.sum("comp")).first()[0]
-        if new_sum == prev_sum:  # min-propagation fixpoint
-            und.unpersist()
+        labels = labels.localCheckpoint(eager=True)
+        prev_sum = labels.agg(F.sum("comp")).first()[0]
+        if prev_sum is None:  # empty edge list
             return labels
-        prev_sum = new_sum
-    und.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "graph diameter exceeds max_iter — raise max_iter or switch to "
-        "large-star/small-star for O(log n) convergence"
-    )
+
+        for _ in range(max_iter):
+            nbr_min = (
+                und.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nbr_comp").alias("nbr_comp"))
+            )
+            labels = (
+                labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_sum = labels.agg(F.sum("comp")).first()[0]
+            if new_sum == prev_sum:  # min-propagation fixpoint
+                return labels
+            prev_sum = new_sum
+        if algorithm == "auto":
+            return _star_contract(und)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "graph diameter exceeds max_iter — raise max_iter or use "
+            "algorithm='star' for O(log n) convergence"
+        )
+    finally:
+        und.unpersist()
 
 
 def duplicate_clusters(
