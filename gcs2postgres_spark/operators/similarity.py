@@ -240,15 +240,27 @@ def ivf_cosine_topk(
 
     Deterministic: sample = lowest ids by xxhash64(id, seed); numpy
     k-means with fixed seed; ties in scoring broken by neighbor id."""
-    import numpy as np
-    import pandas as pd
-
-    spark = corpus.sparkSession
-
-    # --- train coarse quantizer on a bounded deterministic sample -------
     base = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    cent = train_ivf_quantizer(base, n_centroids, sample_size, kmeans_iters, seed)
+    assigned = assign_ivf_cells(base, cent)
+    return score_ivf_cells(assigned, queries, cent, id_col, vec_col, k, n_probe)
+
+
+def train_ivf_quantizer(
+    base: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+):
+    """Train the IVF coarse quantizer on a bounded hash-deterministic
+    sample (the standard IVF recipe — centroids are tiny, k-bounded).
+    ``base`` must have columns (cid, vec). Returns the L2-normalized
+    numpy centroid matrix."""
+    import numpy as np
+
     sample_rows = (
         base.withColumn("__h", F.xxhash64(F.col("cid"), F.lit(seed)))
         .orderBy("__h")
@@ -267,9 +279,20 @@ def ivf_cosine_topk(
             if len(members):
                 m = members.mean(axis=0)
                 cent[c] = m / (np.linalg.norm(m) or 1.0)
-    bc_cent = spark.sparkContext.broadcast(cent)
+    return cent
 
-    # --- assign corpus vectors to cells (one Arrow pass, no shuffle) ----
+
+def assign_ivf_cells(base: DataFrame, cent) -> DataFrame:
+    """Assign every corpus vector to its nearest coarse cell: ONE Arrow
+    pass over the corpus (mapInPandas matmul against the broadcast
+    centroids), no shuffle. Returns (cid, vec, cell) — the frame a
+    production index writes back partitioned by ``cell`` so probes
+    prune at the scan (see ``queries/llm.similarity_ivf_pruned_topk``)."""
+    import numpy as np
+    import pandas as pd
+
+    bc_cent = base.sparkSession.sparkContext.broadcast(cent)
+
     def assign_batches(batches):
         C = bc_cent.value
         for pdf in batches:
@@ -278,21 +301,56 @@ def ivf_cosine_topk(
             cell = np.argmax(mat @ C.T, axis=1)
             yield pd.DataFrame({"cid": pdf["cid"], "vec": pdf["vec"], "cell": cell})
 
-    assigned = base.mapInPandas(
-        assign_batches, schema=f"cid long, vec array<double>, cell int"
+    return base.mapInPandas(
+        assign_batches, schema="cid long, vec array<double>, cell int"
     )
 
-    # --- probe: each query searches its n_probe nearest cells -----------
+
+def ivf_query_probes(
+    queries: DataFrame, cent, id_col: str, vec_col: str, n_probe: int
+):
+    """Collect the (bounded-by-contract) query set and compute each
+    query's ``n_probe`` nearest cells. Returns (q_ids, q_mat, probes)
+    numpy triple, or None when the query set is empty."""
+    import numpy as np
+
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("vec")
     ).collect()
     if not q_rows:
-        return spark.createDataFrame([], "query_id long, neighbor_id long, cos_sim double")
+        return None
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # (nq × n_probe)
-    bc_q = spark.sparkContext.broadcast((q_ids, q_mat, probes))
+    return q_ids, q_mat, probes
+
+
+def score_ivf_cells(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cent,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe step: each query scores only the corpus vectors whose cell
+    is among its ``n_probe`` nearest centroids — a broadcast semi-filter
+    plus the same batched-matmul scoring as brute force. ``assigned``
+    is (cid, vec, cell) — either computed inline (``assign_ivf_cells``)
+    or read back from a cell-partitioned parquet layout, in which case
+    the caller pre-filters the scan to the probed cells and the filter
+    becomes PartitionFilters (planning-time pruning, zero I/O for
+    unprobed cells)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = assigned.sparkSession
+    triple = ivf_query_probes(queries, cent, id_col, vec_col, n_probe)
+    if triple is None:
+        return spark.createDataFrame([], "query_id long, neighbor_id long, cos_sim double")
+    bc_q = spark.sparkContext.broadcast(triple)
 
     def score_batches(batches):
         ids, mat, prb = bc_q.value
@@ -319,7 +377,7 @@ def ivf_cosine_topk(
                 out_s.extend(col[sel])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s})
 
-    scored = assigned.mapInPandas(
+    scored = assigned.select("cid", "vec", "cell").mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, cos_sim double"
     )
     return topk_per_group(

@@ -52,6 +52,8 @@ VERIFY_FRONT: list[str] = [
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "orc_source_roundtrip",
+    # NEW in round 5
+    "similarity_ivf_pruned_topk",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
@@ -94,7 +96,6 @@ VERIFY_FRONT: list[str] = [
     # round-2-only greens (oldest rest-tier evidence)
     "join_right",
     "join_full",
-    "join_semi",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

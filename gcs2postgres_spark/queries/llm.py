@@ -33,10 +33,14 @@ from gcs2postgres_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from gcs2postgres_spark.operators.similarity import (
+    assign_ivf_cells,
     brute_force_cosine_topk,
     ivf_cosine_topk,
+    ivf_query_probes,
+    score_ivf_cells,
     srp_cosine_near_dup_pairs,
     srp_lsh_cosine_topk,
+    train_ivf_quantizer,
 )
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
@@ -370,6 +374,98 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda q, e: ivf_cosine_topk(q, e, k=5, n_centroids=16, n_probe=12),
         min_overlap=3,
         flag_name="recall_ge_0p6",
+    )
+
+
+IVF_PRUNED_ORACLE = """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+       TRUE AS scan_pruned, TRUE AS pruned_matches_inline
+FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+"""
+
+
+def _ivf_partitioned_path(spark: SparkSession, sf_dir: str, n_centroids: int, seed: int):
+    """Idempotently materialize the cell-assigned corpus as parquet
+    DIRECTORY-PARTITIONED BY CELL — the production IVF layout promised
+    by ``assign_ivf_cells``: each coarse cell is its own partition
+    directory, so a probe's cell filter becomes PartitionFilters and
+    unprobed cells cost ZERO I/O (the ANN analogue of the z-order file
+    pruning demo). Path is keyed on (sf_dir, source fingerprint,
+    params) so regenerated testdata never reuses a stale index."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n_centroids}|{seed}|"
+        f"{os.path.getmtime(src)}:{os.path.getsize(src)}".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    base = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cent = train_ivf_quantizer(base, n_centroids=n_centroids, seed=seed)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        assign_ivf_cells(base, cent).write.mode("overwrite").partitionBy("cell").parquet(path)
+    return path, cent
+
+
+@register("similarity_ivf_pruned_topk", oracle=IVF_PRUNED_ORACLE)
+def similarity_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over the CELL-PARTITIONED corpus layout: the corpus is
+    written once partitioned by its coarse-quantizer cell, and each
+    search reads back only the probed cells — the filter lands as
+    PartitionFilters in the parquet scan (plan-pinned), so at 100 TB a
+    4-of-16-probe search plans ~25% of the corpus and never opens the
+    rest. Output certifies the layout, per query: exactly k results,
+    ``scan_pruned`` (the probed-cell union is a strict subset of the
+    cells — structural: 3 queries × 4 probes ≤ 12 < 16), and
+    ``pruned_matches_inline`` (the pruned-scan search returns EXACTLY
+    the rows the inline-assignment path computes — partition pruning
+    loses nothing). Recall itself is certified by similarity_ivf_topk;
+    this entry certifies the scale path's physical layout."""
+    n_centroids, n_probe, k, seed = 16, 4, 5, 42
+    path, cent = _ivf_partitioned_path(spark, sf_dir, n_centroids, seed)
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+
+    triple = ivf_query_probes(q, cent, "vec_id", "embedding", n_probe)
+    union_cells = sorted({int(c) for c in triple[2].flatten().tolist()})
+    scan_pruned = len(union_cells) < n_centroids
+
+    pruned_scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    via_layout = score_ivf_cells(pruned_scan, q, cent, k=k, n_probe=n_probe)
+
+    base = e.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    via_inline = score_ivf_cells(assign_ivf_cells(base, cent), q, cent, k=k, n_probe=n_probe)
+
+    a = via_layout.select("query_id", "neighbor_id", F.round("cos_sim", 9).alias("s"))
+    b = via_inline.select("query_id", "neighbor_id", F.round("cos_sim", 9).alias("s"))
+    mism = (
+        a.join(b, ["query_id", "neighbor_id", "s"], "full")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_joined"))
+    )
+    n_a = a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    n_b = b.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_inline"))
+    return (
+        n_a.join(n_b, "query_id", "full")
+        .join(mism, "query_id", "full")
+        .select(
+            "query_id",
+            F.coalesce("n_results", F.lit(0)).alias("n_results"),
+            F.lit(scan_pruned).alias("scan_pruned"),
+            # full join of the two row sets collapses to n rows iff the
+            # sets are identical: any one-sided row inflates n_joined
+            (
+                (F.col("n_joined") == F.col("n_results"))
+                & (F.col("n_results") == F.col("n_inline"))
+            ).alias("pruned_matches_inline"),
+        )
+        .orderBy("query_id")
     )
 
 

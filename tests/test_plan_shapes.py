@@ -315,3 +315,12 @@ def test_pareto_two_phase_cumsum_no_global_window_over_parts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "part_pareto_abc")
     assert re.search(r"sum\(rev_c#\d+L?\) windowspecdefinition\(pid#\d+,", plan), plan
     assert not re.search(r"sum\(rev_c#\d+L?\) windowspecdefinition\(rev_c", plan), plan
+
+
+def test_ivf_pruned_scan_partition_filters(spark, sf_dir):
+    # the cell-partitioned IVF layout must prune at the SCAN: the probe
+    # filter lands as PartitionFilters (planning-time, zero I/O for
+    # unprobed cells), not as a post-scan Filter over all cells
+    plan = _plan(spark, sf_dir, "similarity_ivf_pruned_topk")
+    m = re.search(r"PartitionFilters: \[[^\]]*cell#\d+ IN", plan)
+    assert m, plan
