@@ -54,6 +54,9 @@ VERIFY_FRONT: list[str] = [
     "orc_source_roundtrip",
     # NEW in round 5
     "similarity_ivf_pruned_topk",
+    "graph_components_star",
+    "events_seasonal_baseline",
+    "corpus_vocab_growth",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
@@ -92,10 +95,6 @@ VERIFY_FRONT: list[str] = [
     "distinct_subset",
     "sample_deterministic_mod",
     "q12_priority_caseagg",
-    "q18_large_orders",
-    # round-2-only greens (oldest rest-tier evidence)
-    "join_right",
-    "join_full",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

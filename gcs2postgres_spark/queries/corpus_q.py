@@ -404,3 +404,63 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bigram_pmi(docs)
+
+
+VOCAB_GROWTH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), per_doc AS (
+  SELECT CAST(doc_id // 100 AS INT) AS cp, count(*) AS n_tok
+  FROM toks GROUP BY 1
+), first_seen AS (
+  SELECT w, CAST(min(doc_id) // 100 AS INT) AS cp FROM toks GROUP BY w
+), cp_tok AS (SELECT cp, sum(n_tok) AS toks FROM per_doc GROUP BY cp),
+cp_new AS (SELECT cp, count(*) AS new_words FROM first_seen GROUP BY cp)
+SELECT t.cp AS checkpoint,
+       CAST(sum(t.toks) OVER (ORDER BY t.cp) AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(n.new_words, 0)) OVER (ORDER BY t.cp) AS BIGINT)
+         AS vocab_size
+FROM cp_tok t LEFT JOIN cp_new n ON t.cp = n.cp
+ORDER BY checkpoint
+"""
+
+
+@register("corpus_vocab_growth", oracle=VOCAB_GROWTH_ORACLE)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct
+    vocabulary vs cumulative token count at 100-doc checkpoints — the
+    corpus-health curve a pretraining pipeline watches to spot
+    duplicated or templated data (vocab flat-lining while tokens grow).
+    Scale shape: each word is reduced to its FIRST document
+    (vocab-sized groupBy-min, the same inverted shape as TF-IDF's
+    document frequency), checkpoints aggregate to a
+    checkpoint-count-sized frame, and only THAT tiny frame flows
+    through the cumulative window — the unbounded cumsum never touches
+    token- or vocab-cardinality data."""
+    from pyspark.sql import Window
+
+    tune_for_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    per_cp_tok = (
+        toks.groupBy(F.floor(F.col("doc_id") / 100).cast("int").alias("cp"))
+        .agg(F.count(F.lit(1)).alias("toks"))
+    )
+    first_seen = toks.groupBy("w").agg(
+        F.floor(F.min("doc_id") / 100).cast("int").alias("cp")
+    )
+    cp_new = first_seen.groupBy("cp").agg(F.count(F.lit(1)).alias("new_words"))
+    w_cum = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_cp_tok.join(cp_new, "cp", "left")
+        .select(
+            F.col("cp").alias("checkpoint"),
+            F.sum("toks").over(w_cum).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(w_cum).cast("long").alias("vocab_size"),
+        )
+        .orderBy("checkpoint")
+    )

@@ -874,3 +874,56 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+SEASONAL_BASELINE_ORACLE = """
+WITH train AS (
+  SELECT event_type, extract(hour FROM ts) AS hr, value
+  FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00'
+), test AS (
+  SELECT event_type, extract(hour FROM ts) AS hr, value
+  FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+), seasonal AS (
+  SELECT event_type, hr, avg(value) AS hr_mean FROM train GROUP BY 1, 2
+), gmean AS (
+  SELECT event_type, avg(value) AS g_mean FROM train GROUP BY 1
+)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(avg(abs(t.value - s.hr_mean)), 4) AS mae_seasonal,
+       round(avg(abs(t.value - g.g_mean)), 4) AS mae_global
+FROM test t
+JOIN seasonal s ON t.event_type = s.event_type AND t.hr = s.hr
+JOIN gmean g ON t.event_type = g.event_type
+GROUP BY t.event_type
+ORDER BY t.event_type
+"""
+
+
+@register("events_seasonal_baseline", oracle=SEASONAL_BASELINE_ORACLE)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: train a per-(event_type,
+    hour-of-day) mean on the first 23 days, forecast the last 7, and
+    report MAE against the global per-type mean baseline — the sanity
+    harness every production forecaster is judged against before
+    anything fancier ships. Scale shape: both models are tiny keyed
+    aggregates (|types|×24 and |types| rows) broadcast to one streaming
+    pass over the test rows; nothing re-shuffles the fact table."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    base = e.select("event_type", F.hour("ts").alias("hr"), "value", "ts")
+    train = base.filter(F.col("ts") < cutoff)
+    test = base.filter(F.col("ts") >= cutoff)
+    seasonal = train.groupBy("event_type", "hr").agg(F.avg("value").alias("hr_mean"))
+    glob = train.groupBy("event_type").agg(F.avg("value").alias("g_mean"))
+    return (
+        test.join(F.broadcast(seasonal), ["event_type", "hr"])
+        .join(F.broadcast(glob), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("hr_mean"))), 4).alias("mae_seasonal"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("g_mean"))), 4).alias("mae_global"),
+        )
+        .orderBy("event_type")
+    )

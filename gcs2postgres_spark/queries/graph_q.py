@@ -102,6 +102,62 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STAR_CC_ORACLE = """
+WITH chained AS (
+  SELECT o_custkey,
+         o_orderkey,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_key
+  FROM orders
+), with_edge AS (
+  SELECT o_custkey FROM chained WHERE prev_key IS NOT NULL
+)
+SELECT min(o_orderkey) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT o_custkey FROM with_edge)
+GROUP BY o_custkey
+ORDER BY cluster_id
+"""
+
+
+@register("graph_components_star", oracle=STAR_CC_ORACLE)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via large-star/small-star (Kiveris et al.,
+    SoCC'14; operators/graph._star_contract) on a deliberately
+    PATH-SHAPED graph: each customer's orders chained in date order, so
+    a 30-order customer is a depth-30 path — the exact topology where
+    O(diameter) min-label propagation loses to the O(log n) star
+    alternation. By construction every chain's component is its
+    customer's order set and the canonical label is the customer's
+    minimum orderkey, which the oracle states in plain SQL (min +
+    count per chained customer) — so the driver's hash compare
+    certifies the star algorithm's full labeling without a recursive
+    CTE. Output: (cluster_id, n_orders) per customer with ≥2 orders
+    (chains with at least one edge; singletons have no edges and are
+    the caller's left-join concern, same contract as
+    connected_components)."""
+    from pyspark.sql import Window
+
+    from gcs2postgres_spark.operators.graph import connected_components
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chained = o.select(
+        "o_custkey", "o_orderkey", F.lag("o_orderkey").over(w).alias("prev_key")
+    )
+    edges = chained.filter(F.col("prev_key").isNotNull()).select(
+        F.col("prev_key").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    comp = connected_components(edges, algorithm="star")
+    return (
+        comp.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(F.col("comp").alias("cluster_id"), "n_orders")
+        .orderBy("cluster_id")
+    )
+
+
 def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85, topk: int = 20) -> str:
     """Unrolled power-iteration recurrence in SQL, mirroring
     operators/pagerank.pagerank_fixed — including the per-round
