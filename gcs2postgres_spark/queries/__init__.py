@@ -57,6 +57,8 @@ VERIFY_FRONT: list[str] = [
     "graph_components_star",
     "events_seasonal_baseline",
     "corpus_vocab_growth",
+    "parquet_schema_evolution_roundtrip",
+    "sample_weighted_bottomk",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
@@ -93,8 +95,6 @@ VERIFY_FRONT: list[str] = [
     "text_normalize_distinct",
     "project_case_when",
     "distinct_subset",
-    "sample_deterministic_mod",
-    "q12_priority_caseagg",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

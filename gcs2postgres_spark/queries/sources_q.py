@@ -461,3 +461,54 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+WITH merged AS (
+  SELECT 1 AS batch, n_nationkey, CAST(NULL AS BIGINT) AS n_regionkey
+  FROM nation WHERE n_nationkey < 12
+  UNION ALL
+  SELECT 2, n_nationkey, CAST(n_regionkey AS BIGINT)
+  FROM nation WHERE n_nationkey >= 12
+)
+SELECT CAST(batch AS INT) AS batch,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(n_regionkey) AS BIGINT) AS n_with_region,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM merged GROUP BY batch ORDER BY batch
+"""
+
+
+@register("parquet_schema_evolution_roundtrip", oracle=SCHEMA_EVOLUTION_ORACLE)
+def parquet_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution + partition discovery in one lane: batch 1 is
+    written WITHOUT n_regionkey, batch 2 adds it; the read uses
+    mergeSchema=true over hive-style batch= directories, so the unioned
+    schema carries the new column and pre-evolution rows surface it as
+    NULL (n_with_region = 0 for batch 1 certifies exactly that). This
+    is the append-only table-growth story every long-lived dataset
+    hits — new columns must not strand old files. At scale mergeSchema
+    reads ONE footer per file at planning time; steady-state tables
+    promote the merged schema into table metadata (the Delta/Iceberg
+    layers here do precisely that via metaData/schemaString)."""
+    tune_for_session(spark)
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="schevo_rt_")
+    n.filter(F.col("n_nationkey") < 12).select(
+        F.col("n_nationkey").cast("long"), "n_name"
+    ).write.mode("overwrite").parquet(path + "/batch=1")
+    n.filter(F.col("n_nationkey") >= 12).select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    ).write.mode("overwrite").parquet(path + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(F.col("batch").cast("int").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("n_regionkey").alias("n_with_region"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("batch")
+    )

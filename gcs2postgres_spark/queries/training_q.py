@@ -393,3 +393,48 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+WEIGHTED_BOTTOMK_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5('wsample-v1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              // n_chars AS BIGINT) AS pkey
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, pkey
+FROM keyed ORDER BY pkey, doc_id LIMIT 200
+"""
+
+
+@register("sample_weighted_bottomk", oracle=WEIGHTED_BOTTOMK_ORACLE)
+def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bottom-k priority sample: each doc gets the integer
+    priority key hash(doc_id)/weight (weight = n_chars, the token-budget
+    proxy) and the k smallest keys win — selection probability rises
+    with weight, the weighted-minwise/bottom-k estimator shape
+    (coordinated sampling: two engines, or two runs over overlapping
+    corpora, pick consistent docs because the key depends only on the
+    id). All-INTEGER arithmetic on the portable md5 hash, so the sample
+    is bit-reproducible by any engine — no float ln() whose last ulp
+    could flip a rank. Scale shape: the key is a projection (zero
+    shuffle to compute), global bottom-k is TakeOrdered — per-partition
+    k then a k-sized driver merge, never a full sort."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    h = portable_hash60(F.concat(F.lit("wsample-v1|"), F.col("doc_id").cast("string")))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            h.alias("__h"),
+        )
+        # SQL `div` = exact integer division; float `/`+floor would
+        # round the >2^53 hash before dividing and flip low-bit keys
+        .select("doc_id", "lang", "n_chars", F.expr("__h div n_chars").cast("long").alias("pkey"))
+        .orderBy("pkey", "doc_id")
+        .limit(200)
+    )
