@@ -59,6 +59,8 @@ VERIFY_FRONT: list[str] = [
     "corpus_vocab_growth",
     "parquet_schema_evolution_roundtrip",
     "sample_weighted_bottomk",
+    "basket_pair_rules",
+    "events_psi_drift",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
@@ -93,8 +95,6 @@ VERIFY_FRONT: list[str] = [
     "scalar_date_funcs",
     "topk_global",
     "text_normalize_distinct",
-    "project_case_when",
-    "distinct_subset",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

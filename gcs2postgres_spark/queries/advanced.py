@@ -1020,3 +1020,79 @@ def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (brand co-occurrence)
+# ---------------------------------------------------------------------------
+
+BASKET_RULES_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+item_cnt AS (SELECT item, count(*) AS cnt FROM items GROUP BY item),
+pair_cnt AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS cnt
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b,
+       CAST(p.cnt AS BIGINT) AS n_both,
+       round(CAST(p.cnt AS DOUBLE) / n.n_baskets, 6) AS support,
+       round(CAST(p.cnt AS DOUBLE) / ca.cnt, 6) AS confidence,
+       round(CAST(p.cnt AS DOUBLE) * n.n_baskets / (ca.cnt * cb.cnt), 6) AS lift
+FROM pair_cnt p
+JOIN item_cnt ca ON p.item_a = ca.item
+JOIN item_cnt cb ON p.item_b = cb.item
+CROSS JOIN n
+ORDER BY n_both DESC, lift DESC, item_a, item_b
+LIMIT 20
+"""
+
+
+@register("basket_pair_rules", oracle=BASKET_RULES_ORACLE)
+def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: support, confidence
+    and lift for brand pairs bought in the same order (top-20 by count
+    then lift). The classic market-basket shape: dedupe to (basket,
+    item), self-join WITHIN the basket key (an equi-join on basket —
+    the pair explosion is bounded by basket-size², never cross-basket),
+    aggregate pairs, then two broadcast joins against the tiny
+    item-count table. At 100 TB the only heavy operator is the
+    per-basket pair expansion, which partitions cleanly on the basket
+    key; skewed mega-baskets would be capped or salted upstream."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = items.agg(F.countDistinct("basket").alias("n_baskets"))
+    item_cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    b = items.select(F.col("basket").alias("b2"), F.col("item").alias("item_b"))
+    pair_cnt = (
+        items.join(b, (F.col("basket") == F.col("b2")) & (F.col("item") < F.col("item_b")))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = item_cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair_cnt.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("cnt_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_both") * F.col("n_baskets") / (F.col("cnt_a") * F.col("cnt_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.desc("lift"), "item_a", "item_b")
+        .limit(20)
+    )

@@ -927,3 +927,88 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+PSI_DRIFT_ORACLE = """
+WITH cents AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_c,
+         ts >= TIMESTAMP '2024-01-16 00:00:00' AS is_cur
+  FROM events
+), ref_bounds AS (
+  SELECT min(v_c) AS lo, max(v_c) AS hi FROM cents WHERE NOT is_cur
+), binned AS (
+  SELECT event_type, is_cur,
+         least(9, greatest(0,
+           (v_c - b.lo) * 10 // (b.hi - b.lo + 1))) AS bin
+  FROM cents CROSS JOIN ref_bounds b
+), counts AS (
+  SELECT event_type, bin,
+         count(*) FILTER (WHERE NOT is_cur) AS n_ref,
+         count(*) FILTER (WHERE is_cur) AS n_cur
+  FROM binned GROUP BY event_type, bin
+), tot AS (
+  SELECT event_type,
+         sum(n_ref) + 0.5 * 10 AS d_ref,
+         sum(n_cur) + 0.5 * 10 AS d_cur
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type,
+       round(sum(((c.n_cur + 0.5) / t.d_cur - (c.n_ref + 0.5) / t.d_ref)
+                 * ln(((c.n_cur + 0.5) / t.d_cur) / ((c.n_ref + 0.5) / t.d_ref))), 6)
+         AS psi
+FROM counts c JOIN tot t ON c.event_type = t.event_type
+GROUP BY c.event_type
+ORDER BY c.event_type
+"""
+
+
+@register("events_psi_drift", oracle=PSI_DRIFT_ORACLE)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month, per event type — the standard production drift monitor
+    (PSI < 0.1 stable, > 0.25 drifted). Binning is ALL-INTEGER (value
+    cents mapped to 10 equal-width bins over the reference min/max via
+    integer multiply-divide), so bin membership is bit-identical on any
+    engine — no float boundary whose last ulp flips a row's bin.
+    Laplace +0.5 smoothing keeps empty bins finite. Scale shape: one
+    pass to bin (bounds broadcast), one (type, bin) aggregate —
+    10×|types| rows — then driver-free scalar math on that tiny
+    frame."""
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        (F.col("ts") >= cutoff).alias("is_cur"),
+    )
+    bounds = cents.filter(~F.col("is_cur")).agg(
+        F.min("v_c").alias("lo"), F.max("v_c").alias("hi")
+    )
+    binned = cents.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "is_cur",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.expr("(v_c - lo) * 10 div (hi - lo + 1)"),
+            ),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        (F.sum("n_ref") + 0.5 * 10).alias("d_ref"),
+        (F.sum("n_cur") + 0.5 * 10).alias("d_cur"),
+    )
+    p_cur = (F.col("n_cur") + 0.5) / F.col("d_cur")
+    p_ref = (F.col("n_ref") + 0.5) / F.col("d_ref")
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"))
+        .orderBy("event_type")
+    )
