@@ -260,8 +260,9 @@ def read_avro_bytes(data: bytes) -> tuple[dict, list[dict]]:
 
 
 def read_avro_file(path: str) -> tuple[dict, list[dict]]:
-    with open(path, "rb") as f:
-        return read_avro_bytes(f.read())
+    from gcs2postgres_spark.sources import fsio
+
+    return read_avro_bytes(fsio.read_bytes(path))
 
 
 def write_avro_file(

@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from gcs2postgres_spark.sources import fsio
+
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
@@ -60,7 +62,7 @@ def _log_dir(table_path: str) -> str:
 
 def _list_commits(log_dir: str) -> dict[int, str]:
     out = {}
-    for name in os.listdir(log_dir):
+    for name in fsio.listdir(log_dir):
         m = _COMMIT_RE.match(name)
         if m:
             out[int(m.group(1))] = os.path.join(log_dir, name)
@@ -73,12 +75,11 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
     metaData dict or None). Distributed read; only metadata columns are
     collected (path + partitionValues per live file)."""
     lc = os.path.join(log_dir, "_last_checkpoint")
-    if not os.path.exists(lc):
+    if not fsio.exists(lc):
         return -1, [], None
-    with open(lc) as f:
-        version = int(json.load(f)["version"])
+    version = int(json.loads(fsio.read_text(lc))["version"])
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    if not os.path.exists(cp_path):
+    if not fsio.exists(cp_path):
         raise FileNotFoundError(
             f"_last_checkpoint names version {version} but {cp_path} is missing"
         )
@@ -133,10 +134,10 @@ def read_delta_py(
     Raises ``NotImplementedError`` with the package hint for deletion
     vectors / column mapping, which cannot be honored jar-lessly."""
     log_dir = _log_dir(table_path)
-    if not os.path.isdir(log_dir):
+    if not fsio.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
     commits = _list_commits(log_dir)
-    if not commits and not os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
+    if not commits and not fsio.exists(os.path.join(log_dir, "_last_checkpoint")):
         raise FileNotFoundError(f"empty _delta_log in {table_path}")
 
     cp_version, cp_adds, meta = _checkpoint_base(spark, log_dir)
@@ -152,11 +153,11 @@ def read_delta_py(
         versions = [v for v in versions if v <= version_as_of]
 
     for v in versions:
-        actions = []
-        with open(commits[v]) as f:
-            for line in f:
-                if line.strip():
-                    actions.append(json.loads(line))
+        actions = [
+            json.loads(line)
+            for line in fsio.read_text(commits[v]).splitlines()
+            if line.strip()
+        ]
         if timestamp_as_of_ms is not None:
             ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), None)
             if ci and int(ci.get("timestamp", 0)) > timestamp_as_of_ms:
@@ -445,19 +446,18 @@ def replay_head_state(
     log_dir = _log_dir(table_path)
     cp_version, cp_adds, meta = _checkpoint_base(spark, log_dir)
     live: dict[str, dict] = {a["path"]: a for a in cp_adds}
-    commits = _list_commits(log_dir) if os.path.isdir(log_dir) else {}
+    commits = _list_commits(log_dir) if fsio.isdir(log_dir) else {}
     for v in sorted(v for v in commits if v > cp_version):
-        with open(commits[v]) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if "add" in a:
-                    live[a["add"]["path"]] = a["add"]
-                elif "remove" in a:
-                    live.pop(a["remove"]["path"], None)
-                elif "metaData" in a:
-                    meta = a["metaData"]
+        for line in fsio.read_text(commits[v]).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+            elif "metaData" in a:
+                meta = a["metaData"]
     return live, meta
 
 
@@ -494,6 +494,13 @@ def write_delta(
     schema."""
     import time as _time
 
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Delta WRITE is local-filesystem only: an object-store "
+            "commit needs atomic-put semantics (no rename on GCS/S3) — use "
+            "the delta-spark connector for remote writes; READS work on any "
+            f"Hadoop-supported scheme. Got {table_path!r}"
+        )
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
@@ -553,6 +560,11 @@ def vacuum_delta(table_path: str) -> int:
     HEAD are unaffected because a version's file set is immutable once
     its commit lands. Driver work is O(files) metadata; deletion is
     local/posix here (object-store delete batches in production)."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Delta VACUUM is local-filesystem only (bulk deletes "
+            f"are connector territory on object stores). Got {table_path!r}"
+        )
     log_dir = _log_dir(table_path)
     commits = _list_commits(log_dir)
     if not commits and not os.path.exists(os.path.join(log_dir, "_last_checkpoint")):

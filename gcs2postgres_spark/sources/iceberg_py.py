@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gcs2postgres_spark.sources import fsio
 from gcs2postgres_spark.sources.avro_py import read_avro_file, write_avro_file
 
 _JAR_HINT = (
@@ -179,13 +180,16 @@ def latest_metadata_file(table_path: str) -> str:
     v*.metadata.json / NNNNN-*.metadata.json."""
     mdir = os.path.join(table_path, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as f:
-            v = f.read().strip()
+    if fsio.exists(hint):
+        v = fsio.read_text(hint).strip()
         cand = os.path.join(mdir, f"v{v}.metadata.json")
-        if os.path.exists(cand):
+        if fsio.exists(cand):
             return cand
-    files = glob.glob(os.path.join(mdir, "*.metadata.json"))
+    files = (
+        [os.path.join(mdir, n) for n in fsio.listdir(mdir) if n.endswith(".metadata.json")]
+        if fsio.isdir(mdir)
+        else []
+    )
     if not files:
         raise FileNotFoundError(
             f"{table_path!r} is not an Iceberg table: no metadata/*.metadata.json found"
@@ -202,14 +206,15 @@ def _resolve(uri: str, table_path: str, location: str | None) -> str:
     """Map a metadata-recorded URI to a local path, tolerating a moved
     table: strip the file scheme; if the path exists use it; else rebase
     the part after the recorded table ``location`` onto table_path."""
-    p = re.sub(r"^file:(//)?", "", uri)
-    if os.path.exists(p):
+    p = re.sub(r"^file:(//)?", "", uri) if uri.startswith("file:") else uri
+    if fsio.exists(p):
         return p
     if location:
         loc = re.sub(r"^file:(//)?", "", location).rstrip("/")
-        if p.startswith(loc + "/"):
-            rebased = os.path.join(table_path, p[len(loc) + 1 :])
-            if os.path.exists(rebased):
+        stripped = re.sub(r"^file:(//)?", "", p)
+        if stripped.startswith(loc + "/"):
+            rebased = os.path.join(table_path, stripped[len(loc) + 1 :])
+            if fsio.exists(rebased):
                 return rebased
     raise FileNotFoundError(f"iceberg metadata references missing file {uri!r}")
 
@@ -259,8 +264,7 @@ def read_iceberg_py(
     to pick the latest snapshot with ``timestamp-ms <= as_of_ms``.
     """
     meta_path = latest_metadata_file(table_path)
-    with open(meta_path) as f:
-        meta = json.load(f)
+    meta = json.loads(fsio.read_text(meta_path))
     location = meta.get("location")
 
     # table schema: v2 keeps a list + current-schema-id; v1 a single schema
@@ -811,6 +815,12 @@ def write_iceberg(
 
     from gcs2postgres_spark.sources.avro_py import read_avro_file
 
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Iceberg WRITE is local-filesystem only (object-store "
+            "commits need the catalog/connector); READS work on any "
+            f"Hadoop-supported scheme. Got {table_path!r}"
+        )
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)

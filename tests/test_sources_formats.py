@@ -471,3 +471,56 @@ def test_delta_vacuum_removes_tombstoned_files(spark, tmp_path):
     assert removed > 0 and after == before - removed
     # HEAD unaffected; vacuumed version unreadable (as with real VACUUM)
     assert read_delta_py(spark, path).count() == 5
+
+
+def test_delta_read_via_hadoop_fs_uri(spark, tmp_path):
+    # the object-store read path: same table, read through a file: URI —
+    # exercises the Hadoop FileSystem branch of fsio (listdir/exists/
+    # read_text) end to end, the exact API surface a gs:// path hits
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    path = str(tmp_path / "fsuri")
+    df = spark.range(500).select("id", (F.col("id") % 2).cast("string").alias("par"))
+    write_delta(df, path, "overwrite", partition_by=["par"], timestamp_ms=1)
+    write_delta(spark.range(500, 600).select("id", F.lit("0").alias("par")), path, "append", timestamp_ms=2)
+
+    via_uri = read_delta_py(spark, "file:" + path)
+    assert via_uri.count() == 600
+    assert via_uri.filter(F.col("par").isNull()).count() == 0
+    assert via_uri.agg(F.sum("id")).first()[0] == sum(range(600))
+    # time travel through the URI path too
+    assert read_delta_py(spark, "file:" + path, version_as_of=0).count() == 500
+
+
+def test_delta_write_on_object_store_scheme_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from gcs2postgres_spark.sources.delta_py import vacuum_delta, write_delta
+
+    with _pytest.raises(NotImplementedError, match="local-filesystem only"):
+        write_delta(spark.range(3), "file:" + str(tmp_path / "x"), "overwrite")
+    with _pytest.raises(NotImplementedError, match="local-filesystem only"):
+        vacuum_delta("gs://bucket/table")
+
+
+def test_iceberg_read_via_hadoop_fs_uri(spark, tmp_path):
+    # object-store read path for the jar-less Iceberg reader: metadata
+    # JSON, version hint, and Avro manifests all fetched through the
+    # Hadoop FileSystem branch (file: URI = the gs:// API surface)
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import read_iceberg_py, write_iceberg
+
+    path = str(tmp_path / "ice_uri")
+    df = spark.range(300).select("id", (F.col("id") * 2).alias("dbl"))
+    write_iceberg(df, path, "overwrite", snapshot_ts_ms=1_700_000_000_000)
+    s2 = write_iceberg(
+        spark.range(300, 400).select("id", (F.col("id") * 2).alias("dbl")),
+        path, "append", snapshot_ts_ms=1_700_000_001_000,
+    )
+    via_uri = read_iceberg_py(spark, "file:" + path)
+    assert via_uri.count() == 400
+    assert via_uri.agg(F.sum("id")).first()[0] == sum(range(400))
+    assert read_iceberg_py(spark, "file:" + path, snapshot_id=s2).count() == 400
