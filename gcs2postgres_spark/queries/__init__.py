@@ -61,6 +61,9 @@ VERIFY_FRONT: list[str] = [
     "sample_weighted_bottomk",
     "basket_pair_rules",
     "events_psi_drift",
+    "events_markov_transitions",
+    "events_time_weighted_avg",
+    "graph_triangle_count",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
@@ -92,9 +95,6 @@ VERIFY_FRONT: list[str] = [
     "filter_null_bool",
     "filter_in_like",
     "scalar_string_funcs",
-    "scalar_date_funcs",
-    "topk_global",
-    "text_normalize_distinct",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

@@ -1012,3 +1012,98 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+MARKOV_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+       round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p_transition
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+ORDER BY p.from_type, p.to_type
+"""
+
+
+@register("events_markov_transitions", oracle=MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (view→click→purchase...): one lead() window per user,
+    one (from, to) aggregate, row-normalized against broadcast
+    marginals — the user-journey model behind path analysis and
+    next-action prediction. The user_id partitioning is the only
+    fact-sized shuffle; the matrix itself is |types|² rows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = ordered.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+TWAP_ORACLE = """
+WITH stepped AS (
+  SELECT event_type, value, ts,
+         lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_ts
+  FROM events
+), spans AS (
+  SELECT event_type, value,
+         CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT) AS dur_us
+  FROM stepped WHERE next_ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+       round(avg(value), 6) AS plain_avg
+FROM spans
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_time_weighted_avg", oracle=TWAP_ORACLE)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP shape): each observation holds until
+    the next one of its type, weights are the exact microsecond spans
+    (integer arithmetic on epoch micros — no float durations), and the
+    weighted mean is compared against the naive mean, the difference
+    being exactly the sampling-bias correction TWAP exists for. One
+    lead() window keyed by type, one aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = (F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))).alias("dur_us")
+    spans = (
+        e.select("event_type", "value", "ts", F.lead("ts").over(w).alias("next_ts"))
+        .filter(F.col("next_ts").isNotNull())
+        .select("event_type", "value", us)
+    )
+    return (
+        spans.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+        )
+        .orderBy("event_type")
+    )

@@ -233,3 +233,115 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("rank"), 9)), "node")
         .limit(20)
     )
+
+
+TRIANGLE_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pair_cnt AS (
+  SELECT a.item AS u, b.item AS v, count(*) AS cnt
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+), thr AS (SELECT 1.1 * avg(cnt) AS t FROM pair_cnt),
+edges AS (
+  SELECT u, v FROM pair_cnt CROSS JOIN thr WHERE cnt > t
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS f,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+), wedge AS (
+  SELECT o1.t AS x, o2.t AS y
+  FROM oriented o1 JOIN oriented o2 ON o1.f = o2.f AND o1.t < o2.t
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedge w JOIN edges e
+    ON e.u = least(w.x, w.y) AND e.v = greatest(w.x, w.y)
+), wedges_all AS (
+  SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg
+)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       round(3.0 * t.n_triangles / w.n_wedges, 6) AS clustering_coeff
+FROM tri t CROSS JOIN wedges_all w
+"""
+
+
+@register("graph_triangle_count", oracle=TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the brand
+    co-occurrence graph (edges = brand pairs co-bought more than 1.1×
+    the average pair count — a data-relative threshold so the graph
+    stays non-trivial at any scale). DEGREE-ORDERED orientation: every
+    edge points low→high (degree, id), so each wedge is generated at
+    its lowest-degree vertex — the standard trick that bounds per-node
+    wedge fan-out by O(sqrt(m)) and keeps the join skew-safe on
+    power-law graphs; closure is one join back against the undirected
+    edge set. All counts integer; the coefficient is the only float."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    b = items.select(F.col("basket").alias("b2"), F.col("item").alias("v"))
+    pair_cnt = (
+        items.join(b, (F.col("basket") == F.col("b2")) & (F.col("item") < F.col("v")))
+        .groupBy(F.col("item").alias("u"), "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    thr = pair_cnt.agg((F.lit(1.1) * F.avg("cnt")).alias("t"))
+    edges = (
+        pair_cnt.crossJoin(F.broadcast(thr)).filter(F.col("cnt") > F.col("t")).select("u", "v")
+    ).persist()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("f"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    o2 = oriented.select(F.col("f").alias("f2"), F.col("t").alias("t2"))
+    wedge = oriented.join(
+        o2, (F.col("f") == F.col("f2")) & (F.col("t") < F.col("t2"))
+    ).select(
+        F.least("t", "t2").alias("u"), F.greatest("t", "t2").alias("v")
+    )
+    n_tri = wedge.join(edges, ["u", "v"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        summary.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
