@@ -1,6 +1,8 @@
-"""Deterministic PageRank by fixed-iteration power method, expressed as
-one declarative DataFrame plan (no driver loop state — the iteration
-count is a literal unroll, exactly how the DuckDB oracle replays it).
+"""Deterministic PageRank by fixed-iteration power method (the
+iteration count is a literal unroll, exactly how the DuckDB oracle
+replays the recurrence; each round is materialized via localCheckpoint
+so round k never re-executes rounds 1..k-1 — the iterative-DataFrame
+lineage trap, same cut as operators/graph.connected_components).
 
 Scale shape per iteration: edges ⋈ ranks on src (key-partitioned SMJ —
 the out-degree travels WITH the rank vector, so there is no separate
@@ -34,25 +36,40 @@ def pagerank_fixed(
     dst: str = "dst",
     n_iters: int = 3,
     damping: float = 0.85,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Return (node, rank) after ``n_iters`` power iterations from the
     uniform start 1/N, with dangling-mass redistribution. ``edges`` is
-    directed, deduplicated upstream; nodes = src ∪ dst."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    directed, deduplicated upstream; nodes = src ∪ dst.
+
+    ``checkpoint=False`` skips the per-round materialization and returns
+    the fully declarative unrolled plan — used by the plan-shape tests
+    to pin the per-round join strategy (the checkpointed path truncates
+    explain output at the last RDD scan)."""
+    _cp = (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
+    # Materialize the (expensive) edge build ONCE — everything below
+    # derives from the checkpointed frame, so no later broadcast or
+    # scalar aggregate can re-execute the upstream join/distinct. Then
+    # checkpoint per round to cut the iterative lineage (the classic
+    # iterative-DataFrame trap; same cut as
+    # operators/graph.connected_components). The unrolled recurrence
+    # the oracle replays is unchanged — only the physical reuse is.
+    e = _cp(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct())
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n_total = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Fold out-degree into the node frame ONCE (plain shuffled join —
     # both sides node-sized, neither broadcast); every iteration then
     # carries deg alongside rank for free.
-    nd = nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
+    nd = _cp(nodes.join(deg.withColumnRenamed("src", "node"), "node", "left"))
+    n_total = nd.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = nd.crossJoin(F.broadcast(n_total)).select(
         "node", "deg", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
+    ranks = _cp(ranks)
     for _ in range(n_iters):
         # Scalar (1-row) aggregate: total rank parked on dangling nodes.
         dangling = ranks.filter(F.col("deg").isNull()).agg(
@@ -83,4 +100,5 @@ def pagerank_fixed(
                 ).alias("rank"),
             )
         )
+        ranks = _cp(ranks)
     return ranks.select("node", "rank")

@@ -275,8 +275,27 @@ def test_salted_skew_join_spreads_hot_keys(spark, sf_dir):
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def _pagerank_declarative_plan(spark, sf_dir):
+    # checkpoint=False: the per-round plan stays visible in explain
+    # (the production path materializes each round, so its final plan
+    # is just an RDD scan)
+    from gcs2postgres_spark.operators.pagerank import pagerank_fixed
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return formatted_plan(pagerank_fixed(edges, n_iters=3, checkpoint=False))
+
+
 def test_pagerank_round_no_cartesian_partial_sums(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "graph_pagerank_purchases")
+    plan = _pagerank_declarative_plan(spark, sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "partial_sum" in plan, plan
 
@@ -299,7 +318,7 @@ def test_pagerank_no_node_sized_broadcast(spark, sf_dir):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = _plan(spark, sf_dir, "graph_pagerank_purchases")
+        plan = _pagerank_declarative_plan(spark, sf_dir)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan, plan
