@@ -234,3 +234,42 @@ def duplicate_clusters(
         .withColumn("canonical", F.col(id_col) == F.col("cluster_id"))
     )
     return out
+
+
+def bfs_layers(
+    und: DataFrame,
+    seeds: DataFrame,
+    n_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS: (node, dist) for every node within ``n_hops``
+    of the seed set over the UNDIRECTED edge frame ``und`` (callers
+    symmetrize directed edges first). The hop count is a literal unroll
+    — exactly how the oracle replays it with chained EXCEPT CTEs.
+
+    Scale shape per hop: one key-partitioned equi-join (frontier ⋈ edges
+    on the frontier key), distinct on the new frontier, one anti-join
+    against the visited set — all shuffles on the node key, nothing
+    node-sized broadcast or collected. Each frontier is localCheckpointed
+    so hop k never re-executes hops 1..k-1 (the iterative-DataFrame
+    lineage trap; same cut as connected_components /
+    pagerank_fixed). Frontier size is bounded by the node count, and the
+    per-hop work by |edges touching the frontier| — the textbook
+    distributed BFS shape.
+    """
+    _cp = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    e = und.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    frontier = _cp(seeds.select(F.col(node_col).alias("node")).distinct())
+    visited = frontier.withColumn("dist", F.lit(0))
+    for k in range(1, n_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        frontier = _cp(nxt)
+        visited = _cp(visited.unionByName(frontier.withColumn("dist", F.lit(k))))
+    return visited

@@ -31,6 +31,7 @@ from gcs2postgres_spark.queries import pipeline_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import corpus_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import graph_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
+from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 
 # Round-5 verification window: the driver checks the first 50 entries.
 # This round leads with the 10 queries that have NEVER had a driver
@@ -64,10 +65,22 @@ VERIFY_FRONT: list[str] = [
     "events_markov_transitions",
     "events_time_weighted_avg",
     "graph_triangle_count",
+    # NEW in round 5, analytics/data-quality tier (analytics_q.py)
+    "events_longest_streak",
+    "scd2_state_intervals",
+    "events_equidepth_deciles",
+    "events_cusum_changepoint",
+    "events_resample_interp",
+    "customer_rfm_segments",
+    "dq_fk_orphans",
+    "dq_benford_first_digit",
+    "dedup_jaccard_prefix_filter",
+    "graph_bfs_3hop",
+    "agg_higher_moments",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
-    # round-1-only greens, oldest evidence first refresh
+    # round-1-only greens, oldest evidence first refresh (fills to 50)
     "q2_min_per_group_joinback",
     "q8_market_share",
     "q14_promo_revenue",
@@ -84,17 +97,6 @@ VERIFY_FRONT: list[str] = [
     "pivot_order_priority",
     "unpivot_metrics",
     "map_props_ops",
-    "array_ops_battery",
-    "agg_minby_maxby_mode",
-    "join_inner",
-    "explode_token_counts",
-    "set_union_all",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "filter_null_bool",
-    "filter_in_like",
-    "scalar_string_funcs",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

@@ -343,3 +343,50 @@ def test_ivf_pruned_scan_partition_filters(spark, sf_dir):
     plan = _plan(spark, sf_dir, "similarity_ivf_pruned_topk")
     m = re.search(r"PartitionFilters: \[[^\]]*cell#\d+ IN", plan)
     assert m, plan
+
+
+def test_prefix_jaccard_no_cartesian(spark, sf_dir):
+    # PPJoin candidate generation must stay an equi-join on the prefix
+    # token — the whole point of prefix filtering is to never go
+    # quadratic on the corpus
+    plan = _plan(spark, sf_dir, "dedup_jaccard_prefix_filter")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_equidepth_two_phase_rank_no_global_window(spark, sf_dir):
+    # the global rank must be partitioned by the range-partition id
+    # (two-phase, parallel); an order-only row_number over value would
+    # put every event in ONE task — same contract as part_pareto_abc
+    plan = _plan(spark, sf_dir, "events_equidepth_deciles")
+    assert re.search(r"row_number\(\) windowspecdefinition\(pid#\d+,", plan), plan
+    assert not re.search(r"row_number\(\) windowspecdefinition\(value", plan), plan
+
+
+def test_bfs_hop_no_cartesian_no_node_broadcast(spark, sf_dir):
+    # each BFS hop is a key-partitioned equi-join; nothing node-sized
+    # may broadcast (the frontier is unbounded at graph scale)
+    from gcs2postgres_spark.operators.graph import bfs_layers
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = e.select(F.col("src").alias("node")).limit(5)
+    # one declarative hop (no checkpoint): frontier ⋈ edges then anti-join
+    frontier = seeds.distinct()
+    nxt = (
+        und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(frontier.withColumnRenamed("node", "a"), "a")
+        .select(F.col("b").alias("node"))
+        .distinct()
+        .join(frontier, "node", "left_anti")
+    )
+    plan = formatted_plan(nxt)
+    assert "CartesianProduct" not in plan, plan
