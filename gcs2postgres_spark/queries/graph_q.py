@@ -345,3 +345,108 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Three unrolled peel rounds; k is data-relative (ceil of 1.2× average
+# undirected degree) computed in exact integer arithmetic —
+# ceil(12·E/(10·V)) = floor((12·E + 10·V − 1)/(10·V)) — so both engines
+# derive the identical threshold from the same counts.
+KCORE_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l_suppkey AS VARCHAR) AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), und AS (
+  SELECT s AS a, d AS b FROM e UNION ALL SELECT d, s FROM e
+), kk AS (
+  SELECT CAST(floor((12 * count(*) + 10 * count(DISTINCT a) - 1)
+              / (10 * count(DISTINCT a))) AS BIGINT) AS k
+  FROM und
+), keep0 AS (
+  SELECT a FROM (SELECT a, count(*) AS c FROM und GROUP BY a) CROSS JOIN kk WHERE c >= k
+), e1 AS (
+  SELECT u.a, u.b FROM und u JOIN keep0 x ON u.a = x.a JOIN keep0 y ON u.b = y.a
+), keep1 AS (
+  SELECT a FROM (SELECT a, count(*) AS c FROM e1 GROUP BY a) CROSS JOIN kk WHERE c >= k
+), e2 AS (
+  SELECT u.a, u.b FROM e1 u JOIN keep1 x ON u.a = x.a JOIN keep1 y ON u.b = y.a
+), keep2 AS (
+  SELECT a FROM (SELECT a, count(*) AS c FROM e2 GROUP BY a) CROSS JOIN kk WHERE c >= k
+), e3 AS (
+  SELECT u.a, u.b FROM e2 u JOIN keep2 x ON u.a = x.a JOIN keep2 y ON u.b = y.a
+)
+SELECT 0 AS round, k, (SELECT count(DISTINCT a) FROM und) AS n_nodes,
+       (SELECT count(*) FROM und) AS n_edges_directed FROM kk
+UNION ALL SELECT 1, k, (SELECT count(DISTINCT a) FROM e1), (SELECT count(*) FROM e1) FROM kk
+UNION ALL SELECT 2, k, (SELECT count(DISTINCT a) FROM e2), (SELECT count(*) FROM e2) FROM kk
+UNION ALL SELECT 3, k, (SELECT count(DISTINCT a) FROM e3), (SELECT count(*) FROM e3) FROM kk
+ORDER BY round
+"""
+
+
+@register("graph_kcore_peel", oracle=KCORE_ORACLE)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (3 unrolled rounds) on the undirected purchase
+    graph: repeatedly drop nodes with degree < k and the edges touching
+    them — the standard densest-region extractor (and the degeneracy
+    ordering's building block). k is data-relative (1.2× average degree,
+    exact integer ceil) so the peel stays non-trivial at any scale.
+    Per round: one degree aggregate + two SEMI joins on the endpoint
+    keys (never an anti-join against a node-sized broadcast — `keep`
+    shrinks but starts node-sized), edge frame localCheckpointed so
+    round r never re-executes rounds 1..r−1. The output traces
+    (k, nodes, edges) per round — the convergence profile."""
+    tune_for_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+        )
+        .distinct()
+    )
+    und = e.select(F.col("s").alias("a"), F.col("d").alias("b")).unionAll(
+        e.select(F.col("d").alias("a"), F.col("s").alias("b"))
+    ).localCheckpoint(eager=True)
+    kk = und.agg(
+        F.floor(
+            (12 * F.count(F.lit(1)) + 10 * F.countDistinct("a") - 1)
+            / (10 * F.countDistinct("a"))
+        )
+        .cast("long")
+        .alias("k")
+    ).localCheckpoint(eager=True)
+
+    def stats(edges: DataFrame, rnd: int) -> DataFrame:
+        return (
+            edges.agg(
+                F.countDistinct("a").alias("n_nodes"),
+                F.count(F.lit(1)).alias("n_edges_directed"),
+            )
+            .crossJoin(F.broadcast(kk))
+            .select(
+                F.lit(rnd).alias("round"), "k", "n_nodes", "n_edges_directed"
+            )
+        )
+
+    def peel(edges: DataFrame) -> DataFrame:
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
+        keep = (
+            deg.crossJoin(F.broadcast(kk))
+            .filter(F.col("c") >= F.col("k"))
+            .select("a")
+        )
+        return (
+            edges.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+    out = stats(und, 0)
+    cur = und
+    for r in (1, 2, 3):
+        cur = peel(cur)
+        out = out.unionByName(stats(cur, r))
+    return out.orderBy("round")

@@ -925,3 +925,69 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, m_subspaces=2, k_codes=4, n_iters=1, n_queries=3, topk=5)
+
+
+# Frame sampling + resize planning replayed in pure arithmetic: n_frames,
+# width, height are deterministic functions of doc_id (the video-ish
+# metadata below), the sampled-frame count/last index are integer
+# ceil/floor over n_frames, and the resize clamp is least(1, 256/max(w,h))
+# evaluated identically on both engines.
+MULTIMODAL_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST((doc_id * 37 + 11) % 512 + 32 AS INT) AS w,
+         CAST((doc_id * 53 + 7) % 512 + 32 AS INT) AS h,
+         CAST((doc_id * 17 + 3) % 91 + 30 AS INT) AS nf
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nf AS INT) AS n_frames,
+       CAST(floor((nf - 1) / 10) + 1 AS BIGINT) AS n_sampled,
+       CAST(floor((nf - 1) / 10) * 10 AS BIGINT) AS last_frame,
+       CAST(round(w * least(1.0, 256.0 / greatest(w, h))) AS INT) AS resized_w,
+       CAST(round(h * least(1.0, 256.0 / greatest(w, h))) AS INT) AS resized_h
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_frame_sample", oracle=MULTIMODAL_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column planning pipeline: frame-index explosion (every 10th
+    frame, operators/multimodal.sample_frames) + aspect-preserving resize
+    planning (resize_metadata), aggregated back per document. Metadata is
+    deterministic arithmetic over doc_id so the SQL oracle replays the
+    whole explode→resize→re-aggregate pipeline value-for-value. The
+    explode is the at-scale shape for video: frames become rows BEFORE
+    any payload decode, so downstream batch operators parallelize over
+    frames, not videos — payloads stay untouched until an Arrow-batched
+    decode consumes the sampled subset."""
+    from gcs2postgres_spark.operators.multimodal import (
+        resize_metadata,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rec = d.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            (F.pmod(F.col("doc_id") * 37 + 11, F.lit(512)) + 32).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id") * 53 + 7, F.lit(512)) + 32).cast("int").alias("height"),
+            (F.pmod(F.col("doc_id") * 17 + 3, F.lit(91)) + 30).cast("int").alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+        ).alias("media_meta"),
+    )
+    sampled = resize_metadata(sample_frames(rec, every_n=10), max_side=256)
+    return (
+        sampled.groupBy("doc_id")
+        .agg(
+            F.first(F.col("media_meta.n_frames")).alias("n_frames"),
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.max("frame_idx").cast("long").alias("last_frame"),
+            F.first(F.col("resized.width")).alias("resized_w"),
+            F.first(F.col("resized.height")).alias("resized_h"),
+        )
+        .orderBy("doc_id")
+    )

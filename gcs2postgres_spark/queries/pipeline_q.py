@@ -462,3 +462,69 @@ def incremental_rollup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
     )
     return merged.orderBy("order_date")
+
+
+# Bucketed table checksum replayed value-for-value: the row digest is the
+# portable 60-bit md5 hash (operators/dedup.portable_hash60) over a
+# canonical string row encoding (ints/dates/cents only — no float
+# formatting ambiguity), folded per bucket with XOR (associative +
+# commutative + overflow-free, so partition order can never change the
+# result).
+CHECKSUM_ORACLE = """
+WITH r AS (
+  SELECT o_orderkey % 16 AS bucket,
+         ('0x' || substr(md5(concat_ws('|',
+             CAST(o_orderkey AS VARCHAR),
+             CAST(o_custkey AS VARCHAR),
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+             o_orderstatus,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR))), 1, 15))::BIGINT AS h
+  FROM orders
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_checksum
+FROM r GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register("pipeline_checksum_buckets", oracle=CHECKSUM_ORACLE)
+def pipeline_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system table-integrity checksum — the validation step a
+    copy pipeline (the reference's entire job: GCS → BigQuery → Postgres,
+    src/db/db.go:149-185) should run after every load: bucket rows by
+    key, fold a portable per-row digest with XOR, and compare the 16
+    (bucket, count, checksum) triples against the same query run on the
+    TARGET engine. Any dropped/duplicated/bit-flipped row flips exactly
+    its bucket, so a mismatch localizes the damage to 1/16th of the key
+    space (recurse to binary-search the bad rows). Engineering for
+    cross-engine identity: the row encoding uses only integers, dates
+    and cents (float formatting never enters), the digest is the
+    md5-based portable hash both engines compute bit-identically, and
+    XOR folding is order-free — partition count, shuffle order, engine:
+    nothing changes the checksum. One map-side projection + one 16-group
+    aggregate; scales to any table size with map-side partials."""
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    tune_for_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderstatus"),
+        F.to_date("o_orderdate").cast("string"),
+    )
+    return (
+        o.select(
+            (F.col("o_orderkey") % 16).alias("bucket"),
+            portable_hash60(row_repr).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("xor_checksum"),
+        )
+        .orderBy("bucket")
+    )

@@ -60,3 +60,28 @@ def test_pq_handles_short_corpus(spark):
     )
     rows = pq_adc_topk(emb, m_subspaces=2, k_codes=4, n_queries=2, topk=5).collect()
     assert {r["q_id"] for r in rows} == {0, 1}
+
+
+def test_prefix_jaccard_empty_docs(spark):
+    from gcs2postgres_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert prefix_jaccard_pairs(docs, "doc_id", "text").count() == 0
+
+
+def test_bfs_empty_seeds(spark):
+    from gcs2postgres_spark.operators.graph import bfs_layers
+
+    und = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([], "node long")
+    assert bfs_layers(und, seeds, n_hops=2).count() == 0
+
+
+def test_bfs_empty_edges(spark):
+    from gcs2postgres_spark.operators.graph import bfs_layers
+
+    und = spark.createDataFrame([], "src long, dst long")
+    seeds = spark.createDataFrame([(7,)], "node long")
+    rows = bfs_layers(und, seeds, n_hops=2).collect()
+    # the seed itself survives at dist 0; no frontier ever grows
+    assert {(r.node, r.dist) for r in rows} == {(7, 0)}

@@ -157,3 +157,141 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+# --- round-5 operator properties -------------------------------------------
+
+DOCS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=20),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(texts=DOCS)
+@SLOW
+def test_prefix_jaccard_matches_bruteforce(spark, texts):
+    # prefix filtering must be COMPLETE: exactly the brute-force pairs
+    # with token-set Jaccard >= 3/5 survive, never fewer (the filter may
+    # not drop a qualifying pair) and never more (verify is exact)
+    from gcs2postgres_spark.operators.dedup import prefix_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_jaccard_pairs(df, "doc_id", "text").collect()
+    }
+    toks = {i: set(t.strip().lower().split()) for i, t in rows}
+    want = set()
+    for i in toks:
+        for j in toks:
+            if i < j:
+                inter = len(toks[i] & toks[j])
+                union = len(toks[i] | toks[j])
+                if union and 5 * inter >= 3 * union:
+                    want.add((i, j))
+    assert got == want
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(edges=EDGES, n_hops=st.integers(min_value=1, max_value=3))
+@SLOW
+def test_bfs_layers_match_python_bfs(spark, edges, n_hops):
+    from gcs2postgres_spark.operators.graph import bfs_layers
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    und = spark.createDataFrame(
+        edges + [(b, a) for a, b in edges], "src int, dst int"
+    )
+    seed_nodes = sorted({a for a, _ in edges})[:2]
+    seeds = spark.createDataFrame([(s,) for s in seed_nodes], "node int")
+    got = {(r.node, r.dist) for r in bfs_layers(und, seeds, n_hops=n_hops).collect()}
+    # reference BFS on the adjacency dict
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seed_nodes}
+    frontier = set(seed_nodes)
+    for k in range(1, n_hops + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= dist.keys()
+        for v in nxt:
+            dist[v] = k
+        frontier = nxt
+    assert got == set(dist.items())
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=30
+    )
+)
+@SLOW
+def test_equidepth_two_phase_rank_equals_naive(spark, vals):
+    # the two-phase rank must reproduce row_number() OVER (ORDER BY ...)
+    # exactly — pure plumbing identity, independent of partition count
+    from pyspark.sql import Window
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "value double, event_id long")
+    n_parts = 5
+    ranged = df.repartitionByRange(n_parts, F.asc("value"), F.asc("event_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("pid").orderBy("value", "event_id")
+    ranged = ranged.withColumn("rn_in", F.row_number().over(w_in))
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    two_phase = {
+        (r.event_id, r.rn_in + r.off)
+        for r in ranged.join(offsets, "pid").collect()
+    }
+    naive = {
+        (r.event_id, r.rn)
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("value", "event_id"))
+        ).collect()
+    }
+    assert two_phase == naive
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@SLOW
+def test_checksum_partition_order_invariant(spark, seed):
+    # XOR-folded bucket checksums must be identical under any
+    # repartitioning — the property that makes them a cross-system
+    # integrity check rather than an artifact of execution order
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    rows = [(i, f"v{(i * seed) % 97}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v string")
+
+    def checksums(frame):
+        out = (
+            frame.select(
+                (F.col("k") % 4).alias("bucket"),
+                portable_hash60(F.concat_ws("|", F.col("k").cast("string"), "v")).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(F.bit_xor("h").alias("x"), F.count(F.lit(1)).alias("n"))
+        )
+        return {(r.bucket, r.x, r.n) for r in out.collect()}
+
+    assert checksums(df) == checksums(df.repartition(7)) == checksums(df.repartition(1))
