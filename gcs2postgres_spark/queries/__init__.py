@@ -82,6 +82,7 @@ VERIFY_FRONT: list[str] = [
     "events_rolling_slope",
     "profile_key_skew",
     "graph_kcore_peel",
+    "iceberg_partition_prune_roundtrip",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
@@ -96,7 +97,6 @@ VERIFY_FRONT: list[str] = [
     "subquery_cte",
     "agg_rollup",
     "agg_percentile",
-    "agg_grouping_sets",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

@@ -512,3 +512,53 @@ def parquet_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("batch")
     )
+
+
+ICEBERG_PRUNE_ORACLE = """
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name) AS first_name
+FROM nation
+WHERE n_regionkey IN (1, 2)
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("iceberg_partition_prune_roundtrip", oracle=ICEBERG_PRUNE_ORACLE)
+def iceberg_partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → identity-partitioned Iceberg table (typed partition
+    values in the manifest entries + a partition spec in the metadata)
+    → jar-less read with MANIFEST-LEVEL partition pruning: files for
+    regions other than {1,2} are dropped at planning time, before any
+    parquet I/O — the scan-planner skip that turns 'read the decade'
+    into 'read the week' at 100 TB. The row filter is still applied (the
+    pruning is an optimization, never the correctness mechanism), and
+    tests/test_sources_formats pins via inputFiles() that exactly the
+    two matching partitions' files reach the scan."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="iceberg_prune_")
+    try:
+        write_iceberg_partitioned_fixture(nation, tmp, "n_regionkey")
+        df = read_iceberg_py(
+            spark, tmp, partition_filter={"n_regionkey": {1, 2}}
+        ).filter(F.col("n_regionkey").isin(1, 2))
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

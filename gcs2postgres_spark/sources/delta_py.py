@@ -118,6 +118,7 @@ def read_delta_py(
     table_path: str,
     version_as_of: int | None = None,
     timestamp_as_of_ms: int | None = None,
+    partition_filter: dict[str, set] | None = None,
 ) -> DataFrame:
     """Read a Delta table without the delta-spark jar.
 
@@ -130,6 +131,15 @@ def read_delta_py(
     native parquet reader. Partition columns (absent from the data
     files, per the protocol) are injected as typed literals per
     partition group, so partition-pruning filters fold at plan time.
+
+    Partition pruning: ``partition_filter`` maps partition column names
+    to allowed-value sets compared against the log's STRING-typed
+    ``partitionValues`` (pass string forms, e.g. ``{"region": {"1"}}``).
+    Non-matching files are dropped at planning time — zero I/O for
+    pruned partitions, the same log-level skip the native reader's
+    partition filters perform. Files with no recorded value for the
+    column are conservatively kept; the filter is an optimization, so
+    callers still apply the predicate as a normal row filter.
 
     Raises ``NotImplementedError`` with the package hint for deletion
     vectors / column mapping, which cannot be honored jar-lessly."""
@@ -203,10 +213,17 @@ def read_delta_py(
     groups: dict[tuple, list[str]] = {}
     for add in live.values():
         pv = add["partitionValues"]
+        if partition_filter and any(
+            c in pv and pv[c] not in allowed
+            for c, allowed in partition_filter.items()
+        ):
+            continue  # log-level skip: file can hold no matching row
         key = tuple(pv.get(c) for c in part_cols)
         groups.setdefault(key, []).append(
             os.path.join(table_path, unquote(add["path"]))
         )
+    if not groups:
+        return spark.createDataFrame([], schema)
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*paths)

@@ -18,10 +18,16 @@ vectorized decode, filter pushdown, and column pruning. No table data
 ever transits the driver.
 
 Scope (documented, checked with clear errors):
-- v1 and v2 tables; the CURRENT snapshot only (no time travel arg yet).
-- v2 delete files (position/equality) are NOT applied — a table that
-  has any raises NotImplementedError naming the runtime jar, never
-  silently wrong rows.
+- v1 and v2 tables; snapshot time travel via ``snapshot_id`` /
+  ``as_of_ms``.
+- v2 delete files ARE applied executor-side (position deletes as an
+  anti-join on ``_metadata`` file/row identity, equality deletes as a
+  null-safe anti-join honoring the spec's sequence-number rules — see
+  read_iceberg_py); unsupported delete shapes raise NotImplementedError
+  naming the runtime jar, never silently wrong rows.
+- Identity-transform partition pruning from MANIFEST metadata via
+  ``partition_filter`` (planning-time file skip, zero I/O for pruned
+  partitions); non-identity transforms are conservatively kept.
 - Column resolution is BY NAME against the table schema (missing →
   NULL, same contract as reconcile OP-5); the spec's field-id-based
   mapping needs the jar. Renamed-column evolution therefore reads as
@@ -31,9 +37,7 @@ Scope (documented, checked with clear errors):
 
 Scale: at 100 TB a table holds ~10⁵ data files; the driver-side walk is
 O(manifests + files) over metadata Avro (the same work any Iceberg
-client does) and the file list feeds one parquet scan. Partition
-pruning beyond Iceberg's own (hidden-partitioning summaries) falls back
-to Spark's parquet pruning — acceptable for a jar-less fallback; with
+client does) and the surviving file list feeds one parquet scan. With
 the jar, read_source prefers the native reader and none of this runs.
 
 The fixture writer emits a spec-shaped v1 table (metadata JSON with
@@ -231,6 +235,7 @@ def read_iceberg_py(
     table_path: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    partition_filter: dict[str, set] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table without the runtime jar (v1 and v2).
 
@@ -262,6 +267,16 @@ def read_iceberg_py(
 
     Time travel: pass ``snapshot_id`` to pin a snapshot, or ``as_of_ms``
     to pick the latest snapshot with ``timestamp-ms <= as_of_ms``.
+
+    Partition pruning: ``partition_filter`` maps SOURCE column names to
+    allowed-value sets. Data files whose manifest-entry partition value
+    (identity transform only) falls outside the set are dropped at
+    PLANNING time — zero I/O for pruned partitions, the same
+    manifest-level skip the native scan planner performs. Files whose
+    manifest carries no value for the column are conservatively kept
+    (cannot prune), and delete files are never pruned, so the filter is
+    purely an optimization: callers still apply the predicate as a
+    normal row filter.
     """
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
@@ -298,6 +313,32 @@ def read_iceberg_py(
             return spark.createDataFrame([], spark_schema)
         snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
 
+    # identity partition fields of the default spec: partition-struct
+    # key → source column name (pruning is only sound for identity)
+    specs = meta.get("partition-specs") or []
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0] if specs else None,
+    )
+    part_key_by_col: dict[str, str] = {}
+    for f in (default_spec or {}).get("fields", []):
+        if f.get("transform") == "identity":
+            src_col = field_names.get(f.get("source-id"))
+            if src_col is not None:
+                part_key_by_col[src_col] = f["name"]
+
+    def _pruned(dfile: dict) -> bool:
+        if not partition_filter:
+            return False
+        part = dfile.get("partition") or {}
+        for col, allowed in partition_filter.items():
+            key = part_key_by_col.get(col)
+            if key is None or key not in part:
+                continue  # no identity value recorded: keep (cannot prune)
+            if part[key] not in allowed:
+                return True
+        return False
+
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
     pos_deletes: list[tuple[str, int]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []  # (path, seq, ids)
@@ -318,6 +359,8 @@ def read_iceberg_py(
                 raise NotImplementedError(f"iceberg {fmt} data files: table {_JAR_HINT}")
             path = _resolve(dfile["file_path"], table_path, location)
             if content == 0:
+                if _pruned(dfile):
+                    continue
                 data_files.append((path, seq))
             elif content == 1:
                 pos_deletes.append((path, seq))
@@ -548,12 +591,16 @@ def write_snapshot_metadata(
     snapshots: list[dict],
     current_snapshot_id: int,
     version: int = 1,
+    partition_spec_fields: list[dict] | None = None,
 ) -> str:
     """v1 metadata JSON + version-hint.text for a hand-rolled table.
     ``snapshots``: [{"snapshot-id": n, "manifest-list": path,
-    "timestamp-ms": optional}]."""
+    "timestamp-ms": optional}]. ``partition_spec_fields``: Iceberg
+    partition-spec field dicts ({name, transform, source-id, field-id})
+    for a partitioned table; default unpartitioned."""
     mdir = os.path.join(table_path, "metadata")
     os.makedirs(mdir, exist_ok=True)
+    spec_fields = partition_spec_fields or []
     meta = {
         "format-version": 1,
         "table-uuid": "00000000-0000-0000-0000-000000000000",
@@ -561,8 +608,8 @@ def write_snapshot_metadata(
         "last-updated-ms": 0,
         "last-column-id": len(schema.fields),
         "schema": spark_to_iceberg_schema(schema),
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "properties": {},
         "current-snapshot-id": current_snapshot_id,
@@ -878,3 +925,84 @@ def write_iceberg(
         version=version + 1,
     )
     return sid
+
+
+# ---------------------------------------------------------- partitioned v1
+
+
+def partitioned_manifest_schema(partition_col: str, avro_type: str) -> dict:
+    """MANIFEST_ENTRY_SCHEMA with a TYPED partition struct (one identity
+    field) — the metadata a partition-pruning scan planner reads."""
+    schema = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))  # deep copy
+    part = next(
+        f for f in schema["fields"][2]["type"]["fields"] if f["name"] == "partition"
+    )
+    part["type"]["fields"] = [
+        {"name": partition_col, "type": avro_type, "field-id": 1000}
+    ]
+    return schema
+
+
+def _avro_prim_for(dt: T.DataType) -> str:
+    if isinstance(dt, (T.LongType,)):
+        return "long"
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dt, T.StringType):
+        return "string"
+    raise ValueError(f"unsupported identity-partition type for fixture: {dt}")
+
+
+def write_iceberg_partitioned_fixture(
+    df: DataFrame, table_path: str, partition_col: str
+) -> None:
+    """Identity-partitioned v1 table: one data directory per partition
+    value, manifest entries carrying TYPED partition values, and a
+    partition spec in the table metadata — the exact metadata surface
+    `read_iceberg_py(partition_filter=...)` prunes on. Per the Iceberg
+    spec, identity-partitioned data files KEEP the partition column
+    (unlike Hive/Delta layouts), so pruning is pure file skipping with
+    no value re-injection.
+
+    Driver work is metadata-bounded: the only collect() is the DISTINCT
+    partition-value list (one row per partition — the same bound every
+    table-format writer pays to commit a partitioned snapshot); row data
+    is written by executors via df.write.parquet."""
+    schema = df.schema
+    ice = spark_to_iceberg_schema(schema)
+    fid = next(f["id"] for f in ice["fields"] if f["name"] == partition_col)
+    avro_t = _avro_prim_for(schema[partition_col].dataType)
+    mdir = os.path.join(table_path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    values = [
+        r[0]
+        for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+    ]
+    entries = []
+    for v in values:
+        pdir = os.path.join(table_path, "data", f"{partition_col}={v}")
+        df.filter(F.col(partition_col) == v).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        for p in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+            e = data_file_entry(p)
+            e["data_file"]["partition"] = {partition_col: v}
+            entries.append(e)
+    man = os.path.join(mdir, "manifest-part-1.avro")
+    write_avro_file(man, partitioned_manifest_schema(partition_col, avro_t), entries, codec="null")
+    ml = os.path.join(mdir, "snap-part-1.avro")
+    write_manifest_list(ml, [man], 1)
+    write_snapshot_metadata(
+        table_path,
+        schema,
+        [{"snapshot-id": 1, "manifest-list": ml}],
+        1,
+        partition_spec_fields=[
+            {
+                "name": partition_col,
+                "transform": "identity",
+                "source-id": fid,
+                "field-id": 1000,
+            }
+        ],
+    )

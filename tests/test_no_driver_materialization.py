@@ -28,6 +28,13 @@ ALLOWED = {
     "operators/corpus.py": [
         ".limit(1)",  # BPE argmax: exactly one row per merge round
     ],
+    "sources/iceberg_py.py": [
+        # partitioned fixture writer: DISTINCT partition-value list —
+        # one row per partition, the bound every table-format writer
+        # pays to commit a partitioned snapshot; data rows go through
+        # df.write.parquet on executors
+        'df.select(partition_col).distinct().orderBy(partition_col)',
+    ],
     "sources/delta_py.py": [
         # Delta log replay collects (path, partitionValues) per live file
         # — metadata, one small row per data file, never table data; the

@@ -524,3 +524,70 @@ def test_iceberg_read_via_hadoop_fs_uri(spark, tmp_path):
     assert via_uri.count() == 400
     assert via_uri.agg(F.sum("id")).first()[0] == sum(range(400))
     assert read_iceberg_py(spark, "file:" + path, snapshot_id=s2).count() == 400
+
+
+def test_iceberg_partition_prune_skips_files(spark, sf_dir, tmp_path):
+    # manifest-level pruning must reach the SCAN: the pruned read's
+    # parquet file list holds only the matching partitions' files,
+    # while the unpruned read sees every partition — and pruning never
+    # changes the (filtered) answer
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_partitioned_fixture,
+    )
+    from gcs2postgres_spark.catalog import load_table
+
+    nation = load_table(spark, str(sf_dir), "nation")
+    tmp = str(tmp_path / "ice_part")
+    write_iceberg_partitioned_fixture(nation, tmp, "n_regionkey")
+
+    full = read_iceberg_py(spark, tmp)
+    pruned = read_iceberg_py(spark, tmp, partition_filter={"n_regionkey": {1, 2}})
+    n_full = len(set(full.inputFiles()))
+    n_pruned = len(set(pruned.inputFiles()))
+    assert n_full == 5, full.inputFiles()
+    assert n_pruned == 2, pruned.inputFiles()
+
+    import pyspark.sql.functions as F
+
+    a = sorted(
+        tuple(r)
+        for r in pruned.filter(F.col("n_regionkey").isin(1, 2)).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in full.filter(F.col("n_regionkey").isin(1, 2)).collect()
+    )
+    assert a == b
+
+
+def test_delta_partition_filter_skips_files(spark, sf_dir, tmp_path):
+    # the log-level partition skip must shrink the parquet file list to
+    # the matching partitions only, without changing the filtered answer
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta_fixture
+    from gcs2postgres_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    nation = load_table(spark, str(sf_dir), "nation")
+    tmp = str(tmp_path / "delta_part")
+    write_delta_fixture(nation.repartition(2), tmp, partition_col="n_regionkey")
+
+    full = read_delta_py(spark, tmp)
+    pruned = read_delta_py(spark, tmp, partition_filter={"n_regionkey": {"1", "2"}})
+    assert len(set(pruned.inputFiles())) < len(set(full.inputFiles()))
+
+    a = sorted(tuple(r) for r in pruned.filter(F.col("n_regionkey").isin(1, 2)).collect())
+    b = sorted(tuple(r) for r in full.filter(F.col("n_regionkey").isin(1, 2)).collect())
+    assert a == b
+
+
+def test_delta_partition_filter_empty_result(spark, sf_dir, tmp_path):
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta_fixture
+    from gcs2postgres_spark.catalog import load_table
+
+    nation = load_table(spark, str(sf_dir), "nation")
+    tmp = str(tmp_path / "delta_part_none")
+    write_delta_fixture(nation, tmp, partition_col="n_regionkey")
+    out = read_delta_py(spark, tmp, partition_filter={"n_regionkey": {"99"}})
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [f.name for f in nation.schema.fields]
