@@ -164,3 +164,17 @@ def make_real_decoder():
         return {"payload_bytes": len(payload), "checksum": checksum, "feature": feature}
 
     return decode_payload
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: mono 16-bit PCM. Paired with
+    decode_wav (an independent chunk walk, not the stdlib reader) the
+    two form a real encode→parse roundtrip for the audio-column
+    pipeline tests and the registered wav-energy query."""
+    frames = struct.pack(f"<{len(samples)}h", *samples)
+    data_len = len(frames)
+    hdr = b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", data_len) + frames

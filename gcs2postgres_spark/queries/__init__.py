@@ -34,13 +34,13 @@ from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 
 # Round-5 verification window: the driver checks the first 50 entries.
-# This round leads with the 10 queries that have NEVER had a driver
-# CORRECTNESS row (registered after round 4's 50-slot window was spent;
-# ever-green union r1∪r2∪r3∪r4 = 155/165), then the queries whose
-# implementation or oracle CHANGED this round (pagerank dangling-mass +
-# broadcast fix, pareto two-phase cumsum, pq floor-division hardening),
-# then any queries NEW this round, then spends remaining slots
-# refreshing the oldest (round-1-only) green evidence.
+# Composition (sections below, in order): 10 never-driver-verified
+# queries from late round 4 (ever-green union r1∪…∪r4 = 155/165), 11
+# queries NEW early in round 5, 18 from the round-5 analytics /
+# data-quality / formats tier, 2 whose implementation changed this
+# round (pq floor-division hardening, CC re-check), and 9 refresh
+# slots for the oldest (round-1-only) green evidence. Queries with
+# fresh round-4 evidence sit in VERIFY_DEFERRED.
 VERIFY_FRONT: list[str] = [
     # never driver-verified (registered late in round 4) — 10 entries
     "part_pareto_abc",
@@ -83,6 +83,7 @@ VERIFY_FRONT: list[str] = [
     "profile_key_skew",
     "graph_kcore_peel",
     "iceberg_partition_prune_roundtrip",
+    "multimodal_wav_energy",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
@@ -96,7 +97,6 @@ VERIFY_FRONT: list[str] = [
     "subquery_scalar_avg",
     "subquery_cte",
     "agg_rollup",
-    "agg_percentile",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

@@ -347,32 +347,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Three unrolled peel rounds; k is data-relative (ceil of 1.2× average
-# undirected degree) computed in exact integer arithmetic —
-# ceil(12·E/(10·V)) = floor((12·E + 10·V − 1)/(10·V)) — so both engines
-# derive the identical threshold from the same counts.
+# Three unrolled peel rounds; k is data-relative (ceil of HALF the
+# average undirected degree — on this bipartite purchase graph a k
+# above the customer-side mean empties the graph in one round, while
+# avg/2 leaves a non-trivial converging core) computed in exact integer
+# arithmetic — ceil(E/(2·V)) = floor((E + 2·V − 1)/(2·V)) — so both
+# engines derive the identical threshold from the same counts. The
+# chained CTEs are MATERIALIZED: each is referenced twice, and
+# DuckDB's default inlining re-evaluates the whole peel chain
+# exponentially at bench scale.
 KCORE_ORACLE = """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
                   's' || CAST(l_suppkey AS VARCHAR) AS d
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-), und AS (
+), und AS MATERIALIZED (
   SELECT s AS a, d AS b FROM e UNION ALL SELECT d, s FROM e
-), kk AS (
-  SELECT CAST(floor((12 * count(*) + 10 * count(DISTINCT a) - 1)
-              / (10 * count(DISTINCT a))) AS BIGINT) AS k
+), kk AS MATERIALIZED (
+  SELECT CAST(floor((count(*) + 2 * count(DISTINCT a) - 1)
+              / (2 * count(DISTINCT a))) AS BIGINT) AS k
   FROM und
-), keep0 AS (
+), keep0 AS MATERIALIZED (
   SELECT a FROM (SELECT a, count(*) AS c FROM und GROUP BY a) CROSS JOIN kk WHERE c >= k
-), e1 AS (
+), e1 AS MATERIALIZED (
   SELECT u.a, u.b FROM und u JOIN keep0 x ON u.a = x.a JOIN keep0 y ON u.b = y.a
-), keep1 AS (
+), keep1 AS MATERIALIZED (
   SELECT a FROM (SELECT a, count(*) AS c FROM e1 GROUP BY a) CROSS JOIN kk WHERE c >= k
-), e2 AS (
+), e2 AS MATERIALIZED (
   SELECT u.a, u.b FROM e1 u JOIN keep1 x ON u.a = x.a JOIN keep1 y ON u.b = y.a
-), keep2 AS (
+), keep2 AS MATERIALIZED (
   SELECT a FROM (SELECT a, count(*) AS c FROM e2 GROUP BY a) CROSS JOIN kk WHERE c >= k
-), e3 AS (
+), e3 AS MATERIALIZED (
   SELECT u.a, u.b FROM e2 u JOIN keep2 x ON u.a = x.a JOIN keep2 y ON u.b = y.a
 )
 SELECT 0 AS round, k, (SELECT count(DISTINCT a) FROM und) AS n_nodes,
@@ -412,8 +417,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     kk = und.agg(
         F.floor(
-            (12 * F.count(F.lit(1)) + 10 * F.countDistinct("a") - 1)
-            / (10 * F.countDistinct("a"))
+            (F.count(F.lit(1)) + 2 * F.countDistinct("a") - 1)
+            / (2 * F.countDistinct("a"))
         )
         .cast("long")
         .alias("k")

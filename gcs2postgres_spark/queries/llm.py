@@ -991,3 +991,87 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# The sample formula is pure integer arithmetic over (doc_id, k), so the
+# oracle replays synth→(encode→parse roundtrip)→features end-to-end:
+# equal values prove the REAL RIFF/WAVE encoder and the independent
+# chunk-walk parser agree bit-for-bit on every payload.
+WAV_ENERGY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 32 + doc_id % 33 AS n FROM documents WHERE doc_id < 200
+), s AS (
+  SELECT doc_id, n, unnest(range(n)) AS k FROM d
+), v AS (
+  SELECT doc_id, n, ((doc_id * 7919 + k * 104729) % 65536) - 32768 AS smp FROM s
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       round(sqrt(sum(smp * smp) * 1.0 / max(n)), 6) AS rms,
+       CAST(max(abs(smp)) AS BIGINT) AS peak
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("multimodal_wav_energy", oracle=WAV_ENERGY_ORACLE)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column feature extraction through the REAL codecs: each doc
+    synthesizes a deterministic PCM16 sample vector, encodes it to RIFF/
+    WAVE bytes (functions/media_codecs.encode_wav_pcm16), parses those
+    bytes back with the independent chunk-walk parser (decode_wav — not
+    the stdlib reader), and emits RMS energy + peak amplitude — all
+    inside ONE Arrow-batched mapInPandas stage, the at-scale shape for
+    binary media columns (payloads never leave the executors; batch
+    memory bounded by arrow.maxRecordsPerBatch). The UDF is
+    factory-nested so cloudpickle ships it by value (workers need no
+    repo on sys.path). doc_id < 200 bounds the demo payload count, not
+    the operator."""
+    import math as _math
+
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def _make_stage():
+        # ship the codec MODULE by value: decode_wav/encode_wav_pcm16 are
+        # module-level (importable qualnames), which cloudpickle would
+        # serialize by reference — and executor Python workers don't share
+        # the driver's sys.path hack when the harness runs from another
+        # cwd (the multimodal gotcha, see operators/multimodal._make_decoder)
+        from pyspark import cloudpickle as _cp
+
+        from gcs2postgres_spark.functions import media_codecs as _mc
+
+        _cp.register_pickle_by_value(_mc)
+        decode_wav, encode_wav_pcm16 = _mc.decode_wav, _mc.encode_wav_pcm16
+
+        def stage(batches):
+            for pdf in batches:
+                out = {"doc_id": [], "n_samples": [], "rms": [], "peak": []}
+                for doc_id in pdf["doc_id"]:
+                    doc_id = int(doc_id)
+                    n = 32 + doc_id % 33
+                    samples = [
+                        ((doc_id * 7919 + k * 104729) % 65536) - 32768
+                        for k in range(n)
+                    ]
+                    payload = encode_wav_pcm16(samples, sample_rate=8000)
+                    dec = decode_wav(payload)
+                    s = dec["samples"]
+                    out["doc_id"].append(doc_id)
+                    out["n_samples"].append(dec["n_samples"])
+                    out["rms"].append(
+                        round(_math.sqrt(sum(x * x for x in s) * 1.0 / len(s)), 6)
+                    )
+                    out["peak"].append(max(abs(x) for x in s))
+                yield _pd.DataFrame(out)
+
+        return stage
+
+    return (
+        d.mapInPandas(
+            _make_stage(),
+            schema="doc_id bigint, n_samples bigint, rms double, peak bigint",
+        )
+        .orderBy("doc_id")
+    )

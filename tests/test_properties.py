@@ -182,7 +182,12 @@ def test_prefix_jaccard_matches_bruteforce(spark, texts):
         (r.id_a, r.id_b)
         for r in prefix_jaccard_pairs(df, "doc_id", "text").collect()
     }
-    toks = {i: set(t.strip().lower().split()) for i, t in rows}
+    import re as _re
+
+    # mirror the ENGINE tokenization (split on \s+ keeps the empty
+    # token for an empty/whitespace doc — two empty docs are exact
+    # duplicates, Jaccard 1): Python's no-arg split() would drop it
+    toks = {i: set(_re.split(r"\s+", t.strip().lower())) for i, t in rows}
     want = set()
     for i in toks:
         for j in toks:
