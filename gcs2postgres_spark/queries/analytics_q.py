@@ -930,3 +930,139 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("l_suppkey"))
         .orderBy("key_col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median via two-phase cumulative weights
+# ---------------------------------------------------------------------------
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_extendedprice AS price,
+         CAST(round(l_quantity) AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), c AS (
+  SELECT price, wt,
+         sum(wt) OVER (ORDER BY price, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         sum(wt) OVER () AS total
+  FROM w
+)
+SELECT round(min(price), 2) AS weighted_median_price,
+       CAST(max(total) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cumw >= total
+"""
+
+
+@register("lineitem_weighted_median", oracle=WEIGHTED_MEDIAN_ORACLE)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-weighted median of the line price — the inventory
+    question 'what price sits at the middle unit shipped'. Third use of
+    the repo's two-phase distributed cumsum primitive (part_pareto_abc,
+    events_equidepth_deciles): range-partition on the total order
+    (price, orderkey, linenumber), per-partition running weight sums in
+    parallel, add broadcast per-partition offsets, then ONE scalar
+    aggregate picks the first row whose doubled cumulative weight
+    reaches the total. Weights are exact integers (quantity), so the
+    2·cumw ≥ W comparison can never float-flip. No single-task global
+    window anywhere — the selection scales to any row count."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        F.round("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = li.repartitionByRange(
+        n_parts, F.asc("price"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ).withColumn("pid", F.spark_partition_id())
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = ranged.withColumn("cum_in", F.sum("wt").over(w_in))
+    totals = ranged.groupBy("pid").agg(F.sum("wt").alias("ptotal"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    offsets = totals.select(
+        "pid",
+        F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).alias("off"),
+        F.sum("ptotal").over(w_all).alias("total"),
+    )
+    c = ranged.join(F.broadcast(offsets), "pid").withColumn(
+        "cumw", F.col("cum_in") + F.col("off")
+    )
+    return c.filter(2 * F.col("cumw") >= F.col("total")).agg(
+        F.round(F.min("price"), 2).alias("weighted_median_price"),
+        F.max("total").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain interleave (training-order anti-clumping)
+# ---------------------------------------------------------------------------
+
+INTERLEAVE_ORACLE = """
+WITH doms AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS dom_idx,
+         count(*) OVER () AS n_domains
+  FROM (SELECT DISTINCT source FROM documents)
+), ranked AS (
+  SELECT d.doc_id, d.source,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5('il1|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    d.doc_id) - 1 AS rnk
+  FROM documents d
+)
+SELECT r.doc_id, r.source,
+       CAST(r.rnk * m.n_domains + m.dom_idx AS BIGINT) AS pos
+FROM ranked r JOIN doms m ON r.source = m.source
+ORDER BY pos
+"""
+
+
+@register("dataset_interleave_domains", oracle=INTERLEAVE_ORACLE)
+def dataset_interleave_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin DOMAIN INTERLEAVE for training order:
+    shuffle within each domain by the portable md5 hash, then assign the
+    global position by FORMULA — pos = within_domain_rank × n_domains +
+    domain_index — so consecutive training examples rotate across
+    domains (no domain clumps, the curriculum property batch samplers
+    want) WITHOUT any global window: the only windows partition by the
+    domain key, the domain index comes from a |domains|-row broadcast,
+    and the global order exists arithmetically. The at-scale contrast:
+    a row_number() over the shuffled corpus would serialize 100 TB
+    through one task; the formula costs one map-side multiply."""
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    d = _t(spark, sf_dir, "documents")
+    doms = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1).alias("dom_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_domains"),
+        )
+    )
+    wk = Window.partitionBy("source").orderBy(
+        portable_hash60(F.concat(F.lit("il1|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = d.select(
+        "doc_id", "source", (F.row_number().over(wk) - 1).alias("rnk")
+    )
+    return (
+        ranked.join(F.broadcast(doms), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rnk") * F.col("n_domains") + F.col("dom_idx"))
+            .cast("long")
+            .alias("pos"),
+        )
+        .orderBy("pos")
+    )

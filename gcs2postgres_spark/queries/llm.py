@@ -1075,3 +1075,215 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Three unrolled matrix-free power iterations; the oracle replays the
+# identical recurrence with list_dot_product over MATERIALIZED CTEs.
+PCA_POWER_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), v0 AS (SELECT list_transform(range(64), x -> 0.125) AS v),
+jj AS (SELECT unnest(range(64)) AS j),
+s1 AS (SELECT emb, list_dot_product(emb, v) AS s FROM e CROSS JOIN v0),
+w1 AS (SELECT j, sum(s * emb[j + 1]) AS w FROM s1 CROSS JOIN jj GROUP BY j),
+n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+v1 AS (SELECT list(w / nrm ORDER BY j) AS v FROM w1 CROSS JOIN n1),
+s2 AS (SELECT emb, list_dot_product(emb, v) AS s FROM e CROSS JOIN v1),
+w2 AS (SELECT j, sum(s * emb[j + 1]) AS w FROM s2 CROSS JOIN jj GROUP BY j),
+n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+v2 AS (SELECT list(w / nrm ORDER BY j) AS v FROM w2 CROSS JOIN n2),
+s3 AS (SELECT emb, list_dot_product(emb, v) AS s FROM e CROSS JOIN v2),
+w3 AS (SELECT j, sum(s * emb[j + 1]) AS w FROM s3 CROSS JOIN jj GROUP BY j),
+n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3),
+v3 AS (SELECT list(w / nrm ORDER BY j) AS v FROM w3 CROSS JOIN n3),
+ray AS (
+  SELECT sum(list_dot_product(emb, v) * list_dot_product(emb, v)) AS eig
+  FROM e CROSS JOIN v3
+)
+SELECT j, round(v[j + 1], 6) AS loading, round(ray.eig, 3) AS eigval
+FROM v3 CROSS JOIN jj CROSS JOIN ray
+ORDER BY j
+"""
+
+
+@register("embedding_pca_power", oracle=PCA_POWER_ORACLE)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    by THREE matrix-free power iterations — the spectral step behind
+    PCA whitening, spectral dedup, and anisotropy diagnostics, computed
+    without ever materializing the d×d Gram: each round is s_i = e_i·v
+    (map-side, v is a 64-double broadcast), then the d-dimensional
+    partial-sum aggregate w_j = Σ s_i·e_ij (posexplode → groupBy j with
+    map-side combine: the shuffle carries |dims|×|partitions| partial
+    rows, never |rows|×|dims|), then a normalize over the d-row frame.
+    Per round: ONE data pass, one bounded shuffle — the shape that
+    scales to billions of rows because only dimension-sized state ever
+    aggregates. Deterministic init v0 = 1/√d; iteration count is a
+    literal unroll the oracle replays; the Rayleigh quotient estimates
+    the top eigenvalue."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    D = 64
+
+    def dot_with(vcol):
+        return F.aggregate(
+            F.zip_with(F.col("e"), vcol, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v_frame = spark.range(1).select(
+        F.array(*[F.lit(1.0 / 8.0)] * D).alias("v")
+    )
+    for _ in range(3):
+        s = emb.crossJoin(F.broadcast(v_frame)).select(
+            "e", dot_with(F.col("v")).alias("s")
+        )
+        w = (
+            s.select(F.posexplode("e").alias("j", "ej"), "s")
+            .groupBy("j")
+            .agg(F.sum(F.col("s") * F.col("ej")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v_frame = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(F.struct("j", (F.col("w") / F.col("nrm")).alias("val")).alias("p"))
+            .agg(F.array_sort(F.collect_list("p")).alias("arr"))
+            .select(F.expr("transform(arr, x -> x.val)").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    ray = (
+        emb.crossJoin(F.broadcast(v_frame))
+        .select(dot_with(F.col("v")).alias("s"))
+        .agg(F.round(F.sum(F.col("s") * F.col("s")), 3).alias("eigval"))
+    )
+    return (
+        v_frame.select(F.posexplode("v").alias("j", "loading"))
+        .crossJoin(F.broadcast(ray))
+        .select("j", F.round("loading", 6).alias("loading"), "eigval")
+        .orderBy("j")
+    )
+
+
+# Min-id-wins incremental dedup replayed exactly: exact tier = raw text
+# equality vs the corpus; near tier = token Jaccard >= 3/5 vs ANY
+# lower-id doc (corpus ∪ earlier batch), threshold in exact integer
+# arithmetic.
+INCREMENTAL_DEDUP_ORACLE = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+), batch AS (SELECT doc_id, text FROM d WHERE doc_id >= 400),
+corpus AS (SELECT doc_id, text FROM d WHERE doc_id < 400),
+exact AS (
+  SELECT b.doc_id, min(c.doc_id) AS exact_of
+  FROM batch b JOIN corpus c ON b.text = c.text
+  GROUP BY b.doc_id
+), toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM d
+), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT o.doc_id AS id_o, b.doc_id AS id_b, count(*) AS ni
+  FROM toks o JOIN toks b ON o.tok = b.tok AND o.doc_id < b.doc_id
+  WHERE b.doc_id >= 400
+  GROUP BY 1, 2
+), near AS (
+  SELECT id_b AS doc_id, min(id_o) AS near_of
+  FROM inter
+  JOIN sizes so ON id_o = so.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE 5 * ni >= 3 * (so.n + sb.n - ni)
+  GROUP BY id_b
+)
+SELECT b.doc_id,
+       CASE WHEN e.exact_of IS NOT NULL THEN 'drop_exact'
+            WHEN n.near_of IS NOT NULL THEN 'drop_near'
+            ELSE 'keep' END AS verdict,
+       coalesce(e.exact_of, n.near_of) AS dup_of
+FROM batch b
+LEFT JOIN exact e ON b.doc_id = e.doc_id
+LEFT JOIN near n ON b.doc_id = n.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register("dedup_incremental_batch", oracle=INCREMENTAL_DEDUP_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production shape: a new batch (doc_id ≥
+    400) arrives against an already-deduped corpus (doc_id < 400), and
+    only the batch needs verdicts. Tier 1: exact raw-text match against
+    the corpus (hash join). Tier 2: token-set Jaccard ≥ 3/5 against any
+    LOWER-id doc (corpus ∪ earlier batch — min-id-wins, so verdicts are
+    order-free and deterministic). Candidates come from the inverted
+    token index restricted to batch ids on the probe side, so corpus×
+    corpus pairs are never generated — the incremental property that
+    makes re-dedup affordable: per batch the work is
+    O(batch × matching-postings), not O(corpus²). At 100 TB the
+    candidate stage composes with prefix filtering
+    (operators/dedup.prefix_jaccard_pairs) unchanged. The id caps bound
+    the demo corpus, not the operator."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    batch = d.filter(F.col("doc_id") >= 400)
+    corpus = d.filter(F.col("doc_id") < 400)
+    exact = (
+        batch.alias("b")
+        .join(corpus.alias("c"), F.col("b.text") == F.col("c.text"))
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min("c.doc_id").alias("exact_of"))
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        toks.alias("o")
+        .join(
+            toks.alias("b"),
+            (F.col("o.tok") == F.col("b.tok"))
+            & (F.col("o.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("b.doc_id") >= 400)
+        .groupBy(
+            F.col("o.doc_id").alias("id_o"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    so = sizes.select(F.col("doc_id").alias("id_o"), F.col("n").alias("n_o"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    near = (
+        inter.join(so, "id_o")
+        .join(sb, "id_b")
+        .filter(
+            5 * F.col("ni") >= 3 * (F.col("n_o") + F.col("n_b") - F.col("ni"))
+        )
+        .groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("id_o").alias("near_of"))
+    )
+    verdict = (
+        F.when(F.col("exact_of").isNotNull(), "drop_exact")
+        .when(F.col("near_of").isNotNull(), "drop_near")
+        .otherwise("keep")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.coalesce("exact_of", "near_of").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )

@@ -390,3 +390,36 @@ def test_bfs_hop_no_cartesian_no_node_broadcast(spark, sf_dir):
     )
     plan = formatted_plan(nxt)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_weighted_median_two_phase_no_global_window(spark, sf_dir):
+    # same contract as equidepth/pareto: the cumulative weight must be
+    # partitioned by the range-partition id, never an order-only window
+    # over the fact
+    plan = _plan(spark, sf_dir, "lineitem_weighted_median")
+    assert re.search(r"sum\(wt#\d+L?\) windowspecdefinition\(pid#\d+,", plan), plan
+    assert not re.search(r"sum\(wt#\d+L?\) windowspecdefinition\(price", plan), plan
+
+
+def test_interleave_no_global_window(spark, sf_dir):
+    # the global training order is a FORMULA (rank*D + dom_idx): the only
+    # row_number windows may partition by source (per-domain) or run over
+    # the |domains|-sized distinct frame — never order-only over doc_id
+    plan = _plan(spark, sf_dir, "dataset_interleave_domains")
+    assert re.search(r"row_number\(\) windowspecdefinition\(source#\d+,", plan), plan
+    assert not re.search(r"row_number\(\) windowspecdefinition\(doc_id", plan), plan
+
+
+def test_pca_power_no_cartesian_dimension_sized_aggregate(spark, sf_dir):
+    # every CROSS JOIN in the PCA plan must be a broadcast of a 1-row /
+    # 64-row frame (BroadcastNestedLoopJoin), never a real cartesian; the
+    # w_j aggregate must carry a partial_sum (map-side combine) so the
+    # shuffle is dimension-sized
+    plan = _plan(spark, sf_dir, "embedding_pca_power")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_incremental_batch")
+    assert "CartesianProduct" not in plan, plan
