@@ -979,9 +979,17 @@ def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split is deterministic wherever the range bounds fall), then a
     # per-partition running sum: all partitions work in parallel.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = cents.repartitionByRange(
-        n_parts, F.desc("rev_c"), F.asc("l_partkey")
-    ).withColumn("pid", F.spark_partition_id())
+    # Materialize before branching: the window / per-partition-totals /
+    # final-join branches must see ONE physical partitioning —
+    # re-executed range exchanges re-sample bounds (rddId-seeded) and
+    # re-coalesce under AQE, so spark_partition_id() would mean
+    # different ranges per branch and the offsets would misalign (the
+    # flake class events_watermark_late_drop exposed).
+    ranged = (
+        cents.repartitionByRange(n_parts, F.desc("rev_c"), F.asc("l_partkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w_in = (
         Window.partitionBy("pid")
         .orderBy(F.desc("rev_c"), F.asc("l_partkey"))

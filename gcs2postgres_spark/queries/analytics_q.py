@@ -173,9 +173,13 @@ def events_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     which IEEE doubles return exactly, so floor agrees on both engines."""
     e = _t(spark, sf_dir, "events").select("value", "event_id")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = e.repartitionByRange(
-        n_parts, F.asc("value"), F.asc("event_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # one physical execution for every branch (see
+    # events_watermark_late_drop for the misalignment flake this blocks)
+    ranged = (
+        e.repartitionByRange(n_parts, F.asc("value"), F.asc("event_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w_in = Window.partitionBy("pid").orderBy("value", "event_id")
     ranged = ranged.withColumn("rn_in", F.row_number().over(w_in))
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
@@ -974,9 +978,15 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
     )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = li.repartitionByRange(
-        n_parts, F.asc("price"), F.asc("l_orderkey"), F.asc("l_linenumber")
-    ).withColumn("pid", F.spark_partition_id())
+    # one physical execution for every branch (see
+    # events_watermark_late_drop for the misalignment flake this blocks)
+    ranged = (
+        li.repartitionByRange(
+            n_parts, F.asc("price"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w_in = (
         Window.partitionBy("pid")
         .orderBy("price", "l_orderkey", "l_linenumber")
@@ -1065,4 +1075,74 @@ def dataset_interleave_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos"),
         )
         .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-event classification (batch twin, two-phase running max)
+# ---------------------------------------------------------------------------
+
+WATERMARK_ORACLE = """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN wm IS NOT NULL AND ts < wm - INTERVAL 10 MINUTE
+            THEN 'late' ELSE 'on_time' END AS verdict,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY event_type, verdict ORDER BY event_type, verdict
+"""
+
+
+@register("events_watermark_late_drop", oracle=WATERMARK_ORACLE)
+def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of Structured Streaming's watermark rule: an event is
+    LATE iff its timestamp trails the running max event-time seen over
+    arrival order (event_id — the ingestion-sequence proxy) by more than
+    the 10-minute allowed lateness — exactly the row a streaming
+    aggregation with `withWatermark("ts", "10 minutes")` would drop.
+    The global exclusive running max is TWO-PHASE (fourth instantiation
+    of the primitive — pareto/equidepth/weighted-median use it for sums,
+    this one for max): range-partition on arrival order, per-partition
+    exclusive running max in parallel, then fold in the broadcast prefix
+    max of earlier partitions. No single-task global window, so the
+    classification scales to the full ingest log. Counts per
+    (type, verdict) are exact timestamp comparisons — no floats."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # MATERIALIZE the ranged frame before anything branches off it:
+    # spark_partition_id() is only meaningful relative to one physical
+    # execution, and the window / per-partition-max / final-join branches
+    # would otherwise each re-run the range exchange with freshly sampled
+    # bounds (rddId-seeded) and their own AQE coalescing — pids then mean
+    # DIFFERENT ranges per branch and offsets misalign (observed: false
+    # 'late' verdicts varying run to run before this checkpoint).
+    ranged = (
+        e.repartitionByRange(n_parts, F.asc("event_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_ex = (
+        Window.partitionBy("pid")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranged = ranged.withColumn("run_in", F.max("ts").over(w_ex))
+    pmax = ranged.groupBy("pid").agg(F.max("ts").alias("pm"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pmax.select("pid", F.max("pm").over(w_off).alias("prev_max"))
+    wm = F.greatest(F.col("run_in"), F.col("prev_max"))
+    verdict = F.when(
+        wm.isNotNull() & (F.col("ts") < wm - F.expr("INTERVAL 10 MINUTES")),
+        "late",
+    ).otherwise("on_time")
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .select("event_type", verdict.alias("verdict"))
+        .groupBy("event_type", "verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "verdict")
     )

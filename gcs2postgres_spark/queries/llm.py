@@ -1287,3 +1287,119 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Register-level-portable HyperLogLog: the md5-derived 60-bit hash, the
+# top-8-bit register index, the leading-zero rank via bin()-string
+# length, the bias constant, and the small-range correction are all
+# computed by the IDENTICAL closed formulas on both engines, so the
+# oracle matches the ESTIMATE itself, not just the exact count — and the
+# merged (two half-sketch max) estimate must equal the direct one
+# bit-for-bit, certifying the sketch's merge property.
+HLL_PORTABLE_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5('hll1|' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+         o_custkey % 2 AS half
+  FROM orders
+), rr AS (
+  SELECT h >> 52 AS idx,
+         CASE WHEN (h & 4503599627370495) = 0 THEN 53
+              ELSE 53 - length(bin(h & 4503599627370495)) END AS rho,
+         half
+  FROM h
+), direct AS (
+  SELECT idx, max(rho) AS m FROM rr GROUP BY idx
+), halves AS (
+  SELECT half, idx, max(rho) AS m FROM rr GROUP BY half, idx
+), merged AS (
+  SELECT idx, max(m) AS m FROM halves GROUP BY idx
+), est_d AS (
+  SELECT count(*) AS n_filled,
+         sum(pow(2.0, -m)) + (256 - count(*)) AS z,
+         256 - count(*) AS v
+  FROM direct
+), est_m AS (
+  SELECT sum(pow(2.0, -m)) + (256 - count(*)) AS z, 256 - count(*) AS v
+  FROM merged
+), ex AS (SELECT count(DISTINCT o_custkey) AS exact FROM orders),
+calc AS (
+  SELECT ex.exact, est_d.n_filled,
+         CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / est_d.z <= 2.5 * 256
+                   AND est_d.v > 0
+              THEN 256 * ln(256.0 / est_d.v)
+              ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / est_d.z END AS est,
+         CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / est_m.z <= 2.5 * 256
+                   AND est_m.v > 0
+              THEN 256 * ln(256.0 / est_m.v)
+              ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / est_m.z END AS est_merged
+  FROM est_d CROSS JOIN est_m CROSS JOIN ex
+)
+SELECT CAST(exact AS BIGINT) AS exact_distinct,
+       CAST(n_filled AS BIGINT) AS n_registers_filled,
+       round(est, 4) AS hll_estimate,
+       round(est_merged, 4) AS hll_estimate_merged,
+       round(abs(est - exact) / exact, 6) AS rel_err
+FROM calc
+"""
+
+
+@register("agg_hll_portable", oracle=HLL_PORTABLE_ORACLE)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-portable HyperLogLog (m=256 dense registers) over
+    order custkeys — unlike approx_count_distinct (whose HLL++ sketch is
+    Spark-internal), every stage here is engine-independent closed-form
+    arithmetic: portable 60-bit md5 hash → top-8-bit register index →
+    leading-zero rank (via the bin()-string length both engines define
+    identically) → max per register → bias-corrected harmonic estimate
+    with the standard small-range correction. The output certifies BOTH
+    the estimate value against DuckDB running the same formulas AND the
+    sketch's merge law: registers built on the two custkey-parity halves
+    and max-merged must reproduce the direct estimate exactly. Scale
+    shape: one groupBy over ≤256 register rows with map-side partial
+    max — the sketch any 100 TB distinct-count rollup ships between
+    stages instead of raw keys."""
+    o = _t(spark, sf_dir, "orders")
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    h = o.select(
+        portable_hash60(
+            F.concat(F.lit("hll1|"), F.col("o_custkey").cast("string"))
+        ).alias("h"),
+        (F.col("o_custkey") % 2).alias("half"),
+    ).distinct()
+    rem = F.col("h").bitwiseAND(F.lit((1 << 52) - 1))
+    rr = h.select(
+        F.shiftright("h", 52).alias("idx"),
+        F.when(rem == 0, 53).otherwise(53 - F.length(F.bin(rem))).alias("rho"),
+        "half",
+    )
+    direct = rr.groupBy("idx").agg(F.max("rho").alias("m"))
+    halves = rr.groupBy("half", "idx").agg(F.max("rho").alias("m"))
+    merged = halves.groupBy("idx").agg(F.max("m").alias("m"))
+
+    def est_frame(regs: DataFrame, z_col: str, v_col: str) -> DataFrame:
+        return regs.agg(
+            F.count(F.lit(1)).alias("n_filled"),
+            (F.sum(F.pow(2.0, -F.col("m"))) + (256 - F.count(F.lit(1)))).alias(z_col),
+            (256 - F.count(F.lit(1))).alias(v_col),
+        )
+
+    alpha_mm = F.lit(0.7213 / (1 + 1.079 / 256) * 256 * 256)
+
+    def estimate(z, v):
+        raw = alpha_mm / z
+        return F.when((raw <= 2.5 * 256) & (v > 0), 256 * F.log(256.0 / v)).otherwise(raw)
+
+    ed = est_frame(direct, "z", "v")
+    em = est_frame(merged, "zm", "vm").select("zm", "vm")
+    ex = o.agg(F.count_distinct("o_custkey").alias("exact"))
+    c = ed.crossJoin(em).crossJoin(ex)
+    est = estimate(F.col("z"), F.col("v"))
+    est_m = estimate(F.col("zm"), F.col("vm"))
+    return c.select(
+        F.col("exact").cast("long").alias("exact_distinct"),
+        F.col("n_filled").cast("long").alias("n_registers_filled"),
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(est_m, 4).alias("hll_estimate_merged"),
+        F.round(F.abs(est - F.col("exact")) / F.col("exact"), 6).alias("rel_err"),
+    )

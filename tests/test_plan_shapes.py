@@ -423,3 +423,12 @@ def test_pca_power_no_cartesian_dimension_sized_aggregate(spark, sf_dir):
 def test_incremental_dedup_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_incremental_batch")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_watermark_two_phase_running_max_no_global_window(spark, sf_dir):
+    # the exclusive running max must be partitioned by the range-partition
+    # id — an order-only window over arrival would serialize the ingest
+    # log through one task
+    plan = _plan(spark, sf_dir, "events_watermark_late_drop")
+    assert re.search(r"max\(ts#\d+\) windowspecdefinition\(pid#\d+,", plan), plan
+    assert not re.search(r"max\(ts#\d+\) windowspecdefinition\(event_id", plan), plan
