@@ -19,13 +19,16 @@ sf0.01 by the driver, *rows-only* = no cross-engine SQL form exists
 
 Regenerate with `python scripts/gen_queries_md.py`.
 
-Two registered queries carry deliberate demo caps that bound their
-quadratic *oracle*, not the Spark plan: `ngram_jaccard_pairs` filters
-`doc_id < 100` and `similarity_cosine_topk` takes query vectors
-`vec_id < 10`. The uncapped capability is the operator itself
-(`operators/dedup.py` / `operators/similarity.py`), whose scale path is
-plan-shape-pinned in tests — the green driver row certifies the capped
-subset.
+Some registered queries carry deliberate demo caps that bound their
+quadratic *oracle* (or a fixture's payload count), not the Spark plan:
+`ngram_jaccard_pairs` (`doc_id < 100`), `similarity_cosine_topk`
+(`vec_id < 10`), `dedup_jaccard_prefix_filter` and
+`dedup_incremental_batch` (`doc_id < 1000`), `events_resample_ffill` /
+`events_resample_interp` (`user_id < 40`), `multimodal_wav_energy`
+(`doc_id < 200`), `multimodal_join` / `multimodal_decode_features`
+(`doc_id < 300/500`). The uncapped capability is the operator itself
+(`operators/`), whose scale path is plan-shape-pinned in tests — the
+green driver row certifies the capped subset.
 
 | Query | Check | What it exercises |
 |---|---|---|

@@ -300,3 +300,47 @@ def test_checksum_partition_order_invariant(spark, seed):
         return {(r.bucket, r.x, r.n) for r in out.collect()}
 
     assert checksums(df) == checksums(df.repartition(7)) == checksums(df.repartition(1))
+
+
+@given(
+    n=st.integers(min_value=50, max_value=1500),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SLOW
+def test_portable_hll_error_bound_and_merge_law(spark, n, seed):
+    # the m=256 HLL estimate must land within the textbook error band
+    # (~1.04/sqrt(m) ≈ 6.5% std; assert a generous 5-sigma bound), and
+    # max-merging two half-sketches must reproduce the direct registers
+    # EXACTLY — the property that makes the sketch shippable between
+    # rollup stages
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    keys = [(seed * 1_000_003 + i,) for i in range(n)]
+    df = spark.createDataFrame(keys, "k long")
+    h = df.select(
+        portable_hash60(F.concat(F.lit("hllp|"), F.col("k").cast("string"))).alias("h"),
+        (F.col("k") % 2).alias("half"),
+    ).distinct()
+    rem = F.col("h").bitwiseAND(F.lit((1 << 52) - 1))
+    rr = h.select(
+        F.shiftright("h", 52).alias("idx"),
+        F.when(rem == 0, 53).otherwise(53 - F.length(F.bin(rem))).alias("rho"),
+        "half",
+    )
+    direct = {(r.idx, r.m) for r in rr.groupBy("idx").agg(F.max("rho").alias("m")).collect()}
+    halves = rr.groupBy("half", "idx").agg(F.max("rho").alias("m"))
+    merged = {
+        (r.idx, r.m)
+        for r in halves.groupBy("idx").agg(F.max("m").alias("m")).collect()
+    }
+    assert merged == direct  # merge law, register-exact
+
+    import math
+
+    m = 256
+    z = sum(2.0 ** -v for _, v in direct) + (m - len(direct))
+    v0 = m - len(direct)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / z
+    est = m * math.log(m / v0) if (raw <= 2.5 * m and v0 > 0) else raw
+    assert abs(est - n) / n < 5 * 1.04 / math.sqrt(m), (est, n)
