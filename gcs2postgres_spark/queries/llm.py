@@ -1403,3 +1403,82 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est_m, 4).alias("hll_estimate_merged"),
         F.round(F.abs(est - F.col("exact")) / F.col("exact"), 6).alias("rel_err"),
     )
+
+
+# Positives = the PPJoin-complete Jaccard >= 3/5 pairs; negatives = a
+# deterministic LCG jump over the doc-id space (engine-independent
+# integer arithmetic; collision with the anchor advances by one). The
+# oracle replays both.
+CONTRASTIVE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents WHERE doc_id < 1000
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pos AS (
+  SELECT id_a AS anchor, id_b AS positive,
+         round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS pos_jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE 5 * ni >= 3 * (sa.n + sb.n - ni)
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents WHERE doc_id < 1000
+), raw AS (
+  SELECT p.*, (p.anchor * 48271 + 11) % nd.n_docs AS neg0, nd.n_docs
+  FROM pos p CROSS JOIN nd
+)
+SELECT anchor, positive,
+       CAST(CASE WHEN neg0 = anchor OR neg0 = positive
+                 THEN (neg0 + 1) % n_docs ELSE neg0 END AS BIGINT) AS negative,
+       pos_jaccard
+FROM raw
+ORDER BY anchor, positive
+"""
+
+
+@register("contrastive_pairs_mine", oracle=CONTRASTIVE_ORACLE)
+def contrastive_pairs_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining — the (anchor, positive,
+    negative) triples an embedding-model pipeline materializes: positives
+    are the near-duplicate pairs the prefix-filtered Jaccard join
+    certifies COMPLETE at threshold 3/5 (operators/dedup.
+    prefix_jaccard_pairs — so no qualifying positive is ever missed),
+    negatives are a deterministic LCG jump over the doc-id space
+    (standard practice: random negatives are overwhelmingly true
+    negatives; the rare hard-negative collision is advanced past the
+    anchor/positive ids so the triple is always well-formed). All
+    integer arithmetic — engine-independent, fully oracle-replayed. At
+    corpus scale the positive mining is the prefix-filter inverted-index
+    shape and negative assignment is one map-side expression against a
+    broadcast scalar count."""
+    from gcs2postgres_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pos = prefix_jaccard_pairs(docs, "doc_id", "text", 3, 5).select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        F.col("jaccard").alias("pos_jaccard"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = pos.crossJoin(F.broadcast(nd)).withColumn(
+        "neg0", (F.col("anchor") * 48271 + 11) % F.col("n_docs")
+    )
+    neg = F.when(
+        (F.col("neg0") == F.col("anchor")) | (F.col("neg0") == F.col("positive")),
+        (F.col("neg0") + 1) % F.col("n_docs"),
+    ).otherwise(F.col("neg0"))
+    return (
+        raw.select(
+            "anchor",
+            "positive",
+            neg.cast("long").alias("negative"),
+            "pos_jaccard",
+        )
+        .orderBy("anchor", "positive")
+    )
