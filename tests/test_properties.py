@@ -344,3 +344,61 @@ def test_portable_hll_error_bound_and_merge_law(spark, n, seed):
     raw = alpha * m * m / z
     est = m * math.log(m / v0) if (raw <= 2.5 * m and v0 > 0) else raw
     assert abs(est - n) / n < 5 * 1.04 / math.sqrt(m), (est, n)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=4),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+@SLOW
+def test_interleave_positions_unique_and_rotating(spark, sizes, seed):
+    # the formula pos = rank*D + dom_idx must be injective (a valid
+    # global order) and round-robin: within any prefix of the position
+    # order, consecutive same-domain picks can only occur after every
+    # other domain with rows remaining has been visited
+    from pyspark.sql import Window
+
+    from gcs2postgres_spark.operators.dedup import portable_hash60
+
+    rows = []
+    i = 0
+    for d, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((i + seed * 1000, f"dom{d}"))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    doms = (
+        df.select("source").distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1).alias("dom_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_domains"),
+        )
+    )
+    wk = Window.partitionBy("source").orderBy(
+        portable_hash60(F.concat(F.lit("il1|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    out = (
+        df.select("doc_id", "source", (F.row_number().over(wk) - 1).alias("rnk"))
+        .join(doms, "source")
+        .select(
+            "source",
+            (F.col("rnk") * F.col("n_domains") + F.col("dom_idx")).alias("pos"),
+        )
+        .collect()
+    )
+    poss = [r.pos for r in out]
+    assert len(poss) == len(set(poss))  # injective: a real global order
+    ordered = [r.source for r in sorted(out, key=lambda r: r.pos)]
+    # round-robin law: between two picks of the same domain, every domain
+    # that still has rows left must appear exactly once
+    last_seen: dict[str, int] = {}
+    remaining = {f"dom{d}": n for d, n in enumerate(sizes)}
+    for idx, s in enumerate(ordered):
+        if s in last_seen:
+            between = set(ordered[last_seen[s] + 1 : idx])
+            needed = {d for d, n in remaining.items() if n > 0 and d != s}
+            assert needed <= between | {s}, (ordered, s, idx)
+        last_seen[s] = idx
+        remaining[s] -= 1
