@@ -36,11 +36,11 @@ from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 # Round-5 verification window: the driver checks the first 50 entries.
 # Composition (sections below, in order): 10 never-driver-verified
 # queries from late round 4 (ever-green union r1∪…∪r4 = 155/165), 11
-# queries NEW early in round 5, 25 from the round-5 analytics /
-# data-quality / formats / spectral tier, 2 whose implementation
-# changed this round (pq floor-division hardening, CC re-check), and 2
-# refresh
-# slots for the oldest (round-1-only) green evidence. Queries with
+# queries NEW early in round 5, 27 from the round-5 analytics /
+# data-quality / formats / spectral tier, and 2 whose implementation
+# changed this round (pq floor-division hardening, CC re-check) —
+# exactly 50; no refresh slots remain this round (new-query
+# certification outranks re-refreshing ever-green rows). Queries with
 # fresh round-4 evidence sit in VERIFY_DEFERRED.
 VERIFY_FRONT: list[str] = [
     # never driver-verified (registered late in round 4) — 10 entries
@@ -92,12 +92,11 @@ VERIFY_FRONT: list[str] = [
     "agg_hll_portable",
     "events_watermark_late_drop",
     "contrastive_pairs_mine",
+    "supplier_ship_latency_pcts",
+    "events_survival_curve",
     # changed this round — implementations touched by the round-5 fixes
     "similarity_pq_topk",
     "dedup_cluster_canonical",
-    # round-1-only greens, oldest evidence first refresh (fills to 50)
-    "q2_min_per_group_joinback",
-    "q8_market_share",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

@@ -1146,3 +1146,118 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ship-latency percentiles per supplier (SLA distribution metric)
+# ---------------------------------------------------------------------------
+
+SHIP_LATENCY_ORACLE = """
+WITH lat AS (
+  SELECT l_suppkey,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(days) AS BIGINT) AS min_days,
+       round(quantile_cont(days, 0.5), 6) AS p50_days,
+       round(quantile_cont(days, 0.95), 6) AS p95_days,
+       CAST(max(days) AS BIGINT) AS max_days
+FROM lat GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+@register("supplier_ship_latency_pcts", oracle=SHIP_LATENCY_ORACLE)
+def supplier_ship_latency_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency DISTRIBUTION per supplier (n, min, exact
+    P50/P95, max in whole days) — the SLA metric a fulfillment warehouse
+    tracks per vendor. Exact grouped percentiles over INTEGER day
+    deltas: Spark `percentile` and DuckDB `quantile_cont` share the
+    p·(n−1) linear-interpolation definition, and integer inputs make the
+    interpolated values engine-identical. One fact join (orders side
+    broadcast-ineligible at scale → key-partitioned SMJ, lineitem's one
+    shuffle) + one groupBy over the supplier key. The synthetic dates
+    are not causally ordered (negative latencies exist); the metric is
+    the raw distribution, which is exactly what percentile tracking
+    reports."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("days"),
+    )
+    return (
+        lat.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("days").cast("long").alias("min_days"),
+            F.round(F.percentile("days", 0.5), 6).alias("p50_days"),
+            F.round(F.percentile("days", 0.95), 6).alias("p95_days"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survival curve: users still active >= d days after first activity
+# ---------------------------------------------------------------------------
+
+SURVIVAL_ORACLE = """
+WITH fu AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), off AS (
+  SELECT e.user_id,
+         max(date_diff('day', f.first_day, CAST(e.ts AS DATE))) AS max_off
+  FROM events e JOIN fu f ON e.user_id = f.user_id
+  GROUP BY e.user_id
+), n AS (SELECT count(*) AS n_users FROM off),
+d AS (SELECT unnest(range(15)) AS day_offset)
+SELECT CAST(d.day_offset AS BIGINT) AS day_offset,
+       CAST(count(o.user_id) AS BIGINT) AS n_surviving,
+       round(count(o.user_id) * 1.0 / n.n_users, 6) AS survival
+FROM d
+LEFT JOIN off o ON o.max_off >= d.day_offset
+CROSS JOIN n
+GROUP BY d.day_offset, n.n_users
+ORDER BY day_offset
+"""
+
+
+@register("events_survival_curve", oracle=SURVIVAL_ORACLE)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User survival curve: for horizons d = 0..14 days, the fraction of
+    users whose LAST activity falls at least d days after their FIRST —
+    the retention summary product teams read before any cohort split.
+    Two groupBys on user_id collapse the event log to one (user,
+    max-offset) row, then the 15-point curve is a broadcast-spine join:
+    horizons × users-sized frame, never the raw log. The curve is
+    monotone non-increasing by construction; counts are exact integer
+    comparisons. At 100 TB only the first groupBy touches the log."""
+    e = _t(spark, sf_dir, "events")
+    fu = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    off = (
+        e.join(fu, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.datediff(F.to_date("ts"), F.col("first_day"))).alias("max_off")
+        )
+    )
+    n = off.agg(F.count(F.lit(1)).alias("n_users"))
+    spine = spark.range(15).select(F.col("id").alias("day_offset"))
+    return (
+        F.broadcast(spine)
+        .join(off, off["max_off"] >= F.col("day_offset"), "left")
+        .crossJoin(F.broadcast(n))
+        .groupBy("day_offset", "n_users")
+        .agg(F.count("user_id").alias("n_surviving"))
+        .select(
+            "day_offset",
+            "n_surviving",
+            F.round(F.col("n_surviving") * 1.0 / F.col("n_users"), 6).alias(
+                "survival"
+            ),
+        )
+        .orderBy("day_offset")
+    )
