@@ -3,7 +3,10 @@ SCD Type-2 interval builds, scale-safe equi-depth histograms, CUSUM
 changepoints, linear-interpolation gap fill, RFM segmentation,
 referential-integrity audits, Benford first-digit screening, a
 prefix-filtered set-similarity join (PPJoin-style), bounded-depth BFS,
-and explicit higher-moment statistics.
+explicit higher-moment statistics, rolling OLS slopes, join-key skew
+profiling, exact weighted medians, deterministic domain interleaving,
+watermark late-event classification, per-supplier ship-latency
+percentiles, and user survival curves.
 
 Reference parity: none of these exist in the 523-LoC Go reference
 (src/db/db.go delegates all analytics to BigQuery); they extend the
