@@ -642,13 +642,13 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PREFIX_JACCARD_ORACLE = """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
   FROM documents WHERE doc_id < 1000
-), sizes AS (
+), sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
-), inter AS (
+), inter AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
   FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2

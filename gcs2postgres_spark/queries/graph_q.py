@@ -34,26 +34,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # pair set the LSH pipeline provably reproduces on this corpus — plus
 # recursive transitive closure assigning min-reachable-id as cluster id.
 DEDUP_CLUSTER_ORACLE = """
-WITH RECURSIVE toks AS (
+WITH RECURSIVE toks AS MATERIALIZED (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(t) >= 3
       THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       ELSE [array_to_string(t, ' ')] END)) AS shingle
   FROM toks
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+), sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT id_a, id_b
   FROM inter
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
-), und AS (
+), und AS MATERIALIZED (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
@@ -164,29 +164,29 @@ def _pagerank_oracle(n_iters: int = 3, damping: float = 0.85, topk: int = 20) ->
     dangling-mass redistribution — on the customer→supplier purchase
     graph (node ids prefixed 'c'/'s' — the key domains overlap)."""
     parts = [
-        """WITH e AS (
+        """WITH e AS MATERIALIZED (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                   's' || CAST(l_suppkey AS VARCHAR) AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT src AS node FROM e UNION SELECT dst FROM e
-), nn AS (SELECT count(*) AS n_nodes FROM nodes),
-deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-r0 AS (
+), nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM nodes),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
   SELECT node, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN nn
 )"""
     ]
     for i in range(1, n_iters + 1):
         parts.append(
-            f""", dm{i} AS (
+            f""", dm{i} AS MATERIALIZED (
   SELECT coalesce(sum(r.rank), 0.0) AS dangling_mass
   FROM r{i - 1} r LEFT JOIN deg d ON r.node = d.src
   WHERE d.src IS NULL
-), m{i} AS (
+), m{i} AS MATERIALIZED (
   SELECT e.dst AS node, sum(r.rank / d.deg) AS in_mass
   FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT n.node,
          (1 - {damping}) / nn.n_nodes
            + {damping} * (coalesce(m.in_mass, 0.0)
@@ -236,32 +236,32 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_ORACLE = """
-WITH items AS (
+WITH items AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS basket, p_brand AS item
   FROM lineitem JOIN part ON l_partkey = p_partkey
-), pair_cnt AS (
+), pair_cnt AS MATERIALIZED (
   SELECT a.item AS u, b.item AS v, count(*) AS cnt
   FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
   GROUP BY 1, 2
-), thr AS (SELECT 1.1 * avg(cnt) AS t FROM pair_cnt),
+), thr AS MATERIALIZED (SELECT 1.1 * avg(cnt) AS t FROM pair_cnt),
 edges AS (
   SELECT u, v FROM pair_cnt CROSS JOIN thr WHERE cnt > t
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT node, count(*) AS d FROM (
     SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
   ) GROUP BY node
-), oriented AS (
+), oriented AS MATERIALIZED (
   SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS f,
          CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
   FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
-), wedge AS (
+), wedge AS MATERIALIZED (
   SELECT o1.t AS x, o2.t AS y
   FROM oriented o1 JOIN oriented o2 ON o1.f = o2.f AND o1.t < o2.t
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT count(*) AS n_triangles
   FROM wedge w JOIN edges e
     ON e.u = least(w.x, w.y) AND e.v = greatest(w.x, w.y)
-), wedges_all AS (
+), wedges_all AS MATERIALIZED (
   SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg
 )
 SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,

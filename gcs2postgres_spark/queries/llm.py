@@ -142,16 +142,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic xxhash64 seeds catch all of them at every sf (verified
 # empirically at sf0.001/0.01/0.1 — zero missed, zero extra).
 MINHASH_LSH_ORACLE = """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(t) >= 3
       THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       ELSE [array_to_string(t, ' ')] END)) AS shingle
   FROM toks
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
+), sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
@@ -1410,17 +1410,17 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer arithmetic; collision with the anchor advances by one). The
 # oracle replays both.
 CONTRASTIVE_ORACLE = """
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id,
          unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
   FROM documents WHERE doc_id < 1000
-), sizes AS (
+), sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS n FROM toks GROUP BY 1
-), inter AS (
+), inter AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
   FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-), pos AS (
+), pos AS MATERIALIZED (
   SELECT id_a AS anchor, id_b AS positive,
          round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 6) AS pos_jaccard
   FROM inter
