@@ -9,12 +9,80 @@ alias every computed column on both sides.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def materialize_ctes(sql: str) -> str:
+    """Insert ``MATERIALIZED`` into every top-level non-recursive CTE of
+    the oracle's WITH chain.
+
+    DuckDB 1.0 INLINES CTEs by default: a CTE referenced k times is
+    re-evaluated k times, and a chain of iterative stages that each
+    reference the previous one twice re-evaluates EXPONENTIALLY — the
+    round-5 k-core oracle never finished at sf1 and the PageRank oracle
+    measured ">600 s" purely from this artifact (4.2 s materialized).
+    Centralizing the hint here keeps every oracle an honest, fairly-
+    costed denominator without each author remembering the footgun.
+
+    The scanner walks the top-level WITH chain only (balanced parens,
+    single-quoted strings skipped), leaves already-hinted CTEs alone,
+    and skips self-referencing (recursive) members, whose semantics
+    MATERIALIZED would break.
+    """
+    m = re.search(r"\bWITH\b(\s+RECURSIVE\b)?", sql, re.IGNORECASE)
+    if not m:
+        return sql
+    out = []
+    pos = m.end()
+    edits: list[tuple[int, str]] = []  # (insert_at, text)
+    n = len(sql)
+    while True:
+        # name AS [MATERIALIZED|NOT MATERIALIZED] (
+        mm = re.compile(
+            r"\s*(\w+)\s+AS\s+(MATERIALIZED\s+|NOT\s+MATERIALIZED\s+)?\(",
+            re.IGNORECASE,
+        ).match(sql, pos)
+        if not mm:
+            break
+        name, hint = mm.group(1), mm.group(2)
+        body_start = mm.end()  # char after '('
+        # scan to the matching ')' skipping quoted strings
+        depth, i = 1, body_start
+        while i < n and depth:
+            c = sql[i]
+            if c == "'":
+                i += 1
+                while i < n:
+                    if sql[i] == "'":
+                        if i + 1 < n and sql[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        body = sql[body_start : i - 1]
+        if hint is None and not re.search(rf"\b{re.escape(name)}\b", body):
+            edits.append((mm.start(1) + len(name), None))  # placeholder
+            # insert after the 'AS ' keyword: find its end = position of '('
+            edits[-1] = (mm.end() - 1, "MATERIALIZED ")
+        pos = i
+        nxt = re.compile(r"\s*,").match(sql, pos)
+        if not nxt:
+            break
+        pos = nxt.end()
+    for at, txt in sorted(edits, reverse=True):
+        sql = sql[:at] + txt + sql[at:]
+    return sql
 
 
 @dataclass
@@ -31,7 +99,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        REGISTRY[name] = QuerySpec(
+            name, fn, materialize_ctes(oracle) if oracle else oracle
+        )
         return fn
 
     return deco
