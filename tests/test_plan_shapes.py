@@ -432,3 +432,19 @@ def test_watermark_two_phase_running_max_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_watermark_late_drop")
     assert re.search(r"max\(ts#\d+\) windowspecdefinition\(pid#\d+,", plan), plan
     assert not re.search(r"max\(ts#\d+\) windowspecdefinition\(event_id", plan), plan
+
+
+def test_two_phase_queries_deterministic_across_runs(spark, sf_dir):
+    # regression guard for the pid-misalignment flake class: every
+    # two-phase query must return IDENTICAL rows on repeated execution
+    # (pre-fix, events_watermark_late_drop varied run to run)
+    for name in [
+        "events_watermark_late_drop",
+        "events_equidepth_deciles",
+        "lineitem_weighted_median",
+        "part_pareto_abc",
+    ]:
+        fn = REGISTRY[name].fn
+        a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        assert a == b, name
