@@ -32,6 +32,7 @@ from gcs2postgres_spark.queries import corpus_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import graph_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
+from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
 # Round-5 verification window: the driver checks the first 50 entries.
 # Composition (sections below, in order): 10 never-driver-verified

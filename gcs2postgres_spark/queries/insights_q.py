@@ -1,0 +1,615 @@
+"""Round-5b insights tier: calendar-aligned autocorrelation, exact
+revenue Gini (two-phase global rank — no single-task window), per-user
+Shannon entropy, sequential path mining (event trigrams), and a
+deterministic A/B conversion test with a pooled two-proportion z-score.
+
+Reference parity: none of these exist in the 523-LoC Go reference
+(src/db/db.go delegates analytics to the warehouse); they extend the
+beyond-reference analytics tier with the statistics a
+training-data / product-analytics pipeline runs daily.
+
+House determinism rules: money in integer cents (exact int64 /
+decimal(38) until one final division), floats rounded on BOTH engines,
+every ORDER BY totally ordered by a unique key, no engine-specific
+hash functions (the A/B split is ``user_id % 2``, not a hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.queries.registry import register
+from gcs2postgres_spark.session import tune_for_session
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_for_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Calendar-aligned autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT CAST(unnest(range(1, 8)) AS INT) AS lag
+), pairs AS (
+  SELECT l.lag, a.cnt AS c0, b.cnt AS c1
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.lag
+)
+SELECT lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(c0, c1), 6) AS acf
+FROM pairs GROUP BY lag ORDER BY lag
+"""
+
+
+@register("events_autocorr_lags", oracle=AUTOCORR_ORACLE)
+def events_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series,
+    calendar-aligned (gaps are real gaps, not index shifts — a missing
+    day contributes no pair at any lag, unlike a naive ``lead`` over
+    the row sequence).
+
+    Scale shape: the daily series is DATE-bounded (|days|, not
+    |events|) — one groupBy reduces 100 TB of events to a few thousand
+    rows, the 7-way lag explosion stays tiny, and the self-join on the
+    shifted day is an equi-join Catalyst broadcasts. Pearson ``corr``
+    matches DuckDB's sample correlation definition.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("cnt"))
+    lagged = daily.withColumn(
+        "lag", F.explode(F.array(*[F.lit(i) for i in range(1, 8)]))
+    ).withColumn("match_day", F.date_add("day", F.col("lag")))
+    b = daily.select(F.col("day").alias("match_day"), F.col("cnt").alias("c1"))
+    pairs = lagged.join(F.broadcast(b), "match_day")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("cnt", "c1"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini coefficient of customer revenue (two-phase global rank)
+# ---------------------------------------------------------------------------
+
+GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey AS k,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT k, xc, row_number() OVER (ORDER BY xc, k) AS i FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(SUM(xc) / 100.0, 2) AS total_revenue,
+       round(
+         2.0 * CAST(SUM(CAST(i AS HUGEINT) * xc) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * CAST(SUM(xc) AS DOUBLE))
+         - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE),
+         9) AS gini
+FROM rk
+"""
+
+
+@register("customer_revenue_gini", oracle=GINI_ORACLE)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer revenue via the rank
+    formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over x sorted ascending.
+
+    Determinism: revenue is exact integer cents; the rank order
+    (xc asc, custkey asc) is total; Σ(i·x_i) is summed exactly —
+    decimal(38,0) on Spark, HUGEINT in DuckDB (int64 would overflow
+    near n≈1e8 × cents≈1e8) — and only the final division is floating
+    point, identical on both engines, rounded to 9.
+
+    Scale shape: the global rank is TWO-PHASE (the repo's standard
+    pattern, cf. part_pareto_abc): range-partition on the total order,
+    per-partition row_number in parallel, add back broadcast
+    per-partition row-count offsets (a |shuffle-partitions|-sized
+    frame). No single-task global window at any cardinality.
+    """
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Materialize before branching (pid must mean the same range in the
+    # window branch and the totals branch — cf. part_pareto_abc).
+    ranged = (
+        rev.repartitionByRange(n_parts, F.asc("xc"), F.asc("k"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = Window.partitionBy("pid").orderBy(F.asc("xc"), F.asc("k"))
+    ranged = ranged.withColumn("rn_in", F.row_number().over(w_in))
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pcount"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("pcount").over(w_off), F.lit(0)).alias("offset")
+    )
+    ranked = ranged.join(F.broadcast(offsets), "pid").withColumn(
+        "i", (F.col("rn_in") + F.col("offset")).cast("long")
+    )
+    s_ix = F.sum(F.col("i").cast("decimal(38,0)") * F.col("xc")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    t = F.sum("xc")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(t / 100.0, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * s_ix / (n * t.cast("double")) - (n + 1.0) / n, 9
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user Shannon entropy of the event-type mix
+# ---------------------------------------------------------------------------
+
+ENTROPY_ORACLE = """
+WITH cnts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, SUM(c) AS n FROM cnts GROUP BY 1
+)
+SELECT c.user_id,
+       CAST(t.n AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(-SUM((c.c / CAST(t.n AS DOUBLE)) * ln(c.c / CAST(t.n AS DOUBLE))), 6)
+         AS entropy
+FROM cnts c JOIN tot t USING (user_id)
+GROUP BY c.user_id, t.n
+ORDER BY c.user_id
+"""
+
+
+@register("events_user_entropy", oracle=ENTROPY_ORACLE)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the behavioural-diversity feature a segmentation / bot-detection
+    pipeline computes per account.
+
+    Scale shape: two key-partitioned aggregations, no windows, no
+    skew risk beyond the user key itself (a pathological single user
+    is |event_types|-bounded after the first groupBy). ``ln`` is IEEE
+    libm on both engines; the ≤|types| term sum is rounded to 6.
+    """
+    e = _t(spark, sf_dir, "events")
+    cnts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id")
+    withp = cnts.withColumn("n", F.sum("c").over(w)).withColumn(
+        "p", F.col("c") / F.col("n").cast("double")
+    )
+    return (
+        withp.groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential path mining: top event-type trigrams per user journey
+# ---------------------------------------------------------------------------
+
+TRIGRAM_PATH_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e1 || '>' || e2 AS path,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE e2 IS NOT NULL
+GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20
+"""
+
+
+@register("events_path_trigrams", oracle=TRIGRAM_PATH_ORACLE)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 three-step event paths (trigrams over each user's
+    time-ordered journey) with occurrence and distinct-user counts —
+    the classic navigation-path / funnel-discovery mining query.
+
+    Scale shape: the window is user-partitioned (parallel across
+    users), the trigram groupBy is a key-partitioned count with
+    map-side partials, and the top-20 is a TakeOrdered, not a global
+    sort. Order within a user is total (ts, event_id).
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    ).where(F.col("e2").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "e1", "e2").alias("path")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B split with a pooled two-proportion z-score
+# ---------------------------------------------------------------------------
+
+AB_TEST_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT
+    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS c0,
+    SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS c1
+  FROM users
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(c0 AS BIGINT) AS conv0, CAST(c1 AS BIGINT) AS conv1,
+       round(c0 / CAST(n0 AS DOUBLE), 6) AS rate0,
+       round(c1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+       round(
+         (c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE))
+         / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 / n0 + 1.0 / n1)),
+         6) AS z_score
+FROM agg
+"""
+
+
+@register("ab_test_conversion", oracle=AB_TEST_ORACLE)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test over a deterministic 50/50 user
+    split (``user_id % 2`` — parity, NOT an engine hash, so both
+    engines and any rerun assign identical variants). Conversion =
+    the user ever fired a ``purchase`` event.
+
+    Scale shape: one user-keyed aggregation (map-side partial max),
+    then a scalar fold — the z-statistic itself is computed over a
+    4-number frame. The guard against p̂∈{0,1} (zero denominator) is
+    out of scope: the driver data always has both outcomes.
+    """
+    e = _t(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    n0 = F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+    n1 = F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+    c0 = F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+    c1 = F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+    agg = users.agg(
+        n0.alias("n0"), n1.alias("n1"), c0.alias("c0"), c1.alias("c1")
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast("double")
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return agg.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("c0").cast("long").alias("conv0"),
+        F.col("c1").cast("long").alias("conv1"),
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round((p0 - p1) / se, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit: log-log regression of term frequency on rank
+# ---------------------------------------------------------------------------
+
+ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1
+), rk AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM tf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS zipf_slope,
+       round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS zipf_intercept
+FROM rk WHERE rank <= 1000
+"""
+
+
+@register("corpus_zipf_slope", oracle=ZIPF_ORACLE)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 vocabulary: OLS slope and
+    intercept of ln(frequency) on ln(rank) — the corpus-health
+    diagnostic a tokenizer/data-mix pipeline tracks per crawl snapshot
+    (natural text sits near slope −1; a deviating slope flags
+    boilerplate or spam floods).
+
+    Scale shape: tokenize → one key-partitioned count collapses 100 TB
+    of text to a VOCAB-sized frame; the rank window runs over that
+    bounded frame (documented-bounded, the same contract as the BPE /
+    TF-IDF tier); ``regr_slope`` / ``regr_intercept`` are single-pass
+    JVM aggregates with exact DuckDB twins.
+    """
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # vocab-bounded global window (|vocab| rows, not |tokens|)
+    rk = tf.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    ).where(F.col("rank") <= 1000)
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    return rk.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate per language against the corpus top-1000 vocab
+# ---------------------------------------------------------------------------
+
+OOV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), clean AS (
+  SELECT doc_id, lang, tok FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+    FROM clean GROUP BY tok
+  ) WHERE r <= 1000
+), per_doc AS (
+  SELECT c.doc_id, c.lang,
+         count(*) AS n_toks,
+         SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM clean c LEFT JOIN vocab v ON c.tok = v.tok
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(AVG(n_oov / CAST(n_toks AS DOUBLE)), 6) AS avg_oov_rate
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+@register("corpus_oov_rate", oracle=OOV_ORACLE)
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language out-of-vocabulary rate against the corpus's own
+    top-1000 vocabulary — the coverage metric that decides whether a
+    tokenizer's vocab needs retraining for a new data mix.
+
+    Scale shape: the vocab is rank-bounded (1000 rows) so the
+    token⋈vocab membership join is a BROADCAST left join — no shuffle
+    of the exploded token stream by token; the per-doc aggregation
+    shuffles on doc_id only (same key the explode preserved), and the
+    per-lang rollup is |langs|-sized.
+    """
+    d = _t(spark, sf_dir, "documents")
+    clean = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = (
+        clean.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+        )
+        .where(F.col("r") <= 1000)
+        .select("tok", F.lit(1).alias("hit"))
+    )
+    per_doc = (
+        clean.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_oov") / F.col("n_toks").cast("double")), 6
+            ).alias("avg_oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile per source (cleanup diagnostics)
+# ---------------------------------------------------------------------------
+
+CHARCLASS_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS len,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g')) AS n_punct
+  FROM documents WHERE length(text) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(AVG(n_digit / CAST(len AS DOUBLE)), 6) AS digit_ratio,
+       round(AVG(n_upper / CAST(len AS DOUBLE)), 6) AS upper_ratio,
+       round(AVG(n_punct / CAST(len AS DOUBLE)), 6) AS punct_ratio
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@register("text_charclass_profile", oracle=CHARCLASS_ORACLE)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class profile (digit / uppercase /
+    punctuation density) — the cheap cleanup diagnostic that catches
+    mojibake floods, code-dump sources, and SHOUTING spam before
+    heavier quality models run.
+
+    Scale shape: pure map-side regexp counting inside whole-stage
+    codegen (counting by length-difference after class-stripping —
+    no explode), then a |sources|-sized rollup. Character classes are
+    ASCII-explicit so Java regex and RE2 agree.
+    """
+    d = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    per_doc = d.where(ln > 0).select(
+        "source",
+        ln.alias("len"),
+        F.length(F.regexp_replace("text", r"[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace("text", r"[^A-Z]", "")).alias("n_upper"),
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 \t\n\r]", "")).alias(
+            "n_punct"
+        ),
+    )
+    dbl = lambda c: F.col(c) / F.col("len").cast("double")  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(dbl("n_digit")), 6).alias("digit_ratio"),
+            F.round(F.avg(dbl("n_upper")), 6).alias("upper_ratio"),
+            F.round(F.avg(dbl("n_punct")), 6).alias("punct_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable binned-histogram quantiles (sketch-style, deterministic)
+# ---------------------------------------------------------------------------
+
+BINNED_Q_ORACLE = """
+WITH rng AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+), binned AS (
+  SELECT e.event_type,
+         LEAST(CAST(floor((e.value - r.lo) / ((r.hi - r.lo) / 256.0)) AS INT),
+               255) AS bin
+  FROM events e CROSS JOIN rng r
+), hist AS (
+  SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum_c,
+         SUM(c) OVER (PARTITION BY event_type) AS total
+  FROM hist
+), q AS (
+  SELECT event_type, total,
+         min(CASE WHEN cum_c >= 0.5 * total THEN bin END) AS bin_p50,
+         min(CASE WHEN cum_c >= 0.9 * total THEN bin END) AS bin_p90
+  FROM cum GROUP BY event_type, total
+)
+SELECT q.event_type,
+       CAST(q.total AS BIGINT) AS n_values,
+       round(r.lo + (q.bin_p50 + 0.5) * ((r.hi - r.lo) / 256.0), 6) AS approx_p50,
+       round(r.lo + (q.bin_p90 + 0.5) * ((r.hi - r.lo) / 256.0), 6) AS approx_p90
+FROM q CROSS JOIN rng r ORDER BY q.event_type
+"""
+
+
+@register("agg_binned_quantiles", oracle=BINNED_Q_ORACLE)
+def agg_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles from a 256-bin equal-width
+    histogram — the mergeable-sketch pattern: per-partition histograms
+    combine by addition (a plain groupBy count), so the operator
+    needs two passes over the data and NO per-group sort at any
+    scale; error is bounded by half a bin width.
+
+    Determinism: bin edges derive from the global min/max (one scalar
+    agg, broadcast); bin assignment is the same double arithmetic on
+    both engines; quantile recovery picks the first bin whose
+    cumulative count crosses the target (cumulative window over ≤256
+    rows per group — bounded).
+    """
+    e = _t(spark, sf_dir, "events")
+    rng = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 256.0
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(255),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "lo", "hi", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("bin")
+    w_tot = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum_c", F.sum("c").over(w_cum)).withColumn(
+        "total", F.sum("c").over(w_tot)
+    )
+    q = cum.groupBy("event_type", "lo", "hi", "total").agg(
+        F.min(
+            F.when(F.col("cum_c") >= 0.5 * F.col("total"), F.col("bin"))
+        ).alias("bin_p50"),
+        F.min(
+            F.when(F.col("cum_c") >= 0.9 * F.col("total"), F.col("bin"))
+        ).alias("bin_p90"),
+    )
+    return q.select(
+        "event_type",
+        F.col("total").cast("long").alias("n_values"),
+        F.round(F.col("lo") + (F.col("bin_p50") + 0.5) * width, 6).alias(
+            "approx_p50"
+        ),
+        F.round(F.col("lo") + (F.col("bin_p90") + 0.5) * width, 6).alias(
+            "approx_p90"
+        ),
+    ).orderBy("event_type")
