@@ -273,3 +273,54 @@ def bfs_layers(
         frontier = _cp(nxt)
         visited = _cp(visited.unionByName(frontier.withColumn("dist", F.lit(k))))
     return visited
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    src: str = "a",
+    dst: str = "b",
+    weight: str = "w",
+    node_col: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded-round single-source(-set) shortest paths by min-plus
+    relaxation (distributed Bellman-Ford): after ``n_rounds`` rounds the
+    result is exact for every path of ≤ n_rounds edges — (node, dist)
+    with dist = min total weight from the seed set. Callers symmetrize
+    directed edges first; weights must be non-negative for the bounded
+    unroll to be monotone.
+
+    Scale shape per round: ONE key-partitioned equi-join (tentative
+    distances ⋈ edges on the source endpoint) and ONE key-partitioned
+    min-aggregation — the same shuffle key back-to-back, so AQE reuses
+    the exchange; nothing node-sized is broadcast or collected, and
+    each round is localCheckpointed so round k never replays rounds
+    1..k-1 (the iterative-lineage trap, cf. connected_components).
+    This is the min-plus analogue of bfs_layers and unrolls to the
+    oracle's chained relaxation CTEs verbatim. ``checkpoint=False``
+    keeps the full lineage visible for plan-shape tests.
+    """
+    _cp = (
+        (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
+    )  # noqa: E731
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w")
+    )
+    dist = _cp(
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(n_rounds):
+        relaxed = (
+            e.join(dist.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = _cp(
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

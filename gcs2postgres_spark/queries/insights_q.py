@@ -613,3 +613,97 @@ def agg_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_p90"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Bounded weighted shortest paths (min-plus Bellman-Ford unroll)
+# ---------------------------------------------------------------------------
+
+SSSP_ORACLE = """
+WITH pair AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS ca,
+         's' || CAST(l_suppkey AS VARCHAR) AS sb,
+         min(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)))
+           AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT ca AS a, sb AS b, w FROM pair
+  UNION ALL SELECT sb, ca, w FROM pair
+), d0 AS (
+  SELECT DISTINCT ca AS node, CAST(0 AS BIGINT) AS dist FROM pair
+  WHERE CAST(substr(ca, 2) AS BIGINT) % 100 = 0
+), d1 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL SELECT e.b, d0.dist + e.w FROM d0 JOIN e ON e.a = d0.node
+  ) GROUP BY node
+), d2 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL SELECT e.b, d1.dist + e.w FROM d1 JOIN e ON e.a = d1.node
+  ) GROUP BY node
+), d3 AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL SELECT e.b, d2.dist + e.w FROM d2 JOIN e ON e.a = d2.node
+  ) GROUP BY node
+)
+SELECT substr(node, 1, 1) AS node_type,
+       CAST(count(*) AS BIGINT) AS n_reachable,
+       CAST(min(dist) AS BIGINT) AS min_dist,
+       round(avg(dist), 6) AS avg_dist,
+       CAST(max(dist) AS BIGINT) AS max_dist
+FROM d3 GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("graph_sssp_weighted", oracle=SSSP_ORACLE)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (≤3 relaxation rounds) from seed
+    customers (custkey % 100 = 0) over the undirected customer↔supplier
+    purchase graph, edge weight = the pair's minimum order→ship lag in
+    whole days (exact integers — no float distance drift). Distances
+    summarized per node type. The min-plus rounds are a literal unroll
+    of distributed Bellman-Ford (operators/graph.sssp_bounded); the
+    oracle chains the identical relaxation as three CTEs.
+
+    Scale shape: per round one key-partitioned join + one min-agg on
+    the node key, localCheckpointed between rounds; nothing node-sized
+    broadcast (the VERDICT r4 PageRank lesson, applied from birth).
+    """
+    from gcs2postgres_spark.operators.graph import sssp_bounded
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pair = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("ca"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sb"),
+        )
+        .agg(
+            F.min(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            ).alias("w")
+        )
+    )
+    e = pair.select(
+        F.col("ca").alias("a"), F.col("sb").alias("b"), "w"
+    ).unionByName(pair.select(F.col("sb").alias("a"), F.col("ca").alias("b"), "w"))
+    seeds = (
+        pair.where(F.expr("CAST(substr(ca, 2) AS BIGINT) % 100 = 0"))
+        .select(F.col("ca").alias("node"))
+        .distinct()
+    )
+    dist = sssp_bounded(e, seeds, n_rounds=3)
+    return (
+        dist.groupBy(F.substring("node", 1, 1).alias("node_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reachable"),
+            F.min("dist").alias("min_dist"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+            F.max("dist").alias("max_dist"),
+        )
+        .orderBy("node_type")
+    )

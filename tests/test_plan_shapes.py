@@ -448,3 +448,60 @@ def test_two_phase_queries_deterministic_across_runs(spark, sf_dir):
         a = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
         b = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
         assert a == b, name
+
+
+def test_gini_two_phase_rank_no_global_window(spark, sf_dir):
+    # the global revenue rank must be partitioned by the range-partition
+    # id (two-phase, cf. part_pareto_abc) — an order-only row_number
+    # over xc would pull every customer into ONE task. The only
+    # unpartitioned window allowed is over the per-partition counts
+    # (pcount), a partition-count-sized frame.
+    plan = _plan(spark, sf_dir, "customer_revenue_gini")
+    assert re.search(r"row_number\(\) windowspecdefinition\(pid#\d+,", plan), plan
+    assert not re.search(r"row_number\(\) windowspecdefinition\(xc", plan), plan
+
+
+def test_oov_vocab_membership_join_broadcasts(spark, sf_dir):
+    # the top-1000 vocab is rank-bounded: the token⋈vocab membership
+    # join must broadcast the vocab side, never shuffle the exploded
+    # token stream by token (a |tokens|-sized exchange at 100 TB).
+    plan = _plan(spark, sf_dir, "corpus_oov_rate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_autocorr_daily_series_broadcast_no_cartesian(spark, sf_dir):
+    # the daily series is date-bounded; the lag self-join must be a
+    # broadcast equi-join on the shifted day, not a cartesian.
+    plan = _plan(spark, sf_dir, "events_autocorr_lags")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sssp_no_node_sized_broadcast(spark, sf_dir):
+    # tentative distances are node-cardinality — with auto-broadcast
+    # disabled, any BroadcastHashJoin left in the relaxation plan would
+    # mean an explicit hint on a node-sized frame (the r4 PageRank
+    # lesson, pinned here from birth for the min-plus twin).
+    from gcs2postgres_spark.operators.graph import sssp_bounded
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("string").alias("ca"),
+            F.col("l_suppkey").cast("string").alias("sb"),
+        )
+        .agg(F.lit(1).alias("w"))
+    )
+    e = pair.select(F.col("ca").alias("a"), F.col("sb").alias("b"), "w")
+    seeds = pair.select(F.col("ca").alias("node")).distinct().limit(10)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(sssp_bounded(e, seeds, n_rounds=2, checkpoint=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
