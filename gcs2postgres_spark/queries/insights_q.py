@@ -707,3 +707,126 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential quality-gate funnel over the document corpus
+# ---------------------------------------------------------------------------
+
+FILTER_FUNNEL_ORACLE = """
+WITH feat AS (
+  SELECT length(text) AS len,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), f2 AS (
+  SELECT len, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct
+  FROM feat
+), staged AS (
+  SELECT CASE
+    WHEN len < 200 THEN 1
+    WHEN n_words < 45 THEN 2
+    WHEN 100 * n_distinct < 33 * n_words THEN 3
+    WHEN 100 * len > 565 * n_words THEN 4
+    ELSE 0 END AS drop_stage
+  FROM f2
+), drops AS (
+  SELECT drop_stage, count(*) AS c FROM staged GROUP BY 1
+), spine AS (
+  SELECT * FROM (VALUES (1, 'min_length'), (2, 'min_words'),
+                        (3, 'lexical_diversity'), (4, 'word_length'))
+    AS t(stage, rule)
+), tot AS (
+  SELECT SUM(c) AS total FROM drops
+)
+SELECT s.stage, s.rule,
+       CAST(t.total - COALESCE(SUM(d2.c) FILTER (WHERE d2.drop_stage > 0
+              AND d2.drop_stage < s.stage), 0) AS BIGINT) AS n_in,
+       CAST(COALESCE(max(CASE WHEN d.drop_stage = s.stage THEN d.c END), 0)
+              AS BIGINT) AS n_drop
+FROM spine s
+CROSS JOIN tot t
+LEFT JOIN drops d ON d.drop_stage = s.stage
+LEFT JOIN drops d2 ON d2.drop_stage > 0 AND d2.drop_stage < s.stage
+GROUP BY s.stage, s.rule, t.total
+ORDER BY s.stage
+"""
+
+
+@register("corpus_filter_funnel", oracle=FILTER_FUNNEL_ORACLE)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-gate funnel (the CCNet/Gopher-rules shape):
+    each document is attributed to the FIRST gate it fails —
+    min-length → min-words → lexical diversity (type-token ratio) →
+    mean word length — and the funnel reports, per gate, how many
+    documents reached it and how many it dropped. This is the triage
+    view a training-data pipeline publishes per crawl so rule
+    regressions are attributable.
+
+    Determinism: every gate is an exact INTEGER comparison
+    (100·distinct < 33·words, 100·chars > 565·words) — no float ratio
+    can sit on a knife edge between engines.
+
+    Scale shape: one map-side pass computes all per-doc features
+    inside codegen (no explode — counts via size(filter(split)) /
+    size(array_distinct)), the drop-stage histogram is a ≤5-row
+    aggregate, and the funnel arithmetic runs on that bounded frame
+    joined to a literal spine.
+    """
+    d = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    feat = d.select(
+        ln.alias("len"),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    drop_stage = (
+        F.when(F.col("len") < 200, 1)
+        .when(F.col("n_words") < 45, 2)
+        .when(100 * F.col("n_distinct") < 33 * F.col("n_words"), 3)
+        .when(100 * F.col("len") > 565 * F.col("n_words"), 4)
+        .otherwise(0)
+    )
+    drops = (
+        feat.select(drop_stage.alias("drop_stage"))
+        .groupBy("drop_stage")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rules = spark.createDataFrame(
+        [
+            (1, "min_length"),
+            (2, "min_words"),
+            (3, "lexical_diversity"),
+            (4, "word_length"),
+        ],
+        "stage int, rule string",
+    )
+    total = drops.agg(F.sum("c").alias("total"))
+    # cumulative drops BEFORE each stage, over the bounded stage frame
+    joined = (
+        rules.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(drops).withColumnRenamed("drop_stage", "stage"),
+            "stage",
+            "left",
+        )
+        .withColumnRenamed("c", "n_drop_raw")
+    )
+    w_prior = (
+        Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        joined.withColumn("n_drop", F.coalesce("n_drop_raw", F.lit(0)))
+        .withColumn(
+            "n_in",
+            (F.col("total") - F.coalesce(F.sum("n_drop").over(w_prior), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .select("stage", "rule", "n_in", F.col("n_drop").cast("long").alias("n_drop"))
+        .orderBy("stage")
+    )

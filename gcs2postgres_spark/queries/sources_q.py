@@ -562,3 +562,63 @@ def iceberg_partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+PARTITIONED_OVERWRITE_ORACLE = """
+WITH final AS (
+  SELECT event_type, value FROM events WHERE event_type <> 'click'
+  UNION ALL
+  SELECT event_type, value * 2 AS value FROM events WHERE event_type = 'click'
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM final GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("parquet_partitioned_overwrite_roundtrip", oracle=PARTITIONED_OVERWRITE_ORACLE)
+def parquet_partitioned_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned parquet with DYNAMIC partition
+    overwrite: write events partitioned by event_type, then overwrite
+    ONLY the 'click' partition with transformed rows (value doubled)
+    while every other partition's files stay untouched — the
+    incremental-reload primitive of a partitioned lake (reference's
+    truncate-and-reload lane, src/db/db.go:149-156, upgraded to
+    partition granularity). ``partitionOverwriteMode=dynamic`` is the
+    whole point: STATIC overwrite would wipe the other partitions.
+
+    Scale shape: the writer shuffles once on the partition column so
+    each task owns whole hive partitions (no small-files explosion);
+    the re-read prunes by partition directory. Certified value-for-
+    value against the expected merged state computed from the source.
+    """
+    tune_for_session(spark)
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="dyn_overwrite_rt_") + "/events_part"
+    (
+        e.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    clicks2 = (
+        e.where(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+        .repartition("event_type")
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        clicks2.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -85,3 +85,20 @@ def test_bfs_empty_edges(spark):
     rows = bfs_layers(und, seeds, n_hops=2).collect()
     # the seed itself survives at dist 0; no frontier ever grows
     assert {(r.node, r.dist) for r in rows} == {(7, 0)}
+
+
+def test_sssp_empty_edges_keeps_seeds_at_zero(spark):
+    from gcs2postgres_spark.operators.graph import sssp_bounded
+
+    e = spark.createDataFrame([], "a long, b long, w long")
+    seeds = spark.range(3).withColumnRenamed("id", "node")
+    rows = sssp_bounded(e, seeds, n_rounds=3).collect()
+    assert {(r.node, r.dist) for r in rows} == {(0, 0), (1, 0), (2, 0)}
+
+
+def test_sssp_empty_seeds_empty_result(spark):
+    from gcs2postgres_spark.operators.graph import sssp_bounded
+
+    e = spark.createDataFrame([(1, 2, 5)], "a long, b long, w long")
+    seeds = spark.createDataFrame([], "node long")
+    assert sssp_bounded(e, seeds, n_rounds=2).count() == 0

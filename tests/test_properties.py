@@ -402,3 +402,41 @@ def test_interleave_positions_unique_and_rotating(spark, sizes, seed):
             assert needed <= between | {s}, (ordered, s, idx)
         last_seen[s] = idx
         remaining[s] -= 1
+
+
+WEIGHTED_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(edges=WEIGHTED_EDGES, n_rounds=st.integers(min_value=1, max_value=3))
+@SLOW
+def test_sssp_bounded_matches_python_bellman_ford(spark, edges, n_rounds):
+    from gcs2postgres_spark.operators.graph import sssp_bounded
+
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    if not edges:
+        return
+    e = spark.createDataFrame(
+        edges + [(b, a, w) for a, b, w in edges], "a int, b int, w int"
+    )
+    seed_nodes = sorted({a for a, _, _ in edges})[:2]
+    seeds = spark.createDataFrame([(s,) for s in seed_nodes], "node int")
+    got = {(r.node, r.dist) for r in sssp_bounded(e, seeds, n_rounds=n_rounds).collect()}
+    # reference: bounded Bellman-Ford relaxation — exact min over paths
+    # of <= n_rounds edges, the operator's documented contract
+    adj = edges + [(b, a, w) for a, b, w in edges]
+    dist = {s: 0 for s in seed_nodes}
+    for _ in range(n_rounds):
+        nxt = dict(dist)
+        for a, b, w in adj:
+            if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == set(dist.items())
