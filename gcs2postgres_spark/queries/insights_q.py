@@ -830,3 +830,163 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("stage", "rule", "n_in", F.col("n_drop").cast("long").alias("n_drop"))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram novelty vs the corpus prefix (doc_id order)
+# ---------------------------------------------------------------------------
+
+NGRAM_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3 THEN
+      list_distinct(list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' ')))
+    ELSE [array_to_string(t, ' ')] END) AS ng
+  FROM toks
+), first_seen AS (
+  SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY 1
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN first_seen f ON g.ng = f.ng
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+@register("corpus_ngram_novelty", oracle=NGRAM_NOVELTY_ORACLE)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty against the corpus prefix in
+    ingestion (doc_id) order: the fraction of a doc's distinct
+    3-grams whose FIRST corpus occurrence is that doc — the
+    freshness/staleness signal an incremental crawl pipeline uses to
+    decide whether a new batch still adds information (novelty → 0
+    as a source exhausts).
+
+    Scale shape: shingling is a JVM higher-order function (no Python),
+    first-occurrence is ONE key-partitioned min-aggregation over the
+    exploded n-gram stream, and the join back is on the same n-gram
+    key — two shuffles total, both on n-gram, with map-side partials.
+    No windows, no driver state; 100 TB of text reduces to the
+    distinct-n-gram frame.
+    """
+    from gcs2postgres_spark.operators.dedup import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n=3)).alias("ng")
+    )
+    first = g.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift between two deterministic batches
+# ---------------------------------------------------------------------------
+
+CENTROID_DRIFT_ORACLE = """
+WITH half AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS batch, embedding AS vec
+  FROM embeddings
+), cent AS (
+  SELECT label, batch, i AS pos, avg(vec[i]) AS m
+  FROM half, unnest(generate_series(1, len(vec))) AS u(i)
+  GROUP BY label, batch, i
+), paired AS (
+  SELECT a.label, a.pos, a.m AS m0, b.m AS m1
+  FROM cent a JOIN cent b
+    ON a.label = b.label AND a.pos = b.pos AND a.batch = 0 AND b.batch = 1
+), counts AS (
+  SELECT label,
+         SUM(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS n1
+  FROM half GROUP BY label
+)
+SELECT p.label,
+       CAST(c.n0 AS BIGINT) AS n_batch0,
+       CAST(c.n1 AS BIGINT) AS n_batch1,
+       round(sqrt(SUM((p.m0 - p.m1) * (p.m0 - p.m1))), 5) AS centroid_l2_drift
+FROM paired p JOIN counts c ON p.label = c.label
+GROUP BY p.label, c.n0, c.n1
+ORDER BY p.label
+"""
+
+
+@register("embedding_centroid_drift", oracle=CENTROID_DRIFT_ORACLE)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2 drift between the centroids of two deterministic
+    halves of the embedding table (vec_id parity = 'yesterday's batch
+    vs today's') — the embedding-distribution drift monitor that
+    catches encoder version skew or upstream feature rot before it
+    poisons retrieval (cf. events_psi_drift for the scalar twin).
+
+    Scale shape: posexplode to (label, batch, dim) then ONE
+    key-partitioned avg — dimension count is a constant (the vector
+    width), so the centroid frame is |labels|×|dims|×2, tiny at any
+    corpus size; the batch0⋈batch1 pairing runs on that bounded frame.
+    Floats are cast to double before averaging (DuckDB's unnested
+    FLOAT[] aggregates in double), drift rounded to 5.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("batch"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label", "batch", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double")
+    )
+    cent = half.groupBy("label", "batch", "pos").agg(F.avg("v").alias("m"))
+    a = cent.where(F.col("batch") == 0).select(
+        "label", "pos", F.col("m").alias("m0")
+    )
+    b = cent.where(F.col("batch") == 1).select(
+        "label", "pos", F.col("m").alias("m1")
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n_batch0"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n_batch1"),
+    )
+    drift = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))),
+                5,
+            ).alias("centroid_l2_drift")
+        )
+    )
+    return (
+        counts.join(drift, "label")
+        .select(
+            "label",
+            F.col("n_batch0").cast("long").alias("n_batch0"),
+            F.col("n_batch1").cast("long").alias("n_batch1"),
+            "centroid_l2_drift",
+        )
+        .orderBy("label")
+    )
