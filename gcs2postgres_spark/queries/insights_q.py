@@ -537,8 +537,8 @@ WITH rng AS (
   SELECT min(value) AS lo, max(value) AS hi FROM events
 ), binned AS (
   SELECT e.event_type,
-         LEAST(CAST(floor((e.value - r.lo) / ((r.hi - r.lo) / 256.0)) AS INT),
-               255) AS bin
+         COALESCE(LEAST(CAST(floor((e.value - r.lo)
+                  / NULLIF((r.hi - r.lo) / 256.0, 0)) AS INT), 255), 0) AS bin
   FROM events e CROSS JOIN rng r
 ), hist AS (
   SELECT event_type, bin, count(*) AS c FROM binned GROUP BY 1, 2
@@ -582,9 +582,18 @@ def agg_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "lo",
         "hi",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-            F.lit(255),
+        # NULLIF-guarded width: an all-equal-values table (hi == lo)
+        # must land in bin 0 on both engines, not diverge on inf/NaN
+        # int-cast semantics
+        F.coalesce(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / F.nullif(width, F.lit(0.0))
+                ).cast("int"),
+                F.lit(255),
+            ),
+            F.lit(0),
         ).alias("bin"),
     )
     hist = binned.groupBy("event_type", "lo", "hi", "bin").agg(
