@@ -436,8 +436,9 @@ rfm AS (
 )
 SELECT segment,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(avg(recency), 6) AS avg_recency,
-       round(avg(monetary_c) / 100.0, 6) AS avg_monetary
+       CAST((sum(recency) * 1000000) // count(*) AS BIGINT) / 1e6 AS avg_recency,
+       CAST((CAST(sum(monetary_c) AS HUGEINT) * 10000) // count(*) AS BIGINT) / 1e6
+         AS avg_monetary
 FROM scored GROUP BY 1 ORDER BY 1
 """
 
@@ -499,12 +500,37 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency",
         "monetary_c",
     )
+    # Segment means via exact integer FLOOR division at 6 decimals —
+    # round(avg(double), 6) sat on a real half-ulp knife edge
+    # (avg_monetary ...4396875 rounded 688 on Spark, 687 on DuckDB in
+    # the r5b driver-sim); integer `DIV`/`//` is engine-exact and the
+    # /1e6 re-scale is an exact double below 2^53. decimal(38) on the
+    # Spark side and HUGEINT in the oracle keep the ×10⁴ product exact
+    # at any scale factor.
     return (
         scored.groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("recency"), 6).alias("avg_recency"),
-            F.round(F.avg("monetary_c") / 100.0, 6).alias("avg_monetary"),
+            F.sum("recency").alias("sum_rec"),
+            F.sum("monetary_c").alias("sum_mon"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            (
+                F.floor(
+                    (F.col("sum_rec") * 1000000).cast("decimal(38,0)")
+                    / F.col("n_customers")
+                ).cast("long")
+                / 1e6
+            ).alias("avg_recency"),
+            (
+                F.floor(
+                    (F.col("sum_mon").cast("decimal(38,0)") * 10000)
+                    / F.col("n_customers")
+                ).cast("long")
+                / 1e6
+            ).alias("avg_monetary"),
         )
         .orderBy("segment")
     )

@@ -999,3 +999,73 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel timing: click → purchase conversion-delay distribution
+# ---------------------------------------------------------------------------
+
+TIME_TO_CONVERT_ORACLE = """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS t_click FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), first_purchase AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN first_click f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= f.t_click
+  GROUP BY 1
+), delays AS (
+  SELECT CAST(date_diff('second', f.t_click, p.t_buy) AS BIGINT) AS secs
+  FROM first_click f JOIN first_purchase p ON f.user_id = p.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(min(secs) AS BIGINT) AS min_secs,
+       round(quantile_cont(secs, 0.5), 6) AS p50_secs,
+       round(quantile_cont(secs, 0.9), 6) AS p90_secs,
+       CAST(max(secs) AS BIGINT) AS max_secs
+FROM delays
+"""
+
+
+@register("events_time_to_convert", oracle=TIME_TO_CONVERT_ORACLE)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion-delay distribution: per user, the
+    first purchase AT OR AFTER the first click, delay in whole seconds,
+    summarized as exact P50/P90 — the funnel-timing companion to
+    events_funnel_3step (which counts conversions; this times them).
+
+    Determinism: integer-second deltas; Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the p·(n−1) interpolation
+    definition, engine-identical on integers.
+
+    Scale shape: two user-keyed min-aggregations (map-side partials)
+    and one user-keyed join — no windows over the raw event stream;
+    the final percentile folds a |converted-users|-sized frame of
+    integers whose exact grouped percentile Spark computes
+    distributed (ObjectHashAggregate).
+    """
+    e = _t(spark, sf_dir, "events")
+    first_click = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    delays = first_click.join(first_purchase, "user_id").select(
+        (
+            F.col("t_buy").cast("long") - F.col("t_click").cast("long")
+        ).alias("secs")
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("secs").alias("min_secs"),
+        F.round(F.percentile("secs", 0.5), 6).alias("p50_secs"),
+        F.round(F.percentile("secs", 0.9), 6).alias("p90_secs"),
+        F.max("secs").alias("max_secs"),
+    )
