@@ -1069,3 +1069,261 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("secs", 0.9), 6).alias("p90_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between two event-type daily series
+# ---------------------------------------------------------------------------
+
+XCORR_ORACLE = """
+WITH clicks AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events
+  WHERE event_type = 'click' GROUP BY 1
+), buys AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+), lags AS (
+  SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag
+), pairs AS (
+  SELECT l.lag, a.c AS c0, b.c AS c1
+  FROM clicks a CROSS JOIN lags l
+  JOIN buys b ON b.day = a.day + l.lag
+)
+SELECT lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(c0, c1), 6) AS ccf
+FROM pairs GROUP BY lag ORDER BY lag
+"""
+
+
+@register("events_xcorr_click_purchase", oracle=XCORR_ORACLE)
+def events_xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation (lags −3..+3) between the daily click series
+    and the daily purchase series — 'do purchases follow clicks, and
+    by how many days?' — the lead-lag diagnostic behind attribution
+    window choices (cf. events_autocorr_lags for the self-correlation
+    twin).
+
+    Scale shape: both series are DATE-bounded after one map-side-
+    partial groupBy each; the shifted join broadcasts the purchase
+    series. Calendar-aligned: a day missing from either series
+    contributes no pair at any lag.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = lambda typ: (  # noqa: E731
+        e.where(F.col("event_type") == typ)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    clicks = daily("click")
+    buys = daily("purchase")
+    lagged = clicks.withColumn(
+        "lag", F.explode(F.array(*[F.lit(i) for i in range(-3, 4)]))
+    ).withColumn("match_day", F.date_add("day", F.col("lag")))
+    b = buys.select(F.col("day").alias("match_day"), F.col("c").alias("c1"))
+    return (
+        lagged.join(F.broadcast(b), "match_day")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("c", "c1"), 6).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: Fano factor of per-user daily activity
+# ---------------------------------------------------------------------------
+
+BURSTINESS_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT user_id,
+         count(*) AS n_days,
+         avg(c) AS mu,
+         var_samp(c) AS v
+  FROM daily GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT user_id,
+       CAST(n_days AS BIGINT) AS n_active_days,
+       round(mu, 6) AS mean_daily,
+       round(v / mu, 6) AS fano_factor
+FROM stats ORDER BY user_id
+"""
+
+
+@register("events_user_burstiness", oracle=BURSTINESS_ORACLE)
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of daily event counts) per user —
+    the burstiness feature separating steady organic users (≈1,
+    Poisson) from batchy automation (≫1), a standard bot-detection
+    input alongside events_user_entropy. Users with <5 active days are
+    excluded (a variance over 2-3 points is noise).
+
+    Scale shape: two key-partitioned aggregations (user×day, then
+    user), both with map-side partials — no windows. ``var_samp``
+    matches DuckDB's sample-variance definition.
+    """
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_days"),
+            F.avg("c").alias("mu"),
+            F.var_samp("c").alias("v"),
+        )
+        .where(F.col("n_active_days") >= 5)
+        .select(
+            "user_id",
+            "n_active_days",
+            F.round(F.col("mu"), 6).alias("mean_daily"),
+            F.round(F.col("v") / F.col("mu"), 6).alias("fano_factor"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-totals reconciliation audit (header vs lines)
+# ---------------------------------------------------------------------------
+
+ORDER_RECON_ORACLE = """
+WITH line_sums AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS lines_c,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY 1
+), recon AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_c,
+         COALESCE(l.lines_c, 0) AS lines_c,
+         COALESCE(l.n_lines, 0) AS n_lines
+  FROM orders o LEFT JOIN line_sums l ON o.o_orderkey = l.l_orderkey
+), classed AS (
+  SELECT CASE
+    WHEN n_lines = 0 THEN 'no_lines'
+    WHEN header_c = lines_c THEN 'exact'
+    WHEN abs(header_c - lines_c) * 100 <= header_c THEN 'within_1pct'
+    ELSE 'mismatch' END AS recon_class,
+    abs(header_c - lines_c) AS abs_diff_c
+  FROM recon
+)
+SELECT recon_class,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(SUM(abs_diff_c) / 100.0, 2) AS total_abs_diff
+FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("dq_order_totals_recon", oracle=ORDER_RECON_ORACLE)
+def dq_order_totals_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: does each order's header total
+    match the sum of its line extended prices? Orders are classed
+    exact / within-1% / mismatch / no-lines with the aggregate money
+    gap per class — the classic ledger-integrity audit every ETL
+    pipeline runs after load (the reference's load-then-verify posture,
+    src/db/db.go:149-180, expressed as a query).
+
+    Determinism: all money exact integer cents; the 1% band is the
+    exact-rational test |diff|·100 ≤ header — no float division.
+
+    Scale shape: one key-partitioned sum over lineitem (map-side
+    partials), one key-partitioned LEFT join on the order key, then a
+    4-row class rollup.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    line_sums = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("lines_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    recon = (
+        o.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("header_c"),
+        )
+        .join(line_sums, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "header_c",
+            F.coalesce("lines_c", F.lit(0)).alias("lines_c"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+    )
+    cls = (
+        F.when(F.col("n_lines") == 0, "no_lines")
+        .when(F.col("header_c") == F.col("lines_c"), "exact")
+        .when(
+            F.abs(F.col("header_c") - F.col("lines_c")) * 100 <= F.col("header_c"),
+            "within_1pct",
+        )
+        .otherwise("mismatch")
+    )
+    return (
+        recon.select(
+            cls.alias("recon_class"),
+            F.abs(F.col("header_c") - F.col("lines_c")).alias("abs_diff_c"),
+        )
+        .groupBy("recon_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("abs_diff_c") / 100.0, 2).alias("total_abs_diff"),
+        )
+        .orderBy("recon_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily revenue percentile bands (P10/P50/P90 of order values per day)
+# ---------------------------------------------------------------------------
+
+REV_BANDS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(cents, 0.10) / 100.0, 6) AS p10_value,
+       round(quantile_cont(cents, 0.50) / 100.0, 6) AS p50_value,
+       round(quantile_cont(cents, 0.90) / 100.0, 6) AS p90_value
+FROM daily GROUP BY day ORDER BY day
+"""
+
+
+@register("orders_daily_value_bands", oracle=REV_BANDS_ORACLE)
+def orders_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P50/P90 order-value bands per day — the control-chart feed
+    for monitoring order-mix shifts (a p50 drift with stable p90 means
+    the long tail didn't move; both drifting means repricing).
+
+    Determinism: percentiles over exact integer CENTS (the float
+    dollars would interpolate off-grid); Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` (p·(n−1) interpolation) on integers.
+
+    Scale shape: exact grouped percentiles are a single
+    ObjectHashAggregate keyed by day — partitions parallel across
+    days, no global window; 100 TB of orders still yields
+    |days|-bounded output.
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = o.select(
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.percentile("cents", 0.10) / 100.0, 6).alias("p10_value"),
+            F.round(F.percentile("cents", 0.50) / 100.0, 6).alias("p50_value"),
+            F.round(F.percentile("cents", 0.90) / 100.0, 6).alias("p90_value"),
+        )
+        .orderBy("day")
+    )
