@@ -1327,3 +1327,95 @@ def orders_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality profile: CBO-style size prediction from key histograms
+# ---------------------------------------------------------------------------
+
+JOIN_CARD_ORACLE = """
+WITH ca AS (
+  SELECT user_id, count(*) AS c FROM events WHERE event_type = 'click' GROUP BY 1
+), cb AS (
+  SELECT user_id, count(*) AS c FROM events WHERE event_type = 'purchase' GROUP BY 1
+), contrib AS (
+  SELECT ca.user_id, CAST(ca.c AS BIGINT) * cb.c AS rows_out
+  FROM ca JOIN cb ON ca.user_id = cb.user_id
+), tot AS (
+  SELECT count(*) AS n_keys_both, SUM(rows_out) AS predicted_rows FROM contrib
+), act AS (
+  SELECT count(*) AS actual_rows
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND a.event_type = 'click' AND b.event_type = 'purchase'
+), top1 AS (
+  SELECT user_id AS top_key, rows_out AS top_rows FROM contrib
+  ORDER BY rows_out DESC, user_id LIMIT 1
+)
+SELECT CAST(t.n_keys_both AS BIGINT) AS n_keys_both,
+       CAST(t.predicted_rows AS BIGINT) AS predicted_rows,
+       CAST(a.actual_rows AS BIGINT) AS actual_rows,
+       p.top_key,
+       round(p.top_rows / CAST(t.predicted_rows AS DOUBLE), 6) AS top_key_share
+FROM tot t CROSS JOIN act a CROSS JOIN top1 p
+"""
+
+
+@register("profile_join_cardinality", oracle=JOIN_CARD_ORACLE)
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO-style join-size prediction from per-key count histograms:
+    |A ⋈_k B| = Σ_k cA(k)·cB(k), here for the clicks⋈purchases
+    self-join on user_id, with the top contributing key's share — the
+    pre-flight check that tells you a shuffle join will explode
+    BEFORE you run it (and which key to salt). The query also executes
+    the real join at test scale and emits both numbers; their exact
+    equality certifies the estimator (at 100 TB you run only the
+    histogram side — two cheap aggregations instead of the join).
+
+    Scale shape: the histograms are key-partitioned counts with
+    map-side partials; their join is |distinct keys|-sized; the
+    top-1 pick is a TakeOrdered, not a sort.
+    """
+    e = _t(spark, sf_dir, "events")
+    ca = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    cb = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c_b"))
+    )
+    contrib = ca.join(cb, "user_id").select(
+        "user_id", (F.col("c_a").cast("long") * F.col("c_b")).alias("rows_out")
+    )
+    tot = contrib.agg(
+        F.count(F.lit(1)).alias("n_keys_both"),
+        F.sum("rows_out").alias("predicted_rows"),
+    )
+    act = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id")
+        .join(
+            e.where(F.col("event_type") == "purchase").select("user_id"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    top1 = contrib.orderBy(F.desc("rows_out"), "user_id").limit(1).select(
+        F.col("user_id").alias("top_key"), F.col("rows_out").alias("top_rows")
+    )
+    return (
+        tot.crossJoin(F.broadcast(act))
+        .crossJoin(F.broadcast(top1))
+        .select(
+            "n_keys_both",
+            "predicted_rows",
+            "actual_rows",
+            "top_key",
+            F.round(
+                F.col("top_rows") / F.col("predicted_rows").cast("double"), 6
+            ).alias("top_key_share"),
+        )
+    )

@@ -505,3 +505,21 @@ def test_sssp_no_node_sized_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_daily_value_bands_percentile_partial_agg(spark, sf_dir):
+    # exact grouped percentiles must aggregate partial+final
+    # (ObjectHashAggregate with partial_percentile), never collect a
+    # group to one node outside the agg framework.
+    plan = _plan(spark, sf_dir, "orders_daily_value_bands")
+    assert "partial_percentile" in plan, plan
+    assert "ObjectHashAggregate" in plan, plan
+
+
+def test_join_cardinality_histograms_partial_agg(spark, sf_dir):
+    # the estimator's value is computing sizes WITHOUT the join: both
+    # key histograms must show map-side partial counts, and the top-1
+    # contributor must be a TakeOrdered, not a global sort.
+    plan = _plan(spark, sf_dir, "profile_join_cardinality")
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
