@@ -622,3 +622,119 @@ def parquet_partitioned_overwrite_roundtrip(spark: SparkSession, sf_dir: str) ->
         )
         .orderBy("event_type")
     )
+
+
+CSV_MALFORMED_ORACLE = """
+WITH valid AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  ORDER BY o_orderkey LIMIT 100
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key,
+       CAST(max(o_orderkey) AS BIGINT) AS last_key,
+       round(sum(o_totalprice), 2) AS total
+FROM valid
+"""
+
+
+@register("csv_malformed_drop_roundtrip", oracle=CSV_MALFORMED_ORACLE)
+def csv_malformed_drop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerance on the CSV lane: a file holding 100
+    valid rows INTERLEAVED with malformed lines (wrong arity, bad
+    types, type-invalid truncation) read back with an explicit schema and
+    ``mode=DROPMALFORMED`` — the production posture for dirty feeds
+    (the reference's CSV external-table lane, src/db/db.go:27, hardened
+    the way a real pipeline must be). The aggregate certifies that
+    exactly the 100 valid rows survive, none silently dropped, none
+    malformed silently coerced.
+
+    Scale shape: malformed-row handling is per-partition streaming in
+    the CSV parser itself — no pre-scan, no driver filtering; a 100 TB
+    dirty feed costs the same single pass a clean one does.
+    """
+    tune_for_session(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+    rows = o.collect()  # 100-row bounded fixture construction (test-scale only)
+    tmp = tempfile.mkdtemp(prefix="csv_malformed_")
+    path = tmp + "/orders_dirty.csv"
+    with open(path, "w") as f:
+        f.write("o_orderkey,o_orderstatus,o_totalprice\n")
+        for i, r in enumerate(rows):
+            f.write(f"{r.o_orderkey},{r.o_orderstatus},{r.o_totalprice}\n")
+            if i % 20 == 10:
+                f.write("this,is,not,a,valid,row,at,all\n")  # wrong arity
+            if i % 25 == 5:
+                f.write("not_an_int,XX,not_a_price\n")  # type garbage
+        # NOTE: a short row with PARSEABLE prefix ("12345") is NOT
+        # malformed to Spark's CSV parser — missing trailing columns
+        # pad with NULL (PERMISSIVE arity). A truncation only drops
+        # when a type fails, so the fixture truncates with a non-int:
+        f.write("xyz\n")  # truncated + type-invalid record
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+PARQUET_CODEC_ORACLE = """
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         round(sum(l_extendedprice), 2) AS total
+  FROM lineitem WHERE l_orderkey % 10 = 0
+)
+SELECT c.codec, a.n_rows, a.total
+FROM (VALUES ('gzip'), ('snappy'), ('zstd')) AS c(codec)
+CROSS JOIN agg a
+ORDER BY c.codec
+"""
+
+
+@register("parquet_codec_roundtrip", oracle=PARQUET_CODEC_ORACLE)
+def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec portability: the same lineitem slice written
+    as parquet under snappy, zstd, and gzip, read back and aggregated
+    per codec — certifying the storage lane is codec-agnostic (the
+    lake migration case: zstd for cold data, snappy for hot, mixed
+    directories read together).
+
+    Scale shape: codec choice changes bytes, not plans — each
+    roundtrip is the same single-pass scan; writer parallelism and
+    reader pushdown are codec-independent.
+    """
+    tune_for_session(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    tmp = tempfile.mkdtemp(prefix="codec_rt_")
+    outs = []
+    for codec in ["gzip", "snappy", "zstd"]:
+        p = f"{tmp}/{codec}"
+        li.write.mode("overwrite").option("compression", codec).parquet(p)
+        outs.append(
+            spark.read.parquet(p).agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("codec")

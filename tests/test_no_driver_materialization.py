@@ -35,6 +35,12 @@ ALLOWED = {
         # df.write.parquet on executors
         'df.select(partition_col).distinct().orderBy(partition_col)',
     ],
+    "queries/sources_q.py": [
+        # malformed-CSV fixture construction: .limit(100) bounded rows
+        # written to a dirty test file; the read-back path under test
+        # is fully distributed
+        ".limit(100)",
+    ],
     "sources/delta_py.py": [
         # Delta log replay collects (path, partitionValues) per live file
         # — metadata, one small row per data file, never table data; the
