@@ -255,3 +255,20 @@ def stream_stream_interval_join(
         "click_id", "purchase_id", "user_id",
         "click_ts", "purchase_ts", "purchase_value",
     )
+
+
+def binned_value_counts(events: DataFrame, bin_width: float = 100.0) -> DataFrame:
+    """Mergeable fixed-width value histogram per event_type — the
+    STREAMING-compatible variant of queries/insights_q.py::
+    agg_binned_quantiles: fixed bin edges (no global min/max, which a
+    stream cannot know) make the histogram a plain keyed count, so
+    partial aggregates merge by addition across micro-batches and
+    stream==batch by construction. The batch twin pins the equality in
+    tests/test_streaming.py."""
+    return (
+        events.withColumn(
+            "bin", F.floor(F.col("value") / F.lit(bin_width)).cast("int")
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

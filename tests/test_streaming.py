@@ -200,3 +200,25 @@ def test_stream_cdc_upsert_delta_matches_batch(spark, sf_dir, tmp_path):
     assert n_batches >= 4
     # each applied batch committed one version
     assert read_delta_py(spark, target, version_as_of=0).count() > 0
+
+
+def test_binned_histogram_stream_matches_batch(spark, sf_dir):
+    # mergeable-by-construction: fixed-width bins are a plain keyed
+    # count, so micro-batched partials must sum to the batch histogram
+    # exactly — the streaming-compatible variant of agg_binned_quantiles
+    from gcs2postgres_spark.streaming.windows import (
+        binned_value_counts,
+        read_events_stream,
+        run_to_memory,
+    )
+    from gcs2postgres_spark.catalog import load_table
+
+    stream = binned_value_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "binned_hist", mode="complete")
+    got = {
+        (r.event_type, r.bin): r.c
+        for r in spark.table("binned_hist").collect()
+    }
+    batch = binned_value_counts(load_table(spark, sf_dir, "events"))
+    want = {(r.event_type, r.bin): r.c for r in batch.collect()}
+    assert got == want and len(want) > 0
