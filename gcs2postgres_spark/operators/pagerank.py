@@ -102,3 +102,85 @@ def pagerank_fixed(
         )
         ranks = _cp(ranks)
     return ranks.select("node", "rank")
+
+
+def ppr_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    n_iters: int = 3,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized PageRank: identical power iteration to
+    ``pagerank_fixed`` except the restart distribution is concentrated
+    on the seed set (s(v) = 1/|S| for seeds, else 0) — both the
+    (1−d) teleport and the dangling-mass redistribution land on seeds
+    only, so rank measures proximity TO the seed set ('related
+    accounts', contamination blast radius with damping).
+
+    Scale shape per round: same as pagerank_fixed — edges ⋈ ranks on
+    src (degree travels with the rank vector), groupBy dst partial
+    sums, scalar dangling aggregate; the seed indicator is one extra
+    column on the node frame. Nothing node-sized is broadcast.
+    """
+    _cp = (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
+    e = _cp(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct())
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = seeds.select(F.col(node_col).alias("node")).distinct().withColumn(
+        "is_seed", F.lit(1)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nd = _cp(
+        nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .join(s, "node", "left")
+    )
+    n_seeds = nd.agg(F.sum(F.coalesce("is_seed", F.lit(0))).alias("n_seeds"))
+    # restart mass: 1/|S| on seeds, 0 elsewhere
+    ranks = _cp(
+        nd.crossJoin(F.broadcast(n_seeds)).select(
+            "node",
+            "deg",
+            (
+                F.coalesce("is_seed", F.lit(0)).cast("double") / F.col("n_seeds")
+            ).alias("s"),
+        ).withColumn("rank", F.col("s"))
+    )
+    for _ in range(n_iters):
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+        )
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("src"), "rank", "deg"), "src")
+            .select(
+                F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            ranks.select("node", "deg", "s")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                "s",
+                (
+                    (1 - damping) * F.col("s")
+                    + damping
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("dangling_mass") * F.col("s")
+                    )
+                ).alias("rank"),
+            )
+        )
+        ranks = _cp(ranks)
+    return ranks.select("node", "rank")

@@ -455,3 +455,90 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = peel(cur)
         out = out.unionByName(stats(cur, r))
     return out.orderBy("round")
+
+
+def _ppr_oracle(n_iters: int = 3, damping: float = 0.85, topk: int = 20) -> str:
+    """Unrolled personalized-PageRank recurrence mirroring
+    operators/pagerank.ppr_fixed: restart mass 1/|S| on seed customers
+    (custkey % 100 = 0), teleport AND dangling mass land on seeds."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), seeds AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM e
+  WHERE CAST(substr(src, 2) AS BIGINT) % 100 = 0
+), ns AS MATERIALIZED (SELECT count(*) AS n_seeds FROM seeds),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+sv AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 / ns.n_seeds END AS s
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node CROSS JOIN ns
+), r0 AS MATERIALIZED (SELECT node, s AS rank FROM sv)"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f""", dm{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank), 0.0) AS dangling_mass
+  FROM r{i - 1} r LEFT JOIN deg d ON r.node = d.src
+  WHERE d.src IS NULL
+), m{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank / d.deg) AS in_mass
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+), r{i} AS MATERIALIZED (
+  SELECT v.node,
+         (1 - {damping}) * v.s
+           + {damping} * (coalesce(m.in_mass, 0.0) + dm{i}.dangling_mass * v.s)
+           AS rank
+  FROM sv v LEFT JOIN m{i} m ON v.node = m.node CROSS JOIN dm{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, round(rank, 9) AS rank FROM r{n_iters}
+WHERE round(rank, 9) > 0
+ORDER BY round(rank, 9) DESC, node LIMIT {topk}"""
+    )
+    return "".join(parts)
+
+
+PPR_ORACLE = _ppr_oracle()
+
+
+@register("graph_ppr_seeded", oracle=PPR_ORACLE)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seed customers (custkey % 100 = 0)
+    over the customer→supplier purchase graph: proximity-to-seeds
+    scores, top 20 — 'which suppliers are most exposed to this
+    customer cohort', the damped generalization of the BFS/SSSP blast
+    radius (graph_bfs_3hop / graph_sssp_weighted). Restart AND
+    dangling mass land on seeds (operators/pagerank.ppr_fixed); the
+    oracle unrolls the identical recurrence. Rank rounded to 9 before
+    the top-k so the cross-engine order is decided on equal values.
+    """
+    from gcs2postgres_spark.operators.pagerank import ppr_fixed
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = edges.where(
+        F.expr("CAST(substr(src, 2) AS BIGINT) % 100 = 0")
+    ).select(F.col("src").alias("node"))
+    ranks = ppr_fixed(edges, seeds, n_iters=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .where(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -1419,3 +1419,92 @@ def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_key_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier revenue concentration per nation (Herfindahl-Hirschman index)
+# ---------------------------------------------------------------------------
+
+HHI_ORACLE = """
+WITH srev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS a
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT s_nationkey,
+         count(*) AS n_suppliers,
+         SUM(a) AS t,
+         SUM(CAST(a AS HUGEINT) * a) AS sum_sq
+  FROM srev GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       CAST(a.n_suppliers AS BIGINT) AS n_suppliers,
+       round(a.t / 100.0, 2) AS total_revenue,
+       CAST((a.sum_sq * 1000000) // (CAST(a.t AS HUGEINT) * a.t) AS BIGINT) / 1e6
+         AS hhi
+FROM nat a JOIN nation n ON a.s_nationkey = n.n_nationkey
+ORDER BY nation
+"""
+
+
+@register("nation_supplier_hhi", oracle=HHI_ORACLE)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: HHI = Σ share² = Σa²/T² — the market-concentration /
+    single-point-of-failure metric a supply-chain risk report leads
+    with (1/n = perfectly even, 1.0 = monopoly supplier).
+
+    Determinism: the round-5b house pattern for ratios of integers —
+    revenue in exact cents, Σa² exact (decimal(19)² → decimal(38) /
+    HUGEINT), and the final ratio via exact integer FLOOR division at
+    6 dp; no float knife edge is possible (cf. the RFM fix).
+
+    Scale shape: two key-partitioned aggregations (supplier, then
+    nation) with map-side partials; the supplier⋈nation dim join
+    broadcasts; no windows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    srev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("a")
+        )
+    )
+    nat = srev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("a").alias("t"),
+        F.sum(F.col("a").cast("decimal(19,0)") * F.col("a").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+    )
+    return (
+        nat.join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.round(F.col("t") / 100.0, 2).alias("total_revenue"),
+            (
+                F.floor(
+                    (F.col("sum_sq") * 1000000)
+                    / (
+                        F.col("t").cast("decimal(19,0)")
+                        * F.col("t").cast("decimal(19,0)")
+                    )
+                ).cast("long")
+                / 1e6
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -591,3 +591,55 @@ def test_delta_partition_filter_empty_result(spark, sf_dir, tmp_path):
     out = read_delta_py(spark, tmp, partition_filter={"n_regionkey": {"99"}})
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [f.name for f in nation.schema.fields]
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, sf_dir, tmp_path):
+    # the physical claim behind parquet_partitioned_overwrite_roundtrip:
+    # only the overwritten partition's files change; every other
+    # partition keeps the exact same file set (names + mtimes)
+    import os
+
+    from gcs2postgres_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "events_part")
+    e.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+
+    def snapshot(skip: str):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("event_type=") and skip not in d:
+                full = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = snapshot(skip="click")
+    clicks2 = (
+        e.where(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+        .repartition("event_type")
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        clicks2.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    assert snapshot(skip="click") == before
+    # and the click partition really was replaced
+    back = spark.read.parquet(path)
+    orig_click_sum = [
+        r.s for r in e.where("event_type = 'click'").agg(F.sum("value").alias("s")).collect()
+    ][0]
+    new_click_sum = [
+        r.s
+        for r in back.where("event_type = 'click'").agg(F.sum("value").alias("s")).collect()
+    ][0]
+    assert abs(new_click_sum - 2 * orig_click_sum) < 1e-6 * abs(orig_click_sum)
