@@ -1508,3 +1508,155 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier OTIF (on-time delivery share, exact rational percentage)
+# ---------------------------------------------------------------------------
+
+OTIF_ORACLE = """
+WITH lines AS (
+  SELECT l_suppkey,
+         CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) BETWEEN 0 AND 60
+              THEN 1 ELSE 0 END AS on_time
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(on_time) AS BIGINT) AS n_on_time,
+       CAST((SUM(on_time) * 1000000) // count(*) AS BIGINT) / 1e6 AS otif_rate
+FROM lines GROUP BY 1 ORDER BY l_suppkey
+"""
+
+
+@register("supplier_otif_rate", oracle=OTIF_ORACLE)
+def supplier_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time delivery share per supplier: shipped within 0-60 days
+    of the order date — the OTIF vendor scorecard, the thresholded
+    companion to supplier_ship_latency_pcts (which reports the full
+    distribution). The synthetic dates are not causally ordered, so
+    negative lags count as NOT on time (real pipelines flag them as
+    data errors). Rate via exact integer floor division at 6 dp (the
+    round-5b house pattern — no float knife edge possible).
+
+    Scale shape: one key-partitioned fact join (lineitem's single
+    shuffle), a map-side CASE, one |suppliers|-keyed count/sum with
+    partials.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    on_time = F.when((lag >= 0) & (lag <= 60), 1).otherwise(0)
+    return (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_suppkey", on_time.alias("on_time"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("on_time").alias("n_on_time"),
+        )
+        .select(
+            "l_suppkey",
+            "n_lines",
+            "n_on_time",
+            (
+                F.floor(
+                    (F.col("n_on_time") * 1000000).cast("decimal(38,0)")
+                    / F.col("n_lines")
+                ).cast("long")
+                / 1e6
+            ).alias("otif_rate"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap: day-of-week × hour event matrix
+# ---------------------------------------------------------------------------
+
+DOW_HOUR_ORACLE = """
+SELECT CAST(dayofweek(ts) AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hr,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY dow, hr
+"""
+
+
+@register("events_dow_hour_heatmap", oracle=DOW_HOUR_ORACLE)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap (events + distinct
+    users per cell) — the standard traffic-shape view behind capacity
+    planning and anomaly baselines. DuckDB ``dayofweek`` is 0=Sunday;
+    Spark ``dayofweek`` is 1=Sunday, so the Spark side subtracts 1 to
+    match — pinned by the value compare, not by convention.
+
+    Scale shape: one 168-cell keyed aggregation; the distinct-user
+    count is the only shuffle-heavy part (partial distinct per cell).
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount→quantity elasticity per brand (grouped OLS slope)
+# ---------------------------------------------------------------------------
+
+ELASTICITY_ORACLE = """
+WITH d AS (
+  SELECT p.p_brand,
+         l.l_discount AS x,
+         l.l_quantity AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(regr_slope(y, x), 6) AS qty_per_discount,
+       round(regr_r2(y, x), 6) AS r2
+FROM d GROUP BY 1 ORDER BY p_brand
+"""
+
+
+@register("brand_discount_elasticity", oracle=ELASTICITY_ORACLE)
+def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount (with R²) — 'does
+    discounting move volume for this brand?' — the pricing-analytics
+    staple, computed with the single-pass regression aggregates
+    (`regr_slope`/`regr_r2`, identical Welford-style definitions in
+    Spark and DuckDB).
+
+    Scale shape: the part dim broadcasts into the fact scan; one
+    |brands|-keyed aggregation with map-side partials; no windows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    d = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        d.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope(F.col("l_quantity"), F.col("l_discount")), 6).alias(
+                "qty_per_discount"
+            ),
+            F.round(F.regr_r2(F.col("l_quantity"), F.col("l_discount")), 6).alias(
+                "r2"
+            ),
+        )
+        .orderBy("p_brand")
+    )
