@@ -523,3 +523,44 @@ def test_join_cardinality_histograms_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "profile_join_cardinality")
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_aqe_skew_join_runtime_split(spark, sf_dir):
+    # SCALE.md's runtime-replan claim, executed: a crafted skewed join
+    # under AQE must show skew=true in the FINAL adaptive plan — the
+    # fat partition was split at runtime without any manual salting
+    # (the automatic counterpart of operators/skew.salted_skew_join).
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 5 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        b = spark.range(0, 1000).select(F.col("id").alias("k"))
+        j = a.join(b, "k").agg(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0].n == 100_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
