@@ -438,3 +438,95 @@ def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pkey", "doc_id")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data manifest: the composed export of the whole prep pipeline
+# ---------------------------------------------------------------------------
+
+TRAIN_MANIFEST_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, text, length(text) AS len,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+              THEN 1 ELSE 0 END AS keep_dedup,
+         CASE WHEN len >= 200 AND len(toks) >= 45
+                   AND 100 * len(list_distinct(toks)) >= 33 * len(toks)
+                   AND 100 * len <= 565 * len(toks)
+              THEN 1 ELSE 0 END AS quality_pass,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN {hash_split_oracle_bucket_sql("doc_id", _SPLIT_SEED)} < 9000
+                THEN 'train'
+              WHEN {hash_split_oracle_bucket_sql("doc_id", _SPLIT_SEED)} < 9500
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM feat
+)
+SELECT doc_id, split,
+       CAST(keep_dedup AS INT) AS keep_dedup,
+       CAST(quality_pass AS INT) AS quality_pass,
+       n_tokens,
+       CAST(CASE WHEN keep_dedup = 1 AND quality_pass = 1 THEN 1 ELSE 0 END
+            AS INT) AS selected
+FROM flags ORDER BY doc_id
+"""
+
+
+@register("dataset_train_manifest", oracle=TRAIN_MANIFEST_ORACLE)
+def dataset_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed DELIVERABLE of the training-data prep pipeline: one
+    manifest row per document carrying its md5 split, exact-dedup keep
+    flag (min-doc_id-wins per identical text), integer-exact quality
+    gate (the corpus_filter_funnel rules as one conjunction), token
+    count, and the final ``selected`` bit — exactly the table a
+    downstream tokenizer job consumes. Every component is an
+    already-certified operator (dataset_split_assign, dedup_exact,
+    corpus_filter_funnel); this query certifies their COMPOSITION
+    end-to-end.
+
+    Scale shape: one text-keyed window for the dedup flag (the only
+    shuffle), everything else map-side — split hash, gates, and token
+    count are per-row codegen; the manifest streams out partitioned.
+    """
+    tune_for_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    feat = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    w = Window.partitionBy("text")
+    quality = (
+        (F.col("len") >= 200)
+        & (F.col("n_toks") >= 45)
+        & (100 * F.col("n_distinct") >= 33 * F.col("n_toks"))
+        & (100 * F.col("len") <= 565 * F.col("n_toks"))
+    )
+    flags = feat.select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("keep_dedup"),
+        F.when(quality, 1).otherwise(0).alias("quality_pass"),
+        F.col("n_toks").cast("long").alias("n_tokens"),
+        hash_split_column(
+            F.col("doc_id"), {"train": 0.9, "val": 0.05, "test": 0.05}, _SPLIT_SEED
+        ).alias("split"),
+    )
+    return flags.select(
+        "doc_id",
+        "split",
+        F.col("keep_dedup").cast("int").alias("keep_dedup"),
+        F.col("quality_pass").cast("int").alias("quality_pass"),
+        "n_tokens",
+        (F.col("keep_dedup") * F.col("quality_pass")).cast("int").alias("selected"),
+    ).orderBy("doc_id")
