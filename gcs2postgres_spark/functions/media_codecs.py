@@ -178,3 +178,36 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
         "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
     )
     return hdr + fmt + b"data" + struct.pack("<I", data_len) + frames
+
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal standards-compliant PNG encoder: 8-bit grayscale,
+    non-interlaced, filter type 0 on every row, one IDAT, stdlib zlib —
+    the jar-free counterpart of decode_png (which handles the FULL
+    filter spec, so it reads this encoder's output and any real
+    encoder's alike). Used by the multimodal fixtures to build real
+    image bytes on executors without PIL/ImageIO."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )

@@ -155,3 +155,80 @@ def sample_frames(records: DataFrame, every_n: int = 10) -> DataFrame:
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.col("media_meta.n_frames") - 1, F.lit(every_n))),
     )
+
+
+def attach_pattern_png(
+    docs: DataFrame, id_col: str = "doc_id", key_mod: int = 200, side: int = 8
+) -> DataFrame:
+    """Attach a REAL grayscale PNG payload per row, pixels generated by
+    the closed-form pattern p(k) = (7·(id % key_mod) + 13·k) % 256 —
+    rows sharing ``id % key_mod`` are pixel-identical images (planted
+    duplicates). Encoding runs on EXECUTORS via the jar-free stdlib
+    encoder (functions/media_codecs.encode_png_gray), one Arrow batch
+    at a time; the closed form is what lets a SQL oracle replay
+    everything downstream of the codec.
+    """
+    n_px = side * side
+    # ship the codec MODULE by value (register_pickle_by_value): its
+    # functions have importable qualnames cloudpickle would otherwise
+    # pickle by reference, and executor workers don't share the
+    # driver's sys.path hack (the multimodal gotcha — same fix as
+    # queries/llm.multimodal_wav_energy)
+    from pyspark import cloudpickle as _cp
+
+    from gcs2postgres_spark.functions import media_codecs as _mc
+
+    _cp.register_pickle_by_value(_mc)
+    encode_png_gray = _mc.encode_png_gray
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            keys = (pdf[id_col] % key_mod).astype("int64")
+            pdf = pdf.copy()
+            pdf["png"] = [
+                encode_png_gray(
+                    bytes([(7 * int(key) + 13 * k) % 256 for k in range(n_px)]),
+                    side,
+                    side,
+                )
+                for key in keys
+            ]
+            yield pdf[[id_col, "png"]]
+
+    return docs.select(id_col).mapInPandas(gen, schema=f"{id_col} long, png binary")
+
+
+def image_ahash(records: DataFrame, bytes_col: str = "png", id_col: str = "doc_id") -> DataFrame:
+    """Perceptual average-hash over real image bytes: decode each PNG
+    with the independent full-filter-spec parser, then aHash — bit k is
+    1 iff 64·p(k) > Σp (exact integer comparison, no float mean) — as a
+    64-char bit string. Identical images hash identically; the operator
+    is the image twin of simhash for text near-dup (bucket by hash →
+    candidate groups).
+
+    Scale shape: decode+hash is one Arrow-batched mapInPandas pass —
+    per-row work is constant (64 pixels), memory bounded by the batch;
+    grouping by the hash string afterwards is a plain keyed aggregation.
+    """
+
+    from pyspark import cloudpickle as _cp
+
+    from gcs2postgres_spark.functions import media_codecs as _mc
+
+    _cp.register_pickle_by_value(_mc)
+    decode_png = _mc.decode_png
+
+    def hash_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for _, row in pdf.iterrows():
+                d = decode_png(bytes(row[bytes_col]))
+                px = d["pixels"]
+                n = len(px)
+                total = sum(px)
+                bits = "".join("1" if n * p > total else "0" for p in px)
+                out_ids.append(row[id_col])
+                out_hashes.append(bits)
+            yield pd.DataFrame({id_col: out_ids, "ahash": out_hashes})
+
+    return records.mapInPandas(hash_batches, schema=f"{id_col} long, ahash string")

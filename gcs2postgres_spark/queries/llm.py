@@ -1482,3 +1482,67 @@ def contrastive_pairs_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup via perceptual average-hash over REAL PNG bytes
+# ---------------------------------------------------------------------------
+
+IMAGE_AHASH_ORACLE = """
+WITH ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < 500
+), px AS (
+  SELECT ids.doc_id, u.k,
+         (7 * (ids.doc_id % 200) + 13 * u.k) % 256 AS p
+  FROM ids, unnest(range(0, 64)) AS u(k)
+), tot AS (
+  SELECT doc_id, SUM(p) AS total FROM px GROUP BY 1
+), bits AS (
+  SELECT px.doc_id,
+         string_agg(CASE WHEN 64 * px.p > t.total THEN '1' ELSE '0' END,
+                    '' ORDER BY px.k) AS ahash
+  FROM px JOIN tot t USING (doc_id) GROUP BY px.doc_id
+), groups AS (
+  SELECT ahash, count(*) AS group_size FROM bits GROUP BY 1
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       min(ahash) AS sample_hash
+FROM groups GROUP BY 1 ORDER BY group_size
+"""
+
+
+@register("multimodal_image_ahash_dedup", oracle=IMAGE_AHASH_ORACLE)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection through REAL image bytes: each
+    doc gets an 8×8 grayscale PNG (closed-form pixels, planted
+    duplicates at doc_id % 200) ENCODED on executors by the stdlib
+    PNG writer, decoded back by the INDEPENDENT full-filter-spec
+    parser, perceptual-average-hashed (bit k = 64·p(k) > Σp, exact
+    integers), and bucketed by hash — the image twin of SimHash text
+    dedup. The oracle replays the pixel arithmetic symbolically, so a
+    value match certifies the encoder, the decoder, AND the hash
+    bit-for-bit (a single filter-spec or bit-order bug flips
+    sample_hash).
+
+    Scale shape: encode and decode+hash are two Arrow-batched
+    mapInPandas passes (constant per-row work); dedup bucketing is a
+    plain hash-keyed aggregation — no pairwise comparison ever runs
+    (cf. operators/dedup.simhash).
+    """
+    from gcs2postgres_spark.operators.multimodal import (
+        attach_pattern_png,
+        image_ahash,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    hashed = image_ahash(attach_pattern_png(d, key_mod=200, side=8))
+    groups = hashed.groupBy("ahash").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        groups.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("ahash").alias("sample_hash"),
+        )
+        .orderBy("group_size")
+    )

@@ -575,3 +575,18 @@ def test_pq_adc_uneven_dim_floor_bounds(spark):
     for q_id, rs in by_q.items():
         best = min(rs, key=lambda r: r["rank"])
         assert best["adc_dist"] >= 0.0
+
+
+def test_png_encoder_decoder_roundtrip_nonsquare():
+    # the stdlib encoder's output must parse bit-exactly through the
+    # INDEPENDENT full-filter-spec decoder, including non-square shapes
+    from gcs2postgres_spark.functions.media_codecs import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    for w, h in [(8, 8), (5, 3), (1, 7), (16, 2)]:
+        px = bytes([(11 * k + 3) % 256 for k in range(w * h)])
+        d = decode_png(encode_png_gray(px, w, h))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+        assert d["pixels"] == px
