@@ -538,3 +538,53 @@ def prefix_jaccard_pairs(
             F.round(F.col("n_inter").cast("double") / un, 6).alias("jaccard"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: directed containment C(A→B) =
+    |A∩B| / |A| ≥ t — 'doc A is (mostly) inside doc B', which Jaccard
+    misses whenever a small doc is swallowed by a much larger one
+    (the quote/excerpt/boilerplate case every crawl dedup hits; the
+    symmetric score |A∩B|/|A∪B| is dragged down by |B|). Emits
+    DIRECTED pairs (id_a contained-in id_b, a≠b) with exact-rational
+    thresholding (den·inter ≥ num·|A| — no float edge).
+
+    Scale shape: same inverted-index algebra as jaccard_pairs — explode
+    distinct shingles, self-join on the shingle key, count
+    intersections, join sizes back. Candidate generation composes with
+    MinHash banding exactly as the Jaccard path does; the all-pairs
+    form is for bounded id ranges (the oracle's shape).
+    """
+    shingled = shingle_docs(docs, id_col, text_col, shingle_n)
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .where(
+            F.col("n_inter") * threshold_den >= F.col("n_a") * threshold_num
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_inter",
+            F.round(F.col("n_inter") / F.col("n_a").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+    )
