@@ -1660,3 +1660,87 @@ def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife standard error over deterministic hash buckets
+# ---------------------------------------------------------------------------
+
+JACKKNIFE_ORACLE = """
+WITH b AS (
+  SELECT CAST(event_id % 20 AS INT) AS bucket,
+         count(*) AS n, SUM(value) AS s
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS n_tot, SUM(s) AS s_tot, count(*) AS k FROM b
+), loo AS (
+  SELECT b.bucket,
+         (t.s_tot - b.s) / (t.n_tot - b.n) AS mean_wo
+  FROM b CROSS JOIN tot t
+), jk AS (
+  SELECT avg(mean_wo) AS jk_mean, count(*) AS k FROM loo
+)
+SELECT CAST(t.n_tot AS BIGINT) AS n_values,
+       round(t.s_tot / t.n_tot, 6) AS mean_value,
+       round(sqrt((jk.k - 1.0) / jk.k
+                  * SUM((l.mean_wo - jk.jk_mean) * (l.mean_wo - jk.jk_mean))),
+             6) AS jackknife_se
+FROM loo l CROSS JOIN tot t CROSS JOIN jk
+GROUP BY t.n_tot, t.s_tot, jk.k
+"""
+
+
+@register("agg_jackknife_se", oracle=JACKKNIFE_ORACLE)
+def agg_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error of the mean over 20
+    DETERMINISTIC buckets (event_id % 20) — error bars for a
+    distributed aggregate with zero randomness (reruns and engines
+    agree bit-for-bit on the bucketing), the honest way to put a ±
+    on a metric without bootstrap RNG.
+
+    Scale shape: ONE keyed partial aggregation (bucket → n, Σ); every
+    leave-one-out mean is then algebra over the 20-row frame — the
+    jackknife costs one aggregation pass regardless of data size,
+    the textbook mergeable-statistics trick.
+    """
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy((F.col("event_id") % 20).cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    tot = b.agg(
+        F.sum("n").alias("n_tot"), F.sum("s").alias("s_tot"), F.count(F.lit(1)).alias("k")
+    )
+    loo = b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_tot",
+        "s_tot",
+        "k",
+        ((F.col("s_tot") - F.col("s")) / (F.col("n_tot") - F.col("n"))).alias(
+            "mean_wo"
+        ),
+    )
+    jk = loo.groupBy("n_tot", "s_tot", "k").agg(
+        F.avg("mean_wo").alias("jk_mean")
+    )
+    return (
+        loo.join(F.broadcast(jk), ["n_tot", "s_tot", "k"])
+        .groupBy("n_tot", "s_tot", "k")
+        .agg(
+            F.round(
+                F.sqrt(
+                    (F.col("k") - 1.0)
+                    / F.col("k")
+                    * F.sum(
+                        (F.col("mean_wo") - F.col("jk_mean"))
+                        * (F.col("mean_wo") - F.col("jk_mean"))
+                    )
+                ),
+                6,
+            ).alias("jackknife_se")
+        )
+        .select(
+            F.col("n_tot").cast("long").alias("n_values"),
+            F.round(F.col("s_tot") / F.col("n_tot"), 6).alias("mean_value"),
+            "jackknife_se",
+        )
+    )

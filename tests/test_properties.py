@@ -440,3 +440,36 @@ def test_sssp_bounded_matches_python_bellman_ford(spark, edges, n_rounds):
                 nxt[b] = dist[a] + w
         dist = nxt
     assert got == set(dist.items())
+
+
+@given(texts=DOCS)
+@SLOW
+def test_containment_pairs_match_bruteforce(spark, texts):
+    from gcs2postgres_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_a, r.n_inter)
+        for r in containment_pairs(
+            docs, "doc_id", "text", threshold_num=1, threshold_den=2, shingle_n=1
+        ).collect()
+    }
+    # brute force over unigram token sets (shingle_n=1 semantics:
+    # word_shingles falls back to nothing special at n=1 — distinct toks)
+    sets = {
+        i: set((t or "").lower().strip().split()) if (t or "").strip() else {""}
+        for i, t in enumerate(texts)
+    }
+    # word_shingles(n=1) on empty/whitespace text yields [""] (the
+    # whole-text fallback); mirror that
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if 2 * inter >= len(sa):
+                want[(a, b)] = (len(sa), inter)
+    assert got == want
