@@ -1,7 +1,14 @@
-"""Round-5b insights tier: calendar-aligned autocorrelation, exact
-revenue Gini (two-phase global rank — no single-task window), per-user
-Shannon entropy, sequential path mining (event trigrams), and a
-deterministic A/B conversion test with a pooled two-proportion z-score.
+"""Round-5b insights tier: calendar-aligned autocorrelation and
+click↔purchase cross-correlation, exact revenue Gini and nation-level
+HHI concentration (two-phase rank / exact integer ratios), per-user
+Shannon entropy and Fano-factor burstiness, sequential path mining
+(event trigrams), a deterministic A/B conversion z-test, Zipf's-law
+fit, OOV rate, character-class profiles, the quality-gate funnel,
+mergeable binned quantiles, bounded weighted SSSP, trigram novelty,
+embedding centroid drift, click→purchase time-to-convert, CBO-style
+join-cardinality prediction, header-vs-detail order reconciliation,
+daily order-value bands, supplier OTIF, day-of-week×hour heatmaps,
+brand discount elasticity, and jackknife standard errors.
 
 Reference parity: none of these exist in the 523-LoC Go reference
 (src/db/db.go delegates analytics to the warehouse); they extend the
