@@ -886,18 +886,22 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     decide whether a new batch still adds information (novelty → 0
     as a source exhausts).
 
-    Scale shape: shingling is a JVM higher-order function (no Python),
+    Scale shape: shingling is one Arrow-batched pandas pass,
     first-occurrence is ONE key-partitioned min-aggregation over the
     exploded n-gram stream, and the join back is on the same n-gram
     key — two shuffles total, both on n-gram, with map-side partials.
     No windows, no driver state; 100 TB of text reduces to the
     distinct-n-gram frame.
     """
-    from gcs2postgres_spark.operators.dedup import word_shingles
+    from gcs2postgres_spark.operators.dedup import shingle_docs
 
     d = _t(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n=3)).alias("ng")
+    # Arrow-batched shingler, NOT the higher-order-function form:
+    # string-heavy HOF lambdas run interpreted and measured 14x slower
+    # than the oracle at sf1 (70.5 s -> see BASELINE round-5b tier);
+    # the pandas shingler is the same one the MinHash pipeline uses.
+    g = shingle_docs(d, "doc_id", "text", shingle_n=3).withColumnRenamed(
+        "shingle", "ng"
     )
     first = g.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -1750,4 +1754,69 @@ def agg_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s_tot") / F.col("n_tot"), 6).alias("mean_value"),
             "jackknife_se",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per user (behavioural timing feature)
+# ---------------------------------------------------------------------------
+
+INTER_ARRIVAL_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), gaps AS (
+  SELECT user_id,
+         CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS gap_s
+  FROM ordered WHERE prev_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("events_inter_arrival_stats", oracle=INTER_ARRIVAL_ORACLE)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user (exact P50/P90 of
+    consecutive-event spacing in whole seconds) — the timing texture
+    behind sessionization gap choices and the burstiness feature
+    (events_user_burstiness counts days; this measures the seconds
+    between touches).
+
+    Determinism: integer-second gaps (timestamps truncate identically
+    on both engines), total order (ts, event_id) inside each user.
+
+    Scale shape: one user-partitioned lag window + one user-keyed
+    exact-percentile aggregation — both parallel across users, no
+    global ordering anywhere.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (F.col("ts").cast("long") - F.col("prev_ts").cast("long")).alias(
+                "gap_s"
+            ),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.round(F.percentile("gap_s", 0.5), 6).alias("p50_gap_s"),
+            F.round(F.percentile("gap_s", 0.9), 6).alias("p90_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
     )
