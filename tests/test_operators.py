@@ -590,3 +590,43 @@ def test_png_encoder_decoder_roundtrip_nonsquare():
         d = decode_png(encode_png_gray(px, w, h))
         assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
         assert d["pixels"] == px
+
+
+def test_winnow_arrow_path_matches_jvm_expression_path(spark):
+    # the fused Arrow winnower must reproduce the JVM expression
+    # pipeline bit-for-bit (portable hash), including short-text and
+    # whitespace-run edges
+    from gcs2postgres_spark.operators.dedup import (
+        _kgram_hashes,
+        _window_minima,
+        winnow_docs,
+    )
+    import pyspark.sql.functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 12,
+        "short",
+        "",
+        "   ",
+        "a  b\t\tc\nd   e",
+        "exactly8",
+        "ninechars",
+        "x" * 7,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = {
+        r.doc_id: r.fps
+        for r in winnow_docs(docs, "doc_id", "text", portable=True).collect()
+    }
+    grams = docs.select(
+        "doc_id", _kgram_hashes(F.col("text"), 8, True).alias("_grams")
+    )
+    slow = {
+        r.doc_id: r.fps
+        for r in grams.select(
+            "doc_id", _window_minima(F.col("_grams"), 4).alias("fps")
+        ).collect()
+    }
+    assert fast == slow
