@@ -251,18 +251,23 @@ ORDER BY id_a, id_b
 
 @register("dedup_cosine_embeddings", oracle=COSINE_NEAR_DUP_ORACLE)
 def dedup_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos > 0.45) over the FULL corpus
-    via SRP-LSH bucketing + exact cosine verify — the scale-true plan
-    (bucket equi-join, join-back verify, no crossJoin; see
-    operators/similarity.py srp_cosine_near_dup_pairs). The oracle is
-    exact all-pairs: valid because the verify stage makes false
-    positives impossible and the deterministic bucketing catches every
-    true pair on this corpus (asserted exhaustively in tests at three
-    SFs). Threshold 0.45 sits above the corpus noise floor (max random
-    cosine ≈ 0.6 at sf0.1) yet yields non-trivial pair counts."""
+    """Embedding-cosine near-dup pairs (cos > 0.45) over the FULL
+    corpus via EXACT blocked-GEMM all-pairs
+    (operators/similarity.blocked_cosine_pairs): provably complete, so
+    the all-pairs oracle is matched by construction, no recall
+    argument. This REPLACED the SRP-LSH path for this query after the
+    r5b sf1 sweep measured it at 904 s on 20k vectors — at a
+    near-chance threshold (true pairs sit at cos 0.45-0.60, collision
+    p≈0.65) every (nbits, ntables) choice either floods buckets
+    (600M candidates) or drops true pairs; blocked numpy GEMM does
+    the same complete verify at BLAS speed (measured ~3 s). SRP-LSH
+    (srp_cosine_near_dup_pairs) remains the scale path for HIGH
+    thresholds, where its recall math actually wins."""
+    from gcs2postgres_spark.operators.similarity import blocked_cosine_pairs
+
     e = _t(spark, sf_dir, "embeddings")
     return (
-        srp_cosine_near_dup_pairs(e, threshold=0.45)
+        blocked_cosine_pairs(e, threshold=0.45)
         .withColumn("cos_sim", F.round(F.col("cos_sim"), 9))
         .orderBy("id_a", "id_b")
     )

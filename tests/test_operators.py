@@ -630,3 +630,29 @@ def test_winnow_arrow_path_matches_jvm_expression_path(spark):
         ).collect()
     }
     assert fast == slow
+
+
+def test_blocked_cosine_pairs_match_allpairs_crossjoin(spark, sf_dir):
+    # blocked GEMM must reproduce the exact all-pairs result —
+    # completeness is structural (every id pair lands in exactly one
+    # block pair), asserted here value-for-value incl. block-boundary
+    # and diagonal-block pairs
+    from gcs2postgres_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        cosine_near_dup_pairs,
+    )
+    from gcs2postgres_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b): round(r.cos_sim, 9)
+        for r in blocked_cosine_pairs(e, threshold=0.45, nblocks=7).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): round(r.cos_sim, 9)
+        for r in cosine_near_dup_pairs(e, threshold=0.45).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
