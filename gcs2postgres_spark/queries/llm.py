@@ -1604,3 +1604,100 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         d, "doc_id", "text", threshold_num=2, threshold_den=5, shingle_n=3
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup via frame-energy fingerprint over REAL WAV bytes
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, doc_id % 150 AS key FROM documents WHERE doc_id < 500
+), samp AS (
+  SELECT ids.doc_id, u.k,
+         abs(((ids.key * 7919 + u.k * 104729) % 65536) - 32768) AS a
+  FROM ids, unnest(range(0, 64)) AS u(k)
+), frames AS (
+  SELECT doc_id, CAST(k // 8 AS INT) AS f, SUM(a) AS fsum
+  FROM samp GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(fsum) AS total FROM frames GROUP BY 1
+), sig AS (
+  SELECT fr.doc_id,
+         string_agg(CASE WHEN 8 * fr.fsum > t.total THEN '1' ELSE '0' END,
+                    '' ORDER BY fr.f) AS fp
+  FROM frames fr JOIN tot t USING (doc_id) GROUP BY fr.doc_id
+), groups AS (
+  SELECT fp, count(*) AS group_size FROM sig GROUP BY 1
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       min(fp) AS sample_fp
+FROM groups GROUP BY 1 ORDER BY group_size
+"""
+
+
+@register("multimodal_audio_fp_dedup", oracle=AUDIO_FP_ORACLE)
+def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection through REAL audio bytes —
+    completes the multimodal dedup triangle (text SimHash, image
+    aHash, audio fingerprint): each doc synthesizes a deterministic
+    64-sample PCM16 signal (planted duplicates at doc_id % 150),
+    ENCODES it to RIFF/WAVE on executors (encode_wav_pcm16), parses
+    the bytes back with the independent chunk-walk decoder, and
+    fingerprints by frame energy — 8 frames of 8 samples, bit f = 1
+    iff 8·Σ|frame f| > Σ|all| (exact integers, no float mean) — then
+    buckets by fingerprint. The oracle replays the sample arithmetic
+    symbolically, so a value match certifies encoder, decoder, and
+    fingerprint bit-for-bit.
+
+    Scale shape: encode→decode→fingerprint is ONE Arrow-batched
+    mapInPandas pass (payloads never leave executors); bucketing is a
+    plain keyed aggregation — no pairwise comparison.
+    """
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select("doc_id")
+
+    def _make_stage():
+        from pyspark import cloudpickle as _cp
+
+        from gcs2postgres_spark.functions import media_codecs as _mc
+
+        _cp.register_pickle_by_value(_mc)
+        decode_wav, encode_wav = _mc.decode_wav, _mc.encode_wav_pcm16
+
+        def stage(batches):
+            for pdf in batches:
+                out = {"doc_id": [], "fp": []}
+                for doc_id in pdf["doc_id"]:
+                    doc_id = int(doc_id)
+                    key = doc_id % 150
+                    samples = [
+                        ((key * 7919 + k * 104729) % 65536) - 32768
+                        for k in range(64)
+                    ]
+                    wav = encode_wav(samples)          # real RIFF bytes
+                    parsed = decode_wav(wav)["samples"]  # independent parse
+                    a = [abs(s) for s in parsed]
+                    fsums = [sum(a[f * 8 : (f + 1) * 8]) for f in range(8)]
+                    total = sum(fsums)
+                    fp = "".join(
+                        "1" if 8 * fs > total else "0" for fs in fsums
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["fp"].append(fp)
+                yield _pd.DataFrame(out)
+
+        return stage
+
+    sig = d.mapInPandas(_make_stage(), schema="doc_id long, fp string")
+    groups = sig.groupBy("fp").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        groups.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("fp").alias("sample_fp"),
+        )
+        .orderBy("group_size")
+    )
