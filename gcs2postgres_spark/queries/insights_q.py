@@ -1820,3 +1820,117 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily active users with a 7-day trailing moving average
+# ---------------------------------------------------------------------------
+
+DAU_MA7_ORACLE = """
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+)
+SELECT day,
+       CAST(dau AS BIGINT) AS dau,
+       CAST(count(*) OVER w AS INT) AS n_days_in_window,
+       round(avg(dau) OVER w, 6) AS dau_ma7
+FROM dau
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+@register("events_dau_ma7", oracle=DAU_MA7_ORACLE)
+def events_dau_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users with a calendar-correct 7-day trailing moving
+    average (RANGE frame over days, so gaps shrink the window rather
+    than silently stretching it — the classic ROWS-frame bug this
+    query's n_days_in_window column makes visible).
+
+    Scale shape: the DAU reduction (distinct users per day) is the only
+    big shuffle; the moving average runs over the DATE-bounded daily
+    frame — an unpartitioned window over |days| rows, bounded by the
+    calendar, the same documented-bounded contract as the vocab-rank
+    windows.
+    """
+    e = _t(spark, sf_dir, "events")
+    dau = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    # date-bounded frame (|days| rows): RANGE over epoch-days
+    w = (
+        Window.orderBy(F.unix_date("day"))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        dau.withColumn("n_days_in_window", F.count(F.lit(1)).over(w).cast("int"))
+        .withColumn("dau_ma7", F.round(F.avg("dau").over(w), 6))
+        .select("day", F.col("dau").cast("long").alias("dau"), "n_days_in_window", "dau_ma7")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly GMV with year-over-year growth
+# ---------------------------------------------------------------------------
+
+GMV_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS gmv_c,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), with_prior AS (
+  SELECT m.month, m.gmv_c, m.n_orders, p.gmv_c AS prior_c
+  FROM monthly m
+  LEFT JOIN monthly p ON p.month = m.month - INTERVAL 12 MONTH
+)
+SELECT month,
+       round(gmv_c / 100.0, 2) AS gmv,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       round(CASE WHEN prior_c IS NULL THEN NULL
+                  ELSE (gmv_c - prior_c) / CAST(prior_c AS DOUBLE) END, 6)
+         AS yoy_growth
+FROM with_prior ORDER BY month
+"""
+
+
+@register("orders_gmv_yoy", oracle=GMV_YOY_ORACLE)
+def orders_gmv_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly GMV with year-over-year growth — the headline finance
+    chart. YoY via a calendar SELF-JOIN on month−12 (not lag(12):
+    twelve ROWS back is only twelve MONTHS back when no month is
+    missing — the same calendar-alignment discipline as
+    events_autocorr_lags). GMV in exact integer cents; growth is one
+    final division rounded to 6.
+
+    Scale shape: one month-keyed aggregation collapses all orders to a
+    |months|-sized frame; the YoY join and ordering run on that
+    calendar-bounded frame.
+    """
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("gmv_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    prior = monthly.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("gmv_c").alias("prior_c"),
+    )
+    return (
+        monthly.join(F.broadcast(prior), "month", "left")
+        .select(
+            "month",
+            F.round(F.col("gmv_c") / 100.0, 2).alias("gmv"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(
+                (F.col("gmv_c") - F.col("prior_c"))
+                / F.col("prior_c").cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
