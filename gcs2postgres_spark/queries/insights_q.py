@@ -1934,3 +1934,94 @@ def orders_gmv_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (brand × size class)
+# ---------------------------------------------------------------------------
+
+CHI2_ORACLE = """
+WITH classed AS (
+  SELECT p_brand AS container,
+         CASE WHEN p_size <= 10 THEN 'small'
+              WHEN p_size <= 30 THEN 'medium'
+              ELSE 'large' END AS size_class
+  FROM part
+), cells AS (
+  SELECT container, size_class, count(*) AS o FROM classed GROUP BY 1, 2
+), margins AS (
+  SELECT c.container, c.size_class, c.o,
+         SUM(c.o) OVER (PARTITION BY c.container) AS row_tot,
+         SUM(c.o) OVER (PARTITION BY c.size_class) AS col_tot,
+         SUM(c.o) OVER () AS n
+  FROM cells c
+), stats AS (
+  SELECT SUM(POW(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+             / (row_tot * col_tot / CAST(n AS DOUBLE))) AS chi2,
+         max(n) AS n,
+         count(DISTINCT container) AS r,
+         count(DISTINCT size_class) AS c
+  FROM margins
+)
+SELECT CAST(n AS BIGINT) AS n_parts,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+FROM stats
+"""
+
+
+@register("dq_chi2_independence", oracle=CHI2_ORACLE)
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between part brand and size
+    class (with Cramér's V effect size) — completes the repo's
+    statistical-test family (two-proportion z, jackknife SE, Benford,
+    PSI): 'is brand correlated with size, or can the catalog model
+    them independently?'.
+
+    Determinism: observed counts are integers; expected counts are the
+    same rational row·col/n evaluated in double on both engines; χ²
+    and V rounded to 6.
+
+    Scale shape: one cell-keyed count (map-side partials) collapses
+    the table to |brands|×|classes| cells; margins via windows
+    over that bounded frame. (The column keeps the generic name
+    ``container`` in the output so the query works unchanged on a
+    catalog that does carry packaging columns.)
+    """
+    p = _t(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") <= 10, "small")
+        .when(F.col("p_size") <= 30, "medium")
+        .otherwise("large")
+    )
+    cells = p.select(
+        F.col("p_brand").alias("container"), size_class.alias("size_class")
+    ).groupBy("container", "size_class").agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("container")
+    w_col = Window.partitionBy("size_class")
+    w_all = Window.partitionBy()
+    m = (
+        cells.withColumn("row_tot", F.sum("o").over(w_row))
+        .withColumn("col_tot", F.sum("o").over(w_col))
+        .withColumn("n", F.sum("o").over(w_all))
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    stats = m.agg(
+        F.sum(F.pow(F.col("o") - expected, 2) / expected).alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("container").alias("r"),
+        F.countDistinct("size_class").alias("c"),
+    )
+    return stats.select(
+        F.col("n").cast("long").alias("n_parts"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
