@@ -2025,3 +2025,112 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov test (click vs purchase values)
+# ---------------------------------------------------------------------------
+
+KS_ORACLE = """
+WITH vals AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY value
+), cum AS (
+  SELECT SUM(c1) OVER (ORDER BY value) AS a1,
+         SUM(c2) OVER (ORDER BY value) AS a2
+  FROM vals
+), tot AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM vals
+)
+SELECT CAST(t.n1 AS BIGINT) AS n1,
+       CAST(t.n2 AS BIGINT) AS n2,
+       round(MAX(abs(c.a1 / CAST(t.n1 AS DOUBLE) - c.a2 / CAST(t.n2 AS DOUBLE))), 6)
+         AS ks_d,
+       round(1.358 * sqrt((t.n1 + t.n2) / (CAST(t.n1 AS DOUBLE) * t.n2)), 6)
+         AS crit_05,
+       CAST(MAX(abs(c.a1 / CAST(t.n1 AS DOUBLE) - c.a2 / CAST(t.n2 AS DOUBLE)))
+            > 1.358 * sqrt((t.n1 + t.n2) / (CAST(t.n1 AS DOUBLE) * t.n2))
+            AS BOOLEAN) AS reject_05
+FROM cum c CROSS JOIN tot t
+GROUP BY t.n1, t.n2
+"""
+
+
+@register("events_ks_two_sample", oracle=KS_ORACLE)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov test between the click and
+    purchase value distributions: D = max|ECDF₁−ECDF₂| evaluated at
+    every distinct value (tie-correct — both cumulative counts step
+    together at a shared value), with the α=0.05 asymptotic critical
+    value. Completes the stat-test family (z, χ², jackknife, KS).
+
+    Scale shape: the distinct-value reduction is one keyed count; the
+    global cumulative counts are TWO-PHASE (fifth use of the repo's
+    primitive — range-partition by value, per-partition running sums,
+    broadcast per-partition offsets), so no single-task window at any
+    cardinality; D folds with one max.
+    """
+    e = _t(spark, sf_dir, "events")
+    vals = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "c2"
+            ),
+        )
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        vals.repartitionByRange(n_parts, F.asc("value"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = ranged.withColumn("a1_in", F.sum("c1").over(w_in)).withColumn(
+        "a2_in", F.sum("c2").over(w_in)
+    )
+    totals = ranged.groupBy("pid").agg(
+        F.sum("c1").alias("p1"), F.sum("c2").alias("p2")
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "pid",
+        F.coalesce(F.sum("p1").over(w_off), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("p2").over(w_off), F.lit(0)).alias("off2"),
+    )
+    n = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    cum = (
+        ranged.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (
+                (F.col("a1_in") + F.col("off1")) / F.col("n1").cast("double")
+                - (F.col("a2_in") + F.col("off2")) / F.col("n2").cast("double")
+            ).alias("diff"),
+            "n1",
+            "n2",
+        )
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return (
+        cum.groupBy("n1", "n2")
+        .agg(F.max(F.abs(F.col("diff"))).alias("d"))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round("d", 6).alias("ks_d"),
+            F.round(crit, 6).alias("crit_05"),
+            (F.col("d") > crit).alias("reject_05"),
+        )
+    )
