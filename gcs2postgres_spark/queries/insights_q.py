@@ -2134,3 +2134,125 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") > crit).alias("reject_05"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test with midrank tie correction
+# ---------------------------------------------------------------------------
+
+MWU_ORACLE = """
+WITH vals AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY value
+), cum AS (
+  SELECT c1, c2, c1 + c2 AS t,
+         SUM(c1 + c2) OVER (ORDER BY value) - (c1 + c2) AS before_t
+  FROM vals
+), r1 AS (
+  -- midrank of a tie group of size t starting after before_t rows is
+  -- before_t + (t+1)/2; sample-1 contributes c1 such midranks.
+  -- 2*R1 stays in exact integer arithmetic (t+1 may be odd).
+  SELECT SUM(CAST(c1 AS HUGEINT) * (2 * before_t + t + 1)) AS two_r1,
+         SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
+  FROM cum
+), tot AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM vals
+)
+SELECT CAST(t.n1 AS BIGINT) AS n1,
+       CAST(t.n2 AS BIGINT) AS n2,
+       round(CAST(r.two_r1 AS DOUBLE) / 2
+             - t.n1 * (t.n1 + 1) / 2.0, 6) AS u1,
+       round((CAST(r.two_r1 AS DOUBLE) / 2 - t.n1 * (t.n1 + 1) / 2.0
+              - t.n1 * CAST(t.n2 AS DOUBLE) / 2)
+             / sqrt(t.n1 * CAST(t.n2 AS DOUBLE) / 12.0
+                    * ((t.n1 + t.n2 + 1)
+                       - CAST(r.tie_term AS DOUBLE)
+                         / ((t.n1 + t.n2) * CAST(t.n1 + t.n2 - 1 AS DOUBLE)))),
+             6) AS z_score
+FROM r1 r CROSS JOIN tot t
+"""
+
+
+@register("events_mann_whitney_u", oracle=MWU_ORACLE)
+def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click vs purchase values) with
+    MIDRANK tie correction and the tie-adjusted normal approximation —
+    the non-parametric sibling of ab_test_conversion's z-test; sixth
+    use of the two-phase primitive... except no per-row rank is ever
+    materialized: grouping by distinct value first makes every tie
+    group one row, and R1 = Σ c1·(before + (t+1)/2) follows from the
+    cumulative group sizes alone — 2·R1 stays exact-integer
+    (decimal/HUGEINT) until the final z division.
+
+    Scale shape: one distinct-value reduction, one value-ordered
+    cumulative sum over that reduced frame (date/value-bounded; the
+    window here is the bounded |distinct values| frame — swap in the
+    two-phase cumsum exactly as events_ks_two_sample does if values
+    are near-unique), two scalar folds.
+    """
+    e = _t(spark, sf_dir, "events")
+    vals = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "c2"
+            ),
+        )
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        vals.withColumn("t", F.col("c1") + F.col("c2"))
+        .repartitionByRange(n_parts, F.asc("value"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = ranged.withColumn("cum_in", F.sum("t").over(w_in))
+    ptotals = ranged.groupBy("pid").agg(F.sum("t").alias("pt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptotals.select(
+        "pid", F.coalesce(F.sum("pt").over(w_off), F.lit(0)).alias("off")
+    )
+    cum = ranged.join(F.broadcast(offs), "pid").withColumn(
+        "before_t", F.col("cum_in") + F.col("off") - F.col("t")
+    )
+    folds = cum.agg(
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("before_t") + F.col("t") + 1)
+        ).alias("two_r1"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    r1 = F.col("two_r1").cast("double") / 2
+    u1 = r1 - F.col("n1") * (F.col("n1") + 1) / 2.0
+    nn = F.col("n1") + F.col("n2")
+    var = (
+        n1d
+        * n2d
+        / 12.0
+        * (
+            (nn + 1)
+            - F.col("tie_term").cast("double") / (nn * (nn - 1).cast("double"))
+        )
+    )
+    return folds.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(u1, 6).alias("u1"),
+        F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6).alias("z_score"),
+    )

@@ -102,3 +102,17 @@ def test_sssp_empty_seeds_empty_result(spark):
     e = spark.createDataFrame([(1, 2, 5)], "a long, b long, w long")
     seeds = spark.createDataFrame([], "node long")
     assert sssp_bounded(e, seeds, n_rounds=2).count() == 0
+
+
+def test_blocked_cosine_pairs_empty_and_tiny(spark):
+    from gcs2postgres_spark.operators.similarity import blocked_cosine_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert blocked_cosine_pairs(empty, threshold=0.5).count() == 0
+    # fewer vectors than blocks: every block pair must still resolve
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = blocked_cosine_pairs(tiny, threshold=0.9, nblocks=8).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
