@@ -473,3 +473,34 @@ def test_containment_pairs_match_bruteforce(spark, texts):
             if 2 * inter >= len(sa):
                 want[(a, b)] = (len(sa), inter)
     assert got == want
+
+
+def test_partition_invariance_of_float_rounding(spark, sf_dir):
+    # the knife-edge class the RFM fix closed, pinned structurally: a
+    # query whose rounded floats depend on partial-aggregation order
+    # would differ across shuffle-partition counts. Representative
+    # float-heavy queries must produce bit-identical canonical rows at
+    # two partitionings (the full 19-query probe lives in
+    # scripts/partition_invariance.py — run it after adding any
+    # round(<float agg>) query).
+    from gcs2postgres_spark.queries import REGISTRY
+
+    names = [
+        "events_user_entropy",
+        "agg_jackknife_se",
+        "customer_revenue_gini",
+        "events_mann_whitney_u",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n_parts in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            for name in names:
+                rows = REGISTRY[name].fn(spark, sf_dir).collect()
+                canon = sorted(tuple(sorted(r.asDict().items())) for r in rows)
+                results.setdefault(name, []).append(canon)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} differs across partition counts"
