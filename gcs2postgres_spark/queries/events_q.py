@@ -1107,3 +1107,69 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window operator (the built-in Spark session operator)
+# ---------------------------------------------------------------------------
+
+SESSION_NATIVE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > 1800
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+), agg AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         date_diff('second', min(ts), max(ts)) AS dur_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       CAST(max(dur_s) AS BIGINT) AS max_session_secs
+FROM agg GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("events_session_window_native", oracle=SESSION_NATIVE_ORACLE)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE ``session_window``
+    operator (one groupBy — the engine merges events within the 30-min
+    gap into dynamic windows internally) instead of the lag-gap +
+    running-sum two-window plan of events_sessionize; both must agree,
+    so the oracle replays the gap-merge definition in SQL. Exercises
+    the built-in operator the streaming path uses, in batch, value-
+    certified.
+
+    Scale shape: one shuffle on the session key (user_id); the dynamic
+    window merge happens inside the aggregation — no self-join, no
+    second window pass.
+    """
+    e = _t(spark, sf_dir, "events")
+    sess = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            ).alias("dur_s"),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("dur_s").alias("max_session_secs"),
+        )
+        .orderBy("user_id")
+    )
