@@ -111,3 +111,29 @@ def test_transfer_isolates_failures(spark, sf_dir, tmp_path):
     by_table = {r.table: r for r in results}
     assert by_table["ok_table"].ok
     assert not by_table["bad_table"].ok  # isolated, unlike reference log.Fatalf
+
+
+def test_observation_metrics_on_load(spark, sf_dir):
+    # pipeline observability via df.observe(): row counts and sums are
+    # collected as a side effect of the ONE action (no second pass over
+    # the data) — the mechanism a production transfer uses to publish
+    # per-table load metrics without re-scanning.
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("load_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = li.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("total_qty")
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert abs(got["total_qty"] - want["total_qty"]) < 1e-6
