@@ -698,7 +698,7 @@ WITH rich AS (
 )
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_custs,
-       sum(c_acctbal)           AS total_bal
+       round(sum(c_acctbal), 2) AS total_bal
 FROM rich
 WHERE NOT EXISTS (
   SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000

@@ -139,7 +139,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q17_STYLE_SQL = """
-SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
   AND l_quantity < (
@@ -167,7 +167,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") == F.col("avg_partkey"),
         )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
 
 
