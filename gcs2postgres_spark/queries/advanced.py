@@ -143,7 +143,7 @@ def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCALAR_SUBQ_SQL = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_above_avg,
-       sum(o_totalprice)        AS sum_above_avg
+       round(sum(o_totalprice), 2) AS sum_above_avg
 FROM orders
 WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
 GROUP BY o_orderstatus
@@ -197,8 +197,8 @@ def q12_priority_caseagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_STYLE_SQL = """
-SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
@@ -213,10 +213,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            (
+            F.round(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev)
+                / F.sum(rev),
+                6,
             ).alias("promo_revenue_pct")
         )
     )
@@ -333,9 +334,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_STYLE_SQL = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       sum(CASE WHEN n2.n_name = 'NATION_1'
+       round(sum(CASE WHEN n2.n_name = 'NATION_1'
                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -376,9 +377,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            (
+            F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0))
-                / F.sum(rev)
+                / F.sum(rev),
+                6,
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -577,7 +579,7 @@ def agg_collect_set_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_ORACLE = """
 SELECT CAST(count(*) AS BIGINT) AS n_sampled,
-       sum(o_totalprice)        AS sampled_value
+       round(sum(o_totalprice), 2) AS sampled_value
 FROM orders
 WHERE o_orderkey % 20 = 0
 """
@@ -591,7 +593,7 @@ def sample_deterministic_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") % 20 == 0).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-        F.sum("o_totalprice").alias("sampled_value"),
+        F.round(F.sum("o_totalprice"), 2).alias("sampled_value"),
     )
 
 
@@ -722,9 +724,9 @@ SELECT l_returnflag, metric, value FROM (
   SELECT l_returnflag, 'sum_qty' AS metric, sum(l_quantity) AS value
   FROM lineitem GROUP BY l_returnflag
   UNION ALL
-  SELECT l_returnflag, 'sum_price', sum(l_extendedprice) FROM lineitem GROUP BY l_returnflag
+  SELECT l_returnflag, 'sum_price', round(sum(l_extendedprice), 2) FROM lineitem GROUP BY l_returnflag
   UNION ALL
-  SELECT l_returnflag, 'sum_disc', sum(l_discount) FROM lineitem GROUP BY l_returnflag
+  SELECT l_returnflag, 'sum_disc', round(sum(l_discount), 2) FROM lineitem GROUP BY l_returnflag
 )
 ORDER BY l_returnflag, metric
 """
@@ -739,8 +741,8 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_price"),
-        F.sum("l_discount").alias("sum_disc"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
     )
     return (
         wide.unpivot(

@@ -133,7 +133,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 JOIN_INNER_ORACLE = """
-SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total_value
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_value
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -152,7 +152,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_value"))
         .orderBy("n_name")
     )
 
@@ -342,7 +342,7 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 RANGE_JOIN_ORACLE = """
-SELECT band, count(*) AS n_orders, sum(o_totalprice) AS band_value
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS band_value
 FROM orders
 JOIN (VALUES ('small', 0.0, 50000.0),
              ('mid',   50000.0, 150000.0),
@@ -367,7 +367,7 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         range_join(o, bands, "o_totalprice")
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("band_value"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("band_value"))
         .orderBy("band")
     )
 

@@ -269,7 +269,7 @@ SELECT months.m AS month_start,
 FROM months
 LEFT JOIN (
   SELECT date_trunc('month', o_orderdate) AS mo,
-         count(*) AS n, sum(o_totalprice) AS total
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1995-01-01'
     AND o_orderdate <  TIMESTAMP '1996-01-01'

@@ -36,12 +36,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity)                                          AS sum_qty,
-       sum(l_extendedprice)                                     AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount))                  AS sum_disc_price,
-       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))    AS sum_charge,
-       avg(l_quantity)                                          AS avg_qty,
-       avg(l_extendedprice)                                     AS avg_price,
-       avg(l_discount)                                          AS avg_disc,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6)                                AS avg_qty,
+       round(avg(l_extendedprice), 6)                           AS avg_price,
+       round(avg(l_discount), 6)                                AS avg_disc,
        count(*)                                                 AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -60,12 +60,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -253,7 +253,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       avg(l_extendedprice) AS avg_price,
+       round(avg(l_extendedprice), 6) AS avg_price,
        count(*)             AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -267,7 +267,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.avg("l_extendedprice").alias("avg_price"), F.count(F.lit(1)).alias("n"))
+        .agg(F.round(F.avg("l_extendedprice"), 6).alias("avg_price"), F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
 

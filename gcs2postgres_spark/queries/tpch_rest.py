@@ -92,7 +92,7 @@ def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_STYLE_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -119,9 +119,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
         )
         .cache()
     )
@@ -294,7 +294,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q11_STYLE_SQL = """
 WITH value_by_type AS (
-  SELECT p_type, sum(l_extendedprice * (1 - l_discount)) AS type_value
+  SELECT p_type, round(sum(l_extendedprice * (1 - l_discount)), 2) AS type_value
   FROM lineitem
   JOIN part ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
@@ -326,9 +326,9 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("p_type")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "type_value"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("type_value")
         )
         .cache()
     )
