@@ -1153,15 +1153,16 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ), stats AS (
   SELECT user_id,
-         count(*) AS n_days,
-         avg(c) AS mu,
-         var_samp(c) AS v
+         count(*) AS n,
+         SUM(c) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
   FROM daily GROUP BY 1 HAVING count(*) >= 5
 )
 SELECT user_id,
-       CAST(n_days AS BIGINT) AS n_active_days,
-       round(mu, 6) AS mean_daily,
-       round(v / mu, 6) AS fano_factor
+       CAST(n AS BIGINT) AS n_active_days,
+       CAST((s1 * 1000000) // n AS BIGINT) / 1e6 AS mean_daily,
+       CAST(((n * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000)
+            // (CAST(n - 1 AS HUGEINT) * s1) AS BIGINT) / 1e6 AS fano_factor
 FROM stats ORDER BY user_id
 """
 
@@ -1182,22 +1183,43 @@ def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    return (
+    # Exact integer arithmetic (the RFM lesson, which this query
+    # repeated at sf0.1: round(var/mu, 6) of integer counts sits on a
+    # rational grid with real half-ulp edges): fano = var_samp/mean =
+    # (n·Σx² − (Σx)²)/((n−1)·Σx) — all integers until one exact FLOOR
+    # division at 6 dp on both engines.
+    stats = (
         daily.groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_active_days"),
-            F.avg("c").alias("mu"),
-            F.var_samp("c").alias("v"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("s2"),
         )
-        .where(F.col("n_active_days") >= 5)
-        .select(
-            "user_id",
-            "n_active_days",
-            F.round(F.col("mu"), 6).alias("mean_daily"),
-            F.round(F.col("v") / F.col("mu"), 6).alias("fano_factor"),
-        )
-        .orderBy("user_id")
+        .where(F.col("n") >= 5)
     )
+    return stats.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_active_days"),
+        (
+            F.floor((F.col("s1") * 1000000).cast("decimal(38,0)") / F.col("n"))
+            .cast("long")
+            / 1e6
+        ).alias("mean_daily"),
+        (
+            F.floor(
+                (
+                    (
+                        F.col("n").cast("decimal(38,0)") * F.col("s2")
+                        - F.col("s1").cast("decimal(19,0)")
+                        * F.col("s1").cast("decimal(19,0)")
+                    )
+                    * 1000000
+                )
+                / ((F.col("n") - 1).cast("decimal(38,0)") * F.col("s1"))
+            ).cast("long")
+            / 1e6
+        ).alias("fano_factor"),
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------
