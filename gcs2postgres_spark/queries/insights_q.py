@@ -2278,3 +2278,270 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u1, 6).alias("u1"),
         F.round((u1 - n1d * n2d / 2) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KL divergence of each source's unigram mix vs the corpus
+# ---------------------------------------------------------------------------
+
+KL_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), src_cnt AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), src_tot AS (
+  SELECT source, SUM(c) AS n FROM src_cnt GROUP BY 1
+), corp_cnt AS (
+  SELECT tok, SUM(c) AS cc FROM src_cnt GROUP BY 1
+), corp_tot AS (
+  SELECT SUM(cc) AS nn, count(*) AS v FROM corp_cnt
+), kl AS (
+  SELECT s.source,
+         SUM((s.c / CAST(t.n AS DOUBLE))
+             * ln((s.c / CAST(t.n AS DOUBLE))
+                  / ((g.cc + 1) / CAST(ct.nn + ct.v AS DOUBLE)))) AS kl_nats
+  FROM src_cnt s
+  JOIN src_tot t USING (source)
+  JOIN corp_cnt g USING (tok)
+  CROSS JOIN corp_tot ct
+  GROUP BY s.source
+)
+SELECT source, round(kl_nats, 6) AS kl_nats FROM kl ORDER BY source
+"""
+
+
+@register("corpus_kl_divergence", oracle=KL_ORACLE)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence D(source ‖ corpus) of each source's unigram
+    distribution against the (Laplace-smoothed) corpus distribution —
+    the data-mix drift diagnostic that flags a crawl source whose
+    language shifted (cf. events_psi_drift for the scalar twin;
+    smoothing only the REFERENCE side keeps D finite and is the
+    standard contamination-monitor form).
+
+    Scale shape: token stream collapses to (source, token) counts with
+    map-side partials; the corpus marginal is a second token-keyed
+    reduction of the FIRST aggregation's output (never re-reading the
+    raw stream); the divergence join runs on vocab-sized frames.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    src_cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = src_cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    corp_cnt = src_cnt.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corp_tot = corp_cnt.agg(
+        F.sum("cc").alias("nn"), F.count(F.lit(1)).alias("v")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    q = (F.col("cc") + 1) / (F.col("nn") + F.col("v")).cast("double")
+    return (
+        src_cnt.join(F.broadcast(src_tot), "source")
+        .join(corp_cnt, "tok")
+        .crossJoin(F.broadcast(corp_tot))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+ASSORT_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                  's' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), und AS (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT a AS node, count(*) AS d FROM und GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       round(corr(da.d, db.d), 6) AS assortativity
+FROM und
+JOIN deg da ON und.a = da.node
+JOIN deg db ON und.b = db.node
+"""
+
+
+@register("graph_assortativity", oracle=ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer↔supplier purchase graph —
+    Pearson correlation of endpoint degrees over the (symmetrized)
+    edge list: negative = hubs attach to leaves (the typical bipartite
+    commerce shape), positive = rich-club. One number that summarizes
+    whether degree-based partitioning will face hub-hub hotspots.
+
+    Scale shape: degrees are one key-partitioned count; each edge
+    joins its two endpoint degrees on the node key (two shuffles of
+    the edge list); ``corr`` folds with partials. Nothing node-sized
+    is broadcast.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+        .distinct()
+    )
+    und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    joined = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    return joined.crossJoin(F.broadcast(n_edges)).groupBy("n_edges").agg(
+        F.round(F.corr("da", "db"), 6).alias("assortativity")
+    ).select(F.col("n_edges").cast("long").alias("n_edges"), "assortativity")
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test: weekday vs weekend event values
+# ---------------------------------------------------------------------------
+
+WELCH_ORACLE = """
+WITH tagged AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END
+           AS grp,
+         value
+  FROM events
+), stats AS (
+  SELECT
+    SUM(CASE WHEN grp = 'weekday' THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN grp = 'weekend' THEN 1 ELSE 0 END) AS n2,
+    avg(CASE WHEN grp = 'weekday' THEN value END) AS m1,
+    avg(CASE WHEN grp = 'weekend' THEN value END) AS m2,
+    var_samp(CASE WHEN grp = 'weekday' THEN value END) AS v1,
+    var_samp(CASE WHEN grp = 'weekend' THEN value END) AS v2
+  FROM tagged
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekday,
+       CAST(n2 AS BIGINT) AS n_weekend,
+       round(m1 - m2, 6) AS mean_diff,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round(POW(v1 / n1 + v2 / n2, 2)
+             / (POW(v1 / n1, 2) / (n1 - 1) + POW(v2 / n2, 2) / (n2 - 1)),
+             6) AS welch_df
+FROM stats
+"""
+
+
+@register("events_welch_ttest", oracle=WELCH_ORACLE)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between weekday and weekend
+    event values, with the Welch-Satterthwaite degrees of freedom —
+    the variance-honest sibling of the pooled z-test
+    (ab_test_conversion pools because proportions share one variance;
+    continuous metrics with different weekday/weekend spreads must
+    not).
+
+    Scale shape: one conditional-aggregate pass (six scalars folded
+    with map-side partials) — no second scan, no windows.
+    ``var_samp``/``avg`` over the identical conditional columns on
+    both engines.
+    """
+    e = _t(spark, sf_dir, "events")
+    is_we = (F.dayofweek("ts") - 1).isin(0, 6)
+    wd = F.when(~is_we, F.col("value"))
+    we = F.when(is_we, F.col("value"))
+    stats = e.agg(
+        F.count(wd).alias("n1"),
+        F.count(we).alias("n2"),
+        F.avg(wd).alias("m1"),
+        F.avg(we).alias("m2"),
+        F.var_samp(wd).alias("v1"),
+        F.var_samp(we).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return stats.select(
+        F.col("n1").cast("long").alias("n_weekday"),
+        F.col("n2").cast("long").alias("n_weekend"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier lead-time trend (is delivery speeding up or slowing down?)
+# ---------------------------------------------------------------------------
+
+LEADTIME_TREND_ORACLE = """
+WITH lat AS (
+  SELECT l_suppkey,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS DOUBLE) AS x,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS DOUBLE) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(regr_slope(y, x) * 365.0, 6) AS latency_days_per_year,
+       round(regr_r2(y, x), 6) AS r2
+FROM lat GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+@register("supplier_leadtime_trend", oracle=LEADTIME_TREND_ORACLE)
+def supplier_leadtime_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier lead-time TREND: OLS slope of ship latency on order
+    date (re-based to a fixed epoch, scaled to days-per-year) — the
+    'is this vendor improving or degrading' scorecard column that OTIF
+    snapshots can't show. Single-pass grouped regression aggregates,
+    identical Welford forms on both engines.
+
+    Scale shape: one fact join (lineitem's single shuffle) + one
+    |suppliers|-keyed regression aggregate with map-side partials.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_suppkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("double")
+        .alias("y"),
+    )
+    return (
+        lat.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.regr_slope(F.col("y"), F.col("x")) * 365.0, 6).alias(
+                "latency_days_per_year"
+            ),
+            F.round(F.regr_r2(F.col("y"), F.col("x")), 6).alias("r2"),
+        )
+        .orderBy("l_suppkey")
+    )
