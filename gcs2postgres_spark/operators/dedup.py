@@ -331,10 +331,22 @@ def simhash_near_pairs(
     )
 
 
+# Winnowing normalization is pinned to ASCII semantics on every engine:
+# Java \s, RE2 \s and this explicit class are the same set
+# ([ \t\n\x0b\f\r]), but Python's unicode \s also eats   etc., and
+# unicode lowercasing diverges across engines (dotted-I, ß). An explicit
+# ASCII class + translate-based A-Z lowercase is a no-op for ASCII
+# corpora and gives identical fingerprints on Spark-JVM / pandas-UDF /
+# DuckDB for any input.
+_ASCII_WS = "[ \t\n\x0b\f\r]+"
+_AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def _kgram_hashes(text: Column, k: int, portable: bool = False) -> Column:
     """Hash of every character k-gram of the normalized text — xxhash64 by
     default, portable_hash60 (md5-derived, cross-engine) when verifying."""
-    s = F.lower(F.regexp_replace(text, r"\s+", " "))
+    s = F.translate(F.regexp_replace(text, _ASCII_WS, " "), _AZ_UPPER, _AZ_LOWER)
     n = F.length(s)
     hash_fn = portable_hash60 if portable else F.xxhash64
     return F.transform(
@@ -377,21 +389,24 @@ def _winnow_fps_pandas_udf(k: int, w: int):
     Measured 21.2 s → ~2 s for the 5k-doc sf0.1 fingerprint stage: the
     per-position md5→hex→conv expression chain runs INTERPRETED on the
     JVM inside the HOF lambda (~4 ms/doc), the same trap the Arrow
-    shingler fixed for MinHash. ASCII-equivalent normalization (Java
-    and Python agree on \s and lower for ASCII; the corpus is ASCII).
+    shingler fixed for MinHash. Normalization is the pinned ASCII
+    semantics (_ASCII_WS class + A-Z translate) — NOT Python's unicode
+    \\s/lower(), which diverge from the JVM/DuckDB paths on \u00a0,
+    dotted-I casing etc., so parity holds for non-ASCII input too.
     The xxhash64 production path stays a JVM expression (no Python
     xxhash here) — it is ~2× cheaper than the md5 chain and not used
     by any oracle-checked query."""
     import hashlib
     import re as _re
 
-    ws = _re.compile(r"\s+")
+    ws = _re.compile(_ASCII_WS)
+    lower_tbl = str.maketrans(_AZ_UPPER, _AZ_LOWER)
 
     @pandas_udf("array<long>")
     def fps(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            s = ws.sub(" ", (t or "").lower())
+            s = ws.sub(" ", (t or "").translate(lower_tbl))
             n = len(s)
             m = max(n - (k - 1), 1)
             h = [

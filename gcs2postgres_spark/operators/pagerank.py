@@ -125,6 +125,13 @@ def ppr_fixed(
     src (degree travels with the rank vector), groupBy dst partial
     sums, scalar dangling aggregate; the seed indicator is one extra
     column on the node frame. Nothing node-sized is broadcast.
+
+    Seeds must intersect the graph's node set: seeds absent from the
+    edge list carry no restart mass (they are dropped by the node
+    join), and an empty intersection raises ``ValueError`` rather than
+    letting the 1/|S| restart column turn 0/0 → NULL and silently null
+    every rank. The check is one scalar aggregate over the node frame
+    (already materialized for the iteration), not a node-sized collect.
     """
     _cp = (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
     e = _cp(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct())
@@ -141,14 +148,25 @@ def ppr_fixed(
         nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
         .join(s, "node", "left")
     )
-    n_seeds = nd.agg(F.sum(F.coalesce("is_seed", F.lit(0))).alias("n_seeds"))
+    n_seeds = (
+        nd.agg(F.sum(F.coalesce("is_seed", F.lit(0))).alias("n_seeds")).first()[
+            "n_seeds"
+        ]
+        or 0
+    )
+    if n_seeds == 0:
+        raise ValueError(
+            "ppr_fixed: seed set does not intersect the graph's nodes — "
+            "no restart distribution exists (seeds must appear as an "
+            "edge endpoint)"
+        )
     # restart mass: 1/|S| on seeds, 0 elsewhere
     ranks = _cp(
-        nd.crossJoin(F.broadcast(n_seeds)).select(
+        nd.select(
             "node",
             "deg",
             (
-                F.coalesce("is_seed", F.lit(0)).cast("double") / F.col("n_seeds")
+                F.coalesce("is_seed", F.lit(0)).cast("double") / F.lit(n_seeds)
             ).alias("s"),
         ).withColumn("rank", F.col("s"))
     )

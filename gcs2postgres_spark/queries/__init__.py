@@ -34,78 +34,71 @@ from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
-# Round-5 verification window: the driver checks the first 50 entries.
-# Composition (sections below, in order): 10 never-driver-verified
-# queries from late round 4 (ever-green union r1∪…∪r4 = 155/165), 11
-# queries NEW early in round 5, 27 from the round-5 analytics /
-# data-quality / formats / spectral tier, and 2 whose implementation
-# changed this round (pq floor-division hardening, CC re-check) —
-# exactly 50; no refresh slots remain this round (new-query
-# certification outranks re-refreshing ever-green rows). Queries with
-# fresh round-4 evidence sit in VERIFY_DEFERRED.
-#
-# Round-5b continuation note: 32 further queries (registry 203 → 235)
-# plus 6 changed implementations (RFM knife-edge fix — already IN the
-# window — and the five sweep perf fixes: cosine near-dup, winnow,
-# novelty, approx-distinct, fuzzy-ER) land AFTER this window was
-# frozen; all pass the exact-hash driver-sim (235/235, judge-
-# reproducible via scripts/driver_sim.py) and are the round-6
-# front-load set.
+# Round-6 verification window: the driver checks the first 50 entries.
+# Composition: the 43 queries never yet in any driver window (exactly
+# the registry minus the r1∪…∪r5 CORRECTNESS green union — the
+# round-5b insights/stat-test tier, multimodal dedup, format
+# roundtrips, PPR), then 3 whose implementation changes this round
+# (RFM exact `div` fix, blocked-cosine rework, winnow ASCII
+# hardening), 2 queries NEW this round (stream-stream LEFT OUTER
+# interval join batch twin, Avro logicalType roundtrip), and 2
+# refresh slots for the oldest r1-only greens — exactly 50. Done =
+# r1∪…∪r6 ever-green equals the full registry.
 VERIFY_FRONT: list[str] = [
-    # never driver-verified (registered late in round 4) — 10 entries
-    "part_pareto_abc",
-    "events_user_lifecycle",
-    "events_debounce",
-    "events_rolling_7d_distinct",
-    "graph_pagerank_purchases",
-    "corpus_bigram_pmi",
-    "join_salted_skew",
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "orc_source_roundtrip",
-    # NEW in round 5
-    "similarity_ivf_pruned_topk",
-    "graph_components_star",
-    "events_seasonal_baseline",
-    "corpus_vocab_growth",
-    "parquet_schema_evolution_roundtrip",
-    "sample_weighted_bottomk",
-    "basket_pair_rules",
-    "events_psi_drift",
-    "events_markov_transitions",
-    "events_time_weighted_avg",
-    "graph_triangle_count",
-    # NEW in round 5, analytics/data-quality tier (analytics_q.py)
-    "events_longest_streak",
-    "scd2_state_intervals",
-    "events_equidepth_deciles",
-    "events_cusum_changepoint",
-    "events_resample_interp",
+    # never driver-verified (round-5b additions) — 43 entries
+    "events_session_window_native",
+    "multimodal_image_ahash_dedup",
+    "dedup_containment_pairs",
+    "multimodal_audio_fp_dedup",
+    "parquet_partitioned_overwrite_roundtrip",
+    "csv_malformed_drop_roundtrip",
+    "parquet_codec_roundtrip",
+    "dataset_train_manifest",
+    "graph_ppr_seeded",
+    "events_autocorr_lags",
+    "customer_revenue_gini",
+    "events_user_entropy",
+    "events_path_trigrams",
+    "ab_test_conversion",
+    "corpus_zipf_slope",
+    "corpus_oov_rate",
+    "text_charclass_profile",
+    "agg_binned_quantiles",
+    "graph_sssp_weighted",
+    "corpus_filter_funnel",
+    "corpus_ngram_novelty",
+    "embedding_centroid_drift",
+    "events_time_to_convert",
+    "events_xcorr_click_purchase",
+    "events_user_burstiness",
+    "dq_order_totals_recon",
+    "orders_daily_value_bands",
+    "profile_join_cardinality",
+    "nation_supplier_hhi",
+    "supplier_otif_rate",
+    "events_dow_hour_heatmap",
+    "brand_discount_elasticity",
+    "agg_jackknife_se",
+    "events_inter_arrival_stats",
+    "events_dau_ma7",
+    "orders_gmv_yoy",
+    "dq_chi2_independence",
+    "events_ks_two_sample",
+    "events_mann_whitney_u",
+    "corpus_kl_divergence",
+    "graph_assortativity",
+    "events_welch_ttest",
+    "supplier_leadtime_trend",
+    # implementations changed in round 6
     "customer_rfm_segments",
-    "dq_fk_orphans",
-    "dq_benford_first_digit",
-    "dedup_jaccard_prefix_filter",
-    "graph_bfs_3hop",
-    "agg_higher_moments",
-    "multimodal_frame_sample",
-    "pipeline_checksum_buckets",
-    "events_rolling_slope",
-    "profile_key_skew",
-    "graph_kcore_peel",
-    "iceberg_partition_prune_roundtrip",
-    "multimodal_wav_energy",
-    "lineitem_weighted_median",
-    "dataset_interleave_domains",
-    "embedding_pca_power",
-    "dedup_incremental_batch",
-    "agg_hll_portable",
-    "events_watermark_late_drop",
-    "contrastive_pairs_mine",
-    "supplier_ship_latency_pcts",
-    "events_survival_curve",
-    # changed this round — implementations touched by the round-5 fixes
-    "similarity_pq_topk",
-    "dedup_cluster_canonical",
+    "dedup_cosine_embeddings",
+    "doc_winnow_fingerprints",
+    # NEW in round 6
+    "stream_interval_join_leftouter",
+    "avro_logical_types_roundtrip",
+    # refresh slots: oldest r1-only greens
+    "agg_grouping_sets",
+    "pivot_order_priority",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.functions.exact import exact_intdiv, ratio_6dp
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
 
@@ -517,17 +518,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "segment",
             "n_customers",
+            ratio_6dp(F.col("sum_rec"), F.col("n_customers")).alias(
+                "avg_recency"
+            ),
             (
-                F.floor(
-                    (F.col("sum_rec") * 1000000).cast("decimal(38,0)")
-                    / F.col("n_customers")
-                ).cast("long")
-                / 1e6
-            ).alias("avg_recency"),
-            (
-                F.floor(
-                    (F.col("sum_mon").cast("decimal(38,0)") * 10000)
-                    / F.col("n_customers")
+                exact_intdiv(
+                    F.col("sum_mon").cast("decimal(38,0)") * 10000,
+                    F.col("n_customers"),
                 ).cast("long")
                 / 1e6
             ).alias("avg_monetary"),

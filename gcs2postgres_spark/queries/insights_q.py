@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.functions.exact import ratio_6dp
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
 
@@ -1200,24 +1201,12 @@ def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "user_id",
         F.col("n").cast("long").alias("n_active_days"),
-        (
-            F.floor((F.col("s1") * 1000000).cast("decimal(38,0)") / F.col("n"))
-            .cast("long")
-            / 1e6
-        ).alias("mean_daily"),
-        (
-            F.floor(
-                (
-                    (
-                        F.col("n").cast("decimal(38,0)") * F.col("s2")
-                        - F.col("s1").cast("decimal(19,0)")
-                        * F.col("s1").cast("decimal(19,0)")
-                    )
-                    * 1000000
-                )
-                / ((F.col("n") - 1).cast("decimal(38,0)") * F.col("s1"))
-            ).cast("long")
-            / 1e6
+        ratio_6dp(F.col("s1"), F.col("n")).alias("mean_daily"),
+        ratio_6dp(
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s1").cast("decimal(19,0)")
+            * F.col("s1").cast("decimal(19,0)"),
+            (F.col("n") - 1).cast("decimal(38,0)") * F.col("s1"),
         ).alias("fano_factor"),
     ).orderBy("user_id")
 
@@ -1528,15 +1517,10 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             "n_suppliers",
             F.round(F.col("t") / 100.0, 2).alias("total_revenue"),
-            (
-                F.floor(
-                    (F.col("sum_sq") * 1000000)
-                    / (
-                        F.col("t").cast("decimal(19,0)")
-                        * F.col("t").cast("decimal(19,0)")
-                    )
-                ).cast("long")
-                / 1e6
+            ratio_6dp(
+                F.col("sum_sq"),
+                F.col("t").cast("decimal(19,0)")
+                * F.col("t").cast("decimal(19,0)"),
             ).alias("hhi"),
         )
         .orderBy("nation")
@@ -1594,13 +1578,7 @@ def supplier_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "n_lines",
             "n_on_time",
-            (
-                F.floor(
-                    (F.col("n_on_time") * 1000000).cast("decimal(38,0)")
-                    / F.col("n_lines")
-                ).cast("long")
-                / 1e6
-            ).alias("otif_rate"),
+            ratio_6dp(F.col("n_on_time"), F.col("n_lines")).alias("otif_rate"),
         )
         .orderBy("l_suppkey")
     )

@@ -718,7 +718,11 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set algebra over identical hash values, so n_shared matches one-for-one.
 WINNOW_ORACLE = """
 WITH s AS (
-  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+  SELECT doc_id,
+         translate(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   'abcdefghijklmnopqrstuvwxyz') AS t
+  FROM documents
 ), g AS (
   SELECT doc_id,
          list_transform(range(1, greatest(length(t) - 7, 1) + 1),

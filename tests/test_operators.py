@@ -612,6 +612,13 @@ def test_winnow_arrow_path_matches_jvm_expression_path(spark):
         "exactly8",
         "ninechars",
         "x" * 7,
+        # non-ASCII edges: NBSP must NOT collapse (ASCII ws class only),
+        # İ/ß/É must survive untranslated (A-Z-only lowercase) — the
+        # round-6 hardening that keeps Python/JVM/DuckDB fingerprints
+        # identical beyond ASCII corpora
+        "CAFÉ naïve  word İstanbul STRAßE "
+        * 3,
+        "MiXeD Ascii AND\tUnicode  spaces HERE too " * 2,
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
