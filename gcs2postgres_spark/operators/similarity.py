@@ -728,63 +728,85 @@ def blocked_cosine_pairs(
     SRP-LSH (srp_cosine_near_dup_pairs) remains the right operator
     for HIGH thresholds (cos ≥ 0.9: p ≥ 0.86, a few thousand buckets
     keep ~99% recall with tiny occupancy).
+
+    Representation (round 6): block members stay ORDINARY ROWS all the
+    way to the GEMM task. Each vector is replicated once per block-pair
+    it participates in (nblocks rows per vector, tagged with the pair
+    key), and ``groupBy(ba, bb).applyInPandas`` assembles each pair's
+    sub-matrices from Arrow record batches worker-side. The earlier
+    design packed a whole block into ONE ``collect_list`` row, so a
+    100× corpus pushed single rows toward Spark's 2 GB record limit;
+    now no materialized row scales with corpus size (plan-pinned: no
+    collect_list in this operator), while the per-task working set is
+    unchanged — 2·(N/nblocks)·dim·8 bytes, the documented ``nblocks``
+    sizing rule. Total shuffle volume is the same N·nblocks·dim·8
+    either way (triangle-join replication).
+
+    Zero-norm vectors have no defined cosine; they are excluded from
+    the GEMM deterministically (never paired) instead of surfacing as
+    0/0 NaN rows that comparison silently drops with runtime warnings.
     """
     import numpy as np  # noqa: F401 — worker-side dependency, asserted importable
 
     v = vectors.select(
         F.col(id_col).alias("id").cast("long"),
         F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(nblocks)).alias("blk"),
     )
-    blocks = v.groupBy(F.pmod(F.col("id"), F.lit(nblocks)).alias("blk")).agg(
-        F.collect_list(F.struct("id", "vec")).alias("items")
-    )
-    spark = vectors.sparkSession
-    spine = (
-        spark.range(nblocks * nblocks)
-        .select(
-            (F.col("id") / nblocks).cast("long").alias("ba"),
-            F.pmod(F.col("id"), F.lit(nblocks)).alias("bb"),
-        )
-        .where(F.col("ba") <= F.col("bb"))
-    )
-    paired = (
-        spine.join(
-            blocks.select(F.col("blk").alias("ba"), F.col("items").alias("items_a")),
-            "ba",
-        )
-        .join(
-            blocks.select(F.col("blk").alias("bb"), F.col("items").alias("items_b")),
-            "bb",
-        )
-        .select("ba", "bb", "items_a", "items_b")
+    # One row per (vector, partner block): the pair key is the sorted
+    # block pair, so for ba<bb block-ba rows arrive tagged (ba,bb)
+    # exactly once from other=bb and block-bb rows once from other=ba;
+    # the diagonal (b,b) gets each of block b's rows exactly once.
+    other = F.explode(F.sequence(F.lit(0), F.lit(nblocks - 1))).alias("other")
+    rep = v.select("id", "vec", "blk", other).select(
+        F.least("blk", "other").alias("ba"),
+        F.greatest("blk", "other").alias("bb"),
+        "blk",
+        "id",
+        "vec",
     )
     thr = float(threshold)
 
-    def gemm(batches):
+    def gemm(pdf):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            ids_a, ids_b, cosv = [], [], []
-            for _, row in pdf.iterrows():
-                ia = np.array([r["id"] for r in row["items_a"]], dtype=np.int64)
-                A = np.array([r["vec"] for r in row["items_a"]], dtype=np.float64)
-                ib = np.array([r["id"] for r in row["items_b"]], dtype=np.int64)
-                B = np.array([r["vec"] for r in row["items_b"]], dtype=np.float64)
-                An = A / np.linalg.norm(A, axis=1, keepdims=True)
-                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-                C = An @ Bn.T
-                if row["ba"] == row["bb"]:
-                    ii, jj = np.nonzero(np.triu(C > thr, k=1))
-                else:
-                    ii, jj = np.nonzero(C > thr)
-                a_ids, b_ids = ia[ii], ib[jj]
-                lo = np.minimum(a_ids, b_ids)
-                hi = np.maximum(a_ids, b_ids)
-                keep = lo != hi
-                ids_a.extend(lo[keep].tolist())
-                ids_b.extend(hi[keep].tolist())
-                cosv.extend(C[ii, jj][keep].tolist())
-            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cos_sim": cosv})
+        ba = int(pdf["ba"].iat[0])
+        bb = int(pdf["bb"].iat[0])
+        a_side = pdf[pdf["blk"] == ba]
+        ia = a_side["id"].to_numpy(dtype=np.int64)
+        A = np.array(a_side["vec"].tolist(), dtype=np.float64)
+        na = np.linalg.norm(A, axis=1)
+        ok_a = na > 0.0
+        ia, A, na = ia[ok_a], A[ok_a], na[ok_a]
+        if ba == bb:
+            ib, B, nb = ia, A, na
+        else:
+            b_side = pdf[pdf["blk"] == bb]
+            ib = b_side["id"].to_numpy(dtype=np.int64)
+            B = np.array(b_side["vec"].tolist(), dtype=np.float64)
+            nb = np.linalg.norm(B, axis=1)
+            ok_b = nb > 0.0
+            ib, B, nb = ib[ok_b], B[ok_b], nb[ok_b]
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        C = (A / na[:, None]) @ (B / nb[:, None]).T
+        if ba == bb:
+            ii, jj = np.nonzero(np.triu(C > thr, k=1))
+        else:
+            ii, jj = np.nonzero(C > thr)
+        a_ids, b_ids = ia[ii], ib[jj]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        keep = lo != hi
+        return pd.DataFrame(
+            {
+                "id_a": lo[keep],
+                "id_b": hi[keep],
+                "cos_sim": C[ii, jj][keep],
+            }
+        )
 
-    return paired.mapInPandas(gemm, schema="id_a long, id_b long, cos_sim double")
+    return rep.groupBy("ba", "bb").applyInPandas(
+        gemm, schema="id_a long, id_b long, cos_sim double"
+    )

@@ -663,3 +663,43 @@ def test_blocked_cosine_pairs_match_allpairs_crossjoin(spark, sf_dir):
     assert set(got) == set(want) and len(want) > 0
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_blocked_cosine_pairs_zero_norm_excluded(spark):
+    # zero-norm vectors have no defined cosine: they must never pair
+    # (with anything, including each other) and must not surface NaN
+    # rows or numpy divide warnings
+    import warnings
+
+    from gcs2postgres_spark.operators.similarity import blocked_cosine_pairs
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero norm
+        (3, [0.0, 0.0]),  # zero norm
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = blocked_cosine_pairs(df, threshold=0.45, nblocks=3).collect()
+    ids = {i for r in got for i in (r.id_a, r.id_b)}
+    assert 2 not in ids and 3 not in ids
+    assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
+    assert all(r.cos_sim == r.cos_sim for r in got)  # no NaN
+
+
+def test_blocked_cosine_pairs_no_corpus_scaled_rows(spark, sf_dir):
+    # the round-6 representation contract: block members stay ordinary
+    # rows into the applyInPandas GEMM — no collect_list aggregation
+    # whose single row grows with corpus size (the old design's 2 GB
+    # record-limit wall at 100x scale)
+    from gcs2postgres_spark.catalog import load_table
+    from gcs2postgres_spark.operators.similarity import blocked_cosine_pairs
+    from gcs2postgres_spark.plans.inspect import formatted_plan
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(blocked_cosine_pairs(e, threshold=0.45))
+    assert "collect_list" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
