@@ -99,10 +99,66 @@ def load_config(path: str) -> Config:
     )
 
 
-def fetch_secret(secret_name: str, secrets_dir: str | None = None) -> str:
+def gsm_resource_name(secret_name: str, project_id: str | None = None) -> str:
+    """Canonical Secret Manager version resource for a config-level
+    secret name. The reference passes the full resource path in
+    config.yaml's ``secret_name`` and accesses it directly (reference
+    src/utils/utils.go:70-87, AccessSecretVersion); a bare name is
+    expanded to ``projects/{project}/secrets/{name}/versions/latest``
+    the way the GSM docs specify."""
+    if secret_name.startswith("projects/"):
+        return (
+            secret_name
+            if "/versions/" in secret_name
+            else secret_name.rstrip("/") + "/versions/latest"
+        )
+    if not project_id:
+        raise ValueError(
+            f"bare secret name {secret_name!r} needs project_id to build "
+            "a Secret Manager resource path"
+        )
+    return f"projects/{project_id}/secrets/{secret_name}/versions/latest"
+
+
+def fetch_secret_gsm(
+    secret_name: str,
+    project_id: str | None = None,
+    client=None,
+) -> str:
+    """Google Secret Manager backend (reference FetchSecret,
+    src/utils/utils.go:70-87: AccessSecretVersion → payload.data).
+    ``client`` is the injection seam for tests; by default the
+    google-cloud-secret-manager package is imported lazily and a clear
+    error names it when absent (this sandbox is offline)."""
+    name = gsm_resource_name(secret_name, project_id)
+    if client is None:
+        try:
+            from google.cloud import secretmanager  # type: ignore
+        except ImportError as e:  # pragma: no cover - not in this image
+            raise RuntimeError(
+                "Secret Manager resolution needs the "
+                "google-cloud-secret-manager package (pip install "
+                "google-cloud-secret-manager); not bundled in this "
+                "environment — use the env/file resolver or pass a client"
+            ) from e
+        client = secretmanager.SecretManagerServiceClient()
+    resp = client.access_secret_version(name=name)
+    return resp.payload.data.decode("utf-8")
+
+
+def fetch_secret(
+    secret_name: str,
+    secrets_dir: str | None = None,
+    project_id: str | None = None,
+    gsm_client=None,
+) -> str:
     """Pluggable secret fetch (reference FetchSecret,
     src/utils/utils.go:70-87). Resolution order: env var
-    ``SECRET_<NAME>`` → file ``{secrets_dir}/{name}`` → error."""
+    ``SECRET_<NAME>`` → file ``{secrets_dir}/{name}`` → Google Secret
+    Manager (resource-path names, or bare names with ``project_id``)
+    → error. The GSM hop runs only when the name plausibly targets it
+    (resource path, or an explicit project/client), so offline env/file
+    deployments never import the cloud client."""
     env_key = "SECRET_" + secret_name.replace("-", "_").replace("/", "_").upper()
     if env_key in os.environ:
         return os.environ[env_key]
@@ -111,4 +167,6 @@ def fetch_secret(secret_name: str, secrets_dir: str | None = None) -> str:
         if os.path.exists(p):
             with open(p) as f:
                 return f.read().strip()
+    if gsm_client is not None or project_id or secret_name.startswith("projects/"):
+        return fetch_secret_gsm(secret_name, project_id, client=gsm_client)
     raise KeyError(f"secret {secret_name!r} not found (env {env_key} or file)")

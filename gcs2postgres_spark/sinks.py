@@ -63,6 +63,57 @@ def write_jdbc(
     out.write.jdbc(url, table, mode=mode, properties=props)
 
 
+def copy_sql(table: str, columns: list[str]) -> str:
+    """The COPY statement for the partition sink (identifier-validated;
+    reference src/db/db.go:175-180 issues the equivalent pgx.CopyFrom)."""
+    _check_copy_identifiers(table, columns)
+    return f"COPY {table} ({', '.join(columns)}) FROM STDIN (FORMAT csv)"
+
+
+def _copy_serializers():
+    """COPY csv cell/line serializers, built as ``<locals>`` closures so
+    cloudpickle ships them BY VALUE into the foreachPartition closure
+    (module-level functions pickle by reference and break on executors
+    that don't have this package on sys.path — the _make_decoder
+    lesson). The module-level ``copy_csv_cell``/``copy_csv_line`` below
+    are the same objects, for unit tests and direct callers."""
+
+    def cell(v) -> str:
+        # One value in Postgres COPY csv form. Hand-rolled because
+        # Python's csv.writer CANNOT express COPY's NULL convention:
+        # COPY (FORMAT csv) reads an UNQUOTED empty field as NULL and a
+        # QUOTED empty field ("") as the empty string, while csv.writer
+        # emits both None and "" as the same unquoted empty field —
+        # silently loading empty strings as NULL. Here: None → unquoted
+        # empty; bool → t/f; bytes → bytea hex form; date/timestamp/
+        # Decimal via str() (the ISO/plain form COPY accepts); quoted
+        # iff empty or containing delimiter/quote/newline, with "
+        # doubled per the csv quoting rule.
+        if v is None:
+            return ""
+        if v is True:
+            return "t"
+        if v is False:
+            return "f"
+        if isinstance(v, bytes):
+            s = "\\x" + v.hex()
+        else:
+            s = str(v)
+        if s == "" or any(c in s for c in (",", '"', "\n", "\r")):
+            return '"' + s.replace('"', '""') + '"'
+        return s
+
+    def line(row) -> str:
+        # One COPY csv input line (ordered per the COPY column list —
+        # callers pass rows already column-resolved by reconcile).
+        return ",".join(cell(v) for v in row) + "\n"
+
+    return cell, line
+
+
+copy_csv_cell, copy_csv_line = _copy_serializers()
+
+
 def make_copy_partition(dsn: str, table: str, columns: list[str], connect_factory=None):
     """Build the per-partition COPY function (partition iterator → CSV
     buffer → COPY ... FROM STDIN). Factory-nested so cloudpickle ships it
@@ -73,12 +124,14 @@ def make_copy_partition(dsn: str, table: str, columns: list[str], connect_factor
     ON THE EXECUTOR); tests inject a mock with the same context-manager
     protocol, which is what lets the reference's flagship sink path
     (pgx.CopyFrom, reference src/db/db.go:175-180) have executable
-    evidence without a live Postgres."""
-    _check_copy_identifiers(table, columns)
-    col_list = ", ".join(columns)
+    evidence without a live Postgres. Statement assembly and row
+    serialization live in copy_sql/copy_csv_line (unit-tested incl. the
+    NULL-vs-empty-string and quote-escaping edges), so the only surface
+    this closure adds is the socket itself."""
+    stmt = copy_sql(table, columns)
+    _serialize = copy_csv_line
 
     def copy_partition(rows) -> None:
-        import csv
         import io
 
         connect = connect_factory
@@ -87,16 +140,15 @@ def make_copy_partition(dsn: str, table: str, columns: list[str], connect_factor
 
             connect = psycopg.connect
         buf = io.StringIO()
-        w = csv.writer(buf)
         n = 0
         for row in rows:
-            w.writerow(row)
+            buf.write(_serialize(row))
             n += 1
         if n == 0:
             return  # empty partition: never open a connection
         buf.seek(0)
         with connect(dsn) as conn, conn.cursor() as cur:
-            with cur.copy(f"COPY {table} ({col_list}) FROM STDIN (FORMAT csv)") as cp:
+            with cur.copy(stmt) as cp:
                 while chunk := buf.read(1 << 20):
                     cp.write(chunk)
             conn.commit()

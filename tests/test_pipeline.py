@@ -54,6 +54,90 @@ def test_fetch_secret_file(tmp_path):
     assert fetch_secret("tok", secrets_dir=str(tmp_path)) == "s3cret"
 
 
+def test_gsm_resource_name_assembly():
+    from gcs2postgres_spark.config import gsm_resource_name
+
+    # bare name + project expands to .../versions/latest
+    assert (
+        gsm_resource_name("pg-pass", "my-proj")
+        == "projects/my-proj/secrets/pg-pass/versions/latest"
+    )
+    # full resource path passes through; secret-level path gains /versions/latest
+    full = "projects/p/secrets/s/versions/7"
+    assert gsm_resource_name(full) == full
+    assert (
+        gsm_resource_name("projects/p/secrets/s")
+        == "projects/p/secrets/s/versions/latest"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="project_id"):
+        gsm_resource_name("bare-name")
+
+
+def test_fetch_secret_gsm_via_injected_client():
+    # offline drive of the Secret Manager backend (reference
+    # src/utils/utils.go:70-87): the client seam receives the assembled
+    # resource name and its payload round-trips
+    from gcs2postgres_spark.config import fetch_secret
+
+    class FakeResp:
+        class payload:  # noqa: N801 - mirrors the proto attribute shape
+            data = b"from-gsm"
+
+    class FakeClient:
+        def __init__(self):
+            self.seen = None
+
+        def access_secret_version(self, name):
+            self.seen = name
+            return FakeResp()
+
+    c = FakeClient()
+    got = fetch_secret("pg-pass", project_id="my-proj", gsm_client=c)
+    assert got == "from-gsm"
+    assert c.seen == "projects/my-proj/secrets/pg-pass/versions/latest"
+    # env var still wins over GSM (resolution order unchanged)
+    import os
+
+    os.environ["SECRET_PG_PASS2"] = "env-wins"
+    try:
+        assert (
+            fetch_secret("pg-pass2", project_id="p", gsm_client=c) == "env-wins"
+        )
+    finally:
+        del os.environ["SECRET_PG_PASS2"]
+
+
+def test_gcs_connector_conf_assembly():
+    from gcs2postgres_spark.sources.gcs import (
+        BIGQUERY_CONNECTOR_COORD,
+        GCS_CONNECTOR_COORD,
+        bigquery_read_options,
+        gcs_connector_conf,
+        gcs_uri,
+    )
+
+    conf = gcs_connector_conf(keyfile="/secrets/sa.json", project_id="my-proj")
+    assert conf["spark.jars.packages"] == GCS_CONNECTOR_COORD
+    assert conf["spark.hadoop.fs.gs.impl"].endswith("GoogleHadoopFileSystem")
+    assert (
+        conf["spark.hadoop.google.cloud.auth.service.account.json.keyfile"]
+        == "/secrets/sa.json"
+    )
+    assert conf["spark.hadoop.fs.gs.project.id"] == "my-proj"
+    # ADC mode: no keyfile -> no service-account override keys at all
+    adc = gcs_connector_conf()
+    assert not any("service.account" in k for k in adc)
+    assert gcs_uri("bkt", "/data/region.csv") == "gs://bkt/data/region.csv"
+    assert "_2.13" in BIGQUERY_CONNECTOR_COORD
+    opts = bigquery_read_options(
+        "nation", dataset="tpch", parent_project="billing-proj"
+    )
+    assert opts == {"table": "tpch.nation", "parentProject": "billing-proj"}
+    assert bigquery_read_options("p.d.t")["table"] == "p.d.t"
+
+
 def test_transfer_all_parallel(spark, sf_dir, tmp_path):
     import yaml
 

@@ -1,0 +1,175 @@
+"""COPY-protocol serializer pins (round-6 verdict item: make the socket
+the ONLY untested surface of write_jdbc_copy).
+
+The serializer is hand-rolled because Python's csv.writer cannot
+express COPY (FORMAT csv) NULL semantics: COPY reads an unquoted empty
+field as NULL and a quoted empty field as '' — csv.writer emits both
+None and '' identically, silently loading empty strings as NULL.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from gcs2postgres_spark.sinks import (
+    copy_csv_cell,
+    copy_csv_line,
+    copy_sql,
+    make_copy_partition,
+)
+
+
+def test_null_vs_empty_string_are_distinct():
+    # the csv.writer failure mode this serializer exists to avoid
+    assert copy_csv_cell(None) == ""  # unquoted empty = NULL to COPY
+    assert copy_csv_cell("") == '""'  # quoted empty = empty string
+    assert copy_csv_line([None, "", None]) == ',"",\n'
+
+
+def test_quoting_and_escaping():
+    assert copy_csv_cell("plain") == "plain"
+    assert copy_csv_cell("has,comma") == '"has,comma"'
+    assert copy_csv_cell('has"quote') == '"has""quote"'
+    assert copy_csv_cell("line\nbreak") == '"line\nbreak"'
+    assert copy_csv_cell("cr\rhere") == '"cr\rhere"'
+    # round-trippable by a strict csv reader with doubled quotes
+    import csv
+    import io
+
+    line = copy_csv_line(["a,b", 'c"d', None, "", "x"])
+    got = next(csv.reader(io.StringIO(line)))
+    assert got == ["a,b", 'c"d', "", "", "x"]
+
+
+def test_scalar_type_forms():
+    assert copy_csv_cell(True) == "t"
+    assert copy_csv_cell(False) == "f"
+    assert copy_csv_cell(42) == "42"
+    assert copy_csv_cell(-1.5) == "-1.5"
+    assert copy_csv_cell(Decimal("12.340")) == "12.340"
+    assert copy_csv_cell(dt.date(2024, 2, 29)) == "2024-02-29"
+    assert copy_csv_cell(dt.datetime(2024, 2, 29, 12, 30, 5)) == (
+        "2024-02-29 12:30:05"
+    )
+    assert copy_csv_cell(b"\x00\xff") == "\\x00ff"
+
+
+def test_copy_sql_column_order_and_guards():
+    assert (
+        copy_sql("public.t", ["b", "a"])
+        == "COPY public.t (b, a) FROM STDIN (FORMAT csv)"
+    )
+    with pytest.raises(ValueError, match="unsafe table"):
+        copy_sql("t;DROP", ["a"])
+    with pytest.raises(ValueError, match="unsafe column"):
+        copy_sql("t", ["a", "b c"])
+
+
+def test_serializers_pickle_by_value():
+    # the closures must ship by value to executors (workers may not have
+    # this package importable); cloudpickle pickles <locals> closures by
+    # value and module-level defs by reference
+    assert "<locals>" in copy_csv_line.__qualname__
+    assert "<locals>" in copy_csv_cell.__qualname__
+
+
+class _FakeCopy:
+    def __init__(self, sink):
+        self.sink = sink
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def write(self, chunk):
+        self.sink.append(chunk)
+
+
+class _FakeCursor:
+    def __init__(self, log):
+        self.log = log
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def copy(self, stmt):
+        self.log["stmt"] = stmt
+        return _FakeCopy(self.log.setdefault("chunks", []))
+
+
+class _FakeConn:
+    def __init__(self, log):
+        self.log = log
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def cursor(self):
+        return _FakeCursor(self.log)
+
+    def commit(self):
+        self.log["committed"] = True
+
+
+def test_copy_partition_end_to_end_with_reconciled_rows(spark):
+    """Drive the full per-partition path — OP-6 lenient casts feeding the
+    serializer feeding the (fake) COPY socket — and parse the stream back
+    with a strict csv reader to assert what Postgres would receive."""
+    import csv
+    import io
+
+    from gcs2postgres_spark.reconcile import reconcile_to_target
+
+    df = spark.createDataFrame(
+        [
+            (1, 2**40, "ok", ""),
+            (2, 3, None, "x,y"),
+        ],
+        "id long, big long, s string, t string",
+    )
+    # OP-6: int64 → int32 truncates; missing target col → NULL
+    out = reconcile_to_target(
+        df,
+        [("id", "integer"), ("big", "integer"), ("s", "text"), ("t", "text"),
+         ("absent", "text")],
+    )
+    rows = [tuple(r) for r in out.orderBy("id").collect()]
+    log: dict = {}
+    fn = make_copy_partition(
+        "dsn://ignored", "public.tgt", ["id", "big", "s", "t", "absent"],
+        connect_factory=lambda dsn: _FakeConn(log),
+    )
+    fn(iter(rows))
+    assert log["stmt"] == (
+        "COPY public.tgt (id, big, s, t, absent) FROM STDIN (FORMAT csv)"
+    )
+    assert log["committed"] is True
+    stream = "".join(log["chunks"])
+    parsed = list(csv.reader(io.StringIO(stream)))
+    # 2^40 truncated to int32 (lenient-cast semantics pinned in
+    # tests/test_reconcile.py); empty string survives as quoted ""
+    assert parsed[0][0] == "1" and parsed[1][0] == "2"
+    assert parsed[0][1] == str(rows[0][1])  # whatever OP-6 produced
+    assert '""' in stream.splitlines()[0]  # empty string, NOT NULL
+    # NULLs (s of row 2, absent of both) are unquoted empties
+    assert stream.splitlines()[1].split(",")[2] == ""
+
+
+def test_copy_partition_empty_iterator_never_connects():
+    calls = []
+    fn = make_copy_partition(
+        "dsn", "t", ["a"], connect_factory=lambda dsn: calls.append(dsn)
+    )
+    fn(iter([]))
+    assert calls == []
