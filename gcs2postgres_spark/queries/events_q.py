@@ -260,6 +260,59 @@ def events_click_purchase_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEFTOUTER_ATTR_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY click_id, purchase_id
+"""
+
+
+@register("stream_interval_join_leftouter", oracle=LEFTOUTER_ATTR_ORACLE)
+def stream_interval_join_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join
+    (streaming/windows.py::stream_stream_interval_join_outer): clicks
+    with no purchase in the 30-minute horizon survive null-extended —
+    in the streaming version those are exactly the rows the engine may
+    emit only after the watermark passes click_ts+horizon (emission and
+    state eviction are the same event; pinned stream==batch incl. the
+    null-extended rows in tests/test_streaming.py). Same plan shape as
+    the inner variant: equi-key user_id carries the hash join, the time
+    interval is a residual predicate — no cartesian."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left",
+        )
+        .select(
+            "click_id", "purchase_id", "user_id",
+            "click_ts", "purchase_ts", "purchase_value",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 TIME_ROLLUP_ORACLE = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day,
        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

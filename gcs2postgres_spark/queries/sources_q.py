@@ -171,6 +171,69 @@ def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+AVRO_LOGICAL_ORACLE = """
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+       min(DATE '1992-01-01' + CAST(s_suppkey % 1000 AS INT)) AS min_d,
+       max(DATE '1992-01-01' + CAST(s_suppkey % 1000 AS INT)) AS max_d,
+       min(TIMESTAMP '1992-01-01'
+           + CAST(s_suppkey % 48 AS INT) * INTERVAL 1 HOUR) AS min_ts
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("avro_logical_types_roundtrip", oracle=AVRO_LOGICAL_ORACLE)
+def avro_logical_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro logicalType roundtrip through the jar-less codec: DateType,
+    TimestampType and DecimalType(12,2) columns → write_avro_distributed
+    (annotated ``int/date``, ``long/timestamp-micros``,
+    ``bytes/decimal`` per the Avro spec's Logical Types section) →
+    read_source(avro) → typed aggregates. The reference's own sample
+    data is supplier.avro (reference config.yaml:15-17); before round 6
+    the codec surfaced these columns as base long/bytes, so a real
+    supplier.avro would have lost its date/decimal typing. Exactness:
+    the decimal survives as exact unscaled-int bytes (big-endian
+    two's-complement), dates/timestamps as exact integer days/micros —
+    the roundtrip is lossless and the oracle recomputes the same
+    aggregates straight from parquet."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.avro_py import write_avro_distributed
+    from gcs2postgres_spark.sources.readers import read_source
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    src = supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("s_acctbal").cast("decimal(12,2)").alias("bal_dec"),
+        F.expr("date_add(date'1992-01-01', cast(s_suppkey % 1000 as int))").alias("d"),
+        F.expr(
+            "timestamp'1992-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(s_suppkey % 48 as int), 0, 0)"
+        ).alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="avro_logical_roundtrip_")
+    try:
+        write_avro_distributed(src.repartition(4), tmp)
+        df = read_source(spark, tmp, fmt="avro")
+        return (
+            df.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+                F.sum("bal_dec").cast("double").alias("sum_bal"),
+                F.min("d").alias("min_d"),
+                F.max("d").alias("max_d"),
+                F.min("ts").alias("min_ts"),
+            )
+            .orderBy("s_nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 DELTA_ROUNDTRIP_ORACLE = """
 SELECT n_regionkey,
        count(*)                         AS n_nations,

@@ -30,10 +30,12 @@ Logical types decode as their base type (documented narrowing).
 
 from __future__ import annotations
 
+import datetime as _dt
 import io
 import json
 import struct
 import zlib
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -87,6 +89,47 @@ def _write_bytes(buf: io.BytesIO, data: bytes) -> None:
 # ------------------------------------------------------------ schema-driven
 
 
+# ------------------------------------------------------------ logical types
+#
+# Avro logicalType annotations (spec: Logical Types) decode to their
+# Spark-typed Python values instead of the base primitive: date(int) →
+# datetime.date, timestamp-millis/micros(long) → naive-UTC datetime,
+# decimal(bytes|fixed) → Decimal with the schema's scale (unscaled
+# big-endian two's-complement per the spec). Unknown logical types fall
+# through to the base type, which is the spec-mandated behavior.
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+
+
+def _from_logical(lt: str, v, schema):
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=v)
+    if lt == "timestamp-micros":
+        return _EPOCH_DT + _dt.timedelta(microseconds=v)
+    if lt == "timestamp-millis":
+        return _EPOCH_DT + _dt.timedelta(milliseconds=v)
+    if lt == "decimal":
+        unscaled = int.from_bytes(v, "big", signed=True) if v else 0
+        return Decimal(unscaled).scaleb(-int(schema.get("scale", 0)))
+    return v
+
+
+def _to_logical(lt: str, v, schema):
+    if lt == "date":
+        return (v - _EPOCH_DATE).days
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        micros = (v - _EPOCH_DT) // _dt.timedelta(microseconds=1)
+        return micros if lt == "timestamp-micros" else micros // 1000
+    if lt == "decimal":
+        unscaled = int(Decimal(v).scaleb(int(schema.get("scale", 0))).to_integral_exact())
+        nbytes = (unscaled.bit_length() + 8) // 8 or 1
+        return unscaled.to_bytes(nbytes, "big", signed=True)
+    return v
+
+
 def _decode(schema, buf: io.BytesIO):
     """Decode one value of `schema` (parsed JSON form) from buf."""
     if isinstance(schema, list):  # union: long index then value
@@ -120,9 +163,12 @@ def _decode(schema, buf: io.BytesIO):
                     out[k] = _decode(schema["values"], buf)
         if t == "enum":
             return schema["symbols"][_read_long(buf)]
+        lt = schema.get("logicalType")
         if t == "fixed":
-            return buf.read(schema["size"])
-        return _decode(t, buf)  # {"type": "long", "logicalType": ...} etc.
+            raw = buf.read(schema["size"])
+            return _from_logical(lt, raw, schema) if lt else raw
+        base = _decode(t, buf)  # {"type": "long", "logicalType": ...} etc.
+        return _from_logical(lt, base, schema) if lt else base
     # plain string type name
     if schema == "null":
         return None
@@ -173,6 +219,9 @@ def _encode(schema, value, buf: io.BytesIO) -> None:
         if t == "enum":
             _write_long(buf, schema["symbols"].index(value))
             return
+        lt = schema.get("logicalType")
+        if lt:
+            value = _to_logical(lt, value, schema)
         if t == "fixed":
             buf.write(value)
             return
@@ -202,6 +251,14 @@ def _matches(schema, value) -> bool:
         return value is None
     if value is None:
         return False
+    if isinstance(schema, dict) and schema.get("logicalType"):
+        lt = schema["logicalType"]
+        if lt == "date":
+            return isinstance(value, _dt.date) and not isinstance(value, _dt.datetime)
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            return isinstance(value, _dt.datetime)
+        if lt == "decimal":
+            return isinstance(value, Decimal)
     if t == "boolean":
         return isinstance(value, bool)
     if t in ("int", "long"):
@@ -323,6 +380,13 @@ def avro_to_spark_type(schema) -> T.DataType:
             return T.MapType(T.StringType(), avro_to_spark_type(schema["values"]), _nullable(schema["values"]))
         if t == "enum":
             return T.StringType()
+        lt = schema.get("logicalType")
+        if lt == "date":
+            return T.DateType()
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            return T.TimestampType()
+        if lt == "decimal":
+            return T.DecimalType(int(schema["precision"]), int(schema.get("scale", 0)))
         if t == "fixed":
             return T.BinaryType()
         return avro_to_spark_type(t)
@@ -351,6 +415,19 @@ def spark_to_avro_schema(st: T.StructType, name: str = "row") -> dict:
     }
 
     def conv(dt: T.DataType):
+        # logical types first: DateType is not in the base mapping, and
+        # DecimalType must carry precision/scale through the annotation
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DecimalType):
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         for k, v in mapping.items():
             if isinstance(dt, k):
                 return v

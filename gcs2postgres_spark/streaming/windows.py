@@ -257,6 +257,100 @@ def stream_stream_interval_join(
     )
 
 
+def stream_stream_interval_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with a time-interval condition —
+    the last standard streaming join shape (inner is
+    stream_stream_interval_join above). A click with no purchase in
+    [click_ts, click_ts+horizon] is emitted null-extended, but only
+    once the WATERMARK has passed click_ts+horizon — before that a
+    matching purchase could still arrive, so the engine must hold the
+    click in state and stay silent. That watermark-gated emission is
+    exactly the state-eviction contract: the null-extended output and
+    the state cleanup are the same event. Spark requires watermarks on
+    both inputs plus the event-time range condition for outer
+    stream-stream joins; without them unmatched state could never be
+    finalized."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        "click_ts", "purchase_ts", "purchase_value",
+    )
+
+
+def read_events_stream_time_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Time-ordered multi-micro-batch events stream: the table is split
+    into ``n_files`` contiguous TIME RANGES, staged as sequentially
+    named/written files, and streamed with maxFilesPerTrigger=1. Unlike
+    read_events_stream_batched (round-robin, deliberately out-of-order),
+    here the watermark advances monotonically with no late drops — the
+    shape outer-join tests need, where null-extended emission depends
+    only on the watermark passing each row's horizon, not on late-data
+    policy."""
+    import shutil
+    import tempfile
+
+    stage = Path(tempfile.mkdtemp(prefix="events_stream_ordered_"))
+    schema = _events_schema(spark, sf_dir)
+    raw = _normalize_ts(spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet"))
+    bounds = raw.selectExpr(
+        *[
+            f"percentile_approx(ts, {i / n_files}, 10000) AS p{i}"
+            for i in range(1, n_files)
+        ]
+    ).first()
+    cuts = [bounds[f"p{i}"] for i in range(1, n_files)]
+    scratch = Path(tempfile.mkdtemp(prefix="events_stream_ordered_tmp_"))
+    for i in range(n_files):
+        part = raw
+        if i > 0:
+            part = part.filter(F.col("ts") >= F.lit(cuts[i - 1]))
+        if i < n_files - 1:
+            part = part.filter(F.col("ts") < F.lit(cuts[i]))
+        out = scratch / f"b{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(out))
+        src = next(out.glob("part-*.parquet"))
+        # sequential rename: lexicographic name order == arrival order ==
+        # time order, whatever listing order the file source uses
+        shutil.move(str(src), str(stage / f"{i:03d}.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    return stream
+
+
 def binned_value_counts(events: DataFrame, bin_width: float = 100.0) -> DataFrame:
     """Mergeable fixed-width value histogram per event_type — the
     STREAMING-compatible variant of queries/insights_q.py::

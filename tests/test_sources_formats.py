@@ -132,6 +132,102 @@ def test_avro_our_reader_reads_java_files(spark, avro_fixture, tmp_path):
     ]
 
 
+def test_avro_logical_types_roundtrip_codec(tmp_path):
+    """date / timestamp-micros / decimal(bytes) logicalType annotations
+    must decode to typed Python values and re-encode losslessly —
+    including pre-epoch dates, negative decimals, and nulls (the
+    reference's own supplier.avro carries such columns,
+    reference config.yaml:15-17)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from gcs2postgres_spark.sources.avro_py import (
+        avro_to_spark_type,
+        read_avro_file,
+        spark_to_avro_schema,
+        write_avro_file,
+    )
+
+    st = T.StructType(
+        [
+            T.StructField("d", T.DateType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("dec", T.DecimalType(12, 2), True),
+        ]
+    )
+    schema = spark_to_avro_schema(st, "row")
+    assert schema["fields"][0]["type"][1] == {"type": "int", "logicalType": "date"}
+    assert schema["fields"][1]["type"][1] == {
+        "type": "long",
+        "logicalType": "timestamp-micros",
+    }
+    assert schema["fields"][2]["type"][1]["logicalType"] == "decimal"
+    recs = [
+        {
+            "d": dt.date(2024, 2, 29),
+            "ts": dt.datetime(2024, 2, 29, 12, 30, 5, 123456),
+            "dec": Decimal("-12345.67"),
+        },
+        {"d": None, "ts": None, "dec": None},
+        {
+            "d": dt.date(1969, 12, 31),  # pre-epoch: negative days
+            "ts": dt.datetime(1969, 12, 31, 23, 59, 59),
+            "dec": Decimal("0.00"),
+        },
+    ]
+    p = str(tmp_path / "logical.avro")
+    write_avro_file(p, schema, recs)
+    got_schema, got = read_avro_file(p)
+    assert got == recs
+    assert avro_to_spark_type(got_schema) == st
+
+
+def test_avro_logical_types_java_base_encoding(spark, tmp_path):
+    """Spec conformance of the logical encodings: the JVM reference Avro
+    implementation (no conversions registered → raw base values) must
+    see exactly the spec's base representation — days-since-epoch int,
+    micros-since-epoch long, big-endian two's-complement unscaled
+    bytes."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from gcs2postgres_spark.sources.avro_py import (
+        spark_to_avro_schema,
+        write_avro_file,
+    )
+
+    st = T.StructType(
+        [
+            T.StructField("d", T.DateType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("dec", T.DecimalType(12, 2), False),
+        ]
+    )
+    schema = spark_to_avro_schema(st, "row")
+    rec = {
+        "d": dt.date(1970, 1, 11),  # +10 days
+        "ts": dt.datetime(1970, 1, 1, 0, 0, 1),  # +1_000_000 µs
+        "dec": Decimal("-1.00"),  # unscaled -100 → b'\x9c'
+    }
+    p = str(tmp_path / "logical_java.avro")
+    write_avro_file(p, schema, [rec])
+    jvm = spark._jvm
+    dr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    r = dr.next()
+    assert r.get("d") == 10
+    assert r.get("ts") == 1_000_000
+    buf = r.get("dec")  # java.nio.ByteBuffer
+    raw = bytes([buf.get(i) % 256 for i in range(buf.limit())])
+    assert int.from_bytes(raw, "big", signed=True) == -100
+    dr.close()
+
+
 def test_bigquery_missing_connector_clear_error(spark):
     """The reference's native-BQ scan (src/db/db.go:95-147) maps to the
     spark-bigquery-connector; without the jar the error must name the

@@ -163,6 +163,64 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_stream_stream_leftouter_interval_join_matches_batch(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join == batch left join, with
+    the watermark caveat made explicit: a null-extended row may be
+    emitted only after the watermark passes click_ts+horizon, so clicks
+    near the end of the stream legitimately stay unemitted. Pins:
+    (a) matched pairs identical to batch; (b) every emitted null row is
+    a batch null row; (c) every batch null row old enough for the final
+    watermark WAS emitted — i.e. eviction actually fires, the thing
+    that distinguishes a working outer join from an inner join that
+    never flushes state."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.queries import REGISTRY
+    from gcs2postgres_spark.streaming.windows import (
+        read_events_stream_time_ordered,
+        run_to_memory,
+        stream_stream_interval_join_outer,
+    )
+
+    joined = stream_stream_interval_join_outer(
+        read_events_stream_time_ordered(spark, sf_dir, n_files=4),
+        read_events_stream_time_ordered(spark, sf_dir, n_files=4),
+    )
+    run_to_memory(joined, "ss_louter_out", mode="append")
+    got = spark.table("ss_louter_out").collect()
+    got_pairs = {
+        (r.click_id, r.purchase_id) for r in got if r.purchase_id is not None
+    }
+    got_nulls = {r.click_id for r in got if r.purchase_id is None}
+
+    batch = REGISTRY["stream_interval_join_leftouter"].fn(spark, sf_dir).collect()
+    want_pairs = {
+        (r.click_id, r.purchase_id) for r in batch if r.purchase_id is not None
+    }
+    null_ts = {
+        r.click_id: r.click_ts for r in batch if r.purchase_id is None
+    }
+
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+    assert got_nulls <= set(null_ts)
+    # final watermark = max event time - 1h delay; any unmatched click
+    # whose horizon closed strictly before it must have been flushed
+    # (1s slack for the engine's ms-truncated watermark bookkeeping)
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    )
+    final_wm = max_ts - dt.timedelta(hours=1)
+    must_emit = {
+        cid
+        for cid, cts in null_ts.items()
+        if cts + dt.timedelta(minutes=30, seconds=1) < final_wm
+    }
+    assert must_emit, "fixture too small to exercise watermark flush"
+    assert must_emit <= got_nulls
+
+
 def test_stream_cdc_upsert_delta_matches_batch(spark, sf_dir, tmp_path):
     """Latest-wins per user folded micro-batch-by-micro-batch into a
     jar-less Delta table == the one-shot batch answer, however the rows
