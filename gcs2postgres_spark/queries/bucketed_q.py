@@ -38,10 +38,19 @@ from gcs2postgres_spark.queries.tpch_rest import Q21_STYLE_SQL
 from gcs2postgres_spark.session import tune_for_session
 
 
-def _n_buckets() -> int:
-    """Bucket count: at 100 TB size this to ~128-512 MB of lineitem per
-    bucket (thousands); the env knob keeps local tests small."""
-    return int(os.environ.get("SPARK_GRAFT_BUCKETS", "8"))
+def _n_buckets(spark: SparkSession) -> int:
+    """Bucket count: BUCKETS ≥ CORES, or the scan (one task per bucket)
+    caps parallelism below the machine and the bucketed plan loses to
+    plain shuffle — the BASELINE.md q21 A/B settlement; the round-5
+    fixture demoed the losing configuration (8 buckets on 32 cores).
+    Default = the session's defaultParallelism (total cores on local[n]),
+    overridable with SPARK_GRAFT_BUCKETS. At 100 TB size instead to
+    ~128-512 MB of lineitem per bucket (thousands) — which satisfies
+    buckets ≥ cores automatically at that scale."""
+    env = os.environ.get("SPARK_GRAFT_BUCKETS")
+    if env:
+        return int(env)
+    return int(spark.sparkContext.defaultParallelism)
 
 
 def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -53,7 +62,7 @@ def bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     tune_for_session(spark)
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    n = _n_buckets()
+    n = _n_buckets(spark)
     # tag includes source-file (mtime, size): regenerated testdata at the
     # same path gets a NEW table, never a stale bucketed copy
     src_fp = "|".join(

@@ -3,6 +3,9 @@ round-2 rotation must put exactly the unverified + fixed-red names
 there. Guard the invariants so a refactor can't silently shrink the
 verification window."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from gcs2postgres_spark.queries import REGISTRY, VERIFY_DEFERRED, VERIFY_FRONT
 
 
@@ -49,6 +52,69 @@ def test_materialize_ctes_transformer():
     assert "a AS MATERIALIZED (" in out and "WINDOW w AS (ORDER BY 1)" in out
     # no WITH: identity
     assert materialize_ctes("SELECT 1") == "SELECT 1"
+
+
+@st.composite
+def _with_chains(draw):
+    """Random top-level WITH chains over a tiny base table, stressing
+    the transformer's scanner: multiply-referenced CTEs, string
+    literals containing parens/commas/escaped quotes, nested
+    subqueries, unions."""
+    k = draw(st.integers(1, 4))
+    ctes = []
+    for i in range(k):
+        prev = f"c{i - 1}" if i else "base"
+        shape = draw(st.integers(0, 4))
+        if shape == 0:
+            body = f"SELECT x + {draw(st.integers(0, 5))} AS x, s FROM {prev}"
+        elif shape == 1:
+            # double reference — the case DuckDB inlining re-evaluates
+            body = (
+                f"SELECT a.x AS x, b.s AS s FROM {prev} a "
+                f"JOIN {prev} b ON a.x = b.x"
+            )
+        elif shape == 2:
+            lit = draw(
+                st.sampled_from(["it''s (tricky)", "plain", "x,y(z)", ""])
+            )
+            body = (
+                f"SELECT x, '{lit}' AS s FROM {prev} "
+                f"WHERE x > {draw(st.integers(-1, 3))}"
+            )
+        elif shape == 3:
+            body = f"SELECT x, s FROM {prev} UNION ALL SELECT x, s FROM {prev}"
+        else:
+            body = (
+                f"SELECT x, s FROM (SELECT x, s FROM {prev} WHERE x IN "
+                f"(SELECT x FROM {prev})) q"
+            )
+        ctes.append(f"c{i} AS ({body})")
+    return "WITH " + ", ".join(ctes) + f" SELECT * FROM c{k - 1} ORDER BY x, s"
+
+
+@given(_with_chains())
+@settings(max_examples=60, deadline=None)
+def test_materialize_ctes_is_semantics_preserving(sql):
+    """Property (round-6 verdict item 9): transformed SQL ≡ original on
+    DuckDB, for random WITH chains — so a future DuckDB upgrade that
+    changes MATERIALIZED semantics (or a scanner bug on a new oracle
+    shape) fails loudly here instead of silently corrupting oracle
+    results. Also pins idempotence (fixed point) since registration
+    applies the transformer exactly once."""
+    import duckdb
+
+    from gcs2postgres_spark.queries.registry import materialize_ctes
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base AS SELECT * FROM (VALUES "
+        "(1, 'a'), (2, 'b'), (3, 'c''d'), (2, '(x)')) t(x, s)"
+    )
+    orig = con.execute(sql).fetchall()
+    trans = materialize_ctes(sql)
+    assert "AS MATERIALIZED (" in trans  # the transformer actually fired
+    assert con.execute(trans).fetchall() == orig
+    assert materialize_ctes(trans) == trans
 
 
 def test_every_oracle_has_no_unmaterialized_hot_cte():
