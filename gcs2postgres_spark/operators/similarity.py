@@ -771,9 +771,21 @@ def blocked_cosine_pairs(
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
         ba = int(pdf["ba"].iat[0])
         bb = int(pdf["bb"].iat[0])
         a_side = pdf[pdf["blk"] == ba]
+        # a pair group can hold rows from only ONE of its blocks (the
+        # other hashed no vectors — fewer vectors than blocks); an empty
+        # side means no cross pairs, and np.array([]) would be 1-D
+        if len(a_side) == 0:
+            return empty
         ia = a_side["id"].to_numpy(dtype=np.int64)
         A = np.array(a_side["vec"].tolist(), dtype=np.float64)
         na = np.linalg.norm(A, axis=1)
@@ -783,13 +795,15 @@ def blocked_cosine_pairs(
             ib, B, nb = ia, A, na
         else:
             b_side = pdf[pdf["blk"] == bb]
+            if len(b_side) == 0:
+                return empty
             ib = b_side["id"].to_numpy(dtype=np.int64)
             B = np.array(b_side["vec"].tolist(), dtype=np.float64)
             nb = np.linalg.norm(B, axis=1)
             ok_b = nb > 0.0
             ib, B, nb = ib[ok_b], B[ok_b], nb[ok_b]
         if len(ia) == 0 or len(ib) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            return empty
         C = (A / na[:, None]) @ (B / nb[:, None]).T
         if ba == bb:
             ii, jj = np.nonzero(np.triu(C > thr, k=1))
