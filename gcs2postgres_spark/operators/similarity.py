@@ -720,10 +720,11 @@ def blocked_cosine_pairs(
     the GEMM stage is one Arrow-batched mapInPandas. ``nblocks`` is
     the scale knob (tasks = nblocks·(nblocks+1)/2, block bytes =
     N/nblocks · dim · 8): size it so a block pair fits executor
-    memory, exactly like shuffle partitions. At true corpus scale a
-    coarse clustering pass (kmeans_lloyd here) prunes block pairs
-    first; mining EVERY pair above a near-chance threshold is
-    inherently Ω(output) work.
+    memory, exactly like shuffle partitions. At true corpus scale use
+    ``clustered_cosine_pairs`` below — same GEMM, but kmeans cells as
+    blocks plus a provable centroid-angle/radius bound that DROPS cell
+    pairs that cannot reach the threshold; mining EVERY pair above a
+    near-chance threshold is inherently Ω(output) work.
 
     SRP-LSH (srp_cosine_near_dup_pairs) remains the right operator
     for HIGH thresholds (cos ≥ 0.9: p ≥ 0.86, a few thousand buckets
@@ -765,7 +766,20 @@ def blocked_cosine_pairs(
         "id",
         "vec",
     )
-    thr = float(threshold)
+    gemm = _make_pair_gemm(float(threshold))
+    return rep.groupBy("ba", "bb").applyInPandas(
+        gemm, schema="id_a long, id_b long, cos_sim double"
+    )
+
+
+def _make_pair_gemm(thr: float):
+    """Per-block-pair GEMM for applyInPandas, shared by
+    blocked_cosine_pairs (hash blocks) and clustered_cosine_pairs
+    (kmeans blocks). Built as a ``<locals>`` closure so cloudpickle
+    ships it by value to executors. The group's rows carry (ba, bb,
+    blk, id, vec); side A = rows with blk==ba, side B = blk==bb (same
+    rows on the diagonal). Zero-norm vectors are excluded
+    deterministically; emitted pairs are (min_id, max_id, cos)."""
 
     def gemm(pdf):
         import numpy as np
@@ -821,6 +835,108 @@ def blocked_cosine_pairs(
             }
         )
 
+    return gemm
+
+
+def clustered_cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_clusters: int = 32,
+    sample_size: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT cosine pair mining with kmeans BLOCK-PAIR PRUNING — the
+    100×-scale path blocked_cosine_pairs' docstring sketches. Blocks
+    are coarse k-means cells (trained on a bounded deterministic
+    sample, the IVF recipe) instead of id-hash groups, which makes a
+    provable skip bound available: for cells a, b with centroid angle
+    θ_ab and angular radii r_a, r_b (max member-to-centroid angle),
+    every cross pair satisfies
+
+        cos(u, v) ≤ cos(max(0, θ_ab − r_a − r_b))     (triangle
+        inequality on the unit sphere),
+
+    so any cell pair whose bound is below the threshold is DROPPED
+    before any replication or GEMM — no recall argument needed, the
+    skipped pairs provably cannot reach the threshold. Hash blocking
+    must GEMM all nblocks(nblocks+1)/2 pairs; clustered blocking does
+    the same worst case but skips everything the geometry rules out —
+    the higher the threshold and the more clustered the corpus, the
+    closer the task count gets to Ω(output). Exactness is
+    property-tested against blocked_cosine_pairs (identical pair set).
+
+    Scale shape: quantizer trains driver-side on ≤sample_size vectors
+    (bounded); assignment + radius is ONE Arrow pass (no shuffle); the
+    k×k bound matrix is driver-side numpy on k centroids (k is a knob,
+    ≤ thousands); retained pairs broadcast to two equi-joins (no
+    cartesian/BNLJ); then the identical groupBy(pair).applyInPandas
+    GEMM as blocked_cosine_pairs — ordinary rows, no corpus-scaled
+    record. Zero-norm vectors are excluded up front (no cosine).
+    """
+    import numpy as np
+
+    base = vectors.select(
+        F.col(id_col).alias("cid").cast("long"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).filter(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x) > 0.0)
+    cent = train_ivf_quantizer(base, n_clusters, sample_size, kmeans_iters, seed)
+    spark = vectors.sparkSession
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def assign_with_cos(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        C = bc_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _np.array(list(pdf["vec"]), dtype=_np.float64)
+            mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ C.T
+            cell = _np.argmax(sims, axis=1)
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["cid"],
+                    "vec": pdf["vec"],
+                    "blk": cell.astype("int32"),
+                    "cos_c": sims[_np.arange(len(cell)), cell],
+                }
+            )
+
+    assigned = base.mapInPandas(
+        assign_with_cos,
+        schema="id long, vec array<double>, blk int, cos_c double",
+    ).localCheckpoint(eager=True)
+
+    # per-cell angular radius (k rows — bounded driver read)
+    rad_rows = assigned.groupBy("blk").agg(F.min("cos_c").alias("min_cos")).collect()
+    k = len(cent)
+    radius = np.zeros(k)
+    for r in rad_rows:
+        # clip for float drift; +1e-9 slack keeps the bound conservative
+        radius[r["blk"]] = float(
+            np.arccos(np.clip(r["min_cos"], -1.0, 1.0)) + 1e-9
+        )
+    cent_angles = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
+    bound = np.cos(np.maximum(0.0, cent_angles - radius[:, None] - radius[None, :]))
+    keep_a, keep_b = np.nonzero(np.triu(bound > float(threshold) - 1e-9))
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(keep_a, keep_b)], "ba int, bb int"
+    )
+
+    # replicate each vector once per RETAINED pair it belongs to: two
+    # broadcast equi-joins (never an OR-join → no BNLJ in the plan);
+    # the off-diagonal branch excludes ba==bb to avoid double-counting
+    offdiag = pairs.filter(F.col("ba") != F.col("bb"))
+    rep_a = assigned.join(F.broadcast(pairs), assigned["blk"] == pairs["ba"])
+    rep_b = assigned.join(F.broadcast(offdiag), assigned["blk"] == offdiag["bb"])
+    rep = rep_a.unionByName(rep_b).select("ba", "bb", "blk", "id", "vec")
+
+    gemm = _make_pair_gemm(float(threshold))
     return rep.groupBy("ba", "bb").applyInPandas(
         gemm, schema="id_a long, id_b long, cos_sim double"
     )

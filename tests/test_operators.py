@@ -690,6 +690,100 @@ def test_blocked_cosine_pairs_zero_norm_excluded(spark):
     assert all(r.cos_sim == r.cos_sim for r in got)  # no NaN
 
 
+def test_clustered_cosine_pairs_exact_and_pruning(spark, sf_dir):
+    """kmeans block-pair pruning must be EXACT (identical pair set +
+    values vs the hash-blocked miner at every threshold — the skip
+    bound is a theorem, not a recall target) while actually pruning:
+    at a high threshold the retained-cell-pair GEMM work must be a
+    strict subset of the all-pairs k(k+1)/2."""
+    from gcs2postgres_spark.catalog import load_table
+    from gcs2postgres_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        clustered_cosine_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    for thr in (0.45, 0.8):
+        want = {
+            (r.id_a, r.id_b): round(r.cos_sim, 9)
+            for r in blocked_cosine_pairs(e, threshold=thr).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): round(r.cos_sim, 9)
+            for r in clustered_cosine_pairs(
+                e, threshold=thr, n_clusters=16
+            ).collect()
+        }
+        assert set(got) == set(want), f"thr={thr}"
+        for kk in want:
+            assert abs(got[kk] - want[kk]) < 1e-9
+
+
+def test_clustered_cosine_pairs_prunes_cell_pairs(spark):
+    """Pruning effectiveness needs CLUSTERED data — on uniform-random
+    high-dim vectors cell radii approach 90° and the (correct) bound
+    can rule nothing out, which the exactness test above covers. Here:
+    three tight caps around orthogonal axes; cross-cap cosines ~0, so
+    at a 0.8 threshold the geometry must discard every cross-cap cell
+    pair while the result still matches the unpruned miner exactly."""
+    import numpy as np
+
+    from gcs2postgres_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        clustered_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for axis in range(3):
+        for i in range(40):
+            v = np.zeros(8)
+            v[axis] = 1.0
+            v += 0.03 * rng.standard_normal(8)  # tight cap, ~2-3° radius
+            rows.append((axis * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        (r.id_a, r.id_b): round(r.cos_sim, 9)
+        for r in blocked_cosine_pairs(df, threshold=0.8, nblocks=6).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): round(r.cos_sim, 9)
+        for r in clustered_cosine_pairs(
+            df, threshold=0.8, n_clusters=8, sample_size=200
+        ).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for kk in want:
+        assert abs(got[kk] - want[kk]) < 1e-9
+    # white-box: recompute the bound the operator uses; cross-cap cell
+    # pairs must be below threshold (pruned), diagonals retained
+    from gcs2postgres_spark.operators.similarity import train_ivf_quantizer
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("vec"),
+    )
+    cent = train_ivf_quantizer(base, 8, 200, 5, 42)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = X @ cent.T
+    cell = np.argmax(sims, axis=1)
+    k = len(cent)
+    radius = np.zeros(k)
+    for c in range(k):
+        m = sims[cell == c, c]
+        if len(m):
+            radius[c] = np.arccos(np.clip(m.min(), -1, 1)) + 1e-9
+    ang = np.arccos(np.clip(cent @ cent.T, -1, 1))
+    bound = np.cos(np.maximum(0.0, ang - radius[:, None] - radius[None, :]))
+    kept = int(np.count_nonzero(np.triu(bound > 0.8 - 1e-9)))
+    total = k * (k + 1) // 2
+    # with >= 1 centroid per cap, every cross-cap cell pair is ruled
+    # out by the bound; same-cap splits and empty cells may survive
+    assert kept < total // 2, (kept, total)
+
+
 def test_blocked_cosine_pairs_no_corpus_scaled_rows(spark, sf_dir):
     # the round-6 representation contract: block members stay ordinary
     # rows into the applyInPandas GEMM — no collect_list aggregation
