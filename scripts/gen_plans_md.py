@@ -19,7 +19,7 @@ FLAGSHIPS = [
     ("q18_large_orders", "agg-before-join shrinks the fact side pre-join"),
     ("topk_per_group", "WindowGroupLimit prunes per-group top-k map-side"),
     ("dedup_minhash_lsh", "banded equi-join; no cartesian anywhere"),
-    ("dedup_cosine_embeddings", "blocked-GEMM: range spine + equi-joins + one mapInPandas"),
+    ("dedup_cosine_embeddings", "blocked-GEMM: row-level pair replication + grouped applyInPandas (no corpus-scaled rows)"),
     ("part_pareto_abc", "two-phase cumsum: pid-partitioned window, no global sort"),
     ("corpus_oov_rate", "rank-bounded vocab broadcasts; token stream never shuffles by token"),
     ("asof_join_events_orders", "union+window as-of: one shuffle, no join node"),

@@ -145,6 +145,19 @@ def test_cosine_dedup_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_clustered_cosine_pairs_no_cartesian(spark, sf_dir):
+    # the retained-pair replication must be two broadcast EQUI-joins
+    # (an OR-condition join would plan a BroadcastNestedLoopJoin and
+    # scale as corpus x pairs)
+    from gcs2postgres_spark.operators.similarity import clustered_cosine_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(clustered_cosine_pairs(e, threshold=0.8, n_clusters=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "collect_list" not in plan, plan
+
+
 def test_minhash_band_join_no_cartesian(spark, sf_dir):
     # banding exists precisely to avoid all-pairs: the candidate join must
     # be an equi-join on (band_id, band_hash)
