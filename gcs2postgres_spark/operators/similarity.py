@@ -882,8 +882,13 @@ def clustered_cosine_pairs(
         F.col(id_col).alias("cid").cast("long"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).filter(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x) > 0.0)
-    cent = train_ivf_quantizer(base, n_clusters, sample_size, kmeans_iters, seed)
     spark = vectors.sparkSession
+    if base.limit(1).count() == 0:
+        # empty (or all-zero-norm) corpus: nothing to quantize or pair
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
+    cent = train_ivf_quantizer(base, n_clusters, sample_size, kmeans_iters, seed)
     bc_cent = spark.sparkContext.broadcast(cent)
 
     def assign_with_cos(batches):

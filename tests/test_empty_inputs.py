@@ -104,6 +104,26 @@ def test_sssp_empty_seeds_empty_result(spark):
     assert sssp_bounded(e, seeds, n_rounds=2).count() == 0
 
 
+def test_clustered_cosine_pairs_empty_and_degenerate(spark):
+    from gcs2postgres_spark.operators.similarity import clustered_cosine_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert clustered_cosine_pairs(empty, n_clusters=4).count() == 0
+    # all-zero-norm corpus: every vector excluded, no NaN, no crash
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assert clustered_cosine_pairs(zeros, n_clusters=4).count() == 0
+    # fewer vectors than clusters
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = clustered_cosine_pairs(tiny, threshold=0.9, n_clusters=8).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+
+
 def test_blocked_cosine_pairs_empty_and_tiny(spark):
     from gcs2postgres_spark.operators.similarity import blocked_cosine_pairs
 
