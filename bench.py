@@ -113,22 +113,37 @@ def main() -> None:
     bucketed_fact_tables(spark, sf_dir)
     zordered_lineitem_path(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = REGISTRY.get(name)
-        if spec is None:
-            continue
-        # best-of-2: single-shot timings on a shared box have multi-second
-        # tail noise (observed 40× outliers from co-tenant CPU spikes);
-        # the minimum is the honest steady-state number
-        best = None
-        for _ in range(2):
+    # Interleaved passes, not back-to-back repeats: two full passes over
+    # the suite (same total cost as the old best-of-2), plus one extra
+    # pass for the physical-layout pairs (plain vs _bucketed/_zorder).
+    # Back-to-back repeats let a co-tenant CPU spike hit both runs of
+    # ONE query while sparing its pair partner, which is exactly how the
+    # r5/r6 single-sequence numbers flipped the q21 pair against the
+    # controlled interleaved A/B; minimum across suite-separated passes
+    # is the honest steady-state per query AND comparable within pairs.
+    present = [n for n in HEADLINE if n in REGISTRY]
+    paired: set[str] = set()
+    for n in present:
+        for suffix in ("_bucketed", "_zorder"):
+            if n + suffix in present:
+                paired.add(n)
+                paired.add(n + suffix)
+    best: dict[str, float] = {}
+
+    def one_pass(names: list[str]) -> None:
+        for name in names:
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        spark.catalog.clearCache()  # per-query persists don't leak across
+            best[name] = min(best.get(name, dt), dt)
+            spark.catalog.clearCache()  # per-query persists don't leak
+
+    one_pass(present)
+    one_pass(present)
+    one_pass([n for n in present if n in paired])
+    timings = {n: round(best[n], 3) for n in present}
 
     # Environment normalization fields: co-tenant load on this box has
     # produced uniform 1.2-1.7× cross-round drifts (and 40× single-query

@@ -59,6 +59,21 @@ def transfer_file(
         return TransferResult(target_table, 0, False, str(e))
 
 
+def resolve_source_path(gcs_cfg, name: str) -> str:
+    """Where a configured file actually lives: bucket-relative names
+    become ``gs://{bucket}/{name}`` exactly like the reference's
+    SourceURIs (src/db/db.go:28); absolute paths and URI-scheme'd
+    paths pass through untouched (the offline-harness and
+    already-qualified forms)."""
+    from gcs2postgres_spark.sources.fsio import has_scheme
+
+    if gcs_cfg.bucket_name and not has_scheme(name) and not name.startswith("/"):
+        from gcs2postgres_spark.sources.gcs import gcs_uri
+
+        return gcs_uri(gcs_cfg.bucket_name, name)
+    return name
+
+
 def transfer_all(
     spark: SparkSession,
     config: Config,
@@ -68,7 +83,10 @@ def transfer_all(
 ) -> list[TransferResult]:
     """All configured files, tables in parallel (real table-level
     concurrency — the reference's knob was vestigial, SURVEY §2.4 OP-10)."""
-    jobs = [(f.name, f.table) for f in config.gcs.files]
+    jobs = [
+        (resolve_source_path(config.gcs, f.name), f.table)
+        for f in config.gcs.files
+    ]
     parallel = max_parallel_tables or max(1, config.gcs.concurrent_jobs)
     results: list[TransferResult] = []
     with ThreadPoolExecutor(max_workers=parallel) as pool:

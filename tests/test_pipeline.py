@@ -109,6 +109,26 @@ def test_fetch_secret_gsm_via_injected_client():
         del os.environ["SECRET_PG_PASS2"]
 
 
+def test_resolve_source_path_bucket_vs_local():
+    from gcs2postgres_spark.config import GCSConfig
+    from gcs2postgres_spark.pipeline import resolve_source_path
+
+    with_bucket = GCSConfig(bucket_name="bkt")
+    no_bucket = GCSConfig()
+    # bucket-relative name → gs:// (reference SourceURIs, src/db/db.go:28)
+    assert resolve_source_path(with_bucket, "data/region.csv") == (
+        "gs://bkt/data/region.csv"
+    )
+    # absolute and scheme'd paths pass through even with a bucket set
+    assert resolve_source_path(with_bucket, "/tmp/region.csv") == "/tmp/region.csv"
+    assert (
+        resolve_source_path(with_bucket, "s3a://other/x.parquet")
+        == "s3a://other/x.parquet"
+    )
+    # no bucket configured: names are plain paths (offline harness)
+    assert resolve_source_path(no_bucket, "data/region.csv") == "data/region.csv"
+
+
 def test_gcs_connector_conf_assembly():
     from gcs2postgres_spark.sources.gcs import (
         BIGQUERY_CONNECTOR_COORD,
