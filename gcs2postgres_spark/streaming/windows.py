@@ -262,19 +262,24 @@ def stream_stream_interval_join_outer(
     purchases: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "leftOuter",
 ) -> DataFrame:
-    """Stream-stream LEFT OUTER join with a time-interval condition —
-    the last standard streaming join shape (inner is
-    stream_stream_interval_join above). A click with no purchase in
+    """Stream-stream OUTER join with a time-interval condition — the
+    remaining standard streaming join shapes (inner is
+    stream_stream_interval_join above; ``how`` is "leftOuter" or
+    "fullOuter"). A click with no purchase in
     [click_ts, click_ts+horizon] is emitted null-extended, but only
     once the WATERMARK has passed click_ts+horizon — before that a
     matching purchase could still arrive, so the engine must hold the
     click in state and stay silent. That watermark-gated emission is
     exactly the state-eviction contract: the null-extended output and
-    the state cleanup are the same event. Spark requires watermarks on
-    both inputs plus the event-time range condition for outer
-    stream-stream joins; without them unmatched state could never be
-    finalized."""
+    the state cleanup are the same event. fullOuter additionally
+    emits purchases that no click preceded (the interval lower bound
+    closes their match window at purchase_ts itself, so their
+    eviction is governed by the same watermark). Spark requires
+    watermarks on both inputs plus the event-time range condition for
+    outer stream-stream joins; without them unmatched state could
+    never be finalized."""
     c = (
         clicks.filter(F.col("event_type") == "click")
         .withWatermark("ts", watermark)
@@ -294,15 +299,23 @@ def stream_stream_interval_join_outer(
             F.col("value").alias("purchase_value"),
         )
     )
+    if how not in ("leftOuter", "fullOuter"):
+        raise ValueError(f"how must be leftOuter or fullOuter, got {how!r}")
     return c.join(
         p,
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
-        "leftOuter",
+        how,
     ).select(
-        "click_id", "purchase_id", "user_id",
-        "click_ts", "purchase_ts", "purchase_value",
+        "click_id",
+        "purchase_id",
+        # fullOuter: user_id is null on purchase-only rows — coalesce to
+        # the side that exists so the output key is always populated
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
     )
 
 

@@ -80,6 +80,32 @@ def test_ratio_6dp_knife_edge(spark):
     assert got[(5, 4)] == 1.25
 
 
+def test_exact_intdiv_property_random(spark):
+    # property: equals Python's exact integer quotient truncated toward
+    # zero (which is what Spark div and DuckDB // implement), over a
+    # hypothesis-style random grid incl. knife-edge-adjacent values
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for _ in range(300):
+        b = rng.choice([1, 2, 3, 7, 97, 10**6, 2 * 10**6, 10**12])
+        q = rng.randint(-(10**6), 10**6)
+        r = rng.randint(0, b - 1)
+        a = q * b + r  # exercises exact multiples AND near-boundary
+        cases.append((a, b))
+        cases.append((a - 1, b))
+        cases.append((a + 1, b))
+    df = spark.createDataFrame(cases, "a long, b long")
+    rows = df.select(
+        "a", "b", exact_intdiv(F.col("a"), F.col("b")).alias("got")
+    ).collect()
+    for row in rows:
+        a, b = row["a"], row["b"]
+        want = abs(a) // abs(b) * (1 if (a >= 0) == (b > 0) else -1)
+        assert int(row["got"]) == want, (a, b, int(row["got"]), want)
+
+
 def test_ppr_empty_seed_intersection_raises(spark):
     from gcs2postgres_spark.operators.pagerank import ppr_fixed
 

@@ -221,6 +221,81 @@ def test_stream_stream_leftouter_interval_join_matches_batch(spark, sf_dir):
     assert must_emit <= got_nulls
 
 
+def test_stream_stream_fullouter_interval_join_matches_batch(spark, sf_dir):
+    """FULL OUTER stream-stream interval join: matched pairs equal the
+    batch full join; click-side nulls behave as in the leftOuter test;
+    purchase-side nulls (no click preceded within the horizon) appear,
+    every one is legitimate per batch, and all old-enough ones were
+    flushed by the final watermark."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.streaming.windows import (
+        read_events_stream_time_ordered,
+        run_to_memory,
+        stream_stream_interval_join_outer,
+    )
+
+    joined = stream_stream_interval_join_outer(
+        read_events_stream_time_ordered(spark, sf_dir, n_files=4),
+        read_events_stream_time_ordered(spark, sf_dir, n_files=4),
+        how="fullOuter",
+    )
+    run_to_memory(joined, "ss_fouter_out", mode="append")
+    got = spark.table("ss_fouter_out").collect()
+    got_pairs = {
+        (r.click_id, r.purchase_id)
+        for r in got
+        if r.purchase_id is not None and r.click_id is not None
+    }
+    got_p_nulls = {r.purchase_id for r in got if r.click_id is None}
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full",
+    ).collect()
+    want_pairs = {
+        (r.click_id, r.purchase_id)
+        for r in batch
+        if r.purchase_id is not None and r.click_id is not None
+    }
+    p_null_ts = {
+        r.purchase_id: r.purchase_ts for r in batch if r.click_id is None
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+    assert got_p_nulls <= set(p_null_ts)
+    max_ts = e.agg(F.max("ts")).first()[0]
+    final_wm = max_ts - dt.timedelta(hours=1)
+    # semantically a purchase's match window closes at its own ts
+    # (clicks must precede it), but Spark derives the state-eviction
+    # bound conservatively from the symmetric join constraint — a
+    # purchase is only finalized once the watermark passes
+    # purchase_ts + horizon (observed: purchases within 30 min of the
+    # final watermark stay held). Use the engine's bound.
+    must_emit = {
+        pid
+        for pid, pts in p_null_ts.items()
+        if pts + dt.timedelta(minutes=30, seconds=1) < final_wm
+    }
+    assert must_emit, "fixture too small to exercise purchase-side flush"
+    assert must_emit <= got_p_nulls
+
+
 def test_stream_cdc_upsert_delta_matches_batch(spark, sf_dir, tmp_path):
     """Latest-wins per user folded micro-batch-by-micro-batch into a
     jar-less Delta table == the one-shot batch answer, however the rows
