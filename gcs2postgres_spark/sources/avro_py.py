@@ -324,11 +324,19 @@ def read_avro_file(path: str) -> tuple[dict, list[dict]]:
 
 def write_avro_file(
     path: str, schema: dict, records: list[dict], codec: str = "deflate",
-    sync: bytes = b"\x00" * 16, block_records: int = 1000,
+    sync: bytes | None = None, block_records: int = 1000,
 ) -> None:
     """Write an object container file (fixture/writer side of the codec).
-    Deterministic by construction (fixed sync marker) so fixtures are
-    byte-stable across runs."""
+    Deterministic by construction: the default sync marker is the md5 of
+    the schema JSON — byte-stable across runs for the same schema (the
+    fixture property), but NOT a constant the data could plausibly
+    contain (an earlier all-zero marker would collide with any 16 zero
+    bytes in a block, which matters now that read_avro_split_distributed
+    scans for the marker to find block boundaries)."""
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(json.dumps(schema, sort_keys=True).encode()).digest()
     out = io.BytesIO()
     out.write(MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
@@ -554,6 +562,120 @@ def read_avro_distributed(spark: SparkSession, path: str) -> DataFrame:
         )
     else:
         # single file: load EXACTLY this path — a dirname+glob load would
-        # silently union sibling .avro files into the result
+        # silently union sibling .avro files into the result. A single
+        # GIANT posix file re-routes to the sync-marker splitter so it
+        # doesn't decode as one task (the Hadoop input-split recipe).
+        if os.path.getsize(path) > SPLIT_THRESHOLD_BYTES:
+            return read_avro_split_distributed(spark, path)
         binary = spark.read.format("binaryFile").load(path)
     return binary.select("content").mapInPandas(decode_files, schema=spark_schema)
+
+
+# Single files above this size read via byte-range splits instead of one
+# whole-file task (read_avro_split_distributed).
+SPLIT_THRESHOLD_BYTES = 256 << 20
+
+
+def read_avro_split_distributed(
+    spark: SparkSession, path: str, split_bytes: int = 128 << 20
+) -> DataFrame:
+    """Distributed read of ONE giant Avro container file via sync-marker
+    byte-range splits — the Hadoop input-split recipe, closing
+    read_avro_distributed's one-task-per-file limit for the
+    single-huge-file layout.
+
+    The driver reads only the header (schema, codec, sync marker,
+    header length) and the file size, then plans [start, end) byte
+    ranges of ~split_bytes. Each task seeks into the file, scans
+    forward for the 16-byte sync marker, and decodes every block whose
+    START offset falls inside its range (the block that merely *ends*
+    inside the range belongs to the previous task) — so every block is
+    decoded exactly once with no coordination. A range wholly inside
+    one giant block finds no boundary and yields nothing, also correct.
+
+    Marker collisions: the writer's sync defaults to md5(schema JSON) —
+    16 bytes the data has no reason to contain (an all-zero marker
+    would false-positive on zero runs). Files from other writers use
+    random markers (the spec's recommendation) with the same 2^-128
+    collision math the Hadoop splitter has always accepted.
+
+    Scope: posix paths (executors reopen the file directly — workers
+    have no SparkSession to reach the Hadoop FS API). Object-store
+    deployments ship many part-files and ride the per-file path above;
+    this operator exists for the single-huge-file NFS/local layout.
+    """
+    import os
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)
+    hbuf = io.BytesIO(head)
+    schema, codec, sync = _read_header(hbuf)
+    header_end = hbuf.tell()
+    size = os.path.getsize(path)
+    spark_schema = avro_to_spark_type(schema)
+    if not isinstance(spark_schema, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    field_names = [f.name for f in spark_schema.fields]
+
+    starts = list(range(header_end, size, split_bytes))
+    ranges = [
+        (s, min(s + split_bytes, size)) for s in starts
+    ]
+    rng_df = spark.createDataFrame(ranges, "start long, end long").repartition(
+        max(1, len(ranges))
+    )
+    read_long_fn, read_bytes_fn, decode_fn = _read_long, _read_bytes, _decode
+
+    def decode_ranges(batches):
+        import pandas as pd
+
+        def first_block_start(f, start, end):
+            # blocks begin immediately after a sync; the header's own
+            # trailing sync puts the first block exactly at header_end
+            if start <= header_end:
+                return header_end
+            scan_from = max(header_end, start - 16)
+            f.seek(scan_from)
+            window = f.read((end - scan_from) + 16)
+            idx = 0
+            while True:
+                hit = window.find(sync, idx)
+                if hit < 0:
+                    return None
+                q = scan_from + hit + 16  # block start candidate
+                if q >= end:
+                    return None
+                if q >= start:
+                    return q
+                idx = hit + 1
+            # unreachable
+
+        for pdf in batches:
+            for start, end in zip(pdf["start"], pdf["end"]):
+                out: list[dict] = []
+                with open(path, "rb") as f:
+                    pos = first_block_start(f, int(start), int(end))
+                    while pos is not None and pos < int(end) and pos < size:
+                        f.seek(pos)
+                        n_records = read_long_fn(f)
+                        block = read_bytes_fn(f)
+                        if f.read(16) != sync:
+                            raise ValueError(
+                                "sync marker mismatch (corrupt block or "
+                                "marker collision)"
+                            )
+                        if codec == "deflate":
+                            block = zlib.decompress(block, -15)
+                        bbuf = io.BytesIO(block)
+                        for _ in range(n_records):
+                            out.append(decode_fn(schema, bbuf))
+                        pos = f.tell()
+                if out:
+                    yield pd.DataFrame.from_records(out, columns=field_names)
+
+    return rng_df.mapInPandas(decode_ranges, schema=spark_schema)

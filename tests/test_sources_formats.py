@@ -228,6 +228,85 @@ def test_avro_logical_types_java_base_encoding(spark, tmp_path):
     dr.close()
 
 
+def test_avro_split_read_single_giant_file(spark, tmp_path):
+    """Sync-marker byte-range splits over ONE container file must
+    reproduce the whole-file read exactly at every split size —
+    including splits that land mid-block (block belongs to the task
+    where it STARTS), splits aligned on block starts, and ranges that
+    contain no boundary at all (one giant block)."""
+    from pyspark.sql import types as T
+
+    from gcs2postgres_spark.sources.avro_py import (
+        read_avro_file,
+        read_avro_split_distributed,
+        spark_to_avro_schema,
+        write_avro_file,
+    )
+
+    st = T.StructType(
+        [
+            T.StructField("i", T.LongType(), False),
+            T.StructField("s", T.StringType(), False),
+        ]
+    )
+    schema = spark_to_avro_schema(st, "row")
+    recs = [{"i": i, "s": f"value-{i:06d}-" + "x" * (i % 37)} for i in range(5000)]
+    p = str(tmp_path / "giant.avro")
+    # many small blocks so several boundaries exist
+    write_avro_file(p, schema, recs, block_records=100)
+    _, want = read_avro_file(p)
+    import os
+
+    size = os.path.getsize(p)
+    for split in (size, size // 3, 4096, 1024):
+        got = sorted(
+            (r["i"], r["s"])
+            for r in read_avro_split_distributed(
+                spark, p, split_bytes=split
+            ).collect()
+        )
+        assert got == sorted((r["i"], r["s"]) for r in want), f"split={split}"
+    # degenerate: split smaller than one block — most ranges hold no
+    # block start and must yield nothing rather than duplicating
+    got = read_avro_split_distributed(spark, p, split_bytes=64).count()
+    assert got == len(recs)
+
+
+def test_avro_split_read_with_logical_types(spark, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from gcs2postgres_spark.sources.avro_py import (
+        read_avro_split_distributed,
+        spark_to_avro_schema,
+        write_avro_file,
+    )
+
+    st = T.StructType(
+        [
+            T.StructField("d", T.DateType(), True),
+            T.StructField("dec", T.DecimalType(10, 2), True),
+        ]
+    )
+    schema = spark_to_avro_schema(st, "row")
+    recs = [
+        {"d": dt.date(2024, 1, 1) + dt.timedelta(days=i), "dec": Decimal(i) / 4}
+        for i in range(0, 2000, 1)
+    ]
+    for r in recs:
+        r["dec"] = Decimal(f"{r['dec']:.2f}")
+    p = str(tmp_path / "logical_giant.avro")
+    write_avro_file(p, schema, recs, block_records=64)
+    out = read_avro_split_distributed(spark, p, split_bytes=2048)
+    assert dict(out.dtypes)["d"] == "date"
+    assert out.count() == len(recs)
+    got = {r["d"]: r["dec"] for r in out.collect()}
+    assert got[dt.date(2024, 1, 1)] == Decimal("0.00")
+    assert got[dt.date(2024, 1, 1) + dt.timedelta(days=1999)] == Decimal("499.75")
+
+
 def test_bigquery_missing_connector_clear_error(spark):
     """The reference's native-BQ scan (src/db/db.go:95-147) maps to the
     spark-bigquery-connector; without the jar the error must name the
