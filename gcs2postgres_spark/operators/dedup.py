@@ -399,8 +399,12 @@ def _winnow_fps_pandas_udf(k: int, w: int):
     import hashlib
     import re as _re
 
+    import numpy as np
+
     ws = _re.compile(_ASCII_WS)
     lower_tbl = str.maketrans(_AZ_UPPER, _AZ_LOWER)
+    md5 = hashlib.md5
+    fb = int.from_bytes
 
     @pandas_udf("array<long>")
     def fps(texts: pd.Series) -> pd.Series:
@@ -409,17 +413,31 @@ def _winnow_fps_pandas_udf(k: int, w: int):
             s = ws.sub(" ", (t or "").translate(lower_tbl))
             n = len(s)
             m = max(n - (k - 1), 1)
-            h = [
-                int(
-                    hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:15], 16
-                )
-                for i in range(m)
-            ]
-            if m >= w:
-                mins = [min(h[j : j + w]) for j in range(m - w + 1)]
+            # portable_hash60 = int(md5_hex[:15], 16) = top 60 bits of the
+            # digest; digest[:8] big-endian >> 4 is the same value without
+            # the hex round-trip. ASCII docs slice the pre-encoded bytes
+            # (1 byte per char); non-ASCII docs must slice CHARACTERS and
+            # encode per gram, or multi-byte chars shift every index.
+            if s.isascii():
+                b = s.encode()
+                h = [fb(md5(b[i : i + k]).digest()[:8], "big") >> 4 for i in range(m)]
             else:
-                mins = [min(h)]
-            out.append(list(dict.fromkeys(mins)))
+                h = [
+                    fb(md5(s[i : i + k].encode("utf-8")).digest()[:8], "big") >> 4
+                    for i in range(m)
+                ]
+            if m >= w:
+                # sliding-window minima as w-1 vectorized element-wise mins
+                # over shifted views (~8x the Python slice-min loop)
+                a = np.array(h, dtype=np.int64)
+                mins = a[: m - w + 1].copy()
+                for off in range(1, w):
+                    np.minimum(mins, a[off : off + m - w + 1], out=mins)
+                # first-occurrence distinct, matching array_distinct order
+                _, idx = np.unique(mins, return_index=True)
+                out.append(mins[np.sort(idx)].tolist())
+            else:
+                out.append([min(h)])
         return pd.Series(out)
 
     return fps
