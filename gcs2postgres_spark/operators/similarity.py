@@ -157,12 +157,54 @@ def srp_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
 def _srp_table_keys(vec: Column, tables: list[list[list[float]]]) -> Column:
     """array of per-table keys ``(table_idx << 32) | bucket`` — one SRP
     bucket id per hash table, namespaced so buckets from different tables
-    never collide after the explode."""
+    never collide after the explode. Pure-expression form (ntables×nbits
+    interpreted HOF dot products per row) — kept as the no-Python
+    reference; the hot paths use _srp_table_keys_arrow below."""
     keys = [
         F.shiftleft(F.lit(t).cast("long"), 32).bitwiseOR(srp_bucket(vec, planes))
         for t, planes in enumerate(tables)
     ]
     return F.array(*keys)
+
+
+def _srp_table_keys_arrow(tables: list[list[list[float]]]):
+    """Arrow-batched SRP key computer: ONE BLAS matmul per batch against
+    the stacked (ntables·nbits × dim) hyperplane matrix replaces
+    ntables·nbits interpreted HOF dot products per row — the same
+    expression-interpretation wall the MinHash shingler and the fused
+    winnower hit (r5b), measured ~20 s of the 23 s SRP query at sf1.
+    Sign semantics are identical (dot ≥ 0); float summation order
+    differs from the HOF fold only within rounding of the dot product,
+    which matters only for a dot exactly at the hyperplane — measure
+    zero on continuous embeddings, and recall contracts are insensitive
+    to single-bit bucket jitter by construction."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd  # noqa: F401
+
+    nbits = len(tables[0])
+    ntables = len(tables)
+    H = np.array(
+        [plane for planes in tables for plane in planes], dtype=np.float64
+    )  # (ntables·nbits, dim)
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+    namespaces = np.arange(ntables, dtype=np.int64) << 32
+
+    @pandas_udf("array<long>")
+    def keys(vecs):
+        import numpy as _np
+        import pandas as _pd
+
+        if not len(vecs):
+            return _pd.Series([], dtype=object)
+        M = _np.array(vecs.tolist(), dtype=_np.float64)
+        bits = (M @ H.T) >= 0.0  # (B, ntables·nbits)
+        buckets = bits.reshape(len(M), ntables, nbits) @ weights  # (B, ntables)
+        out = namespaces[None, :] | buckets
+        return _pd.Series(list(out))
+
+    return keys
 
 
 def srp_lsh_cosine_topk(
@@ -191,12 +233,13 @@ def srp_lsh_cosine_topk(
     pairs are deduped BEFORE cosine scoring so a pair colliding in several
     tables is scored once. Output schema matches brute_force_cosine_topk."""
     tables = [_srp_hyperplanes(dim, nbits, seed + 7919 * t) for t in range(ntables)]
+    key_fn = _srp_table_keys_arrow(tables)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    ).withColumn("bucket", F.explode(_srp_table_keys(F.col("q_vec"), tables)))
+    ).withColumn("bucket", F.explode(key_fn(F.col("q_vec"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
-    ).withColumn("bucket", F.explode(_srp_table_keys(F.col("c_vec"), tables)))
+    ).withColumn("bucket", F.explode(key_fn(F.col("c_vec"))))
     candidates = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -415,7 +458,9 @@ def srp_cosine_near_dup_pairs(
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    keyed = v.select("id", F.explode(_srp_table_keys(F.col("vec"), tables)).alias("bucket"))
+    keyed = v.select(
+        "id", F.explode(_srp_table_keys_arrow(tables)(F.col("vec"))).alias("bucket")
+    )
     a = keyed.select(F.col("id").alias("id_a"), "bucket")
     b = keyed.select(F.col("id").alias("id_b"), F.col("bucket").alias("bucket_b"))
     cands = (

@@ -142,6 +142,40 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall}"
 
 
+def test_srp_arrow_keys_match_expression_keys(spark, sf_dir):
+    """The BLAS SRP key computer must reproduce the pure-expression
+    path bucket-for-bucket on real embeddings (sign flips require a
+    dot product within float-reorder epsilon of the hyperplane —
+    measure zero on continuous data; if this ever flakes, the data has
+    a genuine knife-edge dot and the fixture should be regenerated)."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.operators.similarity import (
+        _srp_hyperplanes,
+        _srp_table_keys,
+        _srp_table_keys_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    tables = [_srp_hyperplanes(64, 4, 42 + 7919 * t) for t in range(4)]
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    expr_keys = {
+        r["vec_id"]: r["k"]
+        for r in v.select(
+            "vec_id", _srp_table_keys(F.col("vec"), tables).alias("k")
+        ).collect()
+    }
+    arrow_keys = {
+        r["vec_id"]: r["k"]
+        for r in v.select(
+            "vec_id", _srp_table_keys_arrow(tables)(F.col("vec")).alias("k")
+        ).collect()
+    }
+    assert arrow_keys == expr_keys
+
+
 def test_exact_dedup_keeps_whole_min_id_row(spark):
     """exact_dedup must return the min-id row's columns TOGETHER — no
     chimera rows mixing non-key values from different duplicates (the
