@@ -109,6 +109,61 @@ def test_fetch_secret_gsm_via_injected_client():
         del os.environ["SECRET_PG_PASS2"]
 
 
+def test_cli_main_offline_parquet_sink(spark, sf_dir, tmp_path):
+    """python -m gcs2postgres_spark, offline form: the reference
+    binary's LoadConfig -> FetchSecret -> Transfer flow end-to-end
+    against the test parquet, with identity target schemas keeping the
+    reconcile stage in the pipeline. Secret resolution failure is a
+    warning, not fatal, for the parquet sink."""
+    import json
+
+    import yaml
+
+    from gcs2postgres_spark.__main__ import main
+
+    cfg = {
+        "postgres": {"host": "h", "port": 5432, "user": "u", "database": "d",
+                     "secret_name": "does-not-exist"},
+        "gcs": {
+            "bucket_name": "",
+            "concurrent_jobs": 2,
+            "files": [
+                {"name": f"{sf_dir}/region.parquet", "table": "region"},
+                {"name": f"{sf_dir}/nation.parquet", "table": "nation"},
+            ],
+        },
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    sink = tmp_path / "out"
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--config", str(cfg_path), "--sink-dir", str(sink)])
+    assert rc == 0
+    results = {r["table"]: r for r in json.loads(buf.getvalue())}
+    assert results["region"]["ok"] and results["region"]["rows"] == 5
+    assert results["nation"]["ok"] and results["nation"]["rows"] == 25
+    got = spark.read.parquet(str(sink / "nation")).count()
+    assert got == 25
+
+
+def test_cli_identity_target_schema_types(spark):
+    from gcs2postgres_spark.__main__ import identity_target_schema
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True)], "i long, s string, d double, b boolean"
+    )
+    assert identity_target_schema(df) == [
+        ("i", "bigint"),
+        ("s", "text"),
+        ("d", "double precision"),
+        ("b", "boolean"),
+    ]
+
+
 def test_resolve_source_path_bucket_vs_local():
     from gcs2postgres_spark.config import GCSConfig
     from gcs2postgres_spark.pipeline import resolve_source_path
