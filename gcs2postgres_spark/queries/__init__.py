@@ -89,16 +89,17 @@ VERIFY_FRONT: list[str] = [
     "graph_assortativity",
     "events_welch_ttest",
     "supplier_leadtime_trend",
-    # implementations changed in round 6
+    # implementations changed in round 6 (exact-div fix; blocked-cosine
+    # rework; winnow ASCII+vectorization; SRP Arrow bucket keys)
     "customer_rfm_segments",
     "dedup_cosine_embeddings",
     "doc_winnow_fingerprints",
+    "similarity_srp_lsh_topk",
     # NEW in round 6
     "stream_interval_join_leftouter",
     "avro_logical_types_roundtrip",
-    # refresh slots: oldest r1-only greens
+    # refresh slot: oldest r1-only green
     "agg_grouping_sets",
-    "pivot_order_priority",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been
