@@ -95,11 +95,10 @@ VERIFY_FRONT: list[str] = [
     "dedup_cosine_embeddings",
     "doc_winnow_fingerprints",
     "similarity_srp_lsh_topk",
+    "embedding_quantize_int8",
     # NEW in round 6
     "stream_interval_join_leftouter",
     "avro_logical_types_roundtrip",
-    # refresh slot: oldest r1-only green
-    "agg_grouping_sets",
     ]
 
 # Remaining entries after the 50-slot window: everything here has been

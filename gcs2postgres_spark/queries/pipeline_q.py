@@ -108,21 +108,38 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines at the last ulp (same policy as the HLL/approx contracts)."""
     tune_for_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding")
-    mn = F.array_min(v).cast("double")
-    mx = F.array_max(v).cast("double")
-    scale = (mx - mn) / F.lit(255.0)
+    # TWO projections, like the winnower's gram/minima split: if the
+    # min/max/scale expressions sit inline in the per-element lambda,
+    # CollapseProject substitutes the whole array_min/array_max scan
+    # into EVERY element term — O(dim²) interpreted-HOF work per row
+    # (measured 38 s at sf3; ~4 s split). As multiply-referenced
+    # non-cheap aliases the stats survive as their own projection and
+    # the lambda reads plain attributes.
+    stats = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").alias("v"),
+        F.array_min("embedding").cast("double").alias("mn"),
+        F.array_max("embedding").cast("double").alias("mx"),
+        (
+            (F.array_max("embedding").cast("double")
+             - F.array_min("embedding").cast("double")) / F.lit(255.0)
+        ).alias("scale"),
+    )
+    mn, mx, scale = F.col("mn"), F.col("mx"), F.col("scale")
     dequant = lambda x: mn + F.round((x.cast("double") - mn) / scale) * scale  # noqa: E731
     mse = F.when(scale == 0, F.lit(0.0)).otherwise(
         F.aggregate(
-            F.transform(v, lambda x: F.pow(x.cast("double") - dequant(x), F.lit(2.0))),
+            F.transform(
+                F.col("v"),
+                lambda x: F.pow(x.cast("double") - dequant(x), F.lit(2.0)),
+            ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / F.size(v)
+        / F.size(F.col("v"))
     )
-    return emb.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
+    return stats.select(
+        "vec_id",
         F.round(mn, 5).alias("v_min"),
         F.round(mx, 5).alias("v_max"),
         (mse <= scale * scale / F.lit(4.0) + F.lit(1e-12)).alias("mse_within_bound"),

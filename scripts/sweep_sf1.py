@@ -46,7 +46,7 @@ def main() -> None:
     ).save()
     out: dict[str, object] = {}
     with open(args.out, "w") as log:
-        for name in names:
+        for i, name in enumerate(names):
             t0 = time.time()
             try:
                 REGISTRY[name].fn(spark, args.sf).write.format("noop").mode(
@@ -57,6 +57,16 @@ def main() -> None:
                 out[name] = f"ERR {str(e)[:120]}"
             log.write(f"{name} {out[name]}\n")
             log.flush()
+            # single-session hygiene: without this, 200+ queries of
+            # accumulated cache entries and localCheckpoint blocks
+            # exhaust the heap (the r6 sf3 full sweep died at query 230
+            # with GCLocker alloc failures). clearCache drops persisted
+            # frames; the periodic driver-side gc lets ContextCleaner
+            # actually release checkpoint RDD blocks whose Python refs
+            # are long gone.
+            spark.catalog.clearCache()
+            if (i + 1) % 20 == 0:
+                spark.sparkContext._jvm.System.gc()
     timed = {k: v for k, v in out.items() if isinstance(v, float)}
     slowest = sorted(timed.items(), key=lambda kv: -kv[1])[:10]
     print(
