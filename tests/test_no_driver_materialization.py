@@ -20,6 +20,9 @@ ALLOWED = {
         "sample_rows",      # IVF quantizer sample: bounded by sample_size
         ".limit(sample_size)",
         "q_rows = queries",
+        # clustered miner's per-cell angular radius: one row per kmeans
+        # cell (k = n_clusters, a knob ≤ thousands), never corpus rows
+        "rad_rows",
     ],
     "reconcile.py": [
         "information_schema",  # target schema: one row per column
