@@ -404,11 +404,16 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # output is COUNTS only, so node identity is internal — encode the
+    # bipartite sides as longs (cust → 2k, supp → 2k+1) instead of the
+    # "c{key}"/"s{key}" strings the id-emitting graph queries use:
+    # long keys join/aggregate cheaper and the per-round eager
+    # localCheckpoint materializes ~60% fewer bytes
     e = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("s"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("d"),
+            (F.col("o_custkey").cast("long") * 2).alias("s"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("d"),
         )
         .distinct()
     )
