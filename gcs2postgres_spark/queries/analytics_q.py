@@ -755,11 +755,14 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # per-hop COUNTS are the output → node identity is internal; longs
+    # (cust 2k, supp 2k+1) instead of "c{key}"/"s{key}" strings keep
+    # the frontier joins and per-hop checkpoints cheap
     e = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -767,7 +770,7 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     seeds = e.filter(
-        F.expr("CAST(substr(src, 2) AS BIGINT) % 100 = 0")
+        F.col("src") % 200 == 0  # 2·custkey ≡ 0 (mod 200) ⇔ custkey % 100 = 0
     ).select(F.col("src").alias("node"))
     layers = bfs_layers(und, seeds, n_hops=3)
     counts = layers.groupBy(F.col("dist").cast("long").alias("dist")).agg(

@@ -693,11 +693,14 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # node ids are internal (output groups by node TYPE only): longs
+    # (cust 2k, supp 2k+1) keep the per-round checkpoints and joins
+    # cheap; parity recovers the type
     pair = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("ca"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("sb"),
+            (F.col("o_custkey").cast("long") * 2).alias("ca"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("sb"),
         )
         .agg(
             F.min(
@@ -709,13 +712,17 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ca").alias("a"), F.col("sb").alias("b"), "w"
     ).unionByName(pair.select(F.col("sb").alias("a"), F.col("ca").alias("b"), "w"))
     seeds = (
-        pair.where(F.expr("CAST(substr(ca, 2) AS BIGINT) % 100 = 0"))
+        pair.where(F.col("ca") % 200 == 0)  # 2·custkey ≡ 0 (mod 200)
         .select(F.col("ca").alias("node"))
         .distinct()
     )
     dist = sssp_bounded(e, seeds, n_rounds=3)
     return (
-        dist.groupBy(F.substring("node", 1, 1).alias("node_type"))
+        dist.groupBy(
+            F.when(F.col("node") % 2 == 0, F.lit("c"))
+            .otherwise(F.lit("s"))
+            .alias("node_type")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_reachable"),
             F.min("dist").alias("min_dist"),
@@ -2370,11 +2377,13 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # counts-only output → node identity is internal; longs (cust 2k,
+    # supp 2k+1) shuffle/join cheaper than "c{key}"/"s{key}" strings
     e = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+            (F.col("o_custkey").cast("long") * 2).alias("u"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("v"),
         )
         .distinct()
     )
