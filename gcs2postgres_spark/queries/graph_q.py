@@ -219,17 +219,27 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # iterate on LONG node ids (cust 2k, supp 2k+1) — the 3 power
+    # rounds checkpoint the full rank vector each round, and long keys
+    # join/materialize far cheaper than "c{key}"/"s{key}" strings; the
+    # public string ids are re-encoded only in the final 20-row
+    # projection (BEFORE the orderBy, so the tie-break order is
+    # byte-identical to the all-string implementation)
     edges = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     ranks = pagerank_fixed(edges, n_iters=3, damping=0.85)
+    node_str = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col("node"), 1).cast("string"),
+    )
     return (
-        ranks.select("node", F.round("rank", 9).alias("rank"))
+        ranks.select(node_str.alias("node"), F.round("rank", 9).alias("rank"))
         .orderBy(F.desc(F.round(F.col("rank"), 9)), "node")
         .limit(20)
     )
@@ -529,20 +539,26 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # long ids through the iteration, string ids re-encoded in the
+    # final projection — see graph_pagerank_purchases above
     edges = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    seeds = edges.where(
-        F.expr("CAST(substr(src, 2) AS BIGINT) % 100 = 0")
-    ).select(F.col("src").alias("node"))
+    seeds = edges.where(F.col("src") % 200 == 0).select(
+        F.col("src").alias("node")
+    )
     ranks = ppr_fixed(edges, seeds, n_iters=3, damping=0.85)
+    node_str = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col("node"), 1).cast("string"),
+    )
     return (
-        ranks.select("node", F.round("rank", 9).alias("rank"))
+        ranks.select(node_str.alias("node"), F.round("rank", 9).alias("rank"))
         .where(F.col("rank") > 0)
         .orderBy(F.desc("rank"), "node")
         .limit(20)
