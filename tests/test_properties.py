@@ -504,3 +504,118 @@ def test_partition_invariance_of_float_rounding(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for name, (a, b) in results.items():
         assert a == b, f"{name} differs across partition counts"
+
+
+@given(
+    sigs=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 2**60 - 1)),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    max_h=st.integers(1, 3),
+)
+@SLOW
+def test_simhash_banding_pigeonhole_complete(spark, sigs, max_h):
+    """Completeness property of the SimHash band join: with 4 bands over
+    60 bits, EVERY pair at hamming ≤ 3 shares at least one identical
+    band (pigeonhole), so the candidate join must recover exactly the
+    pairs the brute-force bit_count(xor) filter admits — no misses, and
+    the verify step kills any extra candidates."""
+    from gcs2postgres_spark.operators.dedup import simhash_near_pairs
+
+    fps = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            fps, "doc_id", max_hamming=max_h, bits=60, bands=4
+        ).collect()
+    }
+    want = set()
+    for i, (ida, ha) in enumerate(sigs):
+        for idb, hb in sigs[i + 1 :]:
+            if bin(ha ^ hb).count("1") <= max_h:
+                want.add((min(ida, idb), max(ida, idb)))
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(-50, 50),
+            st.integers(0, 9),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    k=st.integers(1, 4),
+)
+@SLOW
+def test_topk_per_group_matches_naive_sort(spark, rows, k):
+    """topk_per_group (WindowGroupLimit plan) == per-group python sort
+    cut, including duplicate sort keys resolved by the explicit
+    tiebreaker column."""
+    from gcs2postgres_spark.operators.joins import topk_per_group
+
+    df = spark.createDataFrame(rows, "g string, v int, t int")
+    got = sorted(
+        (r.g, r.v, r.t)
+        for r in topk_per_group(
+            df, ["g"], [F.col("v").desc(), F.col("t").asc()], k
+        ).collect()
+    )
+    want = []
+    by_g: dict = {}
+    for g, v, t in rows:
+        by_g.setdefault(g, []).append((v, t))
+    for g, vs in by_g.items():
+        for v, t in sorted(vs, key=lambda p: (-p[0], p[1]))[:k]:
+            want.append((g, v, t))
+    assert got == sorted(want)
+
+
+@given(
+    names=st.lists(
+        st.sampled_from(["abcd", "abce", "abzz", "xyzw", "xyz", "q"]),
+        min_size=0,
+        max_size=10,
+    ),
+    max_dist=st.integers(0, 2),
+)
+@SLOW
+def test_blocked_fuzzy_join_matches_bruteforce_within_blocks(
+    spark, names, max_dist
+):
+    """blocked_fuzzy_join == python-side levenshtein over the same
+    blocked candidates (block key = first char here) — verifying the
+    join's predicate assembly, null-safe blocking, and distance edge
+    at exactly max_dist."""
+    from gcs2postgres_spark.operators.joins import blocked_fuzzy_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rows = [(i, n, n[:1]) for i, n in enumerate(names)]
+    left = spark.createDataFrame(rows, "lid long, lname string, lblk string")
+    right = spark.createDataFrame(rows, "rid long, rname string, rblk string")
+    got = {
+        (r.lid, r.rid)
+        for r in blocked_fuzzy_join(
+            left, right, "lname", "rname", [("lblk", "rblk")], max_dist=max_dist
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, a, ab in rows
+        for j, b, bb in rows
+        if ab == bb and lev(a, b) <= max_dist
+    }
+    assert got == want
