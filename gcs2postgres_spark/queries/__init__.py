@@ -34,77 +34,73 @@ from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
-# Round-6 verification window: the driver checks the first 50 entries.
-# Composition: the 43 queries never yet in any driver window (exactly
-# the registry minus the r1∪…∪r5 CORRECTNESS green union — the
-# round-5b insights/stat-test tier, multimodal dedup, format
-# roundtrips, PPR), then 3 whose implementation changes this round
-# (RFM exact `div` fix, blocked-cosine rework, winnow ASCII
-# hardening), 2 queries NEW this round (stream-stream LEFT OUTER
-# interval join batch twin, Avro logicalType roundtrip), and 2
-# refresh slots for the oldest r1-only greens — exactly 50. Done =
-# r1∪…∪r6 ever-green equals the full registry.
+# Round-7 verification window: the driver checks the first 50 entries.
+# Composition: 7 queries whose implementations were optimized LATE in
+# round 6 (graph long-id rework, CMS single-md5, PPR/BFS/SSSP
+# checkpoint changes) after their last driver CORRECTNESS row — the r7
+# rows must certify the CURRENT code; then 3 queries whose
+# implementations change THIS round (winnow posting-join rework, fuzzy
+# ER candidate budget, watermark-late-drop window restructure); then 40
+# freshness-rotation slots — all 35 queries whose only green row is
+# round 1, plus the 5 oldest round-2 joins. Every name here is already
+# ever-green (248/248 after r6); this window is evidence freshness, not
+# first-time verification.
 VERIFY_FRONT: list[str] = [
-    # never driver-verified (round-5b additions) — 43 entries
-    "events_session_window_native",
-    "multimodal_image_ahash_dedup",
-    "dedup_containment_pairs",
-    "multimodal_audio_fp_dedup",
-    "parquet_partitioned_overwrite_roundtrip",
-    "csv_malformed_drop_roundtrip",
-    "parquet_codec_roundtrip",
-    "dataset_train_manifest",
-    "graph_ppr_seeded",
-    "events_autocorr_lags",
-    "customer_revenue_gini",
-    "events_user_entropy",
-    "events_path_trigrams",
-    "ab_test_conversion",
-    "corpus_zipf_slope",
-    "corpus_oov_rate",
-    "text_charclass_profile",
-    "agg_binned_quantiles",
-    "graph_sssp_weighted",
-    "corpus_filter_funnel",
-    "corpus_ngram_novelty",
-    "embedding_centroid_drift",
-    "events_time_to_convert",
-    "events_xcorr_click_purchase",
-    "events_user_burstiness",
-    "dq_order_totals_recon",
-    "orders_daily_value_bands",
-    "profile_join_cardinality",
-    "nation_supplier_hhi",
-    "supplier_otif_rate",
-    "events_dow_hour_heatmap",
-    "brand_discount_elasticity",
-    "agg_jackknife_se",
-    "events_inter_arrival_stats",
-    "events_dau_ma7",
-    "orders_gmv_yoy",
-    "dq_chi2_independence",
-    "events_ks_two_sample",
-    "events_mann_whitney_u",
-    "corpus_kl_divergence",
+    "graph_kcore_peel",
+    "graph_pagerank_purchases",
+    "corpus_cms_heavy_hitters",
     "graph_assortativity",
-    "events_welch_ttest",
-    "supplier_leadtime_trend",
-    # implementations changed in round 6 (exact-div fix; blocked-cosine
-    # rework; winnow ASCII+vectorization; SRP Arrow bucket keys)
-    "customer_rfm_segments",
-    "dedup_cosine_embeddings",
+    "graph_bfs_3hop",
+    "graph_sssp_weighted",
+    "graph_ppr_seeded",
     "doc_winnow_fingerprints",
-    "similarity_srp_lsh_topk",
-    "embedding_quantize_int8",
-    # NEW in round 6
-    "stream_interval_join_leftouter",
-    "avro_logical_types_roundtrip",
-    ]
+    "fuzzy_join_entity_match",
+    "events_watermark_late_drop",
+    "agg_grouping_sets",
+    "pivot_order_priority",
+    "subquery_exists_q4",
+    "subquery_not_exists",
+    "subquery_scalar_avg",
+    "q12_priority_caseagg",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q2_min_per_group_joinback",
+    "q8_market_share",
+    "agg_minby_maxby_mode",
+    "sample_deterministic_mod",
+    "map_props_ops",
+    "array_ops_battery",
+    "explode_token_counts",
+    "q22_global_sales_opportunity",
+    "unpivot_metrics",
+    "text_normalize_distinct",
+    "filter_in_like",
+    "filter_null_bool",
+    "project_case_when",
+    "agg_rollup",
+    "agg_cube",
+    "agg_filtered",
+    "agg_percentile",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "topk_global",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "set_union_all",
+    "distinct_subset",
+    "subquery_cte",
+    "join_inner",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+]
 
-# Remaining entries after the 50-slot window: everything here has been
-# driver-green in round 4 (fresh evidence) or earlier; ordering within
-# this list is not significant beyond keeping recently-verified entries
-# out of the window.
+# Remaining entries after the 50-slot window: everything here has fresh
+# driver-green evidence (round 3+); ordering within this list is not
+# significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
     "iceberg_source_roundtrip",
     "iceberg_v2_deletes_roundtrip",
@@ -119,7 +115,6 @@ VERIFY_DEFERRED: list[str] = [
     "dataset_shuffle_shard",
     "embedding_kmeans_cluster",
     "text_top_word_ratio",
-    "fuzzy_join_entity_match",
     "events_ewma_zscore",
     "events_funnel_3step",
     "q6_revenue_zorder",
@@ -128,7 +123,6 @@ VERIFY_DEFERRED: list[str] = [
     "snapshot_diff_cdc",
     "events_cohort_retention",
     "bloom_semi_prune",
-    "corpus_cms_heavy_hitters",
     "events_peak_concurrency",
     "delta_write_roundtrip",
     "iceberg_write_roundtrip",
@@ -154,6 +148,52 @@ VERIFY_DEFERRED: list[str] = [
     "agg_stats_basic",
     "grouped_map_ols",
     "grouped_agg_weighted_mean",
+    "events_session_window_native",
+    "multimodal_image_ahash_dedup",
+    "dedup_containment_pairs",
+    "multimodal_audio_fp_dedup",
+    "parquet_partitioned_overwrite_roundtrip",
+    "csv_malformed_drop_roundtrip",
+    "parquet_codec_roundtrip",
+    "dataset_train_manifest",
+    "events_autocorr_lags",
+    "customer_revenue_gini",
+    "events_user_entropy",
+    "events_path_trigrams",
+    "ab_test_conversion",
+    "corpus_zipf_slope",
+    "corpus_oov_rate",
+    "text_charclass_profile",
+    "agg_binned_quantiles",
+    "corpus_filter_funnel",
+    "corpus_ngram_novelty",
+    "embedding_centroid_drift",
+    "events_time_to_convert",
+    "events_xcorr_click_purchase",
+    "events_user_burstiness",
+    "dq_order_totals_recon",
+    "orders_daily_value_bands",
+    "profile_join_cardinality",
+    "nation_supplier_hhi",
+    "supplier_otif_rate",
+    "events_dow_hour_heatmap",
+    "brand_discount_elasticity",
+    "agg_jackknife_se",
+    "events_inter_arrival_stats",
+    "events_dau_ma7",
+    "orders_gmv_yoy",
+    "dq_chi2_independence",
+    "events_ks_two_sample",
+    "events_mann_whitney_u",
+    "corpus_kl_divergence",
+    "events_welch_ttest",
+    "supplier_leadtime_trend",
+    "customer_rfm_segments",
+    "dedup_cosine_embeddings",
+    "similarity_srp_lsh_topk",
+    "embedding_quantize_int8",
+    "stream_interval_join_leftouter",
+    "avro_logical_types_roundtrip",
 ]
 
 
