@@ -967,9 +967,13 @@ def clustered_cosine_pairs(
     k = len(cent)
     radius = np.zeros(k)
     for r in rad_rows:
-        # clip for float drift; +1e-9 slack keeps the bound conservative
+        # clip for float drift; +1e-7 rad slack keeps the bound
+        # conservative: arccos's conditioning error near cos≈1 is
+        # ~sqrt(2*eps)≈2e-8 rad for float64 inputs, so a 1e-9 slack
+        # could in principle prune a knife-edge cell pair — 1e-7
+        # dominates the conditioning error with negligible pruning loss
         radius[r["blk"]] = float(
-            np.arccos(np.clip(r["min_cos"], -1.0, 1.0)) + 1e-9
+            np.arccos(np.clip(r["min_cos"], -1.0, 1.0)) + 1e-7
         )
     cent_angles = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
     bound = np.cos(np.maximum(0.0, cent_angles - radius[:, None] - radius[None, :]))

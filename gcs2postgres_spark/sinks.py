@@ -99,7 +99,11 @@ def _copy_serializers():
             s = "\\x" + v.hex()
         else:
             s = str(v)
-        if s == "" or any(c in s for c in (",", '"', "\n", "\r")):
+        # '\.' must be quoted too: on PostgreSQL < 17 an unquoted line
+        # consisting solely of \. terminates COPY input, so a
+        # single-column row holding that value would silently truncate
+        # the load (documented COPY CSV caveat).
+        if s == "" or s == "\\." or any(c in s for c in (",", '"', "\n", "\r")):
             return '"' + s.replace('"', '""') + '"'
         return s
 

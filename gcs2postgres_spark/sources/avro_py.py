@@ -126,6 +126,16 @@ def _to_logical(lt: str, v, schema):
     if lt == "decimal":
         unscaled = int(Decimal(v).scaleb(int(schema.get("scale", 0))).to_integral_exact())
         nbytes = (unscaled.bit_length() + 8) // 8 or 1
+        # A decimal over a `fixed` base must occupy exactly schema["size"]
+        # bytes, sign-extended (Avro spec §logical types); minimal-length
+        # two's-complement is only legal for the `bytes` base.
+        if schema.get("type") == "fixed":
+            size = int(schema["size"])
+            if nbytes > size:
+                raise ValueError(
+                    f"decimal {v!r} needs {nbytes} bytes but fixed size is {size}"
+                )
+            return unscaled.to_bytes(size, "big", signed=True)
         return unscaled.to_bytes(nbytes, "big", signed=True)
     return v
 
@@ -273,6 +283,27 @@ def _matches(schema, value) -> bool:
 
 
 # ------------------------------------------------------------ container file
+
+
+def _read_header_grow(f) -> tuple[dict, str, bytes, int]:
+    """Parse the header from an open file, growing the read on truncation.
+
+    Headers are small; start at 64 KiB and double on EOFError so an
+    outsized schema JSON still parses. Returns (schema, codec, sync,
+    header_end_offset).
+    """
+    size = 65536
+    while True:
+        f.seek(0)
+        data = f.read(size)
+        buf = io.BytesIO(data)
+        try:
+            schema, codec, sync = _read_header(buf)
+            return schema, codec, sync, buf.tell()
+        except EOFError:
+            if len(data) < size:  # whole file read and still truncated
+                raise
+            size *= 2
 
 
 def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
@@ -514,19 +545,7 @@ def read_avro_distributed(spark: SparkSession, path: str) -> DataFrame:
     if not first:
         raise ValueError(f"no .avro files under {path!r}")
     with open(first[0], "rb") as f:
-        # headers are small; start at 64 KiB and double on truncation so
-        # an outsized schema JSON still parses instead of EOFError-ing
-        size = 65536
-        while True:
-            f.seek(0)
-            data = f.read(size)
-            try:
-                avro_schema, _, _ = _read_header(io.BytesIO(data))
-                break
-            except EOFError:
-                if len(data) < size:  # whole file read and still truncated
-                    raise
-                size *= 2
+        avro_schema, _, _, _ = _read_header_grow(f)
     spark_schema = avro_to_spark_type(avro_schema)
     if not isinstance(spark_schema, T.StructType):
         raise ValueError("top-level avro schema must be a record")
@@ -612,10 +631,7 @@ def read_avro_split_distributed(
     _cp.register_pickle_by_value(_sys.modules[__name__])
 
     with open(path, "rb") as f:
-        head = f.read(1 << 20)
-    hbuf = io.BytesIO(head)
-    schema, codec, sync = _read_header(hbuf)
-    header_end = hbuf.tell()
+        schema, codec, sync, header_end = _read_header_grow(f)
     size = os.path.getsize(path)
     spark_schema = avro_to_spark_type(schema)
     if not isinstance(spark_schema, T.StructType):

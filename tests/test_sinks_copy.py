@@ -35,6 +35,11 @@ def test_quoting_and_escaping():
     assert copy_csv_cell('has"quote') == '"has""quote"'
     assert copy_csv_cell("line\nbreak") == '"line\nbreak"'
     assert copy_csv_cell("cr\rhere") == '"cr\rhere"'
+    # \. alone on a line ends COPY input on PostgreSQL < 17 — must be
+    # quoted so a single-column row can't silently truncate the load
+    assert copy_csv_cell("\\.") == '"\\."'
+    assert copy_csv_line(["\\."]) == '"\\."\n'
+    assert copy_csv_cell("a\\.b") == "a\\.b"  # only the exact sentinel
     # round-trippable by a strict csv reader with doubled quotes
     import csv
     import io

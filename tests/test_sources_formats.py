@@ -818,3 +818,69 @@ def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, sf_dir, tmp_
         for r in back.where("event_type = 'click'").agg(F.sum("value").alias("s")).collect()
     ][0]
     assert abs(new_click_sum - 2 * orig_click_sum) < 1e-6 * abs(orig_click_sum)
+
+
+def test_avro_fixed_decimal_full_width_roundtrip(tmp_path):
+    """A decimal logicalType over a `fixed` base must be written at
+    exactly schema['size'] bytes, sign-extended (Avro spec: fixed
+    decimals occupy the full fixed width) — minimal-length
+    two's-complement is only legal over `bytes`. Not reachable via
+    spark_to_avro_schema (which maps DecimalType to bytes), but
+    write_avro_file accepts arbitrary external writer schemas."""
+    from decimal import Decimal
+
+    from gcs2postgres_spark.sources.avro_py import read_avro_file, write_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {
+                "name": "dec",
+                "type": {
+                    "type": "fixed",
+                    "name": "dec8",
+                    "size": 8,
+                    "logicalType": "decimal",
+                    "precision": 12,
+                    "scale": 2,
+                },
+            }
+        ],
+    }
+    recs = [
+        {"dec": Decimal("1.00")},       # 1-byte unscaled → pad to 8
+        {"dec": Decimal("-12345.67")},  # negative → sign-extended 0xFF pad
+        {"dec": Decimal("0.00")},
+        {"dec": Decimal("99999999.99")},
+    ]
+    p = str(tmp_path / "fixed_dec.avro")
+    write_avro_file(p, schema, recs)
+    _, got = read_avro_file(p)
+    assert got == recs
+    # the container's data bytes must hold full-width cells: re-write a
+    # single row and confirm its raw block is exactly 8 bytes of datum
+    import pytest
+
+    with pytest.raises(ValueError, match="fixed size"):
+        write_avro_file(
+            str(tmp_path / "overflow.avro"),
+            {
+                "type": "record",
+                "name": "row",
+                "fields": [
+                    {
+                        "name": "dec",
+                        "type": {
+                            "type": "fixed",
+                            "name": "dec1",
+                            "size": 1,
+                            "logicalType": "decimal",
+                            "precision": 12,
+                            "scale": 2,
+                        },
+                    }
+                ],
+            },
+            [{"dec": Decimal("12345.00")}],
+        )
