@@ -831,3 +831,37 @@ def test_blocked_cosine_pairs_no_corpus_scaled_rows(spark, sf_dir):
     plan = formatted_plan(blocked_cosine_pairs(e, threshold=0.45))
     assert "collect_list" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_winnow_arrow_kernel_matches_pandas_twin(spark):
+    # _winnow_fps_batches (mapInArrow, flat-buffer lists) must produce
+    # exactly the fingerprints of the documented pandas twin — same
+    # hash, window minima, and first-occurrence distinct order
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.operators.dedup import (
+        _winnow_fps_pandas_udf,
+        winnow_docs,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # case-folded dup
+        (3, "short"),  # below k: whole-string fallback
+        (4, "naïve café au lait — non-ASCII per-gram encode path"),
+        (5, "a  b\tc\nd\x0be\ff\rg   whitespace   classes"),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.fps)
+        for r in winnow_docs(df, "doc_id", "text", portable=True).collect()
+    }
+    want = {
+        r.doc_id: list(r.fps)
+        for r in df.select(
+            "doc_id", _winnow_fps_pandas_udf(8, 4)(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert got == want
