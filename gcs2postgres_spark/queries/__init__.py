@@ -34,68 +34,66 @@ from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
-# Round-7 verification window: the driver checks the first 50 entries.
-# Composition: 7 queries whose implementations were optimized LATE in
-# round 6 (graph long-id rework, CMS single-md5, PPR/BFS/SSSP
-# checkpoint changes) after their last driver CORRECTNESS row — the r7
-# rows must certify the CURRENT code; then 3 queries whose
-# implementations change THIS round (winnow posting-join rework, fuzzy
-# ER candidate budget, watermark-late-drop window restructure); then 40
-# freshness-rotation slots — all 35 queries whose only green row is
-# round 1, plus the 5 oldest round-2 joins. Every name here is already
-# ever-green (248/248 after r6); this window is evidence freshness, not
-# first-time verification.
+# Round-8 verification window: the driver checks the first 50 entries.
+# Composition (evidence freshness — all 248 registry queries were
+# ever-green after round 7, so this window refreshes the OLDEST driver
+# evidence rather than verifying anything for the first time): the 20
+# queries whose newest driver-green row is round 2, then the 30 oldest
+# round-3-newest greens, in registry order. Queries whose
+# implementations change during round 8 (fuzzy ER candidate-cap
+# variant, Iceberg v2 position-delete write) are inserted at the front
+# as they land, displacing the tail of this list.
 VERIFY_FRONT: list[str] = [
-    "graph_kcore_peel",
-    "graph_pagerank_purchases",
-    "corpus_cms_heavy_hitters",
-    "graph_assortativity",
-    "graph_bfs_3hop",
-    "graph_sssp_weighted",
-    "graph_ppr_seeded",
-    "doc_winnow_fingerprints",
-    "fuzzy_join_entity_match",
-    "events_watermark_late_drop",
-    "agg_grouping_sets",
-    "pivot_order_priority",
-    "subquery_exists_q4",
-    "subquery_not_exists",
-    "subquery_scalar_avg",
-    "q12_priority_caseagg",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q2_min_per_group_joinback",
-    "q8_market_share",
-    "agg_minby_maxby_mode",
-    "sample_deterministic_mod",
-    "map_props_ops",
-    "array_ops_battery",
-    "explode_token_counts",
-    "q22_global_sales_opportunity",
-    "unpivot_metrics",
-    "text_normalize_distinct",
-    "filter_in_like",
-    "filter_null_bool",
-    "project_case_when",
-    "agg_rollup",
-    "agg_cube",
-    "agg_filtered",
-    "agg_percentile",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "topk_global",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "set_union_all",
-    "distinct_subset",
-    "subquery_cte",
-    "join_inner",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
+    "join_theta",
+    "asof_join_forward_next_purchase",
+    "q13_order_count_dist",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q11_value_concentration",
+    "q20_promotion_suppliers",
+    "q16_supplier_cnt_by_part",
+    "window_rank",
+    "window_lag_lead",
+    "window_ntile",
+    "window_range_frame",
+    "window_dist_funcs",
+    "json_extract_agg",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_dedup_first",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "multimodal_join",
+    "agg_corr_covar",
+    "agg_collect_set_listagg",
+    "agg_approx_distinct",
+    "range_join_bands",
+    "asof_join_events_orders",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "set_intersect_all",
+    "set_except_all",
+    "explode_pos_tokens",
+    "explode_outer_rare_tokens",
+    "lateral_topk_suppliers",
+    "join_null_safe",
+    "agg_hll_sketch_merge",
+    "recursive_cte_spine",
+    "variant_props_agg",
+    "hof_array_battery",
+    "window_running",
+    "topk_per_group",
+    "events_sessionize",
+    "agg_salted_skew",
+    "events_click_purchase_attr",
+    "events_time_rollup",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "embedding_norm_stats",
+    "text_token_stats",
+    "text_quality_score",
 ]
 
 # Remaining entries after the 50-slot window: everything here has fresh
@@ -194,6 +192,56 @@ VERIFY_DEFERRED: list[str] = [
     "embedding_quantize_int8",
     "stream_interval_join_leftouter",
     "avro_logical_types_roundtrip",
+    "graph_kcore_peel",
+    "graph_pagerank_purchases",
+    "corpus_cms_heavy_hitters",
+    "graph_assortativity",
+    "graph_bfs_3hop",
+    "graph_sssp_weighted",
+    "graph_ppr_seeded",
+    "doc_winnow_fingerprints",
+    "fuzzy_join_entity_match",
+    "events_watermark_late_drop",
+    "agg_grouping_sets",
+    "pivot_order_priority",
+    "subquery_exists_q4",
+    "subquery_not_exists",
+    "subquery_scalar_avg",
+    "q12_priority_caseagg",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q2_min_per_group_joinback",
+    "q8_market_share",
+    "agg_minby_maxby_mode",
+    "sample_deterministic_mod",
+    "map_props_ops",
+    "array_ops_battery",
+    "explode_token_counts",
+    "q22_global_sales_opportunity",
+    "unpivot_metrics",
+    "text_normalize_distinct",
+    "filter_in_like",
+    "filter_null_bool",
+    "project_case_when",
+    "agg_rollup",
+    "agg_cube",
+    "agg_filtered",
+    "agg_percentile",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "topk_global",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "set_union_all",
+    "distinct_subset",
+    "subquery_cte",
+    "join_inner",
+    "join_right",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_cross",
 ]
 
 
