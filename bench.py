@@ -21,17 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q3_shipping_priority_bucketed",
     "q5_local_supplier",
     "q6_revenue_forecast",
-    "q6_revenue_zorder",
     "q9_product_profit",
     "q12_priority_caseagg",
-    "q12_priority_caseagg_bucketed",
     "q18_large_orders",
-    "q18_large_orders_bucketed",
     "q21_waiting_supplier",
-    "q21_waiting_supplier_bucketed",
     "agg_rollup",
     "window_running",
     "topk_per_group",
@@ -47,13 +42,33 @@ HEADLINE = [
     "multimodal_join",
 ]
 
+# Physical-layout demos (bucketed warehouse, z-ordered lineitem): same
+# SQL semantics as their plain twin, different layout. OUT of the
+# default headline set as of round 8 — four consecutive driver benches
+# (r4–r7) timed them slower than the plain twins at sf0.1, where a
+# 100 MB working set makes broadcast-hash plans beat shuffle-free
+# sort-merge over 32 bucket files; the layout's win is a SCALE story
+# (BASELINE.md "Bucketed-warehouse lever": controlled A/Bs show ~1.3×
+# at sf1 with warm layouts, and at cluster scale bucketing removes the
+# fact-fact shuffle entirely). They remain registered, oracled, and
+# benchable via `bench.py --layout-variants`.
+LAYOUT_VARIANTS = [
+    "q3_shipping_priority_bucketed",
+    "q6_revenue_zorder",
+    "q12_priority_caseagg_bucketed",
+    "q18_large_orders_bucketed",
+    "q21_waiting_supplier_bucketed",
+]
 
-def parse_sf_dir(argv: list[str]) -> str:
+
+def parse_args(argv: list[str]) -> tuple[str, bool]:
     """--sf DIR beats $SPARK_GRAFT_SF_DIR beats the sf0.1 default;
     unknown args are a hard error (symmetric with scripts/bench_duckdb.py
     so the documented reproduce commands can't silently bench the wrong
-    scale)."""
+    scale). --layout-variants appends the bucketed/zorder layout demos
+    to the timed set."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    variants = False
     args = list(argv[1:])
     while args:
         a = args.pop(0)
@@ -61,11 +76,19 @@ def parse_sf_dir(argv: list[str]) -> str:
             if not args:
                 sys.exit("--sf requires a directory argument")
             sf_dir = args.pop(0)
+        elif a == "--layout-variants":
+            variants = True
         else:
-            sys.exit(f"unknown argument {a!r}; usage: bench.py [--sf DIR]")
+            sys.exit(
+                f"unknown argument {a!r}; usage: bench.py [--sf DIR] [--layout-variants]"
+            )
     if not os.path.isdir(sf_dir):
         sys.exit(f"scale-factor directory not found: {sf_dir!r}")
-    return sf_dir
+    return sf_dir, variants
+
+
+def parse_sf_dir(argv: list[str]) -> str:
+    return parse_args(argv)[0]
 
 
 def _loadavg() -> list[float] | None:
@@ -85,7 +108,7 @@ CALIB_REF_SEC = 0.088
 
 
 def main() -> None:
-    sf_dir = parse_sf_dir(sys.argv)
+    sf_dir, with_variants = parse_args(sys.argv)
     # size the shuffle to the data, not the core count: at sf0.1 the
     # working set is ~100 MB, where 32 reducers are pure task-dispatch
     # overhead (measured 22s suite at 32 vs 11.6s at 8; 4 loses
@@ -100,18 +123,20 @@ def main() -> None:
     # warm-up: JVM/codegen spin on the flagship query (not measured)
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Pre-build the lazily-materialized physical layouts (bucketed
-    # warehouse, z-ordered lineitem) BEFORE timing: the session catalog
-    # is in-memory, so a fresh bench process rebuilds them inside the
-    # first timed run otherwise — at 32 buckets that build dwarfs the
-    # query and best-of-2 can't always absorb it (r6: q21_bucketed
-    # benched 1.44 s cold vs 0.83 s med warmed/interleaved). Ingest is
-    # a once-per-warehouse cost, not query cost.
-    from gcs2postgres_spark.queries.bucketed_q import bucketed_fact_tables
-    from gcs2postgres_spark.queries.zorder_q import zordered_lineitem_path
+    if with_variants:
+        # Pre-build the lazily-materialized physical layouts (bucketed
+        # warehouse, z-ordered lineitem) BEFORE timing: the session
+        # catalog is in-memory, so a fresh bench process rebuilds them
+        # inside the first timed run otherwise — at 32 buckets that
+        # build dwarfs the query and best-of-2 can't always absorb it
+        # (r6: q21_bucketed benched 1.44 s cold vs 0.83 s med
+        # warmed/interleaved). Ingest is a once-per-warehouse cost,
+        # not query cost.
+        from gcs2postgres_spark.queries.bucketed_q import bucketed_fact_tables
+        from gcs2postgres_spark.queries.zorder_q import zordered_lineitem_path
 
-    bucketed_fact_tables(spark, sf_dir)
-    zordered_lineitem_path(spark, sf_dir)
+        bucketed_fact_tables(spark, sf_dir)
+        zordered_lineitem_path(spark, sf_dir)
 
     # Interleaved passes, not back-to-back repeats: two full passes over
     # the suite (same total cost as the old best-of-2), plus one extra
@@ -121,7 +146,8 @@ def main() -> None:
     # r5/r6 single-sequence numbers flipped the q21 pair against the
     # controlled interleaved A/B; minimum across suite-separated passes
     # is the honest steady-state per query AND comparable within pairs.
-    present = [n for n in HEADLINE if n in REGISTRY]
+    names = HEADLINE + (LAYOUT_VARIANTS if with_variants else [])
+    present = [n for n in names if n in REGISTRY]
     paired: set[str] = set()
     for n in present:
         for suffix in ("_bucketed", "_zorder"):
