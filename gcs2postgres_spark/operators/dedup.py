@@ -540,7 +540,13 @@ def winnow_docs(
         # size) is orders cheaper than single-threading the hash work.
         sess = docs.sparkSession
         target = sess.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < target:
+        # Batch-only width probe: .rdd.getNumPartitions() forces a
+        # DataFrame→RDD plan conversion and is illegal on a streaming
+        # DataFrame (r8 advisor), so streaming inputs skip the probe and
+        # repartition unconditionally — a streaming source's width is
+        # micro-batch-dependent anyway, and the repartition is a no-op
+        # cost next to the per-gram hash work it protects.
+        if docs.isStreaming or docs.rdd.getNumPartitions() < target:
             docs = docs.repartition(target, F.col(id_col))
         id_type = docs.schema[id_col].dataType.simpleString()
         return (

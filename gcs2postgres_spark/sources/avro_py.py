@@ -125,18 +125,27 @@ def _to_logical(lt: str, v, schema):
         return micros if lt == "timestamp-micros" else micros // 1000
     if lt == "decimal":
         unscaled = int(Decimal(v).scaleb(int(schema.get("scale", 0))).to_integral_exact())
-        nbytes = (unscaled.bit_length() + 8) // 8 or 1
         # A decimal over a `fixed` base must occupy exactly schema["size"]
         # bytes, sign-extended (Avro spec §logical types); minimal-length
-        # two's-complement is only legal for the `bytes` base.
+        # two's-complement is only legal for the `bytes` base. Fit is
+        # checked by to_bytes itself: a precomputed
+        # (bit_length+8)//8 overestimates by one byte for negative exact
+        # powers of two (-128 has bit_length 8 but fits 1 signed byte),
+        # which spuriously rejected values at the fixed width's edge.
         if schema.get("type") == "fixed":
             size = int(schema["size"])
-            if nbytes > size:
+            try:
+                return unscaled.to_bytes(size, "big", signed=True)
+            except OverflowError:
                 raise ValueError(
-                    f"decimal {v!r} needs {nbytes} bytes but fixed size is {size}"
-                )
-            return unscaled.to_bytes(size, "big", signed=True)
-        return unscaled.to_bytes(nbytes, "big", signed=True)
+                    f"decimal {v!r} does not fit fixed size {size}"
+                ) from None
+        nbytes = 1
+        while True:
+            try:
+                return unscaled.to_bytes(nbytes, "big", signed=True)
+            except OverflowError:
+                nbytes += 1
     return v
 
 

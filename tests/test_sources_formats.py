@@ -884,3 +884,32 @@ def test_avro_fixed_decimal_full_width_roundtrip(tmp_path):
             },
             [{"dec": Decimal("12345.00")}],
         )
+    # knife edge (r8 advisor): unscaled -128 has bit_length 8 but fits
+    # ONE signed byte — the old (bit_length+8)//8 guard overestimated
+    # and spuriously rejected negative exact powers of two at the width
+    # limit; +128 genuinely needs two bytes and must still raise
+    size1 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {
+                "name": "dec",
+                "type": {
+                    "type": "fixed",
+                    "name": "dec1b",
+                    "size": 1,
+                    "logicalType": "decimal",
+                    "precision": 3,
+                    "scale": 2,
+                },
+            }
+        ],
+    }
+    p_edge = str(tmp_path / "edge.avro")
+    write_avro_file(p_edge, size1, [{"dec": Decimal("-1.28")}])
+    _, got_edge = read_avro_file(p_edge)
+    assert got_edge == [{"dec": Decimal("-1.28")}]
+    with pytest.raises(ValueError, match="fixed size"):
+        write_avro_file(
+            str(tmp_path / "edge_over.avro"), size1, [{"dec": Decimal("1.28")}]
+        )
