@@ -44,6 +44,7 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # variant, Iceberg v2 position-delete write) are inserted at the front
 # as they land, displacing the tail of this list.
 VERIFY_FRONT: list[str] = [
+    "fuzzy_join_topk_per_entity",
     "join_theta",
     "asof_join_forward_next_purchase",
     "q13_order_count_dist",
@@ -93,13 +94,13 @@ VERIFY_FRONT: list[str] = [
     "similarity_ivf_topk",
     "embedding_norm_stats",
     "text_token_stats",
-    "text_quality_score",
 ]
 
 # Remaining entries after the 50-slot window: everything here has fresh
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "text_quality_score",
     "iceberg_source_roundtrip",
     "iceberg_v2_deletes_roundtrip",
     "delta_source_roundtrip",

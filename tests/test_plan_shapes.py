@@ -77,6 +77,17 @@ def test_topk_per_group_window_limit_pushdown(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_fuzzy_topk_window_limit_pushdown(spark, sf_dir):
+    # graceful-degradation fuzzy ER: the k-per-left-row cap must compile
+    # to WindowGroupLimit (map-side prune to k before the window
+    # shuffle) and candidates must come from an equi-join on blocking
+    # keys, never a cartesian
+    plan = _plan(spark, sf_dir, "fuzzy_join_topk_per_entity")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_topk_global_takeordered(spark, sf_dir):
     # global ORDER BY + LIMIT k must compile to TakeOrderedAndProject
     # (per-partition heap of k), never a full global sort

@@ -619,3 +619,60 @@ def test_blocked_fuzzy_join_matches_bruteforce_within_blocks(
         if ab == bb and lev(a, b) <= max_dist
     }
     assert got == want
+
+
+@given(
+    names=st.lists(
+        st.sampled_from(["abcd", "abce", "abzz", "xyzw", "xyz", "q"]),
+        min_size=0,
+        max_size=10,
+    ),
+    k=st.integers(1, 3),
+)
+@SLOW
+def test_blocked_fuzzy_join_topk_is_capped_best_matches(spark, names, k):
+    """blocked_fuzzy_join_topk == python-side 'sort candidates by
+    (dist, rid), keep first k per lid' over the same blocked brute-force
+    candidate set — the graceful-degradation contract: never more than
+    k rows per left key, and exactly the (dist, rid)-minimal ones."""
+    from gcs2postgres_spark.operators.joins import blocked_fuzzy_join_topk
+
+    rows = [(i, n, n[:1]) for i, n in enumerate(names)]
+    left = spark.createDataFrame(rows, "lid long, lname string, lblk string")
+    right = spark.createDataFrame(rows, "rid long, rname string, rblk string")
+    got_rows = blocked_fuzzy_join_topk(
+        left,
+        right,
+        "lname",
+        "rname",
+        [("lblk", "rblk")],
+        left_key="lid",
+        right_order=["rid"],
+        max_dist=2,
+        k=k,
+    ).collect()
+    got = {(r.lid, r.rid, r.dist) for r in got_rows}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    by_left: dict[int, list[tuple[int, int]]] = {}
+    for i, a, ab in rows:
+        for j, b, bb in rows:
+            if ab == bb and lev(a, b) <= 2:
+                by_left.setdefault(i, []).append((lev(a, b), j))
+    want = {
+        (i, j, d)
+        for i, cands in by_left.items()
+        for d, j in sorted(cands)[:k]
+    }
+    assert got == want
+    for i in {r[0] for r in got}:
+        assert sum(1 for r in got if r[0] == i) <= k
