@@ -174,11 +174,14 @@ def q12_priority_caseagg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register("q21_waiting_supplier_bucketed", oracle=Q21_STYLE_SQL)
 def q21_waiting_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 over the bucketed warehouse — the biggest beneficiary: the
-    lineitem⋈orders join, the per-order distinct aggregate, and the
-    late-lines⋈per-order join-back ALL inherit hashpartitioning(orderkey)
-    from the buckets, so the fact table is never hash-exchanged.
-    Decorrelation logic identical to q21_waiting_supplier (same oracle)."""
+    """Q21 over the bucketed warehouse — the biggest beneficiary.
+    Decorrelation logic identical to q21_waiting_supplier (same oracle).
+
+    Under the r8 cascaded-aggregate shape (see q21_waiting_supplier)
+    the bucket layout is an even cleaner fit: hashpartitioning(orderkey)
+    from the buckets satisfies ClusteredDistribution for the join, the
+    (orderkey, suppkey) pre-agg, AND the per-order rollup (partitioning
+    keys ⊆ grouping keys), so the fact never hash-exchanges at all."""
     li_t, o_t = bucketed_fact_tables(spark, sf_dir)
     li = spark.table(li_t)
     o = spark.table(o_t).filter(F.col("o_orderstatus") == "F")
@@ -187,21 +190,23 @@ def q21_waiting_supplier_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_lines")
     )
-    waiting = (
-        lo.filter(F.col("is_late"))
-        .join(
-            per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
-            F.col("l_orderkey") == F.col("po_orderkey"),
-        )
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0)).alias(
+            "n_late_supp"
+        ),
+        F.max(F.when(F.col("late_lines") > 0, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+        F.sum("late_lines").alias("order_late_lines"),
     )
+    qual = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     return (
-        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        qual.join(F.broadcast(s), F.col("s_suppkey") == F.col("late_supp"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("order_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
