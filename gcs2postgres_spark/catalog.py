@@ -34,6 +34,26 @@ TABLES = [
 # Small dimension tables that should always be broadcast in joins.
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
+# Parquet schema cache: spark.read.parquet() runs a driver-side footer
+# read per CALL for schema inference; a 26-query bench touching ~3
+# tables each pays it ~80 times for 10 distinct files (measured ~0.1 s
+# per inference at sf1 — seconds of pure per-query latency). Keyed by
+# (path, mtime, size, nanosAsLong): file identity plus the one session
+# conf that changes an inferred parquet type (TIMESTAMP(NANOS) reads as
+# bigint with the flag, errors without).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    st = os.stat(path)
+    nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    key = (path, st.st_mtime_ns, st.st_size, nanos)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (columnar parquet scan).
@@ -50,7 +70,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       Spark 4 refuses to cast to double (sessionize's lag-gap math) —
       cast to TIMESTAMP (UTC session tz, value-identical).
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
 
