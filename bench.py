@@ -116,9 +116,15 @@ def main() -> None:
     # total cores and lets AQE coalesce.
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     from gcs2postgres_spark.queries import REGISTRY
-    from gcs2postgres_spark.session import get_spark
+    from gcs2postgres_spark.session import (
+        get_spark,
+        local_shuffle_to_shm,
+        tune_local_fast,
+    )
 
+    local_shuffle_to_shm()
     spark = get_spark("gcs2postgres_spark-bench")
+    tune_local_fast(spark, sf_dir)
 
     # warm-up: JVM/codegen spin on the flagship query (not measured)
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

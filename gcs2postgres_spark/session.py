@@ -52,6 +52,81 @@ def get_spark(app_name: str = "gcs2postgres_spark", master: str | None = None) -
     return spark
 
 
+def tune_scan_for_dir(spark: SparkSession, sf_dir: str) -> None:
+    """Size ``spark.sql.files.maxPartitionBytes`` so the LARGEST single
+    input file under ``sf_dir`` splits across the session's cores.
+
+    The default 128 MB split is a multi-file/cluster setting; this
+    benchdata ships one parquet file per table, so at sf1 a 184 MB
+    lineitem scans as TWO tasks on a 32-core box — every downstream
+    stage then inherits a 2-way-parallel scan feeding 32 idle cores
+    (measured: the single biggest fixed cost in the sf1 suite). Parquet
+    row groups here are ~4 MB, so a smaller split maps cleanly onto
+    row-group boundaries. Clamped to [4 MB, 128 MB]: never below a row
+    group (task-dispatch overhead), never above the cluster default.
+
+    Runtime-settable SQL conf — call once per (session, data dir) from
+    the bench/sweep entrypoints. Correctness is unaffected by scan
+    partitioning (every partition-id-dependent query materializes an
+    explicit repartitionByRange first), so the driver's vanilla session
+    needs no call.
+    """
+    import glob
+
+    files = glob.glob(os.path.join(sf_dir, "*.parquet"))
+    largest = max((os.path.getsize(p) for p in files), default=0)
+    cores = spark.sparkContext.defaultParallelism
+    mb = 1024 * 1024
+    target = max(4 * mb, min(128 * mb, largest // max(cores, 1) + 1))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+
+
+def tune_local_fast(spark: SparkSession, sf_dir: str) -> None:
+    """Single-node bench profile: the runtime-settable knobs where the
+    cluster-safe defaults measurably lose on one 32-core box.
+
+    Applied by the bench/sweep entrypoints only — ``get_spark`` keeps
+    cluster-safe posture and the driver's vanilla correctness session
+    never sees these (none of them can change results, only plans).
+    Measured at sf1 on the 6-query TPC-H join block (best-of-2 each,
+    same box, interleaved): 10.5 s cluster defaults → 5.8 s with all
+    three, reproducibly ordered:
+
+    - scan split sized to the data (``tune_scan_for_dir``);
+    - ``preferSortMergeJoin=false``: shuffled-hash join beats
+      sort-merge when every post-shuffle partition's build side fits
+      executor memory — true by construction at bench scale. On a real
+      cluster SMJ stays the safe default (SHJ build can't spill), which
+      is why this is a profile and not the factory default.
+    - ``autoBroadcastJoinThreshold=8MB``: the 64 MB default broadcasts
+      the FILTERED FACT (q3 broadcast a 3 M-row shipdate-filtered
+      lineitem: single-threaded HashedRelation build ~1.4 s); 8 MB
+      keeps true dims broadcast and routes facts to 8-way-parallel
+      shuffled-hash builds (q3 2.2 s → 0.6 s, q9 1.3 → 0.6).
+    """
+    tune_scan_for_dir(spark, sf_dir)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+
+
+def local_shuffle_to_shm() -> None:
+    """Point Spark's shuffle/spill scratch at /dev/shm when it exists
+    and is large (this box: 126 GiB tmpfs vs /tmp on the root disk).
+    SPARK_LOCAL_DIRS is read at JVM start — call BEFORE the session is
+    created (bench/sweep entrypoints do). A cluster submits with real
+    local SSDs instead; this is the single-node analogue.
+    """
+    try:
+        import shutil
+
+        if shutil.disk_usage("/dev/shm").total >= 32 * 1024**3:
+            d = "/dev/shm/spark-graft-local"
+            os.makedirs(d, exist_ok=True)
+            os.environ.setdefault("SPARK_LOCAL_DIRS", d)
+    except OSError:
+        pass
+
+
 def tune_for_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable semantics to an externally-created session.
 

@@ -136,12 +136,18 @@ def main_interleaved(sf_dir: str, with_variants: bool, passes: int) -> None:
     from bench import HEADLINE, LAYOUT_VARIANTS
     from gcs2postgres_spark.catalog import TABLES
     from gcs2postgres_spark.queries import REGISTRY
-    from gcs2postgres_spark.session import get_spark
+    from gcs2postgres_spark.session import (
+        get_spark,
+        local_shuffle_to_shm,
+        tune_local_fast,
+    )
 
     names = HEADLINE + (LAYOUT_VARIANTS if with_variants else [])
     names = [n for n in names if n in REGISTRY]
 
+    local_shuffle_to_shm()
     spark = get_spark("gcs2postgres_spark-bench-report")
+    tune_local_fast(spark, sf_dir)
     con = duckdb.connect()
     con.sql(f"SET threads TO {os.cpu_count() or 32}")
     for t in TABLES:

@@ -36,9 +36,15 @@ def main() -> None:
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16")
     from gcs2postgres_spark.queries import REGISTRY
-    from gcs2postgres_spark.session import get_spark
+    from gcs2postgres_spark.session import (
+        get_spark,
+        local_shuffle_to_shm,
+        tune_local_fast,
+    )
 
+    local_shuffle_to_shm()
     spark = get_spark("sweep-sf1")
+    tune_local_fast(spark, args.sf)
     names = args.names or list(REGISTRY)
     # warm-up (JVM + codegen), not recorded
     REGISTRY["q1_pricing_summary"].fn(spark, args.sf).write.format("noop").mode(
