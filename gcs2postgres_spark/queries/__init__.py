@@ -35,16 +35,24 @@ from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
 # Round-8 verification window: the driver checks the first 50 entries.
-# Composition (evidence freshness — all 248 registry queries were
-# ever-green after round 7, so this window refreshes the OLDEST driver
-# evidence rather than verifying anything for the first time): the 20
-# queries whose newest driver-green row is round 2, then the 30 oldest
-# round-3-newest greens, in registry order. Queries whose
-# implementations change during round 8 (fuzzy ER candidate-cap
-# variant, Iceberg v2 position-delete write) are inserted at the front
-# as they land, displacing the tail of this list.
+# Composition: first, the queries whose implementations CHANGED this
+# round and therefore need current-code driver evidence — the new
+# fuzzy_join_topk_per_entity, the reworked q21 pair (cascaded
+# (orderkey,suppkey) pre-agg replacing dual countDistinct), and the
+# five shingle_docs consumers not already in the freshness slots
+# (shingle_docs gained a repartition guard; partitioning-only, but the
+# driver row should still certify the current code). Then evidence
+# freshness (all 248 registry queries were ever-green after round 7):
+# the 20 queries whose newest driver-green row is round 2, then the
+# oldest round-3-newest greens, in registry order, truncated to fit 50.
 VERIFY_FRONT: list[str] = [
     "fuzzy_join_topk_per_entity",
+    "q21_waiting_supplier_bucketed",
+    "dedup_cluster_canonical",
+    "dedup_containment_pairs",
+    "decontaminate_against_eval",
+    "corpus_ngram_novelty",
+    "dedup_incremental_batch",
     "join_theta",
     "asof_join_forward_next_purchase",
     "q13_order_count_dist",
@@ -86,20 +94,20 @@ VERIFY_FRONT: list[str] = [
     "topk_per_group",
     "events_sessionize",
     "agg_salted_skew",
-    "events_click_purchase_attr",
-    "events_time_rollup",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "embedding_norm_stats",
-    "text_token_stats",
 ]
 
 # Remaining entries after the 50-slot window: everything here has fresh
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "embedding_norm_stats",
+    "text_token_stats",
+    "events_click_purchase_attr",
+    "events_time_rollup",
     "text_quality_score",
     "iceberg_source_roundtrip",
     "iceberg_v2_deletes_roundtrip",
@@ -149,7 +157,6 @@ VERIFY_DEFERRED: list[str] = [
     "grouped_agg_weighted_mean",
     "events_session_window_native",
     "multimodal_image_ahash_dedup",
-    "dedup_containment_pairs",
     "multimodal_audio_fp_dedup",
     "parquet_partitioned_overwrite_roundtrip",
     "csv_malformed_drop_roundtrip",
@@ -165,7 +172,6 @@ VERIFY_DEFERRED: list[str] = [
     "text_charclass_profile",
     "agg_binned_quantiles",
     "corpus_filter_funnel",
-    "corpus_ngram_novelty",
     "embedding_centroid_drift",
     "events_time_to_convert",
     "events_xcorr_click_purchase",
