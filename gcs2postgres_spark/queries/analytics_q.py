@@ -1136,8 +1136,14 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global exclusive running max is TWO-PHASE (fourth instantiation
     of the primitive — pareto/equidepth/weighted-median use it for sums,
     this one for max): range-partition on arrival order, per-partition
-    exclusive running max in parallel, then fold in the broadcast prefix
-    max of earlier partitions. No single-task global window, so the
+    exclusive running max in parallel, then fold in the prefix max of
+    earlier partitions. The prefix fold runs on the DRIVER over one row
+    per partition — bounded by spark.sql.shuffle.partitions (config,
+    not data; the same driver-side cardinality Spark's own
+    RangePartitioner samples to plan the exchange) — which removes both
+    the single-task global window the 32-row fold used to plan (8
+    WindowExec partition warnings per run, r7 verdict hygiene item) and
+    a broadcast join. No single-task global window anywhere, so the
     classification scales to the full ingest log. Counts per
     (type, verdict) are exact timestamp comparisons — no floats."""
     e = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts")
@@ -1160,17 +1166,31 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ranged = ranged.withColumn("run_in", F.max("ts").over(w_ex))
-    pmax = ranged.groupBy("pid").agg(F.max("ts").alias("pm"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = pmax.select("pid", F.max("pm").over(w_off).alias("prev_max"))
-    wm = F.greatest(F.col("run_in"), F.col("prev_max"))
+    pmax_rows = sorted(
+        ranged.groupBy("pid").agg(F.max("ts").alias("pm")).collect(),
+        key=lambda r: r["pid"],
+    )
+    prefix: dict[int, object] = {}
+    prev = None
+    for r in pmax_rows:
+        if prev is not None:
+            prefix[r["pid"]] = prev
+        prev = r["pm"] if prev is None or r["pm"] > prev else prev
+    if prefix:
+        off_map = F.create_map(
+            *[x for pid, ts in prefix.items() for x in (F.lit(pid), F.lit(ts))]
+        )
+        # try_element_at: NULL (not ANSI error) for pid 0 / absent keys
+        prev_max = F.try_element_at(off_map, F.col("pid"))
+    else:
+        prev_max = F.lit(None).cast("timestamp")
+    wm = F.greatest(F.col("run_in"), prev_max)
     verdict = F.when(
         wm.isNotNull() & (F.col("ts") < wm - F.expr("INTERVAL 10 MINUTES")),
         "late",
     ).otherwise("on_time")
     return (
-        ranged.join(F.broadcast(offsets), "pid")
-        .select("event_type", verdict.alias("verdict"))
+        ranged.select("event_type", verdict.alias("verdict"))
         .groupBy("event_type", "verdict")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "verdict")
