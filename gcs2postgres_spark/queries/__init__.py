@@ -35,17 +35,22 @@ from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
 # Round-8 verification window: the driver checks the first 50 entries.
-# Composition: first, the queries whose implementations CHANGED this
-# round and therefore need current-code driver evidence — the new
-# fuzzy_join_topk_per_entity, the reworked q21 pair (cascaded
-# (orderkey,suppkey) pre-agg replacing dual countDistinct), and the
-# five shingle_docs consumers not already in the freshness slots
-# (shingle_docs gained a repartition guard; partitioning-only, but the
-# driver row should still certify the current code). Then evidence
-# freshness (all 248 registry queries were ever-green after round 7):
-# the 20 queries whose newest driver-green row is round 2, then the
-# oldest round-3-newest greens, in registry order, truncated to fit 50.
+# Composition: first, the queries that are NEW or whose implementations
+# CHANGED this round and therefore need current-code driver evidence —
+# iceberg_v2_delete_write_roundtrip (new: merge-on-read DML committer),
+# events_watermark_late_drop (driver-side prefix-max fold replaced the
+# 32-row global window), fuzzy_join_topk_per_entity (new: capped fuzzy
+# ER), the reworked q21 pair (cascaded (orderkey,suppkey) pre-agg
+# replacing dual countDistinct), and the five shingle_docs consumers
+# not already in the freshness slots (shingle_docs gained a repartition
+# guard; partitioning-only, but the driver row should still certify the
+# current code). Then evidence freshness (all 248 registry queries were
+# ever-green after round 7): the 20 queries whose newest driver-green
+# row is round 2, then the oldest round-3-newest greens, in registry
+# order, truncated to fit 50.
 VERIFY_FRONT: list[str] = [
+    "iceberg_v2_delete_write_roundtrip",
+    "events_watermark_late_drop",
     "fuzzy_join_topk_per_entity",
     "q21_waiting_supplier_bucketed",
     "dedup_cluster_canonical",
@@ -89,11 +94,9 @@ VERIFY_FRONT: list[str] = [
     "agg_hll_sketch_merge",
     "recursive_cte_spine",
     "variant_props_agg",
-    "hof_array_battery",
     "window_running",
     "topk_per_group",
     "events_sessionize",
-    "agg_salted_skew",
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
@@ -102,6 +105,8 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "hof_array_battery",
+    "agg_salted_skew",
     "similarity_cosine_topk",
     "similarity_ivf_topk",
     "embedding_norm_stats",
@@ -208,7 +213,6 @@ VERIFY_DEFERRED: list[str] = [
     "graph_ppr_seeded",
     "doc_winnow_fingerprints",
     "fuzzy_join_entity_match",
-    "events_watermark_late_drop",
     "agg_grouping_sets",
     "pivot_order_priority",
     "subquery_exists_q4",

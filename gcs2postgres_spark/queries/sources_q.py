@@ -125,6 +125,83 @@ def iceberg_v2_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+ICEBERG_DELETE_WRITE_ORACLE = """
+WITH survivors AS (
+  SELECT n_nationkey, n_name, n_regionkey
+  FROM nation
+  WHERE n_regionkey <> 2 AND n_nationkey NOT IN (3, 5) AND n_nationkey <> 6
+), replaced AS (
+  SELECT n_nationkey, 'REPLACED' AS n_name, n_regionkey
+  FROM nation WHERE n_nationkey = 6
+), final AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM replaced
+)
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM final
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("iceberg_v2_delete_write_roundtrip", oracle=ICEBERG_DELETE_WRITE_ORACLE)
+def iceberg_v2_delete_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 merge-on-read DML WRITE path, read back jar-lessly.
+
+    nation is committed as a clean 2-file v2 table, then mutated through
+    the committer three times: ``delete_where("n_regionkey = 2")`` (one
+    position-delete commit), ``delete_where("n_nationkey IN (3, 5)")``
+    (a second commit whose matching scan must apply the FIRST commit's
+    deletes — only live rows may be listed), and
+    ``overwrite_where("n_nationkey = 6", <row with n_name rewritten>)``
+    (one atomic commit carrying both a position delete and a replacement
+    data file at the same sequence number). The final read walks four
+    snapshots of metadata and anti-joins three delete files; the oracle
+    replays the surviving/replaced row set declaratively, so a delete
+    that leaks, double-applies, self-deletes the replacement rows, or
+    mis-sequences breaks the hash match. NOTE: the overwrite target
+    n_nationkey=6 may itself sit in an already-deleted region — the
+    replacement row must SURVIVE regardless (its data file is newer than
+    every delete's sequence number), which the oracle's UNION encodes."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        overwrite_where,
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_v2_dml_")
+    try:
+        write_iceberg_v2_fixture(nation.repartition(2), tmp, sort_col="n_nationkey")
+        delete_where(spark, tmp, "n_regionkey = 2")
+        delete_where(spark, tmp, "n_nationkey IN (3, 5)")
+        overwrite_where(
+            spark,
+            tmp,
+            "n_nationkey = 6",
+            nation.filter("n_nationkey = 6").withColumn("n_name", F.lit("REPLACED")),
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 AVRO_ROUNDTRIP_ORACLE = """
 SELECT s_nationkey,
        count(*)                        AS n_suppliers,

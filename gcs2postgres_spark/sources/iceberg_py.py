@@ -52,6 +52,7 @@ import glob
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -652,12 +653,18 @@ def write_manifest_list(path: str, manifest_paths: list[str], snapshot_id: int) 
     )
 
 
-def _v2_entry(path: str, content: int, seq: int, equality_ids: list[int] | None = None) -> dict:
+def _v2_entry(
+    path: str,
+    content: int,
+    seq: int,
+    equality_ids: list[int] | None = None,
+    snapshot_id: int = 1,
+) -> dict:
     import pyarrow.parquet as pq
 
     return {
         "status": 1,
-        "snapshot_id": 1,
+        "snapshot_id": snapshot_id,
         "sequence_number": seq,
         "file_sequence_number": seq,
         "data_file": {
@@ -924,6 +931,268 @@ def write_iceberg(
         current_snapshot_id=sid,
         version=version + 1,
     )
+    return sid
+
+
+# ------------------------------------------------ v2 row-level DML (write)
+
+
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    snapshot_ts_ms: int | None = None,
+) -> int | None:
+    """Jar-less Iceberg v2 merge-on-read DELETE: commit position-delete
+    files for the rows matching ``predicate`` (a Spark SQL boolean
+    expression over the table columns) and return the new snapshot id —
+    or None when nothing matches (no commit, table untouched).
+
+    Scale shape: the current snapshot's data files are scanned
+    DISTRIBUTED (``spark.read.parquet``; Catalyst prunes the scan to
+    the predicate columns), each matching row is identified by
+    ``_metadata.file_path`` / ``_metadata.row_index`` — exactly the
+    (file, pos) identity the v2 spec stores — and the pairs are written
+    back as parquet delete files range-partitioned and sorted by
+    (file_path, pos), as the spec prescribes. Executors do every
+    per-row step; the driver handles only manifests and metadata JSON
+    (file-count-sized, same bound every Iceberg committer pays).
+
+    The matching scan applies the snapshot's EXISTING delete files
+    first (the same executor-side anti-joins the read path uses —
+    ``_apply_v2_deletes``), so only LIVE rows are matched: a repeated
+    predicate is a true no-op (returns None, no commit) and delete
+    files never accumulate dead positions. The new delete file takes
+    sequence number last-sequence-number+1, >= every current data
+    file's sequence, so it applies to all of them (read-side gating:
+    iceberg_py._apply_v2_deletes).
+
+    Parity: the reference delegates row-level DML to its warehouse
+    (DELETE through the query passthrough, reference src/db/db.go:59);
+    this is the lakehouse-side equivalent a jar-ful runtime exposes as
+    SQL DELETE, driven through the same metadata chain the jar-less
+    reader certifies."""
+    return _v2_row_level_commit(spark, table_path, predicate, None, snapshot_ts_ms)
+
+
+def overwrite_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    replacement: DataFrame,
+    snapshot_ts_ms: int | None = None,
+) -> int:
+    """Jar-less Iceberg v2 merge-on-read OVERWRITE: one commit that
+    position-deletes the rows matching ``predicate`` AND appends
+    ``replacement`` as new data files.
+
+    Both the delete files and the new data files carry the same new
+    sequence number; the position deletes reference only pre-existing
+    file paths, so the replacement rows are never self-deleted (and the
+    spec's ``delete_seq >= data_seq`` rule would be vacuous for them
+    anyway). This is the UPDATE/MERGE building block: callers compute
+    ``replacement`` however they like (typically the matched rows with
+    columns rewritten) and the commit is atomic — one snapshot, one
+    metadata version."""
+    sid = _v2_row_level_commit(
+        spark, table_path, predicate, replacement, snapshot_ts_ms
+    )
+    assert sid is not None  # replacement commit always produces a snapshot
+    return sid
+
+
+def _v2_row_level_commit(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    replacement: DataFrame | None,
+    snapshot_ts_ms: int | None,
+) -> int | None:
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Iceberg row-level DML is local-filesystem only "
+            "(object-store commits need the catalog/connector); READS "
+            f"work on any Hadoop-supported scheme. Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    if meta.get("format-version", 1) != 2:
+        raise ValueError(
+            "row-level deletes are a format-version-2 feature; "
+            f"{table_path!r} is v{meta.get('format-version', 1)} "
+            "(for v1 use write_iceberg overwrite, which swaps snapshots)"
+        )
+    snapshots = meta.get("snapshots") or []
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id is None or snap_id == -1 or not snapshots:
+        raise ValueError(f"{table_path!r} has no current snapshot to delete from")
+    snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
+    location = meta.get("location")
+
+    # current snapshot's file inventory (driver reads manifests only —
+    # metadata, one row per file), same walk the reader performs
+    _, manifest_rows = read_avro_file(
+        _resolve(snapshot["manifest-list"], table_path, location)
+    )
+    data_files: list[tuple[str, int]] = []  # (path, data sequence number)
+    pos_deletes: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+    for m in manifest_rows:
+        manifest_seq = m.get("sequence_number") or 0
+        _, entries = read_avro_file(_resolve(m["manifest_path"], table_path, location))
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            dfile = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = manifest_seq
+            content = dfile.get("content", 0)
+            if dfile["file_format"].lower() != "parquet":
+                raise NotImplementedError(
+                    f"iceberg {dfile['file_format']} data files: table {_JAR_HINT}"
+                )
+            path = _resolve(dfile["file_path"], table_path, location)
+            if content == 0:
+                data_files.append((path, seq))
+            elif content == 1:
+                pos_deletes.append((path, seq))
+            elif content == 2:
+                ids = tuple(sorted(dfile.get("equality_ids") or ()))
+                eq_deletes.append((path, seq, ids))
+    if not data_files and replacement is None:
+        return None
+
+    sid = max(s["snapshot-id"] for s in snapshots) + 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
+    mdir = os.path.join(table_path, "metadata")
+    new_list_rows = list(manifest_rows)
+
+    del_files: list[str] = []
+    if data_files:
+        # tag each row with its (file, pos) identity FIRST (as plain
+        # columns, so _apply_v2_deletes carries them through), store the
+        # manifest-normalized path form so any reader's compare matches
+        tagged = spark.read.parquet(*sorted({p for p, _ in data_files})).select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias(
+                "__dml_fp"
+            ),
+            F.col("_metadata.row_index").cast("long").alias("__dml_pos"),
+        )
+        if pos_deletes or eq_deletes:
+            if "schemas" in meta:
+                cur_sid = meta.get("current-schema-id", 0)
+                schema_json = next(
+                    s for s in meta["schemas"] if s.get("schema-id", 0) == cur_sid
+                )
+            else:
+                schema_json = meta["schema"]
+            field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+            tagged = _apply_v2_deletes(
+                spark, tagged, data_files, pos_deletes, eq_deletes, field_names
+            )
+        matches = tagged.filter(predicate).select(
+            F.col("__dml_fp").alias("file_path"),
+            F.col("__dml_pos").alias("pos"),
+        )
+        del_dir = os.path.join(
+            table_path, "data", f"delete-{sid}-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            matches.repartitionByRange(F.col("file_path"), F.col("pos"))
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(del_dir)
+        )
+        del_files = [
+            p
+            for p in sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+            if pq.ParquetFile(p).metadata.num_rows > 0  # footer read only
+        ]
+        if not del_files:
+            shutil.rmtree(del_dir, ignore_errors=True)
+            if replacement is None:
+                return None  # nothing matched: no commit
+        else:
+            del_manifest = os.path.join(mdir, f"manifest-deletes-{sid}.avro")
+            write_avro_file(
+                del_manifest,
+                MANIFEST_ENTRY_SCHEMA_V2,
+                [
+                    _v2_entry(p, content=1, seq=new_seq, snapshot_id=sid)
+                    for p in del_files
+                ],
+                codec="null",
+            )
+            new_list_rows.append(
+                {
+                    "manifest_path": os.path.abspath(del_manifest),
+                    "manifest_length": os.path.getsize(del_manifest),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": new_seq,
+                    "min_sequence_number": new_seq,
+                    "added_snapshot_id": sid,
+                }
+            )
+
+    if replacement is not None:
+        commit_dir = os.path.join(
+            table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}"
+        )
+        replacement.write.mode("overwrite").parquet(commit_dir)
+        new_data = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+        if new_data:
+            data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
+            write_avro_file(
+                data_manifest,
+                MANIFEST_ENTRY_SCHEMA_V2,
+                [
+                    _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid)
+                    for p in new_data
+                ],
+                codec="null",
+            )
+            new_list_rows.append(
+                {
+                    "manifest_path": os.path.abspath(data_manifest),
+                    "manifest_length": os.path.getsize(data_manifest),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": new_seq,
+                    "min_sequence_number": new_seq,
+                    "added_snapshot_id": sid,
+                }
+            )
+
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
+    meta["last-sequence-number"] = new_seq
+    meta["last-updated-ms"] = now
+    meta["current-snapshot-id"] = sid
+    meta.setdefault("snapshots", []).append(
+        {
+            "snapshot-id": sid,
+            "sequence-number": new_seq,
+            "timestamp-ms": now,
+            "summary": {
+                "operation": "delete" if replacement is None else "overwrite"
+            },
+            "manifest-list": os.path.abspath(mlist),
+        }
+    )
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(version))
     return sid
 
 

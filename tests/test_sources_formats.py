@@ -403,6 +403,57 @@ def test_iceberg_v2_position_and_equality_deletes(spark, tmp_path):
     assert got == expect
 
 
+def test_iceberg_v2_delete_where_and_overwrite_where(spark, tmp_path):
+    """Merge-on-read DML committer: position-delete commits stack, the
+    matching scan sees only LIVE rows (repeat predicate → no-op, None),
+    overwrite_where atomically deletes + appends at one sequence number
+    (replacement rows never self-deleted), and prior snapshots remain
+    time-travelable."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        overwrite_where,
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    df = spark.range(20).selectExpr("id AS v", "CAST(id % 4 AS INT) AS grp")
+    table = str(tmp_path / "dmltab")
+    write_iceberg_v2_fixture(df.repartition(2), table, sort_col="v")
+
+    s1 = delete_where(spark, table, "grp = 2")
+    live = sorted(r["v"] for r in read_iceberg_py(spark, table).collect())
+    assert live == [v for v in range(20) if v % 4 != 2]
+    # repeat predicate: already-deleted rows are NOT re-matched
+    assert delete_where(spark, table, "grp = 2") is None
+
+    s2 = delete_where(spark, table, "v IN (1, 3, 6)")  # 6 already dead
+    live = sorted(r["v"] for r in read_iceberg_py(spark, table).collect())
+    assert live == [v for v in range(20) if v % 4 != 2 and v not in (1, 3)]
+
+    # overwrite: v=5 replaced by v=105 in one commit; v=6 (dead) targeted
+    # by the predicate but only live rows are deleted
+    repl = spark.range(1).selectExpr("CAST(105 AS BIGINT) AS v", "CAST(1 AS INT) AS grp")
+    s3 = overwrite_where(spark, table, "v IN (5, 6)", repl)
+    live = sorted(r["v"] for r in read_iceberg_py(spark, table).collect())
+    assert 5 not in live and 105 in live
+    # time travel: every intermediate snapshot still reads exactly
+    assert sorted(r["v"] for r in read_iceberg_py(spark, table, snapshot_id=1).collect()) == list(range(20))
+    assert len(read_iceberg_py(spark, table, snapshot_id=s1).collect()) == 15
+    assert len(read_iceberg_py(spark, table, snapshot_id=s2).collect()) == 13
+    assert s3 > s2 > s1
+
+
+def test_iceberg_delete_where_v1_clear_error(spark, tmp_path):
+    """Row-level deletes are a v2 feature; a v1 table must get an
+    actionable error, not silent metadata corruption."""
+    from gcs2postgres_spark.sources.iceberg_py import delete_where, write_iceberg
+
+    table = str(tmp_path / "v1tab")
+    write_iceberg(spark.range(5), table, "overwrite", snapshot_ts_ms=100)
+    with pytest.raises(ValueError, match="format-version-2"):
+        delete_where(spark, table, "id = 1")
+
+
 def test_iceberg_v2_equality_delete_without_ids_clear_error(spark, tmp_path):
     """An equality delete entry missing equality_ids cannot be applied
     correctly — must raise an actionable error naming the runtime jar,
