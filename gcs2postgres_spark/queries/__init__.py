@@ -40,7 +40,8 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # iceberg_v2_delete_write_roundtrip (new: merge-on-read DML committer),
 # events_watermark_late_drop (driver-side prefix-max fold replaced the
 # 32-row global window), fuzzy_join_topk_per_entity (new: capped fuzzy
-# ER), the reworked q21 pair (cascaded (orderkey,suppkey) pre-agg
+# ER), fuzzy_join_entity_match (block-key repartition before the
+# verify), the reworked q21 pair (cascaded (orderkey,suppkey) pre-agg
 # replacing dual countDistinct), and the five shingle_docs consumers
 # not already in the freshness slots (shingle_docs gained a repartition
 # guard; partitioning-only, but the driver row should still certify the
@@ -52,6 +53,7 @@ VERIFY_FRONT: list[str] = [
     "iceberg_v2_delete_write_roundtrip",
     "events_watermark_late_drop",
     "fuzzy_join_topk_per_entity",
+    "fuzzy_join_entity_match",
     "q21_waiting_supplier_bucketed",
     "dedup_cluster_canonical",
     "dedup_containment_pairs",
@@ -86,7 +88,6 @@ VERIFY_FRONT: list[str] = [
     "q9_product_profit",
     "q21_waiting_supplier",
     "set_intersect_all",
-    "set_except_all",
     "explode_pos_tokens",
     "explode_outer_rare_tokens",
     "lateral_topk_suppliers",
@@ -105,6 +106,7 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "set_except_all",
     "hof_array_battery",
     "agg_salted_skew",
     "similarity_cosine_topk",
@@ -212,7 +214,6 @@ VERIFY_DEFERRED: list[str] = [
     "graph_sssp_weighted",
     "graph_ppr_seeded",
     "doc_winnow_fingerprints",
-    "fuzzy_join_entity_match",
     "agg_grouping_sets",
     "pivot_order_priority",
     "subquery_exists_q4",
