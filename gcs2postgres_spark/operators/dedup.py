@@ -12,6 +12,8 @@ the band join is the dominant shuffle; band tables are pre-bucketed by
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -123,14 +125,31 @@ def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
     Parallelism guard (same trap as winnow_docs): a compact parquet scan
     often yields fewer partitions than cores (documents at sf1 scans as
     2), serializing the Python shingler onto 2 workers. Hash-repartition
-    by id up to defaultParallelism first — the doc shuffle is tiny next
-    to the per-doc tokenize work it spreads (measured sf1: 1.85 s → 0.84 s
-    for the exploded relation). Batch-only probe, skipped for streaming
-    inputs (plan-conversion restriction)."""
+    by id first — the doc shuffle is tiny next to the per-doc tokenize
+    work it spreads (measured sf1: 1.85 s → 0.84 s for the exploded
+    relation). The width is DATA-PROPORTIONAL, not blindly
+    defaultParallelism: at sf0.1 (5k docs) a 32-way repartition's task
+    overhead exceeded the shingling it spread (BENCH_r07→r8 preview
+    showed the minhash pair +13–20% while everything else improved), so
+    the width comes from the parquet footers' row count at ~2k docs per
+    task (sf0.1 → 2, sf1 → 25, sf3 → 32-cap), falling back to full
+    width when the input isn't a parquet scan (derived frames, streams —
+    the conservative choice at scale)."""
     sess = docs.sparkSession
     target = sess.sparkContext.defaultParallelism
-    if docs.isStreaming or docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, F.col(id_col))
+    width = target
+    if not docs.isStreaming:
+        try:
+            import pyarrow.parquet as pq
+
+            files = [re.sub(r"^file:(//)?", "", u) for u in docs.inputFiles()]
+            if files and all(f.endswith(".parquet") for f in files):
+                rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+                width = max(1, min(target, rows // 2000))
+        except OSError:
+            pass
+    if docs.isStreaming or docs.rdd.getNumPartitions() < width:
+        docs = docs.repartition(width, F.col(id_col))
     return docs.select(
         F.col(id_col), F.explode(_shingles_pandas_udf(shingle_n)(F.col(text_col))).alias("shingle")
     )
