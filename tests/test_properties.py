@@ -676,3 +676,78 @@ def test_blocked_fuzzy_join_topk_is_capped_best_matches(spark, names, k):
     assert got == want
     for i in {r[0] for r in got}:
         assert sum(1 for r in got if r[0] == i) <= k
+
+
+# ---------------------------------------------------------------- iceberg DML
+
+# A DML op: ("delete", pred) or ("overwrite", pred) where pred is a
+# (kind, param) pair evaluable both as a Spark SQL string and in the
+# python model. Overwrite replaces matched rows with (v+1000, grp).
+_DML_PREDS = st.tuples(
+    st.sampled_from(["grp_eq", "mod7_eq", "v_lt"]),
+    st.integers(min_value=0, max_value=6),
+)
+_DML_OPS = st.lists(
+    st.tuples(st.sampled_from(["delete", "overwrite"]), _DML_PREDS),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _dml_sql(pred):
+    kind, p = pred
+    return {
+        "grp_eq": f"grp = {p % 5}",
+        "mod7_eq": f"v % 7 = {p}",
+        "v_lt": f"v < {p * 3}",
+    }[kind]
+
+
+def _dml_match(pred, v, grp):
+    kind, p = pred
+    if kind == "grp_eq":
+        return grp == p % 5
+    if kind == "mod7_eq":
+        return v % 7 == p
+    return v < p * 3
+
+
+@given(ops=_DML_OPS)
+@SLOW
+def test_iceberg_dml_sequence_matches_model(spark, ops, tmp_path_factory):
+    """Random sequences of delete_where/overwrite_where commits read
+    back exactly like a python set-model of merge-on-read semantics:
+    delete removes live matching rows; overwrite removes live matching
+    rows AND appends its replacement rows (which later commits may
+    delete again). Certifies sequence-number stacking, live-row
+    matching, and replacement survival across arbitrary commit chains —
+    shapes the fixed roundtrip query can't enumerate."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        overwrite_where,
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    table = str(tmp_path_factory.mktemp("dmlprop") / "t")
+    base = [(v, v % 5) for v in range(30)]
+    df = spark.createDataFrame(base, "v long, grp int")
+    write_iceberg_v2_fixture(df.repartition(2), table, sort_col="v")
+
+    model = list(base)
+    for op, pred in ops:
+        sql = _dml_sql(pred)
+        if op == "delete":
+            delete_where(spark, table, sql)
+            model = [(v, g) for v, g in model if not _dml_match(pred, v, g)]
+        else:
+            matched = [(v, g) for v, g in model if _dml_match(pred, v, g)]
+            repl = [(v + 1000, g) for v, g in matched]
+            repl_df = spark.createDataFrame(repl or [], "v long, grp int")
+            overwrite_where(spark, table, sql, repl_df)
+            model = [t for t in model if t not in matched] + repl
+
+    got = sorted(
+        (r["v"], r["grp"]) for r in read_iceberg_py(spark, table).collect()
+    )
+    assert got == sorted(model)
