@@ -1,0 +1,75 @@
+"""Two-phase global order primitives: the exclusive per-partition
+prefix fold.
+
+The repo's standard pattern for global ranks / running sums without a
+single-task global window (part_pareto_abc, equidepth deciles, weighted
+median, gini, KS, Mann-Whitney, watermark late-drop): range-partition
+on the total order, do the per-partition pass in parallel, then add
+back each partition's offset = the fold of all EARLIER partitions'
+totals.
+
+This module computes those offsets on the DRIVER from one aggregate
+row per partition. The bound is spark.sql.shuffle.partitions — config,
+not data (the same driver-side cardinality Spark's own RangePartitioner
+samples to plan the exchange) — so this is not a driver-materialization
+hazard; it replaces what used to be a 32-row single-task window + a
+broadcast join per instantiation (one "No Partition Defined for Window"
+warning per branch execution, r7 verdict hygiene item, fixed first in
+events_watermark_late_drop and factored here for the other five
+instantiations).
+
+PRECONDITION (same as the window form it replaces): ``ranged`` must be
+materialized (``localCheckpoint(eager=True)``) before its ``pid``
+column is read by ANY branch — a re-executed range exchange re-samples
+bounds and re-coalesces under AQE, so spark_partition_id() would mean
+different ranges in the offsets pass vs the final plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def driver_prefix_sums(
+    ranged: DataFrame, val_cols: list[str], pid_col: str = "pid"
+) -> tuple[dict[str, Column], dict[str, int]]:
+    """Exclusive per-partition prefix sums + grand totals.
+
+    One ``groupBy(pid).sum`` row per partition is collected (the
+    config-sized bound above), the exclusive prefix sum per value
+    column is folded in Python, and each comes back as a literal
+    ``pid → offset`` map lookup Column (0 for the first partition and
+    for pids absent from the frame). Returns ``(prefix_cols, totals)``
+    where ``totals[c]`` is the grand sum as a Python int — use
+    ``F.lit(totals[c])`` instead of a second global-window pass.
+    NULL sums (all-NULL partitions) fold as 0, matching the
+    ``coalesce(sum(...) OVER (... PRECEDING), 0)`` they replace."""
+    aggs = [F.sum(c).alias(c) for c in val_cols]
+    rows = sorted(
+        ranged.groupBy(pid_col).agg(*aggs).collect(), key=lambda r: r[pid_col]
+    )
+    prefix_cols: dict[str, Column] = {}
+    totals: dict[str, int] = {}
+    for c in val_cols:
+        acc = 0
+        prefix: dict[int, int] = {}
+        for r in rows:
+            prefix[r[pid_col]] = acc
+            acc += int(r[c]) if r[c] is not None else 0
+        totals[c] = acc
+        if prefix:
+            m = F.create_map(
+                *[
+                    x
+                    for k, v in prefix.items()
+                    for x in (F.lit(k), F.lit(v).cast("long"))
+                ]
+            )
+            # try_element_at: NULL (not ANSI error) for absent pids
+            prefix_cols[c] = F.coalesce(
+                F.try_element_at(m, F.col(pid_col)), F.lit(0).cast("long")
+            )
+        else:
+            prefix_cols[c] = F.lit(0).cast("long")
+    return prefix_cols, totals

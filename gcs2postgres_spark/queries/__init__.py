@@ -60,6 +60,12 @@ VERIFY_FRONT: list[str] = [
     "decontaminate_against_eval",
     "corpus_ngram_novelty",
     "dedup_incremental_batch",
+    "part_pareto_abc",
+    "events_equidepth_deciles",
+    "lineitem_weighted_median",
+    "customer_revenue_gini",
+    "events_ks_two_sample",
+    "events_mann_whitney_u",
     "join_theta",
     "asof_join_forward_next_purchase",
     "q13_order_count_dist",
@@ -92,12 +98,6 @@ VERIFY_FRONT: list[str] = [
     "explode_outer_rare_tokens",
     "lateral_topk_suppliers",
     "join_null_safe",
-    "agg_hll_sketch_merge",
-    "recursive_cte_spine",
-    "variant_props_agg",
-    "window_running",
-    "topk_per_group",
-    "events_sessionize",
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
@@ -106,6 +106,12 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "window_running",
+    "topk_per_group",
+    "events_sessionize",
+    "variant_props_agg",
+    "recursive_cte_spine",
+    "agg_hll_sketch_merge",
     "set_except_all",
     "hof_array_battery",
     "agg_salted_skew",
@@ -170,7 +176,6 @@ VERIFY_DEFERRED: list[str] = [
     "parquet_codec_roundtrip",
     "dataset_train_manifest",
     "events_autocorr_lags",
-    "customer_revenue_gini",
     "events_user_entropy",
     "events_path_trigrams",
     "ab_test_conversion",
@@ -195,8 +200,6 @@ VERIFY_DEFERRED: list[str] = [
     "events_dau_ma7",
     "orders_gmv_yoy",
     "dq_chi2_independence",
-    "events_ks_two_sample",
-    "events_mann_whitney_u",
     "corpus_kl_divergence",
     "events_welch_ttest",
     "supplier_leadtime_trend",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, MapType, StringType
 
 from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.operators.prefix import driver_prefix_sums
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
 
@@ -998,21 +999,16 @@ def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranged = ranged.withColumn("cum_in", F.sum("rev_c").over(w_in))
-    # Phase 2: per-partition totals (|partitions| rows — bounded by the
-    # shuffle-partition count, NOT the data), exclusive prefix offsets
-    # via a window over that tiny frame, broadcast back.
-    totals = ranged.groupBy("pid").agg(F.sum("rev_c").alias("ptotal"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_grand = Window.partitionBy()
-    offsets = totals.select(
-        "pid",
-        F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).alias("offset"),
-        F.sum("ptotal").over(w_grand).alias("grand_c"),
-    )
-    ranked = ranged.join(F.broadcast(offsets), "pid").withColumn(
+    # Phase 2: exclusive prefix offsets + grand total folded DRIVER-side
+    # from one aggregate row per partition (operators/prefix.py —
+    # bounded by the shuffle-partition count, NOT the data); replaces
+    # the 32-row single-task window + broadcast join.
+    pref, tot = driver_prefix_sums(ranged, ["rev_c"])
+    ranked = ranged.withColumn(
         "cum_share",
         F.round(
-            (F.col("cum_in") + F.col("offset")).cast("double") / F.col("grand_c"),
+            (F.col("cum_in") + pref["rev_c"]).cast("double")
+            / F.lit(tot["rev_c"]).cast("long"),
             9,
         ),
     )

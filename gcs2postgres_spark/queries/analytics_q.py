@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.functions.exact import exact_intdiv, ratio_6dp
+from gcs2postgres_spark.operators.prefix import driver_prefix_sums
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
 
@@ -186,20 +187,15 @@ def events_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_in = Window.partitionBy("pid").orderBy("value", "event_id")
     ranged = ranged.withColumn("rn_in", F.row_number().over(w_in))
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy()
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
-        F.sum("c").over(w_all).alias("n_total"),
-    )
-    ranked = ranged.join(F.broadcast(offsets), "pid")
+    # exclusive prefix counts folded driver-side (operators/prefix.py:
+    # one row per partition, config-bounded) — replaces the 32-row
+    # global window + broadcast join
+    pref, tot = driver_prefix_sums(ranged.withColumn("one", F.lit(1)), ["one"])
     decile = F.floor(
-        (F.col("rn_in") + F.col("off") - 1) * 10 / F.col("n_total")
+        (F.col("rn_in") + pref["one"] - 1) * 10 / F.lit(tot["one"]).cast("long")
     ).cast("long")
     return (
-        ranked.select(decile.alias("decile"), "value")
+        ranged.select(decile.alias("decile"), "value")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1022,20 +1018,13 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranged = ranged.withColumn("cum_in", F.sum("wt").over(w_in))
-    totals = ranged.groupBy("pid").agg(F.sum("wt").alias("ptotal"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy()
-    offsets = totals.select(
-        "pid",
-        F.coalesce(F.sum("ptotal").over(w_off), F.lit(0)).alias("off"),
-        F.sum("ptotal").over(w_all).alias("total"),
-    )
-    c = ranged.join(F.broadcast(offsets), "pid").withColumn(
-        "cumw", F.col("cum_in") + F.col("off")
-    )
-    return c.filter(2 * F.col("cumw") >= F.col("total")).agg(
+    # exclusive prefix weights folded driver-side (operators/prefix.py)
+    pref, tot = driver_prefix_sums(ranged, ["wt"])
+    total = F.lit(tot["wt"]).cast("long")
+    c = ranged.withColumn("cumw", F.col("cum_in") + pref["wt"])
+    return c.filter(2 * F.col("cumw") >= total).agg(
         F.round(F.min("price"), 2).alias("weighted_median_price"),
-        F.max("total").alias("total_weight"),
+        F.max(total).alias("total_weight"),
     )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.functions.exact import ratio_6dp
+from gcs2postgres_spark.operators.prefix import driver_prefix_sums
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
 
@@ -143,14 +144,11 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_in = Window.partitionBy("pid").orderBy(F.asc("xc"), F.asc("k"))
     ranged = ranged.withColumn("rn_in", F.row_number().over(w_in))
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pcount"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("pcount").over(w_off), F.lit(0)).alias("offset")
-    )
-    ranked = ranged.join(F.broadcast(offsets), "pid").withColumn(
-        "i", (F.col("rn_in") + F.col("offset")).cast("long")
-    )
+    # exclusive prefix counts folded driver-side (operators/prefix.py:
+    # one row per partition, config-bounded) — replaces the 32-row
+    # global window + broadcast join
+    pref, _ = driver_prefix_sums(ranged.withColumn("one", F.lit(1)), ["one"])
+    ranked = ranged.withColumn("i", (F.col("rn_in") + pref["one"]).cast("long"))
     s_ix = F.sum(F.col("i").cast("decimal(38,0)") * F.col("xc")).cast("double")
     n = F.count(F.lit(1)).cast("double")
     t = F.sum("xc")
@@ -2105,23 +2103,17 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = ranged.withColumn("a1_in", F.sum("c1").over(w_in)).withColumn(
         "a2_in", F.sum("c2").over(w_in)
     )
-    totals = ranged.groupBy("pid").agg(
-        F.sum("c1").alias("p1"), F.sum("c2").alias("p2")
-    )
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.select(
-        "pid",
-        F.coalesce(F.sum("p1").over(w_off), F.lit(0)).alias("off1"),
-        F.coalesce(F.sum("p2").over(w_off), F.lit(0)).alias("off2"),
-    )
+    # exclusive prefix counts per sample folded driver-side
+    # (operators/prefix.py) — replaces the 32-row global window +
+    # broadcast join; n1/n2 stay a 1-row broadcast (used as output cols)
+    pref, _ = driver_prefix_sums(ranged, ["c1", "c2"])
     n = vals.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     cum = (
-        ranged.join(F.broadcast(offs), "pid")
-        .crossJoin(F.broadcast(n))
+        ranged.crossJoin(F.broadcast(n))
         .select(
             (
-                (F.col("a1_in") + F.col("off1")) / F.col("n1").cast("double")
-                - (F.col("a2_in") + F.col("off2")) / F.col("n2").cast("double")
+                (F.col("a1_in") + pref["c1"]) / F.col("n1").cast("double")
+                - (F.col("a2_in") + pref["c2"]) / F.col("n2").cast("double")
             ).alias("diff"),
             "n1",
             "n2",
@@ -2224,13 +2216,12 @@ def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranged = ranged.withColumn("cum_in", F.sum("t").over(w_in))
-    ptotals = ranged.groupBy("pid").agg(F.sum("t").alias("pt"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ptotals.select(
-        "pid", F.coalesce(F.sum("pt").over(w_off), F.lit(0)).alias("off")
-    )
-    cum = ranged.join(F.broadcast(offs), "pid").withColumn(
-        "before_t", F.col("cum_in") + F.col("off") - F.col("t")
+    # exclusive prefix tie-group totals folded driver-side
+    # (operators/prefix.py) — replaces the 32-row global window +
+    # broadcast join
+    pref, _ = driver_prefix_sums(ranged, ["t"])
+    cum = ranged.withColumn(
+        "before_t", F.col("cum_in") + pref["t"] - F.col("t")
     )
     folds = cum.agg(
         F.sum(

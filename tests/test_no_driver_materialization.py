@@ -38,6 +38,12 @@ ALLOWED = {
         # df.write.parquet on executors
         'df.select(partition_col).distinct().orderBy(partition_col)',
     ],
+    "operators/prefix.py": [
+        # two-phase prefix fold: one aggregate row per range partition —
+        # bounded by spark.sql.shuffle.partitions (config, not data);
+        # see the module docstring
+        "groupBy(pid_col)",
+    ],
     "queries/analytics_q.py": [
         # watermark two-phase running max: prefix fold over ONE row per
         # range partition — bounded by spark.sql.shuffle.partitions
