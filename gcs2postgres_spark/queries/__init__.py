@@ -66,6 +66,7 @@ VERIFY_FRONT: list[str] = [
     "customer_revenue_gini",
     "events_ks_two_sample",
     "events_mann_whitney_u",
+    "corpus_cms_heavy_hitters",
     "join_theta",
     "asof_join_forward_next_purchase",
     "q13_order_count_dist",
@@ -97,7 +98,6 @@ VERIFY_FRONT: list[str] = [
     "explode_pos_tokens",
     "explode_outer_rare_tokens",
     "lateral_topk_suppliers",
-    "join_null_safe",
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
@@ -106,6 +106,7 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "join_null_safe",
     "window_running",
     "topk_per_group",
     "events_sessionize",
@@ -211,7 +212,6 @@ VERIFY_DEFERRED: list[str] = [
     "avro_logical_types_roundtrip",
     "graph_kcore_peel",
     "graph_pagerank_purchases",
-    "corpus_cms_heavy_hitters",
     "graph_assortativity",
     "graph_bfs_3hop",
     "graph_sssp_weighted",

@@ -341,6 +341,16 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain is the whole cost of this query (it ran once per (token,
     # depth) before: 3x the hashing for no extra independence that CMS
     # needs; measured 32 -> ~13 s at sf3)
+    #
+    # Hash dedupe (r8): this CERTIFICATION query already pays the exact
+    # groupBy (the thing it certifies against), so the cells are built
+    # from that vocab-sized frame — md5 once per DISTINCT token, cell
+    # count = sum of multiplicities, bit-identical to hashing every
+    # occurrence (sf1 sweep: 10.8 s r6 record -> 3.5 s). The production
+    # sketch path at
+    # 100 TB hashes each occurrence with xxhash64 (no groupBy, no
+    # shuffle — that's the point of the sketch); the md5-per-occurrence
+    # tax existed only to keep the oracle's hashes portable.
     def jb_pairs(h):
         # (j, bucket) per depth — shiftright needs a literal bit count,
         # so the three depths unroll into one exploded literal array
@@ -356,12 +366,12 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("jb")
 
-    hashed = toks.select(portable_hash60(F.col("tok")).alias("h"))
+    hashed = exact.select(portable_hash60(F.col("tok")).alias("h"), "exact_cnt")
     cells = (
-        hashed.select(jb_pairs(F.col("h")))
-        .select("jb.j", "jb.b")
+        hashed.select(jb_pairs(F.col("h")), "exact_cnt")
+        .select("jb.j", "jb.b", "exact_cnt")
         .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_cnt").alias("c"))
     )
     probed = (
         top10.select("tok", "exact_cnt", portable_hash60(F.col("tok")).alias("h"))
