@@ -1027,6 +1027,21 @@ def _v2_row_level_commit(
             f"{table_path!r} is v{meta.get('format-version', 1)} "
             "(for v1 use write_iceberg overwrite, which swaps snapshots)"
         )
+    specs = meta.get("partition-specs") or []
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0] if specs else None,
+    )
+    if default_spec and default_spec.get("fields"):
+        # a partitioned table's delete files must carry the partition
+        # tuple of the rows they hide (spec: delete files belong to a
+        # partition spec like data files); this committer writes the
+        # unpartitioned spec only — refuse rather than emit metadata
+        # other readers would mis-scope
+        raise NotImplementedError(
+            "row-level DML on a PARTITIONED Iceberg table needs "
+            f"partition-tuple delete manifests: table {_JAR_HINT}"
+        )
     snapshots = meta.get("snapshots") or []
     snap_id = meta.get("current-snapshot-id")
     if snap_id is None or snap_id == -1 or not snapshots:
