@@ -38,37 +38,35 @@ def driver_prefix_sums(
 
     One ``groupBy(pid).sum`` row per partition is collected (the
     config-sized bound above), the exclusive prefix sum per value
-    column is folded in Python, and each comes back as a literal
-    ``pid → offset`` map lookup Column (0 for the first partition and
-    for pids absent from the frame). Returns ``(prefix_cols, totals)``
-    where ``totals[c]`` is the grand sum as a Python int — use
-    ``F.lit(totals[c])`` instead of a second global-window pass.
-    NULL sums (all-NULL partitions) fold as 0, matching the
-    ``coalesce(sum(...) OVER (... PRECEDING), 0)`` they replace."""
+    column is folded in Python, and each comes back as a DENSE literal
+    array indexed by pid — ``F.get`` is an O(1) positional read per
+    row, unlike a ``create_map`` literal whose lookup scans all
+    entries (linear in the partition count — a real per-row cost on a
+    2000-partition cluster). Missing pids (empty range partitions)
+    read 0. Returns ``(prefix_cols, totals)`` where ``totals[c]`` is
+    the grand sum as a Python int — use ``F.lit(totals[c])`` instead
+    of a second global-window pass. NULL sums (all-NULL partitions)
+    fold as 0, matching the ``coalesce(sum(...) OVER (... PRECEDING),
+    0)`` they replace."""
     aggs = [F.sum(c).alias(c) for c in val_cols]
     rows = sorted(
         ranged.groupBy(pid_col).agg(*aggs).collect(), key=lambda r: r[pid_col]
     )
+    n_slots = (max(r[pid_col] for r in rows) + 1) if rows else 0
     prefix_cols: dict[str, Column] = {}
     totals: dict[str, int] = {}
     for c in val_cols:
         acc = 0
-        prefix: dict[int, int] = {}
+        dense = [0] * n_slots
         for r in rows:
-            prefix[r[pid_col]] = acc
+            dense[r[pid_col]] = acc
             acc += int(r[c]) if r[c] is not None else 0
         totals[c] = acc
-        if prefix:
-            m = F.create_map(
-                *[
-                    x
-                    for k, v in prefix.items()
-                    for x in (F.lit(k), F.lit(v).cast("long"))
-                ]
-            )
-            # try_element_at: NULL (not ANSI error) for absent pids
+        if dense:
+            arr = F.array(*[F.lit(v).cast("long") for v in dense])
+            # F.get: 0-based, NULL out-of-bounds (never raises in ANSI)
             prefix_cols[c] = F.coalesce(
-                F.try_element_at(m, F.col(pid_col)), F.lit(0).cast("long")
+                F.get(arr, F.col(pid_col)), F.lit(0).cast("long")
             )
         else:
             prefix_cols[c] = F.lit(0).cast("long")

@@ -1166,11 +1166,13 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             prefix[r["pid"]] = prev
         prev = r["pm"] if prev is None or r["pm"] > prev else prev
     if prefix:
-        off_map = F.create_map(
-            *[x for pid, ts in prefix.items() for x in (F.lit(pid), F.lit(ts))]
-        )
-        # try_element_at: NULL (not ANSI error) for pid 0 / absent keys
-        prev_max = F.try_element_at(off_map, F.col("pid"))
+        # dense pid-indexed array: O(1) positional read per row (a map
+        # literal's lookup scans all entries — linear in the partition
+        # count); NULL slots for pid 0 / empty partitions
+        n_slots = max(prefix) + 1
+        dense = [prefix.get(i) for i in range(n_slots)]
+        arr = F.array(*[F.lit(v).cast("timestamp") for v in dense])
+        prev_max = F.get(arr, F.col("pid"))  # NULL out-of-bounds
     else:
         prev_max = F.lit(None).cast("timestamp")
     wm = F.greatest(F.col("run_in"), prev_max)
