@@ -60,6 +60,19 @@ LAYOUT_VARIANTS = [
     "q21_waiting_supplier_bucketed",
 ]
 
+# Plain twin per layout variant. An EXPLICIT map, not suffix-stripping:
+# "q6_revenue_zorder"[: -len("_zorder")] is "q6_revenue", which never
+# matches the twin "q6_revenue_forecast" — the r8 review caught the
+# zorder pair silently dropping out of every best-plan row and the
+# extra paired pass.
+VARIANT_BASE = {
+    "q3_shipping_priority_bucketed": "q3_shipping_priority",
+    "q6_revenue_zorder": "q6_revenue_forecast",
+    "q12_priority_caseagg_bucketed": "q12_priority_caseagg",
+    "q18_large_orders_bucketed": "q18_large_orders",
+    "q21_waiting_supplier_bucketed": "q21_waiting_supplier",
+}
+
 
 def parse_args(argv: list[str]) -> tuple[str, bool]:
     """--sf DIR beats $SPARK_GRAFT_SF_DIR beats the sf0.1 default;
@@ -85,10 +98,6 @@ def parse_args(argv: list[str]) -> tuple[str, bool]:
     if not os.path.isdir(sf_dir):
         sys.exit(f"scale-factor directory not found: {sf_dir!r}")
     return sf_dir, variants
-
-
-def parse_sf_dir(argv: list[str]) -> str:
-    return parse_args(argv)[0]
 
 
 def _loadavg() -> list[float] | None:
@@ -155,11 +164,10 @@ def main() -> None:
     names = HEADLINE + (LAYOUT_VARIANTS if with_variants else [])
     present = [n for n in names if n in REGISTRY]
     paired: set[str] = set()
-    for n in present:
-        for suffix in ("_bucketed", "_zorder"):
-            if n + suffix in present:
-                paired.add(n)
-                paired.add(n + suffix)
+    for v, base in VARIANT_BASE.items():
+        if v in present and base in present:
+            paired.add(v)
+            paired.add(base)
     best: dict[str, float] = {}
 
     def one_pass(names: list[str]) -> None:

@@ -214,12 +214,16 @@ def blocked_fuzzy_join_topk(
     for lc, rc in block_cols:
         c = left[lc].eqNullSafe(right[rc])
         cond = c if cond is None else (cond & c)
+    # frame-qualified references throughout: left_text/right_text (and
+    # left_key vs right_order names) may collide across the two sides —
+    # the canonical ER case joins two tables sharing a 'name' column,
+    # and bare F.col would raise AMBIGUOUS_REFERENCE
     pred = F.levenshtein(left[left_text], right[right_text]) <= max_dist
     cand = left.join(right, cond & pred, "inner").withColumn(
-        "dist", F.levenshtein(F.col(left_text), F.col(right_text))
+        "dist", F.levenshtein(left[left_text], right[right_text])
     )
-    w = Window.partitionBy(left_key).orderBy(
-        F.col("dist").asc(), *[F.col(c).asc() for c in right_order]
+    w = Window.partitionBy(left[left_key]).orderBy(
+        F.col("dist").asc(), *[right[c].asc() for c in right_order]
     )
     return (
         cand.withColumn("__rn", F.row_number().over(w))

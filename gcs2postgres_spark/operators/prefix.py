@@ -60,7 +60,21 @@ def driver_prefix_sums(
         dense = [0] * n_slots
         for r in rows:
             dense[r[pid_col]] = acc
-            acc += int(r[c]) if r[c] is not None else 0
+            v = r[c]
+            if v is None:
+                continue
+            if not isinstance(v, int) or isinstance(v, bool):
+                # int()/cast('long') would silently truncate a double or
+                # decimal subtotal — wrong prefix sums with no error.
+                # Integer-exact inputs (counts, cents, weights) are the
+                # house pattern; anything else must be converted by the
+                # caller deliberately.
+                raise TypeError(
+                    f"driver_prefix_sums needs integer-exact columns; "
+                    f"{c!r} collected {type(v).__name__} — convert to "
+                    "cents/counts first (see house determinism patterns)"
+                )
+            acc += v
         totals[c] = acc
         if dense:
             arr = F.array(*[F.lit(v).cast("long") for v in dense])
@@ -71,3 +85,30 @@ def driver_prefix_sums(
         else:
             prefix_cols[c] = F.lit(0).cast("long")
     return prefix_cols, totals
+
+
+def driver_prefix_max(
+    ranged: DataFrame, val_col: str, dtype: str, pid_col: str = "pid"
+) -> Column:
+    """Exclusive per-partition prefix MAX — the running-max twin of
+    ``driver_prefix_sums`` (same bound, same precondition). NULL
+    subtotals (all-NULL partitions) are skipped, matching
+    ``max(...) OVER (... PRECEDING)`` window semantics; partitions with
+    no earlier non-NULL value read NULL. ``dtype`` is the literal cast
+    for the value slots (e.g. ``"timestamp"`` — collected Python values
+    round-trip through ``F.lit`` only with an explicit type)."""
+    rows = sorted(
+        ranged.groupBy(pid_col).agg(F.max(val_col).alias("m")).collect(),
+        key=lambda r: r[pid_col],
+    )
+    n_slots = (max(r[pid_col] for r in rows) + 1) if rows else 0
+    if not n_slots:
+        return F.lit(None).cast(dtype)
+    dense: list = [None] * n_slots
+    acc = None
+    for r in rows:
+        dense[r[pid_col]] = acc
+        if r["m"] is not None and (acc is None or r["m"] > acc):
+            acc = r["m"]
+    arr = F.array(*[F.lit(v).cast(dtype) for v in dense])
+    return F.get(arr, F.col(pid_col))  # NULL out-of-bounds

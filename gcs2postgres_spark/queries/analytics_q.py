@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.functions.exact import exact_intdiv, ratio_6dp
-from gcs2postgres_spark.operators.prefix import driver_prefix_sums
+from gcs2postgres_spark.operators.prefix import driver_prefix_max, driver_prefix_sums
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
 
@@ -1155,26 +1155,7 @@ def events_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ranged = ranged.withColumn("run_in", F.max("ts").over(w_ex))
-    pmax_rows = sorted(
-        ranged.groupBy("pid").agg(F.max("ts").alias("pm")).collect(),
-        key=lambda r: r["pid"],
-    )
-    prefix: dict[int, object] = {}
-    prev = None
-    for r in pmax_rows:
-        if prev is not None:
-            prefix[r["pid"]] = prev
-        prev = r["pm"] if prev is None or r["pm"] > prev else prev
-    if prefix:
-        # dense pid-indexed array: O(1) positional read per row (a map
-        # literal's lookup scans all entries — linear in the partition
-        # count); NULL slots for pid 0 / empty partitions
-        n_slots = max(prefix) + 1
-        dense = [prefix.get(i) for i in range(n_slots)]
-        arr = F.array(*[F.lit(v).cast("timestamp") for v in dense])
-        prev_max = F.get(arr, F.col("pid"))  # NULL out-of-bounds
-    else:
-        prev_max = F.lit(None).cast("timestamp")
+    prev_max = driver_prefix_max(ranged, "ts", "timestamp")
     wm = F.greatest(F.col("run_in"), prev_max)
     verdict = F.when(
         wm.isNotNull() & (F.col("ts") < wm - F.expr("INTERVAL 10 MINUTES")),

@@ -45,14 +45,13 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-SUFFIXES = ("_bucketed", "_zorder")
-
-
 def variant_of(n: str) -> str | None:
-    for suf in SUFFIXES:
-        if n.endswith(suf):
-            return n[: -len(suf)]
-    return None
+    """Plain twin of a layout-variant query, via bench.VARIANT_BASE —
+    suffix-stripping broke on q6_revenue_zorder / q6_revenue_forecast
+    (the zorder pair silently dropped out of best-plan rows, r8)."""
+    from bench import VARIANT_BASE
+
+    return VARIANT_BASE.get(n)
 
 
 def report(

@@ -44,13 +44,6 @@ ALLOWED = {
         # see the module docstring
         "groupBy(pid_col)",
     ],
-    "queries/analytics_q.py": [
-        # watermark two-phase running max: prefix fold over ONE row per
-        # range partition — bounded by spark.sql.shuffle.partitions
-        # (config, not data), the same driver-side cardinality Spark's
-        # RangePartitioner samples to plan the exchange
-        "pmax_rows",
-    ],
     "queries/sources_q.py": [
         # malformed-CSV fixture construction: .limit(100) bounded rows
         # written to a dirty test file; the read-back path under test

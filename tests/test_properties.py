@@ -678,6 +678,31 @@ def test_blocked_fuzzy_join_topk_is_capped_best_matches(spark, names, k):
         assert sum(1 for r in got if r[0] == i) <= k
 
 
+def test_blocked_fuzzy_join_topk_same_column_names(spark):
+    """The canonical ER call joins two tables sharing column names
+    ('name', 'blk') — every internal reference must be frame-qualified
+    or the post-join dist/window expressions raise AMBIGUOUS_REFERENCE
+    (regression: r8 review finding)."""
+    from gcs2postgres_spark.operators.joins import blocked_fuzzy_join_topk
+
+    rows = [(1, "abcd", "a"), (2, "abce", "a"), (3, "xyz", "x")]
+    left = spark.createDataFrame(rows, "key long, name string, blk string")
+    right = spark.createDataFrame(rows, "key long, name string, blk string")
+    got = blocked_fuzzy_join_topk(
+        left,
+        right,
+        "name",
+        "name",
+        [("blk", "blk")],
+        left_key="key",
+        right_order=["key"],
+        max_dist=2,
+        k=1,
+    ).collect()
+    # best match per left key is itself (dist 0, smallest right key)
+    assert sorted((r["dist"]) for r in got) == [0, 0, 0]
+
+
 # ---------------------------------------------------------------- iceberg DML
 
 # A DML op: ("delete", pred) or ("overwrite", pred) where pred is a
