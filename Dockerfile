@@ -26,8 +26,10 @@ COPY gcs2postgres_spark/ ./gcs2postgres_spark/
 RUN pip install --no-cache-dir build && python -m build --wheel --outdir /dist
 
 # ---- Stage 2: Spark runtime ---------------------------------------------
-# Official Apache Spark image (Spark 4 / Java 17 / Python 3 variant).
-FROM apache/spark:4.0.0-java17-python3
+# Official Apache Spark image, python3 variant (the documented alias
+# pattern: 4.0.0 / 4.0.0-python3; java-qualified aliases vary by
+# release, so the unqualified python3 tag is the stable spelling).
+FROM apache/spark:4.0.0-python3
 
 USER root
 WORKDIR /app

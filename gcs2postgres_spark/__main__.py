@@ -92,12 +92,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"warning: secret unresolved (parquet sink needs none): {e}", file=sys.stderr)
 
     spark = get_spark("gcs2postgres", master=args.master)
-    if args.gcs_project or args.gcs_keyfile:
+    # CLI flag beats config; config's gcs.project_id (reference
+    # utils.go shape) is the default so a reference config works as-is
+    gcs_project = args.gcs_project or cfg.gcs.project_id or None
+    if gcs_project or args.gcs_keyfile:
         from gcs2postgres_spark.sources.gcs import gcs_connector_conf
 
         # session already exists: these land in the shared Hadoop conf
         for k, v in gcs_connector_conf(
-            keyfile=args.gcs_keyfile, project_id=args.gcs_project, include_jar=False
+            keyfile=args.gcs_keyfile, project_id=gcs_project, include_jar=False
         ).items():
             if k.startswith("spark.hadoop."):
                 spark.sparkContext._jsc.hadoopConfiguration().set(

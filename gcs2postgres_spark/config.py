@@ -31,9 +31,13 @@ class PostgresConfig:
     user: str = "postgres"
     database: str = "postgres"
     secret_name: str = ""
+    # reference utils.go:24 parses sslmode into the pgx conn string
+    # (utils.go:91); pgJDBC accepts the same parameter name
+    sslmode: str = ""
 
     def jdbc_url(self) -> str:
-        return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
+        base = f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
+        return f"{base}?sslmode={self.sslmode}" if self.sslmode else base
 
 
 @dataclass
@@ -51,6 +55,7 @@ class TableSpec:
 @dataclass
 class GCSConfig:
     bucket_name: str = ""
+    project_id: str = ""  # reference utils.go GCS ProjectID
     concurrent_jobs: int = 1
     dataset: str = ""
     files: list[FileSpec] = field(default_factory=list)
@@ -59,6 +64,7 @@ class GCSConfig:
 @dataclass
 class BQConfig:
     dataset: str = ""
+    project_id: str = ""  # reference utils.go BQ ProjectID (parentProject)
     tables: list[TableSpec] = field(default_factory=list)
 
 
@@ -83,17 +89,20 @@ def load_config(path: str) -> Config:
             host=pg.get("host", "localhost"),
             port=int(pg.get("port", 5432)),
             user=pg.get("user", "postgres"),
-            database=pg.get("database", "postgres"),
+            database=pg.get("database", pg.get("dbname", "postgres")),
             secret_name=pg.get("secret_name", ""),
+            sslmode=pg.get("sslmode", ""),
         ),
         gcs=GCSConfig(
             bucket_name=gcs.get("bucket_name", ""),
+            project_id=gcs.get("project_id", ""),
             concurrent_jobs=int(gcs.get("concurrent_jobs", 1)),
             dataset=gcs.get("dataset", ""),
             files=[FileSpec(f["name"], f["table"]) for f in gcs.get("files", []) or []],
         ),
         bq=BQConfig(
             dataset=bq.get("dataset", ""),
+            project_id=bq.get("project_id", ""),
             tables=[TableSpec(t["name"], t["table"]) for t in bq.get("tables", []) or []],
         ),
     )

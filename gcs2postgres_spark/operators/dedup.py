@@ -143,10 +143,21 @@ def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
             import pyarrow.parquet as pq
 
             files = [re.sub(r"^file:(//)?", "", u) for u in docs.inputFiles()]
-            if files and all(f.endswith(".parquet") for f in files):
+            if files and all(
+                f.endswith(".parquet") and not re.match(r"^[a-z][a-z0-9+.-]*://", f)
+                for f in files
+            ):
+                # footer row count is an UPPER bound when `docs` carries
+                # filters (probing post-filter cardinality would need an
+                # action); over-width on a filtered frame costs only
+                # idle tasks, under-width on the full frame would
+                # serialize the shingler — so the bound errs high
                 rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
                 width = max(1, min(target, rows // 2000))
-        except OSError:
+        except Exception:  # noqa: BLE001 — scheme/remote/odd layouts:
+            # pyarrow raises ArrowInvalid (not OSError) for URIs it
+            # can't open; ANY probe failure must degrade to full width,
+            # never crash the query (the probe is an optimization)
             pass
     if docs.isStreaming or docs.rdd.getNumPartitions() < width:
         docs = docs.repartition(width, F.col(id_col))

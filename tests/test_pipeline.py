@@ -44,6 +44,41 @@ def test_load_config_reference_shape(tmp_path):
     assert cfg.bq.tables[0].name == "nation"
 
 
+def test_load_config_reference_verbatim_fields(tmp_path):
+    # fields the REFERENCE config.yaml carries verbatim (sslmode,
+    # dbname, gcs/bq project_id — reference utils.go:24, config.yaml)
+    # must parse, not silently drop (r8 review: the example config
+    # documented keys the loader ignored)
+    cfg_file = tmp_path / "config.yaml"
+    cfg_file.write_text(
+        textwrap.dedent(
+            """
+            postgres:
+              host: "h"
+              port: 5433
+              user: "u"
+              dbname: "tfmv"
+              sslmode: "require"
+              secret_name: "s"
+            gcs:
+              bucket_name: "b"
+              project_id: "proj-1"
+              dataset: "d"
+              files: []
+              concurrent_jobs: 1
+            bq:
+              project_id: "proj-2"
+              dataset: "d"
+              tables: []
+            """
+        )
+    )
+    cfg = load_config(str(cfg_file))
+    assert cfg.postgres.jdbc_url() == "jdbc:postgresql://h:5433/tfmv?sslmode=require"
+    assert cfg.gcs.project_id == "proj-1"
+    assert cfg.bq.project_id == "proj-2"
+
+
 def test_fetch_secret_env(monkeypatch):
     monkeypatch.setenv("SECRET_PG_PASS", "hunter2")
     assert fetch_secret("pg-pass") == "hunter2"
