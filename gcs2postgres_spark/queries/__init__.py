@@ -67,6 +67,8 @@ VERIFY_FRONT: list[str] = [
     "events_ks_two_sample",
     "events_mann_whitney_u",
     "corpus_cms_heavy_hitters",
+    "corpus_bigram_perplexity",
+    "corpus_tfidf_top_terms",
     "join_theta",
     "asof_join_forward_next_purchase",
     "q13_order_count_dist",
@@ -95,8 +97,6 @@ VERIFY_FRONT: list[str] = [
     "q9_product_profit",
     "q21_waiting_supplier",
     "set_intersect_all",
-    "explode_pos_tokens",
-    "explode_outer_rare_tokens",
     "lateral_topk_suppliers",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -106,6 +106,8 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "explode_pos_tokens",
+    "explode_outer_rare_tokens",
     "join_null_safe",
     "window_running",
     "topk_per_group",
@@ -127,11 +129,9 @@ VERIFY_DEFERRED: list[str] = [
     "iceberg_v2_deletes_roundtrip",
     "delta_source_roundtrip",
     "delta_time_travel",
-    "corpus_tfidf_top_terms",
     "corpus_chunk_windows",
     "corpus_bigram_lm_counts",
     "corpus_bpe_merge_candidates",
-    "corpus_bigram_perplexity",
     "corpus_bpe_train_merges",
     "dataset_shuffle_shard",
     "embedding_kmeans_cluster",
