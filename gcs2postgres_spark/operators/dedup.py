@@ -339,6 +339,11 @@ def simhash_near_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
+    # the band self-join reads the fingerprint frame TWICE; without the
+    # persist both sides recompute the full simhash aggregation (token
+    # explode + `bits` lane sums over the corpus). The cached frame is
+    # one row per doc — vocabulary of the problem, not the token stream.
+    fingerprints = fingerprints.persist()
     banded = fingerprints.select(
         F.col(id_col),
         F.col("simhash"),
