@@ -700,7 +700,10 @@ def prefix_jaccard_pairs(
         F.explode(
             F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
         ).alias("tok"),
-    )
+        # five consumers read this frame (df table, rank join, sizes,
+        # both verify sides) — without the persist each re-tokenizes
+        # the corpus
+    ).persist()
     df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(df_tok, "tok")
     arr = F.sort_array(F.collect_list(F.struct("df", "tok")))
@@ -713,6 +716,9 @@ def prefix_jaccard_pairs(
         per_doc.withColumn("plen", prefix_len)
         .select(F.col(id_col), F.explode(F.slice("arr", F.lit(1), F.col("plen"))).alias("p"))
         .select(F.col(id_col), F.col("p.tok").alias("tok"))
+        # self-joined below: cache or the df-rank/collect_list pipeline
+        # runs twice
+        .persist()
     )
     cand = (
         prefix.alias("a")
