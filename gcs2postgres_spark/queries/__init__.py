@@ -69,6 +69,8 @@ VERIFY_FRONT: list[str] = [
     "corpus_cms_heavy_hitters",
     "corpus_bigram_perplexity",
     "corpus_tfidf_top_terms",
+    "dedup_jaccard_prefix_filter",
+    "contrastive_pairs_mine",
     "join_theta",
     "asof_join_forward_next_purchase",
     "q13_order_count_dist",
@@ -79,8 +81,6 @@ VERIFY_FRONT: list[str] = [
     "q16_supplier_cnt_by_part",
     "window_rank",
     "window_lag_lead",
-    "window_ntile",
-    "window_range_frame",
     "window_dist_funcs",
     "json_extract_agg",
     "events_tumbling_window",
@@ -106,6 +106,8 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "window_ntile",
+    "window_range_frame",
     "explode_pos_tokens",
     "explode_outer_rare_tokens",
     "join_null_safe",
