@@ -198,7 +198,9 @@ def lsh_candidate_pairs(
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = signatures.select(F.col(id_col), *band_cols)
+    # one row per doc; the band self-join below reads it twice — cache
+    # or the whole minhash signature aggregation runs twice
+    banded = signatures.select(F.col(id_col), *band_cols).persist()
     melted = banded.select(
         F.col(id_col),
         F.explode(
