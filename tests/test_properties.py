@@ -776,3 +776,64 @@ def test_iceberg_dml_sequence_matches_model(spark, ops, tmp_path_factory):
         (r["v"], r["grp"]) for r in read_iceberg_py(spark, table).collect()
     )
     assert got == sorted(model)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+@SLOW
+def test_driver_prefix_fold_matches_window_form(spark, vals, n_parts):
+    """driver_prefix_sums / driver_prefix_max == the exclusive
+    pid-ordered window aggregates they replaced (coalesce(sum OVER
+    PRECEDING, 0) / max OVER PRECEDING), on random frames including
+    NULLs and empty partitions — pins the shared primitive to the
+    certified window semantics for every current and future caller."""
+    from pyspark.sql import Window
+
+    from gcs2postgres_spark.operators.prefix import (
+        driver_prefix_max,
+        driver_prefix_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, w) for i, (k, w) in enumerate(vals)], "rid long, k long, w long"
+    )
+    ranged = (
+        df.repartitionByRange(n_parts, F.asc("k"), F.asc("rid"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    per_pid = ranged.groupBy("pid").agg(
+        F.sum("w").alias("s"), F.max("w").alias("m")
+    )
+    want = {
+        r["pid"]: (r["off_s"], r["off_m"])
+        for r in per_pid.select(
+            "pid",
+            F.coalesce(F.sum("s").over(w_off), F.lit(0)).alias("off_s"),
+            F.max("m").over(w_off).alias("off_m"),
+        ).collect()
+    }
+    pref, totals = driver_prefix_sums(ranged, ["w"])
+    got = {
+        r["pid"]: (r["ps"], r["pm"])
+        for r in ranged.select(
+            "pid",
+            pref["w"].alias("ps"),
+            driver_prefix_max(ranged, "w", "long").alias("pm"),
+        )
+        .distinct()
+        .collect()
+    }
+    for pid, (ws, wm) in got.items():
+        assert (ws, wm) == want[pid], (pid, got, want)
+    assert totals["w"] == sum(w for _, w in vals if w is not None)
