@@ -69,8 +69,9 @@ def tfidf_top_terms(
         # read by BOTH the df branch and the scored join-back — without
         # the persist each branch re-tokenizes the corpus (same
         # double-scan as bigram_perplexity; measured there 10.1→7.2 s)
-        .persist()
     )
+    if not tf.isStreaming:
+        tf = tf.persist()
     from pyspark.sql import Window
 
     w_doc = Window.partitionBy("doc_id")
@@ -308,8 +309,9 @@ def bigram_perplexity(
         # without the persist the corpus is tokenized+exploded TWICE
         # (measured sf1: 10.1 -> 7.2 s). MEMORY_AND_DISK default spills
         # at scale like any cached intermediate.
-        .persist()
     )
+    if not doc_bigrams.isStreaming:
+        doc_bigrams = doc_bigrams.persist()
     lm = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     w1_tot = lm.groupBy("w1").agg(F.sum("cnt").alias("w1_cnt"))
     lm_p = lm.join(w1_tot, "w1").select(

@@ -200,7 +200,9 @@ def lsh_candidate_pairs(
     ]
     # one row per doc; the band self-join below reads it twice — cache
     # or the whole minhash signature aggregation runs twice
-    banded = signatures.select(F.col(id_col), *band_cols).persist()
+    banded = signatures.select(F.col(id_col), *band_cols)
+    if not banded.isStreaming:
+        banded = banded.persist()
     melted = banded.select(
         F.col(id_col),
         F.explode(
@@ -345,7 +347,8 @@ def simhash_near_pairs(
     # persist both sides recompute the full simhash aggregation (token
     # explode + `bits` lane sums over the corpus). The cached frame is
     # one row per doc — vocabulary of the problem, not the token stream.
-    fingerprints = fingerprints.persist()
+    if not fingerprints.isStreaming:
+        fingerprints = fingerprints.persist()
     banded = fingerprints.select(
         F.col(id_col),
         F.col("simhash"),
@@ -705,7 +708,9 @@ def prefix_jaccard_pairs(
         # five consumers read this frame (df table, rank join, sizes,
         # both verify sides) — without the persist each re-tokenizes
         # the corpus
-    ).persist()
+    )
+    if not toks.isStreaming:
+        toks = toks.persist()
     df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(df_tok, "tok")
     arr = F.sort_array(F.collect_list(F.struct("df", "tok")))
@@ -720,8 +725,9 @@ def prefix_jaccard_pairs(
         .select(F.col(id_col), F.col("p.tok").alias("tok"))
         # self-joined below: cache or the df-rank/collect_list pipeline
         # runs twice
-        .persist()
     )
+    if not prefix.isStreaming:
+        prefix = prefix.persist()
     cand = (
         prefix.alias("a")
         .join(
