@@ -203,6 +203,90 @@ def user_running_stats_stateful(events: DataFrame, watermark: str = "2 hours") -
     )
 
 
+def user_running_stats_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Same per-user running (count, sum(value), max(ts)) as
+    ``user_running_stats_stateful``, expressed with Spark 4's
+    ``transformWithStateInPandas`` — the typed-state successor to
+    applyInPandasWithState (SPARK-49045 / the transformWithState API):
+    named ValueState handles instead of a single opaque state tuple,
+    explicit init/close lifecycle, RocksDB-backed state store
+    (transformWithState requires the RocksDB provider; the conf below
+    is runtime-settable and scoped to queries started afterwards).
+
+    State is partitioned by the grouping key exactly like a shuffle —
+    same scale story as the applyInPandasWithState twin; equality of
+    the two implementations across real micro-batches is pinned in
+    tests/test_streaming.py (skipped where the dependency below is
+    absent).
+
+    Dependency boundary: transformWithState's Python runner speaks
+    protobuf to the JVM (state requests are proto messages), so it
+    needs the ``protobuf`` package — probed here with a clear error
+    instead of a mid-query worker crash (this sandbox ships no
+    protobuf; applyInPandasWithState needs none and remains the
+    default stateful operator)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the protobuf package for "
+            "its state-server protocol (pip install protobuf); use "
+            "user_running_stats_stateful (applyInPandasWithState) where "
+            "it is unavailable"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    # defined inside the factory so cloudpickle ships the class BY VALUE
+    # (a module-level class pickles by reference and breaks when the
+    # executor worker's sys.path lacks the repo — the driver-sim cwd
+    # gotcha)
+    class _Stats(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("stats", USER_STATS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            if self._state.exists():
+                n, total, max_ts = self._state.get()
+            else:
+                n, total, max_ts = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = pdf["ts"].max()
+                max_ts = batch_max if max_ts is None else max(max_ts, batch_max)
+            self._state.update((n, total, max_ts))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_ts": [max_ts],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Stats(),
+            outputStructType=USER_STATS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drive a streaming DataFrame to completion synchronously into an
     in-memory table (test harness; production uses real sinks +

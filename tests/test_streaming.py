@@ -399,3 +399,56 @@ def test_checkpointed_restart_exactly_once_file_sink(spark, sf_dir, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == e.count()
     assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_stateful_user_stats_tws_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    operator: identical final per-user state across real micro-batches.
+    The API's Python state server needs protobuf; where absent the
+    operator must fail FAST with an actionable error (not a mid-query
+    worker crash), and the equality half of this test skips."""
+    import pytest
+
+    from gcs2postgres_spark.streaming.windows import (
+        read_events_stream_batched,
+        user_running_stats_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            user_running_stats_tws(
+                read_events_stream_batched(spark, sf_dir, n_files=2)
+            )
+        pytest.skip("protobuf absent: transformWithState runner cannot start")
+
+    from pyspark.sql import functions as F
+
+    stream = user_running_stats_tws(
+        read_events_stream_batched(spark, sf_dir, n_files=4)
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM tws_out) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
