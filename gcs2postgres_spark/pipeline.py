@@ -81,21 +81,50 @@ def transfer_all(
     sink_dir: str,
     max_parallel_tables: int | None = None,
 ) -> list[TransferResult]:
-    """All configured files, tables in parallel (real table-level
-    concurrency — the reference's knob was vestigial, SURVEY §2.4 OP-10)."""
+    """All configured sources, tables in parallel (real table-level
+    concurrency — the reference's knob was vestigial, SURVEY §2.4 OP-10).
+
+    BOTH config sections are enumerated, like the reference's main
+    (gcs.files AND bq.tables — the BQ half is the program's namesake):
+    each bq table reads ``{project}.{dataset}.{name}`` through the
+    spark-bigquery connector (read_source fmt="bigquery"). Offline the
+    connector is absent and that read raises the actionable jar error,
+    which the per-table failure isolation reports as a failed
+    TransferResult while every other table proceeds — exactly the
+    isolation contract OP-14 mandates (the reference would Fatalf)."""
     jobs = [
-        (resolve_source_path(config.gcs, f.name), f.table)
+        (resolve_source_path(config.gcs, f.name), f.table, None)
         for f in config.gcs.files
+    ] + [
+        (bq_table_id(config.bq, t.name), t.table, "bigquery")
+        for t in config.bq.tables
     ]
     parallel = max_parallel_tables or max(1, config.gcs.concurrent_jobs)
     results: list[TransferResult] = []
     with ThreadPoolExecutor(max_workers=parallel) as pool:
         futs = {
             pool.submit(
-                transfer_file, spark, path, table, target_schemas.get(table, []), sink_dir
+                transfer_file,
+                spark,
+                path,
+                table,
+                target_schemas.get(table, []),
+                sink_dir,
+                fmt,
             ): table
-            for path, table in jobs
+            for path, table, fmt in jobs
         }
         for fut in as_completed(futs):
             results.append(fut.result())
     return sorted(results, key=lambda r: r.table)
+
+
+def bq_table_id(bq_cfg, name: str) -> str:
+    """Fully-qualified BigQuery table id for the connector's ``load``:
+    ``{project}.{dataset}.{name}`` when the config carries them,
+    else the shortest qualified form (the connector resolves dataset
+    against its own options; already-qualified names pass through)."""
+    if "." in name:
+        return name
+    parts = [p for p in (bq_cfg.project_id, bq_cfg.dataset) if p]
+    return ".".join([*parts, name])

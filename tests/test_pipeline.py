@@ -307,6 +307,44 @@ def test_transfer_isolates_failures(spark, sf_dir, tmp_path):
     assert not by_table["bad_table"].ok  # isolated, unlike reference log.Fatalf
 
 
+def test_transfer_all_enumerates_bq_tables(spark, sf_dir, tmp_path):
+    """The reference transfers BOTH gcs.files AND bq.tables; the bq half
+    must be enumerated (it is the program's namesake). Offline the
+    connector jar is absent, so the bq table reports an isolated
+    actionable failure while the gcs file still lands."""
+    import yaml
+
+    from gcs2postgres_spark.pipeline import bq_table_id
+
+    cfg_file = tmp_path / "config.yaml"
+    cfg_file.write_text(
+        yaml.safe_dump(
+            {
+                "gcs": {
+                    "concurrent_jobs": 2,
+                    "files": [
+                        {"name": f"{sf_dir}/region.parquet", "table": "region_out"}
+                    ],
+                },
+                "bq": {
+                    "project_id": "proj",
+                    "dataset": "tpch",
+                    "tables": [{"name": "nation", "table": "nation_out"}],
+                },
+            }
+        )
+    )
+    cfg = load_config(str(cfg_file))
+    assert bq_table_id(cfg.bq, "nation") == "proj.tpch.nation"
+    assert bq_table_id(cfg.bq, "other.ds.t") == "other.ds.t"
+    schemas = {"region_out": [("r_regionkey", "int4")], "nation_out": [("n_nationkey", "int4")]}
+    results = transfer_all(spark, cfg, schemas, str(tmp_path / "sink"))
+    by_table = {r.table: r for r in results}
+    assert by_table["region_out"].ok
+    assert not by_table["nation_out"].ok
+    assert "connector" in (by_table["nation_out"].error or "").lower()
+
+
 def test_observation_metrics_on_load(spark, sf_dir):
     # pipeline observability via df.observe(): row counts and sums are
     # collected as a side effect of the ONE action (no second pass over
