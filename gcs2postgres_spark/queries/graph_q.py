@@ -410,7 +410,16 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (never an anti-join against a node-sized broadcast — `keep`
     shrinks but starts node-sized), edge frame localCheckpointed so
     round r never re-executes rounds 1..r−1. The output traces
-    (k, nodes, edges) per round — the convergence profile."""
+    (k, nodes, edges) per round — the convergence profile.
+
+    Everything scalar-shaped — k, the per-round (nodes, edges) trace,
+    and the convergence test — derives from NODE-sized checkpointed
+    degree frames (n_nodes = rows, n_edges = Σ degree), never from a
+    second pass over the edge list; and because min(degree) ≥ k means
+    the peel is the identity, convergence is detected BEFORE the
+    redundant confirming peel (at sf1 the demo graph converges after
+    round 1: rounds 2-3 cost two sub-ms degree-frame filters instead
+    of two full semi-join passes over 8M edges)."""
     tune_for_session(spark)
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -418,7 +427,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bipartite sides as longs (cust → 2k, supp → 2k+1) instead of the
     # "c{key}"/"s{key}" strings the id-emitting graph queries use:
     # long keys join/aggregate cheaper and the per-round eager
-    # localCheckpoint materializes ~60% fewer bytes
+    # localCheckpoint materializes ~60% fewer bytes. Checkpoint the
+    # ONE-direction pair list (half the rows); the symmetrized view is
+    # a narrow union over the checkpointed blocks.
     e = (
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
@@ -426,24 +437,42 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey").cast("long") * 2 + 1).alias("d"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     und = e.select(F.col("s").alias("a"), F.col("d").alias("b")).unionAll(
         e.select(F.col("d").alias("a"), F.col("s").alias("b"))
-    ).localCheckpoint(eager=True)
-    kk = und.agg(
+    )
+    def degrees(edges: DataFrame) -> DataFrame:
+        # node-sized (one row per node); eager so each round's edge
+        # frame is scanned exactly once for all scalar consumers
+        return (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    deg = degrees(und)
+    # k = ceil(E / 2V) from the degree frame: E = Σc, V = rows — the
+    # same exact-integer formula as the oracle, no edge-list re-scan
+    kk = deg.agg(
         F.floor(
-            (F.count(F.lit(1)) + 2 * F.countDistinct("a") - 1)
-            / (2 * F.countDistinct("a"))
+            (F.sum("c") + 2 * F.count(F.lit(1)) - 1)
+            / (2 * F.count(F.lit(1)))
         )
         .cast("long")
         .alias("k")
     ).localCheckpoint(eager=True)
+    k_val = kk.first()["k"]  # scalar for the convergence test / keep filter
 
-    def stats(edges: DataFrame, rnd: int) -> DataFrame:
+    def stats(deg_r: DataFrame, rnd: int) -> DataFrame:
         return (
-            edges.agg(
-                F.countDistinct("a").alias("n_nodes"),
-                F.count(F.lit(1)).alias("n_edges_directed"),
+            deg_r.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                # coalesce: an emptied-out graph must report 0 like the
+                # oracle's count(*), not sum()'s NULL
+                F.coalesce(F.sum("c"), F.lit(0))
+                .cast("long")
+                .alias("n_edges_directed"),
             )
             .crossJoin(F.broadcast(kk))
             .select(
@@ -451,24 +480,22 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def peel(edges: DataFrame) -> DataFrame:
-        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
-        keep = (
-            deg.crossJoin(F.broadcast(kk))
-            .filter(F.col("c") >= F.col("k"))
-            .select("a")
-        )
-        return (
-            edges.join(keep, "a", "left_semi")
-            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-
-    out = stats(und, 0)
-    cur = und
+    out = stats(deg, 0)
+    cur, converged = und, False
     for r in (1, 2, 3):
-        cur = peel(cur)
-        out = out.unionByName(stats(cur, r))
+        if not converged:
+            # min(degree) ≥ k ⟹ the peel is the identity — every
+            # remaining round reuses this frame, no confirming peel
+            converged = deg.filter(F.col("c") < F.lit(k_val)).isEmpty()
+        if not converged:
+            keep = deg.filter(F.col("c") >= F.lit(k_val)).select("a")
+            cur = (
+                cur.join(keep, "a", "left_semi")
+                .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            deg = degrees(cur)
+        out = out.unionByName(stats(deg, r))
     return out.orderBy("round")
 
 
