@@ -45,10 +45,15 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # replacing dual countDistinct), and the five shingle_docs consumers
 # not already in the freshness slots (shingle_docs gained a repartition
 # guard; partitioning-only, but the driver row should still certify the
-# current code). Then evidence freshness (all 248 registry queries were
-# ever-green after round 7): the 20 queries whose newest driver-green
-# row is round 2, then the oldest round-3-newest greens, in registry
-# order, truncated to fit 50.
+# current code). Late-round changes rotated in as they landed: the
+# multi-consumer persist batch (dedup_minhash_lsh, dedup_simhash,
+# dedup_jaccard_prefix_filter + contrastive_pairs_mine,
+# corpus_bigram_perplexity, corpus_tfidf_top_terms) and the
+# graph_kcore_peel degree-frame rework. Then evidence freshness (all
+# registry queries were ever-green after round 7): the 20 queries whose
+# newest driver-green row is round 2, then the oldest round-3-newest
+# greens, in registry order, truncated to fit 50 (displaced tail
+# leads VERIFY_DEFERRED for the r9 window).
 VERIFY_FRONT: list[str] = [
     "iceberg_v2_delete_write_roundtrip",
     "events_watermark_late_drop",
@@ -97,7 +102,7 @@ VERIFY_FRONT: list[str] = [
     "q9_product_profit",
     "q21_waiting_supplier",
     "set_intersect_all",
-    "lateral_topk_suppliers",
+    "graph_kcore_peel",
     "dedup_minhash_lsh",
     "dedup_simhash",
 ]
@@ -106,6 +111,7 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "lateral_topk_suppliers",
     "window_ntile",
     "window_range_frame",
     "explode_pos_tokens",
@@ -212,7 +218,6 @@ VERIFY_DEFERRED: list[str] = [
     "embedding_quantize_int8",
     "stream_interval_join_leftouter",
     "avro_logical_types_roundtrip",
-    "graph_kcore_peel",
     "graph_pagerank_purchases",
     "graph_assortativity",
     "graph_bfs_3hop",
