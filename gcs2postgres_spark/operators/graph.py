@@ -53,9 +53,13 @@ def _star_contract(und: DataFrame, max_iter: int = 50) -> DataFrame:
     ANY graph, including adversarial-diameter paths where min-label
     propagation needs O(diameter) rounds.
 
-    ``und`` is the symmetrized, self-loop-free, distinct edge list.
-    Per round the edge set contracts toward a star forest (every
-    component one star centered at its minimum node):
+    ``und`` is a self-loop-free edge list in ANY orientation (raw,
+    symmetrized, duplicated — the canonicalizing distinct below
+    normalizes all of them identically, so star-only callers skip the
+    symmetrize+distinct+persist pass ``connected_components`` builds
+    for min-label propagation). Per round the edge set contracts toward
+    a star forest (every component one star centered at its minimum
+    node):
 
     - **large-star** (per node u over its full neighborhood Γ(u)):
       connect every strictly LARGER neighbor to m = min(Γ(u) ∪ {u});
@@ -70,7 +74,10 @@ def _star_contract(und: DataFrame, max_iter: int = 50) -> DataFrame:
     Returns ``(node, comp)`` labels with comp = component minimum."""
     # canonical orientation (big, small); large-star output keeps it
     E = (
-        und.filter(F.col("a") > F.col("b"))
+        und.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -150,6 +157,11 @@ def connected_components(
     if algorithm not in ("auto", "min-label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if algorithm == "star":
+        # star canonicalizes + checkpoints internally; building the
+        # symmetrized persisted frame here would double the rows only
+        # to have _star_contract's distinct collapse them again
+        return _star_contract(e)
     und = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
@@ -157,8 +169,6 @@ def connected_components(
         .persist()
     )
     try:
-        if algorithm == "star":
-            return _star_contract(und)
         labels = und.select(F.col("a").alias("node")).distinct().withColumn(
             "comp", F.col("node")
         )
