@@ -48,8 +48,11 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # current code). Late-round changes rotated in as they landed: the
 # multi-consumer persist batch (dedup_minhash_lsh, dedup_simhash,
 # dedup_jaccard_prefix_filter + contrastive_pairs_mine,
-# corpus_bigram_perplexity, corpus_tfidf_top_terms) and the
-# graph_kcore_peel degree-frame rework. Then evidence freshness (all
+# corpus_bigram_perplexity, corpus_tfidf_top_terms), the
+# graph_kcore_peel degree-frame rework, and graph_components_star
+# (star contraction now canonicalizes raw edges itself, skipping the
+# symmetrize+distinct+persist prologue; displaced set_intersect_all's
+# freshness slot to r9). Then evidence freshness (all
 # registry queries were ever-green after round 7): the 20 queries whose
 # newest driver-green row is round 2, then the oldest round-3-newest
 # greens, in registry order, truncated to fit 50 (displaced tail
@@ -101,7 +104,7 @@ VERIFY_FRONT: list[str] = [
     "asof_join_events_orders",
     "q9_product_profit",
     "q21_waiting_supplier",
-    "set_intersect_all",
+    "graph_components_star",
     "graph_kcore_peel",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -111,6 +114,7 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 3+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
+    "set_intersect_all",
     "lateral_topk_suppliers",
     "window_ntile",
     "window_range_frame",
