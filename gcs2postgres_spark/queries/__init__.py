@@ -51,8 +51,9 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # corpus_bigram_perplexity, corpus_tfidf_top_terms), the
 # graph_kcore_peel degree-frame rework, and graph_components_star
 # (star contraction now canonicalizes raw edges itself, skipping the
-# symmetrize+distinct+persist prologue; displaced set_intersect_all's
-# freshness slot to r9). Then evidence freshness (all
+# symmetrize+distinct+persist prologue, and later dropped the per-round
+# distinct on the large-star output — both covered by this one slot;
+# displaced set_intersect_all's freshness slot to r9). Then evidence freshness (all
 # registry queries were ever-green after round 7): the 20 queries whose
 # newest driver-green row is round 2, then the oldest round-3-newest
 # greens, in registry order, truncated to fit 50 (displaced tail
