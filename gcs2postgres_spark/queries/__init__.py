@@ -34,52 +34,91 @@ from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
-# Round-8 verification window: the driver checks the first 50 entries.
-# Composition: first, the queries that are NEW or whose implementations
-# CHANGED this round and therefore need current-code driver evidence —
-# iceberg_v2_delete_write_roundtrip (new: merge-on-read DML committer),
-# events_watermark_late_drop (driver-side prefix-max fold replaced the
-# 32-row global window), fuzzy_join_topk_per_entity (new: capped fuzzy
-# ER), fuzzy_join_entity_match (block-key repartition before the
-# verify), the reworked q21 pair (cascaded (orderkey,suppkey) pre-agg
-# replacing dual countDistinct), and the five shingle_docs consumers
-# not already in the freshness slots (shingle_docs gained a repartition
-# guard; partitioning-only, but the driver row should still certify the
-# current code). Late-round changes rotated in as they landed: the
-# multi-consumer persist batch (dedup_minhash_lsh, dedup_simhash,
-# dedup_jaccard_prefix_filter + contrastive_pairs_mine,
-# corpus_bigram_perplexity, corpus_tfidf_top_terms), the
-# graph_kcore_peel degree-frame rework, and graph_components_star
-# (star contraction now canonicalizes raw edges itself, skipping the
-# symmetrize+distinct+persist prologue, and later dropped the per-round
-# distinct on the large-star output — both covered by this one slot;
-# displaced set_intersect_all's freshness slot to r9). Then evidence freshness (all
-# registry queries were ever-green after round 7): the 20 queries whose
-# newest driver-green row is round 2, then the oldest round-3-newest
-# greens, in registry order, truncated to fit 50 (displaced tail
-# leads VERIFY_DEFERRED for the r9 window).
+# Round-9 verification window: the driver checks the first 50 entries.
+# Round 8 went 50/50 and the ever-green union covers all 250 registry
+# queries, so round 9 is a consolidation window: (a) queries whose
+# implementations CHANGE this round (rotated to the top as the work
+# lands, so the driver row certifies current code), then (b) the entire
+# remaining evidence-freshness tail — the 2 queries whose newest
+# driver-green row is still round 2 (window_ntile, window_range_frame)
+# and all 30 round-3-newest (this includes every slot displaced from
+# the r8 window: window_running, topk_per_group, events_sessionize,
+# variant_props_agg, recursive_cte_spine, agg_hll_sketch_merge,
+# set_except_all, hof_array_battery, agg_salted_skew,
+# similarity_cosine_topk, similarity_ivf_topk, embedding_norm_stats,
+# text_token_stats, events_click_purchase_attr, events_time_rollup,
+# join_null_safe), then (c) the oldest round-4-newest greens as fill.
+# After this window no query's newest green is older than round 4.
 VERIFY_FRONT: list[str] = [
-    "iceberg_v2_delete_write_roundtrip",
+    # (a) r9-changed / new implementations
+    "iceberg_v2_delete_write_roundtrip",  # partitioned-table DML support added
+    "delta_source_roundtrip",             # placeholder: swap for the new deletion-vector roundtrip when it lands
+    "range_join_bands",                   # large-band bucketize degradation path
+    "doc_winnow_fingerprints",            # late-r8 streaming-safe width probe (b461de1, post-window)
+    "avro_logical_types_roundtrip",       # late-r8 to_bytes fit check (b461de1, post-window)
+    "dedup_minhash_lsh",                  # size-conditional persist
+    "dedup_simhash",                      # size-conditional persist
+    "dedup_jaccard_prefix_filter",        # size-conditional persist + unpersist
+    "dedup_containment_pairs",            # size-conditional persist + unpersist
+    "contrastive_pairs_mine",             # shares the jaccard prefix frames
+    "corpus_cms_heavy_hitters",           # unpersist after consume
+    "corpus_tfidf_top_terms",             # unpersist after consume
+    "corpus_bigram_perplexity",           # unpersist after consume
+    "iceberg_write_roundtrip",            # atomic metadata commit (tmp+rename)
+    "fuzzy_join_entity_match",            # tiny-input repartition skip
+    "fuzzy_join_topk_per_entity",         # tiny-input repartition skip
+    "dedup_incremental_batch",            # size-conditional persist (lines 713/730)
+    "graph_components_star",              # sf3 warm A/B certification slot
+    # (b) freshness: r2-newest, then all 30 r3-newest, registry order
+    "window_ntile",
+    "window_range_frame",
+    "set_intersect_all",
+    "lateral_topk_suppliers",
+    "explode_pos_tokens",
+    "explode_outer_rare_tokens",
+    "join_null_safe",
+    "window_running",
+    "topk_per_group",
+    "events_sessionize",
+    "variant_props_agg",
+    "recursive_cte_spine",
+    "agg_hll_sketch_merge",
+    "set_except_all",
+    "hof_array_battery",
+    "agg_salted_skew",
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "embedding_norm_stats",
+    "text_token_stats",
+    "events_click_purchase_attr",
+    "events_time_rollup",
+    "text_quality_score",
+    "text_lang_distribution",
+    "text_lang_id",
+    "multimodal_decode_features",
+    "q18_large_orders_bucketed",
+    "q12_priority_caseagg_bucketed",
+    "dataset_split_assign",
+    "domain_mix_sample",
+    "merge_upsert_latest",
+    "pii_redact_scrub",
+]
+
+# Remaining entries after the 50-slot window: everything here has fresh
+# driver-green evidence (round 3+); ordering within this list is not
+# significant beyond keeping recently-verified entries out of the window.
+VERIFY_DEFERRED: list[str] = [
     "events_watermark_late_drop",
-    "fuzzy_join_topk_per_entity",
-    "fuzzy_join_entity_match",
     "q21_waiting_supplier_bucketed",
     "dedup_cluster_canonical",
-    "dedup_containment_pairs",
     "decontaminate_against_eval",
     "corpus_ngram_novelty",
-    "dedup_incremental_batch",
     "part_pareto_abc",
     "events_equidepth_deciles",
     "lineitem_weighted_median",
     "customer_revenue_gini",
     "events_ks_two_sample",
     "events_mann_whitney_u",
-    "corpus_cms_heavy_hitters",
-    "corpus_bigram_perplexity",
-    "corpus_tfidf_top_terms",
-    "dedup_jaccard_prefix_filter",
-    "contrastive_pairs_mine",
     "join_theta",
     "asof_join_forward_next_purchase",
     "q13_order_count_dist",
@@ -101,46 +140,12 @@ VERIFY_FRONT: list[str] = [
     "agg_corr_covar",
     "agg_collect_set_listagg",
     "agg_approx_distinct",
-    "range_join_bands",
     "asof_join_events_orders",
     "q9_product_profit",
     "q21_waiting_supplier",
-    "graph_components_star",
     "graph_kcore_peel",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-]
-
-# Remaining entries after the 50-slot window: everything here has fresh
-# driver-green evidence (round 3+); ordering within this list is not
-# significant beyond keeping recently-verified entries out of the window.
-VERIFY_DEFERRED: list[str] = [
-    "set_intersect_all",
-    "lateral_topk_suppliers",
-    "window_ntile",
-    "window_range_frame",
-    "explode_pos_tokens",
-    "explode_outer_rare_tokens",
-    "join_null_safe",
-    "window_running",
-    "topk_per_group",
-    "events_sessionize",
-    "variant_props_agg",
-    "recursive_cte_spine",
-    "agg_hll_sketch_merge",
-    "set_except_all",
-    "hof_array_battery",
-    "agg_salted_skew",
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "embedding_norm_stats",
-    "text_token_stats",
-    "events_click_purchase_attr",
-    "events_time_rollup",
-    "text_quality_score",
     "iceberg_source_roundtrip",
     "iceberg_v2_deletes_roundtrip",
-    "delta_source_roundtrip",
     "delta_time_travel",
     "corpus_chunk_windows",
     "corpus_bigram_lm_counts",
@@ -159,7 +164,6 @@ VERIFY_DEFERRED: list[str] = [
     "bloom_semi_prune",
     "events_peak_concurrency",
     "delta_write_roundtrip",
-    "iceberg_write_roundtrip",
     "events_mad_outliers",
     "sample_stratified_exact",
     "profile_table_quality",
@@ -222,13 +226,11 @@ VERIFY_DEFERRED: list[str] = [
     "similarity_srp_lsh_topk",
     "embedding_quantize_int8",
     "stream_interval_join_leftouter",
-    "avro_logical_types_roundtrip",
     "graph_pagerank_purchases",
     "graph_assortativity",
     "graph_bfs_3hop",
     "graph_sssp_weighted",
     "graph_ppr_seeded",
-    "doc_winnow_fingerprints",
     "agg_grouping_sets",
     "pivot_order_priority",
     "subquery_exists_q4",
