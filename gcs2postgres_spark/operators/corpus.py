@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gcs2postgres_spark.operators.caching import maybe_persist
+
 TOKEN_SPLIT = r"\s+"
 
 
@@ -68,10 +70,11 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("cnt"))
         # read by BOTH the df branch and the scored join-back — without
         # the persist each branch re-tokenizes the corpus (same
-        # double-scan as bigram_perplexity; measured there 10.1→7.2 s)
+        # double-scan as bigram_perplexity; measured there 10.1→7.2 s).
+        # Size-conditional persist (operators.caching): at sf0.1 the
+        # cache build cost more than the saved re-tokenize.
     )
-    if not tf.isStreaming:
-        tf = tf.persist()
+    tf = maybe_persist(tf)
     from pyspark.sql import Window
 
     w_doc = Window.partitionBy("doc_id")
@@ -308,10 +311,11 @@ def bigram_perplexity(
         # exchanges differ (partial-agg vs raw) so Spark can't reuse —
         # without the persist the corpus is tokenized+exploded TWICE
         # (measured sf1: 10.1 -> 7.2 s). MEMORY_AND_DISK default spills
-        # at scale like any cached intermediate.
+        # at scale like any cached intermediate. min_rows=0: the
+        # counterbalanced sf0.1 A/B kept the persist ahead even at 5k
+        # docs (1.38 s vs 1.56 s).
     )
-    if not doc_bigrams.isStreaming:
-        doc_bigrams = doc_bigrams.persist()
+    doc_bigrams = maybe_persist(doc_bigrams, min_rows=0)
     lm = doc_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     w1_tot = lm.groupBy("w1").agg(F.sum("cnt").alias("w1_cnt"))
     lm_p = lm.join(w1_tot, "w1").select(

@@ -12,13 +12,13 @@ the band join is the dominant shuffle; band tables are pre-bucketed by
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+from gcs2postgres_spark.operators.caching import maybe_persist, scan_rows_upper_bound
 
 
 def _orderable(dtype) -> bool:
@@ -137,28 +137,13 @@ def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
     the conservative choice at scale)."""
     sess = docs.sparkSession
     target = sess.sparkContext.defaultParallelism
-    width = target
-    if not docs.isStreaming:
-        try:
-            import pyarrow.parquet as pq
-
-            files = [re.sub(r"^file:(//)?", "", u) for u in docs.inputFiles()]
-            if files and all(
-                f.endswith(".parquet") and not re.match(r"^[a-z][a-z0-9+.-]*://", f)
-                for f in files
-            ):
-                # footer row count is an UPPER bound when `docs` carries
-                # filters (probing post-filter cardinality would need an
-                # action); over-width on a filtered frame costs only
-                # idle tasks, under-width on the full frame would
-                # serialize the shingler — so the bound errs high
-                rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-                width = max(1, min(target, rows // 2000))
-        except Exception:  # noqa: BLE001 — scheme/remote/odd layouts:
-            # pyarrow raises ArrowInvalid (not OSError) for URIs it
-            # can't open; ANY probe failure must degrade to full width,
-            # never crash the query (the probe is an optimization)
-            pass
+    # footer row count is an UPPER bound when `docs` carries filters
+    # (probing post-filter cardinality would need an action); over-width
+    # on a filtered frame costs only idle tasks, under-width on the full
+    # frame would serialize the shingler — so the bound errs high. Probe
+    # failure (remote scheme, non-parquet) degrades to full width.
+    rows = scan_rows_upper_bound(docs)
+    width = target if rows is None else max(1, min(target, rows // 2000))
     if docs.isStreaming or docs.rdd.getNumPartitions() < width:
         docs = docs.repartition(width, F.col(id_col))
     return docs.select(
@@ -199,10 +184,9 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     # one row per doc; the band self-join below reads it twice — cache
-    # or the whole minhash signature aggregation runs twice
-    banded = signatures.select(F.col(id_col), *band_cols)
-    if not banded.isStreaming:
-        banded = banded.persist()
+    # or the whole minhash signature aggregation runs twice (persist is
+    # size-conditional: see operators.caching for the sf0.1 crossover A/B)
+    banded = maybe_persist(signatures.select(F.col(id_col), *band_cols))
     melted = banded.select(
         F.col(id_col),
         F.explode(
@@ -347,8 +331,10 @@ def simhash_near_pairs(
     # persist both sides recompute the full simhash aggregation (token
     # explode + `bits` lane sums over the corpus). The cached frame is
     # one row per doc — vocabulary of the problem, not the token stream.
-    if not fingerprints.isStreaming:
-        fingerprints = fingerprints.persist()
+    # min_rows=0: the lane-sum recompute is expensive enough that the
+    # cache wins even at 5k docs (counterbalanced sf0.1 A/B: 3.52 s
+    # persisted vs 4.60 s recomputed).
+    fingerprints = maybe_persist(fingerprints, min_rows=0)
     banded = fingerprints.select(
         F.col(id_col),
         F.col("simhash"),
@@ -707,10 +693,10 @@ def prefix_jaccard_pairs(
         ).alias("tok"),
         # five consumers read this frame (df table, rank join, sizes,
         # both verify sides) — without the persist each re-tokenizes
-        # the corpus
+        # the corpus. min_rows=0: with five consumers the cache wins at
+        # every scale (counterbalanced sf0.1 A/B: 4.83 s vs 7.41 s).
     )
-    if not toks.isStreaming:
-        toks = toks.persist()
+    toks = maybe_persist(toks, min_rows=0)
     df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(df_tok, "tok")
     arr = F.sort_array(F.collect_list(F.struct("df", "tok")))
@@ -724,10 +710,10 @@ def prefix_jaccard_pairs(
         .select(F.col(id_col), F.explode(F.slice("arr", F.lit(1), F.col("plen"))).alias("p"))
         .select(F.col(id_col), F.col("p.tok").alias("tok"))
         # self-joined below: cache or the df-rank/collect_list pipeline
-        # runs twice
+        # runs twice. min_rows=0: part of the PPJoin frame pair whose
+        # caches won the counterbalanced sf0.1 A/B (see toks above).
     )
-    if not prefix.isStreaming:
-        prefix = prefix.persist()
+    prefix = maybe_persist(prefix, min_rows=0)
     cand = (
         prefix.alias("a")
         .join(

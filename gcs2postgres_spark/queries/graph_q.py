@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.operators.caching import maybe_persist
 from gcs2postgres_spark.operators.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -85,7 +86,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py) certified against a recursive-CTE transitive
     closure."""
     d = _t(spark, sf_dir, "documents")
-    shingled = shingle_docs(d, "doc_id", "text", shingle_n=3).persist()
+    shingled = maybe_persist(shingle_docs(d, "doc_id", "text", shingle_n=3))
     sigs = minhash_signatures(
         d, "doc_id", "text", num_perm=32, shingle_n=3, shingled=shingled
     )
@@ -308,9 +309,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     thr = pair_cnt.agg((F.lit(1.1) * F.avg("cnt")).alias("t"))
-    edges = (
+    edges = maybe_persist(
         pair_cnt.crossJoin(F.broadcast(thr)).filter(F.col("cnt") > F.col("t")).select("u", "v")
-    ).persist()
+    )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

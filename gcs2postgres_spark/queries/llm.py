@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.operators.caching import maybe_persist
 from gcs2postgres_spark.functions.text import (
     BPE_ISH_PATTERN,
     bpe_ish_token_count,
@@ -175,11 +176,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles on both engines), and LSH banding demonstrably catches every
     true pair on this corpus (see MINHASH_LSH_ORACLE note).
 
-    The (doc, shingle) relation is computed once and persisted — the DAG
-    reads it three times (signatures, intersection join, set sizes); without
-    the persist each branch re-runs the explode+distinct shuffle."""
+    The (doc, shingle) relation is computed once and cached when the
+    corpus is large — the DAG reads it three times (signatures,
+    intersection join, set sizes); without the persist each branch
+    re-runs the explode+distinct shuffle. Size-conditional
+    (operators.caching): at sf0.1 the cache build cost more than the
+    re-runs it saved."""
     d = _t(spark, sf_dir, "documents")
-    shingled = shingle_docs(d, "doc_id", "text", shingle_n=3).persist()
+    shingled = maybe_persist(shingle_docs(d, "doc_id", "text", shingle_n=3))
     sigs = minhash_signatures(d, "doc_id", "text", num_perm=32, shingle_n=3, shingled=shingled)
     cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
     verified = jaccard_pairs(
