@@ -116,6 +116,26 @@ LOADAVG_START = _loadavg()
 CALIB_REF_SEC = 0.088
 
 
+def _cpu_probe(spark) -> float:
+    """Fixed calibration query — count+sum over a 10^7-row in-memory
+    range, no I/O, best-of-3 after one unmeasured warm-up run (the
+    first probe of a session pays range-query codegen: measured 0.21 s
+    first vs 0.06 s steady, which inflated every start-of-suite probe)
+    — whose time moves with machine contention, not with any repo
+    change."""
+    best = None
+    for i in range(4):
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr(
+            "count(id) as n", "sum(id % 97) as s"
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        if i == 0:
+            continue
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def main() -> None:
     sf_dir, with_variants = parse_args(sys.argv)
     # size the shuffle to the data, not the core count: at sf0.1 the
@@ -124,6 +144,7 @@ def main() -> None:
     # parallelism again at 13.2s). A cluster run sizes this to 2-3x
     # total cores and lets AQE coalesce.
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    from gcs2postgres_spark.operators.caching import release_transient_caches
     from gcs2postgres_spark.queries import REGISTRY
     from gcs2postgres_spark.session import (
         get_spark,
@@ -153,14 +174,25 @@ def main() -> None:
         bucketed_fact_tables(spark, sf_dir)
         zordered_lineitem_path(spark, sf_dir)
 
-    # Interleaved passes, not back-to-back repeats: two full passes over
-    # the suite (same total cost as the old best-of-2), plus one extra
-    # pass for the physical-layout pairs (plain vs _bucketed/_zorder).
-    # Back-to-back repeats let a co-tenant CPU spike hit both runs of
-    # ONE query while sparing its pair partner, which is exactly how the
-    # r5/r6 single-sequence numbers flipped the q21 pair against the
-    # controlled interleaved A/B; minimum across suite-separated passes
-    # is the honest steady-state per query AND comparable within pairs.
+    # Noise-robust protocol (r8 verdict: the single-phase min-of-2 +
+    # one-shot probe read as a +28% raw / 64% calibrated regression that
+    # interleaved re-runs disproved):
+    #   1. THREE interleaved passes over the suite; per-query MEDIAN is
+    #      the headline number ("queries"), per-query MIN is kept as
+    #      "queries_min" for comparability with the r1-r8 min-of-2
+    #      semantics. Interleaving (not back-to-back repeats) means a
+    #      co-tenant CPU spike hits one pass, and the median sheds it.
+    #   2. The CPU probe runs BEFORE and AFTER the timed suite (both
+    #      emitted). Start probes are JIT-inflated on a fresh JVM and
+    #      only comparable to other rounds' start probes; the end probe
+    #      (steady-state, the r1-r8 semantics) drives value_calibrated.
+    #   3. Each query's DuckDB oracle runs IN THE SAME PASS right after
+    #      the Spark run ("duckdb_queries", median-of-3), so the
+    #      artifact carries a load-cancelling interleaved ratio
+    #      ("interleaved_ratio" = Spark/DuckDB over oracle-bearing
+    #      queries) — the cross-round number co-tenant noise cannot
+    #      fake. Bucketed/zorder variants share the twin's oracle and
+    #      are excluded from the DuckDB pass (layout is Spark-side).
     names = HEADLINE + (LAYOUT_VARIANTS if with_variants else [])
     present = [n for n in names if n in REGISTRY]
     paired: set[str] = set()
@@ -168,7 +200,25 @@ def main() -> None:
         if v in present and base in present:
             paired.add(v)
             paired.add(base)
-    best: dict[str, float] = {}
+
+    import duckdb
+
+    from gcs2postgres_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    con.sql("SET threads TO 32")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    duck_names = [
+        n
+        for n in present
+        if n not in VARIANT_BASE and REGISTRY[n].oracle is not None
+    ]
+
+    calib_start = _cpu_probe(spark)
+
+    spark_runs: dict[str, list[float]] = {n: [] for n in present}
+    duck_runs: dict[str, list[float]] = {n: [] for n in duck_names}
 
     def one_pass(names: list[str]) -> None:
         for name in names:
@@ -176,30 +226,55 @@ def main() -> None:
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            dt = time.perf_counter() - t0
-            best[name] = min(best.get(name, dt), dt)
+            spark_runs[name].append(time.perf_counter() - t0)
+            release_transient_caches()
             spark.catalog.clearCache()  # per-query persists don't leak
+            if name in duck_runs:
+                t0 = time.perf_counter()
+                con.sql(REGISTRY[name].oracle).fetchall()
+                duck_runs[name].append(time.perf_counter() - t0)
 
     one_pass(present)
     one_pass(present)
+    one_pass(present)
+    # one extra pass for the physical-layout pairs so plain vs
+    # _bucketed/_zorder comparisons get a 4th sample each
     one_pass([n for n in present if n in paired])
-    timings = {n: round(best[n], 3) for n in present}
 
-    # Environment normalization fields: co-tenant load on this box has
-    # produced uniform 1.2-1.7× cross-round drifts (and 40× single-query
-    # outliers), so every bench records (a) /proc/loadavg at start+end
-    # and (b) a fixed calibration query — count+sum over a 10^7-row
-    # in-memory range, no I/O, best-of-3 — whose time moves with machine
-    # contention, not with any repo change. Cross-round deltas divide
-    # out the calibration ratio before being read as regressions.
-    calib_best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(10_000_000).selectExpr(
-            "count(id) as n", "sum(id % 97) as s"
-        ).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        calib_best = dt if calib_best is None else min(calib_best, dt)
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    # adaptive re-sample: a query whose three samples spread more than
+    # 25% around the median caught a co-tenant spike in at least one
+    # pass; two extra samples tighten its median at negligible suite
+    # cost (back-to-back A/A runs showed only sub-second queries with
+    # ~20% medians drift, always wide-spread ones)
+    respample = [
+        n
+        for n in present
+        if (max(spark_runs[n]) - min(spark_runs[n])) > 0.25 * median(spark_runs[n])
+    ]
+    one_pass(respample)
+    one_pass(respample)
+
+    timings = {n: round(median(spark_runs[n]), 3) for n in present}
+    timings_min = {n: round(min(spark_runs[n]), 3) for n in present}
+    duck_timings = {n: round(median(duck_runs[n]), 3) for n in duck_names}
+    spark_oracle_sum = sum(timings[n] for n in duck_names)
+    duck_sum = sum(duck_timings.values())
+
+    # calibrate on the END probe: the old (r1-r8) protocol ran its one
+    # probe after the suite, and a probe-decay sweep showed the JVM
+    # needs far more than a few warm-up runs to reach C2 steady state
+    # (0.94 -> ~0.2 s over ten runs on a fresh session vs ~0.06-0.09 s
+    # after the suite) — so only the end probe is comparable to
+    # CALIB_REF_SEC. The start probe is emitted for start-to-start
+    # cross-round comparison (both fresh-JVM) and as the load marker
+    # for the suite's first pass.
+    calib_end = _cpu_probe(spark)
+    calib_best = calib_end
     loadavg_end = _loadavg()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -210,9 +285,22 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_start": LOADAVG_START,
                 "loadavg_end": loadavg_end,
+                # per-query interleaved DuckDB oracle medians and the
+                # load-cancelling suite ratio (Spark medians / DuckDB
+                # medians over the oracle-bearing headline queries)
+                "duckdb_queries": duck_timings,
+                "interleaved_ratio": round(spark_oracle_sum / duck_sum, 3)
+                if duck_sum
+                else None,
+                # dual CPU probe: a large start/end spread means the box
+                # shifted under the suite and value_calibrated should
+                # not be trusted for cross-round comparison
+                "calibration_probe_start_sec": round(calib_start, 3),
+                "calibration_probe_end_sec": round(calib_end, 3),
                 "calibration_count_sum_1e7_sec": round(calib_best, 3),
                 # contention-normalized suite number: cross-round deltas
                 # should be read on value_calibrated, which divides out
