@@ -84,6 +84,12 @@ def asof_join(
     return filled.filter(F.col("__side") == probe_side).drop("__side")
 
 
+# A band row is a few tens of bytes; 1M rows ≈ 30-60 MB broadcast —
+# comfortably under executor/driver headroom, far past any sane
+# dimension-band table. Beyond it the bucketized equi-join wins anyway.
+RANGE_JOIN_MAX_BROADCAST_ROWS = 1_000_000
+
+
 def range_join(
     fact: DataFrame,
     bands: DataFrame,
@@ -91,15 +97,83 @@ def range_join(
     lo: str = "lo",
     hi: str = "hi",
     how: str = "inner",
+    strategy: str = "auto",
+    max_broadcast_rows: int = RANGE_JOIN_MAX_BROADCAST_ROWS,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Band/range join: match each fact row to band rows with
-    ``lo <= value < hi``. The band table is broadcast (it is small by
-    construction), so this is a broadcast-nested-loop with a range
-    predicate — no shuffle of the fact side, which is what survives at
-    100 TB. For large-large range joins, bucketize the range key first
-    and equi-join on the bucket."""
+    ``lo <= value < hi``.
+
+    Two physical strategies, picked by ``strategy``:
+
+    - ``"broadcast"``: broadcast-nested-loop with the range predicate —
+      no shuffle of the fact side. Right for dimension-sized band
+      tables, which is the common case.
+    - ``"bucketize"``: the large-band degradation path. One metadata-
+      sized aggregate computes the max band width W; each band explodes
+      to the ≤2 buckets of width W it overlaps (``sequence(floor(lo/W),
+      floor(hi/W))``), the fact side computes ``floor(value/W)``, and
+      the match becomes an EQUI-join on the bucket plus the residual
+      range predicate — shuffle-partitioned on the bucket key, no
+      broadcast, no nested loop. Bounded ≤2× expansion of the band side
+      only. Pass ``bucket_width`` to override W (smaller buckets = more
+      band replication but tighter probe selectivity).
+    - ``"auto"`` (default): bucketize when a parquet-footer probe of the
+      band side proves ≥ ``max_broadcast_rows`` input rows; broadcast
+      otherwise. An UNKNOWN size (in-memory frames, non-parquet sources)
+      broadcasts: a local relation is driver-materialized already, so
+      broadcast adds no new OOM exposure — while a file-backed band
+      table big enough to matter reports its footer count and degrades.
+      Callers that build large band tables from non-parquet sources
+      should pass ``strategy="bucketize"`` explicitly.
+
+    ``bucketize`` supports inner/left/left_semi/left_anti (each fact row
+    lands in exactly one bucket, so outer-left semantics are exact);
+    right/full outer would duplicate unmatched exploded band rows —
+    refused, use broadcast for those."""
     v = F.col(value) if isinstance(value, str) else value
-    return fact.join(F.broadcast(bands), (v >= F.col(lo)) & (v < F.col(hi)), how)
+    if strategy not in ("auto", "broadcast", "bucketize"):
+        raise ValueError(f"strategy must be auto|broadcast|bucketize, got {strategy!r}")
+    if strategy == "auto":
+        from gcs2postgres_spark.operators.caching import scan_rows_upper_bound
+
+        rows = scan_rows_upper_bound(bands)
+        strategy = (
+            "bucketize" if rows is not None and rows >= max_broadcast_rows else "broadcast"
+        )
+    if strategy == "broadcast":
+        return fact.join(F.broadcast(bands), (v >= F.col(lo)) & (v < F.col(hi)), how)
+
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"bucketized range join cannot express how={how!r} without "
+            "duplicating exploded band rows; use strategy='broadcast'"
+        )
+    if bucket_width is not None:
+        width = float(bucket_width)
+    else:
+        # one small aggregate over the band side: max band width. W >=
+        # every band span means each band overlaps at most 2 buckets.
+        row = bands.agg(F.max(F.col(hi).cast("double") - F.col(lo).cast("double"))).first()
+        width = float(row[0]) if row[0] is not None else 0.0
+    if width <= 0:
+        width = 1.0  # degenerate (empty/point bands): any width is exact
+    b = bands.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo).cast("double") / width).cast("long"),
+                F.floor(F.col(hi).cast("double") / width).cast("long"),
+            )
+        ),
+    )
+    f = fact.withColumn("__bkt", F.floor(v.cast("double") / width).cast("long"))
+    joined = f.join(
+        b,
+        (f["__bkt"] == b["__bkt"]) & (v >= F.col(lo)) & (v < F.col(hi)),
+        how,
+    )
+    return joined.drop("__bkt")  # name-based: drops both sides' bucket cols
 
 
 def topk_per_group(
@@ -114,6 +188,25 @@ def topk_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def _spread_on_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Hash-repartition ``df`` on its blocking keys UNLESS the frame
+    already yields at least the session's default parallelism in
+    partitions (ADVICE r8, joins.py repartition-skip). The explicit
+    exchange exists to fix one measured trap — a compact scan yielding
+    2 partitions, the planner broadcasting the other side, and the
+    whole block_a×block_b levenshtein verify serializing onto those 2
+    tasks (sf3, r7). A side that already has >= target partitions
+    cannot hit that trap under ANY join strategy the planner picks:
+    broadcast keeps the wide scan's task count, and a shuffled join
+    re-exchanges on the join keys itself. So the repartition is pure
+    cost there — skipped. getNumPartitions is planning-time only (no
+    job)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols)
 
 
 def blocked_fuzzy_join(
@@ -151,10 +244,10 @@ def blocked_fuzzy_join(
     ENTIRE block_a×block_b levenshtein verify then runs on those 2
     probe tasks — 55.3M candidate verifies on 2 of 32 cores (sf3
     measurement behind the r7 166 s record). The explicit exchange of
-    the 600k-row inputs is noise next to the verify it spreads."""
-    target = left.sparkSession.sparkContext.defaultParallelism
-    left = left.repartition(target, *[lc for lc, _ in block_cols])
-    right = right.repartition(target, *[rc for _, rc in block_cols])
+    the 600k-row inputs is noise next to the verify it spreads; a side
+    that already scans wide skips it (_spread_on_keys)."""
+    left = _spread_on_keys(left, [lc for lc, _ in block_cols])
+    right = _spread_on_keys(right, [rc for _, rc in block_cols])
     cond = None
     for lc, rc in block_cols:
         c = left[lc].eqNullSafe(right[rc])
@@ -205,11 +298,11 @@ def blocked_fuzzy_join_topk(
     Sides are hash-repartitioned on the block keys before the join —
     same parallelism rationale as ``blocked_fuzzy_join`` (a broadcast
     plan over a few-partition scan serializes the whole verify onto
-    the scan's task count; measured 2 of 32 cores at sf3).
+    the scan's task count; measured 2 of 32 cores at sf3), and the
+    same already-wide skip (_spread_on_keys).
     """
-    target = left.sparkSession.sparkContext.defaultParallelism
-    left = left.repartition(target, *[lc for lc, _ in block_cols])
-    right = right.repartition(target, *[rc for _, rc in block_cols])
+    left = _spread_on_keys(left, [lc for lc, _ in block_cols])
+    right = _spread_on_keys(right, [rc for _, rc in block_cols])
     cond = None
     for lc, rc in block_cols:
         c = left[lc].eqNullSafe(right[rc])

@@ -202,6 +202,66 @@ def iceberg_v2_delete_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         raise
 
 
+@register("iceberg_partitioned_dml_roundtrip", oracle=ICEBERG_DELETE_WRITE_ORACLE)
+def iceberg_partitioned_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8/r9 gap closed: v2 merge-on-read DML on an identity-
+    PARTITIONED table, read back jar-lessly.
+
+    nation is committed partitioned by n_regionkey
+    (write_iceberg_v2_partitioned_fixture: typed partition tuples in the
+    manifests, identity spec in the metadata), then mutated through the
+    same chain as iceberg_v2_delete_write_roundtrip — but here
+    ``delete_where("n_regionkey = 2")`` empties a WHOLE partition (its
+    delete manifest entries must carry partition tuple {n_regionkey: 2}),
+    ``delete_where("n_nationkey IN (3, 5)")`` writes delete files SPLIT
+    across the partitions its rows live in, and the overwrite's
+    replacement row is routed into its own partition directory by the
+    committer's broadcast value→pid map. The final read prunes data
+    files by manifest partition values and anti-joins the
+    partition-scoped delete files; the oracle replays the surviving set
+    declaratively, so mis-scoped, leaked, or double-applied partition
+    deletes break the hash. Scoping conformance (each delete file
+    references only its own partition's data files) is pinned separately
+    in tests/test_sources_formats.py."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        overwrite_where,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_part_dml_")
+    try:
+        write_iceberg_v2_partitioned_fixture(
+            nation.repartition(2), tmp, "n_regionkey"
+        )
+        delete_where(spark, tmp, "n_regionkey = 2")
+        delete_where(spark, tmp, "n_nationkey IN (3, 5)")
+        overwrite_where(
+            spark,
+            tmp,
+            "n_nationkey = 6",
+            nation.filter("n_nationkey = 6").withColumn("n_name", F.lit("REPLACED")),
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 AVRO_ROUNDTRIP_ORACLE = """
 SELECT s_nationkey,
        count(*)                        AS n_suppliers,

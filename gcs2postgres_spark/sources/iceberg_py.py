@@ -67,6 +67,34 @@ _JAR_HINT = (
     "the jar-less reader does not support it"
 )
 
+
+# ---------------------------------------------------------- atomic commits
+#
+# Every metadata pointer this module writes goes through temp-file +
+# os.replace (POSIX-atomic within a filesystem), in this order:
+#   1. vN.metadata.json   (atomic replace — readers never see a torn file)
+#   2. version-hint.text  (atomic replace — the actual commit point)
+# A crash between (1) and (2) leaves the hint at vN-1: readers keep
+# seeing the previous snapshot, and the next commit re-derives its
+# version from the hinted file and atomically overwrites the orphan.
+# Temp names end in ".tmp", which latest_metadata_file's
+# endswith(".metadata.json") listing never matches. Single-writer is
+# assumed (same as Iceberg's HadoopTables layout without a lock
+# provider); concurrent committers need a real catalog.
+
+
+def _write_text_atomic(path: str, text: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    _write_text_atomic(path, json.dumps(obj, indent=1))
+
 # ---------------------------------------------------------------- type system
 
 
@@ -625,10 +653,8 @@ def write_snapshot_metadata(
         ],
     }
     out = os.path.join(mdir, f"v{version}.metadata.json")
-    with open(out, "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write(str(version))
+    _write_json_atomic(out, meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
     return out
 
 
@@ -653,12 +679,33 @@ def write_manifest_list(path: str, manifest_paths: list[str], snapshot_id: int) 
     )
 
 
+def manifest_entry_schema_v2(partition_fields: list[tuple[str, str]]) -> dict:
+    """MANIFEST_ENTRY_SCHEMA_V2 with a TYPED partition struct: each
+    (name, avro_prim) pair becomes a nullable field (field-ids 1000+i,
+    matching the table partition spec) — the metadata surface a
+    partition-aware scan planner (and read_iceberg_py's
+    ``partition_filter``) prunes on. Empty list = the unpartitioned
+    schema unchanged."""
+    if not partition_fields:
+        return MANIFEST_ENTRY_SCHEMA_V2
+    schema = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA_V2))  # deep copy
+    part = next(
+        f for f in schema["fields"][4]["type"]["fields"] if f["name"] == "partition"
+    )
+    part["type"]["fields"] = [
+        {"name": n, "type": ["null", t], "field-id": 1000 + i}
+        for i, (n, t) in enumerate(partition_fields)
+    ]
+    return schema
+
+
 def _v2_entry(
     path: str,
     content: int,
     seq: int,
     equality_ids: list[int] | None = None,
     snapshot_id: int = 1,
+    partition: dict | None = None,
 ) -> dict:
     import pyarrow.parquet as pq
 
@@ -671,7 +718,7 @@ def _v2_entry(
             "content": content,
             "file_path": os.path.abspath(path),
             "file_format": "PARQUET",
-            "partition": {},
+            "partition": partition or {},
             "record_count": pq.ParquetFile(path).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(path),
             "equality_ids": list(equality_ids) if equality_ids else None,
@@ -811,10 +858,8 @@ def write_iceberg_v2_fixture(
             }
         ],
     }
-    with open(os.path.join(mdir, "v1.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write("1")
+    _write_json_atomic(os.path.join(mdir, "v1.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
 
 
 def write_iceberg_fixture(df: DataFrame, table_path: str) -> None:
@@ -1027,21 +1072,61 @@ def _v2_row_level_commit(
             f"{table_path!r} is v{meta.get('format-version', 1)} "
             "(for v1 use write_iceberg overwrite, which swaps snapshots)"
         )
+    if "schemas" in meta:
+        cur_schema_id = meta.get("current-schema-id", 0)
+        schema_json = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_schema_id
+        )
+    else:
+        schema_json = meta["schema"]
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+
+    # Partitioned tables: delete files belong to a partition spec like
+    # data files (spec "Delete files"), so every delete/data file this
+    # committer writes must carry the partition tuple of the rows it
+    # holds, and its manifest needs the TYPED partition struct. Identity
+    # transforms only — the partition value IS the source column value,
+    # so executors can route rows without re-implementing transform
+    # functions (bucket/truncate/days need the jar).
     specs = meta.get("partition-specs") or []
     default_spec = next(
         (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
         specs[0] if specs else None,
     )
-    if default_spec and default_spec.get("fields"):
-        # a partitioned table's delete files must carry the partition
-        # tuple of the rows they hide (spec: delete files belong to a
-        # partition spec like data files); this committer writes the
-        # unpartitioned spec only — refuse rather than emit metadata
-        # other readers would mis-scope
+    part_fields = (default_spec or {}).get("fields", [])
+    non_identity = [f for f in part_fields if f.get("transform") != "identity"]
+    if non_identity:
         raise NotImplementedError(
-            "row-level DML on a PARTITIONED Iceberg table needs "
-            f"partition-tuple delete manifests: table {_JAR_HINT}"
+            "row-level DML on an Iceberg table with non-identity partition "
+            f"transforms {sorted({f['transform'] for f in non_identity})}: "
+            f"table {_JAR_HINT}"
         )
+    part_struct_names = [f["name"] for f in part_fields]
+    part_src_cols = [field_names[f["source-id"]] for f in part_fields]
+    part_avro: list[tuple[str, str]] = []
+    for f in part_fields:
+        t = field_types[f["source-id"]]
+        if t not in ("int", "long", "string"):
+            raise NotImplementedError(
+                f"identity partition on iceberg type {t!r} for jar-less DML: "
+                f"table {_JAR_HINT}"
+            )
+        part_avro.append((f["name"], t))
+    spec_id = int(meta.get("default-spec-id", 0))
+
+    # driver-side partition-tuple interning: tuple -> dense pid, used to
+    # route executor-written files into per-partition directories and
+    # map them back to typed manifest partition structs. Bounded by the
+    # table's live partition count — metadata scale, the same bound any
+    # partitioned-table committer pays.
+    pid_of: dict[tuple, int] = {}
+
+    def _pid(tup: tuple) -> int:
+        if tup not in pid_of:
+            pid_of[tup] = len(pid_of)
+        return pid_of[tup]
+
     snapshots = meta.get("snapshots") or []
     snap_id = meta.get("current-snapshot-id")
     if snap_id is None or snap_id == -1 or not snapshots:
@@ -1055,6 +1140,7 @@ def _v2_row_level_commit(
         _resolve(snapshot["manifest-list"], table_path, location)
     )
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
+    data_parts: dict[str, dict] = {}  # normalized path -> partition tuple dict
     pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     for m in manifest_rows:
@@ -1075,6 +1161,7 @@ def _v2_row_level_commit(
             path = _resolve(dfile["file_path"], table_path, location)
             if content == 0:
                 data_files.append((path, seq))
+                data_parts[_norm_path(path)] = dfile.get("partition") or {}
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -1102,14 +1189,6 @@ def _v2_row_level_commit(
             F.col("_metadata.row_index").cast("long").alias("__dml_pos"),
         )
         if pos_deletes or eq_deletes:
-            if "schemas" in meta:
-                cur_sid = meta.get("current-schema-id", 0)
-                schema_json = next(
-                    s for s in meta["schemas"] if s.get("schema-id", 0) == cur_sid
-                )
-            else:
-                schema_json = meta["schema"]
-            field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
             tagged = _apply_v2_deletes(
                 spark, tagged, data_files, pos_deletes, eq_deletes, field_names
             )
@@ -1120,18 +1199,56 @@ def _v2_row_level_commit(
         del_dir = os.path.join(
             table_path, "data", f"delete-{sid}-{uuid.uuid4().hex[:8]}"
         )
-        (
-            matches.repartitionByRange(F.col("file_path"), F.col("pos"))
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("overwrite")
-            .parquet(del_dir)
-        )
-        del_files = [
-            p
-            for p in sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
-            if pq.ParquetFile(p).metadata.num_rows > 0  # footer read only
-        ]
-        if not del_files:
+        delete_entries: list[dict] = []
+        if part_fields:
+            # Route each matched (file, pos) to its data file's partition
+            # (broadcast map join, one row per file — metadata-sized) and
+            # write partitionBy(__pid): ONE distributed job, one output
+            # directory per partition, each delete file spec-scoped to
+            # exactly one partition tuple. Dir names carry only the dense
+            # integer pid, so driver-side mapping back to typed partition
+            # values never parses data values from paths.
+            pid_rows = [
+                (fp, _pid(tuple(part.get(n) for n in part_struct_names)))
+                for fp, part in sorted(data_parts.items())
+            ]
+            pid_df = spark.createDataFrame(pid_rows, "__pid_fp string, __pid int")
+            matches = matches.join(
+                F.broadcast(pid_df), matches["file_path"] == pid_df["__pid_fp"]
+            ).drop("__pid_fp")
+            (
+                matches.repartitionByRange(
+                    F.col("__pid"), F.col("file_path"), F.col("pos")
+                )
+                .sortWithinPartitions("__pid", "file_path", "pos")
+                .write.partitionBy("__pid")
+                .mode("overwrite")
+                .parquet(del_dir)
+            )
+            tup_of = {pid: tup for tup, pid in pid_of.items()}
+            for d in sorted(glob.glob(os.path.join(del_dir, "__pid=*"))):
+                pid = int(os.path.basename(d).split("=", 1)[1])
+                pdict = dict(zip(part_struct_names, tup_of[pid]))
+                delete_entries.extend(
+                    _v2_entry(
+                        p, content=1, seq=new_seq, snapshot_id=sid, partition=pdict
+                    )
+                    for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+                    if pq.ParquetFile(p).metadata.num_rows > 0  # footer read only
+                )
+        else:
+            (
+                matches.repartitionByRange(F.col("file_path"), F.col("pos"))
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("overwrite")
+                .parquet(del_dir)
+            )
+            delete_entries = [
+                _v2_entry(p, content=1, seq=new_seq, snapshot_id=sid)
+                for p in sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+                if pq.ParquetFile(p).metadata.num_rows > 0  # footer read only
+            ]
+        if not delete_entries:
             shutil.rmtree(del_dir, ignore_errors=True)
             if replacement is None:
                 return None  # nothing matched: no commit
@@ -1139,18 +1256,15 @@ def _v2_row_level_commit(
             del_manifest = os.path.join(mdir, f"manifest-deletes-{sid}.avro")
             write_avro_file(
                 del_manifest,
-                MANIFEST_ENTRY_SCHEMA_V2,
-                [
-                    _v2_entry(p, content=1, seq=new_seq, snapshot_id=sid)
-                    for p in del_files
-                ],
+                manifest_entry_schema_v2(part_avro),
+                delete_entries,
                 codec="null",
             )
             new_list_rows.append(
                 {
                     "manifest_path": os.path.abspath(del_manifest),
                     "manifest_length": os.path.getsize(del_manifest),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": spec_id,
                     "content": 1,
                     "sequence_number": new_seq,
                     "min_sequence_number": new_seq,
@@ -1162,24 +1276,65 @@ def _v2_row_level_commit(
         commit_dir = os.path.join(
             table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}"
         )
-        replacement.write.mode("overwrite").parquet(commit_dir)
-        new_data = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
-        if new_data:
+        data_entries: list[dict] = []
+        if part_fields:
+            # Identity transform: the partition value IS the source column
+            # value, so replacement rows (which may introduce NEW partition
+            # tuples) are routed by a broadcast value->pid map built from
+            # one distinct() over the partition source columns — one row
+            # per distinct tuple, the bound every partitioned committer
+            # pays. Data files keep the partition columns (spec: identity-
+            # partitioned data files retain the column, unlike Hive/Delta
+            # layouts); only the synthetic __pid is dropped by partitionBy.
+            new_tuples = [
+                tuple(r)
+                for r in replacement.select(*part_src_cols).distinct().collect()
+            ]
+            map_fields = [
+                T.StructField(f"__pm_{i}", replacement.schema[c].dataType, True)
+                for i, c in enumerate(part_src_cols)
+            ]
+            map_fields.append(T.StructField("__pid", T.IntegerType(), False))
+            map_df = spark.createDataFrame(
+                [t + (_pid(t),) for t in new_tuples], T.StructType(map_fields)
+            )
+            cond = None
+            for i, c in enumerate(part_src_cols):
+                cc = replacement[c].eqNullSafe(map_df[f"__pm_{i}"])
+                cond = cc if cond is None else cond & cc
+            rep = replacement.join(F.broadcast(map_df), cond).drop(
+                *[f"__pm_{i}" for i in range(len(part_src_cols))]
+            )
+            rep.write.partitionBy("__pid").mode("overwrite").parquet(commit_dir)
+            tup_of = {pid: tup for tup, pid in pid_of.items()}
+            for d in sorted(glob.glob(os.path.join(commit_dir, "__pid=*"))):
+                pid = int(os.path.basename(d).split("=", 1)[1])
+                pdict = dict(zip(part_struct_names, tup_of[pid]))
+                data_entries.extend(
+                    _v2_entry(
+                        p, content=0, seq=new_seq, snapshot_id=sid, partition=pdict
+                    )
+                    for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+                )
+        else:
+            replacement.write.mode("overwrite").parquet(commit_dir)
+            data_entries = [
+                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid)
+                for p in sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+            ]
+        if data_entries:
             data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
             write_avro_file(
                 data_manifest,
-                MANIFEST_ENTRY_SCHEMA_V2,
-                [
-                    _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid)
-                    for p in new_data
-                ],
+                manifest_entry_schema_v2(part_avro),
+                data_entries,
                 codec="null",
             )
             new_list_rows.append(
                 {
                     "manifest_path": os.path.abspath(data_manifest),
                     "manifest_length": os.path.getsize(data_manifest),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": spec_id,
                     "content": 0,
                     "sequence_number": new_seq,
                     "min_sequence_number": new_seq,
@@ -1204,10 +1359,8 @@ def _v2_row_level_commit(
         }
     )
     version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
-    with open(os.path.join(mdir, f"v{version}.metadata.json"), "w") as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
-        f.write(str(version))
+    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
     return sid
 
 
@@ -1235,6 +1388,105 @@ def _avro_prim_for(dt: T.DataType) -> str:
     if isinstance(dt, T.StringType):
         return "string"
     raise ValueError(f"unsupported identity-partition type for fixture: {dt}")
+
+
+def write_iceberg_v2_partitioned_fixture(
+    df: DataFrame, table_path: str, partition_col: str
+) -> None:
+    """Identity-partitioned v2 table: the fixture the partitioned DML
+    committer (_v2_row_level_commit) mutates in tests. Data files keep
+    the partition column (spec: identity-partitioned files retain it),
+    manifest entries carry TYPED partition tuples, and the table
+    metadata declares the identity partition spec. Executors write the
+    row data (per-partition df.write.parquet); driver work is bounded
+    by the distinct partition-value list — one row per partition."""
+    schema = df.schema
+    ice = spark_to_iceberg_schema(schema)
+    fid = next(f["id"] for f in ice["fields"] if f["name"] == partition_col)
+    ice_t = next(f["type"] for f in ice["fields"] if f["name"] == partition_col)
+    if ice_t not in ("int", "long", "string"):
+        raise ValueError(
+            f"unsupported identity-partition type for v2 fixture: {ice_t!r}"
+        )
+    mdir = os.path.join(table_path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    values = [
+        r[0]
+        for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+    ]
+    entries = []
+    for v in values:
+        pdir = os.path.join(table_path, "data", f"part-{v}")
+        df.filter(F.col(partition_col) == v).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        entries.extend(
+            _v2_entry(p, content=0, seq=1, partition={partition_col: v})
+            for p in sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        )
+    man = os.path.join(mdir, "manifest-data-1.avro")
+    write_avro_file(
+        man, manifest_entry_schema_v2([(partition_col, ice_t)]), entries, codec="null"
+    )
+    mlist = os.path.join(mdir, "snap-1.avro")
+    write_avro_file(
+        mlist,
+        MANIFEST_LIST_SCHEMA_V2,
+        [
+            {
+                "manifest_path": os.path.abspath(man),
+                "manifest_length": os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 1,
+            }
+        ],
+        codec="null",
+    )
+    schema_json = spark_to_iceberg_schema(schema)
+    schema_json["schema-id"] = 0
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000003",
+        "location": os.path.abspath(table_path),
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": len(schema.fields),
+        "schemas": [schema_json],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": partition_col,
+                        "transform": "identity",
+                        "source-id": fid,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "last-partition-id": 1000,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "summary": {"operation": "append"},
+                "manifest-list": os.path.abspath(mlist),
+            }
+        ],
+    }
+    _write_json_atomic(os.path.join(mdir, "v1.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
 
 
 def write_iceberg_partitioned_fixture(

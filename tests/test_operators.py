@@ -58,6 +58,91 @@ def test_asof_join_small(spark):
 
 
 # ---------------------------------------------------------------------------
+# range join: broadcast vs bucketize degradation
+# ---------------------------------------------------------------------------
+
+
+def _range_fixture(spark, tmp_path):
+    import os
+
+    from gcs2postgres_spark.sources.readers import read_source
+
+    fact = spark.range(500).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+    bands = spark.createDataFrame(
+        [(f"b{i}", float(i * 10), float(i * 10 + 10)) for i in range(10)]
+        + [("wide", 5.0, 42.0)],  # overlapping band: rows match >1 band
+        "band string, lo double, hi double",
+    )
+    bdir = os.path.join(str(tmp_path), "bands.parquet")
+    bands.write.mode("overwrite").parquet(bdir)
+    return fact, read_source(spark, bdir)
+
+
+def test_range_join_bucketize_matches_broadcast(spark, tmp_path):
+    """The large-band degradation path returns EXACTLY the broadcast
+    path's rows (inner and left), including overlapping bands, values on
+    band edges, and fact rows outside every band."""
+    from gcs2postgres_spark.operators.joins import range_join
+
+    fact, bands = _range_fixture(spark, tmp_path)
+    for how in ("inner", "left"):
+        bc = sorted(
+            tuple(r)
+            for r in range_join(fact, bands, "v", how=how, strategy="broadcast").collect()
+        )
+        bk = sorted(
+            tuple(r)
+            for r in range_join(fact, bands, "v", how=how, strategy="bucketize").collect()
+        )
+        assert bc == bk and len(bc) > 500  # overlap band makes inner > |fact|
+
+
+def test_range_join_large_band_takes_bucketized_plan(spark, tmp_path):
+    """The size guard: a band table whose parquet footer proves it over
+    the broadcast threshold must degrade to the bucketized EQUI-join —
+    no BroadcastNestedLoopJoin anywhere in the plan (the OOM shape the
+    r8/r9 verdicts flagged). A small/unknown band side keeps the
+    broadcast-nested-loop plan."""
+    from gcs2postgres_spark.operators.joins import range_join
+
+    fact, bands = _range_fixture(spark, tmp_path)
+    degraded = range_join(fact, bands, "v", max_broadcast_rows=5)  # footer: 11 rows
+    plan = degraded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    small = range_join(fact, bands, "v")  # 11 < 1M: broadcast path
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_small, plan_small
+
+
+def test_range_join_bucketize_refuses_outer_shapes(spark, tmp_path):
+    from gcs2postgres_spark.operators.joins import range_join
+
+    fact, bands = _range_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="bucketized range join"):
+        range_join(fact, bands, "v", how="full", strategy="bucketize")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-join repartition skip
+# ---------------------------------------------------------------------------
+
+
+def test_spread_on_keys_skips_already_wide_frames(spark):
+    """_spread_on_keys inserts the anti-collapse exchange only when the
+    frame is narrower than the session parallelism — an already-wide
+    frame passes through ungrafted (ADVICE r8 repartition-skip)."""
+    from gcs2postgres_spark.operators.joins import _spread_on_keys
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).selectExpr("id", "CAST(id % 5 AS STRING) AS k").coalesce(2)
+    wide = spark.range(100).selectExpr("id", "CAST(id % 5 AS STRING) AS k").repartition(
+        target + 4
+    )
+    assert _spread_on_keys(narrow, ["k"]).rdd.getNumPartitions() == target
+    assert _spread_on_keys(wide, ["k"]) is wide  # no new plan node at all
+
+
+# ---------------------------------------------------------------------------
 # top-k per group
 # ---------------------------------------------------------------------------
 

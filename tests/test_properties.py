@@ -778,6 +778,45 @@ def test_iceberg_dml_sequence_matches_model(spark, ops, tmp_path_factory):
     assert got == sorted(model)
 
 
+@given(ops=_DML_OPS)
+@SLOW
+def test_iceberg_partitioned_dml_sequence_matches_model(spark, ops, tmp_path_factory):
+    """The same random commit chains as
+    test_iceberg_dml_sequence_matches_model, over an identity-PARTITIONED
+    v2 table: partition-scoped delete manifests, cross-partition
+    predicates, and replacement routing into (possibly new) partitions
+    must all read back exactly like the python merge-on-read model."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        overwrite_where,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    table = str(tmp_path_factory.mktemp("dmlpartprop") / "t")
+    base = [(v, v % 5) for v in range(30)]
+    df = spark.createDataFrame(base, "v long, grp int")
+    write_iceberg_v2_partitioned_fixture(df.repartition(2), table, "grp")
+
+    model = list(base)
+    for op, pred in ops:
+        sql = _dml_sql(pred)
+        if op == "delete":
+            delete_where(spark, table, sql)
+            model = [(v, g) for v, g in model if not _dml_match(pred, v, g)]
+        else:
+            matched = [(v, g) for v, g in model if _dml_match(pred, v, g)]
+            repl = [(v + 1000, g) for v, g in matched]
+            repl_df = spark.createDataFrame(repl or [], "v long, grp int")
+            overwrite_where(spark, table, sql, repl_df)
+            model = [t for t in model if t not in matched] + repl
+
+    got = sorted(
+        (r["v"], r["grp"]) for r in read_iceberg_py(spark, table).collect()
+    )
+    assert got == sorted(model)
+
+
 @given(
     vals=st.lists(
         st.tuples(

@@ -454,6 +454,166 @@ def test_iceberg_delete_where_v1_clear_error(spark, tmp_path):
         delete_where(spark, table, "id = 1")
 
 
+def test_iceberg_partitioned_dml_roundtrip(spark, tmp_path):
+    """DML on an identity-PARTITIONED v2 table (the round-8/9 gap):
+    delete commits stack across partitions, a whole-partition delete
+    leaves the partition time-travelable, overwrite routes replacement
+    rows into their own partition, and partition_filter pruning stays
+    correct after DML (delete files are never pruned)."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        overwrite_where,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    df = (
+        spark.range(20)
+        .withColumn("g", (F.col("id") % 4).cast("int"))
+        .withColumn("name", F.concat(F.lit("n"), F.col("id")))
+    )
+    table = str(tmp_path / "ice_part_dml")
+    write_iceberg_v2_partitioned_fixture(df.repartition(2), table, "g")
+
+    s1 = delete_where(spark, table, "g = 2")  # whole partition
+    s2 = delete_where(spark, table, "id IN (3, 5)")  # crosses partitions
+    rep = df.filter("id = 7").withColumn("name", F.lit("REPLACED"))
+    s3 = overwrite_where(spark, table, "id = 7", rep)
+
+    rows = {r["id"]: (r["g"], r["name"]) for r in read_iceberg_py(spark, table).collect()}
+    expect_live = sorted(set(range(20)) - {2, 6, 10, 14, 18} - {3, 5})
+    assert sorted(rows) == expect_live
+    assert rows[7] == (3, "REPLACED")
+    # repeat predicate on the emptied partition: true no-op
+    assert delete_where(spark, table, "g = 2") is None
+    # every snapshot still time-travels exactly
+    assert read_iceberg_py(spark, table, snapshot_id=1).count() == 20
+    assert read_iceberg_py(spark, table, snapshot_id=s1).count() == 15
+    assert read_iceberg_py(spark, table, snapshot_id=s2).count() == 13
+    assert s3 > s2 > s1
+    # pruning after DML: only g=1 files scanned, answer identical
+    pruned = read_iceberg_py(spark, table, partition_filter={"g": {1}})
+    got = sorted(r["id"] for r in pruned.filter("g = 1").collect())
+    assert got == [1, 9, 13, 17]
+
+
+def test_iceberg_partitioned_delete_files_are_partition_scoped(spark, tmp_path):
+    """Spec conformance of the committed metadata: every delete-file
+    manifest entry on a partitioned table carries the partition tuple of
+    the rows it hides, and the positions in each delete file reference
+    ONLY data files of that same partition — the scoping another
+    engine's scan planner relies on to prune delete application."""
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.avro_py import read_avro_file
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        latest_metadata_file,
+        write_iceberg_v2_partitioned_fixture,
+    )
+    import json as _json
+    import os as _os
+
+    df = spark.range(24).withColumn("g", (F.col("id") % 3).cast("int"))
+    table = str(tmp_path / "ice_scoped")
+    write_iceberg_v2_partitioned_fixture(df.repartition(2), table, "g")
+    delete_where(spark, table, "id % 2 = 0")  # hits every partition
+
+    meta = _json.loads(open(latest_metadata_file(table)).read())
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifests = read_avro_file(snap["manifest-list"])
+    # data file -> partition value, from the data manifests
+    file_part: dict[str, int] = {}
+    delete_entries = []
+    for m in manifests:
+        _, entries = read_avro_file(m["manifest_path"])
+        for e in entries:
+            dfile = e["data_file"]
+            if dfile.get("content", 0) == 0:
+                file_part[dfile["file_path"]] = dfile["partition"]["g"]
+            elif dfile.get("content") == 1:
+                delete_entries.append(dfile)
+    assert delete_entries, "no delete files committed"
+    seen_parts = set()
+    for dfile in delete_entries:
+        part_g = dfile["partition"]["g"]
+        assert part_g is not None
+        seen_parts.add(part_g)
+        refs = pq.read_table(dfile["file_path"], columns=["file_path"])[
+            "file_path"
+        ].to_pylist()
+        assert refs, "empty delete file committed"
+        for ref in set(refs):
+            assert file_part[ref] == part_g, (
+                f"delete file scoped to partition {part_g} references a "
+                f"data file of partition {file_part[ref]}"
+            )
+    assert seen_parts == {0, 1, 2}  # the predicate hit all three
+
+
+def test_iceberg_non_identity_transform_dml_clear_error(spark, tmp_path):
+    """A bucket/truncate/days partition spec cannot be routed jar-lessly
+    (the transform function lives in the runtime) — must refuse with an
+    actionable error, never emit mis-scoped delete metadata."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        latest_metadata_file,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    df = spark.range(8).withColumn("g", (F.col("id") % 2).cast("int"))
+    table = str(tmp_path / "ice_bucket")
+    write_iceberg_v2_partitioned_fixture(df, table, "g")
+    meta_path = latest_metadata_file(table)
+    meta = _json.loads(open(meta_path).read())
+    meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    with pytest.raises(NotImplementedError, match="non-identity"):
+        delete_where(spark, table, "id = 1")
+
+
+def test_iceberg_atomic_commit_crash_window(spark, tmp_path, monkeypatch):
+    """Crash between the metadata-JSON write and the version-hint write
+    must leave readers on the OLD snapshot (the hint is the commit
+    point), leave no torn/tmp files the metadata listing trips over, and
+    a retried commit must succeed and atomically supersede the orphan."""
+    from gcs2postgres_spark.sources import iceberg_py
+
+    df = spark.range(10).selectExpr("id AS v", "CAST(id % 2 AS INT) AS grp")
+    table = str(tmp_path / "ice_crash")
+    iceberg_py.write_iceberg_v2_fixture(df.coalesce(1), table, sort_col="v")
+    assert iceberg_py.read_iceberg_py(spark, table).count() == 10
+
+    real_atomic = iceberg_py._write_text_atomic
+
+    def crash_on_hint(path, text):
+        if path.endswith("version-hint.text"):
+            raise OSError("simulated crash before the hint update")
+        real_atomic(path, text)
+
+    monkeypatch.setattr(iceberg_py, "_write_text_atomic", crash_on_hint)
+    with pytest.raises(OSError, match="simulated crash"):
+        iceberg_py.delete_where(spark, table, "grp = 1")
+    monkeypatch.setattr(iceberg_py, "_write_text_atomic", real_atomic)
+
+    # reader follows the hint: still the pre-crash snapshot, full rows
+    assert iceberg_py.read_iceberg_py(spark, table).count() == 10
+    # retry lands: the orphan v2.metadata.json is atomically overwritten
+    sid = iceberg_py.delete_where(spark, table, "grp = 1")
+    assert sid is not None
+    assert iceberg_py.read_iceberg_py(spark, table).count() == 5
+
+
 def test_iceberg_v2_equality_delete_without_ids_clear_error(spark, tmp_path):
     """An equality delete entry missing equality_ids cannot be applied
     correctly — must raise an actionable error naming the runtime jar,
