@@ -15,11 +15,19 @@ recompute is cheaper than the cache.
 
 Lifecycle: these operators return LAZY DataFrames, so they cannot
 unpersist after the (caller-driven) action. Persisted frames are
-tracked here; long-lived sessions running many pipelines should call
-:func:`release_transient_caches` (or ``spark.catalog.clearCache()``)
-between pipelines — otherwise MEMORY_AND_DISK blocks rely on Spark's
-LRU eviction for the memory tier and accumulate on the disk tier until
-the session ends (the r8 advisor's leak note).
+tracked here; long-lived sessions running many pipelines must call
+:func:`release_transient_caches` between pipelines — it is the ONLY
+path that both unpersists the blocks and drains the module-global
+``_TRANSIENT`` registry. ``spark.catalog.clearCache()`` alone drops the
+storage blocks but leaves the Python-side DataFrame references
+accumulating unboundedly (ADVICE r9), and a later release call would
+then unpersist frames a different pipeline re-cached. The registry is
+global and unscoped (not per-pipeline, not thread-safe): one logical
+pipeline at a time per session, release between pipelines — exactly how
+bench.py, scripts/driver_sim.py and scripts/sweep_sf1.py drive it.
+Without any release, MEMORY_AND_DISK blocks rely on Spark's LRU
+eviction for the memory tier and accumulate on the disk tier until the
+session ends (the r8 advisor's leak note).
 """
 
 from __future__ import annotations

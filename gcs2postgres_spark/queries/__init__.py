@@ -34,42 +34,88 @@ from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
-# Round-9 verification window: the driver checks the first 50 entries.
-# Round 8 went 50/50 and the ever-green union covers all 250 registry
-# queries, so round 9 is a consolidation window: (a) queries whose
-# implementations CHANGE this round (rotated to the top as the work
-# lands, so the driver row certifies current code), then (b) the entire
-# remaining evidence-freshness tail — the 2 queries whose newest
-# driver-green row is still round 2 (window_ntile, window_range_frame)
-# and all 30 round-3-newest (this includes every slot displaced from
-# the r8 window: window_running, topk_per_group, events_sessionize,
-# variant_props_agg, recursive_cte_spine, agg_hll_sketch_merge,
-# set_except_all, hof_array_battery, agg_salted_skew,
-# similarity_cosine_topk, similarity_ivf_topk, embedding_norm_stats,
-# text_token_stats, events_click_purchase_attr, events_time_rollup,
-# join_null_safe), then (c) the oldest round-4-newest greens as fill.
-# After this window no query's newest green is older than round 4.
+# Round-10 verification window: the driver checks the first 50 entries.
+# RULE (adopted after the r9 verdict's integrity finding): every slot
+# annotation below describes work that is ALREADY COMMITTED when the
+# annotation is written — never planned work. Slots are rotated to the
+# top only as changes land; placeholders for unlanded features are
+# forbidden. Section (a) = the 12 queries whose implementations changed
+# in round 10 (Iceberg partitioned DML + atomic commits, Delta deletion
+# vectors, range-join degradation, fuzzy-join repartition skip).
+# Section (b) = the remaining 38 round-4-newest greens as freshness
+# fill; with the 4 r4-newest queries already in (a), every r4 row
+# refreshes and after this window no newest-green is older than r5.
 VERIFY_FRONT: list[str] = [
-    # (a) r9-changed / new implementations
-    "iceberg_v2_delete_write_roundtrip",  # partitioned-table DML support added
-    "delta_source_roundtrip",             # placeholder: swap for the new deletion-vector roundtrip when it lands
-    "range_join_bands",                   # large-band bucketize degradation path
-    "doc_winnow_fingerprints",            # late-r8 streaming-safe width probe (b461de1, post-window)
-    "avro_logical_types_roundtrip",       # late-r8 to_bytes fit check (b461de1, post-window)
-    "dedup_minhash_lsh",                  # size-conditional persist
-    "dedup_simhash",                      # size-conditional persist
-    "dedup_jaccard_prefix_filter",        # size-conditional persist + unpersist
-    "dedup_containment_pairs",            # size-conditional persist + unpersist
-    "contrastive_pairs_mine",             # shares the jaccard prefix frames
-    "corpus_cms_heavy_hitters",           # unpersist after consume
-    "corpus_tfidf_top_terms",             # unpersist after consume
-    "corpus_bigram_perplexity",           # unpersist after consume
-    "iceberg_write_roundtrip",            # atomic metadata commit (tmp+rename)
-    "fuzzy_join_entity_match",            # tiny-input repartition skip
-    "fuzzy_join_topk_per_entity",         # tiny-input repartition skip
-    "dedup_incremental_batch",            # size-conditional persist (lines 713/730)
-    "graph_components_star",              # sf3 warm A/B certification slot
-    # (b) freshness: r2-newest, then all 30 r3-newest, registry order
+    # (a) r10-changed / new implementations (all committed)
+    "iceberg_partitioned_dml_roundtrip",  # NEW r10: partition-tuple delete manifests (iceberg_py._v2_row_level_commit partitioned path)
+    "delta_deletion_vector_roundtrip",  # NEW r10: DV decode + anti-join (dv_roaring.py, delta_py._apply_deletion_vectors)
+    "iceberg_v2_delete_write_roundtrip",  # r10: committer reworked for partition routing + atomic metadata commit
+    "iceberg_write_roundtrip",  # r10: atomic metadata commit (tmp + os.replace)
+    "iceberg_source_roundtrip",  # r10: write_snapshot_metadata now atomic (also r4-newest green)
+    "iceberg_v2_deletes_roundtrip",  # r10: v2 fixture metadata writes now atomic (also r4-newest green)
+    "delta_source_roundtrip",  # r10: log replay carries deletionVector fields (also placeholder debt from r9 cleared)
+    "delta_time_travel",  # r10: same replay change (also r4-newest green)
+    "delta_write_roundtrip",  # r10: read-back path shares the DV-aware scan grouping (also r4-newest green)
+    "range_join_bands",  # r10: range_join grew auto/bucketize strategies; this query stays on the broadcast arm
+    "fuzzy_join_entity_match",  # r10: _spread_on_keys repartition skip
+    "fuzzy_join_topk_per_entity",  # r10: _spread_on_keys repartition skip
+    # (b) freshness fill: every remaining r4-newest green, name order
+    "agg_stats_basic",
+    "avro_source_roundtrip",
+    "bloom_semi_prune",
+    "corpus_bigram_lm_counts",
+    "corpus_bm25_search",
+    "corpus_bpe_merge_candidates",
+    "corpus_bpe_train_merges",
+    "corpus_chunk_windows",
+    "dataset_shuffle_shard",
+    "dedup_exact",
+    "embedding_kmeans_cluster",
+    "events_cohort_retention",
+    "events_ewma_zscore",
+    "events_funnel_3step",
+    "events_mad_outliers",
+    "events_peak_concurrency",
+    "events_resample_ffill",
+    "events_value_histogram",
+    "grouped_agg_weighted_mean",
+    "grouped_map_ols",
+    "incremental_rollup_update",
+    "join_left",
+    "profile_table_quality",
+    "q10_returned_items",
+    "q19_disjunctive_pred",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q3_shipping_priority_bucketed",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q6_revenue_zorder",
+    "q7_nation_volume",
+    "sample_stratified_exact",
+    "scalar_math_funcs",
+    "sequence_pack_greedy",
+    "snapshot_diff_cdc",
+    "text_repetition_filter",
+    "text_top_word_ratio",
+]
+
+# Remaining entries after the 50-slot window: everything here has fresh
+# driver-green evidence (round 5+); ordering within this list is not
+# significant beyond keeping recently-verified entries out of the window.
+VERIFY_DEFERRED: list[str] = [
+    "doc_winnow_fingerprints",
+    "avro_logical_types_roundtrip",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_pairs",
+    "contrastive_pairs_mine",
+    "corpus_cms_heavy_hitters",
+    "corpus_tfidf_top_terms",
+    "corpus_bigram_perplexity",
+    "dedup_incremental_batch",
+    "graph_components_star",
     "window_ntile",
     "window_range_frame",
     "set_intersect_all",
@@ -102,12 +148,6 @@ VERIFY_FRONT: list[str] = [
     "domain_mix_sample",
     "merge_upsert_latest",
     "pii_redact_scrub",
-]
-
-# Remaining entries after the 50-slot window: everything here has fresh
-# driver-green evidence (round 3+); ordering within this list is not
-# significant beyond keeping recently-verified entries out of the window.
-VERIFY_DEFERRED: list[str] = [
     "events_watermark_late_drop",
     "q21_waiting_supplier_bucketed",
     "dedup_cluster_canonical",
@@ -144,48 +184,6 @@ VERIFY_DEFERRED: list[str] = [
     "q9_product_profit",
     "q21_waiting_supplier",
     "graph_kcore_peel",
-    "iceberg_source_roundtrip",
-    "iceberg_v2_deletes_roundtrip",
-    "delta_time_travel",
-    "corpus_chunk_windows",
-    "corpus_bigram_lm_counts",
-    "corpus_bpe_merge_candidates",
-    "corpus_bpe_train_merges",
-    "dataset_shuffle_shard",
-    "embedding_kmeans_cluster",
-    "text_top_word_ratio",
-    "events_ewma_zscore",
-    "events_funnel_3step",
-    "q6_revenue_zorder",
-    "corpus_bm25_search",
-    "events_resample_ffill",
-    "snapshot_diff_cdc",
-    "events_cohort_retention",
-    "bloom_semi_prune",
-    "events_peak_concurrency",
-    "delta_write_roundtrip",
-    "events_mad_outliers",
-    "sample_stratified_exact",
-    "profile_table_quality",
-    "incremental_rollup_update",
-    "events_value_histogram",
-    "sequence_pack_greedy",
-    "text_repetition_filter",
-    "avro_source_roundtrip",
-    "dedup_exact",
-    "scalar_math_funcs",
-    "q3_shipping_priority_bucketed",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_revenue_forecast",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q19_disjunctive_pred",
-    "join_left",
-    "agg_stats_basic",
-    "grouped_map_ols",
-    "grouped_agg_weighted_mean",
     "events_session_window_native",
     "multimodal_image_ahash_dedup",
     "multimodal_audio_fp_dedup",

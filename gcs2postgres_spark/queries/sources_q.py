@@ -418,6 +418,93 @@ def delta_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+DELTA_DV_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM nation
+WHERE n_nationkey NOT IN (1, 4, 9, 16)
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_deletion_vector_roundtrip", oracle=DELTA_DV_ORACLE)
+def delta_deletion_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector READ support (the r8/r9 gap): a partitioned Delta
+    table with protocol readerVersion 3 + deletionVectors feature, DV'd
+    through both storage types, read back jar-lessly.
+
+    Commit 2 attaches 'u'-storage DVs (deletion_vector_<uuid>.bin files:
+    version byte, big-endian size framing, CRC-32, Z85 uuid in the
+    descriptor) hiding n_nationkey 1/4/9 wherever they sit; commit 3
+    re-DVs one of those files with an 'i' INLINE superset descriptor
+    (Z85 payload) also hiding 16 — the replay must let the newer add
+    action supersede the older DV, decode the portable RoaringBitmapArray
+    on executors (sources/dv_roaring.py via mapInPandas), and anti-join
+    the positions against each file's _metadata row identity. A dropped
+    DV, a stale superseded DV, a mis-decoded bitmap, or a checksum skip
+    all change the surviving rows and break the hash. The fixture maps
+    target KEYS to per-file positions by scanning only the key column
+    with pyarrow (fixture-only convenience on toy tables, same as the
+    Iceberg fixture — the reader never does this)."""
+    tune_for_session(spark)
+    import os
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    from gcs2postgres_spark.sources.delta_py import (
+        add_deletion_vectors,
+        read_delta_py,
+        replay_head_state,
+        write_delta_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta_dv_")
+    try:
+        write_delta_fixture(
+            nation.coalesce(1), tmp, partition_col="n_regionkey"
+        )
+        live, _meta = replay_head_state(spark, tmp)
+
+        def positions_of(keys: set[int]) -> dict[str, list[int]]:
+            out: dict[str, list[int]] = {}
+            for rel in sorted(live):
+                col = pq.read_table(
+                    os.path.join(tmp, unquote(rel)), columns=["n_nationkey"]
+                )["n_nationkey"].to_pylist()
+                pos = [i for i, v in enumerate(col) if v in keys]
+                if pos:
+                    out[rel] = pos
+            return out
+
+        first = positions_of({1, 4, 9})
+        add_deletion_vectors(tmp, first)
+        # supersede: the file holding key 16 gets an INLINE merged DV
+        merged = positions_of({1, 4, 9, 16})
+        target_rel = next(r for r in merged if merged[r] != first.get(r))
+        add_deletion_vectors(
+            tmp, {target_rel: merged[target_rel]}, inline=True,
+            timestamp_ms=1_700_000_003_000,
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 DELTA_TIME_TRAVEL_ORACLE = """
 SELECT count(*)                         AS n_nations,
        CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,

@@ -28,9 +28,15 @@ and unions per-partition scans with literal partition columns injected —
 Catalyst folds the literals, so pruning by partition value happens at
 plan time (a filter on the partition column eliminates whole unions).
 
-Unsupported reader features (deletion vectors, column mapping) raise a
-clear error naming the delta-spark package rather than returning wrong
-rows.
+Deletion vectors (the protocol's merge-on-read row-level deletes, on by
+default in modern writers) ARE honored: descriptors are resolved during
+the log walk (metadata work), and the roaring bitmaps are decoded on
+EXECUTORS (sources/dv_roaring.py via mapInPandas) into (file, pos)
+pairs anti-joined against the scan's ``_metadata`` row identity — the
+same shape as the Iceberg v2 position-delete path. Remaining
+unsupported reader features (column mapping, type widening, ...) raise
+a clear error naming the delta-spark package rather than returning
+wrong rows.
 """
 
 from __future__ import annotations
@@ -88,12 +94,20 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
     meta = None
     cols = set(cp.columns)
     if "add" in cols:
-        for row in (
-            cp.filter(F.col("add.path").isNotNull())
-            .select("add.path", "add.partitionValues")
-            .collect()
-        ):
-            adds.append({"path": row["path"], "partitionValues": row["partitionValues"] or {}})
+        add_fields = {f.name for f in cp.schema["add"].dataType.fields}
+        sel = [F.col("add.path"), F.col("add.partitionValues")]
+        has_dv = "deletionVector" in add_fields
+        if has_dv:
+            sel.append(F.col("add.deletionVector"))
+        for row in cp.filter(F.col("add.path").isNotNull()).select(*sel).collect():
+            dv = row["deletionVector"] if has_dv else None
+            adds.append(
+                {
+                    "path": row["path"],
+                    "partitionValues": row["partitionValues"] or {},
+                    "deletionVector": dv.asDict() if dv is not None else None,
+                }
+            )
     if "metaData" in cols:
         metas = cp.filter(F.col("metaData.schemaString").isNotNull()).select("metaData").collect()
         if metas:
@@ -104,13 +118,109 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
 def _check_protocol(protocol: dict) -> None:
     reader_version = int(protocol.get("minReaderVersion", 1))
     features = set(protocol.get("readerFeatures") or [])
-    # v3 tables enumerate required reader features; we can honor none of
-    # the row-transforming ones without the connector
-    unsupported = features - {"timestampNtz", "v2Checkpoint"}
+    # v3 tables enumerate required reader features; deletionVectors is
+    # honored natively (dv_roaring decode + anti-join), the rest of the
+    # row-transforming features still need the connector
+    unsupported = features - {"timestampNtz", "v2Checkpoint", "deletionVectors"}
     if reader_version >= 3 and unsupported:
         raise NotImplementedError(
             f"delta table requires reader features {sorted(unsupported)}; {_DELTA_JAR_HINT}"
         )
+
+
+def _dv_location(table_path: str, dv: dict) -> tuple[str, str]:
+    """Resolve a deletion-vector descriptor to ('file', absolute path)
+    or ('inline', z85 payload), per the protocol's storageType rules:
+    'u' = [random prefix +] 20-char Z85 uuid under the table dir as
+    deletion_vector_<uuid>.bin, 'p' = absolute path, 'i' = inline."""
+    import uuid as _uuid
+
+    from gcs2postgres_spark.sources.dv_roaring import z85_decode
+
+    st = dv["storageType"]
+    payload = dv["pathOrInlineDv"]
+    if st == "i":
+        return "inline", payload
+    if st == "p":
+        return "file", re.sub(r"^file:(//)?", "", payload)
+    if st == "u":
+        prefix, encoded = payload[:-20], payload[-20:]
+        u = _uuid.UUID(bytes=z85_decode(encoded))
+        name = f"deletion_vector_{u}.bin"
+        parts = [table_path] + ([prefix] if prefix else []) + [name]
+        return "file", os.path.join(*parts)
+    raise NotImplementedError(
+        f"delta deletion-vector storageType {st!r}; {_DELTA_JAR_HINT}"
+    )
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, dv_rows: list[tuple[str, str, str, int, int, int]]
+) -> DataFrame:
+    """Anti-join the scan against decoded deletion vectors.
+
+    ``df`` must carry ``__dv_fp`` (scheme-normalized _metadata.file_path)
+    and ``__dv_pos`` (_metadata.row_index). ``dv_rows``: one descriptor
+    per DV'd data file — (data file abs path, kind, payload-or-path,
+    offset, sizeInBytes, cardinality). The descriptor frame is
+    metadata-sized (one row per file); the DECODE runs on executors via
+    mapInPandas — each task opens its DV blobs, CRC-checks, decodes the
+    roaring bitmap, and emits (file, pos) pairs, so a table with
+    millions of deleted rows never routes them through the driver. The
+    anti-join shuffles on (file, pos) like the Iceberg position-delete
+    path (iceberg_py._apply_v2_deletes); AQE picks broadcast when the
+    decoded side is small."""
+    from pyspark import cloudpickle as _cp
+
+    from gcs2postgres_spark.sources import dv_roaring
+    from gcs2postgres_spark.sources.dv_roaring import (
+        read_dv_blob,
+        roaring_array_decode,
+        z85_decode,
+    )
+
+    # by-value pickling: executor workers don't have the repo on their
+    # import path, so the codec functions are captured as CLOSURE
+    # variables (not re-imported worker-side) and their whole module is
+    # registered by value (same pattern as sources/avro_py.py:511)
+    _cp.register_pickle_by_value(dv_roaring)
+
+    desc = spark.createDataFrame(
+        dv_rows,
+        "data_fp string, kind string, payload string, offset int, "
+        "size_bytes int, cardinality long",
+    ).repartition(min(len(dv_rows), spark.sparkContext.defaultParallelism))
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                if row.kind == "inline":
+                    positions = roaring_array_decode(z85_decode(row.payload))
+                else:
+                    with open(row.payload, "rb") as f:
+                        raw = f.read()
+                    positions = read_dv_blob(raw, int(row.offset), int(row.size_bytes))
+                if row.cardinality >= 0 and len(positions) != row.cardinality:
+                    raise ValueError(
+                        f"deletion vector for {row.data_fp!r} decoded "
+                        f"{len(positions)} positions, descriptor says "
+                        f"{row.cardinality}"
+                    )
+                yield pd.DataFrame(
+                    {
+                        "__del_fp": row.data_fp,
+                        "__del_pos": pd.Series(positions, dtype="int64"),
+                    }
+                )
+
+    dels = desc.mapInPandas(decode, schema="__del_fp string, __del_pos long")
+    return df.join(
+        dels,
+        (df["__dv_fp"] == dels["__del_fp"]) & (df["__dv_pos"] == dels["__del_pos"]),
+        "left_anti",
+    )
 
 
 def read_delta_py(
@@ -141,8 +251,9 @@ def read_delta_py(
     column are conservatively kept; the filter is an optimization, so
     callers still apply the predicate as a normal row filter.
 
-    Raises ``NotImplementedError`` with the package hint for deletion
-    vectors / column mapping, which cannot be honored jar-lessly."""
+    Deletion vectors are applied (executor-side decode + anti-join on
+    the scan's ``_metadata`` file/row identity); column mapping raises
+    ``NotImplementedError`` with the package hint."""
     log_dir = _log_dir(table_path)
     if not fsio.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
@@ -179,13 +290,10 @@ def read_delta_py(
                 meta = a["metaData"]
             elif "add" in a:
                 add = a["add"]
-                if add.get("deletionVector"):
-                    raise NotImplementedError(
-                        f"delta deletion vectors not supported jar-lessly; {_DELTA_JAR_HINT}"
-                    )
                 live[add["path"]] = {
                     "path": add["path"],
                     "partitionValues": add.get("partitionValues") or {},
+                    "deletionVector": add.get("deletionVector"),
                 }
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
@@ -209,8 +317,11 @@ def read_delta_py(
         return spark.createDataFrame([], schema)
 
     # group live files by partition tuple; one parquet scan per group
-    # with the partition values injected as typed literals
+    # with the partition values injected as typed literals. DV'd files
+    # contribute a metadata-sized descriptor row; decode happens on
+    # executors (_apply_deletion_vectors), never here.
     groups: dict[tuple, list[str]] = {}
+    dv_rows: list[tuple[str, str, str, int, int, int]] = []
     for add in live.values():
         pv = add["partitionValues"]
         if partition_filter and any(
@@ -219,21 +330,61 @@ def read_delta_py(
         ):
             continue  # log-level skip: file can hold no matching row
         key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(
-            os.path.join(table_path, unquote(add["path"]))
-        )
+        # scheme'd table paths stay URIs for the scan (Hadoop FS branch);
+        # the file: scheme is stripped + local paths absolutized so the
+        # DV anti-join key compares equal to the scan's normalized
+        # _metadata.file_path
+        raw_path = os.path.join(table_path, unquote(add["path"]))
+        norm_path = re.sub(r"^file:(//)?", "", raw_path)
+        if not fsio.has_scheme(norm_path):
+            norm_path = os.path.abspath(norm_path)
+        groups.setdefault(key, []).append(raw_path)
+        dv = add.get("deletionVector")
+        if dv:
+            kind, loc = _dv_location(table_path, dv)
+            if kind == "file":
+                loc = re.sub(r"^file:(//)?", "", loc)
+                if fsio.has_scheme(loc):
+                    raise NotImplementedError(
+                        "deletion-vector files on remote schemes need the "
+                        f"connector (executors open them directly); {_DELTA_JAR_HINT}"
+                    )
+                loc = os.path.abspath(loc)
+            dv_rows.append(
+                (
+                    norm_path,
+                    kind,
+                    loc,
+                    int(dv.get("offset") or 0),
+                    int(dv["sizeInBytes"]),
+                    int(dv.get("cardinality", -1)),
+                )
+            )
     if not groups:
         return spark.createDataFrame([], schema)
+    out_cols = [f.name for f in schema.fields]
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*paths)
+        if dv_rows:
+            df = df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:(//)?", ""
+                ).alias("__dv_fp"),
+                F.col("_metadata.row_index").cast("long").alias("__dv_pos"),
+            )
         for c, raw in zip(part_cols, key):
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(by_type[c]))
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        parts.append(
+            df.select(*out_cols, *(["__dv_fp", "__dv_pos"] if dv_rows else []))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if dv_rows:
+        out = _apply_deletion_vectors(spark, out, dv_rows).select(*out_cols)
     return out
 
 
@@ -349,6 +500,103 @@ def write_delta_fixture(
             if a["add"]["partitionValues"].get(partition_col) == remove_partition_value
         ]
         _write_commit(log_dir, 1, removes, now + 1000)
+
+
+def add_deletion_vectors(
+    table_path: str,
+    deletes: dict[str, list[int]],
+    timestamp_ms: int = 1_700_000_002_000,
+    inline: bool = False,
+) -> int:
+    """Commit deletion vectors over existing data files (fixture/test
+    writer exercising the real protocol shapes the reader must honor).
+
+    ``deletes`` maps live RELATIVE data-file paths (as recorded in their
+    ``add`` actions) to row indexes to hide. One commit is written,
+    containing: a protocol upgrade to readerVersion 3 / writerVersion 7
+    with the deletionVectors feature (what a real writer emits the first
+    time DVs land on a table), and per file a ``remove`` + re-``add`` of
+    the SAME path carrying the descriptor — 'u' storage (one
+    deletion_vector_<uuid>.bin per file, Z85 uuid, offset framing) or
+    'i' inline (Z85 payload) when ``inline``. A file listed twice in the
+    table's history keeps only the newest add, exactly how DV updates
+    supersede. Returns the committed version."""
+    import uuid as _uuid
+
+    from gcs2postgres_spark.sources.dv_roaring import (
+        roaring_array_encode,
+        write_dv_file,
+        z85_encode,
+    )
+
+    log_dir = _log_dir(table_path)
+    commits = _list_commits(log_dir)
+    if not commits:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    # current adds by path (raw dicts, keeps partitionValues/size)
+    live: dict[str, dict] = {}
+    for v in sorted(commits):
+        for line in fsio.read_text(commits[v]).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    missing = sorted(set(deletes) - set(live))
+    if missing:
+        raise ValueError(f"deletes name non-live files: {missing}")
+
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for rel, positions in sorted(deletes.items()):
+        old = live[rel]
+        if inline:
+            data = roaring_array_encode(positions)
+            if len(data) % 4:
+                data += b"\x00" * (4 - len(data) % 4)  # z85 needs 4-byte groups
+            dv = {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(data),
+                "sizeInBytes": len(data),
+                "cardinality": len(set(positions)),
+            }
+        else:
+            u = _uuid.uuid4()
+            dv_path = os.path.join(table_path, f"deletion_vector_{u}.bin")
+            offset, size = write_dv_file(dv_path, positions)
+            dv = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": offset,
+                "sizeInBytes": size,
+                "cardinality": len(set(positions)),
+            }
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": timestamp_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+        new_add = dict(old)
+        new_add["deletionVector"] = dv
+        new_add["dataChange"] = False
+        actions.append({"add": new_add})
+    version = max(commits) + 1
+    _write_commit(log_dir, version, actions, timestamp_ms)
+    return version
 
 
 def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None:

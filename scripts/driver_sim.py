@@ -109,6 +109,8 @@ def main() -> None:
     if args.first is not None:
         names = list(REGISTRY.keys())[: args.first]
 
+    from gcs2postgres_spark.operators.caching import release_transient_caches
+
     failures = 0
     for name in names:
         spec = REGISTRY[name]
@@ -118,6 +120,13 @@ def main() -> None:
             print(f"FAIL {name}: spark err\n{traceback.format_exc()}")
             failures += 1
             continue
+        finally:
+            # per-query cache hygiene (same as bench.py): without it a
+            # multi-hundred-query session pins every maybe_persist frame
+            # (the _TRANSIENT registry) plus Spark's own cache entries
+            # for the whole run
+            release_transient_caches()
+            spark.catalog.clearCache()
         if spec.oracle is None:
             print(f"ERR  {name}: no_oracle (spark rows={len(sdf)})")
             failures += 1

@@ -66,10 +66,15 @@ def main() -> None:
             # single-session hygiene: without this, 200+ queries of
             # accumulated cache entries and localCheckpoint blocks
             # exhaust the heap (the r6 sf3 full sweep died at query 230
-            # with GCLocker alloc failures). clearCache drops persisted
-            # frames; the periodic driver-side gc lets ContextCleaner
-            # actually release checkpoint RDD blocks whose Python refs
-            # are long gone.
+            # with GCLocker alloc failures). release_transient_caches
+            # drains the maybe_persist registry (clearCache alone leaves
+            # its Python-side DataFrame refs pinned for the session);
+            # clearCache drops persisted frames; the periodic driver-side
+            # gc lets ContextCleaner actually release checkpoint RDD
+            # blocks whose Python refs are long gone.
+            from gcs2postgres_spark.operators.caching import release_transient_caches
+
+            release_transient_caches()
             spark.catalog.clearCache()
             if (i + 1) % 20 == 0:
                 spark.sparkContext._jvm.System.gc()

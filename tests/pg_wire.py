@@ -134,7 +134,19 @@ class MiniPGServer:
                 self.copy_payload += payload
             elif tag == b"c":  # CopyDone
                 self.got_copy_done = True
-                nrows = self.copy_payload.count(b"\n")
+                # csv-parse the payload for the record count: a raw
+                # newline count would overcount rows whose QUOTED cells
+                # embed newlines (ADVICE r9, COPY FORMAT csv semantics)
+                import csv
+                import io
+
+                nrows = sum(
+                    1
+                    for _ in csv.reader(
+                        io.StringIO(self.copy_payload.decode("utf-8"))
+                    )
+                )
+                self.copy_row_count = nrows
                 conn.sendall(_typed(b"C", f"COPY {nrows}\x00".encode()))
                 conn.sendall(_typed(b"Z", b"I"))
                 return

@@ -876,3 +876,70 @@ def test_driver_prefix_fold_matches_window_form(spark, vals, n_parts):
     for pid, (ws, wm) in got.items():
         assert (ws, wm) == want[pid], (pid, got, want)
     assert totals["w"] == sum(w for _, w in vals if w is not None)
+
+
+# ------------------------------------------------------- delta DV codec
+
+# Spark-free pure-python properties: the roaring/Z85 codec must be
+# exact for any position set before the reader's anti-join can be.
+
+
+@given(
+    positions=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**20),  # dense low range
+            st.integers(min_value=0, max_value=2**40),  # cross high words
+        ),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(deadline=None, max_examples=60)
+def test_roaring_array_roundtrip(positions):
+    from gcs2postgres_spark.sources.dv_roaring import (
+        roaring_array_decode,
+        roaring_array_encode,
+    )
+
+    assert roaring_array_decode(roaring_array_encode(positions)) == sorted(
+        set(positions)
+    )
+
+
+def test_roaring_bitmap_container_roundtrip():
+    """>4096 values in one 16-bit bucket forces the bitmap-container
+    encoding branch; decode must invert it exactly."""
+    from gcs2postgres_spark.sources.dv_roaring import (
+        roaring_array_decode,
+        roaring_array_encode,
+    )
+
+    vals = list(range(0, 20000, 3))  # 6667 values in buckets 0..1
+    assert roaring_array_decode(roaring_array_encode(vals)) == vals
+
+
+def test_roaring_run_container_decode():
+    """Real writers emit RUN containers for contiguous deletes; our
+    encoder never does, so decode one crafted by hand against the
+    format spec (cookie 12347, run-flag bitset, (start, len-1) pairs)."""
+    import struct
+
+    from gcs2postgres_spark.sources.dv_roaring import roaring_array_decode
+
+    # one container, run flag set, two runs: [5..9] and [100..100]
+    blob = struct.pack("<I", 12347 | (0 << 16))  # cookie, size-1=0
+    blob += bytes([0b1])  # run flag for container 0
+    blob += struct.pack("<HH", 0, 6 - 1)  # key 0, cardinality 6
+    blob += struct.pack("<H", 2)  # numRuns
+    blob += struct.pack("<HH", 5, 4)  # 5..9
+    blob += struct.pack("<HH", 100, 0)  # 100
+    data = struct.pack("<iq", 1681511377, 1) + struct.pack("<i", 0) + blob
+    assert roaring_array_decode(data) == [5, 6, 7, 8, 9, 100]
+
+
+@given(payload=st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+@settings(deadline=None, max_examples=60)
+def test_z85_roundtrip(payload):
+    from gcs2postgres_spark.sources.dv_roaring import z85_decode, z85_encode
+
+    assert z85_decode(z85_encode(payload)) == payload

@@ -228,6 +228,9 @@ def test_copy_partition_over_real_socket_v3_framing():
     assert parsed[2][1] == 'he said "hi"'
     assert parsed[2][2] == "line1\nline2"
     assert parsed[3][2] == "café"
+    # the server's CommandComplete count is csv-record-based: 4 logical
+    # rows, not the 5 physical newlines (embedded \n in row 3's cell)
+    assert srv.copy_row_count == 4
 
 
 def test_copy_wire_client_chunks_split_mid_cell():

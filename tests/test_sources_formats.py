@@ -753,24 +753,27 @@ def test_delta_checkpoint_branch(spark, sf_dir, tmp_path):
 
 
 def test_delta_unsupported_features_clear_error(spark, tmp_path):
-    """Deletion vectors and column mapping must raise actionable errors
-    naming the delta-spark package, never return wrong rows."""
+    """Unsupported reader features and column mapping must raise
+    actionable errors naming the delta-spark package, never return wrong
+    rows. deletionVectors is honored natively since r10, so the feature
+    gate is exercised with a feature the jar-less reader truly cannot
+    honor (typeWidening)."""
     import json
     import os
 
     from gcs2postgres_spark.sources.delta_py import read_delta_py
 
-    table = str(tmp_path / "delta_dv")
+    table = str(tmp_path / "delta_tw")
     log = os.path.join(table, "_delta_log")
     os.makedirs(log)
     schema = '{"type":"struct","fields":[{"name":"a","type":"integer","nullable":true,"metadata":{}}]}'
     with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                                         "readerFeatures": ["deletionVectors"]}}) + "\n")
+                                         "readerFeatures": ["deletionVectors", "typeWidening"]}}) + "\n")
         f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet"},
                                          "schemaString": schema, "partitionColumns": [],
                                          "configuration": {}}}) + "\n")
-    with pytest.raises(NotImplementedError, match="delta-spark"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_py(spark, table)
 
     table2 = str(tmp_path / "delta_cm")
@@ -945,6 +948,173 @@ def test_iceberg_partition_prune_skips_files(spark, sf_dir, tmp_path):
         for r in full.filter(F.col("n_regionkey").isin(1, 2)).collect()
     )
     assert a == b
+
+
+def test_delta_deletion_vectors_file_inline_and_supersede(spark, tmp_path):
+    """DV read path: 'u'-storage file DVs hide exactly the listed row
+    positions, an 'i' inline DV re-added for the same file SUPERSEDES
+    the older one (protocol: newest add per path wins), pre-DV versions
+    time-travel clean, and a protocol upgrade to readerVersion 3 +
+    deletionVectors does not trip the feature gate."""
+    import os
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    from gcs2postgres_spark.sources.delta_py import (
+        add_deletion_vectors,
+        read_delta_py,
+        replay_head_state,
+        write_delta_fixture,
+    )
+
+    table = str(tmp_path / "dvtab")
+    df = spark.range(30).selectExpr("id", "CAST(id % 3 AS STRING) AS part").coalesce(1)
+    write_delta_fixture(df, table, partition_col="part")
+    live, _ = replay_head_state(spark, table)
+    rels = sorted(live)
+
+    def ids_of(rel):
+        return pq.read_table(os.path.join(table, unquote(rel)), columns=["id"])[
+            "id"
+        ].to_pylist()
+
+    add_deletion_vectors(table, {rels[0]: [0, 2], rels[1]: [1]})
+    removed = {ids_of(rels[0])[0], ids_of(rels[0])[2], ids_of(rels[1])[1]}
+    got = sorted(r["id"] for r in read_delta_py(spark, table).collect())
+    assert got == sorted(set(range(30)) - removed)
+    # pre-DV version resurrects everything
+    assert read_delta_py(spark, table, version_as_of=0).count() == 30
+    # inline superset DV supersedes rels[0]'s file DV
+    add_deletion_vectors(table, {rels[0]: [0, 1, 2, 3]}, inline=True)
+    assert read_delta_py(spark, table).count() == 30 - 4 - 1
+
+
+def test_delta_deletion_vector_checksum_corruption_raises(spark, tmp_path):
+    """A corrupt DV must fail loudly (CRC mismatch), never silently
+    resurrect deleted rows."""
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.delta_py import (
+        add_deletion_vectors,
+        read_delta_py,
+        write_delta_fixture,
+    )
+
+    table = str(tmp_path / "dvcorrupt")
+    write_delta_fixture(spark.range(10).coalesce(1), table)
+    live_rel = None
+    from gcs2postgres_spark.sources.delta_py import replay_head_state
+
+    live, _ = replay_head_state(spark, table)
+    live_rel = sorted(live)[0]
+    add_deletion_vectors(table, {live_rel: [0, 1]})
+    (dv_file,) = _glob.glob(str(tmp_path / "dvcorrupt" / "deletion_vector_*.bin"))
+    raw = bytearray(open(dv_file, "rb").read())
+    raw[-1] ^= 0xFF  # flip a checksum byte
+    with open(dv_file, "wb") as f:
+        f.write(raw)
+    with pytest.raises(Exception, match="checksum|CRC|mismatch"):
+        read_delta_py(spark, table).collect()
+
+
+def test_delta_unknown_reader_feature_still_refuses(spark, tmp_path):
+    """deletionVectors is now honored, but an unknown row-transforming
+    reader feature must still raise the jar hint."""
+    import json as _json
+    import os as _os
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta_fixture
+
+    table = str(tmp_path / "dvfeat")
+    write_delta_fixture(spark.range(5).coalesce(1), table)
+    log = _os.path.join(table, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors", "columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta_py(spark, table).collect()
+
+
+def test_delta_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    """A checkpoint compacted over DV'd adds must carry the descriptors
+    through _checkpoint_base — dropping them would silently resurrect
+    deleted rows on checkpoint-based reads."""
+    import json as _json
+    import os as _os
+
+    from gcs2postgres_spark.sources.delta_py import (
+        add_deletion_vectors,
+        read_delta_py,
+        replay_head_state,
+        write_delta_fixture,
+    )
+
+    table = str(tmp_path / "dvcp")
+    write_delta_fixture(spark.range(12).coalesce(1), table)
+    live, meta = replay_head_state(spark, table)
+    rel = sorted(live)[0]
+    v = add_deletion_vectors(table, {rel: [2, 3, 5]})
+    before = sorted(r["id"] for r in read_delta_py(spark, table).collect())
+
+    # write a checkpoint AT the DV commit carrying the descriptor struct
+    live2, meta2 = replay_head_state(spark, table)
+    rows = []
+    for a in live2.values():
+        dv = a.get("deletionVector")
+        rows.append(
+            (
+                {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues") or {},
+                    "deletionVector": dv,
+                },
+                None,
+                None,
+            )
+        )
+    rows.append((None, meta2, None))
+    rows.append((None, None, {"minReaderVersion": 3, "minWriterVersion": 7}))
+    cp_schema = (
+        "add struct<path: string, partitionValues: map<string,string>, "
+        "deletionVector: struct<storageType: string, pathOrInlineDv: string, "
+        "offset: int, sizeInBytes: int, cardinality: long>>, "
+        "metaData struct<id: string, format: struct<provider: string>, "
+        "schemaString: string, partitionColumns: array<string>, "
+        "configuration: map<string,string>>, "
+        "protocol struct<minReaderVersion: int, minWriterVersion: int>"
+    )
+    cp_df = spark.createDataFrame(rows, cp_schema)
+    log_dir = _os.path.join(table, "_delta_log")
+    tmp_cp = _os.path.join(log_dir, "_cp_tmp")
+    cp_df.coalesce(1).write.mode("overwrite").parquet(tmp_cp)
+    part = next(p for p in _os.listdir(tmp_cp) if p.endswith(".parquet"))
+    _os.replace(
+        _os.path.join(tmp_cp, part), _os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp_cp, ignore_errors=True)
+    with open(_os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        _json.dump({"version": v, "size": len(rows)}, f)
+    # drop the JSON commits the checkpoint replaced: the read now MUST
+    # source the DV from the checkpoint
+    for old in range(v + 1):
+        p = _os.path.join(log_dir, f"{old:020d}.json")
+        if _os.path.exists(p):
+            _os.remove(p)
+    after = sorted(r["id"] for r in read_delta_py(spark, table).collect())
+    assert after == before and len(after) == 9
 
 
 def test_delta_partition_filter_skips_files(spark, sf_dir, tmp_path):
