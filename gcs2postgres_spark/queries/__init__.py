@@ -39,16 +39,21 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # annotation below describes work that is ALREADY COMMITTED when the
 # annotation is written — never planned work. Slots are rotated to the
 # top only as changes land; placeholders for unlanded features are
-# forbidden. Section (a) = the 12 queries whose implementations changed
-# in round 10 (Iceberg partitioned DML + atomic commits, Delta deletion
-# vectors, range-join degradation, fuzzy-join repartition skip).
-# Section (b) = the remaining 38 round-4-newest greens as freshness
-# fill; with the 4 r4-newest queries already in (a), every r4 row
-# refreshes and after this window no newest-green is older than r5.
+# forbidden. Section (a) = the 13 queries whose implementations changed
+# in round 10 (Iceberg partitioned DML + atomic commits + field-id
+# column resolution, Delta deletion vectors + column mapping, range-join
+# degradation, fuzzy-join repartition skip). Section (b) = 37 of the 38
+# remaining round-4-newest greens as freshness fill; with the 4
+# r4-newest queries already in (a), every r4 row refreshes EXCEPT
+# scalar_math_funcs — displaced by the late-landing
+# delta_column_mapping_roundtrip slot (changed code outranks freshness;
+# scalar_math_funcs is frozen since r1 with local oracle-parity pytest
+# coverage and rotates in next round).
 VERIFY_FRONT: list[str] = [
     # (a) r10-changed / new implementations (all committed)
     "iceberg_partitioned_dml_roundtrip",  # NEW r10: partition-tuple delete manifests (iceberg_py._v2_row_level_commit partitioned path)
     "delta_deletion_vector_roundtrip",  # NEW r10: DV decode + anti-join (dv_roaring.py, delta_py._apply_deletion_vectors)
+    "delta_column_mapping_roundtrip",   # NEW r10: column-mapping reads (physical-name scan + logical rename)
     "iceberg_v2_delete_write_roundtrip",  # r10: committer reworked for partition routing + atomic metadata commit
     "iceberg_write_roundtrip",  # r10: atomic metadata commit (tmp + os.replace)
     "iceberg_source_roundtrip",  # r10: write_snapshot_metadata now atomic (also r4-newest green)
@@ -93,7 +98,6 @@ VERIFY_FRONT: list[str] = [
     "q6_revenue_zorder",
     "q7_nation_volume",
     "sample_stratified_exact",
-    "scalar_math_funcs",
     "sequence_pack_greedy",
     "snapshot_diff_cdc",
     "text_repetition_filter",

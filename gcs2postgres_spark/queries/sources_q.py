@@ -418,6 +418,61 @@ def delta_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+DELTA_CM_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_column_mapping_roundtrip", oracle=DELTA_CM_ORACLE)
+def delta_column_mapping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping READ support (landed r10 with the DV work): a
+    mapping-mode Delta table whose data files store PHYSICAL col-NN
+    names, partitionValues keyed by physical name, and one column
+    RENAMED after the fact (n_name -> nation_label logically; the files
+    keep the physical name). The jar-less reader must scan by physical
+    schema and project to logical names — a name-resolving reader
+    returns an all-NULL renamed column here, which the oracle's
+    min(n_name) breaks immediately. The result re-aliases the logical
+    column back to first_name so the oracle stays declarative over the
+    original table."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        write_delta_column_mapping_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_cm_")
+    try:
+        write_delta_column_mapping_fixture(
+            nation.coalesce(1),
+            tmp,
+            partition_col="n_regionkey",
+            renamed={"n_name": "nation_label"},
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("nation_label").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 DELTA_DV_ORACLE = """
 SELECT n_regionkey,
        count(*)                         AS n_nations,

@@ -115,6 +115,15 @@ def local_shuffle_to_shm() -> None:
     SPARK_LOCAL_DIRS is read at JVM start — call BEFORE the session is
     created (bench/sweep entrypoints do). A cluster submits with real
     local SSDs instead; this is the single-node analogue.
+
+    Known trade (ADVICE r9, accepted): tmpfs-backed shuffle turns disk
+    spill into RAM pressure — a spill the JVM performed to RELIEVE
+    memory lands back in page cache. Why it's safe here: only the bench
+    and sweep entrypoints opt in, their working sets at sf<=3 spill at
+    most a few GiB against the 126 GiB tmpfs, and the kernel evicts
+    clean tmpfs pages under pressure before OOMing. Long-lived services
+    or boxes where shuffle spill can approach RAM size should NOT call
+    this — leave scratch on disk (the factory default).
     """
     try:
         import shutil

@@ -118,10 +118,16 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
 def _check_protocol(protocol: dict) -> None:
     reader_version = int(protocol.get("minReaderVersion", 1))
     features = set(protocol.get("readerFeatures") or [])
-    # v3 tables enumerate required reader features; deletionVectors is
-    # honored natively (dv_roaring decode + anti-join), the rest of the
-    # row-transforming features still need the connector
-    unsupported = features - {"timestampNtz", "v2Checkpoint", "deletionVectors"}
+    # v3 tables enumerate required reader features; deletionVectors
+    # (dv_roaring decode + anti-join) and columnMapping (physical-name
+    # scan + logical rename; nested mapping guarded at metaData time)
+    # are honored natively, the rest still need the connector
+    unsupported = features - {
+        "timestampNtz",
+        "v2Checkpoint",
+        "deletionVectors",
+        "columnMapping",
+    }
     if reader_version >= 3 and unsupported:
         raise NotImplementedError(
             f"delta table requires reader features {sorted(unsupported)}; {_DELTA_JAR_HINT}"
@@ -300,18 +306,56 @@ def read_delta_py(
 
     if meta is None:
         raise ValueError(f"no metaData action found in _delta_log of {table_path}")
-    if (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            f"delta column mapping not supported jar-lessly; {_DELTA_JAR_HINT}"
-        )
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise NotImplementedError(f"delta data format {fmt!r} not supported (parquet only)")
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
-    data_schema = StructType([f for f in schema.fields if f.name not in part_cols])
     by_type = {f.name: f.dataType for f in schema.fields}
+
+    # Column mapping ('name' and 'id' modes): data files store PHYSICAL
+    # column names (schemaString field metadata carries
+    # delta.columnMapping.physicalName; upgraded tables keep the
+    # original name as the physical name, so pre-upgrade files resolve
+    # too), and add.partitionValues is keyed by physical name. The scan
+    # therefore requests the physical schema and renames to logical
+    # right after — which is exactly what makes column RENAME evolution
+    # read correctly: the logical name changes, the physical stays.
+    # 'id' mode files also carry parquet field ids, but their parquet
+    # column names equal physicalName for every standard writer, so
+    # physical-name resolution covers both modes; NESTED field mapping
+    # (physicalName on struct members) still needs the connector.
+    mapping_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mapping_mode not in ("none", "name", "id"):
+        raise NotImplementedError(
+            f"delta column mapping mode {mapping_mode!r}; {_DELTA_JAR_HINT}"
+        )
+    phys_of = {f.name: f.name for f in schema.fields}
+    if mapping_mode != "none":
+        from pyspark.sql.types import StructType as _St
+
+        for f in schema.fields:
+            md = f.metadata or {}
+            phys_of[f.name] = md.get("delta.columnMapping.physicalName", f.name)
+            if isinstance(f.dataType, _St) and any(
+                "delta.columnMapping.physicalName" in (nf.metadata or {})
+                for nf in f.dataType.fields
+            ):
+                raise NotImplementedError(
+                    f"delta column mapping on NESTED field {f.name!r}; {_DELTA_JAR_HINT}"
+                )
+    from pyspark.sql.types import StructField as _Sf
+
+    data_schema = StructType(
+        [
+            _Sf(phys_of[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+    )
 
     if not live:
         return spark.createDataFrame([], schema)
@@ -322,14 +366,22 @@ def read_delta_py(
     # executors (_apply_deletion_vectors), never here.
     groups: dict[tuple, list[str]] = {}
     dv_rows: list[tuple[str, str, str, int, int, int]] = []
+
+    def _pv(pv: dict, c: str):
+        # partitionValues is keyed by PHYSICAL name under column
+        # mapping; tolerate logical-keyed maps too (pre-upgrade commits)
+        if phys_of.get(c, c) in pv:
+            return pv[phys_of[c]]
+        return pv.get(c)
+
     for add in live.values():
         pv = add["partitionValues"]
         if partition_filter and any(
-            c in pv and pv[c] not in allowed
+            _pv(pv, c) is not None and _pv(pv, c) not in allowed
             for c, allowed in partition_filter.items()
         ):
             continue  # log-level skip: file can hold no matching row
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(_pv(pv, c) for c in part_cols)
         # scheme'd table paths stay URIs for the scan (Hadoop FS branch);
         # the file: scheme is stripped + local paths absolutized so the
         # DV anti-join key compares equal to the scan's normalized
@@ -373,6 +425,17 @@ def read_delta_py(
                     F.col("_metadata.file_path"), r"^file:(//)?", ""
                 ).alias("__dv_fp"),
                 F.col("_metadata.row_index").cast("long").alias("__dv_pos"),
+            )
+        if mapping_mode != "none":
+            # physical -> logical rename; RENAME evolution is exactly
+            # this projection (the logical name moved, the data didn't)
+            df = df.select(
+                *[
+                    F.col(phys_of[f.name]).alias(f.name)
+                    for f in schema.fields
+                    if f.name not in part_cols
+                ],
+                *(["__dv_fp", "__dv_pos"] if dv_rows else []),
             )
         for c, raw in zip(part_cols, key):
             lit = F.lit(None) if raw is None else F.lit(raw)
@@ -502,6 +565,70 @@ def write_delta_fixture(
         _write_commit(log_dir, 1, removes, now + 1000)
 
 
+def write_delta_column_mapping_fixture(
+    df: DataFrame,
+    table_path: str,
+    partition_col: str | None = None,
+    renamed: dict[str, str] | None = None,
+    mode: str = "name",
+) -> None:
+    """Write ``df`` as a column-mapping Delta table (fixture for the
+    mapping read path): data files store PHYSICAL names ``col-<id>``,
+    the schemaString carries delta.columnMapping.id/physicalName field
+    metadata, partitionValues are keyed by physical name, and the
+    protocol is the mapping-era reader v2 / writer v5. ``renamed`` maps
+    original column names to NEW logical names — the rename-evolution
+    shape: the logical schema shows the new name while the files keep
+    the physical one, which is exactly what name-resolving readers get
+    wrong (NULL column) and mapping-aware readers must get right."""
+    if mode not in ("name", "id"):
+        raise ValueError(f"mode must be name|id, got {mode!r}")
+    renamed = renamed or {}
+    now = 1_700_000_000_000
+    cols = df.columns
+    phys = {c: f"col-{i + 1:02d}" for i, c in enumerate(cols)}
+    physical_df = df.select(*[F.col(c).alias(phys[c]) for c in cols])
+    part_cols_phys = [phys[partition_col]] if partition_col else []
+    adds = _stage_data_files(physical_df, table_path, part_cols_phys, now)
+
+    fields = []
+    for i, f in enumerate(df.schema.fields):
+        logical = renamed.get(f.name, f.name)
+        fields.append(
+            {
+                "name": logical,
+                "type": json.loads(f.dataType.json()),
+                "nullable": f.nullable,
+                "metadata": {
+                    "delta.columnMapping.id": i + 1,
+                    "delta.columnMapping.physicalName": phys[f.name],
+                },
+            }
+        )
+    schema_string = json.dumps({"type": "struct", "fields": fields})
+    part_logical = (
+        [renamed.get(partition_col, partition_col)] if partition_col else []
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": part_logical,
+                "configuration": {
+                    "delta.columnMapping.mode": mode,
+                    "delta.columnMapping.maxColumnId": str(len(cols)),
+                },
+                "createdTime": 0,
+            }
+        },
+        *adds,
+    ]
+    _write_commit(_log_dir(table_path), 0, actions, now)
+
+
 def add_deletion_vectors(
     table_path: str,
     deletes: dict[str, list[int]],
@@ -548,13 +675,27 @@ def add_deletion_vectors(
     if missing:
         raise ValueError(f"deletes name non-live files: {missing}")
 
+    # spec-truthful feature list: a v3 protocol enumerates EVERY reader
+    # feature in use, so a mapping table's upgrade must carry both
+    meta = None
+    for v in sorted(commits):
+        for line in fsio.read_text(commits[v]).splitlines():
+            if line.strip():
+                a = json.loads(line)
+                if "metaData" in a:
+                    meta = a["metaData"]
+    features = ["deletionVectors"]
+    if ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        features.append("columnMapping")
     actions: list[dict] = [
         {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": features,
+                "writerFeatures": list(features),
             }
         }
     ]
@@ -786,6 +927,13 @@ def write_delta(
             with open(os.path.join(log_dir, "_last_checkpoint")) as f:
                 version = int(json.load(f)["version"]) + 1
         live, meta = replay_head_state(df.sparkSession, table_path)
+        if ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "jar-less Delta WRITE to a column-mapping table would store "
+                f"LOGICAL names in the data files (silent corruption); {_DELTA_JAR_HINT}"
+            )
         table_parts = list((meta or {}).get("partitionColumns") or [])
         if partition_by is None:
             part_cols = table_parts

@@ -28,10 +28,12 @@ Scope (documented, checked with clear errors):
 - Identity-transform partition pruning from MANIFEST metadata via
   ``partition_filter`` (planning-time file skip, zero I/O for pruned
   partitions); non-identity transforms are conservatively kept.
-- Column resolution is BY NAME against the table schema (missing →
-  NULL, same contract as reconcile OP-5); the spec's field-id-based
-  mapping needs the jar. Renamed-column evolution therefore reads as
-  the new name with NULLs for old files — documented divergence.
+- Column resolution is BY FIELD ID (the spec's rule) whenever the
+  parquet footers carry ids: files are grouped by their (name, id)
+  signature and each group projects to the table schema by id, so
+  RENAMED-column evolution reads old files' values under the new name.
+  Files without ids (or unprobeable footers, e.g. remote schemes)
+  resolve BY NAME (missing → NULL, the reconcile OP-5 contract).
 - Data files must be parquet (the only format the driver testdata
   uses; ORC/Avro data files raise clearly).
 
@@ -271,8 +273,10 @@ def read_iceberg_py(
     Driver work is metadata-only: metadata JSON → manifest list (Avro) →
     manifests (Avro) → live parquet file list; data is scanned by
     ``spark.read.parquet`` on executors. Output columns follow the table
-    schema (name-resolved, missing → NULL, cast to the declared type —
-    the reconcile OP-5/OP-6 contract).
+    schema — resolved by FIELD ID when the files carry parquet ids
+    (spec behavior; renames read correctly), by name otherwise
+    (missing → NULL, cast to the declared type — the reconcile
+    OP-5/OP-6 contract).
 
     v2 row-level deletes are applied Spark-side, never on the driver:
 
@@ -414,20 +418,80 @@ def read_iceberg_py(
     if not data_files:
         return spark.createDataFrame([], spark_schema)
     paths = sorted({p for p, _ in data_files})
-    df = spark.read.parquet(*paths)
 
-    if pos_deletes or eq_deletes:
-        df = _apply_v2_deletes(spark, df, data_files, pos_deletes, eq_deletes, field_names)
+    # Column resolution: BY FIELD ID when the parquet files carry ids
+    # (the spec's rule — a renamed column keeps its id, so post-rename
+    # reads stay correct), BY NAME otherwise (plain files; also the
+    # fallback when footers can't be probed, e.g. remote schemes).
+    # Files are grouped by their (name, id) footer signature — a
+    # metadata read per file, the same O(files) class as the manifest
+    # walk — and each group becomes one distributed scan projected to
+    # the table schema; one signature (the overwhelmingly common case)
+    # means exactly one scan, the pre-r10 plan.
+    groups = _group_by_field_ids(paths)
+    need_tag = bool(pos_deletes or eq_deletes)
+    helpers = ["__ice_fp", "__ice_pos"] if need_tag else []
+    parts = []
+    for idmap, gpaths in groups:
+        df = spark.read.parquet(*gpaths)
+        if need_tag:
+            df = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias(
+                    "__ice_fp"
+                ),
+                F.col("_metadata.row_index").alias("__ice_pos"),
+            )
+        cols = []
+        lower = {c.lower(): c for c in df.columns if c not in helpers}
+        for fjson, field in zip(schema_json["fields"], spark_schema.fields):
+            src = idmap.get(fjson["id"]) if idmap else None
+            if src is None:
+                src = lower.get(field.name.lower())
+            if src is None:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.col(src).cast(field.dataType).alias(field.name))
+        parts.append(df.select(*cols, *helpers))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
 
-    cols = []
-    lower = {c.lower(): c for c in df.columns}
-    for field in spark_schema.fields:
-        src = lower.get(field.name.lower())
-        if src is None:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-        else:
-            cols.append(F.col(src).cast(field.dataType).alias(field.name))
-    return df.select(*cols)
+    if need_tag:
+        df = _apply_v2_deletes(
+            spark, df, data_files, pos_deletes, eq_deletes, field_names, pretagged=True
+        )
+    return df.select(*[f.name for f in spark_schema.fields])
+
+
+def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, list[str]]]:
+    """Group parquet paths by their top-level (column name, field id)
+    footer signature; returns [(id->name map or None, paths)]. A single
+    all-None-ids signature (files written without ids) or ANY probe
+    failure collapses to one name-resolved group — the conservative
+    pre-field-id behavior."""
+    try:
+        import pyarrow.parquet as pq
+
+        sig_of: dict[tuple, list[str]] = {}
+        for p in sorted(paths):
+            sch = pq.ParquetFile(p).schema_arrow
+            sig = []
+            for f in sch:
+                md = f.metadata or {}
+                fid = md.get(b"PARQUET:field_id")
+                sig.append((f.name, int(fid) if fid is not None else None))
+            sig_of.setdefault(tuple(sig), []).append(p)
+    except Exception:  # noqa: BLE001 — probe is an optimization; any
+        # failure (remote scheme, exotic footer) degrades to name-based
+        return [(None, sorted(paths))]
+    out: list[tuple[dict[int, str] | None, list[str]]] = []
+    for sig, gpaths in sorted(sig_of.items()):
+        idmap = {fid: name for name, fid in sig if fid is not None}
+        out.append((idmap or None, gpaths))
+    if all(m is None for m, _ in out):
+        return [(None, sorted(paths))]
+    return out
 
 
 def _apply_v2_deletes(
@@ -437,22 +501,28 @@ def _apply_v2_deletes(
     pos_deletes: list[tuple[str, int]],
     eq_deletes: list[tuple[str, int, tuple[int, ...]]],
     field_names: dict[int, str],
+    pretagged: bool = False,
 ) -> DataFrame:
     """Apply v2 delete files to a data scan as anti-joins.
 
     The scan is tagged with ``_metadata.file_path`` / ``row_index`` plus
     its file's data sequence number (broadcast map join — the file list
-    is metadata-sized, O(#files), never row data). Delete files are
-    grouped by sequence number (and by equality-id set) so each group is
-    ONE distributed parquet read, and each group contributes one
-    anti-join; Catalyst/AQE picks broadcast vs shuffle per delete-side
-    size. No row data ever transits the driver."""
-    data_cols = df.columns
-    df = df.select(
-        "*",
-        F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias("__ice_fp"),
-        F.col("_metadata.row_index").alias("__ice_pos"),
-    )
+    is metadata-sized, O(#files), never row data); ``pretagged=True``
+    means the caller already added ``__ice_fp``/``__ice_pos`` (the read
+    path tags before its per-group field-id projection). Delete files
+    are grouped by sequence number (and by equality-id set) so each
+    group is ONE distributed parquet read, and each group contributes
+    one anti-join; Catalyst/AQE picks broadcast vs shuffle per
+    delete-side size. No row data ever transits the driver. Equality-
+    delete FILE columns resolve by field id when their footers carry
+    ids (post-rename delete files), by the table name otherwise."""
+    data_cols = [c for c in df.columns if c not in ("__ice_fp", "__ice_pos")]
+    if not pretagged:
+        df = df.select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias("__ice_fp"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        )
     seq_df = spark.createDataFrame(
         [(_norm_path(p), s) for p, s in data_files], "__ice_seq_fp string, __ice_seq long"
     )
@@ -485,15 +555,25 @@ def _apply_v2_deletes(
         by_key.setdefault((ids, s), []).append(p)
     for (ids, del_seq), paths in sorted(by_key.items()):
         names = [field_names[i] for i in ids]
+        (del_idmap, _), *rest = _group_by_field_ids(sorted(paths))
+        if rest:
+            raise NotImplementedError(
+                f"equality delete files with mixed column signatures: table {_JAR_HINT}"
+            )
+        src_names = [
+            (del_idmap or {}).get(i, field_names[i]) for i in ids
+        ]
         dels = spark.read.parquet(*sorted(paths)).select(
-            *[F.col(n).alias(f"__del_{n}") for n in names]
+            *[F.col(s_).alias(f"__del_{n}") for s_, n in zip(src_names, names)]
         )
         cond = F.lit(del_seq) > df["__ice_seq"]
         for n in names:
             cond = cond & df[n].eqNullSafe(dels[f"__del_{n}"])
         df = df.join(dels, cond, "left_anti")
 
-    return df.select(*data_cols)
+    # pretagged callers keep their identity helpers (they project last);
+    # the legacy path returns exactly the caller's columns
+    return df if pretagged else df.select(*data_cols)
 
 
 # ------------------------------------------------------------ fixture writer
@@ -862,6 +942,23 @@ def write_iceberg_v2_fixture(
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
 
 
+def with_parquet_field_ids(df: DataFrame, schema_json: dict | None = None) -> DataFrame:
+    """Stamp ``parquet.field.id`` column metadata (ids from
+    spark_to_iceberg_schema order, or an explicit Iceberg schema JSON)
+    so executor-written parquet files carry the spec's field ids —
+    Spark's writer emits them whenever the schema metadata is present
+    (spark.sql.parquet.fieldId.write.enabled, default on). Fixture-side
+    twin of the reader's id-based resolution."""
+    ice = schema_json or spark_to_iceberg_schema(df.schema)
+    ids = {f["name"]: f["id"] for f in ice["fields"]}
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            for c in df.columns
+        ]
+    )
+
+
 def write_iceberg_fixture(df: DataFrame, table_path: str) -> None:
     """Materialize ``df`` as a spec-shaped v1 Iceberg table: executors
     write the parquet data files (df.write.parquet — distributed); the
@@ -1178,23 +1275,51 @@ def _v2_row_level_commit(
 
     del_files: list[str] = []
     if data_files:
-        # tag each row with its (file, pos) identity FIRST (as plain
-        # columns, so _apply_v2_deletes carries them through), store the
-        # manifest-normalized path form so any reader's compare matches
-        tagged = spark.read.parquet(*sorted({p for p, _ in data_files})).select(
-            "*",
-            F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias(
-                "__dml_fp"
-            ),
-            F.col("_metadata.row_index").cast("long").alias("__dml_pos"),
-        )
+        # The matching scan mirrors the read path exactly: files grouped
+        # by field-id signature, each group tagged with its (file, pos)
+        # identity FIRST (plain columns, manifest-normalized paths) and
+        # projected to the TABLE schema by id/name — so the caller's
+        # predicate runs over table-named, table-typed columns even on a
+        # renamed table, and existing deletes apply on the same frame.
+        spark_schema = iceberg_to_spark_type(schema_json)
+        parts = []
+        for idmap, gpaths in _group_by_field_ids(sorted({p for p, _ in data_files})):
+            t = spark.read.parquet(*gpaths).select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:(//)?", ""
+                ).alias("__ice_fp"),
+                F.col("_metadata.row_index").cast("long").alias("__ice_pos"),
+            )
+            lower = {
+                c.lower(): c for c in t.columns if c not in ("__ice_fp", "__ice_pos")
+            }
+            cols = []
+            for fjson, field in zip(schema_json["fields"], spark_schema.fields):
+                src = idmap.get(fjson["id"]) if idmap else None
+                if src is None:
+                    src = lower.get(field.name.lower())
+                if src is None:
+                    cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+                else:
+                    cols.append(F.col(src).cast(field.dataType).alias(field.name))
+            parts.append(t.select(*cols, "__ice_fp", "__ice_pos"))
+        tagged = parts[0]
+        for p in parts[1:]:
+            tagged = tagged.unionByName(p)
         if pos_deletes or eq_deletes:
             tagged = _apply_v2_deletes(
-                spark, tagged, data_files, pos_deletes, eq_deletes, field_names
+                spark,
+                tagged,
+                data_files,
+                pos_deletes,
+                eq_deletes,
+                field_names,
+                pretagged=True,
             )
         matches = tagged.filter(predicate).select(
-            F.col("__dml_fp").alias("file_path"),
-            F.col("__dml_pos").alias("pos"),
+            F.col("__ice_fp").alias("file_path"),
+            F.col("__ice_pos").alias("pos"),
         )
         del_dir = os.path.join(
             table_path, "data", f"delete-{sid}-{uuid.uuid4().hex[:8]}"

@@ -582,6 +582,102 @@ def test_iceberg_non_identity_transform_dml_clear_error(spark, tmp_path):
         delete_where(spark, table, "id = 1")
 
 
+def test_iceberg_field_id_rename_evolution(spark, tmp_path):
+    """Spec-correct schema evolution: a column renamed in the table
+    metadata (same field id) must read its OLD files' values under the
+    NEW name when the files carry parquet field ids — and files written
+    BEFORE and AFTER the rename (different parquet column names, same
+    id) must union into one correct result. Files without ids keep the
+    name-resolved fallback (missing -> NULL), pinned too."""
+    import json as _json
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        latest_metadata_file,
+        read_iceberg_py,
+        with_parquet_field_ids,
+        write_iceberg,
+        write_iceberg_fixture,
+    )
+
+    df = spark.range(10).selectExpr("id AS v", "concat('n', id) AS name")
+    table = str(tmp_path / "ice_rename")
+    write_iceberg_fixture(with_parquet_field_ids(df).coalesce(1), table)
+
+    # rename name -> title in the table metadata (same field id)
+    meta_path = latest_metadata_file(table)
+    meta = _json.loads(open(meta_path).read())
+    fld = next(f for f in meta["schema"]["fields"] if f["name"] == "name")
+    fld["name"] = "title"
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+
+    out = read_iceberg_py(spark, table)
+    assert set(out.columns) == {"v", "title"}
+    got = {r["v"]: r["title"] for r in out.collect()}
+    assert got == {i: f"n{i}" for i in range(10)}  # id-resolved, not NULL
+
+    # post-rename append: files whose parquet column IS 'title' (same id)
+    df2 = spark.range(10, 15).selectExpr("id AS v", "concat('n', id) AS title")
+    ice_schema = {
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "v", "required": False, "type": "long"},
+            {"id": 2, "name": "title", "required": False, "type": "string"},
+        ],
+    }
+    write_iceberg(
+        with_parquet_field_ids(df2, ice_schema), table, "append", snapshot_ts_ms=5
+    )
+    # write_iceberg re-derives metadata from df2.schema (name 'title'),
+    # so the rename persists; both file generations must union by id
+    out2 = {r["v"]: r["title"] for r in read_iceberg_py(spark, table).collect()}
+    assert out2 == {i: f"n{i}" for i in range(15)}
+
+    # no-ids fallback unchanged: a plain fixture + rename reads NULLs
+    table2 = str(tmp_path / "ice_rename_noids")
+    write_iceberg_fixture(df.coalesce(1), table2)
+    meta_path2 = latest_metadata_file(table2)
+    meta2 = _json.loads(open(meta_path2).read())
+    next(f for f in meta2["schema"]["fields"] if f["name"] == "name")["name"] = "title"
+    with open(meta_path2, "w") as f:
+        _json.dump(meta2, f)
+    assert read_iceberg_py(spark, table2).filter("title IS NULL").count() == 10
+
+
+def test_iceberg_dml_on_renamed_column(spark, tmp_path):
+    """delete_where over a RENAMED column: the matching scan projects to
+    the table schema by field id before the predicate runs, so a
+    predicate naming the new logical column matches rows stored under
+    the old parquet name — and the committed deletes read back."""
+    import json as _json
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        latest_metadata_file,
+        read_iceberg_py,
+        spark_to_iceberg_schema,
+        with_parquet_field_ids,
+        write_iceberg_v2_fixture,
+    )
+
+    df = spark.range(12).selectExpr("id AS v", "CAST(id % 3 AS INT) AS grp")
+    table = str(tmp_path / "ice_dml_rename")
+    write_iceberg_v2_fixture(
+        with_parquet_field_ids(df, spark_to_iceberg_schema(df.schema)).coalesce(1),
+        table,
+        sort_col="v",
+    )
+    meta_path = latest_metadata_file(table)
+    meta = _json.loads(open(meta_path).read())
+    next(f for f in meta["schemas"][0]["fields"] if f["name"] == "grp")["name"] = "bucket"
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+
+    assert delete_where(spark, table, "bucket = 1") is not None
+    rows = sorted(r["v"] for r in read_iceberg_py(spark, table).collect())
+    assert rows == [v for v in range(12) if v % 3 != 1]
+
+
 def test_iceberg_atomic_commit_crash_window(spark, tmp_path, monkeypatch):
     """Crash between the metadata-JSON write and the version-hint write
     must leave readers on the OLD snapshot (the hint is the commit
@@ -776,6 +872,10 @@ def test_delta_unsupported_features_clear_error(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_py(spark, table)
 
+    # column mapping is supported since r10: a mapping-mode table whose
+    # fields carry no physicalName metadata (an upgraded table where
+    # physical == logical) reads fine — here empty, with the logical
+    # schema. An UNKNOWN mapping mode still refuses.
     table2 = str(tmp_path / "delta_cm")
     log2 = os.path.join(table2, "_delta_log")
     os.makedirs(log2)
@@ -785,8 +885,20 @@ def test_delta_unsupported_features_clear_error(spark, tmp_path):
                                          "schemaString": schema, "partitionColumns": [],
                                          "configuration": {"delta.columnMapping.mode": "name"}}})
                 + "\n")
-    with pytest.raises(NotImplementedError, match="delta-spark"):
-        read_delta_py(spark, table2)
+    out = read_delta_py(spark, table2)
+    assert out.columns == ["a"] and out.count() == 0
+
+    table3 = str(tmp_path / "delta_cm_bogus")
+    log3 = os.path.join(table3, "_delta_log")
+    os.makedirs(log3)
+    with open(os.path.join(log3, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet"},
+                                         "schemaString": schema, "partitionColumns": [],
+                                         "configuration": {"delta.columnMapping.mode": "bogus"}}})
+                + "\n")
+    with pytest.raises(NotImplementedError, match="bogus"):
+        read_delta_py(spark, table3)
 
 
 def test_delta_not_a_table_clear_error(spark, tmp_path):
@@ -1019,8 +1131,8 @@ def test_delta_deletion_vector_checksum_corruption_raises(spark, tmp_path):
 
 
 def test_delta_unknown_reader_feature_still_refuses(spark, tmp_path):
-    """deletionVectors is now honored, but an unknown row-transforming
-    reader feature must still raise the jar hint."""
+    """deletionVectors and columnMapping are now honored, but an unknown
+    row-transforming reader feature must still raise the jar hint."""
     import json as _json
     import os as _os
 
@@ -1036,13 +1148,13 @@ def test_delta_unknown_reader_feature_still_refuses(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors", "columnMapping"],
+                        "readerFeatures": ["deletionVectors", "icebergCompatV2"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         read_delta_py(spark, table).collect()
 
 
@@ -1115,6 +1227,106 @@ def test_delta_checkpoint_preserves_deletion_vectors(spark, tmp_path):
             _os.remove(p)
     after = sorted(r["id"] for r in read_delta_py(spark, table).collect())
     assert after == before and len(after) == 9
+
+
+def test_delta_column_mapping_rename_partition_and_dv(spark, tmp_path):
+    """Column mapping ('name' mode): physical col-NN data files read
+    back under logical names, a renamed column resolves through its
+    physicalName (a name-resolving reader would return NULLs), the
+    partition filter prunes by LOGICAL name against physical-keyed
+    partitionValues, deletion vectors compose with the rename, and
+    'id'-mode tables read identically."""
+    from gcs2postgres_spark.sources.delta_py import (
+        add_deletion_vectors,
+        read_delta_py,
+        replay_head_state,
+        write_delta,
+        write_delta_column_mapping_fixture,
+    )
+
+    table = str(tmp_path / "cmtab")
+    df = spark.range(20).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS grp", "id * 2 AS twice"
+    )
+    write_delta_column_mapping_fixture(
+        df.coalesce(1), table, partition_col="grp", renamed={"twice": "doubled"}
+    )
+    out = read_delta_py(spark, table)
+    assert set(out.columns) == {"id", "grp", "doubled"}
+    rows = {r["id"]: (r["grp"], r["doubled"]) for r in out.collect()}
+    assert len(rows) == 20 and rows[7] == ("3", 14)
+    pruned = read_delta_py(spark, table, partition_filter={"grp": {"1"}})
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 5, 9, 13, 17]
+    # DVs compose with mapping (feature list carries both)
+    live, _ = replay_head_state(spark, table)
+    add_deletion_vectors(table, {sorted(live)[0]: [0]})
+    assert read_delta_py(spark, table).count() == 19
+    # jar-less WRITE to a mapping table must refuse (logical-name files
+    # would silently corrupt)
+    with pytest.raises(NotImplementedError, match="LOGICAL names"):
+        write_delta(df, table, "append")
+    # id mode reads through the same physical-name path
+    table2 = str(tmp_path / "cmid")
+    write_delta_column_mapping_fixture(df.coalesce(1), table2, mode="id")
+    assert read_delta_py(spark, table2).count() == 20
+
+
+def test_delta_column_mapping_nested_refuses(spark, tmp_path):
+    """physicalName on NESTED struct members needs the connector —
+    refuse, never silently null the nested fields."""
+    import json as _json
+    import os as _os
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py
+
+    table = str(tmp_path / "cmnested")
+    log = _os.path.join(table, "_delta_log")
+    _os.makedirs(log)
+    nested_schema = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "s",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-01",
+                },
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "x",
+                            "type": "integer",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 2,
+                                "delta.columnMapping.physicalName": "col-02",
+                            },
+                        }
+                    ],
+                },
+            }
+        ],
+    }
+    with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
+        f.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+        f.write(
+            _json.dumps(
+                {
+                    "metaData": {
+                        "id": "x",
+                        "format": {"provider": "parquet"},
+                        "schemaString": _json.dumps(nested_schema),
+                        "partitionColumns": [],
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="NESTED"):
+        read_delta_py(spark, table)
 
 
 def test_delta_partition_filter_skips_files(spark, sf_dir, tmp_path):
