@@ -39,21 +39,24 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # annotation below describes work that is ALREADY COMMITTED when the
 # annotation is written — never planned work. Slots are rotated to the
 # top only as changes land; placeholders for unlanded features are
-# forbidden. Section (a) = the 13 queries whose implementations changed
+# forbidden. Section (a) = the 14 queries whose implementations changed
 # in round 10 (Iceberg partitioned DML + atomic commits + field-id
 # column resolution, Delta deletion vectors + column mapping, range-join
-# degradation, fuzzy-join repartition skip). Section (b) = 37 of the 38
+# degradation, fuzzy-join repartition skip, Delta DV DELETE committer).
+# Section (b) = 36 of the 38
 # remaining round-4-newest greens as freshness fill; with the 4
 # r4-newest queries already in (a), every r4 row refreshes EXCEPT
-# scalar_math_funcs — displaced by the late-landing
-# delta_column_mapping_roundtrip slot (changed code outranks freshness;
-# scalar_math_funcs is frozen since r1 with local oracle-parity pytest
-# coverage and rotates in next round).
+# scalar_math_funcs and join_left — displaced by the late-landing
+# delta_column_mapping_roundtrip and delta_dv_delete_where_roundtrip
+# slots (changed/new code outranks freshness; both displaced queries
+# are frozen since r1 with local oracle-parity pytest coverage and
+# rotate in next round).
 VERIFY_FRONT: list[str] = [
     # (a) r10-changed / new implementations (all committed)
     "iceberg_partitioned_dml_roundtrip",  # NEW r10: partition-tuple delete manifests (iceberg_py._v2_row_level_commit partitioned path)
     "delta_deletion_vector_roundtrip",  # NEW r10: DV decode + anti-join (dv_roaring.py, delta_py._apply_deletion_vectors)
     "delta_column_mapping_roundtrip",   # NEW r10: column-mapping reads (physical-name scan + logical rename)
+    "delta_dv_delete_where_roundtrip",  # NEW r10: DELETE via deletion vectors (executor-built bitmaps)
     "iceberg_v2_delete_write_roundtrip",  # r10: committer reworked for partition routing + atomic metadata commit
     "iceberg_write_roundtrip",  # r10: atomic metadata commit (tmp + os.replace)
     "iceberg_source_roundtrip",  # r10: write_snapshot_metadata now atomic (also r4-newest green)
@@ -64,7 +67,8 @@ VERIFY_FRONT: list[str] = [
     "range_join_bands",  # r10: range_join grew auto/bucketize strategies; this query stays on the broadcast arm
     "fuzzy_join_entity_match",  # r10: _spread_on_keys repartition skip
     "fuzzy_join_topk_per_entity",  # r10: _spread_on_keys repartition skip
-    # (b) freshness fill: every remaining r4-newest green, name order
+    # (b) freshness fill: the r4-newest greens (see header for the two
+    # displaced entries), name order
     "agg_stats_basic",
     "avro_source_roundtrip",
     "bloom_semi_prune",
@@ -86,7 +90,6 @@ VERIFY_FRONT: list[str] = [
     "grouped_agg_weighted_mean",
     "grouped_map_ols",
     "incremental_rollup_update",
-    "join_left",
     "profile_table_quality",
     "q10_returned_items",
     "q19_disjunctive_pred",

@@ -560,6 +560,65 @@ def delta_deletion_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         raise
 
 
+DELTA_DV_DELETE_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM nation
+WHERE n_regionkey <> 2 AND n_nationkey NOT IN (3, 5)
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_dv_delete_where_roundtrip", oracle=DELTA_DV_DELETE_ORACLE)
+def delta_dv_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DML WRITE path: jar-less DELETE via deletion vectors —
+    the lakehouse twin of iceberg_v2_delete_write_roundtrip, in Delta's
+    bitmap encoding.
+
+    Two stacked delete_where_delta commits on a partitioned table:
+    ``n_regionkey = 2`` (empties a partition), then ``n_nationkey IN
+    (3, 5)`` — whose matching scan runs through the DV-applying reader,
+    so only LIVE rows match and the second commit's per-file vectors
+    are the UNION of old + new positions (supersede semantics). The
+    bitmaps are built and written on EXECUTORS (applyInPandas per
+    affected file); only descriptor rows reach the driver. The final
+    read decodes three deletion vectors and anti-joins them; a leaked,
+    double-applied, or dropped-merge position breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        write_delta_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_dv_del_")
+    try:
+        write_delta_fixture(nation.coalesce(1), tmp, partition_col="n_regionkey")
+        delete_where_delta(spark, tmp, "n_regionkey = 2", timestamp_ms=1_700_000_002_000)
+        delete_where_delta(
+            spark, tmp, "n_nationkey IN (3, 5)", timestamp_ms=1_700_000_003_000
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 DELTA_TIME_TRAVEL_ORACLE = """
 SELECT count(*)                         AS n_nations,
        CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,

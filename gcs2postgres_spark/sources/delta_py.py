@@ -235,6 +235,7 @@ def read_delta_py(
     version_as_of: int | None = None,
     timestamp_as_of_ms: int | None = None,
     partition_filter: dict[str, set] | None = None,
+    _keep_identity: bool = False,
 ) -> DataFrame:
     """Read a Delta table without the delta-spark jar.
 
@@ -415,10 +416,14 @@ def read_delta_py(
     if not groups:
         return spark.createDataFrame([], schema)
     out_cols = [f.name for f in schema.fields]
+    # _keep_identity (internal; delete_where_delta's matching scan):
+    # expose the per-row (file, row-index) identity helpers in the
+    # output even when no DVs exist yet
+    tag = bool(dv_rows) or _keep_identity
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(data_schema).parquet(*paths)
-        if dv_rows:
+        if tag:
             df = df.select(
                 "*",
                 F.regexp_replace(
@@ -435,19 +440,20 @@ def read_delta_py(
                     for f in schema.fields
                     if f.name not in part_cols
                 ],
-                *(["__dv_fp", "__dv_pos"] if dv_rows else []),
+                *(["__dv_fp", "__dv_pos"] if tag else []),
             )
         for c, raw in zip(part_cols, key):
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(by_type[c]))
         parts.append(
-            df.select(*out_cols, *(["__dv_fp", "__dv_pos"] if dv_rows else []))
+            df.select(*out_cols, *(["__dv_fp", "__dv_pos"] if tag else []))
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     if dv_rows:
-        out = _apply_deletion_vectors(spark, out, dv_rows).select(*out_cols)
+        keep = out_cols + (["__dv_fp", "__dv_pos"] if _keep_identity else [])
+        out = _apply_deletion_vectors(spark, out, dv_rows).select(*keep)
     return out
 
 
@@ -727,13 +733,15 @@ def add_deletion_vectors(
                 "remove": {
                     "path": rel,
                     "deletionTimestamp": timestamp_ms,
-                    "dataChange": False,
+                    "dataChange": True,
                 }
             }
         )
         new_add = dict(old)
         new_add["deletionVector"] = dv
-        new_add["dataChange"] = False
+        # a DV attach hides rows: that IS a data change (protocol:
+        # dataChange=false is reserved for pure rearrangements)
+        new_add["dataChange"] = True
         actions.append({"add": new_add})
     version = max(commits) + 1
     _write_commit(log_dir, version, actions, timestamp_ms)
@@ -965,14 +973,199 @@ def write_delta(
     return version
 
 
+def delete_where_delta(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    timestamp_ms: int | None = None,
+) -> int | None:
+    """Jar-less Delta DELETE via DELETION VECTORS (merge-on-read, the
+    same physical strategy delta-spark uses when DVs are enabled):
+    commit per-file deletion vectors for the rows matching ``predicate``
+    (a Spark SQL boolean expression over the table columns) and return
+    the new version — or None when nothing matches (no commit).
+
+    Scale shape, mirroring iceberg_py.delete_where: the LIVE rows are
+    scanned DISTRIBUTED through read_delta_py itself (existing DVs,
+    column mapping, and partition grouping all apply, so only live rows
+    can match and repeated predicates are true no-ops), each match is
+    identified by the scan's ``_metadata`` (file, row-index) identity,
+    and the new bitmaps are built and written ON EXECUTORS — one
+    ``applyInPandas`` group per affected file unions the matches with
+    the file's EXISTING vector (supersede semantics: the newest add's
+    DV replaces, so it must carry the whole history), serializes it
+    through dv_roaring's framed format into a fresh
+    ``deletion_vector_<uuid>.bin``, and returns one DESCRIPTOR row.
+    Only those descriptors (one per file — metadata-sized) transit the
+    driver, which writes the commit: remove + re-add per file plus the
+    reader-v3 protocol upgrade — the action shape add_deletion_vectors
+    pins in tests. Orphan DV files from a crashed run are unreferenced
+    and harmless (content-addressed names), the same recovery story as
+    every DV writer.
+
+    Parity note: the reference delegates DELETE to its warehouse
+    (src/db/db.go:59 query passthrough); this is the lakehouse-side
+    equivalent, matching the Iceberg committer's position-delete
+    strategy but in Delta's bitmap encoding."""
+    import time as _time
+
+    from pyspark import cloudpickle as _cp
+
+    from gcs2postgres_spark.sources import dv_roaring
+    from gcs2postgres_spark.sources.dv_roaring import (
+        read_dv_blob,
+        roaring_array_decode,
+        roaring_array_encode,
+        z85_decode,
+        z85_encode,
+    )
+
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Delta DML is local-filesystem only (object-store "
+            f"commits need atomic-put semantics); {_DELTA_JAR_HINT}"
+        )
+    live, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+
+    # per-file map (metadata-sized, broadcast): normalized abs path ->
+    # rel path + existing-DV resolution, so each executor group can
+    # merge without a driver round trip
+    file_rows = []
+    for rel, add in live.items():
+        ap = os.path.abspath(
+            re.sub(r"^file:(//)?", "", os.path.join(table_path, unquote(rel)))
+        )
+        dv = add.get("deletionVector")
+        if dv:
+            kind, loc = _dv_location(table_path, dv)
+            if kind == "file":
+                loc = os.path.abspath(re.sub(r"^file:(//)?", "", loc))
+            file_rows.append(
+                (ap, rel, kind, loc, int(dv.get("offset") or 0), int(dv["sizeInBytes"]))
+            )
+        else:
+            file_rows.append((ap, rel, None, None, 0, 0))
+    fmap = spark.createDataFrame(
+        file_rows,
+        "fp string, rel string, old_kind string, old_loc string, "
+        "old_offset int, old_size int",
+    )
+
+    # live scan with row identity through the READER ITSELF
+    # (_keep_identity exposes the (file, row-index) helpers): existing
+    # DVs, column mapping, and partition grouping all apply, so the
+    # predicate sees live rows under logical names and matches carry the
+    # exact identity the new bitmaps must encode
+    tagged = (
+        read_delta_py(spark, table_path, _keep_identity=True)
+        .filter(predicate)
+        .select("__dv_fp", "__dv_pos")
+    )
+    joined = tagged.join(F.broadcast(fmap), tagged["__dv_fp"] == fmap["fp"], "inner")
+
+    abs_table = os.path.abspath(table_path)
+    _cp.register_pickle_by_value(dv_roaring)
+
+    def build_dv(pdf):
+        # one group = one data file's matched row indexes
+        import struct
+        import uuid as _uuid
+        import zlib
+
+        import pandas as pd
+
+        positions = set(int(v) for v in pdf["__dv_pos"])
+        rel = pdf["rel"].iloc[0]
+        old_kind = pdf["old_kind"].iloc[0]
+        if old_kind == "inline":
+            positions.update(roaring_array_decode(z85_decode(pdf["old_loc"].iloc[0])))
+        elif old_kind == "file":
+            with open(pdf["old_loc"].iloc[0], "rb") as f:
+                positions.update(
+                    read_dv_blob(
+                        f.read(),
+                        int(pdf["old_offset"].iloc[0]),
+                        int(pdf["old_size"].iloc[0]),
+                    )
+                )
+        data = roaring_array_encode(sorted(positions))
+        u = _uuid.uuid4()
+        out_path = os.path.join(abs_table, f"deletion_vector_{u}.bin")
+        with open(out_path, "wb") as f:
+            f.write(b"\x01")
+            f.write(struct.pack(">i", len(data)))
+            f.write(data)
+            f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+        return pd.DataFrame(
+            {
+                "rel": [rel],
+                "payload": [z85_encode(u.bytes)],
+                "size_bytes": [len(data)],
+                "cardinality": [len(positions)],
+            }
+        )
+
+    descriptors = joined.groupBy("__dv_fp").applyInPandas(
+        build_dv, "rel string, payload string, size_bytes int, cardinality long"
+    ).collect()
+    if not descriptors:
+        return None
+
+    now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
+    features = ["deletionVectors"]
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none") != "none":
+        features.append("columnMapping")
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": features,
+                "writerFeatures": list(features),
+            }
+        }
+    ]
+    for row in sorted(descriptors, key=lambda r: r["rel"]):
+        actions.append(
+            {
+                "remove": {
+                    "path": row["rel"],
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = dict(live[row["rel"]])
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": row["payload"],
+            "offset": 1,
+            "sizeInBytes": int(row["size_bytes"]),
+            "cardinality": int(row["cardinality"]),
+        }
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    log_dir = _log_dir(table_path)
+    version = max(_list_commits(log_dir)) + 1
+    _write_commit(log_dir, version, actions, now)
+    return version
+
+
 def vacuum_delta(table_path: str) -> int:
     """Physical cleanup: delete data files no longer referenced by the
-    HEAD version (i.e. tombstoned by overwrites) and return how many
-    were removed. Same trade as Delta's VACUUM RETAIN 0 HOURS: reclaims
-    storage, destroys time travel to the vacuumed versions — readers of
-    HEAD are unaffected because a version's file set is immutable once
-    its commit lands. Driver work is O(files) metadata; deletion is
-    local/posix here (object-store delete batches in production)."""
+    HEAD version (i.e. tombstoned by overwrites) — plus DELETION-VECTOR
+    files no live add references (superseded by a newer vector or
+    removed with their data file; real VACUUM collects these too) — and
+    return how many files were removed. Same trade as Delta's VACUUM
+    RETAIN 0 HOURS: reclaims storage, destroys time travel to the
+    vacuumed versions — readers of HEAD are unaffected because a
+    version's file set is immutable once its commit lands. Driver work
+    is O(files) metadata; deletion is local/posix here (object-store
+    delete batches in production)."""
+    import glob as _glob
+
     if fsio.has_scheme(table_path):
         raise NotImplementedError(
             "jar-less Delta VACUUM is local-filesystem only (bulk deletes "
@@ -982,7 +1175,7 @@ def vacuum_delta(table_path: str) -> int:
     commits = _list_commits(log_dir)
     if not commits and not os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
         raise FileNotFoundError(f"not a Delta table: {table_path}")
-    live: set[str] = set()
+    live: dict[str, dict] = {}
     seen: set[str] = set()
     # replay ALL commits to learn every path ever added vs live at HEAD
     for v in sorted(commits):
@@ -991,14 +1184,26 @@ def vacuum_delta(table_path: str) -> int:
                 a = json.loads(line)
                 if "add" in a:
                     p = unquote(a["add"]["path"])
-                    live.add(p)
+                    live[p] = a["add"]
                     seen.add(p)
                 elif "remove" in a:
-                    live.discard(unquote(a["remove"]["path"]))
+                    live.pop(unquote(a["remove"]["path"]), None)
     removed = 0
-    for rel in sorted(seen - live):
+    for rel in sorted(seen - set(live)):
         full = os.path.join(table_path, rel)
         if os.path.exists(full):
             os.remove(full)
+            removed += 1
+    # unreferenced deletion-vector files ('u'/'p' storage of live adds
+    # are kept; everything else under the table dir is garbage)
+    live_dv: set[str] = set()
+    for add in live.values():
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            _kind, loc = _dv_location(table_path, dv)
+            live_dv.add(os.path.abspath(re.sub(r"^file:(//)?", "", loc)))
+    for p in _glob.glob(os.path.join(table_path, "**", "deletion_vector_*.bin"), recursive=True):
+        if os.path.abspath(p) not in live_dv:
+            os.remove(p)
             removed += 1
     return removed

@@ -51,13 +51,27 @@ ALLOWED = {
         ".limit(100)",
     ],
     "sources/delta_py.py": [
-        # Delta log replay collects (path, partitionValues) per live file
-        # — metadata, one small row per data file, never table data; the
-        # same bound every Delta client pays to plan a scan.
+        # Delta log replay collects (path, partitionValues[, DV
+        # descriptor]) per live file — metadata, one small row per data
+        # file, never table data; the same bound every Delta client pays
+        # to plan a scan.
         'select("add.path", "add.partitionValues")',
+        "cp.filter(F.col(\"add.path\").isNotNull()).select(*sel)",
         'select("metaData")',
+        # delete_where_delta: the bitmaps are built + written ON
+        # EXECUTORS (applyInPandas per affected file); the collect fetches
+        # one DESCRIPTOR row per file — metadata-sized, the commit payload
+        'applyInPandas(\n        build_dv',
     ],
 }
+
+ALLOWED["sources/iceberg_py.py"].append(
+    # partitioned OVERWRITE: distinct partition tuples of the
+    # replacement — one row per partition, the bound every partitioned
+    # committer pays; replacement row data goes through partitionBy
+    # writes on executors
+    "replacement.select(*part_src_cols).distinct()"
+)
 
 
 def test_no_unbounded_driver_collect():

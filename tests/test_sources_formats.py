@@ -1271,6 +1271,82 @@ def test_delta_column_mapping_rename_partition_and_dv(spark, tmp_path):
     assert read_delta_py(spark, table2).count() == 20
 
 
+def test_delta_delete_where_dv_stacks_and_merges(spark, tmp_path):
+    """delete_where_delta: matching runs over LIVE rows only (repeat
+    predicate is a no-op None), a second delete on an already-DV'd file
+    commits the UNION vector (supersede semantics), time travel
+    resurrects, and the whole flow works on a column-mapping table with
+    a renamed predicate column."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        replay_head_state,
+        write_delta_column_mapping_fixture,
+        write_delta_fixture,
+    )
+
+    table = str(tmp_path / "dvdel")
+    df = spark.range(30).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
+    write_delta_fixture(df.coalesce(1), table, partition_col="part")
+    v1 = delete_where_delta(spark, table, "id % 5 = 0", timestamp_ms=100)
+    assert v1 is not None
+    got = sorted(r["id"] for r in read_delta_py(spark, table).collect())
+    assert got == [i for i in range(30) if i % 5]
+    assert delete_where_delta(spark, table, "id % 5 = 0", timestamp_ms=200) is None
+    v2 = delete_where_delta(spark, table, "id IN (1, 2)", timestamp_ms=300)
+    assert v2 == v1 + 1
+    got = sorted(r["id"] for r in read_delta_py(spark, table).collect())
+    assert got == [i for i in range(30) if i % 5 and i not in (1, 2)]
+    assert read_delta_py(spark, table, version_as_of=0).count() == 30
+    # every live add now carries exactly one DV descriptor per touched
+    # file, and cardinality matches the hidden rows
+    live, _ = replay_head_state(spark, table)
+    total_card = sum(
+        (a.get("deletionVector") or {}).get("cardinality", 0) for a in live.values()
+    )
+    assert total_card == 8  # 6 multiples of 5 + ids 1, 2
+
+    # column-mapping composition: predicate over the RENAMED column
+    table2 = str(tmp_path / "dvdel_cm")
+    write_delta_column_mapping_fixture(
+        df.coalesce(1), table2, partition_col="part", renamed={"id": "row_id"}
+    )
+    assert delete_where_delta(spark, table2, "row_id < 10", timestamp_ms=400) is not None
+    assert read_delta_py(spark, table2).count() == 20
+
+
+def test_delta_vacuum_collects_superseded_dv_files(spark, tmp_path):
+    """VACUUM must remove deletion-vector files no live add references
+    (superseded by a merged vector) while keeping the live one — and
+    compaction through the DV-applying reader must not resurrect
+    deleted rows."""
+    import glob as _glob
+
+    from gcs2postgres_spark.layout import compact_delta
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        vacuum_delta,
+        write_delta_fixture,
+    )
+
+    table = str(tmp_path / "dvvac")
+    write_delta_fixture(spark.range(40).selectExpr("id").coalesce(1), table)
+    delete_where_delta(spark, table, "id < 5", timestamp_ms=100)
+    delete_where_delta(spark, table, "id >= 35", timestamp_ms=200)  # supersedes
+    assert len(_glob.glob(str(tmp_path / "dvvac" / "deletion_vector_*.bin"))) == 2
+    n = vacuum_delta(table)
+    assert n == 1  # the superseded vector collected, the live one kept
+    assert len(_glob.glob(str(tmp_path / "dvvac" / "deletion_vector_*.bin"))) == 1
+    assert read_delta_py(spark, table).count() == 30
+
+    # OPTIMIZE-style compaction folds the DVs into rewritten files and
+    # the follow-up vacuum clears the now-unreferenced vector
+    compact_delta(spark, table)
+    assert read_delta_py(spark, table).count() == 30
+    assert _glob.glob(str(tmp_path / "dvvac" / "deletion_vector_*.bin")) == []
+
+
 def test_delta_column_mapping_nested_refuses(spark, tmp_path):
     """physicalName on NESTED struct members needs the connector —
     refuse, never silently null the nested fields."""
