@@ -619,6 +619,103 @@ def delta_dv_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         raise
 
 
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name,
+       CAST(count(*) AS BIGINT)         AS null_scores
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_schema_evolution_roundtrip", oracle=SCHEMA_EVOLUTION_ORACLE)
+def delta_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE parity, jar-lessly: RENAME COLUMN (which upgrades the
+    table to column mapping — physicalName = original names, the real
+    protocol mechanism) and ADD COLUMN (metadata-only, NULL for existing
+    files). The read must resolve the renamed column through its
+    physical name (a name-resolving reader returns NULLs and breaks
+    min()), and every pre-ALTER row must surface the added column as
+    NULL (null_scores == n_nations per group)."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_add_column,
+        alter_delta_rename_column,
+        read_delta_py,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_evolve_")
+    try:
+        write_delta(
+            nation.coalesce(1), tmp, "overwrite",
+            partition_by=["n_regionkey"], timestamp_ms=1_700_000_000_000,
+        )
+        alter_delta_rename_column(spark, tmp, "n_name", "nation_label")
+        alter_delta_add_column(spark, tmp, "n_score", '"double"')
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("nation_label").alias("first_name"),
+                F.count(F.when(F.col("n_score").isNull(), 1)).alias("null_scores"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+@register("iceberg_schema_evolution_roundtrip", oracle=SCHEMA_EVOLUTION_ORACLE)
+def iceberg_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's spec-native evolution: RENAME keeps the field id (data
+    files written with parquet field ids read the old values under the
+    new name — read_iceberg_py's id-based resolution), ADD COLUMN takes
+    a fresh id and reads NULL for existing files. Both are metadata-only
+    commits (atomic tmp+rename). The oracle pins the renamed column's
+    VALUES, so a name-resolving regression (NULL column) breaks min()."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        alter_iceberg_add_column,
+        alter_iceberg_rename_column,
+        read_iceberg_py,
+        with_parquet_field_ids,
+        write_iceberg_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_evolve_")
+    try:
+        write_iceberg_fixture(with_parquet_field_ids(nation).coalesce(1), tmp)
+        alter_iceberg_rename_column(tmp, "n_name", "nation_label")
+        alter_iceberg_add_column(tmp, "n_score", "double")
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("nation_label").alias("first_name"),
+                F.count(F.when(F.col("n_score").isNull(), 1)).alias("null_scores"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 DELTA_TIME_TRAVEL_ORACLE = """
 SELECT count(*)                         AS n_nations,
        CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,

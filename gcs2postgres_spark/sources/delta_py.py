@@ -571,6 +571,126 @@ def write_delta_fixture(
         _write_commit(log_dir, 1, removes, now + 1000)
 
 
+def _mapping_upgrade_fields(schema: StructType) -> tuple[list[dict], int]:
+    """Assign column-mapping metadata to an UN-mapped schema exactly the
+    way the real upgrade does: ids 1..n in field order, physicalName =
+    the CURRENT name (so every existing data file keeps resolving).
+    Returns (schemaString field dicts, maxColumnId)."""
+    fields = []
+    for i, f in enumerate(schema.fields):
+        md = dict(f.metadata or {})
+        md.setdefault("delta.columnMapping.id", i + 1)
+        md.setdefault("delta.columnMapping.physicalName", f.name)
+        fields.append(
+            {
+                "name": f.name,
+                "type": json.loads(f.dataType.json()),
+                "nullable": f.nullable,
+                "metadata": md,
+            }
+        )
+    return fields, len(schema.fields)
+
+
+def alter_delta_rename_column(
+    spark: SparkSession, table_path: str, old: str, new: str,
+    timestamp_ms: int = 1_700_000_005_000,
+) -> int:
+    """RENAME COLUMN, jar-lessly — through the protocol's real rename
+    mechanism: column mapping. An un-mapped table is UPGRADED first
+    (mode=name, ids 1..n, physicalName = current names — existing files
+    keep resolving; this is byte-for-byte the metaData shape
+    delta-spark's upgrade writes), then the LOGICAL field name changes
+    while the physical name stays. One metaData(+protocol) commit, no
+    data files touched; reads, partition pruning, DVs, and
+    delete_where_delta all keep working through the mapping layer."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    live, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+
+    config = dict(meta.get("configuration") or {})
+    mode = config.get("delta.columnMapping.mode", "none")
+    actions: list[dict] = []
+    if mode == "none":
+        fields, max_id = _mapping_upgrade_fields(schema)
+        config["delta.columnMapping.mode"] = "name"
+        config["delta.columnMapping.maxColumnId"] = str(max_id)
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            }
+        )
+    else:
+        fields = json.loads(meta["schemaString"])["fields"]
+    for f in fields:
+        if f["name"] == old:
+            f["name"] = new
+    part_cols = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps({"type": "struct", "fields": fields})
+    new_meta["partitionColumns"] = part_cols
+    new_meta["configuration"] = config
+    actions.append({"metaData": new_meta})
+    log_dir = _log_dir(table_path)
+    version = max(_list_commits(log_dir)) + 1
+    _write_commit(log_dir, version, actions, timestamp_ms)
+    return version
+
+
+def alter_delta_add_column(
+    spark: SparkSession, table_path: str, name: str, spark_type_json: str,
+    timestamp_ms: int = 1_700_000_006_000,
+) -> int:
+    """ADD COLUMN (nullable, metadata-only): existing files read NULL
+    for it (the parquet scan requests a column the files lack). Under
+    column mapping the new field gets a fresh id and a ``col-<id>``
+    physical name, per the upgrade convention. ``spark_type_json`` is a
+    Spark type JSON string, e.g. '"long"' or '"string"'."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    live, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    schema_json = json.loads(meta["schemaString"])
+    if name in (f["name"] for f in schema_json["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    config = dict(meta.get("configuration") or {})
+    field: dict = {
+        "name": name,
+        "type": json.loads(spark_type_json),
+        "nullable": True,
+        "metadata": {},
+    }
+    if config.get("delta.columnMapping.mode", "none") != "none":
+        new_id = int(config.get("delta.columnMapping.maxColumnId", "0")) + 1
+        field["metadata"] = {
+            "delta.columnMapping.id": new_id,
+            "delta.columnMapping.physicalName": f"col-{new_id:02d}",
+        }
+        config["delta.columnMapping.maxColumnId"] = str(new_id)
+    schema_json["fields"].append(field)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema_json)
+    new_meta["configuration"] = config
+    log_dir = _log_dir(table_path)
+    version = max(_list_commits(log_dir)) + 1
+    _write_commit(log_dir, version, [{"metaData": new_meta}], timestamp_ms)
+    return version
+
+
 def write_delta_column_mapping_fixture(
     df: DataFrame,
     table_path: str,

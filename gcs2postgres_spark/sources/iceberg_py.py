@@ -1076,6 +1076,152 @@ def write_iceberg(
     return sid
 
 
+def _load_current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        return next(s for s in meta["schemas"] if s.get("schema-id", 0) == sid)
+    return meta["schema"]
+
+
+def _commit_schema_change(table_path: str, meta_path: str, meta: dict, new_schema: dict) -> None:
+    """Write the evolved schema as a NEW metadata version: v2 tables
+    append a new schema-id and repoint current-schema-id (the spec's
+    evolution model — old snapshots keep their schema); v1 tables
+    replace the single schema in place. Atomic like every commit here."""
+    if "schemas" in meta:
+        new_id = max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+        new_schema = {**new_schema, "schema-id": new_id}
+        meta["schemas"] = list(meta["schemas"]) + [new_schema]
+        meta["current-schema-id"] = new_id
+    else:
+        meta["schema"] = new_schema
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    mdir = os.path.join(table_path, "metadata")
+    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+
+
+def alter_iceberg_rename_column(table_path: str, old: str, new: str) -> None:
+    """Metadata-only column RENAME (same field id — the spec's rename):
+    id-stamped data files keep reading their values under the new name
+    (read_iceberg_py resolves by field id); files without parquet ids
+    fall back to name resolution and read NULL for the renamed column —
+    the documented jar-less fallback. No data files are touched."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    schema = json.loads(json.dumps(_load_current_schema(meta)))  # deep copy
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    next(f for f in schema["fields"] if f["name"] == old)["name"] = new
+    _commit_schema_change(table_path, meta_path, meta, schema)
+
+
+def alter_iceberg_add_column(table_path: str, name: str, iceberg_type: str) -> None:
+    """Metadata-only ADD COLUMN (optional, fresh field id from
+    last-column-id — the spec's add): existing files read NULL for it,
+    new files written with ids carry values. No data files touched."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    iceberg_to_spark_type(iceberg_type)  # validates the type string
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    schema = json.loads(json.dumps(_load_current_schema(meta)))
+    if name in (f["name"] for f in schema["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    fid = int(meta.get("last-column-id", max(f["id"] for f in schema["fields"]))) + 1
+    schema["fields"].append(
+        {"id": fid, "name": name, "required": False, "type": iceberg_type}
+    )
+    meta["last-column-id"] = fid
+    _commit_schema_change(table_path, meta_path, meta, schema)
+
+
+def expire_snapshots(
+    table_path: str,
+    keep_last: int = 1,
+    older_than_ms: int | None = None,
+) -> int:
+    """Physical snapshot expiration (the Iceberg twin of Delta VACUUM,
+    parity with ``delta_py.vacuum_delta``): drop every snapshot except
+    the newest ``keep_last`` by timestamp (the CURRENT snapshot is
+    always kept; ``older_than_ms`` additionally protects newer ones),
+    commit the pruned metadata atomically, then delete manifest lists,
+    manifests, and data/delete files referenced ONLY by expired
+    snapshots. Returns the number of files deleted.
+
+    Trade and shape are exactly Iceberg's ``expireSnapshots``: time
+    travel to expired snapshots is destroyed, readers of surviving
+    snapshots are unaffected (their file sets are immutable), and the
+    reachability walk is driver-side METADATA work — O(manifests +
+    file entries) over Avro, the same walk the reader performs, no row
+    data. Single-writer assumption as for all jar-less commits."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less snapshot expiration is local-filesystem only "
+            f"(object-store deletes are connector territory). Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    location = meta.get("location")
+    snapshots = meta.get("snapshots") or []
+    if len(snapshots) <= 1:
+        return 0
+    current_id = meta.get("current-snapshot-id")
+    by_ts = sorted(snapshots, key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]))
+    keep_ids = {s["snapshot-id"] for s in by_ts[-max(1, keep_last):]}
+    keep_ids.add(current_id)
+    if older_than_ms is not None:
+        keep_ids |= {
+            s["snapshot-id"]
+            for s in snapshots
+            if s.get("timestamp-ms", 0) >= older_than_ms
+        }
+    expired = [s for s in snapshots if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return 0
+
+    def reachable(snaps: list[dict]) -> tuple[set[str], set[str], set[str]]:
+        lists_, manifests_, files_ = set(), set(), set()
+        for s in snaps:
+            ml = _resolve(s["manifest-list"], table_path, location)
+            lists_.add(ml)
+            _, rows = read_avro_file(ml)
+            for m in rows:
+                mp = _resolve(m["manifest_path"], table_path, location)
+                manifests_.add(mp)
+                _, entries = read_avro_file(mp)
+                for e in entries:
+                    files_.add(
+                        _resolve(e["data_file"]["file_path"], table_path, location)
+                    )
+        return lists_, manifests_, files_
+
+    kept_snaps = [s for s in snapshots if s["snapshot-id"] in keep_ids]
+    k_lists, k_manifests, k_files = reachable(kept_snaps)
+    e_lists, e_manifests, e_files = reachable(expired)
+
+    # commit the pruned snapshot list FIRST (atomic), so a crash during
+    # file deletion leaves a consistent table with some garbage — never
+    # a metadata pointer at deleted files
+    meta["snapshots"] = kept_snaps
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    mdir = os.path.join(table_path, "metadata")
+    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+
+    removed = 0
+    for p in sorted((e_lists - k_lists) | (e_manifests - k_manifests) | (e_files - k_files)):
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 # ------------------------------------------------ v2 row-level DML (write)
 
 

@@ -678,6 +678,46 @@ def test_iceberg_dml_on_renamed_column(spark, tmp_path):
     assert rows == [v for v in range(12) if v % 3 != 1]
 
 
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """expire_snapshots: overwrite-orphaned data files and expired-only
+    manifests are deleted, files still reachable from kept snapshots
+    survive (append chains share manifests), time travel to expired ids
+    raises, and HEAD reads are byte-identical before/after."""
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        expire_snapshots,
+        read_iceberg_py,
+        write_iceberg,
+    )
+
+    table = str(tmp_path / "ice_expire")
+    s1 = write_iceberg(spark.range(10).coalesce(1), table, "overwrite", snapshot_ts_ms=100)
+    s2 = write_iceberg(
+        spark.range(100, 105).coalesce(1), table, "overwrite", snapshot_ts_ms=200
+    )  # orphans s1's data files
+    s3 = write_iceberg(
+        spark.range(200, 203).coalesce(1), table, "append", snapshot_ts_ms=300
+    )  # shares s2's manifest
+    before = sorted(r["id"] for r in read_iceberg_py(spark, table).collect())
+    n_data_before = len(_glob.glob(str(tmp_path / "ice_expire" / "data" / "*" / "*.parquet")))
+
+    removed = expire_snapshots(table, keep_last=1)
+    assert removed > 0
+    after = sorted(r["id"] for r in read_iceberg_py(spark, table).collect())
+    assert after == before == list(range(100, 105)) + list(range(200, 203))
+    # s1's overwritten data files are gone; s2's files survive (s3 kept)
+    n_data_after = len(_glob.glob(str(tmp_path / "ice_expire" / "data" / "*" / "*.parquet")))
+    assert n_data_after < n_data_before
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_py(spark, table, snapshot_id=s1)
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_py(spark, table, snapshot_id=s2)
+    assert read_iceberg_py(spark, table, snapshot_id=s3).count() == 8
+    # idempotent: nothing left to expire
+    assert expire_snapshots(table, keep_last=1) == 0
+
+
 def test_iceberg_atomic_commit_crash_window(spark, tmp_path, monkeypatch):
     """Crash between the metadata-JSON write and the version-hint write
     must leave readers on the OLD snapshot (the hint is the commit
@@ -1345,6 +1385,86 @@ def test_delta_vacuum_collects_superseded_dv_files(spark, tmp_path):
     compact_delta(spark, table)
     assert read_delta_py(spark, table).count() == 30
     assert _glob.glob(str(tmp_path / "dvvac" / "deletion_vector_*.bin")) == []
+
+
+def test_delta_alter_rename_and_add_column(spark, tmp_path):
+    """ALTER committers: rename upgrades an un-mapped table to column
+    mapping (physicalName = original names, so every existing file keeps
+    resolving), partition columns rename too (physical-keyed
+    partitionValues still prune), added columns read NULL, and DML works
+    over the renamed logical name."""
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_add_column,
+        alter_delta_rename_column,
+        delete_where_delta,
+        read_delta_py,
+        write_delta,
+    )
+
+    table = str(tmp_path / "alter")
+    df = spark.range(20).selectExpr("id", "CAST(id % 4 AS STRING) AS grp")
+    write_delta(df.coalesce(1), table, "overwrite", partition_by=["grp"], timestamp_ms=1)
+    alter_delta_rename_column(spark, table, "id", "row_id")
+    out = read_delta_py(spark, table)
+    assert set(out.columns) == {"row_id", "grp"}
+    assert sorted(r["row_id"] for r in out.collect()) == list(range(20))
+    alter_delta_rename_column(spark, table, "grp", "bucket")  # partition col
+    out = read_delta_py(spark, table)
+    assert out.filter('bucket = "1"').count() == 5
+    pruned = read_delta_py(spark, table, partition_filter={"bucket": {"1"}})
+    assert pruned.count() == 5  # pruning through the renamed partition col
+    alter_delta_add_column(spark, table, "score", '"double"')
+    assert read_delta_py(spark, table).filter("score IS NULL").count() == 20
+    delete_where_delta(spark, table, "row_id < 5", timestamp_ms=500)
+    assert read_delta_py(spark, table).count() == 15
+    with pytest.raises(ValueError, match="already exists"):
+        alter_delta_rename_column(spark, table, "row_id", "bucket")
+    with pytest.raises(ValueError, match="no column"):
+        alter_delta_rename_column(spark, table, "nope", "x")
+
+
+def test_iceberg_alter_rename_and_add_column(spark, tmp_path):
+    """Iceberg metadata-only ALTERs: rename keeps the field id so
+    id-stamped files read under the new name; added columns are
+    optional with a fresh id and read NULL; v2 tables append a new
+    schema-id (old snapshots keep theirs)."""
+    import json as _json
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        alter_iceberg_add_column,
+        alter_iceberg_rename_column,
+        latest_metadata_file,
+        read_iceberg_py,
+        with_parquet_field_ids,
+        write_iceberg_fixture,
+        write_iceberg_v2_fixture,
+    )
+
+    table = str(tmp_path / "ice_alter")
+    df = spark.range(10).selectExpr("id AS v", "concat('n', id) AS name")
+    write_iceberg_fixture(with_parquet_field_ids(df).coalesce(1), table)
+    alter_iceberg_rename_column(table, "name", "title")
+    out = read_iceberg_py(spark, table)
+    assert {r["v"]: r["title"] for r in out.collect()} == {i: f"n{i}" for i in range(10)}
+    alter_iceberg_add_column(table, "weight", "double")
+    assert read_iceberg_py(spark, table).filter("weight IS NULL").count() == 10
+    with pytest.raises(ValueError, match="unsupported iceberg type"):
+        alter_iceberg_add_column(table, "bad", "varchar")
+
+    # v2: evolution appends a schema-id
+    table2 = str(tmp_path / "ice_alter_v2")
+    from gcs2postgres_spark.sources.iceberg_py import spark_to_iceberg_schema
+
+    write_iceberg_v2_fixture(
+        with_parquet_field_ids(df, spark_to_iceberg_schema(df.schema)).coalesce(1),
+        table2,
+        sort_col="v",
+    )
+    alter_iceberg_rename_column(table2, "name", "title")
+    meta = _json.loads(open(latest_metadata_file(table2)).read())
+    assert len(meta["schemas"]) == 2 and meta["current-schema-id"] == 1
+    out = read_iceberg_py(spark, table2)
+    assert {r["v"]: r["title"] for r in out.collect()} == {i: f"n{i}" for i in range(10)}
 
 
 def test_delta_column_mapping_nested_refuses(spark, tmp_path):
