@@ -943,3 +943,37 @@ def test_z85_roundtrip(payload):
     from gcs2postgres_spark.sources.dv_roaring import z85_decode, z85_encode
 
     assert z85_decode(z85_encode(payload)) == payload
+
+
+@given(ops=st.lists(_DML_PREDS, min_size=1, max_size=3))
+@SLOW
+def test_delta_dv_delete_sequence_matches_model(spark, ops, tmp_path_factory):
+    """Random chains of delete_where_delta commits read back exactly
+    like a python set-model: each commit hides the LIVE rows matching
+    its predicate (already-hidden rows never re-match), merged per-file
+    vectors supersede correctly, and version-0 time travel always
+    resurrects the full table — the Delta twin of the Iceberg DML
+    property test."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        write_delta_fixture,
+    )
+
+    table = str(tmp_path_factory.mktemp("dvprop") / "t")
+    base = [(v, v % 5) for v in range(30)]
+    df = spark.createDataFrame(base, "v long, grp int")
+    write_delta_fixture(df.coalesce(2), table)
+
+    model = list(base)
+    ts = 1_700_000_000_000
+    for pred in ops:
+        ts += 1000
+        matched = [(v, g) for v, g in model if _dml_match(pred, v, g)]
+        ver = delete_where_delta(spark, table, _dml_sql(pred), timestamp_ms=ts)
+        assert (ver is None) == (not matched)
+        model = [t for t in model if t not in matched]
+
+    got = sorted((r["v"], r["grp"]) for r in read_delta_py(spark, table).collect())
+    assert got == sorted(model)
+    assert read_delta_py(spark, table, version_as_of=0).count() == 30
