@@ -116,6 +116,7 @@ VERIFY_DEFERRED: list[str] = [
     # they rotate into the r11 window per the truth-first rule.
     "delta_schema_evolution_roundtrip",
     "iceberg_schema_evolution_roundtrip",
+    "delta_change_feed_roundtrip",
     "doc_winnow_fingerprints",
     "avro_logical_types_roundtrip",
     "dedup_minhash_lsh",

@@ -619,7 +619,68 @@ def delta_dv_delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         raise
 
 
-SCHEMA_EVOLUTION_ORACLE = """
+DELTA_CDF_ORACLE = """
+SELECT 'delete' AS change_type,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation WHERE n_regionkey = 2
+UNION ALL
+SELECT 'insert',
+       count(*),
+       CAST(sum(n_nationkey + 1000) AS BIGINT)
+FROM nation WHERE n_nationkey < 5
+ORDER BY change_type
+"""
+
+
+@register("delta_change_feed_roundtrip", oracle=DELTA_CDF_ORACLE)
+def delta_change_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed parity, jar-lessly: ``delta_table_changes``
+    replays the log between versions and emits row-level
+    insert/delete changes reading ONLY the files each commit touched.
+
+    v0 = nation; v1 = ``delete_where_delta("n_regionkey = 2")`` (a DV
+    commit — the deletes must come from the bitmap DIFF, old vs new
+    vector, decoded executor-side); v2 = an append of 5 shifted rows
+    (inserts from the fresh files). The feed over (0, 2] must contain
+    exactly the region-2 rows as deletes and the appended rows as
+    inserts — a resurrected row, a missed DV delta, or an insert
+    attributed from an unchanged file breaks the oracle."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        delta_table_changes,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_cdf_")
+    try:
+        write_delta(nation.coalesce(1), tmp, "overwrite", timestamp_ms=1_700_000_000_000)
+        delete_where_delta(spark, tmp, "n_regionkey = 2", timestamp_ms=1_700_000_001_000)
+        appended = nation.filter("n_nationkey < 5").select(
+            (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+            F.col("n_regionkey"),
+        )
+        write_delta(appended.coalesce(1), tmp, "append", timestamp_ms=1_700_000_002_000)
+        ch = delta_table_changes(spark, tmp, 0)
+        return (
+            ch.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("change_type")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+ALTER_EVOLUTION_ORACLE = """
 SELECT n_regionkey,
        count(*)                         AS n_nations,
        CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
@@ -631,7 +692,7 @@ ORDER BY n_regionkey
 """
 
 
-@register("delta_schema_evolution_roundtrip", oracle=SCHEMA_EVOLUTION_ORACLE)
+@register("delta_schema_evolution_roundtrip", oracle=ALTER_EVOLUTION_ORACLE)
 def delta_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER TABLE parity, jar-lessly: RENAME COLUMN (which upgrades the
     table to column mapping — physicalName = original names, the real
@@ -675,7 +736,7 @@ def delta_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         raise
 
 
-@register("iceberg_schema_evolution_roundtrip", oracle=SCHEMA_EVOLUTION_ORACLE)
+@register("iceberg_schema_evolution_roundtrip", oracle=ALTER_EVOLUTION_ORACLE)
 def iceberg_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg's spec-native evolution: RENAME keeps the field id (data
     files written with parquet field ids read the old values under the

@@ -307,26 +307,43 @@ def read_delta_py(
 
     if meta is None:
         raise ValueError(f"no metaData action found in _delta_log of {table_path}")
+    info = _table_scan_info(meta)
+    if not live:
+        return spark.createDataFrame([], info["schema"])
+    out, dv_rows = _scan_adds(
+        spark, table_path, info, list(live.values()),
+        partition_filter=partition_filter, tag=_keep_identity,
+    )
+    if out is None:
+        return spark.createDataFrame([], info["schema"])
+    if dv_rows:
+        keep = info["out_cols"] + (["__dv_fp", "__dv_pos"] if _keep_identity else [])
+        out = _apply_deletion_vectors(spark, out, dv_rows).select(*keep)
+    return out
+
+
+def _table_scan_info(meta: dict) -> dict:
+    """Validate a metaData action and derive everything a file scan
+    needs: logical schema, partition columns, column-mapping mode and
+    the logical->physical name map, and the PHYSICAL data-file schema.
+
+    Column mapping ('name' and 'id' modes): data files store PHYSICAL
+    column names (schemaString field metadata carries
+    delta.columnMapping.physicalName; upgraded tables keep the original
+    name as the physical name, so pre-upgrade files resolve too), and
+    add.partitionValues is keyed by physical name. The scan therefore
+    requests the physical schema and renames to logical right after —
+    which is exactly what makes column RENAME evolution read correctly:
+    the logical name changes, the physical stays. 'id' mode files also
+    carry parquet field ids, but their parquet column names equal
+    physicalName for every standard writer, so physical-name resolution
+    covers both modes; NESTED field mapping still needs the connector."""
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise NotImplementedError(f"delta data format {fmt!r} not supported (parquet only)")
-
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = meta.get("partitionColumns") or []
     by_type = {f.name: f.dataType for f in schema.fields}
-
-    # Column mapping ('name' and 'id' modes): data files store PHYSICAL
-    # column names (schemaString field metadata carries
-    # delta.columnMapping.physicalName; upgraded tables keep the
-    # original name as the physical name, so pre-upgrade files resolve
-    # too), and add.partitionValues is keyed by physical name. The scan
-    # therefore requests the physical schema and renames to logical
-    # right after — which is exactly what makes column RENAME evolution
-    # read correctly: the logical name changes, the physical stays.
-    # 'id' mode files also carry parquet field ids, but their parquet
-    # column names equal physicalName for every standard writer, so
-    # physical-name resolution covers both modes; NESTED field mapping
-    # (physicalName on struct members) still needs the connector.
     mapping_mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
@@ -357,16 +374,39 @@ def read_delta_py(
             if f.name not in part_cols
         ]
     )
+    return {
+        "schema": schema,
+        "part_cols": part_cols,
+        "by_type": by_type,
+        "mapping_mode": mapping_mode,
+        "phys_of": phys_of,
+        "data_schema": data_schema,
+        "out_cols": [f.name for f in schema.fields],
+    }
 
-    if not live:
-        return spark.createDataFrame([], schema)
 
-    # group live files by partition tuple; one parquet scan per group
-    # with the partition values injected as typed literals. DV'd files
-    # contribute a metadata-sized descriptor row; decode happens on
-    # executors (_apply_deletion_vectors), never here.
-    groups: dict[tuple, list[str]] = {}
-    dv_rows: list[tuple[str, str, str, int, int, int]] = []
+def _scan_adds(
+    spark: SparkSession,
+    table_path: str,
+    info: dict,
+    adds: list[dict],
+    partition_filter: dict[str, set] | None = None,
+    tag: bool = False,
+):
+    """Scan an arbitrary list of ``add`` actions under a table's scan
+    info: files grouped by partition tuple, one parquet scan per group
+    with typed partition literals injected, physical->logical rename
+    under column mapping. Returns ``(df | None, dv_rows)`` — the frame
+    carries ``__dv_fp``/``__dv_pos`` identity helpers when ``tag`` or
+    when any add has a deletion vector (callers decide whether to
+    anti-join, semi-join, or keep them). DV descriptors are resolved
+    here (metadata work); decode stays executor-side."""
+    schema = info["schema"]
+    part_cols = info["part_cols"]
+    by_type = info["by_type"]
+    mapping_mode = info["mapping_mode"]
+    phys_of = info["phys_of"]
+    out_cols = info["out_cols"]
 
     def _pv(pv: dict, c: str):
         # partitionValues is keyed by PHYSICAL name under column
@@ -375,8 +415,10 @@ def read_delta_py(
             return pv[phys_of[c]]
         return pv.get(c)
 
-    for add in live.values():
-        pv = add["partitionValues"]
+    groups: dict[tuple, list[str]] = {}
+    dv_rows: list[tuple[str, str, str, int, int, int]] = []
+    for add in adds:
+        pv = add.get("partitionValues") or {}
         if partition_filter and any(
             _pv(pv, c) is not None and _pv(pv, c) not in allowed
             for c, allowed in partition_filter.items()
@@ -385,7 +427,7 @@ def read_delta_py(
         key = tuple(_pv(pv, c) for c in part_cols)
         # scheme'd table paths stay URIs for the scan (Hadoop FS branch);
         # the file: scheme is stripped + local paths absolutized so the
-        # DV anti-join key compares equal to the scan's normalized
+        # DV join key compares equal to the scan's normalized
         # _metadata.file_path
         raw_path = os.path.join(table_path, unquote(add["path"]))
         norm_path = re.sub(r"^file:(//)?", "", raw_path)
@@ -414,15 +456,11 @@ def read_delta_py(
                 )
             )
     if not groups:
-        return spark.createDataFrame([], schema)
-    out_cols = [f.name for f in schema.fields]
-    # _keep_identity (internal; delete_where_delta's matching scan):
-    # expose the per-row (file, row-index) identity helpers in the
-    # output even when no DVs exist yet
-    tag = bool(dv_rows) or _keep_identity
+        return None, []
+    tag = tag or bool(dv_rows)
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = spark.read.schema(info["data_schema"]).parquet(*paths)
         if tag:
             df = df.select(
                 "*",
@@ -451,10 +489,7 @@ def read_delta_py(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if dv_rows:
-        keep = out_cols + (["__dv_fp", "__dv_pos"] if _keep_identity else [])
-        out = _apply_deletion_vectors(spark, out, dv_rows).select(*keep)
-    return out
+    return out, dv_rows
 
 
 # ---------------------------------------------------------------------------
@@ -1271,6 +1306,226 @@ def delete_where_delta(
     version = max(_list_commits(log_dir)) + 1
     _write_commit(log_dir, version, actions, now)
     return version
+
+
+def delta_table_changes(
+    spark: SparkSession,
+    table_path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE FEED between two versions, jar-lessly — the
+    Change Data Feed equivalent computed purely from the log, reading
+    ONLY files that changed: returns the table columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+
+    Per commit v in (starting_version, ending_version]:
+
+    - a brand-new data file → INSERTs of its rows minus its birth DV;
+    - a dropped file (remove without re-add) → DELETEs of the rows that
+      were live at v-1 (file rows minus its then-current DV);
+    - a DV update (remove + re-add of the same path) → DELETEs of the
+      newly-hidden positions (new DV minus old) and INSERTs of any
+      un-hidden ones (old minus new — a restore).
+
+    An UPDATE therefore surfaces as delete+insert pairs, exactly like
+    CDF without per-row _change_type='update_*' attribution (which
+    needs writer cooperation the log alone doesn't carry) — documented
+    divergence. Output uses the schema at ``ending_version``; scans of
+    older files still resolve through column mapping, so renames inside
+    the interval read correctly. Scale shape: per commit the work is
+    one scan over the commit's CHANGED files plus executor-side DV
+    decode/diff (mapInPandas over a per-file descriptor frame); the
+    driver handles only actions — never rows."""
+    log_dir = _log_dir(table_path)
+    commits = _list_commits(log_dir)
+    if not commits:
+        raise FileNotFoundError(f"not a Delta table (or checkpoint-only): {table_path}")
+    if ending_version is None:
+        ending_version = max(commits)
+    if starting_version > ending_version:
+        raise ValueError(f"starting_version {starting_version} > ending_version {ending_version}")
+    missing = [v for v in range(min(commits), ending_version + 1) if v not in commits]
+    if missing:
+        raise ValueError(f"log is missing commit(s) {missing}; cannot replay changes")
+
+    def actions_of(v: int) -> list[dict]:
+        return [
+            json.loads(line)
+            for line in fsio.read_text(commits[v]).splitlines()
+            if line.strip()
+        ]
+
+    # state (live adds by path) + latest metaData as of starting_version
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    for v in sorted(c for c in commits if c <= starting_version):
+        for a in actions_of(v):
+            if "protocol" in a:
+                _check_protocol(a["protocol"])
+            elif "metaData" in a:
+                meta = a["metaData"]
+            elif "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+
+    # walk the interval, recording per-commit diffs against live state
+    inserts: list[tuple[int, dict]] = []  # (version, add) — fresh file
+    drops: list[tuple[int, dict]] = []  # (version, old add) — file gone
+    dv_updates: list[tuple[int, dict, dict]] = []  # (version, old, new)
+    for v in sorted(c for c in commits if starting_version < c <= ending_version):
+        acts = actions_of(v)
+        adds = {a["add"]["path"]: a["add"] for a in acts if "add" in a}
+        removes = {a["remove"]["path"] for a in acts if "remove" in a}
+        for a in acts:
+            if "protocol" in a:
+                _check_protocol(a["protocol"])
+            elif "metaData" in a:
+                meta = a["metaData"]
+        for path, new in adds.items():
+            old = live.get(path)
+            if old is None:
+                inserts.append((v, new))
+            elif (old.get("deletionVector") or None) != (new.get("deletionVector") or None):
+                dv_updates.append((v, old, new))
+            live[path] = new
+        for path in removes - set(adds):
+            old = live.pop(path, None)
+            if old is not None:
+                drops.append((v, old))
+    if meta is None:
+        raise ValueError(f"no metaData action found in _delta_log of {table_path}")
+    info = _table_scan_info(meta)
+    out_cols = info["out_cols"]
+    frames: list[DataFrame] = []
+
+    def with_meta(df: DataFrame, change: str, version: int) -> DataFrame:
+        return df.select(
+            *out_cols,
+            F.lit(change).alias("_change_type"),
+            F.lit(version).cast("long").alias("_commit_version"),
+        )
+
+    # fresh files: inserts minus their birth DV (one scan per version)
+    by_ver: dict[int, list[dict]] = {}
+    for v, add in inserts:
+        by_ver.setdefault(v, []).append(add)
+    for v, adds_v in sorted(by_ver.items()):
+        df, dv_rows = _scan_adds(spark, table_path, info, adds_v)
+        if df is None:
+            continue
+        if dv_rows:
+            df = _apply_deletion_vectors(spark, df, dv_rows).select(*out_cols)
+        frames.append(with_meta(df, "insert", v))
+
+    # dropped files: deletes of the rows live at v-1
+    by_ver = {}
+    for v, add in drops:
+        by_ver.setdefault(v, []).append(add)
+    for v, adds_v in sorted(by_ver.items()):
+        df, dv_rows = _scan_adds(spark, table_path, info, adds_v)
+        if df is None:
+            continue
+        if dv_rows:
+            df = _apply_deletion_vectors(spark, df, dv_rows).select(*out_cols)
+        frames.append(with_meta(df, "delete", v))
+
+    # DV updates: diff positions executor-side, then semi-join the
+    # file's rows on each direction
+    by_ver_dv: dict[int, list[tuple[dict, dict]]] = {}
+    for v, old, new in dv_updates:
+        by_ver_dv.setdefault(v, []).append((old, new))
+    for v, pairs in sorted(by_ver_dv.items()):
+        adds_v = [new for _old, new in pairs]
+        df, _ = _scan_adds(spark, table_path, info, adds_v, tag=True)
+        if df is None:
+            continue
+        diff = _dv_diff_positions(spark, table_path, pairs)
+        for op, change in (("delete", "delete"), ("insert", "insert")):
+            side = diff.filter(F.col("op") == op)
+            matched = df.join(
+                side,
+                (df["__dv_fp"] == side["__del_fp"]) & (df["__dv_pos"] == side["__del_pos"]),
+                "left_semi",
+            )
+            frames.append(with_meta(matched, change, v))
+
+    if not frames:
+        empty = spark.createDataFrame([], info["schema"])
+        return with_meta(empty, "insert", 0).limit(0)
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+def _dv_diff_positions(
+    spark: SparkSession, table_path: str, pairs: list[tuple[dict, dict]]
+) -> DataFrame:
+    """(old add, new add) pairs (same data file, different deletion
+    vector) → (``__del_fp``, ``__del_pos``, ``op``) where op='delete'
+    for positions in new-but-not-old and op='insert' for
+    old-but-not-new. One descriptor row per file; decode + set-diff on
+    EXECUTORS (same by-value pickling as _apply_deletion_vectors)."""
+    from pyspark import cloudpickle as _cp
+
+    from gcs2postgres_spark.sources import dv_roaring
+    from gcs2postgres_spark.sources.dv_roaring import (
+        read_dv_blob,
+        roaring_array_decode,
+        z85_decode,
+    )
+
+    _cp.register_pickle_by_value(dv_roaring)
+
+    def resolve(add: dict) -> tuple[str | None, str | None, int, int]:
+        dv = add.get("deletionVector")
+        if not dv:
+            return None, None, 0, 0
+        kind, loc = _dv_location(table_path, dv)
+        if kind == "file":
+            loc = os.path.abspath(re.sub(r"^file:(//)?", "", loc))
+        return kind, loc, int(dv.get("offset") or 0), int(dv["sizeInBytes"])
+
+    rows = []
+    for old, new in pairs:
+        fp = re.sub(r"^file:(//)?", "", os.path.join(table_path, unquote(new["path"])))
+        if not fsio.has_scheme(fp):
+            fp = os.path.abspath(fp)
+        rows.append((fp,) + resolve(old) + resolve(new))
+    desc = spark.createDataFrame(
+        rows,
+        "fp string, ok string, ol string, ooff int, osz int, "
+        "nk string, nl string, noff int, nsz int",
+    )
+
+    def diff(batches):
+        import pandas as pd
+
+        def load(kind, loc, off, sz):
+            if kind is None:
+                return set()
+            if kind == "inline":
+                return set(roaring_array_decode(z85_decode(loc)))
+            with open(loc, "rb") as f:
+                return set(read_dv_blob(f.read(), int(off), int(sz)))
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                old = load(row.ok, row.ol, row.ooff, row.osz)
+                new = load(row.nk, row.nl, row.noff, row.nsz)
+                dels = sorted(new - old)
+                ins = sorted(old - new)
+                yield pd.DataFrame(
+                    {
+                        "__del_fp": row.fp,
+                        "__del_pos": pd.Series(dels + ins, dtype="int64"),
+                        "op": ["delete"] * len(dels) + ["insert"] * len(ins),
+                    }
+                )
+
+    return desc.mapInPandas(diff, "__del_fp string, __del_pos long, op string")
 
 
 def vacuum_delta(table_path: str) -> int:

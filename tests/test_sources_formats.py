@@ -1467,6 +1467,54 @@ def test_iceberg_alter_rename_and_add_column(spark, tmp_path):
     assert {r["v"]: r["title"] for r in out.collect()} == {i: f"n{i}" for i in range(10)}
 
 
+def test_delta_table_changes_feed(spark, tmp_path):
+    """Change feed: DV commits surface as position-diff deletes,
+    appends as inserts, overwrites as delete(live-at-prev)+insert,
+    version windows restrict, and an empty window is empty."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        delta_table_changes,
+        write_delta,
+    )
+
+    table = str(tmp_path / "cdf")
+    df = spark.range(30).selectExpr("id", "CAST(id % 3 AS STRING) AS part")
+    write_delta(df.coalesce(1), table, "overwrite", partition_by=["part"], timestamp_ms=1)
+    delete_where_delta(spark, table, "id < 5", timestamp_ms=100)  # v1
+    write_delta(
+        spark.range(100, 105).selectExpr("id", "CAST(id % 3 AS STRING) AS part").coalesce(1),
+        table, "append", timestamp_ms=200,
+    )  # v2
+    delete_where_delta(spark, table, "id IN (7, 101)", timestamp_ms=300)  # v3
+
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in delta_table_changes(spark, table, 0).collect()
+    )
+    assert rows == sorted(
+        [(1, "delete", i) for i in range(5)]
+        + [(2, "insert", i) for i in range(100, 105)]
+        + [(3, "delete", 7), (3, "delete", 101)]
+    )
+    ch = delta_table_changes(spark, table, 1, 2)
+    assert sorted(r["id"] for r in ch.collect()) == list(range(100, 105))
+    assert delta_table_changes(spark, table, 3).count() == 0
+
+    # overwrite: deletes of the rows live at v3, inserts of the new set
+    write_delta(
+        spark.range(500, 503).selectExpr("id", "CAST(id % 3 AS STRING) AS part").coalesce(1),
+        table, "overwrite", timestamp_ms=400,
+    )  # v4
+    got = sorted(
+        (r["_change_type"], r["id"])
+        for r in delta_table_changes(spark, table, 3).collect()
+    )
+    live_at_3 = sorted((set(range(5, 30)) - {7}) | (set(range(100, 105)) - {101}))
+    assert got == sorted(
+        [("delete", i) for i in live_at_3] + [("insert", i) for i in (500, 501, 502)]
+    )
+
+
 def test_delta_column_mapping_nested_refuses(spark, tmp_path):
     """physicalName on NESTED struct members needs the connector —
     refuse, never silently null the nested fields."""
