@@ -111,12 +111,13 @@ VERIFY_FRONT: list[str] = [
 # driver-green evidence (round 5+); ordering within this list is not
 # significant beyond keeping recently-verified entries out of the window.
 VERIFY_DEFERRED: list[str] = [
-    # NEW r10, landed after the 50-slot window filled: both are
+    # NEW r10, landed after the 50-slot window filled: all four are
     # committed + oracle-checked locally (driver_sim) and pytest-pinned;
     # they rotate into the r11 window per the truth-first rule.
     "delta_schema_evolution_roundtrip",
     "iceberg_schema_evolution_roundtrip",
     "delta_change_feed_roundtrip",
+    "iceberg_change_feed_roundtrip",
     "doc_winnow_fingerprints",
     "avro_logical_types_roundtrip",
     "dedup_minhash_lsh",

@@ -680,6 +680,69 @@ def delta_change_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+ICEBERG_CDF_ORACLE = """
+SELECT 'delete' AS change_type,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation WHERE n_regionkey = 2 OR n_nationkey = 6
+UNION ALL
+SELECT 'insert',
+       count(*),
+       CAST(sum(n_nationkey) AS BIGINT)
+FROM nation WHERE n_nationkey = 6
+ORDER BY change_type
+"""
+
+
+@register("iceberg_change_feed_roundtrip", oracle=ICEBERG_CDF_ORACLE)
+def iceberg_change_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-scan parity (the Iceberg twin of
+    delta_change_feed_roundtrip): ``iceberg_table_changes`` walks the
+    snapshot chain and attributes each snapshot's ADDED manifest entries
+    — position-delete files become deletes of their targeted rows
+    (semi-join on (file, row-index) identity), replacement data files
+    become inserts. Base = nation as a v2 table; snapshot 2 =
+    ``delete_where("n_regionkey = 2")``; snapshot 3 =
+    ``overwrite_where("n_nationkey = 6", REPLACED)`` (one snapshot
+    carrying BOTH a delete and an insert). The feed over (1, 3] must be
+    exactly: deletes of region-2 rows + nation 6, insert of the
+    replacement — double-applied or unattributed entries break the
+    oracle."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        iceberg_table_changes,
+        overwrite_where,
+        write_iceberg_v2_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_cdf_")
+    try:
+        write_iceberg_v2_fixture(nation.coalesce(1), tmp, sort_col="n_nationkey")
+        delete_where(spark, tmp, "n_regionkey = 2")
+        overwrite_where(
+            spark,
+            tmp,
+            "n_nationkey = 6",
+            nation.filter("n_nationkey = 6").withColumn("n_name", F.lit("REPLACED")),
+        )
+        ch = iceberg_table_changes(spark, tmp, 1)
+        return (
+            ch.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("change_type")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 ALTER_EVOLUTION_ORACLE = """
 SELECT n_regionkey,
        count(*)                         AS n_nations,

@@ -1141,6 +1141,165 @@ def alter_iceberg_add_column(table_path: str, name: str, iceberg_type: str) -> N
     _commit_schema_change(table_path, meta_path, meta, schema)
 
 
+def iceberg_table_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental CHANGE FEED between snapshots (the Iceberg twin of
+    ``delta_py.delta_table_changes``; the spec's incremental-scan
+    concept): for every snapshot in (from, to], manifest entries with
+    status=ADDED and that snapshot's id drive the changes —
+
+    - an added DATA file → INSERTs of its rows;
+    - added POSITION-delete files → DELETEs of the targeted rows,
+      matched executor-side on the scan's (file, row-index) identity;
+    - added EQUALITY-delete files → DELETEs of the rows LIVE at the
+      previous snapshot matching the equality values (one time-travel
+      read + a null-safe semi filter; pushdown applies).
+
+    Output = table columns (at ``to``'s schema) + ``_change_type``
+    ('insert' | 'delete') + ``_commit_snapshot_id``. Caveat (documented,
+    same class as the Delta side's update attribution): a foreign
+    writer that re-lists ALREADY-DEAD positions in a new delete file
+    over-reports those rows as deleted again; this repo's committers
+    match live rows only, so self-written tables are exact."""
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    location = meta.get("location")
+    snapshots = sorted(
+        meta.get("snapshots") or [],
+        key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]),
+    )
+    ids = [s["snapshot-id"] for s in snapshots]
+    if from_snapshot_id not in ids:
+        raise ValueError(f"snapshot {from_snapshot_id} not found (have {ids})")
+    if to_snapshot_id is None:
+        to_snapshot_id = ids[-1]
+    if to_snapshot_id not in ids:
+        raise ValueError(f"snapshot {to_snapshot_id} not found (have {ids})")
+    lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+    if lo > hi:
+        raise ValueError(f"from {from_snapshot_id} is newer than to {to_snapshot_id}")
+
+    schema_json = _load_current_schema(meta)
+    spark_schema = iceberg_to_spark_type(schema_json)
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+    out_cols = [f.name for f in spark_schema.fields]
+
+    def _project(df: DataFrame, helpers: list[str]) -> DataFrame:
+        groups_cols = []
+        lower = {c.lower(): c for c in df.columns if c not in helpers}
+        for field in spark_schema.fields:
+            src = lower.get(field.name.lower())
+            if src is None:
+                groups_cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            else:
+                groups_cols.append(F.col(src).cast(field.dataType).alias(field.name))
+        return df.select(*groups_cols, *helpers)
+
+    def with_meta(df: DataFrame, change: str, sid: int) -> DataFrame:
+        return df.select(
+            *out_cols,
+            F.lit(change).alias("_change_type"),
+            F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+        )
+
+    frames: list[DataFrame] = []
+    for idx in range(lo + 1, hi + 1):
+        snap = snapshots[idx]
+        sid = snap["snapshot-id"]
+        prev_sid = snapshots[idx - 1]["snapshot-id"]
+        _, manifests = read_avro_file(
+            _resolve(snap["manifest-list"], table_path, location)
+        )
+        added_data: list[str] = []
+        added_pos: list[str] = []
+        added_eq: list[tuple[str, tuple[int, ...]]] = []
+        all_data_paths: list[str] = []
+        for m in manifests:
+            _, entries = read_avro_file(
+                _resolve(m["manifest_path"], table_path, location)
+            )
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                dfile = e["data_file"]
+                path = _resolve(dfile["file_path"], table_path, location)
+                content = dfile.get("content", 0)
+                if content == 0:
+                    all_data_paths.append(path)
+                if e["status"] == 1 and e.get("snapshot_id") == sid:
+                    if content == 0:
+                        added_data.append(path)
+                    elif content == 1:
+                        added_pos.append(path)
+                    elif content == 2:
+                        ids_ = tuple(sorted(dfile.get("equality_ids") or ()))
+                        if not ids_ or any(i not in field_names for i in ids_):
+                            raise NotImplementedError(
+                                f"equality delete without resolvable ids: table {_JAR_HINT}"
+                            )
+                        added_eq.append((path, ids_))
+        if added_data:
+            frames.append(
+                with_meta(
+                    _project(spark.read.parquet(*sorted(added_data)), []), "insert", sid
+                )
+            )
+        if added_pos:
+            dels = spark.read.parquet(*sorted(added_pos)).select(
+                F.regexp_replace(F.col("file_path"), r"^file:(//)?", "").alias("__del_fp"),
+                F.col("pos").cast("long").alias("__del_pos"),
+            )
+            targets = sorted(
+                {p for p in all_data_paths}
+                & {
+                    _resolve(fp, table_path, location)
+                    for fp in {
+                        r["__del_fp"]
+                        for r in dels.select("__del_fp").distinct().collect()
+                    }
+                }
+            )
+            if targets:
+                scan = spark.read.parquet(*targets).select(
+                    "*",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), r"^file:(//)?", ""
+                    ).alias("__ice_fp"),
+                    F.col("_metadata.row_index").alias("__ice_pos"),
+                )
+                scan = _project(scan, ["__ice_fp", "__ice_pos"])
+                matched = scan.join(
+                    dels,
+                    (scan["__ice_fp"] == dels["__del_fp"])
+                    & (scan["__ice_pos"] == dels["__del_pos"]),
+                    "left_semi",
+                )
+                frames.append(with_meta(matched, "delete", sid))
+        for path, ids_ in added_eq:
+            names = [field_names[i] for i in ids_]
+            vals = spark.read.parquet(path).select(
+                *[F.col(n).alias(f"__del_{n}") for n in names]
+            )
+            prev_live = read_iceberg_py(spark, table_path, snapshot_id=prev_sid)
+            cond = None
+            for n in names:
+                c = prev_live[n].eqNullSafe(vals[f"__del_{n}"])
+                cond = c if cond is None else cond & c
+            frames.append(with_meta(prev_live.join(vals, cond, "left_semi"), "delete", sid))
+
+    if not frames:
+        empty = spark.createDataFrame([], spark_schema)
+        return with_meta(empty, "insert", 0).limit(0)
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
 def expire_snapshots(
     table_path: str,
     keep_last: int = 1,

@@ -66,6 +66,13 @@ ALLOWED = {
 }
 
 ALLOWED["sources/iceberg_py.py"].append(
+    # incremental scan: DISTINCT file paths referenced by a snapshot's
+    # position-delete files — one row per targeted FILE (metadata
+    # scale), used to plan the targeted scan; the row data flows
+    # through the semi-join
+    'dels.select("__del_fp").distinct()'
+)
+ALLOWED["sources/iceberg_py.py"].append(
     # partitioned OVERWRITE: distinct partition tuples of the
     # replacement — one row per partition, the bound every partitioned
     # committer pays; replacement row data goes through partitionBy

@@ -718,6 +718,138 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
     assert expire_snapshots(table, keep_last=1) == 0
 
 
+def test_iceberg_table_changes_feed(spark, tmp_path):
+    """Incremental scan: position-delete commits surface as deletes of
+    the targeted rows, overwrite as delete+insert at one snapshot,
+    windows restrict, appends attribute to their snapshot, and
+    EQUALITY deletes surface as deletes of the rows live at the prior
+    snapshot matching the values."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        iceberg_table_changes,
+        overwrite_where,
+        write_iceberg,
+        write_iceberg_v2_fixture,
+    )
+
+    table = str(tmp_path / "icecdf")
+    df = spark.range(30).selectExpr("id AS v", "CAST(id % 3 AS INT) AS grp")
+    write_iceberg_v2_fixture(df.coalesce(1), table, sort_col="v")  # snapshot 1
+    s2 = delete_where(spark, table, "grp = 2")
+    s3 = overwrite_where(
+        spark, table, "v = 7", df.filter("v = 7").withColumn("grp", F.lit(9))
+    )
+    rows = sorted(
+        (r["_commit_snapshot_id"], r["_change_type"], r["v"])
+        for r in iceberg_table_changes(spark, table, 1).collect()
+    )
+    assert rows == sorted(
+        [(s2, "delete", v) for v in range(30) if v % 3 == 2]
+        + [(s3, "delete", 7), (s3, "insert", 7)]
+    )
+    ch = iceberg_table_changes(spark, table, s2)
+    assert sorted((r["_change_type"], r["v"]) for r in ch.collect()) == [
+        ("delete", 7),
+        ("insert", 7),
+    ]
+    assert iceberg_table_changes(spark, table, s3).count() == 0
+
+    # v1 append chain attributes inserts to the appending snapshot
+    table2 = str(tmp_path / "icecdf_v1")
+    a = write_iceberg(spark.range(5).coalesce(1), table2, "overwrite", snapshot_ts_ms=100)
+    write_iceberg(spark.range(100, 103).coalesce(1), table2, "append", snapshot_ts_ms=200)
+    ch3 = iceberg_table_changes(spark, table2, a)
+    assert sorted(r["id"] for r in ch3.collect()) == [100, 101, 102]
+    assert {r["_change_type"] for r in ch3.collect()} == {"insert"}
+
+    # equality deletes committed AT the base snapshot are base state,
+    # not changes — the feed must not double-report them
+    table3 = str(tmp_path / "icecdf_eq")
+    write_iceberg_v2_fixture(
+        df.coalesce(1), table3, sort_col="v",
+        equality_deletes=[({"grp": 1}, 2)],
+    )
+    assert iceberg_table_changes(spark, table3, 1).count() == 0
+
+    # an equality delete committed in a LATER snapshot surfaces as
+    # deletes of the rows live at the previous one (hand-committed in
+    # the committer's own metadata shapes)
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gcs2postgres_spark.sources.avro_py import read_avro_file, write_avro_file
+    from gcs2postgres_spark.sources.iceberg_py import (
+        MANIFEST_LIST_SCHEMA_V2,
+        _v2_entry,
+        _write_json_atomic,
+        _write_text_atomic,
+        latest_metadata_file,
+        manifest_entry_schema_v2,
+        read_iceberg_py,
+    )
+
+    table4 = str(tmp_path / "icecdf_eq2")
+    write_iceberg_v2_fixture(df.coalesce(1), table4, sort_col="v")
+    meta_path = latest_metadata_file(table4)
+    meta = _json.loads(open(meta_path).read())
+    mdir = _os.path.join(table4, "metadata")
+    eq_path = _os.path.join(table4, "data", "delete-eq-late.parquet")
+    pq.write_table(pa.table({"grp": pa.array([0], pa.int32())}), eq_path)
+    grp_id = next(
+        f["id"] for f in meta["schemas"][0]["fields"] if f["name"] == "grp"
+    )
+    man = _os.path.join(mdir, "manifest-deletes-2.avro")
+    write_avro_file(
+        man,
+        manifest_entry_schema_v2([]),
+        [_v2_entry(eq_path, content=2, seq=2, equality_ids=[grp_id], snapshot_id=2)],
+        codec="null",
+    )
+    _, old_list = read_avro_file(meta["snapshots"][0]["manifest-list"])
+    ml = _os.path.join(mdir, "snap-2.avro")
+    write_avro_file(
+        ml,
+        MANIFEST_LIST_SCHEMA_V2,
+        list(old_list)
+        + [
+            {
+                "manifest_path": _os.path.abspath(man),
+                "manifest_length": _os.path.getsize(man),
+                "partition_spec_id": 0,
+                "content": 1,
+                "sequence_number": 2,
+                "min_sequence_number": 2,
+                "added_snapshot_id": 2,
+            }
+        ],
+        codec="null",
+    )
+    meta["last-sequence-number"] = 2
+    meta["current-snapshot-id"] = 2
+    meta["snapshots"].append(
+        {
+            "snapshot-id": 2,
+            "sequence-number": 2,
+            "timestamp-ms": 10,
+            "summary": {"operation": "delete"},
+            "manifest-list": _os.path.abspath(ml),
+        }
+    )
+    _write_json_atomic(_os.path.join(mdir, "v2.metadata.json"), meta)
+    _write_text_atomic(_os.path.join(mdir, "version-hint.text"), "2")
+    assert read_iceberg_py(spark, table4).count() == 20  # grp 0 gone
+    got = sorted(
+        (r["_change_type"], r["v"])
+        for r in iceberg_table_changes(spark, table4, 1).collect()
+    )
+    assert got == [("delete", v) for v in range(30) if v % 3 == 0]
+
+
 def test_iceberg_atomic_commit_crash_window(spark, tmp_path, monkeypatch):
     """Crash between the metadata-JSON write and the version-hint write
     must leave readers on the OLD snapshot (the hint is the commit
