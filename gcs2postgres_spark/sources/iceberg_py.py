@@ -1031,6 +1031,24 @@ def write_iceberg(
     if meta_file is not None:
         with open(meta_file) as f:
             meta = json.load(f)
+        specs = meta.get("partition-specs") or []
+        default_spec = next(
+            (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            specs[0] if specs else None,
+        )
+        if default_spec and default_spec.get("fields"):
+            # this writer emits UNPARTITIONED manifest entries; committing
+            # them into a partitioned table would be readable here (the
+            # reader keeps files without partition values conservatively)
+            # but mis-scoped for any partition-pruning scan planner —
+            # refuse rather than corrupt other readers' pruning. The v2
+            # DML committer (overwrite_where) routes per partition and is
+            # the supported mutation path for partitioned tables.
+            raise NotImplementedError(
+                "write_iceberg to a PARTITIONED table would commit "
+                "unpartitioned manifest entries; use overwrite_where / "
+                f"delete_where (partition-routing committer) or: {_JAR_HINT}"
+            )
         version = int(os.path.basename(meta_file).split(".")[0].lstrip("v"))
         snapshots = [
             {
@@ -1821,43 +1839,49 @@ def _avro_prim_for(dt: T.DataType) -> str:
 
 
 def write_iceberg_v2_partitioned_fixture(
-    df: DataFrame, table_path: str, partition_col: str
+    df: DataFrame, table_path: str, partition_col: str | list[str]
 ) -> None:
-    """Identity-partitioned v2 table: the fixture the partitioned DML
-    committer (_v2_row_level_commit) mutates in tests. Data files keep
-    the partition column (spec: identity-partitioned files retain it),
-    manifest entries carry TYPED partition tuples, and the table
-    metadata declares the identity partition spec. Executors write the
-    row data (per-partition df.write.parquet); driver work is bounded
-    by the distinct partition-value list — one row per partition."""
+    """Identity-partitioned v2 table (one or MORE partition columns):
+    the fixture the partitioned DML committer (_v2_row_level_commit)
+    mutates in tests. Data files keep the partition columns (spec:
+    identity-partitioned files retain them), manifest entries carry
+    TYPED partition tuples, and the table metadata declares the identity
+    partition spec. Executors write the row data (per-partition
+    df.write.parquet); driver work is bounded by the distinct
+    partition-tuple list — one row per partition."""
+    part_cols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
     schema = df.schema
     ice = spark_to_iceberg_schema(schema)
-    fid = next(f["id"] for f in ice["fields"] if f["name"] == partition_col)
-    ice_t = next(f["type"] for f in ice["fields"] if f["name"] == partition_col)
-    if ice_t not in ("int", "long", "string"):
-        raise ValueError(
-            f"unsupported identity-partition type for v2 fixture: {ice_t!r}"
-        )
+    part_avro: list[tuple[str, str]] = []
+    fids: dict[str, int] = {}
+    for c in part_cols:
+        fids[c] = next(f["id"] for f in ice["fields"] if f["name"] == c)
+        ice_t = next(f["type"] for f in ice["fields"] if f["name"] == c)
+        if ice_t not in ("int", "long", "string"):
+            raise ValueError(
+                f"unsupported identity-partition type for v2 fixture: {ice_t!r}"
+            )
+        part_avro.append((c, ice_t))
     mdir = os.path.join(table_path, "metadata")
     os.makedirs(mdir, exist_ok=True)
-    values = [
-        r[0]
-        for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+    tuples = [
+        tuple(r)
+        for r in df.select(*part_cols).distinct().orderBy(*part_cols).collect()
     ]
     entries = []
-    for v in values:
-        pdir = os.path.join(table_path, "data", f"part-{v}")
-        df.filter(F.col(partition_col) == v).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(pdir)
+    for i, tup in enumerate(tuples):
+        pdir = os.path.join(table_path, "data", f"part-{i}")
+        cond = None
+        for c, v in zip(part_cols, tup):
+            cc = F.col(c) == F.lit(v)
+            cond = cc if cond is None else cond & cc
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(pdir)
         entries.extend(
-            _v2_entry(p, content=0, seq=1, partition={partition_col: v})
+            _v2_entry(p, content=0, seq=1, partition=dict(zip(part_cols, tup)))
             for p in sorted(glob.glob(os.path.join(pdir, "*.parquet")))
         )
     man = os.path.join(mdir, "manifest-data-1.avro")
-    write_avro_file(
-        man, manifest_entry_schema_v2([(partition_col, ice_t)]), entries, codec="null"
-    )
+    write_avro_file(man, manifest_entry_schema_v2(part_avro), entries, codec="null")
     mlist = os.path.join(mdir, "snap-1.avro")
     write_avro_file(
         mlist,
@@ -1891,16 +1915,17 @@ def write_iceberg_v2_partitioned_fixture(
                 "spec-id": 0,
                 "fields": [
                     {
-                        "name": partition_col,
+                        "name": c,
                         "transform": "identity",
-                        "source-id": fid,
-                        "field-id": 1000,
+                        "source-id": fids[c],
+                        "field-id": 1000 + i,
                     }
+                    for i, c in enumerate(part_cols)
                 ],
             }
         ],
         "default-spec-id": 0,
-        "last-partition-id": 1000,
+        "last-partition-id": 1000 + len(part_cols) - 1,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {},

@@ -37,6 +37,9 @@ ALLOWED = {
         # pays to commit a partitioned snapshot; data rows go through
         # df.write.parquet on executors
         'df.select(partition_col).distinct().orderBy(partition_col)',
+        # multi-column variant of the same bound: one row per distinct
+        # partition TUPLE
+        "df.select(*part_cols).distinct().orderBy(*part_cols)",
     ],
     "operators/prefix.py": [
         # two-phase prefix fold: one aggregate row per range partition —

@@ -556,6 +556,67 @@ def test_iceberg_partitioned_delete_files_are_partition_scoped(spark, tmp_path):
     assert seen_parts == {0, 1, 2}  # the predicate hit all three
 
 
+def test_iceberg_multi_column_partition_dml(spark, tmp_path):
+    """DML over a TWO-column identity partition spec: the committer's
+    tuple interning, routing, and typed manifest structs must all be
+    arity-generic — deletes crossing both dimensions, overwrite into an
+    existing composite partition, and pruning on either column."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        overwrite_where,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    df = (
+        spark.range(24)
+        .withColumn("g", (F.col("id") % 3).cast("int"))
+        .withColumn("region", F.concat(F.lit("r"), (F.col("id") % 2).cast("string")))
+    )
+    table = str(tmp_path / "ice_mc")
+    write_iceberg_v2_partitioned_fixture(df.repartition(2), table, ["g", "region"])
+    assert read_iceberg_py(spark, table).count() == 24
+    s1 = delete_where(spark, table, "g = 1 AND region = 'r0'")
+    live = sorted(r["id"] for r in read_iceberg_py(spark, table).collect())
+    assert live == [i for i in range(24) if not (i % 3 == 1 and i % 2 == 0)]
+    s2 = delete_where(spark, table, "id IN (3, 8)")
+    rep = df.filter("id = 5").withColumn("id", F.lit(505).cast("long"))
+    s3 = overwrite_where(spark, table, "id = 5", rep)
+    live = sorted(r["id"] for r in read_iceberg_py(spark, table).collect())
+    expect = sorted(
+        (set(range(24)) - {i for i in range(24) if i % 3 == 1 and i % 2 == 0}
+         - {3, 8, 5}) | {505}
+    )
+    assert live == expect
+    assert s3 > s2 > s1
+    # pruning on either partition column
+    pr = read_iceberg_py(spark, table, partition_filter={"region": {"r1"}})
+    assert sorted(r["id"] for r in pr.filter("region = 'r1'").collect()) == [
+        i for i in expect if (i % 2 == 1)
+    ]
+
+
+def test_iceberg_write_to_partitioned_table_refuses(spark, tmp_path):
+    """write_iceberg would commit UNPARTITIONED manifest entries into a
+    partitioned table — readable here (conservative keep) but mis-scoped
+    for any pruning scan planner. Must refuse with the DML alternative
+    named."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        write_iceberg,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    df = spark.range(6).withColumn("g", (F.col("id") % 2).cast("int"))
+    table = str(tmp_path / "ice_wguard")
+    write_iceberg_v2_partitioned_fixture(df, table, "g")
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        write_iceberg(df, table, "append", snapshot_ts_ms=999)
+
+
 def test_iceberg_non_identity_transform_dml_clear_error(spark, tmp_path):
     """A bucket/truncate/days partition spec cannot be routed jar-lessly
     (the transform function lives in the runtime) — must refuse with an
