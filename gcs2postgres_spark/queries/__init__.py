@@ -43,6 +43,10 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # in round 10 (Iceberg partitioned DML + atomic commits + field-id
 # column resolution, Delta deletion vectors + column mapping, range-join
 # degradation, fuzzy-join repartition skip, Delta DV DELETE committer).
+# Later r10 commits further reworked the same read paths (delta scan
+# core factored for the change feed; iceberg incremental scan) — the
+# driver runs at ROUND END, so these slots certify the final code; all
+# later-landing work is itemized per commit in git log and COVERAGE.md.
 # Section (b) = 36 of the 38
 # remaining round-4-newest greens as freshness fill; with the 4
 # r4-newest queries already in (a), every r4 row refreshes EXCEPT
