@@ -1360,3 +1360,332 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("codec")
+
+UPDATE_WHERE_ORACLE = """
+WITH updated AS (
+  SELECT CASE WHEN n_regionkey = 2 THEN n_nationkey + 100 ELSE n_nationkey END AS k,
+         CASE WHEN n_regionkey = 2 THEN 'UPD_' || n_name ELSE n_name END        AS name,
+         CASE WHEN n_regionkey = 2 THEN 7 ELSE n_regionkey END                  AS region
+  FROM nation)
+SELECT region,
+       count(*)                 AS n_rows,
+       CAST(sum(k) AS BIGINT)   AS key_sum,
+       min(name)                AS first_name
+FROM updated
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("iceberg_update_where_roundtrip", oracle=UPDATE_WHERE_ORACLE)
+def iceberg_update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg DML WRITE path: jar-less UPDATE ... SET ... WHERE on a
+    PARTITIONED v2 table (iceberg_py.update_where) — one atomic
+    position-delete + append snapshot whose SET touches the PARTITION
+    column, so the rewritten rows must be routed to a brand-new
+    partition (region 2 -> 7) by the replacement pid map. The read back
+    applies the delete files and scans both old and new partitions; a
+    row left behind, double-applied, or routed to the wrong partition
+    breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        update_where,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_upd_")
+    try:
+        write_iceberg_v2_partitioned_fixture(nation, tmp, "n_regionkey")
+        update_where(
+            spark,
+            tmp,
+            "n_regionkey = 2",
+            {
+                "n_nationkey": "n_nationkey + 100",
+                "n_name": "concat('UPD_', n_name)",
+                "n_regionkey": "7",
+            },
+            snapshot_ts_ms=1_700_000_001_000,
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+@register("delta_update_where_roundtrip", oracle=UPDATE_WHERE_ORACLE)
+def delta_update_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DML WRITE path: jar-less UPDATE via deletion vectors
+    (delta_py.update_where_delta) — the Delta twin of
+    iceberg_update_where_roundtrip: DVs and the rewritten rows land in
+    ONE commit, and the SET moves rows from partition directory
+    region=2 to the brand-new region=7 (Hive-style layout). The read
+    back decodes the vectors, anti-joins them, and injects partition
+    values for both old and new directories."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        update_where_delta,
+        write_delta_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_upd_")
+    try:
+        write_delta_fixture(nation.coalesce(1), tmp, partition_col="n_regionkey")
+        update_where_delta(
+            spark,
+            tmp,
+            "n_regionkey = 2",
+            {
+                "n_nationkey": "n_nationkey + 100",
+                "n_name": "concat('UPD_', n_name)",
+                "n_regionkey": "7",
+            },
+            timestamp_ms=1_700_000_001_000,
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+MERGE_UPSERT_ORACLE = """
+WITH src AS (
+  SELECT n_nationkey AS k, 'SRC_' || n_name AS name, n_regionkey AS region
+  FROM nation WHERE n_nationkey % 3 = 0
+  UNION ALL
+  SELECT n_nationkey + 100, 'NEW_' || n_name, n_regionkey
+  FROM nation WHERE n_nationkey < 5
+),
+merged AS (
+  SELECT k, name, region FROM src
+  UNION ALL
+  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey % 3 <> 0
+)
+SELECT region,
+       count(*)               AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       min(name)              AS first_name
+FROM merged
+GROUP BY region
+ORDER BY region
+"""
+
+
+def _merge_source(nation: DataFrame) -> DataFrame:
+    """Deterministic CDC batch: every 3rd key updated (SRC_ prefix),
+    five brand-new +100 keys inserted."""
+    upd = nation.filter("n_nationkey % 3 = 0").select(
+        F.col("n_nationkey"),
+        F.concat(F.lit("SRC_"), F.col("n_name")).alias("n_name"),
+        F.col("n_regionkey"),
+    )
+    new = nation.filter("n_nationkey < 5").select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+        F.col("n_regionkey"),
+    )
+    return upd.unionByName(new)
+
+
+def _merge_summary(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(F.col("n_regionkey").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("region")
+    )
+
+
+@register("iceberg_merge_upsert_roundtrip", oracle=MERGE_UPSERT_ORACLE)
+def iceberg_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE INTO (CDC upsert, iceberg_py.merge_into) on a
+    PARTITIONED v2 table: matched keys position-deleted and replaced by
+    their source rows, unmatched source keys appended — ONE snapshot.
+    The match set is a left-semi join from the tagged live scan onto
+    the source keys (never a collected IN-list). A dropped update, a
+    resurrected old row, or a lost insert breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        merge_into,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_mrg_")
+    try:
+        write_iceberg_v2_partitioned_fixture(nation, tmp, "n_regionkey")
+        merge_into(
+            spark,
+            tmp,
+            _merge_source(nation),
+            ["n_nationkey"],
+            snapshot_ts_ms=1_700_000_001_000,
+        )
+        return _merge_summary(read_iceberg_py(spark, tmp))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+@register("delta_merge_upsert_roundtrip", oracle=MERGE_UPSERT_ORACLE)
+def delta_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta MERGE INTO (CDC upsert, delta_py.merge_delta): the Delta
+    twin of iceberg_merge_upsert_roundtrip — matched keys DV-deleted,
+    replacement + insert rows staged partition-wise, ONE log commit.
+    The read back must merge per-file vectors with the fresh adds."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        merge_delta,
+        read_delta_py,
+        write_delta_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_mrg_")
+    try:
+        write_delta_fixture(nation.coalesce(1), tmp, partition_col="n_regionkey")
+        merge_delta(
+            spark,
+            tmp,
+            _merge_source(nation),
+            ["n_nationkey"],
+            timestamp_ms=1_700_000_001_000,
+        )
+        return _merge_summary(read_delta_py(spark, tmp))
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+COMPACT_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM nation
+WHERE n_regionkey <> 2 AND n_nationkey % 5 <> 1
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("iceberg_rewrite_compact_roundtrip", oracle=COMPACT_ORACLE)
+def iceberg_rewrite_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg compaction (iceberg_py.rewrite_data_files) sandwiched
+    between row-level DMLs: delete -> rewrite (replace snapshot that
+    materializes the position deletes away and re-bins the files) ->
+    delete again (new delete files now target the COMPACTED files).
+    The final read sees both deletes; a row resurrected by the rewrite,
+    a delete applied twice, or a post-compaction delete matched against
+    stale file identities breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        read_iceberg_py,
+        rewrite_data_files,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_rw_")
+    try:
+        write_iceberg_v2_partitioned_fixture(
+            nation.repartition(4), tmp, "n_regionkey"
+        )
+        delete_where(spark, tmp, "n_regionkey = 2", snapshot_ts_ms=1_700_000_001_000)
+        rewrite_data_files(spark, tmp, snapshot_ts_ms=1_700_000_002_000)
+        delete_where(
+            spark, tmp, "n_nationkey % 5 = 1", snapshot_ts_ms=1_700_000_003_000
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+@register("delta_optimize_compact_roundtrip", oracle=COMPACT_ORACLE)
+def delta_optimize_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE (delta_py.compact_delta) sandwiched between DV
+    DMLs — the Delta twin of iceberg_rewrite_compact_roundtrip: DV
+    delete -> compact (dataChange:false commit that purges the vectors
+    and re-bins the files) -> DV delete again on the compacted files.
+    The final read must apply only the second round of vectors to the
+    new files; a stale vector surviving compaction or a resurrected
+    row breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        compact_delta,
+        delete_where_delta,
+        read_delta_py,
+        write_delta_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_opt_")
+    try:
+        write_delta_fixture(nation.coalesce(1), tmp, partition_col="n_regionkey")
+        delete_where_delta(spark, tmp, "n_regionkey = 2", timestamp_ms=1_700_000_001_000)
+        compact_delta(spark, tmp, timestamp_ms=1_700_000_002_000)
+        delete_where_delta(
+            spark, tmp, "n_nationkey % 5 = 1", timestamp_ms=1_700_000_003_000
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

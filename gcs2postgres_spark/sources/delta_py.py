@@ -955,7 +955,11 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
 
 
 def _stage_data_files(
-    df: DataFrame, table_path: str, part_cols: list[str], now_ms: int
+    df: DataFrame,
+    table_path: str,
+    part_cols: list[str],
+    now_ms: int,
+    data_change: bool = True,
 ) -> list[dict]:
     """Write df's parquet files into the table directory (executor-side,
     partitionBy-aware) and return the protocol ``add`` actions. Files
@@ -995,7 +999,7 @@ def _stage_data_files(
                         "partitionValues": pv,
                         "size": os.path.getsize(dest),
                         "modificationTime": now_ms,
-                        "dataChange": True,
+                        "dataChange": data_change,
                     }
                 }
             )
@@ -1162,6 +1166,111 @@ def delete_where_delta(
     (src/db/db.go:59 query passthrough); this is the lakehouse-side
     equivalent, matching the Iceberg committer's position-delete
     strategy but in Delta's bitmap encoding."""
+    return _dv_row_level_commit(spark, table_path, predicate, None, timestamp_ms)
+
+
+def update_where_delta(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    timestamp_ms: int | None = None,
+) -> int | None:
+    """Jar-less Delta ``UPDATE ... SET ... WHERE`` via deletion vectors:
+    one atomic commit that DV-deletes the rows matching ``predicate``
+    and appends their rewritten versions (``set_exprs`` maps column
+    name -> Spark SQL expression over the matched rows). Returns the
+    new version, or None when nothing matches (no commit).
+
+    The replacement rows are the LIVE matched rows (read through the
+    DV-applying reader) with SET applied, written executor-side through
+    the same staging path write_delta uses; the DV descriptors and the
+    new adds land in ONE log commit, so readers never see a state where
+    rows are deleted but not yet rewritten. The change feed reports an
+    update commit as delete+insert pairs (bitmap diff + fresh files) —
+    the honest jar-less reading of a DV-update commit, which carries no
+    _change_data files. Iceberg twin: iceberg_py.update_where."""
+    tagged = read_delta_py(spark, table_path)
+    matched = tagged.filter(predicate)
+    if not matched.take(1):
+        return None
+    bad = sorted(set(set_exprs) - set(tagged.columns))
+    if bad:
+        raise ValueError(f"UPDATE SET targets unknown columns: {bad}")
+    new_rows = matched.select(
+        *[
+            F.expr(set_exprs[c]).cast(tagged.schema[c].dataType).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in tagged.columns
+        ]
+    )
+    return _dv_row_level_commit(spark, table_path, predicate, new_rows, timestamp_ms)
+
+
+def merge_delta(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    timestamp_ms: int | None = None,
+) -> int | None:
+    """Jar-less Delta ``MERGE INTO`` (CDC upsert) via deletion vectors:
+    one atomic commit that DV-deletes every target row whose ``on`` key
+    appears in ``source`` and appends the replacement rows the clauses
+    call for. Returns the new version, or None when the merge is a
+    no-op. Clause semantics, key-uniqueness expectations, and the
+    semi/anti-join scale shape are identical to the Iceberg twin
+    (iceberg_py.merge_into); the physical encoding is Delta's bitmaps
+    instead of position-delete parquet."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    live = read_delta_py(spark, table_path)
+    missing = sorted(set(on) - set(source.columns))
+    if missing:
+        raise ValueError(f"MERGE key columns missing from source: {missing}")
+    src_keys = source.select(*on).distinct()
+
+    def matcher(tagged: DataFrame) -> DataFrame:
+        return tagged.join(src_keys, on=on, how="left_semi")
+
+    if when_matched == "update":
+        replacement = (
+            source
+            if when_not_matched == "insert"
+            else source.join(live.select(*on).distinct(), on=on, how="left_semi")
+        )
+    else:
+        replacement = (
+            source.join(live.select(*on).distinct(), on=on, how="left_anti")
+            if when_not_matched == "insert"
+            else None
+        )
+    if replacement is not None:
+        missing_cols = sorted(set(live.columns) - set(replacement.columns))
+        if missing_cols:
+            raise ValueError(f"MERGE source lacks table columns: {missing_cols}")
+        replacement = replacement.select(
+            *[F.col(c).cast(live.schema[c].dataType).alias(c) for c in live.columns]
+        )
+        if replacement.isEmpty():
+            replacement = None
+    return _dv_row_level_commit(spark, table_path, matcher, replacement, timestamp_ms)
+
+
+def _dv_row_level_commit(
+    spark: SparkSession,
+    table_path: str,
+    matcher,  # SQL string or Callable[[DataFrame], DataFrame]
+    new_rows: DataFrame | None,
+    timestamp_ms: int | None,
+) -> int | None:
     import time as _time
 
     from pyspark import cloudpickle as _cp
@@ -1183,6 +1292,14 @@ def delete_where_delta(
     live, meta = replay_head_state(spark, table_path)
     if meta is None:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
+    cm_mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    if new_rows is not None and cm_mode != "none":
+        raise NotImplementedError(
+            "jar-less Delta UPDATE/MERGE on a column-mapping table would "
+            "store LOGICAL names in the new data files (silent corruption); "
+            f"{_DELTA_JAR_HINT}"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
 
     # per-file map (metadata-sized, broadcast): normalized abs path ->
     # rel path + existing-DV resolution, so each executor group can
@@ -1213,12 +1330,10 @@ def delete_where_delta(
     # DVs, column mapping, and partition grouping all apply, so the
     # predicate sees live rows under logical names and matches carry the
     # exact identity the new bitmaps must encode
-    tagged = (
-        read_delta_py(spark, table_path, _keep_identity=True)
-        .filter(predicate)
-        .select("__dv_fp", "__dv_pos")
-    )
-    joined = tagged.join(F.broadcast(fmap), tagged["__dv_fp"] == fmap["fp"], "inner")
+    tagged = read_delta_py(spark, table_path, _keep_identity=True)
+    matched = matcher(tagged) if callable(matcher) else tagged.filter(matcher)
+    matched = matched.select("__dv_fp", "__dv_pos")
+    joined = matched.join(F.broadcast(fmap), matched["__dv_fp"] == fmap["fp"], "inner")
 
     abs_table = os.path.abspath(table_path)
     _cp.register_pickle_by_value(dv_roaring)
@@ -1265,23 +1380,27 @@ def delete_where_delta(
     descriptors = joined.groupBy("__dv_fp").applyInPandas(
         build_dv, "rel string, payload string, size_bytes int, cardinality long"
     ).collect()
-    if not descriptors:
+    if not descriptors and new_rows is None:
         return None
 
     now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
-    features = ["deletionVectors"]
-    if (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none") != "none":
-        features.append("columnMapping")
-    actions: list[dict] = [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": features,
-                "writerFeatures": list(features),
+    actions: list[dict] = []
+    if descriptors:
+        # the DV protocol upgrade only when this commit actually writes
+        # vectors; a pure-insert MERGE keeps the table's protocol
+        features = ["deletionVectors"]
+        if cm_mode != "none":
+            features.append("columnMapping")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": features,
+                    "writerFeatures": list(features),
+                }
             }
-        }
-    ]
+        )
     for row in sorted(descriptors, key=lambda r: r["rel"]):
         actions.append(
             {
@@ -1302,8 +1421,18 @@ def delete_where_delta(
         }
         new_add["dataChange"] = True
         actions.append({"add": new_add})
+    if new_rows is not None:
+        # UPDATE/MERGE replacement rows: staged executor-side through
+        # the same partitionBy-aware path write_delta uses, in the SAME
+        # commit as the deletion vectors (atomic delete+rewrite).
+        actions.extend(_stage_data_files(new_rows, table_path, part_cols, now))
     log_dir = _log_dir(table_path)
-    version = max(_list_commits(log_dir)) + 1
+    commits = _list_commits(log_dir)
+    if commits:
+        version = max(commits) + 1
+    else:  # checkpoint-only table (log cleaned up past the checkpoint)
+        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+            version = int(json.load(f)["version"]) + 1
     _write_commit(log_dir, version, actions, now)
     return version
 
@@ -1377,22 +1506,34 @@ def delta_table_changes(
     for v in sorted(c for c in commits if starting_version < c <= ending_version):
         acts = actions_of(v)
         adds = {a["add"]["path"]: a["add"] for a in acts if "add" in a}
-        removes = {a["remove"]["path"] for a in acts if "remove" in a}
+        removes = {
+            a["remove"]["path"]: a["remove"] for a in acts if "remove" in a
+        }
         for a in acts:
             if "protocol" in a:
                 _check_protocol(a["protocol"])
             elif "metaData" in a:
                 meta = a["metaData"]
+        # dataChange: false marks a pure rearrangement (OPTIMIZE /
+        # compaction): the action still moves the live-file state, but
+        # contributes NO change-feed rows — the protocol's contract,
+        # which keeps a compacted table's feed identical to the
+        # uncompacted one's.
         for path, new in adds.items():
             old = live.get(path)
-            if old is None:
-                inserts.append((v, new))
-            elif (old.get("deletionVector") or None) != (new.get("deletionVector") or None):
-                dv_updates.append((v, old, new))
+            if new.get("dataChange", True):
+                if old is None:
+                    inserts.append((v, new))
+                elif (old.get("deletionVector") or None) != (
+                    new.get("deletionVector") or None
+                ):
+                    dv_updates.append((v, old, new))
             live[path] = new
-        for path in removes - set(adds):
+        for path, rm in removes.items():
+            if path in adds:
+                continue
             old = live.pop(path, None)
-            if old is not None:
+            if old is not None and rm.get("dataChange", True):
                 drops.append((v, old))
     if meta is None:
         raise ValueError(f"no metaData action found in _delta_log of {table_path}")
@@ -1582,3 +1723,67 @@ def vacuum_delta(table_path: str) -> int:
             os.remove(p)
             removed += 1
     return removed
+
+def compact_delta(
+    spark: SparkSession,
+    table_path: str,
+    target_file_mb: int = 128,
+    timestamp_ms: int | None = None,
+) -> int:
+    """Jar-less Delta OPTIMIZE (bin-packing compaction): read the
+    table's LIVE rows (deletion vectors applied), rewrite them as
+    right-sized data files, and commit remove-all-live + add-compacted
+    with ``dataChange: false`` — the protocol's marker that a commit
+    rearranges bytes without changing table content (streaming readers
+    and the change feed skip it; delta_table_changes honors this).
+    Merge-on-read debt (DVs, small files) is materialized away; table
+    content is bit-identical. Returns the new version.
+
+    Scale shape: one distributed read + one distributed write; the
+    target file count comes from the LOG's add.size fields (driver
+    reads metadata only). Partitioned tables repartition on the
+    partition columns so partitionBy emits ~1 compacted file per
+    partition; unpartitioned tables repartition to
+    ceil(live_bytes / target). Old versions still reference the old
+    files, so time travel keeps working until vacuum_delta reclaims
+    them — the same contract as OPTIMIZE + VACUUM. Single-writer
+    assumed, like every committer in this module. Iceberg twin:
+    iceberg_py.rewrite_data_files."""
+    import math
+    import time as _time
+
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Delta OPTIMIZE is local-filesystem only (object-store "
+            f"commits need atomic-put semantics); {_DELTA_JAR_HINT}"
+        )
+    live, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    if (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "jar-less Delta OPTIMIZE on a column-mapping table would store "
+            f"LOGICAL names in the compacted files (silent corruption); {_DELTA_JAR_HINT}"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    live_bytes = sum(int(a.get("size") or 0) for a in live.values())
+    n_files = max(1, math.ceil(live_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = read_delta_py(spark, table_path)
+    compacted = df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+
+    now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
+    actions: list[dict] = [
+        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": False}}
+        for p in sorted(live)
+    ]
+    actions.extend(_stage_data_files(compacted, table_path, part_cols, now, data_change=False))
+    log_dir = _log_dir(table_path)
+    commits = _list_commits(log_dir)
+    if commits:
+        version = max(commits) + 1
+    else:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+            version = int(json.load(f)["version"]) + 1
+    _write_commit(log_dir, version, actions, now)
+    return version

@@ -1228,6 +1228,11 @@ def iceberg_table_changes(
     for idx in range(lo + 1, hi + 1):
         snap = snapshots[idx]
         sid = snap["snapshot-id"]
+        if (snap.get("summary") or {}).get("operation") == "replace":
+            # compaction (rewrite_data_files): files are rearranged but
+            # table content is unchanged — the spec's changelog-scan
+            # contract is that replace snapshots emit no changes.
+            continue
         prev_sid = snapshots[idx - 1]["snapshot-id"]
         _, manifests = read_avro_file(
             _resolve(snap["manifest-list"], table_path, location)
@@ -1466,10 +1471,361 @@ def overwrite_where(
     return sid
 
 
-def _v2_row_level_commit(
+def update_where(
     spark: SparkSession,
     table_path: str,
     predicate: str,
+    set_exprs: dict[str, str],
+    snapshot_ts_ms: int | None = None,
+) -> int | None:
+    """Jar-less Iceberg v2 merge-on-read ``UPDATE ... SET ... WHERE``:
+    one atomic commit that position-deletes the rows matching
+    ``predicate`` and appends their rewritten versions (``set_exprs``
+    maps column name -> Spark SQL expression, evaluated over the
+    matched rows). Returns the new snapshot id, or None when nothing
+    matches (no commit, table untouched).
+
+    Scale shape: the replacement rows are the LIVE matched rows (read
+    through read_iceberg_py, so existing deletes and renamed-column
+    resolution apply) with the SET expressions applied — computed and
+    written entirely on executors. The commit itself reuses
+    overwrite_where, so delete files and new data files land in ONE
+    snapshot (no window where a reader sees rows deleted but not yet
+    rewritten). The extra existence probe is a take(1) over the
+    predicate-pushed scan — Spark early-terminates it, so a no-match
+    UPDATE costs one pruned scan, not a commit.
+
+    Parity: the reference delegates UPDATE to its warehouse (query
+    passthrough, reference src/db/db.go:59); this is the lakehouse-side
+    equivalent jar-ful runtimes expose as SQL UPDATE."""
+    live = read_iceberg_py(spark, table_path)
+    matched = live.filter(predicate)
+    if not matched.take(1):
+        return None
+    bad = sorted(set(set_exprs) - set(live.columns))
+    if bad:
+        raise ValueError(f"UPDATE SET targets unknown columns: {bad}")
+    replacement = matched.select(
+        *[
+            F.expr(set_exprs[c]).cast(live.schema[c].dataType).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in live.columns
+        ]
+    )
+    return overwrite_where(spark, table_path, predicate, replacement, snapshot_ts_ms)
+
+
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    snapshot_ts_ms: int | None = None,
+) -> int | None:
+    """Jar-less Iceberg v2 merge-on-read ``MERGE INTO`` (the CDC-apply
+    shape): one atomic commit that position-deletes every target row
+    whose ``on`` key appears in ``source`` and appends the replacement
+    rows the clauses call for. Returns the new snapshot id, or None
+    when the merge is a no-op.
+
+    - ``when_matched="update"``: matched target rows are replaced by
+      their source rows (full-row upsert — the source must carry the
+      table's columns and be unique on ``on``; a multi-row key would
+      silently fan out, so callers dedupe upstream, e.g. the
+      merge_upsert_latest pattern).
+    - ``when_matched="delete"``: matched target rows are removed.
+    - ``when_not_matched="insert"``: source rows with no target match
+      are appended; ``"ignore"`` drops them.
+
+    Scale shape: the match set is a LEFT SEMI join from the tagged live
+    scan onto ``source``'s distinct keys — a shuffle-or-broadcast join
+    Catalyst/AQE sizes (never a collected IN-list), and the only thing
+    it carries back is the (file, pos) identity the delete files
+    encode. Replacement rows are selected from ``source`` with
+    anti/semi joins against the live key set — all executor-side. The
+    commit is the same single-snapshot position-delete + append
+    overwrite_where uses.
+
+    Parity: the reference applies CDC through its warehouse MERGE
+    (query passthrough, src/db/db.go:59); streaming/cdc_apply.py is the
+    foreachBatch twin of this batch committer."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    live = read_iceberg_py(spark, table_path)
+    missing = sorted(set(on) - set(source.columns))
+    if missing:
+        raise ValueError(f"MERGE key columns missing from source: {missing}")
+    src_keys = source.select(*on).distinct()
+
+    def matcher(tagged: DataFrame) -> DataFrame:
+        return tagged.join(src_keys, on=on, how="left_semi")
+
+    if when_matched == "update":
+        if when_not_matched == "insert":
+            replacement = source
+        else:  # update only: keep just the source rows that hit a target key
+            replacement = source.join(
+                live.select(*on).distinct(), on=on, how="left_semi"
+            )
+    else:  # when_matched == "delete"
+        if when_not_matched == "insert":
+            replacement = source.join(
+                live.select(*on).distinct(), on=on, how="left_anti"
+            )
+        else:
+            replacement = None
+    if replacement is not None:
+        missing_cols = sorted(set(live.columns) - set(replacement.columns))
+        if missing_cols:
+            raise ValueError(f"MERGE source lacks table columns: {missing_cols}")
+        replacement = replacement.select(
+            *[F.col(c).cast(live.schema[c].dataType).alias(c) for c in live.columns]
+        )
+        if replacement.isEmpty():
+            replacement = None
+    if replacement is None:
+        # pure delete of matched keys (or an all-matched upsert with
+        # nothing to insert): fall through to the delete-only commit,
+        # which returns None when nothing matched at all.
+        return _v2_row_level_commit(spark, table_path, matcher, None, snapshot_ts_ms)
+    return _v2_row_level_commit(
+        spark, table_path, matcher, replacement, snapshot_ts_ms
+    )
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    table_path: str,
+    target_file_mb: int = 128,
+    snapshot_ts_ms: int | None = None,
+) -> int:
+    """Jar-less Iceberg v2 compaction (the ``rewrite_data_files``
+    maintenance action): read the table's LIVE rows (position/equality
+    deletes applied), rewrite them as right-sized data files, and
+    commit a ``replace`` snapshot whose manifest list carries ONLY the
+    new files — merge-on-read debt (delete files, fragmented small
+    files) is materialized away while table content is bit-identical.
+    Returns the new snapshot id.
+
+    Scale shape: the rewrite is one distributed read + one distributed
+    write; the target file count comes from the MANIFEST byte sizes
+    (driver reads metadata only, never data). Partitioned tables
+    repartition on the partition source columns so each task holds
+    whole partitions and partitionBy emits ~1 compacted file per
+    partition; unpartitioned tables repartition to
+    ceil(live_bytes / target). Old snapshots still reference the old
+    files, so time travel keeps working until expire_snapshots drops
+    them — exactly the contract of the real maintenance action.
+
+    Single-writer assumed (HadoopTables layout, like every committer in
+    this module): a concurrent row-level DML against the pre-rewrite
+    snapshot would be lost by this replace."""
+    import math
+    import time as _time
+
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Iceberg compaction is local-filesystem only "
+            f"(object-store commits need the catalog/connector). Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    if meta.get("format-version", 1) != 2:
+        raise ValueError(
+            "rewrite_data_files targets format-version-2 tables; for v1 use "
+            "write_iceberg overwrite (snapshot swap)"
+        )
+    if "schemas" in meta:
+        cur_schema_id = meta.get("current-schema-id", 0)
+        schema_json = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_schema_id
+        )
+    else:
+        schema_json = meta["schema"]
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    specs = meta.get("partition-specs") or []
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0] if specs else None,
+    )
+    part_fields = (default_spec or {}).get("fields", [])
+    non_identity = [f for f in part_fields if f.get("transform") != "identity"]
+    if non_identity:
+        raise NotImplementedError(
+            "compaction on an Iceberg table with non-identity partition "
+            f"transforms {sorted({f['transform'] for f in non_identity})}: "
+            f"table {_JAR_HINT}"
+        )
+    part_struct_names = [f["name"] for f in part_fields]
+    part_src_cols = [field_names[f["source-id"]] for f in part_fields]
+    part_avro: list[tuple[str, str]] = []
+    for f in part_fields:
+        t = field_types[f["source-id"]]
+        if t not in ("int", "long", "string"):
+            raise NotImplementedError(
+                f"identity partition on iceberg type {t!r} for jar-less "
+                f"compaction: table {_JAR_HINT}"
+            )
+        part_avro.append((f["name"], t))
+    spec_id = int(meta.get("default-spec-id", 0))
+    snapshots = meta.get("snapshots") or []
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id is None or snap_id == -1 or not snapshots:
+        raise ValueError(f"{table_path!r} has no current snapshot to rewrite")
+    snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
+    location = meta.get("location")
+
+    # live byte total from MANIFEST metadata (one row per data file)
+    _, manifest_rows = read_avro_file(
+        _resolve(snapshot["manifest-list"], table_path, location)
+    )
+    live_bytes = 0
+    for m in manifest_rows:
+        _, entries = read_avro_file(_resolve(m["manifest_path"], table_path, location))
+        for e in entries:
+            if e["status"] != 2 and e["data_file"].get("content", 0) == 0:
+                live_bytes += int(e["data_file"].get("file_size_in_bytes") or 0)
+    n_files = max(1, math.ceil(live_bytes / (target_file_mb * 1024 * 1024)))
+
+    live = read_iceberg_py(spark, table_path)
+    compacted = (
+        live.repartition(n_files, *part_src_cols)
+        if part_src_cols
+        else live.repartition(n_files)
+    )
+
+    sid = max(s["snapshot-id"] for s in snapshots) + 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
+    mdir = os.path.join(table_path, "metadata")
+    pid_of: dict[tuple, int] = {}
+
+    def _pid(tup: tuple) -> int:
+        if tup not in pid_of:
+            pid_of[tup] = len(pid_of)
+        return pid_of[tup]
+
+    data_entries = _stage_v2_data_files(
+        spark,
+        compacted,
+        table_path,
+        sid,
+        new_seq,
+        part_struct_names,
+        part_src_cols,
+        _pid,
+        pid_of,
+    )
+    new_list_rows = []
+    if data_entries:
+        data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
+        write_avro_file(
+            data_manifest, manifest_entry_schema_v2(part_avro), data_entries, codec="null"
+        )
+        new_list_rows.append(
+            {
+                "manifest_path": os.path.abspath(data_manifest),
+                "manifest_length": os.path.getsize(data_manifest),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": new_seq,
+                "min_sequence_number": new_seq,
+                "added_snapshot_id": sid,
+            }
+        )
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
+    meta["last-sequence-number"] = new_seq
+    meta["last-updated-ms"] = now
+    meta["current-snapshot-id"] = sid
+    meta.setdefault("snapshots", []).append(
+        {
+            "snapshot-id": sid,
+            "sequence-number": new_seq,
+            "timestamp-ms": now,
+            "summary": {"operation": "replace"},
+            "manifest-list": os.path.abspath(mlist),
+        }
+    )
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+    return sid
+
+
+def _stage_v2_data_files(
+    spark: SparkSession,
+    replacement: DataFrame,
+    table_path: str,
+    sid: int,
+    new_seq: int,
+    part_struct_names: list[str],
+    part_src_cols: list[str],
+    _pid,
+    pid_of: dict,
+) -> list[dict]:
+    """Write ``replacement`` as v2 data files (executor-side) and return
+    their manifest entries. Identity transform: the partition value IS
+    the source column value, so rows (which may introduce NEW partition
+    tuples) are routed by a broadcast value->pid map built from one
+    distinct() over the partition source columns — one row per distinct
+    tuple, the bound every partitioned committer pays. Data files keep
+    the partition columns (spec: identity-partitioned data files retain
+    the column, unlike Hive/Delta layouts); only the synthetic __pid is
+    dropped by partitionBy."""
+    import uuid
+
+    commit_dir = os.path.join(table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}")
+    data_entries: list[dict] = []
+    if part_struct_names:
+        new_tuples = [
+            tuple(r) for r in replacement.select(*part_src_cols).distinct().collect()
+        ]
+        map_fields = [
+            T.StructField(f"__pm_{i}", replacement.schema[c].dataType, True)
+            for i, c in enumerate(part_src_cols)
+        ]
+        map_fields.append(T.StructField("__pid", T.IntegerType(), False))
+        map_df = spark.createDataFrame(
+            [t + (_pid(t),) for t in new_tuples], T.StructType(map_fields)
+        )
+        cond = None
+        for i, c in enumerate(part_src_cols):
+            cc = replacement[c].eqNullSafe(map_df[f"__pm_{i}"])
+            cond = cc if cond is None else cond & cc
+        rep = replacement.join(F.broadcast(map_df), cond).drop(
+            *[f"__pm_{i}" for i in range(len(part_src_cols))]
+        )
+        rep.write.partitionBy("__pid").mode("overwrite").parquet(commit_dir)
+        tup_of = {pid: tup for tup, pid in pid_of.items()}
+        for d in sorted(glob.glob(os.path.join(commit_dir, "__pid=*"))):
+            pid = int(os.path.basename(d).split("=", 1)[1])
+            pdict = dict(zip(part_struct_names, tup_of[pid]))
+            data_entries.extend(
+                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid, partition=pdict)
+                for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+            )
+    else:
+        replacement.write.mode("overwrite").parquet(commit_dir)
+        data_entries = [
+            _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid)
+            for p in sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+        ]
+    return data_entries
+
+
+def _v2_row_level_commit(
+    spark: SparkSession,
+    table_path: str,
+    predicate,  # SQL string or Callable[[DataFrame], DataFrame] matcher
     replacement: DataFrame | None,
     snapshot_ts_ms: int | None,
 ) -> int | None:
@@ -1640,7 +1996,12 @@ def _v2_row_level_commit(
                 field_names,
                 pretagged=True,
             )
-        matches = tagged.filter(predicate).select(
+        # predicate: SQL string (filter) or a callable matcher that maps
+        # the tagged live frame to its matched subset (MERGE uses a
+        # semi-join on the source keys) — either way the result keeps
+        # the (__ice_fp, __ice_pos) identity the delete files encode.
+        matched = predicate(tagged) if callable(predicate) else tagged.filter(predicate)
+        matches = matched.select(
             F.col("__ice_fp").alias("file_path"),
             F.col("__ice_pos").alias("pos"),
         )
@@ -1721,55 +2082,17 @@ def _v2_row_level_commit(
             )
 
     if replacement is not None:
-        commit_dir = os.path.join(
-            table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}"
+        data_entries = _stage_v2_data_files(
+            spark,
+            replacement,
+            table_path,
+            sid,
+            new_seq,
+            part_struct_names,
+            part_src_cols,
+            _pid,
+            pid_of,
         )
-        data_entries: list[dict] = []
-        if part_fields:
-            # Identity transform: the partition value IS the source column
-            # value, so replacement rows (which may introduce NEW partition
-            # tuples) are routed by a broadcast value->pid map built from
-            # one distinct() over the partition source columns — one row
-            # per distinct tuple, the bound every partitioned committer
-            # pays. Data files keep the partition columns (spec: identity-
-            # partitioned data files retain the column, unlike Hive/Delta
-            # layouts); only the synthetic __pid is dropped by partitionBy.
-            new_tuples = [
-                tuple(r)
-                for r in replacement.select(*part_src_cols).distinct().collect()
-            ]
-            map_fields = [
-                T.StructField(f"__pm_{i}", replacement.schema[c].dataType, True)
-                for i, c in enumerate(part_src_cols)
-            ]
-            map_fields.append(T.StructField("__pid", T.IntegerType(), False))
-            map_df = spark.createDataFrame(
-                [t + (_pid(t),) for t in new_tuples], T.StructType(map_fields)
-            )
-            cond = None
-            for i, c in enumerate(part_src_cols):
-                cc = replacement[c].eqNullSafe(map_df[f"__pm_{i}"])
-                cond = cc if cond is None else cond & cc
-            rep = replacement.join(F.broadcast(map_df), cond).drop(
-                *[f"__pm_{i}" for i in range(len(part_src_cols))]
-            )
-            rep.write.partitionBy("__pid").mode("overwrite").parquet(commit_dir)
-            tup_of = {pid: tup for tup, pid in pid_of.items()}
-            for d in sorted(glob.glob(os.path.join(commit_dir, "__pid=*"))):
-                pid = int(os.path.basename(d).split("=", 1)[1])
-                pdict = dict(zip(part_struct_names, tup_of[pid]))
-                data_entries.extend(
-                    _v2_entry(
-                        p, content=0, seq=new_seq, snapshot_id=sid, partition=pdict
-                    )
-                    for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
-                )
-        else:
-            replacement.write.mode("overwrite").parquet(commit_dir)
-            data_entries = [
-                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid)
-                for p in sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
-            ]
         if data_entries:
             data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
             write_avro_file(

@@ -1,0 +1,351 @@
+"""UPDATE / MERGE / compaction for the jar-less Delta and Iceberg
+committers (round 11).
+
+The reference delegates row-level DML and table maintenance to its
+warehouse (query passthrough, reference src/db/db.go:59); these are the
+lakehouse-side equivalents a jar-ful runtime exposes as SQL
+UPDATE / MERGE INTO / OPTIMIZE / rewrite_data_files. Every test
+round-trips through the jar-less readers, so a committer that writes a
+spec-invalid action shape fails here, not in a downstream engine."""
+
+import glob
+import json
+import os
+
+import pytest
+
+# ---------------------------------------------------------------- iceberg
+
+
+def _ice_nation(spark):
+    return spark.range(24).selectExpr(
+        "CAST(id AS INT) AS k",
+        "concat('N_', id) AS name",
+        "CAST(id % 4 AS INT) AS region",
+    )
+
+
+def test_iceberg_update_where_rewrites_rows(spark, tmp_path):
+    """UPDATE = one atomic position-delete + append snapshot; SET may
+    touch the PARTITION column, which must route the rewritten rows to
+    their new partition (new tuple in the replacement pid map)."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        update_where,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    table = str(tmp_path / "upd")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), table, "region")
+
+    sid = update_where(
+        spark, table, "region = 2",
+        {"name": "concat('UPD_', name)", "region": "region + 10"},
+        snapshot_ts_ms=1_700_000_001_000,
+    )
+    assert sid is not None
+    out = read_iceberg_py(spark, table)
+    assert out.count() == 24  # row count preserved
+    moved = out.filter("region = 12").collect()
+    assert len(moved) == 6 and all(r["name"].startswith("UPD_") for r in moved)
+    assert out.filter("region = 2").count() == 0
+    # partition pruning still reaches the moved rows' new partition
+    pruned = read_iceberg_py(spark, table, partition_filter={"region": {12}})
+    assert pruned.count() == 6
+    # no-match UPDATE: no commit at all
+    assert update_where(spark, table, "region = 99", {"name": "'x'"}) is None
+    # unknown SET column: actionable error
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, table, "region = 0", {"nope": "'x'"})
+
+
+def test_iceberg_merge_into_upsert_and_delete(spark, tmp_path):
+    """MERGE (CDC-apply): matched keys replaced, unmatched inserted —
+    all in ONE snapshot; when_matched='delete' applies CDC deletes;
+    when_not_matched='ignore' drops unmatched source rows."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        merge_into,
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    table = str(tmp_path / "mrg")
+    write_iceberg_v2_fixture(_ice_nation(spark), table, sort_col="k")
+
+    src = spark.createDataFrame(
+        [(3, "SRC_3", 1), (7, "SRC_7", 3), (900, "SRC_NEW", 0)],
+        "k int, name string, region int",
+    )
+    sid = merge_into(spark, table, src, ["k"], snapshot_ts_ms=1_700_000_001_000)
+    assert sid is not None
+    d = {r["k"]: r["name"] for r in read_iceberg_py(spark, table).collect()}
+    assert d[3] == "SRC_3" and d[7] == "SRC_7" and d[900] == "SRC_NEW"
+    assert len(d) == 25
+    # update-only (ignore unmatched): new key 901 must NOT appear
+    src2 = spark.createDataFrame(
+        [(900, "SRC_NEWER", 0), (901, "GHOST", 0)], "k int, name string, region int"
+    )
+    merge_into(
+        spark, table, src2, ["k"], when_not_matched="ignore",
+        snapshot_ts_ms=1_700_000_002_000,
+    )
+    d = {r["k"]: r["name"] for r in read_iceberg_py(spark, table).collect()}
+    assert d[900] == "SRC_NEWER" and 901 not in d and len(d) == 25
+    # CDC delete: matched keys removed, no inserts
+    merge_into(
+        spark, table, src.select("k"), ["k"], when_matched="delete",
+        when_not_matched="ignore", snapshot_ts_ms=1_700_000_003_000,
+    )
+    d = {r["k"] for r in read_iceberg_py(spark, table).collect()}
+    assert d.isdisjoint({3, 7, 900}) and len(d) == 22
+    # all-miss delete-merge: pure no-op, no commit
+    assert (
+        merge_into(
+            spark, table, src.select("k"), ["k"], when_matched="delete",
+            when_not_matched="ignore",
+        )
+        is None
+    )
+    # source lacking table columns: actionable error
+    with pytest.raises(ValueError, match="lacks table columns"):
+        merge_into(spark, table, src.select("k"), ["k"])
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_into(spark, table, src, ["k"], when_matched="upsert")
+
+
+def test_iceberg_rewrite_data_files_compacts(spark, tmp_path):
+    """rewrite_data_files: content bit-identical, delete files
+    materialized away, the replace snapshot is silent in the change
+    feed, and pre-rewrite snapshots stay time-travelable until
+    expire_snapshots."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        expire_snapshots,
+        iceberg_table_changes,
+        latest_metadata_file,
+        read_iceberg_py,
+        rewrite_data_files,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    table = str(tmp_path / "rw")
+    write_iceberg_v2_partitioned_fixture(
+        _ice_nation(spark).repartition(6), table, "region"
+    )
+    s_del = delete_where(spark, table, "k IN (2, 9)", snapshot_ts_ms=1_700_000_001_000)
+    before = sorted(r["k"] for r in read_iceberg_py(spark, table).collect())
+
+    sid = rewrite_data_files(spark, table, snapshot_ts_ms=1_700_000_002_000)
+    after = sorted(r["k"] for r in read_iceberg_py(spark, table).collect())
+    assert after == before
+
+    # the new snapshot's manifest list carries no delete manifests
+    meta = json.loads(open(latest_metadata_file(table)).read())
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    assert snap["summary"]["operation"] == "replace"
+    from gcs2postgres_spark.sources.avro_py import read_avro_file
+
+    _, mrows = read_avro_file(snap["manifest-list"])
+    assert all(m.get("content", 0) == 0 for m in mrows)
+
+    # replace snapshots emit NO changes (spec changelog-scan contract)
+    assert iceberg_table_changes(spark, table, s_del).count() == 0
+    # time travel to the pre-rewrite snapshot still applies the deletes
+    assert (
+        sorted(r["k"] for r in read_iceberg_py(spark, table, snapshot_id=s_del).collect())
+        == before
+    )
+    expire_snapshots(table, keep_last=1)
+    assert sorted(r["k"] for r in read_iceberg_py(spark, table).collect()) == before
+
+
+# ------------------------------------------------------------------ delta
+
+
+def _delta_nation(spark):
+    return spark.range(24).selectExpr(
+        "CAST(id AS INT) AS k",
+        "concat('N_', id) AS name",
+        "CAST(id % 4 AS INT) AS region",
+    )
+
+
+def test_delta_update_where_rewrites_rows(spark, tmp_path):
+    """UPDATE via deletion vectors: DVs and the rewritten rows land in
+    ONE commit; SET on the partition column moves rows between
+    partition directories (Hive-style layout)."""
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        update_where_delta,
+        write_delta_fixture,
+    )
+
+    table = str(tmp_path / "upd")
+    write_delta_fixture(_delta_nation(spark).coalesce(1), table, partition_col="region")
+
+    v = update_where_delta(
+        spark, table, "region = 2",
+        {"name": "concat('UPD_', name)", "region": "region + 10"},
+        timestamp_ms=1_700_000_001_000,
+    )
+    assert v == 1
+    out = read_delta_py(spark, table)
+    assert out.count() == 24
+    moved = out.filter("region = 12").collect()
+    assert len(moved) == 6 and all(r["name"].startswith("UPD_") for r in moved)
+    assert out.filter("region = 2").count() == 0
+    assert os.path.isdir(os.path.join(table, "region=12"))
+    # ONE commit: the update is atomic (version 1 holds DVs + adds)
+    commit = open(os.path.join(table, "_delta_log", f"{1:020d}.json")).read()
+    assert '"deletionVector"' in commit and '"add"' in commit
+    # pre-update version unchanged
+    assert read_delta_py(spark, table, version_as_of=0).filter(
+        "region = 2"
+    ).count() == 6
+    assert update_where_delta(spark, table, "region = 99", {"name": "'x'"}) is None
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where_delta(spark, table, "region = 0", {"nope": "'x'"})
+
+
+def test_delta_merge_upsert_cdf_and_protocol(spark, tmp_path):
+    """MERGE upsert: matched keys DV-deleted + re-inserted from source,
+    unmatched inserted; the change feed reports delete+insert pairs. A
+    PURE-INSERT merge (no matched keys) must NOT upgrade the table's
+    protocol to DV readers."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delta_table_changes,
+        merge_delta,
+        read_delta_py,
+        write_delta,
+    )
+
+    table = str(tmp_path / "mrg")
+    write_delta(_delta_nation(spark).coalesce(1), table, "overwrite", timestamp_ms=1_700_000_000_000)
+
+    src = spark.createDataFrame(
+        [(3, "SRC_3", 1), (7, "SRC_7", 3), (900, "SRC_NEW", 0)],
+        "k int, name string, region int",
+    )
+    v = merge_delta(spark, table, src, ["k"], timestamp_ms=1_700_000_001_000)
+    assert v == 1
+    d = {r["k"]: r["name"] for r in read_delta_py(spark, table).collect()}
+    assert d[3] == "SRC_3" and d[7] == "SRC_7" and d[900] == "SRC_NEW" and len(d) == 25
+    ch = delta_table_changes(spark, table, 0)
+    counts = {r["_change_type"]: r["n"] for r in ch.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"delete": 2, "insert": 3}
+
+    # pure-insert merge on a fresh table: protocol stays at v1 readers
+    table2 = str(tmp_path / "mrg2")
+    write_delta(_delta_nation(spark).coalesce(1), table2, "overwrite", timestamp_ms=1_700_000_000_000)
+    merge_delta(
+        spark, table2,
+        spark.createDataFrame([(901, "NEW", 0)], "k int, name string, region int"),
+        ["k"], timestamp_ms=1_700_000_001_000,
+    )
+    log1 = open(os.path.join(table2, "_delta_log", f"{1:020d}.json")).read()
+    assert '"protocol"' not in log1  # no DV written -> no upgrade
+    assert read_delta_py(spark, table2).count() == 25
+
+    # CDC delete-mode
+    merge_delta(
+        spark, table, src.select("k"), ["k"], when_matched="delete",
+        when_not_matched="ignore", timestamp_ms=1_700_000_002_000,
+    )
+    keys = {r["k"] for r in read_delta_py(spark, table).collect()}
+    assert keys.isdisjoint({3, 7, 900}) and len(keys) == 22
+    with pytest.raises(ValueError, match="lacks table columns"):
+        merge_delta(spark, table, src.select("k"), ["k"])
+
+
+def test_delta_update_merge_column_mapping_refuse(spark, tmp_path):
+    """Writes into a column-mapping table would store LOGICAL names in
+    the data files — refuse with the jar hint (DELETE stays allowed:
+    it writes no data files)."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        update_where_delta,
+        write_delta_column_mapping_fixture,
+    )
+
+    table = str(tmp_path / "cm")
+    write_delta_column_mapping_fixture(_delta_nation(spark).coalesce(1), table)
+    with pytest.raises(NotImplementedError, match="column-mapping"):
+        update_where_delta(spark, table, "k = 1", {"name": "'x'"})
+    # DELETE on the same table is fine
+    assert delete_where_delta(spark, table, "k = 1", timestamp_ms=1_700_000_001_000) is not None
+
+
+def test_delta_compact_optimize(spark, tmp_path):
+    """compact_delta: content bit-identical, deletion vectors
+    materialized away, commit is dataChange:false (silent in the change
+    feed), live file count shrinks, and pre-compaction versions stay
+    time-travelable until VACUUM."""
+    from gcs2postgres_spark.sources.delta_py import (
+        compact_delta,
+        delete_where_delta,
+        delta_table_changes,
+        read_delta_py,
+        replay_head_state,
+        vacuum_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "opt")
+    df = _delta_nation(spark)
+    write_delta(df.filter("k < 8").repartition(3), table, "overwrite", timestamp_ms=1_700_000_000_000)
+    write_delta(df.filter("k >= 8").repartition(3), table, "append", timestamp_ms=1_700_000_001_000)
+    delete_where_delta(spark, table, "k = 5", timestamp_ms=1_700_000_002_000)
+    before = read_delta_py(spark, table).orderBy("k").collect()
+    live_before, _ = replay_head_state(spark, table)
+    assert len(live_before) >= 6
+    feed_before = delta_table_changes(spark, table, 0).count()  # (0, 2]: 16 ins + 1 del
+
+    v = compact_delta(spark, table, timestamp_ms=1_700_000_003_000)
+    after = read_delta_py(spark, table).orderBy("k").collect()
+    assert after == before
+    live_after, _ = replay_head_state(spark, table)
+    assert len(live_after) < len(live_before)
+    assert not any(a.get("deletionVector") for a in live_after.values())
+    # the compaction commit contributes NOTHING to the change feed
+    assert delta_table_changes(spark, table, v - 1, v).count() == 0
+    # ... and the full feed is identical to the uncompacted table's
+    assert delta_table_changes(spark, table, 0).count() == feed_before == 17
+    # time travel to pre-compaction
+    assert read_delta_py(spark, table, version_as_of=v - 1).orderBy("k").collect() == before
+    vacuum_delta(table)
+    assert read_delta_py(spark, table).orderBy("k").collect() == before
+
+
+def test_compaction_cuts_file_count_partitioned(spark, tmp_path):
+    """Partitioned compaction emits ~1 file per partition (repartition
+    on the partition columns before partitionBy) for both formats."""
+    from gcs2postgres_spark.sources.delta_py import (
+        compact_delta,
+        read_delta_py,
+        replay_head_state,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        rewrite_data_files,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    df = _delta_nation(spark)
+
+    dt = str(tmp_path / "dpart")
+    write_delta(df.repartition(5), dt, "overwrite", partition_by=["region"], timestamp_ms=1_700_000_000_000)
+    compact_delta(spark, dt, timestamp_ms=1_700_000_001_000)
+    live, _ = replay_head_state(spark, dt)
+    assert len(live) == 4  # one compacted file per region
+    assert read_delta_py(spark, dt).count() == 24
+
+    it = str(tmp_path / "ipart")
+    write_iceberg_v2_partitioned_fixture(df.repartition(5), it, "region")
+    rewrite_data_files(spark, it, snapshot_ts_ms=1_700_000_001_000)
+    files = [
+        p
+        for p in glob.glob(os.path.join(it, "data", "commit-*", "**", "*.parquet"), recursive=True)
+    ]
+    assert len(files) == 4
+    assert read_iceberg_py(spark, it).count() == 24
