@@ -1689,3 +1689,81 @@ def delta_optimize_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+EQ_UPSERT_ORACLE = """
+WITH src AS (
+  SELECT n_nationkey AS k, 'SRC_' || n_name AS name,
+         CAST((n_regionkey + 1) % 5 AS INT) AS region
+  FROM nation WHERE n_nationkey % 4 = 1
+  UNION ALL
+  SELECT n_nationkey + 200, 'NEW_' || n_name, n_regionkey
+  FROM nation WHERE n_nationkey < 3
+),
+merged AS (
+  SELECT k, name, region FROM src
+  UNION ALL
+  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey % 4 <> 1
+)
+SELECT region,
+       count(*)               AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       min(name)              AS first_name
+FROM merged
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("iceberg_equality_upsert_roundtrip", oracle=EQ_UPSERT_ORACLE)
+def iceberg_equality_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN-FREE CDC upsert via EQUALITY DELETES
+    (iceberg_py.upsert_equality, the Flink streaming-sink pattern): one
+    snapshot appends the CDC batch AND an equality-delete key list; the
+    spec's strict-inequality sequence gate kills matched PRE-EXISTING
+    rows while the same-snapshot appends survive. The updated rows
+    deliberately MOVE partitions ((region+1) % 5), which only a
+    table-wide delete can honor — a partition-scoped delete would
+    resurrect the old row. The read back applies the equality deletes
+    as null-safe anti-joins; a self-deleted insert, a surviving old
+    row, or a sequence-gate inversion breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        upsert_equality,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_equp_")
+    try:
+        write_iceberg_v2_partitioned_fixture(nation, tmp, "n_regionkey")
+        upd = nation.filter("n_nationkey % 4 = 1").select(
+            F.col("n_nationkey"),
+            F.concat(F.lit("SRC_"), F.col("n_name")).alias("n_name"),
+            ((F.col("n_regionkey") + 1) % 5).cast("int").alias("n_regionkey"),
+        )
+        new = nation.filter("n_nationkey < 3").select(
+            (F.col("n_nationkey") + 200).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+            F.col("n_regionkey"),
+        )
+        upsert_equality(
+            spark, tmp, upd.unionByName(new), ["n_nationkey"],
+            snapshot_ts_ms=1_700_000_001_000,
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

@@ -1600,6 +1600,216 @@ def merge_into(
     )
 
 
+def upsert_equality(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    snapshot_ts_ms: int | None = None,
+) -> int:
+    """SCAN-FREE CDC upsert via EQUALITY DELETES (the streaming-writer
+    pattern Flink's Iceberg sink uses): ONE v2 snapshot that appends
+    ``source`` as data files AND writes an equality-delete file on the
+    ``on`` columns listing the source keys. The spec's strict-
+    inequality gate (equality deletes apply only to data files with
+    data_seq < delete_seq; read-side: _apply_v2_deletes) makes the
+    delete hit every PRE-EXISTING file but never the same-snapshot
+    appends — matched target rows die, source rows live.
+
+    Why this exists next to merge_into: position-delete MERGE must SCAN
+    the target to find (file, pos) identities — O(table) work per
+    batch. This writer is O(source) regardless of table size: the only
+    things written are the source rows and a key list. The cost moves
+    to READERS (one null-safe anti-join per stacked delete group),
+    which is exactly the merge-on-read trade; rewrite_data_files
+    materializes the debt away. Use merge_into for rare large batches,
+    upsert_equality for frequent small CDC batches — the same guidance
+    the Iceberg docs give for the two delete shapes.
+
+    The delete file is table-wide (a key may have moved partitions, so
+    partition-scoping it would resurrect rows): its manifest uses an
+    UNPARTITIONED spec, appended to partition-specs if the table lacks
+    one. ``source`` must be unique on ``on`` (CDC dedupe upstream) and
+    carry every table column."""
+    import time as _time
+    import uuid
+
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Iceberg row-level DML is local-filesystem only "
+            f"(object-store commits need the catalog/connector). Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    if meta.get("format-version", 1) != 2:
+        raise ValueError(
+            "equality deletes are a format-version-2 feature; "
+            f"{table_path!r} is v{meta.get('format-version', 1)}"
+        )
+    if "schemas" in meta:
+        cur_schema_id = meta.get("current-schema-id", 0)
+        schema_json = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_schema_id
+        )
+    else:
+        schema_json = meta["schema"]
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+    field_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    missing = sorted(set(on) - set(field_ids))
+    if missing:
+        raise ValueError(f"equality-delete key columns not in table schema: {missing}")
+    missing_cols = sorted(set(field_names.values()) - set(source.columns))
+    if missing_cols:
+        raise ValueError(f"upsert source lacks table columns: {missing_cols}")
+    eq_ids = [field_ids[c] for c in on]
+
+    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0],
+    )
+    part_fields = (default_spec or {}).get("fields", [])
+    non_identity = [f for f in part_fields if f.get("transform") != "identity"]
+    if non_identity:
+        raise NotImplementedError(
+            "equality-delete upsert on a table with non-identity partition "
+            f"transforms {sorted({f['transform'] for f in non_identity})}: "
+            f"table {_JAR_HINT}"
+        )
+    part_struct_names = [f["name"] for f in part_fields]
+    part_src_cols = [field_names[f["source-id"]] for f in part_fields]
+    part_avro: list[tuple[str, str]] = []
+    for f in part_fields:
+        t = field_types[f["source-id"]]
+        if t not in ("int", "long", "string"):
+            raise NotImplementedError(
+                f"identity partition on iceberg type {t!r} for jar-less DML: "
+                f"table {_JAR_HINT}"
+            )
+        part_avro.append((f["name"], t))
+    spec_id = int(meta.get("default-spec-id", 0))
+    # the table-wide delete manifest needs an UNPARTITIONED spec
+    eq_spec = next((s for s in specs if not s.get("fields")), None)
+    if eq_spec is None:
+        eq_spec = {"spec-id": max(s["spec-id"] for s in specs) + 1, "fields": []}
+        meta["partition-specs"] = [*specs, eq_spec]
+    eq_spec_id = int(eq_spec["spec-id"])
+
+    snapshots = meta.get("snapshots") or []
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id is None or snap_id == -1 or not snapshots:
+        raise ValueError(f"{table_path!r} has no current snapshot to upsert into")
+    snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
+    location = meta.get("location")
+    _, manifest_rows = read_avro_file(
+        _resolve(snapshot["manifest-list"], table_path, location)
+    )
+    new_list_rows = list(manifest_rows)
+
+    sid = max(s["snapshot-id"] for s in snapshots) + 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
+    mdir = os.path.join(table_path, "metadata")
+
+    # 1. the key list: one small parquet per executor partition — a CDC
+    # batch's keys, coalesced (they are metadata-sized relative to the
+    # table; the WHOLE point is never touching the table's data files)
+    spark_schema = iceberg_to_spark_type(schema_json)
+    keys = source.select(
+        *[
+            F.col(c).cast(spark_schema[c].dataType).alias(c)
+            for c in on
+        ]
+    ).distinct().coalesce(1)
+    eq_dir = os.path.join(table_path, "data", f"eqdel-{sid}-{uuid.uuid4().hex[:8]}")
+    keys.write.mode("overwrite").parquet(eq_dir)
+    delete_entries = [
+        _v2_entry(p, content=2, seq=new_seq, equality_ids=eq_ids, snapshot_id=sid)
+        for p in sorted(glob.glob(os.path.join(eq_dir, "part-*.parquet")))
+    ]
+    del_manifest = os.path.join(mdir, f"manifest-eqdeletes-{sid}.avro")
+    write_avro_file(
+        del_manifest, manifest_entry_schema_v2([]), delete_entries, codec="null"
+    )
+    new_list_rows.append(
+        {
+            "manifest_path": os.path.abspath(del_manifest),
+            "manifest_length": os.path.getsize(del_manifest),
+            "partition_spec_id": eq_spec_id,
+            "content": 1,
+            "sequence_number": new_seq,
+            "min_sequence_number": new_seq,
+            "added_snapshot_id": sid,
+        }
+    )
+
+    # 2. the source rows as data files at the SAME sequence number
+    # (immune to the delete by strict inequality)
+    pid_of: dict[tuple, int] = {}
+
+    def _pid(tup: tuple) -> int:
+        if tup not in pid_of:
+            pid_of[tup] = len(pid_of)
+        return pid_of[tup]
+
+    replacement = source.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in spark_schema.fields
+        ]
+    )
+    data_entries = _stage_v2_data_files(
+        spark,
+        replacement,
+        table_path,
+        sid,
+        new_seq,
+        part_struct_names,
+        part_src_cols,
+        _pid,
+        pid_of,
+    )
+    if data_entries:
+        data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
+        write_avro_file(
+            data_manifest,
+            manifest_entry_schema_v2(part_avro),
+            data_entries,
+            codec="null",
+        )
+        new_list_rows.append(
+            {
+                "manifest_path": os.path.abspath(data_manifest),
+                "manifest_length": os.path.getsize(data_manifest),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": new_seq,
+                "min_sequence_number": new_seq,
+                "added_snapshot_id": sid,
+            }
+        )
+
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
+    meta["last-sequence-number"] = new_seq
+    meta["last-updated-ms"] = now
+    meta["current-snapshot-id"] = sid
+    meta.setdefault("snapshots", []).append(
+        {
+            "snapshot-id": sid,
+            "sequence-number": new_seq,
+            "timestamp-ms": now,
+            "summary": {"operation": "overwrite"},
+            "manifest-list": os.path.abspath(mlist),
+        }
+    )
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+    return sid
+
+
 def rewrite_data_files(
     spark: SparkSession,
     table_path: str,

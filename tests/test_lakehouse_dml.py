@@ -349,3 +349,51 @@ def test_compaction_cuts_file_count_partitioned(spark, tmp_path):
     ]
     assert len(files) == 4
     assert read_iceberg_py(spark, it).count() == 24
+
+
+def test_iceberg_upsert_equality_scan_free(spark, tmp_path):
+    """Equality-delete upsert (Flink's streaming-sink pattern): matched
+    keys die by key list, source rows live via same-sequence immunity
+    (strict-inequality gate), and the committer NEVER reads the
+    target's data files — proven by hiding them during the commit."""
+    import shutil as _sh
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        upsert_equality,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    table = str(tmp_path / "equp")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), table, "region")
+    src = spark.createDataFrame(
+        [(3, "SRC_3", 9), (900, "SRC_NEW", 0)],  # key 3 MOVES partition 3->9
+        "k int, name string, region int",
+    )
+
+    # hide every data file: a scan-free commit must still succeed
+    data_dir = os.path.join(table, "data")
+    hidden = str(tmp_path / "hidden")
+    _sh.move(data_dir, hidden)
+    sid = upsert_equality(spark, table, src, ["k"], snapshot_ts_ms=1_700_000_001_000)
+    # restore the originals next to the files the commit just wrote
+    for entry in os.listdir(hidden):
+        _sh.move(os.path.join(hidden, entry), os.path.join(data_dir, entry))
+
+    d = {r["k"]: (r["name"], r["region"]) for r in read_iceberg_py(spark, table).collect()}
+    assert d[3] == ("SRC_3", 9)  # old partition-3 row dead table-wide
+    assert d[900] == ("SRC_NEW", 0) and len(d) == 25
+
+    # stacking: a second upsert's delete (seq+1) kills the first's row
+    src2 = spark.createDataFrame([(3, "SRC_3b", 1)], "k int, name string, region int")
+    upsert_equality(spark, table, src2, ["k"], snapshot_ts_ms=1_700_000_002_000)
+    d = {r["k"]: r["name"] for r in read_iceberg_py(spark, table).collect()}
+    assert d[3] == "SRC_3b" and len(d) == 25
+    # time travel to the first upsert
+    d1 = {r["k"]: r["name"] for r in read_iceberg_py(spark, table, snapshot_id=sid).collect()}
+    assert d1[3] == "SRC_3"
+    # validation errors
+    with pytest.raises(ValueError, match="not in table schema"):
+        upsert_equality(spark, table, src, ["nope"])
+    with pytest.raises(ValueError, match="lacks table columns"):
+        upsert_equality(spark, table, src.select("k", "name"), ["k"])
