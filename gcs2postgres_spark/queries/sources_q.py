@@ -1767,3 +1767,64 @@ def iceberg_equality_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+ICEBERG_APPEND_ORACLE = """
+WITH appended AS (
+  SELECT n_nationkey, n_name, n_regionkey FROM nation
+  UNION ALL
+  SELECT n_nationkey + 500, 'APP_' || n_name, CAST((n_regionkey + 2) % 5 AS INT)
+  FROM nation WHERE n_nationkey % 2 = 0
+)
+SELECT n_regionkey,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name)                      AS first_name
+FROM appended
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("iceberg_partitioned_append_roundtrip", oracle=ICEBERG_APPEND_ORACLE)
+def iceberg_partitioned_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jar-less fast-append into a PARTITIONED v2 table
+    (iceberg_py.append_iceberg_v2): one snapshot adds a data manifest
+    routed per identity partition (broadcast value->pid map, the DML
+    committer's routing); no existing file or delete is touched. The
+    appended rows land in shifted partitions ((region+2) % 5), so the
+    read back must see old and new files coexisting in the same
+    partitions with correct manifest partition tuples — a mis-scoped
+    tuple breaks partition pruning and the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_app_")
+    try:
+        write_iceberg_v2_partitioned_fixture(nation, tmp, "n_regionkey")
+        extra = nation.filter("n_nationkey % 2 = 0").select(
+            (F.col("n_nationkey") + 500).alias("n_nationkey"),
+            F.concat(F.lit("APP_"), F.col("n_name")).alias("n_name"),
+            ((F.col("n_regionkey") + 2) % 5).cast("int").alias("n_regionkey"),
+        )
+        append_iceberg_v2(spark, tmp, extra, snapshot_ts_ms=1_700_000_001_000)
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

@@ -1634,28 +1634,17 @@ def upsert_equality(
     import time as _time
     import uuid
 
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            "jar-less Iceberg row-level DML is local-filesystem only "
-            f"(object-store commits need the catalog/connector). Got {table_path!r}"
-        )
-    meta_path = latest_metadata_file(table_path)
-    meta = json.loads(fsio.read_text(meta_path))
-    if meta.get("format-version", 1) != 2:
-        raise ValueError(
-            "equality deletes are a format-version-2 feature; "
-            f"{table_path!r} is v{meta.get('format-version', 1)}"
-        )
-    if "schemas" in meta:
-        cur_schema_id = meta.get("current-schema-id", 0)
-        schema_json = next(
-            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_schema_id
-        )
-    else:
-        schema_json = meta["schema"]
-    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
-    field_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
-    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    ctx = _v2_table_context(table_path, "equality-delete upsert")
+    meta = ctx["meta"]
+    schema_json = ctx["schema_json"]
+    field_names = ctx["field_names"]
+    field_ids = ctx["field_ids"]
+    part_struct_names = ctx["part_struct_names"]
+    part_src_cols = ctx["part_src_cols"]
+    part_avro = ctx["part_avro"]
+    spec_id = ctx["spec_id"]
+    snapshot = ctx["snapshot"]
+    location = ctx["location"]
     missing = sorted(set(on) - set(field_ids))
     if missing:
         raise ValueError(f"equality-delete key columns not in table schema: {missing}")
@@ -1664,50 +1653,22 @@ def upsert_equality(
         raise ValueError(f"upsert source lacks table columns: {missing_cols}")
     eq_ids = [field_ids[c] for c in on]
 
-    specs = meta.get("partition-specs") or [{"spec-id": 0, "fields": []}]
-    default_spec = next(
-        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
-        specs[0],
-    )
-    part_fields = (default_spec or {}).get("fields", [])
-    non_identity = [f for f in part_fields if f.get("transform") != "identity"]
-    if non_identity:
-        raise NotImplementedError(
-            "equality-delete upsert on a table with non-identity partition "
-            f"transforms {sorted({f['transform'] for f in non_identity})}: "
-            f"table {_JAR_HINT}"
-        )
-    part_struct_names = [f["name"] for f in part_fields]
-    part_src_cols = [field_names[f["source-id"]] for f in part_fields]
-    part_avro: list[tuple[str, str]] = []
-    for f in part_fields:
-        t = field_types[f["source-id"]]
-        if t not in ("int", "long", "string"):
-            raise NotImplementedError(
-                f"identity partition on iceberg type {t!r} for jar-less DML: "
-                f"table {_JAR_HINT}"
-            )
-        part_avro.append((f["name"], t))
-    spec_id = int(meta.get("default-spec-id", 0))
     # the table-wide delete manifest needs an UNPARTITIONED spec
+    specs = ctx["specs"] or [{"spec-id": 0, "fields": []}]
     eq_spec = next((s for s in specs if not s.get("fields")), None)
     if eq_spec is None:
         eq_spec = {"spec-id": max(s["spec-id"] for s in specs) + 1, "fields": []}
         meta["partition-specs"] = [*specs, eq_spec]
     eq_spec_id = int(eq_spec["spec-id"])
 
-    snapshots = meta.get("snapshots") or []
-    snap_id = meta.get("current-snapshot-id")
-    if snap_id is None or snap_id == -1 or not snapshots:
+    if snapshot is None:
         raise ValueError(f"{table_path!r} has no current snapshot to upsert into")
-    snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
-    location = meta.get("location")
     _, manifest_rows = read_avro_file(
         _resolve(snapshot["manifest-list"], table_path, location)
     )
     new_list_rows = list(manifest_rows)
 
-    sid = max(s["snapshot-id"] for s in snapshots) + 1
+    sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
     mdir = os.path.join(table_path, "metadata")
@@ -1790,23 +1751,88 @@ def upsert_equality(
             }
         )
 
-    mlist = os.path.join(mdir, f"snap-{sid}.avro")
-    write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
-    meta["last-sequence-number"] = new_seq
-    meta["last-updated-ms"] = now
-    meta["current-snapshot-id"] = sid
-    meta.setdefault("snapshots", []).append(
+    _v2_commit_snapshot(table_path, ctx, new_list_rows, new_seq, sid, now, "overwrite")
+    return sid
+
+
+def append_iceberg_v2(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    snapshot_ts_ms: int | None = None,
+) -> int:
+    """Jar-less Iceberg v2 APPEND, including PARTITIONED tables: one
+    snapshot whose manifest list is the current snapshot's rows plus a
+    new data manifest for ``df``'s files — the plain fast-append every
+    Iceberg writer does (v1 append via write_iceberg refuses
+    partitioned tables; this is the partition-routing path). Rows are
+    routed to identity partitions by the same broadcast value->pid map
+    the DML committer uses; no existing file or delete is touched, and
+    stacked equality deletes (lower sequence numbers) do NOT apply to
+    the appended files (strict-inequality gate)."""
+    import time as _time
+
+    ctx = _v2_table_context(table_path, "append")
+    meta = ctx["meta"]
+    schema_json = ctx["schema_json"]
+    snapshot = ctx["snapshot"]
+    if snapshot is None:
+        raise ValueError(f"{table_path!r} has no current snapshot to append to")
+    missing_cols = sorted(set(ctx["field_names"].values()) - set(df.columns))
+    if missing_cols:
+        raise ValueError(f"append source lacks table columns: {missing_cols}")
+    _, manifest_rows = read_avro_file(
+        _resolve(snapshot["manifest-list"], table_path, ctx["location"])
+    )
+    new_list_rows = list(manifest_rows)
+    sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
+    mdir = os.path.join(table_path, "metadata")
+
+    spark_schema = iceberg_to_spark_type(schema_json)
+    aligned = df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in spark_schema.fields]
+    )
+    pid_of: dict[tuple, int] = {}
+
+    def _pid(tup: tuple) -> int:
+        if tup not in pid_of:
+            pid_of[tup] = len(pid_of)
+        return pid_of[tup]
+
+    data_entries = _stage_v2_data_files(
+        spark,
+        aligned,
+        table_path,
+        sid,
+        new_seq,
+        ctx["part_struct_names"],
+        ctx["part_src_cols"],
+        _pid,
+        pid_of,
+    )
+    if not data_entries:
+        return int(snapshot["snapshot-id"])  # empty append: no commit
+    data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
+    write_avro_file(
+        data_manifest,
+        manifest_entry_schema_v2(ctx["part_avro"]),
+        data_entries,
+        codec="null",
+    )
+    new_list_rows.append(
         {
-            "snapshot-id": sid,
-            "sequence-number": new_seq,
-            "timestamp-ms": now,
-            "summary": {"operation": "overwrite"},
-            "manifest-list": os.path.abspath(mlist),
+            "manifest_path": os.path.abspath(data_manifest),
+            "manifest_length": os.path.getsize(data_manifest),
+            "partition_spec_id": ctx["spec_id"],
+            "content": 0,
+            "sequence_number": new_seq,
+            "min_sequence_number": new_seq,
+            "added_snapshot_id": sid,
         }
     )
-    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
-    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
-    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+    _v2_commit_snapshot(table_path, ctx, new_list_rows, new_seq, sid, now, "append")
     return sid
 
 
@@ -1840,58 +1866,16 @@ def rewrite_data_files(
     import math
     import time as _time
 
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            "jar-less Iceberg compaction is local-filesystem only "
-            f"(object-store commits need the catalog/connector). Got {table_path!r}"
-        )
-    meta_path = latest_metadata_file(table_path)
-    meta = json.loads(fsio.read_text(meta_path))
-    if meta.get("format-version", 1) != 2:
-        raise ValueError(
-            "rewrite_data_files targets format-version-2 tables; for v1 use "
-            "write_iceberg overwrite (snapshot swap)"
-        )
-    if "schemas" in meta:
-        cur_schema_id = meta.get("current-schema-id", 0)
-        schema_json = next(
-            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_schema_id
-        )
-    else:
-        schema_json = meta["schema"]
-    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
-    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
-    specs = meta.get("partition-specs") or []
-    default_spec = next(
-        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
-        specs[0] if specs else None,
-    )
-    part_fields = (default_spec or {}).get("fields", [])
-    non_identity = [f for f in part_fields if f.get("transform") != "identity"]
-    if non_identity:
-        raise NotImplementedError(
-            "compaction on an Iceberg table with non-identity partition "
-            f"transforms {sorted({f['transform'] for f in non_identity})}: "
-            f"table {_JAR_HINT}"
-        )
-    part_struct_names = [f["name"] for f in part_fields]
-    part_src_cols = [field_names[f["source-id"]] for f in part_fields]
-    part_avro: list[tuple[str, str]] = []
-    for f in part_fields:
-        t = field_types[f["source-id"]]
-        if t not in ("int", "long", "string"):
-            raise NotImplementedError(
-                f"identity partition on iceberg type {t!r} for jar-less "
-                f"compaction: table {_JAR_HINT}"
-            )
-        part_avro.append((f["name"], t))
-    spec_id = int(meta.get("default-spec-id", 0))
-    snapshots = meta.get("snapshots") or []
-    snap_id = meta.get("current-snapshot-id")
-    if snap_id is None or snap_id == -1 or not snapshots:
+    ctx = _v2_table_context(table_path, "compaction (rewrite_data_files)")
+    meta = ctx["meta"]
+    part_struct_names = ctx["part_struct_names"]
+    part_src_cols = ctx["part_src_cols"]
+    part_avro = ctx["part_avro"]
+    spec_id = ctx["spec_id"]
+    snapshot = ctx["snapshot"]
+    location = ctx["location"]
+    if snapshot is None:
         raise ValueError(f"{table_path!r} has no current snapshot to rewrite")
-    snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
-    location = meta.get("location")
 
     # live byte total from MANIFEST metadata (one row per data file)
     _, manifest_rows = read_avro_file(
@@ -1912,7 +1896,7 @@ def rewrite_data_files(
         else live.repartition(n_files)
     )
 
-    sid = max(s["snapshot-id"] for s in snapshots) + 1
+    sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
     mdir = os.path.join(table_path, "metadata")
@@ -1951,6 +1935,97 @@ def rewrite_data_files(
                 "added_snapshot_id": sid,
             }
         )
+    _v2_commit_snapshot(table_path, ctx, new_list_rows, new_seq, sid, now, "replace")
+    return sid
+
+
+def _v2_table_context(table_path: str, op: str) -> dict:
+    """Shared head of every v2 committer (row-level DML, equality
+    upsert, compaction, append): local-scheme guard, metadata + current
+    schema/snapshot resolution, and the identity-partition-spec
+    validation that gates jar-less partition ROUTING (non-identity
+    transforms need the jar's transform functions). Returns the parsed
+    pieces each committer composes; raising here keeps the error texts
+    uniform across operations."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            f"jar-less Iceberg {op} is local-filesystem only (object-store "
+            "commits need the catalog/connector); READS work on any "
+            f"Hadoop-supported scheme. Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    if meta.get("format-version", 1) != 2:
+        raise ValueError(
+            f"{op} is a format-version-2 feature; "
+            f"{table_path!r} is v{meta.get('format-version', 1)} "
+            "(for v1 use write_iceberg overwrite, which swaps snapshots)"
+        )
+    schema_json = _load_current_schema(meta)
+    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+    field_ids = {f["name"]: f["id"] for f in schema_json["fields"]}
+    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    specs = meta.get("partition-specs") or []
+    default_spec = next(
+        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        specs[0] if specs else None,
+    )
+    part_fields = (default_spec or {}).get("fields", [])
+    non_identity = [f for f in part_fields if f.get("transform") != "identity"]
+    if non_identity:
+        raise NotImplementedError(
+            f"{op} on an Iceberg table with non-identity partition "
+            f"transforms {sorted({f['transform'] for f in non_identity})}: "
+            f"table {_JAR_HINT}"
+        )
+    part_avro: list[tuple[str, str]] = []
+    for f in part_fields:
+        t = field_types[f["source-id"]]
+        if t not in ("int", "long", "string"):
+            raise NotImplementedError(
+                f"identity partition on iceberg type {t!r} for jar-less {op}: "
+                f"table {_JAR_HINT}"
+            )
+        part_avro.append((f["name"], t))
+    snapshots = meta.get("snapshots") or []
+    snap_id = meta.get("current-snapshot-id")
+    snapshot = None
+    if snap_id is not None and snap_id != -1 and snapshots:
+        snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
+    return {
+        "meta_path": meta_path,
+        "meta": meta,
+        "schema_json": schema_json,
+        "field_names": field_names,
+        "field_ids": field_ids,
+        "field_types": field_types,
+        "specs": specs,
+        "part_fields": part_fields,
+        "part_struct_names": [f["name"] for f in part_fields],
+        "part_src_cols": [field_names[f["source-id"]] for f in part_fields],
+        "part_avro": part_avro,
+        "spec_id": int(meta.get("default-spec-id", 0)),
+        "snapshots": snapshots,
+        "snapshot": snapshot,
+        "location": meta.get("location"),
+    }
+
+
+def _v2_commit_snapshot(
+    table_path: str,
+    ctx: dict,
+    new_list_rows: list[dict],
+    new_seq: int,
+    sid: int,
+    now: int,
+    operation: str,
+) -> None:
+    """Shared tail of every v2 committer: write the manifest list,
+    append the snapshot, bump sequence/version, and atomically repoint
+    the metadata (tmp + os.replace; see the atomic-commits note at the
+    top of this module)."""
+    meta, meta_path = ctx["meta"], ctx["meta_path"]
+    mdir = os.path.join(table_path, "metadata")
     mlist = os.path.join(mdir, f"snap-{sid}.avro")
     write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
     meta["last-sequence-number"] = new_seq
@@ -1961,14 +2036,13 @@ def rewrite_data_files(
             "snapshot-id": sid,
             "sequence-number": new_seq,
             "timestamp-ms": now,
-            "summary": {"operation": "replace"},
+            "summary": {"operation": operation},
             "manifest-list": os.path.abspath(mlist),
         }
     )
     version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
     _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
-    return sid
 
 
 def _stage_v2_data_files(
@@ -2044,62 +2118,26 @@ def _v2_row_level_commit(
 
     import pyarrow.parquet as pq
 
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            "jar-less Iceberg row-level DML is local-filesystem only "
-            "(object-store commits need the catalog/connector); READS "
-            f"work on any Hadoop-supported scheme. Got {table_path!r}"
-        )
-    meta_path = latest_metadata_file(table_path)
-    meta = json.loads(fsio.read_text(meta_path))
-    if meta.get("format-version", 1) != 2:
-        raise ValueError(
-            "row-level deletes are a format-version-2 feature; "
-            f"{table_path!r} is v{meta.get('format-version', 1)} "
-            "(for v1 use write_iceberg overwrite, which swaps snapshots)"
-        )
-    if "schemas" in meta:
-        cur_schema_id = meta.get("current-schema-id", 0)
-        schema_json = next(
-            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_schema_id
-        )
-    else:
-        schema_json = meta["schema"]
-    field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
-    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
-
     # Partitioned tables: delete files belong to a partition spec like
     # data files (spec "Delete files"), so every delete/data file this
     # committer writes must carry the partition tuple of the rows it
     # holds, and its manifest needs the TYPED partition struct. Identity
-    # transforms only — the partition value IS the source column value,
-    # so executors can route rows without re-implementing transform
-    # functions (bucket/truncate/days need the jar).
-    specs = meta.get("partition-specs") or []
-    default_spec = next(
-        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
-        specs[0] if specs else None,
-    )
-    part_fields = (default_spec or {}).get("fields", [])
-    non_identity = [f for f in part_fields if f.get("transform") != "identity"]
-    if non_identity:
-        raise NotImplementedError(
-            "row-level DML on an Iceberg table with non-identity partition "
-            f"transforms {sorted({f['transform'] for f in non_identity})}: "
-            f"table {_JAR_HINT}"
-        )
-    part_struct_names = [f["name"] for f in part_fields]
-    part_src_cols = [field_names[f["source-id"]] for f in part_fields]
-    part_avro: list[tuple[str, str]] = []
-    for f in part_fields:
-        t = field_types[f["source-id"]]
-        if t not in ("int", "long", "string"):
-            raise NotImplementedError(
-                f"identity partition on iceberg type {t!r} for jar-less DML: "
-                f"table {_JAR_HINT}"
-            )
-        part_avro.append((f["name"], t))
-    spec_id = int(meta.get("default-spec-id", 0))
+    # transforms only (validated in _v2_table_context) — the partition
+    # value IS the source column value, so executors can route rows
+    # without re-implementing transform functions.
+    ctx = _v2_table_context(table_path, "row-level DML")
+    meta = ctx["meta"]
+    schema_json = ctx["schema_json"]
+    field_names = ctx["field_names"]
+    part_fields = ctx["part_fields"]
+    part_struct_names = ctx["part_struct_names"]
+    part_src_cols = ctx["part_src_cols"]
+    part_avro = ctx["part_avro"]
+    spec_id = ctx["spec_id"]
+    snapshot = ctx["snapshot"]
+    location = ctx["location"]
+    if snapshot is None:
+        raise ValueError(f"{table_path!r} has no current snapshot to delete from")
 
     # driver-side partition-tuple interning: tuple -> dense pid, used to
     # route executor-written files into per-partition directories and
@@ -2112,13 +2150,6 @@ def _v2_row_level_commit(
         if tup not in pid_of:
             pid_of[tup] = len(pid_of)
         return pid_of[tup]
-
-    snapshots = meta.get("snapshots") or []
-    snap_id = meta.get("current-snapshot-id")
-    if snap_id is None or snap_id == -1 or not snapshots:
-        raise ValueError(f"{table_path!r} has no current snapshot to delete from")
-    snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
-    location = meta.get("location")
 
     # current snapshot's file inventory (driver reads manifests only —
     # metadata, one row per file), same walk the reader performs
@@ -2156,7 +2187,7 @@ def _v2_row_level_commit(
     if not data_files and replacement is None:
         return None
 
-    sid = max(s["snapshot-id"] for s in snapshots) + 1
+    sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
     mdir = os.path.join(table_path, "metadata")
@@ -2323,25 +2354,15 @@ def _v2_row_level_commit(
                 }
             )
 
-    mlist = os.path.join(mdir, f"snap-{sid}.avro")
-    write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
-    meta["last-sequence-number"] = new_seq
-    meta["last-updated-ms"] = now
-    meta["current-snapshot-id"] = sid
-    meta.setdefault("snapshots", []).append(
-        {
-            "snapshot-id": sid,
-            "sequence-number": new_seq,
-            "timestamp-ms": now,
-            "summary": {
-                "operation": "delete" if replacement is None else "overwrite"
-            },
-            "manifest-list": os.path.abspath(mlist),
-        }
+    _v2_commit_snapshot(
+        table_path,
+        ctx,
+        new_list_rows,
+        new_seq,
+        sid,
+        now,
+        "delete" if replacement is None else "overwrite",
     )
-    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
-    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
-    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
     return sid
 
 

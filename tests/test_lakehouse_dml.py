@@ -397,3 +397,44 @@ def test_iceberg_upsert_equality_scan_free(spark, tmp_path):
         upsert_equality(spark, table, src, ["nope"])
     with pytest.raises(ValueError, match="lacks table columns"):
         upsert_equality(spark, table, src.select("k", "name"), ["k"])
+
+
+def test_iceberg_append_v2_partitioned(spark, tmp_path):
+    """append_iceberg_v2: fast-append into a partitioned v2 table —
+    old and new files coexist per partition, the change feed reports
+    the appended rows as inserts, and a key re-inserted AFTER an
+    equality-delete survives (the old delete's sequence number is lower,
+    so the strict-inequality gate exempts the new file)."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        iceberg_table_changes,
+        read_iceberg_py,
+        upsert_equality,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    table = str(tmp_path / "app")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), table, "region")
+    # CDC delete of key 3 via an equality delete (empty re-insert set)
+    gone = spark.createDataFrame([(3, "DEAD", 0)], "k int, name string, region int")
+    upsert_equality(spark, table, gone, ["k"], snapshot_ts_ms=1_700_000_000_500)
+    # ... then delete that re-inserted row again so key 3 is absent
+    from gcs2postgres_spark.sources.iceberg_py import delete_where
+    delete_where(spark, table, "name = 'DEAD'", snapshot_ts_ms=1_700_000_000_800)
+    assert read_iceberg_py(spark, table).filter("k = 3").count() == 0
+
+    extra = spark.createDataFrame(
+        [(3, "REBORN", 1), (950, "APP", 2)], "k int, name string, region int"
+    )
+    sid = append_iceberg_v2(spark, table, extra, snapshot_ts_ms=1_700_000_001_000)
+    out = read_iceberg_py(spark, table)
+    d = {r["k"]: r["name"] for r in out.collect()}
+    # key 3 re-inserted AFTER the equality delete must survive
+    assert d[3] == "REBORN" and d[950] == "APP" and len(d) == 25
+    # change feed: the append commit reports exactly the two inserts
+    ch = iceberg_table_changes(spark, table, sid - 1, sid)
+    rows = sorted((r["_change_type"], r["k"]) for r in ch.collect())
+    assert rows == [("insert", 3), ("insert", 950)]
+    # missing column: actionable error
+    with pytest.raises(ValueError, match="lacks table columns"):
+        append_iceberg_v2(spark, table, extra.select("k"))
