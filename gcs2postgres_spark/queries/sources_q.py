@@ -1828,3 +1828,70 @@ def iceberg_partitioned_append_roundtrip(spark: SparkSession, sf_dir: str) -> Da
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+MERGE_LATEST_WINS_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+),
+latest AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT count(*)                        AS n_customers,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       min(o_orderdate)                AS min_date,
+       max(o_orderdate)                AS max_date
+FROM latest
+"""
+
+
+@register("delta_merge_latest_wins_roundtrip", oracle=MERGE_LATEST_WINS_ORACLE)
+def delta_merge_latest_wins_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL MERGE (delta_py.merge_delta latest_wins_on): the
+    target holds each customer's latest EVEN-keyed order, the CDC batch
+    each customer's latest ODD-keyed order; the merge's WHEN MATCHED
+    AND source.(date,key) > target.(date,key) clause must keep exactly
+    the global per-customer winner — a stale replacement, an equal-seq
+    tie-break, or a dropped insert shifts key_sum. The batch is then
+    REPLAYED: idempotence demands no commit (None), so the read below
+    certifies both the conditional clause and the at-least-once replay
+    contract that streaming/cdc_apply.stream_merge_delta builds on."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        merge_delta,
+        read_delta_py,
+        write_delta_fixture,
+    )
+    from gcs2postgres_spark.streaming.cdc_apply import latest_wins
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    seq = ["o_orderdate", "o_orderkey"]
+    even = latest_wins(orders.filter("o_orderkey % 2 = 0"), ["o_custkey"], seq)
+    odd = latest_wins(orders.filter("o_orderkey % 2 = 1"), ["o_custkey"], seq)
+    tmp = tempfile.mkdtemp(prefix="delta_lw_")
+    try:
+        write_delta_fixture(even.coalesce(2), tmp)
+        merge_delta(
+            spark, tmp, odd, ["o_custkey"], latest_wins_on=seq,
+            timestamp_ms=1_700_000_001_000,
+        )
+        replay = merge_delta(
+            spark, tmp, odd, ["o_custkey"], latest_wins_on=seq,
+            timestamp_ms=1_700_000_002_000,
+        )
+        assert replay is None, "replayed batch must not commit"
+        df = read_delta_py(spark, tmp)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

@@ -1215,6 +1215,7 @@ def merge_delta(
     on: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    latest_wins_on: list[str] | None = None,
     timestamp_ms: int | None = None,
 ) -> int | None:
     """Jar-less Delta ``MERGE INTO`` (CDC upsert) via deletion vectors:
@@ -1224,34 +1225,68 @@ def merge_delta(
     no-op. Clause semantics, key-uniqueness expectations, and the
     semi/anti-join scale shape are identical to the Iceberg twin
     (iceberg_py.merge_into); the physical encoding is Delta's bitmaps
-    instead of position-delete parquet."""
+    instead of position-delete parquet.
+
+    ``latest_wins_on`` (update-mode only) makes the matched clause
+    CONDITIONAL — ``WHEN MATCHED AND source.seq > target.seq`` with
+    lexicographic struct comparison over the named columns: a matched
+    target row is replaced only by a strictly NEWER source row, and
+    stale/equal source rows are dropped entirely. Replaying the same
+    batch then matches nothing and commits nothing — the idempotence
+    an at-least-once foreachBatch sink needs (streaming/cdc_apply
+    builds on exactly this)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
+    if latest_wins_on and when_matched != "update":
+        raise ValueError("latest_wins_on requires when_matched='update'")
     live = read_delta_py(spark, table_path)
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
-    src_keys = source.select(*on).distinct()
 
-    def matcher(tagged: DataFrame) -> DataFrame:
-        return tagged.join(src_keys, on=on, how="left_semi")
+    if latest_wins_on:
+        src_cmp = source.select(*on, F.struct(*latest_wins_on).alias("__src_seq"))
 
-    if when_matched == "update":
+        def matcher(tagged: DataFrame) -> DataFrame:
+            return (
+                tagged.join(src_cmp, on=on, how="inner")
+                .filter(F.struct(*latest_wins_on) < F.col("__src_seq"))
+                .drop("__src_seq")
+            )
+
+        tgt_cmp = live.select(*on, F.struct(*latest_wins_on).alias("__tgt_seq"))
+        beats = F.col("__tgt_seq").isNull() | (
+            F.struct(*latest_wins_on) > F.col("__tgt_seq")
+        )
+        if when_not_matched == "ignore":
+            beats = F.col("__tgt_seq").isNotNull() & (
+                F.struct(*latest_wins_on) > F.col("__tgt_seq")
+            )
         replacement = (
-            source
-            if when_not_matched == "insert"
-            else source.join(live.select(*on).distinct(), on=on, how="left_semi")
+            source.join(tgt_cmp, on=on, how="left").filter(beats).drop("__tgt_seq")
         )
     else:
-        replacement = (
-            source.join(live.select(*on).distinct(), on=on, how="left_anti")
-            if when_not_matched == "insert"
-            else None
-        )
+        src_keys = source.select(*on).distinct()
+
+        def matcher(tagged: DataFrame) -> DataFrame:
+            return tagged.join(src_keys, on=on, how="left_semi")
+
+        if when_matched == "update":
+            replacement = (
+                source
+                if when_not_matched == "insert"
+                else source.join(live.select(*on).distinct(), on=on, how="left_semi")
+            )
+        else:
+            replacement = (
+                source.join(live.select(*on).distinct(), on=on, how="left_anti")
+                if when_not_matched == "insert"
+                else None
+            )
     if replacement is not None:
         missing_cols = sorted(set(live.columns) - set(replacement.columns))
         if missing_cols:

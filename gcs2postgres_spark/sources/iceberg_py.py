@@ -1523,6 +1523,7 @@ def merge_into(
     on: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    latest_wins_on: list[str] | None = None,
     snapshot_ts_ms: int | None = None,
 ) -> int | None:
     """Jar-less Iceberg v2 merge-on-read ``MERGE INTO`` (the CDC-apply
@@ -1551,36 +1552,69 @@ def merge_into(
 
     Parity: the reference applies CDC through its warehouse MERGE
     (query passthrough, src/db/db.go:59); streaming/cdc_apply.py is the
-    foreachBatch twin of this batch committer."""
+    foreachBatch twin of this batch committer.
+
+    ``latest_wins_on`` (update-mode only) makes the matched clause
+    CONDITIONAL — ``WHEN MATCHED AND source.seq > target.seq`` with
+    lexicographic struct comparison over the named columns: a matched
+    target row is replaced only by a strictly NEWER source row, stale
+    or equal source rows are dropped, and replaying the same batch
+    commits nothing (idempotent at-least-once CDC apply; Delta twin:
+    delta_py.merge_delta)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
+    if latest_wins_on and when_matched != "update":
+        raise ValueError("latest_wins_on requires when_matched='update'")
     live = read_iceberg_py(spark, table_path)
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
-    src_keys = source.select(*on).distinct()
 
-    def matcher(tagged: DataFrame) -> DataFrame:
-        return tagged.join(src_keys, on=on, how="left_semi")
+    if latest_wins_on:
+        src_cmp = source.select(*on, F.struct(*latest_wins_on).alias("__src_seq"))
 
-    if when_matched == "update":
-        if when_not_matched == "insert":
-            replacement = source
-        else:  # update only: keep just the source rows that hit a target key
-            replacement = source.join(
-                live.select(*on).distinct(), on=on, how="left_semi"
+        def matcher(tagged: DataFrame) -> DataFrame:
+            return (
+                tagged.join(src_cmp, on=on, how="inner")
+                .filter(F.struct(*latest_wins_on) < F.col("__src_seq"))
+                .drop("__src_seq")
             )
-    else:  # when_matched == "delete"
-        if when_not_matched == "insert":
-            replacement = source.join(
-                live.select(*on).distinct(), on=on, how="left_anti"
+
+        tgt_cmp = live.select(*on, F.struct(*latest_wins_on).alias("__tgt_seq"))
+        beats = F.col("__tgt_seq").isNull() | (
+            F.struct(*latest_wins_on) > F.col("__tgt_seq")
+        )
+        if when_not_matched == "ignore":
+            beats = F.col("__tgt_seq").isNotNull() & (
+                F.struct(*latest_wins_on) > F.col("__tgt_seq")
             )
-        else:
-            replacement = None
+        replacement = (
+            source.join(tgt_cmp, on=on, how="left").filter(beats).drop("__tgt_seq")
+        )
+    else:
+        src_keys = source.select(*on).distinct()
+
+        def matcher(tagged: DataFrame) -> DataFrame:  # noqa: F811
+            return tagged.join(src_keys, on=on, how="left_semi")
+
+        if when_matched == "update":
+            if when_not_matched == "insert":
+                replacement = source
+            else:  # update only: keep just the source rows that hit a target key
+                replacement = source.join(
+                    live.select(*on).distinct(), on=on, how="left_semi"
+                )
+        else:  # when_matched == "delete"
+            if when_not_matched == "insert":
+                replacement = source.join(
+                    live.select(*on).distinct(), on=on, how="left_anti"
+                )
+            else:
+                replacement = None
     if replacement is not None:
         missing_cols = sorted(set(live.columns) - set(replacement.columns))
         if missing_cols:

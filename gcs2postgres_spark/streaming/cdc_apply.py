@@ -12,11 +12,12 @@ time travel preserves every intermediate state.
 Scale notes: latest-wins is associative, so per-batch folding equals
 the global answer regardless of how rows split across micro-batches
 (the test pins stream==batch). The per-batch merge is one shuffle on
-the key; the rewrite cost is the current table size per batch — the
-no-table-format trade-off. With a real lakehouse writer the same
-foreachBatch body becomes a MERGE INTO (only changed files rewritten);
-the operator's surface and semantics stay identical, which is why
-foreachBatch is the production pattern for stream upserts.
+the key; stream_upsert_delta pays a full-table rewrite per batch (the
+simplest atomic fold), while stream_merge_delta is the real MERGE INTO
+body — delta_py.merge_delta with a conditional latest-wins clause, so
+each batch touches only the files holding beaten rows and a replayed
+batch commits nothing (idempotent at-least-once apply). foreachBatch
+is the production pattern for stream upserts in either shape.
 """
 
 from __future__ import annotations
@@ -58,6 +59,53 @@ def stream_upsert_delta(
             merged_src = batch
         merged = latest_wins(merged_src, key_cols, seq_cols)
         write_delta(merged, table_path, "overwrite")
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def stream_merge_delta(
+    stream: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    checkpoint_dir: str,
+):
+    """The MERGE-INTO upgrade of stream_upsert_delta: each micro-batch
+    is deduped to its per-key winner, then applied with
+    ``merge_delta(..., latest_wins_on=seq_cols)`` — deletion vectors on
+    only the files holding beaten rows plus appends of the winners,
+    instead of rewriting the whole table every batch (per-batch cost is
+    O(batch + touched files), not O(table)).
+
+    The conditional clause (replace only when source.seq beats
+    target.seq, lexicographic) makes the fold ORDER-INDEPENDENT across
+    micro-batches and IDEMPOTENT under at-least-once re-delivery: a
+    replayed batch matches nothing and commits nothing, so a crash
+    between the Delta commit and the checkpoint advance cannot
+    double-apply. The test pins stream == batch equality against the
+    one-shot latest-wins answer."""
+    from gcs2postgres_spark.sources.delta_py import (
+        merge_delta,
+        read_delta_py,
+        write_delta,
+    )
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        winners = latest_wins(batch, key_cols, seq_cols)
+        try:
+            read_delta_py(spark, table_path)  # existence probe (metadata only)
+        except FileNotFoundError:
+            write_delta(winners, table_path, "overwrite")
+            return
+        merge_delta(
+            spark, table_path, winners, key_cols, latest_wins_on=seq_cols
+        )
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

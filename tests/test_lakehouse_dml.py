@@ -438,3 +438,57 @@ def test_iceberg_append_v2_partitioned(spark, tmp_path):
     # missing column: actionable error
     with pytest.raises(ValueError, match="lacks table columns"):
         append_iceberg_v2(spark, table, extra.select("k"))
+
+
+def test_conditional_merge_latest_wins_both_formats(spark, tmp_path):
+    """latest_wins_on: a matched row is replaced only by a strictly
+    NEWER source row (lexicographic struct over the seq columns); stale
+    and equal-seq source rows are dropped, so replaying a batch commits
+    NOTHING (idempotent at-least-once CDC apply)."""
+    from gcs2postgres_spark.sources.delta_py import (
+        merge_delta,
+        read_delta_py,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.iceberg_py import (
+        merge_into,
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10, "T1"), (2, 20, "T2"), (3, 30, "T3")], "k int, seq int, name string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, 11, "NEWER"),   # beats target -> replace
+            (2, 20, "EQUAL"),   # equal seq -> dropped
+            (3, 5, "STALE"),    # stale -> dropped
+            (4, 1, "INSERT"),   # unmatched -> insert
+        ],
+        "k int, seq int, name string",
+    )
+    expect = {1: (11, "NEWER"), 2: (20, "T2"), 3: (30, "T3"), 4: (1, "INSERT")}
+
+    dt = str(tmp_path / "d")
+    write_delta(target.coalesce(1), dt, "overwrite", timestamp_ms=1_700_000_000_000)
+    v = merge_delta(spark, dt, batch, ["k"], latest_wins_on=["seq"],
+                    timestamp_ms=1_700_000_001_000)
+    assert v == 1
+    got = {r["k"]: (r["seq"], r["name"]) for r in read_delta_py(spark, dt).collect()}
+    assert got == expect
+    # replay: nothing beats, nothing new -> NO commit at all
+    assert merge_delta(spark, dt, batch, ["k"], latest_wins_on=["seq"]) is None
+
+    it = str(tmp_path / "i")
+    write_iceberg_v2_fixture(target, it, sort_col="k")
+    sid = merge_into(spark, it, batch, ["k"], latest_wins_on=["seq"],
+                     snapshot_ts_ms=1_700_000_001_000)
+    assert sid is not None
+    got = {r["k"]: (r["seq"], r["name"]) for r in read_iceberg_py(spark, it).collect()}
+    assert got == expect
+    assert merge_into(spark, it, batch, ["k"], latest_wins_on=["seq"]) is None
+    # guard: conditional clause only makes sense for update mode
+    with pytest.raises(ValueError, match="latest_wins_on"):
+        merge_into(spark, it, batch, ["k"], when_matched="delete",
+                   latest_wins_on=["seq"])

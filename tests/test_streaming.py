@@ -452,3 +452,58 @@ def test_stateful_user_stats_tws_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_merge_delta_matches_batch_and_is_idempotent(spark, sf_dir, tmp_path):
+    """stream_merge_delta (the true MERGE INTO foreachBatch body): the
+    conditional latest-wins clause makes the fold order-independent
+    across micro-batches, so the final table == the one-shot batch
+    answer; replaying the last batch by hand commits NOTHING (the
+    idempotence an at-least-once sink needs)."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.delta_py import (
+        _list_commits,
+        _log_dir,
+        merge_delta,
+        read_delta_py,
+    )
+    from gcs2postgres_spark.streaming.cdc_apply import latest_wins, stream_merge_delta
+    from gcs2postgres_spark.streaming.windows import read_events_stream_batched
+
+    stream = read_events_stream_batched(spark, sf_dir, n_files=4).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    target = str(tmp_path / "delta_merge_target")
+    q = stream_merge_delta(
+        stream,
+        target,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_delta_py(spark, target).select("user_id", "event_id").orderBy("user_id")
+    expect = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .orderBy("user_id")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+
+    # at-least-once replay: re-merging the WHOLE input (a superset of
+    # any batch) must beat nothing and write NO new commit
+    versions_before = max(_list_commits(_log_dir(target)))
+    whole = latest_wins(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
+    assert merge_delta(spark, target, whole, ["user_id"],
+                       latest_wins_on=["ts", "event_id"]) is None
+    assert max(_list_commits(_log_dir(target))) == versions_before
