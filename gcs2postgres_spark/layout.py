@@ -172,42 +172,25 @@ def compact_parquet(
 
 
 def compact_delta(spark, table_path: str, target_bytes: int = 128 * 1024 * 1024) -> int:
-    """Compaction for the jar-less Delta table: read HEAD, rewrite as
-    one overwrite commit with right-sized files, then vacuum the
-    tombstoned originals. Readers see an atomic switch (the new version
-    appears only when its commit lands); time travel to pre-compaction
-    versions is traded away by the vacuum, exactly like OPTIMIZE +
-    VACUUM. Returns the number of live data files after compaction.
-
-    Sizing comes from the HEAD version's live ``add.size`` log metadata
-    — no filesystem crawl at all, and tombstoned pre-overwrite files
-    can't inflate the estimate. Partitioned tables stay partitioned:
-    ``write_delta`` inherits the table's partitionColumns, and the
-    pre-write repartition hashes on them so each task owns whole
-    partition values (one compacted file per value per task)."""
+    """OPTIMIZE + VACUUM convenience for the jar-less Delta table:
+    delegates the rewrite to the protocol-level committer
+    (``sources.delta_py.compact_delta`` — a ``dataChange: false``
+    remove+add commit that purges deletion vectors, stays silent in the
+    change feed, and sizes from the log's ``add.size`` metadata), then
+    vacuums the tombstoned originals. Readers see an atomic switch;
+    time travel to pre-compaction versions is traded away by the
+    vacuum, exactly like OPTIMIZE + VACUUM. Returns the number of live
+    data files after compaction. Keep the two steps separate (use the
+    source-level committer directly) when time travel must survive."""
     import math
-    import os as _os
-    from urllib.parse import unquote as _unquote
 
     from gcs2postgres_spark.sources.delta_py import (
-        read_delta_py,
+        compact_delta as _optimize,
         replay_head_state,
         vacuum_delta,
-        write_delta,
     )
 
-    df = read_delta_py(spark, table_path)
-    live, meta = replay_head_state(spark, table_path)
-    part_cols = list((meta or {}).get("partitionColumns") or [])
-    total = 0
-    for add in live.values():
-        size = add.get("size")
-        if size is None:  # pre-size-field log (checkpoint-only tables)
-            size = _os.path.getsize(_os.path.join(table_path, _unquote(add["path"])))
-        total += int(size)
-    n_out = max(1, math.ceil(total / target_bytes))
-    compacted = df.repartition(n_out, *part_cols) if part_cols else df.repartition(n_out)
-    write_delta(compacted, table_path, "overwrite")
+    _optimize(spark, table_path, target_file_mb=max(1, math.ceil(target_bytes / 2**20)))
     vacuum_delta(table_path)
     live_after, _meta = replay_head_state(spark, table_path)
     return len(live_after)

@@ -1895,3 +1895,102 @@ def delta_merge_latest_wins_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+RESTORE_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_nationkey,
+       min(n_name)                      AS first_name
+FROM nation
+WHERE n_nationkey % 5 <> 1
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_restore_roundtrip", oracle=RESTORE_ORACLE)
+def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF (delta_py.restore_delta): a
+    DV delete empties region 2, RESTORE diffs HEAD against v0 and
+    resurrects it in a forward commit (history preserved), and a SECOND
+    delete then runs against the restored table — so the final state is
+    nation minus only the second predicate. A restore that leaves stale
+    vectors, fails to resurrect a file, or breaks subsequent DML shifts
+    the aggregate and breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        restore_delta,
+        write_delta_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_rst_")
+    try:
+        write_delta_fixture(nation.coalesce(1), tmp, partition_col="n_regionkey")
+        delete_where_delta(spark, tmp, "n_regionkey = 2", timestamp_ms=1_700_000_001_000)
+        restore_delta(spark, tmp, 0, timestamp_ms=1_700_000_002_000)
+        delete_where_delta(
+            spark, tmp, "n_nationkey % 5 = 1", timestamp_ms=1_700_000_003_000
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+@register("iceberg_rollback_roundtrip", oracle=RESTORE_ORACLE)
+def iceberg_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK (iceberg_py.rollback_to_snapshot, the Delta twin of
+    delta_restore_roundtrip): a position delete empties region 2,
+    rollback repoints current-snapshot-id at the original snapshot
+    (metadata-only, history kept), and a SECOND delete runs against the
+    rolled-back table. The sequence high-water mark must survive the
+    rollback so the second delete's files sequence above everything —
+    a committer that reuses rolled-back sequence numbers resurrects or
+    double-kills rows and breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        read_iceberg_py,
+        rollback_to_snapshot,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_rb_")
+    try:
+        write_iceberg_v2_partitioned_fixture(nation, tmp, "n_regionkey")
+        delete_where(spark, tmp, "n_regionkey = 2", snapshot_ts_ms=1_700_000_001_000)
+        rollback_to_snapshot(tmp, 1)
+        delete_where(
+            spark, tmp, "n_nationkey % 5 = 1", snapshot_ts_ms=1_700_000_002_000
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

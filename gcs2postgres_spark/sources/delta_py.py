@@ -1008,19 +1008,30 @@ def _stage_data_files(
 
 
 def replay_head_state(
-    spark: SparkSession, table_path: str
+    spark: SparkSession, table_path: str, version: int | None = None
 ) -> tuple[dict[str, dict], dict | None]:
-    """Replay checkpoint + commits to HEAD and return
-    ``(live add actions by path, latest metaData or None)``. The live
-    ``add`` dicts keep every field the log recorded (``size``,
-    ``partitionValues``, ...), so maintenance ops can size a table from
-    log metadata instead of stat-ing files — O(log) driver work, no
-    object-store crawl."""
+    """Replay checkpoint + commits to HEAD (or to ``version`` inclusive,
+    for RESTORE-style diffs) and return ``(live add actions by path,
+    latest metaData or None)``. The live ``add`` dicts keep every field
+    the log recorded (``size``, ``partitionValues``, ...), so
+    maintenance ops can size a table from log metadata instead of
+    stat-ing files — O(log) driver work, no object-store crawl."""
     log_dir = _log_dir(table_path)
     cp_version, cp_adds, meta = _checkpoint_base(spark, log_dir)
+    if version is not None and version < cp_version:
+        raise ValueError(
+            f"version {version} predates the checkpoint at {cp_version}; "
+            "the log no longer holds enough history to replay it"
+        )
     live: dict[str, dict] = {a["path"]: a for a in cp_adds}
     commits = _list_commits(log_dir) if fsio.isdir(log_dir) else {}
-    for v in sorted(v for v in commits if v > cp_version):
+    if version is not None and version != cp_version and version not in commits:
+        raise ValueError(f"version {version} not found in _delta_log (have {sorted(commits)})")
+    for v in sorted(
+        v
+        for v in commits
+        if v > cp_version and (version is None or v <= version)
+    ):
         for line in fsio.read_text(commits[v]).splitlines():
             if not line.strip():
                 continue
@@ -1822,3 +1833,95 @@ def compact_delta(
             version = int(json.load(f)["version"]) + 1
     _write_commit(log_dir, version, actions, now)
     return version
+
+def restore_delta(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    timestamp_ms: int | None = None,
+) -> int | None:
+    """Jar-less ``RESTORE TABLE ... TO VERSION AS OF``: one new commit
+    that diffs HEAD against the target version's live file set and
+    emits the removes/adds (and metaData, if the schema changed since)
+    that make HEAD's content equal the old version's. Returns the new
+    version, or None when HEAD already equals the target (no commit).
+
+    History is PRESERVED — restore moves forward by appending a commit,
+    never by rewriting the log, so the undone versions stay
+    time-travelable and the change feed reports the restore's row-level
+    effect (re-inserts of resurrected files, deletes of removed ones).
+    Files the restore resurrects must still exist physically: a VACUUM
+    that already reclaimed them makes the target unrestorable — the
+    same contract as Delta's RESTORE.
+
+    Driver work is O(log): two replays and a dict diff over add
+    actions; no data file is read or written at all."""
+    import time as _time
+
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            "jar-less Delta RESTORE is local-filesystem only (object-store "
+            f"commits need atomic-put semantics); {_DELTA_JAR_HINT}"
+        )
+    head_live, head_meta = replay_head_state(spark, table_path)
+    old_live, old_meta = replay_head_state(spark, table_path, version=version)
+    if head_meta is None or old_meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
+
+    actions: list[dict] = []
+    if old_meta.get("schemaString") != head_meta.get("schemaString") or list(
+        old_meta.get("partitionColumns") or []
+    ) != list(head_meta.get("partitionColumns") or []):
+        actions.append({"metaData": old_meta})
+    # resurrected DVs need the reader protocol even if HEAD dropped it
+    if any(a.get("deletionVector") for a in old_live.values()):
+        features = ["deletionVectors"]
+        if (old_meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            features.append("columnMapping")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": features,
+                    "writerFeatures": list(features),
+                }
+            }
+        )
+    for path in sorted(set(head_live) - set(old_live)):
+        actions.append(
+            {"remove": {"path": path, "deletionTimestamp": now, "dataChange": True}}
+        )
+    for path in sorted(old_live):
+        if head_live.get(path) != old_live[path]:
+            # new at HEAD, or same file with a different DV: (re-)add the
+            # old action so the old bitmap state wins
+            needed = [os.path.join(table_path, unquote(path))]
+            dv = old_live[path].get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p"):
+                _kind, loc = _dv_location(table_path, dv)
+                needed.append(re.sub(r"^file:(//)?", "", loc))
+            for f in needed:
+                if not os.path.exists(f):
+                    raise FileNotFoundError(
+                        f"cannot restore to version {version}: file {f!r} "
+                        "was physically removed (vacuumed); earlier versions "
+                        "are only restorable while their files survive"
+                    )
+            add = dict(old_live[path])
+            add["dataChange"] = True
+            actions.append({"add": add})
+    if not actions:
+        return None
+    log_dir = _log_dir(table_path)
+    commits = _list_commits(log_dir)
+    if commits:
+        new_version = max(commits) + 1
+    else:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+            new_version = int(json.load(f)["version"]) + 1
+    _write_commit(log_dir, new_version, actions, now)
+    return new_version

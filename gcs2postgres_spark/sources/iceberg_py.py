@@ -2585,3 +2585,33 @@ def write_iceberg_partitioned_fixture(
             }
         ],
     )
+
+def rollback_to_snapshot(table_path: str, snapshot_id: int) -> None:
+    """Jar-less Iceberg ROLLBACK (the catalog's
+    ``rollback_to_snapshot`` maintenance action): repoint
+    current-snapshot-id at an older snapshot in a NEW metadata version.
+    Pure metadata — no file is read, written, or dropped, every
+    snapshot stays time-travelable, and the sequence-number high-water
+    mark is preserved so later commits continue above it (a rolled-back
+    equality delete cannot accidentally re-apply to post-rollback
+    appends). The atomic tmp+replace repoint means a crash leaves the
+    previous current snapshot intact."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            f"jar-less Iceberg rollback is local-filesystem only. Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    snapshots = meta.get("snapshots") or []
+    if not any(s["snapshot-id"] == snapshot_id for s in snapshots):
+        raise ValueError(
+            f"snapshot {snapshot_id} not found "
+            f"(have {[s['snapshot-id'] for s in snapshots]})"
+        )
+    if meta.get("current-snapshot-id") == snapshot_id:
+        return  # already current: no new metadata version
+    meta["current-snapshot-id"] = snapshot_id
+    mdir = os.path.join(table_path, "metadata")
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))

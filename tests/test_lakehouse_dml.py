@@ -492,3 +492,90 @@ def test_conditional_merge_latest_wins_both_formats(spark, tmp_path):
     with pytest.raises(ValueError, match="latest_wins_on"):
         merge_into(spark, it, batch, ["k"], when_matched="delete",
                    latest_wins_on=["seq"])
+
+
+def test_delta_restore_to_version(spark, tmp_path):
+    """RESTORE: a forward commit whose diff makes HEAD equal the old
+    version — history preserved (the undone DML stays time-travelable),
+    the change feed reports the restore's row-level effect, restore is
+    idempotent (no commit when HEAD already matches), and a vacuumed
+    target refuses with a clear error."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        delta_table_changes,
+        read_delta_py,
+        restore_delta,
+        update_where_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "rst")
+    write_delta(_delta_nation(spark).coalesce(1), table, "overwrite",
+                partition_by=["region"], timestamp_ms=1_700_000_000_000)
+    original = read_delta_py(spark, table).orderBy("k").collect()
+    delete_where_delta(spark, table, "region = 2", timestamp_ms=1_700_000_001_000)
+    update_where_delta(spark, table, "k = 1", {"name": "'MUTATED'"},
+                       timestamp_ms=1_700_000_002_000)
+    assert read_delta_py(spark, table).count() == 18
+
+    v = restore_delta(spark, table, 0, timestamp_ms=1_700_000_003_000)
+    assert v == 3
+    assert read_delta_py(spark, table).orderBy("k").collect() == original
+    # undone versions still time-travelable
+    assert read_delta_py(spark, table, version_as_of=2).count() == 18
+    # the restore commit's change feed = resurrections of the deleted
+    # region (6 rows) + un-mutation of k=1 (delete+insert pair)
+    ch = delta_table_changes(spark, table, 2, 3)
+    counts = {r["_change_type"]: r["n"] for r in
+              ch.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()}
+    assert counts["insert"] == 7 and counts["delete"] == 1
+    # idempotent: HEAD already equals v0
+    assert restore_delta(spark, table, 0) is None
+    # vacuum reclaims the undone DML's files -> v2 unrestorable, clearly
+    vacuum_delta(table)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        restore_delta(spark, table, 2)
+    # unknown version: clear error
+    with pytest.raises(ValueError, match="not found"):
+        restore_delta(spark, table, 99)
+
+
+def test_iceberg_rollback_to_snapshot(spark, tmp_path):
+    """ROLLBACK: metadata-only repoint of current-snapshot-id; every
+    snapshot stays time-travelable, and post-rollback commits continue
+    ABOVE the old sequence high-water mark so a rolled-back equality
+    delete can never re-apply to newer appends."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        latest_metadata_file,
+        read_iceberg_py,
+        rollback_to_snapshot,
+        upsert_equality,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    table = str(tmp_path / "rb")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), table, "region")
+    src = spark.createDataFrame([(3, "SRC_3", 1)], "k int, name string, region int")
+    sid2 = upsert_equality(spark, table, src, ["k"], snapshot_ts_ms=1_700_000_001_000)
+    assert {r["name"] for r in read_iceberg_py(spark, table).filter("k = 3").collect()} == {"SRC_3"}
+
+    rollback_to_snapshot(table, 1)
+    out = read_iceberg_py(spark, table)
+    assert {r["name"] for r in out.filter("k = 3").collect()} == {"N_3"}
+    assert out.count() == 24
+    # the upsert snapshot is still reachable by id
+    assert read_iceberg_py(spark, table, snapshot_id=sid2).filter(
+        "name = 'SRC_3'"
+    ).count() == 1
+    # a post-rollback append is NOT hit by the rolled-back equality
+    # delete (its sequence number stays above the high-water mark)
+    extra = spark.createDataFrame([(3, "AGAIN", 0)], "k int, name string, region int")
+    append_iceberg_v2(spark, table, extra, snapshot_ts_ms=1_700_000_002_000)
+    names = {r["name"] for r in read_iceberg_py(spark, table).filter("k = 3").collect()}
+    assert names == {"N_3", "AGAIN"}
+    meta = json.loads(open(latest_metadata_file(table)).read())
+    assert meta["last-sequence-number"] >= 3
+    with pytest.raises(ValueError, match="not found"):
+        rollback_to_snapshot(table, 999)
