@@ -99,6 +99,103 @@ def zorder_key(cols, bits: int = 16):
     return z
 
 
+def zorder_rank_columns(df, cols: list[str], bits: int = 8):
+    """Equi-depth rank normalization for OPTIMIZE ZORDER BY over
+    arbitrary numeric / date / timestamp columns: one
+    ``percentile_approx`` aggregation computes 2**bits - 1 quantile
+    boundaries per column (the driver receives only those scalars), and
+    each value maps to its bucket with a JVM-side higher-order fold
+    (``size(filter(boundaries, b -> v >= b))`` — whole-stage-codegen,
+    no UDF). Equi-depth beats equal-width under skew: every bucket
+    holds ~the same row count, so the Morton curve discriminates on
+    both axes no matter how lopsided the raw distributions are (the
+    same reason engines use range-ids, not min/max scaling). NULLs map
+    to bucket 0 (they sort first, clustering together). Returns the
+    normalized Columns, ready for zorder_key(..., bits=bits).
+
+    Strings are refused: byte-prefix z-ordering needs collation
+    machinery this helper doesn't carry, and string range predicates
+    rarely prune anyway — cluster on a numeric surrogate instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n_bounds = (1 << bits) - 1
+    exprs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.DateType,)):
+            exprs.append(F.datediff(F.col(c), F.lit("1970-01-01")).cast("double"))
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            exprs.append(F.unix_timestamp(F.col(c)).cast("double"))
+        elif isinstance(dt, T.NumericType):
+            exprs.append(F.col(c).cast("double"))
+        else:
+            raise NotImplementedError(
+                f"zorder on {dt.simpleString()} column {c!r}: use a numeric, "
+                "date, or timestamp column (or a numeric surrogate)"
+            )
+    fracs = [i / (n_bounds + 1) for i in range(1, n_bounds + 1)]
+    bounds_row = df.agg(
+        *[
+            F.percentile_approx(e, fracs, 10_000).alias(f"__b{i}")
+            for i, e in enumerate(exprs)
+        ]
+    ).first()
+    ranked = []
+    for i, e in enumerate(exprs):
+        bounds = sorted(set(b for b in (bounds_row[f"__b{i}"] or []) if b is not None))
+        if not bounds:  # constant or all-NULL column: rank 0 everywhere
+            ranked.append(F.lit(0).cast("long"))
+            continue
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+
+        def _ge(expr):
+            # single-arg lambda factory: a default-arg lambda would have
+            # two parameters and F.filter would bind the second to the
+            # ELEMENT INDEX, silently ranking by position
+            return lambda b: expr >= b
+
+        rank = F.coalesce(
+            F.size(F.filter(arr, _ge(e))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        # low-cardinality columns dedupe to few boundaries, leaving the
+        # rank in the LOW bits only — the other dimension's high bits
+        # would then fully dominate the curve. Rescale each rank to span
+        # the whole 0..2**bits-1 range so every column contributes high
+        # bits to the interleave (comparable bit widths, same reason
+        # zorder_q hand-normalizes both dims to 8 bits).
+        scale = n_bounds / len(bounds)
+        ranked.append(
+            F.least(F.round(rank * F.lit(scale)).cast("long"), F.lit(n_bounds))
+        )
+    return ranked
+
+
+def cluster_for_rewrite(df, n_files: int, part_cols: list[str], zorder_by: list[str] | None, bits: int = 8):
+    """Physical re-bin for an OPTIMIZE/rewrite commit (shared by the
+    Delta and Iceberg compaction committers). Without ``zorder_by``:
+    plain repartition (hashing on the partition columns so each task
+    owns whole partitions — ~1 compacted file per partition under
+    partitionBy). With it: cluster along the Morton curve —
+    unpartitioned tables range-partition on the z-key so each file owns
+    one contiguous curve segment; Hive/identity-partitioned tables keep
+    the partition routing and z-sort WITHIN each partition (the curve
+    then tightens min/max footers inside every partition directory,
+    the same shape OPTIMIZE ZORDER BY produces)."""
+    from pyspark.sql import functions as F
+
+    if not zorder_by:
+        return df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+    zkey = zorder_key(zorder_rank_columns(df, zorder_by, bits), bits=bits)
+    dfz = df.withColumn("__z", zkey)
+    if part_cols:
+        out = dfz.repartition(n_files, *part_cols).sortWithinPartitions(*part_cols, "__z")
+    else:
+        out = dfz.repartitionByRange(n_files, F.col("__z")).sortWithinPartitions("__z")
+    return out.drop("__z")
+
+
 def write_zordered(df, path: str, zcol, n_files: int = 8, mode: str = "overwrite") -> None:
     """Write parquet clustered along the space-filling curve:
     repartitionByRange on the z-key makes each output file own one

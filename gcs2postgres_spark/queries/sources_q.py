@@ -1994,3 +1994,60 @@ def iceberg_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+ZORDER_OPTIMIZE_ORACLE = """
+SELECT CAST(sum(round(l_extendedprice * l_discount * 1000000)) AS BIGINT) AS revenue_e6,
+       count(*)                                                    AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("delta_optimize_zorder_roundtrip", oracle=ZORDER_OPTIMIZE_ORACLE)
+def delta_optimize_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (compact_delta zorder_by): lineitem lands in
+    a Delta table, is re-clustered along the Morton curve over
+    (l_shipdate, l_discount) — equi-depth rank normalization via one
+    percentile_approx pass, layout.zorder_rank_columns — and the TPC-H
+    Q6 predicate then runs over the z-ordered files. The oracle checks
+    CONTENT (a compaction that drops/duplicates rows under the re-sort
+    breaks the exact revenue sum); the file-level min/max pruning the
+    curve buys is pinned in tests/test_lakehouse_dml.py. Money math in
+    exact integer micros, the repo's ratio_6dp convention."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        compact_delta,
+        read_delta_py,
+        write_delta,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_zopt_")
+    try:
+        write_delta(li.repartition(8), tmp, "overwrite", timestamp_ms=1_700_000_000_000)
+        compact_delta(
+            spark, tmp, target_file_mb=0.25,
+            zorder_by=["l_shipdate", "l_discount"],
+            timestamp_ms=1_700_000_001_000,
+        )
+        df = read_delta_py(spark, tmp)
+        return df.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 1_000_000)
+            ).cast("long").alias("revenue_e6"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

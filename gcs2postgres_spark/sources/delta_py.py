@@ -1773,7 +1773,8 @@ def vacuum_delta(table_path: str) -> int:
 def compact_delta(
     spark: SparkSession,
     table_path: str,
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
+    zorder_by: list[str] | None = None,
     timestamp_ms: int | None = None,
 ) -> int:
     """Jar-less Delta OPTIMIZE (bin-packing compaction): read the
@@ -1790,7 +1791,11 @@ def compact_delta(
     reads metadata only). Partitioned tables repartition on the
     partition columns so partitionBy emits ~1 compacted file per
     partition; unpartitioned tables repartition to
-    ceil(live_bytes / target). Old versions still reference the old
+    ceil(live_bytes / target). ``zorder_by`` upgrades the re-bin to
+    OPTIMIZE ZORDER BY: files are clustered along the Morton curve
+    over the named columns (equi-depth rank normalization,
+    layout.zorder_rank_columns), tightening per-file min/max footers
+    on every clustered dimension. Old versions still reference the old
     files, so time travel keeps working until vacuum_delta reclaims
     them — the same contract as OPTIMIZE + VACUUM. Single-writer
     assumed, like every committer in this module. Iceberg twin:
@@ -1815,8 +1820,10 @@ def compact_delta(
     live_bytes = sum(int(a.get("size") or 0) for a in live.values())
     n_files = max(1, math.ceil(live_bytes / (target_file_mb * 1024 * 1024)))
 
+    from gcs2postgres_spark.layout import cluster_for_rewrite
+
     df = read_delta_py(spark, table_path)
-    compacted = df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+    compacted = cluster_for_rewrite(df, n_files, part_cols, zorder_by)
 
     now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
     actions: list[dict] = [

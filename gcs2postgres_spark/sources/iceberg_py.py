@@ -1873,7 +1873,8 @@ def append_iceberg_v2(
 def rewrite_data_files(
     spark: SparkSession,
     table_path: str,
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
+    zorder_by: list[str] | None = None,
     snapshot_ts_ms: int | None = None,
 ) -> int:
     """Jar-less Iceberg v2 compaction (the ``rewrite_data_files``
@@ -1890,7 +1891,9 @@ def rewrite_data_files(
     repartition on the partition source columns so each task holds
     whole partitions and partitionBy emits ~1 compacted file per
     partition; unpartitioned tables repartition to
-    ceil(live_bytes / target). Old snapshots still reference the old
+    ceil(live_bytes / target), and ``zorder_by`` clusters the rewrite
+    along the Morton curve (the sort-order rewrite strategy;
+    layout.cluster_for_rewrite). Old snapshots still reference the old
     files, so time travel keeps working until expire_snapshots drops
     them — exactly the contract of the real maintenance action.
 
@@ -1924,11 +1927,9 @@ def rewrite_data_files(
     n_files = max(1, math.ceil(live_bytes / (target_file_mb * 1024 * 1024)))
 
     live = read_iceberg_py(spark, table_path)
-    compacted = (
-        live.repartition(n_files, *part_src_cols)
-        if part_src_cols
-        else live.repartition(n_files)
-    )
+    from gcs2postgres_spark.layout import cluster_for_rewrite
+
+    compacted = cluster_for_rewrite(live, n_files, part_src_cols, zorder_by)
 
     sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
