@@ -34,45 +34,64 @@ from gcs2postgres_spark.queries import zorder_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import analytics_q  # noqa: E402,F401
 from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 
-# Round-10 verification window: the driver checks the first 50 entries.
+# Round-11 verification window: the driver checks the first 50 entries.
 # RULE (adopted after the r9 verdict's integrity finding): every slot
 # annotation below describes work that is ALREADY COMMITTED when the
-# annotation is written — never planned work. Slots are rotated to the
-# top only as changes land; placeholders for unlanded features are
-# forbidden. Section (a) = the 14 queries whose implementations changed
-# in round 10 (Iceberg partitioned DML + atomic commits + field-id
-# column resolution, Delta deletion vectors + column mapping, range-join
-# degradation, fuzzy-join repartition skip, Delta DV DELETE committer).
-# Later r10 commits further reworked the same read paths (delta scan
-# core factored for the change feed; iceberg incremental scan) — the
-# driver runs at ROUND END, so these slots certify the final code; all
-# later-landing work is itemized per commit in git log and COVERAGE.md.
-# Section (b) = 36 of the 38
-# remaining round-4-newest greens as freshness fill; with the 4
-# r4-newest queries already in (a), every r4 row refreshes EXCEPT
-# scalar_math_funcs and join_left — displaced by the late-landing
-# delta_column_mapping_roundtrip and delta_dv_delete_where_roundtrip
-# slots (changed/new code outranks freshness; both displaced queries
-# are frozen since r1 with local oracle-parity pytest coverage and
-# rotate in next round).
+# annotation is written — never planned work; placeholders for unlanded
+# features are forbidden.
+#
+# NOTE: no CORRECTNESS_r10.json was recorded (the round-10 driver gate
+# left no artifact), so the round-10 window was never driver-certified
+# and the newest-green histogram still reads as of r9
+# (r9 50 / r8 36 / r7 45 / r6 40 / r5 37 / r4 42). Section (a) therefore
+# carries BOTH rounds' changed/new implementations: the 14 r10-changed
+# slots (unchanged since, except where noted), the 4 late-r10 additions,
+# and the 12 new round-11 queries (UPDATE/MERGE/equality-upsert/append/
+# compaction/restore for the lakehouse committers). Section (b) = 20 of
+# the 42 r4-newest greens, led by scalar_math_funcs and join_left (both
+# displaced twice; promised this rotation); the 18 r4 rows that do not
+# fit rotate in r12 and sit at the head of VERIFY_DEFERRED.
 VERIFY_FRONT: list[str] = [
-    # (a) r10-changed / new implementations (all committed)
-    "iceberg_partitioned_dml_roundtrip",  # NEW r10: partition-tuple delete manifests (iceberg_py._v2_row_level_commit partitioned path)
-    "delta_deletion_vector_roundtrip",  # NEW r10: DV decode + anti-join (dv_roaring.py, delta_py._apply_deletion_vectors)
-    "delta_column_mapping_roundtrip",   # NEW r10: column-mapping reads (physical-name scan + logical rename)
-    "delta_dv_delete_where_roundtrip",  # NEW r10: DELETE via deletion vectors (executor-built bitmaps)
-    "iceberg_v2_delete_write_roundtrip",  # r10: committer reworked for partition routing + atomic metadata commit
+    # (a) round-11 NEW implementations (all committed; see git log r11)
+    "iceberg_update_where_roundtrip",  # NEW r11: UPDATE SET WHERE, partition-moving rewrite (iceberg_py.update_where)
+    "delta_update_where_roundtrip",  # NEW r11: UPDATE via deletion vectors, one atomic commit (delta_py.update_where_delta)
+    "iceberg_merge_upsert_roundtrip",  # NEW r11: MERGE INTO upsert, semi-join match set (iceberg_py.merge_into)
+    "delta_merge_upsert_roundtrip",  # NEW r11: MERGE INTO upsert via DVs (delta_py.merge_delta)
+    "delta_merge_latest_wins_roundtrip",  # NEW r11: conditional WHEN MATCHED AND newer clause + replay idempotence
+    "iceberg_equality_upsert_roundtrip",  # NEW r11: scan-free CDC upsert via equality deletes (iceberg_py.upsert_equality)
+    "iceberg_partitioned_append_roundtrip",  # NEW r11: partitioned v2 fast-append (iceberg_py.append_iceberg_v2)
+    "iceberg_rewrite_compact_roundtrip",  # NEW r11: rewrite_data_files replace snapshot, DML-after-compaction
+    "delta_optimize_compact_roundtrip",  # NEW r11: OPTIMIZE dataChange:false commit, DV purge (delta_py.compact_delta)
+    "delta_optimize_zorder_roundtrip",  # NEW r11: OPTIMIZE ZORDER BY (Morton curve + equi-depth ranks, layout.zorder_rank_columns)
+    "delta_restore_roundtrip",  # NEW r11: RESTORE TO VERSION AS OF, forward diff commit (delta_py.restore_delta)
+    "iceberg_rollback_roundtrip",  # NEW r11: rollback_to_snapshot metadata repoint, seq high-water kept
+    # (a) late-r10 additions, never driver-certified; the change feeds
+    # ALSO changed in r11 (dataChange:false / replace-snapshot silence)
+    "delta_change_feed_roundtrip",  # r10 new + r11: table_changes skips dataChange:false actions
+    "iceberg_change_feed_roundtrip",  # r10 new + r11: incremental scan skips operation=replace snapshots
+    "delta_schema_evolution_roundtrip",  # r10 new: rename/add-column committers
+    "iceberg_schema_evolution_roundtrip",  # r10 new: rename/add-column committers
+    # (a) r10-changed implementations, never driver-certified; r11
+    # further refactored the shared committer head/tail
+    # (_v2_table_context/_v2_commit_snapshot) and the DV commit core
+    # (_dv_row_level_commit) under the same query surfaces
+    "iceberg_partitioned_dml_roundtrip",  # r10: partition-tuple delete manifests; r11: shared-context refactor
+    "delta_deletion_vector_roundtrip",  # r10: DV decode + anti-join (dv_roaring.py)
+    "delta_column_mapping_roundtrip",  # r10: column-mapping reads (physical-name scan + logical rename)
+    "delta_dv_delete_where_roundtrip",  # r10: DV DELETE committer; r11: generalized to _dv_row_level_commit
+    "iceberg_v2_delete_write_roundtrip",  # r10: partition routing + atomic metadata commit; r11: shared-context refactor
     "iceberg_write_roundtrip",  # r10: atomic metadata commit (tmp + os.replace)
-    "iceberg_source_roundtrip",  # r10: write_snapshot_metadata now atomic (also r4-newest green)
-    "iceberg_v2_deletes_roundtrip",  # r10: v2 fixture metadata writes now atomic (also r4-newest green)
-    "delta_source_roundtrip",  # r10: log replay carries deletionVector fields (also placeholder debt from r9 cleared)
+    "iceberg_source_roundtrip",  # r10: write_snapshot_metadata atomic (also r4-newest green)
+    "iceberg_v2_deletes_roundtrip",  # r10: v2 fixture metadata writes atomic (also r4-newest green)
+    "delta_source_roundtrip",  # r10: log replay carries deletionVector fields
     "delta_time_travel",  # r10: same replay change (also r4-newest green)
-    "delta_write_roundtrip",  # r10: read-back path shares the DV-aware scan grouping (also r4-newest green)
-    "range_join_bands",  # r10: range_join grew auto/bucketize strategies; this query stays on the broadcast arm
+    "delta_write_roundtrip",  # r10: read-back shares the DV-aware scan grouping (also r4-newest green)
+    "range_join_bands",  # r10: range_join auto/bucketize strategies; this query stays on the broadcast arm
     "fuzzy_join_entity_match",  # r10: _spread_on_keys repartition skip
     "fuzzy_join_topk_per_entity",  # r10: _spread_on_keys repartition skip
-    # (b) freshness fill: the r4-newest greens (see header for the two
-    # displaced entries), name order
+    # (b) freshness fill: 20 of the 42 r4-newest greens, displaced-first
+    "scalar_math_funcs",
+    "join_left",
     "agg_stats_basic",
     "avro_source_roundtrip",
     "bloom_semi_prune",
@@ -91,6 +110,11 @@ VERIFY_FRONT: list[str] = [
     "events_peak_concurrency",
     "events_resample_ffill",
     "events_value_histogram",
+]
+
+VERIFY_DEFERRED: list[str] = [
+    # r4-newest greens that did not fit the r11 window (changed/new code
+    # outranks freshness); they rotate into the r12 window first.
     "grouped_agg_weighted_mean",
     "grouped_map_ols",
     "incremental_rollup_update",
@@ -109,19 +133,6 @@ VERIFY_FRONT: list[str] = [
     "snapshot_diff_cdc",
     "text_repetition_filter",
     "text_top_word_ratio",
-]
-
-# Remaining entries after the 50-slot window: everything here has fresh
-# driver-green evidence (round 5+); ordering within this list is not
-# significant beyond keeping recently-verified entries out of the window.
-VERIFY_DEFERRED: list[str] = [
-    # NEW r10, landed after the 50-slot window filled: all four are
-    # committed + oracle-checked locally (driver_sim) and pytest-pinned;
-    # they rotate into the r11 window per the truth-first rule.
-    "delta_schema_evolution_roundtrip",
-    "iceberg_schema_evolution_roundtrip",
-    "delta_change_feed_roundtrip",
-    "iceberg_change_feed_roundtrip",
     "doc_winnow_fingerprints",
     "avro_logical_types_roundtrip",
     "dedup_minhash_lsh",
