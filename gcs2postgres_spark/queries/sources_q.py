@@ -2051,3 +2051,121 @@ def delta_optimize_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+DELTA_HISTORY_ORACLE = """
+SELECT * FROM (VALUES
+  (0, 'WRITE',    5, 0),
+  (1, 'DELETE',   1, 1),
+  (2, 'UPDATE',   2, 1),
+  (3, 'OPTIMIZE', 5, 6)
+) AS t(version, operation, n_added_files, n_removed_files)
+ORDER BY version
+"""
+
+
+@register("delta_history_audit", oracle=DELTA_HISTORY_ORACLE)
+def delta_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (delta_py.describe_history_delta): a scripted
+    op sequence — partitioned WRITE (5 region files), DV DELETE (1
+    file re-added with a vector), partition-moving UPDATE (one DV
+    re-add + one add in the brand-new partition, one remove), OPTIMIZE
+    (removes all 6 live adds, rewrites one compacted file per surviving
+    partition = 5) — the exact counts are the audit trail,
+    checked against a VALUES literal, so a committer that silently
+    writes extra files, skips a remove, or mislabels its operation
+    breaks the hash. The history itself is O(log) metadata."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        compact_delta,
+        delete_where_delta,
+        describe_history_delta,
+        update_where_delta,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_hist_")
+    try:
+        write_delta(
+            nation.coalesce(1), tmp, "overwrite",
+            partition_by=["n_regionkey"], timestamp_ms=1_700_000_000_000,
+        )
+        delete_where_delta(spark, tmp, "n_regionkey = 2", timestamp_ms=1_700_000_001_000)
+        update_where_delta(
+            spark, tmp, "n_nationkey = 1",
+            {"n_regionkey": "7"}, timestamp_ms=1_700_000_002_000,
+        )
+        compact_delta(spark, tmp, timestamp_ms=1_700_000_003_000)
+        h = describe_history_delta(spark, tmp)
+        return (
+            h.select(
+                F.col("version").cast("int").alias("version"),
+                "operation",
+                "n_added_files",
+                "n_removed_files",
+            )
+            .orderBy("version")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+ICEBERG_FILES_META_ORACLE = """
+WITH appended AS (
+  SELECT n_regionkey FROM nation
+  UNION ALL
+  SELECT n_regionkey FROM nation WHERE n_nationkey % 3 = 0
+)
+SELECT n_regionkey AS region,
+       count(*)    AS rec_count
+FROM appended
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
+@register("iceberg_files_meta_roundtrip", oracle=ICEBERG_FILES_META_ORACLE)
+def iceberg_files_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The files metadata table (iceberg_py.read_iceberg_meta 'files'):
+    after a partitioned write + a partitioned append, the
+    manifest-recorded record_count per partition must equal the rows
+    actually written there — the oracle recomputes the same counts from
+    the source table, so a committer that mis-stats record_count,
+    drops a manifest entry, or routes a file to the wrong partition
+    tuple breaks the hash WITHOUT any data file being opened (the
+    whole query is metadata + one createDataFrame)."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        read_iceberg_meta,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_files_")
+    try:
+        write_iceberg_v2_partitioned_fixture(nation, tmp, "n_regionkey")
+        append_iceberg_v2(
+            spark, tmp, nation.filter("n_nationkey % 3 = 0"),
+            snapshot_ts_ms=1_700_000_001_000,
+        )
+        files = read_iceberg_meta(spark, tmp, "files")
+        return (
+            files.filter("content = 0")
+            .groupBy(
+                F.get_json_object("partition", "$.n_regionkey")
+                .cast("int")
+                .alias("region")
+            )
+            .agg(F.sum("record_count").cast("long").alias("rec_count"))
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

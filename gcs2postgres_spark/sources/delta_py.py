@@ -516,11 +516,22 @@ def _meta_action(schema: StructType, part_cols: list[str]) -> dict:
     }
 
 
-def _write_commit(log_dir: str, version: int, actions: list[dict], timestamp_ms: int) -> None:
+def _write_commit(
+    log_dir: str,
+    version: int,
+    actions: list[dict],
+    timestamp_ms: int,
+    operation: str | None = None,
+) -> None:
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")
+    ci: dict = {"timestamp": timestamp_ms}
+    if operation:
+        # the same field real Delta writers record; describe_history
+        # surfaces it (older/foreign commits without one show null)
+        ci["operation"] = operation
     with open(path, "w") as f:
-        f.write(json.dumps({"commitInfo": {"timestamp": timestamp_ms}}) + "\n")
+        f.write(json.dumps({"commitInfo": ci}) + "\n")
         for a in actions:
             f.write(json.dumps(a) + "\n")
 
@@ -1139,7 +1150,7 @@ def write_delta(
                 new_meta["metaData"]["id"] = meta.get("id", new_meta["metaData"]["id"])
                 actions.append(new_meta)
     actions.extend(_stage_data_files(df, table_path, part_cols, now))
-    _write_commit(log_dir, version, actions, now)
+    _write_commit(log_dir, version, actions, now, operation="WRITE")
     return version
 
 
@@ -1216,7 +1227,9 @@ def update_where_delta(
             for c in tagged.columns
         ]
     )
-    return _dv_row_level_commit(spark, table_path, predicate, new_rows, timestamp_ms)
+    return _dv_row_level_commit(
+        spark, table_path, predicate, new_rows, timestamp_ms, operation="UPDATE"
+    )
 
 
 def merge_delta(
@@ -1307,7 +1320,9 @@ def merge_delta(
         )
         if replacement.isEmpty():
             replacement = None
-    return _dv_row_level_commit(spark, table_path, matcher, replacement, timestamp_ms)
+    return _dv_row_level_commit(
+        spark, table_path, matcher, replacement, timestamp_ms, operation="MERGE"
+    )
 
 
 def _dv_row_level_commit(
@@ -1316,6 +1331,7 @@ def _dv_row_level_commit(
     matcher,  # SQL string or Callable[[DataFrame], DataFrame]
     new_rows: DataFrame | None,
     timestamp_ms: int | None,
+    operation: str = "DELETE",
 ) -> int | None:
     import time as _time
 
@@ -1479,7 +1495,7 @@ def _dv_row_level_commit(
     else:  # checkpoint-only table (log cleaned up past the checkpoint)
         with open(os.path.join(log_dir, "_last_checkpoint")) as f:
             version = int(json.load(f)["version"]) + 1
-    _write_commit(log_dir, version, actions, now)
+    _write_commit(log_dir, version, actions, now, operation=operation)
     return version
 
 
@@ -1838,7 +1854,7 @@ def compact_delta(
     else:
         with open(os.path.join(log_dir, "_last_checkpoint")) as f:
             version = int(json.load(f)["version"]) + 1
-    _write_commit(log_dir, version, actions, now)
+    _write_commit(log_dir, version, actions, now, operation="OPTIMIZE")
     return version
 
 def restore_delta(
@@ -1930,5 +1946,76 @@ def restore_delta(
     else:
         with open(os.path.join(log_dir, "_last_checkpoint")) as f:
             new_version = int(json.load(f)["version"]) + 1
-    _write_commit(log_dir, new_version, actions, now)
+    _write_commit(log_dir, new_version, actions, now, operation="RESTORE")
     return new_version
+
+def describe_history_delta(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY, jar-lessly: one row per commit — version,
+    timestamp, operation (from commitInfo; null for commits a foreign
+    writer recorded without one), and the action counts that let an
+    operator audit what each version did (adds/removes, whether
+    deletion vectors or metadata changed). Driver work is O(log): the
+    JSON commits are metadata; no data file is touched. The newest
+    version sorts first, matching the SQL surface."""
+    log_dir = _log_dir(table_path)
+    commits = _list_commits(log_dir)
+    if not commits:
+        raise FileNotFoundError(f"not a Delta table (or checkpoint-only): {table_path}")
+    rows = []
+    for v in sorted(commits, reverse=True):
+        op = ts = None
+        n_add = n_remove = n_dv = 0
+        meta_changed = protocol_changed = False
+        for line in fsio.read_text(commits[v]).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ts = a["commitInfo"].get("timestamp")
+                op = a["commitInfo"].get("operation")
+            elif "add" in a:
+                n_add += 1
+                if a["add"].get("deletionVector"):
+                    n_dv += 1
+            elif "remove" in a:
+                n_remove += 1
+            elif "metaData" in a:
+                meta_changed = True
+            elif "protocol" in a:
+                protocol_changed = True
+        rows.append((v, ts, op, n_add, n_remove, n_dv, meta_changed, protocol_changed))
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp_ms long, operation string, n_added_files int, "
+        "n_removed_files int, n_dv_files int, metadata_changed boolean, "
+        "protocol_changed boolean",
+    )
+
+
+def delta_file_inventory(spark: SparkSession, table_path: str) -> DataFrame:
+    """The files metadata table (`table$files` in engine SQL): one row
+    per LIVE data file at HEAD — relative path, byte size, partition
+    values (JSON), and the deletion-vector debt (cardinality) riding
+    it. Everything comes from the log replay (metadata); row counts are
+    deliberately absent because the Delta log does not carry them —
+    use the parquet footers (or the Iceberg twin, whose manifests do).
+    The operator query this powers: "how much merge-on-read debt has
+    accumulated, where" — the OPTIMIZE trigger."""
+    live, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    rows = []
+    for rel in sorted(live):
+        add = live[rel]
+        dv = add.get("deletionVector") or {}
+        rows.append(
+            (
+                rel,
+                int(add.get("size") or 0),
+                json.dumps(add.get("partitionValues") or {}, sort_keys=True),
+                int(dv.get("cardinality") or 0),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "path string, size_bytes long, partition_values string, dv_cardinality long"
+    )

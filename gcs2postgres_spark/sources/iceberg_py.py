@@ -2616,3 +2616,87 @@ def rollback_to_snapshot(table_path: str, snapshot_id: int) -> None:
     version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
     _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+
+def read_iceberg_meta(spark: SparkSession, table_path: str, kind: str) -> DataFrame:
+    """Metadata tables (`table$snapshots` / `table$files` /
+    `table$manifests` in engine SQL), jar-lessly: DataFrames built from
+    the metadata chain only — snapshots from the table JSON, manifests
+    from the current snapshot's manifest list, files from the manifest
+    entries (live entries, data AND delete files, with the partition
+    tuple and the footer-recorded record_count). Driver work is the
+    same O(manifests + files) walk every Iceberg client performs; no
+    data file is opened. record_count comes from the manifests, so a
+    committer that mis-stats its files is caught by comparing
+    sum(record_count) to the actual scan (the registry query does
+    exactly that)."""
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    location = meta.get("location")
+    if kind == "snapshots":
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                int(s.get("sequence-number") or 0),
+                int(s.get("timestamp-ms") or 0),
+                (s.get("summary") or {}).get("operation"),
+                s["snapshot-id"] == meta.get("current-snapshot-id"),
+            )
+            for s in (meta.get("snapshots") or [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence_number long, timestamp_ms long, "
+            "operation string, is_current boolean",
+        )
+    snap_id = meta.get("current-snapshot-id")
+    snapshots = meta.get("snapshots") or []
+    if snap_id is None or snap_id == -1 or not snapshots:
+        raise ValueError(f"{table_path!r} has no current snapshot")
+    snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
+    _, manifests = read_avro_file(
+        _resolve(snapshot["manifest-list"], table_path, location)
+    )
+    if kind == "manifests":
+        rows = [
+            (
+                m["manifest_path"],
+                int(m.get("manifest_length") or 0),
+                int(m.get("content", 0)),
+                int(m.get("sequence_number") or 0),
+                int(m.get("added_snapshot_id") or 0),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length_bytes long, content int, sequence_number long, "
+            "added_snapshot_id long",
+        )
+    if kind != "files":
+        raise ValueError(f"kind must be snapshots|manifests|files, got {kind!r}")
+    rows = []
+    for m in manifests:
+        manifest_seq = m.get("sequence_number") or 0
+        _, entries = read_avro_file(_resolve(m["manifest_path"], table_path, location))
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            dfile = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = manifest_seq
+            rows.append(
+                (
+                    dfile["file_path"],
+                    int(dfile.get("content", 0)),
+                    int(dfile.get("record_count") or 0),
+                    int(dfile.get("file_size_in_bytes") or 0),
+                    json.dumps(dfile.get("partition") or {}, sort_keys=True),
+                    int(seq),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, content int, record_count long, size_bytes long, "
+        "partition string, sequence_number long",
+    )

@@ -646,3 +646,92 @@ def test_optimize_zorder_prunes_both_dims(spark, sf_dir, tmp_path):
         zorder_rank_columns(
             read_delta_py(spark, table).withColumn("s", F.lit("x")), ["s"]
         )
+
+
+def test_delta_describe_history_operations(spark, tmp_path):
+    """DESCRIBE HISTORY: every committer stamps its operation into
+    commitInfo and the history table surfaces the audit trail newest
+    first, with action counts that reflect what each version did."""
+    from gcs2postgres_spark.sources.delta_py import (
+        compact_delta,
+        delete_where_delta,
+        describe_history_delta,
+        merge_delta,
+        restore_delta,
+        update_where_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "hist")
+    write_delta(_delta_nation(spark).coalesce(1), table, "overwrite",
+                partition_by=["region"], timestamp_ms=1_700_000_000_000)
+    delete_where_delta(spark, table, "k = 5", timestamp_ms=1_700_000_001_000)
+    update_where_delta(spark, table, "k = 1", {"name": "'UPD'"},
+                       timestamp_ms=1_700_000_002_000)
+    merge_delta(spark, table,
+                spark.createDataFrame([(900, "NEW", 0)], "k int, name string, region int"),
+                ["k"], timestamp_ms=1_700_000_003_000)
+    compact_delta(spark, table, timestamp_ms=1_700_000_004_000)
+    restore_delta(spark, table, 3, timestamp_ms=1_700_000_005_000)
+
+    h = describe_history_delta(spark, table).orderBy("version").collect()
+    assert [r["operation"] for r in h] == [
+        "WRITE", "DELETE", "UPDATE", "MERGE", "OPTIMIZE", "RESTORE",
+    ]
+    by_v = {r["version"]: r for r in h}
+    assert by_v[1]["n_dv_files"] == 1 and by_v[1]["n_added_files"] == 1
+    assert by_v[4]["n_removed_files"] > 0  # compaction removes live files
+    # restore after a content-identical OPTIMIZE re-adds the old files
+    assert by_v[5]["operation"] == "RESTORE"
+    # newest-first default ordering
+    first = describe_history_delta(spark, table).first()
+    assert first["version"] == 5
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """snapshots/manifests/files metadata tables: built from the
+    metadata chain only; files.record_count (manifest stats) must agree
+    with the actual scan — a committer that mis-stats its files fails
+    here."""
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        delete_where,
+        read_iceberg_meta,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    table = str(tmp_path / "meta")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), table, "region")
+    delete_where(spark, table, "k = 2", snapshot_ts_ms=1_700_000_001_000)
+    append_iceberg_v2(
+        spark,
+        table,
+        spark.createDataFrame([(990, "APP", 1)], "k int, name string, region int"),
+        snapshot_ts_ms=1_700_000_002_000,
+    )
+
+    snaps = read_iceberg_meta(spark, table, "snapshots").orderBy("snapshot_id").collect()
+    assert [s["operation"] for s in snaps] == ["append", "delete", "append"]
+    assert [s["is_current"] for s in snaps] == [False, False, True]
+
+    files = read_iceberg_meta(spark, table, "files")
+    # data-file record counts (manifest stats) == rows written per partition
+    data_rows = (
+        files.filter("content = 0")
+        .groupBy(F.get_json_object("partition", "$.region").alias("region"))
+        .agg(F.sum("record_count").alias("n"))
+        .collect()
+    )
+    got = {int(r["region"]): r["n"] for r in data_rows}
+    assert got == {0: 6, 1: 7, 2: 6, 3: 6}  # 24 base rows + 1 append in region 1
+    # delete files present with positive counts
+    assert files.filter("content = 1").agg(F.sum("record_count")).first()[0] == 1
+    # live row total = data minus position deletes
+    assert read_iceberg_py(spark, table).count() == 24
+    mans = read_iceberg_meta(spark, table, "manifests")
+    assert mans.filter("content = 1").count() >= 1
+    with pytest.raises(ValueError, match="kind"):
+        read_iceberg_meta(spark, table, "nope")
