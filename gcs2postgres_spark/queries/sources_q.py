@@ -2169,3 +2169,62 @@ def iceberg_files_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+ICEBERG_REFS_ORACLE = """
+SELECT 'head' AS source_ref,
+       count(*) AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation WHERE n_regionkey <> 2
+UNION ALL
+SELECT 'tag', count(*), CAST(sum(n_nationkey) AS BIGINT)
+FROM nation
+ORDER BY source_ref
+"""
+
+
+@register("iceberg_refs_roundtrip", oracle=ICEBERG_REFS_ORACLE)
+def iceberg_refs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (iceberg_py.create_ref / read ref=): a tag pins the
+    pre-DML snapshot, a delete then moves HEAD, expire_snapshots runs
+    with keep_last=1 — and the tag STILL reads the original rows
+    because ref'd snapshots are retention-protected (the spec's rule).
+    The result unions the tag read with the HEAD read; a ref that
+    resolves to the wrong snapshot, or an expire that reclaims a
+    protected one, breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        create_ref,
+        delete_where,
+        expire_snapshots,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_refs_")
+    try:
+        write_iceberg_v2_partitioned_fixture(nation, tmp, "n_regionkey")
+        create_ref(tmp, "audit", ref_type="tag")
+        delete_where(spark, tmp, "n_regionkey = 2", snapshot_ts_ms=1_700_000_001_000)
+        expire_snapshots(tmp, keep_last=1)
+        head = read_iceberg_py(spark, tmp).select(
+            F.lit("head").alias("source_ref"), "n_nationkey"
+        )
+        tagged = read_iceberg_py(spark, tmp, ref="audit").select(
+            F.lit("tag").alias("source_ref"), "n_nationkey"
+        )
+        return (
+            head.unionByName(tagged)
+            .groupBy("source_ref")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("source_ref")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

@@ -267,6 +267,7 @@ def read_iceberg_py(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     partition_filter: dict[str, set] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table without the runtime jar (v1 and v2).
 
@@ -325,8 +326,15 @@ def read_iceberg_py(
     field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
 
     snapshots = meta.get("snapshots") or []
-    if snapshot_id is not None and as_of_ms is not None:
-        raise ValueError("pass at most one of snapshot_id / as_of_ms")
+    if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id / as_of_ms / ref")
+    if ref is not None:
+        # named refs (branches and tags, the spec's `refs` map): resolve
+        # to the pinned snapshot and read it like any time travel
+        refs = meta.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(f"ref {ref!r} not found (have {sorted(refs)})")
+        snapshot_id = int(refs[ref]["snapshot-id"])
     if snapshot_id is not None:
         matches = [s for s in snapshots if s["snapshot-id"] == snapshot_id]
         if not matches:
@@ -1357,6 +1365,11 @@ def expire_snapshots(
     by_ts = sorted(snapshots, key=lambda s: (s.get("timestamp-ms", 0), s["snapshot-id"]))
     keep_ids = {s["snapshot-id"] for s in by_ts[-max(1, keep_last):]}
     keep_ids.add(current_id)
+    # named refs (tags/branches) PROTECT their snapshots — the spec's
+    # retention rule; drop_ref releases them for the next run
+    keep_ids |= {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
     if older_than_ms is not None:
         keep_ids |= {
             s["snapshot-id"]
@@ -2648,6 +2661,14 @@ def read_iceberg_meta(spark: SparkSession, table_path: str, kind: str) -> DataFr
             "snapshot_id long, sequence_number long, timestamp_ms long, "
             "operation string, is_current boolean",
         )
+    if kind == "refs":
+        rows = [
+            (name, r.get("type"), int(r["snapshot-id"]))
+            for name, r in sorted((meta.get("refs") or {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
     snap_id = meta.get("current-snapshot-id")
     snapshots = meta.get("snapshots") or []
     if snap_id is None or snap_id == -1 or not snapshots:
@@ -2673,7 +2694,7 @@ def read_iceberg_meta(spark: SparkSession, table_path: str, kind: str) -> DataFr
             "added_snapshot_id long",
         )
     if kind != "files":
-        raise ValueError(f"kind must be snapshots|manifests|files, got {kind!r}")
+        raise ValueError(f"kind must be snapshots|manifests|files|refs, got {kind!r}")
     rows = []
     for m in manifests:
         manifest_seq = m.get("sequence_number") or 0
@@ -2700,3 +2721,70 @@ def read_iceberg_meta(spark: SparkSession, table_path: str, kind: str) -> DataFr
         "file_path string, content int, record_count long, size_bytes long, "
         "partition string, sequence_number long",
     )
+
+def create_ref(
+    table_path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> None:
+    """Create (or repoint) a NAMED REF — the spec's ``refs`` map, the
+    mechanism behind ``table$refs`` / tags and branches: a tag pins a
+    snapshot for audits and reproducible reads (read via
+    ``read_iceberg_py(..., ref=name)``), a branch is the same pointer
+    with branch semantics at the catalog level. Jar-less scope: refs
+    here are read + retention surfaces — reading a ref resolves its
+    snapshot, and expire_snapshots PROTECTS every ref'd snapshot; a
+    branch cannot be written to without a catalog (commits always go to
+    main / current-snapshot-id). Repointing an existing TAG refuses
+    (tags are immutable per the spec); repointing a branch is allowed.
+    Defaults to the current snapshot. Metadata-only, atomic."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            f"jar-less Iceberg refs are local-filesystem only. Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    snapshots = meta.get("snapshots") or []
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id is None or snapshot_id == -1:
+            raise ValueError(f"{table_path!r} has no current snapshot to tag")
+    if not any(s["snapshot-id"] == snapshot_id for s in snapshots):
+        raise ValueError(
+            f"snapshot {snapshot_id} not found "
+            f"(have {[s['snapshot-id'] for s in snapshots]})"
+        )
+    refs = dict(meta.get("refs") or {})
+    existing = refs.get(name)
+    if existing and existing.get("type") == "tag":
+        raise ValueError(f"tag {name!r} already exists (tags are immutable; drop it first)")
+    refs[name] = {"snapshot-id": int(snapshot_id), "type": ref_type}
+    meta["refs"] = refs
+    mdir = os.path.join(table_path, "metadata")
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+
+
+def drop_ref(table_path: str, name: str) -> None:
+    """Drop a named ref. The snapshot it pinned becomes expirable by
+    the next expire_snapshots run — the exact lifecycle the spec's
+    retention model prescribes. Metadata-only, atomic."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            f"jar-less Iceberg refs are local-filesystem only. Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not found (have {sorted(refs)})")
+    del refs[name]
+    meta["refs"] = refs
+    mdir = os.path.join(table_path, "metadata")
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))

@@ -735,3 +735,54 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     assert mans.filter("content = 1").count() >= 1
     with pytest.raises(ValueError, match="kind"):
         read_iceberg_meta(spark, table, "nope")
+
+
+def test_iceberg_refs_tag_branch_lifecycle(spark, tmp_path):
+    """Named refs: a tag pins a snapshot for reproducible reads and
+    PROTECTS it from expire_snapshots until dropped; tags are immutable
+    (repoint refuses) while branches repoint; the refs metadata table
+    lists them."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        create_ref,
+        delete_where,
+        drop_ref,
+        expire_snapshots,
+        read_iceberg_meta,
+        read_iceberg_py,
+        rewrite_data_files,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    table = str(tmp_path / "refs")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), table, "region")
+    create_ref(table, "audit-2026", ref_type="tag")  # pins snapshot 1
+    delete_where(spark, table, "region = 2", snapshot_ts_ms=1_700_000_001_000)
+    sid_del = 2
+    create_ref(table, "dev", snapshot_id=sid_del, ref_type="branch")
+    rewrite_data_files(spark, table, snapshot_ts_ms=1_700_000_002_000)
+
+    # ref reads resolve their pinned snapshots
+    assert read_iceberg_py(spark, table, ref="audit-2026").count() == 24
+    assert read_iceberg_py(spark, table, ref="dev").count() == 18
+    refs = {r["name"]: (r["type"], r["snapshot_id"])
+            for r in read_iceberg_meta(spark, table, "refs").collect()}
+    assert refs == {"audit-2026": ("tag", 1), "dev": ("branch", 2)}
+
+    # tags immutable; branches repoint
+    with pytest.raises(ValueError, match="immutable"):
+        create_ref(table, "audit-2026", snapshot_id=2)
+    create_ref(table, "dev", snapshot_id=3, ref_type="branch")
+
+    # expire keeps ref'd snapshots: tag pins snapshot 1 through an
+    # aggressive keep_last=1
+    expire_snapshots(table, keep_last=1)
+    assert read_iceberg_py(spark, table, ref="audit-2026").count() == 24
+    # dropping the tag releases it for the next run
+    drop_ref(table, "audit-2026")
+    expire_snapshots(table, keep_last=1)
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_py(spark, table, snapshot_id=1).count()
+    # current snapshot unaffected throughout
+    assert read_iceberg_py(spark, table).count() == 18
+    with pytest.raises(ValueError, match="not found"):
+        drop_ref(table, "ghost")
