@@ -786,3 +786,83 @@ def test_iceberg_refs_tag_branch_lifecycle(spark, tmp_path):
     assert read_iceberg_py(spark, table).count() == 18
     with pytest.raises(ValueError, match="not found"):
         drop_ref(table, "ghost")
+
+
+def test_lakehouse_sql_facade(spark, tmp_path):
+    """The SQL front door: every statement shape routes to the right
+    committer on both formats; out-of-grammar statements raise with the
+    supported surface named (never a silent misparse)."""
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    dt = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), dt, "overwrite",
+                partition_by=["region"], timestamp_ms=1_700_000_000_000)
+    it = str(tmp_path / "i")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), it, "region")
+
+    # DELETE / UPDATE on both formats
+    assert lakehouse_sql(spark, f"DELETE FROM delta.`{dt}` WHERE k = 5") == 1
+    lakehouse_sql(spark, f"DELETE FROM iceberg.`{it}` WHERE k = 5;")
+    lakehouse_sql(
+        spark,
+        f"UPDATE delta.`{dt}` SET name = concat('U_', name), region = region + 10 "
+        "WHERE region = 2",
+    )
+    lakehouse_sql(spark, f"UPDATE iceberg.`{it}` SET name = 'X' WHERE k = 1")
+    d = {r["k"]: r["name"] for r in read_delta_py(spark, dt).collect()}
+    assert 5 not in d and d[2].startswith("U_")
+    i = {r["k"]: r["name"] for r in read_iceberg_py(spark, it).collect()}
+    assert 5 not in i and i[1] == "X"
+
+    # MERGE via a temp view
+    spark.createDataFrame(
+        [(3, "MRG", 1), (900, "NEW", 0)], "k int, name string, region int"
+    ).createOrReplaceTempView("cdc_batch")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{dt}` t USING cdc_batch s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    d = {r["k"]: r["name"] for r in read_delta_py(spark, dt).collect()}
+    assert d[3] == "MRG" and d[900] == "NEW"
+    # MERGE delete-mode on iceberg
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO iceberg.`{it}` t USING cdc_batch s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE",
+    )
+    assert read_iceberg_py(spark, it).filter("k = 3").count() == 0
+
+    # OPTIMIZE (+ZORDER) / DESCRIBE HISTORY / RESTORE / VACUUM
+    lakehouse_sql(spark, f"OPTIMIZE delta.`{dt}` ZORDER BY (k, region)")
+    hist = lakehouse_sql(spark, f"DESCRIBE HISTORY delta.`{dt}`")
+    ops = [r["operation"] for r in hist.orderBy("version").collect()]
+    assert ops == ["WRITE", "DELETE", "UPDATE", "MERGE", "OPTIMIZE"]
+    before = read_delta_py(spark, dt).count()
+    lakehouse_sql(spark, f"RESTORE TABLE delta.`{dt}` TO VERSION AS OF 2")
+    assert read_delta_py(spark, dt).count() == before - 1  # merge's insert undone
+    assert lakehouse_sql(spark, f"VACUUM delta.`{dt}`") > 0
+    lakehouse_sql(spark, f"OPTIMIZE iceberg.`{it}`")
+    snaps = lakehouse_sql(spark, f"DESCRIBE HISTORY iceberg.`{it}`")
+    assert snaps.filter("operation = 'replace'").count() == 1
+
+    # grammar errors are loud and name the surface
+    with pytest.raises(ValueError, match="unrecognized"):
+        lakehouse_sql(spark, f"TRUNCATE TABLE delta.`{dt}`")
+    with pytest.raises(ValueError, match="key equality"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{dt}` t USING cdc_batch s ON t.k > s.k "
+            "WHEN MATCHED THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="WHEN"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{dt}` t USING cdc_batch s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET name = 'x'",
+        )
