@@ -67,6 +67,7 @@ VERIFY_FRONT: list[str] = [
     "delta_history_audit",  # NEW r11 (late): DESCRIBE HISTORY + operation stamping in every Delta committer
     "iceberg_files_meta_roundtrip",  # NEW r11 (late): files metadata table, manifest record_count cross-check
     "iceberg_refs_roundtrip",  # NEW r11 (late): named refs (tags/branches), retention-protected reads
+    "lakehouse_sql_dml_roundtrip",  # NEW r11 (late): SQL facade (DELETE/UPDATE/MERGE statements -> committers)
     "iceberg_rollback_roundtrip",  # NEW r11: rollback_to_snapshot metadata repoint, seq high-water kept
     # (a) late-r10 additions, never driver-certified; the change feeds
     # ALSO changed in r11 (dataChange:false / replace-snapshot silence)
@@ -109,16 +110,17 @@ VERIFY_FRONT: list[str] = [
     "events_cohort_retention",
     "events_ewma_zscore",
     "events_funnel_3step",
-    "events_mad_outliers",
-    # (events_peak_concurrency, events_resample_ffill and
-    # events_value_histogram were displaced by the three late-landing
-    # metadata/refs queries — changed/new code outranks freshness; all
-    # three rotate in r12 and head VERIFY_DEFERRED.)
+    # (events_mad_outliers, events_peak_concurrency,
+    # events_resample_ffill and events_value_histogram were displaced by
+    # the four late-landing metadata/refs/SQL-facade queries —
+    # changed/new code outranks freshness; all four rotate in r12 and
+    # head VERIFY_DEFERRED.)
 ]
 
 VERIFY_DEFERRED: list[str] = [
     # r4-newest greens that did not fit the r11 window (changed/new code
     # outranks freshness); they rotate into the r12 window first.
+    "events_mad_outliers",
     "events_peak_concurrency",
     "events_resample_ffill",
     "events_value_histogram",

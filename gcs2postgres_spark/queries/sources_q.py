@@ -2228,3 +2228,100 @@ def iceberg_refs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+LAKEHOUSE_SQL_ORACLE = """
+WITH after_delete AS (
+  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 2
+),
+after_update AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 1 THEN 'U_' || n_name ELSE n_name END AS n_name,
+         n_regionkey
+  FROM after_delete
+),
+merged AS (
+  SELECT n_nationkey, 'M_' || n_name AS n_name, n_regionkey
+  FROM after_update WHERE n_nationkey % 7 = 0
+  UNION ALL
+  SELECT n_nationkey, n_name, n_regionkey FROM after_update WHERE n_nationkey % 7 <> 0
+  UNION ALL
+  SELECT n_nationkey + 300, 'NEW_' || n_name, n_regionkey
+  FROM nation WHERE n_nationkey < 2
+)
+SELECT n_regionkey,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name)                      AS first_name
+FROM merged
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("lakehouse_sql_dml_roundtrip", oracle=LAKEHOUSE_SQL_ORACLE)
+def lakehouse_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door end-to-end (sources/lakehouse_sql.py): DELETE
+    FROM, UPDATE ... SET, and MERGE INTO ... USING <view> issued as SQL
+    STRINGS against a jar-less Delta table — the statement surface the
+    reference exposes through its warehouse passthrough
+    (src/db/db.go:59), here routed to the native committers by the
+    parser. A misparsed predicate, a SET split on the wrong comma, or a
+    clause mapped to the wrong committer mode changes the final state
+    and breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="lh_sql_")
+    try:
+        write_delta(
+            nation.coalesce(1), tmp, "overwrite",
+            partition_by=["n_regionkey"], timestamp_ms=1_700_000_000_000,
+        )
+        lakehouse_sql(spark, f"DELETE FROM delta.`{tmp}` WHERE n_regionkey = 2")
+        lakehouse_sql(
+            spark,
+            f"UPDATE delta.`{tmp}` SET n_name = concat('U_', n_name) "
+            "WHERE n_nationkey % 5 = 1",
+        )
+        src = nation.filter("n_regionkey <> 2 AND n_nationkey % 7 = 0").select(
+            "n_nationkey",
+            F.concat(
+                F.lit("M_"),
+                F.when(
+                    F.col("n_nationkey") % 5 == 1,
+                    F.concat(F.lit("U_"), F.col("n_name")),
+                ).otherwise(F.col("n_name")),
+            ).alias("n_name"),
+            "n_regionkey",
+        ).unionByName(
+            nation.filter("n_nationkey < 2").select(
+                (F.col("n_nationkey") + 300).alias("n_nationkey"),
+                F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+                "n_regionkey",
+            )
+        )
+        src.createOrReplaceTempView("lh_sql_cdc_batch")
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{tmp}` t USING lh_sql_cdc_batch s "
+            "ON t.n_nationkey = s.n_nationkey "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

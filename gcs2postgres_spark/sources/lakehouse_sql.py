@@ -1,0 +1,192 @@
+"""SQL façade over the jar-less lakehouse committers.
+
+The reference exposes its whole mutation surface as SQL passed through
+to the warehouse (reference src/db/db.go:59 query passthrough); this
+module gives the jar-less Delta/Iceberg layers the same front door so a
+user can issue the familiar statements instead of calling committer
+functions:
+
+    DELETE FROM delta.`/path/to/table` WHERE region = 2
+    UPDATE iceberg.`/p` SET name = concat('U_', name) WHERE k = 1
+    MERGE INTO delta.`/p` t USING src_view s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    OPTIMIZE delta.`/p` ZORDER BY (l_shipdate, l_discount)
+    VACUUM delta.`/p`
+    RESTORE TABLE delta.`/p` TO VERSION AS OF 3
+    DESCRIBE HISTORY delta.`/p`
+
+Scope is deliberately the statement shapes the committers implement —
+full-row MERGE clauses (``UPDATE SET *`` / ``INSERT *``, the CDC-apply
+form), not arbitrary per-column merge expressions; anything outside the
+grammar raises ValueError naming what was expected, never a silent
+misparse. WHERE predicates and SET expressions pass through verbatim to
+Spark SQL — the parser only brackets them, so the full expression
+language works. Statements parse with anchored regexes over ONE
+normalized line; identifiers are ``delta.`/path``` / ``iceberg.`/path```
+(the path form engines use for direct-location tables), and MERGE
+sources are registered temp views (create them with
+``df.createOrReplaceTempView``)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TBL = r"(?P<fmt>delta|iceberg)\s*\.\s*`(?P<path>[^`]+)`"
+
+
+def _norm(stmt: str) -> str:
+    return re.sub(r"\s+", " ", stmt.strip().rstrip(";")).strip()
+
+
+def _parse_on(on: str, t_alias: str, s_alias: str) -> list[str]:
+    """ON t.k = s.k AND t.j = s.j  ->  ['k', 'j'] (key-equality only,
+    the MERGE shape the committers implement)."""
+    keys = []
+    for part in re.split(r"(?i)\s+AND\s+", on.strip()):
+        m = re.fullmatch(
+            rf"(?:{re.escape(t_alias)}\.)?(\w+)\s*=\s*(?:{re.escape(s_alias)}\.)?(\w+)",
+            part.strip(),
+        ) or re.fullmatch(
+            rf"(?:{re.escape(s_alias)}\.)?(\w+)\s*=\s*(?:{re.escape(t_alias)}\.)?(\w+)",
+            part.strip(),
+        )
+        if not m or m.group(1) != m.group(2):
+            raise ValueError(
+                f"MERGE ON clause must be key equality ({t_alias}.col = "
+                f"{s_alias}.col AND ...); got {part.strip()!r}"
+            )
+        keys.append(m.group(1))
+    return keys
+
+
+def _parse_set(set_clause: str) -> dict[str, str]:
+    """col = expr, col2 = expr2 — split on TOP-LEVEL commas only
+    (parenthesized/quoted commas belong to the expression)."""
+    out: dict[str, str] = {}
+    depth, start, parts = 0, 0, []
+    in_str: str | None = None
+    for i, ch in enumerate(set_clause):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(set_clause[start:i])
+            start = i + 1
+    parts.append(set_clause[start:])
+    for part in parts:
+        m = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", part, re.S)
+        if not m:
+            raise ValueError(f"bad SET assignment: {part.strip()!r}")
+        out[m.group(1)] = m.group(2)
+    if not out:
+        raise ValueError("empty SET clause")
+    return out
+
+
+def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
+    """Execute one lakehouse SQL statement against a jar-less table.
+
+    Returns what the underlying committer returns: the new
+    version/snapshot id (or None for a no-op DML), the reclaimed file
+    count for VACUUM, or a DataFrame for DESCRIBE HISTORY. See the
+    module docstring for the grammar."""
+    from gcs2postgres_spark.sources import delta_py, iceberg_py
+
+    s = _norm(stmt)
+
+    m = re.fullmatch(rf"(?i)DELETE FROM {_TBL} WHERE (?P<pred>.+)", s)
+    if m:
+        if m["fmt"] == "delta":
+            return delta_py.delete_where_delta(spark, m["path"], m["pred"])
+        return iceberg_py.delete_where(spark, m["path"], m["pred"])
+
+    m = re.fullmatch(rf"(?i)UPDATE {_TBL} SET (?P<set>.+?) WHERE (?P<pred>.+)", s)
+    if m:
+        set_exprs = _parse_set(m["set"])
+        if m["fmt"] == "delta":
+            return delta_py.update_where_delta(spark, m["path"], m["pred"], set_exprs)
+        return iceberg_py.update_where(spark, m["path"], m["pred"], set_exprs)
+
+    m = re.fullmatch(
+        rf"(?i)MERGE INTO {_TBL}(?: AS)? (?P<t>\w+) USING (?P<src>\w+)(?: AS)? "
+        r"(?P<s>\w+) ON (?P<on>.+?) "
+        r"(?P<clauses>WHEN .+)",
+        s,
+    )
+    if m:
+        keys = _parse_on(m["on"], m["t"], m["s"])
+        clauses = m["clauses"].strip()
+        matched = re.search(
+            r"(?i)WHEN MATCHED THEN (UPDATE SET \*|DELETE)", clauses
+        )
+        not_matched = re.search(r"(?i)WHEN NOT MATCHED THEN INSERT \*", clauses)
+        known = re.findall(r"(?i)WHEN (?:NOT )?MATCHED THEN (?:UPDATE SET \*|DELETE|INSERT \*)", clauses)
+        if re.sub(r"(?i)WHEN (?:NOT )?MATCHED THEN (?:UPDATE SET \*|DELETE|INSERT \*)", "", clauses).strip():
+            raise ValueError(
+                "MERGE clauses must be 'WHEN MATCHED THEN UPDATE SET *', "
+                "'WHEN MATCHED THEN DELETE', and/or "
+                f"'WHEN NOT MATCHED THEN INSERT *'; got {clauses!r}"
+            )
+        if not known:
+            raise ValueError(f"MERGE needs at least one WHEN clause; got {clauses!r}")
+        when_matched = (
+            "delete"
+            if matched and matched.group(1).upper() == "DELETE"
+            else "update"
+        )
+        when_not_matched = "insert" if not_matched else "ignore"
+        source = spark.table(m["src"])
+        if m["fmt"] == "delta":
+            return delta_py.merge_delta(
+                spark, m["path"], source, keys,
+                when_matched=when_matched, when_not_matched=when_not_matched,
+            )
+        return iceberg_py.merge_into(
+            spark, m["path"], source, keys,
+            when_matched=when_matched, when_not_matched=when_not_matched,
+        )
+
+    m = re.fullmatch(
+        rf"(?i)OPTIMIZE {_TBL}(?: ZORDER BY \((?P<z>[\w\s,]+)\))?", s
+    )
+    if m:
+        z = [c.strip() for c in m["z"].split(",")] if m["z"] else None
+        if m["fmt"] == "delta":
+            return delta_py.compact_delta(spark, m["path"], zorder_by=z)
+        return iceberg_py.rewrite_data_files(spark, m["path"], zorder_by=z)
+
+    m = re.fullmatch(rf"(?i)VACUUM {_TBL}", s)
+    if m:
+        if m["fmt"] == "delta":
+            return delta_py.vacuum_delta(m["path"])
+        return iceberg_py.expire_snapshots(m["path"], keep_last=1)
+
+    m = re.fullmatch(
+        rf"(?i)RESTORE TABLE {_TBL} TO VERSION AS OF (?P<v>\d+)", s
+    )
+    if m:
+        if m["fmt"] == "delta":
+            return delta_py.restore_delta(spark, m["path"], int(m["v"]))
+        iceberg_py.rollback_to_snapshot(m["path"], int(m["v"]))
+        return None
+
+    m = re.fullmatch(rf"(?i)DESCRIBE HISTORY {_TBL}", s)
+    if m:
+        if m["fmt"] == "delta":
+            return delta_py.describe_history_delta(spark, m["path"])
+        return iceberg_py.read_iceberg_meta(spark, m["path"], "snapshots")
+
+    raise ValueError(
+        "unrecognized lakehouse statement (supported: DELETE FROM / UPDATE "
+        "/ MERGE INTO / OPTIMIZE [ZORDER BY] / VACUUM / RESTORE TABLE / "
+        f"DESCRIBE HISTORY over delta.`path` | iceberg.`path`): {stmt!r}"
+    )
