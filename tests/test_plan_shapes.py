@@ -603,3 +603,49 @@ def test_aqe_skew_join_runtime_split(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_merge_match_and_replacement_plans_equi_join(spark, tmp_path):
+    """The MERGE committers' two join shapes — the identity-tagged
+    match scan (semi/inner on keys) and the conditional replacement
+    selection (left join + struct comparison) — must plan as equi-joins
+    (hash or sort-merge), never a cartesian/nested-loop: at 100 TB the
+    match set is target-scan × CDC-batch, and anything but a keyed join
+    is quadratic."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    table = str(tmp_path / "mplan")
+    df = spark.range(200).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS INT) AS seq", "concat('n', id) AS name"
+    )
+    write_delta(df, table, "overwrite", timestamp_ms=1_700_000_000_000)
+    src = spark.range(50).selectExpr(
+        "CAST(id * 3 AS INT) AS k", "CAST(id + 1000 AS INT) AS seq",
+        "concat('s', id) AS name",
+    )
+
+    # unconditional match set (merge_delta's matcher shape)
+    tagged = read_delta_py(spark, table, _keep_identity=True)
+    matched = tagged.join(src.select("k").distinct(), on=["k"], how="left_semi")
+    plan = formatted_plan(matched)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+    # conditional (latest-wins) match + replacement shapes
+    src_cmp = src.select("k", F.struct("seq").alias("__src_seq"))
+    cond_match = (
+        tagged.join(src_cmp, on=["k"], how="inner")
+        .filter(F.struct("seq") < F.col("__src_seq"))
+    )
+    plan = formatted_plan(cond_match)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+    live = read_delta_py(spark, table)
+    tgt_cmp = live.select("k", F.struct("seq").alias("__tgt_seq"))
+    replacement = (
+        src.join(tgt_cmp, on=["k"], how="left")
+        .filter(F.col("__tgt_seq").isNull() | (F.struct("seq") > F.col("__tgt_seq")))
+    )
+    plan = formatted_plan(replacement)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
