@@ -113,3 +113,44 @@ def stream_merge_delta(
         .outputMode("update")
         .start()
     )
+
+
+def stream_merge_iceberg(
+    stream: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    checkpoint_dir: str,
+):
+    """The Iceberg twin of stream_merge_delta: per-batch latest-wins
+    dedupe + conditional MERGE (iceberg_py.merge_into latest_wins_on) —
+    position deletes on only the files holding beaten rows plus appends
+    of the winners, one snapshot per micro-batch. Same
+    order-independence and at-least-once idempotence contract (a
+    replayed batch commits no snapshot). The first batch materializes
+    the table as a v2 fixture so subsequent batches have a snapshot to
+    merge into."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        latest_metadata_file,
+        merge_into,
+        write_iceberg_v2_fixture,
+    )
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        winners = latest_wins(batch, key_cols, seq_cols)
+        try:
+            latest_metadata_file(table_path)  # existence probe (metadata only)
+        except FileNotFoundError:
+            write_iceberg_v2_fixture(winners, table_path, sort_col=key_cols[0])
+            return
+        merge_into(
+            spark, table_path, winners, key_cols, latest_wins_on=seq_cols
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -507,3 +507,54 @@ def test_stream_merge_delta_matches_batch_and_is_idempotent(spark, sf_dir, tmp_p
     assert merge_delta(spark, target, whole, ["user_id"],
                        latest_wins_on=["ts", "event_id"]) is None
     assert max(_list_commits(_log_dir(target))) == versions_before
+
+
+def test_stream_merge_iceberg_matches_batch(spark, sf_dir, tmp_path):
+    """Iceberg twin of the streaming MERGE sink: the conditional
+    latest-wins clause keeps the fold order-independent, so the final
+    snapshot equals the one-shot batch answer; a full-input replay
+    merge commits no snapshot (idempotence)."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        latest_metadata_file,
+        merge_into,
+        read_iceberg_py,
+    )
+    from gcs2postgres_spark.streaming.cdc_apply import latest_wins, stream_merge_iceberg
+    from gcs2postgres_spark.streaming.windows import read_events_stream_batched
+
+    stream = read_events_stream_batched(spark, sf_dir, n_files=4).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    target = str(tmp_path / "ice_merge_target")
+    q = stream_merge_iceberg(
+        stream,
+        target,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_iceberg_py(spark, target).select("user_id", "event_id").orderBy("user_id")
+    expect = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .orderBy("user_id")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+
+    meta_before = latest_metadata_file(target)
+    whole = latest_wins(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
+    assert merge_into(spark, target, whole, ["user_id"],
+                      latest_wins_on=["ts", "event_id"]) is None
+    assert latest_metadata_file(target) == meta_before
