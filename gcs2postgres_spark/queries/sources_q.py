@@ -2018,6 +2018,8 @@ def delta_optimize_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     curve buys is pinned in tests/test_lakehouse_dml.py. Money math in
     exact integer micros, the repo's ratio_6dp convention."""
     tune_for_session(spark)
+    import os as _os
+
     from gcs2postgres_spark.sources.delta_py import (
         compact_delta,
         read_delta_py,
@@ -2027,11 +2029,16 @@ def delta_optimize_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
     )
+    # size the target from the SOURCE bytes so the rewrite lands on
+    # ~12 z-ordered files at EVERY sf (a fixed tiny target would fan a
+    # 6M-row sf1 table into hundreds of files — measured 69.7 s vs
+    # 26.8 s with this sizing; at sf0.01 the floor keeps it multi-file)
+    src_mb = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet")) / 2**20
     tmp = tempfile.mkdtemp(prefix="delta_zopt_")
     try:
         write_delta(li.repartition(8), tmp, "overwrite", timestamp_ms=1_700_000_000_000)
         compact_delta(
-            spark, tmp, target_file_mb=0.25,
+            spark, tmp, target_file_mb=max(0.1, src_mb / 24),
             zorder_by=["l_shipdate", "l_discount"],
             timestamp_ms=1_700_000_001_000,
         )
