@@ -308,14 +308,28 @@ def read_delta_py(
     if meta is None:
         raise ValueError(f"no metaData action found in _delta_log of {table_path}")
     info = _table_scan_info(meta)
+
+    def _empty():
+        # an empty (or fully partition-pruned) scan still carries the
+        # identity helpers callers asked for — a DML matching scan over
+        # zero files is a valid no-op, not an AnalysisException
+        df = spark.createDataFrame([], info["schema"])
+        if _keep_identity:
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias("__dv_fp"),
+                F.lit(None).cast("long").alias("__dv_pos"),
+            )
+        return df
+
     if not live:
-        return spark.createDataFrame([], info["schema"])
+        return _empty()
     out, dv_rows = _scan_adds(
         spark, table_path, info, list(live.values()),
         partition_filter=partition_filter, tag=_keep_identity,
     )
     if out is None:
-        return spark.createDataFrame([], info["schema"])
+        return _empty()
     if dv_rows:
         keep = info["out_cols"] + (["__dv_fp", "__dv_pos"] if _keep_identity else [])
         out = _apply_deletion_vectors(spark, out, dv_rows).select(*keep)
@@ -1159,6 +1173,7 @@ def delete_where_delta(
     table_path: str,
     predicate: str,
     timestamp_ms: int | None = None,
+    partition_filter: dict[str, set] | None = None,
 ) -> int | None:
     """Jar-less Delta DELETE via DELETION VECTORS (merge-on-read, the
     same physical strategy delta-spark uses when DVs are enabled):
@@ -1188,7 +1203,10 @@ def delete_where_delta(
     (src/db/db.go:59 query passthrough); this is the lakehouse-side
     equivalent, matching the Iceberg committer's position-delete
     strategy but in Delta's bitmap encoding."""
-    return _dv_row_level_commit(spark, table_path, predicate, None, timestamp_ms)
+    return _dv_row_level_commit(
+        spark, table_path, predicate, None, timestamp_ms,
+        partition_filter=partition_filter,
+    )
 
 
 def update_where_delta(
@@ -1197,6 +1215,7 @@ def update_where_delta(
     predicate: str,
     set_exprs: dict[str, str],
     timestamp_ms: int | None = None,
+    partition_filter: dict[str, set] | None = None,
 ) -> int | None:
     """Jar-less Delta ``UPDATE ... SET ... WHERE`` via deletion vectors:
     one atomic commit that DV-deletes the rows matching ``predicate``
@@ -1212,7 +1231,7 @@ def update_where_delta(
     update commit as delete+insert pairs (bitmap diff + fresh files) —
     the honest jar-less reading of a DV-update commit, which carries no
     _change_data files. Iceberg twin: iceberg_py.update_where."""
-    tagged = read_delta_py(spark, table_path)
+    tagged = read_delta_py(spark, table_path, partition_filter=partition_filter)
     matched = tagged.filter(predicate)
     if not matched.take(1):
         return None
@@ -1228,7 +1247,8 @@ def update_where_delta(
         ]
     )
     return _dv_row_level_commit(
-        spark, table_path, predicate, new_rows, timestamp_ms, operation="UPDATE"
+        spark, table_path, predicate, new_rows, timestamp_ms,
+        operation="UPDATE", partition_filter=partition_filter,
     )
 
 
@@ -1332,6 +1352,7 @@ def _dv_row_level_commit(
     new_rows: DataFrame | None,
     timestamp_ms: int | None,
     operation: str = "DELETE",
+    partition_filter: dict[str, set] | None = None,
 ) -> int | None:
     import time as _time
 
@@ -1392,7 +1413,12 @@ def _dv_row_level_commit(
     # DVs, column mapping, and partition grouping all apply, so the
     # predicate sees live rows under logical names and matches carry the
     # exact identity the new bitmaps must encode
-    tagged = read_delta_py(spark, table_path, _keep_identity=True)
+    # partition_filter prunes the MATCHING SCAN at log-replay planning
+    # time (read_delta_py's file skip) — the caller asserts it is
+    # implied by the predicate
+    tagged = read_delta_py(
+        spark, table_path, partition_filter=partition_filter, _keep_identity=True
+    )
     matched = matcher(tagged) if callable(matcher) else tagged.filter(matcher)
     matched = matched.select("__dv_fp", "__dv_pos")
     joined = matched.join(F.broadcast(fmap), matched["__dv_fp"] == fmap["fp"], "inner")

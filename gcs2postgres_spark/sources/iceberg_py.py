@@ -1425,6 +1425,7 @@ def delete_where(
     table_path: str,
     predicate: str,
     snapshot_ts_ms: int | None = None,
+    partition_filter: dict[str, set] | None = None,
 ) -> int | None:
     """Jar-less Iceberg v2 merge-on-read DELETE: commit position-delete
     files for the rows matching ``predicate`` (a Spark SQL boolean
@@ -1454,8 +1455,18 @@ def delete_where(
     (DELETE through the query passthrough, reference src/db/db.go:59);
     this is the lakehouse-side equivalent a jar-ful runtime exposes as
     SQL DELETE, driven through the same metadata chain the jar-less
-    reader certifies."""
-    return _v2_row_level_commit(spark, table_path, predicate, None, snapshot_ts_ms)
+    reader certifies.
+
+    ``partition_filter`` (same shape as read_iceberg_py's) prunes the
+    MATCHING SCAN to the named identity partitions at planning time —
+    zero I/O for pruned partitions on a DELETE that targets one
+    partition of a 10^5-file table. The caller asserts the filter is
+    IMPLIED by the predicate: rows outside it are silently not
+    matched."""
+    return _v2_row_level_commit(
+        spark, table_path, predicate, None, snapshot_ts_ms,
+        partition_filter=partition_filter,
+    )
 
 
 def overwrite_where(
@@ -1464,6 +1475,7 @@ def overwrite_where(
     predicate: str,
     replacement: DataFrame,
     snapshot_ts_ms: int | None = None,
+    partition_filter: dict[str, set] | None = None,
 ) -> int:
     """Jar-less Iceberg v2 merge-on-read OVERWRITE: one commit that
     position-deletes the rows matching ``predicate`` AND appends
@@ -1478,7 +1490,8 @@ def overwrite_where(
     columns rewritten) and the commit is atomic — one snapshot, one
     metadata version."""
     sid = _v2_row_level_commit(
-        spark, table_path, predicate, replacement, snapshot_ts_ms
+        spark, table_path, predicate, replacement, snapshot_ts_ms,
+        partition_filter=partition_filter,
     )
     assert sid is not None  # replacement commit always produces a snapshot
     return sid
@@ -1490,6 +1503,7 @@ def update_where(
     predicate: str,
     set_exprs: dict[str, str],
     snapshot_ts_ms: int | None = None,
+    partition_filter: dict[str, set] | None = None,
 ) -> int | None:
     """Jar-less Iceberg v2 merge-on-read ``UPDATE ... SET ... WHERE``:
     one atomic commit that position-deletes the rows matching
@@ -1511,7 +1525,7 @@ def update_where(
     Parity: the reference delegates UPDATE to its warehouse (query
     passthrough, reference src/db/db.go:59); this is the lakehouse-side
     equivalent jar-ful runtimes expose as SQL UPDATE."""
-    live = read_iceberg_py(spark, table_path)
+    live = read_iceberg_py(spark, table_path, partition_filter=partition_filter)
     matched = live.filter(predicate)
     if not matched.take(1):
         return None
@@ -1526,7 +1540,10 @@ def update_where(
             for c in live.columns
         ]
     )
-    return overwrite_where(spark, table_path, predicate, replacement, snapshot_ts_ms)
+    return overwrite_where(
+        spark, table_path, predicate, replacement, snapshot_ts_ms,
+        partition_filter=partition_filter,
+    )
 
 
 def merge_into(
@@ -2160,6 +2177,7 @@ def _v2_row_level_commit(
     predicate,  # SQL string or Callable[[DataFrame], DataFrame] matcher
     replacement: DataFrame | None,
     snapshot_ts_ms: int | None,
+    partition_filter: dict[str, set] | None = None,
 ) -> int | None:
     import time as _time
     import uuid
@@ -2232,6 +2250,24 @@ def _v2_row_level_commit(
             elif content == 2:
                 ids = tuple(sorted(dfile.get("equality_ids") or ()))
                 eq_deletes.append((path, seq, ids))
+    if partition_filter and data_files:
+        # prune the MATCHING SCAN to the named identity partitions —
+        # manifest-level file skip, the same planning-time prune the
+        # read path performs. The caller guarantees the filter is
+        # implied by the predicate; delete files are NOT pruned (they
+        # apply to whatever files survive).
+        src_of = dict(zip(part_struct_names, part_src_cols))
+
+        def _keep(part: dict) -> bool:
+            for pname, src in src_of.items():
+                allowed = partition_filter.get(src, partition_filter.get(pname))
+                if allowed is not None and pname in part and part[pname] not in allowed:
+                    return False
+            return True
+
+        data_files = [
+            (p, sq) for p, sq in data_files if _keep(data_parts[_norm_path(p)])
+        ]
     if not data_files and replacement is None:
         return None
 

@@ -866,3 +866,74 @@ def test_lakehouse_sql_facade(spark, tmp_path):
             f"MERGE INTO delta.`{dt}` t USING cdc_batch s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET name = 'x'",
         )
+
+
+def test_dml_partition_filter_skips_files_both_formats(spark, tmp_path):
+    """Partition-pruned DML: with partition_filter the matching scan
+    must never touch other partitions' files — proven by making them
+    UNREADABLE (garbage bytes) during the DELETE. A 10^5-file table's
+    single-partition DELETE plans O(partition), not O(table)."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        write_delta_fixture,
+    )
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+
+    def corrupt_others(table, keep_fragment):
+        saved = {}
+        for root, _dirs, files in os.walk(table):
+            if "_delta_log" in root or os.sep + "metadata" in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                if f.endswith(".parquet") and keep_fragment not in p:
+                    saved[p] = open(p, "rb").read()
+                    open(p, "wb").write(b"GARBAGE")
+        return saved
+
+    # Delta: Hive layout — keep region=2's directory readable
+    dt = str(tmp_path / "d")
+    write_delta_fixture(_delta_nation(spark).coalesce(1), dt, partition_col="region")
+    saved = corrupt_others(dt, "region=2")
+    v = delete_where_delta(
+        spark, dt, "region = 2 AND k < 100",
+        timestamp_ms=1_700_000_001_000, partition_filter={"region": {"2"}},
+    )
+    assert v is not None
+    for p, b in saved.items():
+        open(p, "wb").write(b)
+    assert read_delta_py(spark, dt).count() == 18
+
+    # Iceberg: pid-routed layout — resolve region 2's file via the
+    # manifests, corrupt everything else
+    it = str(tmp_path / "i")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), it, "region")
+    from gcs2postgres_spark.sources.iceberg_py import read_iceberg_meta
+
+    files = read_iceberg_meta(spark, it, "files").collect()
+    keep = {
+        os.path.basename(r["file_path"])
+        for r in files
+        if '"region": 2' in r["partition"]
+    }
+    assert keep
+    saved = {}
+    for root, _dirs, fs in os.walk(os.path.join(it, "data")):
+        for f in fs:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet") and f not in keep:
+                saved[p] = open(p, "rb").read()
+                open(p, "wb").write(b"GARBAGE")
+    sid = delete_where(
+        spark, it, "region = 2 AND k < 100",
+        snapshot_ts_ms=1_700_000_001_000, partition_filter={"region": {2}},
+    )
+    assert sid is not None
+    for p, b in saved.items():
+        open(p, "wb").write(b)
+    assert read_iceberg_py(spark, it).count() == 18
