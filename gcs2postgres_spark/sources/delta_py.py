@@ -97,17 +97,21 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
         add_fields = {f.name for f in cp.schema["add"].dataType.fields}
         sel = [F.col("add.path"), F.col("add.partitionValues")]
         has_dv = "deletionVector" in add_fields
+        has_size = "size" in add_fields
         if has_dv:
             sel.append(F.col("add.deletionVector"))
+        if has_size:
+            sel.append(F.col("add.size"))
         for row in cp.filter(F.col("add.path").isNotNull()).select(*sel).collect():
             dv = row["deletionVector"] if has_dv else None
-            adds.append(
-                {
-                    "path": row["path"],
-                    "partitionValues": row["partitionValues"] or {},
-                    "deletionVector": dv.asDict() if dv is not None else None,
-                }
-            )
+            add = {
+                "path": row["path"],
+                "partitionValues": row["partitionValues"] or {},
+                "deletionVector": dv.asDict() if dv is not None else None,
+            }
+            if has_size:
+                add["size"] = row["size"]
+            adds.append(add)
     if "metaData" in cols:
         metas = cp.filter(F.col("metaData.schemaString").isNotNull()).select("metaData").collect()
         if metas:
@@ -928,11 +932,29 @@ def add_deletion_vectors(
     return version
 
 
+CHECKPOINT_EVERY = 10  # the delta-spark default cadence
+
+
+def _auto_checkpoint(spark: SparkSession, table_path: str, version: int) -> None:
+    """Checkpoint every CHECKPOINT_EVERY commits (the cadence real
+    writers use), bounding log-replay cost on long-lived tables to
+    O(10 commits) instead of O(history). Failures are swallowed: a
+    missing checkpoint only costs replay time, never correctness."""
+    if version > 0 and version % CHECKPOINT_EVERY == 0:
+        try:
+            write_checkpoint(spark, table_path, version)
+        except Exception:
+            pass
+
+
 def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None:
     """Compact the log state at ``version`` into a
     ``<version>.checkpoint.parquet`` + ``_last_checkpoint`` pair, in the
-    protocol's checkpoint schema (one row per action, struct columns).
-    Used by tests to exercise the checkpoint branch of the reader."""
+    protocol's checkpoint schema (one row per action, struct columns) —
+    LOSSLESS over add fields incl. deletion-vector descriptors and
+    sizes. Called automatically every CHECKPOINT_EVERY commits by the
+    committers (_auto_checkpoint); callable directly for tests and
+    manual maintenance."""
     log_dir = _log_dir(table_path)
     commits = _list_commits(log_dir)
     live: dict[str, dict] = {}
@@ -953,13 +975,29 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
                 elif "protocol" in a:
                     protocol = a["protocol"]
     rows = [
-        {"add": {"path": a["path"], "partitionValues": a.get("partitionValues") or {}}}
+        {
+            "add": {
+                "path": a["path"],
+                "partitionValues": a.get("partitionValues") or {},
+                "size": int(a.get("size") or 0),
+                "modificationTime": int(a.get("modificationTime") or 0),
+                "dataChange": bool(a.get("dataChange", True)),
+                # LOSSLESS: dropping the DV descriptor here would
+                # silently resurrect deleted rows on checkpoint-based
+                # reads (the reader sources DVs from the checkpoint
+                # when the JSON commits are gone)
+                "deletionVector": a.get("deletionVector"),
+            }
+        }
         for a in live.values()
     ]
     rows.append({"metaData": meta})
     rows.append({"protocol": protocol})
     cp_schema = (
-        "add struct<path: string, partitionValues: map<string,string>>, "
+        "add struct<path: string, partitionValues: map<string,string>, "
+        "size: long, modificationTime: long, dataChange: boolean, "
+        "deletionVector: struct<storageType: string, pathOrInlineDv: string, "
+        "offset: int, sizeInBytes: int, cardinality: long>>, "
         "metaData struct<id: string, format: struct<provider: string>, "
         "schemaString: string, partitionColumns: array<string>, "
         "configuration: map<string,string>>, "
@@ -1165,6 +1203,7 @@ def write_delta(
                 actions.append(new_meta)
     actions.extend(_stage_data_files(df, table_path, part_cols, now))
     _write_commit(log_dir, version, actions, now, operation="WRITE")
+    _auto_checkpoint(df.sparkSession, table_path, version)
     return version
 
 
@@ -1522,6 +1561,7 @@ def _dv_row_level_commit(
         with open(os.path.join(log_dir, "_last_checkpoint")) as f:
             version = int(json.load(f)["version"]) + 1
     _write_commit(log_dir, version, actions, now, operation=operation)
+    _auto_checkpoint(spark, table_path, version)
     return version
 
 
@@ -1881,6 +1921,7 @@ def compact_delta(
         with open(os.path.join(log_dir, "_last_checkpoint")) as f:
             version = int(json.load(f)["version"]) + 1
     _write_commit(log_dir, version, actions, now, operation="OPTIMIZE")
+    _auto_checkpoint(spark, table_path, version)
     return version
 
 def restore_delta(
@@ -1973,6 +2014,7 @@ def restore_delta(
         with open(os.path.join(log_dir, "_last_checkpoint")) as f:
             new_version = int(json.load(f)["version"]) + 1
     _write_commit(log_dir, new_version, actions, now, operation="RESTORE")
+    _auto_checkpoint(spark, table_path, new_version)
     return new_version
 
 def describe_history_delta(spark: SparkSession, table_path: str) -> DataFrame:

@@ -937,3 +937,50 @@ def test_dml_partition_filter_skips_files_both_formats(spark, tmp_path):
     for p, b in saved.items():
         open(p, "wb").write(b)
     assert read_iceberg_py(spark, it).count() == 18
+
+
+def test_auto_checkpoint_every_10_and_lossless_dv(spark, tmp_path):
+    """Committers checkpoint every 10 commits (delta-spark cadence);
+    the checkpoint is LOSSLESS — after deleting every JSON commit it
+    replaced, reads still apply the deletion vectors and sizes survive
+    (a lossy checkpoint would silently resurrect deleted rows)."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        replay_head_state,
+        write_delta,
+    )
+
+    table = str(tmp_path / "acp")
+    df = _delta_nation(spark)
+    write_delta(df.coalesce(1), table, "overwrite",
+                partition_by=["region"], timestamp_ms=1_700_000_000_000)
+    # 10 more commits: appends + a DV delete (version 10 triggers the
+    # auto checkpoint)
+    for i in range(1, 11):
+        if i == 7:
+            delete_where_delta(spark, table, "k IN (1, 2)",
+                               timestamp_ms=1_700_000_000_000 + i * 1000)
+        else:
+            write_delta(
+                spark.createDataFrame([(100 + i, f"A{i}", i % 4)],
+                                      "k int, name string, region int").coalesce(1),
+                table, "append", timestamp_ms=1_700_000_000_000 + i * 1000,
+            )
+    log_dir = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    assert os.path.exists(os.path.join(log_dir, f"{10:020d}.checkpoint.parquet"))
+    before = sorted(r["k"] for r in read_delta_py(spark, table).collect())
+    assert 1 not in before and 2 not in before
+
+    # drop every JSON commit the checkpoint covers: the read must
+    # source adds (incl. DVs and sizes) from the checkpoint alone
+    cp_version = json.loads(open(os.path.join(log_dir, "_last_checkpoint")).read())["version"]
+    for v in range(cp_version + 1):
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    after = sorted(r["k"] for r in read_delta_py(spark, table).collect())
+    assert after == before
+    live, _ = replay_head_state(spark, table)
+    assert all(int(a.get("size") or 0) > 0 for a in live.values())  # sizes survive
