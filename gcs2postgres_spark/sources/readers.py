@@ -104,11 +104,14 @@ def read_source(
 
             snap = options.get("snapshot-id")
             as_of = options.get("as-of-timestamp")
+            # branch/tag are the native reader's named-ref options
+            ref = options.get("branch") or options.get("tag")
             df = read_iceberg_py(
                 spark,
                 path,
                 snapshot_id=int(snap) if snap is not None else None,
                 as_of_ms=int(as_of) if as_of is not None else None,
+                ref=ref,
             )
     elif fmt == "delta":
         try:
