@@ -44,12 +44,14 @@ from gcs2postgres_spark.queries import insights_q  # noqa: E402,F401
 # left no artifact), so the round-10 window was never driver-certified
 # and the newest-green histogram still reads as of r9
 # (r9 50 / r8 36 / r7 45 / r6 40 / r5 37 / r4 42). Section (a) therefore
-# carries BOTH rounds' changed/new implementations: the 14 r10-changed
-# slots (unchanged since, except where noted), the 4 late-r10 additions,
-# and the 12 new round-11 queries (UPDATE/MERGE/equality-upsert/append/
-# compaction/restore for the lakehouse committers). Section (b) = 20 of
+# carries BOTH rounds' changed/new implementations — 34 slots: the 14
+# r10-changed slots (since further reworked by the r11 committer
+# refactors noted inline), the 4 late-r10 additions, and the 16 new
+# round-11 queries (UPDATE/MERGE/conditional-merge/equality-upsert/
+# append/compaction/zorder/restore/rollback/history/metadata-tables/
+# refs/SQL-facade for the lakehouse committers). Section (b) = 16 of
 # the 42 r4-newest greens, led by scalar_math_funcs and join_left (both
-# displaced twice; promised this rotation); the 18 r4 rows that do not
+# displaced twice; promised this rotation); the r4 rows that do not
 # fit rotate in r12 and sit at the head of VERIFY_DEFERRED.
 VERIFY_FRONT: list[str] = [
     # (a) round-11 NEW implementations (all committed; see git log r11)
