@@ -115,6 +115,59 @@ def stream_merge_delta(
     )
 
 
+def stream_equality_upsert_iceberg(
+    stream: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    checkpoint_dir: str,
+    compact_every: int = 20,
+):
+    """The SCAN-FREE streaming upsert (exactly Flink's Iceberg-sink
+    shape): each micro-batch is deduped to its per-key winner and
+    committed with ``upsert_equality`` — an equality-delete key list
+    plus the batch's data files, O(batch) per trigger REGARDLESS of
+    table size (stream_merge_iceberg scans the target every batch to
+    find position identities; this sink never reads target data files).
+
+    The cost moves to readers as stacked delete groups — the
+    merge-on-read trade — so every ``compact_every`` batches the sink
+    retires the debt with ``rewrite_data_files`` (the replace snapshot
+    is silent in the change feed, so downstream incremental consumers
+    see no churn). Within-batch dedupe + Kafka-style per-key batch
+    ordering give latest-wins overall; a replayed batch re-applies the
+    same values (content-idempotent: the rows replace themselves), but
+    unlike the conditional-merge sinks it DOES write a snapshot on
+    replay — the trade for never scanning the target. Pick this sink
+    for high-frequency small batches over huge tables; the merge sinks
+    for order-unsafe sources."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        latest_metadata_file,
+        rewrite_data_files,
+        upsert_equality,
+        write_iceberg_v2_fixture,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        winners = latest_wins(batch, key_cols, seq_cols)
+        try:
+            latest_metadata_file(table_path)
+        except FileNotFoundError:
+            write_iceberg_v2_fixture(winners, table_path, sort_col=key_cols[0])
+            return
+        upsert_equality(spark, table_path, winners, key_cols)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            rewrite_data_files(spark, table_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def stream_merge_iceberg(
     stream: DataFrame,
     table_path: str,

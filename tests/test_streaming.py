@@ -558,3 +558,89 @@ def test_stream_merge_iceberg_matches_batch(spark, sf_dir, tmp_path):
     assert merge_into(spark, target, whole, ["user_id"],
                       latest_wins_on=["ts", "event_id"]) is None
     assert latest_metadata_file(target) == meta_before
+
+
+def test_stream_equality_upsert_iceberg_matches_batch(spark, sf_dir, tmp_path):
+    """Scan-free streaming upsert: per-batch equality-delete commits
+    fold to the one-shot latest-wins answer (in-order batches); the
+    compact_every knob retires the stacked delete debt with a replace
+    snapshot, leaving ZERO delete manifests while content is
+    unchanged."""
+    import pyspark.sql.functions as F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_meta,
+        read_iceberg_py,
+        rewrite_data_files,
+    )
+    from gcs2postgres_spark.streaming.cdc_apply import stream_equality_upsert_iceberg
+
+    # the scan-free sink assumes IN-ORDER batches (Kafka-style per-key
+    # ordering, the documented contract) — stage the events as four
+    # time-quartile files with increasing mtimes so the file source
+    # delivers them oldest-first
+    import os
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cuts = raw.select(
+        F.expr(
+            "percentile_approx(unix_micros(cast(ts as timestamp)), "
+            "array(0.25, 0.5, 0.75), 10000)"
+        )
+    ).first()[0]
+    stage = tmp_path / "ordered_stage"
+    os.makedirs(stage)
+    ranges = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+    for i, (lo, hi) in enumerate(ranges):
+        q = raw
+        if lo is not None:
+            q = q.filter(F.expr(f"unix_micros(cast(ts as timestamp)) >= {lo}"))
+        if hi is not None:
+            q = q.filter(F.expr(f"unix_micros(cast(ts as timestamp)) < {hi}"))
+        part_dir = str(tmp_path / f"qpart{i}")
+        q.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        src = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dest = str(stage / f"{i:02d}.parquet")
+        os.replace(os.path.join(part_dir, src), dest)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    target = str(tmp_path / "ice_equp_target")
+    q = stream_equality_upsert_iceberg(
+        stream,
+        target,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every=0,  # keep the debt so the test can see it
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = read_iceberg_py(spark, target).select("user_id", "event_id").orderBy("user_id")
+    expect = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.max_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+        .orderBy("user_id")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect.collect()]
+
+    # merge-on-read debt is visible (equality-delete files, content=2)
+    files = read_iceberg_meta(spark, target, "files")
+    assert files.filter("content = 2").count() >= 3  # one per post-first batch
+    before = sorted(tuple(r) for r in got.collect())
+    # compaction retires it: zero delete files, content identical
+    rewrite_data_files(spark, target, snapshot_ts_ms=1_800_000_000_000)
+    files = read_iceberg_meta(spark, target, "files")
+    assert files.filter("content != 0").count() == 0
+    after = sorted(
+        tuple(r)
+        for r in read_iceberg_py(spark, target).select("user_id", "event_id").collect()
+    )
+    assert after == before
