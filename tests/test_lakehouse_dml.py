@@ -984,3 +984,50 @@ def test_auto_checkpoint_every_10_and_lossless_dv(spark, tmp_path):
     assert after == before
     live, _ = replay_head_state(spark, table)
     assert all(int(a.get("size") or 0) > 0 for a in live.values())  # sizes survive
+
+
+def test_lakehouse_sql_set_parser_properties():
+    """_parse_set splits on TOP-LEVEL commas only: commas inside
+    parentheses, brackets, and string literals belong to the
+    expression. Property-tested over generated expressions."""
+    from hypothesis import given, strategies as st
+
+    from gcs2postgres_spark.sources.lakehouse_sql import _parse_set
+
+    # hand-picked adversarial cases first
+    cases = {
+        "a = concat('x,y', b), c = 2": {"a": "concat('x,y', b)", "c": "2"},
+        "a = struct(1, 2)": {"a": "struct(1, 2)"},
+        'n = concat("p,q", r)': {"n": 'concat("p,q", r)'},
+        "a = arr[1], b = map('k,1', v)": {"a": "arr[1]", "b": "map('k,1', v)"},
+        "x = CASE WHEN y IN (1,2) THEN 'a,b' ELSE c END": {
+            "x": "CASE WHEN y IN (1,2) THEN 'a,b' ELSE c END"
+        },
+    }
+    for clause, want in cases.items():
+        assert _parse_set(clause) == want, clause
+
+    expr_atoms = st.sampled_from(
+        ["1", "col + 2", "concat('a,b', c)", "f(x, y)", "'lit,eral'", "arr[3]"]
+    )
+
+    @given(
+        st.dictionaries(
+            st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+            expr_atoms,
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def roundtrip(assignments):
+        clause = ", ".join(f"{k} = {v}" for k, v in assignments.items())
+        assert _parse_set(clause) == assignments
+
+    roundtrip()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bad SET assignment"):
+        _parse_set("not-an-assignment")
+    with _pt.raises(ValueError):
+        _parse_set("")
