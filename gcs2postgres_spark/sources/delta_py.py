@@ -273,14 +273,34 @@ def read_delta_py(
         raise FileNotFoundError(f"empty _delta_log in {table_path}")
 
     cp_version, cp_adds, meta = _checkpoint_base(spark, log_dir)
+    # Checkpointing compacts READ cost, not history: the JSON commits
+    # stay on disk until log cleanup removes them. When a time travel
+    # lands BEFORE the checkpoint, fall back to a full JSON replay from
+    # version 0 as long as the needed prefix is still intact — only an
+    # actually-cleaned-up log refuses. Timestamp travel always prefers
+    # the full replay when available: the checkpoint carries no
+    # commitInfo timestamps, so starting from it could overshoot a
+    # timestamp older than the checkpoint state.
+    if (
+        version_as_of is not None
+        and version_as_of < cp_version
+        and all(v in commits for v in range(version_as_of + 1))
+    ):
+        cp_version, cp_adds, meta = -1, [], None
+    if (
+        timestamp_as_of_ms is not None
+        and cp_version >= 0
+        and all(v in commits for v in range(cp_version + 1))
+    ):
+        cp_version, cp_adds, meta = -1, [], None
     live: dict[str, dict] = {a["path"]: a for a in cp_adds}
 
     versions = sorted(v for v in commits if v > cp_version)
     if version_as_of is not None:
         if version_as_of < cp_version:
             raise ValueError(
-                f"versionAsOf={version_as_of} predates the checkpoint ({cp_version}); "
-                "older log entries have been compacted away"
+                f"versionAsOf={version_as_of} predates the checkpoint ({cp_version}) "
+                "and the older JSON commits have been cleaned up"
             )
         versions = [v for v in versions if v <= version_as_of]
 
@@ -1081,13 +1101,18 @@ def replay_head_state(
     stat-ing files — O(log) driver work, no object-store crawl."""
     log_dir = _log_dir(table_path)
     cp_version, cp_adds, meta = _checkpoint_base(spark, log_dir)
-    if version is not None and version < cp_version:
-        raise ValueError(
-            f"version {version} predates the checkpoint at {cp_version}; "
-            "the log no longer holds enough history to replay it"
-        )
-    live: dict[str, dict] = {a["path"]: a for a in cp_adds}
     commits = _list_commits(log_dir) if fsio.isdir(log_dir) else {}
+    if version is not None and version < cp_version:
+        # checkpoints compact read cost, not history — replay the JSON
+        # prefix when it is still on disk (see read_delta_py)
+        if all(v in commits for v in range(version + 1)):
+            cp_version, cp_adds, meta = -1, [], None
+        else:
+            raise ValueError(
+                f"version {version} predates the checkpoint at {cp_version} "
+                "and the older JSON commits have been cleaned up"
+            )
+    live: dict[str, dict] = {a["path"]: a for a in cp_adds}
     if version is not None and version != cp_version and version not in commits:
         raise ValueError(f"version {version} not found in _delta_log (have {sorted(commits)})")
     for v in sorted(
@@ -1271,12 +1296,14 @@ def update_where_delta(
     the honest jar-less reading of a DV-update commit, which carries no
     _change_data files. Iceberg twin: iceberg_py.update_where."""
     tagged = read_delta_py(spark, table_path, partition_filter=partition_filter)
-    matched = tagged.filter(predicate)
-    if not matched.take(1):
-        return None
+    # validate SET targets BEFORE the no-match early return: a typo'd
+    # column must raise even when the predicate matches nothing
     bad = sorted(set(set_exprs) - set(tagged.columns))
     if bad:
         raise ValueError(f"UPDATE SET targets unknown columns: {bad}")
+    matched = tagged.filter(predicate)
+    if not matched.take(1):
+        return None
     new_rows = matched.select(
         *[
             F.expr(set_exprs[c]).cast(tagged.schema[c].dataType).alias(c)
@@ -1317,19 +1344,47 @@ def merge_delta(
     stale/equal source rows are dropped entirely. Replaying the same
     batch then matches nothing and commits nothing — the idempotence
     an at-least-once foreachBatch sink needs (streaming/cdc_apply
-    builds on exactly this)."""
-    if when_matched not in ("update", "delete"):
-        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    builds on exactly this).
+
+    ``when_matched="ignore"`` is the INSERT-ONLY merge (a MERGE
+    statement with no WHEN MATCHED clause): matched target rows are
+    left untouched and only the unmatched source rows are appended —
+    no deletion vectors, a plain append commit."""
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(
+            f"when_matched must be update|delete|ignore, got {when_matched!r}"
+        )
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
     if latest_wins_on and when_matched != "update":
         raise ValueError("latest_wins_on requires when_matched='update'")
+    if when_matched == "ignore" and when_not_matched != "insert":
+        raise ValueError(
+            "when_matched='ignore' with when_not_matched='ignore' is a "
+            "whole-statement no-op; a MERGE needs at least one acting clause"
+        )
     live = read_delta_py(spark, table_path)
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
+
+    if when_matched == "ignore":
+        # insert-only merge: touches no existing file — route to the
+        # plain append committer instead of the DV matching scan
+        new_rows = source.join(live.select(*on).distinct(), on=on, how="left_anti")
+        missing_cols = sorted(set(live.columns) - set(new_rows.columns))
+        if missing_cols:
+            raise ValueError(f"MERGE source lacks table columns: {missing_cols}")
+        new_rows = new_rows.select(
+            *[F.col(c).cast(live.schema[c].dataType).alias(c) for c in live.columns]
+        )
+        if new_rows.isEmpty():
+            return None
+        return write_delta(
+            new_rows, table_path, mode="append", timestamp_ms=timestamp_ms
+        )
 
     if latest_wins_on:
         src_cmp = source.select(*on, F.struct(*latest_wins_on).alias("__src_seq"))

@@ -1526,12 +1526,14 @@ def update_where(
     passthrough, reference src/db/db.go:59); this is the lakehouse-side
     equivalent jar-ful runtimes expose as SQL UPDATE."""
     live = read_iceberg_py(spark, table_path, partition_filter=partition_filter)
-    matched = live.filter(predicate)
-    if not matched.take(1):
-        return None
+    # validate SET targets BEFORE the no-match early return: a typo'd
+    # column must raise even when the predicate matches nothing
     bad = sorted(set(set_exprs) - set(live.columns))
     if bad:
         raise ValueError(f"UPDATE SET targets unknown columns: {bad}")
+    matched = live.filter(predicate)
+    if not matched.take(1):
+        return None
     replacement = matched.select(
         *[
             F.expr(set_exprs[c]).cast(live.schema[c].dataType).alias(c)
@@ -1590,19 +1592,47 @@ def merge_into(
     target row is replaced only by a strictly NEWER source row, stale
     or equal source rows are dropped, and replaying the same batch
     commits nothing (idempotent at-least-once CDC apply; Delta twin:
-    delta_py.merge_delta)."""
-    if when_matched not in ("update", "delete"):
-        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    delta_py.merge_delta).
+
+    ``when_matched="ignore"`` is the INSERT-ONLY merge (a MERGE
+    statement with no WHEN MATCHED clause): matched target rows are
+    left untouched and only the unmatched source rows are appended —
+    no delete files, a plain fast-append snapshot."""
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(
+            f"when_matched must be update|delete|ignore, got {when_matched!r}"
+        )
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
     if latest_wins_on and when_matched != "update":
         raise ValueError("latest_wins_on requires when_matched='update'")
+    if when_matched == "ignore" and when_not_matched != "insert":
+        raise ValueError(
+            "when_matched='ignore' with when_not_matched='ignore' is a "
+            "whole-statement no-op; a MERGE needs at least one acting clause"
+        )
     live = read_iceberg_py(spark, table_path)
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
+
+    if when_matched == "ignore":
+        # insert-only merge: touches no existing file or delete — route
+        # to the fast-append committer instead of the matching scan
+        new_rows = source.join(live.select(*on).distinct(), on=on, how="left_anti")
+        missing_cols = sorted(set(live.columns) - set(new_rows.columns))
+        if missing_cols:
+            raise ValueError(f"MERGE source lacks table columns: {missing_cols}")
+        new_rows = new_rows.select(
+            *[F.col(c).cast(live.schema[c].dataType).alias(c) for c in live.columns]
+        )
+        if new_rows.isEmpty():
+            return None
+        return append_iceberg_v2(
+            spark, table_path, new_rows, snapshot_ts_ms=snapshot_ts_ms
+        )
 
     if latest_wins_on:
         src_cmp = source.select(*on, F.struct(*latest_wins_on).alias("__src_seq"))

@@ -37,7 +37,34 @@ _TBL = r"(?P<fmt>delta|iceberg)\s*\.\s*`(?P<path>[^`]+)`"
 
 
 def _norm(stmt: str) -> str:
-    return re.sub(r"\s+", " ", stmt.strip().rstrip(";")).strip()
+    """Collapse whitespace runs to single spaces — OUTSIDE string
+    literals only. ``WHERE name = 'a  b'`` must keep its two spaces:
+    normalizing inside quotes would silently alter predicate matching
+    and UPDATE SET values (same string-state tracking as _parse_set)."""
+    s = stmt.strip().rstrip(";").strip()
+    out: list[str] = []
+    in_str: str | None = None
+    pending_ws = False
+    for ch in s:
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "'\"":
+            if pending_ws:
+                out.append(" ")
+                pending_ws = False
+            in_str = ch
+            out.append(ch)
+        elif ch.isspace():
+            pending_ws = True
+        else:
+            if pending_ws:
+                out.append(" ")
+                pending_ws = False
+            out.append(ch)
+    return "".join(out)
 
 
 def _parse_on(on: str, t_alias: str, s_alias: str) -> list[str]:
@@ -138,11 +165,23 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             )
         if not known:
             raise ValueError(f"MERGE needs at least one WHEN clause; got {clauses!r}")
-        when_matched = (
-            "delete"
-            if matched and matched.group(1).upper() == "DELETE"
-            else "update"
-        )
+        # conflicting duplicates ('WHEN MATCHED THEN DELETE WHEN MATCHED
+        # THEN UPDATE SET *') must raise, never first-silently-wins
+        n_matched = len(re.findall(r"(?i)WHEN MATCHED THEN", clauses))
+        n_not_matched = len(re.findall(r"(?i)WHEN NOT MATCHED THEN", clauses))
+        if n_matched > 1 or n_not_matched > 1:
+            raise ValueError(
+                "MERGE allows at most one WHEN MATCHED and one WHEN NOT "
+                f"MATCHED clause; got {clauses!r}"
+            )
+        if matched:
+            when_matched = (
+                "delete" if matched.group(1).upper() == "DELETE" else "update"
+            )
+        else:
+            # no WHEN MATCHED clause = insert-only merge: matched target
+            # rows are left untouched (never silently upserted)
+            when_matched = "ignore"
         when_not_matched = "insert" if not_matched else "ignore"
         source = spark.table(m["src"])
         if m["fmt"] == "delta":

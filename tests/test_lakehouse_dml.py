@@ -1031,3 +1031,173 @@ def test_lakehouse_sql_set_parser_properties():
         _parse_set("not-an-assignment")
     with _pt.raises(ValueError):
         _parse_set("")
+
+
+# ------------------------------------------------- round-12 ADVICE fixes
+
+
+def test_merge_insert_only_both_formats(spark, tmp_path):
+    """Insert-only MERGE (no WHEN MATCHED clause): matched target rows
+    are left UNTOUCHED — the round-11 facade silently upserted them,
+    replacing target data with source data. Covers both the direct
+    when_matched='ignore' committer mode and the SQL facade routing."""
+    from gcs2postgres_spark.sources.delta_py import (
+        merge_delta,
+        read_delta_py,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.iceberg_py import (
+        merge_into,
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    src = spark.createDataFrame(
+        [(3, "SRC_3", 1), (900, "SRC_NEW", 0)], "k int, name string, region int"
+    )
+
+    # Delta, via the facade (the statement the advisory flagged)
+    dt = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), dt, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    src.createOrReplaceTempView("ins_only_src")
+    v = lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{dt}` t USING ins_only_src s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert v == 1
+    d = {r["k"]: r["name"] for r in read_delta_py(spark, dt).collect()}
+    assert d[3] == "N_3"  # matched row untouched — NOT upserted to SRC_3
+    assert d[900] == "SRC_NEW"
+    # replay is a no-op (all keys now matched): no new version
+    assert merge_delta(spark, dt, src, ["k"], when_matched="ignore") is None
+
+    # Iceberg, direct committer mode
+    it = str(tmp_path / "i")
+    write_iceberg_v2_fixture(_ice_nation(spark), it, sort_col="k")
+    sid = merge_into(spark, it, src, ["k"], when_matched="ignore",
+                     snapshot_ts_ms=1_700_000_001_000)
+    assert sid is not None
+    i = {r["k"]: r["name"] for r in read_iceberg_py(spark, it).collect()}
+    assert i[3] == "N_3" and i[900] == "SRC_NEW"
+    assert merge_into(spark, it, src, ["k"], when_matched="ignore") is None
+
+    # ignore+ignore is a whole-statement no-op: loud, not silent
+    with pytest.raises(ValueError, match="no-op"):
+        merge_delta(spark, dt, src, ["k"],
+                    when_matched="ignore", when_not_matched="ignore")
+    with pytest.raises(ValueError, match="no-op"):
+        merge_into(spark, it, src, ["k"],
+                   when_matched="ignore", when_not_matched="ignore")
+
+
+def test_lakehouse_sql_quoted_whitespace_and_dup_clauses(spark, tmp_path):
+    """_norm must not collapse whitespace INSIDE string literals
+    (predicates/SET values with multi-space strings would silently
+    change), and conflicting duplicate MERGE clauses must raise."""
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import _norm, lakehouse_sql
+
+    assert _norm("DELETE  FROM delta.`/p`\n WHERE name = 'a  b'") == (
+        "DELETE FROM delta.`/p` WHERE name = 'a  b'"
+    )
+    assert _norm('UPDATE x SET n = "p  q"  WHERE 1=1') == (
+        'UPDATE x SET n = "p  q" WHERE 1=1'
+    )
+
+    dt = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a  b"), (2, "a b"), (3, "c")], "k int, name string"
+        ).coalesce(1),
+        dt, "overwrite", timestamp_ms=1_700_000_000_000,
+    )
+    # the two-space literal must match ONLY the two-space row
+    lakehouse_sql(spark, f"DELETE FROM delta.`{dt}`  WHERE name = 'a  b'")
+    left = sorted(r["k"] for r in read_delta_py(spark, dt).collect())
+    assert left == [2, 3]
+    # SET value keeps its internal spacing
+    lakehouse_sql(spark, f"UPDATE delta.`{dt}` SET name = 'x  y' WHERE k = 2")
+    assert read_delta_py(spark, dt).filter("k = 2").collect()[0]["name"] == "x  y"
+
+    spark.createDataFrame([(2, "z")], "k int, name string").createOrReplaceTempView(
+        "dup_src"
+    )
+    with pytest.raises(ValueError, match="at most one"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{dt}` t USING dup_src s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="at most one"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{dt}` t USING dup_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT * WHEN NOT MATCHED THEN INSERT *",
+        )
+
+
+def test_delta_time_travel_past_checkpoint(spark, tmp_path):
+    """Checkpoints compact READ cost, not history: while the JSON
+    commits are intact, versionAsOf/RESTORE/timestamp travel to
+    versions OLDER than the checkpoint must replay from 0 — only an
+    actually-cleaned-up log refuses (round-11 always refused)."""
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        restore_delta,
+        write_delta,
+    )
+
+    table = str(tmp_path / "tt")
+    write_delta(
+        spark.createDataFrame([(0, "v0")], "k int, name string").coalesce(1),
+        table, "overwrite", timestamp_ms=1_700_000_000_000,
+    )
+    for i in range(1, 12):  # crosses the every-10 auto-checkpoint
+        write_delta(
+            spark.createDataFrame([(i, f"v{i}")], "k int, name string").coalesce(1),
+            table, "append", timestamp_ms=1_700_000_000_000 + i * 1000,
+        )
+    log_dir = os.path.join(table, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+
+    # versionAsOf older than the checkpoint: full JSON replay
+    assert read_delta_py(spark, table, version_as_of=3).count() == 4
+    # timestamp travel older than the checkpoint
+    ts = read_delta_py(spark, table, timestamp_as_of_ms=1_700_000_002_500)
+    assert sorted(r["k"] for r in ts.collect()) == [0, 1, 2]
+    # RESTORE to a pre-checkpoint version
+    v = restore_delta(spark, table, 2, timestamp_ms=1_700_000_099_000)
+    assert v == 12
+    assert read_delta_py(spark, table).count() == 3
+
+    # clean up the pre-checkpoint JSON commits: now it MUST refuse
+    for old in range(5):
+        p = os.path.join(log_dir, f"{old:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    with pytest.raises(ValueError, match="cleaned up"):
+        read_delta_py(spark, table, version_as_of=3)
+
+
+def test_update_unknown_set_column_raises_even_on_no_match(spark, tmp_path):
+    """A typo'd SET column must raise even when the predicate matches
+    nothing — round-11 returned None silently in that case."""
+    from gcs2postgres_spark.sources.delta_py import update_where_delta, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        update_where,
+        write_iceberg_v2_fixture,
+    )
+
+    dt = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), dt, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where_delta(spark, dt, "k = 99999", {"nope": "'x'"})
+
+    it = str(tmp_path / "i")
+    write_iceberg_v2_fixture(_ice_nation(spark), it, sort_col="k")
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, it, "k = 99999", {"nope": "'x'"})
