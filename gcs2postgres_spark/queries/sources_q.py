@@ -2332,3 +2332,159 @@ def lakehouse_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+TRANSFORM_PART_ORACLE = """
+SELECT strftime(o_orderdate, '%Y-%m')   AS order_month,
+       count(*)                         AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT)  AS key_sum,
+       round(sum(o_totalprice), 2)      AS total
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY order_month
+ORDER BY order_month
+"""
+
+
+@register("iceberg_transform_partition_roundtrip", oracle=TRANSFORM_PART_ORACLE)
+def iceberg_transform_partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg HIDDEN PARTITIONING (spec 'Partition Transforms'): orders
+    → CREATE TABLE partitioned by month(o_orderdate) + bucket[8]
+    (o_custkey) → fast-append routed by the TRANSFORMED values
+    (executor-side transform_expr; bucket is the spec's exact
+    murmur3_x86_32) → jar-less read with MANIFEST-LEVEL pruning through
+    the transform: the caller filters by SOURCE dates and the planner
+    maps them through month() to skip every other month's files before
+    any parquet I/O — the 'partition by what you query, not what you
+    store' behavior that makes real Iceberg tables prunable at 100 TB.
+    The row filter is still applied (pruning is an optimization, never
+    the correctness mechanism); tests/test_iceberg_transforms.py proves
+    the skip with unreadable-file checks."""
+    import datetime as _dt
+
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        read_iceberg_py,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_transform_")
+    try:
+        create_iceberg_v2_table(
+            orders.schema, tmp,
+            [("o_orderdate", "month"), ("o_custkey", "bucket[8]")],
+        )
+        append_iceberg_v2(spark, tmp, orders, snapshot_ts_ms=1_700_000_000_000)
+        q1 = read_iceberg_py(
+            spark, tmp,
+            partition_filter={
+                "o_orderdate": {
+                    _dt.datetime(1995, 1, 15),
+                    _dt.datetime(1995, 2, 15),
+                    _dt.datetime(1995, 3, 15),
+                }
+            },
+        ).filter(F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+        return (
+            q1.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .orderBy("order_month")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+TRANSFORM_DML_ORACLE = """
+WITH after_delete AS (
+  SELECT * FROM orders
+  WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1995-03-01')
+), after_update AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+                   AND o_orderdate >= TIMESTAMP '2001-01-01'
+              THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END AS price
+  FROM after_delete
+)
+SELECT o_orderstatus,
+       count(*)                        AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(sum(price), 2)            AS total
+FROM after_update
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register("iceberg_transform_dml_roundtrip", oracle=TRANSFORM_DML_ORACLE)
+def iceberg_transform_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML on a HIDDEN-PARTITIONED Iceberg table: DELETE and
+    UPDATE route their delete files AND rewritten rows by the
+    month(o_orderdate) transform, with the matching scan pruned to the
+    named months through the transform (partition_filter carries SOURCE
+    dates; the committer maps them through month()). The UPDATE's
+    rewritten rows keep their source columns — hidden partitioning
+    never stores the derived value in the data file — and the read back
+    applies position deletes across old and new partitions."""
+    import datetime as _dt
+
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        delete_where,
+        read_iceberg_py,
+        update_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_tdml_")
+    try:
+        create_iceberg_v2_table(orders.schema, tmp, [("o_orderdate", "month")])
+        append_iceberg_v2(spark, tmp, orders, snapshot_ts_ms=1_700_000_000_000)
+        delete_where(
+            spark, tmp,
+            "o_orderstatus = 'F' AND o_orderdate < TIMESTAMP'1995-03-01'",
+            snapshot_ts_ms=1_700_000_001_000,
+            partition_filter={
+                "o_orderdate": {
+                    _dt.datetime(1995, 1, 15),
+                    _dt.datetime(1995, 2, 15),
+                }
+            },
+        )
+        update_where(
+            spark, tmp,
+            "o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP'2001-01-01'",
+            {"o_totalprice": "round(o_totalprice * 1.1, 2)"},
+            snapshot_ts_ms=1_700_000_002_000,
+            partition_filter={
+                "o_orderdate": {
+                    _dt.datetime(2001, m, 15) for m in range(1, 9)
+                }
+            },
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

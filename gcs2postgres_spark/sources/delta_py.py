@@ -554,13 +554,27 @@ def _meta_action(schema: StructType, part_cols: list[str]) -> dict:
     }
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed a version this writer's state
+    cannot be rebased over (overlapping files, or a metadata/protocol
+    change landed mid-flight). The table is intact — re-read and retry
+    the whole operation."""
+
+
 def _write_commit(
     log_dir: str,
     version: int,
     actions: list[dict],
     timestamp_ms: int,
     operation: str | None = None,
+    txn: dict | None = None,
 ) -> None:
+    """Write ``N.json`` with PUT-IF-ABSENT semantics (O_CREAT|O_EXCL):
+    two writers racing the same version number lose at the filesystem,
+    never silently — the loser sees FileExistsError and either rebases
+    (_commit_with_rebase) or surfaces CommitConflictError. This is the
+    protocol's core commit rule; object stores need a real LogStore for
+    the same guarantee (the jar-less committers are local-fs only)."""
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"{version:020d}.json")
     ci: dict = {"timestamp": timestamp_ms}
@@ -568,10 +582,80 @@ def _write_commit(
         # the same field real Delta writers record; describe_history
         # surfaces it (older/foreign commits without one show null)
         ci["operation"] = operation
-    with open(path, "w") as f:
-        f.write(json.dumps({"commitInfo": ci}) + "\n")
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"commitInfo": ci}) + "\n")
+            if txn:
+                # streaming exactly-once bookkeeping (protocol `txn`
+                # action: appId + version = batchId)
+                f.write(json.dumps({"txn": txn}) + "\n")
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+    except BaseException:
+        os.unlink(path)
+        raise
+
+
+def _action_paths(actions: list[dict]) -> set[str]:
+    out = set()
+    for a in actions:
+        if "add" in a:
+            out.add(a["add"]["path"])
+        elif "remove" in a:
+            out.add(a["remove"]["path"])
+    return out
+
+
+def _commit_with_rebase(
+    log_dir: str,
+    version: int,
+    actions: list[dict],
+    timestamp_ms: int,
+    operation: str | None = None,
+    rebase_ok: bool = True,
+    txn: dict | None = None,
+) -> int:
+    """Optimistic-concurrency commit: try ``version``; when a concurrent
+    writer won the race, REBASE (retry at the new head) iff the
+    intervening commits are logically disjoint — no metadata/protocol
+    change and no file in common with ours (the same file-level conflict
+    rule delta's ConflictChecker applies). Anything else raises
+    CommitConflictError; the caller's staged data files are orphans
+    (content-addressed, harmless — VACUUM-class cleanup)."""
+    while True:
+        try:
+            _write_commit(log_dir, version, actions, timestamp_ms, operation, txn)
+            return version
+        except FileExistsError:
+            head = max(_list_commits(log_dir))
+            ours = _action_paths(actions)
+            for v in range(version, head + 1):
+                p = os.path.join(log_dir, f"{v:020d}.json")
+                theirs: set[str] = set()
+                for line in fsio.read_text(p).splitlines():
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if not rebase_ok or "metaData" in a or "protocol" in a:
+                        raise CommitConflictError(
+                            f"concurrent commit {v} in {log_dir} cannot be "
+                            f"rebased over (operation={operation!r}, "
+                            f"rebase_ok={rebase_ok})"
+                        )
+                    if "add" in a:
+                        theirs.add(a["add"]["path"])
+                    elif "remove" in a:
+                        theirs.add(a["remove"]["path"])
+                clash = ours & theirs
+                if clash:
+                    raise CommitConflictError(
+                        f"concurrent commit {v} touched the same files "
+                        f"(e.g. {sorted(clash)[:3]}); re-read and retry"
+                    )
+            version = head + 1
 
 
 def write_delta_fixture(
@@ -1227,7 +1311,10 @@ def write_delta(
                 new_meta["metaData"]["id"] = meta.get("id", new_meta["metaData"]["id"])
                 actions.append(new_meta)
     actions.extend(_stage_data_files(df, table_path, part_cols, now))
-    _write_commit(log_dir, version, actions, now, operation="WRITE")
+    version = _commit_with_rebase(
+        log_dir, version, actions, now, operation="WRITE",
+        rebase_ok=(not fresh and mode == "append"),
+    )
     _auto_checkpoint(df.sparkSession, table_path, version)
     return version
 
@@ -1466,6 +1553,17 @@ def _dv_row_level_commit(
             "jar-less Delta DML is local-filesystem only (object-store "
             f"commits need atomic-put semantics); {_DELTA_JAR_HINT}"
         )
+    # pin the commit base BEFORE reading state: any commit landing
+    # after this point collides at our attempt version, so the
+    # rebase conflict check sees it (no TOCTOU window)
+    _ld = _log_dir(table_path)
+    _c0 = _list_commits(_ld) if fsio.isdir(_ld) else {}
+    if _c0:
+        base_version = max(_c0)
+    elif fsio.exists(os.path.join(_ld, '_last_checkpoint')):
+        base_version = int(json.loads(fsio.read_text(os.path.join(_ld, '_last_checkpoint')))['version'])
+    else:
+        base_version = -1
     live, meta = replay_head_state(spark, table_path)
     if meta is None:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
@@ -1609,13 +1707,9 @@ def _dv_row_level_commit(
         # commit as the deletion vectors (atomic delete+rewrite).
         actions.extend(_stage_data_files(new_rows, table_path, part_cols, now))
     log_dir = _log_dir(table_path)
-    commits = _list_commits(log_dir)
-    if commits:
-        version = max(commits) + 1
-    else:  # checkpoint-only table (log cleaned up past the checkpoint)
-        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
-            version = int(json.load(f)["version"]) + 1
-    _write_commit(log_dir, version, actions, now, operation=operation)
+    version = _commit_with_rebase(
+        log_dir, base_version + 1, actions, now, operation=operation, rebase_ok=True
+    )
     _auto_checkpoint(spark, table_path, version)
     return version
 
@@ -1945,6 +2039,17 @@ def compact_delta(
             "jar-less Delta OPTIMIZE is local-filesystem only (object-store "
             f"commits need atomic-put semantics); {_DELTA_JAR_HINT}"
         )
+    # pin the commit base BEFORE reading state: any commit landing
+    # after this point collides at our attempt version, so the
+    # rebase conflict check sees it (no TOCTOU window)
+    _ld = _log_dir(table_path)
+    _c0 = _list_commits(_ld) if fsio.isdir(_ld) else {}
+    if _c0:
+        base_version = max(_c0)
+    elif fsio.exists(os.path.join(_ld, '_last_checkpoint')):
+        base_version = int(json.loads(fsio.read_text(os.path.join(_ld, '_last_checkpoint')))['version'])
+    else:
+        base_version = -1
     live, meta = replay_head_state(spark, table_path)
     if meta is None:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
@@ -1969,13 +2074,9 @@ def compact_delta(
     ]
     actions.extend(_stage_data_files(compacted, table_path, part_cols, now, data_change=False))
     log_dir = _log_dir(table_path)
-    commits = _list_commits(log_dir)
-    if commits:
-        version = max(commits) + 1
-    else:
-        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
-            version = int(json.load(f)["version"]) + 1
-    _write_commit(log_dir, version, actions, now, operation="OPTIMIZE")
+    version = _commit_with_rebase(
+        log_dir, base_version + 1, actions, now, operation="OPTIMIZE", rebase_ok=True
+    )
     _auto_checkpoint(spark, table_path, version)
     return version
 
@@ -2068,7 +2169,9 @@ def restore_delta(
     else:
         with open(os.path.join(log_dir, "_last_checkpoint")) as f:
             new_version = int(json.load(f)["version"]) + 1
-    _write_commit(log_dir, new_version, actions, now, operation="RESTORE")
+    new_version = _commit_with_rebase(
+        log_dir, new_version, actions, now, operation="RESTORE", rebase_ok=False
+    )
     _auto_checkpoint(spark, table_path, new_version)
     return new_version
 

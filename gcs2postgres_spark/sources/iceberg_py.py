@@ -97,6 +97,41 @@ def _write_text_atomic(path: str, text: str) -> None:
 def _write_json_atomic(path: str, obj: dict) -> None:
     _write_text_atomic(path, json.dumps(obj, indent=1))
 
+
+def _uniq(name: str) -> str:
+    """Unique metadata-file suffix: two concurrent committers deriving
+    file names from the same would-be snapshot id must never clobber
+    each other's manifests/manifest lists before the version race is
+    decided (the rebase loop keeps both sets alive)."""
+    import uuid as _uuid
+
+    stem, ext = os.path.splitext(name)
+    return f"{stem}-{_uuid.uuid4().hex[:8]}{ext}"
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed a metadata version this writer's
+    snapshot cannot be rebased over (non-append operations re-match
+    against a stale file inventory). The table is intact — re-read and
+    retry the whole operation."""
+
+
+def _write_json_if_absent(path: str, obj: dict) -> None:
+    """PUT-IF-ABSENT metadata write: hard-link a fsynced temp file into
+    place — os.link fails with FileExistsError when the target exists,
+    so two writers racing the same version number lose at the
+    filesystem, never silently (the jar-ful HadoopTableOperations does
+    exactly this rename-without-overwrite dance)."""
+    tmp = f"{path}.tmp.{os.getpid()}.{id(obj)}"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(obj, indent=1))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+
 # ---------------------------------------------------------------- type system
 
 
@@ -210,14 +245,23 @@ def spark_to_iceberg_schema(schema: T.StructType) -> dict:
 
 
 def latest_metadata_file(table_path: str) -> str:
-    """Latest metadata JSON: honor metadata/version-hint.text when present
-    (the HadoopTables layout), else highest numeric prefix among
-    v*.metadata.json / NNNNN-*.metadata.json."""
+    """Latest metadata JSON: start from metadata/version-hint.text when
+    present (the HadoopTables layout) and PROBE FORWARD while the next
+    version file exists — the metadata-file creation is the commit
+    point (put-if-absent, _write_json_if_absent) and the hint is a
+    best-effort optimization a crashed writer may leave stale, exactly
+    HadoopTableOperations' refresh behavior. Fallback: highest numeric
+    prefix among v*.metadata.json / NNNNN-*.metadata.json."""
     mdir = os.path.join(table_path, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
     if fsio.exists(hint):
         v = fsio.read_text(hint).strip()
         cand = os.path.join(mdir, f"v{v}.metadata.json")
+        if fsio.exists(cand) and v.isdigit():
+            n = int(v)
+            while fsio.exists(os.path.join(mdir, f"v{n + 1}.metadata.json")):
+                n += 1
+            return os.path.join(mdir, f"v{n}.metadata.json")
         if fsio.exists(cand):
             return cand
     files = (
@@ -354,30 +398,54 @@ def read_iceberg_py(
             return spark.createDataFrame([], spark_schema)
         snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
 
-    # identity partition fields of the default spec: partition-struct
-    # key → source column name (pruning is only sound for identity)
+    # partition fields of the default spec: source column → (struct
+    # key, transform, source type). Pruning maps the caller's
+    # source-value filter THROUGH the transform (identity included), so
+    # hidden-partitioned tables (days(ts), bucket(n, id), truncate)
+    # prune at the manifest level exactly like identity ones.
     specs = meta.get("partition-specs") or []
     default_spec = next(
         (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
         specs[0] if specs else None,
     )
-    part_key_by_col: dict[str, str] = {}
+    field_types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    part_fields_by_col: dict[str, list[tuple[str, str, str]]] = {}
     for f in (default_spec or {}).get("fields", []):
-        if f.get("transform") == "identity":
-            src_col = field_names.get(f.get("source-id"))
-            if src_col is not None:
-                part_key_by_col[src_col] = f["name"]
+        src_col = field_names.get(f.get("source-id"))
+        src_type = field_types.get(f.get("source-id"))
+        if src_col is not None and isinstance(src_type, str):
+            part_fields_by_col.setdefault(src_col, []).append(
+                (f["name"], f.get("transform", "identity"), src_type)
+            )
+
+    _allowed_cache: dict[tuple[str, str], set | None] = {}
+
+    def _allowed_transformed(col: str, key: str, tr: str, styp: str) -> set | None:
+        ck = (col, key)
+        if ck not in _allowed_cache:
+            from gcs2postgres_spark.sources.iceberg_transforms import (
+                apply_transform,
+            )
+
+            try:
+                _allowed_cache[ck] = {
+                    apply_transform(tr, v, styp) for v in partition_filter[col]
+                }
+            except (NotImplementedError, ValueError, TypeError):
+                _allowed_cache[ck] = None  # can't evaluate: never prune
+        return _allowed_cache[ck]
 
     def _pruned(dfile: dict) -> bool:
         if not partition_filter:
             return False
         part = dfile.get("partition") or {}
-        for col, allowed in partition_filter.items():
-            key = part_key_by_col.get(col)
-            if key is None or key not in part:
-                continue  # no identity value recorded: keep (cannot prune)
-            if part[key] not in allowed:
-                return True
+        for col in partition_filter:
+            for key, tr, styp in part_fields_by_col.get(col, ()):
+                if key not in part:
+                    continue  # no value recorded: keep (cannot prune)
+                allowed = _allowed_transformed(col, key, tr, styp)
+                if allowed is not None and part[key] not in allowed:
+                    return True
         return False
 
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
@@ -1123,7 +1191,13 @@ def _commit_schema_change(table_path: str, meta_path: str, meta: dict, new_schem
         meta["schema"] = new_schema
     version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
     mdir = os.path.join(table_path, "metadata")
-    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    try:
+        _write_json_if_absent(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent commit v{version} beat this metadata change; "
+            "re-read and retry"
+        ) from None
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
 
 
@@ -1406,7 +1480,13 @@ def expire_snapshots(
     meta["snapshots"] = kept_snaps
     version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
     mdir = os.path.join(table_path, "metadata")
-    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    try:
+        _write_json_if_absent(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent commit v{version} beat this metadata change; "
+            "re-read and retry"
+        ) from None
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
 
     removed = 0
@@ -1783,7 +1863,7 @@ def upsert_equality(
         _v2_entry(p, content=2, seq=new_seq, equality_ids=eq_ids, snapshot_id=sid)
         for p in sorted(glob.glob(os.path.join(eq_dir, "part-*.parquet")))
     ]
-    del_manifest = os.path.join(mdir, f"manifest-eqdeletes-{sid}.avro")
+    del_manifest = os.path.join(mdir, _uniq(f"manifest-eqdeletes-{sid}.avro"))
     write_avro_file(
         del_manifest, manifest_entry_schema_v2([]), delete_entries, codec="null"
     )
@@ -1820,13 +1900,12 @@ def upsert_equality(
         table_path,
         sid,
         new_seq,
-        part_struct_names,
-        part_src_cols,
+        ctx,
         _pid,
         pid_of,
     )
     if data_entries:
-        data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
+        data_manifest = os.path.join(mdir, _uniq(f"manifest-data-{sid}.avro"))
         write_avro_file(
             data_manifest,
             manifest_entry_schema_v2(part_avro),
@@ -1845,8 +1924,9 @@ def upsert_equality(
             }
         )
 
-    _v2_commit_snapshot(table_path, ctx, new_list_rows, new_seq, sid, now, "overwrite")
-    return sid
+    return _v2_commit_snapshot(
+        table_path, ctx, new_list_rows, new_seq, sid, now, "overwrite"
+    )
 
 
 def append_iceberg_v2(
@@ -1870,16 +1950,19 @@ def append_iceberg_v2(
     meta = ctx["meta"]
     schema_json = ctx["schema_json"]
     snapshot = ctx["snapshot"]
-    if snapshot is None:
-        raise ValueError(f"{table_path!r} has no current snapshot to append to")
     missing_cols = sorted(set(ctx["field_names"].values()) - set(df.columns))
     if missing_cols:
         raise ValueError(f"append source lacks table columns: {missing_cols}")
-    _, manifest_rows = read_avro_file(
-        _resolve(snapshot["manifest-list"], table_path, ctx["location"])
-    )
-    new_list_rows = list(manifest_rows)
-    sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
+    if snapshot is None:
+        # fresh table (create_iceberg_v2_table): first snapshot
+        new_list_rows = []
+        sid = 1
+    else:
+        _, manifest_rows = read_avro_file(
+            _resolve(snapshot["manifest-list"], table_path, ctx["location"])
+        )
+        new_list_rows = list(manifest_rows)
+        sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
     now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
     mdir = os.path.join(table_path, "metadata")
@@ -1901,14 +1984,14 @@ def append_iceberg_v2(
         table_path,
         sid,
         new_seq,
-        ctx["part_struct_names"],
-        ctx["part_src_cols"],
+        ctx,
         _pid,
         pid_of,
     )
     if not data_entries:
-        return int(snapshot["snapshot-id"])  # empty append: no commit
-    data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
+        # empty append: no commit (fresh empty table stays snapshotless)
+        return int(snapshot["snapshot-id"]) if snapshot is not None else -1
+    data_manifest = os.path.join(mdir, _uniq(f"manifest-data-{sid}.avro"))
     write_avro_file(
         data_manifest,
         manifest_entry_schema_v2(ctx["part_avro"]),
@@ -1926,8 +2009,9 @@ def append_iceberg_v2(
             "added_snapshot_id": sid,
         }
     )
-    _v2_commit_snapshot(table_path, ctx, new_list_rows, new_seq, sid, now, "append")
-    return sid
+    return _v2_commit_snapshot(
+        table_path, ctx, new_list_rows, new_seq, sid, now, "append"
+    )
 
 
 def rewrite_data_files(
@@ -2008,14 +2092,13 @@ def rewrite_data_files(
         table_path,
         sid,
         new_seq,
-        part_struct_names,
-        part_src_cols,
+        ctx,
         _pid,
         pid_of,
     )
     new_list_rows = []
     if data_entries:
-        data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
+        data_manifest = os.path.join(mdir, _uniq(f"manifest-data-{sid}.avro"))
         write_avro_file(
             data_manifest, manifest_entry_schema_v2(part_avro), data_entries, codec="null"
         )
@@ -2030,8 +2113,9 @@ def rewrite_data_files(
                 "added_snapshot_id": sid,
             }
         )
-    _v2_commit_snapshot(table_path, ctx, new_list_rows, new_seq, sid, now, "replace")
-    return sid
+    return _v2_commit_snapshot(
+        table_path, ctx, new_list_rows, new_seq, sid, now, "replace"
+    )
 
 
 def _v2_table_context(table_path: str, op: str) -> dict:
@@ -2066,22 +2150,39 @@ def _v2_table_context(table_path: str, op: str) -> dict:
         specs[0] if specs else None,
     )
     part_fields = (default_spec or {}).get("fields", [])
-    non_identity = [f for f in part_fields if f.get("transform") != "identity"]
-    if non_identity:
-        raise NotImplementedError(
-            f"{op} on an Iceberg table with non-identity partition "
-            f"transforms {sorted({f['transform'] for f in non_identity})}: "
-            f"table {_JAR_HINT}"
-        )
+    # Hidden-partitioning transforms (spec "Partition Transforms"):
+    # identity / bucket[N] / truncate[W] / year / month / day / hour are
+    # all supported for DML and appends — the committers route rows by
+    # the TRANSFORMED value (iceberg_transforms.transform_expr), and the
+    # manifest partition structs store the transform's result type.
+    from gcs2postgres_spark.sources.iceberg_transforms import (
+        parse_transform,
+        result_avro_type,
+    )
+
     part_avro: list[tuple[str, str]] = []
+    part_transforms: list[str] = []
     for f in part_fields:
         t = field_types[f["source-id"]]
-        if t not in ("int", "long", "string"):
+        tr = f.get("transform", "identity")
+        kind, _arg = parse_transform(tr)  # unknown transform: ValueError
+        ok = {
+            "identity": ("int", "long", "string"),
+            "truncate": ("int", "long", "string"),
+            "bucket": ("int", "long", "string", "date", "timestamp", "timestamptz"),
+            "year": ("date", "timestamp", "timestamptz"),
+            "month": ("date", "timestamp", "timestamptz"),
+            "day": ("date", "timestamp", "timestamptz"),
+            "hour": ("timestamp", "timestamptz"),
+        }.get(kind)
+        if ok is None or t not in ok:
             raise NotImplementedError(
-                f"identity partition on iceberg type {t!r} for jar-less {op}: "
+                f"{tr} partition on iceberg type {t!r} for jar-less {op}: "
                 f"table {_JAR_HINT}"
             )
-        part_avro.append((f["name"], t))
+        src_avro = {"int": "int", "long": "long", "string": "string"}.get(t, "int")
+        part_avro.append((f["name"], result_avro_type(tr, src_avro)))
+        part_transforms.append(tr)
     snapshots = meta.get("snapshots") or []
     snap_id = meta.get("current-snapshot-id")
     snapshot = None
@@ -2098,6 +2199,8 @@ def _v2_table_context(table_path: str, op: str) -> dict:
         "part_fields": part_fields,
         "part_struct_names": [f["name"] for f in part_fields],
         "part_src_cols": [field_names[f["source-id"]] for f in part_fields],
+        "part_src_types": [field_types[f["source-id"]] for f in part_fields],
+        "part_transforms": part_transforms,
         "part_avro": part_avro,
         "spec_id": int(meta.get("default-spec-id", 0)),
         "snapshots": snapshots,
@@ -2114,30 +2217,111 @@ def _v2_commit_snapshot(
     sid: int,
     now: int,
     operation: str,
-) -> None:
+) -> int:
     """Shared tail of every v2 committer: write the manifest list,
-    append the snapshot, bump sequence/version, and atomically repoint
-    the metadata (tmp + os.replace; see the atomic-commits note at the
-    top of this module)."""
-    meta, meta_path = ctx["meta"], ctx["meta_path"]
+    append the snapshot, bump sequence/version, and commit the metadata
+    with PUT-IF-ABSENT semantics (hard-link, no overwrite) plus
+    OPTIMISTIC-CONCURRENCY retry: when a concurrent writer wins the
+    version race, an APPEND rebases — its (immutable) data files get a
+    fresh manifest stamped with the new head's snapshot/sequence ids
+    and the commit retries on top of the winner; any other operation
+    raises CommitConflictError (its matched file inventory is stale).
+    This is the same conflict model the jar-ful HadoopTableOperations +
+    SnapshotProducer pair implements."""
+    meta, meta_path = dict(ctx["meta"]), ctx["meta_path"]
     mdir = os.path.join(table_path, "metadata")
-    mlist = os.path.join(mdir, f"snap-{sid}.avro")
-    write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
-    meta["last-sequence-number"] = new_seq
-    meta["last-updated-ms"] = now
-    meta["current-snapshot-id"] = sid
-    meta.setdefault("snapshots", []).append(
-        {
-            "snapshot-id": sid,
-            "sequence-number": new_seq,
-            "timestamp-ms": now,
-            "summary": {"operation": operation},
-            "manifest-list": os.path.abspath(mlist),
-        }
-    )
-    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
-    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
-    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+    while True:
+        mlist = os.path.join(mdir, _uniq(f"snap-{sid}.avro"))
+        write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
+        meta["last-sequence-number"] = new_seq
+        meta["last-updated-ms"] = now
+        meta["current-snapshot-id"] = sid
+        meta["snapshots"] = list(meta.get("snapshots") or []) + [
+            {
+                "snapshot-id": sid,
+                "sequence-number": new_seq,
+                "timestamp-ms": now,
+                "summary": {"operation": operation},
+                "manifest-list": os.path.abspath(mlist),
+            }
+        ]
+        version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+        try:
+            _write_json_if_absent(
+                os.path.join(mdir, f"v{version}.metadata.json"), meta
+            )
+        except FileExistsError:
+            if operation != "append":
+                raise CommitConflictError(
+                    f"concurrent commit v{version} of {table_path!r} beat this "
+                    f"{operation!r} snapshot; its file matches are stale — "
+                    "re-read and retry the operation"
+                ) from None
+            # APPEND REBASE: re-read the true head (ignore the hint — a
+            # crashed winner may not have updated it), restack OUR new
+            # manifests (rows this sid added) onto the head's list with
+            # fresh snapshot/sequence ids
+            def _ver(p: str) -> int:
+                m = re.match(r"v?(\d+)", os.path.basename(p))
+                return int(m.group(1)) if m else -1
+
+            heads = [
+                os.path.join(mdir, n)
+                for n in os.listdir(mdir)
+                if n.endswith(".metadata.json")
+            ]
+            head_path = max(heads, key=lambda p: (_ver(p), p))
+            head = json.loads(fsio.read_text(head_path))
+            head_snaps = head.get("snapshots") or []
+            head_cur = head.get("current-snapshot-id")
+            base_rows: list[dict] = []
+            if head_cur is not None and head_cur != -1 and head_snaps:
+                cur = next(s for s in head_snaps if s["snapshot-id"] == head_cur)
+                _, base_rows = read_avro_file(
+                    _resolve(cur["manifest-list"], table_path, head.get("location"))
+                )
+                base_rows = list(base_rows)
+            new_sid = max((s["snapshot-id"] for s in head_snaps), default=0) + 1
+            new_seq2 = int(head.get("last-sequence-number", 0)) + 1
+            ours = [
+                r for r in new_list_rows if r.get("added_snapshot_id") == sid
+            ]
+            rewritten = []
+            for i, r in enumerate(ours):
+                _, entries = read_avro_file(
+                    _resolve(r["manifest_path"], table_path, meta.get("location"))
+                )
+                for e in entries:
+                    e["sequence_number"] = new_seq2
+                    e["file_sequence_number"] = new_seq2
+                    e["snapshot_id"] = new_sid
+                import uuid as _uuid
+
+                newman = os.path.join(
+                    mdir, f"manifest-rebase-{new_sid}-{i}-{_uuid.uuid4().hex[:8]}.avro"
+                )
+                write_avro_file(
+                    newman,
+                    manifest_entry_schema_v2(ctx["part_avro"]),
+                    list(entries),
+                    codec="null",
+                )
+                rewritten.append(
+                    {
+                        **r,
+                        "manifest_path": os.path.abspath(newman),
+                        "manifest_length": os.path.getsize(newman),
+                        "sequence_number": new_seq2,
+                        "min_sequence_number": new_seq2,
+                        "added_snapshot_id": new_sid,
+                    }
+                )
+            new_list_rows = base_rows + rewritten
+            meta, meta_path = dict(head), head_path
+            sid, new_seq = new_sid, new_seq2
+            continue
+        _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+        return sid
 
 
 def _stage_v2_data_files(
@@ -2146,42 +2330,55 @@ def _stage_v2_data_files(
     table_path: str,
     sid: int,
     new_seq: int,
-    part_struct_names: list[str],
-    part_src_cols: list[str],
+    ctx: dict,
     _pid,
     pid_of: dict,
 ) -> list[dict]:
     """Write ``replacement`` as v2 data files (executor-side) and return
-    their manifest entries. Identity transform: the partition value IS
-    the source column value, so rows (which may introduce NEW partition
-    tuples) are routed by a broadcast value->pid map built from one
-    distinct() over the partition source columns — one row per distinct
-    tuple, the bound every partitioned committer pays. Data files keep
-    the partition columns (spec: identity-partitioned data files retain
-    the column, unlike Hive/Delta layouts); only the synthetic __pid is
-    dropped by partitionBy."""
+    their manifest entries. Rows (which may introduce NEW partition
+    tuples) are routed by a broadcast tuple->pid map built from one
+    distinct() over the TRANSFORMED partition values (identity: the
+    source value itself; bucket/truncate/day/...: computed executor-side
+    via iceberg_transforms.transform_expr) — one row per distinct
+    partition tuple, the bound every partitioned committer pays. Data
+    files keep ALL source columns (hidden partitioning: partition values
+    are derived, never stored in place of the source column); only the
+    synthetic routing columns are dropped."""
     import uuid
 
+    from gcs2postgres_spark.sources.iceberg_transforms import transform_expr
+
+    part_struct_names = ctx["part_struct_names"]
+    part_src_cols = ctx["part_src_cols"]
+    part_transforms = ctx["part_transforms"]
     commit_dir = os.path.join(table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}")
     data_entries: list[dict] = []
     if part_struct_names:
+        ptcols = [f"__pt_{i}" for i in range(len(part_struct_names))]
+        with_pt = replacement.select(
+            "*",
+            *[
+                transform_expr(tr, src, replacement.schema[src].dataType).alias(pt)
+                for tr, src, pt in zip(part_transforms, part_src_cols, ptcols)
+            ],
+        )
         new_tuples = [
-            tuple(r) for r in replacement.select(*part_src_cols).distinct().collect()
+            tuple(r) for r in with_pt.select(*ptcols).distinct().collect()
         ]
         map_fields = [
-            T.StructField(f"__pm_{i}", replacement.schema[c].dataType, True)
-            for i, c in enumerate(part_src_cols)
+            T.StructField(f"__pm_{i}", with_pt.schema[pc].dataType, True)
+            for i, pc in enumerate(ptcols)
         ]
         map_fields.append(T.StructField("__pid", T.IntegerType(), False))
         map_df = spark.createDataFrame(
             [t + (_pid(t),) for t in new_tuples], T.StructType(map_fields)
         )
         cond = None
-        for i, c in enumerate(part_src_cols):
-            cc = replacement[c].eqNullSafe(map_df[f"__pm_{i}"])
+        for i, pc in enumerate(ptcols):
+            cc = with_pt[pc].eqNullSafe(map_df[f"__pm_{i}"])
             cond = cc if cond is None else cond & cc
-        rep = replacement.join(F.broadcast(map_df), cond).drop(
-            *[f"__pm_{i}" for i in range(len(part_src_cols))]
+        rep = with_pt.join(F.broadcast(map_df), cond).drop(
+            *ptcols, *[f"__pm_{i}" for i in range(len(ptcols))]
         )
         rep.write.partitionBy("__pid").mode("overwrite").parquet(commit_dir)
         tup_of = {pid: tup for tup, pid in pid_of.items()}
@@ -2281,17 +2478,34 @@ def _v2_row_level_commit(
                 ids = tuple(sorted(dfile.get("equality_ids") or ()))
                 eq_deletes.append((path, seq, ids))
     if partition_filter and data_files:
-        # prune the MATCHING SCAN to the named identity partitions —
-        # manifest-level file skip, the same planning-time prune the
-        # read path performs. The caller guarantees the filter is
-        # implied by the predicate; delete files are NOT pruned (they
-        # apply to whatever files survive).
-        src_of = dict(zip(part_struct_names, part_src_cols))
+        # prune the MATCHING SCAN to the named partitions — manifest-
+        # level file skip, the same planning-time prune the read path
+        # performs. Source-column filter values are mapped THROUGH the
+        # partition transform (identity included); a filter keyed by the
+        # partition-struct name is treated as already-transformed. The
+        # caller guarantees the filter is implied by the predicate;
+        # delete files are NOT pruned (they apply to whatever files
+        # survive).
+        from gcs2postgres_spark.sources.iceberg_transforms import apply_transform
+
+        allowed_of: dict[str, set] = {}
+        for pname, src, tr, styp in zip(
+            part_struct_names, part_src_cols, ctx["part_transforms"],
+            ctx["part_src_types"],
+        ):
+            if src in partition_filter:
+                try:
+                    allowed_of[pname] = {
+                        apply_transform(tr, v, styp) for v in partition_filter[src]
+                    }
+                except (NotImplementedError, ValueError, TypeError):
+                    pass  # can't evaluate: never prune on this field
+            elif pname in partition_filter:
+                allowed_of[pname] = set(partition_filter[pname])
 
         def _keep(part: dict) -> bool:
-            for pname, src in src_of.items():
-                allowed = partition_filter.get(src, partition_filter.get(pname))
-                if allowed is not None and pname in part and part[pname] not in allowed:
+            for pname, allowed in allowed_of.items():
+                if pname in part and part[pname] not in allowed:
                     return False
             return True
 
@@ -2417,7 +2631,7 @@ def _v2_row_level_commit(
             if replacement is None:
                 return None  # nothing matched: no commit
         else:
-            del_manifest = os.path.join(mdir, f"manifest-deletes-{sid}.avro")
+            del_manifest = os.path.join(mdir, _uniq(f"manifest-deletes-{sid}.avro"))
             write_avro_file(
                 del_manifest,
                 manifest_entry_schema_v2(part_avro),
@@ -2443,13 +2657,12 @@ def _v2_row_level_commit(
             table_path,
             sid,
             new_seq,
-            part_struct_names,
-            part_src_cols,
+            ctx,
             _pid,
             pid_of,
         )
         if data_entries:
-            data_manifest = os.path.join(mdir, f"manifest-data-{sid}.avro")
+            data_manifest = os.path.join(mdir, _uniq(f"manifest-data-{sid}.avro"))
             write_avro_file(
                 data_manifest,
                 manifest_entry_schema_v2(part_avro),
@@ -2468,7 +2681,7 @@ def _v2_row_level_commit(
                 }
             )
 
-    _v2_commit_snapshot(
+    return _v2_commit_snapshot(
         table_path,
         ctx,
         new_list_rows,
@@ -2477,7 +2690,6 @@ def _v2_row_level_commit(
         now,
         "delete" if replacement is None else "overwrite",
     )
-    return sid
 
 
 # ---------------------------------------------------------- partitioned v1
@@ -2612,6 +2824,68 @@ def write_iceberg_v2_partitioned_fixture(
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
 
 
+def create_iceberg_v2_table(
+    schema: T.StructType,
+    table_path: str,
+    partition_spec: list[tuple[str, str]] | None = None,
+) -> None:
+    """CREATE TABLE for the jar-less v2 committers: write the table
+    metadata (schema + partition spec, including HIDDEN-PARTITIONING
+    transforms) with NO snapshot; the first ``append_iceberg_v2`` makes
+    snapshot 1. ``partition_spec`` is ``[(source_col, transform)]``
+    with transforms from the spec's grammar — ``identity``,
+    ``bucket[16]``, ``truncate[4]``, ``year``/``month``/``day``/
+    ``hour``. Field names follow the Java implementation's defaults
+    (``col``, ``col_bucket``, ``col_trunc``, ``col_day``, ...)."""
+    from gcs2postgres_spark.sources.iceberg_transforms import parse_transform
+
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            f"jar-less Iceberg CREATE is local-filesystem only. Got {table_path!r}"
+        )
+    ice = spark_to_iceberg_schema(schema)
+    ice["schema-id"] = 0
+    fid_of = {f["name"]: f["id"] for f in ice["fields"]}
+    spec_fields = []
+    for i, (src, tr) in enumerate(partition_spec or []):
+        if src not in fid_of:
+            raise ValueError(f"partition source column {src!r} not in schema")
+        kind, _ = parse_transform(tr)  # unknown transform: ValueError
+        suffix = {"identity": "", "bucket": "_bucket", "truncate": "_trunc"}.get(
+            kind, f"_{kind}"
+        )
+        spec_fields.append(
+            {
+                "name": f"{src}{suffix}",
+                "transform": tr,
+                "source-id": fid_of[src],
+                "field-id": 1000 + i,
+            }
+        )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000000c",
+        "location": os.path.abspath(table_path),
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": max(fid_of.values(), default=0),
+        "schemas": [ice],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+    }
+    mdir = os.path.join(table_path, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    _write_json_atomic(os.path.join(mdir, "v1.metadata.json"), meta)
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
+
+
 def write_iceberg_partitioned_fixture(
     df: DataFrame, table_path: str, partition_col: str
 ) -> None:
@@ -2693,7 +2967,13 @@ def rollback_to_snapshot(table_path: str, snapshot_id: int) -> None:
     meta["current-snapshot-id"] = snapshot_id
     mdir = os.path.join(table_path, "metadata")
     version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
-    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    try:
+        _write_json_if_absent(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent commit v{version} beat this metadata change; "
+            "re-read and retry"
+        ) from None
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
 
 def read_iceberg_meta(spark: SparkSession, table_path: str, kind: str) -> DataFrame:
@@ -2831,7 +3111,13 @@ def create_ref(
     meta["refs"] = refs
     mdir = os.path.join(table_path, "metadata")
     version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
-    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    try:
+        _write_json_if_absent(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent commit v{version} beat this metadata change; "
+            "re-read and retry"
+        ) from None
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
 
 
@@ -2852,5 +3138,11 @@ def drop_ref(table_path: str, name: str) -> None:
     meta["refs"] = refs
     mdir = os.path.join(table_path, "metadata")
     version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
-    _write_json_atomic(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    try:
+        _write_json_if_absent(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent commit v{version} beat this metadata change; "
+            "re-read and retry"
+        ) from None
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))

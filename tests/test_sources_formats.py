@@ -617,10 +617,12 @@ def test_iceberg_write_to_partitioned_table_refuses(spark, tmp_path):
         write_iceberg(df, table, "append", snapshot_ts_ms=999)
 
 
-def test_iceberg_non_identity_transform_dml_clear_error(spark, tmp_path):
-    """A bucket/truncate/days partition spec cannot be routed jar-lessly
-    (the transform function lives in the runtime) — must refuse with an
-    actionable error, never emit mis-scoped delete metadata."""
+def test_iceberg_transform_dml_supported_and_unsupported(spark, tmp_path):
+    """Round 12: bucket/truncate/day transforms ARE routed jar-lessly
+    (tests/test_iceberg_transforms.py covers the semantics); this pins
+    the boundary — a transform the committers genuinely cannot route
+    (unknown string, or a kind/type combo outside the spec) still
+    refuses with an actionable error, never emits mis-scoped metadata."""
     import json as _json
 
     import pyspark.sql.functions as F
@@ -628,6 +630,7 @@ def test_iceberg_non_identity_transform_dml_clear_error(spark, tmp_path):
     from gcs2postgres_spark.sources.iceberg_py import (
         delete_where,
         latest_metadata_file,
+        read_iceberg_py,
         write_iceberg_v2_partitioned_fixture,
     )
 
@@ -636,11 +639,19 @@ def test_iceberg_non_identity_transform_dml_clear_error(spark, tmp_path):
     write_iceberg_v2_partitioned_fixture(df, table, "g")
     meta_path = latest_metadata_file(table)
     meta = _json.loads(open(meta_path).read())
+    meta["partition-specs"][0]["fields"][0]["transform"] = "wibble[4]"
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    with pytest.raises(ValueError, match="unknown iceberg partition transform"):
+        delete_where(spark, table, "id = 1")
+    # a supported non-identity transform routes DML (values stay exact)
     meta["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
-    with pytest.raises(NotImplementedError, match="non-identity"):
-        delete_where(spark, table, "id = 1")
+    assert delete_where(spark, table, "id = 1", snapshot_ts_ms=999) is not None
+    assert sorted(r["id"] for r in read_iceberg_py(spark, table).collect()) == [
+        0, 2, 3, 4, 5, 6, 7,
+    ]
 
 
 def test_iceberg_field_id_rename_evolution(spark, tmp_path):
@@ -912,10 +923,16 @@ def test_iceberg_table_changes_feed(spark, tmp_path):
 
 
 def test_iceberg_atomic_commit_crash_window(spark, tmp_path, monkeypatch):
-    """Crash between the metadata-JSON write and the version-hint write
-    must leave readers on the OLD snapshot (the hint is the commit
-    point), leave no torn/tmp files the metadata listing trips over, and
-    a retried commit must succeed and atomically supersede the orphan."""
+    """Crash between the metadata-JSON write and the version-hint write:
+    since round 12 the METADATA FILE is the commit point (put-if-absent
+    via _write_json_if_absent) and the hint is a best-effort pointer
+    readers PROBE FORWARD from — exactly HadoopTableOperations'
+    behavior. So the crashed DELETE is COMMITTED: readers see it despite
+    the stale hint, a replayed DELETE is a no-op, and the next
+    successful commit heals the hint."""
+    import json as _json
+    import os
+
     from gcs2postgres_spark.sources import iceberg_py
 
     df = spark.range(10).selectExpr("id AS v", "CAST(id % 2 AS INT) AS grp")
@@ -935,12 +952,18 @@ def test_iceberg_atomic_commit_crash_window(spark, tmp_path, monkeypatch):
         iceberg_py.delete_where(spark, table, "grp = 1")
     monkeypatch.setattr(iceberg_py, "_write_text_atomic", real_atomic)
 
-    # reader follows the hint: still the pre-crash snapshot, full rows
-    assert iceberg_py.read_iceberg_py(spark, table).count() == 10
-    # retry lands: the orphan v2.metadata.json is atomically overwritten
-    sid = iceberg_py.delete_where(spark, table, "grp = 1")
+    hint = os.path.join(table, "metadata", "version-hint.text")
+    assert open(hint).read().strip() == "1"  # hint is stale...
+    assert iceberg_py.read_iceberg_py(spark, table).count() == 5  # ...commit landed
+    # replaying the delete matches nothing: honest no-op
+    assert iceberg_py.delete_where(spark, table, "grp = 1") is None
+    # the next real commit heals the hint
+    sid = iceberg_py.delete_where(spark, table, "grp = 0 AND v < 4")
     assert sid is not None
-    assert iceberg_py.read_iceberg_py(spark, table).count() == 5
+    assert int(open(hint).read().strip()) >= 3
+    assert iceberg_py.read_iceberg_py(spark, table).count() == 3
+    meta = _json.loads(open(iceberg_py.latest_metadata_file(table)).read())
+    assert meta["current-snapshot-id"] == sid
 
 
 def test_iceberg_v2_equality_delete_without_ids_clear_error(spark, tmp_path):
