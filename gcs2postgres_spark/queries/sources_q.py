@@ -2488,3 +2488,69 @@ def iceberg_transform_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+LAKEHOUSE_SELECT_ORACLE = """
+SELECT (SELECT count(*) FROM nation WHERE n_regionkey <> 2) AS cur_rows,
+       (SELECT count(*) FROM nation)                        AS v0_rows,
+       (SELECT count(*) FROM nation)                        AS ts_rows,
+       (SELECT count(*) FROM nation WHERE n_nationkey >= 5) AS ice_rows,
+       (SELECT count(*) FROM nation)                        AS tag_rows,
+       (SELECT count(*) FROM nation
+         WHERE n_regionkey <> 2 AND n_nationkey >= 5)       AS joined_rows
+"""
+
+
+@register("lakehouse_sql_select_roundtrip", oracle=LAKEHOUSE_SELECT_ORACLE)
+def lakehouse_sql_select_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL facade READ path: SELECT/WITH statements over
+    ``delta.`/p``` / ``iceberg.`/p``` references with time travel —
+    ``VERSION AS OF n``, ``TIMESTAMP AS OF 'ts'``, ``FOR REF tag`` —
+    rewritten onto jar-less-reader temp views and planned by Spark SQL
+    (one statement may join BOTH formats at DIFFERENT versions). This
+    completes the reference's SQL passthrough surface
+    (src/db/db.go:59) for reads; round 11 shipped it write-only."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import delete_where_delta, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        create_ref,
+        delete_where,
+        write_iceberg_v2_fixture,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    dt = tempfile.mkdtemp(prefix="lh_sel_d_")
+    it = tempfile.mkdtemp(prefix="lh_sel_i_")
+    try:
+        write_delta(nation.coalesce(1), dt, "overwrite",
+                    timestamp_ms=1_700_000_000_000)
+        delete_where_delta(spark, dt, "n_regionkey = 2",
+                           timestamp_ms=1_700_000_010_000)
+        write_iceberg_v2_fixture(nation, it, sort_col="n_nationkey")
+        create_ref(it, "stable", ref_type="tag")
+        delete_where(spark, it, "n_nationkey < 5",
+                     snapshot_ts_ms=1_700_000_020_000)
+        return lakehouse_sql(
+            spark,
+            f"WITH cur AS (SELECT * FROM delta.`{dt}`), "
+            f"v0 AS (SELECT * FROM delta.`{dt}` VERSION AS OF 0), "
+            # 2023-11-14 22:13:21 UTC = 1700000001s: between v0 and v1
+            f"ts AS (SELECT * FROM delta.`{dt}` TIMESTAMP AS OF "
+            "'2023-11-14 22:13:21'), "
+            f"ice AS (SELECT * FROM iceberg.`{it}`), "
+            f"tag AS (SELECT * FROM iceberg.`{it}` FOR REF stable) "
+            "SELECT (SELECT count(*) FROM cur) AS cur_rows, "
+            "(SELECT count(*) FROM v0) AS v0_rows, "
+            "(SELECT count(*) FROM ts) AS ts_rows, "
+            "(SELECT count(*) FROM ice) AS ice_rows, "
+            "(SELECT count(*) FROM tag) AS tag_rows, "
+            "(SELECT count(*) FROM cur JOIN ice USING (n_nationkey)) "
+            "AS joined_rows",
+        )
+    except BaseException:
+        shutil.rmtree(dt, ignore_errors=True)
+        shutil.rmtree(it, ignore_errors=True)
+        raise

@@ -1064,6 +1064,7 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
     live: dict[str, dict] = {}
     meta = None
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    txns: dict[str, dict] = {}
     for v in sorted(c for c in commits if c <= version):
         with open(commits[v]) as f:
             for line in f:
@@ -1078,6 +1079,10 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
                     meta = a["metaData"]
                 elif "protocol" in a:
                     protocol = a["protocol"]
+                elif "txn" in a:
+                    # latest setTransaction per appId survives the
+                    # checkpoint (protocol: checkpoints carry txn rows)
+                    txns[a["txn"]["appId"]] = a["txn"]
     rows = [
         {
             "add": {
@@ -1097,6 +1102,11 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
     ]
     rows.append({"metaData": meta})
     rows.append({"protocol": protocol})
+    rows.extend(
+        {"txn": {"appId": t["appId"], "version": int(t["version"]),
+                 "lastUpdated": int(t.get("lastUpdated") or 0)}}
+        for t in txns.values()
+    )
     cp_schema = (
         "add struct<path: string, partitionValues: map<string,string>, "
         "size: long, modificationTime: long, dataChange: boolean, "
@@ -1105,10 +1115,15 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
         "metaData struct<id: string, format: struct<provider: string>, "
         "schemaString: string, partitionColumns: array<string>, "
         "configuration: map<string,string>>, "
-        "protocol struct<minReaderVersion: int, minWriterVersion: int>"
+        "protocol struct<minReaderVersion: int, minWriterVersion: int>, "
+        "txn struct<appId: string, version: long, lastUpdated: long>"
     )
     cp_df = spark.createDataFrame(
-        [(r.get("add"), r.get("metaData"), r.get("protocol")) for r in rows], cp_schema
+        [
+            (r.get("add"), r.get("metaData"), r.get("protocol"), r.get("txn"))
+            for r in rows
+        ],
+        cp_schema,
     )
     tmp = os.path.join(log_dir, "_cp_tmp")
     cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1217,12 +1232,55 @@ def replay_head_state(
     return live, meta
 
 
+def last_txn_version(
+    spark: SparkSession, table_path: str, app_id: str
+) -> int:
+    """Highest ``txn`` (setTransaction) version recorded for ``app_id``
+    — the protocol's idempotent-writer bookkeeping. Streaming sinks
+    stamp ``txn={appId, version=batchId}`` into each commit and skip
+    micro-batches at or below this watermark, upgrading at-least-once
+    foreachBatch redelivery to EXACTLY-ONCE (the same mechanism
+    delta-spark's txnAppId/txnVersion options implement). Returns -1
+    when the app has no recorded transaction. Reads the checkpoint's
+    txn rows plus the JSON commits after it — O(log) driver work."""
+    log_dir = _log_dir(table_path)
+    if not fsio.isdir(log_dir):
+        return -1
+    best = -1
+    cp_version = -1
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if fsio.exists(lc):
+        cp_version = int(json.loads(fsio.read_text(lc))["version"])
+        cp_path = os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
+        if fsio.exists(cp_path):
+            cp = spark.read.parquet(cp_path)
+            if "txn" in cp.columns:
+                rows = (
+                    cp.filter(F.col("txn.appId") == app_id)
+                    .select(F.max("txn.version").alias("v"))
+                    .collect()
+                )
+                if rows and rows[0]["v"] is not None:
+                    best = int(rows[0]["v"])
+    commits = _list_commits(log_dir)
+    for v in sorted(c for c in commits if c > cp_version):
+        for line in fsio.read_text(commits[v]).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            t = a.get("txn")
+            if t and t.get("appId") == app_id:
+                best = max(best, int(t["version"]))
+    return best
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
     timestamp_ms: int | None = None,
+    txn: dict | None = None,
 ) -> int:
     """Jar-less Delta WRITE (protocol v1 reader / v2 writer): commit
     ``df`` to ``table_path`` and return the new version.
@@ -1313,7 +1371,7 @@ def write_delta(
     actions.extend(_stage_data_files(df, table_path, part_cols, now))
     version = _commit_with_rebase(
         log_dir, version, actions, now, operation="WRITE",
-        rebase_ok=(not fresh and mode == "append"),
+        rebase_ok=(not fresh and mode == "append"), txn=txn,
     )
     _auto_checkpoint(df.sparkSession, table_path, version)
     return version
@@ -1414,6 +1472,7 @@ def merge_delta(
     when_not_matched: str = "insert",
     latest_wins_on: list[str] | None = None,
     timestamp_ms: int | None = None,
+    txn: dict | None = None,
 ) -> int | None:
     """Jar-less Delta ``MERGE INTO`` (CDC upsert) via deletion vectors:
     one atomic commit that DV-deletes every target row whose ``on`` key
@@ -1470,7 +1529,8 @@ def merge_delta(
         if new_rows.isEmpty():
             return None
         return write_delta(
-            new_rows, table_path, mode="append", timestamp_ms=timestamp_ms
+            new_rows, table_path, mode="append", timestamp_ms=timestamp_ms,
+            txn=txn,
         )
 
     if latest_wins_on:
@@ -1522,7 +1582,8 @@ def merge_delta(
         if replacement.isEmpty():
             replacement = None
     return _dv_row_level_commit(
-        spark, table_path, matcher, replacement, timestamp_ms, operation="MERGE"
+        spark, table_path, matcher, replacement, timestamp_ms, operation="MERGE",
+        txn=txn,
     )
 
 
@@ -1534,6 +1595,7 @@ def _dv_row_level_commit(
     timestamp_ms: int | None,
     operation: str = "DELETE",
     partition_filter: dict[str, set] | None = None,
+    txn: dict | None = None,
 ) -> int | None:
     import time as _time
 
@@ -1708,7 +1770,8 @@ def _dv_row_level_commit(
         actions.extend(_stage_data_files(new_rows, table_path, part_cols, now))
     log_dir = _log_dir(table_path)
     version = _commit_with_rebase(
-        log_dir, base_version + 1, actions, now, operation=operation, rebase_ok=True
+        log_dir, base_version + 1, actions, now, operation=operation,
+        rebase_ok=True, txn=txn,
     )
     _auto_checkpoint(spark, table_path, version)
     return version

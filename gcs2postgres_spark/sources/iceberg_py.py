@@ -1637,6 +1637,7 @@ def merge_into(
     when_not_matched: str = "insert",
     latest_wins_on: list[str] | None = None,
     snapshot_ts_ms: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int | None:
     """Jar-less Iceberg v2 merge-on-read ``MERGE INTO`` (the CDC-apply
     shape): one atomic commit that position-deletes every target row
@@ -1711,7 +1712,7 @@ def merge_into(
         if new_rows.isEmpty():
             return None
         return append_iceberg_v2(
-            spark, table_path, new_rows, snapshot_ts_ms=snapshot_ts_ms
+            spark, table_path, new_rows, snapshot_ts_ms=snapshot_ts_ms, txn=txn
         )
 
     if latest_wins_on:
@@ -1768,9 +1769,11 @@ def merge_into(
         # pure delete of matched keys (or an all-matched upsert with
         # nothing to insert): fall through to the delete-only commit,
         # which returns None when nothing matched at all.
-        return _v2_row_level_commit(spark, table_path, matcher, None, snapshot_ts_ms)
+        return _v2_row_level_commit(
+            spark, table_path, matcher, None, snapshot_ts_ms, txn=txn
+        )
     return _v2_row_level_commit(
-        spark, table_path, matcher, replacement, snapshot_ts_ms
+        spark, table_path, matcher, replacement, snapshot_ts_ms, txn=txn
     )
 
 
@@ -1780,6 +1783,7 @@ def upsert_equality(
     source: DataFrame,
     on: list[str],
     snapshot_ts_ms: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """SCAN-FREE CDC upsert via EQUALITY DELETES (the streaming-writer
     pattern Flink's Iceberg sink uses): ONE v2 snapshot that appends
@@ -1925,7 +1929,10 @@ def upsert_equality(
         )
 
     return _v2_commit_snapshot(
-        table_path, ctx, new_list_rows, new_seq, sid, now, "overwrite"
+        table_path, ctx, new_list_rows, new_seq, sid, now, "overwrite",
+        summary_extra=(
+            {"app-id": txn[0], "batch-id": txn[1]} if txn else None
+        ),
     )
 
 
@@ -1934,6 +1941,7 @@ def append_iceberg_v2(
     table_path: str,
     df: DataFrame,
     snapshot_ts_ms: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Jar-less Iceberg v2 APPEND, including PARTITIONED tables: one
     snapshot whose manifest list is the current snapshot's rows plus a
@@ -2010,8 +2018,32 @@ def append_iceberg_v2(
         }
     )
     return _v2_commit_snapshot(
-        table_path, ctx, new_list_rows, new_seq, sid, now, "append"
+        table_path, ctx, new_list_rows, new_seq, sid, now, "append",
+        summary_extra=(
+            {"app-id": txn[0], "batch-id": txn[1]} if txn else None
+        ),
     )
+
+
+def last_txn_version_iceberg(table_path: str, app_id: str) -> int:
+    """Highest ``batch-id`` stamped in any snapshot summary for
+    ``app_id`` — the Iceberg twin of delta_py.last_txn_version (Flink's
+    sink records its checkpoint id in snapshot properties the same
+    way). Streaming sinks skip micro-batches at or below this
+    watermark, upgrading at-least-once redelivery to exactly-once.
+    Returns -1 when the app has no recorded batch. O(snapshots) driver
+    metadata work; expire_snapshots can age the record out, which only
+    re-allows a batch so old the checkpoint could never replay it."""
+    try:
+        meta = json.loads(fsio.read_text(latest_metadata_file(table_path)))
+    except FileNotFoundError:
+        return -1
+    best = -1
+    for snap in meta.get("snapshots") or []:
+        summ = snap.get("summary") or {}
+        if summ.get("app-id") == app_id and "batch-id" in summ:
+            best = max(best, int(summ["batch-id"]))
+    return best
 
 
 def rewrite_data_files(
@@ -2217,6 +2249,7 @@ def _v2_commit_snapshot(
     sid: int,
     now: int,
     operation: str,
+    summary_extra: dict | None = None,
 ) -> int:
     """Shared tail of every v2 committer: write the manifest list,
     append the snapshot, bump sequence/version, and commit the metadata
@@ -2236,12 +2269,17 @@ def _v2_commit_snapshot(
         meta["last-sequence-number"] = new_seq
         meta["last-updated-ms"] = now
         meta["current-snapshot-id"] = sid
+        summary = {"operation": operation}
+        if summary_extra:
+            # streaming exactly-once bookkeeping (Flink-sink style
+            # snapshot properties, e.g. app-id / batch-id)
+            summary.update({k: str(v) for k, v in summary_extra.items()})
         meta["snapshots"] = list(meta.get("snapshots") or []) + [
             {
                 "snapshot-id": sid,
                 "sequence-number": new_seq,
                 "timestamp-ms": now,
-                "summary": {"operation": operation},
+                "summary": summary,
                 "manifest-list": os.path.abspath(mlist),
             }
         ]
@@ -2405,6 +2443,7 @@ def _v2_row_level_commit(
     replacement: DataFrame | None,
     snapshot_ts_ms: int | None,
     partition_filter: dict[str, set] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int | None:
     import time as _time
     import uuid
@@ -2689,6 +2728,9 @@ def _v2_row_level_commit(
         sid,
         now,
         "delete" if replacement is None else "overwrite",
+        summary_extra=(
+            {"app-id": txn[0], "batch-id": txn[1]} if txn else None
+        ),
     )
 
 

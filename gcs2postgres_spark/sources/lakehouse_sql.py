@@ -119,16 +119,81 @@ def _parse_set(set_clause: str) -> dict[str, str]:
     return out
 
 
+_SELECT_TBL = re.compile(
+    rf"{_TBL}"
+    r"(?:\s+(?:"
+    r"VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+    r"|FOR\s+REF\s+(?P<ref>\w+)"
+    r"))?",
+    re.IGNORECASE,
+)
+
+
+def _epoch_ms(ts: str) -> int:
+    """'2024-01-31 12:00:00[.ffffff]' (UTC) → epoch ms."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(ts)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp() * 1000)
+
+
+def _rewrite_select(spark: SparkSession, stmt: str) -> str:
+    """Replace every ``delta.`/p``` / ``iceberg.`/p``` table reference
+    (with optional ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'`` /
+    ``FOR REF name`` time travel) in a SELECT/WITH statement by a temp
+    view fed from the jar-less reader, and return the rewritten SQL.
+    Everything else in the statement passes through to Spark SQL
+    verbatim — joins, CTEs, aggregates over lakehouse tables all work."""
+    from gcs2postgres_spark.sources import delta_py, iceberg_py
+
+    out, pos, n = [], 0, 0
+    for m in _SELECT_TBL.finditer(stmt):
+        fmt, path = m["fmt"].lower(), m["path"]
+        v = int(m["v"]) if m["v"] else None
+        ts_ms = _epoch_ms(m["ts"]) if m["ts"] else None
+        ref = m["ref"]
+        if fmt == "delta":
+            if ref is not None:
+                raise ValueError("FOR REF is an Iceberg feature (named refs)")
+            df = delta_py.read_delta_py(
+                spark, path, version_as_of=v, timestamp_as_of_ms=ts_ms
+            )
+        else:
+            df = iceberg_py.read_iceberg_py(
+                spark, path, snapshot_id=v, as_of_ms=ts_ms, ref=ref
+            )
+        view = f"__lakehouse_sql_v{n}"
+        n += 1
+        df.createOrReplaceTempView(view)
+        out.append(stmt[pos : m.start()])
+        out.append(view)
+        pos = m.end()
+    out.append(stmt[pos:])
+    return "".join(out)
+
+
 def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
     """Execute one lakehouse SQL statement against a jar-less table.
 
     Returns what the underlying committer returns: the new
     version/snapshot id (or None for a no-op DML), the reclaimed file
-    count for VACUUM, or a DataFrame for DESCRIBE HISTORY. See the
-    module docstring for the grammar."""
+    count for VACUUM, a DataFrame for DESCRIBE HISTORY — or, for
+    ``SELECT``/``WITH`` statements (optionally with ``VERSION AS OF n``
+    / ``TIMESTAMP AS OF 'ts'`` / ``FOR REF name`` time travel after a
+    table reference), the query's DataFrame. See the module docstring
+    for the grammar."""
     from gcs2postgres_spark.sources import delta_py, iceberg_py
 
     s = _norm(stmt)
+
+    if re.match(r"(?i)\s*(SELECT|WITH)\b", s):
+        # reads: substitute jar-less-reader temp views, let Spark SQL
+        # plan the rest (pushdown/pruning apply to the parquet scans
+        # the readers build)
+        return spark.sql(_rewrite_select(spark, s))
 
     m = re.fullmatch(rf"(?i)DELETE FROM {_TBL} WHERE (?P<pred>.+)", s)
     if m:

@@ -22,8 +22,18 @@ is the production pattern for stream upserts in either shape.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _app_id(checkpoint_dir: str, app_id: str | None) -> str:
+    """Stable writer identity for exactly-once bookkeeping: defaults to
+    the checkpoint location, which IS the stream's identity (restarts
+    from the same checkpoint are the same logical writer; a new
+    checkpoint dir is a new stream with its own batch-id sequence)."""
+    return app_id or f"spark-graft-cdc:{os.path.abspath(checkpoint_dir)}"
 
 
 def latest_wins(
@@ -45,20 +55,42 @@ def stream_upsert_delta(
     key_cols: list[str],
     seq_cols: list[str],
     checkpoint_dir: str,
+    app_id: str | None = None,
 ):
     """Start a foreachBatch query folding the stream into a latest-wins
-    Delta table at ``table_path``. Returns the StreamingQuery."""
-    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    Delta table at ``table_path``. Returns the StreamingQuery.
 
-    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+    .. warning:: **O(table) per micro-batch** — every trigger reads the
+       whole table, re-deduplicates, and rewrites every file. This is
+       the simplest atomic fold and fine for small reference tables; at
+       large scale use ``stream_merge_delta`` (touches only the files
+       holding beaten rows) or ``stream_equality_upsert_iceberg``
+       (scan-free, O(batch) regardless of table size) instead.
+
+    EXACTLY-ONCE: each commit stamps ``txn`` (appId = the checkpoint
+    identity, version = batchId) and already-recorded batch ids are
+    skipped, so a crash between the Delta commit and the checkpoint
+    advance cannot double-apply the replayed batch."""
+    from gcs2postgres_spark.sources.delta_py import (
+        last_txn_version,
+        read_delta_py,
+        write_delta,
+    )
+
+    app = _app_id(checkpoint_dir, app_id)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if batch_id <= last_txn_version(spark, table_path, app):
+            return  # at-least-once redelivery of an applied batch
         try:
             current = read_delta_py(spark, table_path)
             merged_src = current.unionByName(batch.select(*current.columns))
         except FileNotFoundError:
             merged_src = batch
         merged = latest_wins(merged_src, key_cols, seq_cols)
-        write_delta(merged, table_path, "overwrite")
+        write_delta(merged, table_path, "overwrite",
+                    txn={"appId": app, "version": batch_id})
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -74,6 +106,7 @@ def stream_merge_delta(
     key_cols: list[str],
     seq_cols: list[str],
     checkpoint_dir: str,
+    app_id: str | None = None,
 ):
     """The MERGE-INTO upgrade of stream_upsert_delta: each micro-batch
     is deduped to its per-key winner, then applied with
@@ -90,21 +123,28 @@ def stream_merge_delta(
     double-apply. The test pins stream == batch equality against the
     one-shot latest-wins answer."""
     from gcs2postgres_spark.sources.delta_py import (
+        last_txn_version,
         merge_delta,
         read_delta_py,
         write_delta,
     )
 
-    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+    app = _app_id(checkpoint_dir, app_id)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if batch_id <= last_txn_version(spark, table_path, app):
+            return  # already applied: exactly-once skip
         winners = latest_wins(batch, key_cols, seq_cols)
         try:
             read_delta_py(spark, table_path)  # existence probe (metadata only)
         except FileNotFoundError:
-            write_delta(winners, table_path, "overwrite")
+            write_delta(winners, table_path, "overwrite",
+                        txn={"appId": app, "version": batch_id})
             return
         merge_delta(
-            spark, table_path, winners, key_cols, latest_wins_on=seq_cols
+            spark, table_path, winners, key_cols, latest_wins_on=seq_cols,
+            txn={"appId": app, "version": batch_id},
         )
 
     return (
@@ -122,6 +162,7 @@ def stream_equality_upsert_iceberg(
     seq_cols: list[str],
     checkpoint_dir: str,
     compact_every: int = 20,
+    app_id: str | None = None,
 ):
     """The SCAN-FREE streaming upsert (exactly Flink's Iceberg-sink
     shape): each micro-batch is deduped to its per-key winner and
@@ -142,21 +183,32 @@ def stream_equality_upsert_iceberg(
     for high-frequency small batches over huge tables; the merge sinks
     for order-unsafe sources."""
     from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        last_txn_version_iceberg,
         latest_metadata_file,
         rewrite_data_files,
         upsert_equality,
-        write_iceberg_v2_fixture,
     )
+
+    app = _app_id(checkpoint_dir, app_id)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if batch_id <= last_txn_version_iceberg(table_path, app):
+            return  # already applied: exactly-once skip (this sink is
+            # NOT content-idempotent on replay without it — it would
+            # stack an extra snapshot per redelivery)
         winners = latest_wins(batch, key_cols, seq_cols)
         try:
             latest_metadata_file(table_path)
         except FileNotFoundError:
-            write_iceberg_v2_fixture(winners, table_path, sort_col=key_cols[0])
+            create_iceberg_v2_table(winners.schema, table_path)
+            append_iceberg_v2(spark, table_path, winners,
+                              txn=(app, batch_id))
             return
-        upsert_equality(spark, table_path, winners, key_cols)
+        upsert_equality(spark, table_path, winners, key_cols,
+                        txn=(app, batch_id))
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             rewrite_data_files(spark, table_path)
 
@@ -174,6 +226,7 @@ def stream_merge_iceberg(
     key_cols: list[str],
     seq_cols: list[str],
     checkpoint_dir: str,
+    app_id: str | None = None,
 ):
     """The Iceberg twin of stream_merge_delta: per-batch latest-wins
     dedupe + conditional MERGE (iceberg_py.merge_into latest_wins_on) —
@@ -184,21 +237,30 @@ def stream_merge_iceberg(
     the table as a v2 fixture so subsequent batches have a snapshot to
     merge into."""
     from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        last_txn_version_iceberg,
         latest_metadata_file,
         merge_into,
-        write_iceberg_v2_fixture,
     )
 
-    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+    app = _app_id(checkpoint_dir, app_id)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if batch_id <= last_txn_version_iceberg(table_path, app):
+            return  # already applied: exactly-once skip
         winners = latest_wins(batch, key_cols, seq_cols)
         try:
             latest_metadata_file(table_path)  # existence probe (metadata only)
         except FileNotFoundError:
-            write_iceberg_v2_fixture(winners, table_path, sort_col=key_cols[0])
+            create_iceberg_v2_table(winners.schema, table_path)
+            append_iceberg_v2(spark, table_path, winners,
+                              txn=(app, batch_id))
             return
         merge_into(
-            spark, table_path, winners, key_cols, latest_wins_on=seq_cols
+            spark, table_path, winners, key_cols, latest_wins_on=seq_cols,
+            txn=(app, batch_id),
         )
 
     return (

@@ -1201,3 +1201,57 @@ def test_update_unknown_set_column_raises_even_on_no_match(spark, tmp_path):
     write_iceberg_v2_fixture(_ice_nation(spark), it, sort_col="k")
     with pytest.raises(ValueError, match="unknown columns"):
         update_where(spark, it, "k = 99999", {"nope": "'x'"})
+
+
+def test_lakehouse_sql_select_and_time_travel(spark, tmp_path):
+    """SQL facade READS: SELECT/WITH over delta.`p` / iceberg.`p` with
+    VERSION AS OF / TIMESTAMP AS OF / FOR REF time travel — the same
+    front door the DML statements use, so a reference user's SELECT
+    passthrough works without calling the readers directly."""
+    from gcs2postgres_spark.sources.delta_py import delete_where_delta, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        create_ref,
+        delete_where,
+        write_iceberg_v2_fixture,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    dt = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), dt, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    delete_where_delta(spark, dt, "region = 2", timestamp_ms=1_700_000_010_000)
+
+    it = str(tmp_path / "i")
+    write_iceberg_v2_fixture(_ice_nation(spark), it, sort_col="k")
+    create_ref(it, "stable", ref_type="tag")
+    delete_where(spark, it, "k < 5", snapshot_ts_ms=1_700_000_020_000)
+
+    # plain read
+    assert lakehouse_sql(spark, f"SELECT count(*) AS n FROM delta.`{dt}`")\
+        .collect()[0]["n"] == 18
+    # delta version + timestamp travel
+    assert lakehouse_sql(
+        spark, f"SELECT count(*) AS n FROM delta.`{dt}` VERSION AS OF 0"
+    ).collect()[0]["n"] == 24
+    assert lakehouse_sql(
+        spark,
+        f"SELECT count(*) AS n FROM delta.`{dt}` "
+        "TIMESTAMP AS OF '2023-11-14 22:13:21'",  # = 1700000001 UTC
+    ).collect()[0]["n"] == 24
+    # iceberg plain + tag
+    assert lakehouse_sql(spark, f"SELECT count(*) AS n FROM iceberg.`{it}`")\
+        .collect()[0]["n"] == 19
+    assert lakehouse_sql(
+        spark, f"SELECT count(*) AS n FROM iceberg.`{it}` FOR REF stable"
+    ).collect()[0]["n"] == 24
+    # WITH + join across BOTH formats and versions in one statement
+    out = lakehouse_sql(
+        spark,
+        f"WITH old AS (SELECT k FROM delta.`{dt}` VERSION AS OF 0), "
+        f"cur AS (SELECT k FROM iceberg.`{it}`) "
+        "SELECT count(*) AS joined FROM old JOIN cur USING (k)",
+    ).collect()
+    assert out[0]["joined"] == 19
+    # FOR REF on delta is loud
+    with pytest.raises(ValueError, match="Iceberg feature"):
+        lakehouse_sql(spark, f"SELECT * FROM delta.`{dt}` FOR REF x")
