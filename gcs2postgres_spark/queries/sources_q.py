@@ -11,6 +11,7 @@ the same aggregate straight from the parquet view, so any decode drift
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -2553,4 +2554,143 @@ def lakehouse_sql_select_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     except BaseException:
         shutil.rmtree(dt, ignore_errors=True)
         shutil.rmtree(it, ignore_errors=True)
+        raise
+
+
+CONSTRAINTS_ORACLE = """
+WITH updated AS (
+  SELECT n_nationkey,
+         CASE WHEN n_regionkey = 1 THEN 'OK_' || n_name ELSE n_name END AS name,
+         n_regionkey
+  FROM nation)
+SELECT n_regionkey                      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(name)                        AS first_name
+FROM updated
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_constraints_roundtrip", oracle=CONSTRAINTS_ORACLE)
+def delta_constraints_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECK-constraint enforcement (writer protocol feature 3):
+    ALTER ADD CONSTRAINT validates existing rows and upgrades the
+    writer protocol; a jar-less UPDATE whose rewritten rows VIOLATE the
+    constraint fails naming it and commits NOTHING (the read back
+    proves the table is untouched by the refused write); a conforming
+    UPDATE applies. The oracle reproduces the conforming-update-only
+    state, so any leak of the refused write's rows breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_add_constraint,
+        read_delta_py,
+        update_where_delta,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_constraints_")
+    try:
+        write_delta(nation.coalesce(1), tmp, "overwrite",
+                    timestamp_ms=1_700_000_000_000)
+        alter_delta_add_constraint(spark, tmp, "key_bounded",
+                                   "n_nationkey < 1000")
+        # the refused write: would push keys past the bound
+        try:
+            update_where_delta(spark, tmp, "n_regionkey = 0",
+                               {"n_nationkey": "n_nationkey + 100000"},
+                               timestamp_ms=1_700_000_001_000)
+            raise AssertionError("constraint violation was not refused")
+        except ValueError as e:
+            assert "key_bounded" in str(e)
+        # the conforming write applies
+        update_where_delta(spark, tmp, "n_regionkey = 1",
+                           {"n_name": "concat('OK_', n_name)"},
+                           timestamp_ms=1_700_000_002_000)
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+INSERT_CTAS_ORACLE = """
+WITH base AS (
+  SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation
+), ctas AS (
+  SELECT * FROM base WHERE region < 3
+), ins AS (
+  SELECT k + 1000 AS k, name, region FROM base WHERE region = 4
+), final AS (
+  SELECT * FROM ctas UNION ALL SELECT * FROM ins
+  UNION ALL SELECT 900 AS k, 'MANUAL' AS name, 9 AS region
+)
+SELECT region,
+       count(*)                 AS n_rows,
+       CAST(sum(k) AS BIGINT)   AS key_sum,
+       min(name)                AS first_name
+FROM final
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("lakehouse_sql_insert_ctas_roundtrip", oracle=INSERT_CTAS_ORACLE)
+def lakehouse_sql_insert_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL facade WRITE statements: CREATE TABLE iceberg.`p`
+    PARTITIONED BY (bucket(4, k)) AS SELECT (CTAS with a hidden-
+    partition transform, fed by a facade-rewritten SELECT over a Delta
+    table), INSERT INTO ... SELECT (cross-format, appended atomically),
+    and INSERT INTO ... VALUES (positional binding to the table's
+    columns). The read back goes through the jar-less Iceberg reader,
+    so mis-routed partitions or dropped appends break the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import write_delta
+    from gcs2postgres_spark.sources.iceberg_py import read_iceberg_py
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS k", "n_name AS name", "n_regionkey AS region"
+    )
+    dt = tempfile.mkdtemp(prefix="lh_ins_d_")
+    it = tempfile.mkdtemp(prefix="lh_ins_i_") + "/t"
+    try:
+        write_delta(nation.coalesce(1), dt, "overwrite",
+                    timestamp_ms=1_700_000_000_000)
+        lakehouse_sql(
+            spark,
+            f"CREATE TABLE iceberg.`{it}` PARTITIONED BY (bucket(4, k)) AS "
+            f"SELECT * FROM delta.`{dt}` WHERE region < 3",
+        )
+        lakehouse_sql(
+            spark,
+            f"INSERT INTO iceberg.`{it}` SELECT k + 1000 AS k, name, region "
+            f"FROM delta.`{dt}` WHERE region = 4",
+        )
+        lakehouse_sql(spark, f"INSERT INTO iceberg.`{it}` VALUES (900, 'MANUAL', 9)")
+        df = read_iceberg_py(spark, it)
+        return (
+            df.groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("k").cast("long").alias("key_sum"),
+                F.min("name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(dt, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(it), ignore_errors=True)
         raise

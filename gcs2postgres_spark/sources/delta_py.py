@@ -138,6 +138,112 @@ def _check_protocol(protocol: dict) -> None:
         )
 
 
+def _head_protocol(table_path: str) -> dict:
+    """Latest protocol action (checkpoint default + JSON commits) — the
+    WRITER-side gate input. O(log) driver text scan."""
+    log_dir = _log_dir(table_path)
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if not fsio.isdir(log_dir):
+        return protocol
+    commits = _list_commits(log_dir)
+    for v in sorted(commits):
+        for line in fsio.read_text(commits[v]).splitlines():
+            if '"protocol"' not in line:
+                continue
+            a = json.loads(line)
+            if "protocol" in a:
+                protocol = a["protocol"]
+    return protocol
+
+
+# Writer features the jar-less committers HONOR (enforce or natively
+# support); anything else on a v7 writer table is refused — writing
+# while ignoring an unknown writer feature is silent corruption (e.g.
+# rowTracking tables expect per-file base row ids the committer cannot
+# mint).
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",          # enforced: delta.appendOnly blocks row removal
+    "invariants",          # enforced as CHECK constraints
+    "checkConstraints",    # enforced: _enforce_table_constraints
+    "generatedColumns",    # enforced: provided values validated vs expr
+    "deletionVectors",     # native (dv_roaring)
+    "changeDataFeed",      # native (delta_table_changes)
+    "columnMapping",       # guarded at metaData time
+    "timestampNtz",
+}
+
+
+def _check_writer_protocol(protocol: dict, op: str) -> None:
+    if int(protocol.get("minWriterVersion", 2)) >= 7:
+        unsupported = set(protocol.get("writerFeatures") or []) - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                f"delta table requires writer features {sorted(unsupported)} "
+                f"this jar-less {op} cannot honor (writing anyway would "
+                f"corrupt the table's contract); {_DELTA_JAR_HINT}"
+            )
+
+
+def _enforce_table_constraints(meta: dict, new_rows: DataFrame | None, op: str) -> None:
+    """Writer-side enforcement of the table's declared row contracts on
+    the rows ``op`` is about to add — the same validation a jar-ful
+    writer runs:
+
+    - CHECK constraints (``delta.constraints.<name>`` in the table
+      configuration): a row where the expression is FALSE fails the
+      write, named; NULL passes (SQL CHECK semantics).
+    - column invariants (``delta.invariants`` in a field's metadata).
+    - generated columns (``delta.generationExpression`` in a field's
+      metadata): the provided value must EQUAL the expression's result
+      (the jar-less writer validates rather than computes, so a caller
+      that supplies drifted values is caught, not silently trusted).
+
+    One distributed ``filter(...).take(1)`` per declared rule —
+    predicate-pushed, early-terminating, zero cost when none declared.
+    """
+    if new_rows is None:
+        return
+    rules: list[tuple[str, str]] = []  # (label, violation expr)
+    config = meta.get("configuration") or {}
+    for key, expr in config.items():
+        if key.startswith("delta.constraints."):
+            rules.append(
+                (f"CHECK constraint {key[len('delta.constraints.'):]!r} ({expr})",
+                 f"NOT coalesce(({expr}), true)")
+            )
+    try:
+        fields = json.loads(meta.get("schemaString") or "{}").get("fields") or []
+    except ValueError:
+        fields = []
+    for f in fields:
+        fmeta = f.get("metadata") or {}
+        inv = fmeta.get("delta.invariants")
+        if inv:
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise NotImplementedError(
+                    f"unparseable delta.invariants on column {f['name']!r}: "
+                    f"{inv!r}; {_DELTA_JAR_HINT}"
+                ) from None
+            rules.append(
+                (f"column invariant on {f['name']!r} ({expr})",
+                 f"NOT coalesce(({expr}), true)")
+            )
+        gen = fmeta.get("delta.generationExpression")
+        if gen:
+            rules.append(
+                (f"generated column {f['name']!r} (= {gen})",
+                 f"NOT (`{f['name']}` <=> ({gen}))")
+            )
+    for label, violation in rules:
+        bad = new_rows.filter(F.expr(violation)).take(1)
+        if bad:
+            raise ValueError(
+                f"{op} violates {label}: e.g. {bad[0].asDict()!r}"
+            )
+
+
 def _dv_location(table_path: str, dv: dict) -> tuple[str, str]:
     """Resolve a deletion-vector descriptor to ('file', absolute path)
     or ('inline', z85 payload), per the protocol's storageType rules:
@@ -859,6 +965,53 @@ def alter_delta_add_column(
     return version
 
 
+def alter_delta_add_constraint(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    expr: str,
+    timestamp_ms: int = 1_700_000_007_000,
+) -> int:
+    """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``: validates
+    the EXISTING rows first (a table already violating the constraint
+    must refuse it — real Delta semantics), then commits the
+    configuration entry plus the writer-protocol upgrade
+    (minWriterVersion 3 / checkConstraints) so every writer — including
+    jar-ful ones — knows to enforce it. Subsequent jar-less writes
+    enforce via _enforce_table_constraints."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    _, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    key = f"delta.constraints.{name}"
+    config = dict(meta.get("configuration") or {})
+    if key in config:
+        raise ValueError(f"constraint {name!r} already exists ({config[key]})")
+    existing = read_delta_py(spark, table_path)
+    bad = existing.filter(F.expr(f"NOT coalesce(({expr}), true)")).take(1)
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r}: existing rows violate "
+            f"({expr}), e.g. {bad[0].asDict()!r}"
+        )
+    config[key] = expr
+    new_meta = dict(meta)
+    new_meta["configuration"] = config
+    protocol = _head_protocol(table_path)
+    actions: list[dict] = []
+    if int(protocol.get("minWriterVersion", 2)) < 3:
+        actions.append(
+            {"protocol": {"minReaderVersion": int(protocol.get("minReaderVersion", 1)),
+                          "minWriterVersion": 3}}
+        )
+    actions.append({"metaData": new_meta})
+    log_dir = _log_dir(table_path)
+    version = max(_list_commits(log_dir)) + 1
+    _write_commit(log_dir, version, actions, timestamp_ms, operation="ADD CONSTRAINT")
+    return version
+
+
 def write_delta_column_mapping_fixture(
     df: DataFrame,
     table_path: str,
@@ -1335,6 +1488,15 @@ def write_delta(
             with open(os.path.join(log_dir, "_last_checkpoint")) as f:
                 version = int(json.load(f)["version"]) + 1
         live, meta = replay_head_state(df.sparkSession, table_path)
+        _check_writer_protocol(_head_protocol(table_path), "WRITE")
+        if meta is not None:
+            cfg = meta.get("configuration") or {}
+            if mode == "overwrite" and cfg.get("delta.appendOnly") == "true":
+                raise ValueError(
+                    "delta.appendOnly=true forbids overwrite (row removal); "
+                    "append or create a new table path"
+                )
+            _enforce_table_constraints(meta, df, "WRITE")
         if ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         ) != "none":
@@ -1629,6 +1791,12 @@ def _dv_row_level_commit(
     live, meta = replay_head_state(spark, table_path)
     if meta is None:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
+    _check_writer_protocol(_head_protocol(table_path), operation)
+    if (meta.get("configuration") or {}).get("delta.appendOnly") == "true":
+        raise ValueError(
+            f"delta.appendOnly=true forbids {operation} (row removal)"
+        )
+    _enforce_table_constraints(meta, new_rows, operation)
     cm_mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
     if new_rows is not None and cm_mode != "none":
         raise NotImplementedError(
@@ -2116,6 +2284,7 @@ def compact_delta(
     live, meta = replay_head_state(spark, table_path)
     if meta is None:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
+    _check_writer_protocol(_head_protocol(table_path), "OPTIMIZE")
     if (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none") != "none":
         raise NotImplementedError(
             "jar-less Delta OPTIMIZE on a column-mapping table would store "

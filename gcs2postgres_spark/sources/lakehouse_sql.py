@@ -6,6 +6,10 @@ module gives the jar-less Delta/Iceberg layers the same front door so a
 user can issue the familiar statements instead of calling committer
 functions:
 
+    SELECT * FROM delta.`/p` VERSION AS OF 3
+    SELECT * FROM iceberg.`/p` FOR REF release_tag
+    INSERT INTO delta.`/p` SELECT ... | VALUES (...)
+    CREATE TABLE iceberg.`/p` PARTITIONED BY (days(ts), bucket(16, id)) AS SELECT ...
     DELETE FROM delta.`/path/to/table` WHERE region = 2
     UPDATE iceberg.`/p` SET name = concat('U_', name) WHERE k = 1
     MERGE INTO delta.`/p` t USING src_view s ON t.k = s.k
@@ -195,6 +199,84 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         # the readers build)
         return spark.sql(_rewrite_select(spark, s))
 
+    m = re.fullmatch(rf"(?i)INSERT INTO {_TBL} (?P<q>(?:SELECT|WITH|VALUES)\b.+)", s)
+    if m:
+        # INSERT INTO t <query>: the query may itself read lakehouse
+        # tables (time travel included); rows append atomically
+        rows = spark.sql(_rewrite_select(spark, m["q"]))
+        if re.match(r"(?i)VALUES\b", m["q"]):
+            # VALUES rows are positional: bind them to the target's
+            # column names (cols1/col2 aliases would corrupt the files)
+            if m["fmt"] == "delta":
+                target_cols = delta_py.read_delta_py(spark, m["path"]).columns
+            else:
+                target_cols = iceberg_py.read_iceberg_py(spark, m["path"]).columns
+            if len(rows.columns) != len(target_cols):
+                raise ValueError(
+                    f"INSERT VALUES arity {len(rows.columns)} != table "
+                    f"columns {len(target_cols)} ({target_cols})"
+                )
+            rows = rows.toDF(*target_cols)
+        if m["fmt"] == "delta":
+            return delta_py.write_delta(rows, m["path"], mode="append")
+        return iceberg_py.append_iceberg_v2(spark, m["path"], rows)
+
+    m = re.fullmatch(
+        rf"(?i)CREATE TABLE {_TBL}"
+        r"(?: PARTITIONED BY \((?P<parts>(?:[^()]|\([^()]*\))+)\))?"
+        r" AS (?P<q>(?:SELECT|WITH)\b.+)",
+        s,
+    )
+    if m:
+        # CTAS (+ optional transform partitioning: identity col names or
+        # transform(col) calls per the Iceberg DDL shape)
+        rows = spark.sql(_rewrite_select(spark, m["q"]))
+        spec: list[tuple[str, str]] = []
+        # split the spec on TOP-LEVEL commas only (bucket(4, k) has one)
+        parts, depth, start = [], 0, 0
+        raw = m["parts"] or ""
+        for i, ch in enumerate(raw):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(raw[start:i])
+                start = i + 1
+        parts.append(raw[start:])
+        for part in parts:
+            part = part.strip()
+            if not part:
+                continue
+            fm = re.fullmatch(r"(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)", part)
+            if fm:
+                fn, arg, col = fm.group(1).lower(), fm.group(2), fm.group(3)
+                tr = {
+                    "bucket": f"bucket[{arg}]" if arg else None,
+                    "truncate": f"truncate[{arg}]" if arg else None,
+                    "years": "year", "year": "year",
+                    "months": "month", "month": "month",
+                    "days": "day", "day": "day",
+                    "hours": "hour", "hour": "hour",
+                }.get(fn)
+                if not tr:
+                    raise ValueError(f"unknown partition transform {part!r}")
+                spec.append((col, tr))
+            else:
+                spec.append((part, "identity"))
+        if m["fmt"] == "delta":
+            if any(tr != "identity" for _, tr in spec):
+                raise ValueError(
+                    "Delta partitioning is identity-only (hidden-partition "
+                    "transforms are an Iceberg feature)"
+                )
+            return delta_py.write_delta(
+                rows, m["path"], mode="append",
+                partition_by=[c for c, _ in spec] or None,
+            )
+        iceberg_py.create_iceberg_v2_table(rows.schema, m["path"], spec or None)
+        return iceberg_py.append_iceberg_v2(spark, m["path"], rows)
+
     m = re.fullmatch(rf"(?i)DELETE FROM {_TBL} WHERE (?P<pred>.+)", s)
     if m:
         if m["fmt"] == "delta":
@@ -290,7 +372,9 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         return iceberg_py.read_iceberg_meta(spark, m["path"], "snapshots")
 
     raise ValueError(
-        "unrecognized lakehouse statement (supported: DELETE FROM / UPDATE "
-        "/ MERGE INTO / OPTIMIZE [ZORDER BY] / VACUUM / RESTORE TABLE / "
-        f"DESCRIBE HISTORY over delta.`path` | iceberg.`path`): {stmt!r}"
+        "unrecognized lakehouse statement (supported: SELECT/WITH [VERSION "
+        "AS OF | TIMESTAMP AS OF | FOR REF] / INSERT INTO / CREATE TABLE "
+        "[PARTITIONED BY] AS / DELETE FROM / UPDATE / MERGE INTO / OPTIMIZE "
+        "[ZORDER BY] / VACUUM / RESTORE TABLE / DESCRIBE HISTORY over "
+        f"delta.`path` | iceberg.`path`): {stmt!r}"
     )

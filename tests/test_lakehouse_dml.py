@@ -1255,3 +1255,199 @@ def test_lakehouse_sql_select_and_time_travel(spark, tmp_path):
     # FOR REF on delta is loud
     with pytest.raises(ValueError, match="Iceberg feature"):
         lakehouse_sql(spark, f"SELECT * FROM delta.`{dt}` FOR REF x")
+
+
+def test_delta_check_constraints_enforced(spark, tmp_path):
+    """CHECK constraints: ALTER ADD validates existing rows; every
+    subsequent write path (append, UPDATE, MERGE) enforces the
+    constraint on its new rows and fails NAMING it; NULL passes (SQL
+    CHECK semantics)."""
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_add_constraint,
+        merge_delta,
+        read_delta_py,
+        update_where_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    # adding a constraint the data violates refuses
+    with pytest.raises(ValueError, match="existing rows violate"):
+        alter_delta_add_constraint(spark, t, "k_small", "k < 10")
+    v = alter_delta_add_constraint(spark, t, "k_bounded", "k < 1000")
+    assert v == 1
+    # writer protocol upgraded alongside
+    log = open(os.path.join(t, "_delta_log", f"{1:020d}.json")).read()
+    assert '"minWriterVersion": 3' in log
+
+    # violating append fails, named; table untouched
+    bad = spark.createDataFrame([(5000, "BAD", 0)], "k int, name string, region int")
+    with pytest.raises(ValueError, match="k_bounded"):
+        write_delta(bad.coalesce(1), t, "append")
+    assert read_delta_py(spark, t).count() == 24
+    # violating UPDATE fails (the rewritten rows break the constraint)
+    with pytest.raises(ValueError, match="k_bounded"):
+        update_where_delta(spark, t, "k = 3", {"k": "k + 100000"})
+    # violating MERGE fails
+    with pytest.raises(ValueError, match="k_bounded"):
+        merge_delta(spark, t, bad, ["k"])
+    # valid writes still work; NULL passes the check
+    ok = spark.createDataFrame([(900, None, 0)], "k int, name string, region int")
+    assert write_delta(ok.coalesce(1), t, "append",
+                       timestamp_ms=1_700_000_001_000) == 2
+    assert read_delta_py(spark, t).count() == 25
+
+
+def test_delta_generated_columns_validated(spark, tmp_path):
+    """Generated columns: the jar-less writer VALIDATES provided values
+    against delta.generationExpression (computing them silently would
+    mask caller drift); a mismatched value fails the write."""
+    import json as _json
+
+    from gcs2postgres_spark.sources.delta_py import (
+        _list_commits,
+        _log_dir,
+        _write_commit,
+        read_delta_py,
+        replay_head_state,
+        write_delta,
+    )
+
+    t = str(tmp_path / "d")
+    df = spark.createDataFrame(
+        [(1, "a", 2), (2, "b", 4)], "k int, name string, k2 int"
+    )
+    write_delta(df.coalesce(1), t, "overwrite", timestamp_ms=1_700_000_000_000)
+    # declare k2 = k * 2 as a generated column (metadata edit, the shape
+    # a jar-ful CREATE TABLE ... GENERATED ALWAYS AS writes)
+    _, meta = replay_head_state(spark, t)
+    schema = _json.loads(meta["schemaString"])
+    for f in schema["fields"]:
+        if f["name"] == "k2":
+            f["metadata"] = {"delta.generationExpression": "k * 2"}
+    new_meta = dict(meta)
+    new_meta["schemaString"] = _json.dumps(schema)
+    _write_commit(_log_dir(t), max(_list_commits(_log_dir(t))) + 1,
+                  [{"metaData": new_meta}], 1_700_000_001_000)
+
+    wrong = spark.createDataFrame([(3, "c", 99)], "k int, name string, k2 int")
+    with pytest.raises(ValueError, match="generated column 'k2'"):
+        write_delta(wrong.coalesce(1), t, "append")
+    right = spark.createDataFrame([(3, "c", 6)], "k int, name string, k2 int")
+    write_delta(right.coalesce(1), t, "append", timestamp_ms=1_700_000_002_000)
+    assert read_delta_py(spark, t).count() == 3
+
+
+def test_delta_writer_feature_gate_and_append_only(spark, tmp_path):
+    """rowTracking (or any unhonored writer feature) refuses ALL write
+    paths instead of corrupting the table's contract; delta.appendOnly
+    blocks row removal (overwrite/DELETE) but not appends."""
+    import json as _json
+
+    from gcs2postgres_spark.sources.delta_py import (
+        _list_commits,
+        _log_dir,
+        _write_commit,
+        compact_delta,
+        delete_where_delta,
+        read_delta_py,
+        replay_head_state,
+        write_delta,
+    )
+
+    t = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    _write_commit(_log_dir(t), 1, [{"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["rowTracking"]}}], 1_700_000_001_000)
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        write_delta(_delta_nation(spark).coalesce(1), t, "append")
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        delete_where_delta(spark, t, "k = 1")
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        compact_delta(spark, t)
+
+    # appendOnly: removal paths refuse, appends proceed
+    t2 = str(tmp_path / "d2")
+    write_delta(_delta_nation(spark).coalesce(1), t2, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    _, meta = replay_head_state(spark, t2)
+    new_meta = dict(meta)
+    new_meta["configuration"] = {"delta.appendOnly": "true"}
+    _write_commit(_log_dir(t2), max(_list_commits(_log_dir(t2))) + 1,
+                  [{"metaData": new_meta}], 1_700_000_001_000)
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_where_delta(spark, t2, "k = 1")
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta(_delta_nation(spark).coalesce(1), t2, "overwrite")
+    write_delta(
+        spark.createDataFrame([(990, "x", 0)], "k int, name string, region int")
+        .coalesce(1), t2, "append", timestamp_ms=1_700_000_002_000,
+    )
+    assert read_delta_py(spark, t2).count() == 25
+
+
+def test_lakehouse_sql_insert_and_ctas(spark, tmp_path):
+    """SQL facade writes: INSERT INTO (SELECT and positional VALUES)
+    and CREATE TABLE ... [PARTITIONED BY (transforms)] AS SELECT on
+    both formats — completing the statement surface a reference user's
+    SQL passthrough would issue."""
+    import datetime as dt
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_meta,
+        read_iceberg_py,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    dt_path = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), dt_path, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+
+    # INSERT INTO ... VALUES (positional binding to table columns)
+    v = lakehouse_sql(
+        spark, f"INSERT INTO delta.`{dt_path}` VALUES (900, 'NEW', 9)"
+    )
+    assert v == 1
+    assert read_delta_py(spark, dt_path).filter("k = 900").count() == 1
+    with pytest.raises(ValueError, match="arity"):
+        lakehouse_sql(spark, f"INSERT INTO delta.`{dt_path}` VALUES (1, 'x')")
+
+    # CTAS iceberg with hidden-partition transforms, fed by a SELECT
+    # over the delta table (cross-format, facade-rewritten)
+    it = str(tmp_path / "i")
+    lakehouse_sql(
+        spark,
+        f"CREATE TABLE iceberg.`{it}` PARTITIONED BY (bucket(4, k)) AS "
+        f"SELECT k, name, region FROM delta.`{dt_path}` WHERE region < 9",
+    )
+    assert read_iceberg_py(spark, it).count() == 24
+    files = read_iceberg_meta(spark, it, "files").collect()
+    assert any('"k_bucket"' in f["partition"] for f in files)
+
+    # INSERT INTO iceberg from a time-traveled delta read
+    lakehouse_sql(
+        spark,
+        f"INSERT INTO iceberg.`{it}` SELECT k + 1000 AS k, name, region "
+        f"FROM delta.`{dt_path}` VERSION AS OF 0 WHERE k < 3",
+    )
+    assert read_iceberg_py(spark, it).count() == 27
+
+    # CTAS delta (identity partitioning only; transforms refuse loudly)
+    d2 = str(tmp_path / "d2")
+    lakehouse_sql(
+        spark,
+        f"CREATE TABLE delta.`{d2}` PARTITIONED BY (region) AS "
+        f"SELECT * FROM delta.`{dt_path}`",
+    )
+    assert read_delta_py(spark, d2).count() == 25
+    with pytest.raises(ValueError, match="identity-only"):
+        lakehouse_sql(
+            spark,
+            f"CREATE TABLE delta.`{tmp_path / 'd3'}` PARTITIONED BY "
+            f"(days(k)) AS SELECT * FROM delta.`{dt_path}`",
+        )

@@ -65,8 +65,20 @@ ALLOWED = {
         # EXECUTORS (applyInPandas per affected file); the collect fetches
         # one DESCRIPTOR row per file — metadata-sized, the commit payload
         'applyInPandas(\n        build_dv',
+        # last_txn_version: ONE aggregate row (max txn version for an
+        # appId) from the checkpoint's txn column — exactly-once
+        # watermark lookup, never table data
+        '.select(F.max("txn.version").alias("v"))',
     ],
 }
+
+ALLOWED["sources/iceberg_py.py"].append(
+    # _stage_v2_data_files routing map: DISTINCT **TRANSFORMED**
+    # partition tuples (bucket/truncate/day results) — one row per
+    # live partition (bucket(16, x) over 10^9 ids interns 16 tuples),
+    # the same metadata bound the identity variants above pay
+    "with_pt.select(*ptcols).distinct()"
+)
 
 ALLOWED["sources/iceberg_py.py"].append(
     # incremental scan: DISTINCT file paths referenced by a snapshot's
