@@ -2418,6 +2418,13 @@ def _stage_v2_data_files(
         rep = with_pt.join(F.broadcast(map_df), cond).drop(
             *ptcols, *[f"__pm_{i}" for i in range(len(ptcols))]
         )
+        # cluster rows by partition BEFORE the partitioned write: without
+        # it every input task fans out into every partition directory —
+        # a tasks×partitions small-files explosion (the sf1 sweep measured
+        # 20k files / 50 s for a 640-partition append; one shuffle on the
+        # dense pid makes it one file per partition). At cluster scale
+        # this is the standard dynamic-partition-write shuffle.
+        rep = rep.repartition(F.col("__pid"))
         rep.write.partitionBy("__pid").mode("overwrite").parquet(commit_dir)
         tup_of = {pid: tup for tup, pid in pid_of.items()}
         for d in sorted(glob.glob(os.path.join(commit_dir, "__pid=*"))):

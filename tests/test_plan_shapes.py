@@ -649,3 +649,71 @@ def test_merge_match_and_replacement_plans_equi_join(spark, tmp_path):
     )
     plan = formatted_plan(replacement)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_transform_partition_routing_broadcasts_pid_map(spark, tmp_path):
+    """Hidden-partitioning row routing (_stage_v2_data_files): the
+    tuple->pid map join must be a BROADCAST join on the TRANSFORMED
+    columns — never a cartesian/BNLJ and never a shuffle of the data
+    side (the map is one row per live partition; the data side is the
+    100 TB side)."""
+    from pyspark.sql import types as T
+
+    from gcs2postgres_spark.sources.iceberg_transforms import transform_expr
+
+    df = spark.range(2000).selectExpr(
+        "CAST(id AS INT) AS k",
+        "date_add(DATE'2024-01-01', CAST(id % 90 AS INT)) AS d",
+    )
+    # reproduce the committer's routing join shape
+    ptcols = ["__pt_0", "__pt_1"]
+    with_pt = df.select(
+        "*",
+        transform_expr("month", "d", df.schema["d"].dataType).alias("__pt_0"),
+        transform_expr("bucket[4]", "k", df.schema["k"].dataType).alias("__pt_1"),
+    )
+    tuples = [tuple(r) + (i,) for i, r in enumerate(
+        with_pt.select(*ptcols).distinct().collect()
+    )]
+    map_df = spark.createDataFrame(
+        tuples,
+        T.StructType([
+            T.StructField("__pm_0", T.IntegerType(), True),
+            T.StructField("__pm_1", T.IntegerType(), True),
+            T.StructField("__pid", T.IntegerType(), False),
+        ]),
+    )
+    cond = with_pt["__pt_0"].eqNullSafe(map_df["__pm_0"]) & with_pt[
+        "__pt_1"
+    ].eqNullSafe(map_df["__pm_1"])
+    routed = with_pt.join(F.broadcast(map_df), cond)
+    plan = formatted_plan(routed)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the big side must not be exchanged for the routing join
+    big_side = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in big_side, plan
+
+
+def test_facade_select_keeps_pushdown(spark, tmp_path, sf_dir):
+    """A facade SELECT over a jar-less Delta read plans exactly like a
+    direct reader call: the statement filter reaches the parquet scan
+    (PushedFilters) and only the referenced columns are read."""
+    from gcs2postgres_spark.sources.delta_py import write_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    t = str(tmp_path / "d")
+    write_delta(
+        load_table(spark, sf_dir, "nation"), t, "overwrite",
+        timestamp_ms=1_700_000_000_000,
+    )
+    df = lakehouse_sql(
+        spark,
+        f"SELECT n_name FROM delta.`{t}` WHERE n_regionkey = 2",
+    )
+    plan = formatted_plan(df)
+    assert re.search(r"PushedFilters:.*n_regionkey", plan), plan
+    m = re.search(r"ReadSchema:[^\n]*", plan)
+    assert m and "n_name" in m.group(0), plan
+    assert "n_comment" not in m.group(0), plan
