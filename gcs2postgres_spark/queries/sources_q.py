@@ -2694,3 +2694,129 @@ def lakehouse_sql_insert_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
         shutil.rmtree(dt, ignore_errors=True)
         shutil.rmtree(os.path.dirname(it), ignore_errors=True)
         raise
+
+
+WAP_ORACLE = """
+WITH staged AS (
+  SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region FROM nation
+  UNION ALL SELECT 900, 'STAGED_A', 7
+  UNION ALL SELECT 901, 'STAGED_B', 7
+)
+SELECT region,
+       count(*)               AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       min(name)              AS first_name
+FROM staged
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("iceberg_wap_branch_publish_roundtrip", oracle=WAP_ORACLE)
+def iceberg_wap_branch_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Iceberg branch staging, the spark.wap.branch
+    flow): appends staged on a branch are INVISIBLE to table-head
+    readers during the audit window (asserted in-query: head count
+    unchanged while the branch sees the staged rows), then
+    ``fast_forward`` publishes them atomically in one metadata version.
+    The oracle is the post-publish state; a premature leak to the head
+    or a lost staged row breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        fast_forward,
+        read_iceberg_py,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS k", "n_name AS name", "n_regionkey AS region"
+    )
+    tmp = tempfile.mkdtemp(prefix="ice_wap_") + "/t"
+    try:
+        create_iceberg_v2_table(nation.schema, tmp, [("region", "identity")])
+        append_iceberg_v2(spark, tmp, nation, snapshot_ts_ms=1_700_000_000_000)
+        base_n = read_iceberg_py(spark, tmp).count()
+        staged = spark.createDataFrame(
+            [(900, "STAGED_A", 7), (901, "STAGED_B", 7)],
+            "k int, name string, region int",
+        )
+        append_iceberg_v2(spark, tmp, staged, snapshot_ts_ms=1_700_000_001_000,
+                          branch="audit")
+        # audit window: head readers still see only the base rows
+        assert read_iceberg_py(spark, tmp).count() == base_n
+        assert read_iceberg_py(spark, tmp, ref="audit").count() == base_n + 2
+        fast_forward(tmp, "audit")
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("k").cast("long").alias("key_sum"),
+                F.min("name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
+        raise
+
+
+SHALLOW_CLONE_ORACLE = """
+WITH src_after_delete AS (
+  SELECT n_nationkey AS k, n_name AS name, n_regionkey AS region
+  FROM nation WHERE n_regionkey <> 2
+), clone_after_dml AS (
+  SELECT * FROM src_after_delete WHERE k >= 5
+)
+SELECT (SELECT count(*) FROM clone_after_dml)                       AS clone_rows,
+       (SELECT CAST(sum(k) AS BIGINT) FROM clone_after_dml)        AS clone_key_sum,
+       (SELECT count(*) FROM src_after_delete)                     AS src_rows,
+       (SELECT count(*) FROM nation)                               AS clone_v0_rows
+"""
+
+
+@register("delta_shallow_clone_roundtrip", oracle=SHALLOW_CLONE_ORACLE)
+def delta_shallow_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE: the clone's commit 0 references the
+    source's data files (and deletion vectors) by absolute path — no
+    data moves — then evolves independently: DML on the clone must not
+    change the source, and a time-travel clone (VERSION AS OF 0)
+    resurrects the pre-delete state. All four counters come from
+    jar-less reads of three distinct tables sharing ONE physical file
+    set, so any cross-contamination breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        shallow_clone_delta,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS k", "n_name AS name", "n_regionkey AS region"
+    )
+    root = tempfile.mkdtemp(prefix="delta_clone_")
+    src, dst, dst0 = f"{root}/src", f"{root}/clone", f"{root}/clone_v0"
+    try:
+        write_delta(nation.coalesce(1), src, "overwrite",
+                    timestamp_ms=1_700_000_000_000)
+        delete_where_delta(spark, src, "region = 2",
+                           timestamp_ms=1_700_000_001_000)
+        shallow_clone_delta(spark, src, dst, timestamp_ms=1_700_000_002_000)
+        shallow_clone_delta(spark, src, dst0, version_as_of=0,
+                            timestamp_ms=1_700_000_003_000)
+        delete_where_delta(spark, dst, "k < 5", timestamp_ms=1_700_000_004_000)
+        clone = read_delta_py(spark, dst)
+        return spark.createDataFrame(
+            [(
+                clone.count(),
+                clone.agg(F.sum("k")).collect()[0][0],
+                read_delta_py(spark, src).count(),
+                read_delta_py(spark, dst0).count(),
+            )],
+            "clone_rows long, clone_key_sum long, src_rows long, clone_v0_rows long",
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise

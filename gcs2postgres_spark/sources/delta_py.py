@@ -2177,6 +2177,67 @@ def _dv_diff_positions(
     return desc.mapInPandas(diff, "__del_fp string, __del_pos long, op string")
 
 
+def shallow_clone_delta(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version_as_of: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """ZERO-COPY clone (``CREATE TABLE ... SHALLOW CLONE``): commit 0 of
+    ``dst_path`` references the SOURCE's data files by ABSOLUTE path
+    (the protocol explicitly allows absolute add paths — this is
+    exactly how jar-ful shallow clones work), so no data moves and the
+    clone is writable independently: its own log evolves, DML on the
+    clone deletion-vectors or tombstones the referenced files WITHOUT
+    touching the source, and VACUUM on either side never crosses the
+    table boundary (vacuum_delta skips out-of-table paths). Deletion
+    vectors on the source are carried as absolute 'p'-type descriptors
+    for the same reason. A VACUUM on the SOURCE that reclaims files the
+    clone still references breaks the clone — the documented shallow-
+    clone hazard everywhere. ``version_as_of`` clones a historical
+    version (time-travel clone)."""
+    import time as _time
+
+    if fsio.has_scheme(src_path) or fsio.has_scheme(dst_path):
+        raise NotImplementedError(
+            "jar-less Delta CLONE is local-filesystem only. "
+            f"Got {src_path!r} -> {dst_path!r}"
+        )
+    log_dir = _log_dir(dst_path)
+    if os.path.isdir(log_dir) and (
+        _list_commits(log_dir) or os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    ):
+        raise ValueError(f"CLONE target already exists: {dst_path!r}")
+    live, meta = replay_head_state(spark, src_path, version=version_as_of)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {src_path}")
+    protocol = _head_protocol(src_path)
+    _check_writer_protocol(protocol, "CLONE")
+    now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
+    src_abs = os.path.abspath(src_path)
+    actions: list[dict] = [{"protocol": protocol}]
+    new_meta = dict(meta)
+    new_meta["id"] = str(uuid.uuid4())  # a clone is a NEW table identity
+    actions.append({"metaData": new_meta})
+    for rel, add in sorted(live.items()):
+        a = dict(add)
+        p = unquote(a["path"])
+        if not os.path.isabs(re.sub(r"^file:(//)?", "", p)):
+            a["path"] = os.path.join(src_abs, p)
+        dv = a.get("deletionVector")
+        if dv:
+            kind, loc = _dv_location(src_path, dv)
+            if kind == "file":
+                a["deletionVector"] = {
+                    **dv, "storageType": "p", "pathOrInlineDv": os.path.abspath(loc),
+                }
+        a["dataChange"] = True
+        actions.append({"add": a})
+    _write_commit(log_dir, 0, actions, now, operation="CLONE")
+    return 0
+
+
 def vacuum_delta(table_path: str) -> int:
     """Physical cleanup: delete data files no longer referenced by the
     HEAD version (i.e. tombstoned by overwrites) — plus DELETION-VECTOR
@@ -2215,6 +2276,13 @@ def vacuum_delta(table_path: str) -> int:
     removed = 0
     for rel in sorted(seen - set(live)):
         full = os.path.join(table_path, rel)
+        # shallow-clone safety: a clone references the SOURCE's files by
+        # absolute path; VACUUM must never reach outside its own table
+        # directory (the same boundary real VACUUM enforces)
+        if not os.path.abspath(full).startswith(
+            os.path.abspath(table_path) + os.sep
+        ):
+            continue
         if os.path.exists(full):
             os.remove(full)
             removed += 1

@@ -1942,6 +1942,7 @@ def append_iceberg_v2(
     df: DataFrame,
     snapshot_ts_ms: int | None = None,
     txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Jar-less Iceberg v2 APPEND, including PARTITIONED tables: one
     snapshot whose manifest list is the current snapshot's rows plus a
@@ -1954,7 +1955,7 @@ def append_iceberg_v2(
     the appended files (strict-inequality gate)."""
     import time as _time
 
-    ctx = _v2_table_context(table_path, "append")
+    ctx = _v2_table_context(table_path, "append", branch=branch)
     meta = ctx["meta"]
     schema_json = ctx["schema_json"]
     snapshot = ctx["snapshot"]
@@ -2022,6 +2023,7 @@ def append_iceberg_v2(
         summary_extra=(
             {"app-id": txn[0], "batch-id": txn[1]} if txn else None
         ),
+        branch=branch,
     )
 
 
@@ -2150,14 +2152,18 @@ def rewrite_data_files(
     )
 
 
-def _v2_table_context(table_path: str, op: str) -> dict:
+def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> dict:
     """Shared head of every v2 committer (row-level DML, equality
     upsert, compaction, append): local-scheme guard, metadata + current
-    schema/snapshot resolution, and the identity-partition-spec
-    validation that gates jar-less partition ROUTING (non-identity
-    transforms need the jar's transform functions). Returns the parsed
-    pieces each committer composes; raising here keeps the error texts
-    uniform across operations."""
+    schema/snapshot resolution, and the partition-spec validation that
+    gates jar-less partition ROUTING. Returns the parsed pieces each
+    committer composes; raising here keeps the error texts uniform
+    across operations.
+
+    ``branch`` resolves the BASE snapshot from the named branch ref
+    instead of the table head (the write-audit-publish staging flow);
+    a branch that does not exist yet starts from the current head (the
+    same implicit creation spark.wap.branch performs)."""
     if fsio.has_scheme(table_path):
         raise NotImplementedError(
             f"jar-less Iceberg {op} is local-filesystem only (object-store "
@@ -2217,6 +2223,15 @@ def _v2_table_context(table_path: str, op: str) -> dict:
         part_transforms.append(tr)
     snapshots = meta.get("snapshots") or []
     snap_id = meta.get("current-snapshot-id")
+    if branch is not None:
+        ref = (meta.get("refs") or {}).get(branch)
+        if ref is not None:
+            if ref.get("type") == "tag":
+                raise ValueError(
+                    f"{branch!r} is a tag (immutable); commits need a branch"
+                )
+            snap_id = int(ref["snapshot-id"])
+        # else: new branch — base on the current head (implicit create)
     snapshot = None
     if snap_id is not None and snap_id != -1 and snapshots:
         snapshot = next(s for s in snapshots if s["snapshot-id"] == snap_id)
@@ -2250,6 +2265,7 @@ def _v2_commit_snapshot(
     now: int,
     operation: str,
     summary_extra: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """Shared tail of every v2 committer: write the manifest list,
     append the snapshot, bump sequence/version, and commit the metadata
@@ -2268,7 +2284,15 @@ def _v2_commit_snapshot(
         write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
         meta["last-sequence-number"] = new_seq
         meta["last-updated-ms"] = now
-        meta["current-snapshot-id"] = sid
+        if branch is None:
+            meta["current-snapshot-id"] = sid
+        else:
+            # STAGED commit (write-audit-publish): only the branch ref
+            # moves; readers of the table head see nothing until
+            # fast_forward publishes the branch
+            refs = dict(meta.get("refs") or {})
+            refs[branch] = {"snapshot-id": sid, "type": "branch"}
+            meta["refs"] = refs
         summary = {"operation": operation}
         if summary_extra:
             # streaming exactly-once bookkeeping (Flink-sink style
@@ -2312,6 +2336,10 @@ def _v2_commit_snapshot(
             head = json.loads(fsio.read_text(head_path))
             head_snaps = head.get("snapshots") or []
             head_cur = head.get("current-snapshot-id")
+            if branch is not None:
+                bref = (head.get("refs") or {}).get(branch)
+                if bref is not None:
+                    head_cur = int(bref["snapshot-id"])
             base_rows: list[dict] = []
             if head_cur is not None and head_cur != -1 and head_snaps:
                 cur = next(s for s in head_snaps if s["snapshot-id"] == head_cur)
@@ -3088,8 +3116,29 @@ def read_iceberg_meta(spark: SparkSession, table_path: str, kind: str) -> DataFr
             "path string, length_bytes long, content int, sequence_number long, "
             "added_snapshot_id long",
         )
+    if kind == "partitions":
+        # per-partition summary (`table$partitions`): one row per live
+        # partition TUPLE — with hidden partitioning the tuple holds the
+        # TRANSFORMED values (month ordinals, bucket ids, ...), which is
+        # exactly what a user inspects to verify layout/skew before a
+        # 100 TB backfill. Aggregated from the files table (metadata
+        # walk, no data I/O) on the driver at metadata scale, then
+        # parallelized.
+        files = read_iceberg_meta(spark, table_path, "files")
+        return (
+            files.filter(F.col("content") == 0)
+            .groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("size_bytes").alias("size_bytes"),
+            )
+            .orderBy("partition")
+        )
     if kind != "files":
-        raise ValueError(f"kind must be snapshots|manifests|files|refs, got {kind!r}")
+        raise ValueError(
+            f"kind must be snapshots|manifests|files|partitions|refs, got {kind!r}"
+        )
     rows = []
     for m in manifests:
         manifest_seq = m.get("sequence_number") or 0
@@ -3116,6 +3165,40 @@ def read_iceberg_meta(spark: SparkSession, table_path: str, kind: str) -> DataFr
         "file_path string, content int, record_count long, size_bytes long, "
         "partition string, sequence_number long",
     )
+
+def fast_forward(table_path: str, branch: str) -> int:
+    """PUBLISH a staged branch (the write-audit-publish flow's final
+    step, Iceberg's ``fast_forward`` catalog procedure): repoint the
+    table head at the branch's snapshot in one put-if-absent metadata
+    version. Everything the branch staged becomes visible atomically;
+    the branch ref stays for further staging. Returns the published
+    snapshot id."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            f"jar-less Iceberg refs are local-filesystem only. Got {table_path!r}"
+        )
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    ref = (meta.get("refs") or {}).get(branch)
+    if ref is None:
+        raise ValueError(f"branch {branch!r} not found (have {sorted(meta.get('refs') or {})})")
+    if ref.get("type") == "tag":
+        raise ValueError(f"{branch!r} is a tag; fast_forward publishes branches")
+    sid = int(ref["snapshot-id"])
+    if meta.get("current-snapshot-id") == sid:
+        return sid  # already published: no new metadata version
+    meta["current-snapshot-id"] = sid
+    mdir = os.path.join(table_path, "metadata")
+    version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+    try:
+        _write_json_if_absent(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent commit v{version} beat this publish; re-read and retry"
+        ) from None
+    _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+    return sid
+
 
 def create_ref(
     table_path: str,

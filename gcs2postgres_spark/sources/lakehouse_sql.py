@@ -222,6 +222,19 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         return iceberg_py.append_iceberg_v2(spark, m["path"], rows)
 
     m = re.fullmatch(
+        r"(?i)CREATE TABLE (?P<fmt2>delta)\s*\.\s*`(?P<path2>[^`]+)` "
+        rf"SHALLOW CLONE {_TBL}(?: VERSION AS OF (?P<v>\d+))?",
+        s,
+    )
+    if m:
+        if m["fmt"] != "delta":
+            raise ValueError("SHALLOW CLONE is Delta-to-Delta only")
+        return delta_py.shallow_clone_delta(
+            spark, m["path"], m["path2"],
+            version_as_of=int(m["v"]) if m["v"] else None,
+        )
+
+    m = re.fullmatch(
         rf"(?i)CREATE TABLE {_TBL}"
         r"(?: PARTITIONED BY \((?P<parts>(?:[^()]|\([^()]*\))+)\))?"
         r" AS (?P<q>(?:SELECT|WITH)\b.+)",

@@ -1451,3 +1451,120 @@ def test_lakehouse_sql_insert_and_ctas(spark, tmp_path):
             f"CREATE TABLE delta.`{tmp_path / 'd3'}` PARTITIONED BY "
             f"(days(k)) AS SELECT * FROM delta.`{dt_path}`",
         )
+
+
+def test_iceberg_wap_branch_write_and_publish(spark, tmp_path):
+    """Write-audit-publish: appends staged on a branch are INVISIBLE to
+    table-head readers (the audit window), readable via the branch ref,
+    and become visible atomically on fast_forward; a tag refuses
+    commits; partitions metadata table summarizes transformed tuples."""
+    import datetime as dt
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        create_ref,
+        fast_forward,
+        read_iceberg_meta,
+        read_iceberg_py,
+    )
+
+    df = spark.range(20).selectExpr(
+        "CAST(id AS INT) AS k", "concat('N_', id) AS name",
+        "date_add(DATE'2024-01-01', CAST(id * 5 AS INT)) AS d",
+    )
+    t = str(tmp_path / "t")
+    create_iceberg_v2_table(df.schema, t, [("d", "month")])
+    append_iceberg_v2(spark, t, df, snapshot_ts_ms=1_700_000_000_000)
+
+    # stage two appends on an (implicitly created) audit branch
+    extra1 = spark.createDataFrame([(100, "S1", dt.date(2024, 5, 5))],
+                                   "k int, name string, d date")
+    extra2 = spark.createDataFrame([(101, "S2", dt.date(2024, 6, 6))],
+                                   "k int, name string, d date")
+    append_iceberg_v2(spark, t, extra1, snapshot_ts_ms=1_700_000_001_000,
+                      branch="audit")
+    append_iceberg_v2(spark, t, extra2, snapshot_ts_ms=1_700_000_002_000,
+                      branch="audit")
+    # head readers see NOTHING staged; branch readers see everything
+    assert read_iceberg_py(spark, t).count() == 20
+    assert read_iceberg_py(spark, t, ref="audit").count() == 22
+    # second staged append based on the BRANCH head (not main): proven
+    # by the branch read containing both staged rows above
+
+    # publish: atomic, one metadata version
+    sid = fast_forward(t, "audit")
+    assert read_iceberg_py(spark, t).count() == 22
+    assert fast_forward(t, "audit") == sid  # idempotent, no new version
+
+    # tags refuse commits and publishes
+    create_ref(t, "pin", ref_type="tag")
+    with pytest.raises(ValueError, match="tag"):
+        append_iceberg_v2(spark, t, extra1, branch="pin")
+    with pytest.raises(ValueError, match="tag"):
+        fast_forward(t, "pin")
+
+    # partitions metadata table: transformed tuples with counts
+    parts = {r["partition"]: r["record_count"]
+             for r in read_iceberg_meta(spark, t, "partitions").collect()}
+    assert parts['{"d_month": 652}'] == 1  # 2024-05: staged S1 (base ends in April)
+    assert parts['{"d_month": 653}'] == 1  # 2024-06: staged S2
+    assert sum(parts.values()) == 22
+
+
+def test_delta_shallow_clone(spark, tmp_path):
+    """Zero-copy SHALLOW CLONE: the clone reads the source's files by
+    absolute path (no data copied), evolves independently (DML on the
+    clone never touches the source), supports time-travel clones, and
+    VACUUM on the clone never deletes source files."""
+    import glob
+
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        shallow_clone_delta,
+        vacuum_delta,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    src = str(tmp_path / "src")
+    write_delta(_delta_nation(spark).coalesce(1), src, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    delete_where_delta(spark, src, "k >= 20", timestamp_ms=1_700_000_001_000)
+
+    # clone HEAD via the SQL facade; no parquet under the clone dir
+    dst = str(tmp_path / "clone")
+    assert lakehouse_sql(
+        spark, f"CREATE TABLE delta.`{dst}` SHALLOW CLONE delta.`{src}`"
+    ) == 0
+    assert read_delta_py(spark, dst).count() == 20
+    assert not glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True)
+
+    # time-travel clone of version 0 (pre-delete)
+    dst0 = str(tmp_path / "clone_v0")
+    shallow_clone_delta(spark, src, dst0, version_as_of=0,
+                        timestamp_ms=1_700_000_002_000)
+    assert read_delta_py(spark, dst0).count() == 24
+
+    # DML on the clone: source unaffected; both independently correct
+    delete_where_delta(spark, dst, "k < 5", timestamp_ms=1_700_000_003_000)
+    assert read_delta_py(spark, dst).count() == 15
+    assert read_delta_py(spark, src).count() == 20
+
+    # overwrite the clone, then VACUUM it: tombstoned SOURCE files are
+    # outside the clone's directory and must survive
+    write_delta(
+        spark.createDataFrame([(1, "x", 0)], "k int, name string, region int")
+        .coalesce(1), dst, "overwrite", timestamp_ms=1_700_000_004_000,
+    )
+    src_files_before = set(glob.glob(os.path.join(src, "**", "*.parquet"),
+                                     recursive=True))
+    vacuum_delta(dst)
+    assert set(glob.glob(os.path.join(src, "**", "*.parquet"),
+                         recursive=True)) == src_files_before
+    assert read_delta_py(spark, src).count() == 20
+
+    # clone onto an existing table refuses
+    with pytest.raises(ValueError, match="already exists"):
+        shallow_clone_delta(spark, src, dst)
