@@ -2820,3 +2820,53 @@ def delta_shallow_clone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
         raise
+
+
+DATASOURCE_BATCH_ORACLE = """
+SELECT n_regionkey                      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name)                      AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("datasource_delta_py_batch", oracle=DATASOURCE_BATCH_ORACLE)
+def datasource_delta_py_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native front door: ``spark.read.format("delta_py")`` — a
+    Spark 4 Python DataSource wrapping the jar-less Delta reader
+    (sources/datasource.py). Partition columns are injected typed from
+    the log's partitionValues, executor reads are Arrow-batched
+    (pyarrow), and the class pickles BY VALUE so workers need no repo
+    on sys.path — exactly what the vanilla-session driver gate
+    exercises. Batch DV/column-mapping tables refuse with a pointer to
+    read_delta_py (the JVM-scan fast path); streaming is the real
+    value and is pinned in tests/test_datasource.py."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.datasource import (
+        register_lakehouse_datasources,
+    )
+    from gcs2postgres_spark.sources.delta_py import write_delta_fixture
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ds_delta_")
+    try:
+        write_delta_fixture(nation.coalesce(1), tmp, partition_col="n_regionkey")
+        register_lakehouse_datasources(spark)
+        df = spark.read.format("delta_py").option("path", tmp).load()
+        return (
+            df.groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

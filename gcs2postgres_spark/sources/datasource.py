@@ -1,0 +1,494 @@
+"""Spark Python DataSources for the jar-less lakehouse readers — the
+native ``spark.read.format(...)`` / ``spark.readStream.format(...)``
+front door (Spark 4's DataSource API, pyspark.sql.datasource).
+
+- ``delta_py``: BATCH (live files after log replay, partition columns
+  injected) and STREAMING — the micro-batch source jar-ful Delta
+  exposes: offsets are log versions, each batch reads exactly the data
+  files the new commits added (dataChange=true), appends stream
+  incrementally, and a commit that CHANGES data (removes / DV re-adds)
+  fails the stream unless ``skipChangeCommits=true`` (the same
+  semantics as delta-spark's streaming source).
+- ``iceberg_py``: STREAMING over the snapshot log — offsets are
+  sequence numbers; ``append`` snapshots emit their added data files,
+  ``replace`` (compaction) snapshots are silently skipped (no logical
+  row change — the dataChange=false twin), and overwrite/delete
+  snapshots fail unless ``skipChangeCommits=true``.
+
+Scope honesty: executor-side reads go through pyarrow (the Python
+DataSource contract), so the BATCH fast path remains
+``read_delta_py`` / ``read_iceberg_py`` (JVM parquet scan, deletion
+vectors, column mapping, field-id resolution). The batch DataSource
+refuses DV/column-mapping tables with a pointer to the fast path; the
+streaming sources are the real value — Spark has no other way to
+stream these tables without the connector jars.
+
+Worker-pickling: the DataSource classes are built inside a factory, so
+cloudpickle serializes them BY VALUE (workers need no repo on
+sys.path); ``read()`` uses only stdlib + pyarrow. Driver-only methods
+(schema, offsets, partition planning) may import the package.
+
+Register with ``register_lakehouse_datasources(spark)`` (idempotent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _arrow_partition_value(raw, spark_type_name: str):
+    """Parse a Delta partitionValues STRING into a Python value for the
+    arrow column (protocol: partition values serialize as strings)."""
+    if raw is None:
+        return None
+    t = spark_type_name
+    if t in ("integer", "long", "short", "byte"):
+        return int(raw)
+    if t in ("double", "float"):
+        return float(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    if t == "date":
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(raw)
+    return raw  # string and friends
+
+
+def make_delta_py_datasource():
+    import json
+    import os
+    import re
+    from pathlib import Path
+
+    # The DataSource's lifecycle methods run in SEPARATE Python worker
+    # processes (not the driver), so the package is not importable
+    # there by default. Capture the repo root at factory time (baked
+    # into the by-value pickle) and inject it before package imports —
+    # local/shared-FS deployments work out of the box; on a real
+    # cluster ship the package with --py-files, the standard mechanism.
+    _REPO = str(Path(__file__).resolve().parents[2])
+
+    def _ensure_pkg():
+        import sys
+
+        if _REPO not in sys.path:
+            sys.path.insert(0, _REPO)
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+    from pyspark.sql.types import StructType
+
+    class _FilePart(InputPartition):
+        """One data file: everything read() needs, self-contained."""
+
+        def __init__(self, path, partition_values, part_types, schema_json):
+            self.path = path
+            self.partition_values = partition_values  # {col: raw string}
+            self.part_types = part_types  # {col: spark type name}
+            self.schema_json = schema_json  # full table schema (json str)
+
+    def _read_file_part(part):
+        """Executor-side: stdlib + pyarrow ONLY (pickled by value)."""
+        import datetime as _dt
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def parse_pv(raw, t):
+            if raw is None:
+                return None
+            if t in ("integer", "long", "short", "byte"):
+                return int(raw)
+            if t in ("double", "float"):
+                return float(raw)
+            if t == "boolean":
+                return raw.lower() == "true"
+            if t == "date":
+                return _dt.date.fromisoformat(raw)
+            return raw
+
+        arrow_of = {
+            "integer": pa.int32(), "long": pa.int64(), "short": pa.int16(),
+            "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
+            "boolean": pa.bool_(), "date": pa.date32(), "string": pa.string(),
+        }
+        fields = _json.loads(part.schema_json)["fields"]
+        tbl = pq.read_table(part.path)
+        n = tbl.num_rows
+        cols, names = [], []
+        for f in fields:
+            name, t = f["name"], f["type"]
+            names.append(name)
+            if name in part.partition_values:
+                v = parse_pv(part.partition_values[name],
+                             part.part_types.get(name, "string"))
+                typ = arrow_of.get(part.part_types.get(name, "string"), pa.string())
+                cols.append(pa.array([v] * n, type=typ))
+            elif name in tbl.column_names:
+                cols.append(tbl.column(name).combine_chunks())
+            else:
+                typ = arrow_of.get(t if isinstance(t, str) else "string")
+                if typ is None:
+                    raise NotImplementedError(
+                        f"delta_py datasource cannot synthesize nulls for "
+                        f"column {name!r} of type {t!r}"
+                    )
+                cols.append(pa.nulls(n, type=typ))
+        out = pa.table(cols, names=names)
+        yield from out.to_batches()
+
+    class _DeltaBatchReader(DataSourceReader):
+        def __init__(self, options, parts):
+            self._parts = parts
+
+        def partitions(self):
+            return self._parts
+
+        def read(self, partition):
+            yield from _read_file_part(partition)
+
+    class _DeltaStreamReader(DataSourceStreamReader):
+        def __init__(self, options, schema_json, part_types):
+            self.table = options["path"]
+            self.schema_json = schema_json
+            self.part_types = part_types
+            self.skip_change = (
+                str(options.get("skipChangeCommits", "false")).lower() == "true"
+            )
+            start = options.get("startingVersion")
+            self.start_version = int(start) if start is not None else -1
+
+        def initialOffset(self):
+            return {"version": self.start_version}
+
+        def latestOffset(self):
+            log = os.path.join(self.table, "_delta_log")
+            best = -1
+            for f in os.listdir(log):
+                m = re.fullmatch(r"(\d+)\.json", f)
+                if m:
+                    best = max(best, int(m.group(1)))
+            return {"version": best}
+
+        def partitions(self, start, end):
+            log = os.path.join(self.table, "_delta_log")
+            parts = []
+            for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+                p = os.path.join(log, f"{v:020d}.json")
+                if not os.path.exists(p):
+                    continue  # pre-checkpoint history already cleaned
+                adds, changes = [], False
+                for line in open(p):
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "remove" in a and a["remove"].get("dataChange", True):
+                        changes = True
+                    elif "add" in a:
+                        add = a["add"]
+                        if add.get("deletionVector"):
+                            changes = True
+                        elif add.get("dataChange", True):
+                            adds.append(add)
+                if changes:
+                    if not self.skip_change:
+                        raise ValueError(
+                            f"delta_py stream: version {v} of {self.table!r} "
+                            "changes existing rows (removes or deletion "
+                            "vectors); streaming sources require append-only "
+                            "commits — set skipChangeCommits=true to skip "
+                            "such commits, or consume delta_table_changes"
+                        )
+                    continue  # whole commit skipped, like delta-spark
+                for add in adds:
+                    parts.append(
+                        _FilePart(
+                            os.path.join(self.table, add["path"]),
+                            add.get("partitionValues") or {},
+                            self.part_types,
+                            self.schema_json,
+                        )
+                    )
+            return parts
+
+        def read(self, partition):
+            yield from _read_file_part(partition)
+
+        def commit(self, end):
+            pass
+
+    class DeltaPyDataSource(DataSource):
+        """format("delta_py"): jar-less Delta as a native Spark source."""
+
+        @classmethod
+        def name(cls):
+            return "delta_py"
+
+        def _meta(self):
+            # runs in the datasource worker process: self-contained log
+            # replay (stdlib + pyarrow for the checkpoint parquet when
+            # the JSON prefix was cleaned) — no SparkSession there
+            import pyarrow.parquet as pq
+
+            table = self.options["path"]
+            log = os.path.join(table, "_delta_log")
+            if not os.path.isdir(log):
+                raise FileNotFoundError(f"not a Delta table: {table!r}")
+            live: dict = {}
+            meta = None
+            cp_version = -1
+            commits = {}
+            for f in os.listdir(log):
+                m = re.fullmatch(r"(\d+)\.json", f)
+                if m:
+                    commits[int(m.group(1))] = os.path.join(log, f)
+            lc = os.path.join(log, "_last_checkpoint")
+            have_full_json = all(
+                v in commits for v in range(max(commits, default=-1) + 1)
+            ) and commits
+            if os.path.exists(lc) and not have_full_json:
+                cp_version = int(json.loads(open(lc).read())["version"])
+                cp = os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
+                for row in pq.read_table(cp).to_pylist():
+                    add = row.get("add")
+                    if add and add.get("path"):
+                        live[add["path"]] = add
+                    md = row.get("metaData")
+                    if md and md.get("schemaString"):
+                        meta = md
+            for v in sorted(c for c in commits if c > cp_version):
+                for line in open(commits[v]):
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "add" in a:
+                        live[a["add"]["path"]] = a["add"]
+                    elif "remove" in a:
+                        live.pop(a["remove"]["path"], None)
+                    elif "metaData" in a:
+                        meta = a["metaData"]
+            if meta is None:
+                raise FileNotFoundError(f"not a Delta table: {table!r}")
+            return live, meta
+
+        def schema(self):
+            _, meta = self._meta()
+            return StructType.fromJson(json.loads(meta["schemaString"]))
+
+        def reader(self, schema):
+            live, meta = self._meta()
+            cfg = meta.get("configuration") or {}
+            if cfg.get("delta.columnMapping.mode", "none") != "none":
+                raise NotImplementedError(
+                    "delta_py batch datasource does not resolve column "
+                    "mapping — use read_delta_py (the JVM-scan fast path)"
+                )
+            if any(a.get("deletionVector") for a in live.values()):
+                raise NotImplementedError(
+                    "delta_py batch datasource does not apply deletion "
+                    "vectors — use read_delta_py (the JVM-scan fast path)"
+                )
+            schema_json = meta["schemaString"]
+            fields = json.loads(schema_json)["fields"]
+            tmap = {
+                f["name"]: (f["type"] if isinstance(f["type"], str) else "string")
+                for f in fields
+            }
+            part_types = {c: tmap.get(c, "string")
+                          for c in (meta.get("partitionColumns") or [])}
+            table = self.options["path"]
+            parts = [
+                _FilePart(
+                    os.path.join(table, a["path"]),
+                    a.get("partitionValues") or {},
+                    part_types,
+                    schema_json,
+                )
+                for a in live.values()
+            ]
+            return _DeltaBatchReader(self.options, parts)
+
+        def streamReader(self, schema):
+            _, meta = self._meta()
+            cfg = meta.get("configuration") or {}
+            if cfg.get("delta.columnMapping.mode", "none") != "none":
+                raise NotImplementedError(
+                    "delta_py stream datasource does not resolve column "
+                    f"mapping (table {self.options['path']!r})"
+                )
+            fields = json.loads(meta["schemaString"])["fields"]
+            tmap = {
+                f["name"]: (f["type"] if isinstance(f["type"], str) else "string")
+                for f in fields
+            }
+            part_types = {c: tmap.get(c, "string")
+                          for c in (meta.get("partitionColumns") or [])}
+            return _DeltaStreamReader(
+                self.options, meta["schemaString"], part_types
+            )
+
+    return DeltaPyDataSource
+
+
+def make_iceberg_py_datasource():
+    import json
+    import os
+    from pathlib import Path
+
+    _REPO = str(Path(__file__).resolve().parents[2])
+
+    def _ensure_pkg():
+        # see make_delta_py_datasource: lifecycle methods run in a
+        # datasource worker process; avro manifest decoding lives in
+        # the package, so inject the repo root (or ship --py-files)
+        import sys
+
+        if _REPO not in sys.path:
+            sys.path.insert(0, _REPO)
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _IceFilePart(InputPartition):
+        def __init__(self, path, col_names):
+            self.path = path
+            self.col_names = col_names  # table column order (by name)
+
+    class _IceStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.table = options["path"]
+            self.skip_change = (
+                str(options.get("skipChangeCommits", "false")).lower() == "true"
+            )
+
+        def _meta(self):
+            _ensure_pkg()
+            from gcs2postgres_spark.sources.iceberg_py import (
+                latest_metadata_file,
+            )
+
+            return json.loads(open(latest_metadata_file(self.table)).read())
+
+        def initialOffset(self):
+            return {"seq": 0}
+
+        def latestOffset(self):
+            meta = self._meta()
+            return {"seq": int(meta.get("last-sequence-number", 0))}
+
+        def partitions(self, start, end):
+            _ensure_pkg()
+            from gcs2postgres_spark.sources.avro_py import read_avro_file
+            from gcs2postgres_spark.sources.iceberg_py import (
+                _load_current_schema,
+                _resolve,
+            )
+
+            meta = self._meta()
+            schema_json = _load_current_schema(meta)
+            col_names = [f["name"] for f in schema_json["fields"]]
+            lo, hi = int(start["seq"]), int(end["seq"])
+            parts = []
+            for snap in sorted(
+                meta.get("snapshots") or [],
+                key=lambda s: int(s.get("sequence-number") or 0),
+            ):
+                seq = int(snap.get("sequence-number") or 0)
+                if not (lo < seq <= hi):
+                    continue
+                op = (snap.get("summary") or {}).get("operation", "append")
+                if op == "replace":
+                    continue  # compaction: no logical row change
+                if op != "append":
+                    if self.skip_change:
+                        continue
+                    raise ValueError(
+                        f"iceberg_py stream: snapshot {snap['snapshot-id']} "
+                        f"({op}) of {self.table!r} changes existing rows; "
+                        "streaming sources require append snapshots — set "
+                        "skipChangeCommits=true, or consume "
+                        "iceberg_table_changes"
+                    )
+                sid = int(snap["snapshot-id"])
+                _, mrows = read_avro_file(
+                    _resolve(snap["manifest-list"], self.table,
+                             meta.get("location"))
+                )
+                for m in mrows:
+                    if m.get("added_snapshot_id") != sid or m.get("content", 0):
+                        continue
+                    _, entries = read_avro_file(
+                        _resolve(m["manifest_path"], self.table,
+                                 meta.get("location"))
+                    )
+                    for e in entries:
+                        if e["status"] == 2 or e.get("snapshot_id") != sid:
+                            continue
+                        dfile = e["data_file"]
+                        if dfile.get("content", 0):
+                            continue
+                        parts.append(
+                            _IceFilePart(
+                                _resolve(dfile["file_path"], self.table,
+                                         meta.get("location")),
+                                col_names,
+                            )
+                        )
+            return parts
+
+        def read(self, partition):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path)
+            cols = [
+                tbl.column(n).combine_chunks()
+                for n in partition.col_names
+                if n in tbl.column_names
+            ]
+            names = [n for n in partition.col_names if n in tbl.column_names]
+            yield from pa.table(cols, names=names).to_batches()
+
+        def commit(self, end):
+            pass
+
+    class IcebergPyDataSource(DataSource):
+        """format("iceberg_py"): streaming source over the snapshot log
+        (appends incremental, replace skipped; batch reads go through
+        read_iceberg_py, the JVM-scan + delete-applying fast path)."""
+
+        @classmethod
+        def name(cls):
+            return "iceberg_py"
+
+        def schema(self):
+            _ensure_pkg()
+            from gcs2postgres_spark.sources.iceberg_py import (
+                _load_current_schema,
+                iceberg_to_spark_type,
+                latest_metadata_file,
+            )
+
+            meta = json.loads(open(latest_metadata_file(self.options["path"])).read())
+            return iceberg_to_spark_type(_load_current_schema(meta))
+
+        def streamReader(self, schema):
+            return _IceStreamReader(self.options)
+
+    return IcebergPyDataSource
+
+
+def register_lakehouse_datasources(spark: SparkSession) -> None:
+    """Register format('delta_py') and format('iceberg_py') on this
+    session (idempotent — re-registration replaces)."""
+    spark.dataSource.register(make_delta_py_datasource())
+    spark.dataSource.register(make_iceberg_py_datasource())

@@ -1,0 +1,152 @@
+"""Python DataSource front door (Spark 4 pyspark.sql.datasource):
+``spark.read.format("delta_py")`` and streaming sources for both
+jar-less formats — the native way to stream a Delta/Iceberg table
+without connector jars (round 12)."""
+
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture
+def registered(spark):
+    from gcs2postgres_spark.sources.datasource import (
+        register_lakehouse_datasources,
+    )
+
+    register_lakehouse_datasources(spark)
+    return spark
+
+
+def _nation(spark, lo=0, hi=24):
+    return spark.range(lo, hi).selectExpr(
+        "CAST(id AS INT) AS k",
+        "concat('N_', id) AS name",
+        "CAST(id % 4 AS INT) AS region",
+    )
+
+
+def test_delta_py_batch_format(registered, tmp_path):
+    """Batch format: live files after replay, partition columns
+    injected from partitionValues with their declared types; DV and
+    column-mapping tables refuse with the fast-path pointer."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        write_delta,
+        write_delta_fixture,
+    )
+
+    spark = registered
+    t = str(tmp_path / "d")
+    write_delta_fixture(_nation(spark).coalesce(1), t, partition_col="region")
+    df = spark.read.format("delta_py").option("path", t).load()
+    assert df.schema["region"].dataType.typeName() == "integer"
+    rows = {(r["k"], r["region"]) for r in df.collect()}
+    assert rows == {(i, i % 4) for i in range(24)}
+    # overwritten/tombstoned files excluded: delete via overwrite-free DML
+    # makes the table DV-bearing -> batch refuses, names the fast path
+    delete_where_delta(spark, t, "k = 1", timestamp_ms=1_700_000_001_000)
+    with pytest.raises(Exception, match="read_delta_py"):
+        spark.read.format("delta_py").option("path", t).load().collect()
+
+
+def test_delta_py_stream_appends_and_change_commits(registered, tmp_path):
+    """Streaming: appends arrive incrementally with exactly-once
+    offsets across restarts; a data-changing commit fails the stream
+    unless skipChangeCommits=true (delta-spark source semantics)."""
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        write_delta,
+    )
+
+    spark = registered
+    t = str(tmp_path / "d")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta(_nation(spark, 0, 5).coalesce(1), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+
+    def run():
+        q = (
+            spark.readStream.format("delta_py").option("path", t).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert spark.read.parquet(out).count() == 5
+    write_delta(_nation(spark, 100, 103).coalesce(1), t, "append",
+                timestamp_ms=1_700_000_001_000)
+    run()  # restart from checkpoint: only the new commit's rows arrive
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]
+
+    # a DV delete is a change commit: stream fails without the option
+    delete_where_delta(spark, t, "k = 0", timestamp_ms=1_700_000_002_000)
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        run()
+    shutil.rmtree(ckpt)  # failed-run checkpoint is poisoned; restart fresh
+    shutil.rmtree(out)
+    q = (
+        spark.readStream.format("delta_py").option("path", t)
+        .option("skipChangeCommits", "true").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # change commit skipped wholesale; append commits all present
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]
+
+
+def test_iceberg_py_stream_appends_skip_replace(registered, tmp_path):
+    """Iceberg streaming: append snapshots stream their added files;
+    replace (compaction) snapshots are skipped silently; delete
+    snapshots fail without skipChangeCommits."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        delete_where,
+        rewrite_data_files,
+    )
+
+    spark = registered
+    t = str(tmp_path / "i")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = _nation(spark, 0, 6)
+    create_iceberg_v2_table(df.schema, t)
+    append_iceberg_v2(spark, t, df, snapshot_ts_ms=1_700_000_000_000)
+
+    def run(**opts):
+        r = spark.readStream.format("iceberg_py").option("path", t)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load().writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert spark.read.parquet(out).count() == 6
+    append_iceberg_v2(spark, t, _nation(spark, 100, 102),
+                      snapshot_ts_ms=1_700_000_001_000)
+    rewrite_data_files(spark, t, snapshot_ts_ms=1_700_000_002_000)  # replace
+    run()
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 100, 101]  # compaction emitted nothing
+
+    delete_where(spark, t, "k = 0", snapshot_ts_ms=1_700_000_003_000)
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        run()
+    shutil.rmtree(ckpt)
+    shutil.rmtree(out)
+    run(skipChangeCommits="true")
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 100, 101]
