@@ -79,7 +79,9 @@ def make_delta_py_datasource():
         DataSource,
         DataSourceReader,
         DataSourceStreamReader,
+        DataSourceStreamWriter,
         InputPartition,
+        WriterCommitMessage,
     )
     from pyspark.sql.types import StructType
 
@@ -332,6 +334,181 @@ def make_delta_py_datasource():
             return _DeltaStreamReader(
                 self.options, meta["schemaString"], part_types
             )
+
+        def streamWriter(self, schema, overwrite):
+            if overwrite:
+                raise NotImplementedError(
+                    "delta_py stream sink is append-mode only (complete/"
+                    "update modes rewrite state; use the cdc_apply sinks)"
+                )
+            return _DeltaStreamWriter(self.options, schema.json())
+
+    class _StageMsg(WriterCommitMessage):
+        def __init__(self, rel_path, size):
+            self.rel_path = rel_path
+            self.size = size
+
+    class _DeltaStreamWriter(DataSourceStreamWriter):
+        """Native EXACTLY-ONCE streaming APPEND sink: executors stage
+        parquet files under the table, the per-batch commit is ONE
+        put-if-absent Delta version carrying a ``txn`` action
+        (appId = option txnAppId, version = batchId), and a replayed
+        batchId is recognized from the log and dropped (staged files
+        removed) — the same mechanism delta-spark's txnAppId/txnVersion
+        options implement. Scope: unpartitioned tables, append mode;
+        CHECK constraints are a jar-less write_delta/cdc_apply feature,
+        not enforced here."""
+
+        def __init__(self, options, schema_json):
+            self.table = options["path"]
+            self.schema_json = schema_json
+            self.app_id = options.get(
+                "txnAppId", f"delta_py_stream_sink:{os.path.abspath(options['path'])}"
+            )
+
+        def write(self, iterator):
+            # executor-side: stdlib + pyarrow only
+            import json as _json
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            arrow_of = {
+                "integer": pa.int32(), "long": pa.int64(), "short": pa.int16(),
+                "byte": pa.int8(), "double": pa.float64(),
+                "float": pa.float32(), "boolean": pa.bool_(),
+                "date": pa.date32(), "string": pa.string(),
+                "timestamp": pa.timestamp("us", tz="UTC"),
+                "timestamp_ntz": pa.timestamp("us"),
+            }
+            fields = _json.loads(self.schema_json)["fields"]
+            names = [f["name"] for f in fields]
+            types = []
+            for f in fields:
+                t = f["type"] if isinstance(f["type"], str) else None
+                if t not in arrow_of:
+                    raise NotImplementedError(
+                        f"delta_py stream sink: unsupported column type "
+                        f"{f['type']!r} for {f['name']!r}"
+                    )
+                types.append(arrow_of[t])
+            cols = [[] for _ in names]
+            n = 0
+            for row in iterator:
+                for i, name in enumerate(names):
+                    cols[i].append(row[name])
+                n += 1
+            if n == 0:
+                return _StageMsg(None, 0)
+            arrays = [pa.array(c, type=t) for c, t in zip(cols, types)]
+            rel = f"part-stream-{_uuid.uuid4().hex}.snappy.parquet"
+            full = os.path.join(self.table, rel)
+            os.makedirs(self.table, exist_ok=True)
+            pq.write_table(pa.table(arrays, names=names), full,
+                           compression="snappy")
+            return _StageMsg(rel, os.path.getsize(full))
+
+        def _last_txn(self):
+            # session-free txn watermark scan (checkpoint + JSON commits)
+            import pyarrow.parquet as pq
+
+            log = os.path.join(self.table, "_delta_log")
+            if not os.path.isdir(log):
+                return -1
+            best, cp_version = -1, -1
+            lc = os.path.join(log, "_last_checkpoint")
+            if os.path.exists(lc):
+                cp_version = int(json.loads(open(lc).read())["version"])
+                cp = os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
+                if os.path.exists(cp):
+                    t = pq.read_table(cp)
+                    if "txn" in t.column_names:
+                        for r in t.column("txn").to_pylist():
+                            if r and r.get("appId") == self.app_id:
+                                best = max(best, int(r["version"]))
+            for f in os.listdir(log):
+                m = re.fullmatch(r"(\d+)\.json", f)
+                if not m or int(m.group(1)) <= cp_version:
+                    continue
+                for line in open(os.path.join(log, f)):
+                    if '"txn"' not in line:
+                        continue
+                    a = json.loads(line)
+                    t = a.get("txn")
+                    if t and t.get("appId") == self.app_id:
+                        best = max(best, int(t["version"]))
+            return best
+
+        def commit(self, messages, batchId):
+            import time as _time
+
+            staged = [(m.rel_path, m.size) for m in messages
+                      if m is not None and m.rel_path]
+            if batchId <= self._last_txn():
+                # replayed micro-batch: drop the duplicate staging
+                for rel, _ in staged:
+                    p = os.path.join(self.table, rel)
+                    if os.path.exists(p):
+                        os.remove(p)
+                return
+            log = os.path.join(self.table, "_delta_log")
+            os.makedirs(log, exist_ok=True)
+            commits = {
+                int(m.group(1))
+                for f in os.listdir(log)
+                if (m := re.fullmatch(r"(\d+)\.json", f))
+            }
+            now = int(_time.time() * 1000)
+            actions = []
+            fresh = not commits and not os.path.exists(
+                os.path.join(log, "_last_checkpoint")
+            )
+            if fresh:
+                version = 0
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+                actions.append({
+                    "metaData": {
+                        "id": __import__("uuid").uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": self.schema_json,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now,
+                    }
+                })
+            else:
+                version = max(commits) + 1
+            actions.extend(
+                {"add": {"path": rel, "partitionValues": {}, "size": size,
+                         "modificationTime": now, "dataChange": True}}
+                for rel, size in staged
+            )
+            ci = {"commitInfo": {"timestamp": now, "operation": "STREAMING UPDATE"}}
+            txn = {"txn": {"appId": self.app_id, "version": int(batchId),
+                           "lastUpdated": now}}
+            while True:
+                path = os.path.join(log, f"{version:020d}.json")
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+                except FileExistsError:
+                    version += 1  # appends rebase trivially
+                    continue
+                with os.fdopen(fd, "w") as f:
+                    for a in [ci, txn, *actions]:
+                        f.write(json.dumps(a) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
+                return
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and m.rel_path:
+                    p = os.path.join(self.table, m.rel_path)
+                    if os.path.exists(p):
+                        os.remove(p)
 
     return DeltaPyDataSource
 

@@ -150,3 +150,63 @@ def test_iceberg_py_stream_appends_skip_replace(registered, tmp_path):
     run(skipChangeCommits="true")
     got = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert got == [0, 1, 2, 3, 4, 5, 100, 101]
+
+
+def test_delta_py_stream_sink_exactly_once(registered, tmp_path):
+    """Native streaming SINK: writeStream.format('delta_py') appends
+    one put-if-absent Delta version per micro-batch stamped with a txn
+    watermark; a checkpoint-replayed batch is recognized and dropped
+    (zero duplicate rows, zero extra versions); the result is readable
+    by the jar-less reader AND streams back out through the source."""
+    from gcs2postgres_spark.sources.delta_py import (
+        _list_commits,
+        last_txn_version,
+        read_delta_py,
+    )
+
+    spark = registered
+    src_stage = str(tmp_path / "stage")
+    target = str(tmp_path / "delta_target")
+    ckpt = str(tmp_path / "ckpt")
+    _nation(spark, 0, 30).repartition(3).write.parquet(src_stage)
+    schema = spark.read.parquet(src_stage).schema
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_stage)
+            .writeStream.format("delta_py").option("path", target)
+            .option("txnAppId", "sink_test")
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    out = read_delta_py(spark, target)
+    assert sorted(r["k"] for r in out.collect()) == list(range(30))
+    versions = max(_list_commits(os.path.join(target, "_delta_log")))
+    assert last_txn_version(spark, target, "sink_test") >= 0
+
+    # force a replay of the last micro-batch: the sink must drop it
+    commits_dir = os.path.join(ckpt, "commits")
+    last = max(int(f) for f in os.listdir(commits_dir) if f.isdigit())
+    os.remove(os.path.join(commits_dir, str(last)))
+    crc = os.path.join(commits_dir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert sorted(r["k"] for r in read_delta_py(spark, target).collect()) == list(range(30))
+    assert max(_list_commits(os.path.join(target, "_delta_log"))) == versions
+
+    # the sink's output is itself a valid streaming SOURCE (round trip)
+    out2 = str(tmp_path / "echo")
+    ckpt2 = str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("delta_py").option("path", target).load()
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ckpt2).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out2).count() == 30
