@@ -414,8 +414,18 @@ def read_iceberg_py(
         src_col = field_names.get(f.get("source-id"))
         src_type = field_types.get(f.get("source-id"))
         if src_col is not None and isinstance(src_type, str):
+            from gcs2postgres_spark.sources.iceberg_transforms import (
+                storage_transform,
+            )
+
+            # storage transform: identity on date/timestamp sources is
+            # STORED as int days / long micros — compare through it
             part_fields_by_col.setdefault(src_col, []).append(
-                (f["name"], f.get("transform", "identity"), src_type)
+                (
+                    f["name"],
+                    storage_transform(f.get("transform", "identity"), src_type),
+                    src_type,
+                )
             )
 
     _allowed_cache: dict[tuple[str, str], set | None] = {}
@@ -2195,7 +2205,7 @@ def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> di
     # manifest partition structs store the transform's result type.
     from gcs2postgres_spark.sources.iceberg_transforms import (
         parse_transform,
-        result_avro_type,
+        storage_transform,
     )
 
     part_avro: list[tuple[str, str]] = []
@@ -2205,7 +2215,7 @@ def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> di
         tr = f.get("transform", "identity")
         kind, _arg = parse_transform(tr)  # unknown transform: ValueError
         ok = {
-            "identity": ("int", "long", "string"),
+            "identity": ("int", "long", "string", "date", "timestamp", "timestamptz"),
             "truncate": ("int", "long", "string"),
             "bucket": ("int", "long", "string", "date", "timestamp", "timestamptz"),
             "year": ("date", "timestamp", "timestamptz"),
@@ -2218,9 +2228,19 @@ def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> di
                 f"{tr} partition on iceberg type {t!r} for jar-less {op}: "
                 f"table {_JAR_HINT}"
             )
-        src_avro = {"int": "int", "long": "long", "string": "string"}.get(t, "int")
-        part_avro.append((f["name"], result_avro_type(tr, src_avro)))
-        part_transforms.append(tr)
+        # part_transforms carries the STORAGE transform: identity on a
+        # temporal source stores the underlying int days / long micros
+        # (spec partition-struct encoding), so routing and pruning both
+        # compute exactly the stored value
+        st = storage_transform(tr, t)
+        if st == "micros":
+            avro_t = "long"
+        elif kind == "bucket" or st in ("year", "month", "day", "hour"):
+            avro_t = "int"
+        else:
+            avro_t = {"int": "int", "long": "long", "string": "string"}[t]
+        part_avro.append((f["name"], avro_t))
+        part_transforms.append(st)
     snapshots = meta.get("snapshots") or []
     snap_id = meta.get("current-snapshot-id")
     if branch is not None:

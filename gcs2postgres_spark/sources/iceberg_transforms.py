@@ -57,7 +57,9 @@ def parse_transform(transform: str) -> tuple[str, int | None]:
     m = _TRUNCATE_RE.fullmatch(transform)
     if m:
         return "truncate", int(m.group(1))
-    if transform in ("identity", "year", "month", "day", "hour", "void"):
+    if transform in ("identity", "year", "month", "day", "hour", "micros", "void"):
+        # "micros" is INTERNAL (storage_transform's identity-on-timestamp
+        # mapping), not a spec transform string
         return transform, None
     raise ValueError(f"unknown iceberg partition transform {transform!r}")
 
@@ -72,6 +74,25 @@ def result_avro_type(transform: str, source_avro: str) -> str:
     if kind in ("identity", "truncate"):
         return source_avro
     raise ValueError(f"transform {transform!r} has no storable result type")
+
+
+def storage_transform(transform: str, iceberg_type: str) -> str:
+    """The transform whose RESULT equals the manifest STORAGE value.
+
+    Identity partition values on date/timestamp sources are stored in
+    manifests as their underlying int (days from epoch) / long (micros)
+    — spec 'Partition struct' + Avro logical types — which is exactly
+    what the ``day``/micros transforms compute. Mapping identity onto
+    them keeps the two faces (routing expr, pruning apply) consistent
+    with the stored values without special-casing every call site.
+    Non-temporal identities and every explicit transform store their
+    own result unchanged."""
+    kind, _ = parse_transform(transform)
+    if kind == "identity" and iceberg_type == "date":
+        return "day"
+    if kind == "identity" and iceberg_type in ("timestamp", "timestamptz"):
+        return "micros"
+    return transform
 
 
 # --------------------------------------------------------------- murmur3
@@ -171,6 +192,10 @@ def apply_transform(transform: str, value, iceberg_type: str):
         if iceberg_type == "string":
             return _bucket_of_str(value, arg)
         raise NotImplementedError(f"bucket on iceberg type {iceberg_type!r}")
+    if kind == "micros":
+        if isinstance(value, _dt.datetime):
+            return _epoch_micros(value)
+        return int(value)
     # calendar transforms: floor in UTC
     if iceberg_type == "date":
         d = value if isinstance(value, _dt.date) else _EPOCH_DATE + _dt.timedelta(days=int(value))
@@ -302,6 +327,23 @@ def transform_expr(transform: str, col_name: str, spark_type: T.DataType) -> Col
         if kind == "month":
             return ((F.year(c) - F.lit(1970)) * 12 + F.month(c) - 1).cast("int")
         raise NotImplementedError("hour transform is invalid on a date column")
+    if kind == "micros":
+        if isinstance(spark_type, T.TimestampType):
+            return F.unix_micros(c)
+        if isinstance(spark_type, T.TimestampNTZType):
+            # TZ-free: wall-clock parts only (unix_micros would detour
+            # through the session timezone)
+            day = F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+            secs = (
+                day.cast("long") * 86400
+                + F.hour(c).cast("long") * 3600
+                + F.minute(c).cast("long") * 60
+                + F.second(c).cast("long")
+            )
+            return secs * F.lit(1_000_000).cast("long") + F.date_format(
+                c, "SSSSSS"
+            ).cast("long")
+        raise NotImplementedError(f"micros on spark type {spark_type}")
     if isinstance(spark_type, T.TimestampNTZType):
         # NTZ wall clock IS the UTC reading (iceberg 'timestamp')
         day = F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))

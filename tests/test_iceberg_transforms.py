@@ -255,8 +255,47 @@ def test_create_table_refusals(spark, tmp_path):
     create_iceberg_v2_table(df.schema, t, [("d", "hour")])
     with pytest.raises(NotImplementedError, match="hour partition on iceberg type 'date'"):
         append_iceberg_v2(spark, t, df)
-    # identity on date stays refused (manifest struct typing scope)
+    # truncate on a date source is invalid per spec
     t2 = str(tmp_path / "d")
-    create_iceberg_v2_table(df.schema, t2, [("d", "identity")])
-    with pytest.raises(NotImplementedError, match="identity partition"):
+    create_iceberg_v2_table(df.schema, t2, [("d", "truncate[3]")])
+    with pytest.raises(NotImplementedError, match="truncate\\[3\\] partition"):
         _v2_table_context(t2, "append")
+
+
+def test_identity_partition_on_temporal_sources(spark, tmp_path):
+    """Identity partitioning on date/timestamp sources stores the
+    underlying int days / long micros in the manifest partition struct
+    (spec encoding) — routing, pruning (by SOURCE date value), and DML
+    all line up through the storage transform."""
+    import datetime as dt
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        delete_where,
+        read_iceberg_meta,
+        read_iceberg_py,
+    )
+
+    df = spark.range(12).selectExpr(
+        "CAST(id AS INT) AS k",
+        "date_add(DATE'2024-01-01', CAST(id % 3 AS INT)) AS d",
+        "timestamp_ntz'2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 2 AS INT),0,0,0) AS ts",
+    )
+    t = str(tmp_path / "t")
+    create_iceberg_v2_table(df.schema, t, [("d", "identity"), ("ts", "identity")])
+    append_iceberg_v2(spark, t, df, snapshot_ts_ms=1_700_000_000_000)
+    back = read_iceberg_py(spark, t)
+    assert back.count() == 12
+    # manifest stores int days / long micros
+    files = read_iceberg_meta(spark, t, "files").collect()
+    assert any('"d": 19723' in f["partition"] for f in files)  # 2024-01-01
+    # prune by SOURCE date value: only the matching partition survives
+    pr = read_iceberg_py(spark, t, partition_filter={"d": {dt.date(2024, 1, 2)}})
+    assert sorted(r["k"] for r in pr.collect()) == [1, 4, 7, 10]
+    # DML with a temporal-identity partition filter
+    assert delete_where(
+        spark, t, "d = DATE'2024-01-02'", snapshot_ts_ms=1_700_000_001_000,
+        partition_filter={"d": {dt.date(2024, 1, 2)}},
+    )
+    assert read_iceberg_py(spark, t).count() == 8
