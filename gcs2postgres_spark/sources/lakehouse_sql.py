@@ -10,6 +10,10 @@ functions:
     SELECT * FROM iceberg.`/p` FOR REF release_tag
     INSERT INTO delta.`/p` SELECT ... | VALUES (...)
     CREATE TABLE iceberg.`/p` PARTITIONED BY (days(ts), bucket(16, id)) AS SELECT ...
+    CREATE TABLE delta.`/p2` SHALLOW CLONE delta.`/p` [VERSION AS OF 3]
+    ALTER TABLE delta.`/p` ADD CONSTRAINT bound CHECK (k < 1000)
+    ALTER TABLE iceberg.`/p` RENAME COLUMN a TO b | ADD COLUMN c BIGINT
+    ALTER TABLE iceberg.`/p` CREATE TAG v1 | DROP BRANCH audit
     DELETE FROM delta.`/path/to/table` WHERE region = 2
     UPDATE iceberg.`/p` SET name = concat('U_', name) WHERE k = 1
     MERGE INTO delta.`/p` t USING src_view s ON t.k = s.k
@@ -33,6 +37,7 @@ sources are registered temp views (create them with
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -290,6 +295,73 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         iceberg_py.create_iceberg_v2_table(rows.schema, m["path"], spec or None)
         return iceberg_py.append_iceberg_v2(spark, m["path"], rows)
 
+    m = re.fullmatch(
+        rf"(?i)ALTER TABLE {_TBL} ADD CONSTRAINT (?P<name>\w+) "
+        r"CHECK \((?P<expr>.+)\)",
+        s,
+    )
+    if m:
+        if m["fmt"] != "delta":
+            raise ValueError(
+                "CHECK constraints are a Delta writer feature (Iceberg has "
+                "no table-level constraint spec)"
+            )
+        return delta_py.alter_delta_add_constraint(
+            spark, m["path"], m["name"], m["expr"]
+        )
+
+    m = re.fullmatch(
+        rf"(?i)ALTER TABLE {_TBL} RENAME COLUMN (?P<old>\w+) TO (?P<new>\w+)", s
+    )
+    if m:
+        if m["fmt"] == "delta":
+            return delta_py.alter_delta_rename_column(
+                spark, m["path"], m["old"], m["new"]
+            )
+        iceberg_py.alter_iceberg_rename_column(m["path"], m["old"], m["new"])
+        return None
+
+    m = re.fullmatch(
+        rf"(?i)ALTER TABLE {_TBL} ADD COLUMN (?P<col>\w+) (?P<typ>\w+(?:\(\s*\d+\s*,\s*\d+\s*\))?)",
+        s,
+    )
+    if m:
+        sql_t = m["typ"].lower()
+        names = {
+            "int": ("integer", "int"), "integer": ("integer", "int"),
+            "bigint": ("long", "long"), "long": ("long", "long"),
+            "string": ("string", "string"), "varchar": ("string", "string"),
+            "double": ("double", "double"), "float": ("float", "float"),
+            "boolean": ("boolean", "boolean"), "date": ("date", "date"),
+            "timestamp": ("timestamp", "timestamptz"),
+            "timestamp_ntz": ("timestamp_ntz", "timestamp"),
+        }
+        if sql_t not in names:
+            raise ValueError(f"unsupported ADD COLUMN type {m['typ']!r}")
+        spark_t, ice_t = names[sql_t]
+        if m["fmt"] == "delta":
+            return delta_py.alter_delta_add_column(
+                spark, m["path"], m["col"], json.dumps(spark_t)
+            )
+        iceberg_py.alter_iceberg_add_column(m["path"], m["col"], ice_t)
+        return None
+
+    m = re.fullmatch(
+        rf"(?i)ALTER TABLE {_TBL} (?P<verb>CREATE|DROP) "
+        r"(?P<kind>TAG|BRANCH) (?P<name>\w+)",
+        s,
+    )
+    if m:
+        if m["fmt"] != "iceberg":
+            raise ValueError("named refs (tags/branches) are an Iceberg feature")
+        if m["verb"].upper() == "CREATE":
+            iceberg_py.create_ref(
+                m["path"], m["name"], ref_type=m["kind"].lower()
+            )
+        else:
+            iceberg_py.drop_ref(m["path"], m["name"])
+        return None
+
     m = re.fullmatch(rf"(?i)DELETE FROM {_TBL} WHERE (?P<pred>.+)", s)
     if m:
         if m["fmt"] == "delta":
@@ -387,7 +459,9 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
     raise ValueError(
         "unrecognized lakehouse statement (supported: SELECT/WITH [VERSION "
         "AS OF | TIMESTAMP AS OF | FOR REF] / INSERT INTO / CREATE TABLE "
-        "[PARTITIONED BY] AS / DELETE FROM / UPDATE / MERGE INTO / OPTIMIZE "
+        "[PARTITIONED BY] AS / CREATE TABLE ... SHALLOW CLONE / ALTER TABLE "
+        "ADD CONSTRAINT|RENAME COLUMN|ADD COLUMN|CREATE/DROP TAG|BRANCH / "
+        "DELETE FROM / UPDATE / MERGE INTO / OPTIMIZE "
         "[ZORDER BY] / VACUUM / RESTORE TABLE / DESCRIBE HISTORY over "
         f"delta.`path` | iceberg.`path`): {stmt!r}"
     )

@@ -1568,3 +1568,49 @@ def test_delta_shallow_clone(spark, tmp_path):
     # clone onto an existing table refuses
     with pytest.raises(ValueError, match="already exists"):
         shallow_clone_delta(spark, src, dst)
+
+
+def test_lakehouse_sql_alter_statements(spark, tmp_path):
+    """Facade ALTER TABLE: ADD CONSTRAINT (delta), RENAME/ADD COLUMN
+    (both formats), CREATE/DROP TAG|BRANCH (iceberg)."""
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    dt = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), dt, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    lakehouse_sql(
+        spark, f"ALTER TABLE delta.`{dt}` ADD CONSTRAINT bound CHECK (k < 1000)"
+    )
+    with pytest.raises(ValueError, match="bound"):
+        write_delta(
+            spark.createDataFrame([(5000, "x", 0)], "k int, name string, region int")
+            .coalesce(1), dt, "append",
+        )
+    lakehouse_sql(spark, f"ALTER TABLE delta.`{dt}` RENAME COLUMN name TO label")
+    lakehouse_sql(spark, f"ALTER TABLE delta.`{dt}` ADD COLUMN score DOUBLE")
+    out = read_delta_py(spark, dt)
+    assert "label" in out.columns and "score" in out.columns
+    assert out.filter("label = 'N_3'").count() == 1  # values survive rename
+
+    it = str(tmp_path / "i")
+    write_iceberg_v2_fixture(_ice_nation(spark), it, sort_col="k")
+    lakehouse_sql(spark, f"ALTER TABLE iceberg.`{it}` RENAME COLUMN name TO label")
+    lakehouse_sql(spark, f"ALTER TABLE iceberg.`{it}` ADD COLUMN score BIGINT")
+    out = read_iceberg_py(spark, it)
+    assert "label" in out.columns and "score" in out.columns
+    lakehouse_sql(spark, f"ALTER TABLE iceberg.`{it}` CREATE TAG v1")
+    assert read_iceberg_py(spark, it, ref="v1").count() == 24
+    lakehouse_sql(spark, f"ALTER TABLE iceberg.`{it}` DROP TAG v1")
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_py(spark, it, ref="v1")
+    with pytest.raises(ValueError, match="Iceberg feature"):
+        lakehouse_sql(spark, f"ALTER TABLE delta.`{dt}` CREATE TAG x")
+    with pytest.raises(ValueError, match="Delta writer feature"):
+        lakehouse_sql(
+            spark, f"ALTER TABLE iceberg.`{it}` ADD CONSTRAINT c CHECK (k < 5)"
+        )
