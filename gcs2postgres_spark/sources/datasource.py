@@ -464,6 +464,37 @@ def make_delta_py_datasource():
             fresh = not commits and not os.path.exists(
                 os.path.join(log, "_last_checkpoint")
             )
+            if not fresh:
+                # guard an EXISTING table's contract: this sink stages
+                # unpartitioned files with the stream's columns —
+                # appending them under a partitioned or different-schema
+                # metaData would read back nulls (silent corruption)
+                meta = None
+                for f in sorted(os.listdir(log)):
+                    if re.fullmatch(r"\d+\.json", f):
+                        for line in open(os.path.join(log, f)):
+                            if '"metaData"' not in line:
+                                continue
+                            a = json.loads(line)
+                            if "metaData" in a:
+                                meta = a["metaData"]
+                if meta is not None:
+                    if meta.get("partitionColumns"):
+                        raise ValueError(
+                            "delta_py stream sink appends unpartitioned "
+                            f"files; target {self.table!r} is partitioned by "
+                            f"{meta['partitionColumns']} — use the cdc_apply "
+                            "sinks or write_delta"
+                        )
+                    ours = [f["name"] for f in
+                            json.loads(self.schema_json)["fields"]]
+                    theirs = [f["name"] for f in
+                              json.loads(meta["schemaString"])["fields"]]
+                    if ours != theirs:
+                        raise ValueError(
+                            f"delta_py stream sink schema {ours} != table "
+                            f"schema {theirs} for {self.table!r}"
+                        )
             if fresh:
                 version = 0
                 actions.append(

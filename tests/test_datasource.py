@@ -210,3 +210,44 @@ def test_delta_py_stream_sink_exactly_once(registered, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(out2).count() == 30
+
+
+def test_delta_py_stream_sink_guards(registered, tmp_path):
+    """The sink must refuse targets whose contract its unpartitioned
+    same-schema appends would corrupt: partitioned tables and
+    schema-mismatched tables."""
+    from gcs2postgres_spark.sources.delta_py import (
+        write_delta,
+        write_delta_fixture,
+    )
+
+    spark = registered
+    src_stage = str(tmp_path / "stage")
+    _nation(spark, 0, 6).coalesce(1).write.parquet(src_stage)
+    schema = spark.read.parquet(src_stage).schema
+
+    def run(target, ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_stage)
+            .writeStream.format("delta_py").option("path", target)
+            .option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    part_target = str(tmp_path / "pt")
+    write_delta_fixture(_nation(spark).coalesce(1), part_target,
+                        partition_col="region")
+    with pytest.raises(Exception, match="partitioned by"):
+        run(part_target, str(tmp_path / "c1"))
+
+    mismatched = str(tmp_path / "mt")
+    write_delta(
+        spark.createDataFrame([(1, 2.0)], "a int, b double").coalesce(1),
+        mismatched, "overwrite", timestamp_ms=1_700_000_000_000,
+    )
+    with pytest.raises(Exception, match="!= table"):
+        run(mismatched, str(tmp_path / "c2"))
