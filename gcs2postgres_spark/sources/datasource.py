@@ -563,7 +563,9 @@ def make_iceberg_py_datasource():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceStreamReader,
+        DataSourceStreamWriter,
         InputPartition,
+        WriterCommitMessage,
     )
 
     class _IceFilePart(InputPartition):
@@ -691,6 +693,158 @@ def make_iceberg_py_datasource():
 
         def streamReader(self, schema):
             return _IceStreamReader(self.options)
+
+        def streamWriter(self, schema, overwrite):
+            if overwrite:
+                raise NotImplementedError(
+                    "iceberg_py stream sink is append-mode only (use the "
+                    "cdc_apply sinks for upsert state)"
+                )
+            return _IceStreamWriter(self.options, schema.json())
+
+    class _IceStageMsg(WriterCommitMessage):
+        def __init__(self, path):
+            self.path = path
+
+    class _IceStreamWriter(DataSourceStreamWriter):
+        """Native EXACTLY-ONCE streaming APPEND sink: executors stage
+        parquet files under <table>/data/, the per-batch commit is one
+        fast-append snapshot built from the staged files' footers
+        (driver-side metadata work via the package committer) stamped
+        with app-id/batch-id summary properties, and a replayed batchId
+        is recognized and dropped. Scope: existing UNPARTITIONED v2
+        tables, append mode; the first batch needs the table created
+        (create_iceberg_v2_table)."""
+
+        def __init__(self, options, schema_json):
+            self.table = options["path"]
+            self.schema_json = schema_json
+            self.app_id = options.get(
+                "txnAppId",
+                f"iceberg_py_stream_sink:{os.path.abspath(options['path'])}",
+            )
+
+        def write(self, iterator):
+            import json as _json
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            arrow_of = {
+                "integer": pa.int32(), "long": pa.int64(), "short": pa.int16(),
+                "byte": pa.int8(), "double": pa.float64(),
+                "float": pa.float32(), "boolean": pa.bool_(),
+                "date": pa.date32(), "string": pa.string(),
+                "timestamp": pa.timestamp("us", tz="UTC"),
+                "timestamp_ntz": pa.timestamp("us"),
+            }
+            fields = _json.loads(self.schema_json)["fields"]
+            names, types = [], []
+            for f in fields:
+                t = f["type"] if isinstance(f["type"], str) else None
+                if t not in arrow_of:
+                    raise NotImplementedError(
+                        f"iceberg_py stream sink: unsupported column type "
+                        f"{f['type']!r} for {f['name']!r}"
+                    )
+                names.append(f["name"])
+                types.append(arrow_of[t])
+            cols = [[] for _ in names]
+            n = 0
+            for row in iterator:
+                for i, name in enumerate(names):
+                    cols[i].append(row[name])
+                n += 1
+            if n == 0:
+                return _IceStageMsg(None)
+            ddir = os.path.join(self.table, "data")
+            os.makedirs(ddir, exist_ok=True)
+            full = os.path.join(
+                ddir, f"stream-{_uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(
+                pa.table([pa.array(c, type=t) for c, t in zip(cols, types)],
+                         names=names),
+                full, compression="snappy",
+            )
+            return _IceStageMsg(full)
+
+        def commit(self, messages, batchId):
+            import time as _time
+
+            _ensure_pkg()
+            from gcs2postgres_spark.sources.iceberg_py import (
+                _v2_commit_snapshot,
+                _v2_entry,
+                _v2_table_context,
+                last_txn_version_iceberg,
+                read_avro_file,
+                _resolve,
+            )
+
+            staged = [m.path for m in messages if m is not None and m.path]
+            if batchId <= last_txn_version_iceberg(self.table, self.app_id):
+                for p in staged:
+                    if os.path.exists(p):
+                        os.remove(p)
+                return
+            ctx = _v2_table_context(self.table, "stream append")
+            if ctx["part_struct_names"]:
+                raise ValueError(
+                    "iceberg_py stream sink appends unpartitioned files; "
+                    f"target {self.table!r} is partitioned — use the "
+                    "cdc_apply sinks or append_iceberg_v2"
+                )
+            if not staged:
+                return
+            snapshot = ctx["snapshot"]
+            if snapshot is None:
+                rows = []
+                sid = 1
+            else:
+                _, rows = read_avro_file(
+                    _resolve(snapshot["manifest-list"], self.table,
+                             ctx["location"])
+                )
+                rows = list(rows)
+                sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
+            new_seq = int(ctx["meta"].get("last-sequence-number", 0)) + 1
+            from gcs2postgres_spark.sources.iceberg_py import (
+                _uniq,
+                manifest_entry_schema_v2,
+                write_avro_file,
+            )
+
+            entries = [
+                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid)
+                for p in sorted(staged)
+            ]
+            mdir = os.path.join(self.table, "metadata")
+            man = os.path.join(mdir, _uniq(f"manifest-data-{sid}.avro"))
+            write_avro_file(man, manifest_entry_schema_v2([]), entries,
+                            codec="null")
+            rows.append(
+                {
+                    "manifest_path": os.path.abspath(man),
+                    "manifest_length": os.path.getsize(man),
+                    "partition_spec_id": ctx["spec_id"],
+                    "content": 0,
+                    "sequence_number": new_seq,
+                    "min_sequence_number": new_seq,
+                    "added_snapshot_id": sid,
+                }
+            )
+            _v2_commit_snapshot(
+                self.table, ctx, rows, new_seq, sid,
+                int(_time.time() * 1000), "append",
+                summary_extra={"app-id": self.app_id, "batch-id": batchId},
+            )
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and m.path and os.path.exists(m.path):
+                    os.remove(m.path)
 
     return IcebergPyDataSource
 

@@ -251,3 +251,63 @@ def test_delta_py_stream_sink_guards(registered, tmp_path):
     )
     with pytest.raises(Exception, match="!= table"):
         run(mismatched, str(tmp_path / "c2"))
+
+
+def test_iceberg_py_stream_sink_exactly_once(registered, tmp_path):
+    """Iceberg native streaming SINK: one fast-append snapshot per
+    micro-batch stamped with app-id/batch-id; a checkpoint-replayed
+    batch is dropped (zero extra snapshots); partitioned targets
+    refuse; the result reads back through the jar-less reader."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        create_iceberg_v2_table,
+        latest_metadata_file,
+        read_iceberg_py,
+        write_iceberg_v2_partitioned_fixture,
+    )
+    import json as _json
+
+    spark = registered
+    src_stage = str(tmp_path / "stage")
+    target = str(tmp_path / "ice_target")
+    ckpt = str(tmp_path / "ckpt")
+    _nation(spark, 0, 30).repartition(3).write.parquet(src_stage)
+    schema = spark.read.parquet(src_stage).schema
+    create_iceberg_v2_table(schema, target)
+
+    def run(tgt=target, ck=ckpt):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_stage)
+            .writeStream.format("iceberg_py").option("path", tgt)
+            .option("txnAppId", "ice_sink_test")
+            .option("checkpointLocation", ck).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    assert sorted(
+        r["k"] for r in read_iceberg_py(spark, target).collect()
+    ) == list(range(30))
+    meta = _json.loads(open(latest_metadata_file(target)).read())
+    snaps_before = len(meta["snapshots"])
+
+    # force replay of the last micro-batch
+    commits_dir = os.path.join(ckpt, "commits")
+    last = max(int(f) for f in os.listdir(commits_dir) if f.isdigit())
+    os.remove(os.path.join(commits_dir, str(last)))
+    crc = os.path.join(commits_dir, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    meta = _json.loads(open(latest_metadata_file(target)).read())
+    assert len(meta["snapshots"]) == snaps_before  # replay dropped
+    assert read_iceberg_py(spark, target).count() == 30
+
+    # partitioned target refuses
+    pt = str(tmp_path / "pt")
+    write_iceberg_v2_partitioned_fixture(_nation(spark), pt, "region")
+    with pytest.raises(Exception, match="partitioned"):
+        run(tgt=pt, ck=str(tmp_path / "ckpt2"))
