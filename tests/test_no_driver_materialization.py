@@ -52,6 +52,9 @@ ALLOWED = {
         # written to a dirty test file; the read-back path under test
         # is fully distributed
         ".limit(100)",
+        # shallow-clone roundtrip: ONE aggregate row (sum of a key
+        # column) collected to build the single-row result frame
+        'clone.agg(F.sum("k"))',
     ],
     "sources/delta_py.py": [
         # Delta log replay collects (path, partitionValues[, DV
