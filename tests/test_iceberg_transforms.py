@@ -299,3 +299,56 @@ def test_identity_partition_on_temporal_sources(spark, tmp_path):
         partition_filter={"d": {dt.date(2024, 1, 2)}},
     )
     assert read_iceberg_py(spark, t).count() == 8
+
+
+def test_transform_properties_hypothesis():
+    """Property-pinned transform laws (driver-side face; the expr face
+    is pinned equal to it in test_transform_expr_matches_python):
+    bucket ranges, truncate idempotence/monotonicity, calendar
+    consistency (month//12 == year floor; hour//24 == day)."""
+    import datetime as dt
+
+    from hypothesis import given, strategies as st
+
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+           st.integers(min_value=1, max_value=1 << 20))
+    def bucket_in_range(v, n):
+        b = apply_transform(f"bucket[{n}]", v, "long")
+        assert 0 <= b < n
+
+    bucket_in_range()
+
+    @given(st.text(max_size=40), st.integers(min_value=1, max_value=1000))
+    def bucket_str_in_range(s, n):
+        assert 0 <= apply_transform(f"bucket[{n}]", s, "string") < n
+
+    bucket_str_in_range()
+
+    @given(st.integers(min_value=-(10**15), max_value=10**15),
+           st.integers(min_value=1, max_value=10**6))
+    def truncate_laws(v, w):
+        t = apply_transform(f"truncate[{w}]", v, "long")
+        assert t <= v < t + w  # floor bucket contains v
+        # idempotent
+        assert apply_transform(f"truncate[{w}]", t, "long") == t
+
+    truncate_laws()
+
+    @given(st.dates(min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 12, 31)))
+    def calendar_consistency(d):
+        y = apply_transform("year", d, "date")
+        m = apply_transform("month", d, "date")
+        # floor semantics on both: month ordinal floor-divides to year
+        assert m // 12 == y
+        assert apply_transform("day", d, "date") == (d - dt.date(1970, 1, 1)).days
+
+    calendar_consistency()
+
+    @given(st.datetimes(min_value=dt.datetime(1, 1, 1),
+                        max_value=dt.datetime(9999, 12, 28)))
+    def hour_day_consistency(ts):
+        h = apply_transform("hour", ts, "timestamp")
+        day = apply_transform("day", ts, "timestamp")
+        assert h // 24 == day
+
+    hour_day_consistency()
