@@ -450,6 +450,30 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         iceberg_py.rollback_to_snapshot(m["path"], int(m["v"]))
         return None
 
+    m = re.fullmatch(rf"(?i)SHOW PARTITIONS {_TBL}", s)
+    if m:
+        if m["fmt"] == "iceberg":
+            # per-TRANSFORMED-tuple summary from the manifests
+            return iceberg_py.read_iceberg_meta(spark, m["path"], "partitions")
+        # delta: aggregate the live log adds' partitionValues (metadata
+        # only — the same O(files) replay every Delta client pays)
+        live, meta = delta_py.replay_head_state(spark, m["path"])
+        if meta is None:
+            raise FileNotFoundError(f"not a Delta table: {m['path']!r}")
+        part_cols = list(meta.get("partitionColumns") or [])
+        if not part_cols:
+            raise ValueError(f"table {m['path']!r} is not partitioned")
+        agg: dict[str, tuple[int, int]] = {}
+        for a in live.values():
+            pv = a.get("partitionValues") or {}
+            key = json.dumps({c: pv.get(c) for c in part_cols}, sort_keys=True)
+            files, size = agg.get(key, (0, 0))
+            agg[key] = (files + 1, size + int(a.get("size") or 0))
+        return spark.createDataFrame(
+            sorted((k, f, sz) for k, (f, sz) in agg.items()),
+            "partition string, file_count long, size_bytes long",
+        )
+
     m = re.fullmatch(rf"(?i)DESCRIBE HISTORY {_TBL}", s)
     if m:
         if m["fmt"] == "delta":

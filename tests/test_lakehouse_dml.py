@@ -1614,3 +1614,33 @@ def test_lakehouse_sql_alter_statements(spark, tmp_path):
         lakehouse_sql(
             spark, f"ALTER TABLE iceberg.`{it}` ADD CONSTRAINT c CHECK (k < 5)"
         )
+
+
+def test_lakehouse_sql_show_partitions(spark, tmp_path):
+    """SHOW PARTITIONS: Iceberg surfaces per-TRANSFORMED-tuple file/row
+    counts from the manifests; Delta aggregates the live adds'
+    partitionValues — both metadata-only."""
+    from gcs2postgres_spark.sources.delta_py import write_delta_fixture
+    from gcs2postgres_spark.sources.iceberg_py import (
+        write_iceberg_v2_partitioned_fixture,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    it = str(tmp_path / "i")
+    write_iceberg_v2_partitioned_fixture(_ice_nation(spark), it, "region")
+    rows = lakehouse_sql(spark, f"SHOW PARTITIONS iceberg.`{it}`").collect()
+    assert len(rows) == 4 and sum(r["record_count"] for r in rows) == 24
+
+    dt = str(tmp_path / "d")
+    write_delta_fixture(_delta_nation(spark).coalesce(1), dt,
+                        partition_col="region")
+    rows = lakehouse_sql(spark, f"SHOW PARTITIONS delta.`{dt}`").collect()
+    assert len(rows) == 4 and all(r["file_count"] >= 1 for r in rows)
+    # unpartitioned delta refuses
+    from gcs2postgres_spark.sources.delta_py import write_delta
+
+    up = str(tmp_path / "unpart")
+    write_delta(_delta_nation(spark).coalesce(1), up, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    with pytest.raises(ValueError, match="not partitioned"):
+        lakehouse_sql(spark, f"SHOW PARTITIONS delta.`{up}`")
