@@ -341,33 +341,50 @@ def make_delta_py_datasource():
                     "delta_py stream sink is append-mode only (complete/"
                     "update modes rewrite state; use the cdc_apply sinks)"
                 )
-            return _DeltaStreamWriter(self.options, schema.json())
+            raw = self.options.get("partitionBy", "")
+            declared = [c.strip() for c in raw.split(",") if c.strip()]
+            try:
+                _, meta = self._meta()
+                part_cols = list(meta.get("partitionColumns") or [])
+                if "partitionBy" in self.options and declared != part_cols:
+                    raise ValueError(
+                        f"delta_py stream sink partitionBy={declared} != "
+                        f"existing table's partitionColumns {part_cols} "
+                        f"for {self.options['path']!r}"
+                    )
+            except FileNotFoundError:
+                # fresh table: partitioning comes from the sink option
+                part_cols = declared
+            return _DeltaStreamWriter(self.options, schema.json(), part_cols)
 
     class _StageMsg(WriterCommitMessage):
-        def __init__(self, rel_path, size):
-            self.rel_path = rel_path
-            self.size = size
+        def __init__(self, entries):
+            # [(rel_path, partitionValues dict, size)] staged by this task
+            self.entries = entries
 
     class _DeltaStreamWriter(DataSourceStreamWriter):
         """Native EXACTLY-ONCE streaming APPEND sink: executors stage
-        parquet files under the table, the per-batch commit is ONE
-        put-if-absent Delta version carrying a ``txn`` action
-        (appId = option txnAppId, version = batchId), and a replayed
-        batchId is recognized from the log and dropped (staged files
-        removed) — the same mechanism delta-spark's txnAppId/txnVersion
-        options implement. Scope: unpartitioned tables, append mode;
-        CHECK constraints are a jar-less write_delta/cdc_apply feature,
-        not enforced here."""
+        parquet files under the table (hive-layout dirs for partitioned
+        tables, partition columns EXCLUDED from the files per the
+        protocol), the per-batch commit is ONE put-if-absent Delta
+        version carrying a ``txn`` action (appId = option txnAppId,
+        version = batchId), and a replayed batchId is recognized from
+        the log and dropped (staged files removed) — the same mechanism
+        delta-spark's txnAppId/txnVersion options implement. CHECK
+        constraints are a jar-less write_delta/cdc_apply feature, not
+        enforced here."""
 
-        def __init__(self, options, schema_json):
+        def __init__(self, options, schema_json, part_cols):
             self.table = options["path"]
             self.schema_json = schema_json
+            self.part_cols = part_cols
             self.app_id = options.get(
                 "txnAppId", f"delta_py_stream_sink:{os.path.abspath(options['path'])}"
             )
 
         def write(self, iterator):
             # executor-side: stdlib + pyarrow only
+            import datetime as _dt
             import json as _json
             import uuid as _uuid
 
@@ -384,7 +401,13 @@ def make_delta_py_datasource():
             }
             fields = _json.loads(self.schema_json)["fields"]
             names = [f["name"] for f in fields]
-            types = []
+            missing = [c for c in self.part_cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"delta_py stream sink: partition columns {missing} "
+                    "absent from the stream schema"
+                )
+            data_names, data_types = [], []
             for f in fields:
                 t = f["type"] if isinstance(f["type"], str) else None
                 if t not in arrow_of:
@@ -392,22 +415,54 @@ def make_delta_py_datasource():
                         f"delta_py stream sink: unsupported column type "
                         f"{f['type']!r} for {f['name']!r}"
                     )
-                types.append(arrow_of[t])
-            cols = [[] for _ in names]
-            n = 0
+                if f["name"] not in self.part_cols:
+                    data_names.append(f["name"])
+                    data_types.append(arrow_of[t])
+
+            def pv_str(v):
+                # protocol: partitionValues serialize as strings
+                if v is None:
+                    raise ValueError(
+                        "delta_py stream sink: NULL partition values are "
+                        "not supported (hive-layout staging)"
+                    )
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                if isinstance(v, (_dt.date, _dt.datetime)):
+                    return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+                return str(v)
+
+            groups: dict[tuple, list] = {}  # pv tuple -> column buffers
             for row in iterator:
-                for i, name in enumerate(names):
-                    cols[i].append(row[name])
-                n += 1
-            if n == 0:
-                return _StageMsg(None, 0)
-            arrays = [pa.array(c, type=t) for c, t in zip(cols, types)]
-            rel = f"part-stream-{_uuid.uuid4().hex}.snappy.parquet"
-            full = os.path.join(self.table, rel)
-            os.makedirs(self.table, exist_ok=True)
-            pq.write_table(pa.table(arrays, names=names), full,
-                           compression="snappy")
-            return _StageMsg(rel, os.path.getsize(full))
+                key = tuple(pv_str(row[c]) for c in self.part_cols)
+                buf = groups.get(key)
+                if buf is None:
+                    buf = [[] for _ in data_names]
+                    groups[key] = buf
+                for i, name in enumerate(data_names):
+                    buf[i].append(row[name])
+            entries = []
+            for key, buf in groups.items():
+                sub = "/".join(
+                    f"{c}={v}" for c, v in zip(self.part_cols, key)
+                )
+                rel_dir = sub if sub else ""
+                rel = os.path.join(
+                    rel_dir, f"part-stream-{_uuid.uuid4().hex}.snappy.parquet"
+                )
+                full = os.path.join(self.table, rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                pq.write_table(
+                    pa.table(
+                        [pa.array(c, type=t) for c, t in zip(buf, data_types)],
+                        names=data_names,
+                    ),
+                    full, compression="snappy",
+                )
+                entries.append(
+                    (rel, dict(zip(self.part_cols, key)), os.path.getsize(full))
+                )
+            return _StageMsg(entries)
 
         def _last_txn(self):
             # session-free txn watermark scan (checkpoint + JSON commits)
@@ -443,11 +498,13 @@ def make_delta_py_datasource():
         def commit(self, messages, batchId):
             import time as _time
 
-            staged = [(m.rel_path, m.size) for m in messages
-                      if m is not None and m.rel_path]
+            staged = [
+                e for m in messages if m is not None
+                for e in (m.entries or [])
+            ]
             if batchId <= self._last_txn():
                 # replayed micro-batch: drop the duplicate staging
-                for rel, _ in staged:
+                for rel, _pv, _sz in staged:
                     p = os.path.join(self.table, rel)
                     if os.path.exists(p):
                         os.remove(p)
@@ -465,10 +522,10 @@ def make_delta_py_datasource():
                 os.path.join(log, "_last_checkpoint")
             )
             if not fresh:
-                # guard an EXISTING table's contract: this sink stages
-                # unpartitioned files with the stream's columns —
-                # appending them under a partitioned or different-schema
-                # metaData would read back nulls (silent corruption)
+                # guard an EXISTING table's contract: the staged files'
+                # partitioning and columns must MATCH its metaData —
+                # appending mismatched files would read back nulls
+                # (silent corruption)
                 meta = None
                 for f in sorted(os.listdir(log)):
                     if re.fullmatch(r"\d+\.json", f):
@@ -479,12 +536,13 @@ def make_delta_py_datasource():
                             if "metaData" in a:
                                 meta = a["metaData"]
                 if meta is not None:
-                    if meta.get("partitionColumns"):
+                    theirs_parts = list(meta.get("partitionColumns") or [])
+                    if theirs_parts != self.part_cols:
                         raise ValueError(
-                            "delta_py stream sink appends unpartitioned "
-                            f"files; target {self.table!r} is partitioned by "
-                            f"{meta['partitionColumns']} — use the cdc_apply "
-                            "sinks or write_delta"
+                            f"delta_py stream sink partitioning "
+                            f"{self.part_cols} != target {self.table!r}'s "
+                            f"partitionColumns {theirs_parts} — use the "
+                            "cdc_apply sinks or write_delta"
                         )
                     ours = [f["name"] for f in
                             json.loads(self.schema_json)["fields"]]
@@ -505,7 +563,7 @@ def make_delta_py_datasource():
                         "id": __import__("uuid").uuid4().hex,
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": self.schema_json,
-                        "partitionColumns": [],
+                        "partitionColumns": self.part_cols,
                         "configuration": {},
                         "createdTime": now,
                     }
@@ -513,9 +571,9 @@ def make_delta_py_datasource():
             else:
                 version = max(commits) + 1
             actions.extend(
-                {"add": {"path": rel, "partitionValues": {}, "size": size,
+                {"add": {"path": rel, "partitionValues": pv, "size": size,
                          "modificationTime": now, "dataChange": True}}
-                for rel, size in staged
+                for rel, pv, size in staged
             )
             ci = {"commitInfo": {"timestamp": now, "operation": "STREAMING UPDATE"}}
             txn = {"txn": {"appId": self.app_id, "version": int(batchId),
@@ -536,8 +594,8 @@ def make_delta_py_datasource():
 
         def abort(self, messages, batchId):
             for m in messages:
-                if m is not None and m.rel_path:
-                    p = os.path.join(self.table, m.rel_path)
+                for rel, _pv, _sz in (m.entries if m is not None else []):
+                    p = os.path.join(self.table, rel)
                     if os.path.exists(p):
                         os.remove(p)
 

@@ -213,17 +213,18 @@ def test_delta_py_stream_sink_exactly_once(registered, tmp_path):
 
 
 def test_delta_py_stream_sink_guards(registered, tmp_path):
-    """The sink must refuse targets whose contract its unpartitioned
-    same-schema appends would corrupt: partitioned tables and
-    schema-mismatched tables."""
+    """The sink must refuse a target whose SCHEMA its appends would
+    corrupt; an existing PARTITIONED target is adopted (its
+    partitioning wins) when the stream schema covers it."""
     from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
         write_delta,
         write_delta_fixture,
     )
 
     spark = registered
     src_stage = str(tmp_path / "stage")
-    _nation(spark, 0, 6).coalesce(1).write.parquet(src_stage)
+    _nation(spark, 100, 106).coalesce(1).write.parquet(src_stage)
     schema = spark.read.parquet(src_stage).schema
 
     def run(target, ckpt):
@@ -238,11 +239,12 @@ def test_delta_py_stream_sink_guards(registered, tmp_path):
         finally:
             q.stop()
 
+    # existing partitioned table: adopted, rows routed to its layout
     part_target = str(tmp_path / "pt")
     write_delta_fixture(_nation(spark).coalesce(1), part_target,
                         partition_col="region")
-    with pytest.raises(Exception, match="partitioned by"):
-        run(part_target, str(tmp_path / "c1"))
+    run(part_target, str(tmp_path / "c1"))
+    assert read_delta_py(spark, part_target).count() == 30
 
     mismatched = str(tmp_path / "mt")
     write_delta(
@@ -311,3 +313,71 @@ def test_iceberg_py_stream_sink_exactly_once(registered, tmp_path):
     write_iceberg_v2_partitioned_fixture(_nation(spark), pt, "region")
     with pytest.raises(Exception, match="partitioned"):
         run(tgt=pt, ck=str(tmp_path / "ckpt2"))
+
+
+def test_delta_py_stream_sink_partitioned(registered, tmp_path):
+    """Partitioned sink: rows are routed to hive-layout partition dirs
+    with partition columns EXCLUDED from the files (protocol layout);
+    a fresh table takes partitioning from the partitionBy option, an
+    existing partitioned table is matched (mismatch refuses); the
+    result reads back typed through BOTH the jar-less reader and the
+    batch datasource."""
+    from gcs2postgres_spark.sources.delta_py import read_delta_py
+
+    spark = registered
+    src_stage = str(tmp_path / "stage")
+    target = str(tmp_path / "pt_target")
+    ckpt = str(tmp_path / "ckpt")
+    _nation(spark, 0, 24).repartition(2).write.parquet(src_stage)
+    schema = spark.read.parquet(src_stage).schema
+
+    def run(ck=ckpt, **opts):
+        r = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_stage)
+            .writeStream.format("delta_py").option("path", target)
+            .option("partitionBy", "region")
+            .option("checkpointLocation", ck)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = r.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    out = read_delta_py(spark, target)
+    assert sorted((r["k"], r["region"]) for r in out.collect()) == [
+        (i, i % 4) for i in range(24)
+    ]
+    # hive layout on disk; files do NOT contain the partition column
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    pdirs = _glob.glob(os.path.join(target, "region=*"))
+    assert len(pdirs) == 4
+    one = _glob.glob(os.path.join(pdirs[0], "*.parquet"))[0]
+    assert "region" not in pq.read_schema(one).names
+    # batch datasource injects partition values typed
+    df = spark.read.format("delta_py").option("path", target).load()
+    assert df.schema["region"].dataType.typeName() == "integer"
+    assert df.filter("region = 2").count() == 6
+
+    # appending with MISMATCHED partitioning refuses
+    target2 = target  # same table, different declared partitioning
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src_stage)
+        .writeStream.format("delta_py").option("path", target2)
+        .option("partitionBy", "name")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+        .start()
+    )
+    with pytest.raises(Exception, match="partitionColumns"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
