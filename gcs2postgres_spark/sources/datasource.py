@@ -620,6 +620,7 @@ def make_iceberg_py_datasource():
 
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceReader,
         DataSourceStreamReader,
         DataSourceStreamWriter,
         InputPartition,
@@ -729,14 +730,86 @@ def make_iceberg_py_datasource():
         def commit(self, end):
             pass
 
+    class _IceBatchReader(DataSourceReader):
+        def __init__(self, parts):
+            self._parts = parts
+
+        def partitions(self):
+            return self._parts
+
+        def read(self, partition):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path)
+            cols = [
+                tbl.column(n).combine_chunks()
+                for n in partition.col_names
+                if n in tbl.column_names
+            ]
+            names = [n for n in partition.col_names if n in tbl.column_names]
+            yield from pa.table(cols, names=names).to_batches()
+
     class IcebergPyDataSource(DataSource):
-        """format("iceberg_py"): streaming source over the snapshot log
-        (appends incremental, replace skipped; batch reads go through
-        read_iceberg_py, the JVM-scan + delete-applying fast path)."""
+        """format("iceberg_py"): batch over the current snapshot's data
+        files (DELETE-FREE tables only — position/equality deletes need
+        read_iceberg_py, the JVM-scan + delete-applying fast path) and
+        streaming source/sink over the snapshot log."""
 
         @classmethod
         def name(cls):
             return "iceberg_py"
+
+        def reader(self, schema):
+            _ensure_pkg()
+            from gcs2postgres_spark.sources.avro_py import read_avro_file
+            from gcs2postgres_spark.sources.iceberg_py import (
+                _load_current_schema,
+                _resolve,
+                latest_metadata_file,
+            )
+
+            table = self.options["path"]
+            meta = json.loads(open(latest_metadata_file(table)).read())
+            schema_json = _load_current_schema(meta)
+            col_names = [f["name"] for f in schema_json["fields"]]
+            snaps = meta.get("snapshots") or []
+            cur = meta.get("current-snapshot-id")
+            if cur is None or cur == -1 or not snaps:
+                return _IceBatchReader([])
+            snap = next(s for s in snaps if s["snapshot-id"] == cur)
+            _, mrows = read_avro_file(
+                _resolve(snap["manifest-list"], table, meta.get("location"))
+            )
+            parts = []
+            for m in mrows:
+                if m.get("content", 0):
+                    raise NotImplementedError(
+                        "iceberg_py batch datasource does not apply "
+                        "delete files — use read_iceberg_py (the "
+                        "JVM-scan fast path)"
+                    )
+                _, entries = read_avro_file(
+                    _resolve(m["manifest_path"], table, meta.get("location"))
+                )
+                for e in entries:
+                    if e["status"] == 2:
+                        continue
+                    dfile = e["data_file"]
+                    if dfile.get("content", 0):
+                        raise NotImplementedError(
+                            "iceberg_py batch datasource does not apply "
+                            "delete files — use read_iceberg_py (the "
+                            "JVM-scan fast path)"
+                        )
+                    parts.append(
+                        _IceFilePart(
+                            _resolve(dfile["file_path"], table,
+                                     meta.get("location")),
+                            col_names,
+                        )
+                    )
+            return _IceBatchReader(parts)
 
         def schema(self):
             _ensure_pkg()

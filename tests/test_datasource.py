@@ -381,3 +381,25 @@ def test_delta_py_stream_sink_partitioned(registered, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_iceberg_py_batch_format(registered, tmp_path):
+    """Batch format over a delete-free Iceberg table; tables with
+    delete files refuse with the fast-path pointer."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        delete_where,
+    )
+
+    spark = registered
+    t = str(tmp_path / "i")
+    df = _nation(spark, 0, 12)
+    create_iceberg_v2_table(df.schema, t)
+    append_iceberg_v2(spark, t, df, snapshot_ts_ms=1_700_000_000_000)
+    got = spark.read.format("iceberg_py").option("path", t).load()
+    assert sorted(r["k"] for r in got.collect()) == list(range(12))
+
+    delete_where(spark, t, "k = 3", snapshot_ts_ms=1_700_000_001_000)
+    with pytest.raises(Exception, match="read_iceberg_py"):
+        spark.read.format("iceberg_py").option("path", t).load().collect()
