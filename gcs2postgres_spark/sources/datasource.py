@@ -3,17 +3,22 @@ native ``spark.read.format(...)`` / ``spark.readStream.format(...)``
 front door (Spark 4's DataSource API, pyspark.sql.datasource).
 
 - ``delta_py``: BATCH (live files after log replay, partition columns
-  injected) and STREAMING — the micro-batch source jar-ful Delta
-  exposes: offsets are log versions, each batch reads exactly the data
-  files the new commits added (dataChange=true), appends stream
-  incrementally, and a commit that CHANGES data (removes / DV re-adds)
-  fails the stream unless ``skipChangeCommits=true`` (the same
-  semantics as delta-spark's streaming source).
-- ``iceberg_py``: STREAMING over the snapshot log — offsets are
-  sequence numbers; ``append`` snapshots emit their added data files,
-  ``replace`` (compaction) snapshots are silently skipped (no logical
-  row change — the dataChange=false twin), and overwrite/delete
-  snapshots fail unless ``skipChangeCommits=true``.
+  injected typed), a STREAMING SOURCE — the micro-batch source jar-ful
+  Delta exposes: offsets are log versions, each batch reads exactly
+  the data files the new commits added (dataChange=true), appends
+  stream incrementally, and a commit that CHANGES data (removes / DV
+  re-adds) fails the stream unless ``skipChangeCommits=true`` (the
+  same semantics as delta-spark's streaming source) — and a STREAMING
+  SINK: one put-if-absent Delta version per micro-batch (hive-layout
+  partition routing, partition columns excluded from files), txn-
+  stamped for exactly-once under checkpoint replay.
+- ``iceberg_py``: BATCH over delete-free tables, a STREAMING SOURCE
+  over the snapshot log — offsets are sequence numbers; ``append``
+  snapshots emit their added data files, ``replace`` (compaction)
+  snapshots are silently skipped (no logical row change — the
+  dataChange=false twin), and overwrite/delete snapshots fail unless
+  ``skipChangeCommits=true`` — and a STREAMING SINK: one fast-append
+  snapshot per micro-batch, app-id/batch-id stamped for exactly-once.
 
 Scope honesty: executor-side reads go through pyarrow (the Python
 DataSource contract), so the BATCH fast path remains
