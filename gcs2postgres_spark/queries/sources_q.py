@@ -2870,3 +2870,78 @@ def datasource_delta_py_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+MERGE_PERCOL_ORACLE = """
+WITH src(k, name, region) AS (
+  VALUES (3, 'SRC_3', 9), (7, 'SRC_7', 9), (900, 'SRC_NEW', 7)
+), merged AS (
+  SELECT n.n_nationkey AS k,
+         CASE WHEN s.k IS NOT NULL
+              THEN n.n_name || '+' || s.name ELSE n.n_name END AS name,
+         CASE WHEN s.k IS NOT NULL
+              THEN s.region + 100 ELSE n.n_regionkey END AS region
+  FROM nation n LEFT JOIN src s ON n.n_nationkey = s.k
+  UNION ALL
+  SELECT s.k, s.name, s.region FROM src s
+  WHERE s.k NOT IN (SELECT n_nationkey FROM nation)
+)
+SELECT region,
+       count(*)               AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       min(name)              AS first_name
+FROM merged
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("merge_per_column_set_roundtrip", oracle=MERGE_PERCOL_ORACLE)
+def merge_per_column_set_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column MERGE (the full statement shape engines expose):
+    ``WHEN MATCHED THEN UPDATE SET name = concat(t.name,'+',s.name),
+    region = s.region + 100 WHEN NOT MATCHED THEN INSERT *`` through
+    the SQL facade onto the jar-less Delta committer — SET expressions
+    evaluate over the aliased t./s. pair, un-SET columns keep the
+    TARGET's value, unmatched source rows insert whole rows, all in ONE
+    atomic DV commit. The oracle reproduces the merge relationally."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="merge_percol_")
+    try:
+        write_delta(
+            nation.selectExpr("n_nationkey AS k", "n_name AS name",
+                              "n_regionkey AS region").coalesce(1),
+            tmp, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        spark.createDataFrame(
+            [(3, "SRC_3", 9), (7, "SRC_7", 9), (900, "SRC_NEW", 7)],
+            "k int, name string, region int",
+        ).createOrReplaceTempView("merge_percol_src")
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{tmp}` tgt USING merge_percol_src sp "
+            "ON tgt.k = sp.k "
+            "WHEN MATCHED THEN UPDATE SET "
+            "name = concat(tgt.name, '+', sp.name), "
+            "region = sp.region + 100 "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("k").cast("long").alias("key_sum"),
+                F.min("name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

@@ -1635,6 +1635,7 @@ def merge_delta(
     latest_wins_on: list[str] | None = None,
     timestamp_ms: int | None = None,
     txn: dict | None = None,
+    set_exprs: dict[str, str] | None = None,
 ) -> int | None:
     """Jar-less Delta ``MERGE INTO`` (CDC upsert) via deletion vectors:
     one atomic commit that DV-deletes every target row whose ``on`` key
@@ -1673,10 +1674,61 @@ def merge_delta(
             "when_matched='ignore' with when_not_matched='ignore' is a "
             "whole-statement no-op; a MERGE needs at least one acting clause"
         )
+    if set_exprs is not None and (when_matched != "update" or latest_wins_on):
+        raise ValueError(
+            "set_exprs (per-column WHEN MATCHED THEN UPDATE SET) requires "
+            "when_matched='update' and no latest_wins_on"
+        )
     live = read_delta_py(spark, table_path)
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
+
+    if set_exprs is not None:
+        # PER-COLUMN matched clause: rewritten rows are the LIVE matched
+        # rows joined to their source row, with each SET expression
+        # evaluated over the aliased pair (t.col / s.col — the standard
+        # MERGE expression environment); un-SET columns keep the
+        # target's value. Unmatched source rows insert whole rows.
+        bad = sorted(set(set_exprs) - set(live.columns))
+        if bad:
+            raise ValueError(f"MERGE SET targets unknown columns: {bad}")
+        src_keys = source.select(*on).distinct()
+
+        def matcher(tagged: DataFrame) -> DataFrame:
+            return tagged.join(src_keys, on=on, how="left_semi")
+
+        joined = live.alias("t").join(source.alias("s"), on=on, how="inner")
+        rewritten = joined.select(
+            *[
+                F.expr(set_exprs[c]).cast(live.schema[c].dataType).alias(c)
+                if c in set_exprs
+                else F.col(f"t.{c}").alias(c)
+                for c in live.columns
+            ]
+        )
+        if when_not_matched == "insert":
+            missing_cols = sorted(set(live.columns) - set(source.columns))
+            if missing_cols:
+                raise ValueError(
+                    f"MERGE source lacks table columns needed for INSERT: "
+                    f"{missing_cols}"
+                )
+            inserts = source.join(
+                live.select(*on).distinct(), on=on, how="left_anti"
+            ).select(
+                *[F.col(c).cast(live.schema[c].dataType).alias(c)
+                  for c in live.columns]
+            )
+            replacement = rewritten.unionByName(inserts)
+        else:
+            replacement = rewritten
+        if replacement.isEmpty():
+            replacement = None
+        return _dv_row_level_commit(
+            spark, table_path, matcher, replacement, timestamp_ms,
+            operation="MERGE", txn=txn,
+        )
 
     if when_matched == "ignore":
         # insert-only merge: touches no existing file — route to the

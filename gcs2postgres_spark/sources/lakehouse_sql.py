@@ -384,46 +384,70 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
     if m:
         keys = _parse_on(m["on"], m["t"], m["s"])
         clauses = m["clauses"].strip()
-        matched = re.search(
-            r"(?i)WHEN MATCHED THEN (UPDATE SET \*|DELETE)", clauses
+        # clause boundaries: the explicit markers (a CASE WHEN inside a
+        # SET expression cannot match them)
+        markers = list(
+            re.finditer(r"(?i)WHEN (NOT )?MATCHED THEN ", clauses)
         )
-        not_matched = re.search(r"(?i)WHEN NOT MATCHED THEN INSERT \*", clauses)
-        known = re.findall(r"(?i)WHEN (?:NOT )?MATCHED THEN (?:UPDATE SET \*|DELETE|INSERT \*)", clauses)
-        if re.sub(r"(?i)WHEN (?:NOT )?MATCHED THEN (?:UPDATE SET \*|DELETE|INSERT \*)", "", clauses).strip():
+        if not markers or markers[0].start() != 0:
             raise ValueError(
-                "MERGE clauses must be 'WHEN MATCHED THEN UPDATE SET *', "
-                "'WHEN MATCHED THEN DELETE', and/or "
-                f"'WHEN NOT MATCHED THEN INSERT *'; got {clauses!r}"
+                f"MERGE needs at least one WHEN clause; got {clauses!r}"
             )
-        if not known:
-            raise ValueError(f"MERGE needs at least one WHEN clause; got {clauses!r}")
-        # conflicting duplicates ('WHEN MATCHED THEN DELETE WHEN MATCHED
-        # THEN UPDATE SET *') must raise, never first-silently-wins
-        n_matched = len(re.findall(r"(?i)WHEN MATCHED THEN", clauses))
-        n_not_matched = len(re.findall(r"(?i)WHEN NOT MATCHED THEN", clauses))
+        n_matched = sum(1 for mk in markers if not mk.group(1))
+        n_not_matched = len(markers) - n_matched
         if n_matched > 1 or n_not_matched > 1:
+            # conflicting duplicates must raise, never first-silently-wins
             raise ValueError(
                 "MERGE allows at most one WHEN MATCHED and one WHEN NOT "
                 f"MATCHED clause; got {clauses!r}"
             )
-        if matched:
-            when_matched = (
-                "delete" if matched.group(1).upper() == "DELETE" else "update"
-            )
-        else:
-            # no WHEN MATCHED clause = insert-only merge: matched target
-            # rows are left untouched (never silently upserted)
-            when_matched = "ignore"
-        when_not_matched = "insert" if not_matched else "ignore"
+        when_matched, when_not_matched = "ignore", "ignore"
+        set_exprs: dict[str, str] | None = None
+        for i, mk in enumerate(markers):
+            body = clauses[
+                mk.end() : markers[i + 1].start() if i + 1 < len(markers)
+                else len(clauses)
+            ].strip()
+            if mk.group(1):  # WHEN NOT MATCHED
+                if body.upper() != "INSERT *":
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports only 'INSERT *'; "
+                        f"got {body!r}"
+                    )
+                when_not_matched = "insert"
+            elif body.upper() == "DELETE":
+                when_matched = "delete"
+            elif body.upper() == "UPDATE SET *":
+                when_matched = "update"
+            elif re.match(r"(?i)UPDATE SET ", body):
+                # per-column clause: expressions may reference the
+                # aliased pair as <t>.col / <s>.col — normalized to the
+                # committers' t./s. environment
+                when_matched = "update"
+                raw = _parse_set(body[len("UPDATE SET "):])
+                set_exprs = {
+                    c: re.sub(
+                        rf"\b{re.escape(m['s'])}\.", "s.",
+                        re.sub(rf"\b{re.escape(m['t'])}\.", "t.", e),
+                    )
+                    for c, e in raw.items()
+                }
+            else:
+                raise ValueError(
+                    "WHEN MATCHED supports 'UPDATE SET *', 'UPDATE SET "
+                    f"col = expr, ...', or 'DELETE'; got {body!r}"
+                )
         source = spark.table(m["src"])
         if m["fmt"] == "delta":
             return delta_py.merge_delta(
                 spark, m["path"], source, keys,
                 when_matched=when_matched, when_not_matched=when_not_matched,
+                set_exprs=set_exprs,
             )
         return iceberg_py.merge_into(
             spark, m["path"], source, keys,
             when_matched=when_matched, when_not_matched=when_not_matched,
+            set_exprs=set_exprs,
         )
 
     m = re.fullmatch(

@@ -860,11 +860,13 @@ def test_lakehouse_sql_facade(spark, tmp_path):
             f"MERGE INTO delta.`{dt}` t USING cdc_batch s ON t.k > s.k "
             "WHEN MATCHED THEN UPDATE SET *",
         )
-    with pytest.raises(ValueError, match="WHEN"):
+    # per-column SET is supported since round 12 (see
+    # test_merge_per_column_set_both_formats); an unknown body is loud
+    with pytest.raises(ValueError, match="WHEN MATCHED supports"):
         lakehouse_sql(
             spark,
             f"MERGE INTO delta.`{dt}` t USING cdc_batch s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET name = 'x'",
+            "WHEN MATCHED THEN UPSERT",
         )
 
 
@@ -1644,3 +1646,61 @@ def test_lakehouse_sql_show_partitions(spark, tmp_path):
                 timestamp_ms=1_700_000_000_000)
     with pytest.raises(ValueError, match="not partitioned"):
         lakehouse_sql(spark, f"SHOW PARTITIONS delta.`{up}`")
+
+
+def test_merge_per_column_set_both_formats(spark, tmp_path):
+    """Per-column MERGE (round 12): WHEN MATCHED THEN UPDATE SET
+    col = expr over the t./s. pair — un-SET columns keep the TARGET's
+    value (the thing 'UPDATE SET *' cannot express), unmatched source
+    rows insert whole rows, and the facade normalizes the statement's
+    aliases to the committers' t./s. environment."""
+    from gcs2postgres_spark.sources.delta_py import merge_delta, read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        merge_into,
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    src = spark.createDataFrame(
+        [(3, "SRC_3", 9), (900, "SRC_NEW", 7)], "k int, name string, region int"
+    )
+
+    # Delta via the facade, mixed t./s. expressions
+    dt = str(tmp_path / "d")
+    write_delta(_delta_nation(spark).coalesce(1), dt, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    src.createOrReplaceTempView("percol_src")
+    v = lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{dt}` tgt USING percol_src sp ON tgt.k = sp.k "
+        "WHEN MATCHED THEN UPDATE SET name = concat(tgt.name, '+', sp.name), "
+        "region = sp.region + 100 "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert v == 1
+    d = {r["k"]: (r["name"], r["region"]) for r in read_delta_py(spark, dt).collect()}
+    assert d[3] == ("N_3+SRC_3", 109)  # SET exprs applied
+    assert d[2] == ("N_2", 2)  # untouched row intact
+    assert d[900] == ("SRC_NEW", 7)  # insert is the whole source row
+    assert len(d) == 25
+
+    # Iceberg direct committer, target-only kept column
+    it = str(tmp_path / "i")
+    write_iceberg_v2_fixture(_ice_nation(spark), it, sort_col="k")
+    sid = merge_into(
+        spark, it, src, ["k"],
+        set_exprs={"name": "upper(s.name)"},
+        snapshot_ts_ms=1_700_000_001_000,
+    )
+    assert sid is not None
+    i = {r["k"]: (r["name"], r["region"]) for r in read_iceberg_py(spark, it).collect()}
+    assert i[3] == ("SRC_3", 3)  # name SET from source; region KEPT from target
+    assert i[900] == ("SRC_NEW", 7)
+
+    # guards: unknown SET column; set_exprs + delete/latest_wins refuse
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_delta(spark, dt, src, ["k"], set_exprs={"nope": "1"})
+    with pytest.raises(ValueError, match="requires when_matched='update'"):
+        merge_into(spark, it, src, ["k"], when_matched="delete",
+                   set_exprs={"name": "'x'"})
