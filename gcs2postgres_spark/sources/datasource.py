@@ -523,9 +523,11 @@ def make_delta_py_datasource():
             }
             now = int(_time.time() * 1000)
             actions = []
-            fresh = not commits and not os.path.exists(
-                os.path.join(log, "_last_checkpoint")
-            )
+            lc = os.path.join(log, "_last_checkpoint")
+            cp_version = -1
+            if os.path.exists(lc):
+                cp_version = int(json.loads(open(lc).read())["version"])
+            fresh = not commits and cp_version < 0
             if not fresh:
                 # guard an EXISTING table's contract: the staged files'
                 # partitioning and columns must MATCH its metaData —
@@ -540,6 +542,22 @@ def make_delta_py_datasource():
                             a = json.loads(line)
                             if "metaData" in a:
                                 meta = a["metaData"]
+                if meta is None and cp_version >= 0:
+                    # checkpoint-only table (JSON commits cleaned up past
+                    # the checkpoint): the metaData lives in the
+                    # checkpoint parquet — read it there so the contract
+                    # guard still runs instead of silently skipping
+                    import pyarrow.parquet as pq
+
+                    cp = os.path.join(
+                        log, f"{cp_version:020d}.checkpoint.parquet"
+                    )
+                    if os.path.exists(cp):
+                        t = pq.read_table(cp)
+                        if "metaData" in t.column_names:
+                            for r in t.column("metaData").to_pylist():
+                                if r and r.get("schemaString"):
+                                    meta = r
                 if meta is not None:
                     theirs_parts = list(meta.get("partitionColumns") or [])
                     if theirs_parts != self.part_cols:
@@ -574,7 +592,9 @@ def make_delta_py_datasource():
                     }
                 })
             else:
-                version = max(commits) + 1
+                # checkpoint-only tables have no JSON commits: the next
+                # version is checkpoint+1, not max(∅)+1 (ValueError)
+                version = max(commits) + 1 if commits else cp_version + 1
             actions.extend(
                 {"add": {"path": rel, "partitionValues": pv, "size": size,
                          "modificationTime": now, "dataChange": True}}
@@ -588,7 +608,24 @@ def make_delta_py_datasource():
                 try:
                     fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
                 except FileExistsError:
-                    version += 1  # appends rebase trivially
+                    # appends rebase over disjoint appends, but NOT over a
+                    # metadata/protocol change — the same conflict rule
+                    # _commit_with_rebase enforces: rows staged against the
+                    # old metaData were never validated against the new one
+                    # (ADD CONSTRAINT, schema change), so fail the batch and
+                    # let the stream retry against fresh metadata
+                    for line in open(path):
+                        if '"metaData"' not in line and '"protocol"' not in line:
+                            continue
+                        a = json.loads(line)
+                        if "metaData" in a or "protocol" in a:
+                            raise RuntimeError(
+                                f"delta_py stream sink: concurrent commit "
+                                f"{version} changed table metadata/protocol "
+                                f"for {self.table!r}; failing the batch so "
+                                "the stream restarts against fresh metadata"
+                            )
+                    version += 1  # plain concurrent appends rebase trivially
                     continue
                 with os.fdopen(fd, "w") as f:
                     for a in [ci, txn, *actions]:

@@ -1625,6 +1625,28 @@ def update_where_delta(
     )
 
 
+def _raise_on_duplicate_merge_keys(source: DataFrame, on: list[str]) -> None:
+    """One bounded aggregate probe over the MERGE source: if any key
+    tuple appears more than once, raise (matching Spark/Delta MERGE's
+    "multiple source rows matched and attempted to modify the same
+    target row" error) instead of silently committing N rewritten
+    copies per matched target row."""
+    dup = (
+        source.groupBy(*on)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(*on)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has duplicate key rows (e.g. "
+            f"{dup[0].asDict()}): multiple source rows would modify the "
+            "same target row — deduplicate the source first"
+        )
+
+
 def merge_delta(
     spark: SparkSession,
     table_path: str,
@@ -1683,6 +1705,12 @@ def merge_delta(
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
+    if when_matched == "update" and not latest_wins_on:
+        # real MERGE semantics: a target row modified by MULTIPLE source
+        # rows is an error, never N silent rewritten copies (delta-spark
+        # raises "multiple source rows matched..."); latest_wins resolves
+        # duplicates by the sequence comparison, so it is exempt
+        _raise_on_duplicate_merge_keys(source, on)
 
     if set_exprs is not None:
         # PER-COLUMN matched clause: rewritten rows are the LIVE matched

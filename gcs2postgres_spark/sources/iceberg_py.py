@@ -1658,9 +1658,8 @@ def merge_into(
 
     - ``when_matched="update"``: matched target rows are replaced by
       their source rows (full-row upsert — the source must carry the
-      table's columns and be unique on ``on``; a multi-row key would
-      silently fan out, so callers dedupe upstream, e.g. the
-      merge_upsert_latest pattern).
+      table's columns and be unique on ``on``; a duplicate source key
+      raises, matching Spark/Delta MERGE's multiple-source-rows error).
     - ``when_matched="delete"``: matched target rows are removed.
     - ``when_not_matched="insert"``: source rows with no target match
       are appended; ``"ignore"`` drops them.
@@ -1714,6 +1713,15 @@ def merge_into(
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
+    if when_matched == "update" and not latest_wins_on:
+        # real MERGE semantics: a target row modified by MULTIPLE source
+        # rows must raise, never commit N silent rewritten copies;
+        # latest_wins resolves duplicates by the sequence comparison
+        from gcs2postgres_spark.sources.delta_py import (
+            _raise_on_duplicate_merge_keys,
+        )
+
+        _raise_on_duplicate_merge_keys(source, on)
 
     if set_exprs is not None:
         # PER-COLUMN matched clause: rewritten rows = live matched rows
@@ -3030,7 +3038,10 @@ def create_iceberg_v2_table(
     }
     mdir = os.path.join(table_path, "metadata")
     os.makedirs(mdir, exist_ok=True)
-    _write_json_atomic(os.path.join(mdir, "v1.metadata.json"), meta)
+    # put-if-absent: re-creating over an existing table would reset
+    # version-hint to 1 and corrupt its time-travel history — real
+    # engines raise "table already exists"
+    _write_json_if_absent(os.path.join(mdir, "v1.metadata.json"), meta)
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
 
 

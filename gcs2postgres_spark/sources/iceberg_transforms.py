@@ -16,8 +16,10 @@ Two faces of every transform, kept in lockstep by shared tests:
   (whole-stage codegen, zero Python); ``bucket`` needs Iceberg's exact
   murmur3_x86_32 hash, which Spark's ``hash()`` cannot produce (seed 42
   + different byte encoding), so it is an Arrow-batched pandas UDF —
-  numpy-vectorized for int/long/date/timestamp inputs, per-row only for
-  variable-length strings.
+  numpy-vectorized over epoch longs (date/timestamp sources are
+  converted JVM-side first, which also keeps routing session-timezone-
+  proof); strings dictionary-encode so murmur3 runs once per DISTINCT
+  value rather than per row.
 
 Time semantics: ``year/month/day/hour`` floor in UTC per the spec.
 Spark ``TimestampType`` stores UTC epoch micros, so the expressions
@@ -258,34 +260,35 @@ def _bucket_udf(n: int, spark_type: T.DataType):
 
         @pandas_udf("int")
         def bucket(s: pd.Series) -> pd.Series:
-            def one(v):
-                if v is None:
-                    return None
-                h = mm(v.encode("utf-8"))
-                return (h & 0x7FFFFFFF) % n
-
-            return s.map(one).astype("Int32")
+            # murmur3 over variable-length UTF-8 has no numpy form, so
+            # dictionary-encode first: hash each DISTINCT value once and
+            # gather — per-row Python cost only on the unique set (bucket
+            # columns are typically low-cardinality keys)
+            codes, uniques = pd.factorize(s)
+            hashed = np.fromiter(
+                ((mm(v.encode("utf-8")) & 0x7FFFFFFF) % n for v in uniques),
+                dtype="int64", count=len(uniques),
+            )
+            out = pd.Series(
+                np.where(codes >= 0, hashed[np.clip(codes, 0, None)], 0),
+                index=s.index,
+            ).astype("Int32")
+            out[codes < 0] = None
+            return out
 
         return bucket
 
-    # fixed 8-byte long encodings, fully vectorized
-    if isinstance(spark_type, T.DateType):
-        def to_long(s: pd.Series) -> pd.Series:
-            return (pd.to_datetime(s) - pd.Timestamp("1970-01-01")).dt.days
-    elif isinstance(spark_type, (T.TimestampType, T.TimestampNTZType)):
-        def to_long(s: pd.Series) -> pd.Series:
-            base = pd.Timestamp("1970-01-01")
-            ts = pd.to_datetime(s)
-            if getattr(ts.dt, "tz", None) is not None:
-                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
-            return (ts - base) // pd.Timedelta(microseconds=1)
-    else:  # int / long
-        def to_long(s: pd.Series) -> pd.Series:
-            return s
+    # date/timestamp columns never reach the UDF: transform_expr converts
+    # them to epoch longs JVM-side (unix_micros / datediff), which is both
+    # session-timezone-proof and keeps the pandas side a pure int path
+    if not isinstance(
+        spark_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise NotImplementedError(f"bucket on spark type {spark_type}")
 
     @pandas_udf("int")
     def bucket(s: pd.Series) -> pd.Series:
-        longs = to_long(s)
+        longs = s
         mask = longs.isna()
         v = longs.fillna(0).to_numpy(dtype="int64").view(np.uint64)
         k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -297,6 +300,21 @@ def _bucket_udf(n: int, spark_type: T.DataType):
         return res
 
     return bucket
+
+
+def _ntz_micros(c: Column) -> Column:
+    """Epoch micros of a TimestampNTZ column from wall-clock parts only
+    (unix_micros would detour through the session timezone)."""
+    day = F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+    secs = (
+        day.cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+    return secs * F.lit(1_000_000).cast("long") + F.date_format(
+        c, "SSSSSS"
+    ).cast("long")
 
 
 def transform_expr(transform: str, col_name: str, spark_type: T.DataType) -> Column:
@@ -316,6 +334,19 @@ def transform_expr(transform: str, col_name: str, spark_type: T.DataType) -> Col
             return F.substring(c, 1, arg)
         raise NotImplementedError(f"truncate on spark type {spark_type}")
     if kind == "bucket":
+        # temporal sources: compute the epoch long JVM-side so the pandas
+        # UDF never sees a timestamp — pandas_udf delivers SESSION-LOCAL
+        # tz-naive timestamps, which would make executor-side routing
+        # disagree with driver-side apply_transform pruning under a
+        # non-UTC spark.sql.session.timeZone (rows silently missing from
+        # pruned reads); unix_micros/datediff are timezone-proof
+        if isinstance(spark_type, T.DateType):
+            days = F.datediff(c, F.to_date(F.lit("1970-01-01"))).cast("long")
+            return _bucket_udf(arg, T.LongType())(days)
+        if isinstance(spark_type, T.TimestampType):
+            return _bucket_udf(arg, T.LongType())(F.unix_micros(c))
+        if isinstance(spark_type, T.TimestampNTZType):
+            return _bucket_udf(arg, T.LongType())(_ntz_micros(c))
         return _bucket_udf(arg, spark_type)(c)
     # calendar transforms — computed from the epoch value so the result
     # is session-timezone-proof (TimestampType stores UTC micros)
@@ -331,18 +362,7 @@ def transform_expr(transform: str, col_name: str, spark_type: T.DataType) -> Col
         if isinstance(spark_type, T.TimestampType):
             return F.unix_micros(c)
         if isinstance(spark_type, T.TimestampNTZType):
-            # TZ-free: wall-clock parts only (unix_micros would detour
-            # through the session timezone)
-            day = F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
-            secs = (
-                day.cast("long") * 86400
-                + F.hour(c).cast("long") * 3600
-                + F.minute(c).cast("long") * 60
-                + F.second(c).cast("long")
-            )
-            return secs * F.lit(1_000_000).cast("long") + F.date_format(
-                c, "SSSSSS"
-            ).cast("long")
+            return _ntz_micros(c)
         raise NotImplementedError(f"micros on spark type {spark_type}")
     if isinstance(spark_type, T.TimestampNTZType):
         # NTZ wall clock IS the UTC reading (iceberg 'timestamp')

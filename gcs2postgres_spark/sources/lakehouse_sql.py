@@ -38,6 +38,7 @@ sources are registered temp views (create them with
 from __future__ import annotations
 
 import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -282,6 +283,16 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
                 spec.append((col, tr))
             else:
                 spec.append((part, "identity"))
+        # CREATE TABLE over an existing table must raise, never silently
+        # append to it (Delta) or reset its history (Iceberg)
+        from gcs2postgres_spark.sources import fsio as _fsio
+
+        probe = (
+            os.path.join(m["path"], "_delta_log") if m["fmt"] == "delta"
+            else os.path.join(m["path"], "metadata", "v1.metadata.json")
+        )
+        if _fsio.exists(probe):
+            raise ValueError(f"table already exists: {m['fmt']}.`{m['path']}`")
         if m["fmt"] == "delta":
             if any(tr != "identity" for _, tr in spec):
                 raise ValueError(

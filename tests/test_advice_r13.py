@@ -1,0 +1,180 @@
+"""Round-13 regression pins for the r12 ADVICE findings:
+
+1. CTAS over an EXISTING table raises "table already exists" instead of
+   corrupting Iceberg time-travel history / silently appending (Delta).
+2. create_iceberg_v2_table refuses to overwrite v1.metadata.json.
+3. delta_py streaming sink commits correctly on a CHECKPOINT-ONLY table
+   (JSON commits cleaned up past the checkpoint).
+4. bucket[n] partition routing is session-timezone-proof for
+   timestamp columns (executor expr == driver apply_transform under a
+   non-UTC session timezone).
+5. MERGE with duplicate source keys raises (never N silent copies).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gcs2postgres_spark.sources import delta_py, iceberg_py
+from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+
+def test_ctas_over_existing_table_raises(spark, tmp_path):
+    it = str(tmp_path / "ice")
+    d = str(tmp_path / "dl")
+    spark.sql("SELECT 1 AS k, 'a' AS name").createOrReplaceTempView("ctas_src13")
+    lakehouse_sql(spark, f"CREATE TABLE iceberg.`{it}` AS SELECT * FROM ctas_src13")
+    lakehouse_sql(spark, f"CREATE TABLE delta.`{d}` AS SELECT * FROM ctas_src13")
+    v_before = json.loads(
+        open(os.path.join(it, "metadata", "version-hint.text")).read()
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        lakehouse_sql(spark, f"CREATE TABLE iceberg.`{it}` AS SELECT * FROM ctas_src13")
+    with pytest.raises(ValueError, match="already exists"):
+        lakehouse_sql(spark, f"CREATE TABLE delta.`{d}` AS SELECT * FROM ctas_src13")
+    # history untouched: hint unchanged, both tables still read 1 row
+    assert json.loads(
+        open(os.path.join(it, "metadata", "version-hint.text")).read()
+    ) == v_before
+    assert iceberg_py.read_iceberg_py(spark, it).count() == 1
+    assert delta_py.read_delta_py(spark, d).count() == 1
+
+
+def test_create_iceberg_v2_table_refuses_overwrite(spark, tmp_path):
+    p = str(tmp_path / "t")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    iceberg_py.create_iceberg_v2_table(schema, p)
+    with pytest.raises(FileExistsError):
+        iceberg_py.create_iceberg_v2_table(schema, p)
+
+
+def test_stream_sink_commit_on_checkpoint_only_table(spark, tmp_path):
+    """A table whose JSON commits were cleaned up past the checkpoint
+    must still accept streaming appends: version = checkpoint+1 and the
+    metaData contract guard reads from the checkpoint parquet."""
+    from gcs2postgres_spark.sources.datasource import make_delta_py_datasource
+
+    p = str(tmp_path / "t")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    v0 = delta_py.write_delta(df, p)
+    delta_py.write_checkpoint(spark, p, v0)
+    log = os.path.join(p, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log, f))
+
+    ds = make_delta_py_datasource()
+    writer_cls = None
+    # reach the stream writer through the datasource's streamWriter hook
+    source = ds(options={"path": p})
+    schema_json = delta_py.read_delta_py(spark, p).schema.json()
+    w = source.streamWriter(
+        T.StructType.fromJson(json.loads(schema_json)), overwrite=False
+    )
+    # stage one row the way a worker would, then commit batch 0
+    msg = w.write(iter([{"k": 99}]))
+    w.commit([msg], batchId=0)
+    commits = [f for f in os.listdir(log) if f.endswith(".json")]
+    assert commits == [f"{v0 + 1:020d}.json"]
+    out = delta_py.read_delta_py(spark, p)
+    assert out.count() == 6
+    assert out.filter(F.col("k") == 99).count() == 1
+
+
+def test_stream_sink_conflict_with_metadata_commit_fails_batch(
+    spark, tmp_path, monkeypatch
+):
+    """The streaming sink's rebase loop must NOT leapfrog a concurrent
+    metaData/protocol change (rows staged against the old metaData were
+    never validated against the new one). The race is injected by
+    landing an ADD CONSTRAINT commit between the sink's version
+    computation and its put-if-absent open."""
+    from gcs2postgres_spark.sources.datasource import make_delta_py_datasource
+
+    p = str(tmp_path / "t")
+    df = spark.range(3).select(F.col("id").alias("k"))
+    delta_py.write_delta(df, p)
+
+    ds = make_delta_py_datasource()
+    source = ds(options={"path": p})
+    schema_json = delta_py.read_delta_py(spark, p).schema.json()
+    w = source.streamWriter(
+        T.StructType.fromJson(json.loads(schema_json)), overwrite=False
+    )
+    msg = w.write(iter([{"k": 7}]))
+
+    real_open = os.open
+    state = {"raced": False}
+
+    def racing_open(path, flags, mode=0o644):
+        if str(path).endswith(".json") and not state["raced"]:
+            state["raced"] = True  # set first: alter's own open delegates
+            delta_py.alter_delta_add_constraint(spark, p, "bound", "k < 100")
+        return real_open(path, flags, mode)
+
+    monkeypatch.setattr(os, "open", racing_open)
+    with pytest.raises(RuntimeError, match="metadata/protocol"):
+        w.commit([msg], batchId=0)
+
+
+def test_bucket_timestamp_is_session_timezone_proof(spark, tmp_path):
+    """Executor-side bucket routing must agree with driver-side
+    apply_transform under a NON-UTC session timezone (ADVICE: the
+    pandas UDF used to see session-local tz-naive timestamps)."""
+    from gcs2postgres_spark.sources.iceberg_transforms import (
+        apply_transform,
+        transform_expr,
+    )
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        vals = [
+            dt.datetime(2024, 1, 31, 23, 30, 0, tzinfo=dt.timezone.utc),
+            dt.datetime(2024, 7, 4, 4, 0, 1, tzinfo=dt.timezone.utc),
+            dt.datetime(1969, 12, 31, 23, 59, 59, tzinfo=dt.timezone.utc),
+        ]
+        df = spark.createDataFrame(
+            [(v,) for v in vals], T.StructType([T.StructField("ts", T.TimestampType())])
+        )
+        got = [
+            r["b"]
+            for r in df.select(
+                transform_expr("bucket[8]", "ts", T.TimestampType()).alias("b")
+            ).collect()
+        ]
+        want = [apply_transform("bucket[8]", v, "timestamptz") for v in vals]
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_merge_duplicate_source_keys_raise(spark, tmp_path):
+    d = str(tmp_path / "dl")
+    it = str(tmp_path / "ice")
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string")
+    delta_py.write_delta(tgt, d)
+    iceberg_py.create_iceberg_v2_table(tgt.schema, it)
+    iceberg_py.append_iceberg_v2(spark, it, tgt)
+    dup_src = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (3, "c")], "k long, name string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        delta_py.merge_delta(spark, d, dup_src, ["k"])
+    with pytest.raises(ValueError, match="duplicate key"):
+        iceberg_py.merge_into(spark, it, dup_src, ["k"])
+    with pytest.raises(ValueError, match="duplicate key"):
+        delta_py.merge_delta(
+            spark, d, dup_src, ["k"], set_exprs={"name": "s.name"}
+        )
+    # insert-only merge tolerates duplicates (no target row modified)
+    v = delta_py.merge_delta(
+        spark, d, dup_src.filter(F.col("k") == 3), ["k"], when_matched="ignore"
+    )
+    assert v is not None

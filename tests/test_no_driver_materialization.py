@@ -72,6 +72,9 @@ ALLOWED = {
         # appId) from the checkpoint's txn column — exactly-once
         # watermark lookup, never table data
         '.select(F.max("txn.version").alias("v"))',
+        # duplicate-MERGE-key probe: .limit(1) — at most ONE offending
+        # key tuple fetched to build the error message
+        ".limit(1)",
     ],
 }
 
