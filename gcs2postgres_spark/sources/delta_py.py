@@ -27,6 +27,11 @@ partitionValues) pairs. The data scan groups files by partition tuple
 and unions per-partition scans with literal partition columns injected —
 Catalyst folds the literals, so pruning by partition value happens at
 plan time (a filter on the partition column eliminates whole unions).
+Above ``_MAX_UNION_ARMS`` distinct tuples the plan switches to ONE
+multi-path scan plus a broadcast (file -> partition tuple) map join, so
+a 10^4-partition table costs O(1) plan size instead of a superlinear
+union-arm analysis blowup; log-level ``partition_filter`` pruning still
+applies before either plan is built.
 
 Deletion vectors (the protocol's merge-on-read row-level deletes, on by
 default in modern writers) ARE honored: descriptors are resolved during
@@ -602,6 +607,9 @@ def _scan_adds(
     if not groups:
         return None, []
     tag = tag or bool(dv_rows)
+    if len(groups) > _MAX_UNION_ARMS:
+        out = _scan_file_index(spark, info, groups, tag)
+        return out, dv_rows
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         df = spark.read.schema(info["data_schema"]).parquet(*paths)
@@ -634,6 +642,86 @@ def _scan_adds(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out, dv_rows
+
+
+# Above this many distinct partition TUPLES, the per-tuple literal-union
+# plan is replaced by ONE multi-path scan + a broadcast file->partition
+# map join: Catalyst's analysis cost grows superlinearly in union arms,
+# so a 10^4-partition table would explode the PLAN long before reading
+# data. Below it, literal injection is kept — partition-column filters
+# then fold at plan time and eliminate whole arms (zero I/O), which the
+# join form cannot do (log-level partition_filter still prunes there).
+_MAX_UNION_ARMS = 32
+
+
+def _scan_file_index(
+    spark: SparkSession, info: dict, groups: dict[tuple, list[str]], tag: bool
+) -> DataFrame:
+    """File-index scan for HIGH-CARDINALITY partitioning: one
+    ``spark.read.parquet(*all_files)`` over every live file, partition
+    columns recovered by broadcast-joining a (file_path -> partition
+    tuple) map derived from the log — one map row per data file, the
+    same metadata bound the log replay already materialized. The plan
+    is O(1) in partition count; delta-spark's TahoeFileIndex scan has
+    the same shape (a single FileSourceScan over the live file list)."""
+    from pyspark.sql.types import StringType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    schema = info["schema"]
+    part_cols = info["part_cols"]
+    by_type = info["by_type"]
+    out_cols = info["out_cols"]
+    phys_of = info["phys_of"]
+
+    map_rows = []
+    all_paths: list[str] = []
+    for key, paths in groups.items():
+        for raw_path in paths:
+            all_paths.append(raw_path)
+            norm = re.sub(r"^file:(//)?", "", raw_path)
+            if not fsio.has_scheme(norm):
+                norm = os.path.abspath(norm)
+            map_rows.append((norm, *key))
+    pmap = F.broadcast(
+        spark.createDataFrame(
+            map_rows,
+            _St(
+                [StructField("__pf", StringType(), False)]
+                + [StructField(f"__pv_{c}", StringType(), True) for c in part_cols]
+            ),
+        )
+    )
+
+    df = spark.read.schema(info["data_schema"]).parquet(*all_paths)
+    df = df.select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "")
+        .alias("__pf"),
+        *(
+            [F.col("_metadata.row_index").cast("long").alias("__dv_pos")]
+            if tag
+            else []
+        ),
+    )
+    if info["mapping_mode"] != "none":
+        df = df.select(
+            *[
+                F.col(phys_of[f.name]).alias(f.name)
+                for f in schema.fields
+                if f.name not in part_cols
+            ],
+            "__pf",
+            *(["__dv_pos"] if tag else []),
+        )
+    df = df.join(pmap, on="__pf", how="inner")
+    return df.select(
+        *[
+            F.col(f"__pv_{c}").cast(by_type[c]).alias(c) if c in part_cols
+            else F.col(c)
+            for c in out_cols
+        ],
+        *([F.col("__pf").alias("__dv_fp"), "__dv_pos"] if tag else []),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -178,3 +178,68 @@ def test_merge_duplicate_source_keys_raise(spark, tmp_path):
         spark, d, dup_src.filter(F.col("k") == 3), ["k"], when_matched="ignore"
     )
     assert v is not None
+
+
+def test_partitioned_scan_bounded_plan_high_cardinality(spark, tmp_path):
+    """A table with 1,000 distinct partition tuples must plan as ONE
+    file-index scan + broadcast map join, never 1,000 union arms
+    (Catalyst analysis cost is superlinear in union arms — the plan
+    would explode long before data was read)."""
+    from gcs2postgres_spark.plans.inspect import formatted_plan
+
+    p = str(tmp_path / "t")
+    src = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").alias("pt")
+    )
+    delta_py.write_delta(src, p, partition_by=["pt"])
+    out = delta_py.read_delta_py(spark, p)
+    plan = formatted_plan(out)
+    assert "Union" not in plan, plan[:2000]
+    assert plan.count("Scan parquet") == 2, plan[:2000]  # once in tree, once in detail
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # values + typed partition column roundtrip exactly
+    assert out.schema["pt"].dataType.typeName() == "long"
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sk"),
+        F.countDistinct("pt").alias("np"),
+    ).collect()[0]
+    assert (agg["n"], agg["sk"], agg["np"]) == (1000, 499500, 1000)
+    # log-level partition pruning still works above the threshold
+    pruned = delta_py.read_delta_py(spark, p, partition_filter={"pt": {"7"}})
+    rows = pruned.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 7
+
+
+def test_partitioned_scan_low_cardinality_keeps_literal_arms(spark, tmp_path):
+    """Below the union-arm threshold the literal-injection plan is kept:
+    partition-column filters fold at plan time (no join in the plan)."""
+    from gcs2postgres_spark.plans.inspect import formatted_plan
+
+    p = str(tmp_path / "t")
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("pt")
+    )
+    delta_py.write_delta(src, p, partition_by=["pt"])
+    out = delta_py.read_delta_py(spark, p)
+    plan = formatted_plan(out)
+    assert "Join" not in plan, plan[:2000]
+    assert out.count() == 100
+
+
+def test_file_index_scan_with_deletion_vectors(spark, tmp_path):
+    """The file-index path (>32 partition tuples) must keep the
+    __dv_fp/__dv_pos identity helpers working: a DV delete over a
+    40-partition table reads back exactly."""
+    p = str(tmp_path / "t")
+    src = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 40).alias("pt")
+    )
+    delta_py.write_delta(src, p, partition_by=["pt"])
+    n_del = delta_py.delete_where_delta(spark, p, "k % 10 = 3")
+    assert n_del is not None
+    out = delta_py.read_delta_py(spark, p)
+    assert out.count() == 180
+    assert out.filter(F.col("k") % 10 == 3).count() == 0
+    # partition values still correct after the DV anti-join
+    assert out.filter(F.col("pt") != F.col("k") % 40).count() == 0
