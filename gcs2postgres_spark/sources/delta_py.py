@@ -763,34 +763,30 @@ def _write_commit(
     operation: str | None = None,
     txn: dict | None = None,
 ) -> None:
-    """Write ``N.json`` with PUT-IF-ABSENT semantics (O_CREAT|O_EXCL):
-    two writers racing the same version number lose at the filesystem,
-    never silently — the loser sees FileExistsError and either rebases
-    (_commit_with_rebase) or surfaces CommitConflictError. This is the
-    protocol's core commit rule; object stores need a real LogStore for
-    the same guarantee (the jar-less committers are local-fs only)."""
-    os.makedirs(log_dir, exist_ok=True)
+    """Write ``N.json`` with PUT-IF-ABSENT semantics: two writers racing
+    the same version number lose at the store, never silently — the
+    loser sees FileExistsError and either rebases (_commit_with_rebase)
+    or surfaces CommitConflictError. This is the protocol's core commit
+    rule. The atomic primitive is pluggable (sources/logstore.py): posix
+    O_CREAT|O_EXCL by default, a registered conditional-put LogStore for
+    object-store schemes — the same seam spark.delta.logStore.*.impl
+    fills for the jar-ful stack."""
+    from gcs2postgres_spark.sources import logstore
+
     path = os.path.join(log_dir, f"{version:020d}.json")
     ci: dict = {"timestamp": timestamp_ms}
     if operation:
         # the same field real Delta writers record; describe_history
         # surfaces it (older/foreign commits without one show null)
         ci["operation"] = operation
-    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps({"commitInfo": ci}) + "\n")
-            if txn:
-                # streaming exactly-once bookkeeping (protocol `txn`
-                # action: appId + version = batchId)
-                f.write(json.dumps({"txn": txn}) + "\n")
-            for a in actions:
-                f.write(json.dumps(a) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-    except BaseException:
-        os.unlink(path)
-        raise
+    lines = [json.dumps({"commitInfo": ci})]
+    if txn:
+        # streaming exactly-once bookkeeping (protocol `txn` action:
+        # appId + version = batchId)
+        lines.append(json.dumps({"txn": txn}))
+    lines.extend(json.dumps(a) for a in actions)
+    payload = ("\n".join(lines) + "\n").encode("utf-8")
+    logstore.log_store_for(path).put_if_absent(path, payload)
 
 
 def _action_paths(actions: list[dict]) -> set[str]:
@@ -1551,10 +1547,12 @@ def write_delta(
 
     if fsio.has_scheme(table_path):
         raise NotImplementedError(
-            "jar-less Delta WRITE is local-filesystem only: an object-store "
-            "commit needs atomic-put semantics (no rename on GCS/S3) — use "
-            "the delta-spark connector for remote writes; READS work on any "
-            f"Hadoop-supported scheme. Got {table_path!r}"
+            "jar-less Delta WRITE is local-filesystem only: the COMMIT "
+            "point is pluggable (sources/logstore.py registers a "
+            "conditional-put LogStore per scheme) but data-file staging "
+            "is posix in this build — use the delta-spark connector for "
+            "remote writes; READS work on any Hadoop-supported scheme. "
+            f"Got {table_path!r}"
         )
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")

@@ -86,12 +86,9 @@ _JAR_HINT = (
 
 
 def _write_text_atomic(path: str, text: str) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    from gcs2postgres_spark.sources import logstore
+
+    logstore.log_store_for(path).write_atomic(path, text.encode("utf-8"))
 
 
 def _write_json_atomic(path: str, obj: dict) -> None:
@@ -117,20 +114,17 @@ class CommitConflictError(RuntimeError):
 
 
 def _write_json_if_absent(path: str, obj: dict) -> None:
-    """PUT-IF-ABSENT metadata write: hard-link a fsynced temp file into
-    place — os.link fails with FileExistsError when the target exists,
-    so two writers racing the same version number lose at the
-    filesystem, never silently (the jar-ful HadoopTableOperations does
-    exactly this rename-without-overwrite dance)."""
-    tmp = f"{path}.tmp.{os.getpid()}.{id(obj)}"
-    with open(tmp, "w") as f:
-        f.write(json.dumps(obj, indent=1))
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)
-    finally:
-        os.unlink(tmp)
+    """PUT-IF-ABSENT metadata write — the commit point two racing
+    writers decide at (the loser sees FileExistsError, never a silent
+    overwrite; the jar-ful HadoopTableOperations does the same
+    rename-without-overwrite dance). The atomic primitive is pluggable
+    (sources/logstore.py): posix O_CREAT|O_EXCL by default, a registered
+    conditional-put LogStore for object-store schemes."""
+    from gcs2postgres_spark.sources import logstore
+
+    logstore.log_store_for(path).put_if_absent(
+        path, json.dumps(obj, indent=1).encode("utf-8")
+    )
 
 # ---------------------------------------------------------------- type system
 

@@ -1,0 +1,151 @@
+"""Pluggable PUT-IF-ABSENT commit seam for the jar-less lakehouse
+committers (the LogStore abstraction delta-spark and Iceberg's
+HadoopTableOperations both need on object stores).
+
+Every jar-less committer's atomicity reduces to ONE primitive: write
+``N.json`` (Delta) / ``vN.metadata.json`` (Iceberg) only if nothing
+exists at that path, so two writers racing the same version number lose
+at the STORE, never silently. On a local filesystem that primitive is
+``open(O_CREAT|O_EXCL)`` / ``os.link``; on GCS it is a conditional put
+(``x-goog-if-generation-match: 0``), on S3 ``If-None-Match: *``. This
+module routes the committers through a per-scheme registry so an
+object-store implementation can be plugged in without touching them —
+the same seam ``spark.delta.logStore.gs.impl`` fills for the jar-ful
+stack. The reference's whole identity is ``gs://`` objects (reference
+src/db/db.go:22-30), so this is the committers' remote story.
+
+Scope note (honest): the SEAM covers the commit point — the atomic
+metadata write that decides table state. Data-file staging and
+checkpoint writes still go through posix in this build, so registering
+a remote store enables the commit protocol but full remote WRITE also
+needs the staging paths generalized (reads already work on any
+Hadoop-supported scheme via fsio). The committers' scheme gates name
+exactly that.
+
+``FakeObjectStore`` emulates the object-store contract for tests: no
+rename, no O_EXCL — only an atomic conditional create (a mutex around
+exists+write, which is exactly the server-side atomicity GCS/S3 give) —
+so the committer race tests prove the protocol holds when the ONLY
+atomicity available is conditional put.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+
+class LogStore:
+    """Commit-point primitives. Implementations must make
+    ``put_if_absent`` ATOMIC: exactly one of N concurrent calls for the
+    same path succeeds; the rest raise FileExistsError."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        """Overwrite-allowed atomic write (version-hint style pointers
+        that are best-effort optimizations, never the commit point)."""
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """Posix: O_CREAT|O_EXCL is the conditional put; temp+rename is the
+    atomic overwrite. This is the default and preserves the exact
+    behavior the committers had before the seam existed."""
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+        except BaseException:
+            os.unlink(path)
+            raise
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+
+class FakeObjectStore(LogStore):
+    """Object-store semantics over a local directory, for tests: the
+    only atomic primitive is CONDITIONAL CREATE (mutex around
+    exists+write — the server-side atomicity a GCS
+    ``if-generation-match: 0`` put provides); no rename, no O_EXCL.
+    ``puts``/``overwrites`` count traffic so tests can assert the
+    committers actually routed through the seam."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.puts = 0
+        self.overwrites = 0
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        with self._lock:
+            if os.path.exists(path):
+                raise FileExistsError(path)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            # plain write INSIDE the mutex — the emulated conditional put
+            with open(path, "wb") as f:
+                f.write(data)
+            self.puts += 1
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        with self._lock:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(data)
+            self.overwrites += 1
+
+
+_LOCAL = LocalLogStore()
+_BY_SCHEME: dict[str, LogStore] = {}
+_OVERRIDE: LogStore | None = None
+
+
+def register_log_store(scheme: str, store: LogStore) -> None:
+    """Make ``store`` the commit seam for paths with ``scheme://``
+    (e.g. a real conditional-put implementation for ``gs``)."""
+    _BY_SCHEME[scheme.lower()] = store
+
+
+def set_log_store_override(store: LogStore | None) -> None:
+    """Test seam: force EVERY commit through ``store`` regardless of
+    scheme (None restores scheme routing). Lets the race tests prove
+    the committers use the seam rather than private os calls."""
+    global _OVERRIDE
+    _OVERRIDE = store
+
+
+def log_store_for(path: str) -> LogStore:
+    """The LogStore owning ``path``: the override if set, a registered
+    per-scheme store, or the posix default for plain paths. An
+    unregistered remote scheme raises — committing through rename/EXCL
+    semantics an object store does not have would be SILENT commit
+    corruption, the one failure a lakehouse must never risk."""
+    if _OVERRIDE is not None:
+        return _OVERRIDE
+    from gcs2postgres_spark.sources import fsio
+
+    if not fsio.has_scheme(path):
+        return _LOCAL
+    scheme = path.split(":", 1)[0].lower()
+    if scheme == "file":
+        return _LOCAL
+    store = _BY_SCHEME.get(scheme)
+    if store is None:
+        raise NotImplementedError(
+            f"no LogStore registered for scheme {scheme!r}: object-store "
+            "commits need conditional-put atomicity (register one with "
+            "gcs2postgres_spark.sources.logstore.register_log_store)"
+        )
+    return store

@@ -255,3 +255,87 @@ def test_iceberg_non_append_conflict_raises(spark, tmp_path, monkeypatch):
     # a fresh retry (new state read) now succeeds on top of the winner
     assert iceberg_py.delete_where(spark, t, "k = 1") is not None
     assert iceberg_py.read_iceberg_py(spark, t).count() == 23
+
+
+# ------------------------------------------------------------- logstore seam
+
+
+def test_race_through_injected_object_store(spark, tmp_path):
+    """The committers route their commit point through the pluggable
+    LogStore (sources/logstore.py): with a FakeObjectStore injected —
+    conditional-put-only semantics, no rename, no O_EXCL, the atomicity
+    GCS/S3 actually offer — the two-writer append race still loses at
+    the store, both commits land, and the store's put counter proves
+    the committers used the seam rather than private os calls."""
+    from gcs2postgres_spark.sources import logstore
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    store = logstore.FakeObjectStore()
+    logstore.set_log_store_override(store)
+    try:
+        d = str(tmp_path / "d")
+        write_delta(_nation(spark, 0, 4).coalesce(1), d, "overwrite",
+                    timestamp_ms=1_700_000_000_000)
+
+        def appender(lo, hi, ts):
+            return lambda: write_delta(
+                _nation(spark, lo, hi).coalesce(1), d, "append",
+                timestamp_ms=ts,
+            )
+
+        results, errors = _race(appender(100, 104, 2), appender(200, 204, 3))
+        assert errors == [None, None], errors
+        assert sorted(results) == [1, 2]
+        ks = sorted(r["k"] for r in read_delta_py(spark, d).collect())
+        assert ks == list(range(4)) + list(range(100, 104)) + list(range(200, 204))
+        assert store.puts >= 3  # v0 + both appends went through the seam
+
+        i = str(tmp_path / "i")
+        write_iceberg_v2_fixture(_nation(spark, 0, 4), i, sort_col="k")
+        puts_before = store.puts
+
+        def iappender(lo, hi, ts):
+            return lambda: append_iceberg_v2(
+                spark, i, _nation(spark, lo, hi), snapshot_ts_ms=ts
+            )
+
+        results, errors = _race(
+            iappender(100, 104, 1_700_000_001_000),
+            iappender(200, 204, 1_700_000_002_000),
+        )
+        assert errors == [None, None], errors
+        assert len(set(results)) == 2
+        ks = sorted(r["k"] for r in read_iceberg_py(spark, i).collect())
+        assert ks == list(range(4)) + list(range(100, 104)) + list(range(200, 204))
+        assert store.puts >= puts_before + 2
+    finally:
+        logstore.set_log_store_override(None)
+
+
+def test_unregistered_remote_scheme_refuses_at_commit(tmp_path):
+    """An unregistered object-store scheme must refuse at the commit
+    seam (committing through rename/EXCL semantics an object store does
+    not have would be silent commit corruption); registering a store
+    for the scheme routes to it."""
+    import pytest as _pytest
+
+    from gcs2postgres_spark.sources import logstore
+
+    with _pytest.raises(NotImplementedError, match="no LogStore registered"):
+        logstore.log_store_for("gs://bucket/table/_delta_log/0.json")
+    fake = logstore.FakeObjectStore()
+    logstore.register_log_store("gs", fake)
+    try:
+        assert logstore.log_store_for("gs://bucket/t/0.json") is fake
+    finally:
+        logstore._BY_SCHEME.pop("gs", None)
+    # plain and file: paths use the posix default
+    assert isinstance(logstore.log_store_for("/tmp/x"), logstore.LocalLogStore)
+    assert isinstance(
+        logstore.log_store_for("file:///tmp/x"), logstore.LocalLogStore
+    )
