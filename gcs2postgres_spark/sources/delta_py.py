@@ -471,6 +471,102 @@ def read_delta_py(
     return out
 
 
+def _phys_name(f) -> str:
+    """A field's PHYSICAL (data-file) name under column mapping; the
+    logical name when the field carries no mapping metadata (upgraded
+    tables keep the original name as the physical name, so pre-upgrade
+    fields resolve too)."""
+    md = f.metadata or {}
+    return md.get("delta.columnMapping.physicalName", f.name)
+
+
+def _physical_type(dt):
+    """The data-file-side type of ``dt``: every struct field at every
+    nesting depth renamed to its physicalName (arrays/maps recurse into
+    their element/value types — mapping metadata lives on the struct
+    fields inside them)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructField as _Sf
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(dt, _St):
+        return _St(
+            [
+                _Sf(_phys_name(f), _physical_type(f.dataType), f.nullable, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _rename_fields(col, src_dt, dst_dt):
+    """Rebuild ``col`` (typed ``src_dt``) with ``dst_dt``'s field names
+    at every nesting depth — the physical->logical projection of a
+    column-mapping scan (and, with the roles swapped, the
+    logical->physical projection a mapping fixture writer needs).
+    Struct rebuilds are null-preserving (a NULL struct must stay NULL,
+    not become struct(NULL, ...)); arrays/maps recurse via
+    transform/transform_values, which preserve nulls natively."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(src_dt, _St):
+        rebuilt = F.struct(
+            *[
+                _rename_fields(
+                    col.getField(sf.name), sf.dataType, df_.dataType
+                ).alias(df_.name)
+                for sf, df_ in zip(src_dt.fields, dst_dt.fields)
+            ]
+        )
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    if isinstance(src_dt, ArrayType) and _needs_rename(src_dt, dst_dt):
+        return F.transform(
+            col,
+            lambda x: _rename_fields(x, src_dt.elementType, dst_dt.elementType),
+        )
+    if isinstance(src_dt, MapType) and _needs_rename(src_dt, dst_dt):
+        if _needs_rename(src_dt.keyType, dst_dt.keyType):
+            raise NotImplementedError(
+                "delta column mapping on struct fields inside MAP KEYS; "
+                f"{_DELTA_JAR_HINT}"
+            )
+        return F.transform_values(
+            col,
+            lambda _k, v: _rename_fields(v, src_dt.valueType, dst_dt.valueType),
+        )
+    return col
+
+
+def _needs_rename(src_dt, dst_dt) -> bool:
+    """True when any nested field name differs between the two shapes —
+    lets unrenamed arrays/maps pass through untouched (no transform
+    overhead on the common case)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(src_dt, _St):
+        return any(
+            sf.name != df_.name or _needs_rename(sf.dataType, df_.dataType)
+            for sf, df_ in zip(src_dt.fields, dst_dt.fields)
+        )
+    if isinstance(src_dt, ArrayType):
+        return _needs_rename(src_dt.elementType, dst_dt.elementType)
+    if isinstance(src_dt, MapType):
+        return _needs_rename(src_dt.keyType, dst_dt.keyType) or _needs_rename(
+            src_dt.valueType, dst_dt.valueType
+        )
+    return False
+
+
 def _table_scan_info(meta: dict) -> dict:
     """Validate a metaData action and derive everything a file scan
     needs: logical schema, partition columns, column-mapping mode and
@@ -486,7 +582,9 @@ def _table_scan_info(meta: dict) -> dict:
     the logical name changes, the physical stays. 'id' mode files also
     carry parquet field ids, but their parquet column names equal
     physicalName for every standard writer, so physical-name resolution
-    covers both modes; NESTED field mapping still needs the connector."""
+    covers both modes; NESTED field mapping resolves recursively
+    (_physical_type / _rename_fields), struct-in-map-key being the one
+    refused shape."""
     fmt = (meta.get("format") or {}).get("provider", "parquet")
     if fmt != "parquet":
         raise NotImplementedError(f"delta data format {fmt!r} not supported (parquet only)")
@@ -502,26 +600,12 @@ def _table_scan_info(meta: dict) -> dict:
         )
     phys_of = {f.name: f.name for f in schema.fields}
     if mapping_mode != "none":
-        from pyspark.sql.types import StructType as _St
-
-        for f in schema.fields:
-            md = f.metadata or {}
-            phys_of[f.name] = md.get("delta.columnMapping.physicalName", f.name)
-            if isinstance(f.dataType, _St) and any(
-                "delta.columnMapping.physicalName" in (nf.metadata or {})
-                for nf in f.dataType.fields
-            ):
-                raise NotImplementedError(
-                    f"delta column mapping on NESTED field {f.name!r}; {_DELTA_JAR_HINT}"
-                )
-    from pyspark.sql.types import StructField as _Sf
-
-    data_schema = StructType(
-        [
-            _Sf(phys_of[f.name], f.dataType, f.nullable)
-            for f in schema.fields
-            if f.name not in part_cols
-        ]
+        phys_of = {f.name: _phys_name(f) for f in schema.fields}
+    # data-file schema: physical names at EVERY nesting depth (nested
+    # struct fields under arrays/maps included) — the scan requests this
+    # shape and _rename_fields projects it back to logical
+    data_schema = _physical_type(
+        StructType([f for f in schema.fields if f.name not in part_cols])
     )
     return {
         "schema": schema,
@@ -622,11 +706,16 @@ def _scan_adds(
                 F.col("_metadata.row_index").cast("long").alias("__dv_pos"),
             )
         if mapping_mode != "none":
-            # physical -> logical rename; RENAME evolution is exactly
-            # this projection (the logical name moved, the data didn't)
+            # physical -> logical rename at every nesting depth; RENAME
+            # evolution is exactly this projection (the logical name
+            # moved, the data didn't)
             df = df.select(
                 *[
-                    F.col(phys_of[f.name]).alias(f.name)
+                    _rename_fields(
+                        F.col(phys_of[f.name]),
+                        info["data_schema"][phys_of[f.name]].dataType,
+                        f.dataType,
+                    ).alias(f.name)
                     for f in schema.fields
                     if f.name not in part_cols
                 ],
@@ -706,7 +795,11 @@ def _scan_file_index(
     if info["mapping_mode"] != "none":
         df = df.select(
             *[
-                F.col(phys_of[f.name]).alias(f.name)
+                _rename_fields(
+                    F.col(phys_of[f.name]),
+                    info["data_schema"][phys_of[f.name]].dataType,
+                    f.dataType,
+                ).alias(f.name)
                 for f in schema.fields
                 if f.name not in part_cols
             ],
@@ -1102,56 +1195,120 @@ def write_delta_column_mapping_fixture(
     partition_col: str | None = None,
     renamed: dict[str, str] | None = None,
     mode: str = "name",
+    row_tracking: bool = False,
 ) -> None:
     """Write ``df`` as a column-mapping Delta table (fixture for the
-    mapping read path): data files store PHYSICAL names ``col-<id>``,
+    mapping read path): data files store PHYSICAL names ``col-<id>`` —
+    assigned at EVERY nesting depth (struct fields, array elements, map
+    values), matching how a mapping-mode writer names nested fields —
     the schemaString carries delta.columnMapping.id/physicalName field
     metadata, partitionValues are keyed by physical name, and the
     protocol is the mapping-era reader v2 / writer v5. ``renamed`` maps
-    original column names to NEW logical names — the rename-evolution
-    shape: the logical schema shows the new name while the files keep
-    the physical one, which is exactly what name-resolving readers get
-    wrong (NULL column) and mapping-aware readers must get right."""
+    original names to NEW logical names (top-level or dotted nested
+    paths like ``addr.city``) — the rename-evolution shape: the logical
+    schema shows the new name while the files keep the physical one,
+    which is exactly what name-resolving readers get wrong (NULL
+    column) and mapping-aware readers must get right.
+
+    ``row_tracking=True`` additionally stamps the table with the
+    rowTracking WRITER feature (protocol writer v7) and baseRowId /
+    defaultRowCommitVersion on every add — reader-irrelevant metadata a
+    modern Databricks runtime writes that reads must IGNORE safely
+    (while jar-less writes keep refusing: they cannot mint row ids)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructField as _Sf
+    from pyspark.sql.types import StructType as _St
+
     if mode not in ("name", "id"):
         raise ValueError(f"mode must be name|id, got {mode!r}")
     renamed = renamed or {}
     now = 1_700_000_000_000
-    cols = df.columns
-    phys = {c: f"col-{i + 1:02d}" for i, c in enumerate(cols)}
-    physical_df = df.select(*[F.col(c).alias(phys[c]) for c in cols])
-    part_cols_phys = [phys[partition_col]] if partition_col else []
-    adds = _stage_data_files(physical_df, table_path, part_cols_phys, now)
+    counter = {"n": 0}
 
-    fields = []
-    for i, f in enumerate(df.schema.fields):
-        logical = renamed.get(f.name, f.name)
-        fields.append(
-            {
-                "name": logical,
-                "type": json.loads(f.dataType.json()),
-                "nullable": f.nullable,
-                "metadata": {
-                    "delta.columnMapping.id": i + 1,
-                    "delta.columnMapping.physicalName": phys[f.name],
-                },
+    def number(dt, prefix: str):
+        """Assign col-<id> physical names depth-first; returns
+        (physical-named type, schemaString 'type' json with mapping
+        metadata on every struct field)."""
+        if isinstance(dt, _St):
+            pfields, jfields = [], []
+            for f in dt.fields:
+                counter["n"] += 1
+                fid = counter["n"]
+                pname = f"col-{fid:02d}"
+                path = f"{prefix}{f.name}"
+                ptype, jtype = number(f.dataType, path + ".")
+                pfields.append(_Sf(pname, ptype, f.nullable))
+                jfields.append(
+                    {
+                        "name": renamed.get(path, f.name),
+                        "type": jtype,
+                        "nullable": f.nullable,
+                        "metadata": {
+                            "delta.columnMapping.id": fid,
+                            "delta.columnMapping.physicalName": pname,
+                        },
+                    }
+                )
+            return _St(pfields), {"type": "struct", "fields": jfields}
+        if isinstance(dt, ArrayType):
+            ptype, jtype = number(dt.elementType, prefix)
+            return ArrayType(ptype, dt.containsNull), {
+                "type": "array",
+                "elementType": jtype,
+                "containsNull": dt.containsNull,
             }
-        )
-    schema_string = json.dumps({"type": "struct", "fields": fields})
+        if isinstance(dt, MapType):
+            pv, jv = number(dt.valueType, prefix)
+            return MapType(dt.keyType, pv, dt.valueContainsNull), {
+                "type": "map",
+                "keyType": json.loads(dt.keyType.json()),
+                "valueType": jv,
+                "valueContainsNull": dt.valueContainsNull,
+            }
+        return dt, json.loads(dt.json())
+
+    physical_schema, schema_json = number(df.schema, "")
+    phys_top = {
+        f.name: pf.name for f, pf in zip(df.schema.fields, physical_schema.fields)
+    }
+    physical_df = df.select(
+        *[
+            _rename_fields(F.col(f.name), f.dataType, pf.dataType).alias(pf.name)
+            for f, pf in zip(df.schema.fields, physical_schema.fields)
+        ]
+    )
+    part_cols_phys = [phys_top[partition_col]] if partition_col else []
+    adds = _stage_data_files(physical_df, table_path, part_cols_phys, now)
+    if row_tracking:
+        for i, a in enumerate(adds):
+            a["add"]["baseRowId"] = i * 1_000
+            a["add"]["defaultRowCommitVersion"] = 0
+
+    schema_string = json.dumps(schema_json)
     part_logical = (
         [renamed.get(partition_col, partition_col)] if partition_col else []
     )
+    protocol: dict = {"minReaderVersion": 2, "minWriterVersion": 5}
+    config = {
+        "delta.columnMapping.mode": mode,
+        "delta.columnMapping.maxColumnId": str(counter["n"]),
+    }
+    if row_tracking:
+        protocol = {
+            "minReaderVersion": 2,
+            "minWriterVersion": 7,
+            "writerFeatures": ["columnMapping", "rowTracking", "domainMetadata"],
+        }
+        config["delta.enableRowTracking"] = "true"
     actions = [
-        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"protocol": protocol},
         {
             "metaData": {
                 "id": str(uuid.uuid4()),
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_string,
                 "partitionColumns": part_logical,
-                "configuration": {
-                    "delta.columnMapping.mode": mode,
-                    "delta.columnMapping.maxColumnId": str(len(cols)),
-                },
+                "configuration": config,
                 "createdTime": 0,
             }
         },

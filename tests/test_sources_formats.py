@@ -1731,62 +1731,42 @@ def test_delta_table_changes_feed(spark, tmp_path):
     )
 
 
-def test_delta_column_mapping_nested_refuses(spark, tmp_path):
-    """physicalName on NESTED struct members needs the connector —
-    refuse, never silently null the nested fields."""
-    import json as _json
-    import os as _os
+def test_delta_column_mapping_nested_reads(spark, tmp_path):
+    """physicalName on NESTED struct members (including inside arrays)
+    resolves recursively — a nested rename-evolution table reads the
+    logical names with the physical data, NULL structs stay NULL, and
+    row-tracking add metadata is ignored safely."""
+    from pyspark.sql import Row
 
-    from gcs2postgres_spark.sources.delta_py import read_delta_py
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        write_delta,
+        write_delta_column_mapping_fixture,
+    )
 
     table = str(tmp_path / "cmnested")
-    log = _os.path.join(table, "_delta_log")
-    _os.makedirs(log)
-    nested_schema = {
-        "type": "struct",
-        "fields": [
-            {
-                "name": "s",
-                "nullable": True,
-                "metadata": {
-                    "delta.columnMapping.id": 1,
-                    "delta.columnMapping.physicalName": "col-01",
-                },
-                "type": {
-                    "type": "struct",
-                    "fields": [
-                        {
-                            "name": "x",
-                            "type": "integer",
-                            "nullable": True,
-                            "metadata": {
-                                "delta.columnMapping.id": 2,
-                                "delta.columnMapping.physicalName": "col-02",
-                            },
-                        }
-                    ],
-                },
-            }
+    df = spark.createDataFrame(
+        [
+            (1, Row(city="berlin", zip=10115), [Row(q=2, sku="a")]),
+            (2, Row(city="oslo", zip=359), [Row(q=5, sku="b"), Row(q=1, sku="c")]),
+            (3, None, []),
         ],
-    }
-    with open(_os.path.join(log, f"{0:020d}.json"), "w") as f:
-        f.write(_json.dumps({"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
-        f.write(
-            _json.dumps(
-                {
-                    "metaData": {
-                        "id": "x",
-                        "format": {"provider": "parquet"},
-                        "schemaString": _json.dumps(nested_schema),
-                        "partitionColumns": [],
-                        "configuration": {"delta.columnMapping.mode": "name"},
-                    }
-                }
-            )
-            + "\n"
-        )
-    with pytest.raises(NotImplementedError, match="NESTED"):
-        read_delta_py(spark, table)
+        "k int, addr struct<city string, zip int>, "
+        "items array<struct<q int, sku string>>",
+    )
+    write_delta_column_mapping_fixture(
+        df, table, renamed={"addr.city": "town", "items.sku": "code"},
+        row_tracking=True,
+    )
+    out = read_delta_py(spark, table)
+    assert out.schema["addr"].dataType.fieldNames() == ["town", "zip"]
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[1]["addr"]["town"] == "berlin" and rows[1]["addr"]["zip"] == 10115
+    assert [it["code"] for it in rows[2]["items"]] == ["b", "c"]
+    assert rows[3]["addr"] is None and rows[3]["items"] == []
+    # jar-less WRITES still refuse: rowTracking needs minted row ids
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        write_delta(df, table, mode="append")
 
 
 def test_delta_partition_filter_skips_files(spark, sf_dir, tmp_path):
