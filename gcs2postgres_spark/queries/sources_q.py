@@ -2931,6 +2931,165 @@ def datasource_delta_py_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+MERGE_MULTI_ORACLE = """
+WITH src(k, name, region, op) AS (
+  VALUES (1, 'S1', 0, 'del'), (2, 'S2', 0, 'upd'), (3, 'S3', 8, 'other'),
+         (30, 'S30', 6, 'del'), (31, 'S31', 6, 'new')
+), merged AS (
+  SELECT n.n_nationkey AS k,
+         CASE WHEN s.k IS NOT NULL AND s.op = 'upd' THEN n.n_name || '*'
+              WHEN s.k IS NOT NULL AND s.op NOT IN ('del', 'upd') THEN s.name
+              WHEN s.k IS NULL AND n.n_regionkey = 4 THEN n.n_name || '_x'
+              ELSE n.n_name END AS name,
+         CASE WHEN s.k IS NOT NULL AND s.op NOT IN ('del', 'upd')
+              THEN s.region ELSE n.n_regionkey END AS region
+  FROM nation n LEFT JOIN src s ON n.n_nationkey = s.k
+  WHERE NOT (s.k IS NOT NULL AND s.op = 'del')
+  UNION ALL
+  SELECT s.k, s.name, s.region FROM src s
+  WHERE s.op <> 'del' AND s.k NOT IN (SELECT n_nationkey FROM nation)
+)
+SELECT region,
+       count(*)               AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       min(name)              AS first_name
+FROM merged
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("merge_multi_clause_roundtrip", oracle=MERGE_MULTI_ORACLE)
+def merge_multi_clause_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MERGE clause matrix in one statement (r13 —
+    sources/merge_multi.py): conditional DELETE, conditional per-column
+    UPDATE, fallthrough UPDATE SET * (first match wins within the
+    group), conditional INSERT, and WHEN NOT MATCHED BY SOURCE UPDATE —
+    the most-used real MERGE shape (VERDICT r12 missing #4 + next #8),
+    through the SQL facade onto the jar-less Delta committer as ONE
+    atomic DV + append commit. The oracle reproduces every clause
+    relationally (CASE over the left join + filtered anti-join
+    insert)."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="merge_multi_")
+    try:
+        write_delta(
+            nation.selectExpr("n_nationkey AS k", "n_name AS name",
+                              "n_regionkey AS region").coalesce(1),
+            tmp, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        spark.createDataFrame(
+            [(1, "S1", 0, "del"), (2, "S2", 0, "upd"), (3, "S3", 8, "other"),
+             (30, "S30", 6, "del"), (31, "S31", 6, "new")],
+            "k int, name string, region int, op string",
+        ).createOrReplaceTempView("merge_multi_src")
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{tmp}` tgt USING merge_multi_src sp "
+            "ON tgt.k = sp.k "
+            "WHEN MATCHED AND sp.op = 'del' THEN DELETE "
+            "WHEN MATCHED AND sp.op = 'upd' THEN UPDATE SET "
+            "name = concat(tgt.name, '*') "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND sp.op <> 'del' THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE AND tgt.region = 4 THEN UPDATE SET "
+            "name = concat(tgt.name, '_x')",
+        )
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("k").cast("long").alias("key_sum"),
+                F.min("name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+MERGE_MULTI_ICE_ORACLE = """
+WITH src(k, name, region, op) AS (
+  VALUES (5, 'S5', 0, 'del'), (6, 'S6', 0, 'keep'), (40, 'S40', 7, 'new')
+), merged AS (
+  SELECT n.n_nationkey AS k,
+         CASE WHEN s.k IS NOT NULL THEN s.name ELSE n.n_name END AS name,
+         n.n_regionkey AS region
+  FROM nation n LEFT JOIN src s ON n.n_nationkey = s.k
+  WHERE NOT (s.k IS NOT NULL AND s.op = 'del')
+  UNION ALL
+  SELECT s.k, s.name, s.region FROM src s
+  WHERE s.op <> 'del' AND s.k NOT IN (SELECT n_nationkey FROM nation)
+)
+SELECT region,
+       count(*)               AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       min(name)              AS first_name
+FROM merged
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("merge_multi_clause_iceberg_roundtrip", oracle=MERGE_MULTI_ICE_ORACLE)
+def merge_multi_clause_iceberg_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg twin of merge_multi_clause_roundtrip: conditional
+    DELETE + per-column UPDATE keeping the target's region + conditional
+    INSERT, committed as one position-delete + append snapshot
+    (merge_into_clauses). Pins that the shared clause planner drives
+    BOTH formats' row-level protocols identically."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        read_iceberg_py,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="merge_multi_ice_")
+    try:
+        base = nation.selectExpr(
+            "CAST(n_nationkey AS LONG) AS k", "n_name AS name",
+            "CAST(n_regionkey AS INT) AS region",
+        ).coalesce(1)
+        create_iceberg_v2_table(base.schema, tmp)
+        append_iceberg_v2(spark, tmp, base, snapshot_ts_ms=1_700_000_000_000)
+        spark.createDataFrame(
+            [(5, "S5", 0, "del"), (6, "S6", 0, "keep"), (40, "S40", 7, "new")],
+            "k long, name string, region int, op string",
+        ).createOrReplaceTempView("merge_multi_ice_src")
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO iceberg.`{tmp}` tgt USING merge_multi_ice_src sp "
+            "ON tgt.k = sp.k "
+            "WHEN MATCHED AND sp.op = 'del' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET name = sp.name "
+            "WHEN NOT MATCHED AND sp.op <> 'del' THEN INSERT *",
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("k").cast("long").alias("key_sum"),
+                F.min("name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 MERGE_PERCOL_ORACLE = """
 WITH src(k, name, region) AS (
   VALUES (3, 'SRC_3', 9), (7, 'SRC_7', 9), (900, 'SRC_NEW', 7)

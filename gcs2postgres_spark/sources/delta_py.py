@@ -2072,6 +2072,56 @@ def merge_delta(
     )
 
 
+def merge_delta_clauses(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    timestamp_ms: int | None = None,
+    txn: dict | None = None,
+) -> int | None:
+    """Full multi-clause conditional ``MERGE INTO`` (the complete Spark
+    SQL clause matrix — WHEN MATCHED AND cond THEN UPDATE/DELETE, WHEN
+    NOT MATCHED [AND cond] THEN INSERT *, WHEN NOT MATCHED BY SOURCE
+    [AND cond] THEN UPDATE/DELETE), committed as one atomic deletion-
+    vector + append version. Clause semantics, ordering rules, and the
+    single-join scale shape live in sources/merge_multi.py; the
+    single-clause ``merge_delta`` remains the CDC fast path (latest-
+    wins, insert-only append route). Returns the new version or None
+    for a whole-statement no-op. Iceberg twin: merge_into_clauses."""
+    from gcs2postgres_spark.sources.merge_multi import build_merge_plan
+
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    not_matched_by_source = list(not_matched_by_source or [])
+    live = read_delta_py(spark, table_path)
+    missing = sorted(set(on) - set(source.columns))
+    if missing:
+        raise ValueError(f"MERGE key columns missing from source: {missing}")
+    if matched:
+        _raise_on_duplicate_merge_keys(source, on)
+    matcher, replacement = build_merge_plan(
+        live, source, on, matched, not_matched, not_matched_by_source
+    )
+    if replacement is not None and replacement.isEmpty():
+        replacement = None
+    if matcher is None:
+        # insert-only statement: touches no existing file — plain append
+        if replacement is None:
+            return None
+        return write_delta(
+            replacement, table_path, mode="append", timestamp_ms=timestamp_ms,
+            txn=txn,
+        )
+    return _dv_row_level_commit(
+        spark, table_path, matcher, replacement, timestamp_ms,
+        operation="MERGE", txn=txn,
+    )
+
+
 def _dv_row_level_commit(
     spark: SparkSession,
     table_path: str,

@@ -2544,6 +2544,55 @@ def _stage_v2_data_files(
     return data_entries
 
 
+def merge_into_clauses(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    snapshot_ts_ms: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int | None:
+    """Full multi-clause conditional ``MERGE INTO`` for the jar-less v2
+    committer (WHEN MATCHED AND cond THEN UPDATE/DELETE, WHEN NOT
+    MATCHED [AND cond] THEN INSERT *, WHEN NOT MATCHED BY SOURCE
+    [AND cond] THEN UPDATE/DELETE) — one atomic position-delete +
+    append snapshot. Clause semantics and the single-join scale shape
+    live in sources/merge_multi.py; single-clause ``merge_into``
+    remains the CDC fast path. Delta twin: merge_delta_clauses."""
+    from gcs2postgres_spark.sources.delta_py import (
+        _raise_on_duplicate_merge_keys,
+    )
+    from gcs2postgres_spark.sources.merge_multi import build_merge_plan
+
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    not_matched_by_source = list(not_matched_by_source or [])
+    live = read_iceberg_py(spark, table_path)
+    missing = sorted(set(on) - set(source.columns))
+    if missing:
+        raise ValueError(f"MERGE key columns missing from source: {missing}")
+    if matched:
+        _raise_on_duplicate_merge_keys(source, on)
+    matcher, replacement = build_merge_plan(
+        live, source, on, matched, not_matched, not_matched_by_source
+    )
+    if replacement is not None and replacement.isEmpty():
+        replacement = None
+    if matcher is None:
+        if replacement is None:
+            return None
+        return append_iceberg_v2(
+            spark, table_path, replacement, snapshot_ts_ms=snapshot_ts_ms,
+            txn=txn,
+        )
+    return _v2_row_level_commit(
+        spark, table_path, matcher, replacement, snapshot_ts_ms, txn=txn
+    )
+
+
 def _v2_row_level_commit(
     spark: SparkSession,
     table_path: str,

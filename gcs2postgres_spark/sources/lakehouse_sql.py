@@ -17,17 +17,22 @@ functions:
     DELETE FROM delta.`/path/to/table` WHERE region = 2
     UPDATE iceberg.`/p` SET name = concat('U_', name) WHERE k = 1
     MERGE INTO delta.`/p` t USING src_view s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        WHEN MATCHED AND s.op = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = s.name
+        WHEN NOT MATCHED AND s.op <> 'del' THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.stale THEN DELETE
     OPTIMIZE delta.`/p` ZORDER BY (l_shipdate, l_discount)
     VACUUM delta.`/p`
     RESTORE TABLE delta.`/p` TO VERSION AS OF 3
     DESCRIBE HISTORY delta.`/p`
 
-Scope is deliberately the statement shapes the committers implement —
-full-row MERGE clauses (``UPDATE SET *`` / ``INSERT *``, the CDC-apply
-form), not arbitrary per-column merge expressions; anything outside the
-grammar raises ValueError naming what was expected, never a silent
-misparse. WHERE predicates and SET expressions pass through verbatim to
+Scope is deliberately the statement shapes the committers implement.
+MERGE supports the full Spark SQL clause matrix — multiple WHEN
+MATCHED ``AND <cond>`` clauses (first match wins; an unconditioned
+clause must be last), per-column or full-row UPDATE, DELETE,
+conditional INSERT, and WHEN NOT MATCHED BY SOURCE — via
+sources/merge_multi.py. Anything outside the grammar raises ValueError
+naming what was expected, never a silent misparse. WHERE predicates and SET expressions pass through verbatim to
 Spark SQL — the parser only brackets them, so the full expression
 language works. Statements parse with anchored regexes over ONE
 normalized line; identifiers are ``delta.`/path``` / ``iceberg.`/path```
@@ -395,70 +400,80 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
     if m:
         keys = _parse_on(m["on"], m["t"], m["s"])
         clauses = m["clauses"].strip()
-        # clause boundaries: the explicit markers (a CASE WHEN inside a
-        # SET expression cannot match them)
+        # clause boundaries: the explicit markers, now with optional
+        # per-clause conditions (a CASE WHEN inside a SET expression
+        # cannot match them — the kind word is literal). Conditions may
+        # not contain the literal token " THEN " (raise-on-misparse
+        # grammar, same rule as the rest of the facade).
         markers = list(
-            re.finditer(r"(?i)WHEN (NOT )?MATCHED THEN ", clauses)
+            re.finditer(
+                r"(?i)WHEN (?P<kind>NOT MATCHED BY SOURCE|NOT MATCHED|MATCHED)"
+                r"(?: AND (?P<cond>.+?))? THEN ",
+                clauses,
+            )
         )
         if not markers or markers[0].start() != 0:
             raise ValueError(
                 f"MERGE needs at least one WHEN clause; got {clauses!r}"
             )
-        n_matched = sum(1 for mk in markers if not mk.group(1))
-        n_not_matched = len(markers) - n_matched
-        if n_matched > 1 or n_not_matched > 1:
-            # conflicting duplicates must raise, never first-silently-wins
-            raise ValueError(
-                "MERGE allows at most one WHEN MATCHED and one WHEN NOT "
-                f"MATCHED clause; got {clauses!r}"
+
+        def norm_expr(e: str) -> str:
+            # statement aliases -> the committers' t./s. environment
+            return re.sub(
+                rf"\b{re.escape(m['s'])}\.", "s.",
+                re.sub(rf"\b{re.escape(m['t'])}\.", "t.", e),
             )
-        when_matched, when_not_matched = "ignore", "ignore"
-        set_exprs: dict[str, str] | None = None
+
+        matched: list[dict] = []
+        not_matched: list[dict] = []
+        nmbs: list[dict] = []
         for i, mk in enumerate(markers):
             body = clauses[
                 mk.end() : markers[i + 1].start() if i + 1 < len(markers)
                 else len(clauses)
             ].strip()
-            if mk.group(1):  # WHEN NOT MATCHED
+            kind = mk["kind"].upper()
+            cond = norm_expr(mk["cond"]) if mk["cond"] else None
+            if kind == "NOT MATCHED":
                 if body.upper() != "INSERT *":
                     raise ValueError(
                         "WHEN NOT MATCHED supports only 'INSERT *'; "
                         f"got {body!r}"
                     )
-                when_not_matched = "insert"
-            elif body.upper() == "DELETE":
-                when_matched = "delete"
+                not_matched.append({"cond": cond, "action": "insert", "set": None})
+                continue
+            if body.upper() == "DELETE":
+                cl = {"cond": cond, "action": "delete", "set": None}
             elif body.upper() == "UPDATE SET *":
-                when_matched = "update"
-            elif re.match(r"(?i)UPDATE SET ", body):
-                # per-column clause: expressions may reference the
-                # aliased pair as <t>.col / <s>.col — normalized to the
-                # committers' t./s. environment
-                when_matched = "update"
-                raw = _parse_set(body[len("UPDATE SET "):])
-                set_exprs = {
-                    c: re.sub(
-                        rf"\b{re.escape(m['s'])}\.", "s.",
-                        re.sub(rf"\b{re.escape(m['t'])}\.", "t.", e),
+                if kind == "NOT MATCHED BY SOURCE":
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE has no source row to "
+                        "'UPDATE SET *' from — use explicit SET assignments"
                     )
-                    for c, e in raw.items()
+                cl = {"cond": cond, "action": "update", "set": None}
+            elif re.match(r"(?i)UPDATE SET ", body):
+                raw = _parse_set(body[len("UPDATE SET "):])
+                cl = {
+                    "cond": cond, "action": "update",
+                    "set": {c: norm_expr(e) for c, e in raw.items()},
                 }
             else:
                 raise ValueError(
-                    "WHEN MATCHED supports 'UPDATE SET *', 'UPDATE SET "
-                    f"col = expr, ...', or 'DELETE'; got {body!r}"
+                    f"{'WHEN ' + kind} supports 'UPDATE SET *', 'UPDATE "
+                    f"SET col = expr, ...', or 'DELETE'; got {body!r}"
                 )
+            (matched if kind == "MATCHED" else nmbs).append(cl)
         source = spark.table(m["src"])
         if m["fmt"] == "delta":
-            return delta_py.merge_delta(
+            return delta_py.merge_delta_clauses(
                 spark, m["path"], source, keys,
-                when_matched=when_matched, when_not_matched=when_not_matched,
-                set_exprs=set_exprs,
+                matched=matched, not_matched=not_matched,
+                not_matched_by_source=nmbs,
             )
-        return iceberg_py.merge_into(
+        return iceberg_py.merge_into_clauses(
             spark, m["path"], source, keys,
-            when_matched=when_matched, when_not_matched=when_not_matched,
-            set_exprs=set_exprs,
+            matched=matched, not_matched=not_matched,
+            not_matched_by_source=nmbs,
         )
 
     m = re.fullmatch(

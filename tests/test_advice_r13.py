@@ -243,3 +243,109 @@ def test_file_index_scan_with_deletion_vectors(spark, tmp_path):
     assert out.filter(F.col("k") % 10 == 3).count() == 0
     # partition values still correct after the DV anti-join
     assert out.filter(F.col("pt") != F.col("k") % 40).count() == 0
+
+
+def _merge_fixture(spark, tmp_path, fmt):
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, name string, v long",
+    )
+    p = str(tmp_path / fmt)
+    if fmt == "delta":
+        delta_py.write_delta(tgt, p)
+    else:
+        iceberg_py.create_iceberg_v2_table(tgt.schema, p)
+        iceberg_py.append_iceberg_v2(spark, p, tgt)
+    return p
+
+
+def test_merge_multi_clause_matrix(spark, tmp_path):
+    """The full clause matrix on both formats through the SQL facade:
+    conditional DELETE, conditional per-column UPDATE, fallthrough
+    UPDATE SET *, conditional INSERT, and NOT MATCHED BY SOURCE DELETE —
+    first-match-wins within each group."""
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    src = spark.createDataFrame(
+        [
+            (1, "A", 11, "del"),   # matched, op=del   -> DELETE
+            (2, "B", 22, "upd"),   # matched, op=upd   -> UPDATE SET name only
+            (3, "C", 33, "other"), # matched, no cond  -> UPDATE SET * (v from s)
+            (5, "E", 55, "del"),   # not matched, del  -> filtered out of INSERT
+            (6, "F", 66, "new"),   # not matched       -> INSERT
+        ],
+        "k long, name string, v long, op string",
+    )
+    # k=4 is matched by no source row -> NOT MATCHED BY SOURCE DELETE
+    for fmt in ("delta", "iceberg"):
+        p = _merge_fixture(spark, tmp_path, fmt)
+        src.select("k", "name", "v", "op").createOrReplaceTempView("mm_src")
+        # note: INSERT * takes the table's columns from the source; the
+        # source's extra op column is dropped by the cast projection
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO {fmt}.`{p}` t USING mm_src s ON t.k = s.k "
+            "WHEN MATCHED AND s.op = 'del' THEN DELETE "
+            "WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET name = s.name "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED AND s.op <> 'del' THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+        if fmt == "delta":
+            out = delta_py.read_delta_py(spark, p)
+        else:
+            out = iceberg_py.read_iceberg_py(spark, p)
+        rows = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
+        assert rows == {
+            2: ("B", 20),   # per-column SET: v kept
+            3: ("C", 33),   # SET *: v replaced
+            6: ("F", 66),   # inserted
+        }, (fmt, rows)
+
+
+def test_merge_not_matched_by_source_update(spark, tmp_path):
+    """NOT MATCHED BY SOURCE with a conditional UPDATE over t-only
+    expressions (the stale-row sweep shape)."""
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    p = _merge_fixture(spark, tmp_path, "delta")
+    spark.createDataFrame([(1, "A", 11)], "k long, name string, v long") \
+        .createOrReplaceTempView("mm_src2")
+    lakehouse_sql(
+        spark,
+        f"MERGE INTO delta.`{p}` t USING mm_src2 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND t.v >= 30 THEN UPDATE SET name = concat(t.name, '_stale')",
+    )
+    rows = {r["k"]: r["name"] for r in delta_py.read_delta_py(spark, p).collect()}
+    assert rows == {1: "A", 2: "b", 3: "c_stale", 4: "d_stale"}
+
+
+def test_merge_clause_validation(spark, tmp_path):
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    p = _merge_fixture(spark, tmp_path, "delta")
+    spark.createDataFrame([(9, "z", 0)], "k long, name string, v long") \
+        .createOrReplaceTempView("mm_src3")
+    # unconditioned clause shadowing a later one: dead clause, raise
+    with pytest.raises(ValueError, match="must be LAST"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{p}` t USING mm_src3 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.v > 0 THEN DELETE",
+        )
+    # BY SOURCE cannot SET * (no source row)
+    with pytest.raises(ValueError, match="no source row"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{p}` t USING mm_src3 s ON t.k = s.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+        )
+    # SET targeting an unknown column
+    with pytest.raises(ValueError, match="unknown columns"):
+        lakehouse_sql(
+            spark,
+            f"MERGE INTO delta.`{p}` t USING mm_src3 s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET nope = 1",
+        )

@@ -1127,13 +1127,16 @@ def test_lakehouse_sql_quoted_whitespace_and_dup_clauses(spark, tmp_path):
     spark.createDataFrame([(2, "z")], "k int, name string").createOrReplaceTempView(
         "dup_src"
     )
-    with pytest.raises(ValueError, match="at most one"):
+    # duplicate UNCONDITIONED clauses are dead code after the first —
+    # the generalized multi-clause rule (unconditioned must be LAST)
+    # rejects them rather than silently first-wins
+    with pytest.raises(ValueError, match="must be LAST"):
         lakehouse_sql(
             spark,
             f"MERGE INTO delta.`{dt}` t USING dup_src s ON t.k = s.k "
             "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET *",
         )
-    with pytest.raises(ValueError, match="at most one"):
+    with pytest.raises(ValueError, match="must be LAST"):
         lakehouse_sql(
             spark,
             f"MERGE INTO delta.`{dt}` t USING dup_src s ON t.k = s.k "
