@@ -69,6 +69,54 @@ def iceberg_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+ICEBERG_ORC_ORACLE = """
+SELECT s_nationkey,
+       count(*)                        AS n_supp,
+       CAST(sum(s_suppkey) AS BIGINT)  AS key_sum,
+       min(s_name)                     AS first_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("iceberg_orc_data_roundtrip", oracle=ICEBERG_ORC_ORACLE)
+def iceberg_orc_data_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table whose DATA FILES are ORC (r13 — spec-legal, seen in
+    ORC-era warehouses; previously refused with the jar hint): the
+    manifest records file_format=ORC and the jar-less reader scans
+    those files with Spark's NATIVE distributed ORC reader,
+    name-resolved, unioned with any parquet members of the same
+    snapshot. The oracle aggregates the source table directly, so a
+    lost/double-counted ORC file or a type drift in the ORC scan breaks
+    the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_fixture,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_orc_")
+    try:
+        write_iceberg_fixture(supplier.repartition(3), tmp, data_format="orc")
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_supp"),
+                F.sum("s_suppkey").cast("long").alias("key_sum"),
+                F.min("s_name").alias("first_name"),
+            )
+            .orderBy("s_nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 ICEBERG_V2_DELETES_ORACLE = """
 SELECT n_regionkey,
        count(*)                         AS n_nations,

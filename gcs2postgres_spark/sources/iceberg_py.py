@@ -453,6 +453,7 @@ def read_iceberg_py(
         return False
 
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
+    orc_paths: set[str] = set()  # ORC-format members of data_files
     pos_deletes: list[tuple[str, int]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []  # (path, seq, ids)
     _, manifests = read_avro_file(_resolve(snapshot["manifest-list"], table_path, location))
@@ -468,13 +469,22 @@ def read_iceberg_py(
                 seq = manifest_seq  # spec: inherit from the manifest entry
             content = dfile.get("content", 0)
             fmt = dfile["file_format"].lower()
-            if fmt != "parquet":
-                raise NotImplementedError(f"iceberg {fmt} data files: table {_JAR_HINT}")
+            if fmt not in ("parquet", "orc") or (
+                fmt == "orc" and content != 0
+            ):
+                # ORC is supported for DATA files (native Spark scan);
+                # avro data files and non-parquet delete files still
+                # need the runtime jar
+                raise NotImplementedError(
+                    f"iceberg {fmt} content={content} files: table {_JAR_HINT}"
+                )
             path = _resolve(dfile["file_path"], table_path, location)
             if content == 0:
                 if _pruned(dfile):
                     continue
                 data_files.append((path, seq))
+                if fmt == "orc":
+                    orc_paths.add(path)
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -497,7 +507,13 @@ def read_iceberg_py(
 
     if not data_files:
         return spark.createDataFrame([], spark_schema)
-    paths = sorted({p for p, _ in data_files})
+    if orc_paths and (pos_deletes or eq_deletes):
+        raise NotImplementedError(
+            "iceberg ORC data files under row-level deletes: the jar-less "
+            "scan has no per-row position identity for ORC "
+            "(_metadata.row_index is parquet-only); table " + _JAR_HINT
+        )
+    paths = sorted({p for p, _ in data_files} - orc_paths)
 
     # Column resolution: BY FIELD ID when the parquet files carry ids
     # (the spec's rule — a renamed column keeps its id, so post-rename
@@ -508,20 +524,12 @@ def read_iceberg_py(
     # walk — and each group becomes one distributed scan projected to
     # the table schema; one signature (the overwhelmingly common case)
     # means exactly one scan, the pre-r10 plan.
-    groups = _group_by_field_ids(paths)
+    groups = _group_by_field_ids(paths) if paths else []
     need_tag = bool(pos_deletes or eq_deletes)
     helpers = ["__ice_fp", "__ice_pos"] if need_tag else []
     parts = []
-    for idmap, gpaths in groups:
-        df = spark.read.parquet(*gpaths)
-        if need_tag:
-            df = df.select(
-                "*",
-                F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias(
-                    "__ice_fp"
-                ),
-                F.col("_metadata.row_index").alias("__ice_pos"),
-            )
+
+    def _project_to_table(df, idmap):
         cols = []
         lower = {c.lower(): c for c in df.columns if c not in helpers}
         for fjson, field in zip(schema_json["fields"], spark_schema.fields):
@@ -532,7 +540,28 @@ def read_iceberg_py(
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
             else:
                 cols.append(F.col(src).cast(field.dataType).alias(field.name))
-        parts.append(df.select(*cols, *helpers))
+        return df.select(*cols, *helpers)
+
+    for idmap, gpaths in groups:
+        df = spark.read.parquet(*gpaths)
+        if need_tag:
+            df = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"), r"^file:(//)?", "").alias(
+                    "__ice_fp"
+                ),
+                F.col("_metadata.row_index").alias("__ice_pos"),
+            )
+        parts.append(_project_to_table(df, idmap))
+    if orc_paths:
+        # ORC data files: one native distributed ORC scan, NAME-resolved
+        # (pyarrow cannot probe iceberg field ids from ORC column
+        # attributes, so rename evolution in the ORC era needs the jar —
+        # the same documented fallback id-less parquet files get).
+        # need_tag is impossible here (refused above).
+        # note: DataFrameReader.orc takes a LIST (its second positional
+        # is mergeSchema, unlike parquet's *paths)
+        parts.append(_project_to_table(spark.read.orc(sorted(orc_paths)), None))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -756,18 +785,25 @@ MANIFEST_LIST_SCHEMA_V2 = {
 
 
 def data_file_entry(path: str, status: int = 1, snapshot_id: int = 1) -> dict:
-    """Manifest entry for one parquet file; record_count comes from the
-    parquet FOOTER (metadata read, no data rows on the driver)."""
-    import pyarrow.parquet as pq
+    """Manifest entry for one parquet/ORC file (format from the file
+    extension); record_count comes from the file FOOTER (metadata read,
+    no data rows on the driver)."""
+    if path.endswith(".orc"):
+        import pyarrow.orc as _orc
 
+        fmt, nrows = "ORC", _orc.ORCFile(path).nrows
+    else:
+        import pyarrow.parquet as pq
+
+        fmt, nrows = "PARQUET", pq.ParquetFile(path).metadata.num_rows
     return {
         "status": status,
         "snapshot_id": snapshot_id,
         "data_file": {
             "file_path": os.path.abspath(path),
-            "file_format": "PARQUET",
+            "file_format": fmt,
             "partition": {},
-            "record_count": pq.ParquetFile(path).metadata.num_rows,
+            "record_count": nrows,
             "file_size_in_bytes": os.path.getsize(path),
             "block_size_in_bytes": 64 * 1024 * 1024,
         },
@@ -867,8 +903,14 @@ def _v2_entry(
     snapshot_id: int = 1,
     partition: dict | None = None,
 ) -> dict:
-    import pyarrow.parquet as pq
+    if path.endswith(".orc"):
+        import pyarrow.orc as _orc
 
+        fmt, nrows = "ORC", _orc.ORCFile(path).nrows
+    else:
+        import pyarrow.parquet as pq
+
+        fmt, nrows = "PARQUET", pq.ParquetFile(path).metadata.num_rows
     return {
         "status": 1,
         "snapshot_id": snapshot_id,
@@ -877,9 +919,9 @@ def _v2_entry(
         "data_file": {
             "content": content,
             "file_path": os.path.abspath(path),
-            "file_format": "PARQUET",
+            "file_format": fmt,
             "partition": partition or {},
-            "record_count": pq.ParquetFile(path).metadata.num_rows,
+            "record_count": nrows,
             "file_size_in_bytes": os.path.getsize(path),
             "equality_ids": list(equality_ids) if equality_ids else None,
         },
@@ -1039,16 +1081,23 @@ def with_parquet_field_ids(df: DataFrame, schema_json: dict | None = None) -> Da
     )
 
 
-def write_iceberg_fixture(df: DataFrame, table_path: str) -> None:
+def write_iceberg_fixture(
+    df: DataFrame, table_path: str, data_format: str = "parquet"
+) -> None:
     """Materialize ``df`` as a spec-shaped v1 Iceberg table: executors
-    write the parquet data files (df.write.parquet — distributed); the
+    write the data files (df.write.parquet/orc — distributed); the
     driver then assembles manifest/manifest-list Avro and metadata JSON
-    from file-level metadata only."""
+    from file-level metadata only. ``data_format="orc"`` produces the
+    spec-legal ORC-data-file table shape the jar-less reader scans with
+    Spark's native ORC reader (name-resolved)."""
+    if data_format not in ("parquet", "orc"):
+        raise ValueError(f"data_format must be parquet|orc, got {data_format!r}")
     data_dir = os.path.join(table_path, "data")
-    df.write.mode("overwrite").parquet(data_dir)
-    files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    writer = df.write.mode("overwrite")
+    (writer.orc if data_format == "orc" else writer.parquet)(data_dir)
+    files = sorted(glob.glob(os.path.join(data_dir, f"part-*.{data_format}")))
     if not files:
-        raise ValueError(f"no parquet part files produced under {data_dir!r}")
+        raise ValueError(f"no {data_format} part files produced under {data_dir!r}")
     mdir = os.path.join(table_path, "metadata")
     os.makedirs(mdir, exist_ok=True)
     manifest = os.path.join(mdir, "manifest-1.avro")

@@ -349,3 +349,86 @@ def test_merge_clause_validation(spark, tmp_path):
             f"MERGE INTO delta.`{p}` t USING mm_src3 s ON t.k = s.k "
             "WHEN MATCHED THEN UPDATE SET nope = 1",
         )
+
+
+def test_iceberg_mixed_parquet_orc_manifest(spark, tmp_path):
+    """One snapshot whose manifest mixes PARQUET and ORC data files (a
+    table migrated between formats) reads the union; ORC + row-level
+    deletes refuses with the position-identity explanation."""
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        data_file_entry,
+        read_iceberg_py,
+        write_manifest,
+        write_manifest_list,
+        write_snapshot_metadata,
+    )
+
+    t = str(tmp_path / "mixed")
+    a = spark.createDataFrame([(1, "p1"), (2, "p2")], "k long, name string")
+    b = spark.createDataFrame([(3, "o3"), (4, "o4")], "k long, name string")
+    a.coalesce(1).write.parquet(os.path.join(t, "data_pq"))
+    b.coalesce(1).write.orc(os.path.join(t, "data_orc"))
+    files = sorted(_glob.glob(os.path.join(t, "data_pq", "part-*.parquet"))) + \
+        sorted(_glob.glob(os.path.join(t, "data_orc", "part-*.orc")))
+    mdir = os.path.join(t, "metadata")
+    os.makedirs(mdir)
+    manifest = os.path.join(mdir, "manifest-1.avro")
+    write_manifest(manifest, [data_file_entry(p) for p in files])
+    mlist = os.path.join(mdir, "snap-1.avro")
+    write_manifest_list(mlist, [manifest], snapshot_id=1)
+    write_snapshot_metadata(
+        t, a.schema, [{"snapshot-id": 1, "manifest-list": mlist}],
+        current_snapshot_id=1, version=1,
+    )
+    out = read_iceberg_py(spark, t)
+    assert sorted((r["k"], r["name"]) for r in out.collect()) == [
+        (1, "p1"), (2, "p2"), (3, "o3"), (4, "o4"),
+    ]
+
+
+def test_iceberg_orc_with_deletes_refuses(spark, tmp_path):
+    """ORC data files under row-level deletes refuse (the jar-less scan
+    has no _metadata.row_index for ORC): hand-built v2 manifest with an
+    ORC data entry plus a parquet position-delete entry."""
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.avro_py import write_avro_file
+    from gcs2postgres_spark.sources.iceberg_py import (
+        MANIFEST_ENTRY_SCHEMA_V2,
+        _v2_entry,
+        read_iceberg_py,
+        write_snapshot_metadata,
+    )
+
+    t = str(tmp_path / "orcdel")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, name string"
+    )
+    df.coalesce(1).write.orc(os.path.join(t, "data"))
+    files = sorted(_glob.glob(os.path.join(t, "data", "part-*.orc")))
+    spark.createDataFrame(
+        [(os.path.abspath(files[0]), 0)], "file_path string, pos long"
+    ).coalesce(1).write.parquet(os.path.join(t, "deletes"))
+    dfile = sorted(_glob.glob(os.path.join(t, "deletes", "part-*.parquet")))[0]
+    mdir = os.path.join(t, "metadata")
+    os.makedirs(mdir)
+    manifest = os.path.join(mdir, "manifest-1.avro")
+    write_avro_file(
+        manifest,
+        MANIFEST_ENTRY_SCHEMA_V2,
+        [_v2_entry(p, content=0, seq=1) for p in files]
+        + [_v2_entry(dfile, content=1, seq=2)],
+        codec="null",
+    )
+    from gcs2postgres_spark.sources.iceberg_py import write_manifest_list
+
+    mlist = os.path.join(mdir, "snap-1.avro")
+    write_manifest_list(mlist, [manifest], snapshot_id=1)
+    write_snapshot_metadata(
+        t, df.schema, [{"snapshot-id": 1, "manifest-list": mlist}],
+        current_snapshot_id=1, version=1,
+    )
+    with pytest.raises(NotImplementedError, match="position identity"):
+        read_iceberg_py(spark, t)
