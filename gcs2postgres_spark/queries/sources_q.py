@@ -69,6 +69,75 @@ def iceberg_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+DELTA_TYPE_WIDENING_ORACLE = """
+SELECT n_regionkey,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name)                      AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_type_widening_roundtrip", oracle=DELTA_TYPE_WIDENING_ORACLE)
+def delta_type_widening_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING (r13 — the reader feature modern writers enable by
+    default): nation committed with INT key/region columns, then
+    ``ALTER COLUMN ... TYPE`` widens n_nationkey to LONG and
+    n_regionkey to LONG (delta.typeChanges metadata + protocol v3/v7
+    typeWidening feature), then MORE rows append with the widened
+    schema. The read must upcast the OLD int-typed files to the table's
+    long schema at scan time and union them with the new long-typed
+    files — a reader ignoring the feature either refuses or corrupts
+    types. Rows added post-widening are filtered back out so the oracle
+    stays declarative over nation; the aggregate's key_sum breaks on
+    any lost/uncast file."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_widen_column,
+        read_delta_py,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta_widen_")
+    try:
+        write_delta(
+            nation.selectExpr(
+                "CAST(n_nationkey AS INT) AS n_nationkey", "n_name",
+                "CAST(n_regionkey AS INT) AS n_regionkey",
+            ).coalesce(1),
+            tmp, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        alter_delta_widen_column(spark, tmp, "n_nationkey", "long")
+        lakehouse_sql(
+            spark, f"ALTER TABLE delta.`{tmp}` ALTER COLUMN n_regionkey TYPE BIGINT"
+        )
+        # post-widening append: values only a LONG can hold
+        write_delta(
+            spark.createDataFrame(
+                [(3_000_000_000, "WIDE_ROW", 3_000_000_000)],
+                "n_nationkey long, n_name string, n_regionkey long",
+            ),
+            tmp, "append", timestamp_ms=1_700_000_001_000,
+        )
+        df = read_delta_py(spark, tmp).filter(F.col("n_nationkey") < 1_000_000)
+        return (
+            df.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 ICEBERG_ORC_ORACLE = """
 SELECT s_nationkey,
        count(*)                        AS n_supp,

@@ -136,6 +136,11 @@ def _check_protocol(protocol: dict) -> None:
         "v2Checkpoint",
         "deletionVectors",
         "columnMapping",
+        # files written before a widening carry the NARROW type; the
+        # scan requests the table schema and Spark's parquet reader
+        # upcasts (int->long, float->double, date->timestamp_ntz, ...)
+        "typeWidening",
+        "typeWidening-preview",
     }
     if reader_version >= 3 and unsupported:
         raise NotImplementedError(
@@ -175,6 +180,12 @@ _SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",      # native (delta_table_changes)
     "columnMapping",       # guarded at metaData time
     "timestampNtz",
+    # writes on a widened table append files with the CURRENT (wide)
+    # schema — spec-compliant; the typeChanges metadata only needs
+    # maintenance when performing a widening ALTER, which
+    # alter_delta_widen_column does
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 
@@ -1139,6 +1150,107 @@ def alter_delta_add_column(
     log_dir = _log_dir(table_path)
     version = max(_list_commits(log_dir)) + 1
     _write_commit(log_dir, version, [{"metaData": new_meta}], timestamp_ms)
+    return version
+
+
+# spec-legal widenings (Delta type-widening table feature): existing
+# files keep the narrow type, readers upcast at scan time. Keys/values
+# are Spark type JSON names.
+_WIDENINGS: set[tuple[str, str]] = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("date", "timestamp_ntz"),
+}
+
+
+def alter_delta_widen_column(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    new_type: str,
+    timestamp_ms: int = 1_700_000_008_000,
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN name TYPE new_type`` — TYPE
+    WIDENING (the table feature modern writers enable by default for
+    schema evolution): existing data files keep the narrow physical
+    type; the committed metaData carries the widened logical type plus
+    ``delta.typeChanges`` field metadata recording from/to/version, and
+    the protocol upgrades to reader v3 / writer v7 with the
+    typeWidening feature so every engine knows files may be narrower
+    than the schema. Reads upcast at scan time (Spark's parquet reader
+    does int->long, float->double, date->timestamp_ntz natively); a
+    non-widening change raises — narrowing would silently corrupt."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    _, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    schema_json = json.loads(meta["schemaString"])
+    field = next((f for f in schema_json["fields"] if f["name"] == name), None)
+    if field is None:
+        raise ValueError(f"column {name!r} not found")
+    old_type = field["type"]
+    if not isinstance(old_type, str) or (old_type, new_type) not in _WIDENINGS:
+        raise ValueError(
+            f"{old_type!r} -> {new_type!r} is not a spec-legal type "
+            f"widening (allowed: {sorted(_WIDENINGS)})"
+        )
+    if name in (meta.get("partitionColumns") or []):
+        raise NotImplementedError(
+            "widening a PARTITION column would re-type the log's "
+            "partitionValues parsing; widen data columns only"
+        )
+    log_dir = _log_dir(table_path)
+    version = max(_list_commits(log_dir)) + 1
+    field["type"] = new_type
+    fmeta = dict(field.get("metadata") or {})
+    changes = list(fmeta.get("delta.typeChanges") or [])
+    changes.append(
+        {"fromType": old_type, "toType": new_type, "tableVersion": version}
+    )
+    fmeta["delta.typeChanges"] = changes
+    field["metadata"] = fmeta
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps(schema_json)
+    protocol = _head_protocol(table_path)
+    # upgrading to v3/v7 requires enumerating the LEGACY features the
+    # old NUMERIC versions implied (spec: protocol versioning) — but
+    # only for legacy protocols: a v3/v7 protocol already enumerates
+    # its features explicitly and its version number implies nothing
+    implied_r: set[str] = set()
+    if int(protocol.get("minReaderVersion", 1)) == 2:
+        implied_r = {"columnMapping"}
+    implied_w: set[str] = set()
+    if int(protocol.get("minWriterVersion", 2)) < 7:
+        implied_w_by_v = {
+            2: {"appendOnly", "invariants"},
+            3: {"checkConstraints"},
+            4: {"changeDataFeed", "generatedColumns"},
+            5: {"columnMapping"},
+            6: {"identityColumns"},
+        }
+        for v in range(2, int(protocol.get("minWriterVersion", 2)) + 1):
+            implied_w |= implied_w_by_v.get(v, set())
+    reader_features = sorted(
+        set(protocol.get("readerFeatures") or []) | implied_r | {"typeWidening"}
+    )
+    writer_features = sorted(
+        set(protocol.get("writerFeatures") or []) | implied_w | {"typeWidening"}
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": reader_features,
+                "writerFeatures": writer_features,
+            }
+        },
+        {"metaData": new_meta},
+    ]
+    _write_commit(log_dir, version, actions, timestamp_ms, operation="CHANGE COLUMN")
     return version
 
 

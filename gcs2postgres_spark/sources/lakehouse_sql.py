@@ -363,6 +363,27 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         return None
 
     m = re.fullmatch(
+        rf"(?i)ALTER TABLE {_TBL} ALTER COLUMN (?P<col>\w+) TYPE (?P<typ>\w+)",
+        s,
+    )
+    if m:
+        if m["fmt"] != "delta":
+            raise NotImplementedError(
+                "jar-less ALTER COLUMN TYPE (type widening) is implemented "
+                "for Delta; Iceberg type promotion needs the runtime jar"
+            )
+        spark_types = {
+            "smallint": "short", "short": "short",
+            "int": "integer", "integer": "integer",
+            "bigint": "long", "long": "long",
+            "double": "double", "timestamp_ntz": "timestamp_ntz",
+        }
+        t = spark_types.get(m["typ"].lower())
+        if t is None:
+            raise ValueError(f"unsupported ALTER COLUMN type {m['typ']!r}")
+        return delta_py.alter_delta_widen_column(spark, m["path"], m["col"], t)
+
+    m = re.fullmatch(
         rf"(?i)ALTER TABLE {_TBL} (?P<verb>CREATE|DROP) "
         r"(?P<kind>TAG|BRANCH) (?P<name>\w+)",
         s,

@@ -432,3 +432,53 @@ def test_iceberg_orc_with_deletes_refuses(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="position identity"):
         read_iceberg_py(spark, t)
+
+
+def test_type_widening_validation(spark, tmp_path):
+    """Widening validation: narrowing and unrelated conversions raise;
+    partition-column widening refuses; typeChanges metadata and the
+    typeWidening protocol feature land in the log; DVs still apply on
+    the widened read."""
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_widen_column,
+        delete_where_delta,
+        read_delta_py,
+        replay_head_state,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    src = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, 2.5, "b"), (3, 3.5, "c")],
+        "k int, x float, name string",
+    )
+    write_delta(src, p)
+    with pytest.raises(ValueError, match="not a spec-legal"):
+        alter_delta_widen_column(spark, p, "k", "short")  # narrowing
+    with pytest.raises(ValueError, match="not a spec-legal"):
+        alter_delta_widen_column(spark, p, "name", "long")
+    with pytest.raises(ValueError, match="not found"):
+        alter_delta_widen_column(spark, p, "nope", "long")
+    v = alter_delta_widen_column(spark, p, "k", "long")
+    alter_delta_widen_column(spark, p, "x", "double")
+    _, meta = replay_head_state(spark, p)
+    f = next(f for f in json.loads(meta["schemaString"])["fields"] if f["name"] == "k")
+    assert f["type"] == "long"
+    assert f["metadata"]["delta.typeChanges"][0] == {
+        "fromType": "integer", "toType": "long", "tableVersion": v,
+    }
+    out = read_delta_py(spark, p)
+    assert out.schema["k"].dataType.typeName() == "long"
+    assert out.schema["x"].dataType.typeName() == "double"
+    # row-level DML still works on the widened table (narrow files + DV)
+    delete_where_delta(spark, p, "k = 2")
+    rows = sorted((r["k"], r["x"]) for r in read_delta_py(spark, p).collect())
+    assert rows == [(1, 1.5), (3, 3.5)]
+
+    # partition columns refuse
+    p2 = str(tmp_path / "t2")
+    write_delta(
+        spark.createDataFrame([(1, 2)], "k int, pt int"), p2, partition_by=["pt"]
+    )
+    with pytest.raises(NotImplementedError, match="PARTITION"):
+        alter_delta_widen_column(spark, p2, "pt", "long")
