@@ -69,6 +69,75 @@ def iceberg_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+DELTA_IDENTITY_ORACLE = """
+WITH c AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_custkey) AS rn
+  FROM customer
+), first_batch AS (
+  SELECT 100 + 5 * (rn - 1)        AS id,
+         CAST(c_custkey AS BIGINT) AS custkey
+  FROM c
+), second_batch AS (
+  SELECT (SELECT max(id) FROM first_batch) + 5 * i AS id,
+         CAST(9000000 + i AS BIGINT)               AS custkey
+  FROM (VALUES (1), (2), (3)) AS t(i)
+)
+SELECT id, custkey FROM first_batch
+UNION ALL
+SELECT id, custkey FROM second_batch
+ORDER BY id
+"""
+
+
+@register("delta_identity_columns_roundtrip", oracle=DELTA_IDENTITY_ORACLE)
+def delta_identity_columns_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY COLUMNS (r13 — writer feature, GENERATED ALWAYS AS
+    IDENTITY): the table declares ``id BIGINT IDENTITY(start 100, step
+    5)``; two appends arrive WITHOUT the id column and the jar-less
+    writer generates step-aligned values and advances
+    delta.identity.highWaterMark in the same commit (from the staged
+    files' parquet footer stats — no second data pass). Values are
+    deterministic here because each batch is one ordered partition, so
+    the oracle reproduces the exact sequence with row_number
+    arithmetic; the second batch starting at hwm+step pins the
+    watermark advance across commits."""
+    tune_for_session(spark)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gcs2postgres_spark.sources.delta_py import (
+        create_delta_identity_table,
+        read_delta_py,
+        write_delta,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="delta_identity_")
+    try:
+        schema = StructType(
+            [StructField("id", LongType(), True),
+             StructField("custkey", LongType(), True)]
+        )
+        create_delta_identity_table(
+            spark, tmp, schema, identity={"id": (100, 5)}
+        )
+        write_delta(
+            customer.selectExpr("CAST(c_custkey AS LONG) AS custkey")
+            .orderBy("custkey").coalesce(1),
+            tmp, "append", timestamp_ms=1_700_000_000_000,
+        )
+        write_delta(
+            spark.createDataFrame(
+                [(9_000_001,), (9_000_002,), (9_000_003,)], "custkey long"
+            ).orderBy("custkey").coalesce(1),
+            tmp, "append", timestamp_ms=1_700_000_001_000,
+        )
+        return read_delta_py(spark, tmp).select("id", "custkey").orderBy("id")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 DELTA_TYPE_WIDENING_ORACLE = """
 SELECT n_regionkey,
        count(*)                         AS n_rows,

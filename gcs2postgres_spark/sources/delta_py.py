@@ -186,6 +186,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # alter_delta_widen_column does
     "typeWidening",
     "typeWidening-preview",
+    # honored: write_delta GENERATES values for absent identity columns
+    # and advances delta.identity.highWaterMark in the same commit
+    "identityColumns",
 }
 
 
@@ -1780,6 +1783,92 @@ def last_txn_version(
     return best
 
 
+def _identity_fields(meta: dict) -> list[dict]:
+    """Identity-column declarations from a metaData schemaString:
+    [{name, start, step, allow_explicit, hwm (None until first
+    generation), type}] — the delta.identity.* field-metadata contract
+    (writer feature identityColumns, protocol writer v6)."""
+    out = []
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.identity.start" not in md:
+            continue
+        out.append(
+            {
+                "name": f["name"],
+                "type": f["type"],
+                "start": int(md["delta.identity.start"]),
+                "step": int(md["delta.identity.step"]),
+                "allow_explicit": bool(md.get("delta.identity.allowExplicit", False)),
+                "hwm": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+            }
+        )
+    return out
+
+
+def create_delta_identity_table(
+    spark: SparkSession,
+    table_path: str,
+    schema: StructType,
+    identity: dict[str, tuple[int, int]],
+    allow_explicit: bool = False,
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """CREATE an empty Delta table with IDENTITY columns (``identity``
+    maps column name -> (start, step)): commits protocol writer v6
+    (identityColumns) plus a metaData whose identity fields carry the
+    delta.identity.* metadata. Subsequent ``write_delta`` appends
+    GENERATE values for absent identity columns and advance the high
+    water mark — the jar-less half of ``GENERATED ALWAYS AS IDENTITY``."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(
+            f"jar-less Delta CREATE is local-filesystem only. Got {table_path!r}"
+        )
+    log_dir = _log_dir(table_path)
+    if fsio.isdir(log_dir):
+        raise ValueError(f"table already exists: {table_path!r}")
+    for col, (start, step) in identity.items():
+        if col not in schema.fieldNames():
+            raise ValueError(f"identity column {col!r} not in schema")
+        if schema[col].dataType.typeName() != "long":
+            raise ValueError(
+                f"identity column {col!r} must be LONG (bigint), got "
+                f"{schema[col].dataType.typeName()}"
+            )
+        if step == 0:
+            raise ValueError("identity step cannot be 0")
+    meta = _meta_action(schema, [])
+    fields = []
+    for f in schema.fields:
+        fj = {
+            "name": f.name,
+            "type": json.loads(f.dataType.json()),
+            "nullable": f.nullable,
+            "metadata": {},
+        }
+        if f.name in identity:
+            start, step = identity[f.name]
+            fj["metadata"] = {
+                "delta.identity.start": start,
+                "delta.identity.step": step,
+                "delta.identity.allowExplicit": allow_explicit,
+            }
+        fields.append(fj)
+    meta["metaData"]["schemaString"] = json.dumps(
+        {"type": "struct", "fields": fields}
+    )
+    _write_commit(
+        log_dir, 0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}, meta],
+        timestamp_ms, operation="CREATE TABLE",
+    )
+    return 0
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
@@ -1831,6 +1920,8 @@ def write_delta(
     fresh = not existing and not os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
 
     actions: list[dict] = []
+    meta: dict | None = None
+    gen_cols: list[dict] = []
     if fresh:
         version = 0
         part_cols = list(partition_by or [])
@@ -1851,7 +1942,6 @@ def write_delta(
                     "delta.appendOnly=true forbids overwrite (row removal); "
                     "append or create a new table path"
                 )
-            _enforce_table_constraints(meta, df, "WRITE")
         if ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         ) != "none":
@@ -1859,6 +1949,48 @@ def write_delta(
                 "jar-less Delta WRITE to a column-mapping table would store "
                 f"LOGICAL names in the data files (silent corruption); {_DELTA_JAR_HINT}"
             )
+        ident = _identity_fields(meta) if meta is not None else []
+        for f in ident:  # gen_cols collects fields whose hwm must advance
+            if f["name"] in df.columns:
+                if not f["allow_explicit"]:
+                    raise ValueError(
+                        f"column {f['name']!r} is GENERATED ALWAYS AS "
+                        "IDENTITY: explicit values are not allowed (create "
+                        "with allow_explicit=True for BY DEFAULT semantics)"
+                    )
+                gen_cols.append(f)  # explicit values still advance the hwm
+            else:
+                # GENERATE: base + step * monotonically_increasing_id —
+                # unique and step-aligned ((v-start) % step == 0) without
+                # a global shuffle; like delta-spark's per-partition block
+                # allocation, values are NOT dense (mono ids embed the
+                # partition id), which the identity contract permits
+                base = (
+                    f["hwm"] + f["step"] if f["hwm"] is not None else f["start"]
+                )
+                df = df.withColumn(
+                    f["name"],
+                    (
+                        F.lit(base) + F.lit(f["step"]) * F.monotonically_increasing_id()
+                    ).cast("long"),
+                )
+                gen_cols.append(f)
+        if ident:
+            # keep the table's column order (withColumn appends) and
+            # refuse schema evolution here — an overwrite-emitted
+            # metaData would drop the identity field metadata
+            table_fields = json.loads(meta["schemaString"])["fields"]
+            if sorted(df.columns) != sorted(f["name"] for f in table_fields):
+                raise ValueError(
+                    "schema evolution on an identity table is not "
+                    f"supported jar-lessly (table columns "
+                    f"{[f['name'] for f in table_fields]}, got {df.columns})"
+                )
+            df = df.select(*[f["name"] for f in table_fields])
+        if meta is not None:
+            # constraints validate AFTER identity generation so CHECK
+            # expressions may reference the generated column
+            _enforce_table_constraints(meta, df, "WRITE")
         table_parts = list((meta or {}).get("partitionColumns") or [])
         if partition_by is None:
             part_cols = table_parts
@@ -1885,10 +2017,58 @@ def write_delta(
                 new_meta = _meta_action(df.schema, part_cols)
                 new_meta["metaData"]["id"] = meta.get("id", new_meta["metaData"]["id"])
                 actions.append(new_meta)
-    actions.extend(_stage_data_files(df, table_path, part_cols, now))
+    adds = _stage_data_files(df, table_path, part_cols, now)
+    actions.extend(adds)
+    if not fresh and meta is not None and gen_cols:
+        # advance each identity column's high water mark from the STAGED
+        # files' parquet footer statistics (metadata read, O(files) —
+        # never a second data pass) and commit the updated metaData in
+        # the SAME version as the adds (atomic: a racing writer that
+        # rebases over us sees the new hwm)
+        import pyarrow.parquet as _pq
+
+        extremes: dict[str, int] = {}
+        for a in adds:
+            fmeta = _pq.ParquetFile(
+                os.path.join(table_path, unquote(a["add"]["path"]))
+            ).metadata
+            for rg in range(fmeta.num_row_groups):
+                row_group = fmeta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if name not in {g["name"] for g in gen_cols}:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    for g in gen_cols:
+                        if g["name"] != name:
+                            continue
+                        v = int(st.max if g["step"] > 0 else st.min)
+                        cur = extremes.get(name)
+                        better = (
+                            v > cur if g["step"] > 0 else v < cur
+                        ) if cur is not None else True
+                        if better:
+                            extremes[name] = v
+        if extremes:
+            schema_json = json.loads(meta["schemaString"])
+            for f in schema_json["fields"]:
+                g = next((g for g in gen_cols if g["name"] == f["name"]), None)
+                if g is None or f["name"] not in extremes:
+                    continue
+                old = g["hwm"]
+                new = extremes[f["name"]]
+                if old is not None:
+                    new = max(old, new) if g["step"] > 0 else min(old, new)
+                f["metadata"]["delta.identity.highWaterMark"] = new
+            new_meta = dict(meta)
+            new_meta["schemaString"] = json.dumps(schema_json)
+            actions.append({"metaData": new_meta})
     version = _commit_with_rebase(
         log_dir, version, actions, now, operation="WRITE",
-        rebase_ok=(not fresh and mode == "append"), txn=txn,
+        rebase_ok=(not fresh and mode == "append" and not gen_cols), txn=txn,
     )
     _auto_checkpoint(df.sparkSession, table_path, version)
     return version

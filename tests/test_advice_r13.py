@@ -482,3 +482,72 @@ def test_type_widening_validation(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="PARTITION"):
         alter_delta_widen_column(spark, p2, "pt", "long")
+
+
+def test_identity_columns_semantics(spark, tmp_path):
+    """Identity generation: GENERATED ALWAYS rejects explicit values;
+    BY DEFAULT (allow_explicit) accepts them and still advances the
+    high water mark; steps stay aligned; concurrent identity writers
+    conflict rather than mint duplicate ranges."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from gcs2postgres_spark.sources.delta_py import (
+        _identity_fields,
+        create_delta_identity_table,
+        read_delta_py,
+        replay_head_state,
+        write_delta,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType(), True),
+         StructField("name", StringType(), True)]
+    )
+    p = str(tmp_path / "always")
+    create_delta_identity_table(spark, p, schema, identity={"id": (10, 3)})
+    # explicit values refused (GENERATED ALWAYS)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(
+            spark.createDataFrame([(1, "x")], "id long, name string"), p,
+            "append",
+        )
+    write_delta(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "name string")
+        .coalesce(1),
+        p, "append", timestamp_ms=1_700_000_000_000,
+    )
+    rows = {r["name"]: r["id"] for r in read_delta_py(spark, p).collect()}
+    assert rows == {"a": 10, "b": 13, "c": 16}
+    _, meta = replay_head_state(spark, p)
+    assert _identity_fields(meta)[0]["hwm"] == 16
+    # second batch continues past the hwm
+    write_delta(
+        spark.createDataFrame([("d",)], "name string").coalesce(1), p,
+        "append", timestamp_ms=1_700_000_001_000,
+    )
+    assert {r["id"] for r in read_delta_py(spark, p).collect()} == {10, 13, 16, 19}
+
+    # BY DEFAULT: explicit values allowed and advance the hwm
+    p2 = str(tmp_path / "bydefault")
+    create_delta_identity_table(
+        spark, p2, schema, identity={"id": (1, 1)}, allow_explicit=True
+    )
+    write_delta(
+        spark.createDataFrame([(500, "x")], "id long, name string"), p2,
+        "append", timestamp_ms=1_700_000_000_000,
+    )
+    _, meta2 = replay_head_state(spark, p2)
+    assert _identity_fields(meta2)[0]["hwm"] == 500
+    write_delta(
+        spark.createDataFrame([("y",)], "name string").coalesce(1), p2,
+        "append", timestamp_ms=1_700_000_001_000,
+    )
+    assert {r["id"] for r in read_delta_py(spark, p2).collect()} == {500, 501}
+
+    # creation validation
+    with pytest.raises(ValueError, match="must be LONG"):
+        create_delta_identity_table(
+            spark, str(tmp_path / "bad"), StructType(
+                [StructField("id", StringType(), True)]
+            ), identity={"id": (0, 1)},
+        )
