@@ -574,11 +574,12 @@ def read_iceberg_py(
 
 
 def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, list[str]]]:
-    """Group parquet paths by their top-level (column name, field id)
-    footer signature; returns [(id->name map or None, paths)]. A single
-    all-None-ids signature (files written without ids) or ANY probe
-    failure collapses to one name-resolved group — the conservative
-    pre-field-id behavior."""
+    """Group parquet paths by their top-level (column name, field id,
+    physical type) footer signature; returns [(id->name map or None,
+    paths)]. Files written without ids resolve by name within their
+    group; ANY probe failure collapses to one name-resolved group — the
+    conservative pre-field-id behavior (which also forfeits mixed-width
+    type-promotion reads, hence probe-first)."""
     try:
         import pyarrow.parquet as pq
 
@@ -589,17 +590,26 @@ def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, l
             for f in sch:
                 md = f.metadata or {}
                 fid = md.get(b"PARQUET:field_id")
-                sig.append((f.name, int(fid) if fid is not None else None))
+                # physical type joins the signature: after a TYPE
+                # PROMOTION (int->long, float->double) old and new files
+                # differ in width, and one mixed scan would fail with
+                # PARQUET_COLUMN_DATA_TYPE_MISMATCH — separate groups
+                # each scan type-consistently, then the per-column cast
+                # to the table type unifies them
+                sig.append(
+                    (f.name, int(fid) if fid is not None else None, str(f.type))
+                )
             sig_of.setdefault(tuple(sig), []).append(p)
     except Exception:  # noqa: BLE001 — probe is an optimization; any
         # failure (remote scheme, exotic footer) degrades to name-based
         return [(None, sorted(paths))]
     out: list[tuple[dict[int, str] | None, list[str]]] = []
     for sig, gpaths in sorted(sig_of.items()):
-        idmap = {fid: name for name, fid in sig if fid is not None}
+        idmap = {fid: name for name, fid, _typ in sig if fid is not None}
         out.append((idmap or None, gpaths))
-    if all(m is None for m, _ in out):
-        return [(None, sorted(paths))]
+    # NOTE: id-less groups are NOT collapsed together — after a type
+    # promotion their physical widths differ and a merged scan fails;
+    # each signature group scans consistently and casts to table types
     return out
 
 
@@ -1291,6 +1301,47 @@ def alter_iceberg_add_column(table_path: str, name: str, iceberg_type: str) -> N
         {"id": fid, "name": name, "required": False, "type": iceberg_type}
     )
     meta["last-column-id"] = fid
+    _commit_schema_change(table_path, meta_path, meta, schema)
+
+
+def alter_iceberg_widen_column(table_path: str, name: str, new_type: str) -> None:
+    """Metadata-only TYPE PROMOTION (spec 'Schema Evolution': int→long,
+    float→double, decimal precision widen — same field id, data files
+    keep the narrow physical type): commits a new schema whose field
+    carries the widened type. Reads stay correct because
+    read_iceberg_py casts every resolved column to the CURRENT table
+    type — old narrow files upcast at scan time. Anything not on the
+    spec's promotion list raises (narrowing or cross-family changes
+    would corrupt silently). Delta twin: alter_delta_widen_column."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    schema = json.loads(json.dumps(_load_current_schema(meta)))
+    field = next((f for f in schema["fields"] if f["name"] == name), None)
+    if field is None:
+        raise ValueError(
+            f"no column {name!r} (have {[f['name'] for f in schema['fields']]})"
+        )
+    old_type = field["type"]
+    ok = (old_type, new_type) in {("int", "long"), ("float", "double")}
+    if not ok and isinstance(old_type, str) and old_type.startswith("decimal"):
+        # decimal(P, S) -> decimal(P', S): same scale, wider precision
+        import re as _re
+
+        mo = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", old_type)
+        mn = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", new_type or "")
+        ok = bool(
+            mo and mn and mo.group(2) == mn.group(2)
+            and int(mn.group(1)) > int(mo.group(1))
+        )
+    if not ok:
+        raise ValueError(
+            f"{old_type!r} -> {new_type!r} is not a spec-legal Iceberg "
+            "type promotion (int->long, float->double, decimal precision "
+            "widen)"
+        )
+    field["type"] = new_type
     _commit_schema_change(table_path, meta_path, meta, schema)
 
 

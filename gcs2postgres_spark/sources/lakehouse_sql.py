@@ -367,11 +367,11 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         s,
     )
     if m:
-        if m["fmt"] != "delta":
-            raise NotImplementedError(
-                "jar-less ALTER COLUMN TYPE (type widening) is implemented "
-                "for Delta; Iceberg type promotion needs the runtime jar"
-            )
+        if m["fmt"] == "iceberg":
+            ice_types = {"bigint": "long", "long": "long", "double": "double"}
+            t = ice_types.get(m["typ"].lower(), m["typ"].lower())
+            iceberg_py.alter_iceberg_widen_column(m["path"], m["col"], t)
+            return None
         spark_types = {
             "smallint": "short", "short": "short",
             "int": "integer", "integer": "integer",

@@ -551,3 +551,37 @@ def test_identity_columns_semantics(spark, tmp_path):
                 [StructField("id", StringType(), True)]
             ), identity={"id": (0, 1)},
         )
+
+
+def test_iceberg_type_promotion(spark, tmp_path):
+    """Iceberg spec type promotion (int->long, float->double, decimal
+    precision widen): metadata-only schema commit; old narrow files
+    upcast at scan time via the read path's per-column cast."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        alter_iceberg_widen_column,
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        read_iceberg_py,
+    )
+
+    t = str(tmp_path / "prom")
+    base = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "k int, x float"
+    )
+    create_iceberg_v2_table(base.schema, t)
+    append_iceberg_v2(spark, t, base, snapshot_ts_ms=1_700_000_000_000)
+    with pytest.raises(ValueError, match="not a spec-legal"):
+        alter_iceberg_widen_column(t, "k", "float")
+    lakehouse_sql(spark, f"ALTER TABLE iceberg.`{t}` ALTER COLUMN k TYPE BIGINT")
+    alter_iceberg_widen_column(t, "x", "double")
+    # post-promotion append with values only the wide types hold
+    append_iceberg_v2(
+        spark, t,
+        spark.createDataFrame([(3_000_000_000, 3.5)], "k long, x double"),
+        snapshot_ts_ms=1_700_000_001_000,
+    )
+    out = read_iceberg_py(spark, t)
+    assert out.schema["k"].dataType.typeName() == "long"
+    assert out.schema["x"].dataType.typeName() == "double"
+    rows = sorted((r["k"], round(r["x"], 1)) for r in out.collect())
+    assert rows == [(1, 1.5), (2, 2.5), (3_000_000_000, 3.5)]
