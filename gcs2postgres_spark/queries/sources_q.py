@@ -69,6 +69,55 @@ def iceberg_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+DELTA_ROW_TRACKING_ORACLE = """
+WITH s AS (
+  SELECT s_suppkey,
+         row_number() OVER (ORDER BY s_suppkey) - 1 AS rid
+  FROM supplier
+)
+SELECT CAST(rid AS BIGINT)       AS row_id,
+       CAST(s_suppkey AS BIGINT) AS suppkey
+FROM s
+ORDER BY row_id
+"""
+
+
+@register("delta_row_tracking_roundtrip", oracle=DELTA_ROW_TRACKING_ORACLE)
+def delta_row_tracking_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW TRACKING (r13 — writer features rowTracking+domainMetadata):
+    enabling on an existing table BACKFILLS baseRowId via
+    dataChange=false re-adds and commits the rowIdHighWaterMark domain
+    metadata; ``read_delta_with_row_ids`` materializes fresh row ids as
+    baseRowId + physical row index. One ordered single-file table makes
+    the ids deterministic (0..n-1 in key order), so the oracle is plain
+    row_number arithmetic — any drift in allocation, backfill, or the
+    file->baseRowId broadcast map breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        enable_row_tracking,
+        read_delta_with_row_ids,
+        write_delta,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    tmp = tempfile.mkdtemp(prefix="delta_rowtrack_")
+    try:
+        write_delta(
+            supplier.selectExpr("CAST(s_suppkey AS LONG) AS suppkey")
+            .orderBy("suppkey").coalesce(1),
+            tmp, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        enable_row_tracking(spark, tmp)
+        return (
+            read_delta_with_row_ids(spark, tmp)
+            .select(F.col("_row_id").alias("row_id"), "suppkey")
+            .orderBy("row_id")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 DELTA_IDENTITY_ORACLE = """
 WITH c AS (
   SELECT c_custkey,

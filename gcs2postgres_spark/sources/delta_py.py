@@ -189,6 +189,11 @@ _SUPPORTED_WRITER_FEATURES = {
     # honored: write_delta GENERATES values for absent identity columns
     # and advances delta.identity.highWaterMark in the same commit
     "identityColumns",
+    # honored: write_delta stamps baseRowId/defaultRowCommitVersion on
+    # every add and advances the delta.rowTracking domainMetadata high
+    # water mark atomically (enable_row_tracking backfills)
+    "rowTracking",
+    "domainMetadata",
 }
 
 
@@ -1156,6 +1161,47 @@ def alter_delta_add_column(
     return version
 
 
+def _upgraded_protocol_action(
+    protocol: dict, add_reader: set[str] = frozenset(),
+    add_writer: set[str] = frozenset(),
+) -> dict:
+    """Protocol action upgrading to reader v3 / writer v7 with extra
+    table features. Upgrading requires enumerating the LEGACY features
+    the old NUMERIC versions implied (spec: protocol versioning) — but
+    only for legacy protocols: a v3/v7 protocol already enumerates its
+    features explicitly and its version number implies nothing."""
+    implied_r: set[str] = set()
+    if int(protocol.get("minReaderVersion", 1)) == 2:
+        implied_r = {"columnMapping"}
+    implied_w: set[str] = set()
+    if int(protocol.get("minWriterVersion", 2)) < 7:
+        implied_w_by_v = {
+            2: {"appendOnly", "invariants"},
+            3: {"checkConstraints"},
+            4: {"changeDataFeed", "generatedColumns"},
+            5: {"columnMapping"},
+            6: {"identityColumns"},
+        }
+        for v in range(2, int(protocol.get("minWriterVersion", 2)) + 1):
+            implied_w |= implied_w_by_v.get(v, set())
+    out: dict = {
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(
+            set(protocol.get("writerFeatures") or []) | implied_w | set(add_writer)
+        ),
+    }
+    if add_reader or int(protocol.get("minReaderVersion", 1)) >= 3:
+        # reader-affecting upgrade; writer-only features (rowTracking,
+        # domainMetadata) leave the reader version untouched
+        out["minReaderVersion"] = 3
+        out["readerFeatures"] = sorted(
+            set(protocol.get("readerFeatures") or []) | implied_r | set(add_reader)
+        )
+    else:
+        out["minReaderVersion"] = int(protocol.get("minReaderVersion", 1))
+    return {"protocol": out}
+
+
 # spec-legal widenings (Delta type-widening table feature): existing
 # files keep the narrow type, readers upcast at scan time. Keys/values
 # are Spark type JSON names.
@@ -1217,40 +1263,11 @@ def alter_delta_widen_column(
     field["metadata"] = fmeta
     new_meta = dict(meta)
     new_meta["schemaString"] = json.dumps(schema_json)
-    protocol = _head_protocol(table_path)
-    # upgrading to v3/v7 requires enumerating the LEGACY features the
-    # old NUMERIC versions implied (spec: protocol versioning) — but
-    # only for legacy protocols: a v3/v7 protocol already enumerates
-    # its features explicitly and its version number implies nothing
-    implied_r: set[str] = set()
-    if int(protocol.get("minReaderVersion", 1)) == 2:
-        implied_r = {"columnMapping"}
-    implied_w: set[str] = set()
-    if int(protocol.get("minWriterVersion", 2)) < 7:
-        implied_w_by_v = {
-            2: {"appendOnly", "invariants"},
-            3: {"checkConstraints"},
-            4: {"changeDataFeed", "generatedColumns"},
-            5: {"columnMapping"},
-            6: {"identityColumns"},
-        }
-        for v in range(2, int(protocol.get("minWriterVersion", 2)) + 1):
-            implied_w |= implied_w_by_v.get(v, set())
-    reader_features = sorted(
-        set(protocol.get("readerFeatures") or []) | implied_r | {"typeWidening"}
-    )
-    writer_features = sorted(
-        set(protocol.get("writerFeatures") or []) | implied_w | {"typeWidening"}
-    )
     actions = [
-        {
-            "protocol": {
-                "minReaderVersion": 3,
-                "minWriterVersion": 7,
-                "readerFeatures": reader_features,
-                "writerFeatures": writer_features,
-            }
-        },
+        _upgraded_protocol_action(
+            _head_protocol(table_path),
+            add_reader={"typeWidening"}, add_writer={"typeWidening"},
+        ),
         {"metaData": new_meta},
     ]
     _write_commit(log_dir, version, actions, timestamp_ms, operation="CHANGE COLUMN")
@@ -1783,6 +1800,160 @@ def last_txn_version(
     return best
 
 
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_id_high_watermark(spark: SparkSession, table_path: str) -> int:
+    """Current row-id high water mark: the latest ``domainMetadata``
+    action with domain ``delta.rowTracking`` (JSON commits after the
+    checkpoint, plus the checkpoint's domainMetadata rows when the JSON
+    prefix was cleaned). -1 when no row ids were ever allocated.
+    O(log) driver text scan, same class as last_txn_version."""
+    log_dir = _log_dir(table_path)
+    hwm = -1
+    cp_version = -1
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if fsio.exists(lc):
+        cp_version = int(json.loads(fsio.read_text(lc))["version"])
+        cp_path = os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
+        if fsio.exists(cp_path):
+            cp = spark.read.parquet(cp_path)
+            if "domainMetadata" in cp.columns:
+                rows = (
+                    cp.filter(F.col("domainMetadata.domain") == _ROW_TRACKING_DOMAIN)
+                    .select("domainMetadata.configuration")
+                    .collect()
+                )
+                for r in rows:
+                    try:
+                        hwm = max(
+                            hwm,
+                            int(json.loads(r["configuration"])["rowIdHighWaterMark"]),
+                        )
+                    except (ValueError, KeyError, TypeError):
+                        pass
+    commits = _list_commits(log_dir) if fsio.isdir(log_dir) else {}
+    for v in sorted(c for c in commits if c > cp_version):
+        for line in fsio.read_text(commits[v]).splitlines():
+            if '"domainMetadata"' not in line:
+                continue
+            a = json.loads(line)
+            dm = a.get("domainMetadata")
+            if dm and dm.get("domain") == _ROW_TRACKING_DOMAIN:
+                try:
+                    hwm = int(json.loads(dm["configuration"])["rowIdHighWaterMark"])
+                except (ValueError, KeyError, TypeError):
+                    pass
+    return hwm
+
+
+def _assign_base_row_ids(
+    spark: SparkSession, table_path: str, adds: list[dict], version: int
+) -> dict | None:
+    """Row tracking (writer features rowTracking + domainMetadata):
+    stamp every staged add with ``baseRowId`` (fresh row ids =
+    baseRowId + row_index) and ``defaultRowCommitVersion``, allocating
+    contiguous blocks above the table's rowIdHighWaterMark from the
+    staged files' parquet footer row counts (metadata read, no data
+    pass). Returns the domainMetadata action carrying the new high
+    water mark (commit it in the SAME version — atomic allocation)."""
+    import pyarrow.parquet as _pq
+
+    hwm = _row_id_high_watermark(spark, table_path)
+    next_id = hwm + 1
+    for a in adds:
+        n = _pq.ParquetFile(
+            os.path.join(table_path, unquote(a["add"]["path"]))
+        ).metadata.num_rows
+        a["add"]["baseRowId"] = next_id
+        a["add"]["defaultRowCommitVersion"] = version
+        next_id += n
+    if next_id == hwm + 1:
+        return None
+    return {
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": next_id - 1}),
+            "removed": False,
+        }
+    }
+
+
+def enable_row_tracking(
+    spark: SparkSession, table_path: str, timestamp_ms: int = 1_700_000_009_000
+) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES (delta.enableRowTracking =
+    true)``: upgrade the protocol to writer v7 with rowTracking +
+    domainMetadata, set the table property, and BACKFILL — re-add every
+    live file with a freshly allocated ``baseRowId`` block
+    (dataChange=false, the same metadata-only re-add OPTIMIZE commits)
+    so existing rows get stable row ids too, with the high water mark
+    committed atomically alongside. Subsequent write_delta appends
+    allocate above the watermark automatically."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    live, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    config = dict(meta.get("configuration") or {})
+    if config.get("delta.enableRowTracking") == "true":
+        raise ValueError("row tracking is already enabled")
+    config["delta.enableRowTracking"] = "true"
+    new_meta = dict(meta)
+    new_meta["configuration"] = config
+    log_dir = _log_dir(table_path)
+    version = max(_list_commits(log_dir)) + 1
+    readds = [
+        {"add": {**a, "dataChange": False}}
+        for a in (live[p] for p in sorted(live))
+        if a.get("baseRowId") is None
+    ]
+    actions = [
+        _upgraded_protocol_action(
+            _head_protocol(table_path),
+            add_writer={"rowTracking", "domainMetadata"},
+        ),
+        {"metaData": new_meta},
+        *readds,
+    ]
+    dm = _assign_base_row_ids(spark, table_path, readds, version)
+    if dm is not None:
+        actions.append(dm)
+    _write_commit(
+        log_dir, version, actions, timestamp_ms,
+        operation="SET TBLPROPERTIES",
+    )
+    return version
+
+
+def read_delta_with_row_ids(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a row-tracking table WITH its ``_row_id`` metadata column
+    (fresh row ids: ``baseRowId + physical row index`` — the spec's
+    default materialization). The (file -> baseRowId) map is broadcast
+    (one row per live file, metadata-sized); row ids are stable across
+    DV deletes because the physical index of surviving rows does not
+    move. Files never assigned a baseRowId yield NULL ids."""
+    df = read_delta_py(spark, table_path, _keep_identity=True)
+    live, _meta = replay_head_state(spark, table_path)
+    rows = []
+    for a in live.values():
+        raw = os.path.join(table_path, unquote(a["path"]))
+        norm = re.sub(r"^file:(//)?", "", raw)
+        if not fsio.has_scheme(norm):
+            norm = os.path.abspath(norm)
+        base = a.get("baseRowId")
+        rows.append((norm, int(base) if base is not None else None))
+    pmap = F.broadcast(
+        spark.createDataFrame(rows, "__dv_fp string, __base long")
+    )
+    out_cols = [c for c in df.columns if c not in ("__dv_fp", "__dv_pos")]
+    return (
+        df.join(pmap, "__dv_fp", "left")
+        .withColumn("_row_id", F.col("__base") + F.col("__dv_pos"))
+        .select(*out_cols, "_row_id")
+    )
+
+
 def _identity_fields(meta: dict) -> list[dict]:
     """Identity-column declarations from a metaData schemaString:
     [{name, start, step, allow_explicit, hwm (None until first
@@ -2019,6 +2190,20 @@ def write_delta(
                 actions.append(new_meta)
     adds = _stage_data_files(df, table_path, part_cols, now)
     actions.extend(adds)
+    row_tracked = False
+    if not fresh and meta is not None:
+        protocol = _head_protocol(table_path)
+        cfg = meta.get("configuration") or {}
+        if (
+            "rowTracking" in (protocol.get("writerFeatures") or [])
+            or cfg.get("delta.enableRowTracking") == "true"
+        ):
+            dm = _assign_base_row_ids(
+                df.sparkSession, table_path, adds, version
+            )
+            if dm is not None:
+                actions.append(dm)
+                row_tracked = True
     if not fresh and meta is not None and gen_cols:
         # advance each identity column's high water mark from the STAGED
         # files' parquet footer statistics (metadata read, O(files) —
@@ -2068,7 +2253,13 @@ def write_delta(
             actions.append({"metaData": new_meta})
     version = _commit_with_rebase(
         log_dir, version, actions, now, operation="WRITE",
-        rebase_ok=(not fresh and mode == "append" and not gen_cols), txn=txn,
+        # identity / row-id allocations are pinned to the version read
+        # at allocation time: rebasing would let two racing writers mint
+        # overlapping ranges from the same watermark — conflict instead
+        rebase_ok=(
+            not fresh and mode == "append" and not gen_cols and not row_tracked
+        ),
+        txn=txn,
     )
     _auto_checkpoint(df.sparkSession, table_path, version)
     return version

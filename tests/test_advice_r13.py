@@ -585,3 +585,47 @@ def test_iceberg_type_promotion(spark, tmp_path):
     assert out.schema["x"].dataType.typeName() == "double"
     rows = sorted((r["k"], round(r["x"], 1)) for r in out.collect())
     assert rows == [(1, 1.5), (2, 2.5), (3_000_000_000, 3.5)]
+
+
+def test_row_tracking_enable_backfill_and_append(spark, tmp_path):
+    """Row tracking end to end: enablement backfills baseRowId for
+    existing files (dataChange=false re-adds + high water mark);
+    subsequent appends allocate fresh contiguous blocks above it;
+    _row_id is unique, and stable across a DV delete."""
+    from gcs2postgres_spark.sources.delta_py import (
+        _row_id_high_watermark,
+        delete_where_delta,
+        enable_row_tracking,
+        read_delta_with_row_ids,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                              "k long, name string").coalesce(2),
+        p, timestamp_ms=1_700_000_000_000,
+    )
+    enable_row_tracking(spark, p)
+    assert _row_id_high_watermark(spark, p) == 9
+    out = read_delta_with_row_ids(spark, p)
+    ids = [r["_row_id"] for r in out.collect()]
+    assert sorted(ids) == list(range(10))
+    # append allocates above the watermark
+    write_delta(
+        spark.createDataFrame([(100, "x"), (101, "y")], "k long, name string")
+        .coalesce(1),
+        p, "append", timestamp_ms=1_700_000_001_000,
+    )
+    assert _row_id_high_watermark(spark, p) == 11
+    out2 = read_delta_with_row_ids(spark, p)
+    assert sorted(r["_row_id"] for r in out2.collect()) == list(range(12))
+    # row ids survive a DV delete unchanged for the surviving rows
+    before = {r["k"]: r["_row_id"] for r in out2.collect()}
+    delete_where_delta(spark, p, "k = 3")
+    after = {r["k"]: r["_row_id"] for r in read_delta_with_row_ids(spark, p).collect()}
+    assert 3 not in after
+    assert after == {k: v for k, v in before.items() if k != 3}
+    # double-enable raises
+    with pytest.raises(ValueError, match="already enabled"):
+        enable_row_tracking(spark, p)

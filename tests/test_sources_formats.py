@@ -1764,8 +1764,9 @@ def test_delta_column_mapping_nested_reads(spark, tmp_path):
     assert rows[1]["addr"]["town"] == "berlin" and rows[1]["addr"]["zip"] == 10115
     assert [it["code"] for it in rows[2]["items"]] == ["b", "c"]
     assert rows[3]["addr"] is None and rows[3]["items"] == []
-    # jar-less WRITES still refuse: rowTracking needs minted row ids
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    # jar-less WRITES still refuse — on the column-mapping gate (the
+    # rowTracking writer feature itself is honored since r13)
+    with pytest.raises(NotImplementedError, match="column-mapping"):
         write_delta(df, table, mode="append")
 
 
