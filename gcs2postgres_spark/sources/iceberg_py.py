@@ -2507,6 +2507,30 @@ def _v2_commit_snapshot(
             ]
             head_path = max(heads, key=lambda p: (_ver(p), p))
             head = json.loads(fsio.read_text(head_path))
+
+            # an append rebases over DISJOINT appends only: a concurrent
+            # schema or partition-spec change invalidates the rows this
+            # writer staged against the old contract (same rule the
+            # Delta side's _commit_with_rebase enforces on metaData)
+            def _cur_schema(m: dict):
+                if "schemas" in m:
+                    cs = m.get("current-schema-id", 0)
+                    return next(
+                        (s for s in m["schemas"] if s.get("schema-id", 0) == cs),
+                        None,
+                    )
+                return m.get("schema")
+
+            if json.dumps(_cur_schema(head), sort_keys=True) != json.dumps(
+                _cur_schema(ctx["meta"]), sort_keys=True
+            ) or head.get("default-spec-id", 0) != ctx["meta"].get(
+                "default-spec-id", 0
+            ):
+                raise CommitConflictError(
+                    f"concurrent commit changed {table_path!r}'s schema or "
+                    "partition spec; this append's rows were staged against "
+                    "the old contract — re-read and retry"
+                ) from None
             head_snaps = head.get("snapshots") or []
             head_cur = head.get("current-snapshot-id")
             if branch is not None:

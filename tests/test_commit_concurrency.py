@@ -339,3 +339,38 @@ def test_unregistered_remote_scheme_refuses_at_commit(tmp_path):
     assert isinstance(
         logstore.log_store_for("file:///tmp/x"), logstore.LocalLogStore
     )
+
+
+def test_iceberg_append_rebase_refuses_schema_change(spark, tmp_path, monkeypatch):
+    """An APPEND that loses the version race to a SCHEMA CHANGE must
+    raise (its rows were staged against the old contract), while a
+    race lost to a plain append still rebases — the Iceberg twin of
+    the Delta metaData conflict rule."""
+    from gcs2postgres_spark.sources import iceberg_py
+
+    t = str(tmp_path / "i")
+    iceberg_py.write_iceberg_v2_fixture(_nation(spark, 0, 4), t, sort_col="k")
+
+    real = iceberg_py._write_json_if_absent
+    state = {"raced": False}
+
+    def racer_renames_first(path, obj):
+        if not state["raced"]:
+            state["raced"] = True
+            iceberg_py.alter_iceberg_rename_column(t, "name", "label")
+        real(path, obj)
+
+    monkeypatch.setattr(iceberg_py, "_write_json_if_absent", racer_renames_first)
+    with pytest.raises(iceberg_py.CommitConflictError, match="schema or partition"):
+        iceberg_py.append_iceberg_v2(
+            spark, t, _nation(spark, 100, 102),
+            snapshot_ts_ms=1_700_000_001_000,
+        )
+    monkeypatch.setattr(iceberg_py, "_write_json_if_absent", real)
+    # the winner's rename survives; a fresh retry against the new head works
+    from gcs2postgres_spark.sources.iceberg_py import read_iceberg_py
+
+    assert "label" in read_iceberg_py(spark, t).columns
+    df = _nation(spark, 100, 102).withColumnRenamed("name", "label")
+    assert iceberg_py.append_iceberg_v2(spark, t, df) is not None
+    assert read_iceberg_py(spark, t).count() == 6
