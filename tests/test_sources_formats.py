@@ -1107,9 +1107,10 @@ def test_delta_checkpoint_branch(spark, sf_dir, tmp_path):
 def test_delta_unsupported_features_clear_error(spark, tmp_path):
     """Unsupported reader features and column mapping must raise
     actionable errors naming the delta-spark package, never return wrong
-    rows. deletionVectors is honored natively since r10, so the feature
-    gate is exercised with a feature the jar-less reader truly cannot
-    honor (typeWidening)."""
+    rows. deletionVectors (r10) and typeWidening (r13) are honored
+    natively now, so the feature gate is exercised with an UNKNOWN
+    future feature — the gate's contract is that anything it does not
+    recognize refuses rather than silently misreading."""
     import json
     import os
 
@@ -1121,11 +1122,11 @@ def test_delta_unsupported_features_clear_error(spark, tmp_path):
     schema = '{"type":"struct","fields":[{"name":"a","type":"integer","nullable":true,"metadata":{}}]}'
     with open(os.path.join(log, f"{0:020d}.json"), "w") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                                         "readerFeatures": ["deletionVectors", "typeWidening"]}}) + "\n")
+                                         "readerFeatures": ["deletionVectors", "someFutureFeature"]}}) + "\n")
         f.write(json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet"},
                                          "schemaString": schema, "partitionColumns": [],
                                          "configuration": {}}}) + "\n")
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="someFutureFeature"):
         read_delta_py(spark, table)
 
     # column mapping is supported since r10: a mapping-mode table whose
