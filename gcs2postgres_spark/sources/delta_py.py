@@ -1879,6 +1879,36 @@ def _assign_base_row_ids(
     }
 
 
+def set_delta_property(
+    spark: SparkSession,
+    table_path: str,
+    key: str,
+    value: str,
+    timestamp_ms: int = 1_700_000_010_000,
+) -> int:
+    """``ALTER TABLE ... SET TBLPROPERTIES (key = value)`` for plain
+    configuration keys (delta.appendOnly, retention knobs): one
+    metaData commit updating the configuration map. Feature-activating
+    properties route through their dedicated committers (row tracking
+    has backfill + protocol work — see enable_row_tracking)."""
+    if fsio.has_scheme(table_path):
+        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    _, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    config = dict(meta.get("configuration") or {})
+    config[key] = value
+    new_meta = dict(meta)
+    new_meta["configuration"] = config
+    log_dir = _log_dir(table_path)
+    version = max(_list_commits(log_dir)) + 1
+    _write_commit(
+        log_dir, version, [{"metaData": new_meta}], timestamp_ms,
+        operation="SET TBLPROPERTIES",
+    )
+    return version
+
+
 def enable_row_tracking(
     spark: SparkSession, table_path: str, timestamp_ms: int = 1_700_000_009_000
 ) -> int:

@@ -47,6 +47,9 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.sources import fsio
 
 _TBL = r"(?P<fmt>delta|iceberg)\s*\.\s*`(?P<path>[^`]+)`"
 
@@ -210,26 +213,59 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         # the readers build)
         return spark.sql(_rewrite_select(spark, s))
 
-    m = re.fullmatch(rf"(?i)INSERT INTO {_TBL} (?P<q>(?:SELECT|WITH|VALUES)\b.+)", s)
+    m = re.fullmatch(
+        rf"(?i)INSERT (?P<over>OVERWRITE|INTO) {_TBL}"
+        r"(?: \((?P<cols>[\w\s,]+)\))?"
+        r" (?P<q>(?:SELECT|WITH|VALUES)\b.+)",
+        s,
+    )
     if m:
-        # INSERT INTO t <query>: the query may itself read lakehouse
-        # tables (time travel included); rows append atomically
+        # INSERT INTO|OVERWRITE t [(col, ...)] <query>: the query may
+        # itself read lakehouse tables (time travel included); rows
+        # land atomically — one append commit / one overwrite snapshot
         rows = spark.sql(_rewrite_select(spark, m["q"]))
-        if re.match(r"(?i)VALUES\b", m["q"]):
+        from pyspark.sql import functions as _F
+
+        if m["fmt"] == "delta":
+            target = delta_py.read_delta_py(spark, m["path"])
+        else:
+            target = iceberg_py.read_iceberg_py(spark, m["path"])
+        if m["cols"]:
+            # explicit column list: bind positionally, missing table
+            # columns fill with NULL (standard INSERT semantics)
+            listed = [c.strip() for c in m["cols"].split(",") if c.strip()]
+            unknown = sorted(set(listed) - set(target.columns))
+            if unknown:
+                raise ValueError(f"INSERT column list names unknown columns: {unknown}")
+            if len(rows.columns) != len(listed):
+                raise ValueError(
+                    f"INSERT query arity {len(rows.columns)} != column "
+                    f"list arity {len(listed)} ({listed})"
+                )
+            rows = rows.toDF(*listed).select(
+                *[
+                    _F.col(c).cast(target.schema[c].dataType).alias(c)
+                    if c in listed
+                    else _F.lit(None).cast(target.schema[c].dataType).alias(c)
+                    for c in target.columns
+                ]
+            )
+        elif re.match(r"(?i)VALUES\b", m["q"]):
             # VALUES rows are positional: bind them to the target's
             # column names (cols1/col2 aliases would corrupt the files)
-            if m["fmt"] == "delta":
-                target_cols = delta_py.read_delta_py(spark, m["path"]).columns
-            else:
-                target_cols = iceberg_py.read_iceberg_py(spark, m["path"]).columns
-            if len(rows.columns) != len(target_cols):
+            if len(rows.columns) != len(target.columns):
                 raise ValueError(
                     f"INSERT VALUES arity {len(rows.columns)} != table "
-                    f"columns {len(target_cols)} ({target_cols})"
+                    f"columns {len(target.columns)} ({target.columns})"
                 )
-            rows = rows.toDF(*target_cols)
+            rows = rows.toDF(*target.columns)
+        overwrite = m["over"].upper() == "OVERWRITE"
         if m["fmt"] == "delta":
-            return delta_py.write_delta(rows, m["path"], mode="append")
+            return delta_py.write_delta(
+                rows, m["path"], mode="overwrite" if overwrite else "append"
+            )
+        if overwrite:
+            return iceberg_py.overwrite_where(spark, m["path"], "true", rows)
         return iceberg_py.append_iceberg_v2(spark, m["path"], rows)
 
     m = re.fullmatch(
@@ -290,13 +326,11 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
                 spec.append((part, "identity"))
         # CREATE TABLE over an existing table must raise, never silently
         # append to it (Delta) or reset its history (Iceberg)
-        from gcs2postgres_spark.sources import fsio as _fsio
-
         probe = (
             os.path.join(m["path"], "_delta_log") if m["fmt"] == "delta"
             else os.path.join(m["path"], "metadata", "v1.metadata.json")
         )
-        if _fsio.exists(probe):
+        if fsio.exists(probe):
             raise ValueError(f"table already exists: {m['fmt']}.`{m['path']}`")
         if m["fmt"] == "delta":
             if any(tr != "identity" for _, tr in spec):
@@ -545,6 +579,91 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             "partition string, file_count long, size_bytes long",
         )
 
+    m = re.fullmatch(rf"(?i)TRUNCATE TABLE {_TBL}", s)
+    if m:
+        # logical truncate: one commit removing every live row (old
+        # files stay for time travel; VACUUM reclaims them physically)
+        if m["fmt"] == "delta":
+            empty = delta_py.read_delta_py(spark, m["path"]).limit(0)
+            return delta_py.write_delta(empty, m["path"], mode="overwrite")
+        empty = iceberg_py.read_iceberg_py(spark, m["path"]).limit(0)
+        return iceberg_py.overwrite_where(spark, m["path"], "true", empty)
+
+    m = re.fullmatch(
+        rf"(?i)ALTER TABLE {_TBL} SET TBLPROPERTIES "
+        r"\(\s*'(?P<key>[\w.]+)'\s*=\s*'?(?P<val>[^')]+?)'?\s*\)",
+        s,
+    )
+    if m:
+        if m["fmt"] != "delta":
+            raise NotImplementedError(
+                "SET TBLPROPERTIES is wired for Delta table features; "
+                "Iceberg property writes need the runtime jar"
+            )
+        key, val = m["key"], m["val"].strip()
+        if key == "delta.enableRowTracking" and val == "true":
+            return delta_py.enable_row_tracking(spark, m["path"])
+        if key == "delta.appendOnly":
+            return delta_py.set_delta_property(spark, m["path"], key, val)
+        raise ValueError(
+            f"unsupported table property {key!r}={val!r} (supported: "
+            "delta.enableRowTracking=true, delta.appendOnly)"
+        )
+
+    m = re.fullmatch(rf"(?i)SHOW TBLPROPERTIES {_TBL}", s)
+    if m:
+        if m["fmt"] == "delta":
+            _live, meta = delta_py.replay_head_state(spark, m["path"])
+            if meta is None:
+                raise FileNotFoundError(f"not a Delta table: {m['path']!r}")
+            props = dict(meta.get("configuration") or {})
+        else:
+            meta = json.loads(
+                fsio.read_text(iceberg_py.latest_metadata_file(m["path"]))
+            )
+            props = dict(meta.get("properties") or {})
+        return spark.createDataFrame(
+            sorted(props.items()) or [], "key string, value string"
+        )
+
+    m = re.fullmatch(rf"(?i)DESCRIBE DETAIL {_TBL}", s)
+    if m:
+        # one-row table summary (format, files, bytes, partitioning) —
+        # all from log/manifest METADATA, no data scan
+        if m["fmt"] == "delta":
+            live, meta = delta_py.replay_head_state(spark, m["path"])
+            if meta is None:
+                raise FileNotFoundError(f"not a Delta table: {m['path']!r}")
+            row = (
+                "delta", meta.get("id"), len(live),
+                sum(int(a.get("size") or 0) for a in live.values()),
+                list(meta.get("partitionColumns") or []),
+            )
+        else:
+            inv = iceberg_py.read_iceberg_meta(spark, m["path"], "files")
+            agg = inv.filter(F.col("content") == 0).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("size_bytes").alias("b"),
+            ).collect()[0]
+            meta = json.loads(
+                fsio.read_text(iceberg_py.latest_metadata_file(m["path"]))
+            )
+            spec = next(
+                (sp for sp in meta.get("partition-specs", [])
+                 if sp.get("spec-id") == meta.get("default-spec-id", 0)),
+                None,
+            )
+            row = (
+                "iceberg", meta.get("table-uuid"), int(agg["n"] or 0),
+                int(agg["b"] or 0),
+                [f["name"] for f in (spec or {}).get("fields", [])],
+            )
+        return spark.createDataFrame(
+            [row],
+            "format string, id string, num_files long, size_bytes long, "
+            "partition_columns array<string>",
+        )
+
     m = re.fullmatch(rf"(?i)DESCRIBE HISTORY {_TBL}", s)
     if m:
         if m["fmt"] == "delta":
@@ -553,10 +672,12 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
 
     raise ValueError(
         "unrecognized lakehouse statement (supported: SELECT/WITH [VERSION "
-        "AS OF | TIMESTAMP AS OF | FOR REF] / INSERT INTO / CREATE TABLE "
-        "[PARTITIONED BY] AS / CREATE TABLE ... SHALLOW CLONE / ALTER TABLE "
-        "ADD CONSTRAINT|RENAME COLUMN|ADD COLUMN|CREATE/DROP TAG|BRANCH / "
-        "DELETE FROM / UPDATE / MERGE INTO / OPTIMIZE "
-        "[ZORDER BY] / VACUUM / RESTORE TABLE / DESCRIBE HISTORY over "
-        f"delta.`path` | iceberg.`path`): {stmt!r}"
+        "AS OF | TIMESTAMP AS OF | FOR REF] / INSERT INTO|OVERWRITE "
+        "[(cols)] / CREATE TABLE [PARTITIONED BY] AS / CREATE TABLE ... "
+        "SHALLOW CLONE / ALTER TABLE ADD CONSTRAINT|RENAME COLUMN|ADD "
+        "COLUMN|ALTER COLUMN TYPE|SET TBLPROPERTIES|CREATE/DROP TAG|BRANCH "
+        "/ DELETE FROM / UPDATE / MERGE INTO (multi-clause, NOT MATCHED BY "
+        "SOURCE) / TRUNCATE TABLE / OPTIMIZE [ZORDER BY] / VACUUM / "
+        "RESTORE TABLE / DESCRIBE HISTORY|DETAIL / SHOW "
+        f"PARTITIONS|TBLPROPERTIES over delta.`path` | iceberg.`path`): {stmt!r}"
     )

@@ -1707,3 +1707,68 @@ def test_merge_per_column_set_both_formats(spark, tmp_path):
     with pytest.raises(ValueError, match="requires when_matched='update'"):
         merge_into(spark, it, src, ["k"], when_matched="delete",
                    set_exprs={"name": "'x'"})
+
+
+def test_lakehouse_sql_r13_surface(spark, tmp_path):
+    """Round-13 facade additions: INSERT column lists (missing cols
+    NULL), INSERT OVERWRITE, TRUNCATE TABLE, SET/SHOW TBLPROPERTIES,
+    DESCRIBE DETAIL — both formats where applicable."""
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        read_iceberg_py,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    d = str(tmp_path / "d")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, name string, v long"
+    )
+    write_delta(base, d, timestamp_ms=1_700_000_000_000)
+    i = str(tmp_path / "i")
+    create_iceberg_v2_table(base.schema, i)
+    append_iceberg_v2(spark, i, base, snapshot_ts_ms=1_700_000_000_000)
+
+    # INSERT with a column list: unlisted column reads NULL
+    lakehouse_sql(spark, f"INSERT INTO delta.`{d}` (k, name) VALUES (3, 'c')")
+    r3 = read_delta_py(spark, d).filter("k = 3").collect()[0]
+    assert r3["name"] == "c" and r3["v"] is None
+    with pytest.raises(ValueError, match="unknown columns"):
+        lakehouse_sql(spark, f"INSERT INTO delta.`{d}` (k, nope) VALUES (4, 1)")
+
+    # INSERT OVERWRITE replaces the whole table (old versions remain)
+    lakehouse_sql(
+        spark, f"INSERT OVERWRITE delta.`{d}` VALUES (9, 'z', CAST(90 AS LONG))"
+    )
+    assert [(r["k"], r["name"]) for r in read_delta_py(spark, d).collect()] == [(9, "z")]
+    assert read_delta_py(spark, d, version_as_of=0).count() == 2
+    lakehouse_sql(
+        spark, f"INSERT OVERWRITE iceberg.`{i}` VALUES (9, 'z', CAST(90 AS LONG))"
+    )
+    assert read_iceberg_py(spark, i).count() == 1
+
+    # TRUNCATE: zero rows at head, history intact
+    lakehouse_sql(spark, f"TRUNCATE TABLE delta.`{d}`")
+    assert read_delta_py(spark, d).count() == 0
+    lakehouse_sql(spark, f"TRUNCATE TABLE iceberg.`{i}`")
+    assert read_iceberg_py(spark, i).count() == 0
+
+    # SET/SHOW TBLPROPERTIES
+    lakehouse_sql(
+        spark,
+        f"ALTER TABLE delta.`{d}` SET TBLPROPERTIES ('delta.appendOnly' = 'true')",
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in lakehouse_sql(spark, f"SHOW TBLPROPERTIES delta.`{d}`").collect()
+    }
+    assert props["delta.appendOnly"] == "true"
+    with pytest.raises(ValueError, match="forbids overwrite"):
+        lakehouse_sql(spark, f"TRUNCATE TABLE delta.`{d}`")
+
+    # DESCRIBE DETAIL: metadata-only one-row summary
+    det = lakehouse_sql(spark, f"DESCRIBE DETAIL delta.`{d}`").collect()[0]
+    assert det["format"] == "delta" and det["num_files"] >= 0
+    det_i = lakehouse_sql(spark, f"DESCRIBE DETAIL iceberg.`{i}`").collect()[0]
+    assert det_i["format"] == "iceberg"

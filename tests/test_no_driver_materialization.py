@@ -75,6 +75,14 @@ ALLOWED = {
         # duplicate-MERGE-key probe: .limit(1) — at most ONE offending
         # key tuple fetched to build the error message
         ".limit(1)",
+        # row-tracking watermark lookup: the checkpoint's domainMetadata
+        # rows (one per domain — metadata, never table data)
+        '.select("domainMetadata.configuration")',
+    ],
+    "sources/lakehouse_sql.py": [
+        # DESCRIBE DETAIL: ONE aggregate row (file count + byte sum)
+        # over the metadata files table — never table data
+        'F.sum("size_bytes").alias("b")',
     ],
 }
 
