@@ -91,22 +91,44 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
     version = int(json.loads(fsio.read_text(lc))["version"])
     cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
     if not fsio.exists(cp_path):
+        # not a CLASSIC checkpoint (v2 checkpoints use uuid-named files
+        # + sidecars this reader does not parse): fall back to a full
+        # JSON replay when the prefix is intact — correct, just uncompacted
+        commits = _list_commits(log_dir)
+        if commits and all(v in commits for v in range(max(commits) + 1)):
+            return -1, [], None
         raise FileNotFoundError(
-            f"_last_checkpoint names version {version} but {cp_path} is missing"
+            f"_last_checkpoint names version {version} but {cp_path} is "
+            "missing (v2/uuid-named checkpoint?) and the JSON prefix is "
+            f"incomplete; {_DELTA_JAR_HINT}"
         )
     cp = spark.read.parquet(cp_path)
     adds = []
     meta = None
     cols = set(cp.columns)
+    if "protocol" in cols:
+        # the checkpoint may be the ONLY carrier of the protocol after
+        # log cleanup — gate reads on its feature lists too
+        protos = (
+            cp.filter(F.col("protocol.minReaderVersion").isNotNull())
+            .select("protocol")
+            .collect()
+        )
+        if protos:
+            _check_protocol(protos[0]["protocol"].asDict(recursive=True))
     if "add" in cols:
         add_fields = {f.name for f in cp.schema["add"].dataType.fields}
         sel = [F.col("add.path"), F.col("add.partitionValues")]
         has_dv = "deletionVector" in add_fields
         has_size = "size" in add_fields
+        has_rowid = "baseRowId" in add_fields
         if has_dv:
             sel.append(F.col("add.deletionVector"))
         if has_size:
             sel.append(F.col("add.size"))
+        if has_rowid:
+            sel.append(F.col("add.baseRowId"))
+            sel.append(F.col("add.defaultRowCommitVersion"))
         for row in cp.filter(F.col("add.path").isNotNull()).select(*sel).collect():
             dv = row["deletionVector"] if has_dv else None
             add = {
@@ -116,6 +138,9 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
             }
             if has_size:
                 add["size"] = row["size"]
+            if has_rowid and row["baseRowId"] is not None:
+                add["baseRowId"] = row["baseRowId"]
+                add["defaultRowCommitVersion"] = row["defaultRowCommitVersion"]
             adds.append(add)
     if "metaData" in cols:
         metas = cp.filter(F.col("metaData.schemaString").isNotNull()).select("metaData").collect()
@@ -149,12 +174,28 @@ def _check_protocol(protocol: dict) -> None:
 
 
 def _head_protocol(table_path: str) -> dict:
-    """Latest protocol action (checkpoint default + JSON commits) — the
-    WRITER-side gate input. O(log) driver text scan."""
+    """Latest protocol action (checkpoint rows + JSON commits) — the
+    WRITER-side gate input. O(log) driver metadata scan; the checkpoint
+    parquet is consulted via pyarrow so a checkpoint-only v3/v7 table
+    cannot silently degrade to the v1/v2 default after log cleanup."""
     log_dir = _log_dir(table_path)
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
     if not fsio.isdir(log_dir):
         return protocol
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not fsio.has_scheme(log_dir) and os.path.exists(lc):
+        cp_path = os.path.join(
+            log_dir,
+            f"{int(json.loads(fsio.read_text(lc))['version']):020d}.checkpoint.parquet",
+        )
+        if os.path.exists(cp_path):
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(cp_path)
+            if "protocol" in t.column_names:
+                for r in t.column("protocol").to_pylist():
+                    if r and r.get("minReaderVersion") is not None:
+                        protocol = {k: v for k, v in r.items() if v is not None}
     commits = _list_commits(log_dir)
     for v in sorted(commits):
         for line in fsio.read_text(commits[v]).splitlines():
@@ -1591,6 +1632,7 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
     meta = None
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
     txns: dict[str, dict] = {}
+    domains: dict[str, dict] = {}
     for v in sorted(c for c in commits if c <= version):
         with open(commits[v]) as f:
             for line in f:
@@ -1609,6 +1651,11 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
                     # latest setTransaction per appId survives the
                     # checkpoint (protocol: checkpoints carry txn rows)
                     txns[a["txn"]["appId"]] = a["txn"]
+                elif "domainMetadata" in a:
+                    # latest per domain survives (row-tracking high
+                    # water mark lives here — dropping it would make
+                    # post-cleanup writers re-allocate OLD row ids)
+                    domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
     rows = [
         {
             "add": {
@@ -1622,6 +1669,10 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
                 # reads (the reader sources DVs from the checkpoint
                 # when the JSON commits are gone)
                 "deletionVector": a.get("deletionVector"),
+                # row tracking: ids are baseRowId + row index — losing
+                # the base would NULL every row id after log cleanup
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
             }
         }
         for a in live.values()
@@ -1633,20 +1684,34 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
                  "lastUpdated": int(t.get("lastUpdated") or 0)}}
         for t in txns.values()
     )
+    rows.extend(
+        {"domainMetadata": {"domain": d["domain"],
+                            "configuration": d.get("configuration"),
+                            "removed": bool(d.get("removed", False))}}
+        for d in domains.values()
+    )
     cp_schema = (
         "add struct<path: string, partitionValues: map<string,string>, "
         "size: long, modificationTime: long, dataChange: boolean, "
         "deletionVector: struct<storageType: string, pathOrInlineDv: string, "
-        "offset: int, sizeInBytes: int, cardinality: long>>, "
+        "offset: int, sizeInBytes: int, cardinality: long>, "
+        "baseRowId: long, defaultRowCommitVersion: long>, "
         "metaData struct<id: string, format: struct<provider: string>, "
         "schemaString: string, partitionColumns: array<string>, "
         "configuration: map<string,string>>, "
-        "protocol struct<minReaderVersion: int, minWriterVersion: int>, "
-        "txn struct<appId: string, version: long, lastUpdated: long>"
+        # feature lists are part of the protocol's identity: a v3/v7
+        # checkpoint without them would silently drop the reader/writer
+        # gates after log cleanup
+        "protocol struct<minReaderVersion: int, minWriterVersion: int, "
+        "readerFeatures: array<string>, writerFeatures: array<string>>, "
+        "txn struct<appId: string, version: long, lastUpdated: long>, "
+        "domainMetadata struct<domain: string, configuration: string, "
+        "removed: boolean>"
     )
     cp_df = spark.createDataFrame(
         [
-            (r.get("add"), r.get("metaData"), r.get("protocol"), r.get("txn"))
+            (r.get("add"), r.get("metaData"), r.get("protocol"), r.get("txn"),
+             r.get("domainMetadata"))
             for r in rows
         ],
         cp_schema,

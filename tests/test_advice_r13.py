@@ -629,3 +629,67 @@ def test_row_tracking_enable_backfill_and_append(spark, tmp_path):
     # double-enable raises
     with pytest.raises(ValueError, match="already enabled"):
         enable_row_tracking(spark, p)
+
+
+def test_checkpoint_preserves_row_tracking_and_protocol(spark, tmp_path):
+    """Checkpoint round trip for the r13 writer features: after
+    write_checkpoint + JSON cleanup, row ids and the rowIdHighWaterMark
+    survive (appends keep allocating above, never overlapping), and the
+    v7 protocol's feature lists still gate writes."""
+    from gcs2postgres_spark.sources.delta_py import (
+        _head_protocol,
+        _row_id_high_watermark,
+        enable_row_tracking,
+        read_delta_with_row_ids,
+        write_checkpoint,
+        write_delta,
+    )
+
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(i,) for i in range(6)], "k long").coalesce(1),
+        p, timestamp_ms=1_700_000_000_000,
+    )
+    v = enable_row_tracking(spark, p)
+    before = {r["k"]: r["_row_id"] for r in read_delta_with_row_ids(spark, p).collect()}
+    write_checkpoint(spark, p, v)
+    log = os.path.join(p, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json"):
+            os.remove(os.path.join(log, f))
+    # row ids and watermark survive the cleanup
+    after = {r["k"]: r["_row_id"] for r in read_delta_with_row_ids(spark, p).collect()}
+    assert after == before
+    assert _row_id_high_watermark(spark, p) == 5
+    proto = _head_protocol(p)
+    assert proto["minWriterVersion"] == 7
+    assert "rowTracking" in proto["writerFeatures"]
+    # an append still allocates ABOVE the checkpointed watermark
+    write_delta(
+        spark.createDataFrame([(100,)], "k long").coalesce(1), p, "append",
+        timestamp_ms=1_700_000_001_000,
+    )
+    ids = sorted(
+        r["_row_id"] for r in read_delta_with_row_ids(spark, p).collect()
+    )
+    assert ids == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_v2_checkpoint_table_falls_back_to_json_replay(spark, tmp_path):
+    """A _last_checkpoint naming a version with no CLASSIC checkpoint
+    parquet (the v2/uuid-named layout) reads via full JSON replay when
+    the prefix is intact, and refuses with the jar hint otherwise."""
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1,), (2,)], "k long").coalesce(1), p,
+        timestamp_ms=1_700_000_000_000,
+    )
+    log = os.path.join(p, "_delta_log")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "sizeInBytes": 1}, f)
+    assert read_delta_py(spark, p).count() == 2
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    with pytest.raises(FileNotFoundError, match="v2/uuid-named"):
+        read_delta_py(spark, p)

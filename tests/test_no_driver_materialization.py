@@ -64,6 +64,8 @@ ALLOWED = {
         'select("add.path", "add.partitionValues")',
         "cp.filter(F.col(\"add.path\").isNotNull()).select(*sel)",
         'select("metaData")',
+        # checkpoint-carried protocol row: ONE struct row, read gate
+        'select("protocol")',
         # delete_where_delta: the bitmaps are built + written ON
         # EXECUTORS (applyInPandas per affected file); the collect fetches
         # one DESCRIPTOR row per file — metadata-sized, the commit payload
