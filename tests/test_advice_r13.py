@@ -693,3 +693,37 @@ def test_v2_checkpoint_table_falls_back_to_json_replay(spark, tmp_path):
     os.remove(os.path.join(log, f"{0:020d}.json"))
     with pytest.raises(FileNotFoundError, match="v2/uuid-named"):
         read_delta_py(spark, p)
+
+
+def test_merge_multi_plan_no_cartesian(spark, tmp_path):
+    """100 TB contract for the clause planner: the matcher and every
+    replacement branch plan as equi-joins (hash/broadcast), never a
+    cartesian or broadcast-nested-loop — conditions are FILTERS over
+    the key join, not join conditions."""
+    from gcs2postgres_spark.plans.inspect import formatted_plan
+    from gcs2postgres_spark.sources.merge_multi import build_merge_plan
+
+    live = spark.createDataFrame(
+        [(i, f"n{i}", i * 10) for i in range(100)], "k long, name string, v long"
+    )
+    source = spark.createDataFrame(
+        [(i, f"s{i}", i, "upd" if i % 2 else "del") for i in range(0, 200, 3)],
+        "k long, name string, v long, op string",
+    )
+    matcher, replacement = build_merge_plan(
+        live, source, ["k"],
+        matched=[
+            {"cond": "s.op = 'del'", "action": "delete", "set": None},
+            {"cond": None, "action": "update",
+             "set": {"name": "concat(t.name, s.name)"}},
+        ],
+        not_matched=[{"cond": "s.op <> 'del'", "action": "insert", "set": None}],
+        not_matched_by_source=[
+            {"cond": "t.v > 500", "action": "update",
+             "set": {"name": "concat(t.name, '_stale')"}},
+        ],
+    )
+    for label, df in (("matcher", matcher(live)), ("replacement", replacement)):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, (label, plan[:1500])
+        assert "BroadcastNestedLoopJoin" not in plan, (label, plan[:1500])
