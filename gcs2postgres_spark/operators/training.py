@@ -222,3 +222,61 @@ def pack_sequences(
         .sortWithinPartitions("shard", "doc_id")
         .mapInPandas(pack_stream, schema=out_schema)
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_matches: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Eval-set DECONTAMINATION: drop every corpus document sharing at
+    least ``min_matches`` distinct word ``n``-grams with the benchmark
+    (the published pretraining-report recipe — 13-gram overlap is the
+    standard; short benchmark entries fall back to their whole-text
+    token sequence so they are never silently unmatched).
+
+    Returns ``(clean, flagged)``: the surviving corpus rows, and one
+    row per contaminated document with its distinct-match count (the
+    audit trail a data card wants).
+
+    Scale shape (100 TB): both sides explode to (ngram-hash) keys and
+    meet in ONE equi-join on the hash — the benchmark side is distinct
+    n-grams of an EVAL SET (small by nature), so Catalyst/AQE
+    broadcasts it and the corpus is never shuffled; the flagged-id set
+    joins back as a left-anti, also on the id key. No tokenized text
+    moves — only 64-bit hashes. Tokenization is the dedup module's
+    portable lower/whitespace normalization, so the SQL oracle can
+    reproduce it exactly.
+    """
+    from pyspark.sql.types import LongType
+
+    def grams(df: DataFrame, col: str, keep):
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        # n-grams as token slices; whole-text fallback below n tokens
+        ng = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+        return df.select(
+            *keep, F.explode(F.array_distinct(ng)).alias("__ng")
+        ).withColumn("__ngh", portable_hash60(F.col("__ng")).cast(LongType()))
+
+    bench_grams = grams(benchmark, bench_text_col, []).select("__ngh").distinct()
+    corpus_grams = grams(corpus, text_col, [id_col])
+    flagged = (
+        # benchmark grams are small-by-contract (an eval set): broadcast
+        # explicitly so the corpus side is never shuffled by the probe
+        corpus_grams.join(F.broadcast(bench_grams), "__ngh", "inner")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__ngh").alias("n_matching_ngrams"))
+        .filter(F.col("n_matching_ngrams") >= min_matches)
+    )
+    clean = corpus.join(flagged.select(id_col), id_col, "left_anti")
+    return clean, flagged

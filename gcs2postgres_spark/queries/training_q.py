@@ -227,6 +227,71 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON13_N = 13
+
+# DuckDB replay of ngram_decontaminate at n=13/min_matches=1: the same
+# tokenize → n-gram (whole-text fallback under 13 tokens) → portable
+# 60-bit md5 hash → hash equi-join → distinct-match count. Joining on
+# the HASH (not the raw gram) mirrors the operator exactly, collisions
+# included.
+_D13_GRAMS = f"""
+      CASE WHEN len(t) >= {_DECON13_N}
+        THEN list_distinct(list_transform(range(1, len(t) - {_DECON13_N - 2}),
+               i -> array_to_string(list_slice(t, i, i + {_DECON13_N - 1}), ' ')))
+        ELSE [array_to_string(t, ' ')] END
+"""
+
+DECON13_ORACLE = f"""
+WITH bench_t AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE doc_id % 7 = 0
+), corpus_t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE doc_id % 7 <> 0
+), bg AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (SELECT unnest({_D13_GRAMS}) AS g FROM bench_t)
+), cg AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({_D13_GRAMS}) AS g FROM corpus_t)
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(count(DISTINCT c.h) AS BIGINT) AS n_matching_ngrams
+FROM cg c JOIN bg b ON c.h = b.h
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("decontaminate_ngram13_audit", oracle=DECON13_ORACLE)
+def decontaminate_ngram13_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published pretraining-report decontamination recipe (13-gram
+    overlap against the eval set, whole-text fallback for short eval
+    entries so nothing is silently unmatched), via
+    operators/training.ngram_decontaminate — the audit-trail side: one
+    row per contaminated corpus document with its distinct-match count,
+    exactly what a data card reports. Eval simulated as every 7th doc.
+
+    Scale shape: both sides reduce to 60-bit gram hashes; the eval side
+    (small by nature) is explicitly broadcast, so the corpus is scanned
+    once and never shuffled before the per-doc count. The oracle replays
+    the identical hash, so this certifies tokenization, the n-gram
+    window arithmetic, the fallback branch, and the join — any drift
+    fails the value hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.operators.training import ngram_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    _clean, flagged = ngram_decontaminate(
+        corpus, bench, id_col="doc_id", text_col="text", n=_DECON13_N
+    )
+    return flagged.select(
+        "doc_id", F.col("n_matching_ngrams").cast("long").alias("n_matching_ngrams")
+    ).orderBy("doc_id")
+
+
 _PACK_BUDGET = 128
 _PACK_SHARDS = 8
 

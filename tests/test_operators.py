@@ -950,3 +950,59 @@ def test_winnow_arrow_kernel_matches_pandas_twin(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_ngram_decontaminate_semantics(spark):
+    """ngram_decontaminate: n-gram overlap flags, whole-text fallback for
+    short benchmark entries, min_matches threshold, and the clean/flagged
+    partition of the corpus."""
+    from gcs2postgres_spark.operators.training import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            # shares two distinct 3-grams with bench doc A ("a b c d" -> "a b c","b c d")
+            (1, "x a b c d y"),
+            # shares exactly one 3-gram ("a b c")
+            (2, "q a b c z w"),
+            # short doc, identical (normalized) to the short bench entry
+            (3, "  Hello   World  "),
+            # short doc, no match
+            (4, "nothing here"),
+            # long doc, clean
+            (5, "u v w x y z u2 v2 w2"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("a b c d",), ("hello world",)], "text string"
+    )
+    clean, flagged = ngram_decontaminate(corpus, bench, n=3)
+    got = {r["doc_id"]: r["n_matching_ngrams"] for r in flagged.collect()}
+    # doc 3 matches via the whole-text fallback on BOTH sides (bench
+    # "hello world" is below n=3 tokens, so its whole text is the gram;
+    # corpus doc 3 likewise) despite ragged whitespace/case
+    assert got == {1: 2, 2: 1, 3: 1}
+    assert sorted(r["doc_id"] for r in clean.collect()) == [4, 5]
+    # the partition is exact: clean ∪ flagged-ids == corpus, disjoint
+    assert clean.count() + flagged.count() == corpus.count()
+
+    # min_matches=2 keeps only the two-gram overlap
+    clean2, flagged2 = ngram_decontaminate(corpus, bench, n=3, min_matches=2)
+    assert [r["doc_id"] for r in flagged2.collect()] == [1]
+    assert sorted(r["doc_id"] for r in clean2.collect()) == [2, 3, 4, 5]
+
+
+def test_ngram_decontaminate_plan_broadcasts_bench(spark):
+    """The contamination probe must broadcast the (small-by-contract)
+    benchmark gram side — the corpus is never shuffled for the join."""
+    from gcs2postgres_spark.operators.training import ngram_decontaminate
+
+    corpus = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("id").cast("string"), F.lit(" a b c d")).alias("text"),
+    )
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    _clean, flagged = ngram_decontaminate(corpus, bench, n=3)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
