@@ -304,6 +304,69 @@ def iceberg_orc_data_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+ICEBERG_AVRO_ORACLE = """
+SELECT s_nationkey,
+       count(*)                        AS n_supp,
+       CAST(sum(s_suppkey) AS BIGINT)  AS key_sum,
+       min(s_name)                     AS first_name
+FROM supplier
+WHERE s_suppkey NOT IN (1, 8)
+  AND s_nationkey <> 4
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("iceberg_avro_data_roundtrip", oracle=ICEBERG_AVRO_ORACLE)
+def iceberg_avro_data_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table whose DATA FILES are AVRO containers (spec-legal,
+    previously refused with the jar hint), read jar-lessly WITH
+    row-level deletes: the pure-Python avro codec decodes each file
+    executor-side (binaryFile + mapInPandas) and emits every record's
+    ordinal in its container — exactly the spec's row position — so
+    position deletes apply to avro data with the same fidelity parquet
+    gets from _metadata.row_index (ORC, by contrast, is refused under
+    deletes: the native scan has no per-row identity). Fixture: supplier
+    as a 2-file avro v2 table (seq 1), a parquet position-delete (seq 2)
+    removing s_suppkey ∈ {1, 8}, an equality delete s_nationkey=4 at
+    seq 2 (strictly later → MUST apply), and one at seq 1 (must NOT —
+    sequence gating over the avro scan). The oracle replays the
+    surviving-row set declaratively, so a decode drift, a position
+    off-by-one, or a sequence-gating slip breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_avro_")
+    try:
+        write_iceberg_v2_fixture(
+            supplier.repartition(2),
+            tmp,
+            sort_col="s_suppkey",
+            position_delete_keys=[1, 8],
+            equality_deletes=[({"s_nationkey": 4}, 2), ({"s_nationkey": 0}, 1)],
+            data_format="avro",
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_supp"),
+                F.sum("s_suppkey").cast("long").alias("key_sum"),
+                F.min("s_name").alias("first_name"),
+            )
+            .orderBy("s_nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 ICEBERG_V2_DELETES_ORACLE = """
 SELECT n_regionkey,
        count(*)                         AS n_nations,

@@ -33,6 +33,7 @@ from __future__ import annotations
 import datetime as _dt
 import io
 import json
+import os
 import struct
 import zlib
 from decimal import Decimal
@@ -360,6 +361,30 @@ def read_avro_file(path: str) -> tuple[dict, list[dict]]:
     from gcs2postgres_spark.sources import fsio
 
     return read_avro_bytes(fsio.read_bytes(path))
+
+
+def avro_row_count(path: str) -> int:
+    """Record count from block headers ONLY — each block is skimmed
+    (read count varint, read size varint, seek past data+sync) without
+    decompressing or decoding a single record. The Avro twin of a
+    parquet-footer num_rows probe: O(#blocks) tiny reads, so manifest
+    writers can stamp record_count without pulling row data onto the
+    driver."""
+    with open(path, "rb") as f:
+        _schema, _codec, sync, header_end = _read_header_grow(f)
+        size = os.fstat(f.fileno()).st_size
+        f.seek(header_end)
+        total = 0
+        while f.tell() < size:
+            hdr = f.read(20)  # two varints: ≤10 bytes each
+            buf = io.BytesIO(hdr)
+            n_records = _read_long(buf)
+            block_len = _read_long(buf)
+            total += n_records
+            f.seek(f.tell() - (len(hdr) - buf.tell()) + block_len)
+            if f.read(16) != sync:
+                raise ValueError(f"sync marker mismatch in {path!r} (corrupt block)")
+        return total
 
 
 def write_avro_file(

@@ -34,8 +34,12 @@ Scope (documented, checked with clear errors):
   RENAMED-column evolution reads old files' values under the new name.
   Files without ids (or unprobeable footers, e.g. remote schemes)
   resolve BY NAME (missing → NULL, the reconcile OP-5 contract).
-- Data files must be parquet (the only format the driver testdata
-  uses; ORC/Avro data files raise clearly).
+- Data files may be parquet (native scan, field-id resolved), ORC
+  (native scan, name-resolved; refused under row-level deletes — no
+  per-row position identity), or AVRO (pure-Python avro_py decode,
+  field-id resolved from the schema's "field-id" attributes, row-level
+  deletes fully supported via decoder-emitted row ordinals).
+  Non-parquet DELETE files raise clearly.
 
 Scale: at 100 TB a table holds ~10⁵ data files; the driver-side walk is
 O(manifests + files) over metadata Avro (the same work any Iceberg
@@ -51,6 +55,7 @@ data files are written BY SPARK executors; only file-level metadata
 from __future__ import annotations
 
 import glob
+import io
 import json
 import os
 import re
@@ -454,6 +459,7 @@ def read_iceberg_py(
 
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
     orc_paths: set[str] = set()  # ORC-format members of data_files
+    avro_paths: set[str] = set()  # Avro-format members of data_files
     pos_deletes: list[tuple[str, int]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []  # (path, seq, ids)
     _, manifests = read_avro_file(_resolve(snapshot["manifest-list"], table_path, location))
@@ -469,12 +475,12 @@ def read_iceberg_py(
                 seq = manifest_seq  # spec: inherit from the manifest entry
             content = dfile.get("content", 0)
             fmt = dfile["file_format"].lower()
-            if fmt not in ("parquet", "orc") or (
-                fmt == "orc" and content != 0
+            if fmt not in ("parquet", "orc", "avro") or (
+                fmt in ("orc", "avro") and content != 0
             ):
-                # ORC is supported for DATA files (native Spark scan);
-                # avro data files and non-parquet delete files still
-                # need the runtime jar
+                # ORC (native Spark scan) and Avro (pure-Python codec,
+                # avro_py) are supported for DATA files; non-parquet
+                # DELETE files still need the runtime jar
                 raise NotImplementedError(
                     f"iceberg {fmt} content={content} files: table {_JAR_HINT}"
                 )
@@ -485,6 +491,8 @@ def read_iceberg_py(
                 data_files.append((path, seq))
                 if fmt == "orc":
                     orc_paths.add(path)
+                elif fmt == "avro":
+                    avro_paths.add(path)
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -513,7 +521,7 @@ def read_iceberg_py(
             "scan has no per-row position identity for ORC "
             "(_metadata.row_index is parquet-only); table " + _JAR_HINT
         )
-    paths = sorted({p for p, _ in data_files} - orc_paths)
+    paths = sorted({p for p, _ in data_files} - orc_paths - avro_paths)
 
     # Column resolution: BY FIELD ID when the parquet files carry ids
     # (the spec's rule — a renamed column keeps its id, so post-rename
@@ -562,6 +570,16 @@ def read_iceberg_py(
         # note: DataFrameReader.orc takes a LIST (its second positional
         # is mergeSchema, unlike parquet's *paths)
         parts.append(_project_to_table(spark.read.orc(sorted(orc_paths)), None))
+    if avro_paths:
+        # Avro data files: pure-Python decode (avro_py codec) over
+        # binaryFile — per-file tasks, FIELD-ID resolved when the avro
+        # schema carries the spec's "field-id" attributes (rename
+        # evolution works, unlike ORC). Row-level deletes are fully
+        # supported: the decoder emits each record's exact ordinal in
+        # its container file, which IS the spec's row position — the
+        # identity _metadata.row_index provides for parquet.
+        for a_idmap, adf in _scan_avro_groups(spark, sorted(avro_paths), need_tag):
+            parts.append(_project_to_table(adf, a_idmap))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -610,6 +628,98 @@ def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, l
     # NOTE: id-less groups are NOT collapsed together — after a type
     # promotion their physical widths differ and a merged scan fails;
     # each signature group scans consistently and casts to table types
+    return out
+
+
+def _scan_avro_groups(
+    spark: SparkSession, paths: list[str], need_tag: bool
+) -> list[tuple[dict[int, str] | None, DataFrame]]:
+    """Distributed scan of Iceberg AVRO data files with the jar-less
+    pure-Python codec (avro_py): one driver-side HEADER read per file
+    (metadata-bounded, the same O(files) class as the manifest walk)
+    groups files by their (name, field-id, type) schema signature —
+    mirroring _group_by_field_ids for parquet — then each group decodes
+    executor-side via binaryFile + mapInPandas. Iceberg avro schemas
+    carry the spec's "field-id" attribute per field, so the returned
+    idmap gives the reader id-based resolution (post-rename reads stay
+    correct — better than the ORC fallback, whose native scan is
+    name-only).
+
+    ``need_tag`` adds ``__ice_fp``/``__ice_pos``: the decoder emits
+    each record's ordinal within its container file, which is exactly
+    the spec's row position, so position deletes apply to avro data
+    files with the same fidelity parquet gets from _metadata.row_index.
+
+    Scale shape: per-file tasks (the standard many-part-file layout);
+    decode is Python (the price of the missing jar) but Arrow-batched
+    out, and only this table's avro-era files pay it — parquet/ORC
+    groups in the same table keep their native scans.
+    """
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    from gcs2postgres_spark.sources import avro_py as _avro
+
+    # executor workers don't have the package on sys.path: ship the
+    # whole decode call graph by value (same reasoning as avro_py's own
+    # distributed reader)
+    _cp.register_pickle_by_value(_sys.modules[_avro.__name__])
+
+    sig_schema: dict[tuple, dict] = {}
+    sig_paths: dict[tuple, list[str]] = {}
+    for p in paths:
+        if fsio.has_scheme(p):
+            buf = io.BytesIO(fsio.read_bytes(p))
+            schema, _codec, _sync = _avro._read_header(buf)
+        else:
+            with open(p, "rb") as f:
+                schema, _codec, _sync, _end = _avro._read_header_grow(f)
+        sig = tuple(
+            (fld["name"], fld.get("field-id"), json.dumps(fld["type"], sort_keys=True))
+            for fld in (schema.get("fields") or [])
+        )
+        sig_schema[sig] = schema
+        sig_paths.setdefault(sig, []).append(p)
+
+    out: list[tuple[dict[int, str] | None, DataFrame]] = []
+    for sig in sorted(sig_paths):
+        schema = sig_schema[sig]
+        gpaths = sorted(sig_paths[sig])
+        spark_t = _avro.avro_to_spark_type(schema)
+        if not isinstance(spark_t, T.StructType):
+            raise ValueError("iceberg avro data file schema must be a record")
+        field_names = [f.name for f in spark_t.fields]
+        out_schema = T.StructType(list(spark_t.fields))
+        if need_tag:
+            out_schema = out_schema.add("__ice_fp", T.StringType()).add(
+                "__ice_pos", T.LongType()
+            )
+        read_bytes_fn = _avro.read_avro_bytes
+
+        def decode(batches, _names=tuple(field_names), _tag=need_tag, _read=read_bytes_fn):
+            import re as _re
+
+            import pandas as pd
+
+            for pdf in batches:
+                for pth, blob in zip(pdf["path"], pdf["content"]):
+                    _schema, records = _read(bytes(blob))
+                    g = pd.DataFrame.from_records(records, columns=list(_names))
+                    if _tag:
+                        g["__ice_fp"] = _re.sub(r"^file:(//)?", "", pth)
+                        g["__ice_pos"] = range(len(g))
+                    if len(g):
+                        yield g
+
+        binary = spark.read.format("binaryFile").load(gpaths).select("path", "content")
+        adf = binary.mapInPandas(decode, schema=out_schema)
+        idmap = {
+            fld["field-id"]: fld["name"]
+            for fld in (schema.get("fields") or [])
+            if fld.get("field-id") is not None
+        }
+        out.append((idmap or None, adf))
     return out
 
 
@@ -795,13 +905,17 @@ MANIFEST_LIST_SCHEMA_V2 = {
 
 
 def data_file_entry(path: str, status: int = 1, snapshot_id: int = 1) -> dict:
-    """Manifest entry for one parquet/ORC file (format from the file
-    extension); record_count comes from the file FOOTER (metadata read,
-    no data rows on the driver)."""
+    """Manifest entry for one parquet/ORC/Avro file (format from the
+    file extension); record_count comes from file METADATA (parquet/ORC
+    footer, avro block headers) — no data rows on the driver."""
     if path.endswith(".orc"):
         import pyarrow.orc as _orc
 
         fmt, nrows = "ORC", _orc.ORCFile(path).nrows
+    elif path.endswith(".avro"):
+        from gcs2postgres_spark.sources.avro_py import avro_row_count
+
+        fmt, nrows = "AVRO", avro_row_count(path)
     else:
         import pyarrow.parquet as pq
 
@@ -917,6 +1031,10 @@ def _v2_entry(
         import pyarrow.orc as _orc
 
         fmt, nrows = "ORC", _orc.ORCFile(path).nrows
+    elif path.endswith(".avro"):
+        from gcs2postgres_spark.sources.avro_py import avro_row_count
+
+        fmt, nrows = "AVRO", avro_row_count(path)
     else:
         import pyarrow.parquet as pq
 
@@ -944,6 +1062,7 @@ def write_iceberg_v2_fixture(
     sort_col: str,
     position_delete_keys: list | None = None,
     equality_deletes: list[tuple[dict, int]] | None = None,
+    data_format: str = "parquet",
 ) -> None:
     """Materialize ``df`` as a spec-shaped v2 Iceberg table with
     row-level delete files, for testing the jar-less v2 read path.
@@ -958,12 +1077,26 @@ def write_iceberg_v2_fixture(
     ``equality_deletes`` is a list of ({col: value}, seq) — each becomes
     one single-row equality delete parquet whose columns' types are
     taken from the data schema; entries with seq <= 1 must NOT apply
-    (strict-inequality rule), which tests sequence gating end to end."""
+    (strict-inequality rule), which tests sequence gating end to end.
+    ``data_format="avro"`` writes the DATA files as Avro containers
+    (write_avro_distributed) — delete files stay parquet, matching what
+    engines emit — so the avro read path's decoder-derived row
+    positions are exercised against real position deletes."""
+    if data_format not in ("parquet", "avro"):
+        raise ValueError(f"data_format must be parquet|avro, got {data_format!r}")
     data_dir = os.path.join(table_path, "data")
-    df.sortWithinPartitions(sort_col).write.mode("overwrite").parquet(data_dir)
-    files = sorted(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    sorted_df = df.sortWithinPartitions(sort_col)
+    if data_format == "avro":
+        from gcs2postgres_spark.sources.avro_py import write_avro_distributed
+
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        write_avro_distributed(sorted_df, data_dir)
+    else:
+        sorted_df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(glob.glob(os.path.join(data_dir, f"part-*.{data_format}")))
     if not files:
-        raise ValueError(f"no parquet part files produced under {data_dir!r}")
+        raise ValueError(f"no {data_format} part files produced under {data_dir!r}")
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -995,7 +1128,11 @@ def write_iceberg_v2_fixture(
         wanted = set(position_delete_keys)
         fps, poss = [], []
         for p in files:
-            col = pq.read_table(p, columns=[sort_col])[sort_col].to_pylist()
+            if data_format == "avro":
+                _sch, _recs = read_avro_file(p)
+                col = [r[sort_col] for r in _recs]
+            else:
+                col = pq.read_table(p, columns=[sort_col])[sort_col].to_pylist()
             for i, v in enumerate(col):
                 if v in wanted:
                     fps.append(os.path.abspath(p))
@@ -1099,12 +1236,22 @@ def write_iceberg_fixture(
     driver then assembles manifest/manifest-list Avro and metadata JSON
     from file-level metadata only. ``data_format="orc"`` produces the
     spec-legal ORC-data-file table shape the jar-less reader scans with
-    Spark's native ORC reader (name-resolved)."""
-    if data_format not in ("parquet", "orc"):
-        raise ValueError(f"data_format must be parquet|orc, got {data_format!r}")
+    Spark's native ORC reader (name-resolved); ``data_format="avro"``
+    the Avro-data-file shape it decodes with the pure-Python codec
+    (executors write part-*.avro via write_avro_distributed — also
+    jar-less)."""
+    if data_format not in ("parquet", "orc", "avro"):
+        raise ValueError(f"data_format must be parquet|orc|avro, got {data_format!r}")
     data_dir = os.path.join(table_path, "data")
-    writer = df.write.mode("overwrite")
-    (writer.orc if data_format == "orc" else writer.parquet)(data_dir)
+    if data_format == "avro":
+        from gcs2postgres_spark.sources.avro_py import write_avro_distributed
+
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        write_avro_distributed(df, data_dir)
+    else:
+        writer = df.write.mode("overwrite")
+        (writer.orc if data_format == "orc" else writer.parquet)(data_dir)
     files = sorted(glob.glob(os.path.join(data_dir, f"part-*.{data_format}")))
     if not files:
         raise ValueError(f"no {data_format} part files produced under {data_dir!r}")

@@ -1948,3 +1948,147 @@ def test_avro_fixed_decimal_full_width_roundtrip(tmp_path):
         write_avro_file(
             str(tmp_path / "edge_over.avro"), size1, [{"dec": Decimal("1.28")}]
         )
+
+
+# ------------------------------------------------- iceberg AVRO data files
+
+
+def test_iceberg_avro_field_id_rename(spark, tmp_path):
+    """Avro data files resolve columns BY FIELD ID (the iceberg avro
+    schema's "field-id" attribute): a column renamed after the avro era
+    still reads the old files' values under its NEW name — the parity
+    point ORC can't offer (native scan is name-only)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from gcs2postgres_spark.sources.avro_py import write_avro_file
+    from gcs2postgres_spark.sources.iceberg_py import (
+        data_file_entry,
+        read_iceberg_py,
+        write_manifest,
+        write_manifest_list,
+        write_snapshot_metadata,
+    )
+
+    table = str(tmp_path / "tbl")
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir)
+    avro_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long", "field-id": 1},
+            {"name": "v", "type": "string", "field-id": 2},
+        ],
+    }
+    part = os.path.join(data_dir, "part-00000.avro")
+    write_avro_file(part, avro_schema, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    manifest = os.path.join(mdir, "manifest-1.avro")
+    write_manifest(manifest, [data_file_entry(part)])
+    mlist = os.path.join(mdir, "snap-1.avro")
+    write_manifest_list(mlist, [manifest], snapshot_id=1)
+    # table schema renames field id 1: k -> k_renamed
+    write_snapshot_metadata(
+        table,
+        T.StructType(
+            [
+                T.StructField("k_renamed", T.LongType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+        [{"snapshot-id": 1, "manifest-list": mlist}],
+        current_snapshot_id=1,
+        version=1,
+    )
+    df = read_iceberg_py(spark, table)
+    assert df.columns == ["k_renamed", "v"]
+    assert sorted((r["k_renamed"], r["v"]) for r in df.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_iceberg_mixed_parquet_and_avro_data(spark, tmp_path):
+    """One snapshot holding BOTH parquet and avro data files: the two
+    format groups scan natively/decoded respectively and union to the
+    table schema — a mid-migration table shape."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from gcs2postgres_spark.sources.avro_py import write_avro_file
+    from gcs2postgres_spark.sources.iceberg_py import (
+        data_file_entry,
+        read_iceberg_py,
+        write_manifest,
+        write_manifest_list,
+        write_snapshot_metadata,
+    )
+
+    table = str(tmp_path / "tbl")
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir)
+    pq_part = os.path.join(data_dir, "part-00000.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array(["a", "b"])}), pq_part
+    )
+    av_part = os.path.join(data_dir, "part-00001.avro")
+    write_avro_file(
+        av_part,
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "k", "type": "long", "field-id": 1},
+                {"name": "v", "type": "string", "field-id": 2},
+            ],
+        },
+        [{"k": 3, "v": "c"}],
+    )
+    mdir = os.path.join(table, "metadata")
+    os.makedirs(mdir)
+    manifest = os.path.join(mdir, "manifest-1.avro")
+    write_manifest(manifest, [data_file_entry(pq_part), data_file_entry(av_part)])
+    mlist = os.path.join(mdir, "snap-1.avro")
+    write_manifest_list(mlist, [manifest], snapshot_id=1)
+    write_snapshot_metadata(
+        table,
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+        [{"snapshot-id": 1, "manifest-list": mlist}],
+        current_snapshot_id=1,
+        version=1,
+    )
+    got = sorted((r["k"], r["v"]) for r in read_iceberg_py(spark, table).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_avro_row_count_matches_decode(tmp_path):
+    """avro_row_count (block-header skim, no decode) equals the decoded
+    record count, including across multiple blocks and deflate."""
+    import os
+
+    from gcs2postgres_spark.sources.avro_py import (
+        avro_row_count,
+        read_avro_file,
+        write_avro_file,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    for codec in ("null", "deflate"):
+        p = os.path.join(str(tmp_path), f"f_{codec}.avro")
+        records = [{"x": i} for i in range(1234)]
+        write_avro_file(p, schema, records, codec=codec)
+        assert avro_row_count(p) == 1234
+        _s, got = read_avro_file(p)
+        assert len(got) == 1234
