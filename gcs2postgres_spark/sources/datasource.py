@@ -674,6 +674,46 @@ def make_iceberg_py_datasource():
             self.path = path
             self.col_names = col_names  # table column order (by name)
 
+    def _read_ice_table_file(path, col_names):
+        """One data file → arrow table projected to the table columns,
+        dispatched on the file's format (parquet/ORC natively via
+        pyarrow; AVRO via the pure-Python avro_py codec — same formats
+        the jar-less batch reader accepts)."""
+        import pyarrow as pa
+
+        if path.endswith(".orc"):
+            import pyarrow.orc as _orc
+
+            tbl = _orc.ORCFile(path).read()
+        elif path.endswith(".avro"):
+            _ensure_pkg()
+            import pandas as pd
+
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from gcs2postgres_spark.sources.avro_py import (
+                avro_to_spark_type,
+                read_avro_file,
+            )
+
+            schema, records = read_avro_file(path)
+            st = avro_to_spark_type(schema)
+            pdf = pd.DataFrame.from_records(
+                records, columns=[f.name for f in st.fields]
+            )
+            tbl = pa.Table.from_pandas(
+                pdf, schema=to_arrow_schema(st), preserve_index=False
+            )
+        else:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(path)
+        cols = [
+            tbl.column(n).combine_chunks() for n in col_names if n in tbl.column_names
+        ]
+        names = [n for n in col_names if n in tbl.column_names]
+        return pa.table(cols, names=names)
+
     class _IceStreamReader(DataSourceStreamReader):
         def __init__(self, options):
             self.table = options["path"]
@@ -757,17 +797,9 @@ def make_iceberg_py_datasource():
             return parts
 
         def read(self, partition):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            tbl = pq.read_table(partition.path)
-            cols = [
-                tbl.column(n).combine_chunks()
-                for n in partition.col_names
-                if n in tbl.column_names
-            ]
-            names = [n for n in partition.col_names if n in tbl.column_names]
-            yield from pa.table(cols, names=names).to_batches()
+            yield from _read_ice_table_file(
+                partition.path, partition.col_names
+            ).to_batches()
 
         def commit(self, end):
             pass
@@ -780,17 +812,9 @@ def make_iceberg_py_datasource():
             return self._parts
 
         def read(self, partition):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            tbl = pq.read_table(partition.path)
-            cols = [
-                tbl.column(n).combine_chunks()
-                for n in partition.col_names
-                if n in tbl.column_names
-            ]
-            names = [n for n in partition.col_names if n in tbl.column_names]
-            yield from pa.table(cols, names=names).to_batches()
+            yield from _read_ice_table_file(
+                partition.path, partition.col_names
+            ).to_batches()
 
     class IcebergPyDataSource(DataSource):
         """format("iceberg_py"): batch over the current snapshot's data

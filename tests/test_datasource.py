@@ -403,3 +403,19 @@ def test_iceberg_py_batch_format(registered, tmp_path):
     delete_where(spark, t, "k = 3", snapshot_ts_ms=1_700_000_001_000)
     with pytest.raises(Exception, match="read_iceberg_py"):
         spark.read.format("iceberg_py").option("path", t).load().collect()
+
+
+def test_iceberg_py_batch_nonparquet_data_files(registered, tmp_path):
+    """The datasource's per-file reader dispatches on data-file format:
+    ORC reads via pyarrow.orc, AVRO via the pure-Python codec —
+    previously both crashed in pq.read_table with an opaque parquet
+    magic-bytes error."""
+    from gcs2postgres_spark.sources.iceberg_py import write_iceberg_fixture
+
+    spark = registered
+    df = _nation(spark, 0, 10)
+    for fmt in ("avro", "orc"):
+        t = str(tmp_path / fmt)
+        write_iceberg_fixture(df.repartition(2), t, data_format=fmt)
+        got = spark.read.format("iceberg_py").option("path", t).load()
+        assert sorted(r["k"] for r in got.collect()) == list(range(10))
