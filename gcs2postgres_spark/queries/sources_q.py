@@ -3461,3 +3461,82 @@ def merge_per_column_set_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+V2_CHECKPOINT_ORACLE = """
+WITH state AS (
+  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 3
+  UNION ALL
+  SELECT n_nationkey + 100, n_name, n_regionkey FROM nation WHERE n_regionkey = 0
+)
+SELECT n_regionkey                      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name)                      AS first_name
+FROM state
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("delta_v2_checkpoint_roundtrip", oracle=V2_CHECKPOINT_ORACLE)
+def delta_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 (uuid-named manifest + sidecar) checkpoints — the layout
+    modern Delta writers emit by default: write nation, DV-delete a
+    region, flip delta.checkpointPolicy=v2 (protocol upgrade in the
+    same commit), checkpoint, then SIMULATE LOG CLEANUP by deleting
+    every JSON commit at or before the checkpoint. The subsequent
+    append and read reconstruct the snapshot from the manifest +
+    sidecar alone — the oracle reproduces the expected final state
+    declaratively, so a lost file, resurrected DV-deleted row, or
+    dropped metaData breaks the hash. Reference tie: snapshot
+    resolution the reference delegates to its engine (src/db/db.go:22-43)."""
+    tune_for_session(spark)
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        set_delta_property,
+        write_checkpoint,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_v2cp_")
+    try:
+        write_delta(nation.coalesce(1), tmp, "overwrite",
+                    timestamp_ms=1_700_000_000_000)
+        delete_where_delta(spark, tmp, "n_regionkey = 3",
+                           timestamp_ms=1_700_000_001_000)
+        v = set_delta_property(spark, tmp, "delta.checkpointPolicy", "v2",
+                               timestamp_ms=1_700_000_002_000)
+        write_checkpoint(spark, tmp, v)
+        for f in _glob.glob(os.path.join(tmp, "_delta_log", "*.json")):
+            if int(os.path.basename(f).split(".")[0]) <= v:
+                os.remove(f)
+        extra = (
+            nation.filter(F.col("n_regionkey") == 0)
+            .withColumn(
+                "n_nationkey",
+                (F.col("n_nationkey") + 100).cast(dict(nation.dtypes)["n_nationkey"]),
+            )
+            .select("n_nationkey", "n_name", "n_regionkey")
+        )
+        write_delta(extra.coalesce(1), tmp, "append",
+                    timestamp_ms=1_700_000_003_000)
+        df = read_delta_py(spark, tmp)
+        return (
+            df.groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

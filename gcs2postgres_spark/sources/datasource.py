@@ -239,10 +239,8 @@ def make_delta_py_datasource():
 
         def _meta(self):
             # runs in the datasource worker process: self-contained log
-            # replay (stdlib + pyarrow for the checkpoint parquet when
+            # replay (stdlib + pyarrow for the checkpoint files when
             # the JSON prefix was cleaned) — no SparkSession there
-            import pyarrow.parquet as pq
-
             table = self.options["path"]
             log = os.path.join(table, "_delta_log")
             if not os.path.isdir(log):
@@ -260,13 +258,16 @@ def make_delta_py_datasource():
                 v in commits for v in range(max(commits, default=-1) + 1)
             ) and commits
             if os.path.exists(lc) and not have_full_json:
+                from gcs2postgres_spark.sources.delta_py import (
+                    checkpoint_actions_pyarrow,
+                )
+
                 cp_version = int(json.loads(open(lc).read())["version"])
-                cp = os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
-                for row in pq.read_table(cp).to_pylist():
-                    add = row.get("add")
+                for a in checkpoint_actions_pyarrow(log, cp_version):
+                    add = a.get("add")
                     if add and add.get("path"):
                         live[add["path"]] = add
-                    md = row.get("metaData")
+                    md = a.get("metaData")
                     if md and md.get("schemaString"):
                         meta = md
             for v in sorted(c for c in commits if c > cp_version):
@@ -471,22 +472,25 @@ def make_delta_py_datasource():
 
         def _last_txn(self):
             # session-free txn watermark scan (checkpoint + JSON commits)
-            import pyarrow.parquet as pq
-
             log = os.path.join(self.table, "_delta_log")
             if not os.path.isdir(log):
                 return -1
             best, cp_version = -1, -1
             lc = os.path.join(log, "_last_checkpoint")
             if os.path.exists(lc):
+                from gcs2postgres_spark.sources.delta_py import (
+                    checkpoint_actions_pyarrow,
+                )
+
                 cp_version = int(json.loads(open(lc).read())["version"])
-                cp = os.path.join(log, f"{cp_version:020d}.checkpoint.parquet")
-                if os.path.exists(cp):
-                    t = pq.read_table(cp)
-                    if "txn" in t.column_names:
-                        for r in t.column("txn").to_pylist():
-                            if r and r.get("appId") == self.app_id:
-                                best = max(best, int(r["version"]))
+                try:
+                    actions = checkpoint_actions_pyarrow(log, cp_version)
+                except FileNotFoundError:
+                    actions = []
+                for a in actions:
+                    t = a.get("txn")
+                    if t and t.get("appId") == self.app_id:
+                        best = max(best, int(t["version"]))
             for f in os.listdir(log):
                 m = re.fullmatch(r"(\d+)\.json", f)
                 if not m or int(m.group(1)) <= cp_version:
@@ -545,19 +549,20 @@ def make_delta_py_datasource():
                 if meta is None and cp_version >= 0:
                     # checkpoint-only table (JSON commits cleaned up past
                     # the checkpoint): the metaData lives in the
-                    # checkpoint parquet — read it there so the contract
+                    # checkpoint files — read it there so the contract
                     # guard still runs instead of silently skipping
-                    import pyarrow.parquet as pq
-
-                    cp = os.path.join(
-                        log, f"{cp_version:020d}.checkpoint.parquet"
+                    from gcs2postgres_spark.sources.delta_py import (
+                        checkpoint_actions_pyarrow,
                     )
-                    if os.path.exists(cp):
-                        t = pq.read_table(cp)
-                        if "metaData" in t.column_names:
-                            for r in t.column("metaData").to_pylist():
-                                if r and r.get("schemaString"):
-                                    meta = r
+
+                    try:
+                        actions = checkpoint_actions_pyarrow(log, cp_version)
+                    except FileNotFoundError:
+                        actions = []
+                    for a in actions:
+                        r = a.get("metaData")
+                        if r and r.get("schemaString"):
+                            meta = r
                 if meta is not None:
                     theirs_parts = list(meta.get("partitionColumns") or [])
                     if theirs_parts != self.part_cols:

@@ -60,6 +60,10 @@ from gcs2postgres_spark.sources import fsio
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# classic multi-part: <version>.checkpoint.<part>.<numParts>.parquet
+_CP_MULTIPART_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# v2 (uuid-named manifest + sidecars): <version>.checkpoint.<uniqueStr>.{parquet|json}
+_CP_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(parquet|json)$")
 
 _DELTA_JAR_HINT = (
     "install the delta-spark package (spark.jars.packages="
@@ -80,30 +84,227 @@ def _list_commits(log_dir: str) -> dict[int, str]:
     return out
 
 
+def _pyarrow_maps_to_dicts(val):
+    """pyarrow ``to_pylist`` renders map columns as lists of (key, value)
+    tuples; the log-action dicts everywhere else use plain dicts
+    (``partitionValues``, ``configuration``, ...). Tuples can ONLY come
+    from that conversion — JSON parsing never produces them — so any
+    list of 2-tuples is a map."""
+    if isinstance(val, list):
+        if val and all(isinstance(t, tuple) and len(t) == 2 for t in val):
+            return {k: _pyarrow_maps_to_dicts(v) for k, v in val}
+        return [_pyarrow_maps_to_dicts(v) for v in val]
+    if isinstance(val, dict):
+        return {k: _pyarrow_maps_to_dicts(v) for k, v in val.items()}
+    return val
+
+
+def _parse_v2_manifest_actions(path: str) -> list[dict]:
+    """Parse a v2 (uuid-named) checkpoint manifest into action dicts.
+    The manifest is metadata-scale by construction — the protocol puts
+    non-file actions (protocol/metaData/txn/domainMetadata) plus
+    ``sidecar`` references there, with the bulk file actions in the
+    sidecar parquet files — so a driver-side pyarrow/JSON parse is
+    bounded. Works for both manifest encodings (.json line-actions and
+    .parquet struct columns)."""
+    if path.endswith(".json"):
+        return [
+            json.loads(line)
+            for line in fsio.read_text(path).splitlines()
+            if line.strip()
+        ]
+    import io
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(io.BytesIO(fsio.read_bytes(path)))
+    actions: list[dict] = []
+    for row in t.to_pylist():
+        for key, val in row.items():
+            if val is None or not isinstance(val, dict):
+                continue
+            # a struct cell whose every field is NULL is padding from the
+            # row-wise union layout, not an action
+            if all(v is None for v in val.values()):
+                continue
+            actions.append({key: _pyarrow_maps_to_dicts(val)})
+    return actions
+
+
+def _find_checkpoint(log_dir: str, version: int) -> dict | None:
+    """Locate the checkpoint files for ``version`` in any of the
+    protocol's three layouts:
+
+    - ``classic``: one ``<v>.checkpoint.parquet``
+    - ``multipart``: ``<v>.checkpoint.<part>.<numParts>.parquet`` —
+      validated complete (every part 1..numParts present)
+    - ``v2``: a uuid-named manifest ``<v>.checkpoint.<uuid>.{parquet|json}``
+      whose ``sidecar`` actions name the file-action parquet files under
+      ``_delta_log/_sidecars/``
+
+    Returns ``{"kind", "parts"}`` (+ ``"actions"`` for v2 — the parsed
+    manifest, whose non-file actions the spec requires to live in the
+    manifest itself), or None when no checkpoint exists at ``version``."""
+    classic = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    if fsio.exists(classic):
+        return {"kind": "classic", "parts": [classic]}
+    prefix = f"{version:020d}.checkpoint."
+    multi: dict[int, tuple[int, str]] = {}
+    v2_name = None
+    for name in fsio.listdir(log_dir):
+        if not name.startswith(prefix):
+            continue
+        m = _CP_MULTIPART_RE.match(name)
+        if m:
+            multi[int(m.group(2))] = (int(m.group(3)), name)
+            continue
+        if _CP_V2_RE.match(name):
+            v2_name = name
+    if multi:
+        n = next(iter(multi.values()))[0]
+        if sorted(multi) != list(range(1, n + 1)) or any(
+            t[0] != n for t in multi.values()
+        ):
+            raise FileNotFoundError(
+                f"multi-part checkpoint at version {version} is incomplete "
+                f"(have parts {sorted(multi)} of {n}); {_DELTA_JAR_HINT}"
+            )
+        return {
+            "kind": "multipart",
+            "parts": [os.path.join(log_dir, multi[i][1]) for i in range(1, n + 1)],
+        }
+    if v2_name:
+        actions = _parse_v2_manifest_actions(os.path.join(log_dir, v2_name))
+        sidecars = []
+        for a in actions:
+            sc = a.get("sidecar")
+            if sc and sc.get("path"):
+                p = sc["path"]
+                if not fsio.has_scheme(p) and not os.path.isabs(p):
+                    # bare file names resolve under _delta_log/_sidecars
+                    p = os.path.join(log_dir, "_sidecars", p)
+                sidecars.append(p)
+        return {"kind": "v2", "parts": sidecars, "actions": actions}
+    return None
+
+
+def _adds_from_cp_df(cp) -> list[dict]:
+    """Collect live ``add`` dicts from a checkpoint/sidecar DataFrame —
+    only metadata columns (path, partitionValues, DV descriptor, size,
+    row-tracking base) per live file."""
+    if "add" not in cp.columns:
+        return []
+    add_fields = {f.name for f in cp.schema["add"].dataType.fields}
+    sel = [F.col("add.path"), F.col("add.partitionValues")]
+    has_dv = "deletionVector" in add_fields
+    has_size = "size" in add_fields
+    has_rowid = "baseRowId" in add_fields
+    if has_dv:
+        sel.append(F.col("add.deletionVector"))
+    if has_size:
+        sel.append(F.col("add.size"))
+    if has_rowid:
+        sel.append(F.col("add.baseRowId"))
+        sel.append(F.col("add.defaultRowCommitVersion"))
+    adds = []
+    for row in cp.filter(F.col("add.path").isNotNull()).select(*sel).collect():
+        dv = row["deletionVector"] if has_dv else None
+        add = {
+            "path": row["path"],
+            "partitionValues": row["partitionValues"] or {},
+            "deletionVector": dv.asDict() if dv is not None else None,
+        }
+        if has_size:
+            add["size"] = row["size"]
+        if has_rowid and row["baseRowId"] is not None:
+            add["baseRowId"] = row["baseRowId"]
+            add["defaultRowCommitVersion"] = row["defaultRowCommitVersion"]
+        adds.append(add)
+    return adds
+
+
+def _norm_add_dict(add: dict) -> dict:
+    """Normalize a raw ``add`` action dict (from a v2 manifest's inline
+    file actions) to the keys the reader's live-set tracks."""
+    out = {
+        "path": add["path"],
+        "partitionValues": add.get("partitionValues") or {},
+        "deletionVector": add.get("deletionVector"),
+    }
+    if add.get("size") is not None:
+        out["size"] = add["size"]
+    if add.get("baseRowId") is not None:
+        out["baseRowId"] = add["baseRowId"]
+        out["defaultRowCommitVersion"] = add.get("defaultRowCommitVersion")
+    return out
+
+
+def checkpoint_actions_pyarrow(log_dir: str, version: int) -> list[dict]:
+    """Session-free checkpoint load: every action recorded in the
+    checkpoint files at ``version`` — any layout (classic, multi-part,
+    v2 manifest + sidecars) — as raw dicts, via pyarrow only. For
+    consumers that run where no SparkSession exists (the Python
+    DataSource worker's log replay)."""
+    found = _find_checkpoint(log_dir, version)
+    if found is None:
+        raise FileNotFoundError(
+            f"no checkpoint files at version {version} in {log_dir!r}"
+        )
+    import pyarrow.parquet as pq
+
+    actions = list(found.get("actions") or [])
+    for part in found["parts"]:
+        for row in pq.read_table(part).to_pylist():
+            for key, val in row.items():
+                if isinstance(val, dict) and any(
+                    v is not None for v in val.values()
+                ):
+                    actions.append({key: _pyarrow_maps_to_dicts(val)})
+    return actions
+
+
 def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict], dict | None]:
     """If ``_last_checkpoint`` exists, load the compacted state from the
-    checkpoint parquet: returns (checkpoint_version, live add dicts,
-    metaData dict or None). Distributed read; only metadata columns are
-    collected (path + partitionValues per live file)."""
+    checkpoint (classic single/multi-part parquet, or a v2 uuid-named
+    manifest + sidecars): returns (checkpoint_version, live add dicts,
+    metaData dict or None). Distributed read for the file actions; only
+    metadata columns are collected (path + partitionValues per live
+    file)."""
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not fsio.exists(lc):
         return -1, [], None
     version = int(json.loads(fsio.read_text(lc))["version"])
-    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    if not fsio.exists(cp_path):
-        # not a CLASSIC checkpoint (v2 checkpoints use uuid-named files
-        # + sidecars this reader does not parse): fall back to a full
-        # JSON replay when the prefix is intact — correct, just uncompacted
+    found = _find_checkpoint(log_dir, version)
+    if found is None:
+        # _last_checkpoint names a version whose files are gone (crashed
+        # cleanup?): fall back to a full JSON replay when the prefix is
+        # intact — correct, just uncompacted
         commits = _list_commits(log_dir)
         if commits and all(v in commits for v in range(max(commits) + 1)):
             return -1, [], None
         raise FileNotFoundError(
-            f"_last_checkpoint names version {version} but {cp_path} is "
-            "missing (v2/uuid-named checkpoint?) and the JSON prefix is "
-            f"incomplete; {_DELTA_JAR_HINT}"
+            f"_last_checkpoint names version {version} but no checkpoint "
+            "files exist there and the JSON prefix is incomplete; "
+            f"{_DELTA_JAR_HINT}"
         )
-    cp = spark.read.parquet(cp_path)
-    adds = []
+    if found["kind"] == "v2":
+        # spec: non-file actions (protocol/metaData/txn/domainMetadata)
+        # MUST live in the manifest itself; file actions are inline OR
+        # in the sidecars
+        meta = None
+        inline_adds: list[dict] = []
+        for a in found["actions"]:
+            if "protocol" in a and a["protocol"].get("minReaderVersion") is not None:
+                _check_protocol(a["protocol"])
+            elif "metaData" in a and a["metaData"].get("schemaString"):
+                meta = a["metaData"]
+            elif "add" in a and a["add"].get("path"):
+                inline_adds.append(_norm_add_dict(a["add"]))
+        if not found["parts"]:
+            return version, inline_adds, meta
+        cp = spark.read.parquet(*found["parts"])
+        return version, inline_adds + _adds_from_cp_df(cp), meta
+    cp = spark.read.parquet(*found["parts"])
     meta = None
     cols = set(cp.columns)
     if "protocol" in cols:
@@ -116,32 +317,7 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
         )
         if protos:
             _check_protocol(protos[0]["protocol"].asDict(recursive=True))
-    if "add" in cols:
-        add_fields = {f.name for f in cp.schema["add"].dataType.fields}
-        sel = [F.col("add.path"), F.col("add.partitionValues")]
-        has_dv = "deletionVector" in add_fields
-        has_size = "size" in add_fields
-        has_rowid = "baseRowId" in add_fields
-        if has_dv:
-            sel.append(F.col("add.deletionVector"))
-        if has_size:
-            sel.append(F.col("add.size"))
-        if has_rowid:
-            sel.append(F.col("add.baseRowId"))
-            sel.append(F.col("add.defaultRowCommitVersion"))
-        for row in cp.filter(F.col("add.path").isNotNull()).select(*sel).collect():
-            dv = row["deletionVector"] if has_dv else None
-            add = {
-                "path": row["path"],
-                "partitionValues": row["partitionValues"] or {},
-                "deletionVector": dv.asDict() if dv is not None else None,
-            }
-            if has_size:
-                add["size"] = row["size"]
-            if has_rowid and row["baseRowId"] is not None:
-                add["baseRowId"] = row["baseRowId"]
-                add["defaultRowCommitVersion"] = row["defaultRowCommitVersion"]
-            adds.append(add)
+    adds = _adds_from_cp_df(cp)
     if "metaData" in cols:
         metas = cp.filter(F.col("metaData.schemaString").isNotNull()).select("metaData").collect()
         if metas:
@@ -184,18 +360,23 @@ def _head_protocol(table_path: str) -> dict:
         return protocol
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not fsio.has_scheme(log_dir) and os.path.exists(lc):
-        cp_path = os.path.join(
-            log_dir,
-            f"{int(json.loads(fsio.read_text(lc))['version']):020d}.checkpoint.parquet",
+        found = _find_checkpoint(
+            log_dir, int(json.loads(fsio.read_text(lc))["version"])
         )
-        if os.path.exists(cp_path):
+        if found is not None and found["kind"] == "v2":
+            for a in found["actions"]:
+                r = a.get("protocol")
+                if r and r.get("minReaderVersion") is not None:
+                    protocol = {k: v for k, v in r.items() if v is not None}
+        elif found is not None:
             import pyarrow.parquet as _pq
 
-            t = _pq.read_table(cp_path)
-            if "protocol" in t.column_names:
-                for r in t.column("protocol").to_pylist():
-                    if r and r.get("minReaderVersion") is not None:
-                        protocol = {k: v for k, v in r.items() if v is not None}
+            for part in found["parts"]:
+                t = _pq.read_table(part, columns=None)
+                if "protocol" in t.column_names:
+                    for r in t.column("protocol").to_pylist():
+                        if r and r.get("minReaderVersion") is not None:
+                            protocol = {k: v for k, v in r.items() if v is not None}
     commits = _list_commits(log_dir)
     for v in sorted(commits):
         for line in fsio.read_text(commits[v]).splitlines():
@@ -235,6 +416,9 @@ _SUPPORTED_WRITER_FEATURES = {
     # water mark atomically (enable_row_tracking backfills)
     "rowTracking",
     "domainMetadata",
+    # honored: write_checkpoint writes the uuid-named manifest + sidecar
+    # layout when delta.checkpointPolicy=v2 (and the reader parses it)
+    "v2Checkpoint",
 }
 
 
@@ -1618,14 +1802,57 @@ def _auto_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
             pass
 
 
-def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None:
-    """Compact the log state at ``version`` into a
-    ``<version>.checkpoint.parquet`` + ``_last_checkpoint`` pair, in the
-    protocol's checkpoint schema (one row per action, struct columns) —
-    LOSSLESS over add fields incl. deletion-vector descriptors and
-    sizes. Called automatically every CHECKPOINT_EVERY commits by the
-    committers (_auto_checkpoint); callable directly for tests and
-    manual maintenance."""
+_CP_ADD_STRUCT = (
+    "struct<path: string, partitionValues: map<string,string>, "
+    "size: long, modificationTime: long, dataChange: boolean, "
+    "deletionVector: struct<storageType: string, pathOrInlineDv: string, "
+    "offset: int, sizeInBytes: int, cardinality: long>, "
+    "baseRowId: long, defaultRowCommitVersion: long>"
+)
+# feature lists are part of the protocol's identity: a v3/v7 checkpoint
+# without them would silently drop the reader/writer gates after log cleanup
+_CP_META_SCHEMA = (
+    "metaData struct<id: string, format: struct<provider: string>, "
+    "schemaString: string, partitionColumns: array<string>, "
+    "configuration: map<string,string>>, "
+    "protocol struct<minReaderVersion: int, minWriterVersion: int, "
+    "readerFeatures: array<string>, writerFeatures: array<string>>, "
+    "txn struct<appId: string, version: long, lastUpdated: long>, "
+    "domainMetadata struct<domain: string, configuration: string, "
+    "removed: boolean>"
+)
+
+
+def _write_single_parquet(spark: SparkSession, df: DataFrame, dest: str) -> None:
+    """Write ``df`` as exactly one parquet file at ``dest`` (write to a
+    tmp dir, move the single part file into place)."""
+    import shutil
+
+    tmp = dest + f".__tmp_{uuid.uuid4().hex[:8]}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.replace(os.path.join(tmp, part), dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_checkpoint(
+    spark: SparkSession, table_path: str, version: int, policy: str | None = None
+) -> None:
+    """Compact the log state at ``version`` into a checkpoint +
+    ``_last_checkpoint`` pair, in the protocol's checkpoint schema (one
+    row per action, struct columns) — LOSSLESS over add fields incl.
+    deletion-vector descriptors and sizes. Called automatically every
+    CHECKPOINT_EVERY commits by the committers (_auto_checkpoint);
+    callable directly for tests and manual maintenance.
+
+    ``policy`` picks the layout: ``"classic"`` writes the single
+    ``<version>.checkpoint.parquet``; ``"v2"`` writes the uuid-named
+    manifest (checkpointMetadata + sidecar refs + non-file actions) with
+    the file actions in a ``_delta_log/_sidecars/`` parquet, the layout
+    modern writers use (requires the ``v2Checkpoint`` table feature —
+    set via ``delta.checkpointPolicy=v2``, which upgrades the protocol).
+    Default (None): the table's ``delta.checkpointPolicy`` property, or
+    classic."""
     log_dir = _log_dir(table_path)
     commits = _list_commits(log_dir)
     live: dict[str, dict] = {}
@@ -1633,7 +1860,36 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
     protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
     txns: dict[str, dict] = {}
     domains: dict[str, dict] = {}
-    for v in sorted(c for c in commits if c <= version):
+    base = -1
+    if not all(v in commits for v in range(version + 1)):
+        # JSON prefix incomplete (log cleanup): seed from the previous
+        # checkpoint instead of silently dropping the pre-cleanup state
+        lc = os.path.join(log_dir, "_last_checkpoint")
+        if not os.path.exists(lc):
+            raise FileNotFoundError(
+                f"cannot checkpoint {table_path!r} at version {version}: the "
+                "JSON prefix is incomplete and there is no prior checkpoint"
+            )
+        base = int(json.loads(fsio.read_text(lc))["version"])
+        if base > version or not all(
+            v in commits for v in range(base + 1, version + 1)
+        ):
+            raise FileNotFoundError(
+                f"cannot checkpoint {table_path!r} at version {version}: "
+                f"commits after the prior checkpoint ({base}) are missing"
+            )
+        for a in checkpoint_actions_pyarrow(log_dir, base):
+            if "add" in a and a["add"].get("path"):
+                live[a["add"]["path"]] = a["add"]
+            elif "metaData" in a and a["metaData"].get("schemaString"):
+                meta = a["metaData"]
+            elif "protocol" in a and a["protocol"].get("minReaderVersion") is not None:
+                protocol = {k: v for k, v in a["protocol"].items() if v is not None}
+            elif "txn" in a and a["txn"].get("appId"):
+                txns[a["txn"]["appId"]] = a["txn"]
+            elif "domainMetadata" in a and a["domainMetadata"].get("domain"):
+                domains[a["domainMetadata"]["domain"]] = a["domainMetadata"]
+    for v in sorted(c for c in commits if base < c <= version):
         with open(commits[v]) as f:
             for line in f:
                 if not line.strip():
@@ -1690,39 +1946,78 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int) -> None
                             "removed": bool(d.get("removed", False))}}
         for d in domains.values()
     )
-    cp_schema = (
-        "add struct<path: string, partitionValues: map<string,string>, "
-        "size: long, modificationTime: long, dataChange: boolean, "
-        "deletionVector: struct<storageType: string, pathOrInlineDv: string, "
-        "offset: int, sizeInBytes: int, cardinality: long>, "
-        "baseRowId: long, defaultRowCommitVersion: long>, "
-        "metaData struct<id: string, format: struct<provider: string>, "
-        "schemaString: string, partitionColumns: array<string>, "
-        "configuration: map<string,string>>, "
-        # feature lists are part of the protocol's identity: a v3/v7
-        # checkpoint without them would silently drop the reader/writer
-        # gates after log cleanup
-        "protocol struct<minReaderVersion: int, minWriterVersion: int, "
-        "readerFeatures: array<string>, writerFeatures: array<string>>, "
-        "txn struct<appId: string, version: long, lastUpdated: long>, "
-        "domainMetadata struct<domain: string, configuration: string, "
-        "removed: boolean>"
-    )
-    cp_df = spark.createDataFrame(
-        [
-            (r.get("add"), r.get("metaData"), r.get("protocol"), r.get("txn"),
+    if policy is None:
+        policy = ((meta or {}).get("configuration") or {}).get(
+            "delta.checkpointPolicy", "classic"
+        )
+    if policy not in ("classic", "v2"):
+        raise ValueError(f"unknown checkpoint policy {policy!r} (classic|v2)")
+    if policy == "v2":
+        features = set(protocol.get("readerFeatures") or []) | set(
+            protocol.get("writerFeatures") or []
+        )
+        if "v2Checkpoint" not in features:
+            raise ValueError(
+                "v2 checkpoints require the v2Checkpoint table feature — "
+                "SET TBLPROPERTIES (delta.checkpointPolicy = v2) first "
+                "(it upgrades the protocol)"
+            )
+        file_rows = [r for r in rows if r.get("add")]
+        meta_rows = [r for r in rows if not r.get("add")]
+        uid = str(uuid.uuid4())
+        sidecar_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(sidecar_dir, exist_ok=True)
+        sidecar_name = f"{uid}.parquet"
+        sidecar_path = os.path.join(sidecar_dir, sidecar_name)
+        _write_single_parquet(
+            spark,
+            spark.createDataFrame(
+                [(r["add"],) for r in file_rows], f"add {_CP_ADD_STRUCT}"
+            ),
+            sidecar_path,
+        )
+        manifest_schema = (
+            "checkpointMetadata struct<version: long>, "
+            "sidecar struct<path: string, sizeInBytes: long, "
+            "modificationTime: long>, " + _CP_META_SCHEMA
+        )
+        manifest_rows = [
+            ({"version": version}, None, None, None, None, None),
+            (
+                None,
+                {
+                    "path": sidecar_name,
+                    "sizeInBytes": os.path.getsize(sidecar_path),
+                    "modificationTime": 0,
+                },
+                None,
+                None,
+                None,
+                None,
+            ),
+        ] + [
+            (None, None, r.get("metaData"), r.get("protocol"), r.get("txn"),
              r.get("domainMetadata"))
-            for r in rows
-        ],
-        cp_schema,
-    )
-    tmp = os.path.join(log_dir, "_cp_tmp")
-    cp_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-    os.replace(os.path.join(tmp, part), os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+            for r in meta_rows
+        ]
+        _write_single_parquet(
+            spark,
+            spark.createDataFrame(manifest_rows, manifest_schema),
+            os.path.join(log_dir, f"{version:020d}.checkpoint.{uid}.parquet"),
+        )
+    else:
+        cp_schema = f"add {_CP_ADD_STRUCT}, " + _CP_META_SCHEMA
+        cp_df = spark.createDataFrame(
+            [
+                (r.get("add"), r.get("metaData"), r.get("protocol"), r.get("txn"),
+                 r.get("domainMetadata"))
+                for r in rows
+            ],
+            cp_schema,
+        )
+        _write_single_parquet(
+            spark, cp_df, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        )
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
 
@@ -1842,9 +2137,15 @@ def last_txn_version(
     lc = os.path.join(log_dir, "_last_checkpoint")
     if fsio.exists(lc):
         cp_version = int(json.loads(fsio.read_text(lc))["version"])
-        cp_path = os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
-        if fsio.exists(cp_path):
-            cp = spark.read.parquet(cp_path)
+        found = _find_checkpoint(log_dir, cp_version)
+        if found is not None and found["kind"] == "v2":
+            # spec: txn actions live in the v2 manifest, not sidecars
+            for a in found["actions"]:
+                t = a.get("txn")
+                if t and t.get("appId") == app_id and t.get("version") is not None:
+                    best = max(best, int(t["version"]))
+        elif found is not None:
+            cp = spark.read.parquet(*found["parts"])
             if "txn" in cp.columns:
                 rows = (
                     cp.filter(F.col("txn.appId") == app_id)
@@ -1880,23 +2181,31 @@ def _row_id_high_watermark(spark: SparkSession, table_path: str) -> int:
     lc = os.path.join(log_dir, "_last_checkpoint")
     if fsio.exists(lc):
         cp_version = int(json.loads(fsio.read_text(lc))["version"])
-        cp_path = os.path.join(log_dir, f"{cp_version:020d}.checkpoint.parquet")
-        if fsio.exists(cp_path):
-            cp = spark.read.parquet(cp_path)
+        found = _find_checkpoint(log_dir, cp_version)
+        configs: list[str] = []
+        if found is not None and found["kind"] == "v2":
+            # spec: domainMetadata actions live in the v2 manifest
+            configs = [
+                a["domainMetadata"].get("configuration") or ""
+                for a in found["actions"]
+                if a.get("domainMetadata", {}).get("domain") == _ROW_TRACKING_DOMAIN
+            ]
+        elif found is not None:
+            cp = spark.read.parquet(*found["parts"])
             if "domainMetadata" in cp.columns:
-                rows = (
-                    cp.filter(F.col("domainMetadata.domain") == _ROW_TRACKING_DOMAIN)
+                configs = [
+                    r["configuration"]
+                    for r in cp.filter(
+                        F.col("domainMetadata.domain") == _ROW_TRACKING_DOMAIN
+                    )
                     .select("domainMetadata.configuration")
                     .collect()
-                )
-                for r in rows:
-                    try:
-                        hwm = max(
-                            hwm,
-                            int(json.loads(r["configuration"])["rowIdHighWaterMark"]),
-                        )
-                    except (ValueError, KeyError, TypeError):
-                        pass
+                ]
+        for cfg in configs:
+            try:
+                hwm = max(hwm, int(json.loads(cfg)["rowIdHighWaterMark"]))
+            except (ValueError, KeyError, TypeError):
+                pass
     commits = _list_commits(log_dir) if fsio.isdir(log_dir) else {}
     for v in sorted(c for c in commits if c > cp_version):
         for line in fsio.read_text(commits[v]).splitlines():
@@ -1967,8 +2276,21 @@ def set_delta_property(
     new_meta["configuration"] = config
     log_dir = _log_dir(table_path)
     version = max(_list_commits(log_dir)) + 1
+    actions: list[dict] = [{"metaData": new_meta}]
+    if key == "delta.checkpointPolicy" and value == "v2":
+        # spec: v2 checkpoints are a reader+writer table feature — the
+        # property flip upgrades the protocol in the same commit, so
+        # subsequent _auto_checkpoint calls may write the v2 layout
+        actions.insert(
+            0,
+            _upgraded_protocol_action(
+                _head_protocol(table_path),
+                add_reader={"v2Checkpoint"},
+                add_writer={"v2Checkpoint"},
+            ),
+        )
     _write_commit(
-        log_dir, version, [{"metaData": new_meta}], timestamp_ms,
+        log_dir, version, actions, timestamp_ms,
         operation="SET TBLPROPERTIES",
     )
     return version

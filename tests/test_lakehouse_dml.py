@@ -851,9 +851,10 @@ def test_lakehouse_sql_facade(spark, tmp_path):
     snaps = lakehouse_sql(spark, f"DESCRIBE HISTORY iceberg.`{it}`")
     assert snaps.filter("operation = 'replace'").count() == 1
 
-    # grammar errors are loud and name the surface
+    # grammar errors are loud and name the surface (TRUNCATE itself is
+    # supported since round 13 — see test_lakehouse_facade_surface)
     with pytest.raises(ValueError, match="unrecognized"):
-        lakehouse_sql(spark, f"TRUNCATE TABLE delta.`{dt}`")
+        lakehouse_sql(spark, f"ANALYZE TABLE delta.`{dt}` COMPUTE STATISTICS")
     with pytest.raises(ValueError, match="key equality"):
         lakehouse_sql(
             spark,
