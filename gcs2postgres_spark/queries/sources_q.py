@@ -3540,3 +3540,79 @@ def delta_v2_checkpoint_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+V3_DV_ORACLE = """
+WITH state AS (
+  SELECT n_nationkey, n_name, n_regionkey FROM nation
+  WHERE n_regionkey <> 3 AND n_nationkey >= 5
+  UNION ALL
+  SELECT n_nationkey + 100, n_name, n_regionkey FROM nation WHERE n_regionkey = 1
+)
+SELECT n_regionkey                      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name)                      AS first_name
+FROM state
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("iceberg_v3_dv_roundtrip", oracle=V3_DV_ORACLE)
+def iceberg_v3_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg format-version 3 deletion vectors (spec v3 + Puffin):
+    v2 table with parquet position deletes -> upgrade_iceberg_format_version
+    CONVERTS them to Puffin DVs (v3 forbids position-delete files) ->
+    a v3 DELETE writes a superset-merged DV per file -> an append
+    advances the row-lineage counters. The read reconstructs the state
+    from DV-bearing manifests alone; the oracle replays the expected
+    survivors declaratively, so a resurrected deleted row, a lost DV,
+    or a mis-gated sequence number breaks the hash. Reference tie:
+    scan planning the reference delegates (src/db/db.go:22-43)."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        delete_where,
+        read_iceberg_py,
+        upgrade_iceberg_format_version,
+        write_iceberg_v2_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_v3dv_")
+    try:
+        write_iceberg_v2_fixture(nation, tmp, sort_col="n_nationkey")
+        # v2 position deletes, then the conversion
+        delete_where(spark, tmp, "n_regionkey = 3",
+                     snapshot_ts_ms=1_700_000_001_000)
+        upgrade_iceberg_format_version(spark, tmp,
+                                       snapshot_ts_ms=1_700_000_002_000)
+        # v3 DELETE: merged into per-file DVs (superset rule)
+        delete_where(spark, tmp, "n_nationkey < 5",
+                     snapshot_ts_ms=1_700_000_003_000)
+        extra = (
+            nation.filter(F.col("n_regionkey") == 1)
+            .withColumn(
+                "n_nationkey",
+                (F.col("n_nationkey") + 100).cast(dict(nation.dtypes)["n_nationkey"]),
+            )
+            .select("n_nationkey", "n_name", "n_regionkey")
+        )
+        append_iceberg_v2(spark, tmp, extra,
+                          snapshot_ts_ms=1_700_000_004_000)
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

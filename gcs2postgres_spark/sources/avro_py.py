@@ -219,7 +219,11 @@ def _encode(schema, value, buf: io.BytesIO) -> None:
         t = schema["type"]
         if t == "record":
             for f in schema["fields"]:
-                _encode(f["type"], value[f["name"]], buf)
+                # absent keys encode as null when the field is nullable
+                # (writers add optional fields without touching every
+                # call site); a missing REQUIRED field still fails loudly
+                # at the union/type match
+                _encode(f["type"], value.get(f["name"]), buf)
             return
         if t == "array":
             if value:

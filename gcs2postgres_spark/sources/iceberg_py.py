@@ -304,6 +304,19 @@ def _norm_path(p: str) -> str:
     return re.sub(r"^file:(//)?", "", p)
 
 
+
+def _missing_column_lit(fjson: dict, dtype):
+    """Projection for a column ABSENT from a data file: the field's
+    ``initial-default`` when declared (v3 "Default values" — files
+    written before the column existed read the default), else NULL
+    (v1/v2 behavior). JSON single-value serialization renders temporal
+    defaults as strings; the cast restores the declared type."""
+    dv = fjson.get("initial-default")
+    if dv is None:
+        return F.lit(None).cast(dtype)
+    return F.lit(dv).cast(dtype)
+
+
 def read_iceberg_py(
     spark: SparkSession,
     table_path: str,
@@ -462,6 +475,8 @@ def read_iceberg_py(
     avro_paths: set[str] = set()  # Avro-format members of data_files
     pos_deletes: list[tuple[str, int]] = []  # (path, seq)
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []  # (path, seq, ids)
+    # v3 deletion vectors: (puffin path, offset, size, seq, referenced file)
+    dv_deletes: list[tuple[str, int, int, int, str]] = []
     _, manifests = read_avro_file(_resolve(snapshot["manifest-list"], table_path, location))
     for m in manifests:
         manifest_seq = m.get("sequence_number") or 0
@@ -475,6 +490,24 @@ def read_iceberg_py(
                 seq = manifest_seq  # spec: inherit from the manifest entry
             content = dfile.get("content", 0)
             fmt = dfile["file_format"].lower()
+            if fmt == "puffin" and content == 1 and dfile.get("referenced_data_file"):
+                # v3 deletion vector: the manifest entry addresses the
+                # blob directly (content_offset/content_size_in_bytes),
+                # so the scan never parses the Puffin footer
+                dv_deletes.append(
+                    (
+                        _resolve(dfile["file_path"], table_path, location),
+                        int(dfile["content_offset"]),
+                        int(dfile["content_size_in_bytes"]),
+                        seq,
+                        _norm_path(
+                            _resolve(
+                                dfile["referenced_data_file"], table_path, location
+                            )
+                        ),
+                    )
+                )
+                continue
             if fmt not in ("parquet", "orc", "avro") or (
                 fmt in ("orc", "avro") and content != 0
             ):
@@ -515,7 +548,7 @@ def read_iceberg_py(
 
     if not data_files:
         return spark.createDataFrame([], spark_schema)
-    if orc_paths and (pos_deletes or eq_deletes):
+    if orc_paths and (pos_deletes or eq_deletes or dv_deletes):
         raise NotImplementedError(
             "iceberg ORC data files under row-level deletes: the jar-less "
             "scan has no per-row position identity for ORC "
@@ -533,7 +566,7 @@ def read_iceberg_py(
     # the table schema; one signature (the overwhelmingly common case)
     # means exactly one scan, the pre-r10 plan.
     groups = _group_by_field_ids(paths) if paths else []
-    need_tag = bool(pos_deletes or eq_deletes)
+    need_tag = bool(pos_deletes or eq_deletes or dv_deletes)
     helpers = ["__ice_fp", "__ice_pos"] if need_tag else []
     parts = []
 
@@ -545,7 +578,7 @@ def read_iceberg_py(
             if src is None:
                 src = lower.get(field.name.lower())
             if src is None:
-                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+                cols.append(_missing_column_lit(fjson, field.dataType).alias(field.name))
             else:
                 cols.append(F.col(src).cast(field.dataType).alias(field.name))
         return df.select(*cols, *helpers)
@@ -586,7 +619,8 @@ def read_iceberg_py(
 
     if need_tag:
         df = _apply_v2_deletes(
-            spark, df, data_files, pos_deletes, eq_deletes, field_names, pretagged=True
+            spark, df, data_files, pos_deletes, eq_deletes, field_names,
+            pretagged=True, dv_deletes=dv_deletes,
         )
     return df.select(*[f.name for f in spark_schema.fields])
 
@@ -731,6 +765,7 @@ def _apply_v2_deletes(
     eq_deletes: list[tuple[str, int, tuple[int, ...]]],
     field_names: dict[int, str],
     pretagged: bool = False,
+    dv_deletes: list[tuple[str, int, int, int, str]] | None = None,
 ) -> DataFrame:
     """Apply v2 delete files to a data scan as anti-joins.
 
@@ -744,7 +779,17 @@ def _apply_v2_deletes(
     one anti-join; Catalyst/AQE picks broadcast vs shuffle per
     delete-side size. No row data ever transits the driver. Equality-
     delete FILE columns resolve by field id when their footers carry
-    ids (post-rename delete files), by the table name otherwise."""
+    ids (post-rename delete files), by the table name otherwise.
+
+    ``dv_deletes`` (Iceberg v3): deletion-vector entries as
+    ``(puffin path, content_offset, content_size_in_bytes, seq,
+    referenced data file)``. The descriptor frame is metadata-sized
+    (one row per DV'd file); the roaring DECODE runs on executors via
+    mapInPandas (sources/puffin.py) and the expanded (file, pos) pairs
+    anti-join exactly like position deletes (``dv_seq >= data_seq``).
+    Applying a DV alongside superseded older position deletes is
+    correct by the spec's superset rule (a replacement DV must contain
+    every previously deleted position), and anti-joins are idempotent."""
     data_cols = [c for c in df.columns if c not in ("__ice_fp", "__ice_pos")]
     if not pretagged:
         df = df.select(
@@ -770,6 +815,24 @@ def _apply_v2_deletes(
                 F.regexp_replace(F.col("file_path"), r"^file:(//)?", "").alias("__del_fp"),
                 F.col("pos").cast("long").alias("__del_pos"),
             )
+        )
+        cond = (
+            (df["__ice_fp"] == dels["__del_fp"])
+            & (df["__ice_pos"] == dels["__del_pos"])
+            & (F.lit(del_seq) >= df["__ice_seq"])
+        )
+        df = df.join(dels, cond, "left_anti")
+
+    # v3 deletion vectors, grouped by sequence number: executor-side
+    # puffin decode (one descriptor row per DV'd file), then the same
+    # position anti-join
+    dv_by_seq: dict[int, list[tuple[str, int, int, str]]] = {}
+    for p, off, sz, s, ref in dv_deletes or ():
+        dv_by_seq.setdefault(s, []).append((p, off, sz, ref))
+    for del_seq, descs in sorted(dv_by_seq.items()):
+        dels = _decode_dvs_df(spark, descs).select(
+            F.col("file_path").alias("__del_fp"),
+            F.col("pos").alias("__del_pos"),
         )
         cond = (
             (df["__ice_fp"] == dels["__del_fp"])
@@ -882,6 +945,24 @@ MANIFEST_ENTRY_SCHEMA_V2 = {
                         "name": "equality_ids",
                         "type": ["null", {"type": "array", "items": "int"}],
                         "field-id": 135,
+                    },
+                    # v3 deletion-vector addressing (spec field ids
+                    # 143-145): present only on content=1 PUFFIN entries;
+                    # nullable so v2 entries encode them as null
+                    {
+                        "name": "referenced_data_file",
+                        "type": ["null", "string"],
+                        "field-id": 143,
+                    },
+                    {
+                        "name": "content_offset",
+                        "type": ["null", "long"],
+                        "field-id": 144,
+                    },
+                    {
+                        "name": "content_size_in_bytes",
+                        "type": ["null", "long"],
+                        "field-id": 145,
                     },
                 ],
             },
@@ -1026,7 +1107,31 @@ def _v2_entry(
     equality_ids: list[int] | None = None,
     snapshot_id: int = 1,
     partition: dict | None = None,
+    dv: tuple[str, int, int, int] | None = None,
 ) -> dict:
+    if dv is not None:
+        # v3 deletion vector: (referenced data file, content_offset,
+        # content_size_in_bytes, cardinality); record_count is the
+        # number of deleted rows (spec "Deletion vectors")
+        ref, off, size, card = dv
+        return {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,
+                "file_path": os.path.abspath(path),
+                "file_format": "PUFFIN",
+                "partition": partition or {},
+                "record_count": card,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": None,
+                "referenced_data_file": os.path.abspath(ref),
+                "content_offset": off,
+                "content_size_in_bytes": size,
+            },
+        }
     if path.endswith(".orc"):
         import pyarrow.orc as _orc
 
@@ -1431,22 +1536,36 @@ def alter_iceberg_rename_column(table_path: str, old: str, new: str) -> None:
     _commit_schema_change(table_path, meta_path, meta, schema)
 
 
-def alter_iceberg_add_column(table_path: str, name: str, iceberg_type: str) -> None:
+def alter_iceberg_add_column(
+    table_path: str, name: str, iceberg_type: str, default=None
+) -> None:
     """Metadata-only ADD COLUMN (optional, fresh field id from
     last-column-id — the spec's add): existing files read NULL for it,
-    new files written with ids carry values. No data files touched."""
+    new files written with ids carry values. No data files touched.
+
+    ``default`` sets the spec v3 "Default values" pair: files written
+    BEFORE the column existed read ``initial-default`` (the read path's
+    _missing_column_lit), and writers fill absent values with
+    ``write-default``. Requires format-version 3."""
     if fsio.has_scheme(table_path):
         raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
     iceberg_to_spark_type(iceberg_type)  # validates the type string
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
+    if default is not None and int(meta.get("format-version", 1)) < 3:
+        raise ValueError(
+            "column defaults are a format-version-3 feature — run "
+            "upgrade_iceberg_format_version first"
+        )
     schema = json.loads(json.dumps(_load_current_schema(meta)))
     if name in (f["name"] for f in schema["fields"]):
         raise ValueError(f"column {name!r} already exists")
     fid = int(meta.get("last-column-id", max(f["id"] for f in schema["fields"]))) + 1
-    schema["fields"].append(
-        {"id": fid, "name": name, "required": False, "type": iceberg_type}
-    )
+    field = {"id": fid, "name": name, "required": False, "type": iceberg_type}
+    if default is not None:
+        field["initial-default"] = default
+        field["write-default"] = default
+    schema["fields"].append(field)
     meta["last-column-id"] = fid
     _commit_schema_change(table_path, meta_path, meta, schema)
 
@@ -2358,6 +2477,150 @@ def last_txn_version_iceberg(table_path: str, app_id: str) -> int:
     return best
 
 
+def upgrade_iceberg_format_version(
+    spark: SparkSession, table_path: str, snapshot_ts_ms: int | None = None
+) -> int | None:
+    """Upgrade a format-version-2 table to v3 (spec "Version 3":
+    deletion vectors, row lineage).
+
+    - Existing parquet position-delete files are CONVERTED to Puffin
+      deletion vectors in the same upgrade (v3 forbids position-delete
+      files): their (file_path, pos) rows are read distributed, grouped
+      per referenced data file, and written as one DV per file at a
+      fresh sequence number (safe: positions address exact file paths,
+      so lifting the sequence number cannot touch other files' rows);
+      the old position-delete entries are dropped from their manifests.
+      Equality deletes remain valid in v3 and are untouched.
+    - ``next-row-id`` is seeded at 0: row lineage starts with the first
+      post-upgrade snapshot (each new snapshot records ``first-row-id``
+      and advances ``next-row-id`` by its added record count —
+      _v2_commit_snapshot); pre-upgrade snapshots keep v2 semantics.
+
+    Returns the conversion snapshot id, or None when the table had no
+    position deletes (pure metadata bump, no new snapshot)."""
+    import time as _time
+
+    ctx = _v2_table_context(table_path, "format upgrade")
+    meta = ctx["meta"]
+    if ctx["format_version"] >= 3:
+        raise ValueError(f"{table_path!r} is already format-version 3")
+    location = ctx["location"]
+    snapshot = ctx["snapshot"]
+    mdir = os.path.join(table_path, "metadata")
+
+    pos_delete_paths: set[str] = set()
+    manifest_rows: list[dict] = []
+    data_parts: dict[str, dict] = {}
+    if snapshot is not None:
+        _, manifest_rows = read_avro_file(
+            _resolve(snapshot["manifest-list"], table_path, location)
+        )
+        manifest_rows = list(manifest_rows)
+        for m in manifest_rows:
+            _, entries = read_avro_file(
+                _resolve(m["manifest_path"], table_path, location)
+            )
+            for e in entries:
+                if e["status"] == 2:
+                    continue
+                dfile = e["data_file"]
+                if (
+                    dfile.get("content", 0) == 1
+                    and dfile["file_format"].lower() == "parquet"
+                ):
+                    pos_delete_paths.add(
+                        _resolve(dfile["file_path"], table_path, location)
+                    )
+                elif dfile.get("content", 0) == 0:
+                    data_parts[
+                        _norm_path(_resolve(dfile["file_path"], table_path, location))
+                    ] = dfile.get("partition") or {}
+
+    meta["format-version"] = 3
+    meta["next-row-id"] = 0
+    ctx["meta"] = meta
+
+    if not pos_delete_paths:
+        # pure metadata bump: no new snapshot needed
+        meta_path = ctx["meta_path"]
+        version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+        _write_json_if_absent(os.path.join(mdir, f"v{version}.metadata.json"), meta)
+        _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
+        return None
+
+    sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
+
+    positions = spark.read.parquet(*sorted(pos_delete_paths)).select(
+        F.regexp_replace(F.col("file_path"), r"^file:(//)?", "").alias("file_path"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+    dv_dir = os.path.join(table_path, "data", f"dv-upgrade-{sid}")
+    dv_rows = _write_dv_files(spark, positions, dv_dir, sid, new_seq)
+
+    # drop the converted position-delete entries from their manifests
+    new_list_rows: list[dict] = []
+    for r in manifest_rows:
+        if r.get("content", 0) != 1:
+            new_list_rows.append(r)
+            continue
+        _, entries = read_avro_file(_resolve(r["manifest_path"], table_path, location))
+        entries = list(entries)
+        keep = [
+            e
+            for e in entries
+            if not (
+                e["data_file"].get("content", 0) == 1
+                and e["data_file"]["file_format"].lower() == "parquet"
+            )
+        ]
+        if len(keep) == len(entries):
+            new_list_rows.append(r)
+        elif keep:
+            newman = os.path.join(mdir, _uniq("manifest-v3conv.avro"))
+            write_avro_file(
+                newman, manifest_entry_schema_v2(ctx["part_avro"]), keep, codec="null"
+            )
+            new_list_rows.append(
+                {
+                    **r,
+                    "manifest_path": os.path.abspath(newman),
+                    "manifest_length": os.path.getsize(newman),
+                }
+            )
+    dv_entries = [
+        _v2_entry(
+            r["puffin"],
+            content=1,
+            seq=new_seq,
+            snapshot_id=sid,
+            partition=data_parts.get(r["data_fp"]) or {},
+            dv=(r["data_fp"], r["off"], r["size"], r["card"]),
+        )
+        for r in sorted(dv_rows, key=lambda r: r["data_fp"])
+    ]
+    dv_manifest = os.path.join(mdir, _uniq(f"manifest-dv-{sid}.avro"))
+    write_avro_file(
+        dv_manifest, manifest_entry_schema_v2(ctx["part_avro"]), dv_entries,
+        codec="null",
+    )
+    new_list_rows.append(
+        {
+            "manifest_path": os.path.abspath(dv_manifest),
+            "manifest_length": os.path.getsize(dv_manifest),
+            "partition_spec_id": ctx["spec_id"],
+            "content": 1,
+            "sequence_number": new_seq,
+            "min_sequence_number": new_seq,
+            "added_snapshot_id": sid,
+        }
+    )
+    return _v2_commit_snapshot(
+        table_path, ctx, new_list_rows, new_seq, sid, now, "replace"
+    )
+
+
 def rewrite_data_files(
     spark: SparkSession,
     table_path: str,
@@ -2482,9 +2745,9 @@ def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> di
         )
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
-    if meta.get("format-version", 1) != 2:
+    if meta.get("format-version", 1) not in (2, 3):
         raise ValueError(
-            f"{op} is a format-version-2 feature; "
+            f"{op} is a format-version-2+ feature; "
             f"{table_path!r} is v{meta.get('format-version', 1)} "
             "(for v1 use write_iceberg overwrite, which swaps snapshots)"
         )
@@ -2573,6 +2836,7 @@ def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> di
         "snapshots": snapshots,
         "snapshot": snapshot,
         "location": meta.get("location"),
+        "format_version": int(meta.get("format-version", 1)),
     }
 
 
@@ -2599,6 +2863,23 @@ def _v2_commit_snapshot(
     SnapshotProducer pair implements."""
     meta, meta_path = dict(ctx["meta"]), ctx["meta_path"]
     mdir = os.path.join(table_path, "metadata")
+    added_rows = 0
+    if int(meta.get("format-version", 1)) >= 3:
+        # v3 row lineage: count the rows this snapshot ADDS (status=1
+        # data entries in this sid's manifests — record_count sums, a
+        # driver metadata read over just-written small files) so the
+        # snapshot can carry first-row-id and the table next-row-id
+        # advances (spec "Row Lineage")
+        for r in new_list_rows:
+            if r.get("added_snapshot_id") == sid and r.get("content", 0) == 0:
+                _, entries = read_avro_file(
+                    _resolve(r["manifest_path"], table_path, meta.get("location"))
+                )
+                added_rows += sum(
+                    int(e["data_file"].get("record_count") or 0)
+                    for e in entries
+                    if e["status"] == 1 and e["data_file"].get("content", 0) == 0
+                )
     while True:
         mlist = os.path.join(mdir, _uniq(f"snap-{sid}.avro"))
         write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
@@ -2618,15 +2899,18 @@ def _v2_commit_snapshot(
             # streaming exactly-once bookkeeping (Flink-sink style
             # snapshot properties, e.g. app-id / batch-id)
             summary.update({k: str(v) for k, v in summary_extra.items()})
-        meta["snapshots"] = list(meta.get("snapshots") or []) + [
-            {
-                "snapshot-id": sid,
-                "sequence-number": new_seq,
-                "timestamp-ms": now,
-                "summary": summary,
-                "manifest-list": os.path.abspath(mlist),
-            }
-        ]
+        snap = {
+            "snapshot-id": sid,
+            "sequence-number": new_seq,
+            "timestamp-ms": now,
+            "summary": summary,
+            "manifest-list": os.path.abspath(mlist),
+        }
+        if int(meta.get("format-version", 1)) >= 3:
+            first = int(meta.get("next-row-id", 0))
+            snap["first-row-id"] = first
+            meta["next-row-id"] = first + added_rows
+        meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
         version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
         try:
             _write_json_if_absent(
@@ -2864,6 +3148,144 @@ def merge_into_clauses(
     )
 
 
+def _decode_dvs_df(spark: SparkSession, dv_descs: list[tuple[str, int, int, str]]):
+    """(puffin path, offset, size, referenced file) descriptors → a
+    distributed (file_path, pos) DataFrame. Descriptor frame is
+    metadata-sized (one row per DV'd file); the roaring decode runs on
+    executors via mapInPandas."""
+    from pyspark import cloudpickle as _cp
+
+    from gcs2postgres_spark.sources import dv_roaring, puffin
+    from gcs2postgres_spark.sources.puffin import read_dv_frame
+
+    _cp.register_pickle_by_value(puffin)
+    _cp.register_pickle_by_value(dv_roaring)
+    desc_df = spark.createDataFrame(
+        dv_descs, "puffin string, off long, size long, ref string"
+    ).repartition(min(len(dv_descs), spark.sparkContext.defaultParallelism))
+
+    def _decode(batches, _read=read_dv_frame):
+        import pandas as pd
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                with open(row.puffin, "rb") as f:
+                    raw = f.read()
+                yield pd.DataFrame(
+                    {
+                        "file_path": row.ref,
+                        "pos": pd.Series(
+                            _read(raw, int(row.off), int(row.size)), dtype="int64"
+                        ),
+                    }
+                )
+
+    return desc_df.mapInPandas(_decode, "file_path string, pos long")
+
+
+def _write_dv_files(
+    spark: SparkSession, positions_df, out_dir: str, sid: int, seq: int
+) -> list:
+    """Group (file_path, pos) by data file and write ONE Puffin DV per
+    file, executor-side (applyInPandas — a task holds one file's
+    deleted positions, the same per-file bound a jar-ful DV writer
+    has). Returns one metadata row per DV'd file:
+    (data_fp, puffin, off, size, card). The collect is one row per
+    DV'd data file — manifest-entry-scale, the O(#files) bound every
+    Iceberg committer pays (see tests/test_no_driver_materialization.py)."""
+    import os as _os
+
+    from pyspark import cloudpickle as _cp
+
+    from gcs2postgres_spark.sources import dv_roaring, puffin
+    from gcs2postgres_spark.sources.puffin import write_puffin_dv_file
+
+    _cp.register_pickle_by_value(puffin)
+    _cp.register_pickle_by_value(dv_roaring)
+    _os.makedirs(out_dir, exist_ok=True)
+
+    # closure captures (applyInPandas requires exactly (key, pdf)); the
+    # writer fn pickles BY VALUE via the module registrations above
+    _writefn, _dir, _sid, _seq = write_puffin_dv_file, out_dir, sid, seq
+
+    def _write(key, pdf):
+        import hashlib
+        import os as _os2
+
+        import pandas as pd
+
+        fp = key[0]
+        positions = sorted({int(x) for x in pdf["pos"]})
+        name = hashlib.md5(fp.encode()).hexdigest()[:16]
+        path = _os2.path.join(_dir, f"dv-{name}.puffin")
+        off, size, card = _writefn(path, [(fp, positions)], _sid, _seq)[fp]
+        return pd.DataFrame(
+            [{"data_fp": fp, "puffin": path, "off": off, "size": size,
+              "card": card}]
+        )
+
+    return (
+        positions_df.groupBy("file_path")
+        .applyInPandas(
+            _write, "data_fp string, puffin string, off long, size long, card long"
+        )
+        .collect()
+    )
+
+
+def _drop_superseded_dvs(
+    list_rows: list[dict],
+    superseded: set[str],
+    table_path: str,
+    location: str | None,
+    mdir: str,
+    part_avro: list[tuple[str, str]],
+) -> list[dict]:
+    """Rewrite delete manifests so data files receiving a NEW deletion
+    vector lose their OLD one (spec: at most one DV per data file per
+    snapshot; the new DV is a superset by construction). Manifests with
+    no surviving entries drop out of the list; untouched manifests keep
+    their files."""
+    out = []
+    for r in list_rows:
+        if r.get("content", 0) != 1:
+            out.append(r)
+            continue
+        _, entries = read_avro_file(_resolve(r["manifest_path"], table_path, location))
+        entries = list(entries)
+        keep = [
+            e
+            for e in entries
+            if not (
+                e["data_file"].get("file_format", "").lower() == "puffin"
+                and e["data_file"].get("referenced_data_file")
+                and _norm_path(
+                    _resolve(
+                        e["data_file"]["referenced_data_file"], table_path, location
+                    )
+                )
+                in superseded
+            )
+        ]
+        if len(keep) == len(entries):
+            out.append(r)
+            continue
+        if not keep:
+            continue
+        newman = os.path.join(mdir, _uniq("manifest-dvrw.avro"))
+        write_avro_file(
+            newman, manifest_entry_schema_v2(part_avro), keep, codec="null"
+        )
+        out.append(
+            {
+                **r,
+                "manifest_path": os.path.abspath(newman),
+                "manifest_length": os.path.getsize(newman),
+            }
+        )
+    return out
+
+
 def _v2_row_level_commit(
     spark: SparkSession,
     table_path: str,
@@ -2920,6 +3342,8 @@ def _v2_row_level_commit(
     data_parts: dict[str, dict] = {}  # normalized path -> partition tuple dict
     pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+    # v3 DVs: (puffin path, offset, size, seq, normalized referenced file)
+    dv_deletes: list[tuple[str, int, int, int, str]] = []
     for m in manifest_rows:
         manifest_seq = m.get("sequence_number") or 0
         _, entries = read_avro_file(_resolve(m["manifest_path"], table_path, location))
@@ -2931,7 +3355,23 @@ def _v2_row_level_commit(
             if seq is None:
                 seq = manifest_seq
             content = dfile.get("content", 0)
-            if dfile["file_format"].lower() != "parquet":
+            fmt = dfile["file_format"].lower()
+            if fmt == "puffin" and content == 1 and dfile.get("referenced_data_file"):
+                dv_deletes.append(
+                    (
+                        _resolve(dfile["file_path"], table_path, location),
+                        int(dfile["content_offset"]),
+                        int(dfile["content_size_in_bytes"]),
+                        seq,
+                        _norm_path(
+                            _resolve(
+                                dfile["referenced_data_file"], table_path, location
+                            )
+                        ),
+                    )
+                )
+                continue
+            if fmt != "parquet":
                 raise NotImplementedError(
                     f"iceberg {dfile['file_format']} data files: table {_JAR_HINT}"
                 )
@@ -2944,6 +3384,13 @@ def _v2_row_level_commit(
             elif content == 2:
                 ids = tuple(sorted(dfile.get("equality_ids") or ()))
                 eq_deletes.append((path, seq, ids))
+    fmt_version = ctx.get("format_version", 2)
+    if fmt_version >= 3 and pos_deletes:
+        raise ValueError(
+            "v3 table carries parquet position-delete files (spec: v3 "
+            "position deletes must be deletion vectors) — run "
+            "upgrade_iceberg_format_version to convert them"
+        )
     if partition_filter and data_files:
         # prune the MATCHING SCAN to the named partitions — manifest-
         # level file skip, the same planning-time prune the read path
@@ -3015,14 +3462,16 @@ def _v2_row_level_commit(
                 if src is None:
                     src = lower.get(field.name.lower())
                 if src is None:
-                    cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+                    cols.append(
+                        _missing_column_lit(fjson, field.dataType).alias(field.name)
+                    )
                 else:
                     cols.append(F.col(src).cast(field.dataType).alias(field.name))
             parts.append(t.select(*cols, "__ice_fp", "__ice_pos"))
         tagged = parts[0]
         for p in parts[1:]:
             tagged = tagged.unionByName(p)
-        if pos_deletes or eq_deletes:
+        if pos_deletes or eq_deletes or dv_deletes:
             tagged = _apply_v2_deletes(
                 spark,
                 tagged,
@@ -3031,6 +3480,7 @@ def _v2_row_level_commit(
                 eq_deletes,
                 field_names,
                 pretagged=True,
+                dv_deletes=dv_deletes,
             )
         # predicate: SQL string (filter) or a callable matcher that maps
         # the tagged live frame to its matched subset (MERGE uses a
@@ -3045,7 +3495,39 @@ def _v2_row_level_commit(
             table_path, "data", f"delete-{sid}-{uuid.uuid4().hex[:8]}"
         )
         delete_entries: list[dict] = []
-        if part_fields:
+        if fmt_version >= 3:
+            # v3: row-level deletes are DELETION VECTORS (spec v3 —
+            # parquet position-delete files must not be written). Per
+            # matched data file, the new DV merges the file's EXISTING
+            # DV positions (superset rule) with the new matches; the
+            # old DV entry is dropped from its manifest (at most one DV
+            # per file per snapshot).
+            all_pos = matches
+            if dv_deletes:
+                matched_files = matches.select("file_path").distinct()
+                old_kept = _decode_dvs_df(
+                    spark, [(p, o, s, ref) for p, o, s, _sq, ref in dv_deletes]
+                ).join(matched_files, "file_path", "left_semi")
+                all_pos = matches.unionByName(old_kept)
+            dv_rows = _write_dv_files(spark, all_pos, del_dir, sid, new_seq)
+            dv_refs = {r["data_fp"] for r in dv_rows}
+            superseded = dv_refs & {ref for *_x, ref in dv_deletes}
+            if superseded:
+                new_list_rows = _drop_superseded_dvs(
+                    new_list_rows, superseded, table_path, location, mdir, part_avro
+                )
+            delete_entries = [
+                _v2_entry(
+                    r["puffin"],
+                    content=1,
+                    seq=new_seq,
+                    snapshot_id=sid,
+                    partition=data_parts.get(r["data_fp"]) or {},
+                    dv=(r["data_fp"], r["off"], r["size"], r["card"]),
+                )
+                for r in sorted(dv_rows, key=lambda r: r["data_fp"])
+            ]
+        elif part_fields:
             # Route each matched (file, pos) to its data file's partition
             # (broadcast map join, one row per file — metadata-sized) and
             # write partitionBy(__pid): ONE distributed job, one output

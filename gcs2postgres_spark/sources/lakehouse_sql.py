@@ -591,23 +591,28 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
 
     m = re.fullmatch(
         rf"(?i)ALTER TABLE {_TBL} SET TBLPROPERTIES "
-        r"\(\s*'(?P<key>[\w.]+)'\s*=\s*'?(?P<val>[^')]+?)'?\s*\)",
+        r"\(\s*'(?P<key>[\w.-]+)'\s*=\s*'?(?P<val>[^')]+?)'?\s*\)",
         s,
     )
     if m:
-        if m["fmt"] != "delta":
-            raise NotImplementedError(
-                "SET TBLPROPERTIES is wired for Delta table features; "
-                "Iceberg property writes need the runtime jar"
-            )
         key, val = m["key"], m["val"].strip()
+        if m["fmt"] != "delta":
+            if key == "format-version" and val == "3":
+                # the engine-side upgrade converts position deletes to
+                # DVs and seeds row lineage (iceberg_py docstring)
+                return iceberg_py.upgrade_iceberg_format_version(spark, m["path"])
+            raise NotImplementedError(
+                "SET TBLPROPERTIES on Iceberg supports 'format-version'='3' "
+                "(the v3 upgrade); other property writes need the runtime jar"
+            )
         if key == "delta.enableRowTracking" and val == "true":
             return delta_py.enable_row_tracking(spark, m["path"])
-        if key == "delta.appendOnly":
+        if key in ("delta.appendOnly", "delta.checkpointPolicy"):
             return delta_py.set_delta_property(spark, m["path"], key, val)
         raise ValueError(
             f"unsupported table property {key!r}={val!r} (supported: "
-            "delta.enableRowTracking=true, delta.appendOnly)"
+            "delta.enableRowTracking=true, delta.appendOnly, "
+            "delta.checkpointPolicy)"
         )
 
     m = re.fullmatch(rf"(?i)SHOW TBLPROPERTIES {_TBL}", s)

@@ -676,9 +676,11 @@ def test_checkpoint_preserves_row_tracking_and_protocol(spark, tmp_path):
 
 
 def test_v2_checkpoint_table_falls_back_to_json_replay(spark, tmp_path):
-    """A _last_checkpoint naming a version with no CLASSIC checkpoint
-    parquet (the v2/uuid-named layout) reads via full JSON replay when
-    the prefix is intact, and refuses with the jar hint otherwise."""
+    """A _last_checkpoint naming a version with NO checkpoint files at
+    all (crashed cleanup; v2/uuid-named layouts are parsed natively
+    since round 13 — test_delta_checkpoint_layouts) reads via full JSON
+    replay when the prefix is intact, and refuses with the jar hint
+    otherwise."""
     from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
 
     p = str(tmp_path / "t")
@@ -691,7 +693,7 @@ def test_v2_checkpoint_table_falls_back_to_json_replay(spark, tmp_path):
         json.dump({"version": 0, "sizeInBytes": 1}, f)
     assert read_delta_py(spark, p).count() == 2
     os.remove(os.path.join(log, f"{0:020d}.json"))
-    with pytest.raises(FileNotFoundError, match="v2/uuid-named"):
+    with pytest.raises(FileNotFoundError, match="no checkpoint files"):
         read_delta_py(spark, p)
 
 

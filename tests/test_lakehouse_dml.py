@@ -1347,9 +1347,11 @@ def test_delta_generated_columns_validated(spark, tmp_path):
 
 
 def test_delta_writer_feature_gate_and_append_only(spark, tmp_path):
-    """rowTracking (or any unhonored writer feature) refuses ALL write
-    paths instead of corrupting the table's contract; delta.appendOnly
-    blocks row removal (overwrite/DELETE) but not appends."""
+    """An unhonored writer feature refuses ALL write paths instead of
+    corrupting the table's contract (rowTracking itself is honored since
+    round 13, so the gate is exercised with an unknown future feature);
+    delta.appendOnly blocks row removal (overwrite/DELETE) but not
+    appends."""
     import json as _json
 
     from gcs2postgres_spark.sources.delta_py import (
@@ -1368,12 +1370,12 @@ def test_delta_writer_feature_gate_and_append_only(spark, tmp_path):
                 timestamp_ms=1_700_000_000_000)
     _write_commit(_log_dir(t), 1, [{"protocol": {
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["rowTracking"]}}], 1_700_000_001_000)
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+        "writerFeatures": ["someFutureWriterFeature"]}}], 1_700_000_001_000)
+    with pytest.raises(NotImplementedError, match="someFutureWriterFeature"):
         write_delta(_delta_nation(spark).coalesce(1), t, "append")
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    with pytest.raises(NotImplementedError, match="someFutureWriterFeature"):
         delete_where_delta(spark, t, "k = 1")
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    with pytest.raises(NotImplementedError, match="someFutureWriterFeature"):
         compact_delta(spark, t)
 
     # appendOnly: removal paths refuse, appends proceed

@@ -110,6 +110,14 @@ ALLOWED["sources/iceberg_py.py"].append(
     # writes on executors
     "replacement.select(*part_src_cols).distinct()"
 )
+ALLOWED["sources/iceberg_py.py"].append(
+    # v3 deletion-vector writer: the roaring bitmaps are built + the
+    # Puffin files written ON EXECUTORS (applyInPandas per referenced
+    # data file); the collect fetches ONE descriptor row per DV'd file
+    # (path, offset, size, cardinality) — manifest-entry scale, the
+    # same commit-payload bound delta_py's DV writer pays
+    ".applyInPandas(\n            _write,"
+)
 
 
 def test_no_unbounded_driver_collect():
