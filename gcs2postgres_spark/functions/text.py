@@ -78,3 +78,39 @@ def fingerprint(col: Column) -> Column:
     """Canonicalizing document fingerprint: md5 over lower(trim(text)) with
     whitespace runs collapsed — stable across engines (DuckDB md5 matches)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+# PII redaction: pattern list applied IN ORDER (overlapping shapes —
+# SSN/card before the looser phone pattern; email before IPv4 so an
+# address's host dots never half-match). Regexes stay inside the
+# Java-regex ∩ RE2 common subset so the DuckDB oracle can run the
+# IDENTICAL chain (pii_redact_sql) — \b, bounded repetition, character
+# classes only; no lookarounds, no backreferences.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(col: Column) -> Column:
+    """Chained built-in regexp_replace over PII_PATTERNS — JVM-side,
+    codegen'd, no Python in the hot path (the standard scrub step of a
+    training-data pipeline: emails, IPv4s, US SSNs/phones, card
+    numbers → typed placeholder tokens)."""
+    out = col
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_redact_sql(expr: str) -> str:
+    """The ANSI/DuckDB twin of pii_redact over ``expr`` (DuckDB needs
+    the 'g' flag for replace-all; Spark's regexp_replace is global by
+    default)."""
+    out = expr
+    for _name, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

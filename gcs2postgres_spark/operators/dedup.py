@@ -800,3 +800,63 @@ def containment_pairs(
             ),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring span dedup (the published train-data recipe:
+    find every k-token span that appears verbatim in >= ``min_docs``
+    documents — memorization hotspots that per-document near-dup
+    misses). Returns one row per document:
+    ``(id, total_spans, dup_spans)`` where ``dup_spans`` counts the
+    document's k-token windows whose exact text also occurs in another
+    document (docs shorter than k tokens report 0/0).
+
+    Plan shape (the 100 TB contract): windows are built JVM-side with
+    HOFs — split → transform(sequence, slice, array_join, md5) →
+    explode — so the expansion is one codegen'd projection, ~one output
+    row per corpus TOKEN (the same corpus-length bound the published
+    suffix-array recipe pays, here shuffled instead of sorted
+    in-memory). Duplicate detection is ONE groupBy on the 128-bit span
+    hash + a semi-join back — equi-join only, no cartesian, skew
+    bounded by the most-duplicated span. Raise ``k`` (the recipe uses
+    50) to shrink the window count on long-document corpora; only
+    hashes shuffle, never span text.
+    """
+    win_expr = (
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(0, size(__toks)-{k}), "
+        f"i -> md5(array_join(slice(__toks, i+1, {k}), ' '))) "
+        "ELSE array() END"
+    )
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    wins = toks.select(id_col, F.explode_outer(F.expr(win_expr)).alias("__h"))
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    per_doc = wins.groupBy(id_col).agg(
+        F.count("__h").alias("total_spans")  # count() skips the NULL pad row
+    )
+    dup_per_doc = (
+        wins.join(dup, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    return (
+        per_doc.join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "total_spans",
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        )
+    )

@@ -1709,3 +1709,143 @@ def multimodal_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+def _pii_oracle_sql() -> str:
+    from gcs2postgres_spark.functions.text import pii_redact_sql
+
+    seed = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' || "
+        "CAST(doc_id % 10 AS VARCHAR) || '.com' || "
+        "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+        "CAST((doc_id * 7) % 256 AS VARCHAR) || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    return f"""
+WITH seeded AS (SELECT lang, {seed} AS pii_text FROM documents),
+red AS (SELECT lang, {pii_redact_sql('pii_text')} AS red FROM seeded)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum((length(red) - length(replace(red, '<EMAIL>', ''))) / 7) AS BIGINT) AS emails,
+       CAST(sum((length(red) - length(replace(red, '<IP>', ''))) / 4) AS BIGINT) AS ips,
+       CAST(sum((length(red) - length(replace(red, '<SSN>', ''))) / 5) AS BIGINT) AS ssns,
+       CAST(sum(length(red)) AS BIGINT) AS n_chars
+FROM red
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_pii_redaction", oracle=_pii_oracle_sql())
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the standard train-data redaction pass (emails,
+    IPv4s, US SSNs/phones, card numbers → typed placeholders), as pure
+    chained built-in regexp_replace (functions/text.py PII_PATTERNS —
+    JVM-side, codegen'd, regexes inside the Java∩RE2 subset so the
+    oracle runs the IDENTICAL chain). Deterministic PII is seeded from
+    doc_id on BOTH sides, then redacted; per-language placeholder
+    counts come from length arithmetic, so an unredacted email, a
+    half-matched IP, or an over-eager pattern shifts a count or the
+    char sum and breaks the hash."""
+    from gcs2postgres_spark.functions.text import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), did.cast("string"),
+            F.lit("@ex"), (did % 10).cast("string"), F.lit(".com"),
+            F.lit(" from 10."), (did % 256).cast("string"),
+            F.lit(".0."), ((did * 7) % 256).cast("string"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("pii_text"),
+    )
+    red = seeded.select("lang", pii_redact(F.col("pii_text")).alias("red"))
+
+    def _count(tok: str) -> F.Column:
+        return F.sum(
+            (F.length("red") - F.length(F.replace(F.col("red"), F.lit(tok))))
+            / len(tok)
+        ).cast("long")
+
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _count("<EMAIL>").alias("emails"),
+            _count("<IP>").alias("ips"),
+            _count("<SSN>").alias("ssns"),
+            F.sum(F.length("red")).cast("long").alias("n_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SPAN_K = 10
+
+EXACT_SUBSTRING_ORACLE = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, lang, t,
+         unnest(generate_series(1, len(t) - {SPAN_K} + 1)) AS i
+  FROM toks),
+wins AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(t[CAST(i AS BIGINT):CAST(i + {SPAN_K} - 1 AS BIGINT)], ' ')) AS h
+  FROM idx),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+per_doc AS (
+  SELECT doc_id, count(*) AS total,
+         count(*) FILTER (h IN (SELECT h FROM dup)) AS dups
+  FROM wins GROUP BY doc_id)
+SELECT d.lang,
+       count(*)                                       AS n_docs,
+       CAST(coalesce(sum(p.total), 0) AS BIGINT)      AS total_spans,
+       CAST(coalesce(sum(p.dups), 0) AS BIGINT)       AS dup_spans,
+       CAST(sum(CASE WHEN coalesce(p.dups, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS docs_with_dup
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+@register("dedup_exact_substring", oracle=EXACT_SUBSTRING_ORACLE)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (the published recipe: k-token spans
+    appearing verbatim in >= 2 documents are memorization hotspots that
+    document-level near-dup misses). operators/dedup.duplicate_spans
+    builds the windows JVM-side (split → transform/slice/md5 → explode
+    — one codegen'd projection, ~one row per corpus token), detects
+    duplicates with ONE groupBy on the span hash + a semi-join back —
+    equi-join only, no cartesian (the suffix-array recipe's corpus-
+    length bound, shuffled instead of sorted in-memory). The oracle
+    replays the identical windows/hashes in SQL; per-language span and
+    hot-document counts must match exactly."""
+    from gcs2postgres_spark.operators.dedup import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = duplicate_spans(docs, "doc_id", "text", k=SPAN_K, min_docs=2)
+    return (
+        docs.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("total_spans"), F.lit(0)).cast("long").alias("total_spans"),
+            F.coalesce(F.sum("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.sum((F.coalesce(F.col("dup_spans"), F.lit(0)) > 0).cast("int"))
+            .cast("long")
+            .alias("docs_with_dup"),
+        )
+        .orderBy("lang")
+    )
