@@ -3616,3 +3616,161 @@ def iceberg_v3_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+STATS_SKIP_ORACLE = """
+SELECT c_mktsegment                    AS segment,
+       count(*)                        AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT)  AS key_sum,
+       min(c_name)                     AS first_name
+FROM customer
+WHERE c_custkey >= 1000
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("delta_stats_skip_roundtrip", oracle=STATS_SKIP_ORACLE)
+def delta_stats_skip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping from the log's per-file ``stats`` JSON
+    (numRecords/minValues/maxValues/nullCount, recorded from the parquet
+    footer on every staged add): customer is written range-partitioned
+    on c_custkey into several files, then read with
+    ``stats_filter={"c_custkey": (1000, None)}`` — the planner drops
+    whole files whose recorded [min,max] cannot match, ZERO I/O for
+    them (tests/test_stats_skip.py pins the skip count; this query pins
+    VALUES: the filter must be a pure optimization under the matching
+    row predicate). At 100 TB this is the min/max scan-planning skip
+    every warehouse performs from metadata alone."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_stats_")
+    try:
+        write_delta(
+            cust.repartitionByRange(6, "c_custkey").sortWithinPartitions("c_custkey"),
+            tmp, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        df = read_delta_py(spark, tmp, stats_filter={"c_custkey": (1000, None)})
+        return (
+            df.filter(F.col("c_custkey") >= 1000)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("key_sum"),
+                F.min("c_name").alias("first_name"),
+            )
+            .orderBy("segment")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+@register("iceberg_stats_skip_roundtrip", oracle=STATS_SKIP_ORACLE)
+def iceberg_stats_skip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-bounds data skipping (spec lower_bounds/upper_bounds in
+    single-value binary form, recorded per data file from the parquet
+    footer): the same customer range layout read through
+    ``read_iceberg_py(stats_filter=...)`` — files are dropped at the
+    MANIFEST walk, before any parquet footer is opened. Same oracle as
+    the Delta twin: identical values prove the skip is pure
+    optimization on both formats."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_stats_")
+    try:
+        write_iceberg_v2_fixture(
+            cust.repartitionByRange(6, "c_custkey"), tmp, sort_col="c_custkey"
+        )
+        df = read_iceberg_py(spark, tmp, stats_filter={"c_custkey": (1000, None)})
+        return (
+            df.filter(F.col("c_custkey") >= 1000)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("key_sum"),
+                F.min("c_name").alias("first_name"),
+            )
+            .orderBy("segment")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+V3_LINEAGE_ORACLE = """
+WITH appended AS (
+  SELECT n_nationkey + 100 AS k, n_regionkey,
+         row_number() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation)
+SELECT n_regionkey                 AS region,
+       count(*)                    AS n_rows,
+       CAST(sum(rid) AS BIGINT)    AS rid_sum,
+       CAST(min(rid) AS BIGINT)    AS rid_min
+FROM appended
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("iceberg_v3_row_lineage_audit", oracle=V3_LINEAGE_ORACLE)
+def iceberg_v3_row_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 row lineage end-to-end: upgrade a nation table to v3 (pure
+    metadata bump), append the shifted rows in one sorted file, and
+    read back WITH ``_row_id`` (read_iceberg_with_row_ids: per-file
+    first_row_id from the manifest + physical position). The appended
+    block starts at the watermark (0 after upgrade), so each row's id
+    IS its 0-based rank in the sorted append — the oracle reproduces
+    exactly that with row_number(); any drift in block carving,
+    watermark arithmetic, or position mapping shifts a rid_sum.
+    Pre-lineage rows read NULL ids (pytest-pinned) and are filtered."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        read_iceberg_with_row_ids,
+        upgrade_iceberg_format_version,
+        write_iceberg_v2_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_v3rl_")
+    try:
+        write_iceberg_v2_fixture(nation.coalesce(1), tmp, sort_col="n_nationkey")
+        upgrade_iceberg_format_version(spark, tmp,
+                                       snapshot_ts_ms=1_700_000_001_000)
+        extra = (
+            nation.withColumn(
+                "n_nationkey",
+                (F.col("n_nationkey") + 100).cast(dict(nation.dtypes)["n_nationkey"]),
+            )
+            .orderBy("n_nationkey")
+            .coalesce(1)
+        )
+        append_iceberg_v2(spark, tmp, extra, snapshot_ts_ms=1_700_000_002_000)
+        df = read_iceberg_with_row_ids(spark, tmp)
+        return (
+            df.filter(F.col("n_nationkey") >= 100)
+            .groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("_row_id").cast("long").alias("rid_sum"),
+                F.min("_row_id").cast("long").alias("rid_min"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

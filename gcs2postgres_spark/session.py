@@ -42,6 +42,9 @@ def get_spark(app_name: str = "gcs2postgres_spark", master: str | None = None) -
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark timestamps
         # are µs — read nanos as long, catalog converts to timestamp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # int64 micros on write (not legacy INT96): Iceberg-spec data
+        # files + footer min/max stats for file skipping
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.showConsoleProgress", "false")
@@ -149,6 +152,10 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     for k, v in [
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # int64 micros, not legacy INT96: what the Iceberg spec requires
+        # of data files, and the only form parquet footers keep min/max
+        # stats for (file-skipping bounds need them)
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
     ]:
         try:
             spark.conf.set(k, v)

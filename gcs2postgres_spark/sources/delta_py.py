@@ -199,6 +199,9 @@ def _adds_from_cp_df(cp) -> list[dict]:
     has_dv = "deletionVector" in add_fields
     has_size = "size" in add_fields
     has_rowid = "baseRowId" in add_fields
+    has_stats = "stats" in add_fields
+    if has_stats:
+        sel.append(F.col("add.stats"))
     if has_dv:
         sel.append(F.col("add.deletionVector"))
     if has_size:
@@ -219,6 +222,8 @@ def _adds_from_cp_df(cp) -> list[dict]:
         if has_rowid and row["baseRowId"] is not None:
             add["baseRowId"] = row["baseRowId"]
             add["defaultRowCommitVersion"] = row["defaultRowCommitVersion"]
+        if has_stats and row["stats"] is not None:
+            add["stats"] = row["stats"]
         adds.append(add)
     return adds
 
@@ -236,6 +241,8 @@ def _norm_add_dict(add: dict) -> dict:
     if add.get("baseRowId") is not None:
         out["baseRowId"] = add["baseRowId"]
         out["defaultRowCommitVersion"] = add.get("defaultRowCommitVersion")
+    if add.get("stats") is not None:
+        out["stats"] = add["stats"]
     return out
 
 
@@ -594,6 +601,7 @@ def read_delta_py(
     version_as_of: int | None = None,
     timestamp_as_of_ms: int | None = None,
     partition_filter: dict[str, set] | None = None,
+    stats_filter: dict[str, tuple] | None = None,
     _keep_identity: bool = False,
 ) -> DataFrame:
     """Read a Delta table without the delta-spark jar.
@@ -680,6 +688,7 @@ def read_delta_py(
                     "path": add["path"],
                     "partitionValues": add.get("partitionValues") or {},
                     "deletionVector": add.get("deletionVector"),
+                    "stats": add.get("stats"),
                 }
             elif "remove" in a:
                 live.pop(a["remove"]["path"], None)
@@ -701,6 +710,14 @@ def read_delta_py(
             )
         return df
 
+    if stats_filter:
+        # planning-time file skip from the log's per-file min/max stats
+        # (same class as partition_filter: zero I/O for skipped files,
+        # conservative on missing stats, predicate still applied as a
+        # row filter by the caller)
+        live = {
+            p: a for p, a in live.items() if not _stats_skip_file(a, stats_filter)
+        }
     if not live:
         return _empty()
     out, dv_rows = _scan_adds(
@@ -1807,7 +1824,7 @@ _CP_ADD_STRUCT = (
     "size: long, modificationTime: long, dataChange: boolean, "
     "deletionVector: struct<storageType: string, pathOrInlineDv: string, "
     "offset: int, sizeInBytes: int, cardinality: long>, "
-    "baseRowId: long, defaultRowCommitVersion: long>"
+    "baseRowId: long, defaultRowCommitVersion: long, stats: string>"
 )
 # feature lists are part of the protocol's identity: a v3/v7 checkpoint
 # without them would silently drop the reader/writer gates after log cleanup
@@ -1929,6 +1946,9 @@ def write_checkpoint(
                 # the base would NULL every row id after log cleanup
                 "baseRowId": a.get("baseRowId"),
                 "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
+                # stats survive the checkpoint: losing them would turn
+                # planning-time file skipping off after log cleanup
+                "stats": a.get("stats"),
             }
         }
         for a in live.values()
@@ -2022,6 +2042,102 @@ def write_checkpoint(
         json.dump({"version": version, "size": len(rows)}, f)
 
 
+def _parquet_stats_json(path: str) -> str | None:
+    """Per-file column statistics in the protocol's ``stats`` JSON shape
+    ({numRecords, minValues, maxValues, nullCount}) from the parquet
+    FOOTER — a metadata read, no data rows. Columns whose row groups
+    lack stats (or carry non-JSON-safe types) are simply absent; readers
+    treat absence as "cannot skip". Temporal values render as ISO-8601
+    strings (lexicographic order == chronological, so the skip filter's
+    string comparison stays correct). No string truncation is applied
+    (real writers cap at 32 chars with round-up; files here are
+    self-written so exact bounds are free and strictly tighter)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as _pq
+
+    def _safe(v):
+        if isinstance(v, bytes):
+            return None
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    try:
+        md = _pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    complete: set = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested: out of scope for file skipping
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                nulls.pop(name, None)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                complete.discard(name)
+                continue
+            if rg == 0:
+                complete.add(name)
+            if name not in complete:
+                continue
+            lo, hi = _safe(st.min), _safe(st.max)
+            if lo is None or hi is None:
+                complete.discard(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                nulls.pop(name, None)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def _stats_skip_file(add: dict, stats_filter: dict[str, tuple]) -> bool:
+    """True when the add's recorded [min, max] ranges prove NO row can
+    match ``stats_filter`` ({col: (lo, hi)}; None = unbounded side).
+    Conservative: missing stats, unparseable JSON, or cross-type
+    comparisons keep the file. Planning-time only — callers still apply
+    the real predicate as a row filter."""
+    s = add.get("stats")
+    if not s:
+        return False
+    try:
+        st = json.loads(s) if isinstance(s, str) else s
+    except (ValueError, TypeError):
+        return False
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    for col, (lo, hi) in stats_filter.items():
+        mn, mx = mins.get(col), maxs.get(col)
+        try:
+            if lo is not None and mx is not None and mx < lo:
+                return True
+            if hi is not None and mn is not None and mn > hi:
+                return True
+        except TypeError:
+            continue  # incomparable types: never skip
+    return False
+
+
 def _stage_data_files(
     df: DataFrame,
     table_path: str,
@@ -2060,17 +2176,20 @@ def _stage_data_files(
             dest = os.path.join(dest_dir, name)
             os.replace(src, dest)
             rel_path = "/".join([*rel_dir_parts, name])
-            adds.append(
-                {
-                    "add": {
-                        "path": quote(rel_path, safe="/="),
-                        "partitionValues": pv,
-                        "size": os.path.getsize(dest),
-                        "modificationTime": now_ms,
-                        "dataChange": data_change,
-                    }
-                }
-            )
+            add = {
+                "path": quote(rel_path, safe="/="),
+                "partitionValues": pv,
+                "size": os.path.getsize(dest),
+                "modificationTime": now_ms,
+                "dataChange": data_change,
+            }
+            # per-file column stats (footer read, metadata-scale) power
+            # planning-time file skipping; a jar-ful writer collects the
+            # same stats inline during the write task
+            stats = _parquet_stats_json(dest)
+            if stats:
+                add["stats"] = stats
+            adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 

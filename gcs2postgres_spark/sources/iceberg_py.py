@@ -324,6 +324,8 @@ def read_iceberg_py(
     as_of_ms: int | None = None,
     partition_filter: dict[str, set] | None = None,
     ref: str | None = None,
+    stats_filter: dict[str, tuple] | None = None,
+    _with_row_ids: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table without the runtime jar (v1 and v2).
 
@@ -470,6 +472,40 @@ def read_iceberg_py(
                     return True
         return False
 
+    ids_by_name = {f["name"]: f["id"] for f in schema_json["fields"]}
+
+    def _stats_pruned(dfile: dict) -> bool:
+        """Planning-time file skip from the manifest's per-file
+        lower/upper bounds (``stats_filter`` = {col: (lo, hi)}, None =
+        unbounded side). Conservative: absent bounds, unknown columns,
+        undecodable values all KEEP the file; callers still apply the
+        predicate as a row filter. Temporal filter values compare
+        through the spec's storage ints (days / micros)."""
+        if not stats_filter:
+            return False
+        lbs = {e["key"]: e["value"] for e in (dfile.get("lower_bounds") or ())}
+        ubs = {e["key"]: e["value"] for e in (dfile.get("upper_bounds") or ())}
+        if not lbs and not ubs:
+            return False
+        for col, (lo, hi) in stats_filter.items():
+            fid = ids_by_name.get(col)
+            t = field_types.get(fid)
+            if fid is None or not isinstance(t, str):
+                continue
+            lb, ub = lbs.get(fid), ubs.get(fid)
+            try:
+                if lo is not None and ub is not None and (
+                    _bound_decode(ub, t) < _storage_value(lo, t)
+                ):
+                    return True
+                if hi is not None and lb is not None and (
+                    _bound_decode(lb, t) > _storage_value(hi, t)
+                ):
+                    return True
+            except (ValueError, TypeError, KeyError):
+                continue
+        return False
+
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
     orc_paths: set[str] = set()  # ORC-format members of data_files
     avro_paths: set[str] = set()  # Avro-format members of data_files
@@ -477,6 +513,7 @@ def read_iceberg_py(
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []  # (path, seq, ids)
     # v3 deletion vectors: (puffin path, offset, size, seq, referenced file)
     dv_deletes: list[tuple[str, int, int, int, str]] = []
+    first_rows: dict[str, int] = {}  # v3 row lineage: file -> first_row_id
     _, manifests = read_avro_file(_resolve(snapshot["manifest-list"], table_path, location))
     for m in manifests:
         manifest_seq = m.get("sequence_number") or 0
@@ -519,9 +556,11 @@ def read_iceberg_py(
                 )
             path = _resolve(dfile["file_path"], table_path, location)
             if content == 0:
-                if _pruned(dfile):
+                if _pruned(dfile) or _stats_pruned(dfile):
                     continue
                 data_files.append((path, seq))
+                if dfile.get("first_row_id") is not None:
+                    first_rows[_norm_path(path)] = int(dfile["first_row_id"])
                 if fmt == "orc":
                     orc_paths.add(path)
                 elif fmt == "avro":
@@ -566,7 +605,7 @@ def read_iceberg_py(
     # the table schema; one signature (the overwhelmingly common case)
     # means exactly one scan, the pre-r10 plan.
     groups = _group_by_field_ids(paths) if paths else []
-    need_tag = bool(pos_deletes or eq_deletes or dv_deletes)
+    need_tag = bool(pos_deletes or eq_deletes or dv_deletes) or _with_row_ids
     helpers = ["__ice_fp", "__ice_pos"] if need_tag else []
     parts = []
 
@@ -617,12 +656,34 @@ def read_iceberg_py(
     for p in parts[1:]:
         df = df.unionByName(p)
 
-    if need_tag:
+    if pos_deletes or eq_deletes or dv_deletes:
         df = _apply_v2_deletes(
             spark, df, data_files, pos_deletes, eq_deletes, field_names,
             pretagged=True, dv_deletes=dv_deletes,
         )
+    if _with_row_ids:
+        # v3 row lineage: _row_id = file first_row_id + physical row
+        # index (broadcast map join, one row per live file — metadata).
+        # Stable across DV deletes: surviving rows keep their physical
+        # index. Pre-lineage files yield NULL ids (spec: unassigned).
+        fr = spark.createDataFrame(
+            [(fp, rid) for fp, rid in sorted(first_rows.items())] or
+            [("", None)],
+            "__fr_fp string, __fr_base long",
+        )
+        df = df.join(
+            F.broadcast(fr), df["__ice_fp"] == fr["__fr_fp"], "left"
+        ).withColumn("_row_id", F.col("__fr_base") + F.col("__ice_pos"))
+        return df.select(*[f.name for f in spark_schema.fields], "_row_id")
     return df.select(*[f.name for f in spark_schema.fields])
+
+
+def read_iceberg_with_row_ids(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a v3 row-lineage table WITH its ``_row_id`` metadata column
+    (spec: ``first_row_id + physical position`` — the delta twin is
+    read_delta_with_row_ids). Files committed before lineage was
+    enabled read NULL ids."""
+    return read_iceberg_py(spark, table_path, _with_row_ids=True)
 
 
 def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, list[str]]]:
@@ -946,6 +1007,59 @@ MANIFEST_ENTRY_SCHEMA_V2 = {
                         "type": ["null", {"type": "array", "items": "int"}],
                         "field-id": 135,
                     },
+                    # column stats for planning-time file skipping (spec
+                    # field ids 110/125/128): avro kv-record maps keyed
+                    # by FIELD ID, values in single-value binary form
+                    {
+                        "name": "null_value_counts",
+                        "type": ["null", {
+                            "type": "array", "logicalType": "map",
+                            "items": {
+                                "type": "record", "name": "k121_v122",
+                                "fields": [
+                                    {"name": "key", "type": "int", "field-id": 121},
+                                    {"name": "value", "type": "long", "field-id": 122},
+                                ],
+                            },
+                        }],
+                        "field-id": 110,
+                    },
+                    {
+                        "name": "lower_bounds",
+                        "type": ["null", {
+                            "type": "array", "logicalType": "map",
+                            "items": {
+                                "type": "record", "name": "k126_v127",
+                                "fields": [
+                                    {"name": "key", "type": "int", "field-id": 126},
+                                    {"name": "value", "type": "bytes", "field-id": 127},
+                                ],
+                            },
+                        }],
+                        "field-id": 125,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": ["null", {
+                            "type": "array", "logicalType": "map",
+                            "items": {
+                                "type": "record", "name": "k129_v130",
+                                "fields": [
+                                    {"name": "key", "type": "int", "field-id": 129},
+                                    {"name": "value", "type": "bytes", "field-id": 130},
+                                ],
+                            },
+                        }],
+                        "field-id": 128,
+                    },
+                    # v3 row lineage: the file's first assigned row id
+                    # (spec field id 142); null on v2 entries and on
+                    # pre-upgrade files (their rows read NULL _row_id)
+                    {
+                        "name": "first_row_id",
+                        "type": ["null", "long"],
+                        "field-id": 142,
+                    },
                     # v3 deletion-vector addressing (spec field ids
                     # 143-145): present only on content=1 PUFFIN entries;
                     # nullable so v2 entries encode them as null
@@ -1100,6 +1214,122 @@ def manifest_entry_schema_v2(partition_fields: list[tuple[str, str]]) -> dict:
     return schema
 
 
+def _bound_encode(v, t: str) -> bytes | None:
+    """Spec single-value BINARY serialization (Appendix D) for manifest
+    lower/upper bounds — little-endian fixed widths, UTF-8 strings."""
+    import datetime as _dt
+    import struct as _st
+
+    try:
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t == "int":
+            return _st.pack("<i", int(v))
+        if t == "long":
+            return _st.pack("<q", int(v))
+        if t == "float":
+            return _st.pack("<f", float(v))
+        if t == "double":
+            return _st.pack("<d", float(v))
+        if t == "date":
+            days = (v - _dt.date(1970, 1, 1)).days if isinstance(v, _dt.date) else int(v)
+            return _st.pack("<i", days)
+        if t in ("timestamp", "timestamptz"):
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                micros = int(v.timestamp() * 1_000_000)
+            else:
+                micros = int(v)
+            return _st.pack("<q", micros)
+        if t == "string":
+            return str(v).encode("utf-8")
+    except (ValueError, TypeError, OverflowError):
+        return None
+    return None
+
+
+def _bound_decode(b: bytes, t: str):
+    """Inverse of _bound_encode; returns a COMPARABLE value (temporal
+    types come back as their storage integers — callers compare filter
+    values passed through the same storage transform)."""
+    import struct as _st
+
+    if t == "boolean":
+        return b != b"\x00"
+    if t in ("int", "date"):
+        return _st.unpack("<i", b)[0]
+    if t in ("long", "timestamp", "timestamptz"):
+        return _st.unpack("<q", b)[0]
+    if t == "float":
+        return _st.unpack("<f", b)[0]
+    if t == "double":
+        return _st.unpack("<d", b)[0]
+    if t == "string":
+        return b.decode("utf-8")
+    return None
+
+
+def _storage_value(v, t: str):
+    """A filter value in the spec's comparable STORAGE form (dates as
+    epoch days, timestamps as epoch micros, everything else as-is)."""
+    import datetime as _dt
+
+    if t == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return (v - _dt.date(1970, 1, 1)).days
+    if t in ("timestamp", "timestamptz") and isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return v
+
+
+def _parquet_bounds(
+    path: str, bounds_spec: dict[str, tuple[int, str]]
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """(lower_bounds, upper_bounds, null_value_counts) manifest maps
+    (avro kv-record form, keyed by FIELD ID) from the parquet footer —
+    a metadata read; columns with incomplete row-group stats are simply
+    absent (readers treat absence as "cannot skip")."""
+    import pyarrow.parquet as _pq
+
+    try:
+        md = _pq.ParquetFile(path).metadata
+    except Exception:
+        return [], [], []
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    broken: set = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if name not in bounds_spec or name in broken:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                broken.add(name)
+                for d in (mins, maxs, nulls):
+                    d.pop(name, None)
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    lower, upper, nullc = [], [], []
+    for name in sorted(mins):
+        fid, t = bounds_spec[name]
+        lo, hi = _bound_encode(mins[name], t), _bound_encode(maxs[name], t)
+        if lo is None or hi is None:
+            continue
+        lower.append({"key": fid, "value": lo})
+        upper.append({"key": fid, "value": hi})
+    for name in sorted(nulls):
+        nullc.append({"key": bounds_spec[name][0], "value": int(nulls[name])})
+    return lower, upper, nullc
+
+
 def _v2_entry(
     path: str,
     content: int,
@@ -1108,6 +1338,7 @@ def _v2_entry(
     snapshot_id: int = 1,
     partition: dict | None = None,
     dv: tuple[str, int, int, int] | None = None,
+    bounds_spec: dict[str, tuple[int, str]] | None = None,
 ) -> dict:
     if dv is not None:
         # v3 deletion vector: (referenced data file, content_offset,
@@ -1144,7 +1375,7 @@ def _v2_entry(
         import pyarrow.parquet as pq
 
         fmt, nrows = "PARQUET", pq.ParquetFile(path).metadata.num_rows
-    return {
+    entry = {
         "status": 1,
         "snapshot_id": snapshot_id,
         "sequence_number": seq,
@@ -1159,6 +1390,14 @@ def _v2_entry(
             "equality_ids": list(equality_ids) if equality_ids else None,
         },
     }
+    if bounds_spec and fmt == "PARQUET" and content == 0:
+        lower, upper, nullc = _parquet_bounds(path, bounds_spec)
+        if lower:
+            entry["data_file"]["lower_bounds"] = lower
+            entry["data_file"]["upper_bounds"] = upper
+        if nullc:
+            entry["data_file"]["null_value_counts"] = nullc
+    return entry
 
 
 def write_iceberg_v2_fixture(
@@ -1209,11 +1448,20 @@ def write_iceberg_v2_fixture(
     mdir = os.path.join(table_path, "metadata")
     os.makedirs(mdir, exist_ok=True)
 
+    # per-file bounds ride along on parquet fixtures (field ids and
+    # types from the same schema derivation the metadata JSON uses), so
+    # the stats_filter planning-time skip is testable on fixture tables
+    _schema_for_bounds = spark_to_iceberg_schema(df.schema)
+    _bspec = {
+        f["name"]: (f["id"], f["type"])
+        for f in _schema_for_bounds["fields"]
+        if isinstance(f["type"], str)
+    }
     data_manifest = os.path.join(mdir, "manifest-data-1.avro")
     write_avro_file(
         data_manifest,
         MANIFEST_ENTRY_SCHEMA_V2,
-        [_v2_entry(p, content=0, seq=1) for p in files],
+        [_v2_entry(p, content=0, seq=1, bounds_spec=_bspec) for p in files],
         codec="null",
     )
     manifest_rows = [
@@ -2985,10 +3233,19 @@ def _v2_commit_snapshot(
                 _, entries = read_avro_file(
                     _resolve(r["manifest_path"], table_path, meta.get("location"))
                 )
+                lineage_base = int(head.get("next-row-id", 0))
                 for e in entries:
                     e["sequence_number"] = new_seq2
                     e["file_sequence_number"] = new_seq2
                     e["snapshot_id"] = new_sid
+                    if (
+                        int(head.get("format-version", 2)) >= 3
+                        and e["data_file"].get("first_row_id") is not None
+                    ):
+                        # the loser's row-id block may collide with the
+                        # winner's: re-carve from the HEAD's watermark
+                        e["data_file"]["first_row_id"] = lineage_base
+                        lineage_base += int(e["data_file"]["record_count"])
                 import uuid as _uuid
 
                 newman = os.path.join(
@@ -3045,6 +3302,13 @@ def _stage_v2_data_files(
     part_struct_names = ctx["part_struct_names"]
     part_src_cols = ctx["part_src_cols"]
     part_transforms = ctx["part_transforms"]
+    # per-file lower/upper bounds for planning-time skipping: top-level
+    # primitive columns only (footer-stat metadata read per staged file)
+    bounds_spec = {
+        name: (fid, ctx["field_types"][fid])
+        for name, fid in ctx["field_ids"].items()
+        if isinstance(ctx["field_types"].get(fid), str)
+    }
     commit_dir = os.path.join(table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}")
     data_entries: list[dict] = []
     if part_struct_names:
@@ -3087,15 +3351,29 @@ def _stage_v2_data_files(
             pid = int(os.path.basename(d).split("=", 1)[1])
             pdict = dict(zip(part_struct_names, tup_of[pid]))
             data_entries.extend(
-                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid, partition=pdict)
+                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
+                          partition=pdict, bounds_spec=bounds_spec)
                 for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
             )
     else:
         replacement.write.mode("overwrite").parquet(commit_dir)
         data_entries = [
-            _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid)
+            _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
+                      bounds_spec=bounds_spec)
             for p in sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
         ]
+    if ctx.get("format_version", 2) >= 3:
+        # v3 row lineage: each data file gets a first_row_id block
+        # [base, base + record_count) carved sequentially from the
+        # table's next-row-id (the commit tail advances the watermark
+        # by exactly the same added record count — _v2_commit_snapshot).
+        # Compaction REASSIGNS ids in this build (preserving them
+        # across file-merging rewrites needs materialized lineage
+        # columns; documented deviation).
+        base = int(ctx["meta"].get("next-row-id", 0))
+        for e in data_entries:
+            e["data_file"]["first_row_id"] = base
+            base += int(e["data_file"]["record_count"])
     return data_entries
 
 

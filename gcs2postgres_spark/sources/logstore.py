@@ -149,3 +149,73 @@ def log_store_for(path: str) -> LogStore:
             "gcs2postgres_spark.sources.logstore.register_log_store)"
         )
     return store
+
+
+class GcsLogStore(LogStore):
+    """Conditional-put commit seam for ``gs://`` paths over the public
+    GCS JSON API (stdlib urllib, no SDK): uploads carry
+    ``ifGenerationMatch=0``, which the service enforces ATOMICALLY — of
+    N concurrent creates for one object exactly one wins, the rest get
+    412 Precondition Failed (surfaced as FileExistsError, the
+    committers' loss signal). This is the same primitive
+    ``spark.delta.logStore.gs.impl`` relies on, and the reference's
+    own ``gs://`` object identity (reference src/db/db.go:22-30).
+
+    ``endpoint`` is overridable for emulators/tests (the fake-GCS
+    pytest drives the full 412 protocol without network);
+    ``token_provider`` returns a bearer token per request (default: the
+    ``GOOGLE_OAUTH_ACCESS_TOKEN`` env var, else anonymous — emulators
+    accept it, production requires a real token). Only the COMMIT POINT
+    goes through this store; data staging stays posix in this build
+    (module scope note above)."""
+
+    def __init__(self, endpoint: str = "https://storage.googleapis.com",
+                 token_provider=None) -> None:
+        self.endpoint = endpoint.rstrip("/")
+        self._token_provider = token_provider or (
+            lambda: os.environ.get("GOOGLE_OAUTH_ACCESS_TOKEN", "")
+        )
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        if not path.startswith("gs://"):
+            raise ValueError(f"not a gs:// path: {path!r}")
+        bucket, _, name = path[len("gs://"):].partition("/")
+        if not bucket or not name:
+            raise ValueError(f"gs path needs bucket and object: {path!r}")
+        return bucket, name
+
+    def _upload(self, path: str, data: bytes, if_absent: bool) -> None:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        bucket, name = self._split(path)
+        url = (
+            f"{self.endpoint}/upload/storage/v1/b/{urllib.parse.quote(bucket)}/o"
+            f"?uploadType=media&name={urllib.parse.quote(name, safe='')}"
+            + ("&ifGenerationMatch=0" if if_absent else "")
+        )
+        req = urllib.request.Request(
+            url, data=data, method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        token = self._token_provider()
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                resp.read()
+        except urllib.error.HTTPError as e:
+            if if_absent and e.code == 412:
+                # generation precondition lost: the object exists — the
+                # committers' rebase/conflict protocols take over
+                raise FileExistsError(path) from None
+            raise
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        self._upload(path, data, if_absent=True)
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        # GCS object writes are atomic server-side (no partial objects)
+        self._upload(path, data, if_absent=False)

@@ -1,0 +1,117 @@
+"""GcsLogStore: the gs:// conditional-put commit seam, driven against
+an in-process fake GCS JSON-API server (no network). The fake enforces
+``ifGenerationMatch=0`` with a lock — the exact server-side atomicity
+real GCS provides — so these tests prove the PROTOCOL (one winner, the
+rest get 412 → FileExistsError) end to end through real HTTP.
+"""
+
+from __future__ import annotations
+
+import threading
+import urllib.parse
+from concurrent.futures import ThreadPoolExecutor
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from gcs2postgres_spark.sources.logstore import (
+    GcsLogStore,
+    log_store_for,
+    register_log_store,
+)
+
+
+class _FakeGcs(BaseHTTPRequestHandler):
+    objects: dict[str, bytes] = {}
+    lock = threading.Lock()
+    seen_auth: list[str] = []
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_POST(self):
+        parsed = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(parsed.query)
+        # upload/storage/v1/b/<bucket>/o
+        parts = parsed.path.strip("/").split("/")
+        bucket = parts[parts.index("b") + 1]
+        name = qs["name"][0]
+        key = f"{bucket}/{name}"
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        self.seen_auth.append(self.headers.get("Authorization", ""))
+        with self.lock:
+            if "ifGenerationMatch" in qs and qs["ifGenerationMatch"][0] == "0":
+                if key in self.objects:
+                    self.send_response(412)
+                    self.end_headers()
+                    return
+            self.objects[key] = body
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+
+@pytest.fixture()
+def fake_gcs():
+    _FakeGcs.objects = {}
+    _FakeGcs.seen_auth = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeGcs)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", _FakeGcs
+    srv.shutdown()
+
+
+def test_put_if_absent_protocol(fake_gcs):
+    endpoint, state = fake_gcs
+    store = GcsLogStore(endpoint, token_provider=lambda: "tok-123")
+    store.put_if_absent("gs://bkt/_delta_log/00000000000000000000.json", b"v0")
+    assert state.objects["bkt/_delta_log/00000000000000000000.json"] == b"v0"
+    with pytest.raises(FileExistsError):
+        store.put_if_absent("gs://bkt/_delta_log/00000000000000000000.json", b"v0b")
+    # loser never clobbered the winner
+    assert state.objects["bkt/_delta_log/00000000000000000000.json"] == b"v0"
+    assert any(a == "Bearer tok-123" for a in state.seen_auth)
+
+
+def test_concurrent_race_single_winner(fake_gcs):
+    endpoint, state = fake_gcs
+    store = GcsLogStore(endpoint, token_provider=lambda: "t")
+
+    def attempt(i):
+        try:
+            store.put_if_absent("gs://bkt/metadata/v2.metadata.json",
+                                f"writer-{i}".encode())
+            return i
+        except FileExistsError:
+            return None
+
+    with ThreadPoolExecutor(8) as ex:
+        winners = [w for w in ex.map(attempt, range(8)) if w is not None]
+    assert len(winners) == 1
+    assert state.objects["bkt/metadata/v2.metadata.json"] == (
+        f"writer-{winners[0]}".encode()
+    )
+
+
+def test_write_atomic_overwrites(fake_gcs):
+    endpoint, state = fake_gcs
+    store = GcsLogStore(endpoint, token_provider=lambda: "t")
+    store.write_atomic("gs://bkt/metadata/version-hint.text", b"1")
+    store.write_atomic("gs://bkt/metadata/version-hint.text", b"2")
+    assert state.objects["bkt/metadata/version-hint.text"] == b"2"
+
+
+def test_scheme_registration_routes(fake_gcs):
+    endpoint, _ = fake_gcs
+    from gcs2postgres_spark.sources import logstore as _ls
+
+    store = GcsLogStore(endpoint, token_provider=lambda: "")
+    register_log_store("gs", store)
+    try:
+        assert log_store_for("gs://bkt/x") is store
+    finally:
+        _ls._BY_SCHEME.pop("gs", None)
+    with pytest.raises(ValueError, match="bucket and object"):
+        store.put_if_absent("gs://only-bucket", b"")

@@ -279,3 +279,45 @@ def test_facade_v3_upgrade(spark, tmp_path):
     assert _meta(t)["format-version"] == 3
     assert _head_dv_refs(t)  # position deletes converted
     assert read_iceberg_py(spark, t).count() == 10
+
+
+def test_v3_row_id_materialization(spark, tmp_path):
+    """_row_id = first_row_id + physical position; stable across DV
+    deletes; NULL for pre-lineage files; unique across appends."""
+    from gcs2postgres_spark.sources.iceberg_py import read_iceberg_with_row_ids
+
+    t = str(tmp_path / "t")
+    _mk(spark, t, n=8)  # pre-lineage files: NULL ids
+    upgrade_iceberg_format_version(spark, t)
+    append_iceberg_v2(
+        spark, t,
+        spark.range(100, 110).withColumnRenamed("id", "k").withColumn(
+            "v", (F.col("k") * 2).cast("long")
+        ),
+        snapshot_ts_ms=1_700_000_004_000,
+    )
+    append_iceberg_v2(
+        spark, t,
+        spark.range(200, 205).withColumnRenamed("id", "k").withColumn(
+            "v", (F.col("k") * 2).cast("long")
+        ),
+        snapshot_ts_ms=1_700_000_005_000,
+    )
+    rows = read_iceberg_with_row_ids(spark, t).collect()
+    assert len(rows) == 23
+    pre = [r for r in rows if r["k"] < 100]
+    post = [r for r in rows if r["k"] >= 100]
+    assert all(r["_row_id"] is None for r in pre)  # unassigned (spec)
+    ids = [r["_row_id"] for r in post]
+    assert None not in ids and len(set(ids)) == 15
+    assert sorted(ids) == list(range(15))  # two blocks carved [0,10)+[10,15)
+    # DV delete: surviving rows KEEP their ids
+    before = {r["k"]: r["_row_id"] for r in post}
+    delete_where(spark, t, "k IN (101, 203)", snapshot_ts_ms=1_700_000_006_000)
+    after = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg_with_row_ids(spark, t).collect()
+        if r["k"] >= 100
+    }
+    assert len(after) == 13
+    assert all(after[k] == before[k] for k in after)
