@@ -3229,9 +3229,20 @@ def _dv_row_level_commit(
     # exact identity the new bitmaps must encode
     # partition_filter prunes the MATCHING SCAN at log-replay planning
     # time (read_delta_py's file skip) — the caller asserts it is
-    # implied by the predicate
+    # implied by the predicate. String predicates additionally prune by
+    # the log's per-file stats (bounds_from_predicate — conservative
+    # syntactic extraction, provably implied, so skipped files simply
+    # keep their existing DVs untouched).
+    stats_filter = None
+    if isinstance(matcher, str):
+        from gcs2postgres_spark.sources.predicate_bounds import (
+            bounds_from_predicate,
+        )
+
+        stats_filter = bounds_from_predicate(matcher) or None
     tagged = read_delta_py(
-        spark, table_path, partition_filter=partition_filter, _keep_identity=True
+        spark, table_path, partition_filter=partition_filter,
+        stats_filter=stats_filter, _keep_identity=True,
     )
     matched = matcher(tagged) if callable(matcher) else tagged.filter(matcher)
     matched = matched.select("__dv_fp", "__dv_pos")

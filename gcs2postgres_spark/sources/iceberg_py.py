@@ -475,36 +475,9 @@ def read_iceberg_py(
     ids_by_name = {f["name"]: f["id"] for f in schema_json["fields"]}
 
     def _stats_pruned(dfile: dict) -> bool:
-        """Planning-time file skip from the manifest's per-file
-        lower/upper bounds (``stats_filter`` = {col: (lo, hi)}, None =
-        unbounded side). Conservative: absent bounds, unknown columns,
-        undecodable values all KEEP the file; callers still apply the
-        predicate as a row filter. Temporal filter values compare
-        through the spec's storage ints (days / micros)."""
         if not stats_filter:
             return False
-        lbs = {e["key"]: e["value"] for e in (dfile.get("lower_bounds") or ())}
-        ubs = {e["key"]: e["value"] for e in (dfile.get("upper_bounds") or ())}
-        if not lbs and not ubs:
-            return False
-        for col, (lo, hi) in stats_filter.items():
-            fid = ids_by_name.get(col)
-            t = field_types.get(fid)
-            if fid is None or not isinstance(t, str):
-                continue
-            lb, ub = lbs.get(fid), ubs.get(fid)
-            try:
-                if lo is not None and ub is not None and (
-                    _bound_decode(ub, t) < _storage_value(lo, t)
-                ):
-                    return True
-                if hi is not None and lb is not None and (
-                    _bound_decode(lb, t) > _storage_value(hi, t)
-                ):
-                    return True
-            except (ValueError, TypeError, KeyError):
-                continue
-        return False
+        return _stats_prune_dfile(dfile, stats_filter, ids_by_name, field_types)
 
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
     orc_paths: set[str] = set()  # ORC-format members of data_files
@@ -1268,6 +1241,41 @@ def _bound_decode(b: bytes, t: str):
     if t == "string":
         return b.decode("utf-8")
     return None
+
+
+def _stats_prune_dfile(
+    dfile: dict,
+    stats_filter: dict[str, tuple],
+    ids_by_name: dict[str, int],
+    field_types: dict[int, str],
+) -> bool:
+    """True when the manifest entry's lower/upper bounds prove NO row
+    can match ``stats_filter`` ({col: (lo, hi)}, None = unbounded).
+    Conservative: absent bounds, unknown columns, undecodable values
+    keep the file; callers still apply the predicate as a row filter.
+    Temporal filter values compare through the spec's storage ints."""
+    lbs = {e["key"]: e["value"] for e in (dfile.get("lower_bounds") or ())}
+    ubs = {e["key"]: e["value"] for e in (dfile.get("upper_bounds") or ())}
+    if not lbs and not ubs:
+        return False
+    for col, (lo, hi) in stats_filter.items():
+        fid = ids_by_name.get(col)
+        t = field_types.get(fid)
+        if fid is None or not isinstance(t, str):
+            continue
+        lb, ub = lbs.get(fid), ubs.get(fid)
+        try:
+            if lo is not None and ub is not None and (
+                _bound_decode(ub, t) < _storage_value(lo, t)
+            ):
+                return True
+            if hi is not None and lb is not None and (
+                _bound_decode(lb, t) > _storage_value(hi, t)
+            ):
+                return True
+        except (ValueError, TypeError, KeyError):
+            continue
+    return False
 
 
 def _storage_value(v, t: str):
@@ -3618,6 +3626,7 @@ def _v2_row_level_commit(
     )
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
     data_parts: dict[str, dict] = {}  # normalized path -> partition tuple dict
+    data_stats: dict[str, dict] = {}  # normalized path -> manifest bounds
     pos_deletes: list[tuple[str, int]] = []
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     # v3 DVs: (puffin path, offset, size, seq, normalized referenced file)
@@ -3657,6 +3666,11 @@ def _v2_row_level_commit(
             if content == 0:
                 data_files.append((path, seq))
                 data_parts[_norm_path(path)] = dfile.get("partition") or {}
+                if dfile.get("lower_bounds") or dfile.get("upper_bounds"):
+                    data_stats[_norm_path(path)] = {
+                        "lower_bounds": dfile.get("lower_bounds"),
+                        "upper_bounds": dfile.get("upper_bounds"),
+                    }
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -3704,6 +3718,28 @@ def _v2_row_level_commit(
         data_files = [
             (p, sq) for p, sq in data_files if _keep(data_parts[_norm_path(p)])
         ]
+    if isinstance(predicate, str) and data_files and data_stats:
+        # prune the MATCHING SCAN by manifest bounds derived from the
+        # predicate itself (conservative syntactic extraction —
+        # predicate_bounds module): files whose recorded range cannot
+        # hold a matching row need no scan AND no delete file. A
+        # range-targeted DELETE on a 10^5-file table touches only its
+        # files' footers.
+        from gcs2postgres_spark.sources.predicate_bounds import (
+            bounds_from_predicate,
+        )
+
+        b = bounds_from_predicate(predicate)
+        if b:
+            ids_by_name = {n: i for i, n in field_names.items()}
+            data_files = [
+                (p, sq)
+                for p, sq in data_files
+                if not _stats_prune_dfile(
+                    data_stats.get(_norm_path(p)) or {},
+                    b, ids_by_name, ctx["field_types"],
+                )
+            ]
     if not data_files and replacement is None:
         return None
 

@@ -166,9 +166,26 @@ def _rewrite_select(spark: SparkSession, stmt: str) -> str:
     Everything else in the statement passes through to Spark SQL
     verbatim — joins, CTEs, aggregates over lakehouse tables all work."""
     from gcs2postgres_spark.sources import delta_py, iceberg_py
+    from gcs2postgres_spark.sources.predicate_bounds import bounds_from_predicate
+
+    matches = list(_SELECT_TBL.finditer(stmt))
+    stats_filter = None
+    if len(matches) == 1:
+        # single-table SELECT: derive planning-time file-skip bounds
+        # from the WHERE clause (conservative — unprovable shapes
+        # contribute nothing; the predicate still runs as a row filter,
+        # so this can only drop files with no matching rows). Joins and
+        # multi-table statements skip extraction entirely.
+        w = re.search(
+            r"(?is)\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|"
+            r"\bHAVING\b|\bLIMIT\b|\bUNION\b|\bWINDOW\b|$)",
+            stmt,
+        )
+        if w and "(" not in w.group(1) and ")" not in w.group(1):
+            stats_filter = bounds_from_predicate(w.group(1)) or None
 
     out, pos, n = [], 0, 0
-    for m in _SELECT_TBL.finditer(stmt):
+    for m in matches:
         fmt, path = m["fmt"].lower(), m["path"]
         v = int(m["v"]) if m["v"] else None
         ts_ms = _epoch_ms(m["ts"]) if m["ts"] else None
@@ -177,11 +194,13 @@ def _rewrite_select(spark: SparkSession, stmt: str) -> str:
             if ref is not None:
                 raise ValueError("FOR REF is an Iceberg feature (named refs)")
             df = delta_py.read_delta_py(
-                spark, path, version_as_of=v, timestamp_as_of_ms=ts_ms
+                spark, path, version_as_of=v, timestamp_as_of_ms=ts_ms,
+                stats_filter=stats_filter,
             )
         else:
             df = iceberg_py.read_iceberg_py(
-                spark, path, snapshot_id=v, as_of_ms=ts_ms, ref=ref
+                spark, path, snapshot_id=v, as_of_ms=ts_ms, ref=ref,
+                stats_filter=stats_filter,
             )
         view = f"__lakehouse_sql_v{n}"
         n += 1
