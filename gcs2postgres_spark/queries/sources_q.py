@@ -3774,3 +3774,69 @@ def iceberg_v3_row_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+ICT_ORACLE = """
+WITH head AS (
+  SELECT n_nationkey FROM nation
+  UNION ALL
+  SELECT n_nationkey + 100 FROM nation WHERE n_regionkey = 0)
+SELECT 'asof' AS tag, count(*) AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+UNION ALL
+SELECT 'head', count(*), CAST(sum(n_nationkey) AS BIGINT) FROM head
+ORDER BY tag
+"""
+
+
+@register("delta_ict_time_travel_roundtrip", oracle=ICT_ORACLE)
+def delta_ict_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit timestamps (Delta writer feature): after
+    ``delta.enableInCommitTimestamps``, a CLOCK-SKEWED append whose
+    wall timestamp predates the enablement instant still gets a
+    monotonic inCommitTimestamp AFTER it — so TIMESTAMP AS OF the
+    enablement instant must NOT see the appended rows (wall-clock
+    semantics would wrongly include them; that wrong result is exactly
+    what breaks this oracle's 'asof' row). The 'head' row pins that the
+    rows are otherwise present."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        set_delta_property,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_ict_")
+    try:
+        write_delta(nation.coalesce(1), tmp, "overwrite",
+                    timestamp_ms=1_700_000_000_000)
+        set_delta_property(spark, tmp, "delta.enableInCommitTimestamps", "true",
+                           timestamp_ms=1_700_000_010_000)
+        skewed = (
+            nation.filter(F.col("n_regionkey") == 0)
+            .withColumn(
+                "n_nationkey",
+                (F.col("n_nationkey") + 100).cast(dict(nation.dtypes)["n_nationkey"]),
+            )
+        )
+        # wall clock BEHIND the enablement instant (skewed writer)
+        write_delta(skewed.coalesce(1), tmp, "append",
+                    timestamp_ms=1_700_000_005_000)
+        asof = read_delta_py(spark, tmp, timestamp_as_of_ms=1_700_000_010_000)
+        head = read_delta_py(spark, tmp)
+
+        def agg(df, tag):
+            return df.agg(
+                F.lit(tag).alias("tag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+            )
+
+        return agg(asof, "asof").unionByName(agg(head, "head")).orderBy("tag")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

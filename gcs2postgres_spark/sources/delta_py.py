@@ -426,6 +426,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # honored: write_checkpoint writes the uuid-named manifest + sidecar
     # layout when delta.checkpointPolicy=v2 (and the reader parses it)
     "v2Checkpoint",
+    # honored: _write_commit stamps a monotonic commitInfo
+    # inCommitTimestamp once the property/chain is detected, and
+    # timestamp time travel trusts it (_next_in_commit_ts)
+    "inCommitTimestamp",
 }
 
 
@@ -675,7 +679,12 @@ def read_delta_py(
         ]
         if timestamp_as_of_ms is not None:
             ci = next((a["commitInfo"] for a in actions if "commitInfo" in a), None)
-            if ci and int(ci.get("timestamp", 0)) > timestamp_as_of_ms:
+            # spec: when the table records inCommitTimestamp, time
+            # travel trusts IT (monotonic by contract) over the wall
+            # timestamp a clock-skewed writer recorded
+            if ci and int(
+                ci.get("inCommitTimestamp", ci.get("timestamp", 0))
+            ) > timestamp_as_of_ms:
                 break
         for a in actions:
             if "protocol" in a:
@@ -1109,6 +1118,63 @@ class CommitConflictError(RuntimeError):
     the whole operation."""
 
 
+def _next_in_commit_ts(
+    log_dir: str, version: int, actions: list[dict], timestamp_ms: int
+) -> int | None:
+    """The ``inCommitTimestamp`` this commit must carry, or None when
+    the feature is off (spec "In-Commit Timestamps"): once
+    ``delta.enableInCommitTimestamps`` is set, every commitInfo records
+    a MONOTONICALLY increasing timestamp that time travel trusts
+    instead of file clocks. Chain detection is self-contained: stamp
+    when the PREVIOUS commit carries an ICT (continue the chain,
+    max(wall, prev + 1)), or when THIS commit's metaData turns the
+    property on (the enablement commit starts the chain). One previous-
+    commit read — O(1) driver metadata."""
+    prev_ict = None
+    if version > 0:
+        prev = os.path.join(log_dir, f"{version - 1:020d}.json")
+        if fsio.exists(prev):
+            for line in fsio.read_text(prev).splitlines():
+                if '"commitInfo"' not in line:
+                    continue
+                ci = json.loads(line).get("commitInfo") or {}
+                if ci.get("inCommitTimestamp") is not None:
+                    prev_ict = int(ci["inCommitTimestamp"])
+                break
+    if prev_ict is not None:
+        return max(int(timestamp_ms), prev_ict + 1)
+    for a in actions:
+        md = a.get("metaData")
+        if md and (md.get("configuration") or {}).get(
+            "delta.enableInCommitTimestamps"
+        ) == "true":
+            return int(timestamp_ms)
+    if version > 0 and not fsio.exists(
+        os.path.join(log_dir, f"{version - 1:020d}.json")
+    ):
+        # checkpoint-only table (log cleaned): the chain signal is the
+        # property in the checkpoint's metaData; the floor is the
+        # recorded enablement timestamp (the prior exact ICT was
+        # cleaned with its commit)
+        lc = os.path.join(log_dir, "_last_checkpoint")
+        if fsio.exists(lc):
+            try:
+                acts = checkpoint_actions_pyarrow(
+                    log_dir, int(json.loads(fsio.read_text(lc))["version"])
+                )
+            except FileNotFoundError:
+                acts = []
+            for a in acts:
+                md = a.get("metaData")
+                cfg = (md or {}).get("configuration") or {}
+                if cfg.get("delta.enableInCommitTimestamps") == "true":
+                    floor = int(
+                        cfg.get("delta.inCommitTimestampEnablementTimestamp", 0)
+                    )
+                    return max(int(timestamp_ms), floor + 1)
+    return None
+
+
 def _write_commit(
     log_dir: str,
     version: int,
@@ -1133,6 +1199,9 @@ def _write_commit(
         # the same field real Delta writers record; describe_history
         # surfaces it (older/foreign commits without one show null)
         ci["operation"] = operation
+    ict = _next_in_commit_ts(log_dir, version, actions, timestamp_ms)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
     lines = [json.dumps({"commitInfo": ci})]
     if txn:
         # streaming exactly-once bookkeeping (protocol `txn` action:
@@ -2396,6 +2465,21 @@ def set_delta_property(
     log_dir = _log_dir(table_path)
     version = max(_list_commits(log_dir)) + 1
     actions: list[dict] = [{"metaData": new_meta}]
+    if key == "delta.enableInCommitTimestamps" and value == "true":
+        # spec: enablement upgrades the protocol (writer feature) and
+        # records the enablement version/timestamp properties in the
+        # SAME metaData; _write_commit starts the monotonic chain at
+        # this commit (see _next_in_commit_ts)
+        config["delta.inCommitTimestampEnablementVersion"] = str(version)
+        config["delta.inCommitTimestampEnablementTimestamp"] = str(timestamp_ms)
+        new_meta["configuration"] = config
+        actions.insert(
+            0,
+            _upgraded_protocol_action(
+                _head_protocol(table_path),
+                add_writer={"inCommitTimestamp"},
+            ),
+        )
     if key == "delta.checkpointPolicy" and value == "v2":
         # spec: v2 checkpoints are a reader+writer table feature — the
         # property flip upgrades the protocol in the same commit, so
