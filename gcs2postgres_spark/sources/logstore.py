@@ -219,3 +219,60 @@ class GcsLogStore(LogStore):
     def write_atomic(self, path: str, data: bytes) -> None:
         # GCS object writes are atomic server-side (no partial objects)
         self._upload(path, data, if_absent=False)
+
+
+class S3CompatLogStore(LogStore):
+    """Conditional-put commit seam for ``s3://`` paths against
+    S3-COMPATIBLE stores: a PUT carrying ``If-None-Match: *`` (the
+    conditional-write primitive S3 added in 2024, long supported by
+    MinIO and friends) — 412 Precondition Failed surfaces as
+    FileExistsError, exactly one of N racing creates wins server-side.
+
+    ``endpoint`` is the path-style base URL (``http://minio:9000``);
+    ``headers_provider(method, url)`` returns auth headers per request —
+    the seam where SigV4 signing (or a MinIO service token, or nothing
+    for anonymous emulator buckets) plugs in. Stdlib-only; full AWS
+    SigV4 signing is deliberately left to the provider (a ~50-line hmac
+    chain callers with real AWS credentials can supply)."""
+
+    def __init__(self, endpoint: str, headers_provider=None) -> None:
+        self.endpoint = endpoint.rstrip("/")
+        self._headers_provider = headers_provider or (lambda method, url: {})
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        if not path.startswith("s3://"):
+            raise ValueError(f"not an s3:// path: {path!r}")
+        bucket, _, name = path[len("s3://"):].partition("/")
+        if not bucket or not name:
+            raise ValueError(f"s3 path needs bucket and object: {path!r}")
+        return bucket, name
+
+    def _put(self, path: str, data: bytes, if_absent: bool) -> None:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        bucket, name = self._split(path)
+        url = (
+            f"{self.endpoint}/{urllib.parse.quote(bucket)}/"
+            f"{urllib.parse.quote(name)}"
+        )
+        headers = {"Content-Type": "application/octet-stream"}
+        if if_absent:
+            headers["If-None-Match"] = "*"
+        headers.update(self._headers_provider("PUT", url))
+        req = urllib.request.Request(url, data=data, method="PUT", headers=headers)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                resp.read()
+        except urllib.error.HTTPError as e:
+            if if_absent and e.code == 412:
+                raise FileExistsError(path) from None
+            raise
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        self._put(path, data, if_absent=True)
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        self._put(path, data, if_absent=False)

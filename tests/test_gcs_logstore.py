@@ -115,3 +115,54 @@ def test_scheme_registration_routes(fake_gcs):
         _ls._BY_SCHEME.pop("gs", None)
     with pytest.raises(ValueError, match="bucket and object"):
         store.put_if_absent("gs://only-bucket", b"")
+
+
+class _FakeS3(BaseHTTPRequestHandler):
+    objects: dict[str, bytes] = {}
+    lock = threading.Lock()
+
+    def log_message(self, *a):
+        pass
+
+    def do_PUT(self):
+        key = urllib.parse.urlparse(self.path).path.strip("/")
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        with self.lock:
+            if self.headers.get("If-None-Match") == "*" and key in self.objects:
+                self.send_response(412)
+                self.end_headers()
+                return
+            self.objects[key] = body
+        self.send_response(200)
+        self.end_headers()
+
+
+def test_s3_compat_conditional_put():
+    from gcs2postgres_spark.sources.logstore import S3CompatLogStore
+
+    _FakeS3.objects = {}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeS3)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        store = S3CompatLogStore(f"http://127.0.0.1:{srv.server_address[1]}")
+        store.put_if_absent("s3://bkt/_delta_log/00000000000000000001.json", b"a")
+        with pytest.raises(FileExistsError):
+            store.put_if_absent(
+                "s3://bkt/_delta_log/00000000000000000001.json", b"b"
+            )
+        assert _FakeS3.objects["bkt/_delta_log/00000000000000000001.json"] == b"a"
+
+        def attempt(i):
+            try:
+                store.put_if_absent("s3://bkt/m/v9.metadata.json", str(i).encode())
+                return i
+            except FileExistsError:
+                return None
+
+        with ThreadPoolExecutor(8) as ex:
+            winners = [w for w in ex.map(attempt, range(8)) if w is not None]
+        assert len(winners) == 1
+        store.write_atomic("s3://bkt/m/version-hint.text", b"9")
+        assert _FakeS3.objects["bkt/m/version-hint.text"] == b"9"
+    finally:
+        srv.shutdown()
