@@ -3840,3 +3840,74 @@ def delta_ict_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+VARIANT_ORACLE = """
+SELECT lang,
+       count(*)                          AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)      AS chars_sum,
+       CAST(max(doc_id) AS BIGINT)       AS max_id
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("variant_lakehouse_roundtrip", oracle=VARIANT_ORACLE)
+def variant_lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT columns through both jar-less formats (Delta writer
+    feature ``variantType``; Iceberg v3 ``variant`` type): each
+    document's (doc_id, n_chars) is packed into a VARIANT via
+    parse_json, written to a Delta AND an Iceberg table, read back
+    jar-less, and the values extracted with variant_get — the oracle
+    recomputes the same aggregates from the raw columns, so any
+    corruption in the variant binary round-trip (write encoding, scan,
+    extraction) shifts a sum. The Delta table's protocol declares
+    variantType (reader+writer); the Iceberg manifests' record counts
+    come from the Spark count fallback (pyarrow cannot parse variant
+    footers). Both tables must agree with each other AND the oracle."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.parse_json(
+            F.concat(
+                F.lit('{"id": '), F.col("doc_id").cast("string"),
+                F.lit(', "n": '), F.col("n_chars").cast("string"), F.lit("}"),
+            )
+        ).alias("payload"),
+    )
+    dt = tempfile.mkdtemp(prefix="var_d_")
+    it = tempfile.mkdtemp(prefix="var_i_")
+    try:
+        write_delta(docs, dt, "overwrite", timestamp_ms=1_700_000_000_000)
+        write_iceberg_v2_fixture(docs, it, sort_col="doc_id")
+
+        def agg(df):
+            return (
+                df.select(
+                    "lang",
+                    F.expr("variant_get(payload, '$.id', 'long')").alias("vid"),
+                    F.expr("variant_get(payload, '$.n', 'long')").alias("vn"),
+                )
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("vn").cast("long").alias("chars_sum"),
+                    F.max("vid").cast("long").alias("max_id"),
+                )
+            )
+
+        d = agg(read_delta_py(spark, dt))
+        i = agg(read_iceberg_py(spark, it))
+        # both formats must agree exactly — the intersection IS the result
+        return d.intersect(i).orderBy("lang")
+    except BaseException:
+        shutil.rmtree(dt, ignore_errors=True)
+        shutil.rmtree(it, ignore_errors=True)
+        raise

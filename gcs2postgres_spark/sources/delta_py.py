@@ -332,6 +332,21 @@ def _checkpoint_base(spark: SparkSession, log_dir: str) -> tuple[int, list[dict]
     return version, adds, meta
 
 
+def _has_variant(dt) -> bool:
+    """True when any (possibly nested) field is VARIANT-typed."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.VariantType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_variant(dt.keyType) or _has_variant(dt.valueType)
+    return False
+
+
 def _check_protocol(protocol: dict) -> None:
     reader_version = int(protocol.get("minReaderVersion", 1))
     features = set(protocol.get("readerFeatures") or [])
@@ -344,6 +359,11 @@ def _check_protocol(protocol: dict) -> None:
         "v2Checkpoint",
         "deletionVectors",
         "columnMapping",
+        # Spark's native parquet reader handles the variant physical
+        # encoding (metadata/value binary pair) and schemaString keeps
+        # the `variant` type — the scan round-trips natively
+        "variantType",
+        "variantType-preview",
         # files written before a widening carry the NARROW type; the
         # scan requests the table schema and Spark's parquet reader
         # upcasts (int->long, float->double, date->timestamp_ntz, ...)
@@ -430,6 +450,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # inCommitTimestamp once the property/chain is detected, and
     # timestamp time travel trusts it (_next_in_commit_ts)
     "inCommitTimestamp",
+    # honored: Spark's native parquet writer emits the variant
+    # encoding; fresh tables with variant columns declare the feature
+    "variantType",
+    "variantType-preview",
 }
 
 
@@ -2716,7 +2740,24 @@ def write_delta(
     if fresh:
         version = 0
         part_cols = list(partition_by or [])
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        if _has_variant(df.schema):
+            # spec: VARIANT columns are a reader+writer table feature —
+            # the fresh table's protocol must declare it so feature-
+            # gated readers know to handle the parquet variant encoding
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["variantType"],
+                        "writerFeatures": ["variantType"],
+                    }
+                }
+            )
+        else:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
         actions.append(_meta_action(df.schema, part_cols))
     else:
         if existing:

@@ -171,6 +171,9 @@ def iceberg_to_spark_type(t) -> T.DataType:
         "binary": T.BinaryType(),
         "timestamp": T.TimestampNTZType(),
         "timestamptz": T.TimestampType(),
+        # v3: variant (Spark 4 has a native VariantType whose parquet
+        # encoding matches the spec's metadata/value binary pair)
+        "variant": T.VariantType(),
     }
     if t in prims:
         return prims[t]
@@ -232,6 +235,7 @@ def spark_to_iceberg_schema(schema: T.StructType) -> dict:
             T.BinaryType(): "binary",
             T.TimestampType(): "timestamptz",
             T.TimestampNTZType(): "timestamp",
+            T.VariantType(): "variant",
         }
         if dt in prims:
             return prims[dt]
@@ -1338,6 +1342,29 @@ def _parquet_bounds(
     return lower, upper, nullc
 
 
+def _schema_has_variant(ctx: dict) -> bool:
+    return any("variant" in json.dumps(t) for t in ctx["field_types"].values())
+
+
+def _parquet_counts_via_spark(spark, paths: list[str]) -> dict[str, int]:
+    """Per-file row counts via ONE distributed count-by-file job — the
+    fallback when pyarrow cannot parse the footers (VARIANT-typed
+    parquet uses a logical type pyarrow 16 does not know; Spark's own
+    reader does). Returns {abs path -> rows}."""
+    from pyspark.sql import functions as _F
+
+    rows = (
+        spark.read.parquet(*paths)
+        .groupBy(
+            _F.regexp_replace(_F.col("_metadata.file_path"), r"^file:(//)?", "")
+            .alias("fp")
+        )
+        .count()
+        .collect()
+    )
+    return {r["fp"]: int(r["count"]) for r in rows}
+
+
 def _v2_entry(
     path: str,
     content: int,
@@ -1347,6 +1374,7 @@ def _v2_entry(
     partition: dict | None = None,
     dv: tuple[str, int, int, int] | None = None,
     bounds_spec: dict[str, tuple[int, str]] | None = None,
+    record_count: int | None = None,
 ) -> dict:
     if dv is not None:
         # v3 deletion vector: (referenced data file, content_offset,
@@ -1379,10 +1407,19 @@ def _v2_entry(
         from gcs2postgres_spark.sources.avro_py import avro_row_count
 
         fmt, nrows = "AVRO", avro_row_count(path)
+    elif record_count is not None:
+        fmt, nrows = "PARQUET", int(record_count)
     else:
         import pyarrow.parquet as pq
 
-        fmt, nrows = "PARQUET", pq.ParquetFile(path).metadata.num_rows
+        try:
+            fmt, nrows = "PARQUET", pq.ParquetFile(path).metadata.num_rows
+        except OSError as e:
+            raise NotImplementedError(
+                f"cannot read the parquet footer of {path!r} ({e}) — for "
+                "VARIANT-typed files pass record_count (the committers "
+                "compute it via _parquet_counts_via_spark)"
+            ) from None
     entry = {
         "status": 1,
         "snapshot_id": snapshot_id,
@@ -1465,11 +1502,21 @@ def write_iceberg_v2_fixture(
         for f in _schema_for_bounds["fields"]
         if isinstance(f["type"], str)
     }
+    _counts: dict[str, int] = {}
+    if "variant" in json.dumps(_schema_for_bounds):
+        # pyarrow cannot parse variant footers: ONE spark job counts all
+        _counts = _parquet_counts_via_spark(df.sparkSession, files)
     data_manifest = os.path.join(mdir, "manifest-data-1.avro")
     write_avro_file(
         data_manifest,
         MANIFEST_ENTRY_SCHEMA_V2,
-        [_v2_entry(p, content=0, seq=1, bounds_spec=_bspec) for p in files],
+        [
+            _v2_entry(
+                p, content=0, seq=1, bounds_spec=_bspec,
+                record_count=_counts.get(os.path.abspath(p)),
+            )
+            for p in files
+        ],
         codec="null",
     )
     manifest_rows = [
@@ -3355,20 +3402,36 @@ def _stage_v2_data_files(
         rep = rep.repartition(F.col("__pid"))
         rep.write.partitionBy("__pid").mode("overwrite").parquet(commit_dir)
         tup_of = {pid: tup for tup, pid in pid_of.items()}
+        staged = sorted(glob.glob(os.path.join(commit_dir, "__pid=*", "part-*.parquet")))
+        spark_counts = bool(staged) and _schema_has_variant(ctx)
+        var_counts = _parquet_counts_via_spark(spark, staged) if spark_counts else {}
+
+        def _rc(p: str) -> int | None:
+            # a zero-row part file yields NO count row: missing = 0
+            return var_counts.get(os.path.abspath(p), 0) if spark_counts else None
+
         for d in sorted(glob.glob(os.path.join(commit_dir, "__pid=*"))):
             pid = int(os.path.basename(d).split("=", 1)[1])
             pdict = dict(zip(part_struct_names, tup_of[pid]))
             data_entries.extend(
                 _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
-                          partition=pdict, bounds_spec=bounds_spec)
+                          partition=pdict, bounds_spec=bounds_spec,
+                          record_count=_rc(p))
                 for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
             )
     else:
         replacement.write.mode("overwrite").parquet(commit_dir)
+        staged = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+        spark_counts = bool(staged) and _schema_has_variant(ctx)
+        var_counts = _parquet_counts_via_spark(spark, staged) if spark_counts else {}
         data_entries = [
             _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
-                      bounds_spec=bounds_spec)
-            for p in sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+                      bounds_spec=bounds_spec,
+                      record_count=(
+                          var_counts.get(os.path.abspath(p), 0)
+                          if spark_counts else None
+                      ))
+            for p in staged
         ]
     if ctx.get("format_version", 2) >= 3:
         # v3 row lineage: each data file gets a first_row_id block
