@@ -118,6 +118,13 @@ ALLOWED["sources/iceberg_py.py"].append(
     # same commit-payload bound delta_py's DV writer pays
     ".applyInPandas(\n            _write,"
 )
+ALLOWED["sources/iceberg_py.py"].append(
+    # variant-table record counts: ONE aggregate row per staged data
+    # file (count-by-file over _metadata.file_path) — the manifest-
+    # entry bound every committer pays; the fallback exists because
+    # pyarrow cannot parse variant parquet footers
+    '_F.regexp_replace(_F.col("_metadata.file_path")'
+)
 
 
 def test_no_unbounded_driver_collect():
