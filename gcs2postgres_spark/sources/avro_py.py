@@ -427,8 +427,11 @@ def write_avro_file(
         _write_long(out, len(chunk))
         _write_bytes(out, body)
         out.write(sync)
-    with open(path, "wb") as f:
-        f.write(out.getvalue())
+    # fsio routes scheme'd paths (file:, registered object stores)
+    # through the Hadoop FS — manifests are metadata-scale objects
+    from gcs2postgres_spark.sources import fsio
+
+    fsio.write_bytes(path, out.getvalue())
 
 
 # ------------------------------------------------------- schema translation

@@ -11,11 +11,20 @@ reference src/db/db.go:22-30). The Hadoop branch is exercised in tests
 with ``file:`` URIs — the same API surface an object store sees, minus
 network.
 
-Scope: the READ path (list/exists/read) — exactly what log replay and
-snapshot walking need. Table WRITES stay posix: a portable writer needs
-object-store-specific atomic-commit semantics (no rename on GCS/S3),
-which is connector territory, and is documented as such in delta_py.
-"""
+Scope: driver-side metadata IO, both directions. READ (list/exists/
+read_text/read_bytes) powers log replay and snapshot walking; WRITE
+(write_bytes/delete/rename/size/makedirs/list_files) powers the
+committers' NON-commit-point writes — staged manifests, checkpoint
+parquet, deletion-vector blobs, vacuum deletes. The COMMIT POINT
+itself (the one write whose atomicity decides table state) never goes
+through this module: it goes through sources/logstore.py's
+put-if-absent seam, per scheme. Everything here is either
+idempotent-overwrite of a uniquely-named object or a delete — safe
+under object-store semantics with no rename tricks. ``rename`` exists
+only for posix-fast paths and KB-scale metadata moves; on object
+stores Hadoop connectors implement it as copy+delete, which is why the
+committers avoid it for data files (they write to final unique names
+instead)."""
 
 from __future__ import annotations
 
@@ -35,7 +44,10 @@ def has_scheme(path: str) -> bool:
 def _fs(path: str):
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-LOCAL: a committer running on a worker
+    # thread (concurrent writers) still belongs to the one JVM-backed
+    # session, so fall back to the instantiated session before failing
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
         raise RuntimeError(
             f"no active SparkSession to resolve filesystem for {path!r}"
@@ -103,3 +115,114 @@ def join(base: str, *parts: str) -> str:
     """Path join that preserves URI schemes (os.path.join is fine for
     both cases on posix-style separators, which Hadoop paths use)."""
     return "/".join([base.rstrip("/"), *[p.strip("/") for p in parts]])
+
+
+def absolute(path: str) -> str:
+    """os.path.abspath that leaves URI-style paths alone (abspath would
+    join 'gs://…' onto the cwd, silently producing a local path)."""
+    return path if has_scheme(path) else os.path.abspath(path)
+
+
+def size(path: str) -> int:
+    if not has_scheme(path):
+        return os.path.getsize(path)
+    fs, p, _jvm = _fs(path)
+    return int(fs.getFileStatus(p).getLen())
+
+
+def makedirs(path: str) -> None:
+    """mkdir -p. On object stores directories are virtual — Hadoop
+    mkdirs is a no-op marker write at most, never an error."""
+    if not has_scheme(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    fs, p, _jvm = _fs(path)
+    fs.mkdirs(p)
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    """Overwrite-allowed write of a (typically uniquely-named) object:
+    staged manifests, checkpoint files, DV blobs. NOT the commit point
+    — that is logstore.put_if_absent. Posix writes via temp+rename for
+    crash-atomicity; Hadoop create(overwrite) is atomic-enough for
+    object stores (no partial objects) and the only primitive they
+    have."""
+    if not has_scheme(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return
+    fs, p, _jvm = _fs(path)
+    stream = fs.create(p, True)
+    try:
+        stream.write(data)
+    finally:
+        stream.close()
+
+
+def write_text(path: str, text: str) -> None:
+    write_bytes(path, text.encode("utf-8"))
+
+
+def delete(path: str, recursive: bool = False) -> bool:
+    """Delete a file (or a tree with recursive=True); False when the
+    path was already absent."""
+    if not has_scheme(path):
+        import shutil
+
+        if not os.path.exists(path):
+            return False
+        if recursive and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            os.remove(path)
+        return True
+    fs, p, _jvm = _fs(path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
+def rename(src: str, dst: str) -> None:
+    """Move src to dst (posix os.replace; Hadoop fs.rename). Metadata-
+    scale only on object stores — connectors emulate rename as
+    copy+delete there."""
+    if not has_scheme(src) and not has_scheme(dst):
+        os.replace(src, dst)
+        return
+    fs, s, _jvm = _fs(src)
+    _fs2, d, _jvm2 = _fs(dst)
+    if fs.exists(d):
+        fs.delete(d, False)
+    if not fs.rename(s, d):
+        raise OSError(f"rename failed: {src!r} -> {dst!r}")
+
+
+def list_files(path: str) -> list[tuple[str, int]]:
+    """EVERY file under ``path`` recursively as (full path, size) —
+    one bulk listing (Hadoop listFiles(recursive=true) pages the
+    object-store LIST API; posix walks). Paths come back in the same
+    scheme family as the input."""
+    if not has_scheme(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                full = os.path.join(root, name)
+                out.append((full, os.path.getsize(full)))
+        return out
+    fs, p, _jvm = _fs(path)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def strip_scheme(path: str) -> str:
+    """The filesystem-local form of a path: 'file:/x', 'file:///x' →
+    '/x'; other schemes returned unchanged (there is no local form)."""
+    m = re.match(r"^file:(//)?(/.*)$", path)
+    return m.group(2) if m else path

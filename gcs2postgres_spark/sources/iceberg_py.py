@@ -65,7 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gcs2postgres_spark.sources import fsio
+from gcs2postgres_spark.sources import fsio, logstore
 from gcs2postgres_spark.sources.avro_py import read_avro_file, write_avro_file
 
 _JAR_HINT = (
@@ -1287,6 +1287,20 @@ def _storage_value(v, t: str):
     epoch days, timestamps as epoch micros, everything else as-is)."""
     import datetime as _dt
 
+    if t in ("date", "timestamp", "timestamptz") and isinstance(v, str):
+        # SQL literal against a temporal column: the declared field type
+        # governs semantics, so parsing ('2024-06-01 12:00:00', space OR
+        # 'T' separator) to the storage int gives the true ordering; an
+        # unparseable literal stays a string → TypeError at the compare
+        # → the caller keeps the file (conservative).
+        try:
+            v = (
+                _dt.date.fromisoformat(v)
+                if t == "date"
+                else _dt.datetime.fromisoformat(v.replace(" ", "T", 1))
+            )
+        except ValueError:
+            return v
     if t == "date" and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
         return (v - _dt.date(1970, 1, 1)).days
     if t in ("timestamp", "timestamptz") and isinstance(v, _dt.datetime):
@@ -1375,7 +1389,13 @@ def _v2_entry(
     dv: tuple[str, int, int, int] | None = None,
     bounds_spec: dict[str, tuple[int, str]] | None = None,
     record_count: int | None = None,
+    file_size: int | None = None,
+    bounds3: tuple[list, list, list] | None = None,
 ) -> dict:
+    """``file_size``/``bounds3``: pre-computed size and
+    (lower, upper, null_counts) manifest maps — the scheme'd staging
+    path supplies them from fsio listings + a distributed stats job so
+    this function never footer-probes a remote object."""
     if dv is not None:
         # v3 deletion vector: (referenced data file, content_offset,
         # content_size_in_bytes, cardinality); record_count is the
@@ -1388,13 +1408,15 @@ def _v2_entry(
             "file_sequence_number": seq,
             "data_file": {
                 "content": 1,
-                "file_path": os.path.abspath(path),
+                "file_path": fsio.absolute(path),
                 "file_format": "PUFFIN",
                 "partition": partition or {},
                 "record_count": card,
-                "file_size_in_bytes": os.path.getsize(path),
+                "file_size_in_bytes": (
+                    file_size if file_size is not None else fsio.size(path)
+                ),
                 "equality_ids": None,
-                "referenced_data_file": os.path.abspath(ref),
+                "referenced_data_file": fsio.absolute(ref),
                 "content_offset": off,
                 "content_size_in_bytes": size,
             },
@@ -1427,15 +1449,24 @@ def _v2_entry(
         "file_sequence_number": seq,
         "data_file": {
             "content": content,
-            "file_path": os.path.abspath(path),
+            "file_path": fsio.absolute(path),
             "file_format": fmt,
             "partition": partition or {},
             "record_count": nrows,
-            "file_size_in_bytes": os.path.getsize(path),
+            "file_size_in_bytes": (
+                file_size if file_size is not None else os.path.getsize(path)
+            ),
             "equality_ids": list(equality_ids) if equality_ids else None,
         },
     }
-    if bounds_spec and fmt == "PARQUET" and content == 0:
+    if bounds3 is not None:
+        lower, upper, nullc = bounds3
+        if lower:
+            entry["data_file"]["lower_bounds"] = lower
+            entry["data_file"]["upper_bounds"] = upper
+        if nullc:
+            entry["data_file"]["null_value_counts"] = nullc
+    elif bounds_spec and fmt == "PARQUET" and content == 0:
         lower, upper, nullc = _parquet_bounds(path, bounds_spec)
         if lower:
             entry["data_file"]["lower_bounds"] = lower
@@ -1705,12 +1736,7 @@ def write_iceberg(
 
     from gcs2postgres_spark.sources.avro_py import read_avro_file
 
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            "jar-less Iceberg WRITE is local-filesystem only (object-store "
-            "commits need the catalog/connector); READS work on any "
-            f"Hadoop-supported scheme. Got {table_path!r}"
-        )
+    logstore.check_write_scheme(table_path)
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     now = int(snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000)
@@ -1825,8 +1851,7 @@ def alter_iceberg_rename_column(table_path: str, old: str, new: str) -> None:
     (read_iceberg_py resolves by field id); files without parquet ids
     fall back to name resolution and read NULL for the renamed column —
     the documented jar-less fallback. No data files are touched."""
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    logstore.check_write_scheme(table_path)
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
     schema = json.loads(json.dumps(_load_current_schema(meta)))  # deep copy
@@ -1850,8 +1875,7 @@ def alter_iceberg_add_column(
     BEFORE the column existed read ``initial-default`` (the read path's
     _missing_column_lit), and writers fill absent values with
     ``write-default``. Requires format-version 3."""
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    logstore.check_write_scheme(table_path)
     iceberg_to_spark_type(iceberg_type)  # validates the type string
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
@@ -1882,8 +1906,7 @@ def alter_iceberg_widen_column(table_path: str, name: str, new_type: str) -> Non
     type — old narrow files upcast at scan time. Anything not on the
     spec's promotion list raises (narrowing or cross-family changes
     would corrupt silently). Delta twin: alter_delta_widen_column."""
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(f"jar-less ALTER is local-filesystem only: {table_path!r}")
+    logstore.check_write_scheme(table_path)
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
     schema = json.loads(json.dumps(_load_current_schema(meta)))
@@ -2097,11 +2120,7 @@ def expire_snapshots(
     reachability walk is driver-side METADATA work — O(manifests +
     file entries) over Avro, the same walk the reader performs, no row
     data. Single-writer assumption as for all jar-less commits."""
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            "jar-less snapshot expiration is local-filesystem only "
-            f"(object-store deletes are connector territory). Got {table_path!r}"
-        )
+    logstore.check_write_scheme(table_path)
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
     location = meta.get("location")
@@ -3040,12 +3059,7 @@ def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> di
     instead of the table head (the write-audit-publish staging flow);
     a branch that does not exist yet starts from the current head (the
     same implicit creation spark.wap.branch performs)."""
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            f"jar-less Iceberg {op} is local-filesystem only (object-store "
-            "commits need the catalog/connector); READS work on any "
-            f"Hadoop-supported scheme. Got {table_path!r}"
-        )
+    logstore.check_write_scheme(table_path)
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
     if meta.get("format-version", 1) not in (2, 3):
@@ -3284,11 +3298,15 @@ def _v2_commit_snapshot(
                 r for r in new_list_rows if r.get("added_snapshot_id") == sid
             ]
             rewritten = []
+            # ONE row-id watermark across ALL rebased manifests — a
+            # per-manifest reset would re-carve overlapping blocks
+            # (duplicate _row_id values) for a losing commit that
+            # carries more than one data manifest with first_row_id set
+            lineage_base = int(head.get("next-row-id", 0))
             for i, r in enumerate(ours):
                 _, entries = read_avro_file(
                     _resolve(r["manifest_path"], table_path, meta.get("location"))
                 )
-                lineage_base = int(head.get("next-row-id", 0))
                 for e in entries:
                     e["sequence_number"] = new_seq2
                     e["file_sequence_number"] = new_seq2
@@ -3330,6 +3348,61 @@ def _v2_commit_snapshot(
         return sid
 
 
+def _staged_stats_spark(
+    spark: SparkSession,
+    commit_dir: str,
+    bounds_spec: dict[str, tuple[int, str]],
+) -> dict[str, dict]:
+    """Per-staged-file record counts + encoded lower/upper/null-count
+    bounds via ONE distributed aggregation over ``commit_dir`` — the
+    scheme-agnostic twin of the posix footer probe (executors scan
+    through the same Hadoop FS as any read; the collect is one row per
+    staged file). Returns {basename: {"rows": n, "bounds3": (lower,
+    upper, nullc)}}."""
+    from urllib.parse import unquote as _unq
+
+    try:
+        staged = spark.read.option("basePath", commit_dir).parquet(commit_dir)
+    except Exception:
+        return {}
+    names = [c for c in staged.columns if c in bounds_spec]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        q = f"`{c}`"
+        aggs.append(F.min(q).alias(f"__mn_{c}"))
+        aggs.append(F.max(q).alias(f"__mx_{c}"))
+        aggs.append(F.sum(F.col(q).isNull().cast("long")).alias(f"__nc_{c}"))
+    rows = (
+        staged.withColumn("__f", F.input_file_name())
+        .groupBy("__f").agg(*aggs).collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        lower, upper, nullc = [], [], []
+        for c in names:
+            fid, t = bounds_spec[c]
+            mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+            if mn is not None and mx is not None:
+                lo, hi = _bound_encode(mn, t), _bound_encode(mx, t)
+                if lo is not None and hi is not None:
+                    lower.append({"key": fid, "value": lo})
+                    upper.append({"key": fid, "value": hi})
+            nullc.append({"key": fid, "value": int(r[f"__nc_{c}"] or 0)})
+        out[_unq(r["__f"].rsplit("/", 1)[-1])] = {
+            "rows": int(r["__n"]), "bounds3": (lower, upper, nullc),
+        }
+    return out
+
+
+def _staged_parquet_files(commit_dir: str) -> list[tuple[str, int]]:
+    """(path, size) for every staged part file — fsio bulk listing, any
+    scheme."""
+    return sorted(
+        (p, sz) for p, sz in fsio.list_files(commit_dir)
+        if os.path.basename(p).startswith("part-") and p.endswith(".parquet")
+    )
+
+
 def _stage_v2_data_files(
     spark: SparkSession,
     replacement: DataFrame,
@@ -3365,6 +3438,7 @@ def _stage_v2_data_files(
         if isinstance(ctx["field_types"].get(fid), str)
     }
     commit_dir = os.path.join(table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}")
+    remote = fsio.has_scheme(table_path)
     data_entries: list[dict] = []
     if part_struct_names:
         ptcols = [f"__pt_{i}" for i in range(len(part_struct_names))]
@@ -3402,37 +3476,67 @@ def _stage_v2_data_files(
         rep = rep.repartition(F.col("__pid"))
         rep.write.partitionBy("__pid").mode("overwrite").parquet(commit_dir)
         tup_of = {pid: tup for tup, pid in pid_of.items()}
-        staged = sorted(glob.glob(os.path.join(commit_dir, "__pid=*", "part-*.parquet")))
-        spark_counts = bool(staged) and _schema_has_variant(ctx)
-        var_counts = _parquet_counts_via_spark(spark, staged) if spark_counts else {}
+        if remote:
+            # scheme'd staging: fsio bulk listing + ONE distributed
+            # stats job — no posix glob, no per-file footer probe
+            listed = _staged_parquet_files(commit_dir)
+            stats = _staged_stats_spark(spark, commit_dir, bounds_spec)
+            for full, sz in listed:
+                rel = full.split(f"{os.path.basename(commit_dir)}/", 1)[1]
+                pid = int(rel.split("/", 1)[0].split("=", 1)[1])
+                pdict = dict(zip(part_struct_names, tup_of[pid]))
+                st = stats.get(os.path.basename(full), {})
+                data_entries.append(
+                    _v2_entry(full, content=0, seq=new_seq, snapshot_id=sid,
+                              partition=pdict,
+                              record_count=st.get("rows", 0),
+                              file_size=sz,
+                              bounds3=st.get("bounds3") or ([], [], []))
+                )
+        else:
+            staged = sorted(glob.glob(os.path.join(commit_dir, "__pid=*", "part-*.parquet")))
+            spark_counts = bool(staged) and _schema_has_variant(ctx)
+            var_counts = _parquet_counts_via_spark(spark, staged) if spark_counts else {}
 
-        def _rc(p: str) -> int | None:
-            # a zero-row part file yields NO count row: missing = 0
-            return var_counts.get(os.path.abspath(p), 0) if spark_counts else None
+            def _rc(p: str) -> int | None:
+                # a zero-row part file yields NO count row: missing = 0
+                return var_counts.get(os.path.abspath(p), 0) if spark_counts else None
 
-        for d in sorted(glob.glob(os.path.join(commit_dir, "__pid=*"))):
-            pid = int(os.path.basename(d).split("=", 1)[1])
-            pdict = dict(zip(part_struct_names, tup_of[pid]))
-            data_entries.extend(
-                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
-                          partition=pdict, bounds_spec=bounds_spec,
-                          record_count=_rc(p))
-                for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
-            )
+            for d in sorted(glob.glob(os.path.join(commit_dir, "__pid=*"))):
+                pid = int(os.path.basename(d).split("=", 1)[1])
+                pdict = dict(zip(part_struct_names, tup_of[pid]))
+                data_entries.extend(
+                    _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
+                              partition=pdict, bounds_spec=bounds_spec,
+                              record_count=_rc(p))
+                    for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+                )
     else:
         replacement.write.mode("overwrite").parquet(commit_dir)
-        staged = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
-        spark_counts = bool(staged) and _schema_has_variant(ctx)
-        var_counts = _parquet_counts_via_spark(spark, staged) if spark_counts else {}
-        data_entries = [
-            _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
-                      bounds_spec=bounds_spec,
-                      record_count=(
-                          var_counts.get(os.path.abspath(p), 0)
-                          if spark_counts else None
-                      ))
-            for p in staged
-        ]
+        if remote:
+            listed = _staged_parquet_files(commit_dir)
+            stats = _staged_stats_spark(spark, commit_dir, bounds_spec)
+            data_entries = [
+                _v2_entry(full, content=0, seq=new_seq, snapshot_id=sid,
+                          record_count=stats.get(os.path.basename(full), {}).get("rows", 0),
+                          file_size=sz,
+                          bounds3=(stats.get(os.path.basename(full)) or {}).get("bounds3")
+                          or ([], [], []))
+                for full, sz in listed
+            ]
+        else:
+            staged = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+            spark_counts = bool(staged) and _schema_has_variant(ctx)
+            var_counts = _parquet_counts_via_spark(spark, staged) if spark_counts else {}
+            data_entries = [
+                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
+                          bounds_spec=bounds_spec,
+                          record_count=(
+                              var_counts.get(os.path.abspath(p), 0)
+                              if spark_counts else None
+                          ))
+                for p in staged
+            ]
     if ctx.get("format_version", 2) >= 3:
         # v3 row lineage: each data file gets a first_row_id block
         # [base, base + record_count) carved sequentially from the
@@ -4168,10 +4272,7 @@ def create_iceberg_v2_table(
     (``col``, ``col_bucket``, ``col_trunc``, ``col_day``, ...)."""
     from gcs2postgres_spark.sources.iceberg_transforms import parse_transform
 
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            f"jar-less Iceberg CREATE is local-filesystem only. Got {table_path!r}"
-        )
+    logstore.check_write_scheme(table_path)
     ice = spark_to_iceberg_schema(schema)
     ice["schema-id"] = 0
     fid_of = {f["name"]: f["id"] for f in ice["fields"]}
@@ -4282,10 +4383,7 @@ def rollback_to_snapshot(table_path: str, snapshot_id: int) -> None:
     equality delete cannot accidentally re-apply to post-rollback
     appends). The atomic tmp+replace repoint means a crash leaves the
     previous current snapshot intact."""
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            f"jar-less Iceberg rollback is local-filesystem only. Got {table_path!r}"
-        )
+    logstore.check_write_scheme(table_path)
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
     snapshots = meta.get("snapshots") or []
@@ -4428,10 +4526,7 @@ def fast_forward(table_path: str, branch: str) -> int:
     version. Everything the branch staged becomes visible atomically;
     the branch ref stays for further staging. Returns the published
     snapshot id."""
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            f"jar-less Iceberg refs are local-filesystem only. Got {table_path!r}"
-        )
+    logstore.check_write_scheme(table_path)
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
     ref = (meta.get("refs") or {}).get(branch)
@@ -4474,10 +4569,7 @@ def create_ref(
     Defaults to the current snapshot. Metadata-only, atomic."""
     if ref_type not in ("tag", "branch"):
         raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            f"jar-less Iceberg refs are local-filesystem only. Got {table_path!r}"
-        )
+    logstore.check_write_scheme(table_path)
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
     snapshots = meta.get("snapshots") or []
@@ -4512,10 +4604,7 @@ def drop_ref(table_path: str, name: str) -> None:
     """Drop a named ref. The snapshot it pinned becomes expirable by
     the next expire_snapshots run — the exact lifecycle the spec's
     retention model prescribes. Metadata-only, atomic."""
-    if fsio.has_scheme(table_path):
-        raise NotImplementedError(
-            f"jar-less Iceberg refs are local-filesystem only. Got {table_path!r}"
-        )
+    logstore.check_write_scheme(table_path)
     meta_path = latest_metadata_file(table_path)
     meta = json.loads(fsio.read_text(meta_path))
     refs = dict(meta.get("refs") or {})

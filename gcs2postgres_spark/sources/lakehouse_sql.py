@@ -170,18 +170,32 @@ def _rewrite_select(spark: SparkSession, stmt: str) -> str:
 
     matches = list(_SELECT_TBL.finditer(stmt))
     stats_filter = None
-    if len(matches) == 1:
-        # single-table SELECT: derive planning-time file-skip bounds
-        # from the WHERE clause (conservative — unprovable shapes
+    if len(matches) == 1 and not re.search(
+        r"(?i)\b(JOIN|LATERAL|UNION|INTERSECT|EXCEPT)\b", stmt
+    ) and not re.match(r"(?is)\s*WITH\b", stmt):
+        # SINGLE-RELATION SELECT only: derive planning-time file-skip
+        # bounds from the WHERE clause (conservative — unprovable shapes
         # contribute nothing; the predicate still runs as a row filter,
-        # so this can only drop files with no matching rows). Joins and
-        # multi-table statements skip extraction entirely.
+        # so this can only drop files with no matching rows). Any
+        # statement that can bring in a second relation — JOIN, a CTE
+        # (WITH), set ops, or a comma cross join in FROM — skips
+        # extraction entirely: an unqualified WHERE conjunct there could
+        # name the OTHER relation's column while sharing a name with a
+        # lakehouse column, and applying it as a file-skip bound would
+        # silently drop join rows.
         w = re.search(
             r"(?is)\bWHERE\b(.*?)(?:\bGROUP\s+BY\b|\bORDER\s+BY\b|"
             r"\bHAVING\b|\bLIMIT\b|\bUNION\b|\bWINDOW\b|$)",
             stmt,
         )
-        if w and "(" not in w.group(1) and ")" not in w.group(1):
+        f = re.search(r"(?is)\bFROM\b(.*?)(?:\bWHERE\b|$)", stmt)
+        if (
+            w
+            and "(" not in w.group(1)
+            and ")" not in w.group(1)
+            and f is not None
+            and "," not in f.group(1)
+        ):
             stats_filter = bounds_from_predicate(w.group(1)) or None
 
     out, pos, n = [], 0, 0

@@ -52,9 +52,18 @@ class LogStore:
 class LocalLogStore(LogStore):
     """Posix: O_CREAT|O_EXCL is the conditional put; temp+rename is the
     atomic overwrite. This is the default and preserves the exact
-    behavior the committers had before the seam existed."""
+    behavior the committers had before the seam existed. ``file:``-
+    scheme URIs are served here too (same filesystem, same atomicity) —
+    they are stripped to their local form first."""
+
+    @staticmethod
+    def _local(path: str) -> str:
+        from gcs2postgres_spark.sources import fsio
+
+        return fsio.strip_scheme(path)
 
     def put_if_absent(self, path: str, data: bytes) -> None:
+        path = self._local(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         try:
@@ -67,6 +76,7 @@ class LocalLogStore(LogStore):
             raise
 
     def write_atomic(self, path: str, data: bytes) -> None:
+        path = self._local(path)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "wb") as f:
@@ -90,6 +100,9 @@ class FakeObjectStore(LogStore):
         self.overwrites = 0
 
     def put_if_absent(self, path: str, data: bytes) -> None:
+        from gcs2postgres_spark.sources import fsio
+
+        path = fsio.strip_scheme(path)
         with self._lock:
             if os.path.exists(path):
                 raise FileExistsError(path)
@@ -100,6 +113,9 @@ class FakeObjectStore(LogStore):
             self.puts += 1
 
     def write_atomic(self, path: str, data: bytes) -> None:
+        from gcs2postgres_spark.sources import fsio
+
+        path = fsio.strip_scheme(path)
         with self._lock:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "wb") as f:
@@ -149,6 +165,15 @@ def log_store_for(path: str) -> LogStore:
             "gcs2postgres_spark.sources.logstore.register_log_store)"
         )
     return store
+
+
+def check_write_scheme(table_path: str) -> None:
+    """The committers' single EARLY write gate: raise before any
+    staging work when ``table_path``'s scheme has no commit seam —
+    posix and ``file:`` always pass; a remote scheme passes iff a
+    LogStore is registered (or the test override is set). Failing here,
+    not at the commit point, means a refused write stages nothing."""
+    log_store_for(table_path)
 
 
 class GcsLogStore(LogStore):

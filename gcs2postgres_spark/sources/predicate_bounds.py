@@ -65,6 +65,14 @@ def bounds_from_predicate(pred: str) -> dict[str, tuple]:
     conservative — see the module docstring for the safety argument."""
     if not pred or not pred.strip():
         return {}
+    if "\\" in pred:
+        # Spark SQL string literals also accept backslash-escaped
+        # quotes ('isn\'t'), which the doubled-quote-only lexer below
+        # would mis-tokenize — terminating the literal early and
+        # deriving a WRONG bound. Any backslash anywhere → refuse
+        # extraction entirely (never an error, just no file skipping),
+        # preserving the conservative-by-construction guarantee.
+        return {}
     blanked = _strip_strings(pred)
     if "(" in blanked or _OR.search(blanked):
         # parens could scope an OR; a top-level OR breaks implication.

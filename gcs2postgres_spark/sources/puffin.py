@@ -77,18 +77,18 @@ def read_dv_frame(raw: bytes, offset: int, size_in_bytes: int) -> list[int]:
     return roaring_array_decode(data)
 
 
-def write_puffin_dv_file(
-    path: str,
+def render_puffin_dv(
     dvs: list[tuple[str, list[int]]],
     snapshot_id: int,
     sequence_number: int,
-) -> dict[str, tuple[int, int, int]]:
-    """Write one Puffin file holding one ``deletion-vector-v1`` blob per
-    (referenced data file, deleted positions) pair; returns
+) -> tuple[bytes, dict[str, tuple[int, int, int]]]:
+    """The BYTES of a Puffin file holding one ``deletion-vector-v1``
+    blob per (referenced data file, deleted positions) pair, plus
     ``{referenced file -> (content_offset, content_size_in_bytes,
     cardinality)}`` for the manifest entries. Footer blob metadata
     carries the spec's ``referenced-data-file`` and ``cardinality``
-    properties."""
+    properties. Pure — callers decide where the bytes land (posix from
+    executors, fsio/Hadoop from the driver for scheme'd tables)."""
     blobs_meta = []
     out = {}
     body = bytearray(MAGIC)
@@ -114,8 +114,19 @@ def write_puffin_dv_file(
         out[ref_file] = (offset, len(frame), card)
     payload = json.dumps({"blobs": blobs_meta, "properties": {}}).encode()
     body += MAGIC + payload + struct.pack("<i", len(payload)) + b"\x00\x00\x00\x00" + MAGIC
+    return bytes(body), out
+
+
+def write_puffin_dv_file(
+    path: str,
+    dvs: list[tuple[str, list[int]]],
+    snapshot_id: int,
+    sequence_number: int,
+) -> dict[str, tuple[int, int, int]]:
+    """render_puffin_dv + posix write (the executor-local fast path)."""
+    body, out = render_puffin_dv(dvs, snapshot_id, sequence_number)
     with open(path, "wb") as f:
-        f.write(bytes(body))
+        f.write(body)
     return out
 
 

@@ -1,0 +1,266 @@
+"""End-to-end lakehouse WRITE on a scheme'd (object-store-like) path.
+
+Tables live at ``file://…`` URIs — the Hadoop FileSystem API surface an
+object store presents, minus network — with a FakeObjectStore forced in
+at the commit seam (conditional-put only: no rename, no O_EXCL — the
+exact atomicity GCS/S3 give). A posix TRIPWIRE patches every Python
+file primitive to fail on any direct access under the table root, so
+the only ways to touch the table are Spark/Hadoop (executors) and the
+LogStore/fsio seams (driver metadata): no posix escape hatch.
+
+This is the round-13 verdict's #1 item: the r13 LogStore seam covered
+the commit point; this round generalizes data-file staging, stats,
+checkpoints, DV read/write, vacuum, optimize, restore, and clone so a
+registered LogStore enables END-TO-END remote writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.sources import delta_py, fsio
+from gcs2postgres_spark.sources.delta_py import (
+    compact_delta,
+    delete_where_delta,
+    merge_delta,
+    read_delta_py,
+    restore_delta,
+    set_delta_property,
+    update_where_delta,
+    vacuum_delta,
+    write_checkpoint,
+    write_delta,
+)
+from gcs2postgres_spark.sources.logstore import (
+    FakeObjectStore,
+    set_log_store_override,
+)
+
+TAG = "remotetbl"
+
+
+@pytest.fixture
+def fake_store():
+    store = FakeObjectStore()
+    set_log_store_override(store)
+    yield store
+    set_log_store_override(None)
+
+
+_ALLOW = threading.local()
+
+
+class _GuardedStore(FakeObjectStore):
+    """FakeObjectStore that marks its own (legitimate) posix writes so
+    the tripwire lets them through — everything else under the table
+    root must go via Spark/Hadoop."""
+
+    def put_if_absent(self, path, data):
+        _ALLOW.ok = True
+        try:
+            super().put_if_absent(path, data)
+        finally:
+            _ALLOW.ok = False
+
+    def write_atomic(self, path, data):
+        _ALLOW.ok = True
+        try:
+            super().write_atomic(path, data)
+        finally:
+            _ALLOW.ok = False
+
+
+@pytest.fixture
+def tripwired_store(monkeypatch):
+    """FakeObjectStore + posix tripwire: any direct Python open/os/shutil
+    call on a path containing TAG (the table root) raises."""
+    import builtins
+
+    def guarded(fn, name):
+        def wrapper(path, *a, **k):
+            p = str(path)
+            if TAG in p and not getattr(_ALLOW, "ok", False):
+                raise AssertionError(
+                    f"posix escape hatch: {name}({p!r}) under the table root"
+                )
+            return fn(path, *a, **k)
+
+        return wrapper
+
+    monkeypatch.setattr(builtins, "open", guarded(builtins.open, "open"))
+    monkeypatch.setattr(os, "open", guarded(os.open, "os.open"))
+    monkeypatch.setattr(os, "replace", guarded(os.replace, "os.replace"))
+    monkeypatch.setattr(os, "makedirs", guarded(os.makedirs, "os.makedirs"))
+    monkeypatch.setattr(os, "link", guarded(os.link, "os.link"))
+    monkeypatch.setattr(os, "remove", guarded(os.remove, "os.remove"))
+    monkeypatch.setattr(os, "walk", guarded(os.walk, "os.walk"))
+    monkeypatch.setattr(shutil, "rmtree", guarded(shutil.rmtree, "shutil.rmtree"))
+    monkeypatch.setattr(shutil, "move", guarded(shutil.move, "shutil.move"))
+    store = _GuardedStore()
+    set_log_store_override(store)
+    yield store
+    set_log_store_override(None)
+
+
+def _uri(tmp_path, name: str) -> str:
+    return f"file://{tmp_path}/{TAG}/{name}"
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") * 2).cast("long"))
+    )
+
+
+def test_remote_write_read_roundtrip_tripwired(spark, tmp_path, tripwired_store):
+    t = _uri(tmp_path, "t1")
+    write_delta(_df(spark, 0, 10), t, "overwrite", timestamp_ms=1_700_000_000_000)
+    write_delta(_df(spark, 10, 15), t, "append", timestamp_ms=1_700_000_001_000)
+    got = read_delta_py(spark, t)
+    assert got.count() == 15
+    assert read_delta_py(spark, t, version_as_of=0).count() == 10
+    assert tripwired_store.puts >= 2  # commits went through the seam
+    # adds carry distributed-job stats and live under data-*/ prefixes
+    log = fsio.read_text(
+        fsio.join(t, "_delta_log", f"{0:020d}.json")
+    )
+    adds = [
+        json.loads(line)["add"]
+        for line in log.splitlines()
+        if '"add"' in line
+    ]
+    assert adds and all(a["path"].startswith("data-") for a in adds)
+    assert all("stats" in a for a in adds)
+    st = json.loads(adds[0]["stats"])
+    assert set(st) == {"numRecords", "minValues", "maxValues", "nullCount"}
+
+
+def test_remote_stats_skip_prunes_files(spark, tmp_path, fake_store):
+    t = _uri(tmp_path, "t2")
+    write_delta(_df(spark, 0, 100).repartition(4, "k"), t, "overwrite")
+    pruned = read_delta_py(spark, t, stats_filter={"k": (1000, None)})
+    assert pruned.count() == 0
+    full = read_delta_py(spark, t, stats_filter={"k": (50, None)}).where("k >= 50")
+    assert full.count() == 50
+
+
+def test_remote_dml_dv_roundtrip_tripwired(spark, tmp_path, tripwired_store):
+    t = _uri(tmp_path, "t3")
+    write_delta(_df(spark, 0, 20), t, "overwrite", timestamp_ms=1_700_000_000_000)
+    delete_where_delta(spark, t, "k < 5", timestamp_ms=1_700_000_001_000)
+    got = read_delta_py(spark, t)
+    assert got.count() == 15
+    assert got.agg(F.min("k")).collect()[0][0] == 5
+    # the DV blob landed under the table root (written via fsio by the
+    # driver, read back executor-side via binaryFile)
+    dv_files = [
+        p for p, _sz in fsio.list_files(t)
+        if "deletion_vector_" in p and p.endswith(".bin")
+    ]
+    assert dv_files
+    # UPDATE merges the existing DV (remote blob read) with new state
+    update_where_delta(
+        spark, t, "k >= 18", {"v": "v + 1000"}, timestamp_ms=1_700_000_002_000
+    )
+    rows = {r["k"]: r["v"] for r in read_delta_py(spark, t).collect()}
+    assert rows[19] == 1038 and rows[18] == 1036 and rows[10] == 20
+    assert len(rows) == 15
+
+
+def test_remote_merge_roundtrip(spark, tmp_path, fake_store):
+    t = _uri(tmp_path, "t4")
+    write_delta(_df(spark, 0, 10), t, "overwrite", timestamp_ms=1_700_000_000_000)
+    src = (
+        spark.range(5, 15)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.lit(-1).cast("long"))
+    )
+    merge_delta(spark, t, src, on=["k"], timestamp_ms=1_700_000_001_000)
+    rows = {r["k"]: r["v"] for r in read_delta_py(spark, t).collect()}
+    assert len(rows) == 15
+    assert rows[3] == 6 and rows[7] == -1 and rows[14] == -1
+
+
+def test_remote_optimize_vacuum_restore(spark, tmp_path, fake_store):
+    t = _uri(tmp_path, "t5")
+    write_delta(_df(spark, 0, 40).repartition(8), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    write_delta(_df(spark, 40, 50), t, "append", timestamp_ms=1_700_000_001_000)
+    compact_delta(spark, t, timestamp_ms=1_700_000_002_000)
+    assert read_delta_py(spark, t).count() == 50
+    # restore BEFORE vacuum (the originals must still exist physically)
+    restored = restore_delta(spark, t, version=1, timestamp_ms=1_700_000_003_000)
+    assert restored is not None
+    assert read_delta_py(spark, t).count() == 50
+    # vacuum now reclaims the tombstoned compaction output
+    reclaimed = vacuum_delta(t)
+    assert reclaimed >= 1
+    assert read_delta_py(spark, t).count() == 50
+
+
+def test_remote_checkpoint_and_property(spark, tmp_path, fake_store):
+    t = _uri(tmp_path, "t6")
+    write_delta(_df(spark, 0, 5), t, "overwrite", timestamp_ms=1_700_000_000_000)
+    set_delta_property(spark, t, "delta.enableInCommitTimestamps", "true",
+                       timestamp_ms=1_700_000_001_000)
+    write_delta(_df(spark, 5, 8), t, "append", timestamp_ms=1_700_000_002_000)
+    write_checkpoint(spark, t, 2)
+    # checkpoint parquet + _last_checkpoint written through fsio/seam;
+    # a fresh read planning from the checkpoint sees the same table
+    lc = fsio.read_text(fsio.join(t, "_delta_log", "_last_checkpoint"))
+    assert json.loads(lc)["version"] == 2
+    assert read_delta_py(spark, t).count() == 8
+
+
+def test_remote_two_writer_race(spark, tmp_path, fake_store):
+    """Concurrent appends where the ONLY commit atomicity is the fake
+    store's conditional put: no lost update, loser rebases."""
+    t = _uri(tmp_path, "t7")
+    write_delta(_df(spark, 0, 4), t, "overwrite", timestamp_ms=1_700_000_000_000)
+    barrier = threading.Barrier(2)
+    errs: list = []
+
+    def appender(lo, hi, ts):
+        def run():
+            barrier.wait()
+            try:
+                write_delta(_df(spark, lo, hi), t, "append", timestamp_ms=ts)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+        return run
+
+    th = [
+        threading.Thread(target=appender(100, 104, 1_700_000_001_000)),
+        threading.Thread(target=appender(200, 204, 1_700_000_002_000)),
+    ]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    assert read_delta_py(spark, t).count() == 12
+    assert fake_store.puts >= 3
+
+
+def test_unregistered_remote_scheme_still_refuses(spark, tmp_path):
+    with pytest.raises(NotImplementedError, match="LogStore"):
+        write_delta(_df(spark, 0, 3), "gs://bucket/t", "overwrite")
+
+
+def test_remote_clone_and_cdf(spark, tmp_path, fake_store):
+    src = _uri(tmp_path, "t8src")
+    dst = _uri(tmp_path, "t8dst")
+    write_delta(_df(spark, 0, 10), src, "overwrite", timestamp_ms=1_700_000_000_000)
+    delete_where_delta(spark, src, "k = 3", timestamp_ms=1_700_000_001_000)
+    delta_py.shallow_clone_delta(spark, src, dst, timestamp_ms=1_700_000_002_000)
+    assert read_delta_py(spark, dst).count() == 9
+    # CDF between v0 and v1 on the remote source: one delete
+    changes = delta_py.delta_table_changes(spark, src, 0, 1)
+    ops = [r["_change_type"] for r in changes.collect()]
+    assert ops.count("delete") == 1
