@@ -3911,3 +3911,206 @@ def variant_lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(dt, ignore_errors=True)
         shutil.rmtree(it, ignore_errors=True)
         raise
+
+
+DELTA_MAPPING_DML_ORACLE = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS nation_name
+  FROM nation
+), appended AS (
+  SELECT key, nation_name FROM base
+  UNION ALL SELECT * FROM (VALUES (901, 'ALPHA'), (902, 'BETA')) t(key, nation_name)
+), merged AS (
+  SELECT key,
+         CASE WHEN key IN (0, 1, 901) THEN 'MERGED' ELSE nation_name END
+           AS nation_name
+  FROM appended
+  UNION ALL SELECT 950, 'NEW'
+)
+SELECT key, nation_name FROM merged ORDER BY key
+"""
+
+
+@register("delta_mapping_dml_roundtrip", oracle=DELTA_MAPPING_DML_ORACLE)
+def delta_mapping_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING WRITE/DML (r14 — previously the most likely real-
+    table refusal: columnMapping is default-on on modern Databricks):
+    write nation → RENAME COLUMN (upgrades the table to mapping mode
+    'name') → append under the NEW logical name (files store the
+    PHYSICAL name) → multi-row MERGE (update + insert through the
+    deletion-vector committer) → OPTIMIZE (compaction rewrite stays
+    physical) → read back through the mapping layer. The oracle
+    recomputes the same end state relationally, so a writer that stored
+    logical names (or a reader that resolved them wrongly) breaks the
+    hash, not just the row count."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_rename_column,
+        compact_delta,
+        merge_delta,
+        read_delta_py,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta_mapping_")
+    try:
+        write_delta(
+            nation.selectExpr(
+                "CAST(n_nationkey AS LONG) AS key", "n_name AS name"
+            ),
+            tmp, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        alter_delta_rename_column(spark, tmp, "name", "nation_name")
+        write_delta(
+            spark.createDataFrame(
+                [(901, "ALPHA"), (902, "BETA")], "key long, nation_name string"
+            ),
+            tmp, "append", timestamp_ms=1_700_000_001_000,
+        )
+        merge_delta(
+            spark, tmp,
+            spark.createDataFrame(
+                [(0, "MERGED"), (1, "MERGED"), (901, "MERGED"), (950, "NEW")],
+                "key long, nation_name string",
+            ),
+            on=["key"], timestamp_ms=1_700_000_002_000,
+        )
+        compact_delta(spark, tmp, timestamp_ms=1_700_000_003_000)
+        return read_delta_py(spark, tmp).select("key", "nation_name").orderBy("key")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+LAKEHOUSE_IDENTITY_DDL_ORACLE = """
+WITH t(id, nation_name) AS (
+  SELECT * FROM (VALUES
+    (100, 'NATION_0'), (105, 'NATION_3'), (110, 'NATION_7'),
+    (115, 'NATION_11')) v
+)
+SELECT t.id, t.nation_name, CAST(n.n_regionkey AS BIGINT) AS regionkey
+FROM t JOIN nation n ON n.n_name = t.nation_name
+ORDER BY t.id
+"""
+
+
+@register("lakehouse_sql_identity_ddl", oracle=LAKEHOUSE_IDENTITY_DDL_ORACLE)
+def lakehouse_sql_identity_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY-table DDL through the SQL front door (r14 — verdict
+    item 8): CREATE TABLE with ``GENERATED ALWAYS AS IDENTITY (START
+    WITH 100 INCREMENT BY 5)``, two INSERTs that OMIT the identity
+    column (the writer generates step-aligned values and advances the
+    high-water mark across commits), then a facade SELECT joining the
+    result against the nation table. An explicit-id INSERT must refuse
+    (ALWAYS semantics) — asserted inline so the query fails loudly if
+    the guard regresses."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    tmp = tempfile.mkdtemp(prefix="lakehouse_identity_")
+    t = os.path.join(tmp, "t")
+    try:
+        lakehouse_sql(
+            spark,
+            f"CREATE TABLE delta.`{t}` (id BIGINT GENERATED ALWAYS AS "
+            "IDENTITY (START WITH 100 INCREMENT BY 5), nation_name STRING)",
+        )
+        lakehouse_sql(
+            spark,
+            f"INSERT INTO delta.`{t}` (nation_name) "
+            "VALUES ('NATION_0'), ('NATION_3'), ('NATION_7')",
+        )
+        lakehouse_sql(
+            spark,
+            f"INSERT INTO delta.`{t}` (nation_name) VALUES ('NATION_11')",
+        )
+        try:
+            lakehouse_sql(
+                spark,
+                f"INSERT INTO delta.`{t}` (id, nation_name) VALUES (1, 'X')",
+            )
+            raise AssertionError("explicit id into ALWAYS identity must refuse")
+        except ValueError:
+            pass
+        return lakehouse_sql(
+            spark,
+            f"SELECT t.id, t.nation_name, CAST(n.n_regionkey AS BIGINT) "
+            f"AS regionkey FROM delta.`{t}` t "
+            "JOIN nation n ON n.n_name = t.nation_name ORDER BY t.id",
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+DELTA_REMOTE_WRITE_ORACLE = """
+SELECT CAST(c_nationkey AS BIGINT)      AS nationkey,
+       count(*)                         AS n_rows,
+       CAST(sum(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer
+WHERE c_custkey % 7 <> 0
+GROUP BY nationkey
+ORDER BY nationkey
+"""
+
+
+@register("delta_remote_write_roundtrip", oracle=DELTA_REMOTE_WRITE_ORACLE)
+def delta_remote_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEME'D-PATH WRITE end-to-end (r14 — verdict item 1): the table
+    lives at a ``file://`` URI, the Hadoop FileSystem surface an object
+    store presents. Staging writes to final unique ``data-<uuid>/``
+    names (no rename — object stores have none), per-file stats come
+    from ONE distributed aggregation job (no driver footer walk), the
+    DELETE's deletion vector is rendered executor-side and landed via
+    fsio, and the read applies it through a binaryFile join. A
+    conditional-put FakeObjectStore takes the commit point, so the
+    whole flow runs on exactly the atomicity GCS/S3 provide. The oracle
+    recomputes the post-delete aggregate relationally."""
+    tune_for_session(spark)
+    from pyspark.sql import functions as _F
+
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.logstore import (
+        FakeObjectStore,
+        set_log_store_override,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="delta_remote_")
+    uri = f"file://{tmp}/t"
+    store = FakeObjectStore()
+    set_log_store_override(store)
+    try:
+        write_delta(
+            customer.selectExpr(
+                "CAST(c_custkey AS LONG) AS custkey",
+                "CAST(c_nationkey AS LONG) AS nationkey",
+                "CAST(c_acctbal AS DOUBLE) AS acctbal",
+            ).repartition(4),
+            uri, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        delete_where_delta(
+            spark, uri, "custkey % 7 = 0", timestamp_ms=1_700_000_001_000
+        )
+        assert store.puts >= 2, "commits must route through the seam"
+        return (
+            read_delta_py(spark, uri)
+            .groupBy("nationkey")
+            .agg(
+                _F.count(_F.lit(1)).alias("n_rows"),
+                _F.sum(_F.round(_F.col("acctbal") * 100))
+                .cast("long").alias("bal_cents"),
+            )
+            .orderBy("nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    finally:
+        set_log_store_override(None)

@@ -320,8 +320,11 @@ def _read_header_grow(f) -> tuple[dict, str, bytes, int]:
             size *= 2
 
 
-def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
-    """Parse container header → (writer schema JSON, codec, sync marker)."""
+def _read_header_meta(buf: io.BytesIO) -> tuple[dict, str, bytes, dict]:
+    """Parse container header → (writer schema JSON, codec, sync marker,
+    full key-value metadata map). Iceberg stamps table facts into the
+    map ("schema", "schema-id", "partition-spec-id") — the reader's
+    scan grouping consumes them."""
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     meta: dict[str, bytes] = {}
@@ -340,6 +343,12 @@ def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro codec {codec!r} (null/deflate only)")
     sync = buf.read(16)
+    return schema, codec, sync, meta
+
+
+def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
+    """Parse container header → (writer schema JSON, codec, sync marker)."""
+    schema, codec, sync, _meta = _read_header_meta(buf)
     return schema, codec, sync
 
 
@@ -365,6 +374,34 @@ def read_avro_file(path: str) -> tuple[dict, list[dict]]:
     from gcs2postgres_spark.sources import fsio
 
     return read_avro_bytes(fsio.read_bytes(path))
+
+
+def read_avro_file_meta(path: str) -> tuple[dict, list[dict], dict]:
+    """read_avro_file plus the header's key-value metadata map (values
+    decoded to str) — the carrier of Iceberg's per-manifest facts
+    ("schema", "schema-id", ...)."""
+    from gcs2postgres_spark.sources import fsio
+
+    data = fsio.read_bytes(path)
+    buf = io.BytesIO(data)
+    schema, codec, sync, meta = _read_header_meta(buf)
+    records: list[dict] = []
+    while buf.tell() < len(data):
+        n_records = _read_long(buf)
+        size = _read_long(buf)
+        body = buf.read(size)
+        if codec == "deflate":
+            body = zlib.decompress(body, wbits=-15)
+        bbuf = io.BytesIO(body)
+        for _ in range(n_records):
+            records.append(_decode(schema, bbuf))
+        if buf.read(16) != sync:
+            raise ValueError("avro block sync marker mismatch")
+    out_meta = {
+        k: v.decode("utf-8", "replace") for k, v in meta.items()
+        if not k.startswith("avro.")
+    }
+    return schema, records, out_meta
 
 
 def avro_row_count(path: str) -> int:
@@ -394,6 +431,7 @@ def avro_row_count(path: str) -> int:
 def write_avro_file(
     path: str, schema: dict, records: list[dict], codec: str = "deflate",
     sync: bytes | None = None, block_records: int = 1000,
+    extra_meta: dict[str, str] | None = None,
 ) -> None:
     """Write an object container file (fixture/writer side of the codec).
     Deterministic by construction: the default sync marker is the md5 of
@@ -409,6 +447,8 @@ def write_avro_file(
     out = io.BytesIO()
     out.write(MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v.encode("utf-8")
     _write_long(out, len(meta))
     for k, v in meta.items():
         _write_bytes(out, k.encode())
@@ -427,11 +467,21 @@ def write_avro_file(
         _write_long(out, len(chunk))
         _write_bytes(out, body)
         out.write(sync)
-    # fsio routes scheme'd paths (file:, registered object stores)
-    # through the Hadoop FS — manifests are metadata-scale objects
-    from gcs2postgres_spark.sources import fsio
+    # scheme'd paths (file:, registered object stores) route through
+    # fsio/Hadoop — driver-side manifest writes only. The package import
+    # stays INSIDE the scheme branch: this function also runs on
+    # executor workers (partition-wise avro writes, always plain posix
+    # paths), where the whole module ships by value and the package is
+    # not importable.
+    import re as _re
 
-    fsio.write_bytes(path, out.getvalue())
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        from gcs2postgres_spark.sources import fsio
+
+        fsio.write_bytes(path, out.getvalue())
+    else:
+        with open(path, "wb") as f:
+            f.write(out.getvalue())
 
 
 # ------------------------------------------------------- schema translation

@@ -866,6 +866,35 @@ def _physical_type(dt):
     return dt
 
 
+def _to_physical_df(df: DataFrame, meta: dict) -> tuple[DataFrame, list[str]]:
+    """``df`` (logical names) rewritten to the table's PHYSICAL
+    data-file schema — every struct field at every depth renamed to its
+    ``delta.columnMapping.physicalName`` (the recursive
+    _physical_type/_rename_fields pair the READ path inverts) — plus
+    the physical partition column names. This is what makes WRITE/DML/
+    OPTIMIZE on columnMapping tables safe: staged files store physical
+    names, exactly like delta-spark's mapping-mode writer, so foreign
+    readers and our own scan resolve them. No-op (identity) for
+    unmapped tables."""
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    part_cols = list(meta.get("partitionColumns") or [])
+    if mode == "none":
+        return df, part_cols
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    phys_schema = _physical_type(schema)
+    cols = []
+    for f, pf in zip(schema.fields, phys_schema.fields):
+        if f.name not in df.columns:
+            continue
+        cols.append(
+            _rename_fields(F.col(f"`{f.name}`"), f.dataType, pf.dataType).alias(
+                pf.name
+            )
+        )
+    phys_of = {f.name: _phys_name(f) for f in schema.fields}
+    return df.select(*cols), [phys_of.get(c, c) for c in part_cols]
+
+
 def _rename_fields(col, src_dt, dst_dt):
     """Rebuild ``col`` (typed ``src_dt``) with ``dst_dt``'s field names
     at every nesting depth — the physical->logical projection of a
@@ -3020,10 +3049,21 @@ def write_delta(
         if ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         ) != "none":
-            raise NotImplementedError(
-                "jar-less Delta WRITE to a column-mapping table would store "
-                f"LOGICAL names in the data files (silent corruption); {_DELTA_JAR_HINT}"
-            )
+            logical = {
+                f.name
+                for f in StructType.fromJson(
+                    json.loads(meta["schemaString"])
+                ).fields
+            }
+            if set(df.columns) != logical:
+                # a schema-changing overwrite would need NEW mapping ids
+                # minted here; add columns via alter_delta_add_column
+                # (which assigns them) and then write
+                raise NotImplementedError(
+                    "jar-less Delta WRITE with a schema CHANGE on a "
+                    "column-mapping table (new columns need mapping ids — "
+                    f"use alter_delta_add_column first); {_DELTA_JAR_HINT}"
+                )
         ident = _identity_fields(meta) if meta is not None else []
         for f in ident:  # gen_cols collects fields whose hwm must advance
             if f["name"] in df.columns:
@@ -3092,7 +3132,12 @@ def write_delta(
                 new_meta = _meta_action(df.schema, part_cols)
                 new_meta["metaData"]["id"] = meta.get("id", new_meta["metaData"]["id"])
                 actions.append(new_meta)
-    adds = _stage_data_files(df, table_path, part_cols, now)
+    if meta is not None:
+        # columnMapping tables: stage PHYSICAL names (no-op when unmapped)
+        stage_df, stage_parts = _to_physical_df(df, meta)
+    else:
+        stage_df, stage_parts = df, part_cols
+    adds = _stage_data_files(stage_df, table_path, stage_parts, now)
     actions.extend(adds)
     row_tracked = False
     if not fresh and meta is not None:
@@ -3580,12 +3625,6 @@ def _dv_row_level_commit(
         )
     _enforce_table_constraints(meta, new_rows, operation)
     cm_mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
-    if new_rows is not None and cm_mode != "none":
-        raise NotImplementedError(
-            "jar-less Delta UPDATE/MERGE on a column-mapping table would "
-            "store LOGICAL names in the new data files (silent corruption); "
-            f"{_DELTA_JAR_HINT}"
-        )
     part_cols = list(meta.get("partitionColumns") or [])
 
     # per-file map (metadata-sized, broadcast): normalized abs path ->
@@ -3785,7 +3824,8 @@ def _dv_row_level_commit(
         # UPDATE/MERGE replacement rows: staged executor-side through
         # the same partitionBy-aware path write_delta uses, in the SAME
         # commit as the deletion vectors (atomic delete+rewrite).
-        actions.extend(_stage_data_files(new_rows, table_path, part_cols, now))
+        stage_rows, stage_parts = _to_physical_df(new_rows, meta)
+        actions.extend(_stage_data_files(stage_rows, table_path, stage_parts, now))
     log_dir = _log_dir(table_path)
     version = _commit_with_rebase(
         log_dir, base_version + 1, actions, now, operation=operation,
@@ -4217,11 +4257,7 @@ def compact_delta(
     if meta is None:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
     _check_writer_protocol(_head_protocol(table_path), "OPTIMIZE")
-    if (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "jar-less Delta OPTIMIZE on a column-mapping table would store "
-            f"LOGICAL names in the compacted files (silent corruption); {_DELTA_JAR_HINT}"
-        )
+
     part_cols = list(meta.get("partitionColumns") or [])
     live_bytes = sum(int(a.get("size") or 0) for a in live.values())
     n_files = max(1, math.ceil(live_bytes / (target_file_mb * 1024 * 1024)))
@@ -4236,7 +4272,10 @@ def compact_delta(
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": False}}
         for p in sorted(live)
     ]
-    actions.extend(_stage_data_files(compacted, table_path, part_cols, now, data_change=False))
+    compacted_phys, stage_parts = _to_physical_df(compacted, meta)
+    actions.extend(
+        _stage_data_files(compacted_phys, table_path, stage_parts, now, data_change=False)
+    )
     log_dir = _log_dir(table_path)
     version = _commit_with_rebase(
         log_dir, base_version + 1, actions, now, operation="OPTIMIZE",

@@ -66,7 +66,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gcs2postgres_spark.sources import fsio, logstore
-from gcs2postgres_spark.sources.avro_py import read_avro_file, write_avro_file
+from gcs2postgres_spark.sources.avro_py import (
+    read_avro_file,
+    read_avro_file_meta,
+    write_avro_file,
+)
 
 _JAR_HINT = (
     "needs the iceberg-spark-runtime jar "
@@ -285,9 +289,15 @@ def latest_metadata_file(table_path: str) -> str:
 
 
 def _resolve(uri: str, table_path: str, location: str | None) -> str:
-    """Map a metadata-recorded URI to a local path, tolerating a moved
-    table: strip the file scheme; if the path exists use it; else rebase
-    the part after the recorded table ``location`` onto table_path."""
+    """Map a metadata-recorded URI to a readable path, tolerating a
+    moved table: prefer the URI exactly as recorded (scheme'd paths stay
+    scheme'd — fsio routes them through Hadoop); else strip the file
+    scheme; else rebase the part after the recorded table ``location``
+    onto table_path."""
+    if uri.startswith("file:") and fsio.has_scheme(table_path) and fsio.exists(uri):
+        # scheme'd table: keep the URI so every read goes through the
+        # same FS client the table root uses (no posix side door)
+        return uri
     p = re.sub(r"^file:(//)?", "", uri) if uri.startswith("file:") else uri
     if fsio.exists(p):
         return p
@@ -299,6 +309,34 @@ def _resolve(uri: str, table_path: str, location: str | None) -> str:
             if fsio.exists(rebased):
                 return rebased
     raise FileNotFoundError(f"iceberg metadata references missing file {uri!r}")
+
+
+def _schema_stamp(meta: dict) -> dict[str, str]:
+    """Manifest header facts real Iceberg writers record (spec:
+    "Manifests" — a manifest stores the partition spec AND the schema
+    used to write it as JSON in the Avro file's key-value metadata):
+    ``schema`` + ``schema-id`` of the table schema this manifest's
+    files were written under. The scan planner groups data files by
+    this recorded id instead of probing every parquet footer — closing
+    the serial plan-time wall at 10^5+ files."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        sch = next(
+            (s for s in meta["schemas"] if s.get("schema-id", 0) == sid), None
+        )
+    else:
+        sid, sch = 0, meta.get("schema")
+    out = {"schema-id": str(sid)}
+    if sch is not None:
+        out["schema"] = json.dumps(sch)
+    return out
+
+
+def _stamp_of(fmeta: dict) -> dict[str, str]:
+    """The propagatable stamp of an EXISTING manifest's header metadata
+    (rewrites keep the SOURCE schema facts — the files inside were
+    written under the old schema, not the rewrite-time one)."""
+    return {k: fmeta[k] for k in ("schema", "schema-id") if k in fmeta}
 
 
 def _norm_path(p: str) -> str:
@@ -491,10 +529,21 @@ def read_iceberg_py(
     # v3 deletion vectors: (puffin path, offset, size, seq, referenced file)
     dv_deletes: list[tuple[str, int, int, int, str]] = []
     first_rows: dict[str, int] = {}  # v3 row lineage: file -> first_row_id
+    file_schema_id: dict[str, int] = {}  # data path -> manifest schema-id
     _, manifests = read_avro_file(_resolve(snapshot["manifest-list"], table_path, location))
     for m in manifests:
         manifest_seq = m.get("sequence_number") or 0
-        _, entries = read_avro_file(_resolve(m["manifest_path"], table_path, location))
+        _, entries, m_fmeta = read_avro_file_meta(
+            _resolve(m["manifest_path"], table_path, location)
+        )
+        m_sid: int | None = None
+        try:
+            if "schema-id" in m_fmeta:
+                m_sid = int(m_fmeta["schema-id"])
+            elif "schema" in m_fmeta:
+                m_sid = json.loads(m_fmeta["schema"]).get("schema-id")
+        except (ValueError, TypeError):
+            m_sid = None
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
@@ -536,6 +585,8 @@ def read_iceberg_py(
                 if _pruned(dfile) or _stats_pruned(dfile):
                     continue
                 data_files.append((path, seq))
+                if m_sid is not None:
+                    file_schema_id[path] = m_sid
                 if dfile.get("first_row_id") is not None:
                     first_rows[_norm_path(path)] = int(dfile["first_row_id"])
                 if fmt == "orc":
@@ -572,16 +623,20 @@ def read_iceberg_py(
         )
     paths = sorted({p for p, _ in data_files} - orc_paths - avro_paths)
 
-    # Column resolution: BY FIELD ID when the parquet files carry ids
-    # (the spec's rule — a renamed column keeps its id, so post-rename
-    # reads stay correct), BY NAME otherwise (plain files; also the
-    # fallback when footers can't be probed, e.g. remote schemes).
-    # Files are grouped by their (name, id) footer signature — a
-    # metadata read per file, the same O(files) class as the manifest
-    # walk — and each group becomes one distributed scan projected to
-    # the table schema; one signature (the overwhelmingly common case)
-    # means exactly one scan, the pre-r10 plan.
-    groups = _group_by_field_ids(paths) if paths else []
+    # Column resolution: BY FIELD ID when the file's write-time schema
+    # is known (the spec's rule — a renamed column keeps its id, so
+    # post-rename reads stay correct), BY NAME otherwise. Grouping is
+    # metadata-first: every manifest this build writes stamps the
+    # schema it was written under into its Avro header (the same facts
+    # the Java writer records), so files group by recorded schema-id —
+    # ZERO per-file footer opens at plan time, closing the serial
+    # 10^5-file wall. Files from unstamped manifests (foreign/legacy
+    # writers) fall back to the (name, id, physical-type) footer probe,
+    # per file. One schema id (the overwhelmingly common case) means
+    # exactly one scan — the pre-r10 plan.
+    groups = (
+        _schema_id_groups(paths, file_schema_id, meta) if paths else []
+    )
     need_tag = bool(pos_deletes or eq_deletes or dv_deletes) or _with_row_ids
     helpers = ["__ice_fp", "__ice_pos"] if need_tag else []
     parts = []
@@ -661,6 +716,39 @@ def read_iceberg_with_row_ids(spark: SparkSession, table_path: str) -> DataFrame
     read_delta_with_row_ids). Files committed before lineage was
     enabled read NULL ids."""
     return read_iceberg_py(spark, table_path, _with_row_ids=True)
+
+
+def _schema_id_groups(
+    paths: list[str], file_schema_id: dict[str, int], meta: dict
+) -> list[tuple[dict[int, str] | None, list[str]]]:
+    """Scan groups from manifest-recorded schema ids — metadata already
+    in hand from the manifest walk, no footer IO: all files recorded by
+    manifests stamped schema-id S share S's (name, id, type) signature
+    (a schema change always lands in a NEW manifest), so each recorded
+    id becomes one group with its id->name map from the table's schemas
+    list. Unstamped files keep the footer-probe path."""
+    schemas_by_id = {
+        s.get("schema-id", 0): s for s in (meta.get("schemas") or [])
+    }
+    if "schema" in meta and not schemas_by_id:  # v1 single-schema table
+        schemas_by_id[0] = meta["schema"]
+    by_sid: dict[int, list[str]] = {}
+    probe: list[str] = []
+    for p in paths:
+        s = file_schema_id.get(p)
+        if s is not None and s in schemas_by_id:
+            by_sid.setdefault(s, []).append(p)
+        else:
+            probe.append(p)
+    out: list[tuple[dict[int, str] | None, list[str]]] = []
+    for s in sorted(by_sid):
+        idmap = {
+            f["id"]: f["name"] for f in schemas_by_id[s].get("fields", [])
+        }
+        out.append((idmap or None, sorted(by_sid[s])))
+    if probe:
+        out.extend(_group_by_field_ids(sorted(probe)))
+    return out
 
 
 def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, list[str]]]:
@@ -1100,7 +1188,7 @@ def data_file_entry(path: str, status: int = 1, snapshot_id: int = 1) -> dict:
             "file_format": fmt,
             "partition": {},
             "record_count": nrows,
-            "file_size_in_bytes": os.path.getsize(path),
+            "file_size_in_bytes": fsio.size(path),
             "block_size_in_bytes": 64 * 1024 * 1024,
         },
     }
@@ -1120,12 +1208,12 @@ def write_snapshot_metadata(
     partition-spec field dicts ({name, transform, source-id, field-id})
     for a partitioned table; default unpartitioned."""
     mdir = os.path.join(table_path, "metadata")
-    os.makedirs(mdir, exist_ok=True)
+    fsio.makedirs(mdir)
     spec_fields = partition_spec_fields or []
     meta = {
         "format-version": 1,
         "table-uuid": "00000000-0000-0000-0000-000000000000",
-        "location": os.path.abspath(table_path),
+        "location": fsio.absolute(table_path),
         "last-updated-ms": 0,
         "last-column-id": len(schema.fields),
         "schema": spark_to_iceberg_schema(schema),
@@ -1161,7 +1249,7 @@ def write_manifest_list(path: str, manifest_paths: list[str], snapshot_id: int) 
         [
             {
                 "manifest_path": os.path.abspath(p),
-                "manifest_length": os.path.getsize(p),
+                "manifest_length": fsio.size(p),
                 "partition_spec_id": 0,
                 "added_snapshot_id": snapshot_id,
             }
@@ -1435,7 +1523,18 @@ def _v2_entry(
         import pyarrow.parquet as pq
 
         try:
-            fmt, nrows = "PARQUET", pq.ParquetFile(path).metadata.num_rows
+            if fsio.has_scheme(path):
+                # scheme'd staged file without a precomputed count
+                # (metadata-scale writers like the equality-delete key
+                # list): bytes via fsio/Hadoop
+                import io as _io
+
+                fmt = "PARQUET"
+                nrows = pq.ParquetFile(
+                    _io.BytesIO(fsio.read_bytes(path))
+                ).metadata.num_rows
+            else:
+                fmt, nrows = "PARQUET", pq.ParquetFile(path).metadata.num_rows
         except OSError as e:
             raise NotImplementedError(
                 f"cannot read the parquet footer of {path!r} ({e}) — for "
@@ -1454,7 +1553,7 @@ def _v2_entry(
             "partition": partition or {},
             "record_count": nrows,
             "file_size_in_bytes": (
-                file_size if file_size is not None else os.path.getsize(path)
+                file_size if file_size is not None else fsio.size(path)
             ),
             "equality_ids": list(equality_ids) if equality_ids else None,
         },
@@ -1522,7 +1621,7 @@ def write_iceberg_v2_fixture(
     import pyarrow.parquet as pq
 
     mdir = os.path.join(table_path, "metadata")
-    os.makedirs(mdir, exist_ok=True)
+    fsio.makedirs(mdir)
 
     # per-file bounds ride along on parquet fixtures (field ids and
     # types from the same schema derivation the metadata JSON uses), so
@@ -1552,8 +1651,8 @@ def write_iceberg_v2_fixture(
     )
     manifest_rows = [
         {
-            "manifest_path": os.path.abspath(data_manifest),
-            "manifest_length": os.path.getsize(data_manifest),
+            "manifest_path": fsio.absolute(data_manifest),
+            "manifest_length": fsio.size(data_manifest),
             "partition_spec_id": 0,
             "content": 0,
             "sequence_number": 1,
@@ -1605,8 +1704,8 @@ def write_iceberg_v2_fixture(
         seqs = [e["sequence_number"] for e in delete_entries]
         manifest_rows.append(
             {
-                "manifest_path": os.path.abspath(del_manifest),
-                "manifest_length": os.path.getsize(del_manifest),
+                "manifest_path": fsio.absolute(del_manifest),
+                "manifest_length": fsio.size(del_manifest),
                 "partition_spec_id": 0,
                 "content": 1,
                 "sequence_number": max(seqs),
@@ -1623,7 +1722,7 @@ def write_iceberg_v2_fixture(
     meta = {
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-000000000002",
-        "location": os.path.abspath(table_path),
+        "location": fsio.absolute(table_path),
         "last-sequence-number": 2,
         "last-updated-ms": 0,
         "last-column-id": len(df.schema.fields),
@@ -1642,7 +1741,7 @@ def write_iceberg_v2_fixture(
                 "sequence-number": 2,
                 "timestamp-ms": 0,
                 "summary": {"operation": "append"},
-                "manifest-list": os.path.abspath(mlist),
+                "manifest-list": fsio.absolute(mlist),
             }
         ],
     }
@@ -1695,7 +1794,7 @@ def write_iceberg_fixture(
     if not files:
         raise ValueError(f"no {data_format} part files produced under {data_dir!r}")
     mdir = os.path.join(table_path, "metadata")
-    os.makedirs(mdir, exist_ok=True)
+    fsio.makedirs(mdir)
     manifest = os.path.join(mdir, "manifest-1.avro")
     write_manifest(manifest, [data_file_entry(p, status=1, snapshot_id=1) for p in files])
     mlist = os.path.join(mdir, "snap-1.avro")
@@ -1749,8 +1848,7 @@ def write_iceberg(
     except FileNotFoundError:
         meta_file = None
     if meta_file is not None:
-        with open(meta_file) as f:
-            meta = json.load(f)
+        meta = json.loads(fsio.read_text(meta_file))
         specs = meta.get("partition-specs") or []
         default_spec = next(
             (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
@@ -1789,12 +1887,12 @@ def write_iceberg(
     sid = max((s["snapshot-id"] for s in snapshots), default=0) + 1
     commit_dir = os.path.join(table_path, "data", f"commit-{sid}-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(commit_dir)
-    files = sorted(glob.glob(os.path.join(commit_dir, "part-*.parquet")))
+    files = [p for p, _sz in _staged_parquet_files(commit_dir)]
     if not files:
         raise ValueError(f"no parquet part files produced under {commit_dir!r}")
 
     mdir = os.path.join(table_path, "metadata")
-    os.makedirs(mdir, exist_ok=True)
+    fsio.makedirs(mdir)
     manifest = os.path.join(mdir, f"manifest-{sid}.avro")
     write_manifest(
         manifest, [data_file_entry(p, status=1, snapshot_id=sid) for p in files]
@@ -2183,8 +2281,7 @@ def expire_snapshots(
 
     removed = 0
     for p in sorted((e_lists - k_lists) | (e_manifests - k_manifests) | (e_files - k_files)):
-        if os.path.exists(p):
-            os.remove(p)
+        if fsio.delete(p):
             removed += 1
     return removed
 
@@ -2616,7 +2713,7 @@ def upsert_equality(
     keys.write.mode("overwrite").parquet(eq_dir)
     delete_entries = [
         _v2_entry(p, content=2, seq=new_seq, equality_ids=eq_ids, snapshot_id=sid)
-        for p in sorted(glob.glob(os.path.join(eq_dir, "part-*.parquet")))
+        for p, _sz in _staged_parquet_files(eq_dir)
     ]
     del_manifest = os.path.join(mdir, _uniq(f"manifest-eqdeletes-{sid}.avro"))
     write_avro_file(
@@ -2624,8 +2721,8 @@ def upsert_equality(
     )
     new_list_rows.append(
         {
-            "manifest_path": os.path.abspath(del_manifest),
-            "manifest_length": os.path.getsize(del_manifest),
+            "manifest_path": fsio.absolute(del_manifest),
+            "manifest_length": fsio.size(del_manifest),
             "partition_spec_id": eq_spec_id,
             "content": 1,
             "sequence_number": new_seq,
@@ -2666,11 +2763,12 @@ def upsert_equality(
             manifest_entry_schema_v2(part_avro),
             data_entries,
             codec="null",
+            extra_meta=_schema_stamp(ctx["meta"]),
         )
         new_list_rows.append(
             {
-                "manifest_path": os.path.abspath(data_manifest),
-                "manifest_length": os.path.getsize(data_manifest),
+                "manifest_path": fsio.absolute(data_manifest),
+                "manifest_length": fsio.size(data_manifest),
                 "partition_spec_id": spec_id,
                 "content": 0,
                 "sequence_number": new_seq,
@@ -2757,11 +2855,12 @@ def append_iceberg_v2(
         manifest_entry_schema_v2(ctx["part_avro"]),
         data_entries,
         codec="null",
+        extra_meta=_schema_stamp(ctx["meta"]),
     )
     new_list_rows.append(
         {
-            "manifest_path": os.path.abspath(data_manifest),
-            "manifest_length": os.path.getsize(data_manifest),
+            "manifest_path": fsio.absolute(data_manifest),
+            "manifest_length": fsio.size(data_manifest),
             "partition_spec_id": ctx["spec_id"],
             "content": 0,
             "sequence_number": new_seq,
@@ -2907,8 +3006,8 @@ def upgrade_iceberg_format_version(
             new_list_rows.append(
                 {
                     **r,
-                    "manifest_path": os.path.abspath(newman),
-                    "manifest_length": os.path.getsize(newman),
+                    "manifest_path": fsio.absolute(newman),
+                    "manifest_length": fsio.size(newman),
                 }
             )
     dv_entries = [
@@ -2929,8 +3028,8 @@ def upgrade_iceberg_format_version(
     )
     new_list_rows.append(
         {
-            "manifest_path": os.path.abspath(dv_manifest),
-            "manifest_length": os.path.getsize(dv_manifest),
+            "manifest_path": fsio.absolute(dv_manifest),
+            "manifest_length": fsio.size(dv_manifest),
             "partition_spec_id": ctx["spec_id"],
             "content": 1,
             "sequence_number": new_seq,
@@ -3029,12 +3128,13 @@ def rewrite_data_files(
     if data_entries:
         data_manifest = os.path.join(mdir, _uniq(f"manifest-data-{sid}.avro"))
         write_avro_file(
-            data_manifest, manifest_entry_schema_v2(part_avro), data_entries, codec="null"
+            data_manifest, manifest_entry_schema_v2(part_avro), data_entries,
+            codec="null", extra_meta=_schema_stamp(ctx["meta"]),
         )
         new_list_rows.append(
             {
-                "manifest_path": os.path.abspath(data_manifest),
-                "manifest_length": os.path.getsize(data_manifest),
+                "manifest_path": fsio.absolute(data_manifest),
+                "manifest_length": fsio.size(data_manifest),
                 "partition_spec_id": spec_id,
                 "content": 0,
                 "sequence_number": new_seq,
@@ -3221,7 +3321,7 @@ def _v2_commit_snapshot(
             "sequence-number": new_seq,
             "timestamp-ms": now,
             "summary": summary,
-            "manifest-list": os.path.abspath(mlist),
+            "manifest-list": fsio.absolute(mlist),
         }
         if int(meta.get("format-version", 1)) >= 3:
             first = int(meta.get("next-row-id", 0))
@@ -3250,7 +3350,7 @@ def _v2_commit_snapshot(
 
             heads = [
                 os.path.join(mdir, n)
-                for n in os.listdir(mdir)
+                for n in fsio.listdir(mdir)
                 if n.endswith(".metadata.json")
             ]
             head_path = max(heads, key=lambda p: (_ver(p), p))
@@ -3304,7 +3404,7 @@ def _v2_commit_snapshot(
             # carries more than one data manifest with first_row_id set
             lineage_base = int(head.get("next-row-id", 0))
             for i, r in enumerate(ours):
-                _, entries = read_avro_file(
+                _, entries, r_fmeta = read_avro_file_meta(
                     _resolve(r["manifest_path"], table_path, meta.get("location"))
                 )
                 for e in entries:
@@ -3329,12 +3429,15 @@ def _v2_commit_snapshot(
                     manifest_entry_schema_v2(ctx["part_avro"]),
                     list(entries),
                     codec="null",
+                    # propagate the SOURCE manifest's schema facts: the
+                    # files inside were written under that schema
+                    extra_meta=_stamp_of(r_fmeta),
                 )
                 rewritten.append(
                     {
                         **r,
-                        "manifest_path": os.path.abspath(newman),
-                        "manifest_length": os.path.getsize(newman),
+                        "manifest_path": fsio.absolute(newman),
+                        "manifest_length": fsio.size(newman),
                         "sequence_number": new_seq2,
                         "min_sequence_number": new_seq2,
                         "added_snapshot_id": new_sid,
@@ -3616,19 +3719,41 @@ def _decode_dvs_df(spark: SparkSession, dv_descs: list[tuple[str, int, int, str]
     desc_df = spark.createDataFrame(
         dv_descs, "puffin string, off long, size long, ref string"
     ).repartition(min(len(dv_descs), spark.sparkContext.defaultParallelism))
+    # scheme'd Puffin files: bytes ride the plan via a binaryFile scan
+    # (executor-side, any Hadoop scheme) joined on path — same delivery
+    # delta_py._apply_deletion_vectors uses
+    remote_pf = sorted({d[0] for d in dv_descs if fsio.has_scheme(d[0])})
+    if remote_pf:
+        canon = lambda c: F.regexp_replace(c, r"^(\w+):/+", "$1:/")  # noqa: E731
+        blobs = (
+            spark.read.format("binaryFile")
+            .load(remote_pf)
+            .select(canon(F.col("path")).alias("__bp"),
+                    F.col("content").alias("blob"))
+        )
+        desc_df = desc_df.join(
+            blobs, canon(desc_df["puffin"]) == blobs["__bp"], "left"
+        ).drop("__bp")
+    else:
+        desc_df = desc_df.withColumn("blob", F.lit(None).cast("binary"))
 
     def _decode(batches, _read=read_dv_frame):
         import pandas as pd
 
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                with open(row.puffin, "rb") as f:
-                    raw = f.read()
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                if row["blob"] is not None:
+                    raw = bytes(row["blob"])
+                else:
+                    with open(row["puffin"], "rb") as f:
+                        raw = f.read()
                 yield pd.DataFrame(
                     {
-                        "file_path": row.ref,
+                        "file_path": row["ref"],
                         "pos": pd.Series(
-                            _read(raw, int(row.off), int(row.size)), dtype="int64"
+                            _read(raw, int(row["off"]), int(row["size"])),
+                            dtype="int64",
                         ),
                     }
                 )
@@ -3655,13 +3780,19 @@ def _write_dv_files(
 
     _cp.register_pickle_by_value(puffin)
     _cp.register_pickle_by_value(dv_roaring)
-    _os.makedirs(out_dir, exist_ok=True)
+    remote = fsio.has_scheme(out_dir)
+    if not remote:
+        _os.makedirs(out_dir, exist_ok=True)
 
     # closure captures (applyInPandas requires exactly (key, pdf)); the
-    # writer fn pickles BY VALUE via the module registrations above
-    _writefn, _dir, _sid, _seq = write_puffin_dv_file, out_dir, sid, seq
+    # writer fns pickle BY VALUE via the module registrations above
+    from gcs2postgres_spark.sources.puffin import render_puffin_dv
+
+    _writefn, _renderfn = write_puffin_dv_file, render_puffin_dv
+    _dir, _sid, _seq, _remote = out_dir, sid, seq, remote
 
     def _write(key, pdf):
+        import base64
         import hashlib
         import os as _os2
 
@@ -3670,20 +3801,40 @@ def _write_dv_files(
         fp = key[0]
         positions = sorted({int(x) for x in pdf["pos"]})
         name = hashlib.md5(fp.encode()).hexdigest()[:16]
-        path = _os2.path.join(_dir, f"dv-{name}.puffin")
-        off, size, card = _writefn(path, [(fp, positions)], _sid, _seq)[fp]
+        path = f"{_dir}/dv-{name}.puffin" if _remote else _os2.path.join(
+            _dir, f"dv-{name}.puffin"
+        )
+        if _remote:
+            # scheme'd table: executors cannot posix-write — return the
+            # rendered bytes (one roaring DV per touched file) for the
+            # driver to land through fsio/Hadoop
+            body, meta = _renderfn([(fp, positions)], _sid, _seq)
+            off, size, card = meta[fp]
+            blob = base64.b64encode(body).decode("ascii")
+        else:
+            off, size, card = _writefn(path, [(fp, positions)], _sid, _seq)[fp]
+            blob = None
         return pd.DataFrame(
             [{"data_fp": fp, "puffin": path, "off": off, "size": size,
-              "card": card}]
+              "card": card, "blob": blob}]
         )
 
-    return (
+    rows = (
         positions_df.groupBy("file_path")
         .applyInPandas(
-            _write, "data_fp string, puffin string, off long, size long, card long"
+            _write,
+            "data_fp string, puffin string, off long, size long, card long, "
+            "blob string",
         )
         .collect()
     )
+    if remote:
+        import base64
+
+        for r in rows:
+            if r["blob"] is not None:
+                fsio.write_bytes(r["puffin"], base64.b64decode(r["blob"]))
+    return rows
 
 
 def _drop_superseded_dvs(
@@ -3732,8 +3883,8 @@ def _drop_superseded_dvs(
         out.append(
             {
                 **r,
-                "manifest_path": os.path.abspath(newman),
-                "manifest_length": os.path.getsize(newman),
+                "manifest_path": fsio.absolute(newman),
+                "manifest_length": fsio.size(newman),
             }
         )
     return out
@@ -4034,16 +4185,37 @@ def _v2_row_level_commit(
                 .parquet(del_dir)
             )
             tup_of = {pid: tup for tup, pid in pid_of.items()}
-            for d in sorted(glob.glob(os.path.join(del_dir, "__pid=*"))):
-                pid = int(os.path.basename(d).split("=", 1)[1])
-                pdict = dict(zip(part_struct_names, tup_of[pid]))
-                delete_entries.extend(
-                    _v2_entry(
-                        p, content=1, seq=new_seq, snapshot_id=sid, partition=pdict
+            if fsio.has_scheme(table_path):
+                listed = _staged_parquet_files(del_dir)
+                counts = _parquet_counts_via_spark(
+                    spark, [p for p, _sz in listed]
+                ) if listed else {}
+
+                def _cnt(p):
+                    return counts.get(re.sub(r"^file:(//)?", "", p), 0)
+
+                for full, sz in listed:
+                    rel = full.split(f"{os.path.basename(del_dir)}/", 1)[1]
+                    pid = int(rel.split("/", 1)[0].split("=", 1)[1])
+                    if _cnt(full) <= 0:
+                        continue
+                    pdict = dict(zip(part_struct_names, tup_of[pid]))
+                    delete_entries.append(
+                        _v2_entry(full, content=1, seq=new_seq,
+                                  snapshot_id=sid, partition=pdict,
+                                  record_count=_cnt(full), file_size=sz)
                     )
-                    for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
-                    if pq.ParquetFile(p).metadata.num_rows > 0  # footer read only
-                )
+            else:
+                for d in sorted(glob.glob(os.path.join(del_dir, "__pid=*"))):
+                    pid = int(os.path.basename(d).split("=", 1)[1])
+                    pdict = dict(zip(part_struct_names, tup_of[pid]))
+                    delete_entries.extend(
+                        _v2_entry(
+                            p, content=1, seq=new_seq, snapshot_id=sid, partition=pdict
+                        )
+                        for p in sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+                        if pq.ParquetFile(p).metadata.num_rows > 0  # footer read only
+                    )
         else:
             (
                 matches.repartitionByRange(F.col("file_path"), F.col("pos"))
@@ -4051,13 +4223,28 @@ def _v2_row_level_commit(
                 .write.mode("overwrite")
                 .parquet(del_dir)
             )
-            delete_entries = [
-                _v2_entry(p, content=1, seq=new_seq, snapshot_id=sid)
-                for p in sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
-                if pq.ParquetFile(p).metadata.num_rows > 0  # footer read only
-            ]
+            if fsio.has_scheme(table_path):
+                listed = _staged_parquet_files(del_dir)
+                counts = _parquet_counts_via_spark(
+                    spark, [p for p, _sz in listed]
+                ) if listed else {}
+                delete_entries = [
+                    _v2_entry(full, content=1, seq=new_seq, snapshot_id=sid,
+                              record_count=counts.get(
+                                  re.sub(r"^file:(//)?", "", full), 0
+                              ),
+                              file_size=sz)
+                    for full, sz in listed
+                    if counts.get(re.sub(r"^file:(//)?", "", full), 0) > 0
+                ]
+            else:
+                delete_entries = [
+                    _v2_entry(p, content=1, seq=new_seq, snapshot_id=sid)
+                    for p in sorted(glob.glob(os.path.join(del_dir, "part-*.parquet")))
+                    if pq.ParquetFile(p).metadata.num_rows > 0  # footer read only
+                ]
         if not delete_entries:
-            shutil.rmtree(del_dir, ignore_errors=True)
+            fsio.delete(del_dir, recursive=True)
             if replacement is None:
                 return None  # nothing matched: no commit
         else:
@@ -4070,8 +4257,8 @@ def _v2_row_level_commit(
             )
             new_list_rows.append(
                 {
-                    "manifest_path": os.path.abspath(del_manifest),
-                    "manifest_length": os.path.getsize(del_manifest),
+                    "manifest_path": fsio.absolute(del_manifest),
+                    "manifest_length": fsio.size(del_manifest),
                     "partition_spec_id": spec_id,
                     "content": 1,
                     "sequence_number": new_seq,
@@ -4101,8 +4288,8 @@ def _v2_row_level_commit(
             )
             new_list_rows.append(
                 {
-                    "manifest_path": os.path.abspath(data_manifest),
-                    "manifest_length": os.path.getsize(data_manifest),
+                    "manifest_path": fsio.absolute(data_manifest),
+                    "manifest_length": fsio.size(data_manifest),
                     "partition_spec_id": spec_id,
                     "content": 0,
                     "sequence_number": new_seq,
@@ -4176,7 +4363,7 @@ def write_iceberg_v2_partitioned_fixture(
             )
         part_avro.append((c, ice_t))
     mdir = os.path.join(table_path, "metadata")
-    os.makedirs(mdir, exist_ok=True)
+    fsio.makedirs(mdir)
     tuples = [
         tuple(r)
         for r in df.select(*part_cols).distinct().orderBy(*part_cols).collect()
@@ -4201,8 +4388,8 @@ def write_iceberg_v2_partitioned_fixture(
         MANIFEST_LIST_SCHEMA_V2,
         [
             {
-                "manifest_path": os.path.abspath(man),
-                "manifest_length": os.path.getsize(man),
+                "manifest_path": fsio.absolute(man),
+                "manifest_length": fsio.size(man),
                 "partition_spec_id": 0,
                 "content": 0,
                 "sequence_number": 1,
@@ -4217,7 +4404,7 @@ def write_iceberg_v2_partitioned_fixture(
     meta = {
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-000000000003",
-        "location": os.path.abspath(table_path),
+        "location": fsio.absolute(table_path),
         "last-sequence-number": 1,
         "last-updated-ms": 0,
         "last-column-id": len(schema.fields),
@@ -4249,7 +4436,7 @@ def write_iceberg_v2_partitioned_fixture(
                 "sequence-number": 1,
                 "timestamp-ms": 0,
                 "summary": {"operation": "append"},
-                "manifest-list": os.path.abspath(mlist),
+                "manifest-list": fsio.absolute(mlist),
             }
         ],
     }
@@ -4295,7 +4482,7 @@ def create_iceberg_v2_table(
     meta = {
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-00000000000c",
-        "location": os.path.abspath(table_path),
+        "location": fsio.absolute(table_path),
         "last-sequence-number": 0,
         "last-updated-ms": 0,
         "last-column-id": max(fid_of.values(), default=0),
@@ -4311,7 +4498,7 @@ def create_iceberg_v2_table(
         "snapshots": [],
     }
     mdir = os.path.join(table_path, "metadata")
-    os.makedirs(mdir, exist_ok=True)
+    fsio.makedirs(mdir)
     # put-if-absent: re-creating over an existing table would reset
     # version-hint to 1 and corrupt its time-travel history — real
     # engines raise "table already exists"
@@ -4339,7 +4526,7 @@ def write_iceberg_partitioned_fixture(
     fid = next(f["id"] for f in ice["fields"] if f["name"] == partition_col)
     avro_t = _avro_prim_for(schema[partition_col].dataType)
     mdir = os.path.join(table_path, "metadata")
-    os.makedirs(mdir, exist_ok=True)
+    fsio.makedirs(mdir)
     values = [
         r[0]
         for r in df.select(partition_col).distinct().orderBy(partition_col).collect()

@@ -10,6 +10,8 @@ functions:
     SELECT * FROM iceberg.`/p` FOR REF release_tag
     INSERT INTO delta.`/p` SELECT ... | VALUES (...)
     CREATE TABLE iceberg.`/p` PARTITIONED BY (days(ts), bucket(16, id)) AS SELECT ...
+    CREATE TABLE delta.`/p` (id BIGINT GENERATED ALWAYS AS IDENTITY
+        (START WITH 100 INCREMENT BY 5), name STRING)
     CREATE TABLE delta.`/p2` SHALLOW CLONE delta.`/p` [VERSION AS OF 3]
     ALTER TABLE delta.`/p` ADD CONSTRAINT bound CHECK (k < 1000)
     ALTER TABLE iceberg.`/p` RENAME COLUMN a TO b | ADD COLUMN c BIGINT
@@ -275,12 +277,26 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
                     f"INSERT query arity {len(rows.columns)} != column "
                     f"list arity {len(listed)} ({listed})"
                 )
+            # identity columns absent from the list are NOT null-filled:
+            # omitting them is exactly how the writer knows to GENERATE
+            # (delta spec: identity values come from the writer)
+            ident = {
+                f["name"]
+                for f in (
+                    delta_py._identity_fields(
+                        delta_py.replay_head_state(spark, m["path"])[1]
+                    )
+                    if m["fmt"] == "delta"
+                    else []
+                )
+            }
             rows = rows.toDF(*listed).select(
                 *[
                     _F.col(c).cast(target.schema[c].dataType).alias(c)
                     if c in listed
                     else _F.lit(None).cast(target.schema[c].dataType).alias(c)
                     for c in target.columns
+                    if c in listed or c not in ident
                 ]
             )
         elif re.match(r"(?i)VALUES\b", m["q"]):
@@ -313,6 +329,63 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             spark, m["path"], m["path2"],
             version_as_of=int(m["v"]) if m["v"] else None,
         )
+
+    m = re.fullmatch(
+        rf"(?i)CREATE TABLE {_TBL} \((?P<defs>.+)\)",
+        s,
+        re.DOTALL,
+    )
+    if m and not re.search(r"(?i)\)\s*AS\s+(SELECT|WITH)\b", s):
+        # column-DEFINITION create (no AS SELECT): plain typed columns,
+        # optionally GENERATED ALWAYS|BY DEFAULT AS IDENTITY (START WITH
+        # n INCREMENT BY n) — the SQL front door for what
+        # create_delta_identity_table / create_iceberg_v2_table already
+        # do in Python (r13 verdict item 8)
+        from pyspark.sql.types import _parse_datatype_string
+
+        defs, depth, start, items = m["defs"], 0, 0, []
+        for i, ch in enumerate(defs):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(defs[start:i])
+                start = i + 1
+        items.append(defs[start:])
+        identity: dict[str, tuple[int, int]] = {}
+        allow_explicit = False
+        ddl_cols: list[str] = []
+        for item in items:
+            gm = re.fullmatch(
+                r"(?is)\s*(?P<name>\w+)\s+(?P<typ>.+?)\s+GENERATED\s+"
+                r"(?P<kind>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*"
+                r"(?:\(\s*START\s+WITH\s+(?P<start>-?\d+)\s+"
+                r"INCREMENT\s+BY\s+(?P<step>-?\d+)\s*\))?\s*",
+                item,
+            )
+            if gm:
+                identity[gm["name"]] = (
+                    int(gm["start"] or 1), int(gm["step"] or 1)
+                )
+                if gm["kind"].upper() != "ALWAYS":
+                    allow_explicit = True
+                ddl_cols.append(f"{gm['name']} {gm['typ']}")
+            else:
+                ddl_cols.append(item.strip())
+        schema = _parse_datatype_string(", ".join(ddl_cols))
+        if m["fmt"] == "delta":
+            return delta_py.create_delta_identity_table(
+                spark, m["path"], schema, identity,
+                allow_explicit=allow_explicit,
+            )
+        if identity:
+            raise ValueError(
+                "GENERATED ... AS IDENTITY is a Delta feature (Iceberg "
+                "has no identity columns)"
+            )
+        iceberg_py.create_iceberg_v2_table(schema, m["path"])
+        return 0
 
     m = re.fullmatch(
         rf"(?i)CREATE TABLE {_TBL}"
@@ -711,7 +784,9 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
     raise ValueError(
         "unrecognized lakehouse statement (supported: SELECT/WITH [VERSION "
         "AS OF | TIMESTAMP AS OF | FOR REF] / INSERT INTO|OVERWRITE "
-        "[(cols)] / CREATE TABLE [PARTITIONED BY] AS / CREATE TABLE ... "
+        "[(cols)] / CREATE TABLE (col TYPE [GENERATED ALWAYS|BY DEFAULT AS "
+        "IDENTITY (START WITH n INCREMENT BY n)], ...) / "
+        "CREATE TABLE [PARTITIONED BY] AS / CREATE TABLE ... "
         "SHALLOW CLONE / ALTER TABLE ADD CONSTRAINT|RENAME COLUMN|ADD "
         "COLUMN|ALTER COLUMN TYPE|SET TBLPROPERTIES|CREATE/DROP TAG|BRANCH "
         "/ DELETE FROM / UPDATE / MERGE INTO (multi-clause, NOT MATCHED BY "

@@ -14,13 +14,14 @@ the same seam ``spark.delta.logStore.gs.impl`` fills for the jar-ful
 stack. The reference's whole identity is ``gs://`` objects (reference
 src/db/db.go:22-30), so this is the committers' remote story.
 
-Scope note (honest): the SEAM covers the commit point — the atomic
-metadata write that decides table state. Data-file staging and
-checkpoint writes still go through posix in this build, so registering
-a remote store enables the commit protocol but full remote WRITE also
-needs the staging paths generalized (reads already work on any
-Hadoop-supported scheme via fsio). The committers' scheme gates name
-exactly that.
+Scope (r14): the seam covers the COMMIT POINT; everything else a write
+needs is generalized through Spark (data-file staging writes to final
+unique ``data-<uuid>/`` names — no rename) and fsio/Hadoop (manifests,
+checkpoints, DV blobs, vacuum deletes), so registering a store for a
+scheme enables END-TO-END remote writes — pinned by
+tests/test_remote_write.py's posix-tripwire suite. ``check_write_scheme``
+is the committers' single early gate: posix and ``file:`` always pass;
+a remote scheme passes iff a LogStore is registered.
 
 ``FakeObjectStore`` emulates the object-store contract for tests: no
 rename, no O_EXCL — only an atomic conditional create (a mutex around
@@ -191,8 +192,9 @@ class GcsLogStore(LogStore):
     ``token_provider`` returns a bearer token per request (default: the
     ``GOOGLE_OAUTH_ACCESS_TOKEN`` env var, else anonymous — emulators
     accept it, production requires a real token). Only the COMMIT POINT
-    goes through this store; data staging stays posix in this build
-    (module scope note above)."""
+    goes through this store; data staging and the other non-commit
+    writes go through Spark / the Hadoop GCS connector (module scope
+    note above)."""
 
     def __init__(self, endpoint: str = "https://storage.googleapis.com",
                  token_provider=None) -> None:

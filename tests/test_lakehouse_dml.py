@@ -1775,3 +1775,49 @@ def test_lakehouse_sql_r13_surface(spark, tmp_path):
     assert det["format"] == "delta" and det["num_files"] >= 0
     det_i = lakehouse_sql(spark, f"DESCRIBE DETAIL iceberg.`{i}`").collect()[0]
     assert det_i["format"] == "iceberg"
+
+
+def test_facade_create_table_column_defs(spark, tmp_path):
+    """r14: CREATE TABLE with a typed column list (no AS SELECT) —
+    including GENERATED ... AS IDENTITY — through the SQL front door."""
+    import pytest as _pytest
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py
+    from gcs2postgres_spark.sources.iceberg_py import read_iceberg_py
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    d = str(tmp_path / "d")
+    lakehouse_sql(
+        spark,
+        f"CREATE TABLE delta.`{d}` (id BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 100 INCREMENT BY 5), name STRING)",
+    )
+    lakehouse_sql(
+        spark,
+        f"INSERT INTO delta.`{d}` (name) VALUES ('a'), ('b'), ('c')",
+    )
+    rows = sorted(
+        (r["id"], r["name"]) for r in read_delta_py(spark, d).collect()
+    )
+    assert [r[0] for r in rows] == [100, 105, 110]
+    # ALWAYS: explicit ids refuse
+    with _pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        lakehouse_sql(
+            spark, f"INSERT INTO delta.`{d}` (id, name) VALUES (1, 'x')"
+        )
+    # plain column-list create, both formats
+    d2 = str(tmp_path / "d2")
+    lakehouse_sql(spark, f"CREATE TABLE delta.`{d2}` (k BIGINT, v STRING)")
+    lakehouse_sql(spark, f"INSERT INTO delta.`{d2}` VALUES (1, 'x')")
+    assert read_delta_py(spark, d2).count() == 1
+    i2 = str(tmp_path / "i2")
+    lakehouse_sql(spark, f"CREATE TABLE iceberg.`{i2}` (k BIGINT, v STRING)")
+    lakehouse_sql(spark, f"INSERT INTO iceberg.`{i2}` VALUES (2, 'y')")
+    assert read_iceberg_py(spark, i2).count() == 1
+    # identity on iceberg refuses
+    with _pytest.raises(ValueError, match="Delta feature"):
+        lakehouse_sql(
+            spark,
+            f"CREATE TABLE iceberg.`{tmp_path}/i3` "
+            "(id BIGINT GENERATED ALWAYS AS IDENTITY)",
+        )

@@ -1253,14 +1253,22 @@ def test_delta_read_via_hadoop_fs_uri(spark, tmp_path):
 
 
 def test_delta_write_on_object_store_scheme_raises(spark, tmp_path):
+    """Unregistered remote schemes still refuse EARLY (nothing staged);
+    file: URIs — and any scheme with a registered LogStore — write
+    end-to-end (tests/test_remote_write.py)."""
     import pytest as _pytest
 
     from gcs2postgres_spark.sources.delta_py import vacuum_delta, write_delta
 
-    with _pytest.raises(NotImplementedError, match="local-filesystem only"):
-        write_delta(spark.range(3), "file:" + str(tmp_path / "x"), "overwrite")
-    with _pytest.raises(NotImplementedError, match="local-filesystem only"):
-        vacuum_delta("gs://bucket/table")
+    with _pytest.raises(NotImplementedError, match="LogStore"):
+        write_delta(spark.range(3), "gs://bucket/table", "overwrite")
+    with _pytest.raises(NotImplementedError, match="LogStore"):
+        vacuum_delta("s3a://bucket/table")
+    # file: scheme is first-class now
+    write_delta(spark.range(3), "file:" + str(tmp_path / "x"), "overwrite")
+    from gcs2postgres_spark.sources.delta_py import read_delta_py
+
+    assert read_delta_py(spark, "file:" + str(tmp_path / "x")).count() == 3
 
 
 def test_iceberg_read_via_hadoop_fs_uri(spark, tmp_path):
