@@ -866,6 +866,93 @@ def _physical_type(dt):
     return dt
 
 
+def _mapped_overwrite_meta(
+    meta: dict, schema, part_cols: list[str]
+) -> dict:
+    """metaData for a schema-CHANGING overwrite of a columnMapping
+    table: columns present in the old schema KEEP their mapping id and
+    physicalName (files already written under them stay resolvable for
+    time travel); NEW columns mint fresh ids / ``col-<id>`` physical
+    names above delta.columnMapping.maxColumnId, recursively for nested
+    struct fields — the same assignment delta-spark's mapping-mode
+    writer performs. A TYPE change on a kept column refuses (that is
+    alter_delta_widen_column's job — silent narrow/cross-family changes
+    would corrupt)."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    old_fields = {f["name"]: f for f in json.loads(meta["schemaString"])["fields"]}
+    config = dict(meta.get("configuration") or {})
+    counter = int(config.get("delta.columnMapping.maxColumnId", "0"))
+
+    def mint(dt):
+        nonlocal counter
+        if isinstance(dt, _St):
+            out = []
+            for sf in dt.fields:
+                counter += 1
+                fid = counter
+                out.append(
+                    {
+                        "name": sf.name,
+                        "type": mint(sf.dataType),
+                        "nullable": sf.nullable,
+                        "metadata": {
+                            "delta.columnMapping.id": fid,
+                            "delta.columnMapping.physicalName": f"col-{fid:02d}",
+                        },
+                    }
+                )
+            return {"type": "struct", "fields": out}
+        if isinstance(dt, ArrayType):
+            return {
+                "type": "array",
+                "elementType": mint(dt.elementType),
+                "containsNull": dt.containsNull,
+            }
+        if isinstance(dt, MapType):
+            return {
+                "type": "map",
+                "keyType": json.loads(dt.keyType.json()),
+                "valueType": mint(dt.valueType),
+                "valueContainsNull": dt.valueContainsNull,
+            }
+        return json.loads(dt.json())
+
+    fields = []
+    for f in schema.fields:
+        old = old_fields.get(f.name)
+        if old is not None:
+            if json.dumps(old["type"], sort_keys=True) != json.dumps(
+                json.loads(f.dataType.json()), sort_keys=True
+            ):
+                raise NotImplementedError(
+                    f"type change on kept column {f.name!r} during a "
+                    "column-mapping overwrite — use alter_delta_widen_column"
+                )
+            fields.append(old)
+        else:
+            counter += 1
+            fid = counter
+            fields.append(
+                {
+                    "name": f.name,
+                    "type": mint(f.dataType),
+                    "nullable": f.nullable,
+                    "metadata": {
+                        "delta.columnMapping.id": fid,
+                        "delta.columnMapping.physicalName": f"col-{fid:02d}",
+                    },
+                }
+            )
+    config["delta.columnMapping.maxColumnId"] = str(counter)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = json.dumps({"type": "struct", "fields": fields})
+    new_meta["configuration"] = config
+    new_meta["partitionColumns"] = list(part_cols)
+    return new_meta
+
+
 def _to_physical_df(df: DataFrame, meta: dict) -> tuple[DataFrame, list[str]]:
     """``df`` (logical names) rewritten to the table's PHYSICAL
     data-file schema — every struct field at every depth renamed to its
@@ -881,6 +968,34 @@ def _to_physical_df(df: DataFrame, meta: dict) -> tuple[DataFrame, list[str]]:
     if mode == "none":
         return df, part_cols
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def _names(dt, prefix=""):
+        out = set()
+        if hasattr(dt, "fields"):
+            for f in dt.fields:
+                out.add(prefix + f.name.lower())
+                out |= _names(f.dataType, prefix + f.name.lower() + ".")
+        elif hasattr(dt, "elementType"):
+            out |= _names(dt.elementType, prefix)
+        elif hasattr(dt, "valueType"):
+            out |= _names(dt.valueType, prefix)
+        return out
+
+    missing = {
+        n for n in _names(
+            StructType([f for f in schema.fields if f.name in df.columns])
+        )
+    } - _names(df.schema)
+    if missing:
+        # a frame shaped like the PRE-rename schema (or otherwise not
+        # matching the table's logical names at some nesting depth)
+        # must fail loudly here — a deep select would throw an opaque
+        # AnalysisException mid-plan
+        raise ValueError(
+            "frame does not match the table's LOGICAL schema (missing "
+            f"fields {sorted(missing)}); rename-evolved tables take the "
+            "CURRENT logical names"
+        )
     phys_schema = _physical_type(schema)
     cols = []
     for f, pf in zip(schema.fields, phys_schema.fields):
@@ -3055,14 +3170,15 @@ def write_delta(
                     json.loads(meta["schemaString"])
                 ).fields
             }
-            if set(df.columns) != logical:
-                # a schema-changing overwrite would need NEW mapping ids
-                # minted here; add columns via alter_delta_add_column
-                # (which assigns them) and then write
+            if set(df.columns) != logical and mode != "overwrite":
+                # an APPEND never changes the table schema: new columns
+                # need mapping ids minted by a metaData commit — either
+                # alter_delta_add_column, or an overwrite (which mints
+                # them below via _mapped_overwrite_meta)
                 raise NotImplementedError(
-                    "jar-less Delta WRITE with a schema CHANGE on a "
+                    "jar-less Delta APPEND with a schema CHANGE on a "
                     "column-mapping table (new columns need mapping ids — "
-                    f"use alter_delta_add_column first); {_DELTA_JAR_HINT}"
+                    f"alter_delta_add_column or overwrite); {_DELTA_JAR_HINT}"
                 )
         ident = _identity_fields(meta) if meta is not None else []
         for f in ident:  # gen_cols collects fields whose hwm must advance
@@ -3129,11 +3245,36 @@ def write_delta(
                 for p in sorted(live)
             )
             if meta is not None and _schema_string(df.schema) != meta.get("schemaString"):
-                new_meta = _meta_action(df.schema, part_cols)
-                new_meta["metaData"]["id"] = meta.get("id", new_meta["metaData"]["id"])
-                actions.append(new_meta)
+                if (meta.get("configuration") or {}).get(
+                    "delta.columnMapping.mode", "none"
+                ) != "none":
+                    if set(df.columns) != {
+                        f.name
+                        for f in StructType.fromJson(
+                            json.loads(meta["schemaString"])
+                        ).fields
+                    }:
+                        # schema-CHANGING overwrite on a mapped table:
+                        # keep old columns' ids, mint ids for new ones
+                        meta = _mapped_overwrite_meta(meta, df.schema, part_cols)
+                        actions.append({"metaData": meta})
+                    # else: same columns, cosmetic schemaString drift
+                    # (field ordering/metadata) — keep the table's meta
+                else:
+                    new_meta = _meta_action(df.schema, part_cols)
+                    new_meta["metaData"]["id"] = meta.get("id", new_meta["metaData"]["id"])
+                    # table PROPERTIES survive a schema overwrite (spec:
+                    # metaData replaces wholesale — a fresh empty config
+                    # would silently drop appendOnly/ICT/constraints)
+                    new_meta["metaData"]["configuration"] = dict(
+                        meta.get("configuration") or {}
+                    )
+                    actions.append(new_meta)
+                    meta = new_meta["metaData"]
     if meta is not None:
-        # columnMapping tables: stage PHYSICAL names (no-op when unmapped)
+        # columnMapping tables: stage PHYSICAL names (no-op when
+        # unmapped); meta here is the NEW metaData when this overwrite
+        # re-emitted one, so freshly minted columns stage physically
         stage_df, stage_parts = _to_physical_df(df, meta)
     else:
         stage_df, stage_parts = df, part_cols

@@ -257,22 +257,26 @@ def test_delta_merge_upsert_cdf_and_protocol(spark, tmp_path):
         merge_delta(spark, table, src.select("k"), ["k"])
 
 
-def test_delta_update_merge_column_mapping_refuse(spark, tmp_path):
-    """Writes into a column-mapping table would store LOGICAL names in
-    the data files — refuse with the jar hint (DELETE stays allowed:
-    it writes no data files)."""
+def test_delta_update_merge_column_mapping(spark, tmp_path):
+    """r14: UPDATE on a column-mapping table works — replacement rows
+    stage under PHYSICAL names (test_mapping_dml.py covers the full
+    write/merge/optimize matrix); DELETE as before."""
     from gcs2postgres_spark.sources.delta_py import (
         delete_where_delta,
+        read_delta_py,
         update_where_delta,
         write_delta_column_mapping_fixture,
     )
 
     table = str(tmp_path / "cm")
     write_delta_column_mapping_fixture(_delta_nation(spark).coalesce(1), table)
-    with pytest.raises(NotImplementedError, match="column-mapping"):
-        update_where_delta(spark, table, "k = 1", {"name": "'x'"})
-    # DELETE on the same table is fine
-    assert delete_where_delta(spark, table, "k = 1", timestamp_ms=1_700_000_001_000) is not None
+    assert update_where_delta(
+        spark, table, "k = 1", {"name": "'x'"}, timestamp_ms=1_700_000_001_000
+    ) is not None
+    got = {r["k"]: r["name"] for r in read_delta_py(spark, table).collect()}
+    assert got[1] == "x"
+    assert delete_where_delta(spark, table, "k = 1", timestamp_ms=1_700_000_002_000) is not None
+    assert 1 not in {r["k"] for r in read_delta_py(spark, table).collect()}
 
 
 def test_delta_compact_optimize(spark, tmp_path):

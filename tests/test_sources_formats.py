@@ -1526,10 +1526,17 @@ def test_delta_column_mapping_rename_partition_and_dv(spark, tmp_path):
     live, _ = replay_head_state(spark, table)
     add_deletion_vectors(table, {sorted(live)[0]: [0]})
     assert read_delta_py(spark, table).count() == 19
-    # jar-less WRITE to a mapping table must refuse (logical-name files
-    # would silently corrupt)
-    with pytest.raises(NotImplementedError, match="LOGICAL names"):
+    # r14: jar-less WRITE to a mapping table works — but only with the
+    # table's CURRENT logical names ('doubled', post-rename); a frame
+    # shaped like the pre-rename schema fails loudly (top-level name
+    # drift reads as a schema change on the append path)
+    with pytest.raises(NotImplementedError, match="column-mapping"):
         write_delta(df, table, "append")
+    write_delta(
+        df.withColumnRenamed("twice", "doubled").limit(2), table, "append",
+        timestamp_ms=1_700_000_002_000,
+    )
+    assert read_delta_py(spark, table).count() == 21
     # id mode reads through the same physical-name path
     table2 = str(tmp_path / "cmid")
     write_delta_column_mapping_fixture(df.coalesce(1), table2, mode="id")
@@ -1773,10 +1780,20 @@ def test_delta_column_mapping_nested_reads(spark, tmp_path):
     assert rows[1]["addr"]["town"] == "berlin" and rows[1]["addr"]["zip"] == 10115
     assert [it["code"] for it in rows[2]["items"]] == ["b", "c"]
     assert rows[3]["addr"] is None and rows[3]["items"] == []
-    # jar-less WRITES still refuse — on the column-mapping gate (the
-    # rowTracking writer feature itself is honored since r13)
-    with pytest.raises(NotImplementedError, match="column-mapping"):
+    # r14: appends work, but ONLY with the table's current LOGICAL
+    # names at every nesting depth — the pre-rename frame (addr.city /
+    # items.sku) fails loudly instead of an opaque analysis error
+    with pytest.raises(ValueError, match="LOGICAL schema"):
         write_delta(df, table, mode="append")
+    renamed_df = spark.createDataFrame(
+        [(9, ("paris", 75001), [(1, "z")])],
+        "k int, addr struct<town string, zip int>, "
+        "items array<struct<q int, code string>>",
+    )
+    write_delta(renamed_df, table, mode="append", timestamp_ms=1_700_000_001_000)
+    got = {r["k"]: r for r in read_delta_py(spark, table).collect()}
+    assert got[9]["addr"]["town"] == "paris"
+    assert [it["code"] for it in got[9]["items"]] == ["z"]
 
 
 def test_delta_partition_filter_skips_files(spark, sf_dir, tmp_path):
