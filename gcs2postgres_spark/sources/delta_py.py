@@ -2503,11 +2503,6 @@ _STATS_TYPES = {
     "byte", "short", "integer", "long", "float", "double",
     "string", "date", "timestamp", "timestamp_ntz", "boolean",
 }
-# staged appends above this file count use the distributed stats job
-# even locally: a serial ~2 ms/file driver footer walk is fine for a
-# handful of files but a 10^4-file append would pay ~20 s of driver
-# wall — the stats belong in the cluster (VERDICT r13 "What's wrong")
-_STATS_JOB_MIN_FILES = 64
 
 
 def _stats_spark_job(
@@ -2629,17 +2624,18 @@ def _stage_data_files(
         # commit); _SUCCESS markers are dropped lazily by vacuum
         return adds
 
+    # posix staging: the ~2 ms/file LOCAL footer probe beats a
+    # distributed re-read at any realistic file count (measured: 256
+    # files, footer walk 1.7 s total write vs 5.2 s with the job — see
+    # BASELINE.md r14 note). The distributed job exists for SCHEME'd
+    # paths above, where per-object footer RTT (50-100 ms) would make
+    # a 10^4-file walk minutes of serial driver wall.
     walk = [
         (root, name)
         for root, _dirs, files in os.walk(staging)
         for name in files
         if name.endswith(".parquet")
     ]
-    stats_by_base = (
-        _stats_spark_job(spark, staging, data_fields)
-        if len(walk) >= _STATS_JOB_MIN_FILES
-        else None
-    )
     for root, name in walk:
         src = os.path.join(root, name)
         pv = {}
@@ -2661,15 +2657,10 @@ def _stage_data_files(
             "modificationTime": now_ms,
             "dataChange": data_change,
         }
-        # per-file column stats power planning-time file skipping: a
-        # footer read per file for small appends, the distributed job
-        # above the threshold (a jar-ful writer collects the same
-        # stats inline during the write task)
-        stats = (
-            stats_by_base.get(name)
-            if stats_by_base is not None
-            else _parquet_stats_json(dest)
-        )
+        # per-file column stats power planning-time file skipping
+        # (footer read — metadata-scale; a jar-ful writer collects the
+        # same stats inline during the write task)
+        stats = _parquet_stats_json(dest)
         if stats:
             add["stats"] = stats
         adds.append({"add": add})
