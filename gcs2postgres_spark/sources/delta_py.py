@@ -812,9 +812,13 @@ def read_delta_py(
         # planning-time file skip from the log's per-file min/max stats
         # (same class as partition_filter: zero I/O for skipped files,
         # conservative on missing stats, predicate still applied as a
-        # row filter by the caller)
+        # row filter by the caller). Callers filter by LOGICAL names;
+        # mapped tables record stats under PHYSICAL names — translate
+        # (unknown logical names pass through and simply never match).
+        phys_of = info.get("phys_of") or {}
+        phys_filter = {phys_of.get(c, c): b for c, b in stats_filter.items()}
         live = {
-            p: a for p, a in live.items() if not _stats_skip_file(a, stats_filter)
+            p: a for p, a in live.items() if not _stats_skip_file(a, phys_filter)
         }
     if not live:
         return _empty()

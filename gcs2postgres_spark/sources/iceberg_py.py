@@ -424,6 +424,25 @@ def read_iceberg_py(
         schema_json = meta["schema"]
     spark_schema = iceberg_to_spark_type(schema_json)
     field_names = {f["id"]: f["name"] for f in schema_json["fields"]}
+    # nested STRUCT fields keyed by id as dotted paths (equality deletes
+    # may target them; fields under arrays/maps have no stable row path
+    # and stay unsupported)
+    field_paths = dict(field_names)
+
+    def _walk_struct(fields, prefix):
+        for f in fields:
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                for sf in t["fields"]:
+                    field_paths[sf["id"]] = f"{prefix}{f['name']}.{sf['name']}"
+                _walk_struct(
+                    [sf for sf in t["fields"]
+                     if isinstance(sf.get("type"), dict)
+                     and sf["type"].get("type") == "struct"],
+                    f"{prefix}{f['name']}.",
+                )
+
+    _walk_struct(schema_json["fields"], "")
 
     snapshots = meta.get("snapshots") or []
     if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
@@ -601,10 +620,11 @@ def read_iceberg_py(
                     raise NotImplementedError(
                         f"iceberg equality delete without equality_ids: table {_JAR_HINT}"
                     )
-                unknown = [i for i in ids if i not in field_names]
+                unknown = [i for i in ids if i not in field_paths]
                 if unknown:
                     raise NotImplementedError(
-                        f"iceberg equality delete on non-top-level field ids {unknown}: "
+                        "iceberg equality delete on field ids with no "
+                        f"stable row path (under arrays/maps?) {unknown}: "
                         f"table {_JAR_HINT}"
                     )
                 eq_deletes.append((path, seq, ids))
@@ -690,7 +710,7 @@ def read_iceberg_py(
 
     if pos_deletes or eq_deletes or dv_deletes:
         df = _apply_v2_deletes(
-            spark, df, data_files, pos_deletes, eq_deletes, field_names,
+            spark, df, data_files, pos_deletes, eq_deletes, field_paths,
             pretagged=True, dv_deletes=dv_deletes,
         )
     if _with_row_ids:
@@ -972,22 +992,34 @@ def _apply_v2_deletes(
     for p, s, ids in eq_deletes:
         by_key.setdefault((ids, s), []).append(p)
     for (ids, del_seq), paths in sorted(by_key.items()):
-        names = [field_names[i] for i in ids]
-        (del_idmap, _), *rest = _group_by_field_ids(sorted(paths))
-        if rest:
+        try:
+            names = [field_names[i] for i in ids]
+        except KeyError as e:
+            # the caller's field map has no row path for this id —
+            # nested-struct ids are supported on the READ path (its map
+            # carries dotted paths); anything else refuses
             raise NotImplementedError(
-                f"equality delete files with mixed column signatures: table {_JAR_HINT}"
+                f"equality delete on unresolvable field id {e}: "
+                f"table {_JAR_HINT}"
+            ) from None
+        flat = [n.replace(".", "__") for n in names]
+        # delete files written under DIFFERENT schemas (mixed footer
+        # signatures) each get their own type-consistent scan + join —
+        # the union of per-group anti-joins equals one mixed join
+        for del_idmap, gpaths in _group_by_field_ids(sorted(paths)):
+            src_names = [
+                (del_idmap or {}).get(i, names[j]) for j, i in enumerate(ids)
+            ]
+            dels = spark.read.parquet(*sorted(gpaths)).select(
+                *[
+                    F.col(s_).alias(f"__del_{n}")
+                    for s_, n in zip(src_names, flat)
+                ]
             )
-        src_names = [
-            (del_idmap or {}).get(i, field_names[i]) for i in ids
-        ]
-        dels = spark.read.parquet(*sorted(paths)).select(
-            *[F.col(s_).alias(f"__del_{n}") for s_, n in zip(src_names, names)]
-        )
-        cond = F.lit(del_seq) > df["__ice_seq"]
-        for n in names:
-            cond = cond & df[n].eqNullSafe(dels[f"__del_{n}"])
-        df = df.join(dels, cond, "left_anti")
+            cond = F.lit(del_seq) > df["__ice_seq"]
+            for n, fn in zip(names, flat):
+                cond = cond & df[n].eqNullSafe(dels[f"__del_{fn}"])
+            df = df.join(dels, cond, "left_anti")
 
     # pretagged callers keep their identity helpers (they project last);
     # the legacy path returns exactly the caller's columns
@@ -1685,17 +1717,47 @@ def write_iceberg_v2_fixture(
         delete_entries.append(_v2_entry(pd_path, content=1, seq=2))
 
     if equality_deletes:
-        schema_by_name = {f["name"]: f for f in spark_to_iceberg_schema(df.schema)["fields"]}
+        schema_json_eq = spark_to_iceberg_schema(df.schema)
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(df.schema)  # exact arrow types, no pandas inference
+
+        def _id_of(path: str) -> int:
+            """Field id for a top-level or DOTTED nested-struct path —
+            the spec allows equality ids on nested struct fields."""
+            fields = schema_json_eq["fields"]
+            f = None
+            for seg in path.split("."):
+                f = next(x for x in fields if x["name"] == seg)
+                t = f["type"]
+                fields = (
+                    t["fields"]
+                    if isinstance(t, dict) and t.get("type") == "struct"
+                    else []
+                )
+            return f["id"]
+
         for i, (values, seq) in enumerate(equality_deletes):
             ed_path = os.path.join(data_dir, f"delete-eq-{i}.parquet")
-            cols = {
-                n: pa.array([v], arrow_schema.field(n).type) for n, v in values.items()
-            }
+            cols = {}
+            for n, v in values.items():
+                if "." in n:
+                    # nested key: the delete file stores the projected
+                    # struct (spec: the delete file schema is the
+                    # equality fields' projection)
+                    top, rest = n.split(".", 1)
+                    if rest.count("."):
+                        raise NotImplementedError(
+                            "fixture supports one nesting level"
+                        )
+                    sub_t = arrow_schema.field(top).type.field(rest).type
+                    cols[top] = pa.array(
+                        [{rest: v}], pa.struct([pa.field(rest, sub_t)])
+                    )
+                else:
+                    cols[n] = pa.array([v], arrow_schema.field(n).type)
             pq.write_table(pa.table(cols), ed_path)
-            ids = [schema_by_name[n]["id"] for n in values]
+            ids = [_id_of(n) for n in values]
             delete_entries.append(_v2_entry(ed_path, content=2, seq=seq, equality_ids=ids))
 
     if delete_entries:

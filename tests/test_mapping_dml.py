@@ -196,3 +196,21 @@ def test_mapping_schema_change_overwrite_mints_ids(spark, tmp_path):
     # overwrite: v0 write, v1 rename, v2 wide, v3 drop)
     wide_era = read_delta_py(spark, t, version_as_of=2)
     assert wide_era.count() == 6 and set(wide_era.columns) == {"k", "val", "extra"}
+
+
+def test_mapping_stats_skip_translates_names(spark, tmp_path):
+    """r14: stats_filter keys are LOGICAL names; mapped tables record
+    stats under PHYSICAL names — the reader translates, so file
+    skipping works across a rename."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 100).repartition(4, "k"), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    alter_delta_rename_column(spark, t, "k", "key")
+    # filter by the NEW logical name against stats recorded as "k"
+    assert read_delta_py(
+        spark, t, stats_filter={"key": (1000, None)}
+    ).count() == 0
+    got = read_delta_py(spark, t, stats_filter={"key": (50, None)}).where(
+        "key >= 50"
+    )
+    assert got.count() == 50

@@ -443,3 +443,43 @@ def test_remote_streaming_upsert_exactly_once(spark, tmp_path, fake_store):
     got = {r["k"]: r["name"] for r in read_delta_py(spark, t).collect()}
     assert got == {1: "a2", 2: "b"}
     assert fake_store.puts >= 2
+
+
+def test_remote_lakehouse_sql_facade(spark, tmp_path, fake_store):
+    """The SQL front door accepts scheme'd table paths: DML, time
+    travel, OPTIMIZE, VACUUM, and SELECT all run against a file://
+    table with the FakeObjectStore at the commit seam."""
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    t = _uri(tmp_path, "sql1")
+    spark.createDataFrame(
+        [(k, k * 2) for k in range(10)], "k long, v long"
+    ).createOrReplaceTempView("remote_sql_src")
+    lakehouse_sql(
+        spark, f"CREATE TABLE delta.`{t}` AS SELECT * FROM remote_sql_src"
+    )
+    lakehouse_sql(spark, f"DELETE FROM delta.`{t}` WHERE k < 3")
+    lakehouse_sql(spark, f"UPDATE delta.`{t}` SET v = v + 100 WHERE k = 9")
+    got = {
+        r["k"]: r["v"]
+        for r in lakehouse_sql(spark, f"SELECT * FROM delta.`{t}`").collect()
+    }
+    assert len(got) == 7 and got[9] == 118 and got[3] == 6
+    # time travel + maintenance statements
+    assert lakehouse_sql(
+        spark, f"SELECT * FROM delta.`{t}` VERSION AS OF 0"
+    ).count() == 10
+    lakehouse_sql(spark, f"OPTIMIZE delta.`{t}`")
+    assert lakehouse_sql(spark, f"VACUUM delta.`{t}`") >= 1
+    got2 = {
+        r["k"]: r["v"]
+        for r in lakehouse_sql(spark, f"SELECT * FROM delta.`{t}`").collect()
+    }
+    assert got2 == got
+    # iceberg twin
+    i = _uri(tmp_path, "sql2")
+    lakehouse_sql(
+        spark, f"CREATE TABLE iceberg.`{i}` AS SELECT * FROM remote_sql_src"
+    )
+    lakehouse_sql(spark, f"DELETE FROM iceberg.`{i}` WHERE k IN (0, 1)")
+    assert lakehouse_sql(spark, f"SELECT * FROM iceberg.`{i}`").count() == 8
