@@ -4114,3 +4114,61 @@ def delta_remote_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
     finally:
         set_log_store_override(None)
+
+
+ICEBERG_NESTED_EQ_DELETE_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT)      AS regionkey,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+WHERE n_regionkey <> 2
+GROUP BY regionkey
+ORDER BY regionkey
+"""
+
+
+@register("iceberg_nested_eq_delete_roundtrip", oracle=ICEBERG_NESTED_EQ_DELETE_ORACLE)
+def iceberg_nested_eq_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-STRUCT equality deletes (r14 — previously a jar-hint
+    refusal): the fixture table nests region under ``info
+    struct<regionkey, comment>``; one equality-delete file targets the
+    NESTED field id (``info.regionkey = 2``, spec: equality ids may
+    name struct members), written as the spec's projected-struct delete
+    file. The reader resolves the id via the schema's dotted path and
+    anti-joins null-safely on the nested column; the oracle recomputes
+    the post-delete aggregate from the flat table."""
+    tune_for_session(spark)
+    from pyspark.sql import functions as _F
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_v2_fixture,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="ice_nested_eq_")
+    t = os.path.join(tmp, "t")
+    try:
+        df = nation.select(
+            _F.col("n_nationkey").cast("long").alias("k"),
+            _F.struct(
+                _F.col("n_regionkey").cast("long").alias("regionkey"),
+                _F.col("n_name").alias("name"),
+            ).alias("info"),
+        )
+        write_iceberg_v2_fixture(
+            df, t, sort_col="k",
+            equality_deletes=[({"info.regionkey": 2}, 2)],
+        )
+        return (
+            read_iceberg_py(spark, t)
+            .groupBy(_F.col("info.regionkey").alias("regionkey"))
+            .agg(
+                _F.count(_F.lit(1)).alias("n_rows"),
+                _F.sum("k").cast("long").alias("key_sum"),
+            )
+            .orderBy("regionkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
