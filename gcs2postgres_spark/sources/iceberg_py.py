@@ -4011,9 +4011,20 @@ def _v2_row_level_commit(
     eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
     # v3 DVs: (puffin path, offset, size, seq, normalized referenced file)
     dv_deletes: list[tuple[str, int, int, int, str]] = []
+    file_schema_id: dict[str, int] = {}  # data path -> manifest schema-id
     for m in manifest_rows:
         manifest_seq = m.get("sequence_number") or 0
-        _, entries = read_avro_file(_resolve(m["manifest_path"], table_path, location))
+        _, entries, m_fmeta = read_avro_file_meta(
+            _resolve(m["manifest_path"], table_path, location)
+        )
+        m_sid: int | None = None
+        try:
+            if "schema-id" in m_fmeta:
+                m_sid = int(m_fmeta["schema-id"])
+            elif "schema" in m_fmeta:
+                m_sid = json.loads(m_fmeta["schema"]).get("schema-id")
+        except (ValueError, TypeError):
+            m_sid = None
         for e in entries:
             if e["status"] == 2:
                 continue
@@ -4045,6 +4056,8 @@ def _v2_row_level_commit(
             path = _resolve(dfile["file_path"], table_path, location)
             if content == 0:
                 data_files.append((path, seq))
+                if m_sid is not None:
+                    file_schema_id[path] = m_sid
                 data_parts[_norm_path(path)] = dfile.get("partition") or {}
                 if dfile.get("lower_bounds") or dfile.get("upper_bounds"):
                     data_stats[_norm_path(path)] = {
@@ -4139,7 +4152,9 @@ def _v2_row_level_commit(
         # renamed table, and existing deletes apply on the same frame.
         spark_schema = iceberg_to_spark_type(schema_json)
         parts = []
-        for idmap, gpaths in _group_by_field_ids(sorted({p for p, _ in data_files})):
+        for idmap, gpaths in _schema_id_groups(
+            sorted({p for p, _ in data_files}), file_schema_id, meta
+        ):
             t = spark.read.parquet(*gpaths).select(
                 "*",
                 F.regexp_replace(

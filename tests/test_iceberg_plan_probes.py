@@ -108,3 +108,25 @@ def test_unstamped_manifests_still_probe_and_read(spark, tmp_path):
     )
     write_iceberg_v2_fixture(df, t, sort_col="k")
     assert read_iceberg_py(spark, t).count() == 10
+
+
+def test_dml_matching_scan_zero_probes(spark, tmp_path, probe_counter):
+    """DELETE/UPDATE's matching scan groups by recorded schema-id too —
+    a range-targeted DML on a 10^5-file table must not footer-probe."""
+    from gcs2postgres_spark.sources.iceberg_py import delete_where
+
+    t = str(tmp_path / "t")
+    create_iceberg_v2_table(_df(spark, 0, 1).schema, t)
+    for lo in range(0, 30, 10):
+        append_iceberg_v2(spark, t, _df(spark, lo, lo + 10),
+                          snapshot_ts_ms=1_700_000_000_000 + lo)
+    probe_counter.clear()
+    delete_where(spark, t, "k IN (5, 25)", snapshot_ts_ms=1_700_000_001_000)
+    # the only footer opens allowed are the freshly STAGED position-
+    # delete files' non-empty checks — bounded by THIS commit's output
+    # (O(staged), same class as stats collection), never by table size
+    data_probes = [p for p in probe_counter if "/delete-" not in str(p)]
+    assert data_probes == [], (
+        f"DML planning opened {len(data_probes)} DATA footers: {data_probes}"
+    )
+    assert read_iceberg_py(spark, t).count() == 28
