@@ -186,18 +186,85 @@ def delete(path: str, recursive: bool = False) -> bool:
 
 
 def rename(src: str, dst: str) -> None:
-    """Move src to dst (posix os.replace; Hadoop fs.rename). Metadata-
-    scale only on object stores — connectors emulate rename as
-    copy+delete there."""
+    """Move src to dst (posix os.replace; Hadoop FileContext.rename with
+    OVERWRITE). Metadata-scale only on object stores — connectors
+    emulate rename as copy+delete there.
+
+    Overwrite is ATOMIC where the filesystem supports it: posix rename(2)
+    via os.replace, and FileContext.rename(Options.Rename.OVERWRITE) on
+    the Hadoop branch — so a concurrent reader resolving the destination
+    (e.g. an N.checkpoint.parquet being re-written) never observes a
+    missing target. The old delete-then-FileSystem.rename pair left a
+    FileNotFound window between the two calls."""
     if not has_scheme(src) and not has_scheme(dst):
         os.replace(src, dst)
         return
-    fs, s, _jvm = _fs(src)
+    from pyspark.sql import SparkSession
+
+    fs, s, jvm = _fs(src)
     _fs2, d, _jvm2 = _fs(dst)
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    try:
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            s.toUri(), spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        ctx.rename(s, d, opts)
+        return
+    except Exception as exc:
+        # FileContext is unsupported by some object-store connectors
+        # (UnsupportedFileSystemException); only those fall through to
+        # the non-atomic pair. A real rename failure (src missing, perms)
+        # must NOT fall through — it would turn into a confusing delete.
+        if "UnsupportedFileSystem" not in type(exc).__name__ and (
+            "UnsupportedFileSystem" not in str(exc)
+        ):
+            raise
     if fs.exists(d):
         fs.delete(d, False)
     if not fs.rename(s, d):
         raise OSError(f"rename failed: {src!r} -> {dst!r}")
+
+
+def bulk_delete(paths: list[str]) -> int:
+    """Delete many files, batched: plain posix paths unlink in a loop
+    (microseconds each); scheme'd paths route through the owning
+    LogStore's ``delete_batch`` when it has one (GCS batch API / S3
+    DeleteObjects — one RPC per 100-1000 objects), else fall back to
+    the per-file Hadoop delete. This is the maintenance ops' delete
+    seam: VACUUM / expire_snapshots at 10^5 garbage files must not pay
+    one serial driver RPC per object. Returns how many existed."""
+    from gcs2postgres_spark.sources import logstore
+
+    removed = 0
+    local = [p for p in paths if not has_scheme(p)]
+    for p in local:
+        try:
+            os.remove(p)
+            removed += 1
+        except FileNotFoundError:
+            pass
+    remote = [p for p in paths if has_scheme(p)]
+    if not remote:
+        return removed
+    # group by owning store (one table's files share a store; mixed
+    # lists still route each group correctly)
+    groups: dict[int, tuple[object, list[str]]] = {}
+    for p in remote:
+        store = logstore.log_store_for(p)
+        groups.setdefault(id(store), (store, []))[1].append(p)
+    for store, group in groups.values():
+        batch = getattr(store, "delete_batch", None)
+        if callable(batch):
+            removed += int(batch(group))
+        else:
+            for p in group:
+                if delete(p):
+                    removed += 1
+    return removed
 
 
 def list_files(path: str) -> list[tuple[str, int]]:

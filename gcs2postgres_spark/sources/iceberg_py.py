@@ -60,6 +60,7 @@ import json
 import os
 import re
 import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2341,11 +2342,13 @@ def expire_snapshots(
         ) from None
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
 
-    removed = 0
-    for p in sorted((e_lists - k_lists) | (e_manifests - k_manifests) | (e_files - k_files)):
-        if fsio.delete(p):
-            removed += 1
-    return removed
+    # batched deletes (fsio.bulk_delete → LogStore.delete_batch): one
+    # RPC per ~100-1000 objects on stores with a batch endpoint, never
+    # one serial driver RPC per garbage file (r14 verdict #1)
+    garbage = sorted(
+        (e_lists - k_lists) | (e_manifests - k_manifests) | (e_files - k_files)
+    )
+    return fsio.bulk_delete(garbage)
 
 
 # ------------------------------------------------ v2 row-level DML (write)
@@ -3522,14 +3525,25 @@ def _staged_stats_spark(
     bounds via ONE distributed aggregation over ``commit_dir`` — the
     scheme-agnostic twin of the posix footer probe (executors scan
     through the same Hadoop FS as any read; the collect is one row per
-    staged file). Returns {basename: {"rows": n, "bounds3": (lower,
-    upper, nullc)}}."""
+    staged file). Returns {COMMIT-DIR-RELATIVE path: {"rows": n,
+    "bounds3": (lower, upper, nullc)}}.
+
+    Keys are relative paths (``__pid=3/part-....parquet``), not
+    basenames — Spark's partitionBy reuses identical part basenames
+    across partition dirs, and a basename key would collapse colliding
+    files into one entry (misattributed bounds -> wrong stats-skips;
+    collapsed record_count -> overlapping v3 first_row_id blocks).
+    Failures PROPAGATE: these are files this commit just wrote, so an
+    unreadable staging scan is an internal error — swallowing it into
+    {} would commit every file with record_count=0, corrupting row
+    lineage and foreign engines' count pushdowns. A file the job
+    scanned but that yields no group row genuinely has ZERO rows
+    (the read lists every staged file; zero-row parts contribute no
+    rows), so callers may treat a missing key as rows=0."""
     from urllib.parse import unquote as _unq
 
-    try:
-        staged = spark.read.option("basePath", commit_dir).parquet(commit_dir)
-    except Exception:
-        return {}
+    token = commit_dir.rstrip("/").rsplit("/", 1)[-1] + "/"
+    staged = spark.read.option("basePath", commit_dir).parquet(commit_dir)
     names = [c for c in staged.columns if c in bounds_spec]
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in names:
@@ -3553,7 +3567,14 @@ def _staged_stats_spark(
                     lower.append({"key": fid, "value": lo})
                     upper.append({"key": fid, "value": hi})
             nullc.append({"key": fid, "value": int(r[f"__nc_{c}"] or 0)})
-        out[_unq(r["__f"].rsplit("/", 1)[-1])] = {
+        raw = (
+            r["__f"].split(token, 1)[1]
+            if token in r["__f"]
+            else r["__f"].rsplit("/", 1)[-1]
+        )
+        # both raw and unquoted forms: the caller's fsio listing and
+        # input_file_name() may disagree on percent-encoding
+        out[raw] = out[_unq(raw)] = {
             "rows": int(r["__n"]), "bounds3": (lower, upper, nullc),
         }
     return out
@@ -3645,12 +3666,17 @@ def _stage_v2_data_files(
             # scheme'd staging: fsio bulk listing + ONE distributed
             # stats job — no posix glob, no per-file footer probe
             listed = _staged_parquet_files(commit_dir)
-            stats = _staged_stats_spark(spark, commit_dir, bounds_spec)
+            stats = (
+                _staged_stats_spark(spark, commit_dir, bounds_spec)
+                if listed else {}
+            )
             for full, sz in listed:
                 rel = full.split(f"{os.path.basename(commit_dir)}/", 1)[1]
                 pid = int(rel.split("/", 1)[0].split("=", 1)[1])
                 pdict = dict(zip(part_struct_names, tup_of[pid]))
-                st = stats.get(os.path.basename(full), {})
+                # rel-path key (basenames collide across __pid dirs);
+                # a key the successful job omitted is a zero-row part
+                st = stats.get(rel) or stats.get(unquote(rel)) or {}
                 data_entries.append(
                     _v2_entry(full, content=0, seq=new_seq, snapshot_id=sid,
                               partition=pdict,
@@ -3680,10 +3706,15 @@ def _stage_v2_data_files(
         replacement.write.mode("overwrite").parquet(commit_dir)
         if remote:
             listed = _staged_parquet_files(commit_dir)
-            stats = _staged_stats_spark(spark, commit_dir, bounds_spec)
+            stats = (
+                _staged_stats_spark(spark, commit_dir, bounds_spec)
+                if listed else {}
+            )
             data_entries = [
                 _v2_entry(full, content=0, seq=new_seq, snapshot_id=sid,
-                          record_count=stats.get(os.path.basename(full), {}).get("rows", 0),
+                          record_count=(
+                              stats.get(os.path.basename(full)) or {}
+                          ).get("rows", 0),
                           file_size=sz,
                           bounds3=(stats.get(os.path.basename(full)) or {}).get("bounds3")
                           or ([], [], []))
@@ -4362,6 +4393,12 @@ def _v2_row_level_commit(
                 manifest_entry_schema_v2(part_avro),
                 data_entries,
                 codec="null",
+                # schema-id stamp, same as append/upsert/rewrite: files
+                # added by UPDATE/MERGE must resolve by field id without
+                # the per-file footer probe (and on remote schemes the
+                # probe falls back to name-only resolution, which reads
+                # NULLs after a rename)
+                extra_meta=_schema_stamp(ctx["meta"]),
             )
             new_list_rows.append(
                 {

@@ -49,6 +49,15 @@ class LogStore:
         that are best-effort optimizations, never the commit point)."""
         raise NotImplementedError
 
+    # Implementations MAY define
+    #     delete_batch(paths: list[str]) -> int
+    # deleting many objects in one request (GCS batch API, S3
+    # DeleteObjects) and returning how many existed. Maintenance ops
+    # (VACUUM / expire_snapshots) route garbage-file deletion through it
+    # via fsio.bulk_delete — one RPC per ~100-1000 objects instead of
+    # one per file, the difference between minutes and hours at 10^5
+    # garbage files. Absence of the attribute = per-file fallback.
+
 
 class LocalLogStore(LogStore):
     """Posix: O_CREAT|O_EXCL is the conditional put; temp+rename is the
@@ -86,6 +95,18 @@ class LocalLogStore(LogStore):
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
+    def delete_batch(self, paths: list[str]) -> int:
+        # posix unlink loop: ~microseconds per file, and it spares
+        # file:-scheme maintenance the per-file JVM hop
+        removed = 0
+        for p in paths:
+            try:
+                os.remove(self._local(p))
+                removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
+
 
 class FakeObjectStore(LogStore):
     """Object-store semantics over a local directory, for tests: the
@@ -99,6 +120,7 @@ class FakeObjectStore(LogStore):
         self._lock = threading.Lock()
         self.puts = 0
         self.overwrites = 0
+        self.batch_calls = 0
 
     def put_if_absent(self, path: str, data: bytes) -> None:
         from gcs2postgres_spark.sources import fsio
@@ -122,6 +144,23 @@ class FakeObjectStore(LogStore):
             with open(path, "wb") as f:
                 f.write(data)
             self.overwrites += 1
+
+    def delete_batch(self, paths: list[str]) -> int:
+        """One 'RPC' per call, like the real batch endpoints —
+        ``batch_calls`` lets tests assert maintenance ops batch their
+        deletes instead of issuing one call per garbage file."""
+        from gcs2postgres_spark.sources import fsio
+
+        removed = 0
+        with self._lock:
+            self.batch_calls += 1
+            for p in paths:
+                try:
+                    os.remove(fsio.strip_scheme(p))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        return removed
 
 
 _LOCAL = LocalLogStore()
@@ -247,6 +286,50 @@ class GcsLogStore(LogStore):
         # GCS object writes are atomic server-side (no partial objects)
         self._upload(path, data, if_absent=False)
 
+    def delete_batch(self, paths: list[str]) -> int:
+        """Bulk delete via the GCS JSON batch endpoint
+        (``POST /batch/storage/v1`` with up to 100 ``DELETE`` subrequests
+        in one ``multipart/mixed`` body — the documented public batching
+        surface). Already-gone objects (404 parts) count as deleted:
+        maintenance deletes are idempotent. Returns how many of
+        ``paths`` existed. One HTTP round trip per 100 objects — the
+        scale fix for VACUUM/expire on 10^5 garbage files."""
+        import urllib.parse
+        import urllib.request
+
+        removed = 0
+        for i in range(0, len(paths), 100):
+            chunk = paths[i:i + 100]
+            boundary = "batch_gcs2postgres"
+            parts = []
+            for n, p in enumerate(chunk):
+                bucket, name = self._split(p)
+                target = (
+                    f"/storage/v1/b/{urllib.parse.quote(bucket)}/o/"
+                    f"{urllib.parse.quote(name, safe='')}"
+                )
+                parts.append(
+                    f"--{boundary}\r\n"
+                    "Content-Type: application/http\r\n"
+                    f"Content-ID: <item{n}>\r\n\r\n"
+                    f"DELETE {target} HTTP/1.1\r\n\r\n"
+                )
+            body = ("".join(parts) + f"--{boundary}--\r\n").encode()
+            req = urllib.request.Request(
+                f"{self.endpoint}/batch/storage/v1", data=body, method="POST",
+                headers={"Content-Type":
+                         f"multipart/mixed; boundary={boundary}"},
+            )
+            token = self._token_provider()
+            if token:
+                req.add_header("Authorization", f"Bearer {token}")
+            with urllib.request.urlopen(req) as resp:
+                text = resp.read().decode("utf-8", "replace")
+            # each part answers with an HTTP status line; 204 = deleted,
+            # 404 = already gone (both terminal-success for maintenance)
+            removed += text.count("HTTP/1.1 204")
+        return removed
+
 
 class S3CompatLogStore(LogStore):
     """Conditional-put commit seam for ``s3://`` paths against
@@ -303,3 +386,48 @@ class S3CompatLogStore(LogStore):
 
     def write_atomic(self, path: str, data: bytes) -> None:
         self._put(path, data, if_absent=False)
+
+    def delete_batch(self, paths: list[str]) -> int:
+        """Bulk delete via S3 DeleteObjects (``POST /{bucket}?delete``,
+        up to 1000 keys per request, Content-MD5 required by the API).
+        Keys are grouped per bucket; missing keys succeed (Quiet mode
+        semantics — maintenance deletes are idempotent). Returns the
+        count of <Deleted> results. One round trip per 1000 objects."""
+        import base64
+        import hashlib
+        import re as _re
+        import urllib.parse
+        import urllib.request
+        from xml.sax.saxutils import escape
+
+        by_bucket: dict[str, list[str]] = {}
+        for p in paths:
+            bucket, name = self._split(p)
+            by_bucket.setdefault(bucket, []).append(name)
+        removed = 0
+        for bucket, names in by_bucket.items():
+            for i in range(0, len(names), 1000):
+                chunk = names[i:i + 1000]
+                xml = (
+                    "<Delete>"
+                    + "".join(
+                        f"<Object><Key>{escape(k)}</Key></Object>"
+                        for k in chunk
+                    )
+                    + "</Delete>"
+                ).encode()
+                url = f"{self.endpoint}/{urllib.parse.quote(bucket)}?delete"
+                headers = {
+                    "Content-Type": "application/xml",
+                    "Content-MD5": base64.b64encode(
+                        hashlib.md5(xml).digest()
+                    ).decode(),
+                }
+                headers.update(self._headers_provider("POST", url))
+                req = urllib.request.Request(
+                    url, data=xml, method="POST", headers=headers
+                )
+                with urllib.request.urlopen(req) as resp:
+                    text = resp.read().decode("utf-8", "replace")
+                removed += len(_re.findall(r"<Deleted>", text))
+        return removed
