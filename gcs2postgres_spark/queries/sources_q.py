@@ -3229,6 +3229,71 @@ def datasource_delta_py_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+DATASOURCE_MAPPED_ORACLE = """
+SELECT n_regionkey                      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name)                      AS first_name
+FROM nation
+WHERE n_nationkey % 5 <> 0
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@register("datasource_delta_py_mapped", oracle=DATASOURCE_MAPPED_ORACLE)
+def datasource_delta_py_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: the native front door on a MODERN-writer table — column
+    mapping (rename evolution) + deletion vectors, read via
+    ``spark.read.format("delta_py")``. The r14 refusal is gone: the
+    partition reader resolves physical->logical names at every nesting
+    depth and applies each file's roaring-bitmap DV executor-side
+    (sources/datasource.py _read_file_part), the same resolution
+    read_delta_py certifies. columnMapping is default-on on current
+    Databricks runtimes, so this was the most likely real refusal left
+    (r14 verdict, missing #1)."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.datasource import (
+        register_lakehouse_datasources,
+    )
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_rename_column,
+        delete_where_delta,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="ds_delta_mapped_")
+    try:
+        write_delta(
+            nation.coalesce(1), tmp, "overwrite",
+            partition_by=["n_regionkey"], timestamp_ms=1_700_000_000_000,
+        )
+        # rename upgrades the table to columnMapping=name; the DELETE
+        # then attaches deletion vectors to the mapped files
+        alter_delta_rename_column(spark, tmp, "n_name", "nation_label")
+        delete_where_delta(
+            spark, tmp, "n_nationkey % 5 = 0",
+            timestamp_ms=1_700_000_001_000,
+        )
+        register_lakehouse_datasources(spark)
+        df = spark.read.format("delta_py").option("path", tmp).load()
+        return (
+            df.groupBy(F.col("n_regionkey").alias("region"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.min("nation_label").alias("first_name"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 MERGE_MULTI_ORACLE = """
 WITH src(k, name, region, op) AS (
   VALUES (1, 'S1', 0, 'del'), (2, 'S2', 0, 'upd'), (3, 'S3', 8, 'other'),

@@ -80,6 +80,7 @@ def make_delta_py_datasource():
         if _REPO not in sys.path:
             sys.path.insert(0, _REPO)
 
+    from pyspark import cloudpickle as _cp
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
@@ -90,17 +91,65 @@ def make_delta_py_datasource():
     )
     from pyspark.sql.types import StructType
 
-    class _FilePart(InputPartition):
-        """One data file: everything read() needs, self-contained."""
+    # deletion-vector codecs ride the by-value pickle as CLOSURE
+    # variables (workers have no repo on sys.path) — the same pattern
+    # delta_py._apply_deletion_vectors uses for its executor decode
+    from gcs2postgres_spark.sources import dv_roaring as _dvr
 
-        def __init__(self, path, partition_values, part_types, schema_json):
+    _cp.register_pickle_by_value(_dvr)
+    _read_dv_blob = _dvr.read_dv_blob
+    _roaring_decode = _dvr.roaring_array_decode
+    _z85_decode = _dvr.z85_decode
+
+    def _phys_name_json(f: dict) -> str:
+        """Physical column name from a schema-JSON field (columnMapping
+        metadata; identity for unmapped fields/tables)."""
+        return (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        ) or f["name"]
+
+    def _dv_location(table_path: str, dv: dict):
+        """Resolve a deletion-vector descriptor to ('file', local path)
+        or ('inline', z85 payload) — the protocol's storageType rules,
+        self-contained (delta_py._dv_location's twin: this runs in the
+        DataSource worker, where the package is not importable)."""
+        import uuid as _uuid
+
+        st = dv["storageType"]
+        payload = dv["pathOrInlineDv"]
+        if st == "i":
+            return "inline", payload
+        if st == "p":
+            return "file", re.sub(r"^file:(//)?", "", payload)
+        if st == "u":
+            prefix, encoded = payload[:-20], payload[-20:]
+            u = _uuid.UUID(bytes=_z85_decode(encoded))
+            name = f"deletion_vector_{u}.bin"
+            parts = [table_path] + ([prefix] if prefix else []) + [name]
+            return "file", os.path.join(*parts)
+        raise NotImplementedError(
+            f"delta deletion-vector storageType {st!r}"
+        )
+
+    class _FilePart(InputPartition):
+        """One data file: everything read() needs, self-contained.
+        ``dv`` is an optional resolved deletion-vector descriptor
+        ``(kind, payload_or_path, offset, size, cardinality)`` —
+        kind 'inline' carries the z85 payload, 'file' a local path."""
+
+        def __init__(self, path, partition_values, part_types, schema_json,
+                     dv=None):
             self.path = path
-            self.partition_values = partition_values  # {col: raw string}
+            self.partition_values = partition_values  # {LOGICAL col: raw str}
             self.part_types = part_types  # {col: spark type name}
             self.schema_json = schema_json  # full table schema (json str)
+            self.dv = dv
 
     def _read_file_part(part):
-        """Executor-side: stdlib + pyarrow ONLY (pickled by value)."""
+        """Executor-side: stdlib + pyarrow + the by-value-pickled DV
+        codecs. Resolves column mapping (data files store PHYSICAL
+        names, at every nesting depth) and applies the file's deletion
+        vector, mirroring read_delta_py's resolution."""
         import datetime as _dt
         import json as _json
 
@@ -120,6 +169,55 @@ def make_delta_py_datasource():
                 return _dt.date.fromisoformat(raw)
             return raw
 
+        def phys(f):
+            return (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName"
+            ) or f["name"]
+
+        def needs_rename(jtype):
+            if not isinstance(jtype, dict):
+                return False
+            t = jtype.get("type")
+            if t == "struct":
+                return any(
+                    phys(f) != f["name"] or needs_rename(f["type"])
+                    for f in jtype["fields"]
+                )
+            if t == "array":
+                return needs_rename(jtype["elementType"])
+            if t == "map":
+                return needs_rename(jtype["keyType"]) or needs_rename(
+                    jtype["valueType"]
+                )
+            return False
+
+        def to_logical(arr, jtype):
+            # physical->logical rename at every nesting depth; rebuild
+            # only subtrees that actually differ
+            if not needs_rename(jtype):
+                return arr
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            t = jtype["type"]
+            if t == "struct":
+                children, names = [], []
+                for f in jtype["fields"]:
+                    children.append(to_logical(arr.field(phys(f)), f["type"]))
+                    names.append(f["name"])
+                return pa.StructArray.from_arrays(
+                    children, names=names, mask=arr.is_null()
+                )
+            if t == "array":
+                values = to_logical(arr.values, jtype["elementType"])
+                return pa.ListArray.from_arrays(
+                    arr.offsets, values, mask=arr.is_null()
+                )
+            if t == "map":
+                keys = to_logical(arr.keys, jtype["keyType"])
+                items = to_logical(arr.items, jtype["valueType"])
+                return pa.MapArray.from_arrays(arr.offsets, keys, items)
+            return arr
+
         arrow_of = {
             "integer": pa.int32(), "long": pa.int64(), "short": pa.int16(),
             "byte": pa.int8(), "double": pa.float64(), "float": pa.float32(),
@@ -131,14 +229,15 @@ def make_delta_py_datasource():
         cols, names = [], []
         for f in fields:
             name, t = f["name"], f["type"]
+            pn = phys(f)
             names.append(name)
             if name in part.partition_values:
                 v = parse_pv(part.partition_values[name],
                              part.part_types.get(name, "string"))
                 typ = arrow_of.get(part.part_types.get(name, "string"), pa.string())
                 cols.append(pa.array([v] * n, type=typ))
-            elif name in tbl.column_names:
-                cols.append(tbl.column(name).combine_chunks())
+            elif pn in tbl.column_names:
+                cols.append(to_logical(tbl.column(pn).combine_chunks(), t))
             else:
                 typ = arrow_of.get(t if isinstance(t, str) else "string")
                 if typ is None:
@@ -148,6 +247,23 @@ def make_delta_py_datasource():
                     )
                 cols.append(pa.nulls(n, type=typ))
         out = pa.table(cols, names=names)
+        if part.dv is not None:
+            kind, payload, offset, size, card = part.dv
+            if kind == "inline":
+                positions = _roaring_decode(_z85_decode(payload))
+            else:
+                with open(payload, "rb") as fh:
+                    raw = fh.read()
+                positions = _read_dv_blob(raw, int(offset), int(size))
+            if card is not None and card >= 0 and len(positions) != card:
+                raise ValueError(
+                    f"deletion vector for {part.path!r} decoded "
+                    f"{len(positions)} positions, descriptor says {card}"
+                )
+            dead = set(positions)
+            out = out.filter(
+                pa.array([i not in dead for i in range(n)], type=pa.bool_())
+            )
         yield from out.to_batches()
 
     class _DeltaBatchReader(DataSourceReader):
@@ -161,10 +277,12 @@ def make_delta_py_datasource():
             yield from _read_file_part(partition)
 
     class _DeltaStreamReader(DataSourceStreamReader):
-        def __init__(self, options, schema_json, part_types):
+        def __init__(self, options, schema_json, part_types, part_phys=None):
             self.table = options["path"]
             self.schema_json = schema_json
             self.part_types = part_types
+            # {logical partition col: physical log key} (columnMapping)
+            self.part_phys = part_phys or {}
             self.skip_change = (
                 str(options.get("skipChangeCommits", "false")).lower() == "true"
             )
@@ -214,10 +332,16 @@ def make_delta_py_datasource():
                         )
                     continue  # whole commit skipped, like delta-spark
                 for add in adds:
+                    pv_raw = add.get("partitionValues") or {}
+                    pv = {
+                        c: pv_raw[k if k in pv_raw else c]
+                        for c, k in self.part_phys.items()
+                        if k in pv_raw or c in pv_raw
+                    } or dict(pv_raw)
                     parts.append(
                         _FilePart(
                             os.path.join(self.table, add["path"]),
-                            add.get("partitionValues") or {},
+                            pv,
                             self.part_types,
                             self.schema_json,
                         )
@@ -291,32 +415,52 @@ def make_delta_py_datasource():
 
         def reader(self, schema):
             live, meta = self._meta()
-            cfg = meta.get("configuration") or {}
-            if cfg.get("delta.columnMapping.mode", "none") != "none":
-                raise NotImplementedError(
-                    "delta_py batch datasource does not resolve column "
-                    "mapping — use read_delta_py (the JVM-scan fast path)"
-                )
-            if any(a.get("deletionVector") for a in live.values()):
-                raise NotImplementedError(
-                    "delta_py batch datasource does not apply deletion "
-                    "vectors — use read_delta_py (the JVM-scan fast path)"
-                )
             schema_json = meta["schemaString"]
             fields = json.loads(schema_json)["fields"]
             tmap = {
                 f["name"]: (f["type"] if isinstance(f["type"], str) else "string")
                 for f in fields
             }
-            part_types = {c: tmap.get(c, "string")
-                          for c in (meta.get("partitionColumns") or [])}
+            part_cols = meta.get("partitionColumns") or []
+            part_types = {c: tmap.get(c, "string") for c in part_cols}
+            # columnMapping: partitionValues in the log are keyed by
+            # PHYSICAL name (tolerate logical-keyed pre-upgrade commits)
+            phys_of = {f["name"]: _phys_name_json(f) for f in fields}
             table = self.options["path"]
+
+            def _pv_logical(pv: dict) -> dict:
+                out = {}
+                for c in part_cols:
+                    if phys_of.get(c, c) in pv:
+                        out[c] = pv[phys_of[c]]
+                    elif c in pv:
+                        out[c] = pv[c]
+                return out
+
+            def _dv_part(a):
+                dv = a.get("deletionVector")
+                if not dv:
+                    return None
+                # resolve the descriptor to (kind, payload) plan-side
+                # (read_delta_py's _dv_location rules, self-contained:
+                # this method runs in the DataSource worker, where the
+                # package is not importable)
+                kind, loc = _dv_location(table, dv)
+                return (
+                    kind,
+                    loc,
+                    int(dv.get("offset") or 0),
+                    int(dv["sizeInBytes"]),
+                    int(dv.get("cardinality", -1)),
+                )
+
             parts = [
                 _FilePart(
                     os.path.join(table, a["path"]),
-                    a.get("partitionValues") or {},
+                    _pv_logical(a.get("partitionValues") or {}),
                     part_types,
                     schema_json,
+                    dv=_dv_part(a),
                 )
                 for a in live.values()
             ]
@@ -324,21 +468,17 @@ def make_delta_py_datasource():
 
         def streamReader(self, schema):
             _, meta = self._meta()
-            cfg = meta.get("configuration") or {}
-            if cfg.get("delta.columnMapping.mode", "none") != "none":
-                raise NotImplementedError(
-                    "delta_py stream datasource does not resolve column "
-                    f"mapping (table {self.options['path']!r})"
-                )
             fields = json.loads(meta["schemaString"])["fields"]
             tmap = {
                 f["name"]: (f["type"] if isinstance(f["type"], str) else "string")
                 for f in fields
             }
-            part_types = {c: tmap.get(c, "string")
-                          for c in (meta.get("partitionColumns") or [])}
+            part_cols = meta.get("partitionColumns") or []
+            part_types = {c: tmap.get(c, "string") for c in part_cols}
+            phys_of = {f["name"]: _phys_name_json(f) for f in fields}
             return _DeltaStreamReader(
-                self.options, meta["schemaString"], part_types
+                self.options, meta["schemaString"], part_types,
+                {c: phys_of.get(c, c) for c in part_cols},
             )
 
         def streamWriter(self, schema, overwrite):
@@ -351,6 +491,16 @@ def make_delta_py_datasource():
             declared = [c.strip() for c in raw.split(",") if c.strip()]
             try:
                 _, meta = self._meta()
+                if (meta.get("configuration") or {}).get(
+                    "delta.columnMapping.mode", "none"
+                ) != "none":
+                    # the sink stages files under LOGICAL names; a mapped
+                    # table needs physical names — refuse, never corrupt
+                    raise NotImplementedError(
+                        "delta_py stream sink on a columnMapping table "
+                        "(staged files must store physical names) — use "
+                        "write_delta/cdc_apply"
+                    )
                 part_cols = list(meta.get("partitionColumns") or [])
                 if "partitionBy" in self.options and declared != part_cols:
                     raise ValueError(
