@@ -256,6 +256,79 @@ def delta_type_widening_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         raise
 
 
+ICEBERG_ORC_DELETES_ORACLE = """
+SELECT s_nationkey,
+       count(*)                        AS n_supp,
+       CAST(sum(s_suppkey) AS BIGINT)  AS key_sum,
+       CAST(sum(CASE WHEN s_suppkey = 2 THEN 900 ELSE s_acctbal_i END)
+            AS BIGINT)                 AS bal_sum
+FROM (
+  SELECT s_suppkey, s_nationkey,
+         CAST(floor(s_acctbal) AS BIGINT) AS s_acctbal_i
+  FROM supplier
+) s
+WHERE s_suppkey NOT IN (3, 13, 23, 33, 43, 53, 63, 73, 83, 93)
+  AND s_suppkey <> 7
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("iceberg_orc_deletes_roundtrip", oracle=ICEBERG_ORC_DELETES_ORACLE)
+def iceberg_orc_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 verdict item 5 — Iceberg ORC DATA files under ROW-LEVEL
+    deletes (previously refused: Spark's ORC scan has no
+    _metadata.row_index): position deletes, an equality delete, and an
+    UPDATE all apply to an ORC-data v2 table. Spark's native ORC reader
+    exposes no per-row position, so delete-bearing ORC files decode
+    executor-side via pyarrow.orc with explicit record ordinals — the
+    spec's row position — exactly like the Avro decoder
+    (iceberg_py._scan_orc_groups). The UPDATE runs the DML matching
+    scan over the same decoder, then commits parquet replacement files
+    into the same snapshot chain (mixed formats are spec-legal). The
+    oracle recomputes the end state, so a misaligned position or a
+    resurrected row breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        update_where,
+        write_iceberg_v2_fixture,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", "s_nationkey",
+        "CAST(floor(s_acctbal) AS LONG) AS s_acctbal_i",
+    )
+    # FIXED bounded key list (keys 0..99 exist at every sf) — no
+    # driver-side collect of the key column
+    pos_keys = [3, 13, 23, 33, 43, 53, 63, 73, 83, 93]
+    tmp = tempfile.mkdtemp(prefix="iceberg_orc_del_")
+    try:
+        write_iceberg_v2_fixture(
+            supplier.repartition(3), tmp, sort_col="s_suppkey",
+            position_delete_keys=pos_keys,
+            equality_deletes=[({"s_suppkey": 7}, 3)],
+            data_format="orc",
+        )
+        update_where(
+            spark, tmp, "s_suppkey = 2", {"s_acctbal_i": "CAST(900 AS LONG)"},
+            snapshot_ts_ms=1_700_000_000_000,
+        )
+        df = read_iceberg_py(spark, tmp)
+        return (
+            df.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_supp"),
+                F.sum("s_suppkey").cast("long").alias("key_sum"),
+                F.sum("s_acctbal_i").cast("long").alias("bal_sum"),
+            )
+            .orderBy("s_nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 ICEBERG_ORC_ORACLE = """
 SELECT s_nationkey,
        count(*)                        AS n_supp,
@@ -4043,6 +4116,133 @@ def delta_mapping_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         compact_delta(spark, tmp, timestamp_ms=1_700_000_003_000)
         return read_delta_py(spark, tmp).select("key", "nation_name").orderBy("key")
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+DELTA_MAPPING_APPEND_EVOLUTION_ORACLE = """
+WITH base AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS key, n_name AS nation_name
+  FROM nation
+), evolved AS (
+  SELECT key, nation_name, CAST(NULL AS BIGINT) AS score FROM base
+  UNION ALL
+  SELECT * FROM (VALUES (901, 'ALPHA', 11), (902, 'BETA', 12))
+    t(key, nation_name, score)
+)
+SELECT key, nation_name, score FROM evolved ORDER BY key
+"""
+
+
+@register(
+    "delta_mapping_append_evolution_roundtrip",
+    oracle=DELTA_MAPPING_APPEND_EVOLUTION_ORACLE,
+)
+def delta_mapping_append_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r15 verdict item 3 — schema-EVOLVING APPEND on a columnMapping
+    table: write nation → RENAME COLUMN (upgrades to mapping mode
+    'name') → append rows carrying a NEW column. The append mints a
+    fresh mapping id/physical name for the new column (the same minting
+    the schema-changing overwrite uses) and commits the evolved
+    metaData atomically with the adds, exactly delta-spark's
+    mergeSchema behavior. Pre-evolution rows read the new column as
+    NULL; the oracle recomputes the end state relationally so a wrong
+    physical name or dropped column breaks the hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_rename_column,
+        read_delta_py,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="delta_map_evolve_")
+    try:
+        write_delta(
+            nation.selectExpr(
+                "CAST(n_nationkey AS LONG) AS key", "n_name AS name"
+            ),
+            tmp, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        alter_delta_rename_column(spark, tmp, "name", "nation_name")
+        write_delta(
+            spark.createDataFrame(
+                [(901, "ALPHA", 11), (902, "BETA", 12)],
+                "key long, nation_name string, score long",
+            ),
+            tmp, "append", timestamp_ms=1_700_000_001_000,
+            merge_schema=True,
+        )
+        return (
+            read_delta_py(spark, tmp)
+            .select("key", "nation_name", "score")
+            .orderBy("key")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+LAKEHOUSE_SQL_RESTORE_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT) AS region,
+       count(*)                    AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+WHERE n_nationkey % 7 <> 0
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
+@register("lakehouse_sql_restore_roundtrip", oracle=LAKEHOUSE_SQL_RESTORE_ORACLE)
+def lakehouse_sql_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 verdict item 8 — maintenance statements through the SQL
+    front door, end-to-end: DELETE empties region 2, ``RESTORE TABLE
+    ... TO TIMESTAMP AS OF`` rolls the table back to v0 (the literal
+    sits between v0's fixed commit timestamp and the wall-clock DELETE,
+    so timestamp resolution must pick v0), a second DELETE then runs
+    against the restored state, and ``VACUUM ... RETAIN`` with a huge
+    horizon must reclaim nothing (every tombstone is recent). Final
+    state = nation minus only the second predicate; a restore that
+    missed a file or a retention that deleted live data breaks the
+    hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import write_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="lakehouse_restore_")
+    try:
+        write_delta(
+            nation.selectExpr(
+                "CAST(n_nationkey AS LONG) AS key",
+                "CAST(n_regionkey AS LONG) AS region",
+            ),
+            tmp, "overwrite", timestamp_ms=1_700_000_000_000,
+        )
+        lakehouse_sql(spark, f"DELETE FROM delta.`{tmp}` WHERE region = 2")
+        lakehouse_sql(
+            spark,
+            f"RESTORE TABLE delta.`{tmp}` TO TIMESTAMP AS OF "
+            "'2023-11-14 22:13:21'",
+        )
+        lakehouse_sql(spark, f"DELETE FROM delta.`{tmp}` WHERE key % 7 = 0")
+        reclaimed = lakehouse_sql(
+            spark, f"VACUUM delta.`{tmp}` RETAIN 876000 HOURS"
+        )
+        if reclaimed != 0:
+            raise AssertionError(
+                f"RETAIN horizon reclaimed {reclaimed} recent tombstones"
+            )
+        return lakehouse_sql(
+            spark,
+            f"SELECT region, count(*) AS n_rows, "
+            f"CAST(sum(key) AS BIGINT) AS key_sum "
+            f"FROM delta.`{tmp}` GROUP BY region ORDER BY region",
+        )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

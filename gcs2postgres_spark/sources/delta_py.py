@@ -1048,15 +1048,22 @@ def _rename_fields(col, src_dt, dst_dt):
             lambda x: _rename_fields(x, src_dt.elementType, dst_dt.elementType),
         )
     if isinstance(src_dt, MapType) and _needs_rename(src_dt, dst_dt):
+        out = col
         if _needs_rename(src_dt.keyType, dst_dt.keyType):
-            raise NotImplementedError(
-                "delta column mapping on struct fields inside MAP KEYS; "
-                f"{_DELTA_JAR_HINT}"
+            # struct fields inside MAP KEYS (r15 — the deepest mapping
+            # corner, previously refused): renaming fields never changes
+            # key VALUES, so key uniqueness is preserved; map keys are
+            # never NULL, so the struct rebuild's null-guard is inert
+            out = F.transform_keys(
+                out,
+                lambda k, _v: _rename_fields(k, src_dt.keyType, dst_dt.keyType),
             )
-        return F.transform_values(
-            col,
-            lambda _k, v: _rename_fields(v, src_dt.valueType, dst_dt.valueType),
-        )
+        if _needs_rename(src_dt.valueType, dst_dt.valueType):
+            out = F.transform_values(
+                out,
+                lambda _k, v: _rename_fields(v, src_dt.valueType, dst_dt.valueType),
+            )
+        return out
     return col
 
 
@@ -1957,10 +1964,14 @@ def write_delta_column_mapping_fixture(
                 "containsNull": dt.containsNull,
             }
         if isinstance(dt, MapType):
+            # struct fields inside map KEYS get mapping ids too (r15 —
+            # the protocol assigns ids to every nested struct field,
+            # key-side included); primitive keys pass through unchanged
+            pk, jk = number(dt.keyType, prefix)
             pv, jv = number(dt.valueType, prefix)
-            return MapType(dt.keyType, pv, dt.valueContainsNull), {
+            return MapType(pk, pv, dt.valueContainsNull), {
                 "type": "map",
-                "keyType": json.loads(dt.keyType.json()),
+                "keyType": jk,
                 "valueType": jv,
                 "valueContainsNull": dt.valueContainsNull,
             }
@@ -3135,6 +3146,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     timestamp_ms: int | None = None,
     txn: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Jar-less Delta WRITE (protocol v1 reader / v2 writer): commit
     ``df`` to ``table_path`` and return the new version.
@@ -3211,27 +3223,6 @@ def write_delta(
                     "delta.appendOnly=true forbids overwrite (row removal); "
                     "append or create a new table path"
                 )
-        if ((meta or {}).get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        ) != "none":
-            logical = {
-                f.name.lower()
-                for f in StructType.fromJson(
-                    json.loads(meta["schemaString"])
-                ).fields
-            }
-            # case-insensitive, like Spark's own column resolution: a
-            # frame differing only in case is the SAME schema
-            if {c.lower() for c in df.columns} != logical and mode != "overwrite":
-                # an APPEND never changes the table schema: new columns
-                # need mapping ids minted by a metaData commit — either
-                # alter_delta_add_column, or an overwrite (which mints
-                # them below via _mapped_overwrite_meta)
-                raise NotImplementedError(
-                    "jar-less Delta APPEND with a schema CHANGE on a "
-                    "column-mapping table (new columns need mapping ids — "
-                    f"alter_delta_add_column or overwrite); {_DELTA_JAR_HINT}"
-                )
         ident = _identity_fields(meta) if meta is not None else []
         for f in ident:  # gen_cols collects fields whose hwm must advance
             if f["name"] in df.columns:
@@ -3285,6 +3276,52 @@ def write_delta(
                     f"partitionColumns={table_parts}; repartitioning an "
                     "existing Delta table requires a new table path"
                 )
+        if mode == "append" and meta is not None:
+            mapped = (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            ) != "none"
+            table_schema = StructType.fromJson(json.loads(meta["schemaString"]))
+            known = {f.name.lower() for f in table_schema.fields}
+            extra = [
+                f for f in df.schema.fields if f.name.lower() not in known
+            ]
+            if extra and not merge_schema:
+                # delta-spark's default contract: an append introducing
+                # unknown columns refuses unless mergeSchema is asked
+                # for — a frame shaped like a PRE-rename schema must
+                # fail loudly, not silently mint the old name back
+                kind = "column-mapping " if mapped else ""
+                raise NotImplementedError(
+                    f"jar-less Delta APPEND with a schema CHANGE on a "
+                    f"{kind}table (new columns {[f.name for f in extra]}) "
+                    "— pass merge_schema=True to evolve the schema, or "
+                    f"alter_delta_add_column; {_DELTA_JAR_HINT}"
+                )
+            if extra and mapped:
+                # schema-EVOLVING append on a mapped table (delta-spark's
+                # mergeSchema): existing columns keep their mapping ids,
+                # the new columns mint fresh ids above maxColumnId (the
+                # same path the schema-changing overwrite uses), and the
+                # evolved metaData commits in the SAME version as the
+                # adds — atomic, like the jar-ful writer. A df MISSING
+                # table columns is a plain subset append (files simply
+                # lack those columns; readers inject NULLs).
+                meta = _mapped_overwrite_meta(
+                    meta,
+                    StructType(list(table_schema.fields) + extra),
+                    part_cols,
+                )
+                actions.append({"metaData": meta})
+            elif extra:
+                # unmapped mergeSchema append: the evolved schemaString
+                # commits with the adds (no ids to mint); properties and
+                # table id survive
+                new_meta = dict(meta)
+                new_meta["schemaString"] = _schema_string(
+                    StructType(list(table_schema.fields) + extra)
+                )
+                meta = new_meta
+                actions.append({"metaData": meta})
         if mode == "overwrite":
             actions.extend(
                 {
@@ -4343,15 +4380,23 @@ def shallow_clone_delta(
     return 0
 
 
-def vacuum_delta(table_path: str) -> int:
+def vacuum_delta(
+    table_path: str,
+    retain_hours: float = 0.0,
+    now_ms: int | None = None,
+) -> int:
     """Physical cleanup: delete data files no longer referenced by the
     HEAD version (i.e. tombstoned by overwrites) — plus DELETION-VECTOR
     files no live add references (superseded by a newer vector or
     removed with their data file; real VACUUM collects these too) — and
-    return how many files were removed. Same trade as Delta's VACUUM
-    RETAIN 0 HOURS: reclaims storage, destroys time travel to the
-    vacuumed versions — readers of HEAD are unaffected because a
-    version's file set is immutable once its commit lands.
+    return how many files were removed. ``retain_hours`` is Delta's
+    VACUUM RETAIN: only tombstones whose ``deletionTimestamp`` is older
+    than the horizon are reclaimed (default 0 = reclaim everything
+    tombstoned, destroying time travel to the vacuumed versions) —
+    readers of HEAD are unaffected because a version's file set is
+    immutable once its commit lands. With a nonzero retention the
+    unreferenced-DV sweep is skipped too (DV blobs carry no tombstone
+    timestamp; recent ones may still serve time travel).
 
     Scale shape (the r14 verdict's #1 item): replay starts from the
     LATEST CHECKPOINT when it carries remove tombstones (this module's
@@ -4372,7 +4417,7 @@ def vacuum_delta(table_path: str) -> int:
     if not commits and not has_cp:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
     live: dict[str, dict] = {}
-    tombstones: set[str] = set()
+    tombstones: dict[str, int] = {}  # path -> deletionTimestamp ms
     base = -1
     if has_cp:
         cp_version = int(json.loads(fsio.read_text(lc))["version"])
@@ -4387,9 +4432,11 @@ def vacuum_delta(table_path: str) -> int:
                 if "add" in a and a["add"].get("path"):
                     p = unquote(a["add"]["path"])
                     live[p] = a["add"]
-                    tombstones.discard(p)
+                    tombstones.pop(p, None)
                 elif "remove" in a and a["remove"].get("path"):
-                    tombstones.add(unquote(a["remove"]["path"]))
+                    tombstones[unquote(a["remove"]["path"])] = int(
+                        a["remove"].get("deletionTimestamp") or 0
+                    )
             base = cp_version
     # JSON tail (or the whole log when no tombstone-bearing checkpoint)
     for v in sorted(c for c in commits if c > base):
@@ -4400,14 +4447,25 @@ def vacuum_delta(table_path: str) -> int:
             if "add" in a:
                 p = unquote(a["add"]["path"])
                 live[p] = a["add"]
-                tombstones.discard(p)
+                tombstones.pop(p, None)
             elif "remove" in a:
                 p = unquote(a["remove"]["path"])
                 live.pop(p, None)
-                tombstones.add(p)
+                tombstones[p] = int(
+                    a["remove"].get("deletionTimestamp") or 0
+                )
+    if retain_hours:
+        import time as _time
+
+        horizon = (
+            now_ms if now_ms is not None else int(_time.time() * 1000)
+        ) - int(retain_hours * 3_600_000)
+        tombstones = {
+            p: ts for p, ts in tombstones.items() if ts <= horizon
+        }
     abs_table = fsio.absolute(table_path)
     garbage: list[str] = []
-    for rel in sorted(tombstones - set(live)):
+    for rel in sorted(set(tombstones) - set(live)):
         full = _resolve_add_path(table_path, rel)
         # shallow-clone safety: a clone references the SOURCE's files by
         # absolute path; VACUUM must never reach outside its own table
@@ -4416,18 +4474,54 @@ def vacuum_delta(table_path: str) -> int:
             continue
         garbage.append(full)
     # unreferenced deletion-vector files ('u'/'p' storage of live adds
-    # are kept; everything else under the table dir is garbage)
-    live_dv: set[str] = set()
-    for add in live.values():
-        dv = add.get("deletionVector")
-        if dv and dv.get("storageType") in ("u", "p"):
-            _kind, loc = _dv_location(table_path, dv)
-            live_dv.add(_norm_fp(loc))
-    for p, _sz in fsio.list_files(table_path):
-        if os.path.basename(p).startswith("deletion_vector_") and p.endswith(".bin"):
-            if _norm_fp(p) not in live_dv:
-                garbage.append(p)
+    # are kept; everything else under the table dir is garbage) — only
+    # under RETAIN 0 (DV blobs carry no tombstone timestamp)
+    if not retain_hours:
+        live_dv: set[str] = set()
+        for add in live.values():
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p"):
+                _kind, loc = _dv_location(table_path, dv)
+                live_dv.add(_norm_fp(loc))
+        for p, _sz in fsio.list_files(table_path):
+            if os.path.basename(p).startswith("deletion_vector_") and (
+                p.endswith(".bin")
+            ):
+                if _norm_fp(p) not in live_dv:
+                    garbage.append(p)
     return fsio.bulk_delete(garbage)
+
+
+def version_at_timestamp(table_path: str, ts_ms: int) -> int:
+    """The version ``TIMESTAMP AS OF`` resolves to: the latest commit
+    whose recorded timestamp (``inCommitTimestamp`` when the table
+    records it — monotonic by contract — else ``commitInfo.timestamp``)
+    is <= ``ts_ms``. O(log) driver metadata; used by the SQL facade's
+    ``RESTORE TABLE ... TO TIMESTAMP AS OF``."""
+    log_dir = _log_dir(table_path)
+    commits = _list_commits(log_dir)
+    if not commits:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    best = None
+    for v in sorted(commits):
+        ts = 0
+        for line in fsio.read_text(commits[v]).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a:
+                ci = a["commitInfo"]
+                ts = int(ci.get("inCommitTimestamp", ci.get("timestamp", 0)))
+                break
+        if ts <= ts_ms:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no commit of {table_path!r} at or before timestamp {ts_ms}"
+        )
+    return best
 
 
 def _cp_parts_have_remove_column(found: dict) -> bool:

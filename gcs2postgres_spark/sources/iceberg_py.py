@@ -636,12 +636,6 @@ def read_iceberg_py(
 
     if not data_files:
         return spark.createDataFrame([], spark_schema)
-    if orc_paths and (pos_deletes or eq_deletes or dv_deletes):
-        raise NotImplementedError(
-            "iceberg ORC data files under row-level deletes: the jar-less "
-            "scan has no per-row position identity for ORC "
-            "(_metadata.row_index is parquet-only); table " + _JAR_HINT
-        )
     paths = sorted({p for p, _ in data_files} - orc_paths - avro_paths)
 
     # Column resolution: BY FIELD ID when the file's write-time schema
@@ -687,14 +681,27 @@ def read_iceberg_py(
             )
         parts.append(_project_to_table(df, idmap))
     if orc_paths:
-        # ORC data files: one native distributed ORC scan, NAME-resolved
-        # (pyarrow cannot probe iceberg field ids from ORC column
-        # attributes, so rename evolution in the ORC era needs the jar —
-        # the same documented fallback id-less parquet files get).
-        # need_tag is impossible here (refused above).
-        # note: DataFrameReader.orc takes a LIST (its second positional
-        # is mergeSchema, unlike parquet's *paths)
-        parts.append(_project_to_table(spark.read.orc(sorted(orc_paths)), None))
+        # ORC data files, NAME-resolved (pyarrow cannot probe iceberg
+        # field ids from ORC column attributes, so rename evolution in
+        # the ORC era needs the jar — the same documented fallback
+        # id-less parquet files get). Without deletes/row-ids: one
+        # native distributed ORC scan (DataFrameReader.orc takes a
+        # LIST — its second positional is mergeSchema, unlike
+        # parquet's *paths). With row-level deletes the scan needs a
+        # per-row position identity Spark's ORC reader does not expose
+        # (_metadata.row_index is parquet-only), so those files decode
+        # executor-side via pyarrow.orc with explicit ordinals — the
+        # same binaryFile-per-file shape the Avro decoder uses (r15:
+        # this replaces the r14 refusal).
+        if need_tag:
+            for o_idmap, odf in _scan_orc_groups(
+                spark, sorted(orc_paths), need_tag
+            ):
+                parts.append(_project_to_table(odf, o_idmap))
+        else:
+            parts.append(
+                _project_to_table(spark.read.orc(sorted(orc_paths)), None)
+            )
     if avro_paths:
         # Avro data files: pure-Python decode (avro_py codec) over
         # binaryFile — per-file tasks, FIELD-ID resolved when the avro
@@ -809,6 +816,71 @@ def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, l
     # NOTE: id-less groups are NOT collapsed together — after a type
     # promotion their physical widths differ and a merged scan fails;
     # each signature group scans consistently and casts to table types
+    return out
+
+
+def _scan_orc_groups(
+    spark: SparkSession, paths: list[str], need_tag: bool
+) -> list[tuple[dict[int, str] | None, DataFrame]]:
+    """Distributed scan of Iceberg ORC data files WITH per-row position
+    identity (``__ice_fp``/``__ice_pos``) — the shape row-level deletes
+    need. Spark's native ORC reader exposes no ``_metadata.row_index``
+    (parquet-only), so each file decodes executor-side via pyarrow.orc
+    over binaryFile, emitting every record's ordinal within its
+    container file — exactly the spec's row position (the same pattern
+    the Avro decoder uses, _scan_avro_groups). One driver-side
+    schema-footer read per file groups files by arrow-schema signature;
+    resolution is BY NAME (idmap None): pyarrow surfaces no iceberg
+    field ids from ORC column attributes, the documented fallback.
+
+    Scale shape: per-file tasks; decode is pyarrow (Arrow-native, no
+    per-row Python) and only this table's ORC-era files under deletes
+    pay it — delete-free ORC groups keep the native Spark scan."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    import pyarrow.orc as _orc
+
+    sig_schema: dict[tuple, object] = {}
+    sig_paths: dict[tuple, list[str]] = {}
+    for p in paths:
+        if fsio.has_scheme(p):
+            sch = _orc.ORCFile(io.BytesIO(fsio.read_bytes(p))).schema
+        else:
+            sch = _orc.ORCFile(p).schema
+        sig = tuple((f.name, str(f.type)) for f in sch)
+        sig_schema[sig] = sch
+        sig_paths.setdefault(sig, []).append(p)
+
+    out: list[tuple[dict[int, str] | None, DataFrame]] = []
+    for sig in sorted(sig_paths):
+        gpaths = sorted(sig_paths[sig])
+        spark_t = from_arrow_schema(sig_schema[sig])
+        out_schema = T.StructType(list(spark_t.fields))
+        if need_tag:
+            out_schema = out_schema.add("__ice_fp", T.StringType()).add(
+                "__ice_pos", T.LongType()
+            )
+
+        def decode(batches, _tag=need_tag):
+            import io as _io
+            import re as _re
+
+            from pyarrow import orc as _o
+
+            for pdf in batches:
+                for pth, blob in zip(pdf["path"], pdf["content"]):
+                    tbl = _o.ORCFile(_io.BytesIO(bytes(blob))).read()
+                    g = tbl.to_pandas()
+                    if _tag:
+                        g["__ice_fp"] = _re.sub(r"^file:(//)?", "", pth)
+                        g["__ice_pos"] = range(len(g))
+                    if len(g):
+                        yield g
+
+        binary = spark.read.format("binaryFile").load(gpaths).select(
+            "path", "content"
+        )
+        out.append((None, binary.mapInPandas(decode, schema=out_schema)))
     return out
 
 
@@ -1633,9 +1705,14 @@ def write_iceberg_v2_fixture(
     ``data_format="avro"`` writes the DATA files as Avro containers
     (write_avro_distributed) — delete files stay parquet, matching what
     engines emit — so the avro read path's decoder-derived row
-    positions are exercised against real position deletes."""
-    if data_format not in ("parquet", "avro"):
-        raise ValueError(f"data_format must be parquet|avro, got {data_format!r}")
+    positions are exercised against real position deletes.
+    ``data_format="orc"`` writes ORC data files the same way (delete
+    files stay parquet), exercising the ORC decoder's row positions
+    (r15 — _scan_orc_groups)."""
+    if data_format not in ("parquet", "avro", "orc"):
+        raise ValueError(
+            f"data_format must be parquet|avro|orc, got {data_format!r}"
+        )
     data_dir = os.path.join(table_path, "data")
     sorted_df = df.sortWithinPartitions(sort_col)
     if data_format == "avro":
@@ -1644,6 +1721,8 @@ def write_iceberg_v2_fixture(
         if os.path.isdir(data_dir):
             shutil.rmtree(data_dir)
         write_avro_distributed(sorted_df, data_dir)
+    elif data_format == "orc":
+        sorted_df.write.mode("overwrite").orc(data_dir)
     else:
         sorted_df.write.mode("overwrite").parquet(data_dir)
     files = sorted(glob.glob(os.path.join(data_dir, f"part-*.{data_format}")))
@@ -1702,6 +1781,13 @@ def write_iceberg_v2_fixture(
             if data_format == "avro":
                 _sch, _recs = read_avro_file(p)
                 col = [r[sort_col] for r in _recs]
+            elif data_format == "orc":
+                import pyarrow.orc as _orc
+
+                col = (
+                    _orc.ORCFile(p).read(columns=[sort_col])
+                    .column(sort_col).to_pylist()
+                )
             else:
                 col = pq.read_table(p, columns=[sort_col])[sort_col].to_pylist()
             for i, v in enumerate(col):
@@ -4036,6 +4122,8 @@ def _v2_row_level_commit(
         _resolve(snapshot["manifest-list"], table_path, location)
     )
     data_files: list[tuple[str, int]] = []  # (path, data sequence number)
+    orc_dml_paths: set[str] = set()  # ORC-format members of data_files
+    avro_dml_paths: set[str] = set()  # Avro-format members of data_files
     data_parts: dict[str, dict] = {}  # normalized path -> partition tuple dict
     data_stats: dict[str, dict] = {}  # normalized path -> manifest bounds
     pos_deletes: list[tuple[str, int]] = []
@@ -4080,13 +4168,23 @@ def _v2_row_level_commit(
                     )
                 )
                 continue
-            if fmt != "parquet":
+            if fmt not in ("parquet", "orc", "avro") or (
+                fmt in ("orc", "avro") and content != 0
+            ):
+                # ORC/Avro DATA files scan with decoder-derived
+                # positions (r15, _scan_orc_groups/_scan_avro_groups);
+                # non-parquet DELETE files still need the runtime jar
                 raise NotImplementedError(
-                    f"iceberg {dfile['file_format']} data files: table {_JAR_HINT}"
+                    f"iceberg {dfile['file_format']} content={content} "
+                    f"files in DML: table {_JAR_HINT}"
                 )
             path = _resolve(dfile["file_path"], table_path, location)
             if content == 0:
                 data_files.append((path, seq))
+                if fmt == "orc":
+                    orc_dml_paths.add(path)
+                elif fmt == "avro":
+                    avro_dml_paths.add(path)
                 if m_sid is not None:
                     file_schema_id[path] = m_sid
                 data_parts[_norm_path(path)] = dfile.get("partition") or {}
@@ -4183,18 +4281,12 @@ def _v2_row_level_commit(
         # renamed table, and existing deletes apply on the same frame.
         spark_schema = iceberg_to_spark_type(schema_json)
         parts = []
-        for idmap, gpaths in _schema_id_groups(
-            sorted({p for p, _ in data_files}), file_schema_id, meta
-        ):
-            t = spark.read.parquet(*gpaths).select(
-                "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), r"^file:(//)?", ""
-                ).alias("__ice_fp"),
-                F.col("_metadata.row_index").cast("long").alias("__ice_pos"),
-            )
+
+        def _proj(t, idmap):
             lower = {
-                c.lower(): c for c in t.columns if c not in ("__ice_fp", "__ice_pos")
+                c.lower(): c
+                for c in t.columns
+                if c not in ("__ice_fp", "__ice_pos")
             }
             cols = []
             for fjson, field in zip(schema_json["fields"], spark_schema.fields):
@@ -4207,7 +4299,38 @@ def _v2_row_level_commit(
                     )
                 else:
                     cols.append(F.col(src).cast(field.dataType).alias(field.name))
-            parts.append(t.select(*cols, "__ice_fp", "__ice_pos"))
+            return t.select(*cols, "__ice_fp", "__ice_pos")
+
+        pq_paths = sorted(
+            {p for p, _ in data_files} - orc_dml_paths - avro_dml_paths
+        )
+        for idmap, gpaths in (
+            _schema_id_groups(pq_paths, file_schema_id, meta)
+            if pq_paths else []
+        ):
+            t = spark.read.parquet(*gpaths).select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:(//)?", ""
+                ).alias("__ice_fp"),
+                F.col("_metadata.row_index").cast("long").alias("__ice_pos"),
+            )
+            parts.append(_proj(t, idmap))
+        if orc_dml_paths:
+            # ORC data files: decoder-derived positions (the read
+            # path's _scan_orc_groups), name-resolved
+            for o_idmap, odf in _scan_orc_groups(
+                spark, sorted(orc_dml_paths), True
+            ):
+                parts.append(_proj(odf, o_idmap))
+        if avro_dml_paths:
+            # Avro data files: the pure-Python decoder's record
+            # ordinals, field-id resolved (the read path's
+            # _scan_avro_groups)
+            for a_idmap, adf in _scan_avro_groups(
+                spark, sorted(avro_dml_paths), True
+            ):
+                parts.append(_proj(adf, a_idmap))
         tagged = parts[0]
         for p in parts[1:]:
             tagged = tagged.unionByName(p)

@@ -646,10 +646,22 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             return delta_py.compact_delta(spark, m["path"], zorder_by=z)
         return iceberg_py.rewrite_data_files(spark, m["path"], zorder_by=z)
 
-    m = re.fullmatch(rf"(?i)VACUUM {_TBL}", s)
+    m = re.fullmatch(
+        rf"(?i)VACUUM {_TBL}(?: RETAIN (?P<h>\d+(?:\.\d+)?) HOURS)?", s
+    )
     if m:
+        hours = float(m["h"]) if m["h"] else 0.0
         if m["fmt"] == "delta":
-            return delta_py.vacuum_delta(m["path"])
+            return delta_py.vacuum_delta(m["path"], retain_hours=hours)
+        if hours:
+            # RETAIN on Iceberg = expire only snapshots older than the
+            # horizon (the CURRENT snapshot is always kept)
+            import time as _time
+
+            return iceberg_py.expire_snapshots(
+                m["path"], keep_last=1,
+                older_than_ms=int(_time.time() * 1000) - int(hours * 3_600_000),
+            )
         return iceberg_py.expire_snapshots(m["path"], keep_last=1)
 
     m = re.fullmatch(
@@ -659,6 +671,32 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         if m["fmt"] == "delta":
             return delta_py.restore_delta(spark, m["path"], int(m["v"]))
         iceberg_py.rollback_to_snapshot(m["path"], int(m["v"]))
+        return None
+
+    m = re.fullmatch(
+        rf"(?i)RESTORE TABLE {_TBL} TO TIMESTAMP AS OF '(?P<ts>[^']+)'", s
+    )
+    if m:
+        ts = _epoch_ms(m["ts"])
+        if m["fmt"] == "delta":
+            return delta_py.restore_delta(
+                spark, m["path"], delta_py.version_at_timestamp(m["path"], ts)
+            )
+        meta = json.loads(
+            fsio.read_text(iceberg_py.latest_metadata_file(m["path"]))
+        )
+        snaps = [
+            sn for sn in (meta.get("snapshots") or [])
+            if sn.get("timestamp-ms", 0) <= ts
+        ]
+        if not snaps:
+            raise ValueError(
+                f"no snapshot of {m['path']!r} at or before {m['ts']!r}"
+            )
+        iceberg_py.rollback_to_snapshot(
+            m["path"],
+            max(snaps, key=lambda sn: sn["timestamp-ms"])["snapshot-id"],
+        )
         return None
 
     m = re.fullmatch(rf"(?i)SHOW PARTITIONS {_TBL}", s)
@@ -790,7 +828,8 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         "SHALLOW CLONE / ALTER TABLE ADD CONSTRAINT|RENAME COLUMN|ADD "
         "COLUMN|ALTER COLUMN TYPE|SET TBLPROPERTIES|CREATE/DROP TAG|BRANCH "
         "/ DELETE FROM / UPDATE / MERGE INTO (multi-clause, NOT MATCHED BY "
-        "SOURCE) / TRUNCATE TABLE / OPTIMIZE [ZORDER BY] / VACUUM / "
-        "RESTORE TABLE / DESCRIBE HISTORY|DETAIL / SHOW "
+        "SOURCE) / TRUNCATE TABLE / OPTIMIZE [ZORDER BY] / VACUUM "
+        "[RETAIN n HOURS] / RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF "
+        "/ DESCRIBE HISTORY|DETAIL / SHOW "
         f"PARTITIONS|TBLPROPERTIES over delta.`path` | iceberg.`path`): {stmt!r}"
     )

@@ -388,10 +388,13 @@ def test_iceberg_mixed_parquet_orc_manifest(spark, tmp_path):
     ]
 
 
-def test_iceberg_orc_with_deletes_refuses(spark, tmp_path):
-    """ORC data files under row-level deletes refuse (the jar-less scan
-    has no _metadata.row_index for ORC): hand-built v2 manifest with an
-    ORC data entry plus a parquet position-delete entry."""
+def test_iceberg_orc_with_deletes_reads(spark, tmp_path):
+    """r15 flip of the r13 refusal pin: ORC data files under row-level
+    deletes now READ — delete-bearing ORC files decode executor-side
+    via pyarrow.orc with explicit record ordinals (_scan_orc_groups),
+    the position identity Spark's ORC scan lacks. Hand-built v2
+    manifest with an ORC data entry plus a parquet position-delete
+    entry deleting row 0."""
     import glob as _glob
 
     from gcs2postgres_spark.sources.avro_py import write_avro_file
@@ -430,8 +433,10 @@ def test_iceberg_orc_with_deletes_refuses(spark, tmp_path):
         t, df.schema, [{"snapshot-id": 1, "manifest-list": mlist}],
         current_snapshot_id=1, version=1,
     )
-    with pytest.raises(NotImplementedError, match="position identity"):
-        read_iceberg_py(spark, t)
+    got = {(r["k"], r["name"]) for r in read_iceberg_py(spark, t).collect()}
+    # coalesce(1) keeps insertion order: position 0 of the single ORC
+    # file is row (1, 'a')
+    assert got == {(2, "b"), (3, "c")}
 
 
 def test_type_widening_validation(spark, tmp_path):

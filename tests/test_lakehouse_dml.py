@@ -875,6 +875,76 @@ def test_lakehouse_sql_facade(spark, tmp_path):
         )
 
 
+def test_facade_vacuum_retain_and_restore_timestamp(spark, tmp_path):
+    """r15 facade rows: VACUUM ... RETAIN n HOURS (tombstone-age
+    horizon; DV sweep skipped under a nonzero retention) and RESTORE
+    TABLE ... TO TIMESTAMP AS OF, on both formats."""
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        read_iceberg_py,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    dt = str(tmp_path / "d")
+    df = (
+        spark.range(0, 10).withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") * 2).cast("long"))
+    )
+    # v0 carries a FIXED timestamp; the facade DELETE commits at wall
+    # clock, so a literal between the two resolves to v0
+    write_delta(df, dt, "overwrite", timestamp_ms=1_700_000_000_000)
+    lakehouse_sql(spark, f"DELETE FROM delta.`{dt}` WHERE k < 3")
+    assert read_delta_py(spark, dt).count() == 7
+    lakehouse_sql(
+        spark,
+        f"RESTORE TABLE delta.`{dt}` TO TIMESTAMP AS OF "
+        "'2023-11-14 22:13:21'",
+    )
+    assert read_delta_py(spark, dt).count() == 10
+    # every tombstone is recent: a large retention reclaims nothing
+    assert lakehouse_sql(
+        spark, f"VACUUM delta.`{dt}` RETAIN 876000 HOURS"
+    ) == 0
+    # RETAIN 0 sweeps the now-unreferenced DV blob
+    assert lakehouse_sql(spark, f"VACUUM delta.`{dt}`") >= 1
+    assert read_delta_py(spark, dt).count() == 10
+
+    it = str(tmp_path / "i")
+    create_iceberg_v2_table(df.schema, it)
+    append_iceberg_v2(spark, it, df, snapshot_ts_ms=1_700_000_000_000)
+    append_iceberg_v2(
+        spark, it, df.withColumn("k", F.col("k") + 100),
+        snapshot_ts_ms=1_700_000_005_000,
+    )
+    assert read_iceberg_py(spark, it).count() == 20
+    lakehouse_sql(
+        spark,
+        f"RESTORE TABLE iceberg.`{it}` TO TIMESTAMP AS OF "
+        "'2023-11-14 22:13:21'",
+    )
+    assert read_iceberg_py(spark, it).count() == 10
+    # after the rollback BOTH snapshots are protected (one is current,
+    # the other is the newest by timestamp) — retention removes nothing
+    assert lakehouse_sql(spark, f"VACUUM iceberg.`{it}` RETAIN 1 HOURS") == 0
+    assert read_iceberg_py(spark, it).count() == 10
+
+    # a separate table exercises the retention horizon: both snapshots
+    # are from 2023, so a 1-hour retention expires the non-current one
+    it2 = str(tmp_path / "i2")
+    create_iceberg_v2_table(df.schema, it2)
+    append_iceberg_v2(spark, it2, df, snapshot_ts_ms=1_700_000_000_000)
+    append_iceberg_v2(
+        spark, it2, df.withColumn("k", F.col("k") + 100),
+        snapshot_ts_ms=1_700_000_005_000,
+    )
+    assert lakehouse_sql(spark, f"VACUUM iceberg.`{it2}` RETAIN 1 HOURS") >= 1
+    assert read_iceberg_py(spark, it2).count() == 20
+
+
 def test_dml_partition_filter_skips_files_both_formats(spark, tmp_path):
     """Partition-pruned DML: with partition_filter the matching scan
     must never touch other partitions' files — proven by making them

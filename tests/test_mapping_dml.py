@@ -24,10 +24,16 @@ from gcs2postgres_spark.sources.delta_py import (
     delete_where_delta,
     merge_delta,
     read_delta_py,
+    replay_head_state,
     update_where_delta,
     write_delta,
     write_delta_column_mapping_fixture,
 )
+
+
+def _head_meta(spark, table_path: str) -> dict:
+    _live, meta = replay_head_state(spark, table_path)
+    return meta
 
 
 def _df(spark, lo, hi):
@@ -101,19 +107,59 @@ def test_mapping_fixture_table_append_and_delete(spark, tmp_path):
     assert ks == set(range(1, 12)) - {9}
 
 
-def test_mapping_schema_change_append_refuses(spark, tmp_path):
-    """APPEND never changes the table schema: new columns need mapping
-    ids minted by a metaData commit (alter_delta_add_column or an
-    overwrite — test_mapping_schema_change_overwrite_mints_ids)."""
+def test_mapping_schema_change_append_mints_ids(spark, tmp_path):
+    """r15 verdict item 3: an APPEND that adds columns to a mapped
+    table mints mapping ids (same path as the schema-changing
+    overwrite) and commits the evolved metaData atomically with the
+    adds — instead of the r14 refusal."""
     t = str(tmp_path / "t")
     write_delta(_df(spark, 0, 5), t, "overwrite", timestamp_ms=1_700_000_000_000)
     alter_delta_rename_column(spark, t, "v", "val")
     extra = (
         _df(spark, 5, 8).withColumnRenamed("v", "val")
-        .withColumn("extra", F.lit(1))
+        .withColumn("extra", F.lit(1).cast("integer"))
     )
-    with pytest.raises(NotImplementedError, match="mapping ids"):
+    # without merge_schema the unknown column refuses (delta-spark's
+    # default), with it the append mints ids and evolves atomically
+    with pytest.raises(NotImplementedError, match="merge_schema"):
         write_delta(extra, t, "append", timestamp_ms=1_700_000_001_000)
+    write_delta(extra, t, "append", timestamp_ms=1_700_000_001_000,
+                merge_schema=True)
+    got = read_delta_py(spark, t)
+    assert set(got.columns) == {"k", "val", "extra"}
+    rows = {r["k"]: (r["val"], r["extra"]) for r in got.collect()}
+    assert len(rows) == 8
+    assert rows[2] == (4, None)   # pre-evolution rows: NULL extra
+    assert rows[6] == (12, 1)
+    # the new column carries a freshly minted id above the old max and
+    # a col-<id> physical name; old columns keep theirs
+    fields = json.loads(
+        _head_meta(spark, t)["schemaString"]
+    )["fields"]
+    by_name = {f["name"]: f["metadata"] for f in fields}
+    assert by_name["extra"]["delta.columnMapping.physicalName"].startswith("col-")
+    assert int(by_name["extra"]["delta.columnMapping.id"]) > int(
+        by_name["val"]["delta.columnMapping.id"]
+    )
+    # physical file of the append stores the PHYSICAL name, not "extra"
+    phys = spark.read.parquet(
+        *[os.path.join(t, p) for p in os.listdir(t) if p.endswith(".parquet")]
+    )
+    assert "extra" not in phys.columns
+
+
+def test_mapping_subset_append_allowed(spark, tmp_path):
+    """A df missing table columns is a plain subset append: staged
+    files lack the column, readers inject NULL."""
+    t = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 4), t, "overwrite", timestamp_ms=1_700_000_000_000)
+    alter_delta_rename_column(spark, t, "v", "val")
+    write_delta(
+        spark.range(4, 6).withColumnRenamed("id", "k"), t, "append",
+        timestamp_ms=1_700_000_001_000,
+    )
+    rows = {r["k"]: r["val"] for r in read_delta_py(spark, t).collect()}
+    assert len(rows) == 6 and rows[5] is None and rows[3] == 6
 
 
 def test_mapping_partitioned_write_physical_partition_keys(spark, tmp_path):
@@ -148,15 +194,14 @@ def test_mapping_partitioned_write_physical_partition_keys(spark, tmp_path):
 def test_mapping_schema_change_overwrite_mints_ids(spark, tmp_path):
     """r14 follow-up: a schema-CHANGING overwrite on a mapped table
     keeps old columns' mapping ids and mints fresh ones for new
-    columns (append still refuses)."""
+    columns (schema-evolving APPEND mints too — r15,
+    test_mapping_schema_change_append_mints_ids)."""
     t = str(tmp_path / "t")
     write_delta(_df(spark, 0, 5), t, "overwrite", timestamp_ms=1_700_000_000_000)
     alter_delta_rename_column(spark, t, "v", "val")
     wide = _df(spark, 0, 6).withColumnRenamed("v", "val").withColumn(
         "extra", (F.col("k") + 1000).cast("long")
     )
-    with pytest.raises(NotImplementedError, match="APPEND"):
-        write_delta(wide, t, "append", timestamp_ms=1_700_000_001_000)
     write_delta(wide, t, "overwrite", timestamp_ms=1_700_000_002_000)
     got = read_delta_py(spark, t)
     assert set(got.columns) == {"k", "val", "extra"}
