@@ -155,10 +155,35 @@ def zorder_rank_columns(df, cols: list[str], bits: int = 8):
             # ELEMENT INDEX, silently ranking by position
             return lambda b: expr >= b
 
-        rank = F.coalesce(
-            F.size(F.filter(arr, _ge(e))).cast("long"),
-            F.lit(0).cast("long"),
-        )
+        if len(bounds) > 32:
+            # two-level fold (JVM-side binary-search shape): one coarse
+            # filter over every step-th boundary pins the block, one
+            # fine filter over that block's slice finishes the count —
+            # O(2*sqrt(n)) comparisons per row instead of O(n). At 255
+            # boundaries that is 31 vs 255 (measured: the flat fold was
+            # ~2/3 of an 18M-row z-key pass at sf3). Correctness: with
+            # sorted bounds b[0..n-1] and coarse values b[step-1::step],
+            # a coarse count of c proves b[0..c*step-1] <= v and (when
+            # another coarse value exists) v < b[(c+1)*step-1], so
+            # count(v >= b) = c*step + count over the slice starting at
+            # c*step (1-indexed c*step+1); the slice's one possibly
+            # out-of-block element exceeds v and contributes 0.
+            step = max(2, int(len(bounds) ** 0.5))
+            coarse_arr = F.array(
+                *[F.lit(float(b)) for b in bounds[step - 1::step]]
+            )
+            coarse = F.size(F.filter(coarse_arr, _ge(e))).cast("long")
+            fine = F.size(
+                F.filter(F.slice(arr, (coarse * step + 1).cast("int"), step), _ge(e))
+            ).cast("long")
+            rank = F.coalesce(
+                coarse * step + fine, F.lit(0).cast("long")
+            )
+        else:
+            rank = F.coalesce(
+                F.size(F.filter(arr, _ge(e))).cast("long"),
+                F.lit(0).cast("long"),
+            )
         # low-cardinality columns dedupe to few boundaries, leaving the
         # rank in the LOW bits only — the other dimension's high bits
         # would then fully dominate the curve. Rescale each rank to span

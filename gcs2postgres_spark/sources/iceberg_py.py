@@ -1745,7 +1745,8 @@ def write_iceberg_v2_fixture(
         if isinstance(f["type"], str)
     }
     _counts: dict[str, int] = {}
-    if "variant" in json.dumps(_schema_for_bounds):
+    _has_variant = "variant" in json.dumps(_schema_for_bounds)
+    if _has_variant:
         # pyarrow cannot parse variant footers: ONE spark job counts all
         _counts = _parquet_counts_via_spark(df.sparkSession, files)
     data_manifest = os.path.join(mdir, "manifest-data-1.avro")
@@ -1755,7 +1756,15 @@ def write_iceberg_v2_fixture(
         [
             _v2_entry(
                 p, content=0, seq=1, bounds_spec=_bspec,
-                record_count=_counts.get(os.path.abspath(p)),
+                # the count job scanned EVERY staged file: a file with
+                # no count row genuinely has zero rows (an empty input
+                # partition can stage a 0-row part) — None would send
+                # _v2_entry to the pyarrow footer, which cannot parse
+                # variant footers
+                record_count=(
+                    _counts.get(os.path.abspath(p), 0)
+                    if _has_variant else None
+                ),
             )
             for p in files
         ],
