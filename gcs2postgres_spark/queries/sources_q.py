@@ -4248,6 +4248,127 @@ def lakehouse_sql_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         raise
 
 
+REMOVE_ORPHANS_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT) AS region,
+       count(*)                    AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
+@register("delta_remove_orphans_roundtrip", oracle=REMOVE_ORPHANS_ORACLE)
+def delta_remove_orphans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — orphan-file cleanup, VACUUM's complement: VACUUM reclaims
+    TOMBSTONED files; ``remove_orphans_delta`` reclaims files the log
+    never admitted (crashed writers' staged parquet, commit-race
+    losers, _SUCCESS markers), so every version keeps reading. The
+    query plants orphan data files whose ROWS WOULD CORRUPT the
+    aggregate if the reader ever picked them up by listing instead of
+    by log, removes them (age guard bypassed with an explicit horizon),
+    and reads the table back — orphans must affect neither HEAD nor
+    time travel. One bulk listing + batched deletes
+    (fsio.bulk_delete -> LogStore.delete_batch at scale)."""
+    tune_for_session(spark)
+    import time as _time
+
+    from gcs2postgres_spark.sources.delta_py import (
+        read_delta_py,
+        remove_orphans_delta,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS LONG) AS key", "CAST(n_regionkey AS LONG) AS region"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_orph_")
+    try:
+        write_delta(nation, tmp, "overwrite", timestamp_ms=1_700_000_000_000)
+        # a crashed writer's staging: same schema, poisoned rows
+        nation.selectExpr("key + 100000 AS key", "region").coalesce(1)\
+            .write.parquet(os.path.join(tmp, "data-dead"))
+        now = int(_time.time() * 1000)
+        removed = remove_orphans_delta(tmp, older_than_ms=now + 60_000,
+                                       now_ms=now)
+        if removed < 1:
+            raise AssertionError(f"expected planted orphans removed, got {removed}")
+        return (
+            read_delta_py(spark, tmp)
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+ICEBERG_REMOVE_ORPHANS_ORACLE = """
+SELECT s_nationkey,
+       count(*)                       AS n_supp,
+       CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("iceberg_remove_orphans_roundtrip", oracle=ICEBERG_REMOVE_ORPHANS_ORACLE)
+def iceberg_remove_orphans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — Iceberg ``remove_orphan_files`` (the action's jar-less
+    twin; expire_snapshots's complement): reachability = every
+    snapshot's manifest list -> manifests -> data/delete/DV paths plus
+    the metadata version chain; files reachable from NO snapshot
+    (crashed staging, abandoned manifests) are deleted in batched
+    calls, behind a modification-time age guard. The query plants a
+    poisoned staging directory and a dead manifest, removes them, and
+    reads the table back — HEAD and the previous snapshot must be
+    untouched."""
+    tune_for_session(spark)
+    import time as _time
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        read_iceberg_py,
+        remove_orphan_files,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_orph_")
+    try:
+        create_iceberg_v2_table(supplier.schema, tmp)
+        append_iceberg_v2(spark, tmp, supplier,
+                          snapshot_ts_ms=1_700_000_000_000)
+        supplier.selectExpr("s_suppkey + 100000 AS s_suppkey", "s_nationkey")\
+            .coalesce(1).write.parquet(os.path.join(tmp, "data", "commit-dead"))
+        with open(os.path.join(tmp, "metadata", "manifest-dead.avro"), "wb") as f:
+            f.write(b"dead")
+        now = int(_time.time() * 1000)
+        removed = remove_orphan_files(tmp, older_than_ms=now + 60_000,
+                                      now_ms=now)
+        if removed < 2:
+            raise AssertionError(f"expected planted orphans removed, got {removed}")
+        return (
+            read_iceberg_py(spark, tmp)
+            .groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_supp"),
+                F.sum("s_suppkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("s_nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 LAKEHOUSE_IDENTITY_DDL_ORACLE = """
 WITH t(id, nation_name) AS (
   SELECT * FROM (VALUES

@@ -4492,6 +4492,84 @@ def vacuum_delta(
     return fsio.bulk_delete(garbage)
 
 
+def remove_orphans_delta(
+    table_path: str,
+    older_than_ms: int | None = None,
+    now_ms: int | None = None,
+) -> int:
+    """Delete files under the table directory that NO retrievable log
+    version references — crashed writers' staged data files, loser
+    branches of commit races, Spark ``_SUCCESS`` markers. VACUUM's
+    complement: VACUUM reclaims TOMBSTONED files (destroying time
+    travel to them); orphan removal reclaims files the log never
+    admitted, so every version keeps reading. Same contract as
+    Iceberg's remove_orphan_files / Delta's FSCK-adjacent cleanup.
+
+    Referenced = every ``add``/``remove`` path in the checkpoint and
+    every JSON commit (tombstoned files still serve time travel until
+    VACUUM), plus every referenced deletion-vector blob; everything
+    under ``_delta_log/`` is never touched. Age guard: only files whose
+    modification time is older than ``older_than_ms`` (default: 72 h
+    before now, the same default retention Iceberg's action uses) are
+    deleted, so an IN-FLIGHT writer's freshly staged files survive.
+    One bulk listing (``fsio.list_files_mtime``) + batched deletes
+    (``fsio.bulk_delete``) — scheme-agnostic, no per-file driver RPC."""
+    logstore.check_write_scheme(table_path)
+    log_dir = _log_dir(table_path)
+    commits = _list_commits(log_dir)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not commits and not fsio.exists(lc):
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+
+    referenced: set[str] = set()
+
+    def _ref(action: dict) -> None:
+        referenced.add(
+            _norm_fp(_resolve_add_path(table_path, unquote(action["path"])))
+        )
+        dv = action.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            _kind, loc = _dv_location(table_path, dv)
+            referenced.add(_norm_fp(loc))
+
+    if fsio.exists(lc):
+        cp_version = int(json.loads(fsio.read_text(lc))["version"])
+        if _find_checkpoint(log_dir, cp_version) is not None:
+            for a in checkpoint_actions_pyarrow(log_dir, cp_version):
+                if "add" in a and a["add"].get("path"):
+                    _ref(a["add"])
+                elif "remove" in a and a["remove"].get("path"):
+                    _ref(a["remove"])
+    for v in sorted(commits):
+        for line in fsio.read_text(commits[v]).splitlines():
+            if not line.strip():
+                continue
+            a = json.loads(line)
+            if "add" in a:
+                _ref(a["add"])
+            elif "remove" in a:
+                _ref(a["remove"])
+
+    import time as _time
+
+    now = now_ms if now_ms is not None else int(_time.time() * 1000)
+    horizon = (
+        older_than_ms if older_than_ms is not None else now - 72 * 3_600_000
+    )
+    log_marker = "/_delta_log/"
+    orphans: list[str] = []
+    for p, _sz, mt in fsio.list_files_mtime(table_path):
+        norm = _norm_fp(p)
+        if log_marker in norm or norm.endswith("/_delta_log"):
+            continue  # the log is never an orphan
+        if norm in referenced:
+            continue
+        if mt >= horizon:
+            continue  # too fresh: may belong to an in-flight writer
+        orphans.append(p)
+    return fsio.bulk_delete(orphans)
+
+
 def version_at_timestamp(table_path: str, ts_ms: int) -> int:
     """The version ``TIMESTAMP AS OF`` resolves to: the latest commit
     whose recorded timestamp (``inCommitTimestamp`` when the table

@@ -288,6 +288,34 @@ def list_files(path: str) -> list[tuple[str, int]]:
     return out
 
 
+def list_files_mtime(path: str) -> list[tuple[str, int, int]]:
+    """EVERY file under ``path`` recursively as (full path, size,
+    modification time ms) — one bulk listing, like list_files. The
+    mtime powers orphan-cleanup age guards (delete only files older
+    than a horizon, so in-flight writers' staged files survive)."""
+    if not has_scheme(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                full = os.path.join(root, name)
+                st = os.stat(full)
+                out.append((full, st.st_size, int(st.st_mtime * 1000)))
+        return out
+    fs, p, _jvm = _fs(path)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        out.append(
+            (
+                st.getPath().toString(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+        )
+    return out
+
+
 def strip_scheme(path: str) -> str:
     """The filesystem-local form of a path: 'file:/x', 'file:///x' →
     '/x'; other schemes returned unchanged (there is no local form)."""

@@ -2446,6 +2446,72 @@ def expire_snapshots(
     return fsio.bulk_delete(garbage)
 
 
+def remove_orphan_files(
+    table_path: str,
+    older_than_ms: int | None = None,
+    now_ms: int | None = None,
+) -> int:
+    """Delete files under the table location that NO snapshot reaches —
+    crashed writers' staged data/delete files, loser branches of commit
+    races, abandoned manifests (Iceberg's ``remove_orphan_files``
+    action; ``expire_snapshots``'s complement: expiry deletes files
+    reachable ONLY from dropped snapshots, this deletes files reachable
+    from none). Reachability walk = every snapshot's manifest list →
+    manifests → data/delete/DV file paths, all entry statuses (a
+    DELETED entry's file may still serve older snapshots), plus every
+    ``v*.metadata.json`` / ``version-hint.text``. Age guard: only files
+    older than ``older_than_ms`` (default 72 h before now — the
+    action's stock retention) are removed, so in-flight writers'
+    staging survives. One bulk listing + batched deletes
+    (fsio.bulk_delete), scheme-agnostic."""
+    logstore.check_write_scheme(table_path)
+    meta_path = latest_metadata_file(table_path)
+    meta = json.loads(fsio.read_text(meta_path))
+    location = meta.get("location")
+
+    def _norm(p: str) -> str:
+        p = _norm_path(p)
+        return p if fsio.has_scheme(p) else os.path.abspath(p)
+
+    referenced: set[str] = {_norm(meta_path)}
+    for s in meta.get("snapshots") or []:
+        ml = _resolve(s["manifest-list"], table_path, location)
+        referenced.add(_norm(ml))
+        _, rows = read_avro_file(ml)
+        for m in rows:
+            mp = _resolve(m["manifest_path"], table_path, location)
+            referenced.add(_norm(mp))
+            _, entries = read_avro_file(mp)
+            for e in entries:
+                referenced.add(
+                    _norm(
+                        _resolve(
+                            e["data_file"]["file_path"], table_path, location
+                        )
+                    )
+                )
+
+    import time as _time
+
+    now = now_ms if now_ms is not None else int(_time.time() * 1000)
+    horizon = (
+        older_than_ms if older_than_ms is not None else now - 72 * 3_600_000
+    )
+    orphans: list[str] = []
+    for p, _sz, mt in fsio.list_files_mtime(table_path):
+        base = os.path.basename(p)
+        if re.fullmatch(r"v\d+\.metadata\.json", base) or (
+            base == "version-hint.text"
+        ):
+            continue  # the metadata version chain is never an orphan
+        if _norm(p) in referenced:
+            continue
+        if mt >= horizon:
+            continue  # too fresh: may belong to an in-flight writer
+        orphans.append(p)
+    return fsio.bulk_delete(orphans)
+
+
 # ------------------------------------------------ v2 row-level DML (write)
 
 

@@ -163,3 +163,72 @@ def test_expire_snapshots_batches_deletes(spark, tmp_path, fake_store,
     assert len(per_file_calls) == 0, per_file_calls[:5]
     assert fake_store.batch_calls - batches_before <= 3
     assert read_iceberg_py(spark, t).count() == 40
+
+
+def test_remove_orphans_delta(spark, tmp_path, fake_store):
+    import time as _time
+
+    from gcs2postgres_spark.sources.delta_py import remove_orphans_delta
+
+    t = f"file://{tmp_path}/orph"
+    write_delta(_df(spark, 0, 20).repartition(2), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    write_delta(_df(spark, 20, 25), t, "append",
+                timestamp_ms=1_700_000_001_000)
+    root = f"{tmp_path}/orph"
+    # plant orphans: a crashed writer's staged parquet (with rows that
+    # would corrupt the table if ever read) + a _SUCCESS marker
+    _df(spark, 900, 950).coalesce(1).write.parquet(f"{root}/data-dead")
+    (tmp_path / "orph" / "_SUCCESS").write_text("")
+    now = int(_time.time() * 1000)
+    # age guard first: freshly planted files survive the default 72h
+    assert remove_orphans_delta(t, now_ms=now) == 0
+    # backdate and re-run: orphans (and only they) are reclaimed
+    old = (now - 90 * 3_600_000) / 1000
+    for p, _sz in fsio.list_files(root):
+        if "data-dead" in p or p.endswith("/_SUCCESS"):
+            os.utime(p.replace("file://", ""), (old, old))
+    removed = remove_orphans_delta(t, now_ms=now)
+    assert removed >= 2, removed
+    # Hadoop's local FS hides .crc checksum shadows from listings (a
+    # posix-only artifact no object store has) — exclude them here too
+    left = {p for p, _ in fsio.list_files(root)
+            if not os.path.basename(p).startswith(".")}
+    assert not any("data-dead" in p for p in left)
+    # every version still reads exactly
+    got = read_delta_py(spark, t)
+    assert got.count() == 25 and got.where("k >= 900").count() == 0
+    assert read_delta_py(spark, t, version_as_of=0).count() == 20
+    # the log itself is never an orphan
+    assert any("/_delta_log/" in p for p in left)
+
+
+def test_remove_orphan_files_iceberg(spark, tmp_path, fake_store):
+    import time as _time
+
+    from gcs2postgres_spark.sources.iceberg_py import remove_orphan_files
+
+    t = f"file://{tmp_path}/iorph"
+    df = _df(spark, 0, 20)
+    create_iceberg_v2_table(df.schema, t)
+    append_iceberg_v2(spark, t, df, snapshot_ts_ms=1_700_000_000_000)
+    append_iceberg_v2(spark, t, _df(spark, 20, 30),
+                      snapshot_ts_ms=1_700_000_001_000)
+    root = f"{tmp_path}/iorph"
+    _df(spark, 900, 950).coalesce(1).write.parquet(f"{root}/data/commit-dead")
+    (tmp_path / "iorph" / "metadata" / "manifest-dead.avro").write_bytes(b"x")
+    now = int(_time.time() * 1000)
+    assert remove_orphan_files(t, now_ms=now) == 0  # age guard
+    old = (now - 90 * 3_600_000) / 1000
+    for p, _sz in fsio.list_files(root):
+        if "commit-dead" in p or "manifest-dead" in p:
+            os.utime(p.replace("file://", ""), (old, old))
+    removed = remove_orphan_files(t, now_ms=now)
+    assert removed >= 2, removed
+    left = {p for p, _ in fsio.list_files(root)
+            if not os.path.basename(p).startswith(".")}
+    assert not any("commit-dead" in p or "manifest-dead" in p for p in left)
+    got = read_iceberg_py(spark, t)
+    assert got.count() == 30 and got.where("k >= 900").count() == 0
+    # older snapshot still reads (orphan removal never breaks reachability)
+    assert read_iceberg_py(spark, t, snapshot_id=1).count() == 20
