@@ -4369,6 +4369,62 @@ def iceberg_remove_orphans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         raise
 
 
+LIQUID_CLUSTERING_ORACLE = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1000000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e6,
+       count(*)                             AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+"""
+
+
+@register("delta_liquid_clustering_roundtrip", oracle=LIQUID_CLUSTERING_ORACLE)
+def delta_liquid_clustering_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — liquid clustering (protocol "Clustered Table", default-on
+    for new tables on current Databricks): ``ALTER TABLE ... CLUSTER
+    BY`` records the clustering columns in a ``delta.clustering``
+    domainMetadata + the ``clustering`` writer feature, and a plain
+    ``OPTIMIZE`` then clusters along the space-filling curve over those
+    columns automatically — no ZORDER BY spelled (an explicit one
+    REFUSES on a clustered table, pinned in tests). The post-optimize
+    scan answers a two-dimensional range predicate; the oracle
+    recomputes it from the source, so a clustering rewrite that drops
+    or duplicates rows breaks the exact revenue sum."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_discount", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_liquid_")
+    try:
+        write_delta(li.repartition(4), tmp, "overwrite",
+                    timestamp_ms=1_700_000_000_000)
+        lakehouse_sql(
+            spark,
+            f"ALTER TABLE delta.`{tmp}` CLUSTER BY (l_shipdate, l_discount)",
+        )
+        lakehouse_sql(spark, f"OPTIMIZE delta.`{tmp}`")
+        df = read_delta_py(spark, tmp)
+        return df.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+        ).agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 1_000_000)
+                .cast("long")
+            ).cast("long").alias("revenue_e6"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 LAKEHOUSE_IDENTITY_DDL_ORACLE = """
 WITH t(id, nation_name) AS (
   SELECT * FROM (VALUES

@@ -469,6 +469,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # encoding; fresh tables with variant columns declare the feature
     "variantType",
     "variantType-preview",
+    # honored: OPTIMIZE follows the delta.clustering domain's columns
+    # (set_delta_clustering / ALTER TABLE ... CLUSTER BY); explicit
+    # ZORDER BY refuses on clustered tables
+    "clustering",
 }
 
 
@@ -2982,6 +2986,123 @@ def set_delta_property(
     return version
 
 
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def set_delta_clustering(
+    spark: SparkSession,
+    table_path: str,
+    cluster_by: list[str],
+    timestamp_ms: int = 1_700_000_011_000,
+) -> int:
+    """``ALTER TABLE ... CLUSTER BY (col, ...)`` — liquid clustering
+    (protocol: "Clustered Table"; default-on for new tables on current
+    Databricks runtimes): one commit that upgrades the protocol with
+    the ``clustering`` + ``domainMetadata`` writer features and records
+    the clustering columns in a ``delta.clustering`` domainMetadata
+    action (``{"clusteringColumns": [["col"], ...]}`` — column paths,
+    as the spec stores them). Readers ignore the domain; OPTIMIZE
+    (compact_delta) then clusters along the space-filling curve over
+    these columns automatically, and an explicit ZORDER BY on a
+    clustered table refuses — CLUSTER BY owns the layout (the same
+    contract Databricks enforces). Re-running with new columns
+    repoints the domain (liquid's cheap re-cluster promise: only
+    FUTURE optimizes follow the new columns)."""
+    logstore.check_write_scheme(table_path)
+    _, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    known = {f.name.lower() for f in schema.fields}
+    missing = [c for c in cluster_by if c.lower() not in known]
+    if missing:
+        raise ValueError(f"CLUSTER BY columns not in schema: {missing}")
+    if any(c.lower() in {p.lower() for p in meta.get("partitionColumns") or []}
+           for c in cluster_by):
+        raise ValueError(
+            "CLUSTER BY on a partition column (clustered tables are "
+            "unpartitioned in the protocol; pick data columns)"
+        )
+    log_dir = _log_dir(table_path)
+    version = max(_list_commits(log_dir)) + 1
+    actions: list[dict] = [
+        _upgraded_protocol_action(
+            _head_protocol(table_path),
+            add_writer={"clustering", "domainMetadata"},
+        ),
+        {
+            "domainMetadata": {
+                "domain": _CLUSTERING_DOMAIN,
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in cluster_by]}
+                ),
+                "removed": False,
+            }
+        },
+    ]
+    _write_commit(
+        log_dir, version, actions, timestamp_ms,
+        operation="CLUSTER BY",
+    )
+    return version
+
+
+def delta_clustering_columns(
+    spark: SparkSession, table_path: str
+) -> list[str] | None:
+    """The table's liquid-clustering columns from the LATEST
+    ``delta.clustering`` domainMetadata (checkpoint domains + JSON
+    tail), or None when the table is not clustered. O(log) driver
+    metadata, the same walk _row_id_high_watermark does."""
+    log_dir = _log_dir(table_path)
+    latest: tuple[int, str | None] = (-1, None)
+    cp_version = -1
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if fsio.exists(lc):
+        cp_version = int(json.loads(fsio.read_text(lc))["version"])
+        found = _find_checkpoint(log_dir, cp_version)
+        configs: list[str] = []
+        if found is not None and found["kind"] == "v2":
+            configs = [
+                a["domainMetadata"].get("configuration") or ""
+                for a in found["actions"]
+                if a.get("domainMetadata", {}).get("domain")
+                == _CLUSTERING_DOMAIN
+                and not a["domainMetadata"].get("removed")
+            ]
+        elif found is not None:
+            cp = spark.read.parquet(*found["parts"])
+            if "domainMetadata" in cp.columns:
+                configs = [
+                    r["configuration"]
+                    for r in cp.filter(
+                        F.col("domainMetadata.domain") == _CLUSTERING_DOMAIN
+                    )
+                    .select("domainMetadata.configuration")
+                    .collect()
+                ]
+        for cfg in configs:
+            latest = (cp_version, cfg)
+    commits = _list_commits(log_dir) if fsio.isdir(log_dir) else {}
+    for v in sorted(c for c in commits if c > cp_version):
+        for line in fsio.read_text(commits[v]).splitlines():
+            if '"domainMetadata"' not in line:
+                continue
+            a = json.loads(line)
+            dm = a.get("domainMetadata")
+            if dm and dm.get("domain") == _CLUSTERING_DOMAIN:
+                latest = (v, None if dm.get("removed") else dm.get("configuration"))
+    if latest[1] is None:
+        return None
+    try:
+        cols = json.loads(latest[1]).get("clusteringColumns") or []
+    except (ValueError, TypeError):
+        return None
+    # spec stores column PATHS ([["a"], ["b"]]); tolerate flat lists
+    out = [".".join(c) if isinstance(c, list) else str(c) for c in cols]
+    return out or None
+
+
 def enable_row_tracking(
     spark: SparkSession, table_path: str, timestamp_ms: int = 1_700_000_009_000
 ) -> int:
@@ -4676,6 +4797,19 @@ def compact_delta(
     part_cols = list(meta.get("partitionColumns") or [])
     live_bytes = sum(int(a.get("size") or 0) for a in live.values())
     n_files = max(1, math.ceil(live_bytes / (target_file_mb * 1024 * 1024)))
+
+    # liquid clustering: OPTIMIZE on a clustered table follows the
+    # delta.clustering domain automatically; an explicit ZORDER BY
+    # refuses — CLUSTER BY owns the layout (Databricks contract)
+    clustering = delta_clustering_columns(spark, table_path)
+    if clustering:
+        if zorder_by:
+            raise ValueError(
+                "OPTIMIZE ZORDER BY on a clustered table — CLUSTER BY "
+                f"{clustering} owns the layout (re-point it with "
+                "set_delta_clustering / ALTER TABLE ... CLUSTER BY)"
+            )
+        zorder_by = clustering
 
     from gcs2postgres_spark.layout import cluster_for_rewrite
 

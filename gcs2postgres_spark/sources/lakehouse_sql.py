@@ -467,6 +467,19 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         )
 
     m = re.fullmatch(
+        rf"(?i)ALTER TABLE {_TBL} CLUSTER BY \((?P<cols>[\w\s,]+)\)", s
+    )
+    if m:
+        if m["fmt"] != "delta":
+            raise ValueError(
+                "CLUSTER BY is a Delta liquid-clustering statement; for "
+                "Iceberg use OPTIMIZE ... ZORDER BY"
+            )
+        return delta_py.set_delta_clustering(
+            spark, m["path"], [c.strip() for c in m["cols"].split(",")]
+        )
+
+    m = re.fullmatch(
         rf"(?i)ALTER TABLE {_TBL} RENAME COLUMN (?P<old>\w+) TO (?P<new>\w+)", s
     )
     if m:
@@ -825,7 +838,8 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         "[(cols)] / CREATE TABLE (col TYPE [GENERATED ALWAYS|BY DEFAULT AS "
         "IDENTITY (START WITH n INCREMENT BY n)], ...) / "
         "CREATE TABLE [PARTITIONED BY] AS / CREATE TABLE ... "
-        "SHALLOW CLONE / ALTER TABLE ADD CONSTRAINT|RENAME COLUMN|ADD "
+        "SHALLOW CLONE / ALTER TABLE ADD CONSTRAINT|RENAME COLUMN|CLUSTER "
+        "BY|ADD "
         "COLUMN|ALTER COLUMN TYPE|SET TBLPROPERTIES|CREATE/DROP TAG|BRANCH "
         "/ DELETE FROM / UPDATE / MERGE INTO (multi-clause, NOT MATCHED BY "
         "SOURCE) / TRUNCATE TABLE / OPTIMIZE [ZORDER BY] / VACUUM "

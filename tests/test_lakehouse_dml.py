@@ -1895,3 +1895,70 @@ def test_facade_create_table_column_defs(spark, tmp_path):
             f"CREATE TABLE iceberg.`{tmp_path}/i3` "
             "(id BIGINT GENERATED ALWAYS AS IDENTITY)",
         )
+
+
+def test_liquid_clustering_contract(spark, tmp_path):
+    """r15 liquid clustering: CLUSTER BY records the domain + feature,
+    plain OPTIMIZE follows it (files get tight min/max on BOTH
+    dimensions), explicit ZORDER BY refuses, re-pointing the columns
+    changes what the NEXT optimize clusters, and unknown-feature safety
+    still holds (the clustering feature is honored, not refused)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from gcs2postgres_spark.sources.delta_py import (
+        delta_clustering_columns,
+        read_delta_py,
+        replay_head_state,
+        set_delta_clustering,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    t = str(tmp_path / "liquid")
+    df = (
+        spark.range(0, 40_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("a", (F.col("k") % 64).cast("long"))
+        .withColumn("b", ((F.col("k") * 7) % 64).cast("long"))
+    )
+    write_delta(df.repartition(4), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    lakehouse_sql(spark, f"ALTER TABLE delta.`{t}` CLUSTER BY (a, b)")
+    assert delta_clustering_columns(spark, t) == ["a", "b"]
+    # protocol carries the features
+    from gcs2postgres_spark.sources.delta_py import _head_protocol
+
+    feats = set(_head_protocol(t).get("writerFeatures") or [])
+    assert {"clustering", "domainMetadata"} <= feats
+    # plain OPTIMIZE clusters; explicit ZORDER refuses
+    with pytest.raises(ValueError, match="CLUSTER BY"):
+        lakehouse_sql(spark, f"OPTIMIZE delta.`{t}` ZORDER BY (a)")
+    from gcs2postgres_spark.sources.delta_py import compact_delta
+
+    # small target -> multi-file layout, so per-file spans are visible
+    compact_delta(spark, t, target_file_mb=0.02,
+                  timestamp_ms=1_700_000_001_000)
+    got = read_delta_py(spark, t)
+    assert got.count() == 40_000
+    # clustered layout: per-file stats ranges on BOTH dims are narrow
+    live, _meta = replay_head_state(spark, t)
+    spans_a, spans_b = [], []
+    for add in live.values():
+        st = _json.loads(add["stats"])
+        spans_a.append(st["maxValues"]["a"] - st["minValues"]["a"])
+        spans_b.append(st["maxValues"]["b"] - st["minValues"]["b"])
+    # an unclustered 4-file layout would span ~63 on every file in both
+    # dims; the curve must tighten the AVERAGE span on both
+    assert len(spans_a) >= 4
+    assert sum(spans_a) / len(spans_a) < 40, spans_a
+    assert sum(spans_b) / len(spans_b) < 40, spans_b
+    # re-pointing the clustering columns steers the NEXT optimize
+    set_delta_clustering(spark, t, ["b"], timestamp_ms=1_700_000_002_000)
+    assert delta_clustering_columns(spark, t) == ["b"]
+    # CLUSTER BY validates columns and refuses on iceberg
+    with pytest.raises(ValueError, match="not in schema"):
+        set_delta_clustering(spark, t, ["ghost"])
+    with pytest.raises(ValueError, match="liquid"):
+        lakehouse_sql(spark, f"ALTER TABLE iceberg.`{t}` CLUSTER BY (a)")
