@@ -4369,6 +4369,170 @@ def iceberg_remove_orphans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         raise
 
 
+FSCK_REPAIR_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT)      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+WHERE n_regionkey <> 2
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
+@register("delta_fsck_repair_roundtrip", oracle=FSCK_REPAIR_ORACLE)
+def delta_fsck_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ``FSCK REPAIR TABLE``: region 2's data files are deleted
+    OUT-OF-BAND (lifecycle rule / fat fingers — the scan would
+    FileNotFound), FSCK detects them with ONE bulk listing against the
+    live set (never a per-file existence RPC) and commits the removes,
+    and the repaired table reads exactly nation-minus-region-2. DRY RUN
+    is pinned in tests/test_convert_addfiles.py."""
+    tune_for_session(spark)
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS LONG) AS key",
+        "CAST(n_regionkey AS LONG) AS region",
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_fsck_")
+    try:
+        write_delta(nation, tmp, "overwrite", partition_by=["region"],
+                    timestamp_ms=1_700_000_000_000)
+        for p in _glob.glob(os.path.join(tmp, "region=2", "*.parquet")):
+            os.remove(p)
+        repaired = lakehouse_sql(spark, f"FSCK REPAIR TABLE delta.`{tmp}`")
+        if repaired.count() < 1:
+            raise AssertionError("FSCK found nothing to repair")
+        return (
+            read_delta_py(spark, tmp)
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+CONVERT_TO_DELTA_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT)      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+WHERE n_nationkey % 6 <> 0
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
+@register("delta_convert_roundtrip", oracle=CONVERT_TO_DELTA_ORACLE)
+def delta_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — ``CONVERT TO DELTA parquet.`/dir``` (zero data movement):
+    a plain hive-partitioned parquet directory becomes a Delta table in
+    place — version 0 carries one add per existing file with typed
+    partitionValues parsed from the directory segments and footer
+    stats. The converted table is then a FULL table: a DV DELETE runs
+    against it, and the read resolves partitions + vectors exactly.
+    This is the raw-corpus onboarding move a 100 TB training pipeline
+    starts with."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        read_delta_py,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS LONG) AS key",
+        "CAST(n_regionkey AS LONG) AS region",
+    )
+    tmp = tempfile.mkdtemp(prefix="convert_src_")
+    try:
+        nation.write.mode("overwrite").partitionBy("region").parquet(tmp)
+        lakehouse_sql(
+            spark,
+            f"CONVERT TO DELTA parquet.`{tmp}` PARTITIONED BY (region)",
+        )
+        delete_where_delta(spark, tmp, "key % 6 = 0",
+                           timestamp_ms=1_700_000_001_000)
+        return (
+            read_delta_py(spark, tmp)
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+ICEBERG_ADD_FILES_ORACLE = """
+SELECT s_nationkey,
+       count(*)                       AS n_supp,
+       CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+FROM (
+  SELECT * FROM supplier
+  UNION ALL
+  SELECT * FROM supplier
+) u
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register("iceberg_add_files_roundtrip", oracle=ICEBERG_ADD_FILES_ORACLE)
+def iceberg_add_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — the ``add_files`` procedure jar-lessly: a snapshot that
+    references EXISTING external parquet by absolute path, no data
+    movement, alongside a normal append in the same table. The manifest
+    is stamped with the add-time schema, so id-based resolution (and a
+    later rename) keeps working; per-file bounds come from footers so
+    stats skipping covers the added files too. Oracle = the doubled
+    aggregate (one appended copy + one added copy)."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        add_files,
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        read_iceberg_py,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    tbl = tempfile.mkdtemp(prefix="iceberg_addf_t_")
+    src = tempfile.mkdtemp(prefix="iceberg_addf_s_")
+    try:
+        supplier.write.mode("overwrite").parquet(src)
+        create_iceberg_v2_table(supplier.schema, tbl)
+        append_iceberg_v2(spark, tbl, supplier,
+                          snapshot_ts_ms=1_700_000_000_000)
+        add_files(spark, tbl, src, snapshot_ts_ms=1_700_000_001_000)
+        return (
+            read_iceberg_py(spark, tbl)
+            .groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_supp"),
+                F.sum("s_suppkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("s_nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tbl, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        raise
+
+
 LIQUID_CLUSTERING_ORACLE = """
 SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1000000)
                      AS BIGINT)) AS BIGINT) AS revenue_e6,

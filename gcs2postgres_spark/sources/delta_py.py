@@ -4613,6 +4613,166 @@ def vacuum_delta(
     return fsio.bulk_delete(garbage)
 
 
+def fsck_delta(
+    spark: SparkSession,
+    table_path: str,
+    dry_run: bool = False,
+    timestamp_ms: int | None = None,
+) -> list[str]:
+    """``FSCK REPAIR TABLE``: find live ``add`` entries whose data file
+    is PHYSICALLY MISSING (deleted out-of-band — lifecycle rules, fat
+    fingers) and commit removes for them, so scans stop failing with
+    FileNotFound. Returns the repaired relative paths (``dry_run=True``
+    only reports). Detection is ONE bulk listing of the table directory
+    compared against the live set — never a per-file existence RPC
+    (10^5 files would be minutes of serial driver wall on an object
+    store); files referenced OUTSIDE the table root (shallow-clone
+    sources) are probed individually, bounded by the clone's file
+    count. A file whose rows a DV still references repairs the same
+    way — the remove drops file and vector together, exactly like
+    Delta's FSCK."""
+    import time as _time
+
+    logstore.check_write_scheme(table_path)
+    live, meta = replay_head_state(spark, table_path)
+    if meta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    present = {
+        _norm_fp(p) for p, _sz in fsio.list_files(table_path)
+    }
+    abs_table = _norm_fp(fsio.absolute(table_path)).rstrip("/") + "/"
+    missing: list[str] = []
+    for rel in sorted(live):
+        full = _norm_fp(_resolve_add_path(table_path, unquote(rel)))
+        if full.startswith(abs_table):
+            if full not in present:
+                missing.append(rel)
+        elif not fsio.exists(full):  # clone-source reference: probe
+            missing.append(rel)
+    if missing and not dry_run:
+        now = int(
+            timestamp_ms if timestamp_ms is not None else _time.time() * 1000
+        )
+        log_dir = _log_dir(table_path)
+        version = max(_list_commits(log_dir)) + 1
+        actions = [
+            {
+                "remove": {
+                    "path": rel,  # the raw log path form
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+            for rel in missing
+        ]
+        _write_commit(
+            log_dir, version, actions, now, operation="FSCK"
+        )
+    return missing
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    dir_path: str,
+    partition_by: list[str] | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """``CONVERT TO DELTA parquet.`/dir``` — turn an existing parquet
+    directory (flat or hive-partitioned ``col=val/`` layout) into a
+    Delta table IN PLACE, without rewriting a byte of data: version 0
+    commits protocol + metaData (schema inferred through Spark's
+    partition-aware reader, so partition columns come back typed) + one
+    ``add`` per parquet file with partitionValues parsed from its
+    directory segments and per-file stats (footer probe locally, one
+    distributed job on scheme'd stores — the same split the write path
+    uses). The training-pipeline onboarding move: raw parquet corpora
+    gain ACID commits, time travel, DML, and stats skipping with zero
+    data movement, exactly Delta's own CONVERT.
+
+    ``partition_by`` validates the detected layout (CONVERT's
+    PARTITIONED BY clause); omitted, the layout is inferred. Refuses if
+    ``_delta_log`` already exists (already a Delta table) or if the
+    directory holds non-parquet data files."""
+    import time as _time
+
+    logstore.check_write_scheme(dir_path)
+    log_dir = _log_dir(dir_path)
+    if fsio.exists(log_dir):
+        raise ValueError(f"{dir_path!r} already has a _delta_log")
+    now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
+    listed = [
+        (p, sz) for p, sz in fsio.list_files(dir_path)
+        if not os.path.basename(p).startswith((".", "_"))
+    ]
+    if not listed:
+        raise FileNotFoundError(f"no data files under {dir_path!r}")
+    bad = [p for p, _ in listed if not p.endswith(".parquet")]
+    if bad:
+        raise NotImplementedError(
+            f"CONVERT TO DELTA supports parquet only; found {bad[:3]}"
+        )
+    # partition-aware schema inference: hive segments come back as
+    # TYPED columns; their names define partitionColumns
+    df = spark.read.option("basePath", dir_path).parquet(dir_path)
+    root = dir_path.rstrip("/")
+    token = root.rsplit("/", 1)[-1] + "/"
+
+    def _rel(full: str) -> str:
+        return full.split(token, 1)[1] if token in full else os.path.basename(full)
+
+    detected: list[str] = []
+    for seg in _rel(listed[0][0]).split("/")[:-1]:
+        k, eq, _v = seg.partition("=")
+        if eq:
+            detected.append(k)
+    if partition_by is not None and list(partition_by) != detected:
+        raise ValueError(
+            f"PARTITIONED BY {list(partition_by)} does not match the "
+            f"directory layout {detected}"
+        )
+    part_cols = detected
+    data_fields = [f for f in df.schema.fields if f.name not in part_cols]
+    remote = fsio.has_scheme(dir_path)
+    stats_by_rel = (
+        _stats_spark_job(spark, dir_path, data_fields) if remote else {}
+    )
+    adds: list[dict] = []
+    for full, sz in sorted(listed):
+        rel = _rel(full)
+        pv: dict[str, str] = {}
+        for seg in rel.split("/")[:-1]:
+            k, eq, v = seg.partition("=")
+            if eq:
+                pv[k] = unquote(v)
+        if sorted(pv) != sorted(part_cols):
+            raise ValueError(
+                f"inconsistent partition layout at {rel!r} "
+                f"(expected columns {part_cols})"
+            )
+        add = {
+            "path": quote(rel, safe="/="),
+            "partitionValues": pv,
+            "size": int(sz),
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        st = (
+            (stats_by_rel.get(rel) or stats_by_rel.get(unquote(rel)))
+            if remote
+            else _parquet_stats_json(full)
+        )
+        if st:
+            add["stats"] = st
+        adds.append({"add": add})
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(df.schema, part_cols),
+        *adds,
+    ]
+    _write_commit(log_dir, 0, actions, now, operation="CONVERT")
+    return 0
+
+
 def remove_orphans_delta(
     table_path: str,
     older_than_ms: int | None = None,

@@ -2446,6 +2446,106 @@ def expire_snapshots(
     return fsio.bulk_delete(garbage)
 
 
+def add_files(
+    spark: SparkSession,
+    table_path: str,
+    src_dir: str,
+    snapshot_ts_ms: int | None = None,
+) -> int:
+    """The ``add_files`` procedure's jar-less twin: one append snapshot
+    whose new data manifest references EXISTING parquet files from
+    ``src_dir`` by absolute path — zero data movement, the onboarding
+    move for raw parquet corpora (Iceberg's migrate/snapshot family).
+    The files' columns must match the table schema BY NAME at add time
+    (external parquet carries no Iceberg field ids — validated loudly
+    here); the manifest is stamped with the ADD-TIME schema, which
+    records field-id -> add-time-name, so even a later column RENAME
+    keeps resolving these files correctly. Unpartitioned v2 tables
+    only — hive-layout sources should convert their partition dirs
+    first (the Java procedure requires matching partitioning too)."""
+    import time as _time
+
+    ctx = _v2_table_context(table_path, "add_files")
+    if ctx["part_struct_names"]:
+        raise NotImplementedError(
+            "add_files into a PARTITIONED iceberg table (the files "
+            "carry no partition tuples); append via append_iceberg_v2"
+        )
+    meta = ctx["meta"]
+    snapshot = ctx["snapshot"]
+    files = sorted(
+        (p, sz) for p, sz in fsio.list_files(src_dir)
+        if p.endswith(".parquet")
+        and not os.path.basename(p).startswith((".", "_"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_dir!r}")
+    # column-name compatibility gate, loud at ADD time
+    src_schema = spark.read.parquet(src_dir).schema
+    table_cols = {n.lower() for n in ctx["field_names"].values()}
+    missing = sorted(table_cols - {f.name.lower() for f in src_schema.fields})
+    if missing:
+        raise ValueError(
+            f"source files lack table columns {missing} (name-resolved: "
+            "external parquet carries no iceberg field ids)"
+        )
+    bounds_spec = {
+        name: (fid, ctx["field_types"][fid])
+        for name, fid in ctx["field_ids"].items()
+        if isinstance(ctx["field_types"].get(fid), str)
+    }
+    sid = max((s["snapshot-id"] for s in ctx["snapshots"]), default=0) + 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    now = int(
+        snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000
+    )
+    if fsio.has_scheme(src_dir):
+        stats = _staged_stats_spark(spark, src_dir, bounds_spec)
+        token = src_dir.rstrip("/").rsplit("/", 1)[-1] + "/"
+        entries = []
+        for p, sz in files:
+            rel = p.split(token, 1)[1] if token in p else os.path.basename(p)
+            st = stats.get(rel) or stats.get(unquote(rel)) or {}
+            entries.append(
+                _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
+                          record_count=st.get("rows", 0), file_size=sz,
+                          bounds3=st.get("bounds3") or ([], [], []))
+            )
+    else:
+        entries = [
+            _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
+                      bounds_spec=bounds_spec)
+            for p, _sz in files
+        ]
+    mdir = os.path.join(table_path, "metadata")
+    fsio.makedirs(mdir)
+    manifest = os.path.join(mdir, _uniq(f"manifest-addfiles-{sid}.avro"))
+    write_avro_file(
+        manifest, manifest_entry_schema_v2(ctx["part_avro"]), entries,
+        codec="null", extra_meta=_schema_stamp(meta),
+    )
+    new_list_rows = []
+    if snapshot is not None:
+        _, rows = read_avro_file(
+            _resolve(snapshot["manifest-list"], table_path, ctx["location"])
+        )
+        new_list_rows = list(rows)
+    new_list_rows.append(
+        {
+            "manifest_path": fsio.absolute(manifest),
+            "manifest_length": fsio.size(manifest),
+            "partition_spec_id": ctx["spec_id"],
+            "content": 0,
+            "sequence_number": new_seq,
+            "min_sequence_number": new_seq,
+            "added_snapshot_id": sid,
+        }
+    )
+    return _v2_commit_snapshot(
+        table_path, ctx, new_list_rows, new_seq, sid, now, "append"
+    )
+
+
 def remove_orphan_files(
     table_path: str,
     older_than_ms: int | None = None,

@@ -467,6 +467,30 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         )
 
     m = re.fullmatch(
+        rf"(?i)FSCK REPAIR TABLE {_TBL}(?P<dry> DRY RUN)?", s
+    )
+    if m:
+        if m["fmt"] != "delta":
+            raise ValueError("FSCK REPAIR TABLE is a Delta statement")
+        return spark.createDataFrame(
+            [(p,) for p in delta_py.fsck_delta(
+                spark, m["path"], dry_run=bool(m["dry"])
+            )],
+            "removed_path string",
+        )
+
+    m = re.fullmatch(
+        r"(?i)CONVERT TO DELTA parquet\s*\.\s*`(?P<path>[^`]+)`"
+        r"(?: PARTITIONED BY \((?P<cols>[\w\s,]+)\))?",
+        s,
+    )
+    if m:
+        cols = (
+            [c.strip() for c in m["cols"].split(",")] if m["cols"] else None
+        )
+        return delta_py.convert_to_delta(spark, m["path"], partition_by=cols)
+
+    m = re.fullmatch(
         rf"(?i)ALTER TABLE {_TBL} CLUSTER BY \((?P<cols>[\w\s,]+)\)", s
     )
     if m:

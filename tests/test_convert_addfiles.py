@@ -1,0 +1,157 @@
+"""r15: CONVERT TO DELTA (in-place parquet-dir conversion) and the
+Iceberg add_files twin (external-file append) — the zero-data-movement
+onboarding surfaces."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcs2postgres_spark.sources import fsio
+from gcs2postgres_spark.sources.delta_py import (
+    convert_to_delta,
+    delete_where_delta,
+    read_delta_py,
+    write_delta,
+)
+from gcs2postgres_spark.sources.iceberg_py import (
+    add_files,
+    alter_iceberg_rename_column,
+    append_iceberg_v2,
+    create_iceberg_v2_table,
+    read_iceberg_py,
+)
+from gcs2postgres_spark.sources.logstore import (
+    FakeObjectStore,
+    set_log_store_override,
+)
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("p", (F.col("k") % 3).cast("integer"))
+        .withColumn("v", (F.col("k") * 2).cast("long"))
+    )
+
+
+def test_convert_partitioned_dir_and_dml(spark, tmp_path):
+    d = str(tmp_path / "raw")
+    _df(spark, 0, 30).write.partitionBy("p").parquet(d)
+    convert_to_delta(spark, d, timestamp_ms=1_700_000_000_000)
+    got = read_delta_py(spark, d)
+    # typed partition column, full content, per-file stats recorded
+    assert got.schema["p"].dataType.typeName() == "integer"
+    assert got.count() == 30
+    log = open(os.path.join(d, "_delta_log", f"{0:020d}.json")).read()
+    adds = [json.loads(x)["add"] for x in log.splitlines() if '"add"' in x]
+    assert all("p" in a["partitionValues"] for a in adds)
+    assert all("stats" in a for a in adds)
+    # stats skipping works on the converted files
+    assert read_delta_py(spark, d, stats_filter={"k": (1000, None)}).count() == 0
+    # it is a FULL delta table now: append + DV delete + time travel
+    write_delta(_df(spark, 30, 33), d, "append", timestamp_ms=1_700_000_001_000)
+    delete_where_delta(spark, d, "k < 3", timestamp_ms=1_700_000_002_000)
+    assert read_delta_py(spark, d).count() == 30
+    assert read_delta_py(spark, d, version_as_of=0).count() == 30
+
+
+def test_convert_guards(spark, tmp_path):
+    d = str(tmp_path / "raw2")
+    _df(spark, 0, 6).write.parquet(d)
+    convert_to_delta(spark, d, timestamp_ms=1_700_000_000_000)
+    with pytest.raises(ValueError, match="_delta_log"):
+        convert_to_delta(spark, d)
+    d2 = str(tmp_path / "rawcsv")
+    _df(spark, 0, 6).write.csv(d2)
+    with pytest.raises(NotImplementedError, match="parquet only"):
+        convert_to_delta(spark, d2)
+    d3 = str(tmp_path / "raw3")
+    _df(spark, 0, 6).write.partitionBy("p").parquet(d3)
+    with pytest.raises(ValueError, match="does not match"):
+        convert_to_delta(spark, d3, partition_by=["k"])
+
+
+def test_convert_remote_scheme(spark, tmp_path):
+    store = FakeObjectStore()
+    set_log_store_override(store)
+    try:
+        d = f"file://{tmp_path}/rawr"
+        _df(spark, 0, 12).drop("p").write.parquet(d)
+        convert_to_delta(spark, d, timestamp_ms=1_700_000_000_000)
+        got = read_delta_py(spark, d)
+        assert got.count() == 12
+        # stats came from the distributed job, commit through the seam
+        log = fsio.read_text(fsio.join(d, "_delta_log", f"{0:020d}.json"))
+        adds = [json.loads(x)["add"] for x in log.splitlines() if '"add"' in x]
+        assert adds and all("stats" in a for a in adds)
+        assert store.puts >= 1
+    finally:
+        set_log_store_override(None)
+
+
+def test_add_files_then_rename_still_resolves(spark, tmp_path):
+    src = str(tmp_path / "ext")
+    tbl = str(tmp_path / "tbl")
+    df = _df(spark, 0, 10).drop("p")
+    df.write.parquet(src)
+    create_iceberg_v2_table(df.schema, tbl)
+    append_iceberg_v2(spark, tbl, _df(spark, 10, 15).drop("p"),
+                      snapshot_ts_ms=1_700_000_000_000)
+    add_files(spark, tbl, src, snapshot_ts_ms=1_700_000_001_000)
+    assert read_iceberg_py(spark, tbl).count() == 15
+    # the add-time schema stamp keeps id-resolution across a rename
+    alter_iceberg_rename_column(tbl, "v", "val")
+    got = read_iceberg_py(spark, tbl)
+    assert got.columns == ["k", "val"]
+    rows = {r["k"]: r["val"] for r in got.collect()}
+    assert rows[2] == 4 and rows[12] == 24 and len(rows) == 15
+    # stats skipping covers added files (bounds from their footers)
+    pruned = read_iceberg_py(spark, tbl, stats_filter={"k": (1000, None)})
+    assert pruned.count() == 0
+
+
+def test_add_files_guards(spark, tmp_path):
+    src = str(tmp_path / "ext2")
+    spark.range(0, 3).select(F.col("id").alias("other")).write.parquet(src)
+    tbl = str(tmp_path / "tbl2")
+    df = _df(spark, 0, 3).drop("p")
+    create_iceberg_v2_table(df.schema, tbl)
+    with pytest.raises(ValueError, match="lack table columns"):
+        add_files(spark, tbl, src)
+    ptbl = str(tmp_path / "ptbl")
+    create_iceberg_v2_table(_df(spark, 0, 3).schema, ptbl,
+                            partition_spec=[("p", "identity")])
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        add_files(spark, ptbl, src)
+
+
+def test_fsck_repairs_missing_files(spark, tmp_path):
+    """FSCK REPAIR TABLE: out-of-band-deleted files are dropped from
+    the live set in one commit; surviving rows read fine; DRY RUN only
+    reports."""
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.delta_py import fsck_delta
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    t = str(tmp_path / "fsck")
+    df = _df(spark, 0, 30).drop("p")
+    write_delta(df.repartition(3), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    victim = sorted(_glob.glob(os.path.join(t, "*.parquet")))[0]
+    os.remove(victim)
+    # the scan would now FileNotFound; dry run names the dead add
+    dry = lakehouse_sql(spark, f"FSCK REPAIR TABLE delta.`{t}` DRY RUN")
+    assert dry.count() == 1
+    # still broken after dry run
+    repaired = fsck_delta(spark, t, timestamp_ms=1_700_000_001_000)
+    assert len(repaired) == 1
+    got = read_delta_py(spark, t)
+    n = got.count()
+    assert 0 < n < 30  # the dead file's rows are gone, the rest read
+    assert fsck_delta(spark, t, dry_run=True) == []  # clean now
