@@ -4476,6 +4476,72 @@ def delta_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+ICEBERG_REWRITE_MANIFESTS_ORACLE = """
+SELECT s_nationkey,
+       count(*)                       AS n_supp,
+       CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+FROM supplier
+WHERE s_suppkey % 9 <> 0
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+@register(
+    "iceberg_rewrite_manifests_roundtrip",
+    oracle=ICEBERG_REWRITE_MANIFESTS_ORACLE,
+)
+def iceberg_rewrite_manifests_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r15 — the ``rewrite_manifests`` maintenance action: five appends
+    plus a row-level DELETE leave six small manifests; the fold
+    rewrites them into one data + one delete manifest with entries kept
+    at their ORIGINAL sequence numbers (status EXISTING), so the
+    delete's strict-inequality gating still applies to exactly the
+    files it did before — the oracle recomputes the end state, so any
+    sequence drift resurrects or over-deletes rows and breaks the hash.
+    Plan-time metadata reads drop from O(appends) avro files to O(1)."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        delete_where,
+        read_iceberg_py,
+        rewrite_manifests,
+    )
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_rwman_")
+    try:
+        create_iceberg_v2_table(supplier.schema, tmp)
+        for i in range(5):
+            append_iceberg_v2(
+                spark, tmp,
+                supplier.where(f"s_suppkey % 5 = {i}"),
+                snapshot_ts_ms=1_700_000_000_000 + i,
+            )
+        delete_where(spark, tmp, "s_suppkey % 9 = 0",
+                     snapshot_ts_ms=1_700_000_001_000)
+        sid = rewrite_manifests(spark, tmp, snapshot_ts_ms=1_700_000_002_000)
+        if sid is None:
+            raise AssertionError("rewrite_manifests found nothing to fold")
+        return (
+            read_iceberg_py(spark, tmp)
+            .groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_supp"),
+                F.sum("s_suppkey").cast("long").alias("key_sum"),
+            )
+            .orderBy("s_nationkey")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 ICEBERG_ADD_FILES_ORACLE = """
 SELECT s_nationkey,
        count(*)                       AS n_supp,

@@ -623,9 +623,15 @@ def read_iceberg_py(
                     )
                 unknown = [i for i in ids if i not in field_paths]
                 if unknown:
+                    # spec alignment, not just a gap: the identifier-
+                    # field rule (spec "Identifier Field IDs": fields
+                    # "must not be nested in a map or list") exists
+                    # because a row has MULTIPLE values at such a path —
+                    # equality on it is ill-defined; no committer emits
+                    # these ids, and refusing beats guessing semantics
                     raise NotImplementedError(
                         "iceberg equality delete on field ids with no "
-                        f"stable row path (under arrays/maps?) {unknown}: "
+                        f"stable row path (under arrays/maps) {unknown}: "
                         f"table {_JAR_HINT}"
                     )
                 eq_deletes.append((path, seq, ids))
@@ -2543,6 +2549,119 @@ def add_files(
     )
     return _v2_commit_snapshot(
         table_path, ctx, new_list_rows, new_seq, sid, now, "append"
+    )
+
+
+def rewrite_manifests(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_ts_ms: int | None = None,
+) -> int | None:
+    """The ``rewrite_manifests`` maintenance action, jar-lessly: fold
+    the current snapshot's many small manifests into ONE manifest per
+    (content kind, write-time schema id) — after N streaming appends
+    the plan-time metadata walk reads N avro files; folding restores
+    O(1). Entries keep their ORIGINAL snapshot ids and explicit
+    sequence numbers with status EXISTING (0), exactly how the Java
+    action rewrites them, so delete-file sequence gating and v3 row
+    lineage are untouched; grouping by recorded schema-id preserves the
+    zero-footer-probe scan property. Historical snapshots still point
+    at the old manifests (metadata only — nothing is deleted;
+    expire_snapshots reclaims them later). Returns the new snapshot id,
+    or None when there is nothing to fold."""
+    import time as _time
+
+    ctx = _v2_table_context(table_path, "rewrite_manifests")
+    meta = ctx["meta"]
+    snapshot = ctx["snapshot"]
+    if snapshot is None:
+        return None
+    _, manifest_rows = read_avro_file(
+        _resolve(snapshot["manifest-list"], table_path, ctx["location"])
+    )
+    if len(manifest_rows) <= 1:
+        return None
+    # (content, schema-id) -> folded entries; spec heterogeneity refuses
+    groups: dict[tuple[int, int | None], list[dict]] = {}
+    seqs: dict[tuple[int, int | None], list[int]] = {}
+    for m in manifest_rows:
+        if m.get("partition_spec_id", 0) != ctx["spec_id"]:
+            raise NotImplementedError(
+                "rewrite_manifests over historical partition specs "
+                f"(manifest spec {m.get('partition_spec_id')} != current "
+                f"{ctx['spec_id']}); {_JAR_HINT}"
+            )
+        manifest_seq = m.get("sequence_number") or 0
+        _s, entries, fmeta = read_avro_file_meta(
+            _resolve(m["manifest_path"], table_path, ctx["location"])
+        )
+        m_sid: int | None = None
+        try:
+            if "schema-id" in fmeta:
+                m_sid = int(fmeta["schema-id"])
+            elif "schema" in fmeta:
+                m_sid = json.loads(fmeta["schema"]).get("schema-id")
+        except (ValueError, TypeError):
+            m_sid = None
+        content = m.get("content", 0)
+        for e in entries:
+            if e["status"] == 2:
+                continue  # tombstone: dropped by the fold, like the action
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = manifest_seq
+            folded = dict(e)
+            folded["status"] = 0  # EXISTING
+            folded["sequence_number"] = seq
+            folded["file_sequence_number"] = (
+                e.get("file_sequence_number")
+                if e.get("file_sequence_number") is not None
+                else seq
+            )
+            key = (content, m_sid)
+            groups.setdefault(key, []).append(folded)
+            seqs.setdefault(key, []).append(int(seq))
+    if len(groups) >= len(manifest_rows):
+        return None  # already as folded as the grouping allows
+    sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
+    new_seq = int(meta.get("last-sequence-number", 0)) + 1
+    now = int(
+        snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000
+    )
+    mdir = os.path.join(table_path, "metadata")
+    schemas_by_id = {
+        s.get("schema-id", 0): s for s in (meta.get("schemas") or [])
+    }
+    new_list_rows: list[dict] = []
+    for (content, m_sid), entries in sorted(
+        groups.items(), key=lambda kv: (kv[0][0], kv[0][1] is None, kv[0][1])
+    ):
+        man = os.path.join(
+            mdir, _uniq(f"manifest-folded-{sid}-{content}.avro")
+        )
+        extra = None
+        if m_sid is not None and m_sid in schemas_by_id:
+            extra = {
+                "schema-id": str(m_sid),
+                "schema": json.dumps(schemas_by_id[m_sid]),
+            }
+        write_avro_file(
+            man, manifest_entry_schema_v2(ctx["part_avro"]), entries,
+            codec="null", extra_meta=extra,
+        )
+        new_list_rows.append(
+            {
+                "manifest_path": fsio.absolute(man),
+                "manifest_length": fsio.size(man),
+                "partition_spec_id": ctx["spec_id"],
+                "content": content,
+                "sequence_number": new_seq,
+                "min_sequence_number": min(seqs[(content, m_sid)]),
+                "added_snapshot_id": sid,
+            }
+        )
+    return _v2_commit_snapshot(
+        table_path, ctx, new_list_rows, new_seq, sid, now, "replace"
     )
 
 

@@ -232,3 +232,61 @@ def test_remove_orphan_files_iceberg(spark, tmp_path, fake_store):
     assert got.count() == 30 and got.where("k >= 900").count() == 0
     # older snapshot still reads (orphan removal never breaks reachability)
     assert read_iceberg_py(spark, t, snapshot_id=1).count() == 20
+
+
+def test_rewrite_manifests_folds_and_stays_probe_free(spark, tmp_path,
+                                                      monkeypatch):
+    """rewrite_manifests: N appends' manifests fold to one per content
+    kind, entries keep original sequence numbers (delete gating holds),
+    time travel is untouched, and scan planning over the folded
+    manifest still does ZERO parquet footer probes (schema-id stamps
+    survive the fold)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from gcs2postgres_spark.sources.avro_py import read_avro_file
+    from gcs2postgres_spark.sources.iceberg_py import (
+        delete_where,
+        latest_metadata_file,
+        rewrite_manifests,
+    )
+
+    t = str(tmp_path / "rwman")
+    df = _df(spark, 0, 10)
+    create_iceberg_v2_table(df.schema, t)
+    for lo in range(0, 50, 10):
+        append_iceberg_v2(spark, t, _df(spark, lo, lo + 10),
+                          snapshot_ts_ms=1_700_000_000_000 + lo)
+    delete_where(spark, t, "k % 9 = 0", snapshot_ts_ms=1_700_000_001_000)
+
+    def _manifests():
+        meta = _json.loads(open(latest_metadata_file(t)).read())
+        cur = next(s for s in meta["snapshots"]
+                   if s["snapshot-id"] == meta["current-snapshot-id"])
+        _s, rows = read_avro_file(cur["manifest-list"])
+        return rows
+
+    assert len(_manifests()) == 6
+    assert rewrite_manifests(spark, t, snapshot_ts_ms=1_700_000_002_000)
+    rows = _manifests()
+    assert len(rows) == 2  # one data + one delete manifest
+    assert {r["content"] for r in rows} == {0, 1}
+    # re-fold is a no-op
+    assert rewrite_manifests(spark, t, snapshot_ts_ms=1_700_000_003_000) is None
+    # exact content + sequence gating survived the fold
+    got = sorted(r["k"] for r in read_iceberg_py(spark, t).collect())
+    assert got == [i for i in range(50) if i % 9 != 0]
+    assert read_iceberg_py(spark, t, snapshot_id=2).count() == 20
+    # planning over the folded manifest: zero footer probes
+    calls: list = []
+    real = pq.ParquetFile
+
+    class Counting(real):
+        def __init__(self, *a, **k):
+            calls.append(a[0] if a else None)
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", Counting)
+    read_iceberg_py(spark, t)
+    assert calls == [], f"footer probes after fold: {calls}"
