@@ -4369,6 +4369,72 @@ def iceberg_remove_orphans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         raise
 
 
+UNIFORM_ORACLE = """
+WITH both_commits AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS key,
+         CAST(n_regionkey AS BIGINT) AS region
+  FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey + 1000 AS BIGINT), CAST(n_regionkey AS BIGINT)
+  FROM nation WHERE n_regionkey = 1
+)
+SELECT region,
+       count(*)               AS n_rows,
+       CAST(sum(key) AS BIGINT) AS key_sum
+FROM both_commits
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("delta_uniform_iceberg_roundtrip", oracle=UNIFORM_ORACLE)
+def delta_uniform_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 — UniForm: Iceberg metadata generated OVER a Delta table
+    (metadata/ beside _delta_log/, the Databricks one-copy-two-formats
+    shape): after two Delta commits, ``sync_uniform_iceberg`` writes a
+    v2 Iceberg snapshot referencing the SAME parquet files (record
+    counts from the Delta adds' stats, schema-stamped manifest — zero
+    footer probes), and the table is then read through the ICEBERG
+    reader. The query also cross-checks the Delta read returns the
+    identical frame — one data copy, two engines, one answer — before
+    the DuckDB oracle checks both."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        sync_uniform_iceberg,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS LONG) AS key",
+        "CAST(n_regionkey AS LONG) AS region",
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_uniform_")
+    try:
+        write_delta(nation, tmp, "overwrite", timestamp_ms=1_700_000_000_000)
+        write_delta(
+            nation.where("region = 1").selectExpr("key + 1000 AS key", "region"),
+            tmp, "append", timestamp_ms=1_700_000_001_000,
+        )
+        sync_uniform_iceberg(spark, tmp, snapshot_ts_ms=1_700_000_002_000)
+        via_iceberg = read_iceberg_py(spark, tmp)
+        # one copy, two formats: both readers must agree row-for-row
+        n_delta = read_delta_py(spark, tmp).count()
+        if via_iceberg.count() != n_delta:
+            raise AssertionError("iceberg and delta reads disagree")
+        return (
+            via_iceberg.groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 FSCK_REPAIR_ORACLE = """
 SELECT CAST(n_regionkey AS BIGINT)      AS region,
        count(*)                         AS n_rows,

@@ -2552,6 +2552,167 @@ def add_files(
     )
 
 
+def sync_uniform_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_ts_ms: int | None = None,
+) -> int:
+    """UniForm, jar-lessly: generate Iceberg metadata OVER a Delta
+    table's current state, so any Iceberg reader (including this
+    module's own ``read_iceberg_py``) reads the same parquet files the
+    Delta log governs — one copy of the data, two table formats
+    (Databricks' Delta UniForm does exactly this: Iceberg metadata in
+    ``metadata/`` beside ``_delta_log/``, regenerated after commits).
+    Call again after Delta commits to re-sync; the Iceberg snapshot id
+    tracks the Delta version (+1: snapshot ids start at 1), so a stale
+    sync is detectable by comparing them.
+
+    Per-file ``record_count`` comes from the Delta adds' own stats
+    (numRecords — no footer IO); the manifest carries the write-time
+    schema stamp, so the Iceberg scan keeps the zero-footer-probe plan
+    path. Scope (refusals, never wrong rows): deletion vectors (an
+    Iceberg reader would resurrect the deleted rows — materialize with
+    OPTIMIZE first, which is what UniForm requires too), column
+    mapping (files store physical names an Iceberg-side schema can't
+    name-resolve), and partitioned tables (Delta's hive-layout files
+    LACK the partition column; identity-reading them needs
+    manifest-value materialization the scan doesn't do)."""
+    import time as _time
+
+    from gcs2postgres_spark.sources.delta_py import replay_head_state
+
+    logstore.check_write_scheme(table_path)
+    live, dmeta = replay_head_state(spark, table_path)
+    if dmeta is None:
+        raise FileNotFoundError(f"not a Delta table: {table_path}")
+    cfg = dmeta.get("configuration") or {}
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "UniForm over a columnMapping Delta table (files store "
+            "physical names an Iceberg schema cannot name-resolve)"
+        )
+    if dmeta.get("partitionColumns"):
+        raise NotImplementedError(
+            "UniForm over a PARTITIONED Delta table (hive-layout files "
+            "lack the partition column; the Iceberg scan would read "
+            "NULLs)"
+        )
+    if any(a.get("deletionVector") for a in live.values()):
+        raise NotImplementedError(
+            "UniForm over deletion vectors (an Iceberg reader would "
+            "resurrect deleted rows) — OPTIMIZE first to materialize"
+        )
+    from gcs2postgres_spark.sources.delta_py import (
+        _list_commits as _delta_commits,
+    )
+    from gcs2postgres_spark.sources.delta_py import _log_dir as _delta_log_dir
+
+    delta_version = max(
+        _delta_commits(_delta_log_dir(table_path)), default=0
+    )
+    sid = delta_version + 1
+    now = int(
+        snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000
+    )
+    spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
+    schema_json = spark_to_iceberg_schema(spark_schema)
+    schema_json["schema-id"] = 0
+    mdir = os.path.join(table_path, "metadata")
+    fsio.makedirs(mdir)
+    entries = []
+    for rel in sorted(live):
+        add = live[rel]
+        full = os.path.join(table_path, unquote(rel)) if not (
+            fsio.has_scheme(rel) or os.path.isabs(rel)
+        ) else rel
+        rc = None
+        st = add.get("stats")
+        if st:
+            try:
+                rc = int(json.loads(st)["numRecords"])
+            except (ValueError, TypeError, KeyError):
+                rc = None
+        entries.append(
+            _v2_entry(
+                full, content=0, seq=1, snapshot_id=sid,
+                record_count=rc,
+                file_size=int(add.get("size") or 0) or None,
+            )
+        )
+    meta_stub = {"schemas": [schema_json], "current-schema-id": 0}
+    manifest = os.path.join(mdir, _uniq(f"manifest-uniform-{sid}.avro"))
+    write_avro_file(
+        manifest, MANIFEST_ENTRY_SCHEMA_V2, entries, codec="null",
+        extra_meta=_schema_stamp(meta_stub),
+    )
+    mlist = os.path.join(mdir, _uniq(f"snap-uniform-{sid}.avro"))
+    write_avro_file(
+        mlist, MANIFEST_LIST_SCHEMA_V2,
+        [
+            {
+                "manifest_path": fsio.absolute(manifest),
+                "manifest_length": fsio.size(manifest),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": sid,
+            }
+        ],
+        codec="null",
+    )
+    hint = os.path.join(mdir, "version-hint.text")
+    prev = 0
+    if fsio.exists(hint):
+        try:
+            prev = int(fsio.read_text(hint).strip())
+        except ValueError:
+            prev = 0
+    version = prev + 1
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000f0f0",
+        "location": fsio.absolute(table_path),
+        "last-sequence-number": 1,
+        "last-updated-ms": now,
+        "last-column-id": max(
+            (f["id"] for f in schema_json["fields"]), default=0
+        ),
+        "schemas": [schema_json],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {
+            # the marker real UniForm writes, and the sync watermark
+            "delta.universalFormat.enabledFormats": "iceberg",
+            "uniform.delta-version": str(delta_version),
+        },
+        "current-snapshot-id": sid,
+        "snapshots": [
+            {
+                "snapshot-id": sid,
+                "sequence-number": 1,
+                "timestamp-ms": now,
+                "summary": {"operation": "replace"},
+                "manifest-list": fsio.absolute(mlist),
+            }
+        ],
+    }
+    try:
+        _write_json_if_absent(
+            os.path.join(mdir, f"v{version}.metadata.json"), meta
+        )
+    except FileExistsError:
+        raise CommitConflictError(
+            f"concurrent iceberg metadata v{version} exists; re-sync"
+        ) from None
+    _write_text_atomic(hint, str(version))
+    return sid
+
+
 def rewrite_manifests(
     spark: SparkSession,
     table_path: str,

@@ -155,3 +155,44 @@ def test_fsck_repairs_missing_files(spark, tmp_path):
     n = got.count()
     assert 0 < n < 30  # the dead file's rows are gone, the rest read
     assert fsck_delta(spark, t, dry_run=True) == []  # clean now
+
+
+def test_uniform_iceberg_sync(spark, tmp_path):
+    """UniForm: iceberg metadata over a delta table — both readers
+    agree; DV tables refuse until OPTIMIZE materializes; re-sync tracks
+    the delta version; plan stays footer-probe-free."""
+    import pyarrow.parquet as pq
+
+    from gcs2postgres_spark.sources.delta_py import (
+        compact_delta,
+        delete_where_delta,
+    )
+    from gcs2postgres_spark.sources.iceberg_py import (
+        latest_metadata_file,
+        sync_uniform_iceberg,
+    )
+
+    t = str(tmp_path / "uni")
+    df = _df(spark, 0, 20).drop("p")
+    write_delta(df, t, "overwrite", timestamp_ms=1_700_000_000_000)
+    sid = sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_001_000)
+    assert sid == 1  # delta v0 -> snapshot 1
+    a = sorted(tuple(r) for r in read_delta_py(spark, t).collect())
+    b = sorted(tuple(r) for r in read_iceberg_py(spark, t).collect())
+    assert a == b and len(a) == 20
+    # DV refusal, then OPTIMIZE materializes and re-sync follows
+    delete_where_delta(spark, t, "k < 5", timestamp_ms=1_700_000_002_000)
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        sync_uniform_iceberg(spark, t)
+    compact_delta(spark, t, timestamp_ms=1_700_000_003_000)
+    sid2 = sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_004_000)
+    assert sid2 == 3  # delta v2 (delete) + v? compact -> tracks head
+    b = sorted(tuple(r) for r in read_iceberg_py(spark, t).collect())
+    assert len(b) == 15 and b == sorted(
+        tuple(r) for r in read_delta_py(spark, t).collect()
+    )
+    # the UniForm marker + watermark are recorded
+    import json as _json
+
+    meta = _json.loads(open(latest_metadata_file(t)).read())
+    assert meta["properties"]["delta.universalFormat.enabledFormats"] == "iceberg"
