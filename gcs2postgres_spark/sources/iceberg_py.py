@@ -550,6 +550,7 @@ def read_iceberg_py(
     dv_deletes: list[tuple[str, int, int, int, str]] = []
     first_rows: dict[str, int] = {}  # v3 row lineage: file -> first_row_id
     file_schema_id: dict[str, int] = {}  # data path -> manifest schema-id
+    part_by_file: dict[str, dict] = {}  # data path -> manifest partition dict
     _, manifests = read_avro_file(_resolve(snapshot["manifest-list"], table_path, location))
     for m in manifests:
         manifest_seq = m.get("sequence_number") or 0
@@ -605,6 +606,8 @@ def read_iceberg_py(
                 if _pruned(dfile) or _stats_pruned(dfile):
                     continue
                 data_files.append((path, seq))
+                if dfile.get("partition"):
+                    part_by_file[path] = dict(dfile["partition"])
                 if m_sid is not None:
                     file_schema_id[path] = m_sid
                 if dfile.get("first_row_id") is not None:
@@ -662,20 +665,27 @@ def read_iceberg_py(
     helpers = ["__ice_fp", "__ice_pos"] if need_tag else []
     parts = []
 
-    def _project_to_table(df, idmap):
+    def _project_to_table(df, idmap, fill=None):
         cols = []
         lower = {c.lower(): c for c in df.columns if c not in helpers}
         for fjson, field in zip(schema_json["fields"], spark_schema.fields):
             src = idmap.get(fjson["id"]) if idmap else None
             if src is None:
                 src = lower.get(field.name.lower())
-            if src is None:
+            if src is None and fill and fjson["id"] in fill:
+                # identity partition value materialized from the
+                # manifest tuple (the file lacks the source column —
+                # migrated hive layouts, UniForm over partitioned Delta)
+                cols.append(
+                    F.lit(fill[fjson["id"]]).cast(field.dataType).alias(field.name)
+                )
+            elif src is None:
                 cols.append(_missing_column_lit(fjson, field.dataType).alias(field.name))
             else:
                 cols.append(F.col(src).cast(field.dataType).alias(field.name))
         return df.select(*cols, *helpers)
 
-    for idmap, gpaths in groups:
+    def _tagged_scan(gpaths):
         df = spark.read.parquet(*gpaths)
         if need_tag:
             df = df.select(
@@ -685,7 +695,58 @@ def read_iceberg_py(
                 ),
                 F.col("_metadata.row_index").alias("__ice_pos"),
             )
-        parts.append(_project_to_table(df, idmap))
+        return df
+
+    # identity partition fields whose SOURCE column a data file may
+    # LACK (UniForm over partitioned Delta; hive-migrated layouts):
+    # when a group's recorded schema omits the source field, its value
+    # materializes from the manifest partition tuple — the same
+    # metadata-valued read the Java implementation performs for
+    # migrated tables. Simple-typed sources only; anything else keeps
+    # the NULL fallback. Native tables (files retain the column) never
+    # enter this branch, so their plans are untouched.
+    identity_srcs = {
+        f.get("source-id"): f["name"]
+        for f in (default_spec or {}).get("fields", [])
+        if f.get("transform", "identity") == "identity"
+    }
+    _FILLABLE = {"int", "long", "string", "boolean", "float", "double"}
+
+    for idmap, gpaths in groups:
+        fills_needed = (
+            [
+                fj for fj in schema_json["fields"]
+                if fj["id"] in identity_srcs
+                and idmap is not None
+                and fj["id"] not in idmap
+                and isinstance(fj["type"], str)
+                and fj["type"] in _FILLABLE
+            ]
+            if idmap is not None
+            else []
+        )
+        if fills_needed and any(part_by_file.get(p) for p in gpaths):
+            # one scan per (group x partition tuple), typed literals
+            # injected — bounded by the table's live partition count,
+            # the delta scan's own _scan_adds bound
+            by_tuple: dict[tuple, list[str]] = {}
+            for p in gpaths:
+                pv = part_by_file.get(p) or {}
+                key = tuple(
+                    pv.get(identity_srcs[fj["id"]]) for fj in fills_needed
+                )
+                by_tuple.setdefault(key, []).append(p)
+            for key in sorted(by_tuple, key=str):
+                fill = {
+                    fj["id"]: v for fj, v in zip(fills_needed, key)
+                }
+                parts.append(
+                    _project_to_table(
+                        _tagged_scan(sorted(by_tuple[key])), idmap, fill
+                    )
+                )
+            continue
+        parts.append(_project_to_table(_tagged_scan(gpaths), idmap))
     if orc_paths:
         # ORC data files, NAME-resolved (pyarrow cannot probe iceberg
         # field ids from ORC column attributes, so rename evolution in
@@ -2570,13 +2631,16 @@ def sync_uniform_iceberg(
     Per-file ``record_count`` comes from the Delta adds' own stats
     (numRecords — no footer IO); the manifest carries the write-time
     schema stamp, so the Iceberg scan keeps the zero-footer-probe plan
-    path. Scope (refusals, never wrong rows): deletion vectors (an
-    Iceberg reader would resurrect the deleted rows — materialize with
-    OPTIMIZE first, which is what UniForm requires too), column
-    mapping (files store physical names an Iceberg-side schema can't
-    name-resolve), and partitioned tables (Delta's hive-layout files
-    LACK the partition column; identity-reading them needs
-    manifest-value materialization the scan doesn't do)."""
+    path. PARTITIONED Delta tables work: manifest entries carry typed
+    partition tuples parsed from the string partitionValues, and the
+    manifest's data-only schema stamp tells the scan the files LACK
+    the partition column, so it materializes the identity value from
+    the manifest tuple (the migrated-hive read shape). Scope
+    (refusals, never wrong rows): deletion vectors (an Iceberg reader
+    would resurrect the deleted rows — materialize with OPTIMIZE
+    first, which is what UniForm requires too), column mapping (files
+    store physical names an Iceberg-side schema can't name-resolve),
+    and non-int/long/string partition types."""
     import time as _time
 
     from gcs2postgres_spark.sources.delta_py import replay_head_state
@@ -2590,12 +2654,6 @@ def sync_uniform_iceberg(
         raise NotImplementedError(
             "UniForm over a columnMapping Delta table (files store "
             "physical names an Iceberg schema cannot name-resolve)"
-        )
-    if dmeta.get("partitionColumns"):
-        raise NotImplementedError(
-            "UniForm over a PARTITIONED Delta table (hive-layout files "
-            "lack the partition column; the Iceberg scan would read "
-            "NULLs)"
         )
     if any(a.get("deletionVector") for a in live.values()):
         raise NotImplementedError(
@@ -2617,6 +2675,39 @@ def sync_uniform_iceberg(
     spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
     schema_json = spark_to_iceberg_schema(spark_schema)
     schema_json["schema-id"] = 0
+    part_cols = list(dmeta.get("partitionColumns") or [])
+    # PARTITIONED Delta: hive-layout files LACK the partition columns,
+    # so (a) manifest entries carry the TYPED partition tuple parsed
+    # from Delta's string partitionValues, and (b) the manifest is
+    # stamped with a DATA-ONLY schema (id 1, same field ids) so the
+    # Iceberg scan knows those files omit the source column and
+    # materializes the identity value from the manifest tuple — the
+    # migrated-hive-table read shape.
+    part_avro: list[tuple[str, str]] = []
+    part_cast: dict[str, object] = {}
+    for c in part_cols:
+        ice_t = next(
+            f["type"] for f in schema_json["fields"] if f["name"] == c
+        )
+        if ice_t not in ("int", "long", "string"):
+            raise NotImplementedError(
+                f"UniForm over partition column {c!r} of type {ice_t!r} "
+                "(int/long/string identity partitions only)"
+            )
+        part_avro.append((c, ice_t))
+        part_cast[c] = int if ice_t in ("int", "long") else str
+    schemas = [schema_json]
+    stamp_sid = 0
+    if part_cols:
+        data_only = {
+            **schema_json,
+            "schema-id": 1,
+            "fields": [
+                f for f in schema_json["fields"] if f["name"] not in part_cols
+            ],
+        }
+        schemas = [schema_json, data_only]
+        stamp_sid = 1
     mdir = os.path.join(table_path, "metadata")
     fsio.makedirs(mdir)
     entries = []
@@ -2632,17 +2723,23 @@ def sync_uniform_iceberg(
                 rc = int(json.loads(st)["numRecords"])
             except (ValueError, TypeError, KeyError):
                 rc = None
+        pv_raw = add.get("partitionValues") or {}
+        partition = {
+            c: (part_cast[c](pv_raw[c]) if pv_raw.get(c) is not None else None)
+            for c in part_cols
+        }
         entries.append(
             _v2_entry(
                 full, content=0, seq=1, snapshot_id=sid,
                 record_count=rc,
                 file_size=int(add.get("size") or 0) or None,
+                partition=partition,
             )
         )
-    meta_stub = {"schemas": [schema_json], "current-schema-id": 0}
+    meta_stub = {"schemas": schemas, "current-schema-id": stamp_sid}
     manifest = os.path.join(mdir, _uniq(f"manifest-uniform-{sid}.avro"))
     write_avro_file(
-        manifest, MANIFEST_ENTRY_SCHEMA_V2, entries, codec="null",
+        manifest, manifest_entry_schema_v2(part_avro), entries, codec="null",
         extra_meta=_schema_stamp(meta_stub),
     )
     mlist = os.path.join(mdir, _uniq(f"snap-uniform-{sid}.avro"))
@@ -2678,11 +2775,27 @@ def sync_uniform_iceberg(
         "last-column-id": max(
             (f["id"] for f in schema_json["fields"]), default=0
         ),
-        "schemas": [schema_json],
+        "schemas": schemas,
         "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": next(
+                            f["id"] for f in schema_json["fields"]
+                            if f["name"] == c
+                        ),
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(part_cols)
+                ],
+            }
+        ],
         "default-spec-id": 0,
-        "last-partition-id": 999,
+        "last-partition-id": 999 + len(part_cols),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {

@@ -196,3 +196,23 @@ def test_uniform_iceberg_sync(spark, tmp_path):
 
     meta = _json.loads(open(latest_metadata_file(t)).read())
     assert meta["properties"]["delta.universalFormat.enabledFormats"] == "iceberg"
+
+
+def test_uniform_partitioned_delta(spark, tmp_path):
+    """Partitioned UniForm: hive-layout Delta files lack the partition
+    column; the Iceberg scan materializes identity values from the
+    manifest tuples (data-only schema stamp) and manifest-level
+    partition pruning works."""
+    from gcs2postgres_spark.sources.iceberg_py import sync_uniform_iceberg
+
+    t = str(tmp_path / "unip")
+    df = _df(spark, 0, 30).withColumn("p", (F.col("k") % 3).cast("long"))
+    write_delta(df, t, "overwrite", partition_by=["p"],
+                timestamp_ms=1_700_000_000_000)
+    sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_001_000)
+    a = sorted(tuple(r) for r in
+               read_delta_py(spark, t).select("k", "p", "v").collect())
+    b = sorted(tuple(r) for r in
+               read_iceberg_py(spark, t).select("k", "p", "v").collect())
+    assert a == b and len(a) == 30
+    assert read_iceberg_py(spark, t, partition_filter={"p": {1}}).count() == 10
