@@ -4435,6 +4435,200 @@ def delta_uniform_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         raise
 
 
+UNIFORM_MAPPED_ORACLE = """
+WITH both_commits AS (
+  SELECT CAST(c_custkey AS BIGINT)   AS key,
+         CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(c_acctbal AS DOUBLE)   AS balance
+  FROM customer
+  UNION ALL
+  SELECT CAST(c_custkey + 1000000 AS BIGINT),
+         CAST(c_nationkey AS BIGINT),
+         CAST(c_acctbal + 10.0 AS DOUBLE)
+  FROM customer WHERE c_nationkey < 5
+)
+SELECT nation,
+       count(*)                          AS n_rows,
+       CAST(sum(key) AS BIGINT)          AS key_sum,
+       ROUND(sum(balance), 2)            AS bal_sum
+FROM both_commits
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register("delta_uniform_mapped_roundtrip", oracle=UNIFORM_MAPPED_ORACLE)
+def delta_uniform_mapped_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 — UniForm over a COLUMN MAPPING Delta table (the r15
+    refusal is gone; columnMapping is default-on on modern writers):
+    a rename upgrades the table to mapping mode, a post-mapping append
+    lands PHYSICAL-named files, and ``sync_uniform_iceberg`` emits
+    Iceberg metadata whose field ids come from delta.columnMapping.id,
+    a physical-named schema stamp for this module's scan, and the
+    public spec's ``schema.name-mapping.default`` for foreign readers
+    (Iceberg spec, Name Mapping). The Iceberg read resolves physical
+    file columns back to logical names — exact vs the Delta reader and
+    the DuckDB oracle."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_rename_column,
+        read_delta_py,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        sync_uniform_iceberg,
+    )
+
+    customer = load_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS LONG) AS key",
+        "CAST(c_nationkey AS LONG) AS nation",
+        "CAST(c_acctbal AS DOUBLE) AS c_acctbal",
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_uniform_map_")
+    try:
+        write_delta(customer, tmp, "overwrite", timestamp_ms=1_700_000_000_000)
+        # rename upgrades to columnMapping (balance's physicalName
+        # stays c_acctbal — files on disk keep physical names)
+        alter_delta_rename_column(spark, tmp, "c_acctbal", "balance")
+        write_delta(
+            customer.where("nation < 5").selectExpr(
+                "key + 1000000 AS key", "nation",
+                "c_acctbal + 10.0 AS balance",
+            ),
+            tmp, "append", timestamp_ms=1_700_000_001_000,
+        )
+        sync_uniform_iceberg(spark, tmp, snapshot_ts_ms=1_700_000_002_000)
+        via_iceberg = read_iceberg_py(spark, tmp)
+        if via_iceberg.count() != read_delta_py(spark, tmp).count():
+            raise AssertionError("iceberg and delta reads disagree")
+        return (
+            via_iceberg.groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+                F.round(F.sum("balance"), 2).alias("bal_sum"),
+            )
+            .orderBy("nation")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+UNIFORM_DV_ORACLE = """
+SELECT CAST(o_orderpriority AS VARCHAR)  AS priority,
+       count(*)                          AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT)   AS key_sum
+FROM orders
+WHERE o_orderkey % 4 <> 0
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register("delta_uniform_dv_roundtrip", oracle=UNIFORM_DV_ORACLE)
+def delta_uniform_dv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 — UniForm over DELETION VECTORS (the r15 OPTIMIZE-first
+    refusal is gone): Delta DVs and Iceberg v3 DVs share the 64-bit
+    roaring portable bitmap, so the sync decodes each add's DV and
+    re-renders it as a ``deletion-vector-v1`` Puffin blob referenced
+    from a delete manifest (format-version 3). The Iceberg scan
+    anti-joins the decoded positions — deleted rows stay deleted with
+    NO data rewrite, exact vs the oracle."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import (
+        delete_where_delta,
+        write_delta,
+    )
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        sync_uniform_iceberg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_orderkey AS LONG) AS key",
+        "CAST(o_orderpriority AS STRING) AS priority",
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_uniform_dv_")
+    try:
+        write_delta(orders, tmp, "overwrite", timestamp_ms=1_700_000_000_000)
+        delete_where_delta(spark, tmp, "key % 4 = 0",
+                           timestamp_ms=1_700_000_001_000)
+        sync_uniform_iceberg(spark, tmp, snapshot_ts_ms=1_700_000_002_000)
+        return (
+            read_iceberg_py(spark, tmp)
+            .groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+            )
+            .orderBy("priority")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+UNIFORM_MANYPART_ORACLE = """
+SELECT CAST(o_orderkey % 64 AS BIGINT)  AS bucket,
+       count(*)                         AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT)  AS key_sum
+FROM orders
+GROUP BY o_orderkey % 64
+ORDER BY bucket
+"""
+
+
+@register("delta_uniform_many_partitions_roundtrip",
+          oracle=UNIFORM_MANYPART_ORACLE)
+def delta_uniform_many_partitions_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r16 — partitioned UniForm ABOVE the union-arm cap: 64 distinct
+    partition tuples (> _MAX_UNION_ARMS=32) force the fills branch onto
+    the file-index plan — ONE multi-path scan + a broadcast
+    file->partition-value join, O(1) in partition count (Catalyst
+    analysis explodes superlinearly in union arms; a 10^4-partition
+    table must never build 10^4 of them). The query pins the plan shape
+    (zero Union nodes) AND the values: partition columns materialized
+    through the join must be exact per row."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.plans.inspect import formatted_plan
+    from gcs2postgres_spark.sources.delta_py import write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        sync_uniform_iceberg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_orderkey AS LONG) AS key",
+        "CAST(o_orderkey % 64 AS LONG) AS bucket",
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_uniform_many_")
+    try:
+        write_delta(orders.repartition("bucket"), tmp, "overwrite",
+                    partition_by=["bucket"], timestamp_ms=1_700_000_000_000)
+        sync_uniform_iceberg(spark, tmp, snapshot_ts_ms=1_700_000_001_000)
+        via_iceberg = read_iceberg_py(spark, tmp)
+        plan = formatted_plan(via_iceberg)
+        if "Union" in plan:
+            raise AssertionError(
+                "high-cardinality UniForm read built a literal union"
+            )
+        return (
+            via_iceberg.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+            )
+            .orderBy("bucket")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 FSCK_REPAIR_ORACLE = """
 SELECT CAST(n_regionkey AS BIGINT)      AS region,
        count(*)                         AS n_rows,

@@ -24,7 +24,8 @@ Scope honesty: executor-side reads go through pyarrow (the Python
 DataSource contract), so the BATCH fast path remains
 ``read_delta_py`` / ``read_iceberg_py`` (JVM parquet scan, deletion
 vectors, column mapping, field-id resolution). The batch DataSource
-refuses DV/column-mapping tables with a pointer to the fast path; the
+reads DV'd and column-mapped tables too (r15), and the streaming SINK
+appends to mapped tables with physical-named staging (r16); the
 streaming sources are the real value — Spark has no other way to
 stream these tables without the connector jars.
 
@@ -215,7 +216,22 @@ def make_delta_py_datasource():
             if t == "map":
                 keys = to_logical(arr.keys, jtype["keyType"])
                 items = to_logical(arr.items, jtype["valueType"])
-                return pa.MapArray.from_arrays(arr.offsets, keys, items)
+                m = pa.MapArray.from_arrays(arr.offsets, keys, items)
+                if arr.null_count:
+                    # MapArray.from_arrays has NO mask parameter (unlike
+                    # the struct/list builders above), so the rebuild
+                    # silently reads NULL maps back as EMPTY maps —
+                    # reattach validity by taking through a null-masked
+                    # index vector (take of a null index yields null,
+                    # vectorized, any nesting)
+                    import numpy as np
+
+                    idx = pa.array(
+                        np.arange(len(arr), dtype="int64"),
+                        mask=arr.is_null().to_numpy(zero_copy_only=False),
+                    )
+                    m = m.take(idx)
+                return m
             return arr
 
         arrow_of = {
@@ -260,10 +276,16 @@ def make_delta_py_datasource():
                     f"deletion vector for {part.path!r} decoded "
                     f"{len(positions)} positions, descriptor says {card}"
                 )
-            dead = set(positions)
-            out = out.filter(
-                pa.array([i not in dead for i in range(n)], type=pa.bool_())
-            )
+            # vectorized keep-mask: a boolean scatter over the dead
+            # positions (a per-row Python comprehension here is O(rows)
+            # interpreted work per DV'd file — ~100x the CPU on 1M-row
+            # files)
+            import numpy as np
+
+            keep = np.ones(n, dtype=bool)
+            pos = np.fromiter(positions, dtype=np.int64, count=len(positions))
+            keep[pos[pos < n]] = False
+            out = out.filter(pa.array(keep))
         yield from out.to_batches()
 
     class _DeltaBatchReader(DataSourceReader):
@@ -489,18 +511,22 @@ def make_delta_py_datasource():
                 )
             raw = self.options.get("partitionBy", "")
             declared = [c.strip() for c in raw.split(",") if c.strip()]
+            phys_of: dict[str, str] = {}
             try:
                 _, meta = self._meta()
                 if (meta.get("configuration") or {}).get(
                     "delta.columnMapping.mode", "none"
                 ) != "none":
-                    # the sink stages files under LOGICAL names; a mapped
-                    # table needs physical names — refuse, never corrupt
-                    raise NotImplementedError(
-                        "delta_py stream sink on a columnMapping table "
-                        "(staged files must store physical names) — use "
-                        "write_delta/cdc_apply"
-                    )
+                    # columnMapping table (r16 — the refusal is gone):
+                    # staged files must store PHYSICAL column names and
+                    # physical hive-dir/partitionValues keys; the sink
+                    # only handles top-level primitive columns, so a
+                    # flat logical->physical rename map suffices (nested
+                    # types refuse in write() regardless of mapping)
+                    phys_of = {
+                        f["name"]: _phys_name_json(f)
+                        for f in json.loads(meta["schemaString"])["fields"]
+                    }
                 part_cols = list(meta.get("partitionColumns") or [])
                 if "partitionBy" in self.options and declared != part_cols:
                     raise ValueError(
@@ -511,7 +537,9 @@ def make_delta_py_datasource():
             except FileNotFoundError:
                 # fresh table: partitioning comes from the sink option
                 part_cols = declared
-            return _DeltaStreamWriter(self.options, schema.json(), part_cols)
+            return _DeltaStreamWriter(
+                self.options, schema.json(), part_cols, phys_of
+            )
 
     class _StageMsg(WriterCommitMessage):
         def __init__(self, entries):
@@ -530,10 +558,15 @@ def make_delta_py_datasource():
         constraints are a jar-less write_delta/cdc_apply feature, not
         enforced here."""
 
-        def __init__(self, options, schema_json, part_cols):
+        def __init__(self, options, schema_json, part_cols, phys_of=None):
             self.table = options["path"]
             self.schema_json = schema_json
             self.part_cols = part_cols
+            # {logical: physical} under columnMapping — staged FILE
+            # columns, hive dir names, and partitionValues keys all use
+            # the physical side (the protocol's mapped-table contract);
+            # empty for unmapped tables (identity)
+            self.phys_of = phys_of or {}
             self.app_id = options.get(
                 "txnAppId", f"delta_py_stream_sink:{os.path.abspath(options['path'])}"
             )
@@ -563,7 +596,9 @@ def make_delta_py_datasource():
                     f"delta_py stream sink: partition columns {missing} "
                     "absent from the stream schema"
                 )
-            data_names, data_types = [], []
+            # row access stays LOGICAL (the stream's schema); the staged
+            # file's column names are PHYSICAL under columnMapping
+            data_names, file_names, data_types = [], [], []
             for f in fields:
                 t = f["type"] if isinstance(f["type"], str) else None
                 if t not in arrow_of:
@@ -573,7 +608,9 @@ def make_delta_py_datasource():
                     )
                 if f["name"] not in self.part_cols:
                     data_names.append(f["name"])
+                    file_names.append(self.phys_of.get(f["name"], f["name"]))
                     data_types.append(arrow_of[t])
+            part_keys = [self.phys_of.get(c, c) for c in self.part_cols]
 
             def pv_str(v):
                 # protocol: partitionValues serialize as strings
@@ -599,8 +636,10 @@ def make_delta_py_datasource():
                     buf[i].append(row[name])
             entries = []
             for key, buf in groups.items():
+                # hive dirs + partitionValues keys use the PHYSICAL
+                # names (how delta-spark's mapped writer lays files out)
                 sub = "/".join(
-                    f"{c}={v}" for c, v in zip(self.part_cols, key)
+                    f"{c}={v}" for c, v in zip(part_keys, key)
                 )
                 rel_dir = sub if sub else ""
                 rel = os.path.join(
@@ -611,12 +650,12 @@ def make_delta_py_datasource():
                 pq.write_table(
                     pa.table(
                         [pa.array(c, type=t) for c, t in zip(buf, data_types)],
-                        names=data_names,
+                        names=file_names,
                     ),
                     full, compression="snappy",
                 )
                 entries.append(
-                    (rel, dict(zip(self.part_cols, key)), os.path.getsize(full))
+                    (rel, dict(zip(part_keys, key)), os.path.getsize(full))
                 )
             return _StageMsg(entries)
 

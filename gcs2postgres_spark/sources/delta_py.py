@@ -2577,11 +2577,14 @@ def _stats_spark_job(
     across partition directories, so a basename key would collapse
     colliding files and misattribute min/max bounds — which can make
     stats-skipping silently drop files that DO contain matching rows.
-    A failed stats scan over files this commit just wrote is an internal
-    error and propagates — committing adds with missing/zero stats would
-    corrupt numRecords-derived row tracking."""
+    Relativization matches the FULL staging prefix (fsio.relativize),
+    never a basename token: an ancestor directory sharing the staging
+    dir's basename would shift a token split and silently desync keys
+    from the caller's manifest entries. A stats row that cannot be
+    relativized, or a failed stats scan over files this commit just
+    wrote, is an internal error and propagates — committing adds with
+    missing/zero stats would corrupt numRecords-derived row tracking."""
     cols = [f.name for f in data_fields if f.dataType.typeName() in _STATS_TYPES]
-    token = staging.rstrip("/").rsplit("/", 1)[-1] + "/"
     staged = spark.read.option("basePath", staging).parquet(staging)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
@@ -2611,11 +2614,12 @@ def _stats_spark_job(
             if lo is not None and hi is not None:
                 mins[c], maxs[c] = lo, hi
             nulls[c] = int(r[f"__nc_{c}"] or 0)
-        raw = (
-            r["__f"].split(token, 1)[1]
-            if token in r["__f"]
-            else r["__f"].rsplit("/", 1)[-1]
-        )
+        raw = fsio.relativize(r["__f"], staging)
+        if raw is None:
+            raise RuntimeError(
+                f"staged-stats desync: {r['__f']!r} is not under the "
+                f"staging dir {staging!r}"
+            )
         # index under both the raw URI-relative form and the unquoted
         # form: the caller's listing (Hadoop getPath().toString() or
         # posix walk) and input_file_name() may disagree on percent-
@@ -2673,8 +2677,13 @@ def _stage_data_files(
         stats_by_rel = (
             _stats_spark_job(spark, staging, data_fields) if files else {}
         )
+        claimed: set[str] = set()
         for full, sz in files:
-            rel = full.split(f"{prefix}/", 1)[1]
+            rel = fsio.relativize(full, staging)
+            if rel is None:
+                raise RuntimeError(
+                    f"staged file {full!r} is not under staging {staging!r}"
+                )
             segs = rel.split("/")
             pv = {}
             for seg in segs[:-1]:
@@ -2691,9 +2700,22 @@ def _stage_data_files(
             # look up by the SAME staging-relative path the stats job
             # keyed on — basenames collide across partition directories
             st = stats_by_rel.get(rel) or stats_by_rel.get(unquote(rel))
+            claimed.update({rel, unquote(rel)})
             if st:
                 add["stats"] = st
             adds.append({"add": add})
+        # every stats row must belong to a listed file (a missing STATS
+        # key is legitimate — zero-row parts yield no group row — but a
+        # stats key no listing claims means the two sides relativized
+        # differently, the silent desync this assert turns loud)
+        unclaimed = {unquote(k) for k in stats_by_rel} - {
+            unquote(c) for c in claimed
+        }
+        if unclaimed:
+            raise RuntimeError(
+                f"staged-stats desync: {len(unclaimed)} stats rows match "
+                f"no listed staged file, e.g. {sorted(unclaimed)[:3]}"
+            )
         # no move: the staged names ARE the final names (unique per
         # commit); _SUCCESS markers are dropped lazily by vacuum
         return adds
@@ -4714,11 +4736,17 @@ def convert_to_delta(
     # partition-aware schema inference: hive segments come back as
     # TYPED columns; their names define partitionColumns
     df = spark.read.option("basePath", dir_path).parquet(dir_path)
-    root = dir_path.rstrip("/")
-    token = root.rsplit("/", 1)[-1] + "/"
 
     def _rel(full: str) -> str:
-        return full.split(token, 1)[1] if token in full else os.path.basename(full)
+        # full-prefix relativization (fsio.relativize), never a basename
+        # token — dir_path is USER-provided, so an ancestor sharing its
+        # basename is a real layout (e.g. /data/tbl/data/...)
+        rel = fsio.relativize(full, dir_path)
+        if rel is None:
+            raise RuntimeError(
+                f"listed file {full!r} is not under {dir_path!r}"
+            )
+        return rel
 
     detected: list[str] = []
     for seg in _rel(listed[0][0]).split("/")[:-1]:
@@ -4862,20 +4890,39 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
     if not commits:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
     best = None
+    prev = None
     for v in sorted(commits):
-        ts = 0
+        ts = None
         for line in fsio.read_text(commits[v]).splitlines():
             if not line.strip():
                 continue
             a = json.loads(line)
             if "commitInfo" in a:
                 ci = a["commitInfo"]
-                ts = int(ci.get("inCommitTimestamp", ci.get("timestamp", 0)))
+                raw = ci.get("inCommitTimestamp", ci.get("timestamp"))
+                if raw is not None:
+                    ts = int(raw)
                 break
+        if ts is None:
+            # no recoverable timestamp (commitInfo is OPTIONAL in the
+            # protocol): this version can't anchor a timestamp lookup —
+            # skipping it beats counting it as ts=0, which would make a
+            # late commit wrongly become "best" for any target
+            continue
+        # MONOTONIZE: commitInfo.timestamp is wall-clock per writer, and
+        # clock skew between writers (no ICT) can make version N+1 carry
+        # an EARLIER stamp than N. delta-spark's history adjustment is a
+        # running max — apply the same here so a later qualifying
+        # version is never unreachable behind a skewed early-exit
+        if prev is not None and ts < prev:
+            ts = prev
+        prev = ts
         if ts <= ts_ms:
             best = v
-        else:
-            break
+        # no early break on ts > ts_ms alone: adjusted stamps are
+        # monotonic, so later versions can't qualify once one exceeds
+        # the target — but the scan is O(commits) driver metadata
+        # either way and the straight walk keeps the logic obvious
     if best is None:
         raise ValueError(
             f"no commit of {table_path!r} at or before timestamp {ts_ms}"

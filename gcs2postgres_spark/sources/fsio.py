@@ -111,6 +111,132 @@ def read_bytes(path: str) -> bytes:
         stream.close()
 
 
+def read_range(path: str, offset: int, length: int) -> bytes:
+    """Up to ``length`` bytes of a file starting at ``offset`` — a
+    BOUNDED partial read (fewer bytes come back at EOF). Posix paths
+    seek+read; scheme'd paths prefer the owning LogStore's
+    ``read_range`` when it defines one (an HTTP Range GET on GCS/S3 —
+    one bounded round trip), else fall back to a positioned read
+    through the Hadoop FileSystem stream. This is the plan-time
+    footer/header probe seam: ORC postscripts and Avro headers are
+    KB-scale, and downloading whole multi-GB data files to the driver
+    just to read them is the serial wall the parquet schema-id-group
+    work already eliminated."""
+    if length <= 0:
+        return b""
+    if not has_scheme(path):
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+    from gcs2postgres_spark.sources import logstore
+
+    try:
+        store = logstore.log_store_for(path)
+    except NotImplementedError:
+        store = None
+    rr = getattr(store, "read_range", None)
+    if callable(rr):
+        return rr(path, offset, length)
+    fs, p, jvm = _fs(path)
+    n = min(length, max(0, int(fs.getFileStatus(p).getLen()) - offset))
+    if n == 0:
+        return b""
+    stream = fs.open(p)
+    try:
+        stream.seek(offset)
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream, n))
+    finally:
+        stream.close()
+
+
+class RangeReader:
+    """Seekable read-only file-like over ``read_range`` — hand it to
+    pyarrow (``orc.ORCFile``) or the avro header parser and they pull
+    only the byte ranges they actually touch (postscript+footer, header
+    block), each as one bounded request, instead of the whole object.
+    Driver-side plan probes only; data reads stay distributed."""
+
+    def __init__(self, path: str, file_size: int | None = None) -> None:
+        self._path = path
+        self._size = size(path) if file_size is None else int(file_size)
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    @property
+    def closed(self) -> bool:  # pyarrow PythonFile probes this
+        return False
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"bad whence: {whence}")
+        self._pos = max(0, min(self._pos, self._size))
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        data = read_range(self._path, self._pos, n)
+        self._pos += len(data)
+        return data
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def relativize(full: str, base: str) -> str | None:
+    """The ``base``-relative form of ``full``, or None when ``full`` is
+    not under ``base`` — matching on the FULL directory prefix, never a
+    basename token (an ancestor directory sharing the staging dir's
+    basename must not shift the split point: a wrong key silently
+    desyncs staged-file stats from their manifest entries). Tolerant of
+    the two renderings the callers actually see disagree on:
+    ``file:``-scheme prefixes (input_file_name URIs vs posix walks) and
+    percent-encoding of partition-dir values."""
+    from urllib.parse import unquote as _unq
+
+    def forms(p: str) -> list[str]:
+        out: list[str] = []
+        for q in (p, _unq(p)):
+            m = re.match(r"^file:(//)?(/.*)$", q)
+            for r in ([q, m.group(2)] if m else [q]):
+                if r not in out:
+                    out.append(r)
+        return out
+
+    bases = [b.rstrip("/") + "/" for b in forms(base)]
+    for f in forms(full):
+        for b in bases:
+            if f.startswith(b):
+                return f[len(b):]
+    return None
+
+
 def join(base: str, *parts: str) -> str:
     """Path join that preserves URI schemes (os.path.join is fine for
     both cases on posix-style separators, which Hadoop paths use)."""

@@ -62,7 +62,7 @@ import re
 import shutil
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -249,6 +249,159 @@ def spark_to_iceberg_schema(schema: T.StructType) -> dict:
     return conv(schema)
 
 
+_DELTA_PRIM_TO_ICE = {
+    "integer": "int", "short": "int", "byte": "int", "long": "long",
+    "double": "double", "float": "float", "boolean": "boolean",
+    "date": "date", "string": "string", "binary": "binary",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+    "variant": "variant",
+}
+
+
+def _delta_mapping_to_iceberg(delta_schema: dict) -> tuple[dict, dict, list]:
+    """(logical Iceberg schema JSON, PHYSICAL-named twin with the SAME
+    field ids, Iceberg name-mapping) from a columnMapping Delta
+    schemaString. Field ids come straight from ``delta.columnMapping.id``
+    — the same id reuse real UniForm performs, so ids stay stable
+    across re-syncs by construction. Physical names come from
+    ``delta.columnMapping.physicalName`` at every struct depth (Delta
+    physical-renames nested struct fields too). Delta assigns NO ids to
+    list elements / map keys+values; those are minted deterministically
+    after the max mapping id in walk order, identically for both twins.
+    The name-mapping is the public spec's ``schema.name-mapping.default``
+    shape ([{"field-id", "names", "fields"?}]) keyed by PHYSICAL names —
+    what a foreign Iceberg reader needs to resolve these id-less parquet
+    files (Iceberg spec, "Name Mapping Serialization")."""
+
+    def _max_id(jt) -> int:
+        if isinstance(jt, dict):
+            if jt["type"] == "struct":
+                m = 0
+                for f in jt["fields"]:
+                    fid = int((f.get("metadata") or {}).get(
+                        "delta.columnMapping.id", 0))
+                    m = max(m, fid, _max_id(f["type"]))
+                return m
+            if jt["type"] == "array":
+                return _max_id(jt["elementType"])
+            if jt["type"] == "map":
+                return max(_max_id(jt["keyType"]), _max_id(jt["valueType"]))
+        return 0
+
+    base = _max_id(delta_schema)
+    nxt = [base]
+
+    def mint() -> int:
+        nxt[0] += 1
+        return nxt[0]
+
+    def conv_type(jt, use_phys: bool):
+        if isinstance(jt, str):
+            m = re.match(r"decimal\((\d+),\s*(\d+)\)", jt)
+            if m:
+                return f"decimal({m.group(1)}, {m.group(2)})"
+            if jt in _DELTA_PRIM_TO_ICE:
+                return _DELTA_PRIM_TO_ICE[jt]
+            raise NotImplementedError(f"UniForm: delta type {jt!r}")
+        t = jt["type"]
+        if t == "struct":
+            return {
+                "type": "struct",
+                "fields": [conv_field(f, use_phys) for f in jt["fields"]],
+            }
+        if t == "array":
+            eid = mint()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element-required": False,
+                "element": conv_type(jt["elementType"], use_phys),
+            }
+        if t == "map":
+            kid, vid = mint(), mint()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "value-id": vid,
+                "key": conv_type(jt["keyType"], use_phys),
+                "value-required": False,
+                "value": conv_type(jt["valueType"], use_phys),
+            }
+        raise NotImplementedError(f"UniForm: delta type {t!r}")
+
+    def conv_field(f, use_phys: bool) -> dict:
+        md = f.get("metadata") or {}
+        fid = md.get("delta.columnMapping.id")
+        if fid is None:
+            # unstamped field (upgraded tables stamp top-level fields;
+            # NESTED struct fields may carry no mapping metadata, in
+            # which case their physical name IS the logical name):
+            # mint a deterministic id after the max stamped id — both
+            # twins walk identically, so ids agree
+            fid = mint()
+        name = (
+            md.get("delta.columnMapping.physicalName", f["name"])
+            if use_phys else f["name"]
+        )
+        # nullability relaxes to OPTIONAL throughout: parquet reads
+        # every field back nullable and Spark's struct cast refuses to
+        # inject NOT NULL into nested fields — optional is the safe
+        # superset (same rows, no constraint violated)
+        return {
+            "id": int(fid),
+            "name": name,
+            "required": False,
+            "type": conv_type(f["type"], use_phys),
+        }
+
+    def build(use_phys: bool) -> dict:
+        nxt[0] = base  # both twins mint identical element/key/value ids
+        return {
+            "type": "struct",
+            "fields": [conv_field(f, use_phys) for f in delta_schema["fields"]],
+        }
+
+    def nm_field(lf: dict, pf: dict) -> dict:
+        # derive from the built twins so minted ids are included
+        e = {"field-id": lf["id"], "names": [pf["name"]]}
+        if isinstance(lf["type"], dict) and lf["type"]["type"] == "struct":
+            e["fields"] = [
+                nm_field(a, b)
+                for a, b in zip(lf["type"]["fields"], pf["type"]["fields"])
+            ]
+        return e
+
+    logical = build(False)
+    physical = build(True)
+    name_mapping = [
+        nm_field(a, b) for a, b in zip(logical["fields"], physical["fields"])
+    ]
+    return logical, physical, name_mapping
+
+
+def _name_mapping_ids(meta: dict) -> dict[str, int]:
+    """TOP-LEVEL {file column name: field id} from the table's
+    ``schema.name-mapping.default`` property (empty when absent/bad) —
+    the probe-side fallback that lets id-less parquet files written
+    under physical names resolve by id (rename-safe) instead of by
+    name. Nested resolution rides the per-column struct cast."""
+    raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not raw:
+        return {}
+    try:
+        entries = json.loads(raw)
+    except (ValueError, TypeError):
+        return {}
+    out: dict[str, int] = {}
+    for e in entries if isinstance(entries, list) else []:
+        fid = e.get("field-id")
+        if fid is None:
+            continue
+        for n in e.get("names") or []:
+            out[n] = int(fid)
+    return out
+
+
 # ------------------------------------------------------------- metadata walk
 
 
@@ -369,6 +522,7 @@ def read_iceberg_py(
     ref: str | None = None,
     stats_filter: dict[str, tuple] | None = None,
     _with_row_ids: bool = False,
+    _preloaded_meta: dict | None = None,
 ) -> DataFrame:
     """Read an Iceberg table without the runtime jar (v1 and v2).
 
@@ -413,8 +567,15 @@ def read_iceberg_py(
     purely an optimization: callers still apply the predicate as a
     normal row filter.
     """
-    meta_path = latest_metadata_file(table_path)
-    meta = json.loads(fsio.read_text(meta_path))
+    if _preloaded_meta is not None:
+        # catalog-resolved read (REST catalog LoadTableResult carries
+        # the full metadata): skip the version-hint walk — the CATALOG
+        # is the commit pointer for such tables, not the file layout
+        meta_path = "<catalog>"
+        meta = _preloaded_meta
+    else:
+        meta_path = latest_metadata_file(table_path)
+        meta = json.loads(fsio.read_text(meta_path))
     location = meta.get("location")
 
     # table schema: v2 keeps a list + current-schema-id; v1 a single schema
@@ -675,10 +836,12 @@ def read_iceberg_py(
             if src is None and fill and fjson["id"] in fill:
                 # identity partition value materialized from the
                 # manifest tuple (the file lacks the source column —
-                # migrated hive layouts, UniForm over partitioned Delta)
-                cols.append(
-                    F.lit(fill[fjson["id"]]).cast(field.dataType).alias(field.name)
-                )
+                # migrated hive layouts, UniForm over partitioned
+                # Delta); a Column means the file-index-join path
+                # already recovered it per file
+                val = fill[fjson["id"]]
+                vcol = val if isinstance(val, Column) else F.lit(val)
+                cols.append(vcol.cast(field.dataType).alias(field.name))
             elif src is None:
                 cols.append(_missing_column_lit(fjson, field.dataType).alias(field.name))
             else:
@@ -726,9 +889,6 @@ def read_iceberg_py(
             else []
         )
         if fills_needed and any(part_by_file.get(p) for p in gpaths):
-            # one scan per (group x partition tuple), typed literals
-            # injected — bounded by the table's live partition count,
-            # the delta scan's own _scan_adds bound
             by_tuple: dict[tuple, list[str]] = {}
             for p in gpaths:
                 pv = part_by_file.get(p) or {}
@@ -736,6 +896,26 @@ def read_iceberg_py(
                     pv.get(identity_srcs[fj["id"]]) for fj in fills_needed
                 )
                 by_tuple.setdefault(key, []).append(p)
+            if len(by_tuple) > _MAX_UNION_ARMS:
+                # HIGH-CARDINALITY partitioning: the per-tuple
+                # literal-union plan explodes Catalyst analysis
+                # superlinearly in arm count (the delta scan documents
+                # the same wall at _scan_file_index), so above the
+                # threshold switch to ONE multi-path scan + a broadcast
+                # file->partition-value map join — O(1) in partition
+                # count, one map row per live data file (metadata the
+                # manifest walk already holds)
+                parts.append(
+                    _fills_file_index(
+                        spark, by_tuple, fills_needed, idmap, need_tag,
+                        _project_to_table,
+                    )
+                )
+                continue
+            # LOW cardinality: one scan per (group x partition tuple),
+            # typed literals injected — partition-column filters then
+            # fold at plan time and eliminate whole arms (zero I/O),
+            # which the join form cannot do
             for key in sorted(by_tuple, key=str):
                 fill = {
                     fj["id"]: v for fj, v in zip(fills_needed, key)
@@ -813,6 +993,78 @@ def read_iceberg_with_row_ids(spark: SparkSession, table_path: str) -> DataFrame
     return read_iceberg_py(spark, table_path, _with_row_ids=True)
 
 
+# Above this many distinct partition TUPLES, the per-tuple literal-union
+# plan in read_iceberg_py's fills branch is replaced by ONE multi-path
+# scan + a broadcast file->partition-value map join: Catalyst's analysis
+# cost grows superlinearly in union arms, so a 10^3-10^4-partition
+# UniForm/migrated-hive table would explode the PLAN long before any
+# I/O. Below it, literal injection is kept — partition-column filters
+# then fold at plan time and eliminate whole arms (zero I/O). Same
+# threshold and rationale as the delta scan's _MAX_UNION_ARMS
+# (sources/delta_py.py).
+_MAX_UNION_ARMS = 32
+
+
+def _fills_file_index(
+    spark: SparkSession,
+    by_tuple: dict[tuple, list[str]],
+    fills_needed: list[dict],
+    idmap: dict[int, str] | None,
+    need_tag: bool,
+    _project_to_table,
+) -> DataFrame:
+    """File-index scan for HIGH-CARDINALITY identity partitioning when
+    the data files LACK the partition source columns (UniForm over
+    partitioned Delta; migrated hive layouts): one
+    ``spark.read.parquet(*all_files)`` over every live file, partition
+    values recovered by broadcast-joining a (file_path -> partition
+    tuple) map derived from the manifests — one map row per data file,
+    the same metadata bound the manifest walk already materialized.
+    The plan is O(1) in partition count; delta-spark's TahoeFileIndex
+    scan (and this repo's delta twin, _scan_file_index) has the same
+    shape."""
+    from pyspark.sql.types import StringType, StructField
+    from pyspark.sql.types import StructType as _St
+
+    map_rows = []
+    all_paths: list[str] = []
+    for key, paths in by_tuple.items():
+        svals = tuple(None if v is None else str(v) for v in key)
+        for p in paths:
+            all_paths.append(p)
+            map_rows.append((_norm_path(p), *svals))
+    pmap = F.broadcast(
+        spark.createDataFrame(
+            map_rows,
+            _St(
+                [StructField("__fill_fp", StringType(), False)]
+                + [
+                    StructField(f"__fill_{fj['id']}", StringType(), True)
+                    for fj in fills_needed
+                ]
+            ),
+        )
+    )
+    df = spark.read.parquet(*sorted(all_paths)).select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), r"^file:(//)?", ""
+        ).alias("__ice_fp"),
+        *(
+            [F.col("_metadata.row_index").alias("__ice_pos")]
+            if need_tag
+            else []
+        ),
+    )
+    df = df.join(pmap, df["__ice_fp"] == pmap["__fill_fp"], "inner").drop(
+        "__fill_fp"
+    )
+    fill = {
+        fj["id"]: F.col(f"__fill_{fj['id']}") for fj in fills_needed
+    }
+    return _project_to_table(df, idmap, fill)
+
+
 def _schema_id_groups(
     paths: list[str], file_schema_id: dict[str, int], meta: dict
 ) -> list[tuple[dict[int, str] | None, list[str]]]:
@@ -842,17 +1094,22 @@ def _schema_id_groups(
         }
         out.append((idmap or None, sorted(by_sid[s])))
     if probe:
-        out.extend(_group_by_field_ids(sorted(probe)))
+        out.extend(_group_by_field_ids(sorted(probe), _name_mapping_ids(meta)))
     return out
 
 
-def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, list[str]]]:
+def _group_by_field_ids(
+    paths: list[str], name_to_id: dict[str, int] | None = None
+) -> list[tuple[dict[int, str] | None, list[str]]]:
     """Group parquet paths by their top-level (column name, field id,
     physical type) footer signature; returns [(id->name map or None,
     paths)]. Files written without ids resolve by name within their
-    group; ANY probe failure collapses to one name-resolved group — the
-    conservative pre-field-id behavior (which also forfeits mixed-width
-    type-promotion reads, hence probe-first)."""
+    group — unless the table carries a ``schema.name-mapping.default``
+    (``name_to_id``), whose mapping supplies the missing ids (the spec's
+    rule for files with no embedded ids). ANY probe failure collapses to
+    one name-resolved group — the conservative pre-field-id behavior
+    (which also forfeits mixed-width type-promotion reads, hence
+    probe-first)."""
     try:
         import pyarrow.parquet as pq
 
@@ -863,6 +1120,8 @@ def _group_by_field_ids(paths: list[str]) -> list[tuple[dict[int, str] | None, l
             for f in sch:
                 md = f.metadata or {}
                 fid = md.get(b"PARQUET:field_id")
+                if fid is None and name_to_id:
+                    fid = name_to_id.get(f.name)
                 # physical type joins the signature: after a TYPE
                 # PROMOTION (int->long, float->double) old and new files
                 # differ in width, and one mixed scan would fail with
@@ -911,7 +1170,13 @@ def _scan_orc_groups(
     sig_paths: dict[tuple, list[str]] = {}
     for p in paths:
         if fsio.has_scheme(p):
-            sch = _orc.ORCFile(io.BytesIO(fsio.read_bytes(p))).schema
+            # BOUNDED probe: the ORC reader pulls only the byte ranges
+            # it touches for .schema (postscript + footer, KB-scale)
+            # through ranged reads — never the whole object to the
+            # driver (at 10^4 remote files a full-object fetch per file
+            # is the serial plan-time wall the parquet schema-id-group
+            # work eliminated)
+            sch = _orc.ORCFile(fsio.RangeReader(p)).schema
         else:
             sch = _orc.ORCFile(p).schema
         sig = tuple((f.name, str(f.type)) for f in sch)
@@ -990,8 +1255,12 @@ def _scan_avro_groups(
     sig_paths: dict[tuple, list[str]] = {}
     for p in paths:
         if fsio.has_scheme(p):
-            buf = io.BytesIO(fsio.read_bytes(p))
-            schema, _codec, _sync = _avro._read_header(buf)
+            # BOUNDED probe: the grow-loop reads the 64 KiB header
+            # block (doubling only for outsized schema JSON) through
+            # ranged reads — never the whole object to the driver
+            schema, _codec, _sync, _end = _avro._read_header_grow(
+                fsio.RangeReader(p)
+            )
         else:
             with open(p, "rb") as f:
                 schema, _codec, _sync, _end = _avro._read_header_grow(f)
@@ -2568,15 +2837,30 @@ def add_files(
     )
     if fsio.has_scheme(src_dir):
         stats = _staged_stats_spark(spark, src_dir, bounds_spec)
-        token = src_dir.rstrip("/").rsplit("/", 1)[-1] + "/"
         entries = []
+        claimed: set[str] = set()
         for p, sz in files:
-            rel = p.split(token, 1)[1] if token in p else os.path.basename(p)
+            # full-prefix relativization — src_dir is USER-provided, so
+            # an ancestor sharing its basename (table under .../data-3/
+            # with staging dir data-3) must not shift a token split and
+            # desync these keys from the stats job's
+            rel = fsio.relativize(p, src_dir)
+            if rel is None:
+                raise RuntimeError(
+                    f"add_files: listed {p!r} is not under {src_dir!r}"
+                )
             st = stats.get(rel) or stats.get(unquote(rel)) or {}
+            claimed.update({unquote(rel)})
             entries.append(
                 _v2_entry(p, content=0, seq=new_seq, snapshot_id=sid,
                           record_count=st.get("rows", 0), file_size=sz,
                           bounds3=st.get("bounds3") or ([], [], []))
+            )
+        unclaimed = {unquote(k) for k in stats} - claimed
+        if unclaimed:
+            raise RuntimeError(
+                f"add_files stats desync: {len(unclaimed)} stats rows "
+                f"match no listed file, e.g. {sorted(unclaimed)[:3]}"
             )
     else:
         entries = [
@@ -2635,12 +2919,20 @@ def sync_uniform_iceberg(
     partition tuples parsed from the string partitionValues, and the
     manifest's data-only schema stamp tells the scan the files LACK
     the partition column, so it materializes the identity value from
-    the manifest tuple (the migrated-hive read shape). Scope
-    (refusals, never wrong rows): deletion vectors (an Iceberg reader
-    would resurrect the deleted rows — materialize with OPTIMIZE
-    first, which is what UniForm requires too), column mapping (files
-    store physical names an Iceberg-side schema can't name-resolve),
-    and non-int/long/string partition types."""
+    the manifest tuple (the migrated-hive read shape).
+
+    COLUMN MAPPING tables work (r16): Iceberg field ids come straight
+    from ``delta.columnMapping.id`` (the same id reuse real UniForm
+    performs), the manifest is stamped with a PHYSICAL-named schema
+    twin (same ids) so this module's scan resolves file columns
+    physical->id->logical, and the metadata carries the public spec's
+    ``schema.name-mapping.default`` so foreign Iceberg readers resolve
+    the id-less parquet files too. DELETION VECTORS work (r16): Delta
+    DVs and Iceberg v3 DVs share the 64-bit roaring portable format,
+    so each add's DV is decoded and re-rendered as a
+    ``deletion-vector-v1`` Puffin blob referenced from a delete
+    manifest — format-version 3, no OPTIMIZE tax. Remaining refusal:
+    non-int/long/string partition types (never wrong rows)."""
     import time as _time
 
     from gcs2postgres_spark.sources.delta_py import replay_head_state
@@ -2650,16 +2942,7 @@ def sync_uniform_iceberg(
     if dmeta is None:
         raise FileNotFoundError(f"not a Delta table: {table_path}")
     cfg = dmeta.get("configuration") or {}
-    if cfg.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "UniForm over a columnMapping Delta table (files store "
-            "physical names an Iceberg schema cannot name-resolve)"
-        )
-    if any(a.get("deletionVector") for a in live.values()):
-        raise NotImplementedError(
-            "UniForm over deletion vectors (an Iceberg reader would "
-            "resurrect deleted rows) — OPTIMIZE first to materialize"
-        )
+    mapped = cfg.get("delta.columnMapping.mode", "none") != "none"
     from gcs2postgres_spark.sources.delta_py import (
         _list_commits as _delta_commits,
     )
@@ -2672,8 +2955,22 @@ def sync_uniform_iceberg(
     now = int(
         snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000
     )
-    spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
-    schema_json = spark_to_iceberg_schema(spark_schema)
+    delta_schema_json = json.loads(dmeta["schemaString"])
+    phys_schema = None
+    name_mapping = None
+    phys_of: dict[str, str] = {}
+    if mapped:
+        schema_json, phys_schema, name_mapping = _delta_mapping_to_iceberg(
+            delta_schema_json
+        )
+        for f in delta_schema_json["fields"]:
+            md = f.get("metadata") or {}
+            phys_of[f["name"]] = md.get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+    else:
+        spark_schema = T.StructType.fromJson(delta_schema_json)
+        schema_json = spark_to_iceberg_schema(spark_schema)
     schema_json["schema-id"] = 0
     part_cols = list(dmeta.get("partitionColumns") or [])
     # PARTITIONED Delta: hive-layout files LACK the partition columns,
@@ -2698,12 +2995,18 @@ def sync_uniform_iceberg(
         part_cast[c] = int if ice_t in ("int", "long") else str
     schemas = [schema_json]
     stamp_sid = 0
-    if part_cols:
+    if part_cols or mapped:
+        # the stamp schema describes what the FILES contain: physical
+        # names when mapped (same field ids — the scan resolves
+        # physical->id->logical), and no partition columns under the
+        # hive layout (the scan materializes them from manifest tuples)
+        src_schema = phys_schema if mapped else schema_json
+        drop_names = {phys_of.get(c, c) for c in part_cols}
         data_only = {
-            **schema_json,
+            **src_schema,
             "schema-id": 1,
             "fields": [
-                f for f in schema_json["fields"] if f["name"] not in part_cols
+                f for f in src_schema["fields"] if f["name"] not in drop_names
             ],
         }
         schemas = [schema_json, data_only]
@@ -2711,6 +3014,7 @@ def sync_uniform_iceberg(
     mdir = os.path.join(table_path, "metadata")
     fsio.makedirs(mdir)
     entries = []
+    dv_list: list[tuple[str, list[int], dict]] = []
     for rel in sorted(live):
         add = live[rel]
         full = os.path.join(table_path, unquote(rel)) if not (
@@ -2724,10 +3028,45 @@ def sync_uniform_iceberg(
             except (ValueError, TypeError, KeyError):
                 rc = None
         pv_raw = add.get("partitionValues") or {}
+
+        def _pv(c):
+            # partitionValues is keyed by PHYSICAL name under column
+            # mapping; tolerate logical-keyed maps (pre-upgrade commits)
+            return pv_raw.get(phys_of.get(c, c), pv_raw.get(c))
+
         partition = {
-            c: (part_cast[c](pv_raw[c]) if pv_raw.get(c) is not None else None)
+            c: (part_cast[c](_pv(c)) if _pv(c) is not None else None)
             for c in part_cols
         }
+        dv = add.get("deletionVector")
+        if dv:
+            # Delta DV -> Iceberg v3 DV: same roaring portable bitmap,
+            # different framing. Decode driver-side (KB-scale blobs,
+            # bounded by deleted-row count) and re-render as a Puffin
+            # deletion-vector-v1 blob below.
+            from gcs2postgres_spark.sources.delta_py import _dv_location
+            from gcs2postgres_spark.sources.dv_roaring import (
+                read_dv_blob,
+                roaring_array_decode,
+                z85_decode,
+            )
+
+            kind, loc = _dv_location(table_path, dv)
+            if kind == "inline":
+                positions = roaring_array_decode(z85_decode(loc))
+            else:
+                positions = read_dv_blob(
+                    fsio.read_bytes(loc),
+                    int(dv.get("offset") or 0),
+                    int(dv["sizeInBytes"]),
+                )
+            card = dv.get("cardinality")
+            if card is not None and int(card) >= 0 and len(positions) != int(card):
+                raise ValueError(
+                    f"deletion vector for {rel!r} decoded {len(positions)} "
+                    f"positions, descriptor says {card}"
+                )
+            dv_list.append((fsio.absolute(full), sorted(positions), partition))
         entries.append(
             _v2_entry(
                 full, content=0, seq=1, snapshot_id=sid,
@@ -2742,22 +3081,59 @@ def sync_uniform_iceberg(
         manifest, manifest_entry_schema_v2(part_avro), entries, codec="null",
         extra_meta=_schema_stamp(meta_stub),
     )
-    mlist = os.path.join(mdir, _uniq(f"snap-uniform-{sid}.avro"))
-    write_avro_file(
-        mlist, MANIFEST_LIST_SCHEMA_V2,
-        [
+    list_rows = [
+        {
+            "manifest_path": fsio.absolute(manifest),
+            "manifest_length": fsio.size(manifest),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": sid,
+        }
+    ]
+    if dv_list:
+        # ONE Puffin file carries every data file's DV blob; one delete
+        # manifest entry per DV'd file references its frame — the v3
+        # merge-on-read shape (the scan anti-joins decoded positions,
+        # dv_seq >= data_seq, both 1 here)
+        from gcs2postgres_spark.sources.puffin import render_puffin_dv
+
+        body, frames = render_puffin_dv(
+            [(fp, pos) for fp, pos, _pt in dv_list], sid, 1
+        )
+        puffin = os.path.join(mdir, _uniq(f"dv-uniform-{sid}.puffin"))
+        fsio.write_bytes(puffin, body)
+        del_entries = []
+        for fp, _pos, pt in dv_list:
+            off, size, card = frames[fp]
+            del_entries.append(
+                _v2_entry(
+                    puffin, content=1, seq=1, snapshot_id=sid,
+                    dv=(fp, off, size, card), partition=pt,
+                    file_size=len(body),
+                )
+            )
+        del_manifest = os.path.join(
+            mdir, _uniq(f"manifest-uniform-del-{sid}.avro")
+        )
+        write_avro_file(
+            del_manifest, manifest_entry_schema_v2(part_avro), del_entries,
+            codec="null", extra_meta=_schema_stamp(meta_stub),
+        )
+        list_rows.append(
             {
-                "manifest_path": fsio.absolute(manifest),
-                "manifest_length": fsio.size(manifest),
+                "manifest_path": fsio.absolute(del_manifest),
+                "manifest_length": fsio.size(del_manifest),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": 1,
                 "sequence_number": 1,
                 "min_sequence_number": 1,
                 "added_snapshot_id": sid,
             }
-        ],
-        codec="null",
-    )
+        )
+    mlist = os.path.join(mdir, _uniq(f"snap-uniform-{sid}.avro"))
+    write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, list_rows, codec="null")
     hint = os.path.join(mdir, "version-hint.text")
     prev = 0
     if fsio.exists(hint):
@@ -2767,7 +3143,8 @@ def sync_uniform_iceberg(
             prev = 0
     version = prev + 1
     meta = {
-        "format-version": 2,
+        # deletion vectors are a v3 feature; DV-free syncs stay v2
+        "format-version": 3 if dv_list else 2,
         "table-uuid": "00000000-0000-0000-0000-00000000f0f0",
         "location": fsio.absolute(table_path),
         "last-sequence-number": 1,
@@ -2802,6 +3179,13 @@ def sync_uniform_iceberg(
             # the marker real UniForm writes, and the sync watermark
             "delta.universalFormat.enabledFormats": "iceberg",
             "uniform.delta-version": str(delta_version),
+            # physical-name -> field-id resolution for foreign readers
+            # of the id-less parquet files (Iceberg spec name mapping)
+            **(
+                {"schema.name-mapping.default": json.dumps(name_mapping)}
+                if name_mapping
+                else {}
+            ),
         },
         "current-snapshot-id": sid,
         "snapshots": [
@@ -4187,6 +4571,9 @@ def _staged_stats_spark(
     across partition dirs, and a basename key would collapse colliding
     files into one entry (misattributed bounds -> wrong stats-skips;
     collapsed record_count -> overlapping v3 first_row_id blocks).
+    Relativization matches the FULL commit-dir prefix (fsio.relativize)
+    — an ancestor dir sharing the commit dir's basename must not shift
+    a token split and desync keys from the caller's entries.
     Failures PROPAGATE: these are files this commit just wrote, so an
     unreadable staging scan is an internal error — swallowing it into
     {} would commit every file with record_count=0, corrupting row
@@ -4195,8 +4582,6 @@ def _staged_stats_spark(
     (the read lists every staged file; zero-row parts contribute no
     rows), so callers may treat a missing key as rows=0."""
     from urllib.parse import unquote as _unq
-
-    token = commit_dir.rstrip("/").rsplit("/", 1)[-1] + "/"
     staged = spark.read.option("basePath", commit_dir).parquet(commit_dir)
     names = [c for c in staged.columns if c in bounds_spec]
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -4221,11 +4606,12 @@ def _staged_stats_spark(
                     lower.append({"key": fid, "value": lo})
                     upper.append({"key": fid, "value": hi})
             nullc.append({"key": fid, "value": int(r[f"__nc_{c}"] or 0)})
-        raw = (
-            r["__f"].split(token, 1)[1]
-            if token in r["__f"]
-            else r["__f"].rsplit("/", 1)[-1]
-        )
+        raw = fsio.relativize(r["__f"], commit_dir)
+        if raw is None:
+            raise RuntimeError(
+                f"staged-stats desync: {r['__f']!r} is not under the "
+                f"commit dir {commit_dir!r}"
+            )
         # both raw and unquoted forms: the caller's fsio listing and
         # input_file_name() may disagree on percent-encoding
         out[raw] = out[_unq(raw)] = {
@@ -4325,7 +4711,11 @@ def _stage_v2_data_files(
                 if listed else {}
             )
             for full, sz in listed:
-                rel = full.split(f"{os.path.basename(commit_dir)}/", 1)[1]
+                rel = fsio.relativize(full, commit_dir)
+                if rel is None:
+                    raise RuntimeError(
+                        f"staged {full!r} is not under {commit_dir!r}"
+                    )
                 pid = int(rel.split("/", 1)[0].split("=", 1)[1])
                 pdict = dict(zip(part_struct_names, tup_of[pid]))
                 # rel-path key (basenames collide across __pid dirs);
@@ -4367,10 +4757,12 @@ def _stage_v2_data_files(
             data_entries = [
                 _v2_entry(full, content=0, seq=new_seq, snapshot_id=sid,
                           record_count=(
-                              stats.get(os.path.basename(full)) or {}
+                              stats.get(fsio.relativize(full, commit_dir)) or {}
                           ).get("rows", 0),
                           file_size=sz,
-                          bounds3=(stats.get(os.path.basename(full)) or {}).get("bounds3")
+                          bounds3=(
+                              stats.get(fsio.relativize(full, commit_dir)) or {}
+                          ).get("bounds3")
                           or ([], [], []))
                 for full, sz in listed
             ]

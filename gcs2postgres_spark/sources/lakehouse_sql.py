@@ -149,6 +149,20 @@ _SELECT_TBL = re.compile(
     re.IGNORECASE,
 )
 
+# catalog-resolved identifier: iceberg.<catalog>.<namespace>.<table>
+# (no backticks — the catalog, not a path, names the table; resolved
+# through a registered rest_catalog client). Same optional time-travel
+# suffixes as path identifiers.
+_CAT_TBL = re.compile(
+    r"\biceberg\s*\.\s*(?P<cat>\w+)\s*\.\s*(?P<ns>\w+)\s*\.\s*(?P<tbl>\w+)"
+    r"(?:\s+(?:"
+    r"VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+    r"|FOR\s+REF\s+(?P<ref>\w+)"
+    r"))?",
+    re.IGNORECASE,
+)
+
 
 def _epoch_ms(ts: str) -> int:
     """'2024-01-31 12:00:00[.ffffff]' (UTC) → epoch ms."""
@@ -169,6 +183,30 @@ def _rewrite_select(spark: SparkSession, stmt: str) -> str:
     verbatim — joins, CTEs, aggregates over lakehouse tables all work."""
     from gcs2postgres_spark.sources import delta_py, iceberg_py
     from gcs2postgres_spark.sources.predicate_bounds import bounds_from_predicate
+
+    # catalog-resolved identifiers first (iceberg.cat.ns.tbl — three
+    # dotted words can never match the backtick path form): each becomes
+    # a temp view fed by the REST-catalog read
+    cat_matches = list(_CAT_TBL.finditer(stmt))
+    if cat_matches:
+        from gcs2postgres_spark.sources import rest_catalog
+
+        out, pos = [], 0
+        for i, m in enumerate(cat_matches):
+            client = rest_catalog.get_catalog(m["cat"])
+            df = client.read(
+                spark, m["ns"], m["tbl"],
+                snapshot_id=int(m["v"]) if m["v"] else None,
+                as_of_ms=_epoch_ms(m["ts"]) if m["ts"] else None,
+                ref=m["ref"],
+            )
+            view = f"__lakehouse_cat_v{i}"
+            df.createOrReplaceTempView(view)
+            out.append(stmt[pos : m.start()])
+            out.append(view)
+            pos = m.end()
+        out.append(stmt[pos:])
+        stmt = "".join(out)
 
     matches = list(_SELECT_TBL.finditer(stmt))
     stats_filter = None

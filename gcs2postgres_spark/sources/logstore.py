@@ -35,6 +35,11 @@ from __future__ import annotations
 import os
 import threading
 
+# every urllib call in this module is bounded: one stuck request must
+# not hang a maintenance job (a 100-object batch delete that never
+# answers would otherwise block the driver forever)
+_HTTP_TIMEOUT_S = 60
+
 
 class LogStore:
     """Commit-point primitives. Implementations must make
@@ -57,6 +62,12 @@ class LogStore:
     # via fsio.bulk_delete — one RPC per ~100-1000 objects instead of
     # one per file, the difference between minutes and hours at 10^5
     # garbage files. Absence of the attribute = per-file fallback.
+    #
+    # Implementations MAY also define
+    #     read_range(path: str, offset: int, length: int) -> bytes
+    # a bounded partial read (HTTP Range GET on object stores).
+    # fsio.read_range prefers it over the Hadoop stream fallback — the
+    # plan-time probe seam for ORC postscripts / Avro headers.
 
 
 class LocalLogStore(LogStore):
@@ -107,6 +118,12 @@ class LocalLogStore(LogStore):
                 pass
         return removed
 
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        # posix seek+read; spares file:-scheme probes the JVM hop
+        with open(self._local(path), "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
 
 class FakeObjectStore(LogStore):
     """Object-store semantics over a local directory, for tests: the
@@ -121,6 +138,8 @@ class FakeObjectStore(LogStore):
         self.puts = 0
         self.overwrites = 0
         self.batch_calls = 0
+        self.range_reads = 0
+        self.bytes_ranged = 0
 
     def put_if_absent(self, path: str, data: bytes) -> None:
         from gcs2postgres_spark.sources import fsio
@@ -161,6 +180,20 @@ class FakeObjectStore(LogStore):
                 except FileNotFoundError:
                     pass
         return removed
+
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """Bounded partial read, instrumented: ``range_reads`` /
+        ``bytes_ranged`` let tests pin that plan-time probes fetch
+        header/footer-scale byte counts, never whole objects."""
+        from gcs2postgres_spark.sources import fsio
+
+        with open(fsio.strip_scheme(path), "rb") as f:
+            f.seek(offset)
+            data = f.read(length)
+        with self._lock:
+            self.range_reads += 1
+            self.bytes_ranged += len(data)
+        return data
 
 
 _LOCAL = LocalLogStore()
@@ -270,7 +303,7 @@ class GcsLogStore(LogStore):
         if token:
             req.add_header("Authorization", f"Bearer {token}")
         try:
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S) as resp:
                 resp.read()
         except urllib.error.HTTPError as e:
             if if_absent and e.code == 412:
@@ -285,6 +318,33 @@ class GcsLogStore(LogStore):
     def write_atomic(self, path: str, data: bytes) -> None:
         # GCS object writes are atomic server-side (no partial objects)
         self._upload(path, data, if_absent=False)
+
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """Bounded partial read via an ``alt=media`` GET with a Range
+        header — one round trip for a header/footer probe. 416 (range
+        past EOF) reads as empty, matching posix seek-past-end."""
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        bucket, name = self._split(path)
+        url = (
+            f"{self.endpoint}/storage/v1/b/{urllib.parse.quote(bucket)}/o/"
+            f"{urllib.parse.quote(name, safe='')}?alt=media"
+        )
+        req = urllib.request.Request(
+            url, headers={"Range": f"bytes={offset}-{offset + length - 1}"}
+        )
+        token = self._token_provider()
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        try:
+            with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 416:
+                return b""
+            raise
 
     def delete_batch(self, paths: list[str]) -> int:
         """Bulk delete via the GCS JSON batch endpoint
@@ -323,11 +383,24 @@ class GcsLogStore(LogStore):
             token = self._token_provider()
             if token:
                 req.add_header("Authorization", f"Bearer {token}")
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S) as resp:
                 text = resp.read().decode("utf-8", "replace")
-            # each part answers with an HTTP status line; 204 = deleted,
-            # 404 = already gone (both terminal-success for maintenance)
-            removed += text.count("HTTP/1.1 204")
+            # each part answers with its own HTTP status line; 204 =
+            # deleted, 404 = already gone (both terminal-success for
+            # idempotent maintenance deletes). ANY other part status
+            # (403/412/5xx) is a per-object FAILURE that must surface:
+            # swallowing it would report a successful VACUUM while the
+            # garbage (and its storage bill) remains.
+            import re as _re
+
+            codes = _re.findall(r"HTTP/[0-9.]+ (\d{3})", text)
+            bad = [c for c in codes if c not in ("204", "404")]
+            if bad:
+                raise OSError(
+                    f"GCS batch delete: {len(bad)}/{len(codes)} subrequests "
+                    f"failed with statuses {sorted(set(bad))}"
+                )
+            removed += codes.count("204")
         return removed
 
 
@@ -374,7 +447,7 @@ class S3CompatLogStore(LogStore):
         headers.update(self._headers_provider("PUT", url))
         req = urllib.request.Request(url, data=data, method="PUT", headers=headers)
         try:
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S) as resp:
                 resp.read()
         except urllib.error.HTTPError as e:
             if if_absent and e.code == 412:
@@ -427,7 +500,45 @@ class S3CompatLogStore(LogStore):
                 req = urllib.request.Request(
                     url, data=xml, method="POST", headers=headers
                 )
-                with urllib.request.urlopen(req) as resp:
+                with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S) as resp:
                     text = resp.read().decode("utf-8", "replace")
+                # DeleteObjects answers 200 even when individual keys
+                # fail — each failure is an <Error> entry. NoSuchKey is
+                # terminal-success (idempotent maintenance); anything
+                # else (AccessDenied, InternalError, ...) must surface,
+                # not silently leave garbage behind a "successful" run.
+                errs = [
+                    e
+                    for e in _re.findall(r"<Error>.*?</Error>", text, _re.S)
+                    if "<Code>NoSuchKey</Code>" not in e
+                ]
+                if errs:
+                    raise OSError(
+                        f"S3 DeleteObjects: {len(errs)} keys failed; "
+                        f"first: {errs[0][:300]}"
+                    )
                 removed += len(_re.findall(r"<Deleted>", text))
         return removed
+
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """Bounded partial read via a Range GET — one round trip for a
+        header/footer probe. 416 (range past EOF) reads as empty."""
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        bucket, name = self._split(path)
+        url = (
+            f"{self.endpoint}/{urllib.parse.quote(bucket)}/"
+            f"{urllib.parse.quote(name)}"
+        )
+        headers = {"Range": f"bytes={offset}-{offset + length - 1}"}
+        headers.update(self._headers_provider("GET", url))
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 416:
+                return b""
+            raise

@@ -159,8 +159,9 @@ def test_fsck_repairs_missing_files(spark, tmp_path):
 
 def test_uniform_iceberg_sync(spark, tmp_path):
     """UniForm: iceberg metadata over a delta table — both readers
-    agree; DV tables refuse until OPTIMIZE materializes; re-sync tracks
-    the delta version; plan stays footer-probe-free."""
+    agree; DV tables sync as Iceberg v3 deletion vectors (r16 — the
+    OPTIMIZE-first refusal is gone); re-sync tracks the delta version;
+    plan stays footer-probe-free."""
     import pyarrow.parquet as pq
 
     from gcs2postgres_spark.sources.delta_py import (
@@ -180,10 +181,19 @@ def test_uniform_iceberg_sync(spark, tmp_path):
     a = sorted(tuple(r) for r in read_delta_py(spark, t).collect())
     b = sorted(tuple(r) for r in read_iceberg_py(spark, t).collect())
     assert a == b and len(a) == 20
-    # DV refusal, then OPTIMIZE materializes and re-sync follows
+    # a DV'd table syncs directly: the Delta DV re-renders as an
+    # Iceberg v3 Puffin deletion vector (same roaring format) and the
+    # Iceberg read excludes the deleted rows — no OPTIMIZE tax
+    import json as _json
+
     delete_where_delta(spark, t, "k < 5", timestamp_ms=1_700_000_002_000)
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        sync_uniform_iceberg(spark, t)
+    sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_002_500)
+    b = sorted(tuple(r) for r in read_iceberg_py(spark, t).collect())
+    assert len(b) == 15 and b == sorted(
+        tuple(r) for r in read_delta_py(spark, t).collect()
+    )
+    meta = _json.loads(open(latest_metadata_file(t)).read())
+    assert meta["format-version"] == 3  # DVs are a v3 feature
     compact_delta(spark, t, timestamp_ms=1_700_000_003_000)
     sid2 = sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_004_000)
     assert sid2 == 3  # delta v2 (delete) + v? compact -> tracks head
@@ -191,11 +201,58 @@ def test_uniform_iceberg_sync(spark, tmp_path):
     assert len(b) == 15 and b == sorted(
         tuple(r) for r in read_delta_py(spark, t).collect()
     )
-    # the UniForm marker + watermark are recorded
-    import json as _json
-
+    # the UniForm marker + watermark are recorded; DV-free re-sync
+    # drops back to v2
     meta = _json.loads(open(latest_metadata_file(t)).read())
     assert meta["properties"]["delta.universalFormat.enabledFormats"] == "iceberg"
+    assert meta["format-version"] == 2
+
+
+def test_uniform_column_mapping_and_dv(spark, tmp_path):
+    """r16: UniForm over a columnMapping Delta table (nested struct,
+    physical names resolved via the stamped physical schema twin +
+    name-mapping), over a DV'd table, and over the combination —
+    exact vs the Delta reader. The metadata carries the public spec's
+    schema.name-mapping.default keyed by PHYSICAL file names."""
+    import json as _json
+
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_rename_column,
+        delete_where_delta,
+    )
+    from gcs2postgres_spark.sources.iceberg_py import (
+        latest_metadata_file,
+        sync_uniform_iceberg,
+    )
+
+    t = str(tmp_path / "uni_map")
+    df = spark.range(0, 24).selectExpr(
+        "id AS k",
+        "CAST(id % 3 AS INT) AS p",
+        'named_struct("v", id * 2, "tags", array(CAST(id AS STRING))) AS meta',
+    )
+    write_delta(df, t, "overwrite", partition_by=["p"],
+                timestamp_ms=1_700_000_000_000)
+    alter_delta_rename_column(spark, t, "meta", "info")  # mapping on
+    delete_where_delta(spark, t, "k % 2 = 0", timestamp_ms=1_700_000_001_000)
+    sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_002_000)
+    a = sorted(
+        (r["k"], r["p"], r["info"]["v"], tuple(r["info"]["tags"]))
+        for r in read_delta_py(spark, t).collect()
+    )
+    b = sorted(
+        (r["k"], r["p"], r["info"]["v"], tuple(r["info"]["tags"]))
+        for r in read_iceberg_py(spark, t).collect()
+    )
+    assert a == b and len(a) == 12
+    meta = _json.loads(open(latest_metadata_file(t)).read())
+    nm = _json.loads(meta["properties"]["schema.name-mapping.default"])
+    # ids reuse delta.columnMapping.id; physical names at every depth
+    by_id = {e["field-id"]: e for e in nm}
+    info_entry = next(e for e in nm if "fields" in e)
+    assert {c["names"][0] for c in info_entry["fields"]} == {"v", "tags"}
+    assert len(by_id) == len(nm)  # unique top-level ids
+    assert meta["format-version"] == 3  # the DV rode along
 
 
 def test_uniform_partitioned_delta(spark, tmp_path):
@@ -216,3 +273,48 @@ def test_uniform_partitioned_delta(spark, tmp_path):
                read_iceberg_py(spark, t).select("k", "p", "v").collect())
     assert a == b and len(a) == 30
     assert read_iceberg_py(spark, t, partition_filter={"p": {1}}).count() == 10
+
+
+def test_uniform_high_cardinality_partitioning_capped(spark, tmp_path):
+    """r16: above _MAX_UNION_ARMS distinct partition tuples the fills
+    branch must NOT build one union arm per tuple (Catalyst analysis
+    explodes superlinearly in arm count — a 10^4-partition UniForm
+    table would die at plan time): it switches to ONE multi-path scan
+    + a broadcast file->partition-value join, O(1) in partition count.
+    Below the threshold the literal-union plan (whole-arm folding under
+    partition filters) is kept."""
+    from gcs2postgres_spark.plans.inspect import formatted_plan
+    from gcs2postgres_spark.sources.iceberg_py import (
+        _MAX_UNION_ARMS,
+        sync_uniform_iceberg,
+    )
+
+    t = str(tmp_path / "uni_many")
+    n_parts = 100
+    assert n_parts > _MAX_UNION_ARMS
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "k")
+        .withColumn("p", (F.col("k") % n_parts).cast("long"))
+        .withColumn("v", (F.col("k") * 2).cast("long"))
+    )
+    write_delta(df, t, "overwrite", partition_by=["p"],
+                timestamp_ms=1_700_000_000_000)
+    sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_001_000)
+    got = read_iceberg_py(spark, t)
+    plan = formatted_plan(got)
+    # one data scan + the broadcast map join — NOT 100 union arms
+    assert plan.count("Union") == 0, plan[:2000]
+    assert "Join" in plan and "Broadcast" in plan
+    # exactness: every row carries its recovered partition value
+    a = sorted(tuple(r) for r in
+               read_delta_py(spark, t).select("k", "p", "v").collect())
+    b = sorted(tuple(r) for r in got.select("k", "p", "v").collect())
+    assert a == b and len(a) == 300
+    # the low-cardinality plan is untouched (literal arms, no join)
+    t2 = str(tmp_path / "uni_few")
+    df2 = _df(spark, 0, 30).withColumn("p", (F.col("k") % 3).cast("long"))
+    write_delta(df2, t2, "overwrite", partition_by=["p"],
+                timestamp_ms=1_700_000_000_000)
+    sync_uniform_iceberg(spark, t2, snapshot_ts_ms=1_700_000_001_000)
+    assert "Join" not in formatted_plan(read_iceberg_py(spark, t2))

@@ -99,13 +99,17 @@ def test_delta_py_batch_mapped_nested_and_dv(registered, tmp_path):
     assert rows == ref
 
 
-def test_delta_py_stream_sink_refuses_mapped_table(registered, tmp_path):
-    """The stream sink stages LOGICAL-named files; a mapped table must
-    refuse, never corrupt."""
+def test_delta_py_stream_sink_mapped_table_roundtrip(registered, tmp_path):
+    """r16 (the refusal is gone): streamed appends to a columnMapping
+    table stage PHYSICAL-named files with physical hive dirs /
+    partitionValues keys, exactly-once across a replayed batch — read
+    back identical through BOTH the functional reader and the front
+    door."""
     from pyspark.sql import functions as F
 
     from gcs2postgres_spark.sources.delta_py import (
         alter_delta_rename_column,
+        read_delta_py,
         write_delta,
     )
 
@@ -113,21 +117,50 @@ def test_delta_py_stream_sink_refuses_mapped_table(registered, tmp_path):
     t = str(tmp_path / "sinkmap")
     write_delta(
         spark.range(0, 3).withColumnRenamed("id", "k")
+        .withColumn("p", (F.col("k") % 2).cast("long"))
         .withColumn("v", F.col("k") * 2),
-        t, "overwrite", timestamp_ms=1_700_000_000_000,
+        t, "overwrite", partition_by=["p"], timestamp_ms=1_700_000_000_000,
     )
-    alter_delta_rename_column(spark, t, "v", "val")
+    alter_delta_rename_column(spark, t, "v", "val")  # mapping on
     src_dir = tmp_path / "src"
     src_dir.mkdir()
-    (src_dir / "a.json").write_text('{"k": 10, "val": 20}\n')
-    stream = (
-        spark.readStream.schema("k long, val long").json(str(src_dir))
-        .writeStream.format("delta_py").option("path", t)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
+    (src_dir / "a.json").write_text(
+        '{"k": 10, "p": 0, "val": 20}\n{"k": 11, "p": 1, "val": 22}\n'
     )
-    with pytest.raises(Exception, match="columnMapping"):
-        stream.start().awaitTermination()
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, p long, val long")
+            .json(str(src_dir))
+            .writeStream.format("delta_py").option("path", t)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    run()  # replayed availableNow restart: txn dedup, no duplicates
+    expect = {(0, 0, 0), (1, 1, 2), (2, 0, 4), (10, 0, 20), (11, 1, 22)}
+    got = {(r["k"], r["p"], r["val"])
+           for r in read_delta_py(spark, t).collect()}
+    assert got == expect
+    front = {(r["k"], r["p"], r["val"])
+             for r in spark.read.format("delta_py").option("path", t)
+             .load().collect()}
+    assert front == expect
+    # staged stream files store PHYSICAL names (val's physicalName is
+    # the pre-rename 'v'), so foreign mapped readers resolve them
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    streamed = [
+        p for p in _glob.glob(f"{t}/**/part-stream-*.parquet", recursive=True)
+    ]
+    assert streamed
+    names = set(_pq.ParquetFile(streamed[0]).schema_arrow.names)
+    assert "v" in names and "val" not in names, names
 
 
 def test_delta_py_stream_appends_and_change_commits(registered, tmp_path):
