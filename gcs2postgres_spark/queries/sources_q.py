@@ -3367,6 +3367,90 @@ def datasource_delta_py_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+STREAM_SINK_MAPPED_ORACLE = """
+WITH all_rows AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS key,
+         CAST(n_regionkey AS BIGINT) AS region,
+         n_name                      AS label
+  FROM nation
+  UNION ALL
+  SELECT * FROM (VALUES (900, 1, 'S900'), (901, 2, 'S901'),
+                        (902, 1, 'S902')) AS s(key, region, label)
+)
+SELECT region,
+       count(*)                 AS n_rows,
+       CAST(sum(key) AS BIGINT) AS key_sum,
+       min(label)               AS first_label
+FROM all_rows
+GROUP BY region
+ORDER BY region
+"""
+
+
+@register("datasource_stream_sink_mapped", oracle=STREAM_SINK_MAPPED_ORACLE)
+def datasource_stream_sink_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16: the native STREAMING SINK appends to a columnMapping table
+    (the r15 refusal is gone): ``writeStream.format("delta_py")`` on a
+    mapped partitioned table stages PHYSICAL-named files with physical
+    hive dirs / partitionValues keys (sources/datasource.py
+    _DeltaStreamWriter.phys_of), one put-if-absent Delta version per
+    micro-batch. End state read back through the certified functional
+    reader, exact vs the DuckDB oracle."""
+    tune_for_session(spark)
+    import json as _json
+
+    from gcs2postgres_spark.sources.datasource import (
+        register_lakehouse_datasources,
+    )
+    from gcs2postgres_spark.sources.delta_py import (
+        alter_delta_rename_column,
+        read_delta_py,
+        write_delta,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS LONG) AS key",
+        "CAST(n_regionkey AS LONG) AS region",
+        "n_name AS n_label",
+    )
+    tmp = tempfile.mkdtemp(prefix="ds_stream_mapped_")
+    try:
+        tbl = os.path.join(tmp, "tbl")
+        write_delta(nation.coalesce(1), tbl, "overwrite",
+                    partition_by=["region"], timestamp_ms=1_700_000_000_000)
+        alter_delta_rename_column(spark, tbl, "n_label", "label")  # mapping
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        with open(os.path.join(src, "batch.json"), "w") as f:
+            for row in [(900, 1, "S900"), (901, 2, "S901"), (902, 1, "S902")]:
+                f.write(_json.dumps(
+                    {"key": row[0], "region": row[1], "label": row[2]}
+                ) + "\n")
+        register_lakehouse_datasources(spark)
+        q = (
+            spark.readStream.schema("key long, region long, label string")
+            .json(src)
+            .writeStream.format("delta_py").option("path", tbl)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            read_delta_py(spark, tbl)
+            .groupBy("region")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+                F.min("label").alias("first_label"),
+            )
+            .orderBy("region")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 MERGE_MULTI_ORACLE = """
 WITH src(k, name, region, op) AS (
   VALUES (1, 'S1', 0, 'del'), (2, 'S2', 0, 'upd'), (3, 'S3', 8, 'other'),
@@ -4627,6 +4711,116 @@ def delta_uniform_many_partitions_roundtrip(
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+REST_CATALOG_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT)      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+WHERE n_nationkey >= 5
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
+@register("iceberg_rest_catalog_roundtrip", oracle=REST_CATALOG_ORACLE)
+def iceberg_rest_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16 — Iceberg REST catalog (read path): tables resolve BY NAME
+    through the public REST catalog API (``/v1/config``,
+    ``/v1/{prefix}/namespaces/.../tables/{t}``) instead of by path —
+    how real Iceberg deployments address tables (the reference's own
+    registration loop is an external-catalog interaction,
+    src/db/db.go:22-43). An in-process fake server (FakeObjectStore
+    pattern) serves a real on-disk table's LoadTableResult; the facade
+    reads ``iceberg.main.analytics.nation`` — metadata comes from the
+    catalog response (no version-hint walk; the catalog IS the commit
+    pointer), data scans straight off the files. Exact vs the DuckDB
+    oracle."""
+    tune_for_session(spark)
+    import json as _json
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from gcs2postgres_spark.sources.iceberg_py import (
+        append_iceberg_v2,
+        create_iceberg_v2_table,
+        latest_metadata_file,
+    )
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+    from gcs2postgres_spark.sources.rest_catalog import (
+        IcebergRestCatalog,
+        register_catalog,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS LONG) AS key",
+        "CAST(n_regionkey AS LONG) AS region",
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_restcat_")
+    srv = None
+    try:
+        create_iceberg_v2_table(nation.schema, tmp)
+        append_iceberg_v2(spark, tmp, nation,
+                          snapshot_ts_ms=1_700_000_000_000)
+
+        class _Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _json_out(self, obj, code=200):
+                data = _json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                parts = [
+                    urllib.parse.unquote(p)
+                    for p in self.path.split("/") if p
+                ]
+                if parts == ["v1", "config"]:
+                    self._json_out(
+                        {"defaults": {"prefix": "main"}, "overrides": {}}
+                    )
+                elif parts == ["v1", "main", "namespaces", "analytics",
+                               "tables", "nation"]:
+                    mloc = latest_metadata_file(tmp)
+                    self._json_out(
+                        {
+                            "metadata-location": mloc,
+                            "metadata": _json.loads(open(mloc).read()),
+                            "config": {},
+                        }
+                    )
+                else:
+                    self._json_out({"error": "not found"}, 404)
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        register_catalog(
+            "main",
+            IcebergRestCatalog(f"http://127.0.0.1:{srv.server_address[1]}"),
+        )
+        out = lakehouse_sql(
+            spark,
+            "SELECT region, count(*) AS n_rows, "
+            "CAST(sum(key) AS BIGINT) AS key_sum "
+            "FROM iceberg.main.analytics.nation WHERE key >= 5 "
+            "GROUP BY region ORDER BY region",
+        )
+        # metadata was fetched at plan time; the scan holds file paths,
+        # so the server can stop before the driver collects
+        return out
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    finally:
+        if srv is not None:
+            srv.shutdown()
 
 
 FSCK_REPAIR_ORACLE = """

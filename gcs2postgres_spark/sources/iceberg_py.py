@@ -711,6 +711,12 @@ def read_iceberg_py(
     dv_deletes: list[tuple[str, int, int, int, str]] = []
     first_rows: dict[str, int] = {}  # v3 row lineage: file -> first_row_id
     file_schema_id: dict[str, int] = {}  # data path -> manifest schema-id
+    # data path -> manifest-EMBEDDED write-time schema (spec: manifests
+    # store the schema they were written under in their header) — the
+    # ground truth for id->write-time-name resolution, preferred over a
+    # table-schemas lookup by id (a mutated-in-place schema list cannot
+    # lie about what names the files actually store)
+    file_schema_json: dict[str, dict] = {}
     part_by_file: dict[str, dict] = {}  # data path -> manifest partition dict
     _, manifests = read_avro_file(_resolve(snapshot["manifest-list"], table_path, location))
     for m in manifests:
@@ -719,13 +725,16 @@ def read_iceberg_py(
             _resolve(m["manifest_path"], table_path, location)
         )
         m_sid: int | None = None
+        m_schema: dict | None = None
         try:
+            if "schema" in m_fmeta:
+                m_schema = json.loads(m_fmeta["schema"])
             if "schema-id" in m_fmeta:
                 m_sid = int(m_fmeta["schema-id"])
-            elif "schema" in m_fmeta:
-                m_sid = json.loads(m_fmeta["schema"]).get("schema-id")
+            elif m_schema is not None:
+                m_sid = m_schema.get("schema-id")
         except (ValueError, TypeError):
-            m_sid = None
+            m_sid, m_schema = None, None
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
@@ -771,6 +780,10 @@ def read_iceberg_py(
                     part_by_file[path] = dict(dfile["partition"])
                 if m_sid is not None:
                     file_schema_id[path] = m_sid
+                if m_schema is not None and isinstance(
+                    m_schema.get("fields"), list
+                ):
+                    file_schema_json[path] = m_schema
                 if dfile.get("first_row_id") is not None:
                     first_rows[_norm_path(path)] = int(dfile["first_row_id"])
                 if fmt == "orc":
@@ -820,7 +833,8 @@ def read_iceberg_py(
     # per file. One schema id (the overwhelmingly common case) means
     # exactly one scan — the pre-r10 plan.
     groups = (
-        _schema_id_groups(paths, file_schema_id, meta) if paths else []
+        _schema_id_groups(paths, file_schema_id, meta, file_schema_json)
+        if paths else []
     )
     need_tag = bool(pos_deletes or eq_deletes or dv_deletes) or _with_row_ids
     helpers = ["__ice_fp", "__ice_pos"] if need_tag else []
@@ -928,37 +942,48 @@ def read_iceberg_py(
             continue
         parts.append(_project_to_table(_tagged_scan(gpaths), idmap))
     if orc_paths:
-        # ORC data files, NAME-resolved (pyarrow cannot probe iceberg
-        # field ids from ORC column attributes, so rename evolution in
-        # the ORC era needs the jar — the same documented fallback
-        # id-less parquet files get). Without deletes/row-ids: one
-        # native distributed ORC scan (DataFrameReader.orc takes a
-        # LIST — its second positional is mergeSchema, unlike
-        # parquet's *paths). With row-level deletes the scan needs a
-        # per-row position identity Spark's ORC reader does not expose
+        # ORC data files. pyarrow cannot probe iceberg field ids from
+        # ORC column attributes, but the MANIFEST STAMP records each
+        # file's write-time schema id (r16) — so ORC files group by
+        # recorded schema-id exactly like parquet, and the stamped
+        # schema's {id: write-time name} map gives ID-based resolution:
+        # a column RENAME during an ORC era reads correctly (file
+        # columns carry write-time names; the id ties them to the
+        # current name). Files from unstamped (foreign/legacy)
+        # manifests keep the documented name-resolved fallback.
+        # Without deletes/row-ids: one native distributed ORC scan per
+        # schema-id group (DataFrameReader.orc takes a LIST — its
+        # second positional is mergeSchema, unlike parquet's *paths).
+        # With row-level deletes the scan needs a per-row position
+        # identity Spark's ORC reader does not expose
         # (_metadata.row_index is parquet-only), so those files decode
         # executor-side via pyarrow.orc with explicit ordinals — the
-        # same binaryFile-per-file shape the Avro decoder uses (r15:
-        # this replaces the r14 refusal).
-        if need_tag:
-            for o_idmap, odf in _scan_orc_groups(
-                spark, sorted(orc_paths), need_tag
-            ):
-                parts.append(_project_to_table(odf, o_idmap))
-        else:
-            parts.append(
-                _project_to_table(spark.read.orc(sorted(orc_paths)), None)
-            )
+        # same binaryFile-per-file shape the Avro decoder uses.
+        for sid_idmap, gpaths in _sid_groups(
+            orc_paths, file_schema_id, meta, file_schema_json
+        ):
+            if need_tag:
+                for o_idmap, odf in _scan_orc_groups(spark, gpaths, need_tag):
+                    parts.append(_project_to_table(odf, o_idmap or sid_idmap))
+            else:
+                parts.append(
+                    _project_to_table(spark.read.orc(gpaths), sid_idmap)
+                )
     if avro_paths:
         # Avro data files: pure-Python decode (avro_py codec) over
         # binaryFile — per-file tasks, FIELD-ID resolved when the avro
-        # schema carries the spec's "field-id" attributes (rename
-        # evolution works, unlike ORC). Row-level deletes are fully
-        # supported: the decoder emits each record's exact ordinal in
-        # its container file, which IS the spec's row position — the
-        # identity _metadata.row_index provides for parquet.
-        for a_idmap, adf in _scan_avro_groups(spark, sorted(avro_paths), need_tag):
-            parts.append(_project_to_table(adf, a_idmap))
+        # schema carries the spec's "field-id" attributes; files
+        # WITHOUT embedded ids fall back to the manifest's schema-id
+        # stamp (r16 — same rename-safe resolution ORC gets), then to
+        # names. Row-level deletes are fully supported: the decoder
+        # emits each record's exact ordinal in its container file,
+        # which IS the spec's row position — the identity
+        # _metadata.row_index provides for parquet.
+        for sid_idmap, gpaths in _sid_groups(
+            avro_paths, file_schema_id, meta, file_schema_json
+        ):
+            for a_idmap, adf in _scan_avro_groups(spark, gpaths, need_tag):
+                parts.append(_project_to_table(adf, a_idmap or sid_idmap))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -1003,6 +1028,50 @@ def read_iceberg_with_row_ids(spark: SparkSession, table_path: str) -> DataFrame
 # threshold and rationale as the delta scan's _MAX_UNION_ARMS
 # (sources/delta_py.py).
 _MAX_UNION_ARMS = 32
+
+
+def _sid_groups(
+    paths: set[str] | list[str],
+    file_schema_id: dict[str, int],
+    meta: dict,
+    file_schema_json: dict[str, dict] | None = None,
+) -> list[tuple[dict[int, str] | None, list[str]]]:
+    """Group ORC/Avro data paths by their manifest-recorded write-time
+    schema and return [(id->write-time-name map or None, paths)] — the
+    non-parquet twin of _schema_id_groups' stamped branch. The map
+    gives ID-based column resolution (a rename keeps the id, so
+    post-rename reads stay correct) without any per-file footer
+    metadata. The manifest-EMBEDDED schema is preferred over the
+    table-schemas-by-id lookup (ground truth of the files' names);
+    unstamped files get None (name-resolved fallback)."""
+    sbi = {s.get("schema-id", 0): s for s in (meta.get("schemas") or [])}
+    if "schema" in meta and not sbi:
+        sbi[0] = meta["schema"]
+    emb: dict[str, list[str]] = {}
+    by_sid: dict[int | None, list[str]] = {}
+    for p in sorted(paths):
+        es = (file_schema_json or {}).get(p)
+        if es is not None:
+            emb.setdefault(json.dumps(es, sort_keys=True), []).append(p)
+            continue
+        s = file_schema_id.get(p)
+        by_sid.setdefault(s if s in sbi else None, []).append(p)
+    out: list[tuple[dict[int, str] | None, list[str]]] = []
+    for kj in sorted(emb):
+        idmap = {
+            f["id"]: f["name"]
+            for f in json.loads(kj).get("fields", [])
+            if f.get("id") is not None
+        }
+        out.append((idmap or None, emb[kj]))
+    for s in sorted(by_sid, key=lambda x: (x is None, x or 0)):
+        idmap = (
+            ({f["id"]: f["name"] for f in sbi[s].get("fields", [])} or None)
+            if s is not None
+            else None
+        )
+        out.append((idmap, by_sid[s]))
+    return out
 
 
 def _fills_file_index(
@@ -1066,28 +1135,45 @@ def _fills_file_index(
 
 
 def _schema_id_groups(
-    paths: list[str], file_schema_id: dict[str, int], meta: dict
+    paths: list[str],
+    file_schema_id: dict[str, int],
+    meta: dict,
+    file_schema_json: dict[str, dict] | None = None,
 ) -> list[tuple[dict[int, str] | None, list[str]]]:
     """Scan groups from manifest-recorded schema ids — metadata already
     in hand from the manifest walk, no footer IO: all files recorded by
     manifests stamped schema-id S share S's (name, id, type) signature
     (a schema change always lands in a NEW manifest), so each recorded
-    id becomes one group with its id->name map from the table's schemas
-    list. Unstamped files keep the footer-probe path."""
+    id becomes one group with its id->name map. The manifest-EMBEDDED
+    write-time schema (``file_schema_json``) is preferred over the
+    table-schemas-by-id lookup — it is the ground truth of what names
+    the files store (a schemas entry mutated in place by a foreign tool
+    cannot desync it). Unstamped files keep the footer-probe path."""
     schemas_by_id = {
         s.get("schema-id", 0): s for s in (meta.get("schemas") or [])
     }
     if "schema" in meta and not schemas_by_id:  # v1 single-schema table
         schemas_by_id[0] = meta["schema"]
+    emb: dict[str, list[str]] = {}  # canonical embedded schema -> paths
     by_sid: dict[int, list[str]] = {}
     probe: list[str] = []
     for p in paths:
+        es = (file_schema_json or {}).get(p)
         s = file_schema_id.get(p)
-        if s is not None and s in schemas_by_id:
+        if es is not None:
+            emb.setdefault(json.dumps(es, sort_keys=True), []).append(p)
+        elif s is not None and s in schemas_by_id:
             by_sid.setdefault(s, []).append(p)
         else:
             probe.append(p)
     out: list[tuple[dict[int, str] | None, list[str]]] = []
+    for kj in sorted(emb):
+        idmap = {
+            f["id"]: f["name"]
+            for f in json.loads(kj).get("fields", [])
+            if f.get("id") is not None
+        }
+        out.append((idmap or None, sorted(emb[kj])))
     for s in sorted(by_sid):
         idmap = {
             f["id"]: f["name"] for f in schemas_by_id[s].get("fields", [])
@@ -1155,9 +1241,11 @@ def _scan_orc_groups(
     over binaryFile, emitting every record's ordinal within its
     container file — exactly the spec's row position (the same pattern
     the Avro decoder uses, _scan_avro_groups). One driver-side
-    schema-footer read per file groups files by arrow-schema signature;
-    resolution is BY NAME (idmap None): pyarrow surfaces no iceberg
-    field ids from ORC column attributes, the documented fallback.
+    schema-footer read per file (BOUNDED ranged reads on remote
+    schemes) groups files by arrow-schema signature; this function
+    returns idmap None (pyarrow surfaces no iceberg field ids from ORC
+    column attributes) — CALLERS overlay the manifest's stamped
+    write-time schema (_sid_groups) so renames still resolve by id.
 
     Scale shape: per-file tasks; decode is pyarrow (Arrow-native, no
     per-row Python) and only this table's ORC-era files under deletes
@@ -1967,12 +2055,12 @@ def _v2_entry(
             if fsio.has_scheme(path):
                 # scheme'd staged file without a precomputed count
                 # (metadata-scale writers like the equality-delete key
-                # list): bytes via fsio/Hadoop
-                import io as _io
-
+                # list): BOUNDED ranged reads — the parquet reader pulls
+                # only the footer through the seekable RangeReader,
+                # never the whole object to the driver
                 fmt = "PARQUET"
                 nrows = pq.ParquetFile(
-                    _io.BytesIO(fsio.read_bytes(path))
+                    fsio.RangeReader(path)
                 ).metadata.num_rows
             else:
                 fmt, nrows = "PARQUET", pq.ParquetFile(path).metadata.num_rows
@@ -2105,6 +2193,12 @@ def write_iceberg_v2_fixture(
             for p in files
         ],
         codec="null",
+        # write-time schema stamp (spec: manifests record the schema
+        # they were written under) — gives ORC/Avro files id-based
+        # rename-safe resolution and keeps parquet footer-probe-free
+        extra_meta=_schema_stamp(
+            {"schema": _schema_for_bounds, "schema-id": 0}
+        ),
     )
     manifest_rows = [
         {
@@ -3015,6 +3109,11 @@ def sync_uniform_iceberg(
     fsio.makedirs(mdir)
     entries = []
     dv_list: list[tuple[str, list[int], dict]] = []
+    # Delta writers pack MANY files' DVs into one blob object per
+    # commit (u-type descriptors share a path, distinct offsets) — one
+    # fetch per DISTINCT blob, not per DV'd add, keeps driver IO
+    # O(blobs) instead of O(files) on remote schemes
+    _dv_blob_cache: dict[str, bytes] = {}
     for rel in sorted(live):
         add = live[rel]
         full = os.path.join(table_path, unquote(rel)) if not (
@@ -3055,8 +3154,11 @@ def sync_uniform_iceberg(
             if kind == "inline":
                 positions = roaring_array_decode(z85_decode(loc))
             else:
+                raw = _dv_blob_cache.get(loc)
+                if raw is None:
+                    raw = _dv_blob_cache[loc] = fsio.read_bytes(loc)
                 positions = read_dv_blob(
-                    fsio.read_bytes(loc),
+                    raw,
                     int(dv.get("offset") or 0),
                     int(dv["sizeInBytes"]),
                 )
@@ -5091,19 +5193,23 @@ def _v2_row_level_commit(
     # v3 DVs: (puffin path, offset, size, seq, normalized referenced file)
     dv_deletes: list[tuple[str, int, int, int, str]] = []
     file_schema_id: dict[str, int] = {}  # data path -> manifest schema-id
+    file_schema_json: dict[str, dict] = {}  # data path -> embedded schema
     for m in manifest_rows:
         manifest_seq = m.get("sequence_number") or 0
         _, entries, m_fmeta = read_avro_file_meta(
             _resolve(m["manifest_path"], table_path, location)
         )
         m_sid: int | None = None
+        m_schema: dict | None = None
         try:
+            if "schema" in m_fmeta:
+                m_schema = json.loads(m_fmeta["schema"])
             if "schema-id" in m_fmeta:
                 m_sid = int(m_fmeta["schema-id"])
-            elif "schema" in m_fmeta:
-                m_sid = json.loads(m_fmeta["schema"]).get("schema-id")
+            elif m_schema is not None:
+                m_sid = m_schema.get("schema-id")
         except (ValueError, TypeError):
-            m_sid = None
+            m_sid, m_schema = None, None
         for e in entries:
             if e["status"] == 2:
                 continue
@@ -5147,6 +5253,10 @@ def _v2_row_level_commit(
                     avro_dml_paths.add(path)
                 if m_sid is not None:
                     file_schema_id[path] = m_sid
+                if m_schema is not None and isinstance(
+                    m_schema.get("fields"), list
+                ):
+                    file_schema_json[path] = m_schema
                 data_parts[_norm_path(path)] = dfile.get("partition") or {}
                 if dfile.get("lower_bounds") or dfile.get("upper_bounds"):
                     data_stats[_norm_path(path)] = {
@@ -5265,7 +5375,7 @@ def _v2_row_level_commit(
             {p for p, _ in data_files} - orc_dml_paths - avro_dml_paths
         )
         for idmap, gpaths in (
-            _schema_id_groups(pq_paths, file_schema_id, meta)
+            _schema_id_groups(pq_paths, file_schema_id, meta, file_schema_json)
             if pq_paths else []
         ):
             t = spark.read.parquet(*gpaths).select(
@@ -5278,19 +5388,22 @@ def _v2_row_level_commit(
             parts.append(_proj(t, idmap))
         if orc_dml_paths:
             # ORC data files: decoder-derived positions (the read
-            # path's _scan_orc_groups), name-resolved
-            for o_idmap, odf in _scan_orc_groups(
-                spark, sorted(orc_dml_paths), True
+            # path's _scan_orc_groups), stamped-schema id-resolved
+            # (r16 — renames during an ORC era match correctly)
+            for sid_idmap, gpaths in _sid_groups(
+                orc_dml_paths, file_schema_id, meta, file_schema_json
             ):
-                parts.append(_proj(odf, o_idmap))
+                for o_idmap, odf in _scan_orc_groups(spark, gpaths, True):
+                    parts.append(_proj(odf, o_idmap or sid_idmap))
         if avro_dml_paths:
             # Avro data files: the pure-Python decoder's record
             # ordinals, field-id resolved (the read path's
-            # _scan_avro_groups)
-            for a_idmap, adf in _scan_avro_groups(
-                spark, sorted(avro_dml_paths), True
+            # _scan_avro_groups) with the stamped-schema fallback
+            for sid_idmap, gpaths in _sid_groups(
+                avro_dml_paths, file_schema_id, meta, file_schema_json
             ):
-                parts.append(_proj(adf, a_idmap))
+                for a_idmap, adf in _scan_avro_groups(spark, gpaths, True):
+                    parts.append(_proj(adf, a_idmap or sid_idmap))
         tagged = parts[0]
         for p in parts[1:]:
             tagged = tagged.unionByName(p)

@@ -60,3 +60,43 @@ def test_dml_over_nonparquet_data(spark, tmp_path, fmt):
                  snapshot_ts_ms=1_700_000_002_000)
     rows = {r["k"]: r["v"] for r in read_iceberg_py(spark, t).collect()}
     assert rows[4] == 1013
+
+
+@pytest.mark.parametrize("fmt", ["orc", "avro"])
+def test_rename_evolution_over_nonparquet_data(spark, tmp_path, fmt):
+    """r16: a column RENAME during an ORC era reads correctly — the
+    manifest's schema-id stamp ties each ORC file to its write-time
+    schema, whose {field-id: write-time name} map resolves the file's
+    columns to the CURRENT name by id (parquet got this in r10; ORC
+    previously fell back to name resolution and read NULLs after a
+    rename; Avro always carried field-ids and pins the invariant)."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        alter_iceberg_rename_column,
+    )
+
+    t = str(tmp_path / f"ren_{fmt}")
+    write_iceberg_v2_fixture(_df(spark), t, sort_col="k", data_format=fmt)
+    alter_iceberg_rename_column(t, "v", "value")
+    got = read_iceberg_py(spark, t)
+    assert set(got.columns) == {"k", "value"}
+    rows = {r["k"]: r["value"] for r in got.collect()}
+    # the renamed column carries VALUES, not NULLs
+    assert rows == {i: i * 3 for i in range(20)}, rows
+
+
+@pytest.mark.parametrize("fmt", ["orc"])
+def test_rename_evolution_orc_with_deletes(spark, tmp_path, fmt):
+    """Same invariant through the delete-bearing decode path
+    (_scan_orc_groups + stamped idmap)."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        alter_iceberg_rename_column,
+    )
+
+    t = str(tmp_path / "ren_orc_del")
+    write_iceberg_v2_fixture(
+        _df(spark), t, sort_col="k", position_delete_keys=[3, 9],
+        data_format=fmt,
+    )
+    alter_iceberg_rename_column(t, "v", "value")
+    rows = {r["k"]: r["value"] for r in read_iceberg_py(spark, t).collect()}
+    assert rows == {i: i * 3 for i in range(20) if i not in (3, 9)}, rows
