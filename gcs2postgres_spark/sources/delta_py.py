@@ -596,16 +596,34 @@ def _apply_deletion_vectors(
     """Anti-join the scan against decoded deletion vectors.
 
     ``df`` must carry ``__dv_fp`` (scheme-normalized _metadata.file_path)
-    and ``__dv_pos`` (_metadata.row_index). ``dv_rows``: one descriptor
-    per DV'd data file — (data file abs path, kind, payload-or-path,
-    offset, sizeInBytes, cardinality). The descriptor frame is
-    metadata-sized (one row per file); the DECODE runs on executors via
-    mapInPandas — each task opens its DV blobs, CRC-checks, decodes the
-    roaring bitmap, and emits (file, pos) pairs, so a table with
-    millions of deleted rows never routes them through the driver. The
-    anti-join shuffles on (file, pos) like the Iceberg position-delete
-    path (iceberg_py._apply_v2_deletes); AQE picks broadcast when the
+    and ``__dv_pos`` (_metadata.row_index). The decoded positions come
+    from ``dv_positions_frame``; the anti-join shuffles on (file, pos)
+    like the Iceberg position-delete path
+    (iceberg_py._apply_v2_deletes); AQE picks broadcast when the
     decoded side is small."""
+    dels = dv_positions_frame(spark, dv_rows)
+    return df.join(
+        dels,
+        (df["__dv_fp"] == dels["__del_fp"]) & (df["__dv_pos"] == dels["__del_pos"]),
+        "left_anti",
+    )
+
+
+def dv_positions_frame(
+    spark: SparkSession, dv_rows: list[tuple[str, str, str, int, int, int]]
+) -> DataFrame:
+    """Decoded deletion-vector positions as a DataFrame
+    ``(__del_fp string, __del_pos long)`` — one row per DELETED row.
+
+    ``dv_rows``: one descriptor per DV'd data file — (data file abs
+    path, kind, payload-or-path, offset, sizeInBytes, cardinality).
+    The descriptor frame is metadata-sized (one row per file); the
+    DECODE runs on executors via mapInPandas — each task opens its DV
+    blobs, CRC-checks, decodes the roaring bitmap, and emits
+    (file, pos) pairs, so a table with millions of deleted rows never
+    routes them through the driver. Consumers: the read path's
+    anti-join (_apply_deletion_vectors) and the UniForm DV translation
+    (iceberg_py.sync_uniform_iceberg's distributed branch)."""
     from pyspark import cloudpickle as _cp
 
     from gcs2postgres_spark.sources import dv_roaring
@@ -684,12 +702,7 @@ def _apply_deletion_vectors(
                     }
                 )
 
-    dels = desc.mapInPandas(decode, schema="__del_fp string, __del_pos long")
-    return df.join(
-        dels,
-        (df["__dv_fp"] == dels["__del_fp"]) & (df["__dv_pos"] == dels["__del_pos"]),
-        "left_anti",
-    )
+    return desc.mapInPandas(decode, schema="__del_fp string, __del_pos long")
 
 
 def read_delta_py(

@@ -3140,35 +3140,10 @@ def sync_uniform_iceberg(
         dv = add.get("deletionVector")
         if dv:
             # Delta DV -> Iceberg v3 DV: same roaring portable bitmap,
-            # different framing. Decode driver-side (KB-scale blobs,
-            # bounded by deleted-row count) and re-render as a Puffin
-            # deletion-vector-v1 blob below.
-            from gcs2postgres_spark.sources.delta_py import _dv_location
-            from gcs2postgres_spark.sources.dv_roaring import (
-                read_dv_blob,
-                roaring_array_decode,
-                z85_decode,
-            )
-
-            kind, loc = _dv_location(table_path, dv)
-            if kind == "inline":
-                positions = roaring_array_decode(z85_decode(loc))
-            else:
-                raw = _dv_blob_cache.get(loc)
-                if raw is None:
-                    raw = _dv_blob_cache[loc] = fsio.read_bytes(loc)
-                positions = read_dv_blob(
-                    raw,
-                    int(dv.get("offset") or 0),
-                    int(dv["sizeInBytes"]),
-                )
-            card = dv.get("cardinality")
-            if card is not None and int(card) >= 0 and len(positions) != int(card):
-                raise ValueError(
-                    f"deletion vector for {rel!r} decoded {len(positions)} "
-                    f"positions, descriptor says {card}"
-                )
-            dv_list.append((fsio.absolute(full), sorted(positions), partition))
+            # different framing — collect the descriptor; the decode +
+            # Puffin re-render happens below (driver-side for a handful
+            # of files, distributed above the threshold)
+            dv_list.append((fsio.absolute(full), dv, partition))
         entries.append(
             _v2_entry(
                 full, content=0, seq=1, snapshot_id=sid,
@@ -3195,27 +3170,92 @@ def sync_uniform_iceberg(
         }
     ]
     if dv_list:
-        # ONE Puffin file carries every data file's DV blob; one delete
-        # manifest entry per DV'd file references its frame — the v3
-        # merge-on-read shape (the scan anti-joins decoded positions,
-        # dv_seq >= data_seq, both 1 here)
-        from gcs2postgres_spark.sources.puffin import render_puffin_dv
+        # v3 merge-on-read shape: Puffin deletion-vector-v1 blobs
+        # referenced from a delete manifest (the scan anti-joins the
+        # decoded positions, dv_seq >= data_seq, both 1 here).
+        from gcs2postgres_spark.sources.delta_py import _dv_location
 
-        body, frames = render_puffin_dv(
-            [(fp, pos) for fp, pos, _pt in dv_list], sid, 1
-        )
-        puffin = os.path.join(mdir, _uniq(f"dv-uniform-{sid}.puffin"))
-        fsio.write_bytes(puffin, body)
+        part_of = {fp: pt for fp, _dv, pt in dv_list}
         del_entries = []
-        for fp, _pos, pt in dv_list:
-            off, size, card = frames[fp]
-            del_entries.append(
-                _v2_entry(
-                    puffin, content=1, seq=1, snapshot_id=sid,
-                    dv=(fp, off, size, card), partition=pt,
-                    file_size=len(body),
-                )
+        if len(dv_list) <= _MAX_UNION_ARMS:
+            # handful of DV'd files: decode driver-side (KB-scale
+            # blobs, one fetch per DISTINCT blob object) and render ONE
+            # Puffin carrying every frame
+            from gcs2postgres_spark.sources.dv_roaring import (
+                read_dv_blob,
+                roaring_array_decode,
+                z85_decode,
             )
+            from gcs2postgres_spark.sources.puffin import render_puffin_dv
+
+            decoded = []
+            for fp, dv, _pt in dv_list:
+                kind, loc = _dv_location(table_path, dv)
+                if kind == "inline":
+                    positions = roaring_array_decode(z85_decode(loc))
+                else:
+                    raw = _dv_blob_cache.get(loc)
+                    if raw is None:
+                        raw = _dv_blob_cache[loc] = fsio.read_bytes(loc)
+                    positions = read_dv_blob(
+                        raw, int(dv.get("offset") or 0), int(dv["sizeInBytes"])
+                    )
+                card = dv.get("cardinality")
+                if card is not None and int(card) >= 0 and (
+                    len(positions) != int(card)
+                ):
+                    raise ValueError(
+                        f"deletion vector for {fp!r} decoded "
+                        f"{len(positions)} positions, descriptor says {card}"
+                    )
+                decoded.append((fp, sorted(positions)))
+            body, frames = render_puffin_dv(decoded, sid, 1)
+            puffin = os.path.join(mdir, _uniq(f"dv-uniform-{sid}.puffin"))
+            fsio.write_bytes(puffin, body)
+            for fp, _pos in decoded:
+                off, size, card = frames[fp]
+                del_entries.append(
+                    _v2_entry(
+                        puffin, content=1, seq=1, snapshot_id=sid,
+                        dv=(fp, off, size, card), partition=part_of[fp],
+                        file_size=len(body),
+                    )
+                )
+        else:
+            # MANY DV'd files: the decode + render must not serialize
+            # through the driver (at 10^4 files / 10^7 deleted rows the
+            # driver-side position lists are the wall). Reuse the read
+            # path's executor-side decode (dv_positions_frame — blobs
+            # ride a binaryFile scan on remote schemes) and the DML
+            # committers' per-file Puffin writer (_write_dv_files); the
+            # collect is one metadata row per DV'd file
+            from gcs2postgres_spark.sources.delta_py import (
+                dv_positions_frame,
+            )
+
+            dv_rows = []
+            for fp, dv, _pt in dv_list:
+                kind, loc = _dv_location(table_path, dv)
+                dv_rows.append(
+                    (
+                        fp, kind, loc,
+                        int(dv.get("offset") or 0),
+                        int(dv["sizeInBytes"]),
+                        int(dv.get("cardinality", -1)),
+                    )
+                )
+            positions = dv_positions_frame(spark, dv_rows).selectExpr(
+                "__del_fp AS file_path", "__del_pos AS pos"
+            )
+            for r in _write_dv_files(spark, positions, mdir, sid, 1):
+                del_entries.append(
+                    _v2_entry(
+                        r["puffin"], content=1, seq=1, snapshot_id=sid,
+                        dv=(r["data_fp"], r["off"], r["size"], r["card"]),
+                        partition=part_of.get(r["data_fp"]) or {},
+                        file_size=fsio.size(r["puffin"]),
+                    )
+                )
         del_manifest = os.path.join(
             mdir, _uniq(f"manifest-uniform-del-{sid}.avro")
         )

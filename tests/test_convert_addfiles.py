@@ -318,3 +318,42 @@ def test_uniform_high_cardinality_partitioning_capped(spark, tmp_path):
                 timestamp_ms=1_700_000_000_000)
     sync_uniform_iceberg(spark, t2, snapshot_ts_ms=1_700_000_001_000)
     assert "Join" not in formatted_plan(read_iceberg_py(spark, t2))
+
+
+def test_uniform_dv_distributed_branch(spark, tmp_path):
+    """r16: above _MAX_UNION_ARMS DV'd files the sync must not decode
+    and render DVs on the driver — positions decode executor-side
+    (dv_positions_frame) and per-file Puffins come from _write_dv_files
+    (metadata-only collect). Values stay exact vs the Delta reader."""
+    from gcs2postgres_spark.sources.delta_py import delete_where_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        _MAX_UNION_ARMS,
+        latest_metadata_file,
+        sync_uniform_iceberg,
+    )
+
+    t = str(tmp_path / "uni_dv_many")
+    n_files = _MAX_UNION_ARMS + 8
+    df = spark.range(0, n_files * 10).selectExpr("id AS k", "id * 2 AS v")
+    write_delta(df.repartition(n_files), t, "overwrite",
+                timestamp_ms=1_700_000_000_000)
+    # every 5th row deleted: with rows hash-spread over n_files files,
+    # (essentially) every file collects a DV -> > threshold descriptors
+    delete_where_delta(spark, t, "k % 5 = 3", timestamp_ms=1_700_000_001_000)
+    from gcs2postgres_spark.sources.delta_py import replay_head_state
+
+    live, _m = replay_head_state(spark, t)
+    n_dv = sum(1 for a in live.values() if a.get("deletionVector"))
+    assert n_dv > _MAX_UNION_ARMS, f"fixture too small: {n_dv} DV'd files"
+    sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_002_000)
+    a = sorted(tuple(r) for r in read_delta_py(spark, t).collect())
+    b = sorted(tuple(r) for r in read_iceberg_py(spark, t).collect())
+    assert a == b and len(a) == n_files * 10 - n_files * 2
+    import glob as _glob
+    import json as _json
+
+    assert _json.loads(
+        open(latest_metadata_file(t)).read()
+    )["format-version"] == 3
+    # per-file puffins from the distributed writer, not one monolith
+    assert len(_glob.glob(f"{t}/metadata/dv-*.puffin")) > 1
