@@ -774,6 +774,29 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         )
         return None
 
+    m = re.fullmatch(
+        r"(?i)SHOW TABLES IN iceberg\s*\.\s*(?P<cat>\w+)\s*\.\s*(?P<ns>\w+)", s
+    )
+    if m:
+        # catalog-resolved listing (REST catalog read surface)
+        from gcs2postgres_spark.sources import rest_catalog
+
+        names = rest_catalog.get_catalog(m["cat"]).list_tables(m["ns"])
+        return spark.createDataFrame(
+            [(m["ns"], n) for n in sorted(names)] or [("", "")],
+            "namespace string, table_name string",
+        ).where("table_name <> ''")
+
+    m = re.fullmatch(r"(?i)SHOW NAMESPACES IN iceberg\s*\.\s*(?P<cat>\w+)", s)
+    if m:
+        from gcs2postgres_spark.sources import rest_catalog
+
+        nss = rest_catalog.get_catalog(m["cat"]).list_namespaces()
+        return spark.createDataFrame(
+            [(".".join(ns),) for ns in sorted(nss)] or [("",)],
+            "namespace string",
+        ).where("namespace <> ''")
+
     m = re.fullmatch(rf"(?i)SHOW PARTITIONS {_TBL}", s)
     if m:
         if m["fmt"] == "iceberg":

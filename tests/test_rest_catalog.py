@@ -177,3 +177,19 @@ def test_facade_accepts_catalog_identifiers(spark, tmp_path, fake_rest):
         lakehouse_sql(
             spark, "SELECT * FROM iceberg.nocat.analytics.events"
         )
+
+
+def test_facade_show_tables_and_namespaces(spark, tmp_path, fake_rest):
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    endpoint, state = fake_rest
+    t = _fixture_table(spark, tmp_path, "t_show")
+    state.tables[("analytics", "events")] = t
+    state.tables[("analytics", "users")] = t
+    register_catalog("main", IcebergRestCatalog(endpoint))
+    rows = lakehouse_sql(spark, "SHOW TABLES IN iceberg.main.analytics").collect()
+    assert [(r["namespace"], r["table_name"]) for r in rows] == [
+        ("analytics", "events"), ("analytics", "users"),
+    ]
+    ns = lakehouse_sql(spark, "SHOW NAMESPACES IN iceberg.main").collect()
+    assert [r["namespace"] for r in ns] == ["analytics"]
