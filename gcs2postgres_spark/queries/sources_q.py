@@ -4823,6 +4823,61 @@ def iceberg_rest_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             srv.shutdown()
 
 
+UNIFORM_DATEPART_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*)                                       AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT)                AS key_sum
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+ORDER BY month
+"""
+
+
+@register("delta_uniform_date_partition_roundtrip",
+          oracle=UNIFORM_DATEPART_ORACLE)
+def delta_uniform_date_partition_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r16 — UniForm over a DATE-partitioned Delta table (real tables
+    partition by date far more often than by int): manifest tuples
+    store the spec's int DAYS from epoch, the metadata's partition spec
+    stays identity-on-date, and the scan converts days back to DATE on
+    materialization. ~84 month partitions also exceed the union-arm
+    cap, so the conversion runs through the file-index JOIN branch (a
+    Column fill, not a literal) — both the cap and the temporal
+    decode verified by the same oracle hash."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        sync_uniform_iceberg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_orderkey AS LONG) AS key",
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month",
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_uniform_date_")
+    try:
+        write_delta(orders.repartition("month"), tmp, "overwrite",
+                    partition_by=["month"], timestamp_ms=1_700_000_000_000)
+        sync_uniform_iceberg(spark, tmp, snapshot_ts_ms=1_700_000_001_000)
+        via_iceberg = read_iceberg_py(spark, tmp)
+        if via_iceberg.count() != read_delta_py(spark, tmp).count():
+            raise AssertionError("iceberg and delta reads disagree")
+        return (
+            via_iceberg.groupBy("month")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+            )
+            .orderBy("month")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 FSCK_REPAIR_ORACLE = """
 SELECT CAST(n_regionkey AS BIGINT)      AS region,
        count(*)                         AS n_rows,

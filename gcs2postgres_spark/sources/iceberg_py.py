@@ -852,9 +852,15 @@ def read_iceberg_py(
                 # manifest tuple (the file lacks the source column —
                 # migrated hive layouts, UniForm over partitioned
                 # Delta); a Column means the file-index-join path
-                # already recovered it per file
+                # already recovered it per file. Temporal identities
+                # are STORED as int days / long micros (spec partition
+                # struct) — convert back to the declared type.
                 val = fill[fjson["id"]]
                 vcol = val if isinstance(val, Column) else F.lit(val)
+                if fjson["type"] == "date":
+                    vcol = F.date_from_unix_date(vcol.cast("int"))
+                elif fjson["type"] in ("timestamp", "timestamptz"):
+                    vcol = F.timestamp_micros(vcol.cast("long"))
                 cols.append(vcol.cast(field.dataType).alias(field.name))
             elif src is None:
                 cols.append(_missing_column_lit(fjson, field.dataType).alias(field.name))
@@ -887,7 +893,10 @@ def read_iceberg_py(
         for f in (default_spec or {}).get("fields", [])
         if f.get("transform", "identity") == "identity"
     }
-    _FILLABLE = {"int", "long", "string", "boolean", "float", "double"}
+    _FILLABLE = {
+        "int", "long", "string", "boolean", "float", "double",
+        "date", "timestamp", "timestamptz",
+    }
 
     for idmap, gpaths in groups:
         fills_needed = (
@@ -3074,19 +3083,45 @@ def sync_uniform_iceberg(
     # Iceberg scan knows those files omit the source column and
     # materializes the identity value from the manifest tuple — the
     # migrated-hive-table read shape.
+    import datetime as _dt
+
+    def _days(v: str) -> int:
+        # Delta stores date partitionValues as ISO strings; Iceberg
+        # manifests store identity-date partition values as int DAYS
+        # from epoch (spec "Partition struct" + storage_transform)
+        return (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days
+
+    def _micros(v: str) -> int:
+        # timestamp partitionValues serialize as 'YYYY-MM-DD HH:MM:SS[.f]'
+        # (UTC); manifests store long MICROS from epoch
+        d = _dt.datetime.fromisoformat(v)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp() * 1_000_000)
+
     part_avro: list[tuple[str, str]] = []
     part_cast: dict[str, object] = {}
     for c in part_cols:
         ice_t = next(
             f["type"] for f in schema_json["fields"] if f["name"] == c
         )
-        if ice_t not in ("int", "long", "string"):
+        if ice_t in ("int", "long"):
+            part_avro.append((c, ice_t))
+            part_cast[c] = int
+        elif ice_t == "string":
+            part_avro.append((c, "string"))
+            part_cast[c] = str
+        elif ice_t == "date":
+            part_avro.append((c, "int"))
+            part_cast[c] = _days
+        elif ice_t in ("timestamp", "timestamptz"):
+            part_avro.append((c, "long"))
+            part_cast[c] = _micros
+        else:
             raise NotImplementedError(
                 f"UniForm over partition column {c!r} of type {ice_t!r} "
-                "(int/long/string identity partitions only)"
+                "(int/long/string/date/timestamp identity partitions only)"
             )
-        part_avro.append((c, ice_t))
-        part_cast[c] = int if ice_t in ("int", "long") else str
     schemas = [schema_json]
     stamp_sid = 0
     if part_cols or mapped:
