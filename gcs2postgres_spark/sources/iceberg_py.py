@@ -3055,6 +3055,18 @@ def sync_uniform_iceberg(
         _delta_commits(_delta_log_dir(table_path)), default=0
     )
     sid = delta_version + 1
+    # idempotent re-sync: when the existing Iceberg metadata already
+    # tracks the head Delta version (the uniform.delta-version
+    # watermark), skip the rewrite entirely — the no-change case real
+    # UniForm's async sync hits on every poll
+    try:
+        prev_meta = json.loads(fsio.read_text(latest_metadata_file(table_path)))
+        if (prev_meta.get("properties") or {}).get(
+            "uniform.delta-version"
+        ) == str(delta_version):
+            return int(prev_meta.get("current-snapshot-id") or sid)
+    except (FileNotFoundError, ValueError):
+        pass  # first sync, or unreadable metadata: full sync below
     now = int(
         snapshot_ts_ms if snapshot_ts_ms is not None else _time.time() * 1000
     )

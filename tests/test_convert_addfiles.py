@@ -400,3 +400,26 @@ def test_uniform_temporal_partitions(spark, tmp_path):
     b2 = sorted(tuple(map(str, r)) for r in
                 read_iceberg_py(spark, t2).select("k", "ts", "v").collect())
     assert a2 == b2 and len(a2) == 20
+
+
+def test_uniform_resync_idempotent(spark, tmp_path):
+    """r16: re-sync with no new Delta commits is a metadata no-op (the
+    uniform.delta-version watermark short-circuits — real UniForm's
+    async sync polls constantly); a new commit re-syncs for real."""
+    import glob as _glob
+
+    from gcs2postgres_spark.sources.iceberg_py import sync_uniform_iceberg
+
+    t = str(tmp_path / "uni_idem")
+    df = _df(spark, 0, 10).drop("p")
+    write_delta(df, t, "overwrite", timestamp_ms=1_700_000_000_000)
+    sid1 = sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_001_000)
+    n_meta = len(_glob.glob(f"{t}/metadata/v*.metadata.json"))
+    sid2 = sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_002_000)
+    assert sid2 == sid1
+    assert len(_glob.glob(f"{t}/metadata/v*.metadata.json")) == n_meta
+    write_delta(_df(spark, 10, 13).drop("p"), t, "append",
+                timestamp_ms=1_700_000_003_000)
+    sid3 = sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_004_000)
+    assert sid3 > sid1
+    assert read_iceberg_py(spark, t).count() == 13
