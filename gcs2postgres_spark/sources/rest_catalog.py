@@ -20,10 +20,12 @@ bounded timeouts, ``token_provider`` for a bearer token per request, an
 in-process fake server in tests (no network in CI). Multi-level
 namespaces join with the spec's 0x1F unit separator in URLs.
 
-Scope honesty: READ surface only (config/list/load). Catalog COMMITS
-(``POST .../tables/{t}`` with requirements/updates) stay with the
-file-layout committers — registering one of this repo's tables in a
-real REST catalog is an external operation.
+Scope honesty: the READ surface (config/list/load) plus
+``register_table`` (the spec's RegisterTableRequest — onboarding an
+EXISTING table by its metadata location, no data movement; the twin of
+``add_files``/``CONVERT TO DELTA`` at the catalog layer). Incremental
+catalog COMMITS (``POST .../tables/{t}`` with requirements/updates)
+stay with the file-layout committers.
 """
 
 from __future__ import annotations
@@ -76,8 +78,13 @@ class IcebergRestCatalog:
 
     # ----------------------------------------------------------- transport
 
-    def _get(self, path: str) -> dict:
-        req = urllib.request.Request(f"{self.endpoint}{path}")
+    def _call(self, path: str, body: dict | None = None) -> dict:
+        data = None if body is None else json.dumps(body).encode("utf-8")
+        req = urllib.request.Request(
+            f"{self.endpoint}{path}", data=data,
+            method="GET" if data is None else "POST",
+            headers={} if data is None else {"Content-Type": "application/json"},
+        )
         token = self._token_provider()
         if token:
             req.add_header("Authorization", f"Bearer {token}")
@@ -89,7 +96,14 @@ class IcebergRestCatalog:
                 raise FileNotFoundError(
                     f"REST catalog: {path!r} not found"
                 ) from None
+            if e.code == 409:
+                raise FileExistsError(
+                    f"REST catalog: {path!r} already exists"
+                ) from None
             raise
+
+    def _get(self, path: str) -> dict:
+        return self._call(path)
 
     def _base(self) -> str:
         return f"/v1/{self.prefix}" if self.prefix else "/v1"
@@ -121,6 +135,20 @@ class IcebergRestCatalog:
         return self._get(
             f"{self._base()}/namespaces/{self._ns_path(ns)}/tables/"
             f"{urllib.parse.quote(name, safe='')}"
+        )
+
+    def register_table(
+        self, ns: str | tuple | list, name: str, metadata_location: str
+    ) -> dict:
+        """Onboard an EXISTING Iceberg table into the catalog by its
+        current metadata file (spec RegisterTableRequest,
+        ``POST /v1/{prefix}/namespaces/{ns}/register``) — no data or
+        metadata movement; the catalog records the pointer and becomes
+        the commit authority from then on. 409 -> FileExistsError
+        (the name is taken)."""
+        return self._call(
+            f"{self._base()}/namespaces/{self._ns_path(ns)}/register",
+            {"name": name, "metadata-location": metadata_location},
         )
 
     def read(self, spark, ns: str | tuple | list, name: str, **read_kwargs):

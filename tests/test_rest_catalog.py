@@ -82,11 +82,44 @@ class _FakeRest(BaseHTTPRequestHandler):
             if path is None:
                 self._json({"error": "no such table"}, 404)
                 return
-            mloc = latest_metadata_file(path)
+            # entries are either a table DIR (resolve its head) or a
+            # REGISTERED metadata-location (serve it verbatim)
+            mloc = path if path.endswith(".metadata.json") else (
+                latest_metadata_file(path)
+            )
             self._json(
                 {
                     "metadata-location": mloc,
                     "metadata": json.loads(open(mloc).read()),
+                    "config": {},
+                }
+            )
+            return
+        self._json({"error": "bad route"}, 404)
+
+    def do_POST(self):
+        parts = [urllib.parse.unquote(p) for p in self.path.split("/") if p]
+        body = json.loads(
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            or b"{}"
+        )
+        if (
+            len(parts) == 5
+            and parts[:2] == ["v1", self.prefix]
+            and parts[2] == "namespaces"
+            and parts[4] == "register"
+        ):
+            key = (parts[3], body["name"])
+            if key in self.tables:
+                self._json({"error": "already exists"}, 409)
+                return
+            self.tables[key] = body["metadata-location"]
+            self._json(
+                {
+                    "metadata-location": body["metadata-location"],
+                    "metadata": json.loads(
+                        open(body["metadata-location"]).read()
+                    ),
                     "config": {},
                 }
             )
@@ -193,3 +226,23 @@ def test_facade_show_tables_and_namespaces(spark, tmp_path, fake_rest):
     ]
     ns = lakehouse_sql(spark, "SHOW NAMESPACES IN iceberg.main").collect()
     assert [r["namespace"] for r in ns] == ["analytics"]
+
+
+def test_register_table_then_read_by_name(spark, tmp_path, fake_rest):
+    """RegisterTableRequest: an existing path-addressed table onboards
+    into the catalog by its metadata location (no data movement) and is
+    then readable BY NAME; a second register of the same name 409s."""
+    endpoint, state = fake_rest
+    t = _fixture_table(spark, tmp_path, "t_reg")
+    cat = IcebergRestCatalog(endpoint)
+    result = cat.register_table(
+        "analytics", "registered", latest_metadata_file(t)
+    )
+    assert result["metadata"]["location"]
+    assert cat.list_tables("analytics") == ["registered"]
+    got = sorted(tuple(r) for r in
+                 cat.read(spark, "analytics", "registered").collect())
+    ref = sorted(tuple(r) for r in read_iceberg_py(spark, t).collect())
+    assert got == ref and len(got) == 12
+    with pytest.raises(FileExistsError):
+        cat.register_table("analytics", "registered", latest_metadata_file(t))
