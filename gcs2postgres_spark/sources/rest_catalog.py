@@ -120,13 +120,37 @@ class IcebergRestCatalog:
     def config(self) -> dict:
         return self._get("/v1/config")
 
+    def _paged(self, path: str, key: str) -> list:
+        # the spec pages list endpoints via next-page-token; a client
+        # that reads only the first page silently truncates a large
+        # catalog's listing
+        out: list = []
+        token: str | None = None
+        while True:
+            q = (
+                f"?pageToken={urllib.parse.quote(token, safe='')}"
+                if token else ""
+            )
+            r = self._get(path + q)
+            out.extend(r.get(key) or [])
+            token = r.get("next-page-token")
+            if not token:
+                return out
+
     def list_namespaces(self) -> list[tuple[str, ...]]:
-        r = self._get(f"{self._base()}/namespaces")
-        return [tuple(ns) for ns in r.get("namespaces") or []]
+        return [
+            tuple(ns)
+            for ns in self._paged(f"{self._base()}/namespaces", "namespaces")
+        ]
 
     def list_tables(self, ns: str | tuple | list) -> list[str]:
-        r = self._get(f"{self._base()}/namespaces/{self._ns_path(ns)}/tables")
-        return [i["name"] for i in r.get("identifiers") or []]
+        return [
+            i["name"]
+            for i in self._paged(
+                f"{self._base()}/namespaces/{self._ns_path(ns)}/tables",
+                "identifiers",
+            )
+        ]
 
     def load_table(self, ns: str | tuple | list, name: str) -> dict:
         """The spec's LoadTableResult: {"metadata-location", "metadata",

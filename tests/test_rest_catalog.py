@@ -51,7 +51,9 @@ class _FakeRest(BaseHTTPRequestHandler):
 
     def do_GET(self):
         self.seen_auth.append(self.headers.get("Authorization", ""))
-        parts = [urllib.parse.unquote(p) for p in self.path.split("/") if p]
+        parsed = urllib.parse.urlparse(self.path)
+        qs = urllib.parse.parse_qs(parsed.query)
+        parts = [urllib.parse.unquote(p) for p in parsed.path.split("/") if p]
         if parts == ["v1", "config"]:
             self._json({"defaults": {"prefix": self.prefix}, "overrides": {}})
             return
@@ -65,16 +67,19 @@ class _FakeRest(BaseHTTPRequestHandler):
             )
             return
         if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
+            # PAGED at one identifier per page (spec next-page-token) —
+            # a client reading only the first page truncates the list
             ns = rest[1]
-            self._json(
-                {
-                    "identifiers": [
-                        {"namespace": [n], "name": t}
-                        for (n, t) in sorted(self.tables)
-                        if n == ns
-                    ]
-                }
-            )
+            idents = [
+                {"namespace": [n], "name": t}
+                for (n, t) in sorted(self.tables)
+                if n == ns
+            ]
+            start = int(qs.get("pageToken", ["0"])[0])
+            out = {"identifiers": idents[start : start + 1]}
+            if start + 1 < len(idents):
+                out["next-page-token"] = str(start + 1)
+            self._json(out)
             return
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
             key = (rest[1], rest[3])
