@@ -4917,11 +4917,13 @@ def version_at_timestamp(table_path: str, ts_ms: int) -> int:
                     ts = int(raw)
                 break
         if ts is None:
-            # no recoverable timestamp (commitInfo is OPTIONAL in the
-            # protocol): this version can't anchor a timestamp lookup —
-            # skipping it beats counting it as ts=0, which would make a
-            # late commit wrongly become "best" for any target
-            continue
+            # no in-commit timestamp (commitInfo is OPTIONAL in the
+            # protocol): fall back to the commit file's modification
+            # time — delta-spark's DeltaHistoryManager resolution for
+            # exactly this case. The running-max monotonization below
+            # still applies, so a rewritten/copied log file's fresh
+            # mtime can't shadow later commits' recorded stamps.
+            ts = fsio.mtime_ms(commits[v])
         # MONOTONIZE: commitInfo.timestamp is wall-clock per writer, and
         # clock skew between writers (no ICT) can make version N+1 carry
         # an EARLIER stamp than N. delta-spark's history adjustment is a

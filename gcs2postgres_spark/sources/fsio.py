@@ -442,6 +442,16 @@ def list_files_mtime(path: str) -> list[tuple[str, int, int]]:
     return out
 
 
+def mtime_ms(path: str) -> int:
+    """One file's modification time in epoch ms (local stat, or the
+    Hadoop FileStatus on remote schemes). Powers delta-spark-compatible
+    TIMESTAMP AS OF resolution for commits that omit commitInfo."""
+    if not has_scheme(path):
+        return int(os.stat(path).st_mtime * 1000)
+    fs, p, _jvm = _fs(path)
+    return int(fs.getFileStatus(p).getModificationTime())
+
+
 def strip_scheme(path: str) -> str:
     """The filesystem-local form of a path: 'file:/x', 'file:///x' →
     '/x'; other schemes returned unchanged (there is no local form)."""

@@ -258,7 +258,38 @@ _DELTA_PRIM_TO_ICE = {
 }
 
 
-def _delta_mapping_to_iceberg(delta_schema: dict) -> tuple[dict, dict, list]:
+def _max_field_id(jt) -> int:
+    """Max field id appearing ANYWHERE in an Iceberg schema JSON —
+    struct field ids plus nested list element-ids and map key/value
+    ids. ``last-column-id`` must dominate every assigned id (Iceberg
+    spec, "Table Metadata" — it seeds foreign engines' id allocation;
+    a last-column-id below a minted nested id would let a catalog
+    commit a colliding field id and corrupt id-based resolution)."""
+    if isinstance(jt, dict):
+        t = jt.get("type")
+        if t == "struct":
+            return max(
+                (
+                    max(int(f["id"]), _max_field_id(f["type"]))
+                    for f in jt["fields"]
+                ),
+                default=0,
+            )
+        if t == "list":
+            return max(int(jt["element-id"]), _max_field_id(jt["element"]))
+        if t == "map":
+            return max(
+                int(jt["key-id"]),
+                int(jt["value-id"]),
+                _max_field_id(jt["key"]),
+                _max_field_id(jt["value"]),
+            )
+    return 0
+
+
+def _delta_mapping_to_iceberg(
+    delta_schema: dict, max_column_id: int | None = None
+) -> tuple[dict, dict, list]:
     """(logical Iceberg schema JSON, PHYSICAL-named twin with the SAME
     field ids, Iceberg name-mapping) from a columnMapping Delta
     schemaString. Field ids come straight from ``delta.columnMapping.id``
@@ -288,7 +319,11 @@ def _delta_mapping_to_iceberg(delta_schema: dict) -> tuple[dict, dict, list]:
                 return max(_max_id(jt["keyType"]), _max_id(jt["valueType"]))
         return 0
 
-    base = _max_id(delta_schema)
+    # Seed minting from delta.columnMapping.maxColumnId when the table
+    # records it (it dominates DROPPED columns' ids, which no longer
+    # appear in the schema — re-minting one of those would collide with
+    # any old data file still carrying the dropped physical column).
+    base = max(_max_id(delta_schema), int(max_column_id or 0))
     nxt = [base]
 
     def mint() -> int:
@@ -1110,7 +1145,15 @@ def _fills_file_index(
         svals = tuple(None if v is None else str(v) for v in key)
         for p in paths:
             all_paths.append(p)
-            map_rows.append((_norm_path(p), *svals))
+            norm = _norm_path(p)
+            if not fsio.has_scheme(norm):
+                # Spark's _metadata.file_path is always absolute; a
+                # relative table_path (or a _resolve rebase) would
+                # otherwise make the inner join drop every row — the
+                # delta twin (_scan_file_index, delta_py.py) applies
+                # the same abspath for the same reason.
+                norm = os.path.abspath(norm)
+            map_rows.append((norm, *svals))
     pmap = F.broadcast(
         spark.createDataFrame(
             map_rows,
@@ -3076,7 +3119,8 @@ def sync_uniform_iceberg(
     phys_of: dict[str, str] = {}
     if mapped:
         schema_json, phys_schema, name_mapping = _delta_mapping_to_iceberg(
-            delta_schema_json
+            delta_schema_json,
+            max_column_id=cfg.get("delta.columnMapping.maxColumnId"),
         )
         for f in delta_schema_json["fields"]:
             md = f.get("metadata") or {}
@@ -3103,12 +3147,28 @@ def sync_uniform_iceberg(
         # from epoch (spec "Partition struct" + storage_transform)
         return (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days
 
+    # delta-spark serializes tz-naive `timestamp` partitionValues in
+    # the SESSION timezone (TimestampFormatter over session tz), so a
+    # foreign-written table's strings mean whatever tz its writer ran
+    # under. Interpret them in THIS session's timezone: this repo's own
+    # sessions pin spark.sql.session.timeZone=UTC (session.py:36) so
+    # repo-written tables are unaffected, and syncing a foreign table
+    # under the writer's session tz matches delta-spark exactly.
+    # timestamp_ntz partitionValues are wall-clock (no tz math at all).
+    _sess_tz = _dt.timezone.utc
+    tzname = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    if tzname not in ("UTC", "Etc/UTC", "+00:00", "GMT"):
+        from zoneinfo import ZoneInfo
+
+        _sess_tz = ZoneInfo(tzname)
+
     def _micros(v: str) -> int:
         # timestamp partitionValues serialize as 'YYYY-MM-DD HH:MM:SS[.f]'
-        # (UTC); manifests store long MICROS from epoch
+        # in the writer session's tz; manifests store long MICROS from
+        # epoch UTC
         d = _dt.datetime.fromisoformat(v)
         if d.tzinfo is None:
-            d = d.replace(tzinfo=_dt.timezone.utc)
+            d = d.replace(tzinfo=_sess_tz)
         return int(d.timestamp() * 1_000_000)
 
     part_avro: list[tuple[str, str]] = []
@@ -3338,8 +3398,12 @@ def sync_uniform_iceberg(
         "location": fsio.absolute(table_path),
         "last-sequence-number": 1,
         "last-updated-ms": now,
+        # max over ALL ids (nested/minted included), and over Delta's
+        # maxColumnId (dominates dropped columns' ids) — a committing
+        # catalog seeds new field ids past this value
         "last-column-id": max(
-            (f["id"] for f in schema_json["fields"]), default=0
+            _max_field_id(schema_json),
+            int(cfg.get("delta.columnMapping.maxColumnId") or 0),
         ),
         "schemas": schemas,
         "current-schema-id": 0,

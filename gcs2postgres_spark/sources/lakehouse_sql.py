@@ -164,6 +164,36 @@ _CAT_TBL = re.compile(
 )
 
 
+def _literal_spans(stmt: str) -> list[tuple[int, int]]:
+    """[start, end) spans of quoted regions — single/double-quoted
+    string literals and backtick identifiers — so table-reference
+    rewrites never touch text INSIDE a literal (a WHERE clause
+    mentioning 'iceberg.cat.ns.tbl' as data is data, not a table)."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch in "'\"`":
+            j = i + 1
+            while j < n:
+                if stmt[j] == ch:
+                    # SQL doubles the quote char to escape it
+                    if j + 1 < n and stmt[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _inside(spans: list[tuple[int, int]], pos: int) -> bool:
+    return any(s <= pos < e for s, e in spans)
+
+
 def _epoch_ms(ts: str) -> int:
     """'2024-01-31 12:00:00[.ffffff]' (UTC) → epoch ms."""
     import datetime as _dt
@@ -187,7 +217,21 @@ def _rewrite_select(spark: SparkSession, stmt: str) -> str:
     # catalog-resolved identifiers first (iceberg.cat.ns.tbl — three
     # dotted words can never match the backtick path form): each becomes
     # a temp view fed by the REST-catalog read
-    cat_matches = list(_CAT_TBL.finditer(stmt))
+    lit_spans = _literal_spans(stmt)
+    cat_matches = [
+        m
+        for m in _CAT_TBL.finditer(stmt)
+        if not _inside(lit_spans, m.start())
+    ]
+    if cat_matches:
+        from gcs2postgres_spark.sources import rest_catalog
+
+        # only rewrite identifiers whose catalog IS registered — an
+        # unregistered name falls through verbatim (the statement may
+        # legitimately mention it, e.g. as a column path on a struct)
+        cat_matches = [
+            m for m in cat_matches if rest_catalog.has_catalog(m["cat"])
+        ]
     if cat_matches:
         from gcs2postgres_spark.sources import rest_catalog
 
@@ -208,7 +252,18 @@ def _rewrite_select(spark: SparkSession, stmt: str) -> str:
         out.append(stmt[pos:])
         stmt = "".join(out)
 
-    matches = list(_SELECT_TBL.finditer(stmt))
+    # recompute spans: stmt may have been rewritten above. Path-form
+    # matches start at the bare word delta/iceberg (outside their own
+    # backtick path quoting), so only matches inside SINGLE/DOUBLE
+    # quoted literals are skipped — quoted-path identifiers still match.
+    lit_spans = [
+        s for s in _literal_spans(stmt) if stmt[s[0]] != "`"
+    ]
+    matches = [
+        m
+        for m in _SELECT_TBL.finditer(stmt)
+        if not _inside(lit_spans, m.start())
+    ]
     stats_filter = None
     if len(matches) == 1 and not re.search(
         r"(?i)\b(JOIN|LATERAL|UNION|INTERSECT|EXCEPT)\b", stmt

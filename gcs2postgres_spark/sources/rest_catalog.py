@@ -46,6 +46,13 @@ def register_catalog(name: str, client: "IcebergRestCatalog") -> None:
     _CATALOGS[name.lower()] = client
 
 
+def has_catalog(name: str) -> bool:
+    """True iff a catalog is registered under ``name`` — lets the SQL
+    facade fall through on iceberg.<w>.<w>.<w> text that does NOT name
+    a registered catalog instead of raising mid-rewrite."""
+    return name.lower() in _CATALOGS
+
+
 def get_catalog(name: str) -> "IcebergRestCatalog":
     c = _CATALOGS.get(name.lower())
     if c is None:

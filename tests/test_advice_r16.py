@@ -346,9 +346,13 @@ def test_version_at_timestamp_skips_commitinfo_less(spark, tmp_path):
     ]
     with open(c1, "w") as f:
         f.write("\n".join(lines) + "\n")
-    # old code: v1 counted as ts=0 and became "best" for any target --
-    # now it can't anchor a lookup at all
-    assert version_at_timestamp(t, 1500) == 0
+    # old code: v1 counted as ts=0 and became "best" for any target.
+    # r17 (ADVICE): a commitInfo-less commit anchors at its log file's
+    # MODIFICATION time, matching delta-spark's DeltaHistoryManager
+    # fallback — pin the mtime so the walk is deterministic
+    os.utime(c1, (1.5, 1.5))  # mtime = 1500 ms
+    assert version_at_timestamp(t, 1499) == 0
+    assert version_at_timestamp(t, 1500) == 1  # mtime anchors v1
     assert version_at_timestamp(t, 9000) == 2
 
 
