@@ -3651,6 +3651,8 @@ def delete_where(
     predicate: str,
     snapshot_ts_ms: int | None = None,
     partition_filter: dict[str, set] | None = None,
+    _ctx: dict | None = None,
+    _catalog_ctx: tuple | None = None,
 ) -> int | None:
     """Jar-less Iceberg v2 merge-on-read DELETE: commit position-delete
     files for the rows matching ``predicate`` (a Spark SQL boolean
@@ -3691,6 +3693,7 @@ def delete_where(
     return _v2_row_level_commit(
         spark, table_path, predicate, None, snapshot_ts_ms,
         partition_filter=partition_filter,
+        _ctx=_ctx, _catalog_ctx=_catalog_ctx,
     )
 
 
@@ -3701,6 +3704,8 @@ def overwrite_where(
     replacement: DataFrame,
     snapshot_ts_ms: int | None = None,
     partition_filter: dict[str, set] | None = None,
+    _ctx: dict | None = None,
+    _catalog_ctx: tuple | None = None,
 ) -> int:
     """Jar-less Iceberg v2 merge-on-read OVERWRITE: one commit that
     position-deletes the rows matching ``predicate`` AND appends
@@ -3717,6 +3722,7 @@ def overwrite_where(
     sid = _v2_row_level_commit(
         spark, table_path, predicate, replacement, snapshot_ts_ms,
         partition_filter=partition_filter,
+        _ctx=_ctx, _catalog_ctx=_catalog_ctx,
     )
     assert sid is not None  # replacement commit always produces a snapshot
     return sid
@@ -3729,6 +3735,9 @@ def update_where(
     set_exprs: dict[str, str],
     snapshot_ts_ms: int | None = None,
     partition_filter: dict[str, set] | None = None,
+    _ctx: dict | None = None,
+    _catalog_ctx: tuple | None = None,
+    _preloaded_meta: dict | None = None,
 ) -> int | None:
     """Jar-less Iceberg v2 merge-on-read ``UPDATE ... SET ... WHERE``:
     one atomic commit that position-deletes the rows matching
@@ -3750,7 +3759,10 @@ def update_where(
     Parity: the reference delegates UPDATE to its warehouse (query
     passthrough, reference src/db/db.go:59); this is the lakehouse-side
     equivalent jar-ful runtimes expose as SQL UPDATE."""
-    live = read_iceberg_py(spark, table_path, partition_filter=partition_filter)
+    live = read_iceberg_py(
+        spark, table_path, partition_filter=partition_filter,
+        _preloaded_meta=_preloaded_meta,
+    )
     # validate SET targets BEFORE the no-match early return: a typo'd
     # column must raise even when the predicate matches nothing
     bad = sorted(set(set_exprs) - set(live.columns))
@@ -3770,6 +3782,7 @@ def update_where(
     return overwrite_where(
         spark, table_path, predicate, replacement, snapshot_ts_ms,
         partition_filter=partition_filter,
+        _ctx=_ctx, _catalog_ctx=_catalog_ctx,
     )
 
 
@@ -4148,6 +4161,8 @@ def append_iceberg_v2(
     snapshot_ts_ms: int | None = None,
     txn: tuple[str, int] | None = None,
     branch: str | None = None,
+    _ctx: dict | None = None,
+    _catalog_ctx: tuple | None = None,
 ) -> int:
     """Jar-less Iceberg v2 APPEND, including PARTITIONED tables: one
     snapshot whose manifest list is the current snapshot's rows plus a
@@ -4160,7 +4175,11 @@ def append_iceberg_v2(
     the appended files (strict-inequality gate)."""
     import time as _time
 
-    ctx = _v2_table_context(table_path, "append", branch=branch)
+    ctx = (
+        _ctx
+        if _ctx is not None
+        else _v2_table_context(table_path, "append", branch=branch)
+    )
     meta = ctx["meta"]
     schema_json = ctx["schema_json"]
     snapshot = ctx["snapshot"]
@@ -4230,6 +4249,7 @@ def append_iceberg_v2(
             {"app-id": txn[0], "batch-id": txn[1]} if txn else None
         ),
         branch=branch,
+        catalog_ctx=_catalog_ctx,
     )
 
 
@@ -4503,7 +4523,12 @@ def rewrite_data_files(
     )
 
 
-def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> dict:
+def _v2_table_context(
+    table_path: str,
+    op: str,
+    branch: str | None = None,
+    preloaded: tuple[dict, str] | None = None,
+) -> dict:
     """Shared head of every v2 committer (row-level DML, equality
     upsert, compaction, append): local-scheme guard, metadata + current
     schema/snapshot resolution, and the partition-spec validation that
@@ -4514,10 +4539,18 @@ def _v2_table_context(table_path: str, op: str, branch: str | None = None) -> di
     ``branch`` resolves the BASE snapshot from the named branch ref
     instead of the table head (the write-audit-publish staging flow);
     a branch that does not exist yet starts from the current head (the
-    same implicit creation spark.wap.branch performs)."""
+    same implicit creation spark.wap.branch performs).
+
+    ``preloaded`` is (metadata dict, metadata-location) from a catalog's
+    LoadTableResult — the CATALOG is the commit pointer for such tables,
+    so the version-hint walk is skipped entirely (a path-addressed walk
+    could see a stale or divergent head)."""
     logstore.check_write_scheme(table_path)
-    meta_path = latest_metadata_file(table_path)
-    meta = json.loads(fsio.read_text(meta_path))
+    if preloaded is not None:
+        meta, meta_path = dict(preloaded[0]), preloaded[1]
+    else:
+        meta_path = latest_metadata_file(table_path)
+        meta = json.loads(fsio.read_text(meta_path))
     if meta.get("format-version", 1) not in (2, 3):
         raise ValueError(
             f"{op} is a format-version-2+ feature; "
@@ -4623,6 +4656,7 @@ def _v2_commit_snapshot(
     operation: str,
     summary_extra: dict | None = None,
     branch: str | None = None,
+    catalog_ctx: tuple | None = None,
 ) -> int:
     """Shared tail of every v2 committer: write the manifest list,
     append the snapshot, bump sequence/version, and commit the metadata
@@ -4633,7 +4667,19 @@ def _v2_commit_snapshot(
     and the commit retries on top of the winner; any other operation
     raises CommitConflictError (its matched file inventory is stale).
     This is the same conflict model the jar-ful HadoopTableOperations +
-    SnapshotProducer pair implements."""
+    SnapshotProducer pair implements.
+
+    ``catalog_ctx`` = (IcebergRestCatalog, namespace, table name): the
+    commit goes THROUGH the catalog instead of the file layout — the
+    client still writes manifests + the manifest list (exactly what the
+    Java SnapshotProducer does under a REST catalog), but metadata
+    application happens server-side via CommitTableRequest
+    ``requirements``/``updates`` (assert-table-uuid +
+    assert-ref-snapshot-id guarding the base; add-snapshot +
+    set-snapshot-ref applying the new head). A 409 means a concurrent
+    committer won: appends REFRESH from the catalog and rebase onto the
+    new head (same restack as the file path), other operations raise
+    CommitConflictError."""
     meta, meta_path = dict(ctx["meta"]), ctx["meta_path"]
     mdir = os.path.join(table_path, "metadata")
     added_rows = 0
@@ -4654,6 +4700,16 @@ def _v2_commit_snapshot(
                     if e["status"] == 1 and e["data_file"].get("content", 0) == 0
                 )
     while True:
+        # the base this attempt builds on — what the catalog's
+        # assert-ref-snapshot-id requirement must match (None on a
+        # snapshotless table; refreshed after every rebase)
+        if branch is not None:
+            _bref = (meta.get("refs") or {}).get(branch)
+            base_sid = int(_bref["snapshot-id"]) if _bref else None
+        else:
+            base_sid = meta.get("current-snapshot-id")
+            if base_sid == -1:
+                base_sid = None
         mlist = os.path.join(mdir, _uniq(f"snap-{sid}.avro"))
         write_avro_file(mlist, MANIFEST_LIST_SCHEMA_V2, new_list_rows, codec="null")
         meta["last-sequence-number"] = new_seq
@@ -4684,33 +4740,95 @@ def _v2_commit_snapshot(
             snap["first-row-id"] = first
             meta["next-row-id"] = first + added_rows
         meta["snapshots"] = list(meta.get("snapshots") or []) + [snap]
-        version = int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
-        try:
-            _write_json_if_absent(
-                os.path.join(mdir, f"v{version}.metadata.json"), meta
+        conflict = False
+        if catalog_ctx is not None:
+            # CATALOG-MEDIATED COMMIT: the catalog pointer is the
+            # commit authority — client-side files (manifests + list)
+            # are already written; metadata application happens on the
+            # server via requirements/updates. The spec's optimistic-
+            # concurrency contract: assert the base we built on, 409
+            # means someone else committed first.
+            from gcs2postgres_spark.sources.rest_catalog import (
+                CatalogCommitConflict,
             )
-        except FileExistsError:
+
+            client, cat_ns, cat_name = catalog_ctx
+            ref_name = branch if branch is not None else "main"
+            if int(meta.get("format-version", 1)) >= 3:
+                # v3 row lineage: real writers stamp added-records in
+                # the snapshot summary; the serving catalog uses it to
+                # advance next-row-id past this snapshot's block
+                snap["summary"]["added-records"] = str(added_rows)
+            try:
+                client.commit_table(
+                    cat_ns,
+                    cat_name,
+                    requirements=[
+                        {
+                            "type": "assert-table-uuid",
+                            "uuid": meta.get("table-uuid"),
+                        },
+                        {
+                            "type": "assert-ref-snapshot-id",
+                            "ref": ref_name,
+                            "snapshot-id": base_sid,
+                        },
+                    ],
+                    updates=[
+                        {"action": "add-snapshot", "snapshot": snap},
+                        {
+                            "action": "set-snapshot-ref",
+                            "ref-name": ref_name,
+                            "snapshot-id": sid,
+                            "type": "branch",
+                        },
+                    ],
+                )
+                return sid
+            except CatalogCommitConflict:
+                conflict = True
+        else:
+            version = (
+                int(os.path.basename(meta_path).split(".")[0].lstrip("v")) + 1
+            )
+            try:
+                _write_json_if_absent(
+                    os.path.join(mdir, f"v{version}.metadata.json"), meta
+                )
+                _write_text_atomic(
+                    os.path.join(mdir, "version-hint.text"), str(version)
+                )
+                return sid
+            except FileExistsError:
+                conflict = True
+        if conflict:
             if operation != "append":
                 raise CommitConflictError(
-                    f"concurrent commit v{version} of {table_path!r} beat this "
+                    f"concurrent commit of {table_path!r} beat this "
                     f"{operation!r} snapshot; its file matches are stale — "
                     "re-read and retry the operation"
                 ) from None
-            # APPEND REBASE: re-read the true head (ignore the hint — a
-            # crashed winner may not have updated it), restack OUR new
-            # manifests (rows this sid added) onto the head's list with
-            # fresh snapshot/sequence ids
-            def _ver(p: str) -> int:
-                m = re.match(r"v?(\d+)", os.path.basename(p))
-                return int(m.group(1)) if m else -1
+            # APPEND REBASE: re-read the true head (catalog: refresh the
+            # LoadTableResult; files: ignore the hint — a crashed winner
+            # may not have updated it), restack OUR new manifests (rows
+            # this sid added) onto the head's list with fresh
+            # snapshot/sequence ids
+            if catalog_ctx is not None:
+                res = catalog_ctx[0].load_table(catalog_ctx[1], catalog_ctx[2])
+                head = res["metadata"]
+                head_path = res.get("metadata-location") or meta_path
+            else:
+                def _ver(p: str) -> int:
+                    m = re.match(r"v?(\d+)", os.path.basename(p))
+                    return int(m.group(1)) if m else -1
 
-            heads = [
-                os.path.join(mdir, n)
-                for n in fsio.listdir(mdir)
-                if n.endswith(".metadata.json")
-            ]
-            head_path = max(heads, key=lambda p: (_ver(p), p))
-            head = json.loads(fsio.read_text(head_path))
+                heads = [
+                    os.path.join(mdir, n)
+                    for n in fsio.listdir(mdir)
+                    if n.endswith(".metadata.json")
+                ]
+                head_path = max(heads, key=lambda p: (_ver(p), p))
+                head = json.loads(fsio.read_text(head_path))
 
             # an append rebases over DISJOINT appends only: a concurrent
             # schema or partition-spec change invalidates the rows this
@@ -4803,8 +4921,6 @@ def _v2_commit_snapshot(
             meta, meta_path = dict(head), head_path
             sid, new_seq = new_sid, new_seq2
             continue
-        _write_text_atomic(os.path.join(mdir, "version-hint.text"), str(version))
-        return sid
 
 
 def _staged_stats_spark(
@@ -5290,6 +5406,8 @@ def _v2_row_level_commit(
     snapshot_ts_ms: int | None,
     partition_filter: dict[str, set] | None = None,
     txn: tuple[str, int] | None = None,
+    _ctx: dict | None = None,
+    _catalog_ctx: tuple | None = None,
 ) -> int | None:
     import time as _time
     import uuid
@@ -5303,7 +5421,11 @@ def _v2_row_level_commit(
     # transforms only (validated in _v2_table_context) — the partition
     # value IS the source column value, so executors can route rows
     # without re-implementing transform functions.
-    ctx = _v2_table_context(table_path, "row-level DML")
+    ctx = (
+        _ctx
+        if _ctx is not None
+        else _v2_table_context(table_path, "row-level DML")
+    )
     meta = ctx["meta"]
     schema_json = ctx["schema_json"]
     field_names = ctx["field_names"]
@@ -5770,6 +5892,7 @@ def _v2_row_level_commit(
         summary_extra=(
             {"app-id": txn[0], "batch-id": txn[1]} if txn else None
         ),
+        catalog_ctx=_catalog_ctx,
     )
 
 
@@ -5940,24 +6063,10 @@ def create_iceberg_v2_table(
                 "field-id": 1000 + i,
             }
         )
-    meta = {
-        "format-version": 2,
-        "table-uuid": "00000000-0000-0000-0000-00000000000c",
-        "location": fsio.absolute(table_path),
-        "last-sequence-number": 0,
-        "last-updated-ms": 0,
-        "last-column-id": max(fid_of.values(), default=0),
-        "schemas": [ice],
-        "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "default-spec-id": 0,
-        "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "default-sort-order-id": 0,
-        "properties": {},
-        "current-snapshot-id": -1,
-        "snapshots": [],
-    }
+    meta = new_table_metadata_json(
+        ice, fsio.absolute(table_path), spec_fields,
+        table_uuid="00000000-0000-0000-0000-00000000000c",
+    )
     mdir = os.path.join(table_path, "metadata")
     fsio.makedirs(mdir)
     # put-if-absent: re-creating over an existing table would reset
@@ -5965,6 +6074,40 @@ def create_iceberg_v2_table(
     # engines raise "table already exists"
     _write_json_if_absent(os.path.join(mdir, "v1.metadata.json"), meta)
     _write_text_atomic(os.path.join(mdir, "version-hint.text"), "1")
+
+
+def new_table_metadata_json(
+    schema_json: dict,
+    location: str,
+    spec_fields: list[dict] | None = None,
+    table_uuid: str | None = None,
+    properties: dict | None = None,
+) -> dict:
+    """Initial (snapshotless) v2 table metadata — the JSON a CREATE
+    TABLE mints, shared by the path-layout creator above and any
+    catalog server applying a CreateTableRequest. last-column-id
+    dominates ALL assigned ids (nested included) per spec."""
+    spec_fields = spec_fields or []
+    return {
+        "format-version": 2,
+        "table-uuid": table_uuid or "00000000-0000-0000-0000-00000000000c",
+        "location": location,
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": _max_field_id(schema_json),
+        "schemas": [schema_json],
+        "current-schema-id": int(schema_json.get("schema-id", 0)),
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": (
+            max(f["field-id"] for f in spec_fields) if spec_fields else 999
+        ),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": properties or {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+    }
 
 
 def write_iceberg_partitioned_fixture(

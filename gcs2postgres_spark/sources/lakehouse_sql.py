@@ -164,6 +164,45 @@ _CAT_TBL = re.compile(
 )
 
 
+def _parse_partition_spec(raw: str) -> list[tuple[str, str]]:
+    """``PARTITIONED BY`` items → ``[(source_col, transform)]``:
+    identity column names or transform(col) calls per the Iceberg DDL
+    shape (bucket(4, k) / truncate(3, s) / days(ts) / ...). Split on
+    TOP-LEVEL commas only."""
+    spec: list[tuple[str, str]] = []
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(raw):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(raw[start:i])
+            start = i + 1
+    parts.append(raw[start:])
+    for part in parts:
+        part = part.strip()
+        if not part:
+            continue
+        fm = re.fullmatch(r"(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)", part)
+        if fm:
+            fn, arg, col = fm.group(1).lower(), fm.group(2), fm.group(3)
+            tr = {
+                "bucket": f"bucket[{arg}]" if arg else None,
+                "truncate": f"truncate[{arg}]" if arg else None,
+                "years": "year", "year": "year",
+                "months": "month", "month": "month",
+                "days": "day", "day": "day",
+                "hours": "hour", "hour": "hour",
+            }.get(fn)
+            if not tr:
+                raise ValueError(f"unknown partition transform {part!r}")
+            spec.append((col, tr))
+        else:
+            spec.append((part, "identity"))
+    return spec
+
+
 def _literal_spans(stmt: str) -> list[tuple[int, int]]:
     """[start, end) spans of quoted regions — single/double-quoted
     string literals and backtick identifiers — so table-reference
@@ -341,6 +380,101 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         # the readers build)
         return spark.sql(_rewrite_select(spark, s))
 
+    # ----- catalog-resolved DDL/DML (iceberg.<catalog>.<ns>.<table> — no
+    # backticks; the CATALOG, not a path, names the table; the catalog
+    # pointer is the commit authority for every one of these)
+    catid = (
+        r"iceberg\s*\.\s*(?P<cat>\w+)\s*\.\s*(?P<ns>\w+)\s*\.\s*(?P<tbl>\w+)"
+    )
+
+    def _cat_client(name: str):
+        from gcs2postgres_spark.sources import rest_catalog
+
+        return rest_catalog.get_catalog(name)
+
+    m = re.fullmatch(
+        rf"(?i)CREATE TABLE {catid} \((?P<defs>.+?)\)"
+        r"(?: PARTITIONED BY \((?P<parts>(?:[^()]|\([^()]*\))+)\))?"
+        r"(?: LOCATION '(?P<loc>[^']+)')?",
+        s,
+        re.DOTALL,
+    )
+    if m:
+        from pyspark.sql.types import _parse_datatype_string
+
+        _cat_client(m["cat"]).create_table(
+            m["ns"],
+            m["tbl"],
+            _parse_datatype_string(m["defs"]),
+            partition_spec=_parse_partition_spec(m["parts"] or ""),
+            location=m["loc"],
+        )
+        return 0
+
+    m = re.fullmatch(
+        rf"(?i)INSERT INTO {catid} (?P<q>(?:SELECT|WITH|VALUES)\b.+)", s
+    )
+    if m:
+        client = _cat_client(m["cat"])
+        rows = spark.sql(_rewrite_select(spark, m["q"]))
+        target = client.read(spark, m["ns"], m["tbl"])
+        if re.match(r"(?i)VALUES\b", m["q"]):
+            if len(rows.columns) != len(target.columns):
+                raise ValueError(
+                    f"INSERT VALUES arity {len(rows.columns)} != table "
+                    f"columns {len(target.columns)} ({target.columns})"
+                )
+            rows = rows.toDF(*target.columns)
+        return client.append(spark, m["ns"], m["tbl"], rows)
+
+    m = re.fullmatch(rf"(?i)DELETE FROM {catid} WHERE (?P<pred>.+)", s)
+    if m:
+        return _cat_client(m["cat"]).delete_where(
+            spark, m["ns"], m["tbl"], m["pred"]
+        )
+
+    m = re.fullmatch(
+        rf"(?i)UPDATE {catid} SET (?P<set>.+?) WHERE (?P<pred>.+)", s
+    )
+    if m:
+        return _cat_client(m["cat"]).update_where(
+            spark, m["ns"], m["tbl"], m["pred"], _parse_set(m["set"])
+        )
+
+    m = re.fullmatch(rf"(?i)DROP TABLE {catid}(?P<purge> PURGE)?", s)
+    if m:
+        _cat_client(m["cat"]).drop_table(
+            m["ns"], m["tbl"], purge=bool(m["purge"])
+        )
+        return 0
+
+    m = re.fullmatch(
+        rf"(?i)ALTER TABLE {catid} RENAME TO "
+        r"(?:(?P<dns>\w+)\.)?(?P<dst>\w+)",
+        s,
+    )
+    if m:
+        _cat_client(m["cat"]).rename_table(
+            m["ns"], m["tbl"], m["dns"] or m["ns"], m["dst"]
+        )
+        return 0
+
+    m = re.fullmatch(
+        r"(?i)CREATE NAMESPACE iceberg\s*\.\s*(?P<cat>\w+)\s*\.\s*(?P<ns>\w+)",
+        s,
+    )
+    if m:
+        _cat_client(m["cat"]).create_namespace(m["ns"])
+        return 0
+
+    m = re.fullmatch(
+        r"(?i)DROP NAMESPACE iceberg\s*\.\s*(?P<cat>\w+)\s*\.\s*(?P<ns>\w+)",
+        s,
+    )
+    if m:
+        _cat_client(m["cat"]).drop_namespace(m["ns"])
+        return 0
+
     m = re.fullmatch(
         rf"(?i)INSERT (?P<over>OVERWRITE|INTO) {_TBL}"
         r"(?: \((?P<cols>[\w\s,]+)\))?"
@@ -490,39 +624,7 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         # CTAS (+ optional transform partitioning: identity col names or
         # transform(col) calls per the Iceberg DDL shape)
         rows = spark.sql(_rewrite_select(spark, m["q"]))
-        spec: list[tuple[str, str]] = []
-        # split the spec on TOP-LEVEL commas only (bucket(4, k) has one)
-        parts, depth, start = [], 0, 0
-        raw = m["parts"] or ""
-        for i, ch in enumerate(raw):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                parts.append(raw[start:i])
-                start = i + 1
-        parts.append(raw[start:])
-        for part in parts:
-            part = part.strip()
-            if not part:
-                continue
-            fm = re.fullmatch(r"(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)", part)
-            if fm:
-                fn, arg, col = fm.group(1).lower(), fm.group(2), fm.group(3)
-                tr = {
-                    "bucket": f"bucket[{arg}]" if arg else None,
-                    "truncate": f"truncate[{arg}]" if arg else None,
-                    "years": "year", "year": "year",
-                    "months": "month", "month": "month",
-                    "days": "day", "day": "day",
-                    "hours": "hour", "hour": "hour",
-                }.get(fn)
-                if not tr:
-                    raise ValueError(f"unknown partition transform {part!r}")
-                spec.append((col, tr))
-            else:
-                spec.append((part, "identity"))
+        spec = _parse_partition_spec(m["parts"] or "")
         # CREATE TABLE over an existing table must raise, never silently
         # append to it (Delta) or reset its history (Iceberg)
         probe = (

@@ -20,12 +20,20 @@ bounded timeouts, ``token_provider`` for a bearer token per request, an
 in-process fake server in tests (no network in CI). Multi-level
 namespaces join with the spec's 0x1F unit separator in URLs.
 
-Scope honesty: the READ surface (config/list/load) plus
-``register_table`` (the spec's RegisterTableRequest — onboarding an
-EXISTING table by its metadata location, no data movement; the twin of
-``add_files``/``CONVERT TO DELTA`` at the catalog layer). Incremental
-catalog COMMITS (``POST .../tables/{t}`` with requirements/updates)
-stay with the file-layout committers.
+r17 adds the WRITE surface: ``create_namespace``/``drop_namespace``,
+``create_table`` (CreateTableRequest — the catalog mints the table and
+returns its LoadTableResult), ``commit_table`` (CommitTableRequest
+``requirements``/``updates`` with 409 -> CatalogCommitConflict so
+committers can refresh-and-retry — the spec's optimistic concurrency),
+``drop_table``, ``rename_table``, and the OAuth2 client-credentials
+token flow (``POST /v1/oauth/tokens``). ``append``/``delete_where``/
+``update_where`` route the repo's jar-less v2 committers THROUGH the
+catalog (``iceberg_py`` ``_catalog_ctx`` seam): the client still writes
+data files, manifests and the manifest list — exactly what the Java
+SnapshotProducer does under a REST catalog — while metadata application
+and the commit race live server-side, so the catalog pointer is the
+single commit authority and path-addressed reads can never diverge
+from catalog-addressed writes.
 """
 
 from __future__ import annotations
@@ -36,6 +44,13 @@ import urllib.parse
 import urllib.request
 
 _HTTP_TIMEOUT_S = 30
+
+
+class CatalogCommitConflict(Exception):
+    """A table-commit POST returned 409: a concurrent committer moved
+    the ref this commit's requirements asserted. Appends refresh from
+    the catalog and rebase; other operations surface the conflict (the
+    same split iceberg_py's file-layout committers implement)."""
 
 # facade registry: name -> client, resolved by lakehouse_sql's
 # ``iceberg.<catalog>.<namespace>.<table>`` identifiers
@@ -63,6 +78,51 @@ def get_catalog(name: str) -> "IcebergRestCatalog":
     return c
 
 
+def oauth2_token_provider(
+    endpoint: str,
+    client_id: str,
+    client_secret: str,
+    scope: str = "catalog",
+):
+    """The spec's OAuth2 client-credentials flow: a ``token_provider``
+    callable that POSTs ``/v1/oauth/tokens`` (form-encoded
+    ``grant_type=client_credentials``) and caches the ``access_token``
+    until ~30 s before ``expires_in`` elapses, then refreshes — the
+    session lifecycle a real catalog client (Polaris/Tabular-style
+    deployment) runs. Pass the result as ``IcebergRestCatalog(...,
+    token_provider=...)``."""
+    import time as _time
+
+    state = {"token": "", "expires_at": 0.0}
+
+    def _provider() -> str:
+        if state["token"] and _time.time() < state["expires_at"]:
+            return state["token"]
+        body = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": client_id,
+                "client_secret": client_secret,
+                "scope": scope,
+            }
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            f"{endpoint.rstrip('/')}/v1/oauth/tokens",
+            data=body,
+            method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S) as resp:
+            tok = json.loads(resp.read().decode("utf-8"))
+        state["token"] = tok["access_token"]
+        state["expires_at"] = _time.time() + max(
+            0.0, float(tok.get("expires_in", 3600)) - 30.0
+        )
+        return state["token"]
+
+    return _provider
+
+
 class IcebergRestCatalog:
     """Client for one REST catalog endpoint. ``prefix`` defaults to the
     value the server's ``/v1/config`` advertises (the spec's
@@ -85,11 +145,13 @@ class IcebergRestCatalog:
 
     # ----------------------------------------------------------- transport
 
-    def _call(self, path: str, body: dict | None = None) -> dict:
+    def _call(
+        self, path: str, body: dict | None = None, method: str | None = None
+    ) -> dict:
         data = None if body is None else json.dumps(body).encode("utf-8")
         req = urllib.request.Request(
             f"{self.endpoint}{path}", data=data,
-            method="GET" if data is None else "POST",
+            method=method or ("GET" if data is None else "POST"),
             headers={} if data is None else {"Content-Type": "application/json"},
         )
         token = self._token_provider()
@@ -97,7 +159,8 @@ class IcebergRestCatalog:
             req.add_header("Authorization", f"Bearer {token}")
         try:
             with urllib.request.urlopen(req, timeout=_HTTP_TIMEOUT_S) as resp:
-                return json.loads(resp.read().decode("utf-8"))
+                raw = resp.read()
+                return json.loads(raw.decode("utf-8")) if raw else {}
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 raise FileNotFoundError(
@@ -180,6 +243,224 @@ class IcebergRestCatalog:
         return self._call(
             f"{self._base()}/namespaces/{self._ns_path(ns)}/register",
             {"name": name, "metadata-location": metadata_location},
+        )
+
+    # ------------------------------------------------------- write surface
+
+    def create_namespace(
+        self, ns: str | tuple | list, properties: dict | None = None
+    ) -> dict:
+        """``POST /v1/{prefix}/namespaces`` (CreateNamespaceRequest);
+        409 -> FileExistsError."""
+        parts = [ns] if isinstance(ns, str) else list(ns)
+        return self._call(
+            f"{self._base()}/namespaces",
+            {"namespace": parts, "properties": properties or {}},
+        )
+
+    def drop_namespace(self, ns: str | tuple | list) -> None:
+        """``DELETE /v1/{prefix}/namespaces/{ns}`` — the spec 409s a
+        non-empty namespace (surfaces as FileExistsError here)."""
+        self._call(
+            f"{self._base()}/namespaces/{self._ns_path(ns)}", method="DELETE"
+        )
+
+    def create_table(
+        self,
+        ns: str | tuple | list,
+        name: str,
+        schema,
+        partition_spec: list[tuple[str, str]] | None = None,
+        location: str | None = None,
+        properties: dict | None = None,
+    ) -> dict:
+        """``POST /v1/{prefix}/namespaces/{ns}/tables`` — the spec's
+        CreateTableRequest. The CATALOG mints the table (assigns the
+        location when none is given, writes the initial metadata,
+        becomes the commit authority) and returns its LoadTableResult.
+        ``schema`` is a Spark StructType or an Iceberg schema JSON
+        dict; ``partition_spec`` is ``[(source_col, transform)]`` with
+        the spec's transform grammar (identity / bucket[16] /
+        truncate[4] / year / month / day / hour). 409 ->
+        FileExistsError (name taken)."""
+        if not isinstance(schema, dict):
+            from gcs2postgres_spark.sources.iceberg_py import (
+                spark_to_iceberg_schema,
+            )
+
+            schema = {**spark_to_iceberg_schema(schema), "schema-id": 0}
+        fid_of = {f["name"]: f["id"] for f in schema["fields"]}
+        spec_fields = []
+        for i, (src, tr) in enumerate(partition_spec or []):
+            if src not in fid_of:
+                raise ValueError(
+                    f"partition source column {src!r} not in schema"
+                )
+            from gcs2postgres_spark.sources.iceberg_transforms import (
+                parse_transform,
+            )
+
+            kind, _ = parse_transform(tr)
+            suffix = {
+                "identity": "", "bucket": "_bucket", "truncate": "_trunc",
+            }.get(kind, f"_{kind}")
+            spec_fields.append(
+                {
+                    "name": f"{src}{suffix}",
+                    "transform": tr,
+                    "source-id": fid_of[src],
+                    "field-id": 1000 + i,
+                }
+            )
+        body: dict = {
+            "name": name,
+            "schema": schema,
+            "partition-spec": {"spec-id": 0, "fields": spec_fields},
+            "properties": properties or {},
+            "stage-create": False,
+        }
+        if location:
+            body["location"] = location
+        return self._call(
+            f"{self._base()}/namespaces/{self._ns_path(ns)}/tables", body
+        )
+
+    def commit_table(
+        self,
+        ns: str | tuple | list,
+        name: str,
+        requirements: list[dict],
+        updates: list[dict],
+    ) -> dict:
+        """``POST /v1/{prefix}/namespaces/{ns}/tables/{t}`` — the
+        spec's CommitTableRequest: the server validates every
+        requirement against ITS current metadata (409 when any fails —
+        raised as CatalogCommitConflict so committers refresh and
+        retry) and applies the updates atomically. Returns the
+        CommitTableResponse ({metadata-location, metadata})."""
+        try:
+            return self._call(
+                f"{self._base()}/namespaces/{self._ns_path(ns)}/tables/"
+                f"{urllib.parse.quote(name, safe='')}",
+                {
+                    "identifier": {
+                        "namespace": (
+                            [ns] if isinstance(ns, str) else list(ns)
+                        ),
+                        "name": name,
+                    },
+                    "requirements": requirements,
+                    "updates": updates,
+                },
+            )
+        except FileExistsError as e:
+            raise CatalogCommitConflict(str(e)) from None
+
+    def drop_table(
+        self, ns: str | tuple | list, name: str, purge: bool = False
+    ) -> None:
+        """``DELETE /v1/{prefix}/namespaces/{ns}/tables/{t}`` —
+        removes the catalog entry; ``purge`` asks the server to also
+        delete data/metadata files (purgeRequested=true)."""
+        q = "?purgeRequested=true" if purge else ""
+        self._call(
+            f"{self._base()}/namespaces/{self._ns_path(ns)}/tables/"
+            f"{urllib.parse.quote(name, safe='')}{q}",
+            method="DELETE",
+        )
+
+    def rename_table(
+        self,
+        src_ns: str | tuple | list,
+        src_name: str,
+        dst_ns: str | tuple | list,
+        dst_name: str,
+    ) -> None:
+        """``POST /v1/{prefix}/tables/rename`` (RenameTableRequest) —
+        pure catalog-pointer move, no file touches; 404 when the source
+        is missing, 409 when the destination exists."""
+        self._call(
+            f"{self._base()}/tables/rename",
+            {
+                "source": {
+                    "namespace": (
+                        [src_ns] if isinstance(src_ns, str) else list(src_ns)
+                    ),
+                    "name": src_name,
+                },
+                "destination": {
+                    "namespace": (
+                        [dst_ns] if isinstance(dst_ns, str) else list(dst_ns)
+                    ),
+                    "name": dst_name,
+                },
+            },
+        )
+
+    # ------------------------------------------- catalog-routed committers
+
+    def _table_ctx(self, ns, name, op: str):
+        from gcs2postgres_spark.sources import iceberg_py
+
+        result = self.load_table(ns, name)
+        meta = result.get("metadata")
+        mloc = result.get("metadata-location") or ""
+        if not meta:
+            from gcs2postgres_spark.sources import fsio
+
+            meta = json.loads(fsio.read_text(mloc))
+        table_path = meta.get("location")
+        if not table_path:
+            raise ValueError("table metadata has no location")
+        return table_path, iceberg_py._v2_table_context(
+            table_path, op, preloaded=(meta, mloc)
+        ), meta
+
+    def append(
+        self, spark, ns, name, df, snapshot_ts_ms: int | None = None
+    ) -> int:
+        """Catalog-routed APPEND: metadata comes from load_table (the
+        catalog is the commit pointer, not the version-hint walk), data
+        files/manifests/manifest-list are written client-side, and the
+        commit POSTs requirements/updates — a 409 refreshes from the
+        catalog and rebases (iceberg_py._v2_commit_snapshot's shared
+        retry). Returns the new snapshot id."""
+        from gcs2postgres_spark.sources import iceberg_py
+
+        table_path, ctx, _meta = self._table_ctx(ns, name, "append")
+        return iceberg_py.append_iceberg_v2(
+            spark, table_path, df, snapshot_ts_ms=snapshot_ts_ms,
+            _ctx=ctx, _catalog_ctx=(self, ns, name),
+        )
+
+    def delete_where(
+        self, spark, ns, name, predicate: str,
+        snapshot_ts_ms: int | None = None,
+    ) -> int | None:
+        """Catalog-routed merge-on-read DELETE (position-delete files;
+        iceberg_py.delete_where with the catalog as commit authority —
+        a concurrent commit surfaces as CommitConflictError, never a
+        silent overwrite)."""
+        from gcs2postgres_spark.sources import iceberg_py
+
+        table_path, ctx, _meta = self._table_ctx(ns, name, "row-level DML")
+        return iceberg_py.delete_where(
+            spark, table_path, predicate, snapshot_ts_ms=snapshot_ts_ms,
+            _ctx=ctx, _catalog_ctx=(self, ns, name),
+        )
+
+    def update_where(
+        self, spark, ns, name, predicate: str, set_exprs: dict[str, str],
+        snapshot_ts_ms: int | None = None,
+    ) -> int | None:
+        """Catalog-routed merge-on-read UPDATE ... SET ... WHERE."""
+        from gcs2postgres_spark.sources import iceberg_py
+
+        table_path, ctx, meta = self._table_ctx(ns, name, "row-level DML")
+        return iceberg_py.update_where(
+            spark, table_path, predicate, set_exprs,
+            snapshot_ts_ms=snapshot_ts_ms,
+            _ctx=ctx, _catalog_ctx=(self, ns, name), _preloaded_meta=meta,
         )
 
     def read(self, spark, ns: str | tuple | list, name: str, **read_kwargs):

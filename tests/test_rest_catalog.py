@@ -211,7 +211,12 @@ def test_facade_accepts_catalog_identifiers(spark, tmp_path, fake_rest):
         f"JOIN iceberg.`{t}` b ON a.k = b.k",
     ).collect()[0]
     assert out2["n"] == 12
-    with pytest.raises(ValueError, match="no REST catalog"):
+    # r17 (ADVICE): an UNREGISTERED catalog name falls through to Spark
+    # verbatim (no facade rewrite, no mid-rewrite raise) — Spark reports
+    # its own resolution error for the untouched identifier
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
         lakehouse_sql(
             spark, "SELECT * FROM iceberg.nocat.analytics.events"
         )
