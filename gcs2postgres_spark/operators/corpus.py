@@ -35,7 +35,7 @@ Scale shapes (the 100 TB question for each):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.operators.caching import maybe_persist
@@ -268,6 +268,120 @@ def bpe_train_merges(
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "step long, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def _bpe_apply_merges(seg: Column, merges: list[tuple[str, str]]) -> Column:
+    """Chain of ``n_merges`` greedy left-to-right string replaces over a
+    sentinel-segmented word — the ENCODE half of BPE. Applying the
+    trained merges in rank order with a non-rescanning replace is
+    exactly the trainer's own update rule, so encode(word) equals the
+    segmentation the trainer would have produced for that word. Pure
+    JVM expressions (whole-stage codegen), no UDF."""
+    for a, b in merges:
+        seg = F.replace(
+            seg,
+            F.lit(f"{SYM_L}{a}{SYM_R}{SYM_L}{b}{SYM_R}"),
+            F.lit(f"{SYM_L}{a}{b}{SYM_R}"),
+        )
+    return seg
+
+
+def _merge_list(merges) -> list[tuple[str, str]]:
+    """(lhs, rhs) pairs in rank order from a bpe_train_merges frame (a
+    bounded n_merges-row collect — the merge table IS driver metadata,
+    like any tokenizer's vocab file) or a pre-built list."""
+    if isinstance(merges, DataFrame):
+        return [
+            (r["lhs"], r["rhs"]) for r in merges.orderBy("step").collect()
+        ]
+    return [(a, b) for a, b in merges]
+
+
+def bpe_encode_vocab(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each DISTINCT word once under a trained merge table — the
+    standard tokenizer encoder cache (vocab-sized work, never
+    corpus-sized): (word, wcnt, seg, n_tokens) where ``seg`` is the
+    sentinel-segmented BPE tokenization and ``n_tokens`` its symbol
+    count. Unlike training (which learns from length>=2 words), encode
+    covers EVERY word — single-char words are one token."""
+    vocab = (
+        docs.select(F.explode(_toks(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    seg = _bpe_apply_merges(
+        F.regexp_replace(F.col("word"), "(.)", f"{SYM_L}$1{SYM_R}"),
+        _merge_list(merges),
+    )
+    return vocab.select(
+        "word",
+        "wcnt",
+        seg.alias("seg"),
+        (
+            F.length(seg)
+            - F.length(F.replace(seg, F.lit(SYM_L), F.lit("")))
+        ).cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_token_histogram(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Corpus token histogram under a TRAINED merge table: the top-N
+    BPE tokens by frequency-weighted occurrence count — what a
+    tokenizer-vocabulary audit reads. Explodes the encoded VOCABULARY
+    (not the corpus), weighted by word counts: one vocab-sized explode
+    + one aggregation."""
+    enc = bpe_encode_vocab(docs, merges, text_col)
+    syms = F.split(
+        F.expr("substring(seg, 2, length(seg) - 2)"), F.lit(SYM_R + SYM_L)
+    )
+    return (
+        enc.select("word", "wcnt", F.explode(syms).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("wcnt").cast("long").alias("n_occurrences"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokens-per-document under a TRAINED merge table — the statistic
+    a training-data run materializes per document (sequence-length
+    budgeting, packing, billing): (doc_id, n_words, n_tokens).
+
+    Scale shape: each distinct word is encoded ONCE (bpe_encode_vocab);
+    the corpus explode then equi-joins word -> n_tokens and re-
+    aggregates by document. Both shuffles are on high-cardinality keys
+    (word, doc id); the merge loop itself never touches corpus-sized
+    data. No UDF anywhere."""
+    enc = bpe_encode_vocab(docs, merges, text_col).select("word", "n_tokens")
+    words = docs.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("word")
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
     )
 
 

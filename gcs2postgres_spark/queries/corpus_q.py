@@ -15,7 +15,9 @@ from gcs2postgres_spark.operators.corpus import (
     bm25_search,
     bigram_counts,
     bigram_perplexity,
+    bpe_encode_docs,
     bpe_pair_counts,
+    bpe_token_histogram,
     bpe_train_merges,
     chunk_windows,
     tfidf_top_terms,
@@ -242,6 +244,149 @@ def corpus_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_session(spark)
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train_merges(docs, n_merges=3)
+
+
+def _bpe_encode_prefix(n_merges: int) -> str:
+    """Training CTEs (b1..bn pick each round's merge over the length>=2
+    vocab — identical to _bpe_train_oracle) PLUS encode CTEs: the FULL
+    vocabulary (single-char words included) segmented and run through
+    the n merges in rank order with the same greedy non-rescanning
+    replace. ``enc`` ends as (word, wcnt, seg, n_tokens)."""
+    L, R = "chr(1)", "chr(2)"
+    sql = [
+        rf"""WITH wf AS (
+  SELECT word, count(*) AS wcnt
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word HAVING length(word) >= 2
+), s0 AS (
+  SELECT wcnt, regexp_replace(word, '(.)', {L} || '\1' || {R}, 'g') AS seg FROM wf
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        sql.append(
+            f""", y{k} AS (
+  SELECT wcnt, string_split(substr(seg, 2, length(seg) - 2), {R} || {L}) AS syms
+  FROM s{k - 1}
+), p{k} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(wcnt) AS cnt
+  FROM y{k}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY a, b
+), b{k} AS (
+  SELECT a, b FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+), s{k} AS (
+  SELECT wcnt, replace(seg,
+    (SELECT {L} || a || {R} || {L} || b || {R} FROM b{k}),
+    (SELECT {L} || a || b || {R} FROM b{k})) AS seg
+  FROM s{k - 1}
+)"""
+        )
+    sql.append(
+        rf""", vocab AS (
+  SELECT word, count(*) AS wcnt
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word
+), e0 AS (
+  SELECT word, wcnt,
+         regexp_replace(word, '(.)', {L} || '\1' || {R}, 'g') AS seg
+  FROM vocab
+)"""
+    )
+    for k in range(1, n_merges + 1):
+        sql.append(
+            f""", e{k} AS (
+  SELECT word, wcnt, replace(seg,
+    (SELECT {L} || a || {R} || {L} || b || {R} FROM b{k}),
+    (SELECT {L} || a || b || {R} FROM b{k})) AS seg
+  FROM e{k - 1}
+)"""
+        )
+    sql.append(
+        f""", enc AS (
+  SELECT word, wcnt, seg,
+         length(seg) - length(replace(seg, {L}, '')) AS n_tokens
+  FROM e{n_merges}
+)"""
+    )
+    return "".join(sql)
+
+
+BPE_HISTOGRAM_ORACLE = (
+    _bpe_encode_prefix(3)
+    + """
+SELECT token,
+       CAST(sum(wcnt) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM (
+  SELECT word, wcnt,
+         unnest(string_split(substr(seg, 2, length(seg) - 2),
+                             chr(2) || chr(1))) AS token
+  FROM enc
+)
+GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20
+"""
+)
+
+
+@register("corpus_bpe_encode_histogram", oracle=BPE_HISTOGRAM_ORACLE)
+def corpus_bpe_encode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — BPE ENCODE (the half a training-data run executes per
+    document): three merges are TRAINED, then the full vocabulary is
+    tokenized under them and the corpus-wide token histogram emitted —
+    top-20 BPE tokens by frequency-weighted occurrences. Encoding is a
+    chain of greedy string replaces over the DISTINCT-word frame (the
+    tokenizer encoder cache — vocab-sized, never corpus-sized; pure
+    codegen, no UDF). The oracle replays training AND encoding as
+    static CTEs, so a wrong merge, tie-break, or encode order fails
+    the compare."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, n_merges=3)
+    return bpe_token_histogram(docs, merges, top_n=20)
+
+
+BPE_DOCS_ORACLE = (
+    _bpe_encode_prefix(3)
+    + """
+, docw AS (
+  SELECT doc_id, unnest({toks}) AS word FROM documents
+), per_doc AS (
+  SELECT d.doc_id,
+         count(*) AS n_words,
+         sum(e.n_tokens) AS n_tokens
+  FROM docw d JOIN enc e USING (word)
+  GROUP BY d.doc_id
+)
+SELECT CAST(doc_id % 16 AS BIGINT)   AS bucket,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_words) AS BIGINT)  AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM per_doc
+GROUP BY doc_id % 16 ORDER BY bucket
+""".replace("{toks}", _TOKS)
+)
+
+
+@register("corpus_bpe_encode_docs", oracle=BPE_DOCS_ORACLE)
+def corpus_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 — tokens-per-document under the trained merges (sequence-
+    length budgeting / packing / billing input): each DISTINCT word is
+    encoded once, the corpus explode equi-joins word -> n_tokens, and
+    per-document counts re-aggregate, folded into 16 deterministic
+    buckets for a stable compare. Both shuffles ride high-cardinality
+    keys; the merge chain never touches corpus-sized data."""
+    tune_for_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, n_merges=3)
+    per_doc = bpe_encode_docs(docs, merges)
+    return (
+        per_doc.groupBy((F.col("doc_id") % 16).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("bucket")
+    )
 
 
 BM25_TERMS = ["join", "shuffle", "broadcast"]

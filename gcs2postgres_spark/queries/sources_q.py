@@ -4713,6 +4713,107 @@ def delta_uniform_many_partitions_roundtrip(
         raise
 
 
+REST_CATALOG_WRITE_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT)      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
+@register("iceberg_rest_catalog_write_roundtrip",
+          oracle=REST_CATALOG_WRITE_ORACLE)
+def iceberg_rest_catalog_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r17 — Iceberg REST catalog WRITE path: the table is CREATED
+    through the catalog (facade ``CREATE TABLE iceberg.cat.ns.tbl``,
+    spec CreateTableRequest — the catalog assigns the location and
+    mints the metadata), rows land through catalog-routed commits
+    (facade ``INSERT INTO`` + client appends POSTing
+    requirements/updates), and a CONFLICTING commit is exercised: a
+    writer whose base went stale gets the server's 409 and
+    refreshes-and-rebases (plus a forced-409 lost-race retry). The
+    final read resolves through the catalog pointer and must equal the
+    whole nation table — every committed row exactly once, none lost
+    to the race. Server: the in-package spec-conformant
+    rest_catalog_server (OAuth2 client-credentials on). The reference's
+    registration loop (src/db/db.go:22-43) is the same
+    catalog-mediated create, delegated to BigQuery."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.iceberg_py import append_iceberg_v2
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+    from gcs2postgres_spark.sources.rest_catalog import (
+        IcebergRestCatalog,
+        oauth2_token_provider,
+        register_catalog,
+    )
+    from gcs2postgres_spark.sources.rest_catalog_server import (
+        start_catalog_server,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS LONG) AS key",
+        "CAST(n_regionkey AS LONG) AS region",
+    )
+    nation.createOrReplaceTempView("__rcw_nation_src")
+    wh = tempfile.mkdtemp(prefix="iceberg_restcat_write_")
+    srv = None
+    try:
+        endpoint, srv, state = start_catalog_server(
+            wh, client_id="svc", client_secret="s3cr3t"
+        )
+        cat = IcebergRestCatalog(
+            endpoint,
+            token_provider=oauth2_token_provider(endpoint, "svc", "s3cr3t"),
+        )
+        register_catalog("wmain", cat)
+        lakehouse_sql(
+            spark,
+            "CREATE TABLE iceberg.wmain.analytics.nation "
+            "(key BIGINT, region BIGINT)",
+        )
+        # snapshot 1 via facade INSERT (catalog-routed append)
+        lakehouse_sql(
+            spark,
+            "INSERT INTO iceberg.wmain.analytics.nation "
+            "SELECT key, region FROM __rcw_nation_src WHERE key < 10",
+        )
+        # CONFLICT: the loser captures its base, the winner commits,
+        # the loser's POST 409s and rebases onto the winner's head
+        table_path, stale_ctx, _m = cat._table_ctx(
+            "analytics", "nation", "append"
+        )
+        # the winner ALSO eats a forced 409 first (simulated lost race:
+        # server rejects once, client refreshes + restacks + retries)
+        state.fail_next_commits = 1
+        cat.append(
+            spark, "analytics", "nation",
+            nation.filter("key >= 10 AND key < 18"),
+            snapshot_ts_ms=1_700_000_001_000,
+        )
+        append_iceberg_v2(
+            spark, table_path, nation.filter("key >= 18"),
+            snapshot_ts_ms=1_700_000_002_000,
+            _ctx=stale_ctx, _catalog_ctx=(cat, "analytics", "nation"),
+        )
+        return lakehouse_sql(
+            spark,
+            "SELECT region, count(*) AS n_rows, "
+            "CAST(sum(key) AS BIGINT) AS key_sum "
+            "FROM iceberg.wmain.analytics.nation "
+            "GROUP BY region ORDER BY region",
+        )
+    except BaseException:
+        shutil.rmtree(wh, ignore_errors=True)
+        raise
+    finally:
+        if srv is not None:
+            srv.shutdown()
+
+
 REST_CATALOG_ORACLE = """
 SELECT CAST(n_regionkey AS BIGINT)      AS region,
        count(*)                         AS n_rows,
