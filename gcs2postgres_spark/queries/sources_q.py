@@ -4979,6 +4979,68 @@ def delta_uniform_date_partition_roundtrip(
         raise
 
 
+UNIFORM_DECPART_ORACLE = """
+SELECT CAST(CAST(FLOOR(o_totalprice / 20000) AS DECIMAL(8,1)) + 0.5
+            AS DOUBLE)                        AS dbucket,
+       (o_orderkey % 2 = 0)                   AS flag,
+       count(*)                               AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT)        AS key_sum
+FROM orders
+GROUP BY 1, 2
+ORDER BY dbucket, flag
+"""
+
+
+@register("delta_uniform_decimal_partition_roundtrip",
+          oracle=UNIFORM_DECPART_ORACLE)
+def delta_uniform_decimal_partition_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r17 — UniForm over a DECIMAL+BOOLEAN-partitioned Delta table:
+    manifest tuples store the decimal partition value as an avro
+    decimal logical (unscaled big-endian bytes — Iceberg single-value
+    serialization) and the boolean natively; the Iceberg scan
+    materializes both back exactly. ~30 decimal buckets x 2 flags
+    exceed the union-arm cap, so materialization runs through the
+    file-index JOIN branch (canonical-string casts), the harder of the
+    two fill paths. The final projection casts the decimal key to
+    DOUBLE purely for a scale-stable compare."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.delta_py import read_delta_py, write_delta
+    from gcs2postgres_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        sync_uniform_iceberg,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_orderkey AS LONG) AS key",
+        "CAST(FLOOR(o_totalprice / 20000) AS DECIMAL(8,1)) + 0.5 AS dbucket",
+        "o_orderkey % 2 = 0 AS flag",
+    )
+    tmp = tempfile.mkdtemp(prefix="delta_uniform_dec_")
+    try:
+        write_delta(orders.repartition("dbucket", "flag"), tmp, "overwrite",
+                    partition_by=["dbucket", "flag"],
+                    timestamp_ms=1_700_000_000_000)
+        sync_uniform_iceberg(spark, tmp, snapshot_ts_ms=1_700_000_001_000)
+        via_iceberg = read_iceberg_py(spark, tmp)
+        if via_iceberg.count() != read_delta_py(spark, tmp).count():
+            raise AssertionError("iceberg and delta reads disagree")
+        return (
+            via_iceberg.groupBy(
+                F.col("dbucket").cast("double").alias("dbucket"), "flag"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("key").cast("long").alias("key_sum"),
+            )
+            .orderBy("dbucket", "flag")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
 FSCK_REPAIR_ORACLE = """
 SELECT CAST(n_regionkey AS BIGINT)      AS region,
        count(*)                         AS n_rows,

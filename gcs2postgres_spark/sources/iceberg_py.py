@@ -933,6 +933,13 @@ def read_iceberg_py(
         "date", "timestamp", "timestamptz",
     }
 
+    def _fillable(t) -> bool:
+        # decimal identity partitions fill too: manifests store them as
+        # avro decimal logical values, decoded back to Decimal (exact)
+        return isinstance(t, str) and (
+            t in _FILLABLE or bool(re.match(r"decimal\(\d+,\s*\d+\)", t))
+        )
+
     for idmap, gpaths in groups:
         fills_needed = (
             [
@@ -940,8 +947,7 @@ def read_iceberg_py(
                 if fj["id"] in identity_srcs
                 and idmap is not None
                 and fj["id"] not in idmap
-                and isinstance(fj["type"], str)
-                and fj["type"] in _FILLABLE
+                and _fillable(fj["type"])
             ]
             if idmap is not None
             else []
@@ -3077,8 +3083,12 @@ def sync_uniform_iceberg(
     DVs and Iceberg v3 DVs share the 64-bit roaring portable format,
     so each add's DV is decoded and re-rendered as a
     ``deletion-vector-v1`` Puffin blob referenced from a delete
-    manifest — format-version 3, no OPTIMIZE tax. Remaining refusal:
-    non-int/long/string partition types (never wrong rows)."""
+    manifest — format-version 3, no OPTIMIZE tax. Identity partitions
+    sync for int/long/string/boolean/float/double/decimal (avro
+    decimal logical values in the manifest tuples, r17), date (int
+    days) and timestamp (long micros, session-tz parse); the remaining
+    refusal is BINARY partition values (no canonical Delta string
+    form — never wrong rows)."""
     import time as _time
 
     from gcs2postgres_spark.sources.delta_py import replay_head_state
@@ -3177,12 +3187,39 @@ def sync_uniform_iceberg(
         ice_t = next(
             f["type"] for f in schema_json["fields"] if f["name"] == c
         )
+        dec_m = re.match(r"decimal\((\d+),\s*(\d+)\)", str(ice_t))
         if ice_t in ("int", "long"):
             part_avro.append((c, ice_t))
             part_cast[c] = int
         elif ice_t == "string":
             part_avro.append((c, "string"))
             part_cast[c] = str
+        elif ice_t == "boolean":
+            # Delta serializes boolean partitionValues as "true"/"false"
+            part_avro.append((c, "boolean"))
+            part_cast[c] = lambda v: v == "true"
+        elif ice_t in ("float", "double"):
+            part_avro.append((c, ice_t))
+            part_cast[c] = float
+        elif dec_m:
+            # manifest partition struct stores decimals as avro bytes
+            # with the decimal logical type (unscaled big-endian
+            # two's-complement — Iceberg single-value serialization);
+            # avro_py round-trips Decimal values through it
+            from decimal import Decimal as _Dec
+
+            part_avro.append(
+                (
+                    c,
+                    {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": int(dec_m.group(1)),
+                        "scale": int(dec_m.group(2)),
+                    },
+                )
+            )
+            part_cast[c] = _Dec
         elif ice_t == "date":
             part_avro.append((c, "int"))
             part_cast[c] = _days
@@ -3192,7 +3229,9 @@ def sync_uniform_iceberg(
         else:
             raise NotImplementedError(
                 f"UniForm over partition column {c!r} of type {ice_t!r} "
-                "(int/long/string/date/timestamp identity partitions only)"
+                "(identity partitions over int/long/string/boolean/"
+                "float/double/decimal/date/timestamp only; binary "
+                "partition values have no canonical Delta string form)"
             )
     schemas = [schema_json]
     stamp_sid = 0

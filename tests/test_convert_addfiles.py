@@ -402,6 +402,69 @@ def test_uniform_temporal_partitions(spark, tmp_path):
     assert a2 == b2 and len(a2) == 20
 
 
+def test_uniform_decimal_boolean_float_partitions(spark, tmp_path):
+    """r17: UniForm over DECIMAL / BOOLEAN / DOUBLE identity partitions
+    (LOW-cardinality branch — typed literals injected, F.lit(Decimal)/
+    bool/float): manifest tuples store the decimal as an avro decimal
+    logical (unscaled big-endian bytes, Iceberg single-value
+    serialization); values round-trip exactly. Binary partitions keep
+    the documented refusal."""
+    import pytest as _pytest
+
+    from gcs2postgres_spark.sources.iceberg_py import sync_uniform_iceberg
+
+    t = str(tmp_path / "uni_dec")
+    df = spark.range(0, 24).selectExpr(
+        "id AS k",
+        "CAST(CAST(id % 3 AS DECIMAL(6,2)) + 0.25 AS DECIMAL(6,2)) AS d",
+        "id % 2 = 0 AS flag",
+        "id * 2 AS v",
+    )
+    write_delta(df, t, "overwrite", partition_by=["d", "flag"],
+                timestamp_ms=1_700_000_000_000)
+    sync_uniform_iceberg(spark, t, snapshot_ts_ms=1_700_000_001_000)
+    a = sorted(tuple(map(str, r)) for r in
+               read_delta_py(spark, t).select("k", "d", "flag", "v").collect())
+    b = sorted(tuple(map(str, r)) for r in
+               read_iceberg_py(spark, t).select("k", "d", "flag", "v").collect())
+    assert a == b and len(a) == 24
+    # negative decimals exercise the signed big-endian encoding
+    t1b = str(tmp_path / "uni_dec_neg")
+    dfn = spark.range(0, 12).selectExpr(
+        "id AS k",
+        "CAST(CAST(id % 3 AS DECIMAL(6,2)) - 7.50 AS DECIMAL(6,2)) AS d",
+    )
+    write_delta(dfn, t1b, "overwrite", partition_by=["d"],
+                timestamp_ms=1_700_000_000_000)
+    sync_uniform_iceberg(spark, t1b, snapshot_ts_ms=1_700_000_001_000)
+    an = sorted(tuple(map(str, r)) for r in
+                read_delta_py(spark, t1b).collect())
+    bn = sorted(tuple(map(str, r)) for r in
+                read_iceberg_py(spark, t1b).collect())
+    assert an == bn and len(an) == 12
+
+    t2 = str(tmp_path / "uni_dbl")
+    df2 = spark.range(0, 12).selectExpr(
+        "id AS k", "CAST(id % 4 AS DOUBLE) / 4.0 AS x"
+    )
+    write_delta(df2, t2, "overwrite", partition_by=["x"],
+                timestamp_ms=1_700_000_000_000)
+    sync_uniform_iceberg(spark, t2, snapshot_ts_ms=1_700_000_001_000)
+    a2 = sorted(tuple(map(str, r)) for r in read_delta_py(spark, t2).collect())
+    b2 = sorted(tuple(map(str, r)) for r in read_iceberg_py(spark, t2).collect())
+    assert a2 == b2 and len(a2) == 12
+
+    # binary partition values: documented refusal, never wrong rows
+    t3 = str(tmp_path / "uni_bin")
+    df3 = spark.range(0, 4).selectExpr(
+        "id AS k", "CAST(CAST(id % 2 AS STRING) AS BINARY) AS b"
+    )
+    write_delta(df3, t3, "overwrite", partition_by=["b"],
+                timestamp_ms=1_700_000_000_000)
+    with _pytest.raises(NotImplementedError, match="binary"):
+        sync_uniform_iceberg(spark, t3, snapshot_ts_ms=1_700_000_001_000)
+
+
 def test_uniform_resync_idempotent(spark, tmp_path):
     """r16: re-sync with no new Delta commits is a metadata no-op (the
     uniform.delta-version watermark short-circuits — real UniForm's
