@@ -3836,6 +3836,9 @@ def merge_into(
     snapshot_ts_ms: int | None = None,
     txn: tuple[str, int] | None = None,
     set_exprs: dict[str, str] | None = None,
+    _ctx: dict | None = None,
+    _catalog_ctx: tuple | None = None,
+    _preloaded_meta: dict | None = None,
 ) -> int | None:
     """Jar-less Iceberg v2 merge-on-read ``MERGE INTO`` (the CDC-apply
     shape): one atomic commit that position-deletes every target row
@@ -3896,7 +3899,7 @@ def merge_into(
             "set_exprs (per-column WHEN MATCHED THEN UPDATE SET) requires "
             "when_matched='update' and no latest_wins_on"
         )
-    live = read_iceberg_py(spark, table_path)
+    live = read_iceberg_py(spark, table_path, _preloaded_meta=_preloaded_meta)
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
@@ -3952,7 +3955,8 @@ def merge_into(
         if replacement.isEmpty():
             replacement = None
         return _v2_row_level_commit(
-            spark, table_path, matcher, replacement, snapshot_ts_ms, txn=txn
+            spark, table_path, matcher, replacement, snapshot_ts_ms, txn=txn,
+            _ctx=_ctx, _catalog_ctx=_catalog_ctx,
         )
 
     if when_matched == "ignore":
@@ -3968,7 +3972,8 @@ def merge_into(
         if new_rows.isEmpty():
             return None
         return append_iceberg_v2(
-            spark, table_path, new_rows, snapshot_ts_ms=snapshot_ts_ms, txn=txn
+            spark, table_path, new_rows, snapshot_ts_ms=snapshot_ts_ms, txn=txn,
+            _ctx=_ctx, _catalog_ctx=_catalog_ctx,
         )
 
     if latest_wins_on:
@@ -4026,10 +4031,12 @@ def merge_into(
         # nothing to insert): fall through to the delete-only commit,
         # which returns None when nothing matched at all.
         return _v2_row_level_commit(
-            spark, table_path, matcher, None, snapshot_ts_ms, txn=txn
+            spark, table_path, matcher, None, snapshot_ts_ms, txn=txn,
+            _ctx=_ctx, _catalog_ctx=_catalog_ctx,
         )
     return _v2_row_level_commit(
-        spark, table_path, matcher, replacement, snapshot_ts_ms, txn=txn
+        spark, table_path, matcher, replacement, snapshot_ts_ms, txn=txn,
+        _ctx=_ctx, _catalog_ctx=_catalog_ctx,
     )
 
 
@@ -5212,6 +5219,9 @@ def merge_into_clauses(
     not_matched_by_source: list[dict] | None = None,
     snapshot_ts_ms: int | None = None,
     txn: tuple[str, int] | None = None,
+    _ctx: dict | None = None,
+    _catalog_ctx: tuple | None = None,
+    _preloaded_meta: dict | None = None,
 ) -> int | None:
     """Full multi-clause conditional ``MERGE INTO`` for the jar-less v2
     committer (WHEN MATCHED AND cond THEN UPDATE/DELETE, WHEN NOT
@@ -5228,7 +5238,7 @@ def merge_into_clauses(
     matched = list(matched or [])
     not_matched = list(not_matched or [])
     not_matched_by_source = list(not_matched_by_source or [])
-    live = read_iceberg_py(spark, table_path)
+    live = read_iceberg_py(spark, table_path, _preloaded_meta=_preloaded_meta)
     missing = sorted(set(on) - set(source.columns))
     if missing:
         raise ValueError(f"MERGE key columns missing from source: {missing}")
@@ -5244,10 +5254,11 @@ def merge_into_clauses(
             return None
         return append_iceberg_v2(
             spark, table_path, replacement, snapshot_ts_ms=snapshot_ts_ms,
-            txn=txn,
+            txn=txn, _ctx=_ctx, _catalog_ctx=_catalog_ctx,
         )
     return _v2_row_level_commit(
-        spark, table_path, matcher, replacement, snapshot_ts_ms, txn=txn
+        spark, table_path, matcher, replacement, snapshot_ts_ms, txn=txn,
+        _ctx=_ctx, _catalog_ctx=_catalog_ctx,
     )
 
 

@@ -412,6 +412,23 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         return 0
 
     m = re.fullmatch(
+        rf"(?i)CREATE TABLE {catid}"
+        r"(?: PARTITIONED BY \((?P<parts>(?:[^()]|\([^()]*\))+)\))?"
+        r" AS (?P<q>(?:SELECT|WITH)\b.+)",
+        s,
+    )
+    if m:
+        # CTAS through the catalog: create (catalog mints location +
+        # metadata), then one catalog-routed append commit
+        client = _cat_client(m["cat"])
+        rows = spark.sql(_rewrite_select(spark, m["q"]))
+        client.create_table(
+            m["ns"], m["tbl"], rows.schema,
+            partition_spec=_parse_partition_spec(m["parts"] or ""),
+        )
+        return client.append(spark, m["ns"], m["tbl"], rows)
+
+    m = re.fullmatch(
         rf"(?i)INSERT INTO {catid} (?P<q>(?:SELECT|WITH|VALUES)\b.+)", s
     )
     if m:
@@ -785,7 +802,10 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
         return iceberg_py.update_where(spark, m["path"], m["pred"], set_exprs)
 
     m = re.fullmatch(
-        rf"(?i)MERGE INTO {_TBL}(?: AS)? (?P<t>\w+) USING (?P<src>\w+)(?: AS)? "
+        rf"(?i)MERGE INTO (?:{_TBL}|"
+        r"iceberg\s*\.\s*(?P<mcat>\w+)\s*\.\s*(?P<mns>\w+)\s*\.\s*"
+        r"(?P<mtbl>\w+))"
+        rf"(?: AS)? (?P<t>\w+) USING (?P<src>\w+)(?: AS)? "
         r"(?P<s>\w+) ON (?P<on>.+?) "
         r"(?P<clauses>WHEN .+)",
         s,
@@ -857,6 +877,13 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
                 )
             (matched if kind == "MATCHED" else nmbs).append(cl)
         source = spark.table(m["src"])
+        if m.groupdict().get("mcat"):
+            # catalog-resolved target: commit THROUGH the catalog
+            return _cat_client(m["mcat"]).merge(
+                spark, m["mns"], m["mtbl"], source, keys,
+                matched=matched, not_matched=not_matched,
+                not_matched_by_source=nmbs,
+            )
         if m["fmt"] == "delta":
             return delta_py.merge_delta_clauses(
                 spark, m["path"], source, keys,

@@ -416,8 +416,35 @@ class IcebergRestCatalog:
             table_path, op, preloaded=(meta, mloc)
         ), meta
 
+    def merge(
+        self,
+        spark,
+        ns,
+        name,
+        source,
+        on: list[str],
+        matched: list[dict] | None = None,
+        not_matched: list[dict] | None = None,
+        not_matched_by_source: list[dict] | None = None,
+        snapshot_ts_ms: int | None = None,
+    ) -> int | None:
+        """Catalog-routed multi-clause MERGE INTO (one atomic
+        position-delete + append snapshot committed THROUGH the
+        catalog; a lost race surfaces as CommitConflictError)."""
+        from gcs2postgres_spark.sources import iceberg_py
+
+        table_path, ctx, meta = self._table_ctx(ns, name, "row-level DML")
+        return iceberg_py.merge_into_clauses(
+            spark, table_path, source, on,
+            matched=matched, not_matched=not_matched,
+            not_matched_by_source=not_matched_by_source,
+            snapshot_ts_ms=snapshot_ts_ms,
+            _ctx=ctx, _catalog_ctx=(self, ns, name), _preloaded_meta=meta,
+        )
+
     def append(
-        self, spark, ns, name, df, snapshot_ts_ms: int | None = None
+        self, spark, ns, name, df, snapshot_ts_ms: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Catalog-routed APPEND: metadata comes from load_table (the
         catalog is the commit pointer, not the version-hint walk), data
@@ -429,7 +456,7 @@ class IcebergRestCatalog:
 
         table_path, ctx, _meta = self._table_ctx(ns, name, "append")
         return iceberg_py.append_iceberg_v2(
-            spark, table_path, df, snapshot_ts_ms=snapshot_ts_ms,
+            spark, table_path, df, snapshot_ts_ms=snapshot_ts_ms, txn=txn,
             _ctx=ctx, _catalog_ctx=(self, ns, name),
         )
 

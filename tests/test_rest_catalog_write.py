@@ -253,6 +253,75 @@ def test_facade_catalog_ddl_dml(spark, server):
         rest_catalog._CATALOGS.pop("wcat", None)
 
 
+def test_facade_catalog_ctas_and_merge(spark, server):
+    from gcs2postgres_spark.sources import rest_catalog
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    endpoint, _state = server
+    cat = IcebergRestCatalog(endpoint)
+    register_catalog("mcat", cat)
+    try:
+        _kv(spark, 0, 6).createOrReplaceTempView("__ctas_src")
+        lakehouse_sql(
+            spark,
+            "CREATE TABLE iceberg.mcat.s.t PARTITIONED BY (bucket(2, k)) "
+            "AS SELECT * FROM __ctas_src",
+        )
+        assert (
+            lakehouse_sql(
+                spark, "SELECT count(*) AS n FROM iceberg.mcat.s.t"
+            ).collect()[0]["n"]
+            == 6
+        )
+        spark.sql(
+            "SELECT 2 AS k, 'X' AS v UNION ALL SELECT 99, 'Y'"
+        ).createOrReplaceTempView("__m_src")
+        sid = lakehouse_sql(
+            spark,
+            "MERGE INTO iceberg.mcat.s.t t USING __m_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+        assert sid == 2
+        rows = sorted(
+            tuple(r)
+            for r in lakehouse_sql(
+                spark, "SELECT k, v FROM iceberg.mcat.s.t"
+            ).collect()
+        )
+        assert rows == [
+            (0, "n0"), (1, "n1"), (2, "X"), (3, "n3"), (4, "n4"),
+            (5, "n5"), (99, "Y"),
+        ]
+        # MERGE loses a race -> surfaced, never silently retried
+        _state.fail_next_commits = 1
+        with pytest.raises(CommitConflictError):
+            lakehouse_sql(
+                spark,
+                "MERGE INTO iceberg.mcat.s.t t USING __m_src s ON t.k = s.k "
+                "WHEN MATCHED THEN DELETE",
+            )
+        _state.fail_next_commits = 0
+    finally:
+        rest_catalog._CATALOGS.pop("mcat", None)
+
+
+def test_catalog_append_txn_watermark(spark, server):
+    from gcs2postgres_spark.sources.iceberg_py import (
+        last_txn_version_iceberg,
+    )
+
+    endpoint, _state = server
+    cat = IcebergRestCatalog(endpoint)
+    res = cat.create_table("ns", "tx", _kv(spark, 0, 0).schema)
+    cat.append(spark, "ns", "tx", _kv(spark, 0, 3), txn=("app1", 7))
+    loc = res["metadata"]["location"]
+    # the exactly-once watermark rides the snapshot summary through the
+    # catalog commit exactly as through the file path
+    assert last_txn_version_iceberg(loc, "app1") == 7
+    assert last_txn_version_iceberg(loc, "other") == -1
+
+
 def test_commit_rejects_unknown_update_and_bad_requirement(spark, server):
     endpoint, _state = server
     cat = IcebergRestCatalog(endpoint)
