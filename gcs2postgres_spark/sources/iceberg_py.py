@@ -4470,6 +4470,9 @@ def rewrite_data_files(
     target_file_mb: float = 128,
     zorder_by: list[str] | None = None,
     snapshot_ts_ms: int | None = None,
+    _ctx: dict | None = None,
+    _catalog_ctx: tuple | None = None,
+    _preloaded_meta: dict | None = None,
 ) -> int:
     """Jar-less Iceberg v2 compaction (the ``rewrite_data_files``
     maintenance action): read the table's LIVE rows (position/equality
@@ -4497,7 +4500,9 @@ def rewrite_data_files(
     import math
     import time as _time
 
-    ctx = _v2_table_context(table_path, "compaction (rewrite_data_files)")
+    ctx = _ctx if _ctx is not None else _v2_table_context(
+        table_path, "compaction (rewrite_data_files)"
+    )
     meta = ctx["meta"]
     part_struct_names = ctx["part_struct_names"]
     part_src_cols = ctx["part_src_cols"]
@@ -4520,7 +4525,7 @@ def rewrite_data_files(
                 live_bytes += int(e["data_file"].get("file_size_in_bytes") or 0)
     n_files = max(1, math.ceil(live_bytes / (target_file_mb * 1024 * 1024)))
 
-    live = read_iceberg_py(spark, table_path)
+    live = read_iceberg_py(spark, table_path, _preloaded_meta=_preloaded_meta)
     from gcs2postgres_spark.layout import cluster_for_rewrite
 
     compacted = cluster_for_rewrite(live, n_files, part_src_cols, zorder_by)
@@ -4565,7 +4570,8 @@ def rewrite_data_files(
             }
         )
     return _v2_commit_snapshot(
-        table_path, ctx, new_list_rows, new_seq, sid, now, "replace"
+        table_path, ctx, new_list_rows, new_seq, sid, now, "replace",
+        catalog_ctx=_catalog_ctx,
     )
 
 

@@ -458,6 +458,15 @@ def lakehouse_sql(spark: SparkSession, stmt: str) -> DataFrame | int | None:
             spark, m["ns"], m["tbl"], m["pred"], _parse_set(m["set"])
         )
 
+    m = re.fullmatch(
+        rf"(?i)OPTIMIZE {catid}(?: ZORDER BY \((?P<z>[\w\s,]+)\))?", s
+    )
+    if m:
+        z = [c.strip() for c in m["z"].split(",")] if m["z"] else None
+        return _cat_client(m["cat"]).rewrite_data_files(
+            spark, m["ns"], m["tbl"], zorder_by=z
+        )
+
     m = re.fullmatch(rf"(?i)DROP TABLE {catid}(?P<purge> PURGE)?", s)
     if m:
         _cat_client(m["cat"]).drop_table(

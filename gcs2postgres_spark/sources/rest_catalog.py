@@ -490,6 +490,28 @@ class IcebergRestCatalog:
             _ctx=ctx, _catalog_ctx=(self, ns, name), _preloaded_meta=meta,
         )
 
+    def rewrite_data_files(
+        self, spark, ns, name,
+        target_file_mb: float = 128,
+        zorder_by: list[str] | None = None,
+        snapshot_ts_ms: int | None = None,
+    ) -> int:
+        """Catalog-routed compaction / OPTIMIZE [ZORDER]: the replace
+        snapshot commits THROUGH the catalog, so a concurrent writer
+        racing the compactor surfaces as CommitConflictError (replace
+        never auto-rebases — its file inventory is stale by
+        definition)."""
+        from gcs2postgres_spark.sources import iceberg_py
+
+        table_path, ctx, meta = self._table_ctx(
+            ns, name, "compaction (rewrite_data_files)"
+        )
+        return iceberg_py.rewrite_data_files(
+            spark, table_path, target_file_mb=target_file_mb,
+            zorder_by=zorder_by, snapshot_ts_ms=snapshot_ts_ms,
+            _ctx=ctx, _catalog_ctx=(self, ns, name), _preloaded_meta=meta,
+        )
+
     def read(self, spark, ns: str | tuple | list, name: str, **read_kwargs):
         """Resolve ``ns.name`` through the catalog and return its
         DataFrame via the jar-less scan — metadata comes from the

@@ -411,7 +411,7 @@ class _Handler(BaseHTTPRequestHandler):
                     self._err(409, "namespace not empty")
                     return
                 del st.namespaces[ns]
-            self._json({}, 204) if False else self._no_content()
+            self._no_content()
             return
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
             key = (self._ns_of(rest[1]), urllib.parse.unquote(rest[3]))

@@ -322,6 +322,38 @@ def test_catalog_append_txn_watermark(spark, server):
     assert last_txn_version_iceberg(loc, "other") == -1
 
 
+def test_catalog_optimize_compacts_through_catalog(spark, server):
+    from gcs2postgres_spark.sources import rest_catalog
+    from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+    endpoint, state = server
+    cat = IcebergRestCatalog(endpoint)
+    register_catalog("ocat", cat)
+    try:
+        cat.create_table("ns", "o", _kv(spark, 0, 0).schema)
+        cat.append(spark, "ns", "o", _kv(spark, 0, 20))
+        cat.append(spark, "ns", "o", _kv(spark, 20, 40))
+        cat.delete_where(spark, "ns", "o", "k % 10 = 0")
+        before = cat.load_table("ns", "o")["metadata"]
+        sid = lakehouse_sql(spark, "OPTIMIZE iceberg.ocat.ns.o")
+        meta = cat.load_table("ns", "o")["metadata"]
+        assert meta["current-snapshot-id"] == sid
+        snap = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == sid
+        )
+        assert snap["summary"]["operation"] == "replace"
+        assert len(meta["snapshots"]) == len(before["snapshots"]) + 1
+        got = sorted(r["k"] for r in cat.read(spark, "ns", "o").collect())
+        assert got == [k for k in range(40) if k % 10 != 0]
+        # a racing compactor loses cleanly (replace never auto-rebases)
+        state.fail_next_commits = 1
+        with pytest.raises(CommitConflictError):
+            cat.rewrite_data_files(spark, "ns", "o")
+        state.fail_next_commits = 0
+    finally:
+        rest_catalog._CATALOGS.pop("ocat", None)
+
+
 def test_commit_rejects_unknown_update_and_bad_requirement(spark, server):
     endpoint, _state = server
     cat = IcebergRestCatalog(endpoint)
