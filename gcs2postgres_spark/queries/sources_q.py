@@ -4713,6 +4713,79 @@ def delta_uniform_many_partitions_roundtrip(
         raise
 
 
+STREAM_CATALOG_SINK_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT)      AS region,
+       count(*)                         AS n_rows,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
+@register("iceberg_stream_catalog_sink_roundtrip",
+          oracle=STREAM_CATALOG_SINK_ORACLE)
+def iceberg_stream_catalog_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r17 — streaming APPEND into a CATALOG-addressed Iceberg table
+    (the production Flink/Spark-sink shape: the sink holds
+    ``cat.ns.table``, never a path; every micro-batch is a
+    CommitTableRequest and the catalog pointer is the only truth).
+    Exactly-once rides the txn watermark read from the LoadTableResult;
+    one micro-batch eats a forced 409 (simulated concurrent committer)
+    and retries through the append rebase. Read back BY NAME through
+    the facade, exact vs the whole nation table."""
+    tune_for_session(spark)
+    from gcs2postgres_spark.sources.rest_catalog import (
+        IcebergRestCatalog,
+        register_catalog,
+    )
+    from gcs2postgres_spark.sources.rest_catalog_server import (
+        start_catalog_server,
+    )
+    from gcs2postgres_spark.streaming.cdc_apply import stream_append_catalog
+
+    nation = load_table(spark, sf_dir, "nation").selectExpr(
+        "CAST(n_nationkey AS LONG) AS key",
+        "CAST(n_regionkey AS LONG) AS region",
+    )
+    tmp = tempfile.mkdtemp(prefix="iceberg_stream_cat_")
+    srv = None
+    try:
+        endpoint, srv, state = start_catalog_server(os.path.join(tmp, "wh"))
+        cat = IcebergRestCatalog(endpoint)
+        register_catalog("smain", cat)
+        cat.create_table("analytics", "nation_live", nation.schema)
+        stage = os.path.join(tmp, "stage")
+        nation.repartition(3).write.mode("overwrite").parquet(stage)
+        state.fail_next_commits = 1  # first batch loses a race, retries
+        q = stream_append_catalog(
+            spark.readStream.schema(nation.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+            cat, "analytics", "nation_live",
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        from gcs2postgres_spark.sources.lakehouse_sql import lakehouse_sql
+
+        return lakehouse_sql(
+            spark,
+            "SELECT region, count(*) AS n_rows, "
+            "CAST(sum(key) AS BIGINT) AS key_sum "
+            "FROM iceberg.smain.analytics.nation_live "
+            "GROUP BY region ORDER BY region",
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    finally:
+        if srv is not None:
+            srv.shutdown()
+
+
 REST_CATALOG_WRITE_ORACLE = """
 SELECT CAST(n_regionkey AS BIGINT)      AS region,
        count(*)                         AS n_rows,

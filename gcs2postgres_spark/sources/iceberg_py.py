@@ -4312,6 +4312,13 @@ def last_txn_version_iceberg(table_path: str, app_id: str) -> int:
         meta = json.loads(fsio.read_text(latest_metadata_file(table_path)))
     except FileNotFoundError:
         return -1
+    return last_txn_version_from_meta(meta, app_id)
+
+
+def last_txn_version_from_meta(meta: dict, app_id: str) -> int:
+    """The txn watermark computed from an ALREADY-LOADED metadata dict
+    — what a catalog-addressed sink uses (the LoadTableResult is the
+    commit pointer; re-walking the path would race it)."""
     best = -1
     for snap in meta.get("snapshots") or []:
         summ = snap.get("summary") or {}

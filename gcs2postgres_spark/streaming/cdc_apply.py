@@ -269,3 +269,47 @@ def stream_merge_iceberg(
         .outputMode("update")
         .start()
     )
+
+
+def stream_append_catalog(
+    stream: DataFrame,
+    catalog,
+    ns,
+    name: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+):
+    """Streaming APPEND into a CATALOG-addressed Iceberg table (the
+    production Flink/Spark-sink shape: the sink holds a catalog
+    identifier, never a path; every commit is a CommitTableRequest and
+    the catalog pointer is the only source of truth). Exactly-once:
+    each commit stamps the ``txn`` watermark (appId = checkpoint
+    identity, version = batchId) in the snapshot summary, and the
+    watermark is read from the CATALOG's LoadTableResult — not a path
+    walk that could race it — so a replayed micro-batch after a crash
+    between commit and checkpoint-advance is skipped. A concurrent
+    writer racing a micro-batch costs one 409 + the append rebase
+    (client-side restack; no data rewrite).
+
+    ``catalog`` is an ``IcebergRestCatalog``; the table must exist
+    (``create_table`` it first — the catalog mints the location)."""
+    from gcs2postgres_spark.sources.iceberg_py import (
+        last_txn_version_from_meta,
+    )
+
+    app = _app_id(checkpoint_dir, app_id)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        meta = catalog.load_table(ns, name).get("metadata") or {}
+        if batch_id <= last_txn_version_from_meta(meta, app):
+            return  # at-least-once redelivery of an applied batch
+        catalog.append(
+            batch.sparkSession, ns, name, batch, txn=(app, batch_id)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -378,6 +378,46 @@ def test_commit_rejects_unknown_update_and_bad_requirement(spark, server):
     assert "owner" not in cat.load_table("ns", "u")["metadata"]["properties"]
 
 
+def test_stream_append_catalog_exactly_once(spark, server, tmp_path):
+    """Streaming appends land THROUGH the catalog with the txn
+    watermark read from the LoadTableResult: a restart from the same
+    checkpoint (at-least-once redelivery) adds no rows and no
+    snapshots."""
+    from gcs2postgres_spark.streaming.cdc_apply import (
+        stream_append_catalog,
+    )
+
+    endpoint, state = server
+    cat = IcebergRestCatalog(endpoint)
+    cat.create_table("ns", "st", _kv(spark, 0, 0).schema)
+    stage = str(tmp_path / "stage")
+    _kv(spark, 0, 30).repartition(3).write.mode("overwrite").parquet(stage)
+    ckpt = str(tmp_path / "ckpt")
+    schema = _kv(spark, 0, 0).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream_append_catalog(stream, cat, "ns", "st", ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    n_commits = state.commit_count
+    meta1 = cat.load_table("ns", "st")["metadata"]
+    got = sorted(r["k"] for r in cat.read(spark, "ns", "st").collect())
+    assert got == list(range(30))
+    # restart from the same checkpoint: watermark skips every batch
+    run_once()
+    meta2 = cat.load_table("ns", "st")["metadata"]
+    assert state.commit_count == n_commits
+    assert len(meta2["snapshots"]) == len(meta1["snapshots"])
+    assert cat.read(spark, "ns", "st").count() == 30
+
+
 def test_server_metadata_versions_advance(spark, server):
     endpoint, _state = server
     cat = IcebergRestCatalog(endpoint)
