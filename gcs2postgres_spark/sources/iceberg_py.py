@@ -4854,12 +4854,17 @@ def _v2_commit_snapshot(
                 _write_json_if_absent(
                     os.path.join(mdir, f"v{version}.metadata.json"), meta
                 )
+            except FileExistsError:
+                conflict = True
+            if not conflict:
+                # hint write stays OUTSIDE the put-if-absent guard: it
+                # is an overwrite-allowed optimization, and a store
+                # surfacing FileExistsError from it must not be
+                # mistaken for a lost commit race
                 _write_text_atomic(
                     os.path.join(mdir, "version-hint.text"), str(version)
                 )
                 return sid
-            except FileExistsError:
-                conflict = True
         if conflict:
             if operation != "append":
                 raise CommitConflictError(
