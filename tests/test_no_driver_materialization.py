@@ -30,6 +30,10 @@ ALLOWED = {
     ],
     "operators/corpus.py": [
         ".limit(1)",  # BPE argmax: exactly one row per merge round
+        # trained merge table: n_merges rows — the tokenizer's vocab
+        # artifact, driver metadata by nature (every encoder ships it
+        # to workers as literals)
+        'merges.orderBy("step")',
     ],
     "sources/iceberg_py.py": [
         # partitioned fixture writer: DISTINCT partition-value list —
