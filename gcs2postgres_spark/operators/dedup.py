@@ -158,26 +158,59 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_n: int = 3,
     shingled: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: min over shingles of xxhash64(seed,
     shingle) for each of num_perm seeds — one explode + one groupBy with
-    num_perm partial-min aggregates (single shuffle on doc id)."""
+    num_perm partial-min aggregates (single shuffle on doc id).
+
+    ``with_size=True`` adds ``n`` = the doc's distinct-shingle count to
+    the SAME aggregation — free here (one more partial agg on a shuffle
+    that already happens), but a whole extra shingle+groupBy pass when
+    computed separately. The LSH verify step needs exactly this count
+    for |A∪B| = n_a + n_b − n_inter, so carrying it through banding
+    (``lsh_candidate_pairs(carry=("n",))``) deletes the two standalone
+    ``sizes`` branches — each a full re-run of the shingler at any scale
+    where the (doc, shingle) relation is not persisted."""
     if shingled is None:
         shingled = shingle_docs(docs, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
         for seed in range(num_perm)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("n"))
     return shingled.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, num_perm: int = 32, bands: int = 8
+    signatures: DataFrame,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
     num_perm/bands rows, hash each band, and self-join on (band_id,
     band_hash) to produce candidate pairs (a < b). Docs agreeing on any
-    band collide — standard MinHash-LSH banding."""
+    band collide — standard MinHash-LSH banding.
+
+    ``carry`` columns (per-doc attributes functionally dependent on the
+    id, e.g. the shingle count ``n`` from
+    ``minhash_signatures(with_size=True)``) ride the banded frame and
+    come back as ``<col>_a`` / ``<col>_b``, so the verify step joins no
+    standalone sizes branches — each of those was a full re-run of the
+    shingler at any scale where the (doc, shingle) relation is not
+    persisted. Because carries are id-determined, the final distinct has
+    the same cardinality as distinct over (id_a, id_b) alone.
+
+    The pair generation stays a SELF-JOIN on the band key (codegen hash
+    join over a one-row-per-doc frame, persisted when large), not a
+    collect_list + higher-order-function pair expansion: an interleaved
+    sf0.1 A/B of the group-by/expand shape (r17) measured it ~1.3× slower
+    here and 2-3× slower on the simhash twin — the O(k²) interpreted
+    slice/transform expansion costs more than the subtree re-evaluation
+    it avoids at every measured scale."""
     rows = num_perm // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
@@ -186,9 +219,12 @@ def lsh_candidate_pairs(
     # one row per doc; the band self-join below reads it twice — cache
     # or the whole minhash signature aggregation runs twice (persist is
     # size-conditional: see operators.caching for the sf0.1 crossover A/B)
-    banded = maybe_persist(signatures.select(F.col(id_col), *band_cols))
+    banded = maybe_persist(
+        signatures.select(F.col(id_col), *[F.col(c) for c in carry], *band_cols)
+    )
     melted = banded.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(
             F.map_from_arrays(
                 F.array(*[F.lit(b) for b in range(bands)]),
@@ -205,9 +241,65 @@ def lsh_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry],
+        )
         .distinct()
     )
+
+
+def bucket_pair_expand(
+    df: DataFrame, bucket_keys: list[str], id_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) of ids sharing a bucket —
+    the group-by/expand replacement for a bucket SELF-JOIN.
+
+    One groupBy collects each bucket's sorted ``struct(id, carry...)``
+    list; higher-order functions expand the i<j pairs (streamed through
+    Generate, never a driver structure). Identical pair set to the
+    self-join; the difference is the input subtree is evaluated ONCE and
+    shuffled once (the self-join evaluates and shuffles it twice, or
+    forces a persist). Hot-bucket skew is the same in both shapes: the
+    join hashes a hot key's k² pairs to one reducer too. Per-bucket
+    state is O(bucket size), not O(pairs).
+
+    ``carry`` columns (functionally dependent on the id) come back as
+    ``<col>_a`` / ``<col>_b``; the final distinct therefore has the same
+    cardinality as distinct over (id_a, id_b) alone."""
+    # sort_array on struct(id, carry...) orders by id (unique), so the
+    # i<j expansion yields id_a < id_b exactly like a join's a.id < b.id
+    item = F.struct(F.col(id_col).alias("_i"), *[F.col(c) for c in carry])
+    buckets = (
+        df.groupBy(*bucket_keys)
+        .agg(F.sort_array(F.collect_list(item)).alias("items"))
+        .filter(F.size("items") >= 2)
+    )
+    k = F.size(F.col("items"))
+    pair_struct = lambda i, right: F.struct(  # noqa: E731
+        F.element_at(F.col("items"), i).alias("a"), right.alias("b")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), k - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("items"), i + 1, k - i), lambda r: pair_struct(i, r)
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    out_cols = [
+        F.col("p.a._i").alias("id_a"),
+        F.col("p.b._i").alias("id_b"),
+        *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
+        *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry],
+    ]
+    return pairs.select(*out_cols).distinct()
 
 
 def jaccard_pairs(
@@ -232,16 +324,30 @@ def jaccard_pairs(
       would do the quadratic work anyway and throw most of it away."""
     if shingled is None:
         shingled = shingle_docs(docs, id_col, text_col, shingle_n)
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
+        carried = {"n_a", "n_b"} <= set(candidates.columns)
         sh_a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
         sh_b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+        group_keys = ["id_a", "id_b"] + (["n_a", "n_b"] if carried else [])
         inter = (
             candidates.join(sh_a, "id_a")
             .join(sh_b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
+            .groupBy(*group_keys)
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+        if carried:
+            # candidate pairs arrived with their set sizes
+            # (lsh_candidate_pairs carry): |A∪B| = n_a + n_b − n_inter
+            # needs no sizes joins — each of those branches was a full
+            # shingler+groupBy re-run when `shingled` is not persisted
+            return inter.select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                ).alias("jaccard"),
+            )
     else:
         a = shingled.alias("a")
         b = shingled.alias("b")
@@ -250,6 +356,7 @@ def jaccard_pairs(
             .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     return (
@@ -333,7 +440,11 @@ def simhash_near_pairs(
     # one row per doc — vocabulary of the problem, not the token stream.
     # min_rows=0: the lane-sum recompute is expensive enough that the
     # cache wins even at 5k docs (counterbalanced sf0.1 A/B: 3.52 s
-    # persisted vs 4.60 s recomputed).
+    # persisted vs 4.60 s recomputed). An r17 interleaved A/B of the
+    # collect_list + HOF pair-expansion shape (no join, no cache)
+    # measured 2-3× SLOWER than this persisted join — simhash buckets on
+    # near-clique corpora are large, and the O(k²) interpreted expansion
+    # dwarfs the join it replaces.
     fingerprints = maybe_persist(fingerprints, min_rows=0)
     banded = fingerprints.select(
         F.col(id_col),

@@ -175,8 +175,20 @@ def connected_components(
         .persist()
     )
     try:
-        labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-            "comp", F.col("node")
+        # Fused initialization: comp₀[v] = min(v, min(Γ(v))) — the identity
+        # labeling with the FIRST propagation round applied, as ONE
+        # aggregation over the symmetrized edges. The unfused form
+        # (distinct node list + identity labels, then a join round) paid a
+        # distinct shuffle plus a full join+agg+checkpoint round for the
+        # same state; min-label converges to the same fixpoint from any
+        # state between identity and the final labeling. On near-clique
+        # dedup graphs (diameter 1-2) this removes one of the 2-3 rounds
+        # outright (r17 A/B: dedup_cluster_canonical sf0.1, see
+        # OPTIMIZATION_r17.md).
+        labels = (
+            und.groupBy("a")
+            .agg(F.least(F.min("b"), F.col("a")).alias("comp"))
+            .select(F.col("a").alias("node"), "comp")
         )
         labels = labels.localCheckpoint(eager=True)
         prev_sum = labels.agg(F.sum("comp")).first()[0]

@@ -461,13 +461,13 @@ def srp_cosine_near_dup_pairs(
     keyed = v.select(
         "id", F.explode(_srp_table_keys_arrow(tables)(F.col("vec"))).alias("bucket")
     )
-    a = keyed.select(F.col("id").alias("id_a"), "bucket")
-    b = keyed.select(F.col("id").alias("id_b"), F.col("bucket").alias("bucket_b"))
-    cands = (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # bucket group-by/expand, not a self-join: the join evaluated the
+    # Arrow SRP-hash subtree (scan + UDF + explode) once PER SIDE; the
+    # group-by evaluates it once total and shuffles half the bytes —
+    # identical pair set (see operators.dedup.bucket_pair_expand)
+    from gcs2postgres_spark.operators.dedup import bucket_pair_expand
+
+    cands = bucket_pair_expand(keyed, ["bucket"], "id")
     va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (

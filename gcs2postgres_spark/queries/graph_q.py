@@ -87,10 +87,12 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure."""
     d = _t(spark, sf_dir, "documents")
     shingled = maybe_persist(shingle_docs(d, "doc_id", "text", shingle_n=3))
+    # with_size + carry=("n",): the shingle counts ride the band join
+    # instead of two standalone shingler re-runs — see dedup_minhash_lsh
     sigs = minhash_signatures(
-        d, "doc_id", "text", num_perm=32, shingle_n=3, shingled=shingled
+        d, "doc_id", "text", num_perm=32, shingle_n=3, shingled=shingled, with_size=True
     )
-    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8, carry=("n",))
     pairs = (
         jaccard_pairs(d, "doc_id", "text", shingle_n=3, candidates=cands, shingled=shingled)
         .filter(F.col("jaccard") >= 0.4)

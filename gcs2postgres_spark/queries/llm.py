@@ -184,8 +184,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs it saved."""
     d = _t(spark, sf_dir, "documents")
     shingled = maybe_persist(shingle_docs(d, "doc_id", "text", shingle_n=3))
-    sigs = minhash_signatures(d, "doc_id", "text", num_perm=32, shingle_n=3, shingled=shingled)
-    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
+    # with_size + carry: the shingle count rides the banding pipeline, so
+    # the verify step joins no standalone sizes branches — the r17
+    # before-plan evaluated the shingler 6× (2 sizes branches each
+    # re-shingled); carrying n through the band join cuts that to 4
+    # (band-join sides, sh_a, sh_b) with zero extra shuffles
+    sigs = minhash_signatures(
+        d, "doc_id", "text", num_perm=32, shingle_n=3, shingled=shingled, with_size=True
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8, carry=("n",))
     verified = jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, candidates=cands, shingled=shingled
     )
