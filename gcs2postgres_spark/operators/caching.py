@@ -97,6 +97,40 @@ def maybe_persist(df: DataFrame, min_rows: int = MIN_PERSIST_INPUT_ROWS) -> Data
     return df
 
 
+def widen_doc_scan(df: DataFrame, key_col: str, rows_per_task: int = 2000) -> DataFrame:
+    """Hash-repartition a compact document scan to data-proportional
+    width BEFORE per-doc-heavy work (tokenize/explode/regex/gram-build).
+
+    The trap (guide §2.5 "input skew"): text tables compress hard, so a
+    parquet scan of the whole corpus often yields far fewer partitions
+    than cores (documents at sf1 is 5.7 MiB compressed → 2 scan tasks on
+    a 32-core box), and every downstream map-side explode/regex stage
+    inherits that width — the single biggest fixed cost measured in the
+    r17 sweep (decontaminate_ngram13_audit sf1: 54-65 s at 2-way vs
+    6-12 s widened). The width is DATA-PROPORTIONAL (parquet-footer row
+    count / ``rows_per_task``, capped at defaultParallelism), not
+    blindly defaultParallelism: at sf0.1 a 32-way repartition's task
+    overhead exceeded the work it spread (r8 bench). On a real cluster
+    a large corpus already scans wider than the cap, making this a
+    no-op — the guard only fires on compact scans.
+
+    The repartition hashes ``key_col`` (any stable column; the doc id
+    where available). The doc shuffle it pays is tiny next to the
+    per-doc work it spreads, and partitioning cannot change any
+    aggregate's result — every consumer is partitioning-invariant
+    (pinned by scripts/partition_invariance.py and the exact-hash
+    oracles)."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    rows = scan_rows_upper_bound(df)
+    width = target if rows is None else max(1, min(target, rows // rows_per_task))
+    if df.isStreaming or df.rdd.getNumPartitions() < width:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(width, F.col(key_col))
+    return df
+
+
 def release_transient_caches() -> int:
     """Unpersist every frame cached via :func:`maybe_persist` since the
     last release; returns the number released. Safe to call any time —

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gcs2postgres_spark.operators.caching import maybe_persist
+from gcs2postgres_spark.operators.caching import maybe_persist, widen_doc_scan
 
 TOKEN_SPLIT = r"\s+"
 
@@ -64,6 +64,9 @@ def tfidf_top_terms(
     N is a broadcast 1-row cross join (a global window would serialize
     on one partition). The final per-doc top-k is a window over doc_id
     — high cardinality, no skew concern."""
+    # parallelism guard (guide §2.5): compact corpus scans yield fewer
+    # partitions than cores; widen before the tokenize+explode
+    docs = widen_doc_scan(docs, id_col)
     tf = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(_toks(text_col)).alias("term"))
         .groupBy("doc_id", "term")
@@ -170,7 +173,8 @@ def bigram_counts(
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bigrams = (
-        docs.select(_toks(text_col).alias("toks"))
+        widen_doc_scan(docs, text_col)
+        .select(_toks(text_col).alias("toks"))
         .filter(n >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
@@ -225,7 +229,8 @@ def bpe_train_merges(
     this loop on aggregated pair counts, never the corpus). The vocab
     frame is cached across rounds."""
     wf = (
-        docs.select(F.explode(_toks(text_col)).alias("word"))
+        widen_doc_scan(docs, text_col)
+        .select(F.explode(_toks(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
         .filter(F.length("word") >= 2)
@@ -310,7 +315,8 @@ def bpe_encode_vocab(
     count. Unlike training (which learns from length>=2 words), encode
     covers EVERY word — single-char words are one token."""
     vocab = (
-        docs.select(F.explode(_toks(text_col)).alias("word"))
+        widen_doc_scan(docs, text_col)
+        .select(F.explode(_toks(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
     )
@@ -371,6 +377,9 @@ def bpe_encode_docs(
     aggregates by document. Both shuffles are on high-cardinality keys
     (word, doc id); the merge loop itself never touches corpus-sized
     data. No UDF anywhere."""
+    # widen once: both the vocab build and the corpus explode below
+    # tokenize the full corpus (guide §2.5 parallelism guard)
+    docs = widen_doc_scan(docs, id_col)
     enc = bpe_encode_vocab(docs, merges, text_col).select("word", "n_tokens")
     words = docs.select(
         F.col(id_col), F.explode(_toks(text_col)).alias("word")
@@ -417,7 +426,8 @@ def bigram_perplexity(
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     doc_bigrams = (
-        docs.select(F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks"))
+        widen_doc_scan(docs, id_col)
+        .select(F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks"))
         .filter(n >= 2)
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", "p.w1", "p.w2")
@@ -463,7 +473,8 @@ def bpe_pair_counts(
     char-pair explode is O(vocab × word_len), not O(corpus); the final
     agg shuffles the pair table only."""
     wf = (
-        docs.select(F.explode(_toks(text_col)).alias("word"))
+        widen_doc_scan(docs, text_col)
+        .select(F.explode(_toks(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcnt"))
         .filter(F.length("word") >= 2)
@@ -518,7 +529,7 @@ def bm25_search(
     100 TB this is exactly an inverted-index probe: shuffle volume is
     the postings of the queried terms, not the corpus.
     """
-    toks = docs.select(
+    toks = widen_doc_scan(docs, id_col).select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -590,7 +601,8 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text", min_count: int = 5, top_
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bigrams = (
-        docs.select(_toks(text_col).alias("toks"))
+        widen_doc_scan(docs, text_col)
+        .select(_toks(text_col).alias("toks"))
         .filter(n >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")

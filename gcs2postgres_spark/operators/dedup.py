@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from gcs2postgres_spark.operators.caching import maybe_persist, scan_rows_upper_bound
+from gcs2postgres_spark.operators.caching import maybe_persist, widen_doc_scan
 
 
 def _orderable(dtype) -> bool:
@@ -135,17 +135,12 @@ def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
     task (sf0.1 → 2, sf1 → 25, sf3 → 32-cap), falling back to full
     width when the input isn't a parquet scan (derived frames, streams —
     the conservative choice at scale)."""
-    sess = docs.sparkSession
-    target = sess.sparkContext.defaultParallelism
     # footer row count is an UPPER bound when `docs` carries filters
     # (probing post-filter cardinality would need an action); over-width
     # on a filtered frame costs only idle tasks, under-width on the full
     # frame would serialize the shingler — so the bound errs high. Probe
     # failure (remote scheme, non-parquet) degrades to full width.
-    rows = scan_rows_upper_bound(docs)
-    width = target if rows is None else max(1, min(target, rows // 2000))
-    if docs.isStreaming or docs.rdd.getNumPartitions() < width:
-        docs = docs.repartition(width, F.col(id_col))
+    docs = widen_doc_scan(docs, id_col)
     return docs.select(
         F.col(id_col), F.explode(_shingles_pandas_udf(shingle_n)(F.col(text_col))).alias("shingle")
     )

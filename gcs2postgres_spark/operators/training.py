@@ -254,7 +254,15 @@ def ngram_decontaminate(
     """
     from pyspark.sql.types import LongType
 
+    from gcs2postgres_spark.operators.caching import widen_doc_scan
+
     def grams(df: DataFrame, col: str, keep):
+        # parallelism guard (guide §2.5; same trap as shingle_docs): the
+        # n-gram build + per-gram md5 is the dominant compute, and a
+        # compact corpus scan yields far fewer partitions than cores
+        # (documents sf1 = 5.7 MiB compressed → 2 scan tasks). Measured
+        # sf1: 54-65 s at 2-way vs 6-12 s widened, identical output.
+        df = widen_doc_scan(df, keep[0] if keep else col)
         toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
         # n-grams as token slices; whole-text fallback below n tokens
         ng = F.when(

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
+from gcs2postgres_spark.operators.caching import widen_doc_scan
 from gcs2postgres_spark.operators.corpus import (
     bigram_pmi,
     bm25_search,
@@ -476,6 +477,10 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcs2postgres_spark.operators.dedup import portable_hash60
 
     docs = load_table(spark, sf_dir, "documents")
+    # parallelism guard (guide §2.5): the occurrence-level tokenize is
+    # this query's corpus-sized pass; compact scans are narrower than
+    # the core count (operators.caching.widen_doc_scan)
+    docs = widen_doc_scan(docs, "doc_id")
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     )
@@ -600,6 +605,7 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_for_session(spark)
     d = load_table(spark, sf_dir, "documents")
+    d = widen_doc_scan(d, "doc_id")  # guide §2.5 parallelism guard
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),

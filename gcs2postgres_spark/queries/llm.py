@@ -1756,8 +1756,13 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-matched IP, or an over-eager pattern shifts a count or the
     char sum and breaks the hash."""
     from gcs2postgres_spark.functions.text import pii_redact
+    from gcs2postgres_spark.operators.caching import widen_doc_scan
 
     docs = _t(spark, sf_dir, "documents")
+    # parallelism guard (guide §2.5): the 5-pattern regexp_replace chain
+    # over full text is this query's whole cost, and a compact corpus
+    # scan runs it on 2 cores at sf1 (operators.caching.widen_doc_scan)
+    docs = widen_doc_scan(docs, "doc_id")
     did = F.col("doc_id")
     seeded = docs.select(
         "lang",
