@@ -25,12 +25,19 @@ LANG_MARKERS = {
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count (BIGINT on both engines)."""
+    """Whitespace token count (BIGINT on both engines).
+
+    Deliberately size(split(...)), NOT regexp_count(trim, '\\s+') + 1:
+    the r17 A/B measured the regexp_count spelling ~50% SLOWER at sf1
+    (it is RuntimeReplaceable sugar for size(regexp_extract_all(...)),
+    whose java.util.regex matcher loop costs more than StringSplit) —
+    see OPTIMIZATION_r17.md."""
     return F.size(F.split(F.trim(col), r"\s+")).cast("bigint")
 
 
 def bpe_ish_token_count(col: Column) -> Column:
-    """Token count under the BPE-ish regex lexer."""
+    """Token count under the BPE-ish regex lexer. (regexp_count is
+    plan-identical sugar for this exact expression — r17 plan capture.)"""
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("bigint")
 
 
@@ -42,9 +49,14 @@ def quality_score_cols(col: Column) -> dict[str, Column]:
     """Heuristic document-quality features: length, mean token length,
     type-token ratio (lexical diversity), non-alpha character ratio.
     A real pipeline thresholds on these to drop boilerplate/garbage."""
+    # n_tokens/n_distinct share ONE split array here (codegen
+    # subexpression elimination collapses the identical `toks`), so the
+    # size(split) form is cheaper than a second regexp_count pass over
+    # the text — the array is materialized for array_distinct anyway.
+    toks = F.split(F.trim(col), r"\s+")
     n_chars = F.length(col).cast("bigint")
-    n_tokens = token_count(col)
-    n_distinct = distinct_token_count(col)
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
     non_alpha = F.length(F.regexp_replace(col, r"[a-z ]", "")).cast("bigint")
     return {
         "n_chars": n_chars,

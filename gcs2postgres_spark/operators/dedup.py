@@ -934,24 +934,41 @@ def duplicate_spans(
     50) to shrink the window count on long-document corpora; only
     hashes shuffle, never span text.
     """
+    # r17 shape (guide §2.3/§2.4/§2.5; was 19 s at sf1, the slowest
+    # non-intrinsic sweep query):
+    # - widen the compact corpus scan before the per-window md5 work
+    #   (documents sf1 = 2 scan partitions on 32 cores — the same trap
+    #   as shingle_docs);
+    # - total_spans is ARITHMETIC on the token count (size(toks)-k+1,
+    #   floored at 0) — the old third full explode+md5 pass + groupBy
+    #   shuffle computed a number the un-exploded frame already knows;
+    # - the remaining two consumers (dup detection, dup-span counts)
+    #   read a size-conditionally persisted `wins`, so the window
+    #   build runs ONCE at sf1+ instead of twice;
+    # - spans hash to unhex(md5(..)) BINARY(16), not the 32-char hex
+    #   string: identical equality semantics (same md5, no re-hash),
+    #   half the bytes through the groupBy/join shuffles.
     win_expr = (
         f"CASE WHEN size(__toks) >= {k} THEN "
         f"transform(sequence(0, size(__toks)-{k}), "
-        f"i -> md5(array_join(slice(__toks, i+1, {k}), ' '))) "
+        f"i -> unhex(md5(array_join(slice(__toks, i+1, {k}), ' ')))) "
         "ELSE array() END"
     )
-    toks = docs.select(
+    toks = widen_doc_scan(docs, id_col).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
     )
-    wins = toks.select(id_col, F.explode_outer(F.expr(win_expr)).alias("__h"))
+    per_doc = toks.select(
+        F.col(id_col),
+        F.greatest(F.size("__toks") - F.lit(k - 1), F.lit(0))
+        .cast("long")
+        .alias("total_spans"),
+    )
+    wins = maybe_persist(toks.select(id_col, F.explode(F.expr(win_expr)).alias("__h")))
     dup = (
         wins.groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .where(F.col("__nd") >= min_docs)
         .select("__h")
-    )
-    per_doc = wins.groupBy(id_col).agg(
-        F.count("__h").alias("total_spans")  # count() skips the NULL pad row
     )
     dup_per_doc = (
         wins.join(dup, "__h", "left_semi")

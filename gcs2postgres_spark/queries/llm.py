@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
-from gcs2postgres_spark.operators.caching import maybe_persist
+from gcs2postgres_spark.operators.caching import maybe_persist, widen_doc_scan
 from gcs2postgres_spark.functions.text import (
     BPE_ISH_PATTERN,
     bpe_ish_token_count,
@@ -535,8 +535,14 @@ ORDER BY lang
 @register("text_token_stats", oracle=TEXT_STATS_ORACLE)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex lexer tokens,
-    aggregated per language."""
-    d = _t(spark, sf_dir, "documents")
+    aggregated per language.
+
+    The regex lexing is the per-doc-heavy stage, and it runs in the
+    partial aggregate directly on the scan — widen the compact corpus
+    scan first (guide §2.5; documents at sf1 scans as 2 partitions on a
+    32-core box, serializing the regex work). Partitioning cannot
+    change the grouped sums."""
+    d = widen_doc_scan(_t(spark, sf_dir, "documents"), "doc_id")
     return (
         d.groupBy("lang")
         .agg(
@@ -636,8 +642,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic vs the labeled lang column —
     outputs the confusion pairs (predicted, actual, n). The heuristic is
     deterministic marker-set arithmetic, so the oracle replays it in SQL
-    from the same lexicon (argmax, ties → language-code order)."""
-    d = _t(spark, sf_dir, "documents")
+    from the same lexicon (argmax, ties → language-code order).
+
+    Widened first: the split + 15 array_contains probes per doc are the
+    heavy stage and otherwise run at the narrow corpus-scan width."""
+    d = widen_doc_scan(_t(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select(lang_id_heuristic(F.col("text")).alias("predicted"), F.col("lang").alias("actual"))
         .groupBy("predicted", "actual")
