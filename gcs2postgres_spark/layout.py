@@ -147,43 +147,31 @@ def zorder_rank_columns(df, cols: list[str], bits: int = 8):
         if not bounds:  # constant or all-NULL column: rank 0 everywhere
             ranked.append(F.lit(0).cast("long"))
             continue
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        # rank(v) = count(b in bounds with v >= b) = the insertion point
+        # of v in the sorted unique bounds — computed as a BALANCED
+        # BINARY-SEARCH CASE tree, not an array fold. Higher-order
+        # F.filter lambdas execute INTERPRETED per element (no
+        # whole-stage codegen inside the lambda), so even the r15
+        # two-level O(2*sqrt(n)) fold paid ~124 interpreted lambda evals
+        # per row at 255 boundaries — measured as the dominant per-row
+        # cost of every z-order rewrite (r17 counterbalanced A/B, 6M-row
+        # sf1 rank projection over a 255-bound date + 11-bound double:
+        # 4.14 s fold → 1.48 s tree, 0 rank mismatches). The tree is
+        # depth ceil(log2(n+1)) of plain `v >=
+        # literal` comparisons — codegen'd ifs, O(n) total expression
+        # nodes, 8 comparisons/row at 255 bounds. NULL v fails every
+        # comparison and descends to the leftmost leaf = rank 0, the
+        # same bucket the fold's null-as-false filter produced.
+        def _rank_tree(lo: int, hi: int):
+            # rank within bounds[lo:hi) given bounds[:lo] <= v < bounds[hi:]
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(e >= F.lit(float(bounds[mid])), _rank_tree(mid + 1, hi)).otherwise(
+                _rank_tree(lo, mid)
+            )
 
-        def _ge(expr):
-            # single-arg lambda factory: a default-arg lambda would have
-            # two parameters and F.filter would bind the second to the
-            # ELEMENT INDEX, silently ranking by position
-            return lambda b: expr >= b
-
-        if len(bounds) > 32:
-            # two-level fold (JVM-side binary-search shape): one coarse
-            # filter over every step-th boundary pins the block, one
-            # fine filter over that block's slice finishes the count —
-            # O(2*sqrt(n)) comparisons per row instead of O(n). At 255
-            # boundaries that is 31 vs 255 (measured: the flat fold was
-            # ~2/3 of an 18M-row z-key pass at sf3). Correctness: with
-            # sorted bounds b[0..n-1] and coarse values b[step-1::step],
-            # a coarse count of c proves b[0..c*step-1] <= v and (when
-            # another coarse value exists) v < b[(c+1)*step-1], so
-            # count(v >= b) = c*step + count over the slice starting at
-            # c*step (1-indexed c*step+1); the slice's one possibly
-            # out-of-block element exceeds v and contributes 0.
-            step = max(2, int(len(bounds) ** 0.5))
-            coarse_arr = F.array(
-                *[F.lit(float(b)) for b in bounds[step - 1::step]]
-            )
-            coarse = F.size(F.filter(coarse_arr, _ge(e))).cast("long")
-            fine = F.size(
-                F.filter(F.slice(arr, (coarse * step + 1).cast("int"), step), _ge(e))
-            ).cast("long")
-            rank = F.coalesce(
-                coarse * step + fine, F.lit(0).cast("long")
-            )
-        else:
-            rank = F.coalesce(
-                F.size(F.filter(arr, _ge(e))).cast("long"),
-                F.lit(0).cast("long"),
-            )
+        rank = _rank_tree(0, len(bounds)).cast("long")
         # low-cardinality columns dedupe to few boundaries, leaving the
         # rank in the LOW bits only — the other dimension's high bits
         # would then fully dominate the curve. Rescale each rank to span
@@ -215,8 +203,30 @@ def cluster_for_rewrite(df, n_files: int, part_cols: list[str], zorder_by: list[
     zkey = zorder_key(zorder_rank_columns(df, zorder_by, bits), bits=bits)
     dfz = df.withColumn("__z", zkey)
     if part_cols:
+        # hash repartition samples nothing — the z fold runs once
         out = dfz.repartition(n_files, *part_cols).sortWithinPartitions(*part_cols, "__z")
     else:
+        # repartitionByRange SAMPLES its child to pick range bounds, so
+        # the scan + equi-depth rank fold (the dominant per-row cost of
+        # a z-order rewrite) would run TWICE — once for the sample job,
+        # once for the real shuffle. Persist the z-keyed frame so both
+        # passes read one materialization (r17 counterbalanced A/B at
+        # sf1, 6M rows, n_files=2 range+sort+write: 29.8 s → 14.2 s with
+        # the old rank fold, 20.3 s → 12.1 s with the rank tree —
+        # persist wins either way). Size-conditional persist
+        # (operators.caching): tiny rewrites skip the cache; large ones
+        # trade a MEMORY_AND_DISK materialization (bounded by the
+        # rewrite's own output size — a compaction already rewrites
+        # every byte) for a full recompute of the scan+fold. The cache
+        # registers in the transient registry; bench/sweep harnesses
+        # release it between pipelines, and LRU eviction bounds it
+        # within one. n_files == 1 plans a single range partition with
+        # no bounds and therefore no sample job — nothing to share, so
+        # the cache would be pure overhead there.
+        if n_files > 1:
+            from gcs2postgres_spark.operators.caching import maybe_persist
+
+            dfz = maybe_persist(dfz)
         out = dfz.repartitionByRange(n_files, F.col("__z")).sortWithinPartitions("__z")
     return out.drop("__z")
 
