@@ -126,6 +126,10 @@ def chunk_windows(
     operators/training.py)."""
     if stride <= 0 or size <= 0 or stride > size:
         raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    # parallelism guard (guide §2.5, r17): the per-chunk md5 over the
+    # slice is the heavy stage and otherwise runs at the compact scan's
+    # width; the widen repartition is the only shuffle in the plan
+    docs = widen_doc_scan(docs, id_col)
     with_toks = docs.select(
         F.col(id_col).alias("doc_id"), _toks(text_col).alias("toks")
     ).withColumn("n", F.size("toks"))

@@ -180,6 +180,13 @@ def pack_sequences(
         )
     else:
         shard_expr = F.pmod(F.col(id_col), F.lit(n_shards))
+    # parallelism guard (guide §2.5, r17): the per-doc tokenize below
+    # runs BEFORE the shard shuffle, i.e. at the compact scan's width;
+    # widening spreads it, and the shard repartition afterwards only
+    # carries (id, shard, n_tokens)
+    from gcs2postgres_spark.operators.caching import widen_doc_scan
+
+    docs = widen_doc_scan(docs, id_col)
     with_meta = docs.select(
         F.col(id_col).alias("doc_id"),
         shard_expr.cast("long").alias("shard"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from gcs2postgres_spark.catalog import load_table
 from gcs2postgres_spark.functions.exact import ratio_6dp
+from gcs2postgres_spark.operators.caching import maybe_persist, widen_doc_scan
 from gcs2postgres_spark.operators.prefix import driver_prefix_sums
 from gcs2postgres_spark.queries.registry import register
 from gcs2postgres_spark.session import tune_for_session
@@ -377,7 +378,9 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF tier); ``regr_slope`` / ``regr_intercept`` are single-pass
     JVM aggregates with exact DuckDB twins.
     """
-    d = _t(spark, sf_dir, "documents")
+    # tokenize runs on the scan width — widen the compact corpus scan
+    # first (guide §2.5, same guard as the rest of the corpus tier)
+    d = widen_doc_scan(_t(spark, sf_dir, "documents"), "doc_id")
     tf = (
         d.select(
             F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
@@ -441,12 +444,18 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on doc_id only (same key the explode preserved), and the
     per-lang rollup is |langs|-sized.
     """
-    d = _t(spark, sf_dir, "documents")
-    clean = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).where(F.col("tok") != "")
+    # widen the compact scan before the tokenize, and persist the token
+    # stream: it feeds BOTH the vocab build and the per-doc OOV join —
+    # unpersisted, each consumer re-runs the full explode (guide §2.4;
+    # size-conditional per operators.caching)
+    d = widen_doc_scan(_t(spark, sf_dir, "documents"), "doc_id")
+    clean = maybe_persist(
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        ).where(F.col("tok") != "")
+    )
     vocab = (
         clean.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -510,7 +519,9 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode), then a |sources|-sized rollup. Character classes are
     ASCII-explicit so Java regex and RE2 agree.
     """
-    d = _t(spark, sf_dir, "documents")
+    # three per-doc regexp_replace passes — widen the compact scan so
+    # they spread across cores (guide §2.5)
+    d = widen_doc_scan(_t(spark, sf_dir, "documents"), "doc_id")
     ln = F.length("text")
     per_doc = d.where(ln > 0).select(
         "source",
@@ -795,7 +806,10 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and the funnel arithmetic runs on that bounded frame
     joined to a literal spine.
     """
-    d = _t(spark, sf_dir, "documents")
+    # widen before the per-doc tokenize+distinct (guide §2.5); persist
+    # `drops` below — it is read by BOTH the total aggregate and the
+    # spine join, and unpersisted each read re-runs the full tokenize
+    d = widen_doc_scan(_t(spark, sf_dir, "documents"), "doc_id")
     ln = F.length("text")
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
@@ -812,7 +826,7 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(100 * F.col("len") > 565 * F.col("n_words"), 4)
         .otherwise(0)
     )
-    drops = (
+    drops = maybe_persist(
         feat.select(drop_stage.alias("drop_stage"))
         .groupBy("drop_stage")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -906,8 +920,13 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string-heavy HOF lambdas run interpreted and measured 14x slower
     # than the oracle at sf1 (70.5 s -> see BASELINE round-5b tier);
     # the pandas shingler is the same one the MinHash pipeline uses.
-    g = shingle_docs(d, "doc_id", "text", shingle_n=3).withColumnRenamed(
-        "shingle", "ng"
+    # persist the (doc, ngram) relation: it feeds BOTH the first-seen
+    # aggregate and the join back — unpersisted, the Arrow shingler and
+    # explode run twice (guide §2.4; size-conditional)
+    g = maybe_persist(
+        shingle_docs(d, "doc_id", "text", shingle_n=3).withColumnRenamed(
+            "shingle", "ng"
+        )
     )
     first = g.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -2303,7 +2322,12 @@ def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction of the FIRST aggregation's output (never re-reading the
     raw stream); the divergence join runs on vocab-sized frames.
     """
-    d = _t(spark, sf_dir, "documents")
+    # widen the compact scan before the tokenize; persist the (source,
+    # token) counts — src_cnt feeds THREE consumers (src_tot, corp_cnt,
+    # the divergence join), and unpersisted each re-runs the tokenize +
+    # count shuffle, which is what the docstring's "never re-reading
+    # the raw stream" claim requires at execution level (guide §2.4)
+    d = widen_doc_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "source",
         F.explode(
@@ -2313,7 +2337,9 @@ def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok"),
     )
-    src_cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    src_cnt = maybe_persist(
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     src_tot = src_cnt.groupBy("source").agg(F.sum("c").alias("n"))
     corp_cnt = src_cnt.groupBy("tok").agg(F.sum("c").alias("cc"))
     corp_tot = corp_cnt.agg(

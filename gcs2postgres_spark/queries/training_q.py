@@ -88,9 +88,15 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     document as pure Catalyst HOFs (no shuffle, no UDF). The >0.5 flag is
     the cheap pre-filter run before any near-dup pass at scale.
     repetition_ratio rounded to 5dp on both sides (identical quantization
-    policy as agg_corr_covar)."""
+    policy as agg_corr_covar).
+
+    Widened first (guide §2.5): the split + array_sort + run-length
+    aggregate per doc is the heavy stage and otherwise runs at the
+    compact corpus scan's width."""
     tune_for_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    from gcs2postgres_spark.operators.caching import widen_doc_scan
+
+    docs = widen_doc_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     s = repetition_stats(F.col("text"))
     ratio = F.round(s["repetition_ratio"], 5)
     return docs.select(
@@ -360,9 +366,12 @@ def text_top_word_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/training.py repetition_stats), replacing the quadratic
     transform×filter shape; the oracle recounts word frequencies the
     straightforward unnest/groupBy way, so the run-length arithmetic is
-    certified value-for-value."""
+    certified value-for-value. Widened first (guide §2.5, same reason
+    as text_repetition_filter)."""
     tune_for_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    from gcs2postgres_spark.operators.caching import widen_doc_scan
+
+    docs = widen_doc_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     s = repetition_stats(F.col("text"))
     return docs.select(
         "doc_id",
