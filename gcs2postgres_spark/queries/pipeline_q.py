@@ -179,10 +179,17 @@ def pii_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc match counts and an md5 of the scrubbed text (so the oracle
     certifies the exact output string, not just the counts). Contact
     strings are injected deterministically per doc_id since the synthetic
-    corpus contains none. Pure Catalyst regexp — zero shuffles, and at
-    100 TB this is a map-only pass that pipelines with any adjacent op."""
+    corpus contains none. Pure Catalyst regexp, and at 100 TB this is a
+    map-only pass that pipelines with any adjacent op.
+
+    Widened first (guide §2.5, r17): the regex chain is per-doc-heavy
+    and otherwise runs at the compact corpus scan's width (sf3 sweep:
+    51.5 s as the #1 ceiling before the guard); the widen repartition
+    is the plan's only shuffle besides the final sort."""
     tune_for_session(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    from gcs2postgres_spark.operators.caching import widen_doc_scan
+
+    docs = widen_doc_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     raw = F.concat(
         F.col("text"),
         F.lit(" contact user"),
