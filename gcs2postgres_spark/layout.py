@@ -104,9 +104,12 @@ def zorder_rank_columns(df, cols: list[str], bits: int = 8):
     arbitrary numeric / date / timestamp columns: one
     ``percentile_approx`` aggregation computes 2**bits - 1 quantile
     boundaries per column (the driver receives only those scalars), and
-    each value maps to its bucket with a JVM-side higher-order fold
-    (``size(filter(boundaries, b -> v >= b))`` — whole-stage-codegen,
-    no UDF). Equi-depth beats equal-width under skew: every bucket
+    each value maps to its bucket with a codegen'd balanced
+    binary-search CASE tree of ``v >= literal`` comparisons (depth
+    ceil(log2(n_bounds+1)), no UDF, no interpreted lambdas — see the
+    ``_rank_tree`` comment below for the measured win over the earlier
+    higher-order-function fold). Equi-depth beats equal-width under
+    skew: every bucket
     holds ~the same row count, so the Morton curve discriminates on
     both axes no matter how lopsided the raw distributions are (the
     same reason engines use range-ids, not min/max scaling). NULLs map
@@ -119,6 +122,19 @@ def zorder_rank_columns(df, cols: list[str], bits: int = 8):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # The CASE tree materializes ~2·2**bits expression nodes per column
+    # (each internal node re-embeds the source expression), so analysis/
+    # codegen cost grows exponentially in ``bits``: 8 → ~500 nodes
+    # (measured fine), 16 → ~131k nodes (minutes of analysis, codegen
+    # fallback). The old array fold degraded gracefully there; the tree
+    # does not, so refuse early with the fix spelled out.
+    if bits > 12:
+        raise ValueError(
+            f"zorder_rank_columns bits={bits}: the binary-search CASE "
+            "tree is practical up to bits=12 (~8k expression nodes per "
+            "column); beyond that, rank into coarser buckets — file-"
+            "level min/max pruning gains nothing past ~2**12 ranks"
+        )
     n_bounds = (1 << bits) - 1
     exprs = []
     for c in cols:
@@ -185,7 +201,14 @@ def zorder_rank_columns(df, cols: list[str], bits: int = 8):
     return ranked
 
 
-def cluster_for_rewrite(df, n_files: int, part_cols: list[str], zorder_by: list[str] | None, bits: int = 8):
+def cluster_for_rewrite(
+    df,
+    n_files: int,
+    part_cols: list[str],
+    zorder_by: list[str] | None,
+    bits: int = 8,
+    caches: list | None = None,
+):
     """Physical re-bin for an OPTIMIZE/rewrite commit (shared by the
     Delta and Iceberg compaction committers). Without ``zorder_by``:
     plain repartition (hashing on the partition columns so each task
@@ -195,38 +218,40 @@ def cluster_for_rewrite(df, n_files: int, part_cols: list[str], zorder_by: list[
     one contiguous curve segment; Hive/identity-partitioned tables keep
     the partition routing and z-sort WITHIN each partition (the curve
     then tightens min/max footers inside every partition directory,
-    the same shape OPTIMIZE ZORDER BY produces)."""
+    the same shape OPTIMIZE ZORDER BY produces).
+
+    A z-order rewrite makes up to THREE passes over its input: the
+    equi-depth bounds aggregation (percentile_approx), the range
+    sampler ``repartitionByRange`` plans when n_files > 1, and the real
+    shuffle+write. The rewrite input is therefore persisted ONCE,
+    *before* the bounds pass, so all of them read a single
+    materialization — previously the bounds pass re-scanned the source
+    even though the z-keyed frame was cached for the later two (r18
+    A/B below). The rank CASE tree is recomputed by the later passes
+    off cached rows, which is the cheap side of that trade since the
+    r17 tree rewrite (~8 comparisons/row vs a full source scan).
+    Size-conditional persist (operators.caching): tiny rewrites skip
+    the cache. The cache registers in the transient registry the
+    bench/sweep harnesses release per query; committers that own the
+    write action should pass ``caches`` (a list the persisted frame is
+    appended to) and unpersist after staging data files — otherwise a
+    long-lived session accumulates a table-sized MEMORY_AND_DISK block
+    per compaction (r17 ADVICE)."""
     from pyspark.sql import functions as F
 
     if not zorder_by:
         return df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
-    zkey = zorder_key(zorder_rank_columns(df, zorder_by, bits), bits=bits)
-    dfz = df.withColumn("__z", zkey)
+    from gcs2postgres_spark.operators.caching import maybe_persist
+
+    dfp = maybe_persist(df)
+    if caches is not None and dfp is not df:
+        caches.append(dfp)
+    zkey = zorder_key(zorder_rank_columns(dfp, zorder_by, bits), bits=bits)
+    dfz = dfp.withColumn("__z", zkey)
     if part_cols:
-        # hash repartition samples nothing — the z fold runs once
+        # hash repartition samples nothing — the z tree runs once
         out = dfz.repartition(n_files, *part_cols).sortWithinPartitions(*part_cols, "__z")
     else:
-        # repartitionByRange SAMPLES its child to pick range bounds, so
-        # the scan + equi-depth rank fold (the dominant per-row cost of
-        # a z-order rewrite) would run TWICE — once for the sample job,
-        # once for the real shuffle. Persist the z-keyed frame so both
-        # passes read one materialization (r17 counterbalanced A/B at
-        # sf1, 6M rows, n_files=2 range+sort+write: 29.8 s → 14.2 s with
-        # the old rank fold, 20.3 s → 12.1 s with the rank tree —
-        # persist wins either way). Size-conditional persist
-        # (operators.caching): tiny rewrites skip the cache; large ones
-        # trade a MEMORY_AND_DISK materialization (bounded by the
-        # rewrite's own output size — a compaction already rewrites
-        # every byte) for a full recompute of the scan+fold. The cache
-        # registers in the transient registry; bench/sweep harnesses
-        # release it between pipelines, and LRU eviction bounds it
-        # within one. n_files == 1 plans a single range partition with
-        # no bounds and therefore no sample job — nothing to share, so
-        # the cache would be pure overhead there.
-        if n_files > 1:
-            from gcs2postgres_spark.operators.caching import maybe_persist
-
-            dfz = maybe_persist(dfz)
         out = dfz.repartitionByRange(n_files, F.col("__z")).sortWithinPartitions("__z")
     return out.drop("__z")
 

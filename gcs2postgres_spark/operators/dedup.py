@@ -247,7 +247,11 @@ def lsh_candidate_pairs(
 
 
 def bucket_pair_expand(
-    df: DataFrame, bucket_keys: list[str], id_col: str, carry: tuple[str, ...] = ()
+    df: DataFrame,
+    bucket_keys: list[str],
+    id_col: str,
+    carry: tuple[str, ...] = (),
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) of ids sharing a bucket —
     the group-by/expand replacement for a bucket SELF-JOIN.
@@ -257,9 +261,18 @@ def bucket_pair_expand(
     Generate, never a driver structure). Identical pair set to the
     self-join; the difference is the input subtree is evaluated ONCE and
     shuffled once (the self-join evaluates and shuffles it twice, or
-    forces a persist). Hot-bucket skew is the same in both shapes: the
-    join hashes a hot key's k² pairs to one reducer too. Per-bucket
-    state is O(bucket size), not O(pairs).
+    forces a persist). Per-bucket state is O(bucket size), not O(pairs).
+
+    **Hot-bucket guard (``max_bucket``):** the HOF expansion of one
+    bucket is O(k²) *interpreted* work inside ONE task — on near-clique
+    buckets that shape measured 2-5× slower than a codegen'd self-join
+    (the r17 simhash regression, reverted there). Buckets larger than
+    ``max_bucket`` therefore spill to the self-join path: their rows are
+    re-exploded and pair-joined on the bucket key, spreading the k² work
+    across join tasks with codegen. Both shapes emit the identical pair
+    set, so the union is exact at any cap; the collected bucket list the
+    guard reads already exists (the one groupBy), and the two consumers
+    read a forced persist of it rather than re-aggregating.
 
     ``carry`` columns (functionally dependent on the id) come back as
     ``<col>_a`` / ``<col>_b``; the final distinct therefore has the same
@@ -267,16 +280,17 @@ def bucket_pair_expand(
     # sort_array on struct(id, carry...) orders by id (unique), so the
     # i<j expansion yields id_a < id_b exactly like a join's a.id < b.id
     item = F.struct(F.col(id_col).alias("_i"), *[F.col(c) for c in carry])
-    buckets = (
+    buckets = maybe_persist(
         df.groupBy(*bucket_keys)
         .agg(F.sort_array(F.collect_list(item)).alias("items"))
-        .filter(F.size("items") >= 2)
+        .filter(F.size("items") >= 2),
+        min_rows=0,
     )
     k = F.size(F.col("items"))
     pair_struct = lambda i, right: F.struct(  # noqa: E731
         F.element_at(F.col("items"), i).alias("a"), right.alias("b")
     )
-    pairs = buckets.select(
+    pairs = buckets.filter(k <= F.lit(max_bucket)).select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -294,7 +308,23 @@ def bucket_pair_expand(
         *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
         *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry],
     ]
-    return pairs.select(*out_cols).distinct()
+    small_out = pairs.select(*out_cols)
+    # oversized buckets: back to rows, codegen'd self-join on the key
+    big_rows = buckets.filter(k > F.lit(max_bucket)).select(
+        *bucket_keys, F.explode("items").alias("it")
+    )
+    a, b = big_rows.alias("a"), big_rows.alias("b")
+    join_cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bucket_keys]
+    big_out = (
+        a.join(b, join_cond + [F.col("a.it._i") < F.col("b.it._i")])
+        .select(
+            F.col("a.it._i").alias("id_a"),
+            F.col("b.it._i").alias("id_b"),
+            *[F.col(f"a.it.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"b.it.{c}").alias(f"{c}_b") for c in carry],
+        )
+    )
+    return small_out.unionByName(big_out).distinct()
 
 
 def jaccard_pairs(
@@ -391,16 +421,30 @@ def simhash(
     bits) so an external SQL engine computes the identical fingerprint."""
     if portable and bits > 60:
         raise ValueError("portable simhash supports at most 60 bits")
+    # per-doc heavy stage (tokenize explode + `bits` lane sums) — widen
+    # a compact corpus scan first or the whole aggregation runs at raw
+    # scan width (guide §2.5; the r18 widen-guard sweep caught this as
+    # the one unbounded narrow-scan survivor of the r17 class)
+    docs = widen_doc_scan(docs, id_col)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))).alias("tok"),
     )
+    # Project the token hash ONCE below the aggregation: referencing the
+    # hash expression inside all `bits` lane sums would otherwise rely
+    # on codegen subexpression elimination to avoid `bits` md5/xxhash
+    # evaluations per token — the explicit projection guarantees one
+    # evaluation and feeds the partial aggregate an 8-byte long instead
+    # of the token string (guide §2.3).
     h = portable_hash60(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
+    hashed = toks.select(F.col(id_col), h.alias("__h"))
     lane_aggs = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"lane_{i}")
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"lane_{i}")
         for i in range(bits)
     ]
-    lanes = toks.groupBy(id_col).agg(*lane_aggs)
+    lanes = hashed.groupBy(id_col).agg(*lane_aggs)
     fp = None
     for i in range(bits):
         bit = F.when(F.col(f"lane_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

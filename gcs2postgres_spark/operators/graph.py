@@ -103,6 +103,14 @@ def _star_contract(und: DataFrame, max_iter: int = 50) -> DataFrame:
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
+        # NOT materialized per round, deliberately (guide §1.1): the
+        # small-star side reads ``large`` twice (min aggregation +
+        # join), but an r18 eager localCheckpoint of it measured FLAT
+        # to slightly worse at sf1 AND sf3 (10.34 → 10.88 s, 27.8 →
+        # 29.2 s medians) — the double sym⋈mins evaluation over the
+        # already-checkpointed E is cheaper than materializing the
+        # join output every round. Decision recorded so it isn't
+        # re-tried.
         # small-star over the (big, small)-oriented result
         mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
         small = (
@@ -287,8 +295,20 @@ def bfs_layers(
     per-hop work by |edges touching the frontier| — the textbook
     distributed BFS shape.
     """
+    from gcs2postgres_spark.operators.caching import maybe_persist
+
     _cp = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
-    e = und.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Cache the edge frame ONCE: every hop joins the frontier against
+    # ``e``, and without this each hop's eager frontier checkpoint
+    # re-derives the edge build (typically a fact-fact join + distinct)
+    # from the base tables — n_hops full re-reads of the input for zero
+    # new information (guide §2.4; the same cut pagerank_fixed applies
+    # to its edge frame). A columnar persist, not a localCheckpoint:
+    # the checkpoint stores deserialized rows and its eager
+    # materialization of a fact-sized edge list measured SLOWER than
+    # the recompute it saves at sf3 (the sssp twin regressed 27.8 →
+    # 32.8 s with an eager checkpoint; compressed cache wins instead).
+    e = maybe_persist(und.select(F.col(src).alias("a"), F.col(dst).alias("b")), min_rows=0)
     frontier = _cp(seeds.select(F.col(node_col).alias("node")).distinct())
     visited = frontier.withColumn("dist", F.lit(0))
     for k in range(1, n_hops + 1):
@@ -333,9 +353,24 @@ def sssp_bounded(
     _cp = (
         (lambda df: df.localCheckpoint(eager=True)) if checkpoint else (lambda df: df)
     )  # noqa: E731
+    # Cache the edge frame ONCE: each relaxation round joins ``dist``
+    # against ``e``, and without this every round's eager checkpoint
+    # re-executes the caller's edge build (join + aggregate over the
+    # base tables) from scratch — n_rounds full re-reads for zero new
+    # information (guide §2.4; same cut as pagerank_fixed and
+    # bfs_layers). Columnar persist, NOT localCheckpoint: an eager
+    # checkpoint of the fact-sized weighted edge list measured slower
+    # than the recompute it saved (sf3 A/B 27.8 → 32.8 s — deserialized
+    # row storage); the compressed cache build is cheap and every round
+    # reads it. Skipped on the checkpoint=False plan-inspection path so
+    # the relaxation lineage stays visible.
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).alias("w")
     )
+    if checkpoint:
+        from gcs2postgres_spark.operators.caching import maybe_persist
+
+        e = maybe_persist(e, min_rows=0)
     dist = _cp(
         seeds.select(F.col(node_col).alias("node"))
         .distinct()

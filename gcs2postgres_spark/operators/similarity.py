@@ -766,7 +766,7 @@ def blocked_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    nblocks: int = 32,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs cosine mining via blocked matrix multiplication —
     the right plan for LOW thresholds, where LSH provably cannot help:
@@ -787,7 +787,15 @@ def blocked_cosine_pairs(
     the GEMM stage is one Arrow-batched mapInPandas. ``nblocks`` is
     the scale knob (tasks = nblocks·(nblocks+1)/2, block bytes =
     N/nblocks · dim · 8): size it so a block pair fits executor
-    memory, exactly like shuffle partitions. At true corpus scale use
+    memory, exactly like shuffle partitions. ``nblocks=None``
+    (default) derives it from the data: the smallest count whose
+    task fan-out covers the session's cores AND whose per-side block
+    stays under ~256 MB of float64 — every vector is replicated
+    ``nblocks`` times through the shuffle and converted once per
+    replica in the GEMM task, so a too-high constant multiplies both
+    costs for nothing (the r17 fixed 32 paid 4× the shuffle and
+    list→ndarray work the 32-core default needs; guide §2.3 shuffle
+    fewer bytes). At true corpus scale use
     ``clustered_cosine_pairs`` below — same GEMM, but kmeans cells as
     blocks plus a provable centroid-angle/radius bound that DROPS cell
     pairs that cannot reach the threshold; mining EVERY pair above a
@@ -815,6 +823,24 @@ def blocked_cosine_pairs(
     0/0 NaN rows that comparison silently drops with runtime warnings.
     """
     import numpy as np  # noqa: F401 — worker-side dependency, asserted importable
+
+    if nblocks is None:
+        import math
+
+        # One bounded scalar probe (a column-pruned count), not a
+        # node-sized collect. Parallelism floor: enough block pairs to
+        # cover the cores (nblocks·(nblocks+1)/2 ≥ cores). Memory
+        # ceiling: the DOMINANT per-task allocation is the cosine
+        # matrix C = (N/nblocks)² float64 (plus its boolean threshold
+        # mask), not the input blocks — blocks of 2048 rows keep C at
+        # ~32 MB, which an r18 A/B confirmed matters: 8 blocks at
+        # N=60k (450 MB C per task × 32 concurrent tasks) ran 1.7×
+        # SLOWER than 30, despite 4× less replication shuffle.
+        n = vectors.count()
+        cores = vectors.sparkSession.sparkContext.defaultParallelism
+        nb_par = math.ceil((math.sqrt(8.0 * cores + 1) - 1) / 2)
+        nb_gemm = math.ceil(max(n, 1) / 2048)
+        nblocks = max(2, nb_par, nb_gemm)
 
     v = vectors.select(
         F.col(id_col).alias("id").cast("long"),

@@ -754,7 +754,13 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-hop COUNTS are the output → node identity is internal; longs
     # (cust 2k, supp 2k+1) instead of "c{key}"/"s{key}" strings keep
     # the frontier joins and per-hop checkpoints cheap
-    e = (
+    # persist the distinct edge list: three consumers (both
+    # symmetrization arms, the seed scan) would each re-run the
+    # orders⋈lineitem join + distinct from parquet when bfs_layers
+    # eagerly checkpoints its edge frame (guide §2.4)
+    from gcs2postgres_spark.operators.caching import maybe_persist
+
+    e = maybe_persist(
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             (F.col("o_custkey").cast("long") * 2).alias("src"),

@@ -705,7 +705,11 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node ids are internal (output groups by node TYPE only): longs
     # (cust 2k, supp 2k+1) keep the per-round checkpoints and joins
     # cheap; parity recovers the type
-    pair = (
+    # persist the weighted pair build: THREE consumers read it (the two
+    # symmetrization arms of ``e`` and the seed scan), and each would
+    # otherwise re-run the orders⋈lineitem join + min-agg from parquet
+    # when sssp_bounded eagerly checkpoints its inputs (guide §2.4)
+    pair = maybe_persist(
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
             (F.col("o_custkey").cast("long") * 2).alias("ca"),
@@ -2396,7 +2400,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # counts-only output → node identity is internal; longs (cust 2k,
     # supp 2k+1) shuffle/join cheaper than "c{key}"/"s{key}" strings
-    e = (
+    # persist the distinct edge list: the plan has FIVE consumers of it
+    # (two symmetrization arms in the degree build, two in the
+    # endpoint-degree join, the n_edges scalar) and without the cache
+    # each re-runs the orders⋈lineitem join + distinct from parquet —
+    # the r17-captured plan held 28 parquet scans / 0 reused exchanges
+    # for what is one logical edge build (guide §2.4). ``deg`` is
+    # node-sized and joined twice, so it is persisted too.
+    e = maybe_persist(
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             (F.col("o_custkey").cast("long") * 2).alias("u"),
@@ -2407,7 +2418,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         e.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
-    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = maybe_persist(
+        und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     joined = (
         und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")

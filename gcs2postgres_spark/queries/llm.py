@@ -996,7 +996,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # unbounded per-doc frame explosion — widen a compact corpus scan
+    # first (guide §2.5; flagged by the r18 widen-guard sweep)
+    d = widen_doc_scan(_t(spark, sf_dir, "documents"), "doc_id")
     rec = d.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),

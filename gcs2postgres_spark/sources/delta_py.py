@@ -5036,7 +5036,12 @@ def compact_delta(
     from gcs2postgres_spark.layout import cluster_for_rewrite
 
     df = read_delta_py(spark, table_path)
-    compacted = cluster_for_rewrite(df, n_files, part_cols, zorder_by)
+    # unlike the lazy operators, this committer OWNS the write action —
+    # release the rewrite-input cache as soon as the staged files exist
+    # (r17 ADVICE: sessions not driven by the bench harness otherwise
+    # accumulate a table-sized cache block per compaction)
+    _caches: list = []
+    compacted = cluster_for_rewrite(df, n_files, part_cols, zorder_by, caches=_caches)
 
     now = int(timestamp_ms if timestamp_ms is not None else _time.time() * 1000)
     actions: list[dict] = [
@@ -5044,9 +5049,13 @@ def compact_delta(
         for p in sorted(live)
     ]
     compacted_phys, stage_parts = _to_physical_df(compacted, meta)
-    actions.extend(
-        _stage_data_files(compacted_phys, table_path, stage_parts, now, data_change=False)
-    )
+    try:
+        actions.extend(
+            _stage_data_files(compacted_phys, table_path, stage_parts, now, data_change=False)
+        )
+    finally:
+        for _c in _caches:
+            _c.unpersist()
     log_dir = _log_dir(table_path)
     version = _commit_with_rebase(
         log_dir, base_version + 1, actions, now, operation="OPTIMIZE",

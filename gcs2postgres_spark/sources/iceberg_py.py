@@ -4535,7 +4535,12 @@ def rewrite_data_files(
     live = read_iceberg_py(spark, table_path, _preloaded_meta=_preloaded_meta)
     from gcs2postgres_spark.layout import cluster_for_rewrite
 
-    compacted = cluster_for_rewrite(live, n_files, part_src_cols, zorder_by)
+    # this committer owns the write action — release the rewrite-input
+    # cache right after the staged files exist (r17 ADVICE)
+    _caches: list = []
+    compacted = cluster_for_rewrite(
+        live, n_files, part_src_cols, zorder_by, caches=_caches
+    )
 
     sid = max(s["snapshot-id"] for s in ctx["snapshots"]) + 1
     new_seq = int(meta.get("last-sequence-number", 0)) + 1
@@ -4548,16 +4553,20 @@ def rewrite_data_files(
             pid_of[tup] = len(pid_of)
         return pid_of[tup]
 
-    data_entries = _stage_v2_data_files(
-        spark,
-        compacted,
-        table_path,
-        sid,
-        new_seq,
-        ctx,
-        _pid,
-        pid_of,
-    )
+    try:
+        data_entries = _stage_v2_data_files(
+            spark,
+            compacted,
+            table_path,
+            sid,
+            new_seq,
+            ctx,
+            _pid,
+            pid_of,
+        )
+    finally:
+        for _c in _caches:
+            _c.unpersist()
     new_list_rows = []
     if data_entries:
         data_manifest = os.path.join(mdir, _uniq(f"manifest-data-{sid}.avro"))

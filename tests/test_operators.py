@@ -1006,3 +1006,34 @@ def test_ngram_decontaminate_plan_broadcasts_bench(spark):
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucket_pair_expand_hot_bucket_fallback_same_pairs(spark):
+    """Buckets above ``max_bucket`` must spill to the codegen'd
+    self-join path (the O(k²) single-task HOF expansion is the r17
+    simhash regression) — and the fallback must emit EXACTLY the pair
+    set the expansion emits, carries included."""
+    from gcs2postgres_spark.operators.caching import release_transient_caches
+    from gcs2postgres_spark.operators.dedup import bucket_pair_expand
+
+    # bucket 0: 6 ids (hot under max_bucket=4), bucket 1: 3 ids, bucket
+    # 2: singleton (no pairs); ids overlap buckets to exercise distinct
+    rows = [(0, i, i * 10) for i in range(6)]
+    rows += [(1, i, i * 10) for i in (7, 8, 9)]
+    rows += [(2, 42, 420)]
+    df = spark.createDataFrame(rows, "bucket int, id long, m long")
+
+    def pairset(max_bucket):
+        out = bucket_pair_expand(
+            df, ["bucket"], "id", carry=("m",), max_bucket=max_bucket
+        )
+        got = {(r.id_a, r.id_b, r.m_a, r.m_b) for r in out.collect()}
+        release_transient_caches()
+        return got
+
+    all_expand = pairset(max_bucket=4096)   # everything through HOF expansion
+    with_fallback = pairset(max_bucket=4)   # bucket 0 through the self-join
+    expected = {(a, b, a * 10, b * 10) for a in range(6) for b in range(a + 1, 6)}
+    expected |= {(a, b, a * 10, b * 10) for a in (7, 8, 9) for b in (7, 8, 9) if a < b}
+    assert all_expand == expected
+    assert with_fallback == expected
