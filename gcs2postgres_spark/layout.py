@@ -220,38 +220,48 @@ def cluster_for_rewrite(
     then tightens min/max footers inside every partition directory,
     the same shape OPTIMIZE ZORDER BY produces).
 
-    A z-order rewrite makes up to THREE passes over its input: the
-    equi-depth bounds aggregation (percentile_approx), the range
-    sampler ``repartitionByRange`` plans when n_files > 1, and the real
-    shuffle+write. The rewrite input is therefore persisted ONCE,
-    *before* the bounds pass, so all of them read a single
-    materialization — previously the bounds pass re-scanned the source
-    even though the z-keyed frame was cached for the later two (r18
-    A/B below). The rank CASE tree is recomputed by the later passes
-    off cached rows, which is the cheap side of that trade since the
-    r17 tree rewrite (~8 comparisons/row vs a full source scan).
-    Size-conditional persist (operators.caching): tiny rewrites skip
-    the cache. The cache registers in the transient registry the
-    bench/sweep harnesses release per query; committers that own the
-    write action should pass ``caches`` (a list the persisted frame is
-    appended to) and unpersist after staging data files — otherwise a
-    long-lived session accumulates a table-sized MEMORY_AND_DISK block
-    per compaction (r17 ADVICE)."""
+    Persist placement, MEASURED (guide §1.1): the bounds pass
+    (percentile_approx) deliberately re-scans the SOURCE, not a cache —
+    it reads only the z-order columns, so that scan is column-pruned
+    and cheap, while an r18 attempt to persist the raw rewrite input
+    ahead of it (so all three passes share one materialization) forced
+    a FULL-WIDTH cache build where a 2-column scan used to suffice and
+    regressed sf3 1.6× (optimize-zorder 27.7 → 43.8 s, liquid 44.5 →
+    68.9 s; sf1 a wash). Kept shape: z-keyed frame persisted only where
+    n_files > 1 plans a range-sample job (r17 A/B: 29.8 → 14.2 s).
+
+    The cache registers in the transient registry the bench/sweep
+    harnesses release per query; committers that own the write action
+    should pass ``caches`` (a list the persisted frame is appended to)
+    and unpersist after staging data files — otherwise a long-lived
+    session accumulates a table-sized MEMORY_AND_DISK block per
+    compaction (r17 ADVICE)."""
     from pyspark.sql import functions as F
 
     if not zorder_by:
         return df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
-    from gcs2postgres_spark.operators.caching import maybe_persist
-
-    dfp = maybe_persist(df)
-    if caches is not None and dfp is not df:
-        caches.append(dfp)
-    zkey = zorder_key(zorder_rank_columns(dfp, zorder_by, bits), bits=bits)
-    dfz = dfp.withColumn("__z", zkey)
+    zkey = zorder_key(zorder_rank_columns(df, zorder_by, bits), bits=bits)
+    dfz = df.withColumn("__z", zkey)
     if part_cols:
         # hash repartition samples nothing — the z tree runs once
         out = dfz.repartition(n_files, *part_cols).sortWithinPartitions(*part_cols, "__z")
     else:
+        # repartitionByRange SAMPLES its child to pick range bounds, so
+        # the scan + equi-depth rank (the dominant per-row cost of a
+        # z-order rewrite) would run TWICE — once for the sample job,
+        # once for the real shuffle. Persist the z-keyed frame so both
+        # passes read one materialization (r17 counterbalanced A/B at
+        # sf1, 6M rows, n_files=2: 29.8 → 14.2 s old fold / 20.3 →
+        # 12.1 s rank tree). Size-conditional (operators.caching):
+        # tiny rewrites skip the cache. n_files == 1 plans a single
+        # range partition with no sample job — nothing to share.
+        if n_files > 1:
+            from gcs2postgres_spark.operators.caching import maybe_persist
+
+            cached = maybe_persist(dfz)
+            if caches is not None and cached is not dfz:
+                caches.append(cached)
+            dfz = cached
         out = dfz.repartitionByRange(n_files, F.col("__z")).sortWithinPartitions("__z")
     return out.drop("__z")
 
