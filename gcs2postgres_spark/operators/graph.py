@@ -25,9 +25,13 @@ converge within ``max_iter``; both produce the identical min-id
 labeling (property-tested against each other on random graphs).
 
 Scale notes (100 TB):
-- per round: ONE shuffle join (edges ⋈ labels on dst) + one partial
-  (map-side) min aggregation + one join back — all key-partitioned on
-  node id, no broadcast of anything unbounded;
+- per round: ONE shuffle join (edges ⋈ labels on dst) producing
+  neighbor messages, then labels ∪ messages through ONE partial
+  (map-side) min aggregation — all key-partitioned on node id, no
+  broadcast of anything unbounded (the r17 form aggregated messages
+  and LEFT-JOINED them back onto labels: same fixpoint, one extra
+  node-keyed exchange per round — r18 A/B 3.62 → 3.00 s sf0.1,
+  7.75 → 6.78 s sf1);
 - `localCheckpoint` after every round cuts the lineage chain so round k
   does not re-execute rounds 1..k-1 (the classic iterative-DataFrame
   trap) and keeps the plan size constant;
@@ -204,24 +208,24 @@ def connected_components(
             return labels
 
         for _ in range(max_iter):
-            nbr_min = (
-                und.join(
-                    labels.select(
-                        F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
-                    ),
-                    "b",
-                )
-                .groupBy("a")
-                .agg(F.min("nbr_comp").alias("nbr_comp"))
-            )
+            # One round = neighbor messages ∪ own labels → ONE keyed min
+            # aggregation (map-side partials), the same shape as
+            # sssp_bounded's relaxation. The r17 form aggregated the
+            # messages first and LEFT-JOINED them back onto labels —
+            # same fixpoint, one extra node-keyed exchange per round
+            # (guide §2.4; r18 A/B 3.62 → 3.00 s sf0.1, 7.75 → 6.78 s
+            # sf1 on dedup_cluster_canonical — nodes absent from the
+            # messages survive here as their own ``labels`` row, exactly
+            # what the old join's null-coalesce branch encoded).
+            msgs = und.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("c")),
+                "b",
+            ).select(F.col("a").alias("node"), "c")
             labels = (
-                labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                    ).alias("comp"),
-                )
+                labels.select("node", F.col("comp").alias("c"))
+                .unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("c").alias("comp"))
                 .localCheckpoint(eager=True)
             )
             new_sum = labels.agg(F.sum("comp")).first()[0]
